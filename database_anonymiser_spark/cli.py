@@ -1,0 +1,81 @@
+"""Tri-mode CLI: --configGen | --dryrun | --apply.
+
+Rebuilds ``src/cli/args.ts`` (C1: exactly one mode, error on 0 or >1) and the
+orchestration in ``src/main.ts:21-133``.
+
+Usage:
+    python -m database_anonymiser_spark.cli --configGen --data /root/testdata/sf0.001
+    python -m database_anonymiser_spark.cli --dryrun   --data ... --config anonymiser.config.yaml
+    python -m database_anonymiser_spark.cli --apply    --data ... --config ... --out /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from database_anonymiser_spark.catalog import ParquetCatalog
+from database_anonymiser_spark.config import read_generated_config, write_yaml
+from database_anonymiser_spark.config_gen import generate_config
+from database_anonymiser_spark.executor import execute_plan
+from database_anonymiser_spark.planner import build_plan
+from database_anonymiser_spark.preflight import preflight_validate
+from database_anonymiser_spark.reporting import build_report, write_json_report
+from database_anonymiser_spark.session import get_spark
+
+CONFIG_FILE = "anonymiser.config.yaml"  # ≅ constants.ts:1-2
+SAMPLES_FILE = "anonymiser.samples.yaml"
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="database-anonymiser-spark")
+    p.add_argument("--configGen", action="store_true")
+    p.add_argument("--dryrun", action="store_true")
+    p.add_argument("--apply", action="store_true")
+    p.add_argument("--data", required=True, help="directory of <table>.parquet files")
+    p.add_argument("--config", default=CONFIG_FILE)
+    p.add_argument("--out", default=None, help="output root for apply mode")
+    p.add_argument("--report", default=None, help="JSON report path")
+    p.add_argument("--force", action="store_true", help="override the row-cap safeguard")
+    p.add_argument("--unsafeSamples", action="store_true")
+    args = p.parse_args(argv)
+    modes = [m for m in ("configGen", "dryrun", "apply") if getattr(args, m)]
+    if len(modes) != 1:  # C1 (args.ts:7-29)
+        p.error("exactly one of --configGen | --dryrun | --apply is required")
+    args.mode = modes[0]
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = get_spark()
+    catalog = ParquetCatalog(spark, args.data)
+
+    if args.mode == "configGen":
+        art = generate_config(catalog, unsafe_samples=args.unsafeSamples)
+        write_yaml(args.config, art.config.to_dict())
+        write_yaml(SAMPLES_FILE, art.samples)
+        print(f"wrote {args.config} and {SAMPLES_FILE}")
+        return 0
+
+    config = read_generated_config(args.config)
+    preflight_validate(config, args.mode)
+    plan = build_plan(config)
+
+    if args.mode == "dryrun":
+        result = execute_plan(catalog, plan, dryrun=True)
+    else:
+        if not args.out:
+            print("--apply requires --out", file=sys.stderr)
+            return 2
+        result = execute_plan(catalog, plan, dryrun=False, output_root=args.out, force=args.force)
+
+    report = build_report(args.mode, plan, result)
+    report_path = args.report or f"anonymiser.{args.mode}.report.json"
+    write_json_report(report_path, report)
+    print(f"{args.mode}: {result.total_rows} rows across {len(result.updated_by_table)} tables; report → {report_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

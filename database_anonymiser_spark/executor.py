@@ -1,0 +1,151 @@
+"""Plan executor: per-table mask → dryrun count / apply staged write.
+
+Rebuilds ``src/executor/executor.ts:87-147`` on Spark's immutable model:
+- dryrun (C4): compute the masked DataFrame and ``count()`` it — same affected
+  row counts the reference gets from UPDATE-under-ROLLBACK, with zero writes.
+- apply (C5): write each masked table to a staging path, then atomically
+  promote (directory rename). Postgres's single wrapping transaction becomes
+  per-table staged-write + promote; a failure before promote leaves the source
+  untouched (the reference's ROLLBACK semantics).
+
+100 TB posture:
+- The mask is one narrow projection — no shuffle, no Python; executors stream
+  parquet in and out. Cost is IO-bound and embarrassingly parallel.
+- Dryrun counts avoid a second full read where possible: when ≥1 column is
+  rewritten the affected-row count is just the table row count, which Spark
+  answers from parquet footer statistics (no data scan).
+- Tables are independent jobs; ``parallelism`` submits them concurrently from
+  a thread pool so a 1000-executor cluster isn't serialized on one table's
+  tail (the reference is strictly sequential, executor.ts:104-132).
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from database_anonymiser_spark.catalog import ParquetCatalog
+from database_anonymiser_spark.planner import Plan, PlannedTable
+from database_anonymiser_spark.safeguards import DEFAULT_ROW_CAP, enforce_row_cap
+from database_anonymiser_spark.strategies import (
+    masked_projection,
+    normalize_columns_for_types,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class TableResult:
+    table: str
+    rows: int = 0
+    skipped: bool = False
+    error: str | None = None
+    downgrades: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class ExecutionResult:
+    mode: str
+    updated_by_table: dict[str, int] = field(default_factory=dict)
+    tables: list[TableResult] = field(default_factory=list)
+
+    @property
+    def total_rows(self) -> int:
+        """≅ main.ts:80-83 — sum of per-table affected counts (A2)."""
+        return sum(self.updated_by_table.values())
+
+
+def mask_table(catalog: ParquetCatalog, planned: PlannedTable):
+    """Read + type-safety normalize + projection for one table.
+
+    Returns (masked_df, active_rewrites, downgrades). Mirrors the per-table
+    body of executor.ts:104-132: live schema re-read (:108), normalize
+    (:109-116), compile (:118).
+    """
+    df = catalog.read(planned.name)
+    normalized = normalize_columns_for_types(list(planned.columns), df.schema)
+    masked, active = masked_projection(df, normalized)
+    downgrades = [
+        {"column": nc.column, "from": nc.downgraded_from, "reason": nc.reason}
+        for nc in normalized
+        if nc.downgraded_from
+    ]
+    return masked, active, downgrades
+
+
+def _execute_table(
+    catalog: ParquetCatalog,
+    planned: PlannedTable,
+    dryrun: bool,
+    output_root: Path | None,
+) -> TableResult:
+    res = TableResult(table=planned.table)
+    try:
+        masked, active, downgrades = mask_table(catalog, planned)
+        res.downgrades = downgrades
+        if active == 0:
+            # zero effective SETs → skip (query-builder.ts:54-56, executor.ts:120-124)
+            res.skipped = True
+            return res
+        if dryrun:
+            res.rows = masked.count()
+            return res
+        assert output_root is not None
+        final = output_root / f"{planned.name}.parquet"
+        staging = output_root / f"_staging_{planned.name}_{uuid.uuid4().hex[:8]}"
+        masked.write.mode("overwrite").parquet(str(staging))
+        rows = catalog.spark.read.parquet(str(staging)).count()
+        if final.exists():
+            shutil.rmtree(final, ignore_errors=True) if final.is_dir() else final.unlink()
+        staging.rename(final)  # atomic promote on one filesystem
+        res.rows = rows
+        return res
+    except Exception as e:  # per-table failure isolation, reported not swallowed
+        log.exception("table %s failed", planned.table)
+        res.error = f"{type(e).__name__}: {e}"
+        return res
+
+
+def execute_plan(
+    catalog: ParquetCatalog,
+    plan: Plan,
+    dryrun: bool = True,
+    output_root: str | Path | None = None,
+    row_cap: int = DEFAULT_ROW_CAP,
+    force: bool = False,
+    parallelism: int = 4,
+) -> ExecutionResult:
+    """≅ executePlan (executor.ts:87-147) with staged-write apply.
+
+    Apply enforces the row cap from a dryrun count first (safeguards made
+    live, SURVEY.md §2 C6).
+    """
+    mode = "dryrun" if dryrun else "apply"
+    out_root = Path(output_root) if output_root else None
+    if not dryrun:
+        if out_root is None:
+            raise ValueError("apply mode requires output_root")
+        out_root.mkdir(parents=True, exist_ok=True)
+        dry = execute_plan(catalog, plan, dryrun=True, parallelism=parallelism)
+        enforce_row_cap(dry.total_rows, cap=row_cap, force=force)
+
+    result = ExecutionResult(mode=mode)
+    if parallelism > 1 and len(plan.tables) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            futures = [
+                pool.submit(_execute_table, catalog, t, dryrun, out_root) for t in plan.tables
+            ]
+            table_results = [f.result() for f in futures]
+    else:
+        table_results = [_execute_table(catalog, t, dryrun, out_root) for t in plan.tables]
+
+    for tr in table_results:
+        result.tables.append(tr)
+        if not tr.skipped and tr.error is None:
+            result.updated_by_table[tr.table] = tr.rows
+    return result

@@ -1,0 +1,224 @@
+"""Masking strategies as native Spark Column expressions.
+
+Rebuilds the strategy compiler of the reference
+(``src/executor/query-builder.ts:21-51``) and the type-safety downgrade guard
+(``src/executor/executor.ts:45-85``) as pure functions over ``Column`` /
+``StructType``.
+
+100 TB posture: every strategy is a built-in Catalyst expression (md5,
+coalesce, substring, concat, literals) — whole-stage-codegen'd on the JVM, no
+Python in the row path, no serialization boundary. A full-table mask is one
+narrow ``select`` projection: no shuffle, scales linearly with input splits.
+
+Semantics preserved exactly:
+- ``HASH_SHA256`` is **actually md5** in the reference
+  (``src/executor/query-builder.ts:33-34``) — we keep md5 under that name for
+  config + oracle compatibility and expose a real sha256 as ``HASH_SHA256_REAL``.
+- Null inputs coalesce to '' before hashing/truncation
+  (``src/executor/query-builder.ts:34,40,45``).
+- Unknown strategy → safe no-op (``src/executor/query-builder.ts:48-50``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_anonymiser_spark.types import TypeGroup, group_for_field
+
+log = logging.getLogger(__name__)
+
+DEFAULT_TRUNCATE_LENGTH = 4  # reference: params.n ?? 4 (query-builder.ts:38)
+
+# Strategies that may only run on STRING columns (executor.ts:12).
+STRICT_STRING_ONLY = frozenset({"EMAIL_FAKE", "REDACT", "TRUNCATE"})
+# HASH is additionally allowed on OTHER (executor.ts:76-81).
+HASH_ALLOWED_GROUPS = frozenset({TypeGroup.STRING, TypeGroup.OTHER})
+# Always allowed regardless of type group (executor.ts:57).
+ALWAYS_ALLOWED = frozenset({"KEEP", "SET_NULL"})
+
+KNOWN_STRATEGIES = frozenset(
+    {"KEEP", "SET_NULL", "REDACT", "HASH_SHA256", "HASH_SHA256_REAL", "TRUNCATE", "EMAIL_FAKE"}
+)
+
+
+def _as_string(col: Column) -> Column:
+    """``COALESCE(col::text, '')`` — the reference's null-safe stringification."""
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def keep(col: Column) -> Column:
+    """T1 KEEP — identity (query-builder.ts:22-23)."""
+    return col
+
+
+def set_null(col: Column, data_type: T.DataType | str = "string") -> Column:
+    """T2 SET_NULL — typed NULL (query-builder.ts:25-26)."""
+    return F.lit(None).cast(data_type)
+
+
+def redact(col: Column) -> Column:
+    """T3 REDACT — constant '***' (query-builder.ts:29-30)."""
+    return F.lit("***")
+
+
+def hash_md5(col: Column) -> Column:
+    """T4 'HASH_SHA256' — md5(coalesce(col::text,'')) (query-builder.ts:33-34)."""
+    return F.md5(_as_string(col))
+
+
+def hash_sha256(col: Column) -> Column:
+    """Extension: what the reference's name promised — real SHA-256."""
+    return F.sha2(_as_string(col), 256)
+
+
+def truncate(col: Column, n: int = DEFAULT_TRUNCATE_LENGTH) -> Column:
+    """T5 TRUNCATE — LEFT(coalesce(col::text,''), n) (query-builder.ts:37-42)."""
+    return F.substring(_as_string(col), 1, int(n))
+
+
+def email_fake(col: Column) -> Column:
+    """T6 EMAIL_FAKE — md5(col) || '@example.com' (query-builder.ts:44-45)."""
+    return F.concat(hash_md5(col), F.lit("@example.com"))
+
+
+def mask_sample_preview(col: Column) -> Column:
+    """T7 sample masker (``src/pi/patterns.ts:3-9``).
+
+    len<=6 → '***', else first2 + '***' + last2. Implemented with
+    length-anchored substring (not negative indices) so the identical SQL runs
+    on any ANSI engine.
+    """
+    s = col.cast("string")
+    return F.when(F.length(s) <= 6, F.lit("***")).otherwise(
+        F.concat(
+            F.substring(s, 1, 2),
+            F.lit("***"),
+            F.substring(s, F.length(s) - 1, F.lit(2)),
+        )
+    )
+
+
+def strategy_expr(
+    strategy: str,
+    col: Column,
+    data_type: T.DataType | str = "string",
+    params: dict | None = None,
+) -> Column:
+    """Compile one (strategy, column) pair to a Column expression.
+
+    Mirrors the ``switch`` in ``buildUpdateSql`` (query-builder.ts:21-51);
+    unknown strategies are a safe no-op (``:48-50``).
+    """
+    params = params or {}
+    s = (strategy or "KEEP").upper()
+    if s == "KEEP":
+        return keep(col)
+    if s == "SET_NULL":
+        return set_null(col, data_type)
+    if s == "REDACT":
+        return redact(col)
+    if s == "HASH_SHA256":
+        return hash_md5(col)
+    if s == "HASH_SHA256_REAL":
+        return hash_sha256(col)
+    if s == "TRUNCATE":
+        return truncate(col, params.get("n", DEFAULT_TRUNCATE_LENGTH))
+    if s == "EMAIL_FAKE":
+        return email_fake(col)
+    log.warning("unknown strategy %r — treating as KEEP (safe no-op)", strategy)
+    return keep(col)
+
+
+@dataclass(frozen=True)
+class NormalizedColumn:
+    """Outcome of the type-safety check for one planned column."""
+
+    column: str
+    strategy: str
+    params: dict = field(default_factory=dict)
+    downgraded_from: str | None = None
+    reason: str | None = None
+
+
+def normalize_strategy_for_group(strategy: str, group: TypeGroup) -> tuple[str, str | None]:
+    """Type-safety downgrade rule table (``src/executor/executor.ts:45-85``).
+
+    Returns (effective_strategy, downgrade_reason|None):
+    - KEEP / SET_NULL always allowed (executor.ts:57)
+    - EMAIL_FAKE / REDACT / TRUNCATE require STRING (executor.ts:68-73)
+    - HASH allowed on STRING and OTHER only (executor.ts:76-81)
+    """
+    s = (strategy or "KEEP").upper()
+    if s in ALWAYS_ALLOWED:
+        return s, None
+    if s in STRICT_STRING_ONLY and group != TypeGroup.STRING:
+        return "KEEP", f"{s} requires STRING column, got {group.value}"
+    if s in ("HASH_SHA256", "HASH_SHA256_REAL") and group not in HASH_ALLOWED_GROUPS:
+        return "KEEP", f"{s} requires STRING or OTHER column, got {group.value}"
+    return s, None
+
+
+def normalize_columns_for_types(
+    planned: list,
+    schema: T.StructType,
+) -> list[NormalizedColumn]:
+    """Per-table type-safety pass over planned columns (executor.ts:45-85).
+
+    ``planned`` is a list of objects with ``.column``, ``.strategy``,
+    ``.params`` (duck-typed so the planner IR and raw dicts both work).
+    Columns missing from the live schema are dropped with a warning, matching
+    the reference's behaviour of only updating existing columns.
+    """
+    fields = {f.name: f for f in schema.fields}
+    out: list[NormalizedColumn] = []
+    for pc in planned:
+        name = pc["column"] if isinstance(pc, dict) else pc.column
+        strat = pc["strategy"] if isinstance(pc, dict) else pc.strategy
+        params = (pc.get("params") if isinstance(pc, dict) else getattr(pc, "params", None)) or {}
+        f = fields.get(name)
+        if f is None:
+            log.warning("planned column %r not in live schema — skipping", name)
+            continue
+        group = group_for_field(f)
+        eff, reason = normalize_strategy_for_group(strat, group)
+        if reason:
+            log.warning("downgrading %s on %s: %s", strat, name, reason)
+            out.append(NormalizedColumn(name, eff, params, downgraded_from=strat, reason=reason))
+        else:
+            out.append(NormalizedColumn(name, eff, params))
+    return out
+
+
+def masked_projection(df, normalized: list[NormalizedColumn]) -> tuple:
+    """Build the single SELECT that applies all strategies to one table.
+
+    Returns ``(masked_df, active_count)``. Non-planned columns pass through
+    untouched (the UPDATE-only-touches-SET-columns semantics of
+    query-builder.ts:58-61). ``active_count`` counts non-KEEP rewrites; 0 means
+    the table would be skipped (query-builder.ts:54-56).
+
+    SET_NULL on a non-nullable StructField raises ``ValueError`` — Spark has no
+    constraints, so we emulate the reference's "the DB rejects it" failure mode
+    (executor.ts:56, SURVEY.md §7).
+    """
+    by_name = {nc.column: nc for nc in normalized}
+    exprs = []
+    active = 0
+    for f in df.schema.fields:
+        nc = by_name.get(f.name)
+        if nc is None or nc.strategy == "KEEP":
+            exprs.append(F.col(f.name))
+            continue
+        if nc.strategy == "SET_NULL" and not f.nullable:
+            raise ValueError(
+                f"SET_NULL on non-nullable column {f.name!r} violates schema "
+                "(reference lets the DB constraint reject this; we fail the table)"
+            )
+        exprs.append(strategy_expr(nc.strategy, F.col(f.name), f.dataType, nc.params).alias(f.name))
+        active += 1
+    return df.select(*exprs), active

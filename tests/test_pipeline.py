@@ -1,0 +1,147 @@
+"""End-to-end tests of the faithful pipeline: configGen → plan → dryrun → apply."""
+
+import pytest
+
+from database_anonymiser_spark.catalog import ParquetCatalog
+from database_anonymiser_spark.config import (
+    ConfigValidationError,
+    config_from_dict,
+    read_generated_config,
+    write_yaml,
+)
+from database_anonymiser_spark.config_gen import generate_config, mask_sample_value
+from database_anonymiser_spark.executor import execute_plan
+from database_anonymiser_spark.planner import build_plan, resolve_strategy
+from database_anonymiser_spark.preflight import PreflightError, preflight_validate
+from database_anonymiser_spark.safeguards import RowCapExceeded, enforce_row_cap
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, sf_dir):
+    return ParquetCatalog(spark, sf_dir)
+
+
+def base_config_dict(**over):
+    d = {
+        "version": 1,
+        "reviewed": True,
+        "scope": {"schema": "public", "denylist": []},
+        "column_strategy": {"c_name": "HASH_SHA256", "c_mktsegment": "REDACT"},
+        "rules": [
+            {
+                "table": "public.customer",
+                "enabled": True,
+                "columns": [
+                    {"name": "c_custkey"},
+                    {"name": "c_name"},
+                    {"name": "c_mktsegment"},
+                    {"name": "c_acctbal", "strategy": "SET_NULL"},
+                ],
+            }
+        ],
+    }
+    d.update(over)
+    return d
+
+
+def test_config_validation_rejects_bad_strategy():
+    with pytest.raises(ConfigValidationError):
+        config_from_dict(base_config_dict(column_strategy={"x": "NOT_A_STRATEGY"}))
+
+
+def test_strategy_resolution_precedence():
+    # explicit > global > KEEP  (plan-builder.ts:19-47)
+    assert resolve_strategy("c_name", "REDACT", {"c_name": "HASH_SHA256"})[0] == "REDACT"
+    assert resolve_strategy("c_name", None, {"c_name": "HASH_SHA256"})[0] == "HASH_SHA256"
+    assert resolve_strategy("other", None, {"c_name": "HASH_SHA256"})[0] == "KEEP"
+
+
+def test_plan_filters_disabled_and_denylisted():
+    d = base_config_dict()
+    d["rules"].append({"table": "public.orders", "enabled": False, "columns": []})
+    d["rules"].append({"table": "public.lineitem", "enabled": True, "columns": []})
+    d["scope"]["denylist"] = ["lineitem"]  # bare-name match (plan-builder.ts:75)
+    plan = build_plan(config_from_dict(d))
+    assert [t.table for t in plan.tables] == ["public.customer"]
+
+
+def test_preflight_gates():
+    cfg = config_from_dict(base_config_dict(reviewed=False))
+    preflight_validate(cfg, "dryrun")
+    with pytest.raises(PreflightError, match="reviewed"):
+        preflight_validate(cfg, "apply")
+    with pytest.raises(PreflightError, match="version"):
+        preflight_validate(config_from_dict(base_config_dict(version=2)), "dryrun")
+    with pytest.raises(PreflightError, match="column_strategy"):
+        preflight_validate(config_from_dict(base_config_dict(column_strategy={})), "dryrun")
+    no_enabled = base_config_dict()
+    no_enabled["rules"][0]["enabled"] = False
+    with pytest.raises(PreflightError, match="enabled"):
+        preflight_validate(config_from_dict(no_enabled), "dryrun")
+
+
+def test_dryrun_counts_without_writing(catalog, tmp_path):
+    plan = build_plan(config_from_dict(base_config_dict()))
+    res = execute_plan(catalog, plan, dryrun=True)
+    assert res.updated_by_table == {"public.customer": 150}
+    assert res.total_rows == 150
+
+
+def test_apply_writes_masked_parquet(catalog, spark, tmp_path):
+    plan = build_plan(config_from_dict(base_config_dict()))
+    res = execute_plan(catalog, plan, dryrun=False, output_root=tmp_path)
+    assert res.total_rows == 150
+    out = spark.read.parquet(str(tmp_path / "customer.parquet"))
+    rows = out.orderBy("c_custkey").limit(3).collect()
+    assert all(len(r["c_name"]) == 32 for r in rows)        # md5 hex
+    assert all(r["c_mktsegment"] == "***" for r in rows)    # REDACT
+    assert all(r["c_acctbal"] is None for r in rows)        # SET_NULL
+    assert out.schema["c_acctbal"].dataType.simpleString() == "double"  # type preserved
+    assert out.count() == 150
+
+
+def test_zero_active_rewrites_skips_table(catalog):
+    d = base_config_dict(column_strategy={"nope": "REDACT"})
+    d["rules"][0]["columns"] = [{"name": "c_custkey"}, {"name": "c_name"}]
+    plan = build_plan(config_from_dict(d))
+    res = execute_plan(catalog, plan, dryrun=True)
+    assert res.tables[0].skipped is True
+    assert res.updated_by_table == {}
+
+
+def test_type_safety_downgrade_reported(catalog):
+    # REDACT on NUMBER column downgrades to KEEP with a recorded reason
+    d = base_config_dict(column_strategy={"c_acctbal": "REDACT", "c_name": "HASH_SHA256"})
+    d["rules"][0]["columns"] = [{"name": "c_acctbal"}, {"name": "c_name"}]
+    plan = build_plan(config_from_dict(d))
+    res = execute_plan(catalog, plan, dryrun=True)
+    tr = res.tables[0]
+    assert tr.downgrades and tr.downgrades[0]["column"] == "c_acctbal"
+    assert tr.rows == 150  # hash on c_name still active
+
+
+def test_row_cap():
+    enforce_row_cap(10, cap=100)
+    enforce_row_cap(1000, cap=100, force=True)
+    with pytest.raises(RowCapExceeded):
+        enforce_row_cap(1000, cap=100)
+
+
+def test_config_gen_roundtrip(catalog, tmp_path):
+    art = generate_config(catalog, sample_limit=3)
+    assert not art.config.reviewed  # requires human review before apply
+    tables = {r.table for r in art.config.rules}
+    assert "public.customer" in tables and "public.lineitem" in tables
+    # samples are masked (T7)
+    cust = art.samples["public.customer"]
+    assert all(v == "***" or "***" in v for v in cust["c_name"])
+    # YAML roundtrip survives validation
+    p = tmp_path / "cfg.yaml"
+    write_yaml(p, art.config.to_dict())
+    cfg2 = read_generated_config(p)
+    assert len(cfg2.rules) == len(art.config.rules)
+
+
+def test_mask_sample_value():
+    assert mask_sample_value("short") == "***"
+    assert mask_sample_value("longer than six") == "lo***ix"
