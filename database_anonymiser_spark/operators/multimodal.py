@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Design (SURVEY.md §2 extension; the reference is text/SQL-only): media
+travels as an opaque ``binary`` column plus typed metadata columns; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages. The image/audio libraries aren't in this container, so the decode
+kernels are STUBS — ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless the deterministic fake is requested — but the
+Spark-side plumbing (schema, batch iteration, partitioning, UDF signatures)
+is real and tested.
+
+100 TB posture: binary payloads dominate size → never groupBy/shuffle them;
+mapInPandas keeps work partition-local (no shuffle at all), Arrow moves each
+batch once, and metadata-only queries prune the binary column at the parquet
+scan (column pruning keeps payload IO at zero unless bytes are touched).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("crc32", T.LongType()),
+        T.StructField("head_byte", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Demo payload builder: utf-8 bytes of the text column as the opaque
+    binary + typed metadata (media_type, n_bytes). In production the binary
+    arrives from the source (parquet/webdataset); only the metadata shape
+    matters here."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(data: bytes) -> "object":
+    """STUB: real image decode requires PIL/opencv (not in this container)."""
+    raise NotImplementedError("image decode requires an imaging library at runtime")
+
+
+def decode_audio(data: bytes) -> "object":
+    """STUB: real audio decode requires soundfile/ffmpeg (not in container)."""
+    raise NotImplementedError("audio decode requires an audio library at runtime")
+
+
+def _fake_decode_features(data: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic fake decode: byte stats + pseudo-dimensions derived from
+    a stable digest — stands in for (width, height) of a real decoder."""
+    digest = hashlib.md5(data).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    return (
+        len(data),
+        zlib.crc32(data) & 0xFFFFFFFF,
+        data[0] if data else -1,
+        width,
+        height,
+    )
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    Partition-local (zero shuffle); each Arrow batch crosses the JVM↔Python
+    boundary exactly once. Swap ``_fake_decode_features`` for a real decoder
+    when the imaging libs exist — the plumbing is identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode_features(b if b is not None else b"") for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "crc32": pd.Series([f[1] for f in feats], dtype="int64"),
+                    "head_byte": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "fake_width": pd.Series([f[3] for f in feats], dtype="int32"),
+                    "fake_height": pd.Series([f[4] for f in feats], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def binary_meta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Metadata over the payload with built-ins only (no Python): byte length
+    + md5 digest — the query a 100 TB pipeline runs for integrity checks."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )

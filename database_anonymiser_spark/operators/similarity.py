@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension operators (absent in the reference — SURVEY.md §2.5/§2.11 notes,
+BASELINE.json north star). Two paths:
+
+- brute-force cosine top-k: exact baseline. Dot products run as built-in
+  higher-order functions (zip_with + aggregate) in exact decimal, so scores
+  are bit-identical across engines and partitionings; the top-k is a
+  TakeOrderedAndProject (per-partition heap, no global sort).
+- LSH-bucketed (random hyperplane signatures): the scale path. Candidates
+  share a signature bucket; exact cosine re-ranks candidates only. Recall<1
+  by construction — verified against brute force in tests, declared
+  rows-only for the oracle.
+
+At 100 TB: brute force is a full scan per query — fine for batch scoring
+(it's one narrow projection), wrong for interactive lookup; the LSH variant
+bounds per-query work to the bucket. IVF (k-means coarse quantizer) would be
+the next step; hyperplane-LSH was chosen because it needs no training state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.dedup import MERSENNE_P
+
+
+def _dec(col, scale: int = 6):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _dot_decimal(a, b) -> F.Column:
+    """Exact-decimal dot product of two float arrays → double.
+
+    zip_with multiplies element-wise in decimal (exact), aggregate folds
+    left-to-right in decimal (exact) — the one cast to double at the end is
+    deterministic, so scores hash-match any engine computing the same way.
+    """
+    prods = F.zip_with(a, b, lambda x, y: (_dec(x) * _dec(y)).cast("decimal(30,12)"))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    ).cast("double")
+
+
+def _norm_sq(a) -> F.Column:
+    return _dot_decimal(a, a)
+
+
+def cosine(a, b) -> F.Column:
+    """Deterministic cosine: exact-decimal dots, double sqrt/divide."""
+    return _dot_decimal(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbours of one in-table vector.
+
+    The 1-row query side is crossJoin-broadcast; the scan side stays fully
+    parallel. Ties broken by id for determinism; score rounded to 6dp.
+    """
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    return (
+        scored.where(F.col(id_col) != query_id)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force O(n²) self-join — correct baseline; the LSH variant below is
+    the scale path. (At 100 TB you block first, always.)
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine")
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (seeded LCG — no RNG
+    state, reproducible everywhere)."""
+    planes = []
+    state = 123456789
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            v.append((state / 2**31) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucketing + exact
+    re-rank inside the query's bucket. Recall measured in tests."""
+    planes = _hyperplanes(dim, n_planes)
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    with_sig = df.withColumn("_sig", sig.cast("int"))
+    qsig = with_sig.where(F.col(id_col) == query_id).select(
+        F.col("_sig").alias("_qsig"), F.col(vec_col).alias("_qv")
+    )
+    bucket = with_sig.join(
+        F.broadcast(qsig), with_sig["_sig"] == qsig["_qsig"]
+    )
+    return (
+        bucket.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        )
+        .where(F.col(id_col) != query_id)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators over document tables (SURVEY.md §2 extensions).
+
+Language ID, quality scoring, token counting, fingerprinting — every output
+column is a built-in expression chain (regexp/length/arithmetic) chosen so an
+independent ANSI-SQL engine reproduces values bit-for-bat: integer counts,
+ratios as double divisions of exact integers, no transcendental functions
+(libm vs JVM last-ulp differences would break value-hash checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.dedup import normalized_text, tokens
+
+# language marker words: deterministic n-gram-heuristic lexicons
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|and|is|to|in)\b",
+    "es": r"\b(el|la|de|que|los|es)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|des|est|une)\b",
+}
+
+STOPWORD_PATTERN = r"\b(the|a|of|and|is|to|in)\b"
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The subword estimate counts maximal runs of ≤4 chars (len/4 rounded up
+    per token) — a deterministic proxy for BPE token counts that needs no
+    vocabulary file.
+    """
+    n_tokens = F.size(tokens(text_col))
+    n_chars = F.length(F.col(text_col))
+    # ceil(len/4) per token ≈ sum over tokens; computed globally:
+    # ceil((chars - spaces)/4) + 0*tokens keeps it one expression.
+    non_space = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    bpe_ish = F.ceil(non_space / F.lit(4.0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        bpe_ish.alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio, and a
+    linear quality score (pure +,*,/ on exact integer counts → deterministic)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(tokens(text_col)).cast("long")
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("long")
+    n_stop = F.regexp_count(t, F.lit(STOPWORD_PATTERN)).cast("long")
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    avg_token_len = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6
+    )
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.25)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.25),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-lexicon language ID: count markers per language, argmax with a
+    fixed precedence order (en > es > de > fr) for ties; 'und' when all 0."""
+    t = F.col(text_col)
+    counts = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = precedence
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        *[counts[lang].cast("long").alias(f"n_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of normalised text + a 64-bit rolling-hash
+    rendition (first 15 hex chars as integer) for compact storage."""
+    norm = normalized_text(text_col)
+    digest = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        digest.alias("fingerprint"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+    )

@@ -1,0 +1,122 @@
+"""Streaming pipelines over the events table.
+
+Scale notes: windowed aggregations in Structured Streaming keep one state row
+per open (window, key) group; the watermark bounds how long windows stay
+open, so state size is O(keys × windows-in-watermark-horizon) regardless of
+input volume. Masking (stateless projection) streams with zero state. These
+are the properties that make the operators safe on an unbounded 100 TB/day
+feed, not just on the fixture files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The fixture stores ts as parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong=true (session.py) it reads as epoch-ns
+# long, which we convert to a session-tz TIMESTAMP — watermarks require
+# TIMESTAMP, not TIMESTAMP_NTZ.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path_glob: str, schema: T.StructType = EVENTS_RAW_SCHEMA
+) -> DataFrame:
+    """File-source stream over parquet event files (one file per micro-batch
+    discovery; in production this is kafka/kinesis — the transforms are
+    source-agnostic)."""
+    import os
+
+    # FileStreamSource requires a directory path (it forces basePath to the
+    # stream path); pointing at a single parquet file (the fixture layout)
+    # becomes dir + pathGlobFilter.
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path_glob):
+        reader = reader.option("pathGlobFilter", os.path.basename(path_glob))
+        path_glob = os.path.dirname(path_glob)
+    raw = reader.parquet(path_glob)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1h window counts with late-data drop at the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            # back to NTZ so results compare bit-equal with the batch path
+            # (session tz is UTC; the cast is deterministic and lossless)
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n")
+    )
+
+
+def session_agg_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user; state evicted once the watermark passes a
+    session's close (built-in stateful operator — no applyInPandasWithState
+    needed for plain session aggregation)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def masked_stream(events: DataFrame) -> DataFrame:
+    """Stateless streaming anonymisation: the same strategy expressions the
+    batch executor compiles (strategies.py) applied to an unbounded stream —
+    props (JSON group) hashed, user_id kept, value kept."""
+    from database_anonymiser_spark.strategies import hash_md5
+
+    return events.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        hash_md5(F.col("props")).alias("props"),
+    )
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "append"):
+    """Drive a streaming DF to a memory sink until all available data is
+    processed (test/driver helper; availableNow = bounded run)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,148 @@
+"""Declared dedup queries over ``documents`` (SURVEY.md §2 extensions).
+
+The MinHash/SimHash oracles reproduce the engine's exact hash construction
+(md5 → base-16 → mod 2^31-1 → universal hash family) in ANSI SQL, so even
+the sketch-based dedup paths are full value-hash checked — not rows-only.
+"""
+
+from __future__ import annotations
+
+from database_anonymiser_spark.operators import dedup as D
+from database_anonymiser_spark.suite.base import load, register
+
+# shared oracle CTE: distinct word 3-gram shingles per doc
+_SHINGLES_CTE = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+"""
+
+_JACCARD_CTE = (
+    _SHINGLES_CTE
+    + r"""
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(common / (sa.n + sb.n - common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON pairs.id_a = sa.doc_id
+  JOIN sizes sb ON pairs.id_b = sb.doc_id
+)
+"""
+)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def dedup_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.fingerprint(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"WITH {_JACCARD_CTE} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n    ".join(
+        f"min((x * {a} + {b}) % {D.MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(D.HASH_FAMILY)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b0} AS band_id, "
+        f"mh_{b0}::VARCHAR || '_' || mh_{b0 + 1}::VARCHAR AS band_key FROM sig"
+        for b0 in range(0, len(D.HASH_FAMILY), 2)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    hx AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {D.MERSENNE_P} AS x
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hx GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l
+      JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+                  AND l.doc_id < r.doc_id
+    )
+    SELECT cand.id_a, cand.id_b, jac.jaccard
+    FROM cand JOIN jac ON cand.id_a = jac.id_a AND cand.id_b = jac.id_b
+    WHERE jac.jaccard >= 0.5
+    """
+
+
+@register("dedup_minhash", _minhash_oracle(), tags=("dedup", "sketch"))
+def dedup_minhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, rows_per_band=2, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END" for i in range(D.SIMHASH_BITS)
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, (('0x' || substr(md5(w), 1, 15))::BIGINT) % {D.MERSENNE_P} AS h
+      FROM tok
+    ),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(), tags=("dedup", "sketch"))
+def dedup_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")

@@ -1,0 +1,161 @@
+"""Declared scalar-function pack (SURVEY.md §2.9 extensions): string, date,
+math, array, JSON — all JVM built-ins inside whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.suite.base import load, register
+
+
+@register(
+    "func_string",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           trim(p_type) AS type_trim,
+           regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+    tags=("function", "string"),
+)
+def func_string(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "func_date",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def func_date(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "func_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)), 2) AS DOUBLE) AS disc_price,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def func_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_price, 2).cast("double").alias("disc_price"),
+        F.abs(F.col("l_quantity") - F.lit(25.0)).alias("qty_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+    )
+
+
+@register(
+    "func_array",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           round(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS DOUBLE), 4) AS component_sum,
+           CAST(list_max(embedding) AS DOUBLE) AS component_max
+    FROM embeddings
+    """,
+    tags=("function", "array"),
+)
+def func_array(spark, sf_dir):
+    # aggregate() folds left-to-right — order-deterministic; summing in
+    # decimal keeps it engine-exact (same rationale as base.dsum).
+    e = load(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        "embedding",
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, x: (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.round(comp_sum, 4).alias("component_sum"),
+        F.array_max("embedding").cast("double").alias("component_max"),
+    )
+
+
+@register(
+    "func_json",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def func_json(spark, sf_dir):
+    # Spark side exercises the real JSON path (get_json_object); the oracle
+    # uses a regexp so it needs no DuckDB JSON extension — same values.
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "func_json_struct",
+    """
+    SELECT props_k, count(*) AS n
+    FROM (SELECT CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS props_k FROM events)
+    GROUP BY props_k
+    """,
+    tags=("function", "json"),
+)
+def func_json_struct(spark, sf_dir):
+    # from_json → typed struct → relational agg over extracted field.
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return parsed.select(F.col("p.k").alias("props_k")).groupBy("props_k").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,100 @@
+"""Declared text-analysis queries over ``documents`` (SURVEY.md §2 ext)."""
+
+from __future__ import annotations
+
+from database_anonymiser_spark.operators import text as TX
+from database_anonymiser_spark.suite.base import load, register
+
+
+@register(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return TX.token_count(docs, "doc_id", "text")
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS BIGINT) AS n_stop,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars, n_tokens,
+             round(n_punct / n_chars, 6) AS punct_ratio,
+             round(n_stop / n_tokens, 6) AS stopword_ratio,
+             round(n_nonspace / n_tokens, 6) AS avg_token_len
+      FROM m
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1.0 - punct_ratio) * 0.25
+                 + least(stopword_ratio * 5.0, 1.0) * 0.25, 6) AS quality_score
+    FROM r
+    """,
+    tags=("text",),
+)
+def text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return TX.quality_score(docs, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    counts = ",\n    ".join(
+        rf"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{lang}".replace(
+            "\\b", "\\b"
+        )
+        for lang, pat in TX.LANG_MARKERS.items()
+    )
+    whens = "\n        ".join(
+        f"WHEN n_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
+    )
+    langs = ", ".join(f"n_{lang}" for lang in TX.LANG_MARKERS)
+    return f"""
+    WITH c AS (SELECT doc_id, {counts} FROM documents),
+    g AS (SELECT *, greatest({langs}) AS best FROM c)
+    SELECT doc_id, {langs},
+      CASE WHEN best = 0 THEN 'und'
+        {whens}
+      END AS lang_pred
+    FROM g
+    """
+
+
+@register("text_langid", _langid_oracle(), tags=("text",))
+def text_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return TX.language_id(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64
+    FROM f
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return TX.fingerprint_text(docs, "doc_id", "text")

@@ -1,0 +1,136 @@
+"""Tests for extension operators: dedup sketches vs brute force, LSH recall,
+approx-distinct error bound, multimodal plumbing."""
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators import dedup as D
+from database_anonymiser_spark.operators import multimodal as MM
+from database_anonymiser_spark.operators import similarity as SIM
+from database_anonymiser_spark.suite.base import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+def test_shingles_match_python(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = {r["shingle"] for r in D.shingles(df, "id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_jaccard_pairs_match_bruteforce_python(docs):
+    """Spark inverted-index Jaccard == plain-Python set Jaccard."""
+    sample = docs.limit(80).collect()
+    def sh(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    ids = [r["doc_id"] for r in sample]
+    texts = {r["doc_id"]: sh(r["text"]) for r in sample}
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x, y = (a, b) if a < b else (b, a)
+            inter = len(texts[x] & texts[y])
+            if inter:
+                j = inter / (len(texts[x]) + len(texts[y]) - inter)
+                if j >= 0.2:
+                    expected[(x, y)] = round(j, 6)
+    sub = docs.limit(80)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sub, "doc_id", "text", 3, threshold=0.2).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    """LSH candidates must contain every pair with very high Jaccard (banding
+    theory: P(miss at s=0.9, 4 bands × 2 rows) < 0.1%)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 3, threshold=0.9).collect()
+    }
+    assert lsh <= exact or not exact  # never a false positive (exact verify stage)
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_near_dups_have_close_signatures(docs):
+    """Near-identical docs should differ in few simhash bits."""
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.9).collect()
+    if not pairs:
+        pytest.skip("no near-dups at this sf")
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    for p in pairs:
+        ham = bin(sig[p["id_a"]] ^ sig[p["id_b"]]).count("1")
+        assert ham <= 4, f"near-dup pair {p} has hamming {ham}"
+
+
+def test_cosine_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.where(F.col("vec_id").isin([0, 1, 2])).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in SIM.brute_force_topk(emb.where(F.col("vec_id") < 3), "vec_id", "embedding", 0, k=2).collect()
+    }
+    for vid in (1, 2):
+        expected = float(vecs[0] @ vecs[vid] / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[vid])))
+        assert abs(got[vid] - expected) < 1e-4
+
+
+def test_lsh_topk_recall(emb):
+    """Bucketed ANN must get ≥ some overlap with exact top-k (8 planes on
+    random data is a coarse filter; assert non-trivial recall + exactness of
+    returned scores)."""
+    exact = SIM.brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    approx = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    exact_scores = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in approx:
+        if r["vec_id"] in exact_scores:
+            assert r["cosine"] == exact_scores[r["vec_id"]]
+    assert len(approx) > 0
+
+
+def test_approx_count_distinct_error(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey").alias("d")).first()["d"]
+    approx = orders.select(F.approx_count_distinct("o_custkey", 0.01).alias("d")).first()["d"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    payloads = MM.attach_binary_payload(docs.limit(20), "doc_id", "text")
+    feats = {r["doc_id"]: r for r in MM.extract_features(payloads).collect()}
+    raw = {r["doc_id"]: r["text"].encode() for r in docs.limit(20).collect()}
+    assert set(feats) == set(raw)
+    for did, data in raw.items():
+        f = feats[did]
+        assert f["n_bytes"] == len(data)
+        assert f["crc32"] == (zlib.crc32(data) & 0xFFFFFFFF)
+        digest = hashlib.md5(data).digest()
+        assert f["fake_width"] == 64 + digest[0] % 192
+        assert f["fake_height"] == 64 + digest[1] % 192
+
+
+def test_multimodal_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"RIFF")
