@@ -54,28 +54,23 @@ def tokens(text_col) -> F.Column:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles: (id, shingle).
 
-    Built relationally: posexplode tokens → self-equi-join on (id, pos+k) —
-    identical to the reference-free textbook construction and fully
-    shuffle-planned by Catalyst (no Python).
+    Built as a pure array expression — ``transform(sequence(...), i ->
+    array_join(slice(tokens, i, n), ' '))`` then one explode. No join, no
+    shuffle, fully whole-stage-codegen'd; cost is linear in corpus tokens
+    (the earlier inverted-index self-join construction shuffled the token
+    table n-1 times for the same output).
     """
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(text_col)).alias("_pos", "_w"),
-    )
-    out = tok.select("_id", F.col("_pos"), F.col("_w").alias("_w0"))
-    joined = out
-    for k in range(1, n):
-        nxt = tok.select(
-            F.col("_id").alias("_id_r"),
-            (F.col("_pos") - k).alias("_pos_r"),
-            F.col("_w").alias(f"_w{k}"),
-        )
-        joined = joined.join(
-            nxt,
-            (joined._id == nxt._id_r) & (joined._pos == nxt._pos_r),
-        ).drop("_id_r", "_pos_r")
-    shingle = F.concat_ws(" ", *[f"_w{k}" for k in range(n)])
-    return joined.select(F.col("_id").alias(id_col), shingle.alias("shingle")).distinct()
+    tok_df = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    # sequence(1, k) is DESCENDING when k < 1, so guard short docs explicitly
+    shingle_arr = F.when(
+        F.size("_t") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_t) - {n - 1}), i -> array_join(slice(_t, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok_df.select(
+        F.col(id_col), F.explode(shingle_arr).alias("shingle")
+    ).distinct()
 
 
 def shingle_hash() -> F.Column:
@@ -148,19 +143,24 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """k-function MinHash signature per document (k = len(HASH_FAMILY)).
+def minhash_signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """k-function MinHash signature from a (id, shingle) DataFrame.
 
     One groupBy computes all k mins — a single shuffle on the doc id.
     """
-    sh = shingles(df, id_col, text_col, n).withColumn("x", shingle_hash())
+    hx = sh.withColumn("x", shingle_hash())
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(HASH_FAMILY)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hx.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """k-function MinHash signature per document (k = len(HASH_FAMILY))."""
+    return minhash_signatures_from_shingles(shingles(df, id_col, text_col, n), id_col)
 
 
 def minhash_lsh_pairs(
@@ -180,21 +180,19 @@ def minhash_lsh_pairs(
     which is the property that makes it the 100 TB path (candidate count
     scales with collisions, not with |docs|²).
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures_from_shingles(sh, id_col)
     k = len(HASH_FAMILY)
-    bands = []
+    # one row per (doc, band) via an inline array — no union of k/r DataFrames
+    band_structs = []
     for b0 in range(0, k, rows_per_band):
         cols = [f"mh_{i}" for i in range(b0, min(b0 + rows_per_band, k))]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b0).alias("band_id"),
-                F.concat_ws("_", *cols).alias("band_key"),
-            )
+        band_structs.append(
+            F.struct(F.lit(b0).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
         )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.band_id", "_b.band_key")
     left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     candidates = (
@@ -203,8 +201,33 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
-    return candidates.join(exact, ["id_a", "id_b"]).where(F.col("jaccard") >= threshold)
+    # exact-Jaccard verification restricted to LSH candidates: the common-
+    # shingle count joins through the candidate list instead of self-joining
+    # the full inverted index (cost ∝ candidates × shingles-per-doc, not
+    # |docs|² — the property that makes this the 100 TB path).
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 SIMHASH_BITS = 16
