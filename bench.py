@@ -23,6 +23,9 @@ HEADLINE = [
     "agg_group",
     "join_sortmerge",
     "join_broadcast",
+    "join_asof",
+    "tpch_q3",
+    "tpch_q5",
     "window_rank",
     "topk_orders",
     "stream_session",

@@ -16,6 +16,7 @@ from database_anonymiser_spark.suite import (  # noqa: F401,E402
     masking,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     streaming_batch,
     text,

@@ -1,0 +1,264 @@
+"""Extended relational surface: as-of join, cross join, rollup, lead/ntile
+windows, map functions, and TPC-H-shaped flagship analytics (SURVEY.md §2.5,
+§2.6, §2.9 extensions).
+
+The reference has none of these (its SQL surface is catalog scans + UPDATEs);
+they complete the capability set BASELINE.json's north star mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.joins import asof_join
+from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
+
+# ---------------------------------------------------------------- as-of join
+
+
+@register(
+    "join_asof",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT p.event_id, p.user_id,
+             v.event_id AS asof_event_id, v.value AS asof_value,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT event_id, user_id, asof_event_id, asof_value FROM j WHERE rn = 1
+    """,
+    tags=("join", "timeseries"),
+)
+def join_asof(spark, sf_dir):
+    """Backward as-of join: each purchase event gets the user's latest view
+    event at-or-before it.
+
+    Scale: union + ordered window = ONE shuffle on user_id; no range-join
+    candidate explosion (the oracle's LEFT JOIN + row_number formulation is
+    the quadratic plan we specifically avoid). State per key is one carried
+    payload — safe at any per-user event volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "value"],
+        tie_break="event_id",
+    )
+    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
+# ---------------------------------------------------------------- cross join
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    # BroadcastNestedLoopJoin — correct only because both sides are tiny
+    # dims; the engine never cross-joins fact tables.
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------- rollup
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    # Hierarchical grouping sets; Expand ×3 then partial agg (same cost
+    # model as CUBE but one fewer grouping set).
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------- windows: lead / ntile
+
+
+@register(
+    "window_lead_ntile",
+    """
+    SELECT o_orderkey, o_custkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           ntile(4) OVER w AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_lead_ntile(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+# ---------------------------------------------------------------- map functions
+
+
+@register(
+    "func_map",
+    """
+    SELECT l_orderkey, l_linenumber,
+           2 AS n_keys,
+           CAST(l_extendedprice AS DOUBLE) AS price_val,
+           CAST(l_quantity AS DOUBLE) AS qty_val
+    FROM lineitem
+    """,
+    tags=("function", "map"),
+)
+def func_map(spark, sf_dir):
+    """Map surface (SURVEY.md §2.9): create_map → map_keys/element_at round
+    trip, projected back to scalars so the oracle needs no map type."""
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice").cast("double"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.lit("price")).alias("price_val"),
+        F.element_at(m, F.lit("qty")).alias("qty_val"),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H flagships
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+
+
+def _revenue_col():
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(18,6)")
+
+
+@register(
+    "tpch_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {dsum_sql(_REVENUE_SQL, 6)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): selective dim filter → two fact joins →
+    agg → top-k.
+
+    Scale: the mktsegment filter makes customer broadcast-able (AQE converts
+    at runtime via size stats); orders⋈lineitem shuffles on orderkey; the
+    final top-10 is TakeOrderedAndProject (per-partition heaps, no global
+    sort). Predicates push to all three parquet scans.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    f"""
+    SELECT n.n_name, {dsum_sql(_REVENUE_SQL, 6)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): six-table join, region-filtered.
+
+    Scale: region/nation/supplier broadcast (tiny); customer⋈orders and
+    ⋈lineitem shuffle on their keys; Catalyst reorders the join tree under
+    CBO/AQE. The c_nationkey = s_nationkey residual rides the supplier join.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+    )

@@ -134,3 +134,29 @@ def test_multimodal_decode_stubs_raise():
         MM.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         MM.decode_audio(b"RIFF")
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right row at-or-before each left row, per key;
+    inclusive on ties; null when nothing precedes."""
+    from database_anonymiser_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (2, 6, 102), (1, 10, 99)],
+        "k long, t long, rid long",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        right_payload=["rid"], tie_break="rid",
+    )
+    got = {(r["k"], r["t"]): r["asof_rid"] for r in out.collect()}
+    assert got == {
+        (1, 10): 100,  # inclusive <=; tie at t=10 resolves to max rid
+        (1, 20): 101,  # latest preceding
+        (2, 5): None,  # right row at t=6 is later -> no match
+        (3, 7): None,  # key absent on right
+    }
