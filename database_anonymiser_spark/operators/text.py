@@ -103,3 +103,36 @@ def fingerprint_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TF-IDF with a rational idf (n_docs / doc_freq, no logarithm).
+
+    ln() is deliberately avoided: libm vs JVM transcendentals differ in the
+    last ulp, which would break cross-engine value-hash checks; the rational
+    idf preserves the ranking property (rarer term → larger weight) with only
+    exact integer divisions. Shape: one explode (linear in tokens), two hash
+    aggregations, one broadcast of the per-term doc-frequency table — no
+    driver-side collect, so the construction holds at any corpus size.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf_raw = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_count"))
+    doc_len = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    doc_freq = tf_raw.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf_raw.join(doc_len, id_col)
+        .join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "term_count",
+            "doc_freq",
+            F.round(
+                (F.col("term_count") / F.col("doc_len"))
+                * (F.col("n_docs") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

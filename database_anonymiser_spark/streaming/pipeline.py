@@ -120,3 +120,34 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "ap
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def user_running_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted per micro-batch in update mode.
+
+    This is the escape hatch for stateful logic the built-in windowed aggs
+    can't express (custom eviction, per-key models). State is one small tuple
+    per user — O(distinct keys), independent of event volume; Arrow batches
+    keep the Python crossing vectorised.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -98,3 +98,32 @@ def text_langid(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return TX.fingerprint_text(docs, "doc_id", "text")
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf_raw AS (
+      SELECT doc_id, term, count(*) AS term_count FROM tok GROUP BY 1, 2
+    ),
+    doc_len AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+    doc_freq AS (SELECT term, count(*) AS doc_freq FROM tf_raw GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.term_count, f.doc_freq,
+           round((t.term_count / l.doc_len) * (n.n_docs / f.doc_freq), 6) AS tfidf
+    FROM tf_raw t
+    JOIN doc_len l ON t.doc_id = l.doc_id
+    JOIN doc_freq f ON t.term = f.term
+    CROSS JOIN n
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark, sf_dir):
+    from database_anonymiser_spark.operators.text import tfidf
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf(docs, "doc_id", "text")

@@ -63,3 +63,26 @@ def test_masked_stream_is_stateless_projection(spark, events_path):
     row = got.limit(1).collect()[0]
     assert len(row["props"]) == 32  # md5 hex
     assert got.count() > 0
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_dir, events_path):
+    """applyInPandasWithState running totals: final state after one bounded
+    run equals the batch groupBy."""
+    from database_anonymiser_spark.streaming.pipeline import user_running_stats_stream
+
+    stream = user_running_stats_stream(stream_events(spark, events_path))
+    got = run_to_memory(spark, stream, "t_stateful", mode="update")
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    b = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(g) == set(b)
+    for uid in b:
+        assert g[uid][0] == b[uid][0], f"count mismatch for user {uid}"
+        assert abs(g[uid][1] - b[uid][1]) < 1e-6, f"sum mismatch for user {uid}"
