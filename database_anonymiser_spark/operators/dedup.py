@@ -51,26 +51,34 @@ def tokens(text_col) -> F.Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles: (id, shingle).
+def shingle_array(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc array of DISTINCT word n-gram shingles: (id, shingle_arr).
 
-    Built as a pure array expression — ``transform(sequence(...), i ->
-    array_join(slice(tokens, i, n), ' '))`` then one explode. No join, no
-    shuffle, fully whole-stage-codegen'd; cost is linear in corpus tokens
-    (the earlier inverted-index self-join construction shuffled the token
-    table n-1 times for the same output).
+    A pure array expression — ``array_distinct(transform(sequence(...), i ->
+    array_join(slice(tokens, i, n), ' ')))``. No join, no shuffle, fully
+    whole-stage-codegen'd; cost is linear in corpus tokens. Keeping the
+    set-per-doc in an array makes downstream set ops (MinHash mins, shingle
+    counts) map-side too.
     """
     tok_df = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     # sequence(1, k) is DESCENDING when k < 1, so guard short docs explicitly
-    shingle_arr = F.when(
+    arr = F.when(
         F.size("_t") >= n,
         F.expr(
             f"transform(sequence(1, size(_t) - {n - 1}), i -> array_join(slice(_t, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tok_df.select(
-        F.col(id_col), F.explode(shingle_arr).alias("shingle")
-    ).distinct()
+    return tok_df.select(F.col(id_col), F.array_distinct(arr).alias("shingle_arr"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle) — exploded form of
+    :func:`shingle_array`. Already distinct per doc with NO shuffle (the
+    earlier ``.distinct()`` paid a full exchange for what ``array_distinct``
+    does in the map stage)."""
+    return shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingle_arr").alias("shingle")
+    )
 
 
 def shingle_hash() -> F.Column:
@@ -117,8 +125,10 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
     (double ratio of exact integer counts — engine-deterministic).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sh_arr = shingle_array(df, id_col, text_col, n).cache()
+    sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
+    # set sizes read off the array — map-side, no counting shuffle
+    sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
@@ -147,6 +157,8 @@ def minhash_signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     """k-function MinHash signature from a (id, shingle) DataFrame.
 
     One groupBy computes all k mins — a single shuffle on the doc id.
+    (Prefer :func:`minhash_signatures_from_array` when the per-doc shingle
+    array is available: it computes the same mins with NO shuffle.)
     """
     hx = sh.withColumn("x", shingle_hash())
     aggs = [
@@ -156,11 +168,34 @@ def minhash_signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     return hx.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_from_array(sh_arr: DataFrame, id_col: str) -> DataFrame:
+    """k-function MinHash signature from (id, shingle_arr) — entirely
+    map-side: per-row ``array_min(transform(...))``, no explode, no shuffle.
+    Empty shingle arrays yield null signatures (doc shorter than n tokens).
+    """
+    # materialize the md5-derived hash array ONCE, then take k cheap mins —
+    # inlining it into each array_min would recompute the md5 pass k times
+    hashed = sh_arr.select(
+        F.col(id_col),
+        F.expr(
+            "transform(shingle_arr, s -> "
+            f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MERSENNE_P}L)"
+        ).alias("_hx"),
+    )
+    cols = [F.col(id_col)]
+    for i, (a, b) in enumerate(HASH_FAMILY):
+        cols.append(
+            F.expr(f"array_min(transform(_hx, x -> (x * {a}L + {b}L) % {MERSENNE_P}L))")
+            .alias(f"mh_{i}")
+        )
+    return hashed.select(*cols)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """k-function MinHash signature per document (k = len(HASH_FAMILY))."""
-    return minhash_signatures_from_shingles(shingles(df, id_col, text_col, n), id_col)
+    return minhash_signatures_from_array(shingle_array(df, id_col, text_col, n), id_col)
 
 
 def minhash_lsh_pairs(
@@ -180,8 +215,9 @@ def minhash_lsh_pairs(
     which is the property that makes it the 100 TB path (candidate count
     scales with collisions, not with |docs|²).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
-    sig = minhash_signatures_from_shingles(sh, id_col)
+    sh_arr = shingle_array(df, id_col, text_col, n).cache()
+    sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
+    sig = minhash_signatures_from_array(sh_arr, id_col)
     k = len(HASH_FAMILY)
     # one row per (doc, band) via an inline array — no union of k/r DataFrames
     band_structs = []
@@ -205,7 +241,7 @@ def minhash_lsh_pairs(
     # shingle count joins through the candidate list instead of self-joining
     # the full inverted index (cost ∝ candidates × shingles-per-doc, not
     # |docs|² — the property that makes this the 100 TB path).
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
