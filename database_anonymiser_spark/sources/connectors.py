@@ -138,3 +138,29 @@ def jdbc_reader(
             "through one task; pass partition_column/lower_bound/upper_bound"
         )
     return reader.load()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_cols`` (optionally sorted
+    within buckets) as a catalog table.
+
+    Bucketing pre-pays a join/agg shuffle at write time: two tables bucketed
+    on the same keys with the same bucket count sort-merge-join with ZERO
+    exchange (tests/test_plans.py pins this). This is THE co-location tool
+    for repeated fact-fact joins at 100 TB — the shuffle happens once per
+    ingest instead of once per query.
+    """
+    writer = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -262,3 +262,57 @@ def tpch_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------- skew-salted join
+
+
+@register(
+    "join_salted",
+    f"""
+    SELECT s.s_name, count(*) AS n_items, {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("join", "skew"),
+)
+def join_salted(spark, sf_dir):
+    """Salted equi-join (hot-key spreading): result must equal the plain
+    join — the oracle IS the plain join. Salt is a deterministic row hash,
+    so speculative/retried tasks salt identically."""
+    from database_anonymiser_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, s, on="l_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------- percentiles
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark, sf_dir):
+    # Exact interpolated percentile (both engines: linear interpolation over
+    # the sorted values). The 100 TB variant is approx_percentile (KLL/GK
+    # sketch) — declared rows-only in agg_approx_distinct's family.
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
