@@ -113,3 +113,90 @@ def binary_meta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("digest"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: decode → resample → re-encode, one
+    Arrow crossing per batch, partition-local (zero shuffle).
+
+    The resample kernel is the deterministic fake (#_fake_decode_features's
+    dims + a digest-derived pixel buffer sized w*h*3); swap in PIL's
+    ``Image.resize`` when imaging libs exist — signatures and batch shape
+    are identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf_len = target_w * target_h * 3
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                data = data if data is not None else b""
+                digest = hashlib.md5(data).digest()
+                ow = 64 + digest[0] % 192
+                oh = 64 + digest[1] % 192
+                fake_pixels = (digest * (buf_len // len(digest) + 1))[:buf_len]
+                rows.append((int(doc_id), fake_pixels, ow, oh, target_w, target_h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "orig_width", "orig_height", "width", "height"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling plumbing: one video payload row → ``n_frames`` frame
+    rows (the 1→N mapInPandas shape a real ffmpeg frame sampler has).
+
+    The fake kernel slices the payload into equal chunks standing in for
+    decoded frames; a real sampler seeks keyframes instead. Output rows
+    stay on the producing partition — downstream per-frame transforms
+    (resize, embed) chain shuffle-free.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                data = data if data is not None else b""
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    rows.append((int(doc_id), i, chunk, len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_payload", "frame_bytes"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -150,3 +150,76 @@ def lsh_bucket_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _dot_lit(vec_col, centroid: list[float]) -> F.Column:
+    """Cheap double dot against a literal centroid (assignment only — the
+    final ranking always re-scores with the exact-decimal cosine)."""
+    plane = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer + probed list search.
+
+    Codebook: the ``n_centroids`` lowest-id vectors (deterministic,
+    training-free — a k-means codebook drops in without changing the plan).
+    The codebook is collected to the driver (K rows — the one legitimate
+    collect: it IS the model) and inlined as literals, so list assignment is
+    a map-side argmax with NO shuffle and no join. Query probes the
+    ``n_probe`` nearest lists; exact-decimal cosine re-ranks only those
+    lists' members — per-query work is ~n_probe/n_centroids of the corpus,
+    the property that makes IVF the interactive-lookup path at 100 TB.
+    """
+    cent_rows = (
+        df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    def argmax_cid(vec) -> F.Column:
+        # array_max over (dot, cid) structs: each centroid dot is computed
+        # exactly once (a when-chain would double the expression tree per
+        # step — exponential in n_centroids)
+        scored = F.array(
+            *[
+                F.struct(_dot_lit(vec, cv).alias("d"), F.lit(cid).alias("c"))
+                for cid, cv in centroids
+            ]
+        )
+        return F.array_max(scored)["c"]
+
+    assigned = df.withColumn("_cid", argmax_cid(F.col(vec_col)))
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return assigned.limit(0).select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        )
+    qvec = [float(x) for x in qrow[0][0]]
+    probe = sorted(
+        centroids,
+        key=lambda c: -sum(a * b for a, b in zip(c[1], qvec)),
+    )[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")
+    return (
+        assigned.where(F.col("_cid").isin(probe_ids))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -32,3 +32,35 @@ def mm_extract_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     payloads = MM.attach_binary_payload(docs, "doc_id", "text")
     return MM.extract_features(payloads, "doc_id", "payload")
+
+
+@register(
+    "mm_resize_meta",
+    """
+    SELECT doc_id,
+           CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 192 AS INTEGER) AS orig_width,
+           CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 192 AS INTEGER) AS orig_height,
+           CAST(224 AS INTEGER) AS width,
+           CAST(224 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_resize_meta(spark, sf_dir):
+    """Resize metadata (dims only, payload pruned): the fake decoder derives
+    dims from the md5 digest's first two bytes, which the oracle reproduces
+    with hex arithmetic — so even the mapInPandas path is value-hash checked."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
+    resized = MM.resize_payloads(payloads, "doc_id", "payload", 224, 224)
+    return resized.select("doc_id", "orig_width", "orig_height", "width", "height")
+
+
+@register("mm_frame_sample", None, tags=("multimodal",))
+def mm_frame_sample(spark, sf_dir):
+    """1→N frame sampling (binary output — rows-only; per-frame counts and
+    sizes are pinned in tests/test_suite_ops.py)."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
+    frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_bytes")

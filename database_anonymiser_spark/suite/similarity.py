@@ -90,3 +90,11 @@ def sim_topk_lsh(spark, sf_dir):
     vs brute force is pinned in tests/test_suite_ops.py)."""
     emb = load(spark, sf_dir, "embeddings")
     return SIM.lsh_bucket_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
+
+
+@register("sim_topk_ivf", None, tags=("similarity", "approx"))
+def sim_topk_ivf(spark, sf_dir):
+    """IVF-style probed-list ANN (approximate → rows-only oracle; recall vs
+    brute force is pinned in tests/test_suite_ops.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)

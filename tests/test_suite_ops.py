@@ -160,3 +160,54 @@ def test_asof_join_semantics(spark):
         (2, 5): None,  # right row at t=6 is later -> no match
         (3, 7): None,  # key absent on right
     }
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    """1→N frame sampling: every doc yields exactly n_frames rows whose
+    byte counts sum to ~the payload length (chunked evenly)."""
+    from database_anonymiser_spark.operators import multimodal as MM
+    from database_anonymiser_spark.suite.base import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
+    frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("frame_bytes").alias("total")
+    )
+    bad = per_doc.where(F.col("n") != 4).count()
+    assert bad == 0
+    joined = per_doc.join(payloads.select("doc_id", "n_bytes"), "doc_id")
+    # chunking drops at most n_frames-1 tail bytes
+    off = joined.where(
+        (F.col("total") > F.col("n_bytes")) | (F.col("total") < F.col("n_bytes") - 4)
+    ).count()
+    assert off == 0
+
+
+def test_resize_payload_buffer(spark, sf_dir):
+    """Resized payload is exactly w*h*3 bytes (the decoded-buffer contract a
+    real resampler must also meet)."""
+    from database_anonymiser_spark.operators import multimodal as MM
+    from database_anonymiser_spark.suite.base import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
+    resized = MM.resize_payloads(payloads, "doc_id", "payload", 32, 16)
+    bad = resized.where(F.length("payload") != 32 * 16 * 3).count()
+    assert bad == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with n_probe=4/16 must recover a reasonable share of the exact
+    top-10 (deterministic codebook → deterministic recall)."""
+    from database_anonymiser_spark.operators import similarity as SIM
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, "vec_id", "embedding", 0, 10).collect()}
+    approx = {r["vec_id"] for r in SIM.ivf_topk(emb, "vec_id", "embedding", 0, 10).collect()}
+    assert len(approx) == 10
+    recall = len(exact & approx) / 10
+    assert recall >= 0.2, f"recall {recall} collapsed — bucketing broken"
