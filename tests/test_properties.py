@@ -1,0 +1,68 @@
+"""Property-based tests (SURVEY.md §5.4): masking invariants over
+hypothesis-generated inputs — idempotence, determinism, length bounds, null
+handling. Few examples with batched values: one Spark job per example, not
+per value."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.strategies import (
+    email_fake,
+    hash_md5,
+    redact,
+    truncate,
+)
+
+TEXT = st.text(min_size=0, max_size=64)
+FAST = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _apply(spark, values, expr_fn):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(expr_fn(F.col("v")).alias("o")).collect()]
+
+
+@given(vals=st.lists(TEXT, min_size=1, max_size=30))
+@FAST
+def test_masking_idempotent_and_deterministic(spark, vals):
+    for fn in (redact, hash_md5, email_fake):
+        once = _apply(spark, vals, fn)
+        twice = _apply(spark, once, fn)
+        again = _apply(spark, vals, fn)
+        assert once == again  # deterministic
+        if fn is redact:
+            assert twice == once  # idempotent (fixed point)
+
+
+@given(vals=st.lists(TEXT, min_size=1, max_size=30), n=st.integers(1, 16))
+@FAST
+def test_truncate_length_bound(spark, vals, n):
+    out = _apply(spark, vals, lambda c: truncate(c, n))
+    for v, o in zip(vals, out):
+        assert o is not None  # null-coalesced to ''
+        assert len(o) <= n
+        assert o == v[:n]
+
+
+@given(vals=st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=30))
+@FAST
+def test_hash_null_coalesces_to_empty_hash(spark, vals):
+    out = _apply(spark, vals, hash_md5)
+    import hashlib
+
+    for v, o in zip(vals, out):
+        expected = hashlib.md5((v or "").encode()).hexdigest()
+        assert o == expected
+
+
+@given(vals=st.lists(TEXT, min_size=1, max_size=30))
+@FAST
+def test_email_fake_shape(spark, vals):
+    out = _apply(spark, vals, email_fake)
+    for o in out:
+        assert o.endswith("@example.com") and len(o) == 32 + len("@example.com")
