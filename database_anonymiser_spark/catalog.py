@@ -22,20 +22,27 @@ from pyspark.sql import types as T
 from database_anonymiser_spark.types import group_for_field
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — unreadable by Spark natively."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — unreadable by Spark
+    natively. Cached per path (immutable tuple): footers don't change for a
+    given fixture path, and every load() would otherwise pay a pyarrow
+    footer read."""
     try:
         import pyarrow.dataset as ds
         import pyarrow as pa
 
         schema = ds.dataset(path, format="parquet").schema
-        return [
+        return tuple(
             f.name
             for f in schema
             if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
-        ]
+        )
     except Exception:
-        return []
+        return ()
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

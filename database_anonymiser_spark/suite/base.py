@@ -29,12 +29,22 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with the engine's parquet repairs.
 
     Sets the session confs the suite depends on (runtime-settable SQL confs) —
-    the driver may hand us a session built without them.
+    the driver may hand us a session built without them. The resulting
+    DataFrame (an immutable logical plan) is cached per (session, path):
+    repeated loads across the suite skip Spark's file-listing + footer
+    schema-inference round trip.
     """
+    key = (id(spark), sf_dir, table)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -42,7 +52,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         pass
     from database_anonymiser_spark.catalog import read_parquet_table
 
-    return read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
+    df = read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
+    _DF_CACHE[key] = df
+    return df
 
 
 def dsum(col: str | Column, scale: int = 2) -> Column:
