@@ -316,3 +316,32 @@ def agg_percentile(spark, sf_dir):
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------- SQL front door
+
+
+_CTE_SQL = """
+    WITH big_spenders AS (
+      SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, b.spend
+    FROM customer c
+    JOIN big_spenders b ON b.o_custkey = c.c_custkey
+    WHERE b.spend > (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 2
+                     FROM orders)
+      AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@register("sql_cte_scalar", _CTE_SQL, tags=("sql",))
+def sql_cte_scalar(spark, sf_dir):
+    """The SQL front door: the engine accepts full ANSI SQL (CTE + scalar
+    subquery + correlated EXISTS) over registered views — the oracle IS the
+    same SQL text, proving spark.sql and the DataFrame API share one
+    Catalyst surface. Scalar subquery executes once (one-row broadcast);
+    EXISTS compiles to left-semi."""
+    for t in ("customer", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CTE_SQL)

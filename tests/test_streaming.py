@@ -86,3 +86,28 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir, events_path):
     for uid in b:
         assert g[uid][0] == b[uid][0], f"count mismatch for user {uid}"
         assert abs(g[uid][1] - b[uid][1]) < 1e-6, f"sum mismatch for user {uid}"
+
+
+def test_checkpoint_exactly_once_restart(spark, events_path, tmp_path):
+    """Restarting a checkpointed file-sink query must not duplicate output:
+    the second availableNow run finds no new input and writes nothing."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            masked_stream(stream_events(spark, events_path))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart from checkpoint: no new files -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1

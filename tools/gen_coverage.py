@@ -1,0 +1,76 @@
+"""Regenerate COVERAGE.md from the live query registry.
+
+Fails if any registered query is uncategorised (or vice versa), so the doc
+can't silently drift from the code. Run: python tools/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_anonymiser_spark.suite import all_queries  # noqa: E402
+
+CATEGORIES = [
+    ("Scans / sources / sinks (§2.1)", ["schema_scan", "sample_limit", "sample_notnull", "plan_filter"]),
+    ("Masking strategies T1-T7 (§2.3)", ["mask_keep", "mask_set_null", "mask_redact", "mask_hash", "mask_truncate", "mask_email_fake", "mask_sample_preview", "anonymise_customer"]),
+    ("Aggregations (§2.4)", ["count_rows", "count_total", "agg_group", "agg_distinct", "agg_cube", "agg_rollup", "agg_percentile", "agg_approx_distinct"]),
+    ("Joins (§2.5)", ["join_broadcast", "join_sortmerge", "join_outer", "join_semi", "join_anti", "join_range", "join_cross", "join_asof", "join_salted"]),
+    ("Window functions (§2.6)", ["window_rank", "window_running_sum", "window_lag", "window_lead_ntile"]),
+    ("Sorts / top-k (§2.7)", ["topk_orders"]),
+    ("Set operations (§2.8)", ["setop_union", "setop_intersect", "setop_except"]),
+    ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math", "func_array", "func_map", "func_json", "func_json_struct"]),
+    ("Streaming (§2.10)", ["stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late_drop"]),
+    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q3", "tpch_q5"]),
+    ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
+    ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf"]),
+    ("Text analysis (LLM-pipeline)", ["text_tokens", "text_quality", "text_langid", "text_fingerprint", "text_tfidf"]),
+    ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features", "mm_resize_meta", "mm_frame_sample"]),
+]
+
+HEADER = """# COVERAGE — SURVEY.md §2 operator inventory → declared queries
+
+Every row is a `__spark_entry__.py::queries()` entry. **oracle** = full
+row-count + schema + value-hash check vs DuckDB at sf0.01; **rows-only** =
+driver's weaker check (genuinely non-SQL-expressible: sketches with
+engine-internal state, mapInPandas binary plumbing, catalog introspection,
+streaming-only semantics) — each has its values pinned by a unit test
+instead. Non-query surfaces (config/planner/preflight/executor pipeline,
+CLI, sources/ connectors, streaming runtime, bucketing, skew salting) are
+covered by tests/ (pytest) and tests/test_plans.py (physical-plan
+assertions).
+"""
+
+
+def main():
+    qs = all_queries()
+    listed = {n for _, ns in CATEGORIES for n in ns}
+    missing = set(qs) - listed
+    extra = listed - set(qs)
+    assert not missing, f"uncategorised queries: {sorted(missing)}"
+    assert not extra, f"categorised but unregistered: {sorted(extra)}"
+    lines = [HEADER]
+    for cat, names in CATEGORIES:
+        lines.append(f"## {cat}\n")
+        lines.append("| query | check | tags |")
+        lines.append("|---|---|---|")
+        for n in names:
+            spec = qs[n]
+            check = "oracle" if spec.oracle else "rows-only"
+            lines.append(f"| `{n}` | {check} | {', '.join(spec.tags)} |")
+        lines.append("")
+    n_oracle = sum(1 for s in qs.values() if s.oracle)
+    lines.append(
+        f"**Total: {len(qs)} queries — {n_oracle} oracle-checked, "
+        f"{len(qs) - n_oracle} rows-only.**"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"COVERAGE.md: {len(qs)} queries, {n_oracle} oracle-checked")
+
+
+if __name__ == "__main__":
+    main()
