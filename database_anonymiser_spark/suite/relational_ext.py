@@ -345,3 +345,111 @@ def sql_cte_scalar(spark, sf_dir):
     for t in ("customer", "orders", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CTE_SQL)
+
+
+@register(
+    "tpch_q6",
+    f"""
+    SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))', 6)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("flagship", "agg"),
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): pure filter + global agg — the
+    query where predicate pushdown IS the plan. All four predicates reach
+    the parquet scan; the aggregation is a single partial/final pair over
+    the surviving rows."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,4)")
+    ).cast("decimal(18,6)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q18",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey, {dsum_sql('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING {dsum_sql('l.l_quantity')} > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): join → agg → HAVING →
+    top-k. The HAVING filter runs post-aggregation on the reduced group
+    set; the final 20 rows come from per-partition heaps."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- applyInPandas
+
+
+@register(
+    "pandas_grouped_norm",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN mx = mn THEN 0.5
+                      ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS price_norm
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    )
+    """,
+    tags=("udf", "pandas"),
+)
+def pandas_grouped_norm(spark, sf_dir):
+    """applyInPandas grouped transform (SURVEY.md §2.11 UDF surface):
+    per-customer min-max normalisation — min/max are order-independent (no
+    stddev: Welford accumulation is partition-order dependent and would
+    break cross-engine hashing), so even the Python path is value-hash
+    checked. One shuffle on the grouping key, Arrow both ways."""
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        rng = mx - mn
+        out = pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_norm": ((pdf["o_totalprice"] - mn) / rng if rng != 0 else 0.5),
+            }
+        )
+        out["price_norm"] = out["price_norm"].round(6)
+        return out
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        norm, "o_orderkey long, o_custkey long, price_norm double"
+    )
