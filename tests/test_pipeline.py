@@ -145,3 +145,44 @@ def test_config_gen_roundtrip(catalog, tmp_path):
 def test_mask_sample_value():
     assert mask_sample_value("short") == "***"
     assert mask_sample_value("longer than six") == "lo***ix"
+
+
+def test_anonymise_events_mixed_type_groups(catalog, spark, tmp_path):
+    """Events exercises the awkward type groups through the executor in one
+    apply: ns-timestamp DATE (kept), props (JSON content but StringType in
+    parquet → STRING group, so HASH applies — SURVEY §1.2: Spark has no JSON
+    type), NUMBER value (SET_NULL), STRING event_type (REDACT)."""
+    cfg = config_from_dict(
+        {
+            "version": 1,
+            "reviewed": True,
+            "scope": {"schema": "public", "denylist": []},
+            "column_strategy": {},
+            "rules": [
+                {
+                    "table": "public.events",
+                    "enabled": True,
+                    "columns": [
+                        {"name": "event_id"},
+                        {"name": "ts"},
+                        {"name": "event_type", "strategy": "REDACT"},
+                        {"name": "value", "strategy": "SET_NULL"},
+                        {"name": "props", "strategy": "HASH_SHA256"},
+                    ],
+                }
+            ],
+        }
+    )
+    plan = build_plan(cfg)
+    res = execute_plan(catalog, plan, dryrun=False, output_root=tmp_path, force=True)
+    tr = res.tables[0]
+    assert tr.error is None and tr.rows == 1000
+    # props is StringType (STRING group) → HASH applies, no downgrade
+    assert not tr.downgrades
+    out = spark.read.parquet(str(tmp_path / "events.parquet"))
+    row = out.orderBy("event_id").limit(1).collect()[0]
+    assert row["event_type"] == "***"
+    assert row["value"] is None
+    assert len(row["props"]) == 32  # md5 hex of the JSON payload
+    # timestamps survive the round trip in their repaired ntz form
+    assert str(out.schema["ts"].dataType) in ("TimestampNTZType()", "TimestampType()")
