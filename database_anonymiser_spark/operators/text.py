@@ -47,25 +47,41 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _micro_half_up(num, den):
+    """Exact round-half-up of num/den in 1e-6 units, pure BIGINT arithmetic.
+
+    floor((2*num*1e6 + den) / (2*den)) — ties land on exact integers, and the
+    double quotient of two <2^53 longs whose true value is an integer IS that
+    integer, so floor() is exact. Avoids float round(), whose half-boundary
+    behaviour differs between engines (Spark BigDecimal HALF_UP vs DuckDB
+    double rounding) and caused 1-in-1000 value-hash mismatches."""
+    return F.floor((2 * num * F.lit(1000000) + den) / (2 * den)).cast("long")
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Quality heuristics: length, punctuation ratio, stopword ratio, and a
-    linear quality score (pure +,*,/ on exact integer counts → deterministic)."""
+    linear quality score. All rounding is exact integer half-up in 1e-6 units;
+    the only float op is one final division by a constant (identical IEEE
+    result in any engine), so the output is bit-deterministic."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
     n_tokens = F.size(tokens(text_col)).cast("long")
     n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("long")
     n_stop = F.regexp_count(t, F.lit(STOPWORD_PATTERN)).cast("long")
-    punct_ratio = F.round(n_punct / n_chars, 6)
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    avg_token_len = F.round(
-        F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    punct_micro = _micro_half_up(n_punct, n_chars)
+    stop_micro = _micro_half_up(n_stop, n_tokens)
+    punct_ratio = punct_micro / F.lit(1000000.0)
+    stop_ratio = stop_micro / F.lit(1000000.0)
+    avg_token_len = _micro_half_up(n_nonspace, n_tokens) / F.lit(1000000.0)
+    # score = min(tokens/100,1)*0.5 + (1-punct_ratio)*0.25 + min(5*stop_ratio,1)*0.25
+    # in quarter-micro units: exact integers, then one exact-constant division.
+    score_q = (
+        2 * F.least(n_tokens * F.lit(10000), F.lit(1000000))
+        + (F.lit(1000000) - punct_micro)
+        + F.least(stop_micro * F.lit(5), F.lit(1000000))
     )
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
-        + (F.lit(1.0) - punct_ratio) * F.lit(0.25)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.25),
-        6,
-    )
+    score = score_q / F.lit(4000000.0)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),

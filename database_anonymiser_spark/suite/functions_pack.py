@@ -98,7 +98,7 @@ def func_math(spark, sf_dir):
     SELECT vec_id,
            len(embedding) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_component,
-           round(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS DOUBLE), 4) AS component_sum,
+           CAST(round(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))), 4) AS DOUBLE) AS component_sum,
            CAST(list_max(embedding) AS DOUBLE) AS component_max
     FROM embeddings
     """,
@@ -106,18 +106,21 @@ def func_math(spark, sf_dir):
 )
 def func_array(spark, sf_dir):
     # aggregate() folds left-to-right — order-deterministic; summing in
-    # decimal keeps it engine-exact (same rationale as base.dsum).
+    # decimal keeps it engine-exact (same rationale as base.dsum). Round in
+    # DECIMAL space (exact half-away-from-zero in both Spark and DuckDB)
+    # BEFORE the double cast — round() on a double differs between engines
+    # at half boundaries.
     e = load(spark, sf_dir, "embeddings")
     comp_sum = F.aggregate(
         "embedding",
         F.lit(0).cast("decimal(28,6)"),
         lambda acc, x: (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"),
-    ).cast("double")
+    )
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_component"),
-        F.round(comp_sum, 4).alias("component_sum"),
+        F.round(comp_sum, 4).cast("double").alias("component_sum"),
         F.array_max("embedding").cast("double").alias("component_max"),
     )
 

@@ -35,15 +35,18 @@ def text_tokens(spark, sf_dir):
       FROM documents
     ), r AS (
       SELECT doc_id, n_chars, n_tokens,
-             round(n_punct / n_chars, 6) AS punct_ratio,
-             round(n_stop / n_tokens, 6) AS stopword_ratio,
-             round(n_nonspace / n_tokens, 6) AS avg_token_len
+             (2 * n_punct * 1000000 + n_chars) // (2 * n_chars) AS punct_micro,
+             (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens) AS stop_micro,
+             (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens) AS avglen_micro
       FROM m
     )
-    SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
-           round(least(n_tokens / 100.0, 1.0) * 0.5
-                 + (1.0 - punct_ratio) * 0.25
-                 + least(stopword_ratio * 5.0, 1.0) * 0.25, 6) AS quality_score
+    SELECT doc_id, n_chars, n_tokens,
+           punct_micro / 1000000.0 AS punct_ratio,
+           stop_micro / 1000000.0 AS stopword_ratio,
+           avglen_micro / 1000000.0 AS avg_token_len,
+           (2 * least(n_tokens * 10000, 1000000)
+            + (1000000 - punct_micro)
+            + least(stop_micro * 5, 1000000)) / 4000000.0 AS quality_score
     FROM r
     """,
     tags=("text",),
