@@ -17,6 +17,7 @@ from database_anonymiser_spark.suite import (  # noqa: F401,E402
     multimodal,
     relational,
     relational_ext,
+    relational_more,
     similarity,
     streaming_batch,
     text,

@@ -16,14 +16,14 @@ from database_anonymiser_spark.suite import all_queries  # noqa: E402
 CATEGORIES = [
     ("Scans / sources / sinks (§2.1)", ["schema_scan", "sample_limit", "sample_notnull", "plan_filter"]),
     ("Masking strategies T1-T7 (§2.3)", ["mask_keep", "mask_set_null", "mask_redact", "mask_hash", "mask_truncate", "mask_email_fake", "mask_sample_preview", "anonymise_customer"]),
-    ("Aggregations (§2.4)", ["count_rows", "count_total", "agg_group", "agg_distinct", "agg_cube", "agg_rollup", "agg_percentile", "agg_approx_distinct"]),
+    ("Aggregations (§2.4)", ["count_rows", "count_total", "agg_group", "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets", "agg_pivot", "agg_percentile", "agg_approx_distinct"]),
     ("Joins (§2.5)", ["join_broadcast", "join_sortmerge", "join_outer", "join_semi", "join_anti", "join_range", "join_cross", "join_asof", "join_salted"]),
-    ("Window functions (§2.6)", ["window_rank", "window_running_sum", "window_lag", "window_lead_ntile"]),
+    ("Window functions (§2.6)", ["window_rank", "window_running_sum", "window_lag", "window_lead_ntile", "window_range_frame"]),
     ("Sorts / top-k (§2.7)", ["topk_orders"]),
     ("Set operations (§2.8)", ["setop_union", "setop_intersect", "setop_except"]),
-    ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math", "func_array", "func_map", "func_json", "func_json_struct"]),
+    ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math", "func_array", "func_map", "func_json", "func_json_struct", "func_null", "func_explode"]),
     ("Streaming (§2.10)", ["stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late_drop"]),
-    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18"]),
+    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18"]),
     ("UDF surface (§2.11)", ["pandas_grouped_norm"]),
     ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
     ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf"]),
