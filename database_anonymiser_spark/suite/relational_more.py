@@ -216,3 +216,82 @@ def func_null(spark, sf_dir):
         F.nvl2(disc_null, F.lit("discounted"), F.lit("full price")).alias("disc_label"),
         F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.0)).alias("tax_or_zero"),
     )
+
+
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS as a
+    left-semi join, then a small group-count. (The fixture lineitem has no
+    l_commitdate/l_receiptdate — TESTDATA.md — so the EXISTS predicate is
+    l_discount > 0.05 on the same tables; the plan shape is identical.)
+
+    Scale: the date filter prunes orders at the scan; the semi join shuffles
+    only (l_orderkey) pairs — lineitem is projected to one column and
+    deduplicated by the semi join itself, never materialised wide.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q14",
+    f"""
+    SELECT 100.00 * {dsum_sql("CASE WHEN p_type LIKE 'ECONOMY%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END", 6)}
+           / {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))', 6)} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue): conditional-ratio aggregation over a
+    fact-dim join. (Fixture p_type has no 'PROMO%' values — the promo class
+    is 'ECONOMY%'; same LIKE-prefix predicate shape.)
+
+    Scale: part is the small side — broadcast, so the month of lineitem never
+    shuffles; both sums run in exact decimal and the single ratio division is
+    one IEEE op, identical in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type").like("ECONOMY%"), disc), 6)
+                / dsum(disc, 6)
+            ).alias("promo_revenue")
+        )
+    )

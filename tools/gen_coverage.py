@@ -23,7 +23,7 @@ CATEGORIES = [
     ("Set operations (§2.8)", ["setop_union", "setop_intersect", "setop_except"]),
     ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math", "func_array", "func_map", "func_json", "func_json_struct", "func_null", "func_explode"]),
     ("Streaming (§2.10)", ["stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late_drop"]),
-    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18"]),
+    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"]),
     ("UDF surface (§2.11)", ["pandas_grouped_norm"]),
     ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
     ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf"]),
