@@ -126,3 +126,21 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
     # correctness: same rows as filtering the unpartitioned table
     assert back.count() == o.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_q14_broadcasts_part_and_pushes_date_filter(spark, sf_dir, queries):
+    """tpch_q14: the dim side broadcasts (the month of lineitem never
+    shuffles for the join) and the shipdate range reaches the parquet scan."""
+    plan = plan_of(queries["tpch_q14"].spark(spark, sf_dir))
+    assert n_ops(plan, "BroadcastExchange") == 1
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q1_is_single_pass_partial_agg(spark, sf_dir, queries):
+    """tpch_q1: one scan, map-side partial aggregation, and exactly one
+    shuffle of ≤4-row partials (plus the final tiny orderBy exchange)."""
+    plan = plan_of(queries["tpch_q1"].spark(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert n_ops(plan, "Scan parquet ") <= 1 or plan.count("Scan parquet") == 1
+    assert n_ops(plan, "Exchange") <= 2  # agg shuffle + rangepartition for sort
