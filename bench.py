@@ -24,8 +24,10 @@ HEADLINE = [
     "join_sortmerge",
     "join_broadcast",
     "join_asof",
+    "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q14",
     "window_rank",
     "topk_orders",
     "stream_session",
