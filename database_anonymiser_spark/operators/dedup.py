@@ -113,22 +113,48 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _apply_max_df(sh: DataFrame, id_col: str, max_df: int):
+    """Hot-shingle skew mitigation: drop shingles appearing in more than
+    ``max_df`` documents (stopword n-grams) from the inverted index.
+
+    The drop-set is tiny by construction (only shingles with df > max_df), so
+    it broadcasts and the filter is a map-side anti join — no extra shuffle on
+    the big side beyond the one df-count. Set sizes must then be re-counted
+    from the filtered index; both sides of the Jaccard use the same filtered
+    sets, so the ratio stays internally consistent.
+    """
+    drop = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(drop), "shingle", "left_anti")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    return kept, sizes
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold, via inverted-index join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
     (double ratio of exact integer counts — engine-deterministic).
+    ``max_df`` (optional) drops shingles shared by more than that many docs —
+    the standard skew guard for the self-join at corpus scale.
     """
     sh_arr = shingle_array(df, id_col, text_col, n).cache()
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # set sizes read off the array — map-side, no counting shuffle
     sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
+    if max_df is not None:
+        sh, sizes = _apply_max_df(sh, id_col, max_df)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
@@ -205,6 +231,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -242,6 +269,10 @@ def minhash_lsh_pairs(
     # the full inverted index (cost ∝ candidates × shingles-per-doc, not
     # |docs|² — the property that makes this the 100 TB path).
     sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
+    if max_df is not None:
+        # signatures/candidates stay array-based (recall only); the verified
+        # Jaccard values use the df-capped sets on both sides consistently
+        sh, sizes = _apply_max_df(sh, id_col, max_df)
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (

@@ -211,3 +211,46 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(approx) == 10
     recall = len(exact & approx) / 10
     assert recall >= 0.2, f"recall {recall} collapsed — bucketing broken"
+
+
+def test_max_df_drops_hot_shingles(spark):
+    """jaccard_pairs(max_df=k): shingles in more than k docs are excluded
+    from both the intersection and the set sizes — matches plain Python on
+    the df-capped sets."""
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "the quick brown cat sleeps low"),
+        (3, "the quick brown dog runs far"),
+        (4, "a very different document entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in rows}
+    # df-cap at 2: 'the quick brown' (in docs 1,2,3) must be dropped
+    freq = {}
+    for s in sets.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    capped = {i: {g for g in s if freq[g] <= 2} for i, s in sets.items()}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(capped[a] & capped[b])
+                if inter:
+                    j = inter / len(capped[a] | capped[b])
+                    if j >= 0.01:
+                        expected[(a, b)] = round(j, 6)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(df, "doc_id", "text", 3, threshold=0.01, max_df=2).collect()
+    }
+    assert got == expected
+    # uncapped: the hot shingle connects 1-2, 1-3, 2-3
+    uncapped = D.jaccard_pairs(df, "doc_id", "text", 3, threshold=0.01).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} >= {(1, 2), (1, 3), (2, 3)}
+    assert got == {}  # after capping, no shingles are shared at all
