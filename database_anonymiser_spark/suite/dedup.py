@@ -146,3 +146,42 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text")
+
+
+_CAPPED_JACCARD_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r"""
+, dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+shc AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+  WHERE dfreq.df <= 25
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.id_a = sa.doc_id
+JOIN sizes sb ON pairs.id_b = sb.doc_id
+WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5
+"""
+)
+
+
+@register("dedup_jaccard_capped", _CAPPED_JACCARD_SQL, tags=("dedup", "skew"))
+def dedup_jaccard_capped(spark, sf_dir):
+    """jaccard_pairs with the max_df hot-shingle cap engaged (df ≤ 25):
+    the 100 TB skew guard, value-hash checked against a df-capped oracle.
+
+    Scale: the drop-set (shingles with df > 25) is tiny by construction, so
+    the cap is one df-count shuffle plus a broadcast anti join — the
+    pair-exploding stopword shingles never reach the self-join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=25)

@@ -25,7 +25,7 @@ CATEGORIES = [
     ("Streaming (§2.10)", ["stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late_drop"]),
     ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"]),
     ("UDF surface (§2.11)", ["pandas_grouped_norm"]),
-    ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
+    ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_jaccard_capped", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
     ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf"]),
     ("Text analysis (LLM-pipeline)", ["text_tokens", "text_quality", "text_langid", "text_fingerprint", "text_tfidf"]),
     ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features", "mm_resize_meta", "mm_frame_sample"]),
