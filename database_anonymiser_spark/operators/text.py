@@ -26,12 +26,19 @@ STOPWORD_PATTERN = r"\b(the|a|of|and|is|to|in)\b"
 PUNCT_PATTERN = r"[.,!?;:]"
 
 
-def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate.
+# BPE-style pre-tokenizer pieces: lowercase runs, Capitalized runs, digit
+# runs, single punctuation marks. Character classes only — identical
+# semantics under Java regex (Spark) and RE2 (DuckDB), no lookaround.
+BPE_PIECE_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
 
-    The subword estimate counts maximal runs of ≤4 chars (len/4 rounded up
-    per token) — a deterministic proxy for BPE token counts that needs no
-    vocabulary file.
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + two BPE-ish measures.
+
+    ``n_subwords_est`` counts maximal runs of ≤4 chars (len/4 rounded up) — a
+    vocabulary-free proxy for BPE token counts. ``n_bpe_pieces`` counts
+    pre-tokenizer pieces via :data:`BPE_PIECE_RE` (word/case/digit/punct
+    splits, the GPT-2-style first pass before vocabulary merges).
     """
     n_tokens = F.size(tokens(text_col))
     n_chars = F.length(F.col(text_col))
@@ -39,11 +46,13 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # ceil((chars - spaces)/4) + 0*tokens keeps it one expression.
     non_space = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
     bpe_ish = F.ceil(non_space / F.lit(4.0)).cast("long")
+    n_pieces = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), 0))
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars"),
         bpe_ish.alias("n_subwords_est"),
+        n_pieces.cast("long").alias("n_bpe_pieces"),
     )
 
 

@@ -12,7 +12,8 @@ from database_anonymiser_spark.suite.base import load, register
     SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est
+           CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
     FROM documents
     """,
     tags=("text",),
