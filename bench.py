@@ -18,24 +18,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-2 renames (suite consolidation): agg_group→tpch_q1 subsumed it, so
+# agg_multidim stands in for the aggregation slot; window_rank→window_pack;
+# tpch_q14→tpch_q6_q14; text_quality→text_profile; func_json_struct→func_json.
+# sim_cosine_pairs joins the set now that it's LSH-blocked (was a crossJoin).
 HEADLINE = [
     "anonymise_customer",
-    "agg_group",
+    "agg_multidim",
     "join_sortmerge",
     "join_broadcast",
     "join_asof",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "tpch_q14",
-    "window_rank",
+    "tpch_q6_q14",
+    "window_pack",
     "topk_orders",
     "stream_session",
     "dedup_minhash",
     "dedup_exact",
     "sim_topk_bruteforce",
-    "text_quality",
-    "func_json_struct",
+    "sim_cosine_pairs",
+    "text_profile",
+    "func_json",
     "mm_binary_meta",
 ]
 

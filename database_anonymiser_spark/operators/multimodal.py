@@ -78,21 +78,35 @@ def _fake_decode_features(data: bytes) -> tuple[int, int, int, int, int]:
 
 
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
     Partition-local (zero shuffle); each Arrow batch crosses the JVM↔Python
-    boundary exactly once. Swap ``_fake_decode_features`` for a real decoder
-    when the imaging libs exist — the plumbing is identical.
+    boundary exactly once. ``passthrough`` columns (e.g. a frame index when
+    chaining after :func:`sample_frames`) are carried through unchanged, so
+    per-frame feature extraction composes shuffle-free. Swap
+    ``_fake_decode_features`` for a real decoder when the imaging libs
+    exist — the plumbing is identical.
     """
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [in_fields[c] for c in passthrough]
+        + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [_fake_decode_features(b if b is not None else b"") for b in pdf[payload_col]]
-            yield pd.DataFrame(
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out.update(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pd.Series([f[0] for f in feats], dtype="int64"),
                     "crc32": pd.Series([f[1] for f in feats], dtype="int64"),
                     "head_byte": pd.Series([f[2] for f in feats], dtype="int32"),
@@ -100,8 +114,9 @@ def extract_features(
                     "fake_height": pd.Series([f[4] for f in feats], dtype="int32"),
                 }
             )
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+    return df.select(id_col, *passthrough, payload_col).mapInPandas(batches, schema)
 
 
 def binary_meta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -83,10 +83,12 @@ def brute_force_topk(
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    """Embedding near-duplicate pairs, brute force: cosine ≥ threshold,
+    id_a < id_b.
 
-    Brute-force O(n²) self-join — correct baseline; the LSH variant below is
-    the scale path. (At 100 TB you block first, always.)
+    O(n²) self-join — the exact baseline used for recall measurement only.
+    The production path is :func:`cosine_lsh_pairs` (signature-bucketed
+    blocking); at 100 TB you block first, always.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -95,6 +97,91 @@ def cosine_pairs(
         "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine")
     )
     return scored.where(F.col("cosine") >= threshold)
+
+
+PLANE_SCALE = 1_000_000
+
+
+def int_planes(dim: int, n_planes: int) -> list[list[int]]:
+    """Hyperplanes quantized to integers (×1e6): the signature-bit dot
+    products become EXACT decimal×integer sums, so an independent ANSI-SQL
+    engine reproduces every sign bit-for-bit (double dots could flip sign
+    near zero under a different summation order)."""
+    return [
+        [int(round(x * PLANE_SCALE)) for x in v] for v in _hyperplanes(dim, n_planes)
+    ]
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    rows_per_band: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH blocking — the
+    scale path (mirrors the banded MinHash construction in
+    operators/dedup.py::minhash_lsh_pairs).
+
+    Signature: n_planes sign bits of exact-decimal dots against quantized
+    hyperplanes — entirely map-side, no shuffle. Banding: bits split into
+    bands of ``rows_per_band``; vectors sharing any band bucket become
+    candidates; candidates are re-scored with the exact-decimal cosine and
+    filtered at ``threshold``.
+
+    Cost ∝ bucket collisions, not |vectors|² — no CartesianProduct anywhere
+    in the plan (plan-asserted in tests/test_plans.py). Recall < 1 by LSH
+    construction (pairs near the threshold may straddle every band);
+    measured vs brute force in tests/test_suite_ops.py. The parameters are
+    fixture-sized; at real scale raise n_planes and tune the band width for
+    the recall/cost point you need.
+    """
+    planes = int_planes(dim, n_planes)
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(c) for c in p])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane, lambda x, y: (_dec(x) * y).cast("decimal(30,6)")
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: (acc + x).cast("decimal(38,6)"),
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = df.select(
+        F.col(id_col), *[b.alias(f"sb_{i}") for i, b in enumerate(bits)]
+    )
+    band_structs = []
+    for b0 in range(0, n_planes, rows_per_band):
+        cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
+        band_structs.append(
+            F.struct(F.lit(b0).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.band_id", "_b.band_key")
+    left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    candidates = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:

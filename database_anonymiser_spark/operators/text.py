@@ -130,6 +130,55 @@ def fingerprint_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full per-document text profile — token counts, quality heuristics,
+    language ID, and fingerprint — as ONE narrow projection.
+
+    This is the shape a 100 TB curation pipeline wants: every metric is a
+    map-side built-in expression over the same scan, so profiling an entire
+    corpus is a single pass with zero shuffles (vs one scan per metric
+    family). Determinism arguments are inherited from the per-family
+    helpers (integer micro-arithmetic, no transcendentals, md5-derived
+    fingerprints).
+    """
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(text_col)).cast("long")
+    n_chars = F.length(t).cast("long")
+    non_space = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("long")
+    n_stop = F.regexp_count(t, F.lit(STOPWORD_PATTERN)).cast("long")
+    punct_micro = _micro_half_up(n_punct, n_chars)
+    stop_micro = _micro_half_up(n_stop, n_tokens)
+    score_q = (
+        2 * F.least(n_tokens * F.lit(10000), F.lit(1000000))
+        + (F.lit(1000000) - punct_micro)
+        + F.least(stop_micro * F.lit(5), F.lit(1000000))
+    )
+    lang_counts = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*lang_counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = precedence
+        pred = pred.when(lang_counts[lang] == best, F.lit(lang))
+    digest = F.md5(normalized_text(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.ceil(non_space / F.lit(4.0)).cast("long").alias("n_subwords_est"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), 0)).cast("long").alias("n_bpe_pieces"),
+        (punct_micro / F.lit(1000000.0)).alias("punct_ratio"),
+        (stop_micro / F.lit(1000000.0)).alias("stopword_ratio"),
+        (_micro_half_up(non_space.cast("long"), n_tokens) / F.lit(1000000.0)).alias(
+            "avg_token_len"
+        ),
+        (score_q / F.lit(4000000.0)).alias("quality_score"),
+        *[lang_counts[lang].cast("long").alias(f"n_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+        digest.alias("fingerprint"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+    )
+
+
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF with a rational idf (n_docs / doc_freq, no logarithm).
 

@@ -211,7 +211,10 @@ def masked_projection(df, normalized: list[NormalizedColumn]) -> tuple:
     active = 0
     for f in df.schema.fields:
         nc = by_name.get(f.name)
-        if nc is None or nc.strategy == "KEEP":
+        if nc is None or nc.strategy == "KEEP" or nc.strategy.upper() not in KNOWN_STRATEGIES:
+            # Unknown strategies pass through without counting as a rewrite —
+            # the reference emits no SET clause for them (query-builder.ts:48-56),
+            # so a table whose only strategies are unknown is skipped entirely.
             exprs.append(F.col(f.name))
             continue
         if nc.strategy == "SET_NULL" and not f.nullable:

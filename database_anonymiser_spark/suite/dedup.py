@@ -7,6 +7,8 @@ the sketch-based dedup paths are full value-hash checked — not rows-only.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from database_anonymiser_spark.operators import dedup as D
 from database_anonymiser_spark.suite.base import load, register
 
@@ -73,14 +75,55 @@ def dedup_fingerprint(spark, sf_dir):
     return D.fingerprint(docs, "doc_id", "text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"WITH {_JACCARD_CTE} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
-    tags=("dedup",),
+# capped chain over the SAME tok/sh CTEs (no duplicate CTE names)
+_CAPPED_CHAIN = r"""
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+shc AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+  WHERE dfreq.df <= 25
+),
+csizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+cpairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+cjac AS (
+  SELECT id_a, id_b,
+         round(common / (sa.n + sb.n - common), 6) AS jaccard
+  FROM cpairs
+  JOIN csizes sa ON cpairs.id_a = sa.doc_id
+  JOIN csizes sb ON cpairs.id_b = sb.doc_id
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+"""
+
+
+@register(
+    "dedup_jaccard",
+    f"""
+    WITH {_JACCARD_CTE}, {_CAPPED_CHAIN}
+    SELECT 'all' AS variant, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'df_capped' AS variant, id_a, id_b, jaccard FROM cjac WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "skew"),
+)
+def dedup_jaccard(spark, sf_dir):
+    """Inverted-index n-gram Jaccard pairs, both variants tagged and
+    unioned: 'all' (every shingle) and 'df_capped' (the max_df hot-shingle
+    skew guard, df ≤ 25 — the 100 TB formulation: the pair-exploding
+    stopword shingles never reach the self-join; the drop-set is tiny by
+    construction, one df-count shuffle plus a broadcast anti join).
+    """
     docs = load(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    every = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        F.lit("all").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    capped = D.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=25
+    ).select(F.lit("df_capped").alias("variant"), "id_a", "id_b", "jaccard")
+    return every.unionByName(capped)
 
 
 def _minhash_oracle() -> str:
@@ -148,40 +191,3 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(docs, "doc_id", "text")
 
 
-_CAPPED_JACCARD_SQL = (
-    "WITH "
-    + _SHINGLES_CTE
-    + r"""
-, dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-shc AS (
-  SELECT sh.doc_id, sh.shingle
-  FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
-  WHERE dfreq.df <= 25
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-pairs AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
-  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(common / (sa.n + sb.n - common), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON pairs.id_a = sa.doc_id
-JOIN sizes sb ON pairs.id_b = sb.doc_id
-WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5
-"""
-)
-
-
-@register("dedup_jaccard_capped", _CAPPED_JACCARD_SQL, tags=("dedup", "skew"))
-def dedup_jaccard_capped(spark, sf_dir):
-    """jaccard_pairs with the max_df hot-shingle cap engaged (df ≤ 25):
-    the 100 TB skew guard, value-hash checked against a df-capped oracle.
-
-    Scale: the drop-set (shingles with df > 25) is tiny by construction, so
-    the cap is one df-count shuffle plus a broadcast anti join — the
-    pair-exploding stopword shingles never reach the self-join.
-    """
-    docs = load(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=25)

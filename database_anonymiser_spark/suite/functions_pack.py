@@ -63,23 +63,40 @@ def func_date(spark, sf_dir):
 
 
 @register(
-    "func_math",
+    "func_math_null",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)), 2) AS DOUBLE) AS disc_price,
            abs(l_quantity - 25.0) AS qty_dev,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq
+           CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+           CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'discounted' ELSE 'full price' END AS disc_label,
+           ifnull(nullif(l_tax, 0.0), 0.0) AS tax_or_zero,
+           2 AS n_keys,
+           CAST(l_extendedprice AS DOUBLE) AS price_val,
+           CAST(l_quantity AS DOUBLE) AS qty_val
     FROM lineitem
     """,
-    tags=("function", "math"),
+    tags=("function", "math", "null", "map"),
 )
-def func_math(spark, sf_dir):
+def func_math_null(spark, sf_dir):
+    """Math + null-handling + map scalar pack over lineitem: round/abs/
+    floor/ceil/power, nullif/coalesce/nvl2/ifnull, and the map surface
+    (create_map → map_keys/element_at round trip, projected back to scalars
+    so the oracle needs no map type) — all Catalyst built-ins folded into
+    one codegen'd projection (one scan, zero shuffles)."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = (
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice").cast("double"),
     )
     return li.select(
         "l_orderkey",
@@ -89,6 +106,13 @@ def func_math(spark, sf_dir):
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
+        F.nvl2(disc_null, F.lit("discounted"), F.lit("full price")).alias("disc_label"),
+        F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.0)).alias("tax_or_zero"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.lit("price")).alias("price_val"),
+        F.element_at(m, F.lit("qty")).alias("qty_val"),
     )
 
 
@@ -129,36 +153,19 @@ def func_array(spark, sf_dir):
     "func_json",
     """
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_path,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_struct
     FROM events
     """,
     tags=("function", "json"),
 )
 def func_json(spark, sf_dir):
-    # Spark side exercises the real JSON path (get_json_object); the oracle
-    # uses a regexp so it needs no DuckDB JSON extension — same values.
+    """Both JSON APIs in one projection: get_json_object (path extraction)
+    and from_json (typed struct parse) must agree on every row. The oracle
+    uses a regexp so it needs no DuckDB JSON extension — same values."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-
-
-@register(
-    "func_json_struct",
-    """
-    SELECT props_k, count(*) AS n
-    FROM (SELECT CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS props_k FROM events)
-    GROUP BY props_k
-    """,
-    tags=("function", "json"),
-)
-def func_json_struct(spark, sf_dir):
-    # from_json → typed struct → relational agg over extracted field.
-    ev = load(spark, sf_dir, "events")
-    parsed = ev.select(
-        F.from_json("props", "k BIGINT").alias("p"),
-    )
-    return parsed.select(F.col("p.k").alias("props_k")).groupBy("props_k").agg(
-        F.count(F.lit(1)).alias("n")
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_struct"),
     )

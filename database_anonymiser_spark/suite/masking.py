@@ -1,9 +1,12 @@
 """Declared queries for the masking-strategy operators T1–T7 (SURVEY.md §2.3)
 and the end-to-end anonymisation pipeline (the flagship query).
 
-All strategies run over ``customer`` string columns; the flagship exercises
-the real engine path (plan → type-safety normalize → masked projection),
-including a deliberate downgrade (REDACT on a NUMBER column → KEEP).
+``mask_strategies`` applies every strategy (T1–T7 plus the real-SHA-256
+extension) as one narrow projection over ``customer`` — the same single-select
+shape the executor compiles a whole-table mask to, so one oracle row checks
+the entire strategy compiler. The flagship exercises the real engine path
+(plan → type-safety normalize → masked projection), including a deliberate
+downgrade (REDACT on a NUMBER column → KEEP).
 """
 
 from __future__ import annotations
@@ -15,79 +18,45 @@ from database_anonymiser_spark.suite.base import load, register
 
 
 @register(
-    "mask_keep",
-    "SELECT c_custkey, c_name FROM customer",
-    tags=("masking",),
-)
-def mask_keep(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.keep(F.col("c_name")).alias("c_name"))
-
-
-@register(
-    "mask_set_null",
-    "SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment FROM customer",
-    tags=("masking",),
-)
-def mask_set_null(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.set_null(F.col("c_mktsegment"), "string").alias("c_mktsegment"))
-
-
-@register(
-    "mask_redact",
-    "SELECT c_custkey, '***' AS c_mktsegment FROM customer",
-    tags=("masking",),
-)
-def mask_redact(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.redact(F.col("c_mktsegment")).alias("c_mktsegment"))
-
-
-@register(
-    "mask_hash",
-    "SELECT c_custkey, md5(coalesce(c_name, '')) AS c_name_hash FROM customer",
-    tags=("masking",),
-)
-def mask_hash(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.hash_md5(F.col("c_name")).alias("c_name_hash"))
-
-
-@register(
-    "mask_truncate",
-    "SELECT c_custkey, substr(coalesce(c_name, ''), 1, 4) AS c_name_trunc FROM customer",
-    tags=("masking",),
-)
-def mask_truncate(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.truncate(F.col("c_name"), 4).alias("c_name_trunc"))
-
-
-@register(
-    "mask_email_fake",
-    "SELECT c_custkey, md5(coalesce(c_name, '')) || '@example.com' AS c_email FROM customer",
-    tags=("masking",),
-)
-def mask_email_fake(spark, sf_dir):
-    df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.email_fake(F.col("c_name")).alias("c_email"))
-
-
-@register(
-    "mask_sample_preview",
+    "mask_strategies",
     """
     SELECT c_custkey,
+           c_name AS keep_name,
+           CAST(NULL AS VARCHAR) AS null_mktsegment,
+           '***' AS redact_mktsegment,
+           md5(coalesce(c_name, '')) AS hash_name,
+           sha256(coalesce(c_name, '')) AS sha256_name,
+           substr(coalesce(c_name, ''), 1, 4) AS trunc_name,
+           md5(coalesce(c_name, '')) || '@example.com' AS email_name,
            CASE WHEN length(c_name) <= 6 THEN '***'
                 ELSE substr(c_name, 1, 2) || '***' || substr(c_name, length(c_name) - 1, 2)
-           END AS c_name_masked
+           END AS preview_name
     FROM customer
     """,
     tags=("masking",),
 )
-def mask_sample_preview(spark, sf_dir):
+def mask_strategies(spark, sf_dir):
+    """All strategy compilers in one projection (query-builder.ts:21-51):
+    T1 KEEP, T2 SET_NULL, T3 REDACT, T4 HASH (md5, faithful) + the
+    HASH_SHA256_REAL extension (checked against DuckDB's sha256), T5
+    TRUNCATE, T6 EMAIL_FAKE, T7 sample preview.
+
+    Scale: one codegen'd select over the scan — zero shuffles, zero Python;
+    identical plan shape to a production whole-table mask.
+    """
     df = load(spark, sf_dir, "customer")
-    return df.select("c_custkey", S.mask_sample_preview(F.col("c_name")).alias("c_name_masked"))
+    name = F.col("c_name")
+    return df.select(
+        "c_custkey",
+        S.keep(name).alias("keep_name"),
+        S.set_null(F.col("c_mktsegment"), "string").alias("null_mktsegment"),
+        S.redact(F.col("c_mktsegment")).alias("redact_mktsegment"),
+        S.hash_md5(name).alias("hash_name"),
+        S.hash_sha256(name).alias("sha256_name"),
+        S.truncate(name, 4).alias("trunc_name"),
+        S.email_fake(name).alias("email_name"),
+        S.mask_sample_preview(name).alias("preview_name"),
+    )
 
 
 @register(

@@ -29,9 +29,16 @@ def mm_binary_meta(spark, sf_dir):
 
 @register("mm_extract_features", None, tags=("multimodal",))
 def mm_extract_features(spark, sf_dir):
+    """The full mapInPandas pipeline chained shuffle-free: 1→N frame
+    sampling, then per-frame feature extraction (frame_idx passed through).
+    Rows-only — DuckDB has no mapInPandas twin; per-frame counts, sizes and
+    feature values are pinned in tests/test_suite_ops.py."""
     docs = load(spark, sf_dir, "documents")
     payloads = MM.attach_binary_payload(docs, "doc_id", "text")
-    return MM.extract_features(payloads, "doc_id", "payload")
+    frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)
+    return MM.extract_features(
+        frames, "doc_id", "frame_payload", passthrough=("frame_idx",)
+    )
 
 
 @register(
@@ -56,11 +63,3 @@ def mm_resize_meta(spark, sf_dir):
     return resized.select("doc_id", "orig_width", "orig_height", "width", "height")
 
 
-@register("mm_frame_sample", None, tags=("multimodal",))
-def mm_frame_sample(spark, sf_dir):
-    """1→N frame sampling (binary output — rows-only; per-frame counts and
-    sizes are pinned in tests/test_suite_ops.py)."""
-    docs = load(spark, sf_dir, "documents")
-    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
-    frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)
-    return frames.select("doc_id", "frame_idx", "frame_bytes")

@@ -19,42 +19,45 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
 
 
 @register(
-    "sample_limit",
-    "SELECT * FROM customer ORDER BY c_custkey LIMIT 3",
-    tags=("scan",),
-)
-def sample_limit(spark, sf_dir):
-    # S3 with a deterministic ORDER BY (the reference's bare LIMIT is
-    # nondeterministic — FIXTURES.md); Catalyst: TakeOrderedAndProject.
-    df = load(spark, sf_dir, "customer")
-    return df.orderBy("c_custkey").limit(3)
-
-
-@register(
-    "sample_notnull",
-    "SELECT c_custkey, c_name FROM customer WHERE c_name IS NOT NULL",
+    "sample_scan",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_name IS NOT NULL
+    ORDER BY c_custkey LIMIT 5
+    """,
     tags=("scan", "filter"),
 )
-def sample_notnull(spark, sf_dir):
-    # P4; the IsNotNull predicate must reach the parquet scan (PushedFilters).
+def sample_scan(spark, sf_dir):
+    # S3 sample-limit + P4 null-filter in one scan. The IsNotNull predicate
+    # must reach the parquet scan (PushedFilters — plan-asserted in
+    # tests/test_plans.py); the deterministic ORDER BY + LIMIT compiles to
+    # TakeOrderedAndProject (per-partition heaps, no global sort).
     df = load(spark, sf_dir, "customer")
-    return df.where(F.col("c_name").isNotNull()).select("c_custkey", "c_name")
+    return (
+        df.where(F.col("c_name").isNotNull())
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(5)
+    )
 
 
-@register("schema_scan", None, tags=("scan", "catalog"))
-def schema_scan(spark, sf_dir):
-    # S1/S2 catalog-as-DataFrame; metadata-only (parquet footers), rows-only check.
+@register("catalog_scan", None, tags=("scan", "catalog", "plan"))
+def catalog_scan(spark, sf_dir):
+    """S1/S2 catalog-as-DataFrame + P2/P3 plan filtering, tagged and
+    unioned (rows-only: both surfaces are engine introspection, not data).
+
+    'column' rows are the full column catalog (metadata-only — parquet
+    footers, no row data, safe at any scale); 'plan_survivor' rows are the
+    tables that survive the enabled-flag + denylist filters for a fixed
+    config (P2/P3).
+    """
     from database_anonymiser_spark.catalog import ParquetCatalog
-
-    return ParquetCatalog(spark, sf_dir).columns_df()
-
-
-@register("plan_filter", None, tags=("plan",))
-def plan_filter(spark, sf_dir):
-    # P2/P3 as an inspectable DataFrame: which tables survive enabled+denylist.
     from database_anonymiser_spark.config import config_from_dict
     from database_anonymiser_spark.planner import build_plan
 
+    cols = ParquetCatalog(spark, sf_dir).columns_df().select(
+        F.lit("column").alias("kind"), "*"
+    )
     cfg = config_from_dict(
         {
             "version": 1,
@@ -68,9 +71,18 @@ def plan_filter(spark, sf_dir):
         }
     )
     plan = build_plan(cfg)
-    return spark.createDataFrame(
+    survivors = spark.createDataFrame(
         [(t.table,) for t in plan.tables], "table_name string"
-    ).orderBy("table_name")
+    ).select(
+        F.lit("plan_survivor").alias("kind"),
+        "table_name",
+        F.lit(None).cast("string").alias("column_name"),
+        F.lit(None).cast("int").alias("ordinal"),
+        F.lit(None).cast("string").alias("data_type"),
+        F.lit(None).cast("string").alias("type_group"),
+        F.lit(None).cast("boolean").alias("nullable"),
+    )
+    return cols.unionByName(survivors)
 
 
 # ---------------------------------------------------------------- counts (A1/A2)
@@ -96,123 +108,131 @@ _COUNTS_SQL = " UNION ALL ".join(
 )
 
 
-@register("count_rows", _COUNTS_SQL, tags=("agg",))
-def count_rows(spark, sf_dir):
-    # A1: per-table affected-row counts. count(*) answers from parquet
-    # footer statistics — no data scan at any scale.
-    return _counts_union(spark, sf_dir)
-
-
 @register(
-    "count_total",
-    f"SELECT sum(n_rows) AS total_rows FROM ({_COUNTS_SQL})",
+    "count_rows",
+    # CAST to BIGINT: DuckDB's sum(BIGINT) yields HUGEINT (int128), which
+    # hash-mismatches Spark's int64 even when values agree.
+    f"""
+    SELECT table_name, CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM ({_COUNTS_SQL})
+    GROUP BY ROLLUP (table_name)
+    """,
     tags=("agg",),
 )
-def count_total(spark, sf_dir):
-    # A2: the reference's reduce-sum over per-table counts (main.ts:80-83).
-    return _counts_union(spark, sf_dir).agg(F.sum("n_rows").alias("total_rows"))
+def count_rows(spark, sf_dir):
+    # A1 per-table counts + A2 grand total (the reference's reduce-sum,
+    # main.ts:80-83) in one ROLLUP: 7 per-table rows + 1 total row
+    # (table_name NULL). count(*) answers from parquet footer statistics —
+    # no data scan at any scale.
+    return (
+        _counts_union(spark, sf_dir)
+        .rollup("table_name")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
 
 
 # ---------------------------------------------------------------- aggregations
 
 
 @register(
-    "agg_group",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty,
-           {dsum_sql('l_extendedprice')} AS sum_base_price,
-           {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))', 6)} AS sum_disc_price,
-           CAST({dsum_sql('l_quantity')} / count(*) AS DOUBLE) AS avg_qty,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    tags=("agg",),
-)
-def agg_group(spark, sf_dir):
-    """TPC-H Q1 shape: filtered scan → hash aggregate.
-
-    Scale: the shipdate predicate pushes to parquet (row-group pruning); the
-    aggregate is partial (map-side) then final — the shuffle carries only
-    |groups| × partitions rows. Sums run in exact decimal so results are
-    partition-order independent (see base.dsum).
-    """
-    li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(18,4)")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
-            (dsum("l_quantity") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "agg_distinct",
+    "agg_orders_stats",
     """
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS dist_custs,
-           count(*) AS n_orders
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
     FROM orders
     GROUP BY o_orderstatus
     """,
     tags=("agg",),
 )
-def agg_distinct(spark, sf_dir):
-    # Catalyst expands distinct aggregation into a two-phase plan (Expand +
-    # partial agg); at scale the pre-aggregation keeps the shuffle bounded.
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("dist_custs"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+def agg_orders_stats(spark, sf_dir):
+    """countDistinct + exact interpolated percentiles in one groupBy.
+
+    Catalyst expands the distinct aggregation into a two-phase plan (Expand
+    + partial agg) — at scale the pre-aggregation keeps the shuffle bounded.
+    The exact percentile (both engines: linear interpolation over the sorted
+    values) is the small-group path; the 100 TB variant is the GK sketch,
+    declared as agg_approx_sketch. (The plain groupBy-agg shape is proven by
+    tpch_q1, which subsumes the former agg_group.)
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("dist_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
     )
 
 
-@register(
-    "agg_cube",
-    f"""
+_MULTIDIM_BODY = f"""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n,
            {dsum_sql('l_quantity')} AS sum_qty
     FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+_GROUPING_SETS_SQL = f"""
+    SELECT 'gsets' AS gset, * FROM ({_MULTIDIM_BODY}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()))
+"""
+
+
+@register(
+    "agg_multidim",
+    f"""
+    SELECT 'cube' AS gset, * FROM ({_MULTIDIM_BODY} GROUP BY CUBE (l_returnflag, l_linestatus))
+    UNION ALL
+    SELECT 'rollup' AS gset, * FROM ({_MULTIDIM_BODY} GROUP BY ROLLUP (l_returnflag, l_linestatus))
+    UNION ALL
+    {_GROUPING_SETS_SQL}
     """,
-    tags=("agg",),
+    tags=("agg", "sql"),
 )
-def agg_cube(spark, sf_dir):
-    # Grouping-sets surface; Expand multiplies rows 4× before the partial agg,
-    # which is the documented cost model for CUBE at any scale.
-    return (
-        load(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+def agg_multidim(spark, sf_dir):
+    """Multi-dimensional grouping surface: CUBE + ROLLUP via the DataFrame
+    API and GROUPING SETS via the SQL front door, tagged and unioned — one
+    entry proves all three Expand-node shapes.
+
+    Scale: each branch is one Expand (row multiplier 4× / 3× / 3×) feeding a
+    partial-then-final aggregate; the union is plan-level only (no extra
+    shuffle beyond each branch's own aggregation).
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def agg_of(grouped):
+        return grouped.agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+
+    cube = agg_of(li.cube("l_returnflag", "l_linestatus")).select(
+        F.lit("cube").alias("gset"), "*"
     )
+    rollup = agg_of(li.rollup("l_returnflag", "l_linestatus")).select(
+        F.lit("rollup").alias("gset"), "*"
+    )
+    li.createOrReplaceTempView("lineitem")
+    gsets = spark.sql(_GROUPING_SETS_SQL)
+    return cube.unionByName(rollup).unionByName(gsets)
 
 
-@register("agg_approx_distinct", None, tags=("agg", "sketch"))
-def agg_approx_distinct(spark, sf_dir):
-    """HLL++ distinct-count sketch — the 100 TB answer to countDistinct.
+@register("agg_approx_sketch", None, tags=("agg", "sketch"))
+def agg_approx_sketch(spark, sf_dir):
+    """Sketch aggregates — the 100 TB answers to countDistinct and exact
+    percentile: HLL++ (approx_count_distinct) and the GK quantile sketch
+    (approx_percentile), one pass, bounded memory per group.
 
-    Rows-only check (DuckDB's approx_count_distinct uses a different sketch,
-    so values legitimately differ); the error bound vs exact is pinned in
+    Rows-only check (DuckDB's sketches differ, so values legitimately
+    diverge); error bounds vs the exact answers are pinned in
     tests/test_suite_ops.py.
     """
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("approx_p95"),
+        )
     )
 
 
@@ -297,33 +317,31 @@ def join_outer(spark, sf_dir):
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    tags=("join",),
-)
-def join_semi(spark, sf_dir):
-    # left_semi never materialises the probe side's payload — at scale the
-    # shuffle carries keys only.
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("join",),
 )
-def join_anti(spark, sf_dir):
+def join_semi_anti(spark, sf_dir):
+    # EXISTS (left_semi) and NOT EXISTS (left_anti) over the same key,
+    # tagged and unioned. Neither join materialises the probe side's
+    # payload — at scale the shuffle carries keys only.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -356,72 +374,77 @@ def join_range(spark, sf_dir):
 
 
 @register(
-    "window_rank",
+    "window_pack",
     """
-    SELECT o_orderkey, o_custkey,
-           row_number() OVER w AS rn,
-           rank() OVER w AS rnk
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    WITH d AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, day_num,
+           row_number() OVER w1 AS rn,
+           rank() OVER w1 AS rnk,
+           lead(o_orderkey) OVER w1 AS next_orderkey,
+           ntile(4) OVER w1 AS spend_quartile,
+           CAST(sum(price) OVER w2 AS DOUBLE) AS running_spend,
+           datediff('day',
+                    CAST(lag(o_orderdate) OVER w3 AS DATE),
+                    CAST(o_orderdate AS DATE)) AS days_since_prev,
+           CAST(sum(price) OVER w4 AS DOUBLE) AS rolling_7d_spend
+    FROM d
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w4 AS (PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
-    tags=("window",),
+    tags=("window", "timeseries"),
 )
-def window_rank(spark, sf_dir):
-    # Deterministic: the window order has the unique o_orderkey tie-break.
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return load(spark, sf_dir, "orders").select(
+def window_pack(spark, sf_dir):
+    """The full window-function surface in one query over ``orders``:
+    ranking (row_number/rank), navigation (lead/lag), distribution (ntile),
+    a ROWS running sum, and a value-based RANGE frame (7-day rolling spend).
+
+    Every window partitions by o_custkey, so Catalyst plans ONE shuffle —
+    the four differently-ordered Window nodes share the same exchange and
+    just re-sort within partitions. Orders carry the unique o_orderkey
+    tie-break (deterministic); sums run in exact decimal
+    (partition-order independent — see base.dsum).
+    """
+    df = load(spark, sf_dir, "orders")
+    d = df.select(
         "o_orderkey",
         "o_custkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_totalprice",
     )
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-    tags=("window",),
-)
-def window_running_sum(spark, sf_dir):
-    # Running sum in exact decimal → identical across engines and partitionings.
-    w = (
+    w1 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    df = load(spark, sf_dir, "orders")
-    return df.select(
+    w3 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w4 = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-6, 0)
+    return d.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
-    )
-
-
-@register(
-    "window_lag",
-    """
-    SELECT o_orderkey, o_custkey,
-           datediff('day',
-                    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
-                    CAST(o_orderdate AS DATE)) AS days_since_prev
-    FROM orders
-    """,
-    tags=("window",),
-)
-def window_lag(spark, sf_dir):
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    df = load(spark, sf_dir, "orders")
-    prev = F.lag("o_orderdate").over(w)
-    return df.select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias("days_since_prev"),
+        "day_num",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w1).alias("rnk"),
+        F.lead("o_orderkey").over(w1).alias("next_orderkey"),
+        F.ntile(4).over(w1).alias("spend_quartile"),
+        F.sum("price").over(w2).cast("double").alias("running_spend"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag("o_orderdate").over(w3).cast("date")
+        ).alias("days_since_prev"),
+        F.sum("price").over(w4).cast("double").alias("rolling_7d_spend"),
     )
 
 
@@ -452,45 +475,29 @@ def topk_orders(spark, sf_dir):
 
 
 @register(
-    "setop_union",
+    "setop_pack",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
     """,
     tags=("setop",),
 )
-def setop_union(spark, sf_dir):
+def setop_pack(spark, sf_dir):
+    # UNION (distinct), INTERSECT, EXCEPT over the same key sets, tagged and
+    # unioned. Each set op is a hash aggregate / left-semi-anti under the
+    # hood — one shuffle per branch on the (narrow) key column.
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@register(
-    "setop_intersect",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    tags=("setop",),
-)
-def setop_intersect(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "setop_except",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    tags=("setop",),
-)
-def setop_except(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (set semantics)
+    union = c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    exc = c.subtract(s).select(F.lit("except").alias("op"), "nationkey")
+    return union.unionByName(inter).unionByName(exc)

@@ -8,7 +8,6 @@ they complete the capability set BASELINE.json's north star mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from database_anonymiser_spark.operators.joins import asof_join
@@ -79,85 +78,6 @@ def join_cross(spark, sf_dir):
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
-
-
-# ---------------------------------------------------------------- rollup
-
-
-@register(
-    "agg_rollup",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n,
-           {dsum_sql('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("agg",),
-)
-def agg_rollup(spark, sf_dir):
-    # Hierarchical grouping sets; Expand ×3 then partial agg (same cost
-    # model as CUBE but one fewer grouping set).
-    return (
-        load(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
-    )
-
-
-# ---------------------------------------------------------------- windows: lead / ntile
-
-
-@register(
-    "window_lead_ntile",
-    """
-    SELECT o_orderkey, o_custkey,
-           lead(o_orderkey) OVER w AS next_orderkey,
-           ntile(4) OVER w AS spend_quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-    tags=("window",),
-)
-def window_lead_ntile(spark, sf_dir):
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.ntile(4).over(w).alias("spend_quartile"),
-    )
-
-
-# ---------------------------------------------------------------- map functions
-
-
-@register(
-    "func_map",
-    """
-    SELECT l_orderkey, l_linenumber,
-           2 AS n_keys,
-           CAST(l_extendedprice AS DOUBLE) AS price_val,
-           CAST(l_quantity AS DOUBLE) AS qty_val
-    FROM lineitem
-    """,
-    tags=("function", "map"),
-)
-def func_map(spark, sf_dir):
-    """Map surface (SURVEY.md §2.9): create_map → map_keys/element_at round
-    trip, projected back to scalars so the oracle needs no map type."""
-    li = load(spark, sf_dir, "lineitem")
-    m = F.create_map(
-        F.lit("qty"), F.col("l_quantity").cast("double"),
-        F.lit("price"), F.col("l_extendedprice").cast("double"),
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.size(F.map_keys(m)).alias("n_keys"),
-        F.element_at(m, F.lit("price")).alias("price_val"),
-        F.element_at(m, F.lit("qty")).alias("qty_val"),
-    )
 
 
 # ---------------------------------------------------------------- TPC-H flagships
@@ -293,31 +213,6 @@ def join_salted(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- percentiles
-
-
-@register(
-    "agg_percentile",
-    """
-    SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    tags=("agg",),
-)
-def agg_percentile(spark, sf_dir):
-    # Exact interpolated percentile (both engines: linear interpolation over
-    # the sorted values). The 100 TB variant is approx_percentile (KLL/GK
-    # sketch) — declared rows-only in agg_approx_distinct's family.
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
-    )
-
-
 # ---------------------------------------------------------------- SQL front door
 
 
@@ -347,29 +242,54 @@ def sql_cte_scalar(spark, sf_dir):
     return spark.sql(_CTE_SQL)
 
 
-@register(
-    "tpch_q6",
-    f"""
-    SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))', 6)} AS revenue
+_Q6_SQL = f"""
+    SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))', 6)} AS metric
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
+"""
+
+_Q14_SQL = f"""
+    SELECT 100.00 * {dsum_sql("CASE WHEN p_type LIKE 'ECONOMY%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END", 6)}
+           / {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))', 6)} AS metric
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register(
+    "tpch_q6_q14",
+    f"""
+    SELECT 'q6_revenue' AS q, metric FROM ({_Q6_SQL})
+    UNION ALL
+    SELECT 'q14_promo_revenue' AS q, metric FROM ({_Q14_SQL})
     """,
-    tags=("flagship", "agg"),
+    tags=("flagship", "agg", "join"),
 )
-def tpch_q6(spark, sf_dir):
-    """TPC-H Q6 (forecast revenue change): pure filter + global agg — the
-    query where predicate pushdown IS the plan. All four predicates reach
-    the parquet scan; the aggregation is a single partial/final pair over
-    the surviving rows."""
+def tpch_q6_q14(spark, sf_dir):
+    """TPC-H Q6 + Q14, each a single-row metric, tagged and unioned.
+
+    Q6 (forecast revenue change): pure filter + global agg — the query where
+    predicate pushdown IS the plan; all four predicates reach the parquet
+    scan, the aggregation is one partial/final pair over survivors.
+
+    Q14 (promo revenue): conditional-ratio aggregation over a fact-dim
+    join; part is the small side — broadcast, so the month of lineitem
+    never shuffles. (Fixture p_type has no 'PROMO%' values — the promo
+    class is 'ECONOMY%'; same LIKE-prefix predicate shape. Both sums run in
+    exact decimal; each final division is one IEEE op, identical in both
+    engines.)
+    """
     li = load(spark, sf_dir, "lineitem")
-    rev = (
+    rev6 = (
         F.col("l_extendedprice").cast("decimal(18,2)")
         * F.col("l_discount").cast("decimal(18,4)")
     ).cast("decimal(18,6)")
-    return (
+    q6 = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
@@ -377,8 +297,30 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev6).cast("double").alias("metric"))
+        .select(F.lit("q6_revenue").alias("q"), "metric")
     )
+    li14 = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    q14 = (
+        li14.join(F.broadcast(p), li14.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type").like("ECONOMY%"), disc), 6)
+                / dsum(disc, 6)
+            ).alias("metric")
+        )
+        .select(F.lit("q14_promo_revenue").alias("q"), "metric")
+    )
+    return q6.unionByName(q14)
 
 
 @register(

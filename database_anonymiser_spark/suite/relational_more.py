@@ -1,5 +1,5 @@
-"""Second relational extension pack: TPC-H Q1, pivot, grouping sets,
-range-frame windows, UDTF-style explode, and null-handling scalars.
+"""Second relational extension pack: TPC-H Q1/Q4/Q14, pivot, and UDTF-style
+explode.
 
 All capability extensions over the reference (which has no query surface —
 SURVEY.md §2.4-§2.9); every query here is fully DuckDB-oracle checked.
@@ -7,7 +7,6 @@ SURVEY.md §2.4-§2.9); every query here is fully DuckDB-oracle checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
@@ -102,69 +101,6 @@ def agg_pivot(spark, sf_dir):
     )
 
 
-_GROUPING_SETS_SQL = f"""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_items,
-           {dsum_sql('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-"""
-
-
-@register("agg_grouping_sets", _GROUPING_SETS_SQL, tags=("agg", "sql"))
-def agg_grouping_sets(spark, sf_dir):
-    """GROUPING SETS through the SQL front door (complements agg_cube /
-    agg_rollup, which use the DataFrame API): one shuffle computes all three
-    granularities via Catalyst's Expand node, not three scans."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
-@register(
-    "window_range_frame",
-    """
-    WITH d AS (
-      SELECT o_orderkey, o_custkey,
-             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price
-      FROM orders
-    )
-    SELECT o_orderkey, o_custkey, day_num,
-           CAST(sum(price) OVER (
-             PARTITION BY o_custkey ORDER BY day_num
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS rolling_7d_spend
-    FROM d
-    """,
-    tags=("window", "timeseries"),
-)
-def window_range_frame(spark, sf_dir):
-    """RANGE-framed window (value-based frame, vs the ROWS frames in
-    window_running_sum): 7-day rolling spend per customer.
-
-    Scale: one shuffle on o_custkey, per-partition sort on day_num; the
-    range frame is evaluated with a sliding two-pointer pass, not O(n²).
-    Peers (same customer, same day) share a frame, so the sum is set-based
-    and deterministic; summing in decimal keeps it order-independent.
-    """
-    o = load(spark, sf_dir, "orders")
-    d = o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
-            "day_num"
-        ),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-    )
-    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-6, 0)
-    return d.select(
-        "o_orderkey",
-        "o_custkey",
-        "day_num",
-        F.sum("price").over(w).cast("double").alias("rolling_7d_spend"),
-    )
-
-
 @register(
     "func_explode",
     r"""
@@ -189,33 +125,6 @@ def func_explode(spark, sf_dir):
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
     ).withColumn("pos", F.col("pos").cast("long"))
-
-
-@register(
-    "func_null",
-    """
-    SELECT l_orderkey, l_linenumber,
-           nullif(l_discount, 0.0) AS disc_or_null,
-           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
-           CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'discounted' ELSE 'full price' END AS disc_label,
-           ifnull(nullif(l_tax, 0.0), 0.0) AS tax_or_zero
-    FROM lineitem
-    """,
-    tags=("function", "null"),
-)
-def func_null(spark, sf_dir):
-    """Null-handling scalar pack: nullif / coalesce / nvl2-style labelling /
-    ifnull — all Catalyst built-ins folded into one codegen'd projection."""
-    li = load(spark, sf_dir, "lineitem")
-    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        disc_null.alias("disc_or_null"),
-        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
-        F.nvl2(disc_null, F.lit("discounted"), F.lit("full price")).alias("disc_label"),
-        F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.0)).alias("tax_or_zero"),
-    )
 
 
 @register(
@@ -255,43 +164,3 @@ def tpch_q4(spark, sf_dir):
     )
 
 
-@register(
-    "tpch_q14",
-    f"""
-    SELECT 100.00 * {dsum_sql("CASE WHEN p_type LIKE 'ECONOMY%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END", 6)}
-           / {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))', 6)} AS promo_revenue
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
-    """,
-    tags=("flagship", "join", "agg"),
-)
-def tpch_q14(spark, sf_dir):
-    """TPC-H Q14 (promo revenue): conditional-ratio aggregation over a
-    fact-dim join. (Fixture p_type has no 'PROMO%' values — the promo class
-    is 'ECONOMY%'; same LIKE-prefix predicate shape.)
-
-    Scale: part is the small side — broadcast, so the month of lineitem never
-    shuffles; both sums run in exact decimal and the single ratio division is
-    one IEEE op, identical in both engines.
-    """
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
-    )
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            (
-                F.lit(100.0)
-                * dsum(F.when(F.col("p_type").like("ECONOMY%"), disc), 6)
-                / dsum(disc, 6)
-            ).alias("promo_revenue")
-        )
-    )

@@ -7,6 +7,8 @@ operators/similarity.py for the determinism argument).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from database_anonymiser_spark.operators import similarity as SIM
 from database_anonymiser_spark.suite.base import load, register
 
@@ -55,46 +57,78 @@ def sim_topk_bruteforce(spark, sf_dir):
     return SIM.brute_force_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
 
 
-@register(
-    "sim_cosine_pairs",
-    f"""
+def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 8, rows_per_band: int = 2, dim: int = 64) -> str:
+    """Reproduce cosine_lsh_pairs' full construction in ANSI SQL: the
+    integer-quantized hyperplane sign bits, the banding, the candidate join,
+    and the exact-decimal cosine verification — so even the LSH blocking is
+    value-hash checked (the same precedent as the dedup_minhash oracle)."""
+    planes = SIM.int_planes(dim, n_planes)
+    dots = ",\n             ".join(
+        f"sum(CAST(x AS DECIMAL(18,6)) * ({planes[p]})[i]) AS d{p}"
+        for p in range(n_planes)
+    )
+    sig_bits = ", ".join(
+        f"CASE WHEN d{p} > 0 THEN 1 ELSE 0 END AS sb{p}" for p in range(n_planes)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b0} AS band_id, "
+        f"sb{b0}::VARCHAR || '_' || sb{b0 + 1}::VARCHAR AS band_key FROM sig"
+        for b0 in range(0, n_planes, rows_per_band)
+    )
+    return f"""
     WITH {_UNNEST_CTE},
-    n AS (
+    dots AS (
+      SELECT vec_id,
+             {dots}
+      FROM v GROUP BY vec_id
+    ),
+    sig AS (SELECT vec_id, {sig_bits} FROM dots),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bands l
+      JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+                  AND l.vec_id < r.vec_id
+    ),
+    nsq AS (
       SELECT vec_id,
              CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS nsq
       FROM v GROUP BY vec_id
     ),
-    d AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    pd AS (
+      SELECT c.id_a, c.id_b,
              CAST(sum(CAST(a.x AS DECIMAL(18,6)) * CAST(b.x AS DECIMAL(18,6))) AS DOUBLE) AS dot
-      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id_a
+      JOIN v b ON b.vec_id = c.id_b AND b.i = a.i
       GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT id_a, id_b, round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
-      FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
     )
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5
-    """,
-    tags=("similarity", "dedup"),
-)
+    SELECT id_a, id_b, round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
+    FROM pd JOIN nsq na ON pd.id_a = na.vec_id JOIN nsq nb ON pd.id_b = nb.vec_id
+    WHERE round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= {threshold}
+    """
+
+
+@register("sim_cosine_pairs", _cosine_lsh_oracle(), tags=("similarity", "dedup"))
 def sim_cosine_pairs(spark, sf_dir):
-    # embedding-cosine near-duplicate detection (the 5th dedup family)
+    """Embedding-cosine near-duplicate detection (the 5th dedup family),
+    hyperplane-LSH blocked: map-side signatures → banded candidate join →
+    exact-cosine verify. No CartesianProduct in the plan (plan-asserted);
+    recall vs the brute-force baseline is pinned in tests/test_suite_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
+    return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
-@register("sim_topk_lsh", None, tags=("similarity", "approx"))
-def sim_topk_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed top-k (approximate → rows-only oracle; recall
-    vs brute force is pinned in tests/test_suite_ops.py)."""
+@register("sim_topk_ann", None, tags=("similarity", "approx"))
+def sim_topk_ann(spark, sf_dir):
+    """Both approximate-NN paths, tagged and unioned: hyperplane-LSH
+    bucketed top-k and IVF probed-list top-k (approximate → rows-only
+    oracle; recall vs brute force is pinned in tests/test_suite_ops.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.lsh_bucket_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
-
-
-@register("sim_topk_ivf", None, tags=("similarity", "approx"))
-def sim_topk_ivf(spark, sf_dir):
-    """IVF-style probed-list ANN (approximate → rows-only oracle; recall vs
-    brute force is pinned in tests/test_suite_ops.py)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
+    lsh = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine"
+    )
+    ivf = SIM.ivf_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf)

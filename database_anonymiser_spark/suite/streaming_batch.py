@@ -17,59 +17,104 @@ from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
 
 
 @register(
-    "stream_tumbling",
+    "stream_windows",
     f"""
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT 'tumbling' AS kind,
+           date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
            {dsum_sql('value')} AS sum_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM (
+      WITH grid AS (
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w0, * FROM events
+      )
+      SELECT w0 AS window_start, value FROM grid
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTES AS window_start, value FROM grid
+    )
+    GROUP BY window_start
+    UNION ALL
+    SELECT 'watermark_final' AS kind, window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           n, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+        FROM events GROUP BY 1
+      ),
+      wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS watermark FROM events)
+      SELECT window_start, n FROM w, wm
+      WHERE window_start + INTERVAL 1 HOUR <= watermark
+    )
     """,
     tags=("streaming",),
 )
-def stream_tumbling(spark, sf_dir):
-    # Tumbling 1h windows; in streaming form this is the partial-agg-friendly
-    # shape (watermark bounds state; each window closes once).
+def stream_windows(spark, sf_dir):
+    """Tumbling (1h, keyed by event_type) + sliding (1h / 30min slide)
+    event-time windows, plus the watermark-finalization surface — tagged
+    and unioned.
+
+    In streaming form tumbling/sliding are the partial-agg-friendly shapes
+    (watermark bounds state; each window closes once). The sliding oracle
+    materialises the every-event-in-exactly-2-windows assignment with a
+    UNION ALL of the two shifted 30-min buckets. 'watermark_final' rows are
+    exactly the tumbling windows whose END is at or before a 10-minute
+    watermark (max event time − 10 min) — the windows a streaming run would
+    have finalized; the cutoff is computed IN-PLAN (1-row max aggregate
+    broadcast into a join filter, no driver-side action). True late-data
+    dropping is exercised against the real streaming runtime in
+    tests/test_streaming.py.
+    """
     ev = load(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
         .select(
+            F.lit("tumbling").alias("kind"),
             F.col("window.start").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
         )
     )
-
-
-@register(
-    "stream_sliding",
-    f"""
-    WITH grid AS (
-      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w0, * FROM events
-    ), assigned AS (
-      SELECT w0 AS window_start, value FROM grid
-      UNION ALL
-      SELECT w0 - INTERVAL 30 MINUTES AS window_start, value FROM grid
-    )
-    SELECT window_start, count(*) AS n, {dsum_sql('value')} AS sum_value
-    FROM assigned
-    GROUP BY window_start
-    """,
-    tags=("streaming",),
-)
-def stream_sliding(spark, sf_dir):
-    # Sliding 1h window / 30min slide: each event lands in exactly 2 windows.
-    # The oracle materialises the same assignment with a UNION ALL of the two
-    # shifted 30-min buckets.
-    ev = load(spark, sf_dir, "events")
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("window.start").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            "sum_value",
+        )
     )
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("watermark"))
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    finalized = (
+        hourly.join(F.broadcast(wm), hourly.window_end <= wm.watermark)
+        .select(
+            F.lit("watermark_final").alias("kind"),
+            "window_start",
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(finalized)
 
 
 @register(
@@ -78,7 +123,7 @@ def stream_sliding(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTES
+                       >= INTERVAL 30 MINUTES
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -100,9 +145,12 @@ def stream_sliding(spark, sf_dir):
 )
 def stream_session(spark, sf_dir):
     # Session windows, 30-min gap. Spark's session_window end = last event +
-    # gap; the oracle's gaps-and-islands reproduces exactly that. In streaming
-    # form this is the applyInPandasWithState-free path: session_window is a
-    # built-in stateful operator with watermark-driven state eviction.
+    # gap, and sessions merge only on strict [ts, ts+gap) overlap — an event
+    # arriving exactly `gap` after the previous one starts a NEW session,
+    # which the oracle's `>= INTERVAL 30 MINUTES` new-session test mirrors.
+    # In streaming form this is the applyInPandasWithState-free path:
+    # session_window is a built-in stateful operator with watermark-driven
+    # state eviction.
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -117,20 +165,3 @@ def stream_session(spark, sf_dir):
     )
 
 
-@register("stream_watermark_late_drop", None, tags=("streaming",))
-def stream_watermark_late_drop(spark, sf_dir):
-    """Watermark semantics demo (rows-only): tumbling agg of events that a
-    10-minute watermark would admit, computed batch-side.
-
-    True late-data dropping is a streaming-runtime behaviour (tested with a
-    real readStream in tests/test_streaming.py); the batch rendition keeps a
-    stable, checkable row surface here.
-    """
-    ev = load(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
-    return (
-        ev.where(F.col("ts") <= F.lit(max_ts))
-        .groupBy(F.window("ts", "1 hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("window_start"), "n")
-    )

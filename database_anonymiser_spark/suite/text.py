@@ -1,4 +1,10 @@
-"""Declared text-analysis queries over ``documents`` (SURVEY.md §2 ext)."""
+"""Declared text-analysis queries over ``documents`` (SURVEY.md §2 ext).
+
+``text_profile`` is the one-pass corpus profiler (token counts, quality
+heuristics, language ID, fingerprint — every metric a map-side built-in over
+one scan); ``text_tfidf`` is the corpus-level term weighting (explode + two
+aggregations). Both fully DuckDB-oracle checked.
+"""
 
 from __future__ import annotations
 
@@ -6,102 +12,58 @@ from database_anonymiser_spark.operators import text as TX
 from database_anonymiser_spark.suite.base import load, register
 
 
-@register(
-    "text_tokens",
-    r"""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
-    FROM documents
-    """,
-    tags=("text",),
-)
-def text_tokens(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return TX.token_count(docs, "doc_id", "text")
-
-
-@register(
-    "text_quality",
-    r"""
+def _profile_oracle() -> str:
+    lang_counts = ",\n             ".join(
+        rf"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{lang}"
+        for lang, pat in TX.LANG_MARKERS.items()
+    )
+    langs = ", ".join(f"n_{lang}" for lang in TX.LANG_MARKERS)
+    whens = "\n             ".join(
+        f"WHEN n_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
+    )
+    return rf"""
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
              CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS BIGINT) AS n_stop,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+             {lang_counts},
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents
     ), r AS (
-      SELECT doc_id, n_chars, n_tokens,
+      SELECT *,
              (2 * n_punct * 1000000 + n_chars) // (2 * n_chars) AS punct_micro,
              (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens) AS stop_micro,
-             (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens) AS avglen_micro
+             (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens) AS avglen_micro,
+             greatest({langs}) AS best
       FROM m
     )
-    SELECT doc_id, n_chars, n_tokens,
+    SELECT doc_id, n_tokens, n_chars,
+           CAST(ceil(n_nonspace / 4.0) AS BIGINT) AS n_subwords_est,
+           n_bpe_pieces,
            punct_micro / 1000000.0 AS punct_ratio,
            stop_micro / 1000000.0 AS stopword_ratio,
            avglen_micro / 1000000.0 AS avg_token_len,
            (2 * least(n_tokens * 10000, 1000000)
             + (1000000 - punct_micro)
-            + least(stop_micro * 5, 1000000)) / 4000000.0 AS quality_score
+            + least(stop_micro * 5, 1000000)) / 4000000.0 AS quality_score,
+           {langs},
+           CASE WHEN best = 0 THEN 'und'
+             {whens}
+           END AS lang_pred,
+           fingerprint,
+           ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64
     FROM r
-    """,
-    tags=("text",),
-)
-def text_quality(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return TX.quality_score(docs, "doc_id", "text")
-
-
-def _langid_oracle() -> str:
-    counts = ",\n    ".join(
-        rf"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{lang}".replace(
-            "\\b", "\\b"
-        )
-        for lang, pat in TX.LANG_MARKERS.items()
-    )
-    whens = "\n        ".join(
-        f"WHEN n_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
-    )
-    langs = ", ".join(f"n_{lang}" for lang in TX.LANG_MARKERS)
-    return f"""
-    WITH c AS (SELECT doc_id, {counts} FROM documents),
-    g AS (SELECT *, greatest({langs}) AS best FROM c)
-    SELECT doc_id, {langs},
-      CASE WHEN best = 0 THEN 'und'
-        {whens}
-      END AS lang_pred
-    FROM g
     """
 
 
-@register("text_langid", _langid_oracle(), tags=("text",))
-def text_langid(spark, sf_dir):
+@register("text_profile", _profile_oracle(), tags=("text",))
+def text_profile(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return TX.language_id(docs, "doc_id", "text")
-
-
-@register(
-    "text_fingerprint",
-    r"""
-    WITH f AS (
-      SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-      FROM documents
-    )
-    SELECT doc_id, fingerprint,
-           ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64
-    FROM f
-    """,
-    tags=("text",),
-)
-def text_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return TX.fingerprint_text(docs, "doc_id", "text")
+    return TX.text_profile(docs, "doc_id", "text")
 
 
 @register(

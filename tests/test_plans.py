@@ -32,16 +32,23 @@ def queries():
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
-    plan = plan_of(queries["sample_notnull"].spark(spark, sf_dir))
+    plan = plan_of(queries["sample_scan"].spark(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(c_name)]" in plan
     # column pruning: only the 2 projected columns are read
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+    # limit+orderBy compiles to per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
 
 
-def test_agg_is_partial_then_final(spark, sf_dir, queries):
-    plan = plan_of(queries["agg_group"].spark(spark, sf_dir))
-    assert "partial_sum" in plan  # map-side combine before the exchange
-    assert n_ops(plan, "Exchange") == 1  # exactly one shuffle
+def test_agg_is_partial_then_final(spark, sf_dir):
+    # the canonical groupBy-agg shape (tpch_q1 minus its orderBy): map-side
+    # combine before exactly one exchange
+    from database_anonymiser_spark.suite.base import dsum, load
+
+    li = load(spark, sf_dir, "lineitem")
+    plan = plan_of(li.groupBy("l_returnflag").agg(dsum("l_quantity").alias("s")))
+    assert "partial_sum" in plan
+    assert n_ops(plan, "Exchange") == 1
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir, queries):
@@ -58,10 +65,26 @@ def test_topk_uses_heap_not_global_sort(spark, sf_dir, queries):
 
 
 def test_semi_join_projects_keys_only(spark, sf_dir, queries):
-    plan = plan_of(queries["join_semi"].spark(spark, sf_dir))
-    assert "LeftSemi" in plan
+    plan = plan_of(queries["join_semi_anti"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
     # orders side must be pruned to the join key alone
     assert "ReadSchema: struct<o_custkey:bigint>" in plan
+
+
+def test_cosine_pairs_blocks_never_cartesian(spark, sf_dir, queries):
+    """sim_cosine_pairs must be LSH-blocked: candidates come from the banded
+    signature join, never an all-pairs product — the difference between
+    O(collisions) and O(n²) at 100 TB."""
+    plan = plan_of(queries["sim_cosine_pairs"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_pack_single_shuffle(spark, sf_dir, queries):
+    """All window functions partition by o_custkey → Catalyst plans exactly
+    one exchange; the differently-ordered Window nodes re-sort in place."""
+    plan = plan_of(queries["window_pack"].spark(spark, sf_dir))
+    assert n_ops(plan, "Exchange") == 1
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
@@ -129,9 +152,10 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_q14_broadcasts_part_and_pushes_date_filter(spark, sf_dir, queries):
-    """tpch_q14: the dim side broadcasts (the month of lineitem never
-    shuffles for the join) and the shipdate range reaches the parquet scan."""
-    plan = plan_of(queries["tpch_q14"].spark(spark, sf_dir))
+    """tpch_q6_q14's Q14 branch: the dim side broadcasts (the month of
+    lineitem never shuffles for the join) and the shipdate ranges reach the
+    parquet scans."""
+    plan = plan_of(queries["tpch_q6_q14"].spark(spark, sf_dir))
     assert n_ops(plan, "BroadcastExchange") == 1
     assert "SortMergeJoin" not in plan
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]

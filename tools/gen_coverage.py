@@ -14,24 +14,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from database_anonymiser_spark.suite import all_queries  # noqa: E402
 
 CATEGORIES = [
-    ("Scans / sources / sinks (§2.1)", ["schema_scan", "sample_limit", "sample_notnull", "plan_filter"]),
-    ("Masking strategies T1-T7 (§2.3)", ["mask_keep", "mask_set_null", "mask_redact", "mask_hash", "mask_truncate", "mask_email_fake", "mask_sample_preview", "anonymise_customer"]),
-    ("Aggregations (§2.4)", ["count_rows", "count_total", "agg_group", "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets", "agg_pivot", "agg_percentile", "agg_approx_distinct"]),
-    ("Joins (§2.5)", ["join_broadcast", "join_sortmerge", "join_outer", "join_semi", "join_anti", "join_range", "join_cross", "join_asof", "join_salted"]),
-    ("Window functions (§2.6)", ["window_rank", "window_running_sum", "window_lag", "window_lead_ntile", "window_range_frame"]),
+    ("Scans / sources / sinks (§2.1)", ["catalog_scan", "sample_scan"]),
+    ("Masking strategies T1-T7 (§2.3)", ["mask_strategies", "anonymise_customer"]),
+    ("Aggregations (§2.4)", ["count_rows", "agg_orders_stats", "agg_multidim", "agg_pivot", "agg_approx_sketch"]),
+    ("Joins (§2.5)", ["join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti", "join_range", "join_cross", "join_asof", "join_salted"]),
+    ("Window functions (§2.6)", ["window_pack"]),
     ("Sorts / top-k (§2.7)", ["topk_orders"]),
-    ("Set operations (§2.8)", ["setop_union", "setop_intersect", "setop_except"]),
-    ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math", "func_array", "func_map", "func_json", "func_json_struct", "func_null", "func_explode"]),
-    ("Streaming (§2.10)", ["stream_tumbling", "stream_sliding", "stream_session", "stream_watermark_late_drop"]),
-    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"]),
+    ("Set operations (§2.8)", ["setop_pack"]),
+    ("Scalar functions (§2.9)", ["func_string", "func_date", "func_math_null", "func_array", "func_json", "func_explode"]),
+    ("Streaming (§2.10)", ["stream_windows", "stream_session"]),
+    ("SQL front door + flagship analytics", ["sql_cte_scalar", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6_q14", "tpch_q18"]),
     ("UDF surface (§2.11)", ["pandas_grouped_norm"]),
-    ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_jaccard_capped", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
-    ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf"]),
-    ("Text analysis (LLM-pipeline)", ["text_tokens", "text_quality", "text_langid", "text_fingerprint", "text_tfidf"]),
-    ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features", "mm_resize_meta", "mm_frame_sample"]),
+    ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
+    ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_ann"]),
+    ("Text analysis (LLM-pipeline)", ["text_profile", "text_tfidf"]),
+    ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features", "mm_resize_meta"]),
 ]
 
-HEADER = """# COVERAGE — SURVEY.md §2 operator inventory → declared queries
+# Round-2 consolidation: the suite was packed from 81 entries to 49 so the
+# driver's 50-entry correctness window covers EVERY query (round 1 left 31
+# entries unchecked). Merged entries keep full operator coverage — each pack
+# applies all its operators in one query (union-with-tag or one projection):
+MERGE_MAP = [
+    ("mask_strategies", "mask_keep + mask_set_null + mask_redact + mask_hash (+ real sha256) + mask_truncate + mask_email_fake + mask_sample_preview"),
+    ("count_rows", "count_rows + count_total (ROLLUP grand total)"),
+    ("sample_scan", "sample_limit + sample_notnull"),
+    ("catalog_scan", "schema_scan + plan_filter"),
+    ("agg_orders_stats", "agg_distinct + agg_percentile"),
+    ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
+    ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (new)"),
+    ("join_semi_anti", "join_semi + join_anti"),
+    ("window_pack", "window_rank + window_running_sum + window_lag + window_lead_ntile + window_range_frame"),
+    ("setop_pack", "setop_union + setop_intersect + setop_except"),
+    ("func_math_null", "func_math + func_null + func_map"),
+    ("func_json", "func_json + func_json_struct"),
+    ("stream_windows", "stream_tumbling + stream_sliding + stream_watermark_late_drop (now in-plan + oracle-checked)"),
+    ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
+    ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped"),
+    ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf"),
+    ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint"),
+    ("mm_extract_features", "mm_extract_features + mm_frame_sample (chained per-frame features)"),
+]
+
+HEADER = """# COVERAGE: SURVEY.md section 2 operator inventory mapped to declared queries
 
 Every row is a `__spark_entry__.py::queries()` entry. **oracle** = full
 row-count + schema + value-hash check vs DuckDB at sf0.01; **rows-only** =
@@ -67,6 +92,13 @@ def main():
         f"**Total: {len(qs)} queries — {n_oracle} oracle-checked, "
         f"{len(qs) - n_oracle} rows-only.**"
     )
+    lines.append("")
+    lines.append("## Round-2 consolidation map (old round-1 entries → packed entries)")
+    lines.append("")
+    lines.append("| packed entry | absorbs |")
+    lines.append("|---|---|")
+    for packed, absorbs in MERGE_MAP:
+        lines.append(f"| `{packed}` | {absorbs} |")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
