@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     report = build_report(args.mode, plan, result)
     report_path = args.report or f"anonymiser.{args.mode}.report.json"
     write_json_report(report_path, report)
+    failed = result.failed_tables
+    if failed:
+        # ≅ main.ts:100-133: any table failure rolls back the whole apply and
+        # exits non-zero — callers/automation must not see success
+        for tr in failed:
+            print(f"FAILED {tr.table}: {tr.error}", file=sys.stderr)
+        if result.rolled_back:
+            print("apply rolled back: no tables were promoted", file=sys.stderr)
+        print(
+            f"{args.mode}: {len(failed)} table(s) failed; report -> {report_path}",
+            file=sys.stderr,
+        )
+        return 1
     print(f"{args.mode}: {result.total_rows} rows across {len(result.updated_by_table)} tables; report → {report_path}")
     return 0
 

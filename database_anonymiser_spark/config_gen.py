@@ -76,6 +76,8 @@ def generate_config(
                 columns=[ColumnRule(name=f.name) for f in df.schema.fields],
             )
         )
+    from datetime import datetime, timezone
+
     config = GeneratedConfig(
         version=1,
         reviewed=False,
@@ -83,5 +85,6 @@ def generate_config(
         samples={"limit": sample_limit, "unsafe": bool(unsafe_samples)},
         column_strategy=dict(DEFAULT_GLOBAL_COLUMN_STRATEGY),
         rules=rules,
+        generated_at=datetime.now(timezone.utc).isoformat(),  # generatedAt parity
     )
     return GeneratedArtifacts(config=config, samples=samples)

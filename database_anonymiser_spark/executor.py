@@ -3,10 +3,14 @@
 Rebuilds ``src/executor/executor.ts:87-147`` on Spark's immutable model:
 - dryrun (C4): compute the masked DataFrame and ``count()`` it — same affected
   row counts the reference gets from UPDATE-under-ROLLBACK, with zero writes.
-- apply (C5): write each masked table to a staging path, then atomically
-  promote (directory rename). Postgres's single wrapping transaction becomes
-  per-table staged-write + promote; a failure before promote leaves the source
-  untouched (the reference's ROLLBACK semantics).
+- apply (C5): ALL tables are written to staging paths first; promotion
+  (directory rename) happens only after every staging succeeded. Any table
+  failure deletes every staging and promotes NOTHING — the all-or-nothing
+  semantics of the reference's single wrapping transaction
+  (``src/main.ts:102-111`` BEGIN…COMMIT, ROLLBACK on error). The promote
+  phase itself is a sequence of same-filesystem renames — cheap,
+  data-independent metadata ops, the same exposure window the reference has
+  at COMMIT time.
 
 100 TB posture:
 - The mask is one narrow projection — no shuffle, no Python; executors stream
@@ -53,11 +57,16 @@ class ExecutionResult:
     mode: str
     updated_by_table: dict[str, int] = field(default_factory=dict)
     tables: list[TableResult] = field(default_factory=list)
+    rolled_back: bool = False  # apply only: a table failed → nothing promoted
 
     @property
     def total_rows(self) -> int:
         """≅ main.ts:80-83 — sum of per-table affected counts (A2)."""
         return sum(self.updated_by_table.values())
+
+    @property
+    def failed_tables(self) -> list["TableResult"]:
+        return [tr for tr in self.tables if tr.error is not None]
 
 
 def mask_table(catalog: ParquetCatalog, planned: PlannedTable):
@@ -83,7 +92,9 @@ def _execute_table(
     planned: PlannedTable,
     dryrun: bool,
     output_root: Path | None,
-) -> TableResult:
+) -> tuple[TableResult, Path | None]:
+    """One table's mask + (dryrun count | staged write). NEVER promotes —
+    returns the staging path so the caller can promote all-or-nothing."""
     res = TableResult(table=planned.table)
     try:
         masked, active, downgrades = mask_table(catalog, planned)
@@ -91,24 +102,26 @@ def _execute_table(
         if active == 0:
             # zero effective SETs → skip (query-builder.ts:54-56, executor.ts:120-124)
             res.skipped = True
-            return res
+            return res, None
         if dryrun:
             res.rows = masked.count()
-            return res
+            return res, None
         assert output_root is not None
-        final = output_root / f"{planned.name}.parquet"
         staging = output_root / f"_staging_{planned.name}_{uuid.uuid4().hex[:8]}"
         masked.write.mode("overwrite").parquet(str(staging))
-        rows = catalog.spark.read.parquet(str(staging)).count()
-        if final.exists():
-            shutil.rmtree(final, ignore_errors=True) if final.is_dir() else final.unlink()
-        staging.rename(final)  # atomic promote on one filesystem
-        res.rows = rows
-        return res
+        res.rows = catalog.spark.read.parquet(str(staging)).count()
+        return res, staging
     except Exception as e:  # per-table failure isolation, reported not swallowed
         log.exception("table %s failed", planned.table)
         res.error = f"{type(e).__name__}: {e}"
-        return res
+        return res, None
+
+
+def _promote(staging: Path, final: Path) -> None:
+    """Same-filesystem rename promote (near-atomic, data-independent)."""
+    if final.exists():
+        shutil.rmtree(final, ignore_errors=True) if final.is_dir() else final.unlink()
+    staging.rename(final)
 
 
 def execute_plan(
@@ -144,8 +157,24 @@ def execute_plan(
     else:
         table_results = [_execute_table(catalog, t, dryrun, out_root) for t in plan.tables]
 
-    for tr in table_results:
+    any_error = any(tr.error is not None for tr, _ in table_results)
+    if not dryrun and any_error:
+        # all-or-nothing (main.ts:102-111 ROLLBACK): delete every staging,
+        # promote nothing — the output root is left exactly as it was
+        result.rolled_back = True
+        for _, staging in table_results:
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
+        for tr, _ in table_results:
+            result.tables.append(tr)
+        return result
+
+    for (tr, staging), planned in zip(table_results, plan.tables):
         result.tables.append(tr)
-        if not tr.skipped and tr.error is None:
-            result.updated_by_table[tr.table] = tr.rows
+        if tr.skipped or tr.error is not None:
+            continue
+        if not dryrun:
+            assert staging is not None and out_root is not None
+            _promote(staging, out_root / f"{planned.name}.parquet")
+        result.updated_by_table[tr.table] = tr.rows
     return result

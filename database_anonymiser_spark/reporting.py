@@ -20,6 +20,7 @@ def build_report(mode: str, plan: Plan, result: ExecutionResult) -> dict:
         "plan": plan_to_dict(plan),
         "result": {
             "updatedByTable": result.updated_by_table,
+            "rolledBack": result.rolled_back,
             "tables": [
                 {
                     "table": t.table,

@@ -47,6 +47,52 @@ def base_config_dict(**over):
 def test_config_validation_rejects_bad_strategy():
     with pytest.raises(ConfigValidationError):
         config_from_dict(base_config_dict(column_strategy={"x": "NOT_A_STRATEGY"}))
+    with pytest.raises(ConfigValidationError):
+        # reference orientation with a bad strategy key holding a list
+        config_from_dict(base_config_dict(column_strategy={"NOT_A_STRATEGY": ["c_name"]}))
+
+
+def test_reference_shaped_config_is_accepted():
+    """A YAML in the reference's exact shape (generated-config.types.ts:25-44:
+    strategy→[columns], denylistTables, samples.masked, generatedAt, column
+    entries keyed 'column') must normalize to the same internal config."""
+    ref_shaped = {
+        "version": 1,
+        "generatedAt": "2024-01-01T00:00:00Z",
+        "reviewed": True,
+        "scope": {"schema": "public", "denylistTables": ["lineitem"]},
+        "samples": {"limit": 3, "masked": True},
+        "column_strategy": {
+            "HASH_SHA256": ["c_name"],
+            "REDACT": ["c_mktsegment"],
+        },
+        "rules": [
+            {
+                "table": "public.customer",
+                "enabled": True,
+                "columns": [
+                    {"column": "c_custkey"},
+                    {"column": "c_name"},
+                    {"column": "c_mktsegment"},
+                    {"column": "c_acctbal", "strategy": "SET_NULL"},
+                ],
+            }
+        ],
+    }
+    cfg = config_from_dict(ref_shaped)
+    assert cfg.column_strategy == {"c_name": "HASH_SHA256", "c_mktsegment": "REDACT"}
+    assert cfg.scope.denylist == ["lineitem"]
+    assert cfg.samples["unsafe"] is False
+    assert cfg.generated_at == "2024-01-01T00:00:00Z"
+    assert [c.name for c in cfg.rules[0].columns] == [
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+    ]
+    # same plan as the internal-shaped equivalent
+    plan = build_plan(cfg)
+    internal = build_plan(config_from_dict(base_config_dict()))
+    assert [(c.column, c.strategy) for c in plan.tables[0].columns] == [
+        (c.column, c.strategy) for c in internal.tables[0].columns
+    ]
 
 
 def test_strategy_resolution_precedence():
@@ -118,6 +164,47 @@ def test_type_safety_downgrade_reported(catalog):
     tr = res.tables[0]
     assert tr.downgrades and tr.downgrades[0]["column"] == "c_acctbal"
     assert tr.rows == 150  # hash on c_name still active
+
+
+def test_apply_is_all_or_nothing(catalog, tmp_path):
+    """A failure on ANY table promotes NOTHING — the reference wraps the
+    whole apply in one transaction (main.ts:102-111 BEGIN…COMMIT, ROLLBACK
+    on error). Here: customer would succeed, ghost fails at read, supplier
+    would succeed → zero tables in the output root, no staging left behind."""
+    d = base_config_dict()
+    d["column_strategy"]["s_name"] = "HASH_SHA256"
+    d["rules"].append(
+        {"table": "public.ghost", "enabled": True, "columns": [{"name": "c_name"}]}
+    )
+    d["rules"].append(
+        {"table": "public.supplier", "enabled": True, "columns": [{"name": "s_name"}]}
+    )
+    plan = build_plan(config_from_dict(d))
+    res = execute_plan(catalog, plan, dryrun=False, output_root=tmp_path, force=True)
+    assert res.rolled_back is True
+    assert [tr.table for tr in res.failed_tables] == ["public.ghost"]
+    assert res.updated_by_table == {} and res.total_rows == 0
+    assert list(tmp_path.iterdir()) == []  # nothing promoted, stagings cleaned
+
+
+def test_cli_exits_nonzero_on_table_failure(sf_dir, tmp_path, monkeypatch):
+    """main() must signal failure to callers/automation (ADVICE: the round-1
+    CLI printed success and exited 0 even when tables errored)."""
+    from database_anonymiser_spark.cli import main
+
+    d = base_config_dict()
+    d["rules"].append(
+        {"table": "public.ghost", "enabled": True, "columns": [{"name": "c_name"}]}
+    )
+    cfg_path = tmp_path / "cfg.yaml"
+    write_yaml(cfg_path, d)
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--apply", "--data", sf_dir, "--config", str(cfg_path),
+         "--out", str(tmp_path / "out"), "--force"]
+    )
+    assert rc == 1
+    assert not (tmp_path / "out" / "customer.parquet").exists()
 
 
 def test_row_cap():

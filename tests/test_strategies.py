@@ -98,6 +98,18 @@ def test_masked_projection_counts_active_and_passthrough(spark, df):
     assert row["s"] == "***" and row["n"] == 42 and row["b"] is True
 
 
+def test_unknown_strategy_is_inactive_passthrough(spark, df):
+    """An unknown strategy (reachable via hand-built plan objects that
+    bypass config validation) must pass the column through AND not count as
+    an active rewrite — the reference emits no SET clause for it, so a
+    table whose only strategies are unknown is skipped entirely
+    (query-builder.ts:48-56)."""
+    normalized = [S.NormalizedColumn(column="s", strategy="FROBNICATE")]
+    masked, active = S.masked_projection(df, normalized)
+    assert active == 0
+    assert masked.first()["s"] == "hello world"
+
+
 def test_set_null_on_non_nullable_fails(spark):
     schema = T.StructType([T.StructField("k", T.LongType(), False)])
     df = spark.createDataFrame([(1,)], schema)

@@ -115,6 +115,42 @@ def test_approx_count_distinct_error(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_approx_percentile_error(spark, sf_dir):
+    """GK-sketch percentiles (the 100 TB path, declared as
+    agg_approx_sketch) must sit within a tight relative band of the exact
+    interpolated percentile at accuracy=10000."""
+    orders = load(spark, sf_dir, "orders")
+    row = orders.select(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("a95"),
+    ).first()
+    assert abs(row["a50"] - row["p50"]) / row["p50"] < 0.01
+    assert abs(row["a95"] - row["p95"]) / row["p95"] < 0.01
+
+
+def test_cosine_lsh_pairs_recall_vs_brute_force(emb):
+    """The LSH-blocked near-dup pairs (sim_cosine_pairs) never report a
+    false positive (exact-cosine verify stage) and keep high recall vs the
+    O(n²) brute force. Both sides are deterministic (seeded hyperplanes,
+    exact-decimal dots), so the measured recall — 0.898 at threshold 0.4,
+    1.0 at the declared 0.5 — is a constant of the fixture; assert with a
+    small safety margin."""
+    for thr, bound in ((0.4, 0.85), (0.5, 0.99)):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in SIM.cosine_pairs(emb, "vec_id", "embedding", thr).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", thr).collect()
+        }
+        assert lsh <= exact  # verify stage: no false positives, exact scores
+        if exact:
+            assert len(lsh & exact) / len(exact) >= bound
+
+
 def test_multimodal_features_deterministic(spark, docs):
     payloads = MM.attach_binary_payload(docs.limit(20), "doc_id", "text")
     feats = {r["doc_id"]: r for r in MM.extract_features(payloads).collect()}
