@@ -170,12 +170,40 @@ def cosine_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    # Two-stage verification. The exact-decimal cosine (the oracle-matched
+    # score) folds 3 × dim decimal ops per pair in an interpreted
+    # higher-order function — fine for survivors, ruinous across every
+    # banded candidate. Stage 1 scores candidates with a codegen'd DOUBLE
+    # dot against per-vector precomputed double norms and keeps anything
+    # within a safety margin of the threshold; stage 2 re-scores only those
+    # survivors exactly. The margin (0.01) dwarfs the double-vs-decimal
+    # deviation (~1e-4 from the 1e-6 input quantization), so the final
+    # result is identical to scoring every candidate exactly.
+    def _dot_double(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+    )
+    prefiltered = (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
+        .withColumn("_cos_d", _dot_double(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .where(F.col("_cos_d") >= threshold - 0.01)
+    )
+    return (
+        prefiltered.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
