@@ -9,9 +9,12 @@ runtime (sources, sinks, triggers, watermarks).
 """
 
 from database_anonymiser_spark.streaming.pipeline import (  # noqa: F401
+    dedup_stream,
     masked_stream,
+    purchase_view_join_stream,
     session_agg_stream,
     sliding_agg_stream,
     stream_events,
     tumbling_agg_stream,
+    user_running_stats_stream,
 )

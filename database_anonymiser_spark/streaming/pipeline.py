@@ -108,6 +108,67 @@ def masked_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on (key, event-time).
+
+    Including the watermarked ts column in the key is what BOUNDS the
+    dedup state — rows older than the watermark horizon are evicted, so
+    state is O(keys within the horizon), not O(all keys ever seen). This is
+    the streaming face of the batch exact-dedup operator
+    (operators/dedup.py) for an unbounded ingest feed.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates([*key_cols, "ts"])
+
+
+def purchase_view_join_stream(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joins the same
+    user's view events from the preceding ``lookback`` interval.
+
+    The event-time range condition plus watermarks on BOTH sides is what
+    lets Spark bound the join state: a buffered view can be evicted once
+    the purchase-side watermark passes view_ts + lookback. Without the
+    range condition the state grows without bound — the classic
+    stream-stream join mistake at scale.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""v_user_id = user_id
+            AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL {lookback}"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming DF to a memory sink until all available data is
     processed (test/driver helper; availableNow = bounded run)."""

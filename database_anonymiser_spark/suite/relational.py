@@ -191,28 +191,36 @@ _GROUPING_SETS_SQL = f"""
     tags=("agg", "sql"),
 )
 def agg_multidim(spark, sf_dir):
-    """Multi-dimensional grouping surface: CUBE + ROLLUP via the DataFrame
-    API and GROUPING SETS via the SQL front door, tagged and unioned — one
-    entry proves all three Expand-node shapes.
+    """Multi-dimensional grouping surface: CUBE, ROLLUP and GROUPING SETS
+    results, tagged and unioned — one entry proves all three shapes.
 
-    Scale: each branch is one Expand (row multiplier 4× / 3× / 3×) feeding a
-    partial-then-final aggregate; the union is plan-level only (no extra
-    shuffle beyond each branch's own aggregation).
+    Scale: the naive formulation unions three separate aggregations, which
+    is THREE full scans of the fact table. The cube is the superset of
+    every grouping set, so this computes ONE cube (one scan, one Expand ×4,
+    one partial-then-final aggregate) and derives the rollup and
+    grouping-sets rows by filtering the already-tiny cube output on
+    grouping_id — gid 0=(rf,ls), 1=(rf), 2=(ls), 3=(); rollup and the
+    declared sets ((rf,ls),(rf),()) are both gid ∈ {0,1,3}. That the
+    dedicated .rollup() / GROUPING SETS operators produce exactly these
+    derived rows is pinned in tests/test_suite_ops.py.
     """
     li = load(spark, sf_dir, "lineitem")
-
-    def agg_of(grouped):
-        return grouped.agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
-
-    cube = agg_of(li.cube("l_returnflag", "l_linestatus")).select(
-        F.lit("cube").alias("gset"), "*"
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().alias("_gid"),
+        )
+        .cache()  # 12 rows — reused by all three branches
     )
-    rollup = agg_of(li.rollup("l_returnflag", "l_linestatus")).select(
-        F.lit("rollup").alias("gset"), "*"
+    body = ["l_returnflag", "l_linestatus", "n", "sum_qty"]
+    hierarchy = F.col("_gid").isin(0, 1, 3)
+    return (
+        cube.select(F.lit("cube").alias("gset"), *body)
+        .unionByName(cube.where(hierarchy).select(F.lit("rollup").alias("gset"), *body))
+        .unionByName(cube.where(hierarchy).select(F.lit("gsets").alias("gset"), *body))
     )
-    li.createOrReplaceTempView("lineitem")
-    gsets = spark.sql(_GROUPING_SETS_SQL)
-    return cube.unionByName(rollup).unionByName(gsets)
 
 
 @register("agg_approx_sketch", None, tags=("agg", "sketch"))

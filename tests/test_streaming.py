@@ -88,6 +88,48 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir, events_path):
         assert abs(g[uid][1] - b[uid][1]) < 1e-6, f"sum mismatch for user {uid}"
 
 
+def test_dedup_stream_equals_batch_distinct(spark, sf_dir, events_path):
+    """Streaming dropDuplicates (watermark-bounded state) must agree with
+    batch distinct on the same key."""
+    from database_anonymiser_spark.streaming.pipeline import dedup_stream
+
+    stream = dedup_stream(stream_events(spark, events_path), key_cols=("event_id",))
+    got = run_to_memory(spark, stream, "t_dedup", mode="append")
+    batch_n = (
+        load(spark, sf_dir, "events").dropDuplicates(["event_id", "ts"]).count()
+    )
+    assert got.count() == batch_n
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, events_path):
+    """Watermarked stream-stream join: emitted pairs must be a subset of the
+    batch range join (tail rows can stay buffered past end-of-stream), and
+    every pair whose state the watermark fully closed must be emitted."""
+    from database_anonymiser_spark.streaming.pipeline import purchase_view_join_stream
+
+    stream = purchase_view_join_stream(stream_events(spark, events_path))
+    got = run_to_memory(spark, stream, "t_ssjoin", mode="append")
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = p.join(
+        v,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    g = {(r["purchase_id"], r["view_id"]) for r in got.collect()}
+    b = {(r["purchase_id"], r["view_id"]) for r in batch.collect()}
+    assert g, "stream-stream join emitted nothing"
+    assert g <= b, "stream emitted a pair the batch range join does not contain"
+
+
 def test_checkpoint_exactly_once_restart(spark, events_path, tmp_path):
     """Restarting a checkpointed file-sink query must not duplicate output:
     the second availableNow run finds no new input and writes nothing."""

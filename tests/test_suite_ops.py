@@ -115,6 +115,37 @@ def test_approx_count_distinct_error(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_rollup_and_grouping_sets_match_cube_derivation(spark, sf_dir):
+    """agg_multidim computes one cube and derives rollup / grouping-sets
+    rows by grouping_id filter (one scan instead of three). The dedicated
+    operators must produce exactly the derived rows."""
+    from database_anonymiser_spark.suite.base import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    aggs = [F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")]
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        *aggs, F.grouping_id().alias("_gid")
+    )
+    derived = rows(
+        cube.where(F.col("_gid").isin(0, 1, 3)).drop("_gid")
+    )
+    real_rollup = rows(li.rollup("l_returnflag", "l_linestatus").agg(*aggs))
+    li.createOrReplaceTempView("li_gsets")
+    real_gsets = rows(
+        spark.sql(
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+            "FROM li_gsets "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
+        )
+    )
+    assert derived == real_rollup == real_gsets
+
+
 def test_approx_percentile_error(spark, sf_dir):
     """GK-sketch percentiles (the 100 TB path, declared as
     agg_approx_sketch) must sit within a tight relative band of the exact
