@@ -18,7 +18,6 @@ scan (column pruning keeps payload IO at zero unless bytes are touched).
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,7 +29,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("crc32", T.LongType()),
+        T.StructField("checkval", T.LongType()),
         T.StructField("head_byte", T.IntegerType()),
         T.StructField("fake_width", T.IntegerType()),
         T.StructField("fake_height", T.IntegerType()),
@@ -64,13 +63,19 @@ def decode_audio(data: bytes) -> "object":
 
 def _fake_decode_features(data: bytes) -> tuple[int, int, int, int, int]:
     """Deterministic fake decode: byte stats + pseudo-dimensions derived from
-    a stable digest — stands in for (width, height) of a real decoder."""
+    a stable digest — stands in for (width, height) of a real decoder.
+
+    Every value is md5-/byte-arithmetic so an independent ANSI-SQL engine
+    reproduces the whole feature row (checkval is the digest's first 4 bytes
+    as an integer, not a crc32 — DuckDB has md5 but no crc32), which is what
+    lets the full mapInPandas path be value-hash checked end to end.
+    """
     digest = hashlib.md5(data).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     return (
         len(data),
-        zlib.crc32(data) & 0xFFFFFFFF,
+        int.from_bytes(digest[:4], "big"),
         data[0] if data else -1,
         width,
         height,
@@ -108,7 +113,7 @@ def extract_features(
             out.update(
                 {
                     "n_bytes": pd.Series([f[0] for f in feats], dtype="int64"),
-                    "crc32": pd.Series([f[1] for f in feats], dtype="int64"),
+                    "checkval": pd.Series([f[1] for f in feats], dtype="int64"),
                     "head_byte": pd.Series([f[2] for f in feats], dtype="int32"),
                     "fake_width": pd.Series([f[3] for f in feats], dtype="int32"),
                     "fake_height": pd.Series([f[4] for f in feats], dtype="int32"),

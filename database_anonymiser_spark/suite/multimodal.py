@@ -27,12 +27,35 @@ def mm_binary_meta(spark, sf_dir):
     return MM.binary_meta(docs, "doc_id", "text")
 
 
-@register("mm_extract_features", None, tags=("multimodal",))
+@register(
+    "mm_extract_features",
+    # Reproduces the Python fake kernels exactly (ASCII fixture text, so
+    # character slicing == byte slicing): frame i = payload[i*step:(i+1)*step]
+    # with step = max(len//4, 1); features are md5-derived. The whole
+    # mapInPandas chain is therefore value-hash checked, not rows-only.
+    """
+    WITH f AS (
+      SELECT doc_id, i AS frame_idx,
+             substr(text, i * greatest(length(text) // 4, 1) + 1,
+                    greatest(length(text) // 4, 1)) AS chunk
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(chunk) AS BIGINT) AS n_bytes,
+           ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS checkval,
+           CAST(CASE WHEN length(chunk) = 0 THEN -1
+                ELSE ascii(substr(chunk, 1, 1)) END AS INTEGER) AS head_byte,
+           CAST(64 + ('0x' || substr(md5(chunk), 1, 2))::INTEGER % 192 AS INTEGER) AS fake_width,
+           CAST(64 + ('0x' || substr(md5(chunk), 3, 2))::INTEGER % 192 AS INTEGER) AS fake_height
+    FROM f
+    """,
+    tags=("multimodal",),
+)
 def mm_extract_features(spark, sf_dir):
     """The full mapInPandas pipeline chained shuffle-free: 1→N frame
     sampling, then per-frame feature extraction (frame_idx passed through).
-    Rows-only — DuckDB has no mapInPandas twin; per-frame counts, sizes and
-    feature values are pinned in tests/test_suite_ops.py."""
+    The fake-decoder outputs are md5-/byte-arithmetic, so even this
+    two-stage Arrow path is value-hash checked against DuckDB."""
     docs = load(spark, sf_dir, "documents")
     payloads = MM.attach_binary_payload(docs, "doc_id", "text")
     frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)

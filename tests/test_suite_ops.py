@@ -2,7 +2,6 @@
 approx-distinct error bound, multimodal plumbing."""
 
 import hashlib
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -190,8 +189,8 @@ def test_multimodal_features_deterministic(spark, docs):
     for did, data in raw.items():
         f = feats[did]
         assert f["n_bytes"] == len(data)
-        assert f["crc32"] == (zlib.crc32(data) & 0xFFFFFFFF)
         digest = hashlib.md5(data).digest()
+        assert f["checkval"] == int.from_bytes(digest[:4], "big")
         assert f["fake_width"] == 64 + digest[0] % 192
         assert f["fake_height"] == 64 + digest[1] % 192
 
