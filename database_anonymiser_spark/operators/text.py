@@ -9,7 +9,7 @@ ratios as double divisions of exact integers, no transcendental functions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from database_anonymiser_spark.operators.dedup import normalized_text, tokens
@@ -177,6 +177,32 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+# PII patterns for free-text scrubbing: character classes + bounded
+# quantifiers only — identical semantics under Java regex (Spark) and RE2
+# (DuckDB), no lookaround. Order matters: SSN before phone (a 3-2-4 SSN must
+# not be half-eaten by the 3-3-4 phone pattern).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    (r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
+)
+
+
+def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Free-text PII scrubbing: replace emails / SSNs / phone numbers with
+    typed placeholder tokens — the anonymiser's masking strategies extended
+    to unstructured text, the transform every LLM training-data pipeline
+    runs before ingestion.
+
+    A chain of built-in regexp_replace calls: map-side, whole-stage
+    codegen, zero shuffles — scales as pure scan bandwidth.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, token in patterns:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -71,41 +71,55 @@ def stream_windows(spark, sf_dir):
     dropping is exercised against the real streaming runtime in
     tests/test_streaming.py.
     """
+    # ONE scan: pre-aggregate to 30-minute buckets (the common grid every
+    # window family nests in), then derive tumbling / sliding /
+    # watermark-finalized from the tiny pre-agg. The naive formulation is
+    # three unioned aggregations = three full passes over events; this is
+    # one pass + re-aggregations over ~(buckets × types) rows. Sums stay in
+    # exact decimal through the re-aggregation (sum of partial decimal sums
+    # == direct decimal sum), cast to double only at the edge — so values
+    # are bit-identical to the oracle's three independent aggregations.
     ev = load(spark, sf_dir, "events")
+    pre = (
+        ev.groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+            F.max("ts").alias("_max_ts"),
+        )
+        .select(F.col("window.start").alias("w0"), "event_type", "_n", "_sv", "_max_ts")
+        .cache()
+    )
     tumbling = (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        pre.groupBy(F.date_trunc("hour", "w0").alias("window_start"), "event_type")
+        .agg(F.sum("_n").alias("n"), F.sum("_sv").cast("double").alias("sum_value"))
         .select(
-            F.lit("tumbling").alias("kind"),
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
+            F.lit("tumbling").alias("kind"), "window_start", "event_type", "n", "sum_value"
         )
     )
+    shifted = pre.select(F.col("w0").alias("ws"), "_n", "_sv").unionByName(
+        pre.select((F.col("w0") - F.expr("INTERVAL 30 MINUTES")).alias("ws"), "_n", "_sv")
+    )
     sliding = (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        shifted.groupBy(F.col("ws").alias("window_start"))
+        .agg(F.sum("_n").alias("n"), F.sum("_sv").cast("double").alias("sum_value"))
         .select(
             F.lit("sliding").alias("kind"),
-            F.col("window.start").alias("window_start"),
+            "window_start",
             F.lit(None).cast("string").alias("event_type"),
             "n",
             "sum_value",
         )
     )
-    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("watermark"))
-    hourly = (
-        ev.groupBy(F.window("ts", "1 hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "n",
-        )
+    wm = pre.agg((F.max("_max_ts") - F.expr("INTERVAL 10 MINUTES")).alias("watermark"))
+    hourly = pre.groupBy(F.date_trunc("hour", "w0").alias("window_start")).agg(
+        F.sum("_n").alias("n")
     )
     finalized = (
-        hourly.join(F.broadcast(wm), hourly.window_end <= wm.watermark)
+        hourly.join(
+            F.broadcast(wm),
+            hourly.window_start + F.expr("INTERVAL 1 HOUR") <= wm.watermark,
+        )
         .select(
             F.lit("watermark_final").alias("kind"),
             "window_start",

@@ -8,6 +8,8 @@ aggregations). Both fully DuckDB-oracle checked.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from database_anonymiser_spark.operators import text as TX
 from database_anonymiser_spark.suite.base import load, register
 
@@ -64,6 +66,58 @@ def _profile_oracle() -> str:
 def text_profile(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return TX.text_profile(docs, "doc_id", "text")
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH synth AS (
+      SELECT c_custkey,
+             c_name || ' reach me at ' ||
+             regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '@example.com' ||
+             ' or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+             '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+             '-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') ||
+             '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw_text
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g') AS scrubbed
+    FROM synth
+    """,
+    tags=("text", "masking"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """Free-text PII scrubbing (emails / SSNs / phones → typed tokens) —
+    the anonymiser's strategies extended to unstructured text. The fixture
+    corpus contains no PII, so the query synthesizes a PII-bearing line per
+    customer (name + derived email + 555-phone + synthetic SSN) and scrubs
+    it; the oracle applies the same replacement chain. Map-side
+    regexp_replace chain: zero shuffles, pure scan bandwidth at any scale.
+    """
+    c = load(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" reach me at "),
+        F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", ""),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return c.select("c_custkey", TX.scrub_pii(raw).alias("scrubbed"))
 
 
 @register(

@@ -181,6 +181,19 @@ def test_cosine_lsh_pairs_recall_vs_brute_force(emb):
             assert len(lsh & exact) / len(exact) >= bound
 
 
+def test_scrub_pii_tokens_and_ordering(spark):
+    """Email/SSN/phone all scrubbed; SSN pattern must win over the phone
+    pattern on 3-2-4 digit groups (ordering in PII_PATTERNS)."""
+    from database_anonymiser_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.com, ssn 123-45-6789, tel 555-123-4567 end",)],
+        "t string",
+    )
+    out = df.select(scrub_pii("t").alias("s")).first()["s"]
+    assert out == "mail [EMAIL], ssn [SSN], tel [PHONE] end"
+
+
 def test_multimodal_features_deterministic(spark, docs):
     payloads = MM.attach_binary_payload(docs.limit(20), "doc_id", "text")
     feats = {r["doc_id"]: r for r in MM.extract_features(payloads).collect()}

@@ -27,7 +27,7 @@ CATEGORIES = [
     ("UDF surface (§2.11)", ["pandas_grouped_norm"]),
     ("Deduplication (LLM-pipeline)", ["dedup_exact", "dedup_fingerprint", "dedup_jaccard", "dedup_minhash", "dedup_simhash", "sim_cosine_pairs"]),
     ("Similarity search (LLM-pipeline)", ["sim_topk_bruteforce", "sim_topk_ann"]),
-    ("Text analysis (LLM-pipeline)", ["text_profile", "text_tfidf"]),
+    ("Text analysis (LLM-pipeline)", ["text_profile", "text_tfidf", "text_pii_scrub"]),
     ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features", "mm_resize_meta"]),
 ]
 
