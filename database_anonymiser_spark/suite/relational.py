@@ -205,21 +205,19 @@ def agg_multidim(spark, sf_dir):
     derived rows is pinned in tests/test_suite_ops.py.
     """
     li = load(spark, sf_dir, "lineitem")
-    cube = (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dsum("l_quantity").alias("sum_qty"),
-            F.grouping_id().alias("_gid"),
-        )
-        .cache()  # 12 rows — reused by all three branches
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping_id().alias("_gid"),
     )
-    body = ["l_returnflag", "l_linestatus", "n", "sum_qty"]
-    hierarchy = F.col("_gid").isin(0, 1, 3)
-    return (
-        cube.select(F.lit("cube").alias("gset"), *body)
-        .unionByName(cube.where(hierarchy).select(F.lit("rollup").alias("gset"), *body))
-        .unionByName(cube.where(hierarchy).select(F.lit("gsets").alias("gset"), *body))
+    # fan each cube row out to its grouping families with one explode — no
+    # union, no cache, ONE aggregation in the whole plan (plan-asserted)
+    tags = F.when(
+        F.col("_gid").isin(0, 1, 3),
+        F.array(F.lit("cube"), F.lit("rollup"), F.lit("gsets")),
+    ).otherwise(F.array(F.lit("cube")))
+    return cube.select(
+        F.explode(tags).alias("gset"), "l_returnflag", "l_linestatus", "n", "sum_qty"
     )
 
 

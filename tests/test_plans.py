@@ -80,6 +80,21 @@ def test_cosine_pairs_blocks_never_cartesian(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multidim_agg_single_scan_single_agg(spark, sf_dir, queries):
+    """agg_multidim must compute ONE cube and derive the other grouping
+    families (explode-tag), not union three aggregations = three scans."""
+    plan = plan_of(queries["agg_multidim"].spark(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+    assert plan.count("Expand") <= 2  # one Expand node (tree + detail listing)
+
+
+def test_stream_windows_single_scan(spark, sf_dir, queries):
+    """stream_windows derives tumbling/sliding/finalized from one 30-minute
+    pre-aggregation — exactly one parquet scan of events in the plan."""
+    plan = plan_of(queries["stream_windows"].spark(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+
 def test_window_pack_single_shuffle(spark, sf_dir, queries):
     """All window functions partition by o_custkey → Catalyst plans exactly
     one exchange; the differently-ordered Window nodes re-sort in place."""
