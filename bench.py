@@ -58,6 +58,13 @@ def main():
     # warm-up: JVM + parquet footer caches
     spark.range(1000).count()
 
+    # same-run control: a fixed data-independent job whose timing tracks
+    # machine load (timings vary ~1.4x with load across rounds; divide by
+    # the control to compare rounds fairly)
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id * 2)").collect()
+    control = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
@@ -76,6 +83,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "control_sec": control,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
