@@ -5,11 +5,12 @@ is catalog scans + UPDATEs, ``src/executor/query-builder.ts:58-61``); these
 are capability extensions mandated by the north star.
 
 As-of join: the classic time-series primitive (latest right row at-or-before
-each left row, per key). Spark has no built-in; the scalable construction is
-union + ordered window with ``last(..., ignorenulls)`` — ONE shuffle on the
-key, state linear in rows, no range-join candidate blowup. A
-``merge_asof``-style Pandas UDF would shuffle the same data AND pay Python
-serialization; a range join would explode candidates quadratically per key.
+each left row, per key — or its forward / nearest variants). Spark has no
+built-in; the scalable construction is union + ordered window with
+``last(..., ignorenulls)`` — ONE shuffle on the key, state linear in rows, no
+range-join candidate blowup. A ``merge_asof``-style Pandas UDF would shuffle
+the same data AND pay Python serialization; a range join would explode
+candidates quadratically per key.
 """
 
 from __future__ import annotations
@@ -27,16 +28,26 @@ def asof_join(
     right_payload: list[str],
     tie_break: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` sharing the ``on`` keys (backward as-of join,
-    inclusive). Right ties on the timestamp resolve to the greatest
-    ``tie_break`` value (required for determinism if right timestamps can
-    collide).
+    """For each left row, attach one right row sharing the ``on`` keys:
+
+    - ``backward`` (default): the latest right row with ``right_ts <=
+      left_ts`` (inclusive);
+    - ``forward``: the earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in time (tie → backward).
+
+    Right ties on the timestamp resolve deterministically via ``tie_break``
+    (greatest wins for backward, smallest for forward — the symmetric
+    natural choices).
 
     Returns all left columns plus ``prefix + c`` for each payload column
-    (null when no right row precedes the left row).
+    (null when no right row qualifies). All variants are ONE shuffle on the
+    keys: both direction windows share the same partitioning, so "nearest"
+    costs only an extra per-partition sort, never a second exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     payload = [c for c in right_payload if c not in on]
     l_tagged = left.select(
         *on,
@@ -44,6 +55,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in on],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
     )
     r_tagged = right.select(
         *on,
@@ -51,25 +63,71 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.col(right_ts).alias("_rts"),
     )
-    # Order right rows before left rows at equal timestamps (<= semantics);
-    # among right ties, ascending tie_break makes last() pick the greatest.
-    order = ["_ts", "_side"]
-    if tie_break and tie_break in payload:
-        order.append(f"{prefix}{tie_break}")
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = l_tagged.unionByName(r_tagged).select(
+    unioned = l_tagged.unionByName(r_tagged)
+
+    def carry_window(forward: bool) -> Window:
+        # Right rows sort before left rows at equal timestamps, giving the
+        # inclusive (<= / >=) semantics; among right ties, the tie_break
+        # order makes last() pick greatest (backward) / smallest (forward).
+        ts_order = F.col("_ts").desc() if forward else F.col("_ts").asc()
+        order = [ts_order, F.col("_side").asc()]
+        if tie_break and tie_break in payload:
+            tb = F.col(f"{prefix}{tie_break}")
+            order.append(tb.desc() if forward else tb.asc())
+        return (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def carried(w: Window, tag: str):
+        cols = {}
+        for c in payload:
+            cols[f"{tag}{c}"] = F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+        cols[f"{tag}_rts"] = F.last("_rts", ignorenulls=True).over(w)
+        return cols
+
+    if direction in ("backward", "forward"):
+        w = carry_window(forward=(direction == "forward"))
+        out = unioned.select(
+            *on,
+            "_ts",
+            "_side",
+            *[F.col(c) for c in left.columns if c not in on],
+            *[
+                F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+                for c in payload
+            ],
+        )
+        return out.where(F.col("_side") == 1).select(
+            *left.columns,
+            *[F.col(f"{prefix}{c}") for c in payload],
+        )
+
+    # nearest: carry both directions over the SAME partitioning, pick per row
+    wb, wf = carry_window(forward=False), carry_window(forward=True)
+    b_cols = carried(wb, "_b_")
+    f_cols = carried(wf, "_f_")
+    both = unioned.select(
         *on,
         "_ts",
         "_side",
         *[F.col(c) for c in left.columns if c not in on],
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in payload],
+        *[expr.alias(name) for name, expr in {**b_cols, **f_cols}.items()],
+    ).where(F.col("_side") == 1)
+    b_dist = F.col("_ts") - F.col("_b__rts")
+    f_dist = F.col("_f__rts") - F.col("_ts")
+    use_backward = F.col("_f__rts").isNull() | (
+        F.col("_b__rts").isNotNull() & (b_dist <= f_dist)
     )
-    return carried.where(F.col("_side") == 1).select(
+    return both.select(
         *left.columns,
-        *[F.col(f"{prefix}{c}") for c in payload],
+        *[
+            F.when(use_backward, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{prefix}{c}")
+            for c in payload
+        ],
     )

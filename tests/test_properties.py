@@ -66,3 +66,50 @@ def test_email_fake_shape(spark, vals):
     out = _apply(spark, vals, email_fake)
     for o in out:
         assert o.endswith("@example.com") and len(o) == 32 + len("@example.com")
+
+
+# free text possibly containing PII-shaped fragments
+PII_ISH = st.one_of(
+    TEXT,
+    st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.[a-z]{2,4}", fullmatch=True),
+    st.from_regex(r"[0-9]{3}-[0-9]{2}-[0-9]{4}", fullmatch=True),
+    st.from_regex(r"[0-9]{3}-[0-9]{3}-[0-9]{4}", fullmatch=True),
+)
+
+
+@given(vals=st.lists(PII_ISH, min_size=1, max_size=30))
+@FAST
+def test_scrub_pii_idempotent_and_clean(spark, vals):
+    """scrub(scrub(x)) == scrub(x), and no email/SSN/phone pattern survives
+    a scrub (the placeholder tokens contain no digits or @)."""
+    import re
+
+    from database_anonymiser_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    once = _apply(spark, vals, scrub_pii)
+    twice = _apply(spark, once, scrub_pii)
+    assert twice == once
+    for o in once:
+        for pat, _ in PII_PATTERNS:
+            assert not re.search(pat, o), f"pattern {pat} survived scrub: {o!r}"
+
+
+@given(
+    cols=st.dictionaries(
+        st.from_regex(r"[a-z_]{1,12}", fullmatch=True),
+        st.sampled_from(["KEEP", "SET_NULL", "REDACT", "HASH_SHA256", "TRUNCATE"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+@FAST
+def test_column_strategy_orientations_agree(cols):
+    """Any column→strategy map must normalize identically whether written in
+    the internal orientation or the reference's strategy→[columns] one."""
+    from database_anonymiser_spark.config import _normalize_column_strategy
+
+    internal = _normalize_column_strategy(dict(cols))
+    inverted: dict[str, list[str]] = {}
+    for c, s in cols.items():
+        inverted.setdefault(s, []).append(c)
+    assert _normalize_column_strategy(inverted) == internal

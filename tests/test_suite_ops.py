@@ -241,6 +241,44 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_forward_and_nearest(spark):
+    """Forward: earliest right at-or-after (inclusive; smallest rid wins
+    ties). Nearest: closer of backward/forward, tie -> backward."""
+    from database_anonymiser_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d"), (1, 13, "e")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (2, 6, 102), (1, 10, 99)],
+        "k long, t long, rid long",
+    )
+    kw = dict(on=["k"], left_ts="t", right_ts="t", right_payload=["rid"], tie_break="rid")
+    fwd = {
+        (r["k"], r["t"]): r["asof_rid"]
+        for r in asof_join(left, right, direction="forward", **kw).collect()
+    }
+    assert fwd == {
+        (1, 10): 99,   # inclusive >=; tie at t=10 resolves to MIN rid
+        (1, 13): 101,  # earliest following
+        (1, 20): None, # nothing after
+        (2, 5): 102,
+        (3, 7): None,
+    }
+    near = {
+        (r["k"], r["t"]): r["asof_rid"]
+        for r in asof_join(left, right, direction="nearest", **kw).collect()
+    }
+    assert near == {
+        (1, 10): 100,  # dist 0 both ways -> backward wins (max-rid tie rule)
+        (1, 13): 101,  # |13-15|=2 < |13-10|=3 -> forward
+        (1, 20): 101,  # only backward exists
+        (2, 5): 102,   # only forward exists
+        (3, 7): None,
+    }
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     """1→N frame sampling: every doc yields exactly n_frames rows whose
     byte counts sum to ~the payload length (chunked evenly)."""
