@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # agg_multidim stands in for the aggregation slot; window_rank→window_pack;
 # tpch_q14→tpch_q6_q14; text_quality→text_profile; func_json_struct→func_json.
 # sim_cosine_pairs joins the set now that it's LSH-blocked (was a crossJoin).
+# join_asof now computes all THREE directions (backward/forward/nearest) in
+# one query — its timing is not comparable 1:1 with round 1's backward-only.
 HEADLINE = [
     "anonymise_customer",
     "agg_multidim",

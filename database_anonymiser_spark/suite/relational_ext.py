@@ -21,25 +21,65 @@ from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
     """
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
     v AS (SELECT * FROM events WHERE event_type = 'view'),
-    j AS (
-      SELECT p.event_id, p.user_id,
-             v.event_id AS asof_event_id, v.value AS asof_value,
-             row_number() OVER (
-               PARTITION BY p.event_id
-               ORDER BY v.ts DESC, v.event_id DESC) AS rn
-      FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+    bk AS (
+      SELECT event_id, user_id, asof_event_id, asof_value FROM (
+        SELECT p.event_id, p.user_id,
+               v.event_id AS asof_event_id, v.value AS asof_value,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      ) WHERE rn = 1
+    ),
+    fw AS (
+      SELECT event_id, user_id, asof_event_id, asof_value, asof_ts FROM (
+        SELECT p.event_id, p.user_id,
+               v.event_id AS asof_event_id, v.value AS asof_value, v.ts AS asof_ts,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+      ) WHERE rn = 1
+    ),
+    bk2 AS (
+      SELECT event_id, user_id, asof_event_id, asof_value, asof_ts FROM (
+        SELECT p.event_id, p.user_id,
+               v.event_id AS asof_event_id, v.value AS asof_value, v.ts AS asof_ts,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      ) WHERE rn = 1
     )
-    SELECT event_id, user_id, asof_event_id, asof_value FROM j WHERE rn = 1
+    SELECT 'backward' AS direction, event_id, user_id, asof_event_id, asof_value FROM bk
+    UNION ALL
+    SELECT 'forward' AS direction, event_id, user_id, asof_event_id, asof_value FROM fw
+    UNION ALL
+    SELECT 'nearest' AS direction, p.event_id, p.user_id,
+           CASE WHEN fw.asof_ts IS NULL
+                  OR (bk2.asof_ts IS NOT NULL
+                      AND p.ts - bk2.asof_ts <= fw.asof_ts - p.ts)
+                THEN bk2.asof_event_id ELSE fw.asof_event_id END AS asof_event_id,
+           CASE WHEN fw.asof_ts IS NULL
+                  OR (bk2.asof_ts IS NOT NULL
+                      AND p.ts - bk2.asof_ts <= fw.asof_ts - p.ts)
+                THEN bk2.asof_value ELSE fw.asof_value END AS asof_value
+    FROM p
+    LEFT JOIN bk2 ON bk2.event_id = p.event_id
+    LEFT JOIN fw ON fw.event_id = p.event_id
     """,
     tags=("join", "timeseries"),
 )
 def join_asof(spark, sf_dir):
-    """Backward as-of join: each purchase event gets the user's latest view
-    event at-or-before it.
+    """As-of join, all three directions tagged and unioned: each purchase
+    event gets the user's latest view at-or-before it (backward), earliest
+    view at-or-after it (forward), and whichever is closer (nearest, ties
+    backward).
 
-    Scale: union + ordered window = ONE shuffle on user_id; no range-join
-    candidate explosion (the oracle's LEFT JOIN + row_number formulation is
-    the quadratic plan we specifically avoid). State per key is one carried
+    Scale: union + ordered window = ONE shuffle on user_id per direction
+    (nearest shares one shuffle for both carries); no range-join candidate
+    explosion (the oracle's LEFT JOIN + row_number formulation is the
+    quadratic plan we specifically avoid). State per key is one carried
     payload — safe at any per-user event volume.
     """
     ev = load(spark, sf_dir, "events")
@@ -49,16 +89,28 @@ def join_asof(spark, sf_dir):
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", "value"
     )
-    out = asof_join(
-        purchases,
-        views,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_payload=["event_id", "value"],
-        tie_break="event_id",
-    )
-    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+    parts = []
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            purchases,
+            views,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["event_id", "value"],
+            tie_break="event_id",
+            direction=direction,
+        )
+        parts.append(
+            out.select(
+                F.lit(direction).alias("direction"),
+                "event_id",
+                "user_id",
+                "asof_event_id",
+                "asof_value",
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 # ---------------------------------------------------------------- cross join
