@@ -21,24 +21,46 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
 @register(
     "sample_scan",
     """
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'head' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_name IS NOT NULL
+      ORDER BY c_custkey LIMIT 5
+    )
+    UNION ALL
+    SELECT 'hash_sample' AS kind, c_custkey, c_name FROM customer
     WHERE c_name IS NOT NULL
-    ORDER BY c_custkey LIMIT 5
+      AND ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
     """,
-    tags=("scan", "filter"),
+    tags=("scan", "filter", "sample"),
 )
 def sample_scan(spark, sf_dir):
-    # S3 sample-limit + P4 null-filter in one scan. The IsNotNull predicate
-    # must reach the parquet scan (PushedFilters — plan-asserted in
-    # tests/test_plans.py); the deterministic ORDER BY + LIMIT compiles to
-    # TakeOrderedAndProject (per-partition heaps, no global sort).
+    """S3 sample-limit + P4 null-filter + deterministic hash sampling.
+
+    'head' is the config-preview limit (TakeOrderedAndProject: per-partition
+    heaps, no global sort; IsNotNull pushed to the scan — plan-asserted).
+    'hash_sample' is a ~5% key-hash sample — the reproducible sampling
+    idiom for 100 TB pipelines: unlike rand()/TABLESAMPLE it is stable
+    across runs, engines, partitionings and retries, and it is a map-side
+    filter (no shuffle, no seed state).
+    """
     df = load(spark, sf_dir, "customer")
-    return (
+    head = (
         df.where(F.col("c_name").isNotNull())
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
         .limit(5)
+        .select(F.lit("head").alias("kind"), "c_custkey", "c_name")
     )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sampled = (
+        df.where(F.col("c_name").isNotNull() & (bucket < 5))
+        .select(F.lit("hash_sample").alias("kind"), "c_custkey", "c_name")
+    )
+    return head.unionByName(sampled)
 
 
 @register("catalog_scan", None, tags=("scan", "catalog", "plan"))
