@@ -250,16 +250,20 @@ def tpch_q5(spark, sf_dir):
     tags=("join", "skew"),
 )
 def join_salted(spark, sf_dir):
-    """Salted equi-join (hot-key spreading): result must equal the plain
-    join — the oracle IS the plain join. Salt is a deterministic row hash,
-    so speculative/retried tasks salt identically."""
-    from database_anonymiser_spark.operators.skew import salted_join
+    """Targeted salted equi-join (hot-key-only spreading — the production
+    skew guard): a frequency pass finds keys above the threshold, ONLY
+    those spread across salts and replicate the small side's matching rows;
+    cold keys join unsalted. Result must equal the plain join — the oracle
+    IS the plain join. Salt is a deterministic row hash, so speculative /
+    retried tasks salt identically. (Blanket salting — salted_join — is the
+    simpler fallback, equivalence-tested in tests/test_suite_ops.py.)"""
+    from database_anonymiser_spark.operators.skew import targeted_salted_join
 
     li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
-    joined = salted_join(li, s, on="l_suppkey", salt=8)
+    joined = targeted_salted_join(li, s, on="l_suppkey", salt=8, hot_threshold=500)
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty")
     )

@@ -241,6 +241,39 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_targeted_salted_join_equals_plain_join(spark):
+    """Hot-key-only salting must produce exactly the plain join: one
+    pathological hot key (80% of rows), several cold keys; verify inner and
+    left, exact and sampled frequency pass."""
+    from database_anonymiser_spark.operators.skew import targeted_salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(800)] + [(k, k * 1000) for k in range(2, 52)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold2"), (3, "cold3"), (99, "unmatched")],
+        "k long, label string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for how in ("inner", "left"):
+        plain = rows(big.join(small, "k", how))
+        salted = rows(
+            targeted_salted_join(big, small, on="k", how=how, salt=4, hot_threshold=100)
+        )
+        assert salted == plain, f"{how}: targeted salting changed the result"
+    sampled = rows(
+        targeted_salted_join(
+            big, small, on="k", how="inner", salt=4, hot_threshold=100,
+            sample_fraction=0.5,
+        )
+    )
+    assert sampled == rows(big.join(small, "k", "inner"))
+
+
 def test_asof_join_forward_and_nearest(spark):
     """Forward: earliest right at-or-after (inclusive; smallest rid wins
     ties). Nearest: closer of backward/forward, tie -> backward."""
