@@ -205,6 +205,27 @@ def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PAT
     return out
 
 
+def heavy_hitters(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent whitespace tokens.
+
+    Exact formulation: explode → partial-agg count (map-side combine
+    collapses each partition to its distinct tokens before the shuffle) →
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+    Deterministic tie-break on the token itself. At 100 TB the partial
+    aggregation is what keeps the shuffle proportional to |vocabulary|,
+    not |tokens|; for a sketched alternative with bounded memory see
+    ``DataFrame.freqItems`` (pinned against this exact answer in
+    tests/test_suite_ops.py).
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF with a rational idf (n_docs / doc_freq, no logarithm).
 

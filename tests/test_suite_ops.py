@@ -181,6 +181,23 @@ def test_cosine_lsh_pairs_recall_vs_brute_force(emb):
             assert len(lsh & exact) / len(exact) >= bound
 
 
+def test_heavy_hitters_exact_and_freqitems_agree(spark, docs):
+    """Exact top-k terms (explode → partial agg → TakeOrderedAndProject) is
+    the ground truth; Spark's freqItems sketch (support-thresholded) must
+    contain every truly-dominant term it claims to cover."""
+    from database_anonymiser_spark.operators.text import heavy_hitters, tokens
+
+    top = heavy_hitters(docs, "text", k=5).collect()
+    assert len(top) == 5 and top[0]["freq"] >= top[-1]["freq"]
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    n = tok.count()
+    support = 0.05
+    sketch = set(tok.freqItems(["term"], support=support).first()[0])
+    for r in top:
+        if r["freq"] / n > support:  # guaranteed-coverage regime only
+            assert r["term"] in sketch
+
+
 def test_scrub_pii_tokens_and_ordering(spark):
     """Email/SSN/phone all scrubbed; SSN pattern must win over the phone
     pattern on 3-2-4 digit groups (ordering in PII_PATTERNS)."""
