@@ -63,15 +63,63 @@ def sample_scan(spark, sf_dir):
     return head.unionByName(sampled)
 
 
-@register("catalog_scan", None, tags=("scan", "catalog", "plan"))
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+)
+
+# The 4 tables surviving the fixed config's enabled + denylist filters
+# (orders disabled; lineitem/part denylisted) — a constant of the config,
+# so the oracle asserts the planner's filter semantics as literal rows.
+_PLAN_SURVIVORS_SQL = " UNION ALL ".join(
+    f"SELECT 'plan_survivor' AS kind, 'public.{t}' AS table_name, "
+    "CAST(NULL AS VARCHAR) AS column_name, CAST(NULL AS INTEGER) AS ordinal, "
+    "CAST(NULL AS VARCHAR) AS data_type, CAST(NULL AS VARCHAR) AS type_group, "
+    "CAST(NULL AS BOOLEAN) AS nullable"
+    for t in ("region", "nation", "customer", "supplier")
+)
+
+
+@register(
+    "catalog_scan",
+    # The column rows come from DuckDB's information_schema over the same
+    # registered views; DuckDB's type names map 1:1 to Spark simpleStrings
+    # on this fixture, and the engine's 7-group mapping is a CASE away — so
+    # even catalog introspection is value-hash checked cross-engine.
+    f"""
+    SELECT 'column' AS kind, table_name, column_name,
+           CAST(ordinal_position AS INTEGER) AS ordinal,
+           CASE data_type
+             WHEN 'BIGINT' THEN 'bigint'
+             WHEN 'INTEGER' THEN 'int'
+             WHEN 'DOUBLE' THEN 'double'
+             WHEN 'VARCHAR' THEN 'string'
+             WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+             WHEN 'FLOAT[]' THEN 'array<float>'
+           END AS data_type,
+           CASE
+             WHEN data_type IN ('BIGINT', 'INTEGER', 'DOUBLE') THEN 'NUMBER'
+             WHEN data_type = 'VARCHAR' THEN 'STRING'
+             WHEN data_type = 'TIMESTAMP' THEN 'DATE'
+             ELSE 'OTHER'
+           END AS type_group,
+           is_nullable = 'YES' AS nullable
+    FROM information_schema.columns
+    WHERE table_name IN ({", ".join(f"'{t}'" for t in _ALL_TABLES.split())})
+    UNION ALL
+    {_PLAN_SURVIVORS_SQL}
+    """,
+    tags=("scan", "catalog", "plan"),
+)
 def catalog_scan(spark, sf_dir):
     """S1/S2 catalog-as-DataFrame + P2/P3 plan filtering, tagged and
-    unioned (rows-only: both surfaces are engine introspection, not data).
+    unioned.
 
     'column' rows are the full column catalog (metadata-only — parquet
-    footers, no row data, safe at any scale); 'plan_survivor' rows are the
-    tables that survive the enabled-flag + denylist filters for a fixed
-    config (P2/P3).
+    footers, no row data, safe at any scale), checked against DuckDB's
+    information_schema over the same files with a 1:1 type-name mapping;
+    'plan_survivor' rows are the tables that survive the enabled-flag +
+    denylist filters for a fixed config (P2/P3), which the oracle encodes
+    as the expected literal set.
     """
     from database_anonymiser_spark.catalog import ParquetCatalog
     from database_anonymiser_spark.config import config_from_dict
