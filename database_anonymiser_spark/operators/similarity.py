@@ -21,6 +21,7 @@ the next step; hyperplane-LSH was chosen because it needs no training state.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -112,6 +113,23 @@ def int_planes(dim: int, n_planes: int) -> list[list[int]]:
     ]
 
 
+def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
+    """One 0/1 column per quantized hyperplane: sign of the exact-decimal
+    dot against the integer plane. Map-side, deterministic in any engine."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(c) for c in p])
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col, plane, lambda x, y: (_dec(x) * y).cast("decimal(30,6)")
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: (acc + x).cast("decimal(38,6)"),
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -139,17 +157,7 @@ def cosine_lsh_pairs(
     the recall/cost point you need.
     """
     planes = int_planes(dim, n_planes)
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(c) for c in p])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), plane, lambda x, y: (_dec(x) * y).cast("decimal(30,6)")
-            ),
-            F.lit(0).cast("decimal(38,6)"),
-            lambda acc, x: (acc + x).cast("decimal(38,6)"),
-        )
-        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    bits = _sign_bits(F.col(vec_col), planes)
     sig = df.select(
         F.col(id_col), *[b.alias(f"sb_{i}") for i, b in enumerate(bits)]
     )
@@ -237,18 +245,18 @@ def lsh_bucket_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature bucketing + exact
-    re-rank inside the query's bucket. Recall measured in tests."""
-    planes = _hyperplanes(dim, n_planes)
+    re-rank inside the query's bucket. Recall measured in tests.
+
+    The signature uses the same integer-quantized planes + exact-decimal
+    sign bits as :func:`cosine_lsh_pairs`, so every bucket assignment is
+    reproducible bit-for-bit in an independent ANSI-SQL engine — the
+    declared ``sim_topk_ann`` entry is value-hash checked against DuckDB.
+    """
+    bits = _sign_bits(F.col(vec_col), int_planes(dim, n_planes))
     sig = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    for i, b in enumerate(bits):
+        term = b * F.lit(2**i)
+        sig = term if sig is None else sig + term
     with_sig = df.withColumn("_sig", sig.cast("int"))
     qsig = with_sig.where(F.col(id_col) == query_id).select(
         F.col("_sig").alias("_qsig"), F.col(vec_col).alias("_qv")
@@ -267,15 +275,33 @@ def lsh_bucket_topk(
     )
 
 
-def _dot_lit(vec_col, centroid: list[float]) -> F.Column:
-    """Cheap double dot against a literal centroid (assignment only — the
-    final ranking always re-scores with the exact-decimal cosine)."""
+def _dot_dec_lit(vec_col, centroid: list[float]) -> F.Column:
+    """Exact-decimal dot against a literal centroid — same arithmetic as
+    :func:`_dot_decimal`, so list assignment (an argmax over these dots) is
+    reproducible in any engine computing decimal(18,6) products exactly."""
     plane = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
-        F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with(vec_col, plane, lambda x, y: (_dec(x) * _dec(y)).cast("decimal(30,12)")),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
     )
+
+
+_DEC6 = Decimal("0.000001")
+
+
+def _dec6_py(x: float) -> Decimal:
+    """Python twin of the decimal(18,6) cast: round the exact binary double
+    to 6dp. Ties-at-7th-digit cannot occur for binary doubles (0.5e-6 has no
+    finite binary expansion), so the rounding mode is immaterial — HALF_UP
+    matches Spark/DuckDB."""
+    return Decimal(x).quantize(_DEC6, rounding=ROUND_HALF_UP)
+
+
+def _dot_dec_py(a: list[float], b: list[float]) -> Decimal:
+    """Driver-side exact-decimal dot — bit-identical to :func:`_dot_dec_lit`
+    and to ``sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))``."""
+    return sum((_dec6_py(x) * _dec6_py(y) for x, y in zip(a, b)), Decimal(0))
 
 
 def ivf_topk(
@@ -297,6 +323,10 @@ def ivf_topk(
     ``n_probe`` nearest lists; exact-decimal cosine re-ranks only those
     lists' members — per-query work is ~n_probe/n_centroids of the corpus,
     the property that makes IVF the interactive-lookup path at 100 TB.
+
+    Every arithmetic step — assignment dots, probe ranking, final cosine —
+    is exact decimal with explicit tie-breaks, so the whole deterministic
+    construction is reproduced in the DuckDB oracle (suite/similarity.py).
     """
     cent_rows = (
         df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
@@ -306,10 +336,11 @@ def ivf_topk(
     def argmax_cid(vec) -> F.Column:
         # array_max over (dot, cid) structs: each centroid dot is computed
         # exactly once (a when-chain would double the expression tree per
-        # step — exponential in n_centroids)
+        # step — exponential in n_centroids). Struct comparison = (d DESC,
+        # cid DESC) tie-break, mirrored by the oracle's row_number ordering.
         scored = F.array(
             *[
-                F.struct(_dot_lit(vec, cv).alias("d"), F.lit(cid).alias("c"))
+                F.struct(_dot_dec_lit(vec, cv).alias("d"), F.lit(cid).alias("c"))
                 for cid, cv in centroids
             ]
         )
@@ -322,9 +353,11 @@ def ivf_topk(
             F.col(id_col), F.lit(0.0).alias("cosine")
         )
     qvec = [float(x) for x in qrow[0][0]]
+    # exact-decimal probe ranking (dot DESC, cid ASC) — same arithmetic as
+    # the executors' assignment dots, reproducible in the oracle
     probe = sorted(
         centroids,
-        key=lambda c: -sum(a * b for a, b in zip(c[1], qvec)),
+        key=lambda c: (-_dot_dec_py(c[1], qvec), c[0]),
     )[:n_probe]
     probe_ids = [cid for cid, _ in probe]
     qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")

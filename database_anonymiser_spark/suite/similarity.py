@@ -119,11 +119,103 @@ def sim_cosine_pairs(spark, sf_dir):
     return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
-@register("sim_topk_ann", None, tags=("similarity", "approx"))
+def _ann_oracle(
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Reproduce BOTH approximate-NN paths in ANSI SQL. "Approximate" means
+    recall < 1 vs brute force — the plan each path actually runs is fully
+    deterministic, so the oracle rebuilds it end-to-end: the LSH signature
+    (int-quantized planes → exact-decimal sign bits → bucket), the IVF
+    codebook (lowest-id vectors → exact-decimal argmax assignment →
+    probed lists), and the exact-decimal cosine re-rank with explicit
+    (cosine DESC, vec_id ASC) top-k tie-breaks."""
+    planes = SIM.int_planes(dim, n_planes)
+    sig_dots = ",\n             ".join(
+        f"sum(CAST(x AS DECIMAL(18,6)) * ({planes[p]})[i]) AS d{p}"
+        for p in range(n_planes)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+    WITH {_UNNEST_CTE},
+    q AS (SELECT x AS qx, i FROM v WHERE vec_id = {_QUERY_VEC_ID}),
+    nsq AS (
+      SELECT vec_id,
+             CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS nsq
+      FROM v GROUP BY vec_id
+    ),
+    qdots AS (
+      SELECT v.vec_id,
+             CAST(sum(CAST(v.x AS DECIMAL(18,6)) * CAST(q.qx AS DECIMAL(18,6))) AS DOUBLE) AS dot
+      FROM v JOIN q USING (i) GROUP BY v.vec_id
+    ),
+    qn AS (SELECT nsq AS nb FROM nsq WHERE vec_id = {_QUERY_VEC_ID}),
+    cos AS (
+      SELECT d.vec_id, round(d.dot / (sqrt(n.nsq) * sqrt(qn.nb)), 6) AS cosine
+      FROM qdots d JOIN nsq n USING (vec_id) CROSS JOIN qn
+      WHERE d.vec_id != {_QUERY_VEC_ID}
+    ),
+    sdots AS (
+      SELECT vec_id,
+             {sig_dots}
+      FROM v GROUP BY vec_id
+    ),
+    sig AS (SELECT vec_id, {sig_expr} AS sig FROM sdots),
+    qsig AS (SELECT sig FROM sig WHERE vec_id = {_QUERY_VEC_ID}),
+    lsh AS (
+      SELECT 'lsh' AS method, c.vec_id, c.cosine
+      FROM cos c JOIN sig s ON s.vec_id = c.vec_id CROSS JOIN qsig
+      WHERE s.sig = qsig.sig
+      ORDER BY c.cosine DESC, c.vec_id
+      LIMIT {k}
+    ),
+    cent AS (
+      SELECT v.vec_id AS cid, v.x AS cx, v.i
+      FROM v
+      JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_centroids}) cs
+        ON v.vec_id = cs.vec_id
+    ),
+    ad AS (
+      SELECT v.vec_id, c.cid,
+             sum(CAST(v.x AS DECIMAL(18,6)) * CAST(c.cx AS DECIMAL(18,6))) AS d
+      FROM v JOIN cent c USING (i) GROUP BY v.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        FROM ad
+      ) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM ad WHERE vec_id = {_QUERY_VEC_ID}
+      ORDER BY d DESC, cid ASC LIMIT {n_probe}
+    ),
+    ivf AS (
+      SELECT 'ivf' AS method, c.vec_id, c.cosine
+      FROM cos c
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN probe p ON a.cid = p.cid
+      ORDER BY c.cosine DESC, c.vec_id
+      LIMIT {k}
+    )
+    SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+    """
+
+
+@register("sim_topk_ann", _ann_oracle(), tags=("similarity", "approx"))
 def sim_topk_ann(spark, sf_dir):
     """Both approximate-NN paths, tagged and unioned: hyperplane-LSH
-    bucketed top-k and IVF probed-list top-k (approximate → rows-only
-    oracle; recall vs brute force is pinned in tests/test_suite_ops.py)."""
+    bucketed top-k and IVF probed-list top-k. Approximate = recall < 1 vs
+    brute force (pinned in tests/test_suite_ops.py), but the plan each path
+    runs is deterministic — the oracle reproduces the LSH bucketing and the
+    IVF codebook/assignment/probe construction exactly, so this entry is
+    value-hash checked like every other similarity query."""
     emb = load(spark, sf_dir, "embeddings")
     lsh = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(
         F.lit("lsh").alias("method"), "vec_id", "cosine"
