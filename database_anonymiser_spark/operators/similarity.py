@@ -130,32 +130,36 @@ def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
     return bits
 
 
-def cosine_lsh_pairs(
+def recommended_lsh_params(n: int, bands: int = 4) -> tuple[int, int]:
+    """The scaling law for :func:`cosine_lsh_pairs` parameters.
+
+    Per band, candidates concentrate in 2^rows_per_band buckets; for
+    near-orthogonal corpora (sign-bit agreement p ≈ 0.5, the worst case)
+    expected candidates ≈ bands · n²/2 · 2^(-rows_per_band). Keeping
+    n / 2^rows_per_band constant — rows_per_band = ⌈log₂ n⌉ — makes
+    candidate growth LINEAR in n (measured on the fixture: n=500→2000
+    gives 2.3→2.7 candidates per row, tests/test_suite_ops.py). More
+    ``bands`` buys recall at proportional candidate cost: a true pair with
+    per-bit agreement p survives with 1-(1-p^w)^bands.
+
+    Returns (n_planes, rows_per_band).
+    """
+    w = max(2, math.ceil(math.log2(max(n, 2))))
+    return bands * w, w
+
+
+def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float = 0.5,
-    n_planes: int = 8,
-    rows_per_band: int = 2,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via hyperplane-LSH blocking — the
-    scale path (mirrors the banded MinHash construction in
-    operators/dedup.py::minhash_lsh_pairs).
-
-    Signature: n_planes sign bits of exact-decimal dots against quantized
-    hyperplanes — entirely map-side, no shuffle. Banding: bits split into
-    bands of ``rows_per_band``; vectors sharing any band bucket become
-    candidates; candidates are re-scored with the exact-decimal cosine and
-    filtered at ``threshold``.
-
-    Cost ∝ bucket collisions, not |vectors|² — no CartesianProduct anywhere
-    in the plan (plan-asserted in tests/test_plans.py). Recall < 1 by LSH
-    construction (pairs near the threshold may straddle every band);
-    measured vs brute force in tests/test_suite_ops.py. The parameters are
-    fixture-sized; at real scale raise n_planes and tune the band width for
-    the recall/cost point you need.
-    """
+    """Banded hyperplane-LSH candidate generation (blocking only — no
+    verification): map-side sign-bit signatures, bits split into bands of
+    ``rows_per_band``, vectors sharing any band bucket become a candidate
+    pair. Size the parameters with :func:`recommended_lsh_params`."""
     planes = int_planes(dim, n_planes)
     bits = _sign_bits(F.col(vec_col), planes)
     sig = df.select(
@@ -172,11 +176,44 @@ def cosine_lsh_pairs(
     ).select(id_col, "_b.band_id", "_b.band_key")
     left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
-    candidates = (
+    return (
         left.join(right, ["band_id", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH blocking — the
+    scale path (mirrors the banded MinHash construction in
+    operators/dedup.py::minhash_lsh_pairs).
+
+    Signature: n_planes sign bits of exact-decimal dots against quantized
+    hyperplanes — entirely map-side, no shuffle. Banding: bits split into
+    bands of ``rows_per_band``; vectors sharing any band bucket become
+    candidates; candidates are re-scored with the exact-decimal cosine and
+    filtered at ``threshold``.
+
+    Cost ∝ bucket collisions, not |vectors|² — no CartesianProduct anywhere
+    in the plan (plan-asserted in tests/test_plans.py). Recall < 1 by LSH
+    construction (pairs near the threshold may straddle every band);
+    measured vs brute force in tests/test_suite_ops.py. Defaults (16
+    planes, 4-bit bands → 4 bands × 16 buckets) fit 10³–10⁴ rows; at scale
+    grow the band width with ⌈log₂ n⌉ via :func:`recommended_lsh_params` —
+    that keeps candidate growth linear in n (asserted in
+    tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically).
+    """
+    candidates = lsh_candidate_pairs(
+        df, id_col, vec_col, n_planes=n_planes, rows_per_band=rows_per_band, dim=dim
     )
     # Two-stage verification. The exact-decimal cosine (the oracle-matched
     # score) folds 3 × dim decimal ops per pair in an interpreted

@@ -57,7 +57,7 @@ def sim_topk_bruteforce(spark, sf_dir):
     return SIM.brute_force_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
 
 
-def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 8, rows_per_band: int = 2, dim: int = 64) -> str:
+def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
     """Reproduce cosine_lsh_pairs' full construction in ANSI SQL: the
     integer-quantized hyperplane sign bits, the banding, the candidate join,
     and the exact-decimal cosine verification — so even the LSH blocking is
@@ -72,7 +72,10 @@ def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 8, rows_per_band:
     )
     bands = " UNION ALL ".join(
         f"SELECT vec_id, {b0} AS band_id, "
-        f"sb{b0}::VARCHAR || '_' || sb{b0 + 1}::VARCHAR AS band_key FROM sig"
+        + " || '_' || ".join(
+            f"sb{i}::VARCHAR" for i in range(b0, min(b0 + rows_per_band, n_planes))
+        )
+        + " AS band_key FROM sig"
         for b0 in range(0, n_planes, rows_per_band)
     )
     return f"""
@@ -114,9 +117,15 @@ def sim_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate detection (the 5th dedup family),
     hyperplane-LSH blocked: map-side signatures → banded candidate join →
     exact-cosine verify. No CartesianProduct in the plan (plan-asserted);
-    recall vs the brute-force baseline is pinned in tests/test_suite_ops.py."""
+    recall vs the brute-force baseline is pinned in tests/test_suite_ops.py.
+
+    Declared at the scale-shaped parameterization (16 planes, 4-bit bands →
+    16 buckets per band); the oracle generator takes the same parameters, so
+    the wider signature stays hash-checked in lockstep. The log₂(n) band-
+    width scaling law is asserted separately in
+    tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5)
+    return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
 
 
 def _ann_oracle(
