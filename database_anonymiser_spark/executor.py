@@ -8,9 +8,12 @@ Rebuilds ``src/executor/executor.ts:87-147`` on Spark's immutable model:
   failure deletes every staging and promotes NOTHING — the all-or-nothing
   semantics of the reference's single wrapping transaction
   (``src/main.ts:102-111`` BEGIN…COMMIT, ROLLBACK on error). The promote
-  phase itself is a sequence of same-filesystem renames — cheap,
-  data-independent metadata ops, the same exposure window the reference has
-  at COMMIT time.
+  phase itself is crash-atomic via a manifest: the full rename list is
+  journaled to ``_promote_manifest.json`` before the first rename and
+  removed after the last, so a driver crash mid-loop is rolled FORWARD on
+  the next apply (every journaled rename is safe by construction — the
+  manifest exists only once every staging succeeded). This matches the
+  reference's single atomic ``COMMIT`` exposure, write-ahead-log style.
 
 100 TB posture:
 - The mask is one narrow projection — no shuffle, no Python; executors stream
@@ -21,10 +24,15 @@ Rebuilds ``src/executor/executor.ts:87-147`` on Spark's immutable model:
 - Tables are independent jobs; ``parallelism`` submits them concurrently from
   a thread pool so a 1000-executor cluster isn't serialized on one table's
   tail (the reference is strictly sequential, executor.ts:104-132).
+- Staged writes are file-size governed: ``max_records_per_file`` caps every
+  output file (SURVEY.md §7) so a 100 TB apply neither emits multi-TB
+  single files nor a small-file storm — Spark splits each task's output at
+  the cap with no extra shuffle.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import shutil
 import uuid
@@ -41,6 +49,13 @@ from database_anonymiser_spark.strategies import (
 )
 
 log = logging.getLogger(__name__)
+
+PROMOTE_MANIFEST = "_promote_manifest.json"
+
+#: Default cap on records per staged output file (SURVEY.md §7). At ~100-200
+#: bytes/row of masked TPC-H-ish data this lands files in the 100 MB–1 GB
+#: band object stores and downstream scans like.
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
 
 
 @dataclass
@@ -87,11 +102,38 @@ def mask_table(catalog: ParquetCatalog, planned: PlannedTable):
     return masked, active, downgrades
 
 
+def recover_pending_promote(output_root: Path) -> list[str]:
+    """Roll FORWARD a promote interrupted by a driver crash.
+
+    The manifest is journaled only after every table's staging write
+    succeeded, so each recorded rename is unconditionally safe to finish:
+    if the staging directory still exists the crash hit before its rename
+    (promote it now); if it's gone the rename already happened. Called at
+    the start of every apply; returns the tables rolled forward. The
+    reference gets this from Postgres' atomic COMMIT (main.ts:111); this is
+    the filesystem-rename equivalent, write-ahead-log style.
+    """
+    manifest = output_root / PROMOTE_MANIFEST
+    if not manifest.exists():
+        return []
+    recovered = []
+    for entry in json.loads(manifest.read_text()):
+        staging, final = Path(entry["staging"]), Path(entry["final"])
+        if staging.exists():
+            _promote(staging, final)
+            recovered.append(entry["table"])
+    manifest.unlink()
+    if recovered:
+        log.warning("rolled forward interrupted promote for: %s", ", ".join(recovered))
+    return recovered
+
+
 def _execute_table(
     catalog: ParquetCatalog,
     planned: PlannedTable,
     dryrun: bool,
     output_root: Path | None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
 ) -> tuple[TableResult, Path | None]:
     """One table's mask + (dryrun count | staged write). NEVER promotes —
     returns the staging path so the caller can promote all-or-nothing."""
@@ -108,7 +150,11 @@ def _execute_table(
             return res, None
         assert output_root is not None
         staging = output_root / f"_staging_{planned.name}_{uuid.uuid4().hex[:8]}"
-        masked.write.mode("overwrite").parquet(str(staging))
+        # File-size governance (SURVEY.md §7): cap records per output file so
+        # apply output is neither giant files nor a small-file storm.
+        masked.write.option("maxRecordsPerFile", max_records_per_file).mode(
+            "overwrite"
+        ).parquet(str(staging))
         res.rows = catalog.spark.read.parquet(str(staging)).count()
         return res, staging
     except Exception as e:  # per-table failure isolation, reported not swallowed
@@ -132,11 +178,14 @@ def execute_plan(
     row_cap: int = DEFAULT_ROW_CAP,
     force: bool = False,
     parallelism: int = 4,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
 ) -> ExecutionResult:
     """≅ executePlan (executor.ts:87-147) with staged-write apply.
 
     Apply enforces the row cap from a dryrun count first (safeguards made
-    live, SURVEY.md §2 C6).
+    live, SURVEY.md §2 C6), rolls forward any promote interrupted by a
+    previous crash, and journals its own promote phase so IT is
+    crash-atomic too.
     """
     mode = "dryrun" if dryrun else "apply"
     out_root = Path(output_root) if output_root else None
@@ -144,6 +193,7 @@ def execute_plan(
         if out_root is None:
             raise ValueError("apply mode requires output_root")
         out_root.mkdir(parents=True, exist_ok=True)
+        recover_pending_promote(out_root)
         dry = execute_plan(catalog, plan, dryrun=True, parallelism=parallelism)
         enforce_row_cap(dry.total_rows, cap=row_cap, force=force)
 
@@ -151,11 +201,15 @@ def execute_plan(
     if parallelism > 1 and len(plan.tables) > 1:
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
             futures = [
-                pool.submit(_execute_table, catalog, t, dryrun, out_root) for t in plan.tables
+                pool.submit(_execute_table, catalog, t, dryrun, out_root, max_records_per_file)
+                for t in plan.tables
             ]
             table_results = [f.result() for f in futures]
     else:
-        table_results = [_execute_table(catalog, t, dryrun, out_root) for t in plan.tables]
+        table_results = [
+            _execute_table(catalog, t, dryrun, out_root, max_records_per_file)
+            for t in plan.tables
+        ]
 
     any_error = any(tr.error is not None for tr, _ in table_results)
     if not dryrun and any_error:
@@ -169,12 +223,29 @@ def execute_plan(
             result.tables.append(tr)
         return result
 
+    promotions: list[tuple[Path, Path]] = []
     for (tr, staging), planned in zip(table_results, plan.tables):
         result.tables.append(tr)
         if tr.skipped or tr.error is not None:
             continue
         if not dryrun:
             assert staging is not None and out_root is not None
-            _promote(staging, out_root / f"{planned.name}.parquet")
+            promotions.append((staging, out_root / f"{planned.name}.parquet"))
         result.updated_by_table[tr.table] = tr.rows
+    if promotions:
+        assert out_root is not None
+        # Journal-then-rename: a crash anywhere in the loop is rolled forward
+        # by recover_pending_promote on the next apply.
+        manifest = out_root / PROMOTE_MANIFEST
+        manifest.write_text(
+            json.dumps(
+                [
+                    {"table": final.stem, "staging": str(staging), "final": str(final)}
+                    for staging, final in promotions
+                ]
+            )
+        )
+        for staging, final in promotions:
+            _promote(staging, final)
+        manifest.unlink()
     return result
