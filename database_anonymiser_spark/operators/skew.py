@@ -11,8 +11,37 @@ the hot key.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _validate_salt(salt: int) -> None:
+    """salt must be ≥ 2: salt=1 means "don't salt" (call plain join), and the
+    targeted path builds its hot-side replication from range(1, salt) — an
+    empty (NullType!) array at salt=1 that would silently drop hot rows."""
+    if salt < 2:
+        raise ValueError("salt must be >= 2 (a 1-way salt is a plain join)")
+
+
+def _salt_expr(df: DataFrame, on: str, salt: int, salt_cols: Sequence[str] | None):
+    """Deterministic per-row salt in [0, salt): hash of the join key plus
+    ``salt_cols`` (a couple of high-entropy columns — defaults to every
+    column, which is correct but defeats column pruning on wide tables:
+    pass 1-2 columns the query already reads). Deterministic by design —
+    retried/speculative tasks must salt a row identically, so no rand().
+
+    Limitation (documented contract): rows IDENTICAL in all hashed columns
+    get identical salts, so a hot key made of exact-duplicate rows does not
+    spread. Include a row-unique column in ``salt_cols`` if that's your
+    skew shape.
+    """
+    cols = [on, *(c for c in (salt_cols if salt_cols is not None else df.columns) if c != on)]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"salt_cols not in big side: {missing}")
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt))
 
 
 def salted_join(
@@ -21,20 +50,20 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt: int = 8,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on one key with ``salt``-way key spreading.
 
-    The big side gets a DETERMINISTIC salt derived from its whole row (hash of
-    all columns, not rand() — retries/speculative tasks must salt a row the
-    same way), the small side is exploded ×``salt``. Result equals
-    ``big.join(small, on, how)`` exactly; cost trades ``salt``× replication
-    of the small side for even partitioning of the hot keys.
+    The big side gets a DETERMINISTIC salt (see :func:`_salt_expr` for the
+    column choice and the exact-duplicate-row caveat), the small side is
+    exploded ×``salt``. Result equals ``big.join(small, on, how)`` exactly;
+    cost trades ``salt``× replication of the small side for even
+    partitioning of the hot keys.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
-    big_s = big.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
-    )
+    _validate_salt(salt)
+    big_s = big.withColumn("_salt", _salt_expr(big, on, salt, salt_cols))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -50,6 +79,7 @@ def targeted_salted_join(
     salt: int = 8,
     hot_threshold: int = 100_000,
     sample_fraction: float | None = None,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Salt ONLY the hot keys — the production form of :func:`salted_join`.
 
@@ -68,6 +98,7 @@ def targeted_salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("targeted_salted_join supports inner/left")
+    _validate_salt(salt)
     keys = big.select(on)
     if sample_fraction is not None:
         counts = (
@@ -80,15 +111,15 @@ def targeted_salted_join(
     hot = counts.where(F.col("_cnt") >= hot_threshold).select(
         F.col(on).alias("_hot_key")
     )
-    # broadcast hot set; row-hash salt only for hot keys (deterministic —
-    # retries/speculative tasks salt identically)
+    # broadcast hot set; deterministic salt only for hot keys (see
+    # _salt_expr for column choice / duplicate-row caveat)
     big_s = (
         big.join(F.broadcast(hot), big[on] == F.col("_hot_key"), "left")
         .withColumn(
             "_salt",
             F.when(
                 F.col("_hot_key").isNotNull(),
-                F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)),
+                _salt_expr(big, on, salt, salt_cols),
             ).otherwise(F.lit(0)),
         )
         .drop("_hot_key")

@@ -263,7 +263,9 @@ def join_salted(spark, sf_dir):
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
-    joined = targeted_salted_join(li, s, on="l_suppkey", salt=8, hot_threshold=500)
+    joined = targeted_salted_join(
+        li, s, on="l_suppkey", salt=8, hot_threshold=500, salt_cols=("l_quantity",)
+    )
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty")
     )

@@ -80,6 +80,28 @@ def test_cosine_pairs_blocks_never_cartesian(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_salted_join_salt_does_not_defeat_pruning(spark, sf_dir):
+    """The deterministic salt must hash only the join key + the caller's
+    salt_cols — not every big-side column (round-2 VERDICT: a whole-row
+    hash forces a wide fact table to read all columns just to derive a
+    salt). With salt_cols=('l_quantity',), the big-side scan of the FULL
+    lineitem table prunes to exactly the two columns the query needs."""
+    from database_anonymiser_spark.operators.skew import targeted_salted_join
+    from database_anonymiser_spark.suite.base import load
+
+    li = load(spark, sf_dir, "lineitem")  # wide table, no pre-select
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    out = targeted_salted_join(
+        li, s, on="l_suppkey", salt=8, hot_threshold=500, salt_cols=("l_quantity",)
+    ).groupBy("s_name").agg(F.sum("l_quantity").alias("qty"))
+    plan = plan_of(out)
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    assert set(m.group(1).split(",")) == {"l_suppkey:bigint", "l_quantity:double"}, m.group(1)
+
+
 def test_multidim_agg_single_scan_single_agg(spark, sf_dir, queries):
     """agg_multidim must compute ONE cube and derive the other grouping
     families (explode-tag), not union three aggregations = three scans."""

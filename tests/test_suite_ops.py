@@ -314,6 +314,30 @@ def test_targeted_salted_join_equals_plain_join(spark):
         )
     )
     assert sampled == rows(big.join(small, "k", "inner"))
+    # pruned salt (salt_cols) must not change the result either
+    pruned = rows(
+        targeted_salted_join(
+            big, small, on="k", how="inner", salt=4, hot_threshold=100,
+            salt_cols=("payload",),
+        )
+    )
+    assert pruned == rows(big.join(small, "k", "inner"))
+
+
+def test_salted_join_rejects_degenerate_params(spark):
+    """salt=1 is a plain join wearing a costume — and worse, the targeted
+    path's hot-side replication array would be EMPTY (range(1,1)), silently
+    dropping hot rows (ADVICE r2). Both entry points must refuse it, and
+    unknown salt_cols must fail loudly, not hash nothing."""
+    from database_anonymiser_spark.operators.skew import salted_join, targeted_salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, payload long")
+    small = spark.createDataFrame([(1, "x")], "k long, label string")
+    for fn in (salted_join, targeted_salted_join):
+        with pytest.raises(ValueError, match="salt must be >= 2"):
+            fn(big, small, on="k", salt=1)
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, small, on="k", salt=4, salt_cols=("nope",))
 
 
 def test_asof_join_forward_and_nearest(spark):
