@@ -81,16 +81,34 @@ def brute_force_topk(
     )
 
 
+#: cosine_pairs refuses inputs above this row count unless forced: 100k rows
+#: is already 5·10⁹ candidate pairs — past any sane use of the exact baseline.
+BRUTE_FORCE_ROW_CAP = 100_000
+
+
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    row_cap: int = BRUTE_FORCE_ROW_CAP,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, brute force: cosine ≥ threshold,
     id_a < id_b.
 
     O(n²) self-join — the exact baseline used for recall measurement only.
     The production path is :func:`cosine_lsh_pairs` (signature-bucketed
-    blocking); at 100 TB you block first, always.
+    blocking); at 100 TB you block first, always. To keep this baseline
+    from being pointed at a large table by accident it enforces the same
+    cap-unless-forced contract as the apply safeguard
+    (safeguards.enforce_row_cap): > ``row_cap`` input rows raises
+    RowCapExceeded unless ``force=True``. The count is a parquet-footer
+    read — cheap next to the n² join it prevents.
     """
+    from database_anonymiser_spark.safeguards import enforce_row_cap
+
+    enforce_row_cap(df.count(), cap=row_cap, force=force)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

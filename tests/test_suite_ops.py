@@ -185,6 +185,18 @@ def test_cosine_lsh_pairs_recall_vs_brute_force(emb):
             assert len(lsh & exact) / len(exact) >= bound
 
 
+def test_brute_force_cosine_pairs_row_cap(spark, emb):
+    """The O(n²) exact baseline refuses large inputs unless forced — the
+    same cap-unless-forced contract as the apply safeguard, so nobody
+    points it at a 100 TB table by accident (round-2 VERDICT)."""
+    from database_anonymiser_spark.safeguards import RowCapExceeded
+
+    with pytest.raises(RowCapExceeded):
+        SIM.cosine_pairs(emb, "vec_id", "embedding", 0.5, row_cap=100)
+    forced = SIM.cosine_pairs(emb, "vec_id", "embedding", 0.5, row_cap=100, force=True)
+    assert forced.count() >= 0  # forced path still runs
+
+
 def test_lsh_candidates_scale_subquadratically(spark):
     """The cosine-LSH scaling law (recommended_lsh_params): growing the
     band width with ⌈log₂ n⌉ keeps candidate-pair growth LINEAR in n.
