@@ -76,6 +76,9 @@ def main():
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # queries may .cache() internal stages (e.g. stream_windows'
+        # pre-agg); clear between queries so timings stay independent
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -98,6 +98,13 @@ def extract_features(
     exist — the plumbing is identical.
     """
     in_fields = {f.name: f for f in df.schema.fields}
+    missing = [c for c in passthrough if c not in in_fields]
+    if missing:
+        raise ValueError(f"passthrough columns not in input: {missing}")
+    clashes = sorted({c for c in passthrough} & {f.name for f in FEATURE_SCHEMA.fields})
+    if clashes:
+        # a silent duplicate-name schema breaks downstream selects (ADVICE r2)
+        raise ValueError(f"passthrough columns collide with feature fields: {clashes}")
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [in_fields[c] for c in passthrough]

@@ -111,15 +111,21 @@ def masked_stream(events: DataFrame) -> DataFrame:
 def dedup_stream(
     events: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates keyed on (key, event-time).
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keyed on the
+    key columns ALONE.
 
-    Including the watermarked ts column in the key is what BOUNDS the
-    dedup state — rows older than the watermark horizon are evicted, so
-    state is O(keys within the horizon), not O(all keys ever seen). This is
-    the streaming face of the batch exact-dedup operator
-    (operators/dedup.py) for an unbounded ingest feed.
+    True key-level dedup (ADVICE r2 closed): duplicates are dropped even
+    when their event times differ, as long as they arrive within the
+    watermark horizon of the first occurrence — the earlier
+    dropDuplicates([key, ts]) form only deduped same-timestamp copies.
+    State stays bounded because the watermark evicts a key's state once
+    event time passes first_seen_ts + delay; a duplicate arriving LATER
+    than the horizon survives, which is the contract of any
+    bounded-state streaming dedup. This is the streaming face of the
+    batch exact-dedup operator (operators/dedup.py) for an unbounded
+    ingest feed.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates([*key_cols, "ts"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def purchase_view_join_stream(

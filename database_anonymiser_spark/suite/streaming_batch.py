@@ -88,6 +88,12 @@ def stream_windows(spark, sf_dir):
             F.max("ts").alias("_max_ts"),
         )
         .select(F.col("window.start").alias("w0"), "event_type", "_n", "_sv", "_max_ts")
+        # The cache is what makes this ONE scan: per-branch column pruning
+        # specializes each consumer's scan→partial-agg subtree, so Catalyst
+        # cannot dedup them as ReusedExchange (verified: uncached = 4 scans).
+        # Lifecycle (ADVICE r2 — never unpersisted): every harness
+        # (bench.py, tools/check_oracle.py, tools/plan_audit.py) clears the
+        # cache between queries, so nothing leaks across measurements.
         .cache()
     )
     tumbling = (

@@ -89,15 +89,14 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir, events_path):
 
 
 def test_dedup_stream_equals_batch_distinct(spark, sf_dir, events_path):
-    """Streaming dropDuplicates (watermark-bounded state) must agree with
-    batch distinct on the same key."""
+    """Streaming dropDuplicatesWithinWatermark (watermark-bounded state)
+    must agree with batch distinct on the key ALONE — key-level dedup, not
+    just same-timestamp dedup (ADVICE r2)."""
     from database_anonymiser_spark.streaming.pipeline import dedup_stream
 
     stream = dedup_stream(stream_events(spark, events_path), key_cols=("event_id",))
     got = run_to_memory(spark, stream, "t_dedup", mode="append")
-    batch_n = (
-        load(spark, sf_dir, "events").dropDuplicates(["event_id", "ts"]).count()
-    )
+    batch_n = load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
     assert got.count() == batch_n
 
 

@@ -262,6 +262,17 @@ def test_multimodal_features_deterministic(spark, docs):
         assert f["fake_height"] == 64 + digest[1] % 192
 
 
+def test_multimodal_passthrough_validation(spark, docs):
+    """extract_features must refuse passthrough names that collide with its
+    feature fields (a silent duplicate-name schema breaks downstream
+    selects, ADVICE r2) and names absent from the input."""
+    payloads = MM.attach_binary_payload(docs.limit(5), "doc_id", "text")
+    with pytest.raises(ValueError, match="collide"):
+        MM.extract_features(payloads, passthrough=("n_bytes",))
+    with pytest.raises(ValueError, match="not in input"):
+        MM.extract_features(payloads, passthrough=("no_such_col",))
+
+
 def test_multimodal_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")

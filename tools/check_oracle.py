@@ -133,6 +133,8 @@ def main():
             n_fail += 1
             print(f"ERROR {name}")
             traceback.print_exc(limit=3)
+        finally:
+            spark.catalog.clearCache()  # drop any per-query internal caches
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 

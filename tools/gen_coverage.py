@@ -70,6 +70,25 @@ assertions).
 """
 
 
+STREAMING_EVIDENCE = """## Streaming-runtime evidence (decision, round-3)
+
+The four streaming-runtime operators — readStream ingest, key-level dedup
+via `dropDuplicatesWithinWatermark`, watermarked stream-stream join, and
+`applyInPandasWithState` sessionization (`streaming/pipeline.py`) — are
+deliberately evidenced by the REAL structured-streaming tests in
+`tests/test_streaming.py` (each runs an actual streaming query and compares
+its emitted rows against the batch equivalent on the same data), not by a
+declared batch entry. Rationale: the suite's batch surface already
+oracle-checks the streaming *semantics* (`stream_windows` covers
+tumbling/sliding/watermark finalization, `stream_session` covers session
+windows), so a packed batch stand-in for the runtime operators would
+re-prove semantics while destroying `stream_windows`' plan-asserted
+single-scan property; what actually needs evidence for the runtime is
+watermark-driven state eviction and emission timing, which only a real
+`readStream` execution exercises. The streaming tests ARE that check.
+"""
+
+
 def main():
     qs = all_queries()
     listed = {n for _, ns in CATEGORIES for n in ns}
@@ -93,6 +112,7 @@ def main():
         f"{len(qs) - n_oracle} rows-only.**"
     )
     lines.append("")
+    lines.append(STREAMING_EVIDENCE)
     lines.append("## Round-2 consolidation map (old round-1 entries → packed entries)")
     lines.append("")
     lines.append("| packed entry | absorbs |")

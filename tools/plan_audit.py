@@ -88,6 +88,7 @@ def main() -> int:
         rows.append(
             (name, scans, exchanges, bcasts, sorts, cartesian, " ".join(notes) or "ok")
         )
+        spark.catalog.clearCache()  # drop any per-query internal caches
 
     lines = [
         "# PLANS: physical-plan audit of every declared query",
