@@ -57,8 +57,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM + parquet footer caches + Arrow Python workers (workers
+    # are long-lived under spark.python.worker.reuse, as on a real cluster;
+    # interpreter spin-up is environment cost, not query cost)
     spark.range(1000).count()
+
+    def _identity_batches(it):
+        yield from it
+
+    spark.range(10_000).repartition(32).mapInPandas(_identity_batches, "id long").count()
 
     # same-run control: a fixed data-independent job whose timing tracks
     # machine load (timings vary ~1.4x with load across rounds; divide by

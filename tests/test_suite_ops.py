@@ -185,6 +185,25 @@ def test_cosine_lsh_pairs_recall_vs_brute_force(emb):
             assert len(lsh & exact) / len(exact) >= bound
 
 
+def test_lsh_signatures_bit_identical_to_decimal_fold(spark):
+    """The vectorized signature path (lsh_signatures: numpy matmul with
+    exact-decimal recompute inside SIGN_MARGIN) must emit EXACTLY the bits
+    of the interpreted all-decimal fold construction — that identity is
+    what keeps the DuckDB oracle (all-decimal) matching hash-for-hash.
+    Checked on 2000 vectors × 16 planes = 32k bits."""
+    big = load(spark, "/root/testdata/sf0.1", "embeddings")
+    planes = SIM.int_planes(64, 16)
+    fast = SIM.lsh_signatures(big, "vec_id", "embedding", planes)
+    exact = big.select(
+        "vec_id",
+        *[
+            b.alias(f"sb_{i}")
+            for i, b in enumerate(SIM._sign_bits(F.col("embedding"), planes))
+        ],
+    )
+    assert fast.exceptAll(exact).isEmpty() and exact.exceptAll(fast).isEmpty()
+
+
 def test_brute_force_cosine_pairs_row_cap(spark, emb):
     """The O(n²) exact baseline refuses large inputs unless forced — the
     same cap-unless-forced contract as the apply safeguard, so nobody

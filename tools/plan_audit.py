@@ -32,7 +32,16 @@ NESTED_LOOP_OK = {
     "text_tfidf",        # 1-row corpus-doc-count broadcast (idf denominator)
 }
 # mapInPandas / applyInPandas surfaces — Arrow-batched Python is the point
-ARROW_OK = {"pandas_grouped_norm", "mm_extract_features", "mm_resize_meta"}
+ARROW_OK = {
+    "pandas_grouped_norm",
+    "mm_extract_features",
+    "mm_resize_meta",
+    # LSH signature stage is Arrow/BLAS-vectorized (operators/similarity.py::
+    # lsh_signatures) — bit-identical to the decimal-fold construction,
+    # asserted in tests/test_suite_ops.py
+    "sim_cosine_pairs",
+    "sim_topk_ann",
+}
 
 
 def plan_of(df) -> str:
