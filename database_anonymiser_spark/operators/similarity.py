@@ -164,6 +164,13 @@ def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
 #: are recomputed with exact Python decimal arithmetic.
 SIGN_MARGIN = 50.0
 
+#: Ambiguity margin for IVF list assignment (:func:`ivf_topk`): a float64
+#: centroid dot deviates from the exact decimal dot by ≤ ~1e-4 (64 terms ×
+#: 1e-6 quantization at O(1) component magnitude), so when the top-2 float
+#: scores are separated by more than this, the float argmax IS the decimal
+#: argmax; only ambiguous rows recompute all centroid dots exactly.
+ASSIGN_MARGIN = 1e-3
+
 
 def lsh_signatures(
     df: DataFrame,
@@ -304,46 +311,52 @@ def cosine_lsh_pairs(
     candidates = lsh_candidate_pairs(
         df, id_col, vec_col, n_planes=n_planes, rows_per_band=rows_per_band, dim=dim
     )
-    # Two-stage verification. The exact-decimal cosine (the oracle-matched
-    # score) folds 3 × dim decimal ops per pair in an interpreted
-    # higher-order function — fine for survivors, ruinous across every
-    # banded candidate. Stage 1 scores candidates with a codegen'd DOUBLE
-    # dot against per-vector precomputed double norms and keeps anything
-    # within a safety margin of the threshold; stage 2 re-scores only those
-    # survivors exactly. The margin (0.01) dwarfs the double-vs-decimal
-    # deviation (~1e-4 from the 1e-6 input quantization), so the final
-    # result is identical to scoring every candidate exactly.
-    def _dot_double(a, b) -> F.Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Two-stage verification, Arrow-vectorized like the signature stage.
+    # The exact-decimal cosine (the oracle-matched score) costs 3 × dim
+    # decimal ops per pair — fine for survivors, ruinous across every
+    # banded candidate. Per Arrow batch: one float64 einsum scores ALL
+    # candidate pairs; only pairs within 0.01 of the threshold boundary get
+    # the exact Python-decimal rescore (:func:`_cosine6_py`, the tested
+    # twin of round(cosine(), 6)). The margin dwarfs the double-vs-decimal
+    # deviation (~1e-4 from the 1e-6 input quantization), so the emitted
+    # pair set AND every emitted score are identical to scoring every
+    # candidate exactly — the DuckDB oracle hash-checks both.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    paired = candidates.join(va, "id_a").join(vb, "id_b")
+    id_type = dict(zip(df.columns, df.schema.fields))[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.sqrt(_dot_double(F.col(vec_col), F.col(vec_col))).alias("_nb"),
-    )
-    prefiltered = (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("_cos_d", _dot_double(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-        .where(F.col("_cos_d") >= threshold - 0.01)
-    )
-    return (
-        prefiltered.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def verify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+                continue
+            A = np.vstack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["_vb"].to_numpy()).astype(np.float64)
+            cos_f = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            ids_a, ids_b, scores = [], [], []
+            for r in np.flatnonzero(cos_f >= threshold - 0.01):
+                exact = _cosine6_py(A[r], B[r])
+                if exact >= threshold:
+                    ids_a.append(pdf["id_a"].iat[r])
+                    ids_b.append(pdf["id_b"].iat[r])
+                    scores.append(exact)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": scores})
+
+    return paired.mapInPandas(verify, schema)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -404,18 +417,6 @@ def lsh_bucket_topk(
     )
 
 
-def _dot_dec_lit(vec_col, centroid: list[float]) -> F.Column:
-    """Exact-decimal dot against a literal centroid — same arithmetic as
-    :func:`_dot_decimal`, so list assignment (an argmax over these dots) is
-    reproducible in any engine computing decimal(18,6) products exactly."""
-    plane = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, plane, lambda x, y: (_dec(x) * _dec(y)).cast("decimal(30,12)")),
-        F.lit(0).cast("decimal(38,12)"),
-        lambda acc, x: (acc + x).cast("decimal(38,12)"),
-    )
-
-
 _DEC6 = Decimal("0.000001")
 
 
@@ -427,8 +428,25 @@ def _dec6_py(x: float) -> Decimal:
     return Decimal(x).quantize(_DEC6, rounding=ROUND_HALF_UP)
 
 
+def _cosine6_py(a, b) -> float:
+    """Python twin of ``F.round(cosine(a, b), 6)`` — bit-identical.
+
+    Same pipeline as :func:`cosine`: exact-decimal dots (`_dot_dec_py`,
+    correctly-rounded to double exactly like Decimal.toDouble), IEEE double
+    sqrt/divide (identical on JVM and CPython), and the same
+    shortest-decimal-repr + HALF_UP 6dp rounding Spark's Round applies to
+    doubles (BigDecimal.valueOf ≡ Decimal(repr(x)) — both shortest
+    round-trip strings)."""
+    av = [float(x) for x in a]
+    bv = [float(x) for x in b]
+    c = float(_dot_dec_py(av, bv)) / (
+        math.sqrt(float(_dot_dec_py(av, av))) * math.sqrt(float(_dot_dec_py(bv, bv)))
+    )
+    return float(Decimal(repr(c)).quantize(_DEC6, rounding=ROUND_HALF_UP))
+
+
 def _dot_dec_py(a: list[float], b: list[float]) -> Decimal:
-    """Driver-side exact-decimal dot — bit-identical to :func:`_dot_dec_lit`
+    """Exact-decimal dot in Python — bit-identical to :func:`_dot_decimal`
     and to ``sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))``."""
     return sum((_dec6_py(x) * _dec6_py(y) for x, y in zip(a, b)), Decimal(0))
 
@@ -462,20 +480,47 @@ def ivf_topk(
     )
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
-    def argmax_cid(vec) -> F.Column:
-        # array_max over (dot, cid) structs: each centroid dot is computed
-        # exactly once (a when-chain would double the expression tree per
-        # step — exponential in n_centroids). Struct comparison = (d DESC,
-        # cid DESC) tie-break, mirrored by the oracle's row_number ordering.
-        scored = F.array(
-            *[
-                F.struct(_dot_dec_lit(vec, cv).alias("d"), F.lit(cid).alias("c"))
-                for cid, cv in centroids
-            ]
-        )
-        return F.array_max(scored)["c"]
+    # List assignment, Arrow-vectorized like lsh_signatures: one float64
+    # matmul scores every (vector, centroid) pair per batch; a row only
+    # pays the exact decimal dots when its top-2 float scores are within
+    # ASSIGN_MARGIN of each other (float-vs-decimal deviation is ≤ ~1e-4
+    # from the 1e-6 input quantization at O(1) component magnitude, so a
+    # clear float winner IS the decimal winner). Tie-break (d DESC, cid
+    # DESC) matches the oracle's row_number ordering.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    assigned = df.withColumn("_cid", argmax_cid(F.col(vec_col)))
+    cmat = [cv for _, cv in centroids]
+    cids = [cid for cid, _ in centroids]
+    in_fields = {f.name: f for f in df.schema.fields}
+    a_schema = T.StructType(
+        [in_fields[id_col], in_fields[vec_col], T.StructField("_cid", T.IntegerType())]
+    )
+
+    def assign(it):
+        C = np.array(cmat, dtype=np.float64)  # K × dim
+        order = np.argsort(cids)[::-1]  # cid DESC for argmax tie-break
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], vec_col: [], "_cid": []})
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = V @ C.T  # n × K
+            top2 = np.partition(dots, -2, axis=1)[:, -2:]
+            picked = dots[:, order].argmax(axis=1)  # first max in cid-DESC order
+            cid_out = np.array(cids)[order][picked]
+            for r in np.flatnonzero(top2[:, 1] - top2[:, 0] <= ASSIGN_MARGIN):
+                best = max(
+                    ((_dot_dec_py(V[r], cv), cid) for cid, cv in centroids),
+                    key=lambda t: (t[0], t[1]),
+                )
+                cid_out[r] = best[1]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "_cid": cid_out}
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(assign, a_schema)
     qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrow:
         return assigned.limit(0).select(
