@@ -130,9 +130,13 @@ def fingerprint_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_profile(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Full per-document text profile — token counts, quality heuristics,
-    language ID, and fingerprint — as ONE narrow projection.
+    language ID, and fingerprint — as ONE narrow projection. ``keep``
+    columns (e.g. the train/eval split from :func:`train_eval_split`) are
+    carried through so curation metadata rides the same single pass.
 
     This is the shape a 100 TB curation pipeline wants: every metric is a
     map-side built-in expression over the same scan, so profiling an entire
@@ -176,6 +180,7 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred.alias("lang_pred"),
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -257,3 +262,101 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+def train_eval_split(
+    df: DataFrame,
+    group_col: str,
+    train_pct: int = 90,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/eval assignment for training-corpus curation.
+
+    The split is a deterministic function of the GROUP key (domain, source,
+    URL host…), never of the row: every document sharing a key lands on the
+    same side, so near-duplicates inside a crawl domain can never straddle
+    train and eval — the contamination mode row-wise random splits are
+    famously blind to. ``salt`` versions the assignment (a new salt is a
+    fresh re-split; the same salt is stable forever, across runs and
+    cluster sizes).
+
+    Bucket arithmetic is the engine-portable md5 construction used by the
+    corpus fingerprints (hex→decimal via conv/substr), so the whole
+    assignment is reproducible in ANSI SQL — the declared ``text_profile``
+    entry value-hash checks it against DuckDB. Map-side, zero shuffle.
+    """
+    if not 0 < train_pct < 100:
+        raise ValueError("train_pct must be in (0, 100)")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(group_col))), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split", F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing: bin documents into training sequences of at
+    most ``budget`` tokens (a doc longer than the budget gets a bin of its
+    own) — the batch-construction step of an LLM pretraining pipeline.
+
+    Deterministic at any parallelism: docs are sharded by a hash of the id
+    (``n_shards`` deterministic groups, NOT spark partitions), each shard
+    is packed greedily in id order inside one applyInPandas group, and the
+    emitted ``seq_id`` is ``shard * 2^32 + bin_index``. Re-running on a
+    differently-partitioned cluster yields byte-identical packing.
+
+    Scale shape: one shuffle (the groupBy on shard); each shard's state is
+    a single running counter, so memory is O(shard rows) and ``n_shards``
+    is the parallelism knob. Cross-shard packing loss is bounded by one
+    under-filled tail bin per shard.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            in_fields[id_col],
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("seq_pos", T.IntegerType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        shard = int(pdf["_shard"].iat[0])
+        seq_ids, seq_pos = [], []
+        bin_idx, filled, pos = 0, 0, 0
+        for nt in pdf[n_tokens_col]:
+            nt = int(nt)
+            if filled > 0 and filled + nt > budget:
+                bin_idx, filled, pos = bin_idx + 1, 0, 0
+            seq_ids.append(shard * (2**32) + bin_idx)
+            seq_pos.append(pos)
+            filled += nt
+            pos += 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf[n_tokens_col].astype("int64"),
+                "seq_id": seq_ids,
+                "seq_pos": seq_pos,
+            }
+        )
+
+    sharded = df.select(id_col, n_tokens_col).withColumn(
+        "_shard", F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack, schema)

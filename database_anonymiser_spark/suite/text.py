@@ -33,7 +33,8 @@ def _profile_oracle() -> str:
              length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
              CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
              {lang_counts},
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             (('0x' || substr(md5('split-v1' || source), 1, 15))::BIGINT) % 100 AS split_bucket
       FROM documents
     ), r AS (
       SELECT *,
@@ -57,15 +58,23 @@ def _profile_oracle() -> str:
              {whens}
            END AS lang_pred,
            fingerprint,
-           ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64
+           ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64,
+           split_bucket,
+           CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
     FROM r
     """
 
 
 @register("text_profile", _profile_oracle(), tags=("text",))
 def text_profile(spark, sf_dir):
+    """One-pass corpus profiler + leakage-safe train/eval assignment: the
+    split is keyed on ``source`` (every doc of a source lands on one side —
+    domain-level contamination control), computed map-side in the SAME
+    single projection as the profile metrics; the md5-bucket arithmetic is
+    reproduced in the oracle, so the assignment itself is hash-checked."""
     docs = load(spark, sf_dir, "documents")
-    return TX.text_profile(docs, "doc_id", "text")
+    split = TX.train_eval_split(docs, "source")
+    return TX.text_profile(split, "doc_id", "text", keep=("split_bucket", "split"))
 
 
 @register(

@@ -512,3 +512,54 @@ def test_max_df_drops_hot_shingles(spark):
     uncapped = D.jaccard_pairs(df, "doc_id", "text", 3, threshold=0.01).collect()
     assert {(r["id_a"], r["id_b"]) for r in uncapped} >= {(1, 2), (1, 3), (2, 3)}
     assert got == {}  # after capping, no shingles are shared at all
+
+
+def test_train_eval_split_is_group_consistent(spark, docs):
+    """Leakage safety: every document of a source lands on ONE side (the
+    split is a function of the group key, not the row), the assignment is
+    stable across invocations, and the bucket arithmetic stays in [0, 100)."""
+    from database_anonymiser_spark.operators.text import train_eval_split
+
+    out = train_eval_split(docs, "source")
+    per_source = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.min("split_bucket").alias("lo"),
+        F.max("split_bucket").alias("hi"),
+    )
+    rows = per_source.collect()
+    assert all(r["n_splits"] == 1 for r in rows)
+    assert all(0 <= r["lo"] == r["hi"] < 100 for r in rows)
+    # a different salt is a fresh re-split; the same salt is stable
+    again = train_eval_split(docs, "source").select("doc_id", "split")
+    assert out.select("doc_id", "split").exceptAll(again).isEmpty()
+    with pytest.raises(ValueError, match="train_pct"):
+        train_eval_split(docs, "source", train_pct=0)
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Greedy token packing: every doc exactly once; no bin over budget
+    unless it holds a single over-budget doc; bins fill in id order within
+    a shard; byte-identical under different input partitioning."""
+    from database_anonymiser_spark.operators.text import pack_sequences, token_count
+
+    counted = token_count(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    BUDGET = 512
+    packed = pack_sequences(counted, "doc_id", "n_tokens", budget=BUDGET, n_shards=16)
+    rows = packed.collect()
+    assert len(rows) == counted.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # each doc once
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r["seq_id"], []).append(r)
+    for seq, members in by_bin.items():
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= BUDGET or len(members) == 1
+        ordered = sorted(members, key=lambda m: m["seq_pos"])
+        assert [m["seq_pos"] for m in ordered] == list(range(len(members)))
+        assert [m["doc_id"] for m in ordered] == sorted(m["doc_id"] for m in members)
+    repart = pack_sequences(
+        counted.repartition(7), "doc_id", "n_tokens", budget=BUDGET, n_shards=16
+    )
+    assert packed.exceptAll(repart).isEmpty() and repart.exceptAll(packed).isEmpty()
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(counted, "doc_id", "n_tokens", budget=0)
