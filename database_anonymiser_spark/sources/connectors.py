@@ -164,3 +164,47 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus ingestion — the front door of an LLM data pipeline.
+
+    ``spark.read.text``: one ``value`` row per line (splittable — a 100 TB
+    dump fans out across executors at newline boundaries), or per FILE with
+    ``whole_file`` (wholetext mode: NOT splittable, one task per file — use
+    only when documents are files). ``line_sep`` handles corpora delimited
+    by something other than newline (e.g. ``\\0``-separated documents).
+    Attaches the source filename (input_file_name) so provenance survives
+    into downstream dedup/split keys.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path, wholetext=whole_file, lineSep=line_sep).select(
+        F.input_file_name().alias("source_file"), F.col("value").alias("text")
+    )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Multimodal payload ingestion via Spark's ``binaryFile`` source:
+    (path, modificationTime, length, content) with content as an opaque
+    binary column — exactly the shape operators/multimodal.py consumes
+    (attach typed metadata, then mapInPandas decode/feature stages).
+
+    The source never splits a file, so payload bytes stay contiguous per
+    row; size partitioning is governed by files.maxPartitionBytes. Filter
+    by ``glob`` (pathGlobFilter) to prune at LISTING time — non-matching
+    files are never opened.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -189,6 +189,28 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "ap
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def run_to_files(
+    df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"
+) -> str:
+    """Exactly-once file sink: source offsets live in the checkpoint WAL and
+    outputs commit through the sink's transaction log (_spark_metadata), so
+    a crashed or restarted query never re-emits processed input — restart
+    with the SAME checkpoint and only unseen files are processed
+    (exercised in tests/test_streaming.py). availableNow = bounded run:
+    drain everything currently available, then stop; the production form is
+    the same call without the trigger."""
+    q = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path
+
+
 def user_running_stats_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count + value total, emitted per micro-batch in update mode.

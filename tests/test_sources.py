@@ -43,3 +43,37 @@ def test_jdbc_guard_refuses_unpartitioned_big_read(spark):
         jdbc_reader(
             spark, "jdbc:postgresql://example/db", "t", partition_column="id"
         )
+
+
+def test_text_corpus_reader(spark, tmp_path):
+    """Line mode: one row per line with provenance; wholetext: one row per
+    file (the per-document layout)."""
+    from database_anonymiser_spark.sources.connectors import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo document\n")
+    lines = read_text_corpus(spark, str(d)).collect()
+    assert sorted(r["text"] for r in lines) == ["line one", "line two", "solo document"]
+    assert all(r["source_file"].endswith((".txt",)) for r in lines)
+    whole = read_text_corpus(spark, str(d), whole_file=True).collect()
+    assert len(whole) == 2
+    assert {r["text"].strip() for r in whole} == {"line one\nline two", "solo document"}
+
+
+def test_binary_files_reader(spark, tmp_path):
+    """binaryFile source: opaque content bytes + metadata, glob pruned at
+    listing time — the multimodal ingest front door."""
+    from database_anonymiser_spark.sources.connectors import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"\x89PNG-ish")
+    (d / "y.bin").write_bytes(b"RIFF-ish")
+    (d / "skip.txt").write_text("not a blob")
+    rows = read_binary_files(spark, str(d), glob="*.bin").collect()
+    assert len(rows) == 2
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == {"x.bin": b"\x89PNG-ish", "y.bin": b"RIFF-ish"}
+    assert all(r["length"] == len(bytes(r["content"])) for r in rows)

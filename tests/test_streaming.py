@@ -152,3 +152,24 @@ def test_checkpoint_exactly_once_restart(spark, events_path, tmp_path):
     run_once()  # restart from checkpoint: no new files -> no new rows
     n2 = spark.read.parquet(out).count()
     assert n1 > 0 and n2 == n1
+
+
+def test_file_sink_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restarting a file-sink stream from its checkpoint must process ONLY
+    files that arrived since the last run — the WAL + _spark_metadata
+    transaction log give exactly-once output across restarts, the property
+    a 100 TB ingest pipeline leans on when executors or the driver die."""
+    from database_anonymiser_spark.streaming.pipeline import run_to_files
+
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    spark.range(0, 100).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema("id long").parquet(in_dir)
+    run_to_files(stream, out_dir, cp)
+    assert spark.read.parquet(out_dir).count() == 100
+
+    spark.range(100, 150).coalesce(1).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema("id long").parquet(in_dir)
+    run_to_files(stream2, out_dir, cp)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 150  # no re-emission of the first 100
+    assert out.select("id").distinct().count() == 150
