@@ -545,3 +545,87 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Bulk exact k-NN: the cosine top-k corpus neighbours of EVERY query
+    vector at once — the kNN-graph shape a curation pipeline wants (the
+    per-query operators :func:`brute_force_topk` / :func:`lsh_bucket_topk`
+    are the interactive-lookup shape).
+
+    Scale design: the query block is the small side — collected once
+    (bounded by ``max_queries``, the same legitimacy argument as the IVF
+    codebook: it IS the model) and closed over, so each corpus partition
+    computes one (batch × Q) BLAS matmul and keeps its LOCAL top-k per
+    query via argpartition. Only partitions × Q × k candidate rows shuffle
+    into the final per-query re-rank (one groupBy window) — shuffle volume
+    is independent of corpus size. Ties break by corpus id ascending, so
+    results are byte-identical at any partitioning (pytest-pinned against
+    a pure-numpy oracle).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries}; "
+            "block the queries and union the results, or raise the cap"
+        )
+    if not qrows:
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbour_id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    q_ids = [r[0] for r in qrows]
+    Q = [[float(x) for x in r[1]] for r in qrows]
+
+    id_type = {f.name: f.dataType for f in corpus.schema.fields}[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbour_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(it):
+        QM = np.array(Q, dtype=np.float64)  # Q × dim
+        QN = np.linalg.norm(QM, axis=1)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbour_id": [], "cosine": []})
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            S = (V @ QM.T) / (np.linalg.norm(V, axis=1)[:, None] * QN[None, :])
+            qcol, ncol, scol = [], [], []
+            for j, qid in enumerate(q_ids):
+                # drop the self-match HERE so it can't occupy a local slot,
+                # then deterministic local top-k: score DESC, corpus id ASC
+                keep = np.flatnonzero(ids != qid)
+                order = keep[np.lexsort((ids[keep], -S[keep, j]))][:k]
+                qcol.extend([qid] * len(order))
+                ncol.extend(ids[order])
+                scol.extend(S[order, j])
+            yield pd.DataFrame({"query_id": qcol, "neighbour_id": ncol, "cosine": scol})
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbour_id")
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

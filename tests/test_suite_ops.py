@@ -563,3 +563,36 @@ def test_pack_sequences_invariants(spark, docs):
     assert packed.exceptAll(repart).isEmpty() and repart.exceptAll(packed).isEmpty()
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(counted, "doc_id", "n_tokens", budget=0)
+
+
+def test_knn_join_matches_numpy_oracle(spark, emb):
+    """Bulk k-NN (every query's top-k in one pass) must equal a pure-numpy
+    ground truth computed with the same float64 arithmetic and the same
+    (score DESC, id ASC) tie-break — and be identical at any input
+    partitioning (local top-k per partition merges losslessly)."""
+    import numpy as np
+
+    corpus = emb.where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 42]))
+    got = SIM.knn_join(corpus, queries, "vec_id", "embedding", k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], []).append((r["neighbour_id"], r["cosine"]))
+
+    rows = corpus.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    for qid in (0, 7, 42):
+        qv = Vn[ids == qid][0]
+        scores = Vn @ qv
+        order = np.lexsort((ids, -scores))
+        expected = [(int(ids[i]), float(scores[i])) for i in order if ids[i] != qid][:5]
+        actual = sorted(got_map[qid], key=lambda t: (-t[1], t[0]))
+        assert [a[0] for a in actual] == [e[0] for e in expected]
+        assert all(abs(a[1] - e[1]) < 1e-12 for a, e in zip(actual, expected))
+
+    repart = SIM.knn_join(corpus.repartition(13), queries, "vec_id", "embedding", k=5)
+    assert got.exceptAll(repart).isEmpty() and repart.exceptAll(got).isEmpty()
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.knn_join(corpus, corpus, "vec_id", "embedding", k=5, max_queries=10)
