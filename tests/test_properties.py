@@ -113,3 +113,34 @@ def test_column_strategy_orientations_agree(cols):
     for c, s in cols.items():
         inverted.setdefault(s, []).append(c)
     assert _normalize_column_strategy(inverted) == internal
+
+
+@given(
+    lens=st.lists(st.integers(1, 700), min_size=1, max_size=60),
+    budget=st.integers(64, 512),
+)
+@FAST
+def test_pack_sequences_invariants_hold_for_any_lengths(spark, lens, budget):
+    """For ANY token-length distribution and budget: every doc packed
+    exactly once, no bin exceeds the budget unless it holds one over-budget
+    doc, and bins fill densely (a doc opens a new bin only because it would
+    not fit — greedy's no-gratuitous-split property)."""
+    from database_anonymiser_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(df, "doc_id", "n_tokens", budget=budget, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(lens)))
+    bins: dict[int, list] = {}
+    for r in rows:
+        bins.setdefault(r["seq_id"], []).append(r)
+    for seq_id, members in bins.items():
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= budget or len(members) == 1
+        # greedy density: the first doc of the NEXT bin in this shard would
+        # not have fit into this bin
+        nxt = bins.get(seq_id + 1)
+        if nxt and members:
+            first_next = min(nxt, key=lambda m: m["seq_pos"])
+            assert total + first_next["n_tokens"] > budget

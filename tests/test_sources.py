@@ -77,3 +77,26 @@ def test_binary_files_reader(spark, tmp_path):
     got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
     assert got == {"x.bin": b"\x89PNG-ish", "y.bin": b"RIFF-ish"}
     assert all(r["length"] == len(bytes(r["content"])) for r in rows)
+
+
+def test_partitioned_write_prunes_partitions_at_read(spark, customer, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    prune directories at PLANNING time (PartitionFilters in the scan, only
+    matching files read) — at 100 TB this is the difference between
+    scanning one segment and scanning the table."""
+    import contextlib
+    import io
+
+    from database_anonymiser_spark.sources.connectors import write_table
+
+    path = write_table(customer, str(tmp_path / "part"), partition_by=["c_mktsegment"])
+    seg = customer.select("c_mktsegment").first()[0]
+    df = spark.read.parquet(path).where(F.col("c_mktsegment") == seg)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PartitionFilters")[1].split("]")[0]
+    expected = customer.where(F.col("c_mktsegment") == seg).count()
+    assert df.count() == expected
