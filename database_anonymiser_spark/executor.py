@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import shutil
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -116,8 +117,19 @@ def recover_pending_promote(output_root: Path) -> list[str]:
     manifest = output_root / PROMOTE_MANIFEST
     if not manifest.exists():
         return []
+    try:
+        entries = json.loads(manifest.read_text())
+    except ValueError:
+        # A torn manifest can only mean the crash hit during the journal
+        # write itself — which happens strictly BEFORE the first rename, so
+        # nothing was promoted and discarding the journal is safe. (The
+        # write is temp-file + atomic os.replace, so this is belt-and-
+        # braces for non-atomic filesystems.)
+        log.warning("discarding unparseable promote manifest (crash during journal write)")
+        manifest.unlink()
+        return []
     recovered = []
-    for entry in json.loads(manifest.read_text()):
+    for entry in entries:
         staging, final = Path(entry["staging"]), Path(entry["final"])
         if staging.exists():
             _promote(staging, final)
@@ -235,9 +247,12 @@ def execute_plan(
     if promotions:
         assert out_root is not None
         # Journal-then-rename: a crash anywhere in the loop is rolled forward
-        # by recover_pending_promote on the next apply.
+        # by recover_pending_promote on the next apply. The journal itself
+        # lands atomically (temp + os.replace) so a crash mid-journal can
+        # never leave a torn manifest that blocks future applies.
         manifest = out_root / PROMOTE_MANIFEST
-        manifest.write_text(
+        tmp = out_root / f"{PROMOTE_MANIFEST}.tmp"
+        tmp.write_text(
             json.dumps(
                 [
                     {"table": final.stem, "staging": str(staging), "final": str(final)}
@@ -245,6 +260,7 @@ def execute_plan(
                 ]
             )
         )
+        os.replace(tmp, manifest)
         for staging, final in promotions:
             _promote(staging, final)
         manifest.unlink()

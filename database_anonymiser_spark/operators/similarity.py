@@ -33,6 +33,19 @@ def _dec(col, scale: int = 6):
     return col.cast(f"decimal(18,{scale})")
 
 
+def _field_type(df: DataFrame, col: str):
+    """DataType of one column (shared by the Arrow-stage schema builders)."""
+    return {f.name: f.dataType for f in df.schema.fields}[col]
+
+
+def _vecs64(pdf, col: str):
+    """Stack a pandas column of array<float> rows into an n×dim float64
+    matrix — the standard input shape of the Arrow/BLAS stages."""
+    import numpy as np
+
+    return np.vstack(pdf[col].to_numpy()).astype(np.float64)
+
+
 def _dot_decimal(a, b) -> F.Column:
     """Exact-decimal dot product of two float arrays → double.
 
@@ -103,12 +116,17 @@ def cosine_pairs(
     from being pointed at a large table by accident it enforces the same
     cap-unless-forced contract as the apply safeguard
     (safeguards.enforce_row_cap): > ``row_cap`` input rows raises
-    RowCapExceeded unless ``force=True``. The count is a parquet-footer
-    read — cheap next to the n² join it prevents.
+    RowCapExceeded unless ``force=True``. The guard job is bounded by
+    ``limit(cap+1)`` — it never scans more than cap+1 rows even on a
+    filtered or derived input, cheap next to the n² join it prevents.
     """
     from database_anonymiser_spark.safeguards import enforce_row_cap
 
-    enforce_row_cap(df.count(), cap=row_cap, force=force)
+    if not force:
+        # bounded guard job: scans at most cap+1 rows, never the full input
+        # (a plain count() on a filtered/derived input would be a full scan)
+        over = df.limit(row_cap + 1).count()
+        enforce_row_cap(over if over <= row_cap else row_cap + 1, cap=row_cap)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -164,13 +182,6 @@ def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
 #: are recomputed with exact Python decimal arithmetic.
 SIGN_MARGIN = 50.0
 
-#: Ambiguity margin for IVF list assignment (:func:`ivf_topk`): a float64
-#: centroid dot deviates from the exact decimal dot by ≤ ~1e-4 (64 terms ×
-#: 1e-6 quantization at O(1) component magnitude), so when the top-2 float
-#: scores are separated by more than this, the float argmax IS the decimal
-#: argmax; only ambiguous rows recompute all centroid dots exactly.
-ASSIGN_MARGIN = 1e-3
-
 
 def lsh_signatures(
     df: DataFrame,
@@ -213,7 +224,7 @@ def lsh_signatures(
             if len(pdf) == 0:
                 yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
                 continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = _vecs64(pdf, vec_col)
             dots = V @ P
             bits = (dots > 0).astype(np.int32)
             for r, j in np.argwhere(np.abs(dots) <= SIGN_MARGIN):
@@ -315,12 +326,14 @@ def cosine_lsh_pairs(
     # The exact-decimal cosine (the oracle-matched score) costs 3 × dim
     # decimal ops per pair — fine for survivors, ruinous across every
     # banded candidate. Per Arrow batch: one float64 einsum scores ALL
-    # candidate pairs; only pairs within 0.01 of the threshold boundary get
-    # the exact Python-decimal rescore (:func:`_cosine6_py`, the tested
-    # twin of round(cosine(), 6)). The margin dwarfs the double-vs-decimal
-    # deviation (~1e-4 from the 1e-6 input quantization), so the emitted
-    # pair set AND every emitted score are identical to scoring every
-    # candidate exactly — the DuckDB oracle hash-checks both.
+    # candidate pairs; only pairs within a DATA-DRIVEN margin of the
+    # threshold boundary get the exact Python-decimal rescore
+    # (:func:`_cosine6_py`, the tested twin of round(cosine(), 6)). The
+    # margin is the per-pair propagated bound of the 6dp input-quantization
+    # error (δdot/(‖a‖‖b‖) + |cos|·(δa/‖a‖ + δb/‖b‖), δ = 0.5e-6·Σ|x|),
+    # NOT a constant — tiny-norm vectors inflate it automatically, so the
+    # emitted pair set AND every emitted score are identical to scoring
+    # every candidate exactly — the DuckDB oracle hash-checks both.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -328,11 +341,10 @@ def cosine_lsh_pairs(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     paired = candidates.join(va, "id_a").join(vb, "id_b")
-    id_type = dict(zip(df.columns, df.schema.fields))[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("id_a", id_type),
-            T.StructField("id_b", id_type),
+            T.StructField("id_a", _field_type(df, id_col)),
+            T.StructField("id_b", _field_type(df, id_col)),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -342,15 +354,26 @@ def cosine_lsh_pairs(
             if len(pdf) == 0:
                 yield pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
                 continue
-            A = np.vstack(pdf["_va"].to_numpy()).astype(np.float64)
-            B = np.vstack(pdf["_vb"].to_numpy()).astype(np.float64)
-            cos_f = np.einsum("ij,ij->i", A, B) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
+            A = _vecs64(pdf, "_va")
+            B = _vecs64(pdf, "_vb")
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_f = np.einsum("ij,ij->i", A, B) / denom
+                # propagated 6dp-quantization bound per pair (+float slack)
+                da = 0.5e-6 * np.abs(A).sum(axis=1)
+                db = 0.5e-6 * np.abs(B).sum(axis=1)
+                margin = (
+                    (da * nb + db * na) / denom
+                    + np.abs(cos_f) * (da / na + db / nb)
+                    + 1e-9
+                )
+            near = (cos_f >= threshold - margin) | ~np.isfinite(cos_f)
             ids_a, ids_b, scores = [], [], []
-            for r in np.flatnonzero(cos_f >= threshold - 0.01):
+            for r in np.flatnonzero(near):
                 exact = _cosine6_py(A[r], B[r])
-                if exact >= threshold:
+                if exact is not None and exact >= threshold:
                     ids_a.append(pdf["id_a"].iat[r])
                     ids_b.append(pdf["id_b"].iat[r])
                     scores.append(exact)
@@ -439,9 +462,12 @@ def _cosine6_py(a, b) -> float:
     round-trip strings)."""
     av = [float(x) for x in a]
     bv = [float(x) for x in b]
-    c = float(_dot_dec_py(av, bv)) / (
-        math.sqrt(float(_dot_dec_py(av, av))) * math.sqrt(float(_dot_dec_py(bv, bv)))
-    )
+    denom = math.sqrt(float(_dot_dec_py(av, av))) * math.sqrt(float(_dot_dec_py(bv, bv)))
+    if denom == 0.0:
+        # JVM: 0/0 → NaN, and NaN >= threshold is false — mirror by
+        # signalling "no score" (callers drop the pair)
+        return None
+    c = float(_dot_dec_py(av, bv)) / denom
     return float(Decimal(repr(c)).quantize(_DEC6, rounding=ROUND_HALF_UP))
 
 
@@ -482,11 +508,13 @@ def ivf_topk(
 
     # List assignment, Arrow-vectorized like lsh_signatures: one float64
     # matmul scores every (vector, centroid) pair per batch; a row only
-    # pays the exact decimal dots when its top-2 float scores are within
-    # ASSIGN_MARGIN of each other (float-vs-decimal deviation is ≤ ~1e-4
-    # from the 1e-6 input quantization at O(1) component magnitude, so a
-    # clear float winner IS the decimal winner). Tie-break (d DESC, cid
-    # DESC) matches the oracle's row_number ordering.
+    # pays the exact decimal dots when its top-2 float scores are within a
+    # DATA-DRIVEN margin of each other — 2·0.5e-6·(Σ|v| + max_c Σ|c|), the
+    # propagated 6dp-quantization bound for a dot DIFFERENCE, computed per
+    # row so unnormalized/large-magnitude embeddings stay safe (no O(1)
+    # component-size assumption). A clear float winner outside that bound
+    # IS the decimal winner. Tie-break (d DESC, cid DESC) matches the
+    # oracle's row_number ordering.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -500,22 +528,25 @@ def ivf_topk(
 
     def assign(it):
         C = np.array(cmat, dtype=np.float64)  # K × dim
+        cabs_max = float(np.abs(C).sum(axis=1).max())
         order = np.argsort(cids)[::-1]  # cid DESC for argmax tie-break
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame({id_col: [], vec_col: [], "_cid": []})
                 continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = _vecs64(pdf, vec_col)
             dots = V @ C.T  # n × K
-            top2 = np.partition(dots, -2, axis=1)[:, -2:]
             picked = dots[:, order].argmax(axis=1)  # first max in cid-DESC order
             cid_out = np.array(cids)[order][picked]
-            for r in np.flatnonzero(top2[:, 1] - top2[:, 0] <= ASSIGN_MARGIN):
-                best = max(
-                    ((_dot_dec_py(V[r], cv), cid) for cid, cv in centroids),
-                    key=lambda t: (t[0], t[1]),
-                )
-                cid_out[r] = best[1]
+            if dots.shape[1] >= 2:  # K=1: the only centroid wins, no ambiguity
+                top2 = np.partition(dots, -2, axis=1)[:, -2:]
+                margin = 1e-6 * (np.abs(V).sum(axis=1) + cabs_max) + 1e-9
+                for r in np.flatnonzero(top2[:, 1] - top2[:, 0] <= margin):
+                    best = max(
+                        ((_dot_dec_py(V[r], cv), cid) for cid, cv in centroids),
+                        key=lambda t: (t[0], t[1]),
+                    )
+                    cid_out[r] = best[1]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], vec_col: pdf[vec_col], "_cid": cid_out}
             )
@@ -554,11 +585,17 @@ def knn_join(
     vec_col: str,
     k: int = 10,
     max_queries: int = 10_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Bulk exact k-NN: the cosine top-k corpus neighbours of EVERY query
     vector at once — the kNN-graph shape a curation pipeline wants (the
     per-query operators :func:`brute_force_topk` / :func:`lsh_bucket_topk`
     are the interactive-lookup shape).
+
+    ``exclude_self`` (default) drops the corpus row whose id equals the
+    query id — correct for the kNN-graph case where queries ARE corpus
+    rows. Pass ``False`` when queries and corpus are DIFFERENT tables with
+    overlapping id spaces, where equal ids are unrelated rows.
 
     Scale design: the query block is the small side — collected once
     (bounded by ``max_queries``, the same legitimacy argument as the IVF
@@ -590,7 +627,7 @@ def knn_join(
     q_ids = [r[0] for r in qrows]
     Q = [[float(x) for x in r[1]] for r in qrows]
 
-    id_type = {f.name: f.dataType for f in corpus.schema.fields}[id_col]
+    id_type = _field_type(corpus, id_col)
     schema = T.StructType(
         [
             T.StructField("query_id", id_type),
@@ -606,14 +643,14 @@ def knn_join(
             if len(pdf) == 0:
                 yield pd.DataFrame({"query_id": [], "neighbour_id": [], "cosine": []})
                 continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = _vecs64(pdf, vec_col)
             ids = pdf[id_col].to_numpy()
             S = (V @ QM.T) / (np.linalg.norm(V, axis=1)[:, None] * QN[None, :])
             qcol, ncol, scol = [], [], []
             for j, qid in enumerate(q_ids):
                 # drop the self-match HERE so it can't occupy a local slot,
                 # then deterministic local top-k: score DESC, corpus id ASC
-                keep = np.flatnonzero(ids != qid)
+                keep = np.flatnonzero(ids != qid) if exclude_self else np.arange(len(ids))
                 order = keep[np.lexsort((ids[keep], -S[keep, j]))][:k]
                 qcol.extend([qid] * len(order))
                 ncol.extend(ids[order])

@@ -228,6 +228,21 @@ def test_promote_crash_rolls_forward_on_rerun(catalog, spark, tmp_path, monkeypa
     assert not [p for p in tmp_path.iterdir() if p.name.startswith("_staging_")]
 
 
+def test_torn_promote_manifest_does_not_brick_apply(catalog, spark, tmp_path):
+    """A manifest torn mid-journal-write means NO rename has happened yet
+    (the journal lands before the first rename), so the next apply must
+    discard it and proceed — not raise forever."""
+    from database_anonymiser_spark import executor as EX
+
+    tmp_path.mkdir(exist_ok=True)
+    (tmp_path / EX.PROMOTE_MANIFEST).write_text('[{"table": "cust')  # truncated
+    plan = build_plan(config_from_dict(base_config_dict()))
+    res = execute_plan(catalog, plan, dryrun=False, output_root=tmp_path, force=True)
+    assert res.total_rows == 150
+    assert not (tmp_path / EX.PROMOTE_MANIFEST).exists()
+    assert spark.read.parquet(str(tmp_path / "customer.parquet")).count() == 150
+
+
 def test_apply_respects_max_records_per_file(catalog, tmp_path):
     """File-size governance (SURVEY.md §7): every output file of an apply
     write holds at most max_records_per_file records — at 100 TB this is
