@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from database_anonymiser_spark.operators import dedup as D
+from database_anonymiser_spark.operators import graph as G
 from database_anonymiser_spark.suite.base import load, register
 
 # shared oracle CTE: distinct word 3-gram shingles per doc
@@ -102,28 +103,56 @@ cjac AS (
 @register(
     "dedup_jaccard",
     f"""
-    WITH {_JACCARD_CTE}, {_CAPPED_CHAIN}
+    WITH RECURSIVE {_JACCARD_CTE}, {_CAPPED_CHAIN},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    )
     SELECT 'all' AS variant, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
     UNION ALL
     SELECT 'df_capped' AS variant, id_a, id_b, jaccard FROM cjac WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'cluster' AS variant, id AS id_a, min(lbl) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM reach GROUP BY id
     """,
-    tags=("dedup", "skew"),
+    tags=("dedup", "skew", "graph"),
 )
 def dedup_jaccard(spark, sf_dir):
-    """Inverted-index n-gram Jaccard pairs, both variants tagged and
-    unioned: 'all' (every shingle) and 'df_capped' (the max_df hot-shingle
-    skew guard, df ≤ 25 — the 100 TB formulation: the pair-exploding
-    stopword shingles never reach the self-join; the drop-set is tiny by
-    construction, one df-count shuffle plus a broadcast anti join).
+    """Inverted-index n-gram Jaccard pairs plus their transitive closure,
+    three variants tagged and unioned:
+
+    - 'all': every pair at jaccard ≥ 0.5 (full inverted index);
+    - 'df_capped': the max_df hot-shingle skew guard, df ≤ 25 — the 100 TB
+      formulation: the pair-exploding stopword shingles never reach the
+      self-join; the drop-set is tiny by construction, one df-count
+      shuffle plus a broadcast anti join;
+    - 'cluster': connected components over the 'all' pairs — (member id,
+      cluster id) with cluster id = min member, the duplicate-GROUP shape
+      a curation pipeline dedups by (operators/graph.py: min-label
+      propagation with pointer-jumping shortcuts, O(log diameter)
+      rounds). The oracle reproduces the closure with a recursive CTE, so
+      the distributed iteration is value-hash checked cross-engine.
     """
     docs = load(spark, sf_dir, "documents")
-    every = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
-        F.lit("all").alias("variant"), "id_a", "id_b", "jaccard"
-    )
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    every = pairs.select(F.lit("all").alias("variant"), "id_a", "id_b", "jaccard")
     capped = D.jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=25
     ).select(F.lit("df_capped").alias("variant"), "id_a", "id_b", "jaccard")
-    return every.unionByName(capped)
+    clusters = G.connected_components(pairs).select(
+        F.lit("cluster").alias("variant"),
+        F.col("id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return every.unionByName(capped).unionByName(clusters)
 
 
 def _minhash_oracle() -> str:

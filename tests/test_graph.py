@@ -1,0 +1,101 @@
+"""connected_components / dedup_survivors — duplicate-pair clustering."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.graph import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min_label(spark):
+    # A~B, B~C, C~D: transitive closure must find ONE cluster even though
+    # A~C / A~D were never emitted as pairs
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_star(spark):
+    got = _cc(spark, [(10, 11), (12, 10), (20, 21)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_isolated_nodes_absent(spark):
+    got = _cc(spark, [(5, 6)])
+    assert set(got) == {5, 6}
+
+
+def test_long_path_converges_logarithmically(spark):
+    # 64-node path: diameter 63; pointer-jumping must converge in ≤10
+    # rounds (log₂ 63 ≈ 6), not 63 — the property that makes million-long
+    # dup chains feasible at scale
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, edges, max_iter=10)
+    assert set(got.values()) == {0}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        _cc(spark, [(i, i + 1) for i in range(64)], max_iter=1)
+
+
+def test_survivors_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    clusters = connected_components(pairs)
+    kept = dedup_survivors(docs, "doc_id", clusters)
+    # 2,3 collapse into 1; 6 into 5; 4 and 7 are singletons (absent from
+    # clusters) and survive untouched
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [1, 4, 5, 7]
+
+
+def _uf_components(edges):
+    """Reference union-find (driver-side, test-only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matches_union_find(spark, edges):
+    want = _uf_components(edges)
+    # union-find roots are min labels only after path compression settles;
+    # normalize: map every node to the min node of its root-group
+    by_root = {}
+    for n, r in want.items():
+        by_root.setdefault(r, []).append(n)
+    want_min = {n: min(ns) for r, ns in by_root.items() for n in ns}
+    got = _cc(spark, edges)
+    assert got == want_min
