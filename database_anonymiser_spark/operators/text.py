@@ -360,3 +360,59 @@ def pack_sequences(
         "_shard", F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
     )
     return sharded.groupBy("_shard").applyInPandas(pack, schema)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_common: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: which train docs share word ``n``-grams
+    with which eval docs — the leakage check every training-corpus build
+    runs before a model ever sees the data (the n-gram-overlap method of
+    the GPT-3/PaLM decontamination appendices, n≈8-13).
+
+    Returns (train_id, eval_id, n_common, contamination): ``n_common``
+    distinct shared n-grams, ``contamination`` = the fraction of the eval
+    doc's distinct n-grams found in that train doc (1.0 = the whole eval
+    doc is inside the train doc), rounded to 6dp. Rows below
+    ``min_common`` are dropped.
+
+    100 TB design: the eval side is a benchmark — thousands of docs, not
+    billions — so with ``broadcast_eval`` (default) its inverted index
+    broadcasts and the train side NEVER shuffles: scan → map-side shingle
+    explode → broadcast-hash join → partial agg. The train corpus being
+    the 100 TB side costs one pass of scan bandwidth. Set
+    ``broadcast_eval=False`` only for eval sets too big to broadcast
+    (then it's a standard shuffle join on the shingle).
+    """
+    from database_anonymiser_spark.operators.dedup import shingle_array
+
+    tr = shingle_array(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_id"), F.explode("shingle_arr").alias("shingle")
+    )
+    ev_arr = shingle_array(eval_df, id_col, text_col, n)
+    ev = ev_arr.select(
+        F.col(id_col).alias("eval_id"), F.explode("shingle_arr").alias("shingle")
+    )
+    ev_sz = ev_arr.select(
+        F.col(id_col).alias("eval_id"), F.size("shingle_arr").alias("_n_eval")
+    )
+    if broadcast_eval:
+        ev, ev_sz = F.broadcast(ev), F.broadcast(ev_sz)
+    common = (
+        tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return common.join(ev_sz, "eval_id").select(
+        "train_id",
+        "eval_id",
+        "n_common",
+        F.round(F.col("n_common") / F.col("_n_eval"), 6).alias("contamination"),
+    )

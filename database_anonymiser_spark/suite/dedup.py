@@ -113,6 +113,26 @@ cjac AS (
       SELECT src, src FROM edges
       UNION
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    sh5 AS (
+      SELECT DISTINCT a.doc_id,
+             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS shingle
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                 JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+                 JOIN tok d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+                 JOIN tok e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+    ),
+    split AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split-v1' || source), 1, 15))::BIGINT) % 100 AS b
+      FROM documents
+    ),
+    trsh AS (SELECT sh5.* FROM sh5 JOIN split USING (doc_id) WHERE b < 90),
+    evsh AS (SELECT sh5.* FROM sh5 JOIN split USING (doc_id) WHERE b >= 90),
+    evsz AS (SELECT doc_id, count(*) AS n FROM evsh GROUP BY doc_id),
+    contam AS (
+      SELECT t.doc_id AS id_a, e.doc_id AS id_b, count(*) AS c
+      FROM trsh t JOIN evsh e ON t.shingle = e.shingle GROUP BY 1, 2
     )
     SELECT 'all' AS variant, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
     UNION ALL
@@ -121,8 +141,11 @@ cjac AS (
     SELECT 'cluster' AS variant, id AS id_a, min(lbl) AS id_b,
            CAST(NULL AS DOUBLE) AS jaccard
     FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'contam' AS variant, c2.id_a, c2.id_b, round(c2.c / z.n, 6) AS jaccard
+    FROM contam c2 JOIN evsz z ON c2.id_b = z.doc_id
     """,
-    tags=("dedup", "skew", "graph"),
+    tags=("dedup", "skew", "graph", "decontam"),
 )
 def dedup_jaccard(spark, sf_dir):
     """Inverted-index n-gram Jaccard pairs plus their transitive closure,
@@ -138,8 +161,16 @@ def dedup_jaccard(spark, sf_dir):
       a curation pipeline dedups by (operators/graph.py: min-label
       propagation with pointer-jumping shortcuts, O(log diameter)
       rounds). The oracle reproduces the closure with a recursive CTE, so
-      the distributed iteration is value-hash checked cross-engine.
+      the distributed iteration is value-hash checked cross-engine;
+    - 'contam': benchmark decontamination — the leakage-safe train/eval
+      split (same md5-bucket-by-source assignment text_profile checks),
+      then 5-gram overlap train→eval via a broadcast inverted index: the
+      eval side broadcasts so the train corpus never shuffles (id_a =
+      train doc, id_b = eval doc, jaccard = fraction of the eval doc's
+      5-grams present in the train doc).
     """
+    from database_anonymiser_spark.operators import text as TX
+
     docs = load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     every = pairs.select(F.lit("all").alias("variant"), "id_a", "id_b", "jaccard")
@@ -152,7 +183,20 @@ def dedup_jaccard(spark, sf_dir):
         F.col("cluster_id").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return every.unionByName(capped).unionByName(clusters)
+    split = TX.train_eval_split(docs, "source")
+    contam = TX.ngram_contamination(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "eval"),
+        "doc_id",
+        "text",
+        n=5,
+    ).select(
+        F.lit("contam").alias("variant"),
+        F.col("train_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        F.col("contamination").alias("jaccard"),
+    )
+    return every.unionByName(capped).unionByName(clusters).unionByName(contam)
 
 
 def _minhash_oracle() -> str:

@@ -596,3 +596,44 @@ def test_knn_join_matches_numpy_oracle(spark, emb):
     assert got.exceptAll(repart).isEmpty() and repart.exceptAll(got).isEmpty()
     with pytest.raises(ValueError, match="max_queries"):
         SIM.knn_join(corpus, corpus, "vec_id", "embedding", k=5, max_queries=10)
+
+
+def test_ngram_contamination_fractions(spark):
+    from database_anonymiser_spark.operators.text import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # contains eval 10's whole text
+            (2, "x y z w v u"),        # no overlap
+            (3, "c d e f g h a b"),    # shares 'c d e f' with eval 10 only
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "a b c d e f"),       # 3 distinct 4-grams
+            (11, "p q r s t"),         # 2 distinct 4-grams, no overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): (r["n_common"], r["contamination"])
+        for r in ngram_contamination(train, evals, "doc_id", "text", n=4).collect()
+    }
+    # eval 10 shingles: 'a b c d', 'b c d e', 'c d e f'
+    assert got == {(1, 10): (3, 1.0), (3, 10): (1, round(1 / 3, 6))}
+    # min_common filters the weak hit
+    strict = ngram_contamination(train, evals, "doc_id", "text", n=4, min_common=2)
+    assert [(r["train_id"], r["eval_id"]) for r in strict.collect()] == [(1, 10)]
+
+
+def test_ngram_contamination_broadcasts_eval(spark, docs):
+    """The 100 TB contract: the eval index broadcasts, so the train side
+    joins without a shuffle (no SortMergeJoin anywhere in the plan)."""
+    from database_anonymiser_spark.operators.text import ngram_contamination
+
+    plan = ngram_contamination(
+        docs, docs.limit(50), "doc_id", "text", n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
