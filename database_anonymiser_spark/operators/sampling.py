@@ -1,0 +1,96 @@
+"""Deterministic sampling / mixture construction for training corpora.
+
+The reference has no sampling operators (SURVEY.md §2 — training-pipeline
+extension). A training-data build needs to hit a TARGET MIXTURE over
+sources/domains: downsample the over-represented ones, repeat ("epoch")
+the scarce high-quality ones. Doing that with ``rand()`` or
+``TABLESAMPLE`` is wrong at scale — resampled on every retry, stage
+re-execution, or engine change. Everything here derives from md5 of the
+ROW KEY, so the decision for a given row is a pure function of
+(salt, id): stable across runs, partitionings, engines (reproducible in
+ANSI SQL — the declared ``sample_scan`` entry hash-checks it), and
+map-side (zero shuffle, the sample IS the scan filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _bucket(id_col: str, salt: str) -> F.Column:
+    """Uniform micro-bucket in [0, 1e6) from md5(salt || id) — the same
+    hex→decimal conv construction as the dedup fingerprints, so any
+    engine with md5 reproduces it."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MICRO
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed on ``id_col``.
+
+    A map-side filter — at 100 TB the sample costs one scan with the
+    predicate pushed down; no seed state, no shuffle, retry-stable.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_bucket(id_col, salt) < int(round(fraction * _MICRO)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Per-group sampling rates in one pass — the data-mixing operator.
+
+    ``rates[g]`` is the expected copies per row of group ``g``: 0.25
+    downsamples to a quarter, 1.0 passes through, 2.5 UPSAMPLES — every
+    row appears twice plus a deterministic half gets a third copy.
+    Groups absent from ``rates`` use ``default_rate``. Output adds
+    ``copy_idx`` (0-based repeat index) so downstream shuffling/packing
+    can salt per copy instead of seeing byte-identical rows.
+
+    Row count per group is rate·n ± the binomial-free hash error (no
+    randomness — the SAME rows are chosen every run). The rate lookup is
+    a literal map (``create_map``), the copy fan-out is
+    ``posexplode(array_repeat(...))`` — all map-side, zero shuffle, zero
+    Python; the whole operator rides the scan at any scale.
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    micro = {g: int(round(r * _MICRO)) for g, r in rates.items()}
+    pairs = [x for g, m in micro.items() for x in (F.lit(g), F.lit(m))]
+    rate_map = F.create_map(*pairs) if pairs else F.create_map()
+    microrate = F.coalesce(
+        rate_map[F.col(group_col)], F.lit(int(round(default_rate * _MICRO)))
+    )
+    copies = (
+        F.floor(microrate / _MICRO)
+        + F.when(_bucket(id_col, salt) < microrate % _MICRO, 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .select(
+            *df.columns,
+            F.posexplode(F.array_repeat(F.lit(1), F.col("_copies"))).alias(
+                "copy_idx", "_one"
+            ),
+        )
+        .drop("_one")
+    )

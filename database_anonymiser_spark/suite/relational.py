@@ -30,11 +30,26 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
     SELECT 'hash_sample' AS kind, c_custkey, c_name FROM customer
     WHERE c_name IS NOT NULL
       AND ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+    UNION ALL
+    SELECT 'mixture' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             unnest(range((micro // 1000000)
+                          + CASE WHEN bucket < micro % 1000000 THEN 1 ELSE 0 END))
+      FROM (
+        SELECT c_custkey, c_name,
+               CASE c_mktsegment WHEN 'BUILDING' THEN 1500000
+                                 WHEN 'AUTOMOBILE' THEN 250000
+                                 ELSE 100000 END AS micro,
+               ('0x' || substr(md5('mix-v1' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 AS bucket
+        FROM customer
+      )
+    )
     """,
     tags=("scan", "filter", "sample"),
 )
 def sample_scan(spark, sf_dir):
-    """S3 sample-limit + P4 null-filter + deterministic hash sampling.
+    """S3 sample-limit + P4 null-filter + deterministic sampling/mixing.
 
     'head' is the config-preview limit (TakeOrderedAndProject: per-partition
     heaps, no global sort; IsNotNull pushed to the scan — plan-asserted).
@@ -42,6 +57,12 @@ def sample_scan(spark, sf_dir):
     idiom for 100 TB pipelines: unlike rand()/TABLESAMPLE it is stable
     across runs, engines, partitionings and retries, and it is a map-side
     filter (no shuffle, no seed state).
+    'mixture' is the data-mixing operator (operators/sampling.py): per-
+    group target rates in one pass — BUILDING upsampled 1.5× (every row
+    once, a deterministic half twice), AUTOMOBILE down to 0.25, the rest
+    to 0.1 — rate lookup via a literal map, copy fan-out via
+    posexplode(array_repeat), all map-side; the oracle reproduces the
+    bucket arithmetic and the copy fan-out with unnest(range(...)).
     """
     df = load(spark, sf_dir, "customer")
     head = (
@@ -60,7 +81,16 @@ def sample_scan(spark, sf_dir):
         df.where(F.col("c_name").isNotNull() & (bucket < 5))
         .select(F.lit("hash_sample").alias("kind"), "c_custkey", "c_name")
     )
-    return head.unionByName(sampled)
+    from database_anonymiser_spark.operators import sampling as SA
+
+    mixed = SA.mixture_sample(
+        df.select("c_custkey", "c_name", "c_mktsegment"),
+        "c_custkey",
+        "c_mktsegment",
+        {"BUILDING": 1.5, "AUTOMOBILE": 0.25},
+        default_rate=0.1,
+    ).select(F.lit("mixture").alias("kind"), "c_custkey", "c_name")
+    return head.unionByName(sampled).unionByName(mixed)
 
 
 _ALL_TABLES = (

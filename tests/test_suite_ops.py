@@ -637,3 +637,47 @@ def test_ngram_contamination_broadcasts_eval(spark, docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_copy_semantics(spark):
+    from database_anonymiser_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], "id long, g string"
+    )
+    # integer rate: EVERY row exactly twice, copy_idx 0 and 1
+    doubled = SA.mixture_sample(df.where("g = 'a'"), "id", "g", {"a": 2.0})
+    per_id = {
+        r["id"]: r["n"]
+        for r in doubled.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_id.values()) == {2}
+    assert sorted(
+        r["copy_idx"] for r in doubled.where("id = 0").select("copy_idx").collect()
+    ) == [0, 1]
+    # zero rate drops the group entirely; default_rate covers the rest
+    mixed = SA.mixture_sample(df, "id", "g", {"a": 0.0}, default_rate=1.0)
+    assert mixed.where("g = 'a'").count() == 0
+    assert mixed.where("g = 'b'").count() == 50
+    # deterministic: same rows selected regardless of partitioning
+    frac = SA.mixture_sample(df, "id", "g", {"a": 0.4, "b": 1.3})
+    again = SA.mixture_sample(df.repartition(13), "id", "g", {"a": 0.4, "b": 1.3})
+    assert frac.exceptAll(again).isEmpty() and again.exceptAll(frac).isEmpty()
+    with pytest.raises(ValueError, match=">= 0"):
+        SA.mixture_sample(df, "id", "g", {"a": -0.1})
+
+
+def test_hash_sample_fraction_and_plan(spark):
+    from database_anonymiser_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    got = SA.hash_sample(df, "id", 0.05).count()
+    assert 60 <= got <= 140  # ~5% of 2000, hash-uniform
+    assert SA.hash_sample(df, "id", 0.05).count() == got  # run-stable
+    # map-side contract: the sample is a filter, never a shuffle
+    plan = (
+        SA.hash_sample(df, "id", 0.05)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="fraction"):
+        SA.hash_sample(df, "id", 1.5)
