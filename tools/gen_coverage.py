@@ -38,7 +38,7 @@ CATEGORIES = [
 MERGE_MAP = [
     ("mask_strategies", "mask_keep + mask_set_null + mask_redact + mask_hash (+ real sha256) + mask_truncate + mask_email_fake + mask_sample_preview"),
     ("count_rows", "count_rows + count_total (ROLLUP grand total)"),
-    ("sample_scan", "sample_limit + sample_notnull"),
+    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3)"),
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
@@ -50,7 +50,7 @@ MERGE_MAP = [
     ("func_json", "func_json + func_json_struct"),
     ("stream_windows", "stream_tumbling + stream_sliding + stream_watermark_late_drop (now in-plan + oracle-checked)"),
     ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
-    ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped"),
+    ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped + dedup_clusters (connected components, round 3) + decontaminate (train/eval n-gram overlap, round 3)"),
     ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf"),
     ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint + train_eval_split (leakage-safe, round 3)"),
     ("mm_extract_features", "mm_extract_features + mm_frame_sample (chained per-frame features)"),
