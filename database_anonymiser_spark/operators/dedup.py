@@ -241,10 +241,20 @@ def minhash_lsh_pairs(
     jaccard) — a subset of jaccard_pairs with LSH-bounded candidate cost,
     which is the property that makes it the 100 TB path (candidate count
     scales with collisions, not with |docs|²).
+
+    Physical shape: the signature frame (|docs| × k+1 small ints) is
+    cached so the band self-join's two sides don't each recompute the
+    md5 HOF chain; verification joins the CANDIDATES back to the cached
+    per-doc shingle ARRAYS and takes ``array_intersect`` sizes per row —
+    shuffling |cand| + |docs| packed array rows instead of exploding to
+    (|cand| + |docs|) × shingles-per-doc index rows, and needing no
+    count-common groupBy at all. Strictly less shuffle volume than the
+    inverted-index verify at any scale; per-row memory is two documents'
+    shingle sets.
     """
     sh_arr = shingle_array(df, id_col, text_col, n).cache()
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
-    sig = minhash_signatures_from_array(sh_arr, id_col)
+    sig = minhash_signatures_from_array(sh_arr, id_col).cache()
     k = len(HASH_FAMILY)
     # one row per (doc, band) via an inline array — no union of k/r DataFrames
     band_structs = []
@@ -264,15 +274,41 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact-Jaccard verification restricted to LSH candidates: the common-
-    # shingle count joins through the candidate list instead of self-joining
-    # the full inverted index (cost ∝ candidates × shingles-per-doc, not
-    # |docs|² — the property that makes this the 100 TB path).
-    sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
-    if max_df is not None:
-        # signatures/candidates stay array-based (recall only); the verified
-        # Jaccard values use the df-capped sets on both sides consistently
-        sh, sizes = _apply_max_df(sh, id_col, max_df)
+    # exact-Jaccard verification restricted to LSH candidates (cost ∝
+    # candidates, not |docs|²). Default path: join the candidates back to
+    # the cached shingle ARRAYS and intersect per row — no explode, no
+    # groupBy; set sizes read off the arrays in the same projection.
+    if max_df is None:
+        arr_a = sh_arr.select(
+            F.col(id_col).alias("id_a"), F.col("shingle_arr").alias("_aa")
+        )
+        arr_b = sh_arr.select(
+            F.col(id_col).alias("id_b"), F.col("shingle_arr").alias("_ab")
+        )
+        return (
+            candidates.join(arr_a, "id_a")
+            .join(arr_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_aa", "_ab")).alias("_common"),
+                F.size("_aa").alias("_sza"),
+                F.size("_ab").alias("_szb"),
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # max_df path: the df-cap filter lives on the exploded index, so the
+    # verified Jaccard uses the capped sets on both sides consistently
+    # (signatures/candidates stay array-based — recall only)
+    sh, sizes = _apply_max_df(sh, id_col, max_df)
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
