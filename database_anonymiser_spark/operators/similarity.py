@@ -269,9 +269,13 @@ def lsh_candidate_pairs(
     """Banded hyperplane-LSH candidate generation (blocking only — no
     verification): map-side sign-bit signatures, bits split into bands of
     ``rows_per_band``, vectors sharing any band bucket become a candidate
-    pair. Size the parameters with :func:`recommended_lsh_params`."""
+    pair. Size the parameters with :func:`recommended_lsh_params`.
+
+    The signature frame (|vectors| × n_planes+1 ints — tiny) is cached:
+    the band self-join's two sides would otherwise each rerun the Arrow
+    signature stage over the full input."""
     planes = int_planes(dim, n_planes)
-    sig = lsh_signatures(df, id_col, vec_col, planes)
+    sig = lsh_signatures(df, id_col, vec_col, planes).cache()
     band_structs = []
     for b0 in range(0, n_planes, rows_per_band):
         cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
@@ -319,28 +323,45 @@ def cosine_lsh_pairs(
     that keeps candidate growth linear in n (asserted in
     tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically).
     """
-    candidates = lsh_candidate_pairs(
-        df, id_col, vec_col, n_planes=n_planes, rows_per_band=rows_per_band, dim=dim
-    )
-    # Two-stage verification, Arrow-vectorized like the signature stage.
-    # The exact-decimal cosine (the oracle-matched score) costs 3 × dim
-    # decimal ops per pair — fine for survivors, ruinous across every
-    # banded candidate. Per Arrow batch: one float64 einsum scores ALL
-    # candidate pairs; only pairs within a DATA-DRIVEN margin of the
-    # threshold boundary get the exact Python-decimal rescore
-    # (:func:`_cosine6_py`, the tested twin of round(cosine(), 6)). The
-    # margin is the per-pair propagated bound of the 6dp input-quantization
-    # error (δdot/(‖a‖‖b‖) + |cos|·(δa/‖a‖ + δb/‖b‖), δ = 0.5e-6·Σ|x|),
-    # NOT a constant — tiny-norm vectors inflate it automatically, so the
-    # emitted pair set AND every emitted score are identical to scoring
-    # every candidate exactly — the DuckDB oracle hash-checks both.
+    # Physical shape: score WITHIN each (band, bucket) group instead of
+    # materializing candidate PAIRS. Joining vectors onto the candidate
+    # list ships 2 × |candidates| full vectors through the exchange and
+    # Arrow (at 16/4 on 2000 uniform vectors that is ~466k pairs ≈ 0.5 GB);
+    # grouping ships each vector once per band (bands × |vectors| rows),
+    # the all-pairs scoring happens inside ONE numpy matmul per bucket, and
+    # the cross-band dedup dedups SURVIVORS (a handful) instead of raw
+    # candidates. Same emitted pair set and scores — the oracle's
+    # candidate-join formulation hash-checks it.
+    #
+    # Verification inside a bucket is the same two-stage scheme as before:
+    # float64 matmul scores every in-bucket pair; only pairs within a
+    # DATA-DRIVEN margin of the threshold boundary get the exact
+    # Python-decimal rescore (:func:`_cosine6_py`, the tested twin of
+    # round(cosine(), 6)). The margin is the per-pair propagated bound of
+    # the 6dp input-quantization error (δdot/(‖a‖‖b‖) + |cos|·(δa/‖a‖ +
+    # δb/‖b‖), δ = 0.5e-6·Σ|x|) — tiny-norm vectors inflate it
+    # automatically, so every EMITTED score is the exact decimal value and
+    # identical across bands (which is what makes the final distinct
+    # correct). Skew caveat: a bucket holding m vectors costs one m×m
+    # matmul in one task — the same quadratic candidate cost the join
+    # formulation pays, concentrated; the remedy at scale is the
+    # ⌈log₂ n⌉ band-width law (recommended_lsh_params), not the verify
+    # shape.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    paired = candidates.join(va, "id_a").join(vb, "id_b")
+    planes = int_planes(dim, n_planes)
+    sig = lsh_signatures(df, id_col, vec_col, planes, keep_vec=True)
+    band_structs = []
+    for b0 in range(0, n_planes, rows_per_band):
+        cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
+        band_structs.append(
+            F.struct(F.lit(b0).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, vec_col, "_b.band_id", "_b.band_key")
     schema = T.StructType(
         [
             T.StructField("id_a", _field_type(df, id_col)),
@@ -348,38 +369,41 @@ def cosine_lsh_pairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
-    def verify(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-                continue
-            A = _vecs64(pdf, "_va")
-            B = _vecs64(pdf, "_vb")
-            na = np.linalg.norm(A, axis=1)
-            nb = np.linalg.norm(B, axis=1)
-            denom = na * nb
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos_f = np.einsum("ij,ij->i", A, B) / denom
-                # propagated 6dp-quantization bound per pair (+float slack)
-                da = 0.5e-6 * np.abs(A).sum(axis=1)
-                db = 0.5e-6 * np.abs(B).sum(axis=1)
-                margin = (
-                    (da * nb + db * na) / denom
-                    + np.abs(cos_f) * (da / na + db / nb)
-                    + 1e-9
-                )
-            near = (cos_f >= threshold - margin) | ~np.isfinite(cos_f)
-            ids_a, ids_b, scores = [], [], []
-            for r in np.flatnonzero(near):
-                exact = _cosine6_py(A[r], B[r])
-                if exact is not None and exact >= threshold:
-                    ids_a.append(pdf["id_a"].iat[r])
-                    ids_b.append(pdf["id_b"].iat[r])
-                    scores.append(exact)
-            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": scores})
+    def bucket_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)  # triu on sorted ids ⇒ id_a < id_b
+        V = _vecs64(pdf, vec_col)
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        dabs = 0.5e-6 * np.abs(V).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_f = (V @ V.T) / np.outer(norms, norms)
+            margin = (
+                (np.outer(dabs, norms) + np.outer(norms, dabs))
+                / np.outer(norms, norms)
+                + np.abs(cos_f) * (np.add.outer(dabs / norms, dabs / norms))
+                + 1e-9
+            )
+        near = (cos_f >= threshold - margin) | ~np.isfinite(cos_f)
+        ia, ja = np.triu_indices(n, 1)
+        ids_a, ids_b, scores = [], [], []
+        for i, j in zip(ia[near[ia, ja]], ja[near[ia, ja]]):
+            exact = _cosine6_py(V[i], V[j])
+            if exact is not None and exact >= threshold:
+                ids_a.append(ids[i])
+                ids_b.append(ids[j])
+                scores.append(exact)
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": scores})
 
-    return paired.mapInPandas(verify, schema)
+    return (
+        buckets.groupBy("band_id", "band_key")
+        .applyInPandas(bucket_pairs, schema)
+        .distinct()
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
