@@ -81,14 +81,73 @@ def brute_force_topk(
 
     The 1-row query side is crossJoin-broadcast; the scan side stays fully
     parallel. Ties broken by id for determinism; score rounded to 6dp.
+
+    Arrow-vectorized with the engine's standard margin-fallback scheme:
+    each partition scores its rows with one float64 matvec, keeps the
+    local top-k PLUS every row within the propagated 6dp-quantization
+    bound of the k-th score, rescores those few with the exact decimal
+    arithmetic (:func:`_cosine6_py` — the tested twin of the
+    round(cosine, 6) column), and emits its exact-scored local top-k;
+    the global orderBy+limit then merges ≤ k × partitions rows
+    (TakeOrderedAndProject — no full sort). Emitted scores are exactly
+    the decimal values, so the DuckDB oracle hash-matches. NaN cosines
+    (zero-norm rows) sort FIRST, mirroring the JVM's NaN-greatest
+    ordering.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
-    scored = df.crossJoin(F.broadcast(q)).select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    paired = df.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, _field_type(df, id_col)),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    empty = pd.DataFrame({id_col: [], "cosine": []})
+
+    def local_topk(it):
+        for pdf in it:
+            pdf = pdf[pdf[id_col] != query_id]
+            if len(pdf) == 0:
+                yield empty
+                continue
+            V = _vecs64(pdf, vec_col)
+            ids = pdf[id_col].to_numpy()
+            Q = np.asarray(pdf["_qv"].iat[0], dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            qn = float(np.linalg.norm(Q))
+            dq = 0.5e-6 * float(np.abs(Q).sum())
+            dv = 0.5e-6 * np.abs(V).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_f = (V @ Q) / (norms * qn)
+                margin = (
+                    (dq * norms + dv * qn) / (norms * qn)
+                    + np.abs(cos_f) * (dq / qn + dv / norms)
+                    + 1e-9
+                )
+            bad = ~np.isfinite(cos_f)
+            finite = np.flatnonzero(~bad)
+            if len(finite) > k:
+                kth = np.partition(cos_f[finite], -k)[-k]
+                # candidates: anything the float score can't safely rank
+                # below the k-th (margins + two 6dp rounding half-ulps)
+                cut = kth - (2 * float(margin[finite].max()) + 2e-6)
+                cand = finite[cos_f[finite] >= cut]
+            else:
+                cand = finite
+            rows = [(ids[r], _cosine6_py(V[r], Q)) for r in cand]
+            rows = [(i, c) for i, c in rows if c is not None]
+            rows.sort(key=lambda t: (-t[1], t[0]))
+            # NaN mirrors the JVM ordering: greater than every number
+            nan_rows = sorted(ids[bad].tolist())
+            out = [(i, float("nan")) for i in nan_rows[:k]] + rows[:k]
+            yield pd.DataFrame(out[:k], columns=[id_col, "cosine"])
+
     return (
-        scored.where(F.col(id_col) != query_id)
+        paired.mapInPandas(local_topk, schema)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

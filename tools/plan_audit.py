@@ -41,6 +41,10 @@ ARROW_OK = {
     # asserted in tests/test_suite_ops.py
     "sim_cosine_pairs",
     "sim_topk_ann",
+    # Arrow local-topk with exact-decimal rescore of margin candidates
+    # (operators/similarity.py::brute_force_topk) — emitted scores are the
+    # exact decimal values, oracle hash-checked
+    "sim_topk_bruteforce",
 }
 
 
