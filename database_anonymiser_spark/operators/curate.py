@@ -1,0 +1,125 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Every stage below exists as a standalone, individually oracle-checked
+operator; this module is the GLUE — the pipeline a user of the engine
+actually runs over a raw crawl before training. Reference scope: the
+reference has no curation pipeline (SURVEY.md §2 training-pipeline
+extension); the composition order follows the published pre-training
+data recipes (C4/RefinedWeb/Dolma-style):
+
+1. profile + quality gate   (operators/text.py::text_profile — one scan)
+2. exact dedup              (md5 fingerprint, keep min id)
+3. near dedup               (MinHash-LSH pairs → connected components →
+                             one canonical survivor per cluster)
+4. leakage-safe split       (md5-bucket by SOURCE, never by row)
+5. decontamination          (drop train docs sharing n-grams with eval)
+6. mixture sampling         (per-source target rates, optional)
+
+Scale shape: stages 1-2 and 4-6 are map-side or single-shuffle; stage 3
+is the LSH-blocked near-dedup (cost ∝ collisions) plus an O(log diameter)
+component iteration over the pair set. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators import dedup as D
+from database_anonymiser_spark.operators import text as TX
+from database_anonymiser_spark.operators.graph import (
+    connected_components,
+    dedup_survivors,
+)
+from database_anonymiser_spark.operators.sampling import mixture_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.0,
+    allowed_langs: tuple[str, ...] | None = None,
+    near_dedup: bool = True,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    train_pct: int = 90,
+    decontam_n: int | None = 8,
+    decontam_min_common: int = 1,
+    mixture_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Run the full curation pipeline; returns one curated DataFrame with
+    columns (id, text, source, n_tokens, quality_score, lang_pred,
+    fingerprint, split[, copy_idx]).
+
+    Filter semantics: ``min_tokens``/``max_tokens``/``min_quality`` gate
+    on the profile metrics; ``allowed_langs`` (None = keep all) gates on
+    the n-gram language ID. Exact dedup keeps the minimum id per
+    fingerprint; near dedup keeps the minimum id per duplicate CLUSTER
+    (transitive closure of LSH pairs, so chains collapse to one doc).
+    ``decontam_n=None`` skips decontamination; otherwise every TRAIN doc
+    sharing ≥ ``decontam_min_common`` distinct ``decontam_n``-grams with
+    any eval doc is dropped (eval rows are never dropped — they are the
+    benchmark). ``mixture_rates=None`` skips mixing; otherwise rates
+    apply to train AND eval rows keyed on ``source_col`` (copy_idx
+    appears in the output).
+    """
+    prof = TX.text_profile(docs, id_col, text_col, keep=(text_col, source_col))
+    kept = prof.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    if allowed_langs is not None:
+        kept = kept.where(F.col("lang_pred").isin(*allowed_langs))
+    kept = kept.select(
+        id_col, text_col, source_col, "n_tokens", "quality_score", "lang_pred", "fingerprint"
+    )
+
+    # exact dedup: one shuffle on the fingerprint, keep the min id
+    canonical = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    kept = kept.join(canonical, [id_col, "fingerprint"], "left_semi")
+
+    if near_dedup:
+        pairs = D.minhash_lsh_pairs(
+            kept,
+            id_col,
+            text_col,
+            n=shingle_n,
+            threshold=jaccard_threshold,
+            max_df=max_df,
+        )
+        clusters = connected_components(pairs)
+        kept = dedup_survivors(kept, id_col, clusters)
+
+    kept = TX.train_eval_split(kept, source_col, train_pct=train_pct).drop(
+        "split_bucket"
+    )
+
+    if decontam_n is not None:
+        train = kept.where(F.col("split") == "train")
+        evals = kept.where(F.col("split") == "eval")
+        dirty = (
+            TX.ngram_contamination(
+                train,
+                evals,
+                id_col,
+                text_col,
+                n=decontam_n,
+                min_common=decontam_min_common,
+            )
+            .select(F.col("train_id").alias(id_col))
+            .distinct()
+        )
+        kept = kept.join(dirty, id_col, "left_anti")
+
+    if mixture_rates is not None:
+        kept = mixture_sample(
+            kept, id_col, source_col, mixture_rates, default_rate=default_rate
+        )
+    return kept
