@@ -681,3 +681,52 @@ def test_hash_sample_fraction_and_plan(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="fraction"):
         SA.hash_sample(df, "id", 1.5)
+
+
+def test_mixture_sample_matches_python_reference(spark):
+    """Property: the engine's copy count per row equals the Python
+    reference of the same md5-bucket arithmetic, for arbitrary rates."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_anonymiser_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(60)], "id long, g string"
+    ).cache()
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        ra=st.floats(0, 3).map(lambda x: round(x, 3)),
+        rb=st.floats(0, 3).map(lambda x: round(x, 3)),
+    )
+    def check(ra, rb):
+        got = {
+            r["id"]: r["n"]
+            for r in SA.mixture_sample(df, "id", "g", {"a": ra, "b": rb}, default_rate=0.5)
+            .groupBy("id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for i in range(60):
+            rate = {0: ra, 1: rb, 2: 0.5}[i % 3]
+            micro = int(round(rate * 1_000_000))
+            bucket = int(hashlib.md5(f"mix-v1{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+            want = micro // 1_000_000 + (1 if bucket < micro % 1_000_000 else 0)
+            assert got.get(i, 0) == want, (i, rate)
+
+    check()
+    df.unpersist()
+
+
+def test_mixture_sample_is_map_side(spark):
+    from database_anonymiser_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i, "a") for i in range(100)], "id long, g string")
+    plan = (
+        SA.mixture_sample(df, "id", "g", {"a": 1.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # rate map + fan-out ride the scan
