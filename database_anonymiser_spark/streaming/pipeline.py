@@ -14,30 +14,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The fixture stores ts as parquet TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true (session.py) it reads as epoch-ns
-# long, which we convert to a session-tz TIMESTAMP — watermarks require
-# TIMESTAMP, not TIMESTAMP_NTZ.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    # Watermarks require TIMESTAMP (LTZ), not TIMESTAMP_NTZ. When the source
+    # stores ts as parquet TIMESTAMP(NANOS) — unreadable by Spark natively —
+    # spark.sql.legacy.parquet.nanosAsLong=true (session.py) surfaces it as an
+    # epoch-ns long that we convert in-plan; micro-precision sources read
+    # straight into TIMESTAMP.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(
-    spark: SparkSession, path_glob: str, schema: T.StructType = EVENTS_RAW_SCHEMA
+    spark: SparkSession, path_glob: str, schema: T.StructType | None = None
 ) -> DataFrame:
     """File-source stream over parquet event files (one file per micro-batch
     discovery; in production this is kafka/kinesis — the transforms are
-    source-agnostic)."""
+    source-agnostic). The event-time column's physical precision is read from
+    the parquet footer so the same pipeline accepts ns-long and µs-timestamp
+    encodings (the batch catalog does the identical repair, catalog.py)."""
     import os
 
+    from database_anonymiser_spark.catalog import _nanos_timestamp_columns
+
+    ts_is_nanos = "ts" in _nanos_timestamp_columns(path_glob)
+    if schema is None:
+        schema = _events_schema(ts_is_nanos)
     # FileStreamSource requires a directory path (it forces basePath to the
     # stream path); pointing at a single parquet file (the fixture layout)
     # becomes dir + pathGlobFilter.
@@ -46,7 +55,9 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path_glob))
         path_glob = os.path.dirname(path_glob)
     raw = reader.parquet(path_glob)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
