@@ -8,6 +8,7 @@ extension); the composition order follows the published pre-training
 data recipes (C4/RefinedWeb/Dolma-style):
 
 1. profile + quality gate   (operators/text.py::text_profile — one scan)
+   + optional Gopher-style repetition gate (repetition_profile, map-side)
 2. exact dedup              (md5 fingerprint, keep min id)
 3. near dedup               (MinHash-LSH pairs → connected components →
                              one canonical survivor per cluster)
@@ -43,6 +44,7 @@ def curate_corpus(
     max_tokens: int = 1_000_000,
     min_quality: float = 0.0,
     allowed_langs: tuple[str, ...] | None = None,
+    drop_repetitive: bool = False,
     near_dedup: bool = True,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
@@ -59,7 +61,9 @@ def curate_corpus(
 
     Filter semantics: ``min_tokens``/``max_tokens``/``min_quality`` gate
     on the profile metrics; ``allowed_langs`` (None = keep all) gates on
-    the n-gram language ID. Exact dedup keeps the minimum id per
+    the n-gram language ID; ``drop_repetitive`` additionally rejects docs
+    failing the Gopher-style repetition thresholds
+    (text.py::REPETITION_THRESHOLDS). Exact dedup keeps the minimum id per
     fingerprint; near dedup keeps the minimum id per duplicate CLUSTER
     (transitive closure of LSH pairs, so chains collapse to one doc).
     ``decontam_n=None`` skips decontamination; otherwise every TRAIN doc
@@ -80,6 +84,24 @@ def curate_corpus(
     kept = kept.select(
         id_col, text_col, source_col, "n_tokens", "quality_score", "lang_pred", "fingerprint"
     )
+
+    if drop_repetitive:
+        # Gopher-style repetition gate (text.py::repetition_profile) — still
+        # the same map-side scan; signal columns are dropped after the filter
+        sig_cols = (
+            "top_token_frac",
+            "top_2gram_frac",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "symbol_word_ratio",
+            "repetitive",
+        )
+        keep_cols = tuple(c for c in kept.columns if c != id_col)
+        kept = (
+            TX.repetition_profile(kept, id_col, text_col, keep=keep_cols)
+            .where(~F.col("repetitive"))
+            .drop(*sig_cols)
+        )
 
     # exact dedup: one shuffle on the fingerprint, keep the min id
     canonical = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))

@@ -14,6 +14,15 @@ from database_anonymiser_spark.operators import text as TX
 from database_anonymiser_spark.suite.base import load, register
 
 
+def _micro_frac_sql(num: str, den: str) -> str:
+    """DuckDB twin of operators.text._frac: exact micro-half-up ratio."""
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"((2 * ({num}) * 1000000 + {den}) // (2 * {den})) / 1000000.0 "
+        f"ELSE 0.0 END"
+    )
+
+
 def _profile_oracle() -> str:
     lang_counts = ",\n             ".join(
         rf"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{lang}"
@@ -23,9 +32,19 @@ def _profile_oracle() -> str:
     whens = "\n             ".join(
         f"WHEN n_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
     )
+    top = "coalesce(list_max(list_transform(list_distinct({a}), x -> len(list_filter({a}, y -> y = x)))), 0)"
+    gates = TX.REPETITION_THRESHOLDS
+    top_token_frac = _micro_frac_sql(top.format(a="toks"), "n_tokens")
+    top_2gram_frac = _micro_frac_sql(top.format(a="bi"), "len(bi)")
+    dup_2gram_frac = _micro_frac_sql("len(bi) - len(list_distinct(bi))", "len(bi)")
+    dup_3gram_frac = _micro_frac_sql("len(tri) - len(list_distinct(tri))", "len(tri)")
+    symbol_word_ratio = _micro_frac_sql(
+        r"CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)", "n_tokens"
+    )
     return rf"""
     WITH m AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
@@ -36,13 +55,25 @@ def _profile_oracle() -> str:
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
              (('0x' || substr(md5('split-v1' || source), 1, 15))::BIGINT) % 100 AS split_bucket
       FROM documents
+    ), g AS (
+      SELECT *,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bi,
+             list_transform(range(1, greatest(len(toks) - 1, 1)),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+      FROM m
     ), r AS (
       SELECT *,
              (2 * n_punct * 1000000 + n_chars) // (2 * n_chars) AS punct_micro,
              (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens) AS stop_micro,
              (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens) AS avglen_micro,
-             greatest({langs}) AS best
-      FROM m
+             greatest({langs}) AS best,
+             {top_token_frac} AS top_token_frac,
+             {top_2gram_frac} AS top_2gram_frac,
+             {dup_2gram_frac} AS dup_2gram_frac,
+             {dup_3gram_frac} AS dup_3gram_frac,
+             {symbol_word_ratio} AS symbol_word_ratio
+      FROM g
     )
     SELECT doc_id, n_tokens, n_chars,
            CAST(ceil(n_nonspace / 4.0) AS BIGINT) AS n_subwords_est,
@@ -60,21 +91,33 @@ def _profile_oracle() -> str:
            fingerprint,
            ('0x' || substr(fingerprint, 1, 15))::BIGINT AS fingerprint64,
            split_bucket,
-           CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
+           CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+           top_token_frac, top_2gram_frac, dup_2gram_frac, dup_3gram_frac,
+           symbol_word_ratio,
+           (top_token_frac > {gates["top_token_frac"]}
+            OR top_2gram_frac > {gates["top_2gram_frac"]}
+            OR dup_3gram_frac > {gates["dup_3gram_frac"]}
+            OR symbol_word_ratio > {gates["symbol_word_ratio"]}) AS repetitive
     FROM r
     """
 
 
 @register("text_profile", _profile_oracle(), tags=("text",))
 def text_profile(spark, sf_dir):
-    """One-pass corpus profiler + leakage-safe train/eval assignment: the
-    split is keyed on ``source`` (every doc of a source lands on one side —
-    domain-level contamination control), computed map-side in the SAME
-    single projection as the profile metrics; the md5-bucket arithmetic is
-    reproduced in the oracle, so the assignment itself is hash-checked."""
+    """One-pass corpus profiler + leakage-safe train/eval assignment + the
+    Gopher-style repetition gates (round 3): the split is keyed on
+    ``source`` (every doc of a source lands on one side — domain-level
+    contamination control), and the repetition signals
+    (operators/text.py::repetition_profile) ride the SAME single projection
+    — Catalyst collapses the chained selects into one map-side pass over
+    one scan. The md5-bucket split arithmetic, the micro-half-up ratios,
+    and the nested-lambda top-count construction are all reproduced in the
+    oracle, so every column is value-hash checked."""
     docs = load(spark, sf_dir, "documents")
     split = TX.train_eval_split(docs, "source")
-    return TX.text_profile(split, "doc_id", "text", keep=("split_bucket", "split"))
+    prof = TX.text_profile(split, "doc_id", "text", keep=("split_bucket", "split", "text"))
+    rep_keep = tuple(c for c in prof.columns if c not in ("doc_id", "text"))
+    return TX.repetition_profile(prof, "doc_id", "text", keep=rep_keep)
 
 
 @register(

@@ -106,3 +106,19 @@ def test_curate_corpus_on_fixture(spark, sf_dir):
     # no surviving exact dups
     assert out.groupBy("fingerprint").count().where("count > 1").count() == 0
     out.unpersist()
+
+
+def test_curate_corpus_repetition_gate(spark):
+    """drop_repetitive rejects a pathologically loopy doc (top-token and
+    top-bigram fractions blow past the Gopher thresholds) while ordinary
+    prose of the same length survives."""
+    loopy = "spam ham " * 40 + "end"
+    rows = [
+        (1, loopy, "srcA"),
+        (2, "perfectly ordinary sentence with enough distinct words to pass every configured gate", "srcA"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate_corpus(docs, near_dedup=False, decontam_n=None)
+    assert {r["doc_id"] for r in base.select("doc_id").collect()} == {1, 2}
+    gated = curate_corpus(docs, near_dedup=False, decontam_n=None, drop_repetitive=True)
+    assert {r["doc_id"] for r in gated.select("doc_id").collect()} == {2}

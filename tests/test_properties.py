@@ -115,6 +115,56 @@ def test_column_strategy_orientations_agree(cols):
     assert _normalize_column_strategy(inverted) == internal
 
 
+# ASCII-only corpus texts: Java's \s (Spark) and Python's \s differ on
+# unicode whitespace, and the property oracle below re-tokenizes in Python.
+CORPUS_TEXT = st.one_of(
+    st.text(alphabet="abcdef .#!x", min_size=0, max_size=80),
+    # adversarial: heavy phrase repetition (the signals' raison d'être)
+    st.lists(st.sampled_from(["spam ham", "a b c", "# ...", "x"]), min_size=1, max_size=12).map(" ".join),
+)
+
+
+@given(vals=st.lists(CORPUS_TEXT, min_size=1, max_size=25))
+@FAST
+def test_repetition_profile_matches_python_oracle(spark, vals):
+    """Every repetition signal equals a pure-Python Counter oracle computed
+    with the same micro-half-up arithmetic — for ANY ascii text, including
+    empties, single tokens, and pathological repetition."""
+    import math
+    import re
+    from collections import Counter
+
+    from database_anonymiser_spark.operators.text import (
+        REPETITION_THRESHOLDS,
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, text string")
+    got = {r["id"]: r for r in repetition_profile(df, "id", "text").collect()}
+
+    def frac(num, den):
+        return math.floor((2 * num * 1_000_000 + den) / (2 * den)) / 1e6 if den > 0 else 0.0
+
+    for i, v in enumerate(vals):
+        toks = re.split(r"\s+", v.strip())
+        bi = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        tri = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        top = lambda a: max(Counter(a).values()) if a else 0
+        dup = lambda a: len(a) - len(set(a))
+        exp = {
+            "top_token_frac": frac(top(toks), len(toks)),
+            "top_2gram_frac": frac(top(bi), len(bi)),
+            "dup_2gram_frac": frac(dup(bi), len(bi)),
+            "dup_3gram_frac": frac(dup(tri), len(tri)),
+            "symbol_word_ratio": frac(len(re.findall(r"#|\.\.\.", v)), len(toks)),
+        }
+        r = got[i]
+        for k, want in exp.items():
+            assert r[k] == want, f"{k} mismatch for {v!r}: {r[k]} != {want}"
+        want_gate = any(exp[k] > thr for k, thr in REPETITION_THRESHOLDS.items())
+        assert r["repetitive"] == want_gate
+
+
 @given(
     lens=st.lists(st.integers(1, 700), min_size=1, max_size=60),
     budget=st.integers(64, 512),
