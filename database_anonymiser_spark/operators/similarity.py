@@ -465,6 +465,98 @@ def cosine_lsh_pairs(
     )
 
 
+#: int8 quantization levels: symmetric [-127, 127] (the -128 slot is unused,
+#: the standard symmetric-int8 convention so negation stays in range).
+Q_LEVELS = 127
+
+
+def _micro_ints(vec) -> F.Column:
+    """array<float> → exact per-component micro-ints: decimal(18,6) × 1e6 as
+    BIGINT — the same 6dp quantization every similarity operator starts from,
+    so int8 codes derive from EXACTLY the values the oracles see."""
+    return F.transform(vec, lambda x: (_dec(x) * 1_000_000).cast("long"))
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage/
+    bandwidth path: ``q_vec`` (array<tinyint>, 4× smaller than float32; at
+    100 TB of embeddings that is 75 TB less to store AND scan) plus
+    ``q_amax_micro`` (the per-vector scale, micro-units) for dequantization
+    ``x ≈ q · amax / (127·10⁶)``.
+
+    Every step is exact integer arithmetic: micro-ints (6dp decimal × 1e6),
+    per-vector amax, then sign-aware half-up rounding of ``q = a·127/amax``
+    as ``sgn(a) · floor((2·127·|a| + amax) / (2·amax))`` — floor of a double
+    quotient of two exact sub-2⁵³ integers, off-by-one-impossible for the
+    same reason as text.py::_micro_half_up (non-integer quotients sit ≥1/D
+    from an integer, 10⁸× the double rounding error; integer quotients are
+    exactly representable). Fully reproducible in ANSI SQL — the declared
+    ``sim_topk_bruteforce`` entry hash-checks the whole construction.
+    Map-side, zero shuffle; the all-zero vector quantizes to all zeros.
+    """
+    mi = _micro_ints(F.col(vec_col))
+    amax = F.array_max(F.transform(mi, F.abs))
+
+    def qcomp(a):
+        mag = F.floor(
+            (2 * Q_LEVELS * F.abs(a) + amax) / (2 * amax)
+        ).cast("long")
+        return F.when(a < 0, -mag).otherwise(mag).cast("tinyint")
+
+    q = F.when(amax > 0, F.transform(mi, qcomp)).otherwise(
+        F.transform(mi, lambda a: F.lit(0).cast("tinyint"))
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q_vec"),
+        amax.alias("q_amax_micro"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def quantized_cosine(qa, qb) -> F.Column:
+    """Cosine in the compressed domain: pure-BIGINT dot products (exact —
+    dim·127² ≪ 2⁵³), double sqrt/divide, 6dp round. The per-vector scales
+    cancel, so no dequantization happens at query time."""
+
+    def idot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.round(idot(qa, qb) / (F.sqrt(idot(qa, qa)) * F.sqrt(idot(qb, qb))), 6)
+
+
+def int8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k over the int8-quantized corpus — the compressed-domain
+    scoring path: scan 1/4 the bytes, score with integer dots, accept the
+    (tiny, measured-in-tests) quantization error on the scores. Same shape
+    as :func:`brute_force_topk`: 1-row broadcast query, map-side scoring,
+    TakeOrderedAndProject top-k with (cosine DESC, id ASC) tie-breaks."""
+    qdf = quantize_embeddings(df, id_col, vec_col)
+    qv = qdf.where(F.col(id_col) == query_id).select(F.col("q_vec").alias("_qq"))
+    return (
+        qdf.crossJoin(F.broadcast(qv))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            quantized_cosine(F.col("q_vec"), F.col("_qq")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (seeded LCG — no RNG
     state, reproducible everywhere)."""

@@ -43,18 +43,62 @@ v AS (
     qn AS (
       SELECT CAST(sum(CAST(qx AS DECIMAL(18,6)) * CAST(qx AS DECIMAL(18,6))) AS DOUBLE) AS nb
       FROM q
+    ),
+    exact AS (
+      SELECT 'exact' AS method, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      FROM dots, qn
+      WHERE vec_id != {_QUERY_VEC_ID}
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10
+    ),
+    mi AS (
+      SELECT vec_id, i, CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS a
+      FROM v
+    ),
+    am AS (SELECT vec_id, max(abs(a)) AS amax FROM mi GROUP BY vec_id),
+    qv AS (
+      SELECT vec_id, i,
+             CASE WHEN amax = 0 THEN 0
+                  WHEN a < 0 THEN -CAST(floor((2 * 127 * (-a) + amax) / (2.0 * amax)) AS BIGINT)
+                  ELSE CAST(floor((2 * 127 * a + amax) / (2.0 * amax)) AS BIGINT)
+             END AS qa
+      FROM mi JOIN am USING (vec_id)
+    ),
+    qq AS (SELECT i, qa AS qb FROM qv WHERE vec_id = {_QUERY_VEC_ID}),
+    qdots AS (
+      SELECT v.vec_id,
+             sum(v.qa * q.qb) AS dot,
+             sum(v.qa * v.qa) AS na
+      FROM qv v JOIN qq q USING (i)
+      GROUP BY v.vec_id
+    ),
+    qqn AS (SELECT sum(qb * qb) AS nb FROM qq),
+    int8 AS (
+      SELECT 'int8' AS method, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      FROM qdots, qqn
+      WHERE vec_id != {_QUERY_VEC_ID}
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10
     )
-    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
-    FROM dots, qn
-    WHERE vec_id != {_QUERY_VEC_ID}
-    ORDER BY cosine DESC, vec_id
-    LIMIT 10
+    SELECT * FROM exact UNION ALL SELECT * FROM int8
     """,
     tags=("similarity",),
 )
 def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k plus the int8 compressed-domain top-k (round 3),
+    tagged and unioned: the 'int8' branch quantizes every vector to
+    array<tinyint> (4× smaller; exact integer construction in
+    operators/similarity.py::quantize_embeddings) and scores with pure-
+    BIGINT dots — the oracle reproduces the quantization AND the integer
+    scoring, so the whole compressed path is value-hash checked."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.brute_force_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10)
+    exact = SIM.brute_force_topk(
+        emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10
+    ).select(F.lit("exact").alias("method"), "vec_id", "cosine")
+    int8 = SIM.int8_topk(
+        emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10
+    ).select(F.lit("int8").alias("method"), "vec_id", "cosine")
+    return exact.unionByName(int8)
 
 
 def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:

@@ -730,3 +730,47 @@ def test_mixture_sample_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # rate map + fan-out ride the scan
+
+
+def test_int8_quantization_invariants(emb):
+    """Symmetric int8 codes: range bound, the max-magnitude component maps
+    to exactly ±127, and every code equals the Python half-up oracle
+    computed from the same 6dp micro-ints."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = SIM.quantize_embeddings(emb.limit(50), "vec_id", "embedding", keep=("embedding",))
+    for r in q.collect():
+        micro = [
+            int(
+                (Decimal(float(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+                * 1_000_000
+            )
+            for x in r["embedding"]
+        ]
+        amax = max(abs(a) for a in micro)
+        assert r["q_amax_micro"] == amax
+        codes = list(r["q_vec"])
+        assert all(-127 <= c <= 127 for c in codes)
+        if amax > 0:
+            assert 127 in codes or -127 in codes
+        for a, c in zip(micro, codes):
+            want = 0 if amax == 0 else int(math.copysign(
+                (2 * 127 * abs(a) + amax) // (2 * amax), a if a else 1
+            ))
+            assert c == want, f"component {a} (amax {amax}): {c} != {want}"
+
+
+def test_int8_topk_tracks_exact_topk(emb):
+    """Compressed-domain scores stay within the int8 quantization error of
+    the exact scores, and the top-10 sets overlap strongly (the point of
+    storing 4x less)."""
+    exact = SIM.brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    int8 = SIM.int8_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    assert len(int8) == 10
+    exact_scores = {r["vec_id"]: r["cosine"] for r in exact}
+    overlap = len(exact_scores.keys() & {r["vec_id"] for r in int8})
+    assert overlap >= 7, f"int8 top-k overlap collapsed: {overlap}/10"
+    for r in int8:
+        if r["vec_id"] in exact_scores:
+            assert abs(r["cosine"] - exact_scores[r["vec_id"]]) < 0.02

@@ -52,6 +52,7 @@ MERGE_MAP = [
     ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
     ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped + dedup_clusters (connected components, round 3) + decontaminate (train/eval n-gram overlap, round 3)"),
     ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf"),
+    ("sim_topk_bruteforce", "sim_topk_bruteforce + int8-quantized top-k (compressed-domain scoring, round 3)"),
     ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint + train_eval_split (leakage-safe, round 3) + repetition_profile (Gopher-style repetition gates, round 3)"),
     ("mm_extract_features", "mm_extract_features + mm_frame_sample (chained per-frame features)"),
 ]
