@@ -580,16 +580,29 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature bucketing + exact
     re-rank inside the query's bucket. Recall measured in tests.
 
+    ``n_flip`` enables MULTI-PROBE search (Lv et al., VLDB'07): besides the
+    query's own bucket, probe every bucket whose signature differs in at
+    most ``n_flip`` sign bits — a true neighbour that straddles one
+    hyperplane lands one Hamming step away, so probing ≤1-flip buckets
+    buys most of the lost recall for (1 + n_planes) bucket lookups instead
+    of maintaining more hash tables. The probe set is a tiny broadcast
+    literal (Σ C(n_planes, f) signatures); per-probe cost stays bounded by
+    the bucket, the property that makes this the interactive path at scale.
+
     The signature uses the same integer-quantized planes + exact-decimal
     sign bits as :func:`cosine_lsh_pairs` (table side vectorized via
-    :func:`lsh_signatures`, bit-identical), so every bucket assignment is
-    reproducible bit-for-bit in an independent ANSI-SQL engine — the
-    declared ``sim_topk_ann`` entry is value-hash checked against DuckDB.
+    :func:`lsh_signatures`, bit-identical), and the probe expansion is
+    deterministic XOR arithmetic — reproducible bit-for-bit in an
+    independent ANSI-SQL engine; the declared ``sim_topk_ann`` entry is
+    value-hash checked against DuckDB.
     """
+    from itertools import combinations
+
     signed = lsh_signatures(df, id_col, vec_col, int_planes(dim, n_planes), keep_vec=True)
     sig = None
     for i in range(n_planes):
@@ -598,8 +611,21 @@ def lsh_bucket_topk(
     with_sig = signed.withColumn("_sig", sig.cast("int")).drop(
         *[f"sb_{i}" for i in range(n_planes)]
     )
-    qsig = with_sig.where(F.col(id_col) == query_id).select(
-        F.col("_sig").alias("_qsig"), F.col(vec_col).alias("_qv")
+    # all bit-masks with ≤ n_flip bits set (0 = the home bucket)
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for f in range(1, n_flip + 1)
+        for bits in combinations(range(n_planes), f)
+    ]
+    probes = F.array(*[F.lit(m) for m in masks])
+    qsig = (
+        with_sig.where(F.col(id_col) == query_id)
+        .select(
+            F.explode(
+                F.transform(probes, lambda m: F.col("_sig").bitwiseXOR(m))
+            ).alias("_qsig"),
+            F.col(vec_col).alias("_qv"),
+        )
     )
     bucket = with_sig.join(
         F.broadcast(qsig), with_sig["_sig"] == qsig["_qsig"]

@@ -178,14 +178,23 @@ def _ann_oracle(
     dim: int = 64,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_flip: int = 1,
 ) -> str:
     """Reproduce BOTH approximate-NN paths in ANSI SQL. "Approximate" means
     recall < 1 vs brute force — the plan each path actually runs is fully
     deterministic, so the oracle rebuilds it end-to-end: the LSH signature
-    (int-quantized planes → exact-decimal sign bits → bucket), the IVF
-    codebook (lowest-id vectors → exact-decimal argmax assignment →
-    probed lists), and the exact-decimal cosine re-rank with explicit
-    (cosine DESC, vec_id ASC) top-k tie-breaks."""
+    (int-quantized planes → exact-decimal sign bits → bucket) with the
+    multi-probe XOR expansion (≤ ``n_flip`` flipped bits), the IVF codebook
+    (lowest-id vectors → exact-decimal argmax assignment → probed lists),
+    and the exact-decimal cosine re-rank with explicit (cosine DESC,
+    vec_id ASC) top-k tie-breaks."""
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for f in range(1, n_flip + 1)
+        for bits in combinations(range(n_planes), f)
+    ]
     planes = SIM.int_planes(dim, n_planes)
     sig_dots = ",\n             ".join(
         f"sum(CAST(x AS DECIMAL(18,6)) * ({planes[p]})[i]) AS d{p}"
@@ -219,11 +228,15 @@ def _ann_oracle(
       FROM v GROUP BY vec_id
     ),
     sig AS (SELECT vec_id, {sig_expr} AS sig FROM sdots),
-    qsig AS (SELECT sig FROM sig WHERE vec_id = {_QUERY_VEC_ID}),
+    qsig AS (
+      SELECT xor(sig, u.m) AS psig
+      FROM sig CROSS JOIN (SELECT unnest([{", ".join(map(str, masks))}]) AS m) u
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ),
     lsh AS (
       SELECT 'lsh' AS method, c.vec_id, c.cosine
-      FROM cos c JOIN sig s ON s.vec_id = c.vec_id CROSS JOIN qsig
-      WHERE s.sig = qsig.sig
+      FROM cos c JOIN sig s ON s.vec_id = c.vec_id
+      WHERE s.sig IN (SELECT psig FROM qsig)
       ORDER BY c.cosine DESC, c.vec_id
       LIMIT {k}
     ),
@@ -263,14 +276,19 @@ def _ann_oracle(
 
 @register("sim_topk_ann", _ann_oracle(), tags=("similarity", "approx"))
 def sim_topk_ann(spark, sf_dir):
-    """Both approximate-NN paths, tagged and unioned: hyperplane-LSH
-    bucketed top-k and IVF probed-list top-k. Approximate = recall < 1 vs
-    brute force (pinned in tests/test_suite_ops.py), but the plan each path
-    runs is deterministic — the oracle reproduces the LSH bucketing and the
-    IVF codebook/assignment/probe construction exactly, so this entry is
-    value-hash checked like every other similarity query."""
+    """Both approximate-NN paths, tagged and unioned: MULTI-PROBE
+    hyperplane-LSH bucketed top-k (home bucket + every 1-bit-flip
+    neighbour bucket — Lv et al. VLDB'07; recall vs single-probe pinned in
+    tests/test_suite_ops.py) and IVF probed-list top-k. Approximate =
+    recall < 1 vs brute force, but the plan each path runs is
+    deterministic — the oracle reproduces the LSH bucketing, the XOR probe
+    expansion, and the IVF codebook/assignment/probe construction exactly,
+    so this entry is value-hash checked like every other similarity
+    query."""
     emb = load(spark, sf_dir, "embeddings")
-    lsh = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(
+    lsh = SIM.lsh_bucket_topk(
+        emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10, n_flip=1
+    ).select(
         F.lit("lsh").alias("method"), "vec_id", "cosine"
     )
     ivf = SIM.ivf_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(

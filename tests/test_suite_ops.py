@@ -774,3 +774,23 @@ def test_int8_topk_tracks_exact_topk(emb):
     for r in int8:
         if r["vec_id"] in exact_scores:
             assert abs(r["cosine"] - exact_scores[r["vec_id"]]) < 0.02
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(emb):
+    """Multi-probe (1-bit-flip) candidates are a superset of the home
+    bucket's, so recall vs the exact top-10 can only improve; returned
+    scores stay exact."""
+    exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()}
+    single = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", 0, k=10, n_flip=0).collect()
+    multi = SIM.lsh_bucket_topk(emb, "vec_id", "embedding", 0, k=10, n_flip=1).collect()
+    r_single = len(exact & {r["vec_id"] for r in single}) / 10
+    r_multi = len(exact & {r["vec_id"] for r in multi}) / 10
+    assert r_multi >= r_single, f"multi-probe recall {r_multi} < single {r_single}"
+    assert len(multi) == 10
+    exact_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in SIM.brute_force_topk(emb, "vec_id", "embedding", 0, k=len(exact) + 500).collect()
+    }
+    for r in multi:
+        if r["vec_id"] in exact_scores:
+            assert r["cosine"] == exact_scores[r["vec_id"]]
