@@ -66,8 +66,19 @@ def _norm_sq(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    """Deterministic cosine: exact-decimal dots, double sqrt/divide."""
-    return _dot_decimal(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
+    """Deterministic cosine: exact-decimal dots, double sqrt/divide.
+
+    Zero-norm guard: a zero vector makes the denominator 0, which under
+    the session's ANSI mode (Spark 4 default) would RAISE DIVIDE_BY_ZERO.
+    ``try_divide`` yields NULL instead — exactly what DuckDB's double 0/0
+    and the Arrow scoring stages (pandas NaN → Arrow null) produce — so
+    every path agrees on one convention: zero-norm scores are NULL and
+    rank LAST (both engines default to NULLS LAST under desc). Single
+    evaluation of the dot/norm tree (a when/otherwise guard would
+    re-evaluate the interpreted HOF norms)."""
+    return F.try_divide(
+        _dot_decimal(a, b), F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b))
+    )
 
 
 def brute_force_topk(
@@ -90,9 +101,10 @@ def brute_force_topk(
     round(cosine, 6) column), and emits its exact-scored local top-k;
     the global orderBy+limit then merges ≤ k × partitions rows
     (TakeOrderedAndProject — no full sort). Emitted scores are exactly
-    the decimal values, so the DuckDB oracle hash-matches. NaN cosines
-    (zero-norm rows) sort FIRST, mirroring the JVM's NaN-greatest
-    ordering.
+    the decimal values, so the DuckDB oracle hash-matches. Zero-norm rows
+    score NULL and sort LAST (the engine-wide convention — see
+    :func:`cosine`): they pad the local top-k only when a partition has
+    fewer than k finite scores.
     """
     import numpy as np
     import pandas as pd
@@ -141,10 +153,10 @@ def brute_force_topk(
             rows = [(ids[r], _cosine6_py(V[r], Q)) for r in cand]
             rows = [(i, c) for i, c in rows if c is not None]
             rows.sort(key=lambda t: (-t[1], t[0]))
-            # NaN mirrors the JVM ordering: greater than every number
-            nan_rows = sorted(ids[bad].tolist())
-            out = [(i, float("nan")) for i in nan_rows[:k]] + rows[:k]
-            yield pd.DataFrame(out[:k], columns=[id_col, "cosine"])
+            # zero-norm rows are NULL-scored and rank last: pad only
+            out = rows[:k]
+            out += [(i, None) for i in sorted(ids[bad].tolist())[: k - len(out)]]
+            yield pd.DataFrame(out, columns=[id_col, "cosine"])
 
     return (
         paired.mapInPandas(local_topk, schema)
@@ -519,7 +531,19 @@ def quantize_embeddings(
 def quantized_cosine(qa, qb) -> F.Column:
     """Cosine in the compressed domain: pure-BIGINT dot products (exact —
     dim·127² ≪ 2⁵³), double sqrt/divide, 6dp round. The per-vector scales
-    cancel, so no dequantization happens at query time."""
+    cancel, so no dequantization happens at query time.
+
+    Zero-norm guard: an all-zero vector quantizes to all zeros, and under
+    ANSI mode the bare division would RAISE DIVIDE_BY_ZERO — ``try_divide``
+    yields NULL (rank-last), the engine-wide convention of :func:`cosine`
+    and the Arrow scoring stages (mirrored in the DuckDB oracle's CASE
+    guard, suite/similarity.py).
+
+    This interpreted-fold construction is the ORACLE-SEMANTICS TWIN (what
+    the ANSI-SQL oracle reproduces literally) — the execution path for
+    table-wide scoring is the Arrow/int64-matmul stage inside
+    :func:`int8_topk`, bit-identical and far faster (the fold interpreter
+    re-evaluates the quantization tree per reference at scale)."""
 
     def idot(u, v):
         return F.aggregate(
@@ -528,7 +552,41 @@ def quantized_cosine(qa, qb) -> F.Column:
             lambda acc, x: acc + x,
         )
 
-    return F.round(idot(qa, qb) / (F.sqrt(idot(qa, qa)) * F.sqrt(idot(qb, qb))), 6)
+    raw = F.try_divide(idot(qa, qb), F.sqrt(idot(qa, qa)) * F.sqrt(idot(qb, qb)))
+    return F.round(raw, 6)
+
+
+def _quantize_np(V):
+    """Numpy twin of :func:`quantize_embeddings` — bit-identical int8 codes
+    (asserted against the Catalyst construction in tests/test_suite_ops.py).
+
+    micro-ints: the decimal(18,6) cast rounds the exact binary double
+    half-away-from-zero at 6dp; the float64 twin is sign·floor(|x·1e6|+0.5),
+    exact except within float error of a .5 boundary — those few components
+    (and the true decimal ties, e.g. 2⁻⁷·1e6 = 7812.5) are recomputed with
+    :func:`_dec6_py`, the tested Python twin of the cast. amax and the
+    half-up code q = sgn(a)·⌊(2·127·|a| + amax) / (2·amax)⌋ are pure int64
+    arithmetic (// is exact integer floor division — no float in the loop
+    at all, strictly stronger than the double-quotient argument the
+    Catalyst construction relies on)."""
+    import numpy as np
+
+    m_f = V * 1e6
+    mag_f = np.abs(m_f)
+    micro = (np.sign(V) * np.floor(mag_f + 0.5)).astype(np.int64)
+    frac = mag_f - np.floor(mag_f)
+    amb = np.abs(frac - 0.5) <= (mag_f * 1e-14 + 1e-9)
+    for r, c in np.argwhere(amb):
+        micro[r, c] = int(_dec6_py(float(V[r, c])) * 1_000_000)
+    amax = np.abs(micro).max(axis=1)
+    q = np.zeros_like(micro)
+    nz = amax > 0
+    if nz.any():
+        a = micro[nz]
+        A = amax[nz][:, None]
+        qmag = (2 * Q_LEVELS * np.abs(a) + A) // (2 * A)
+        q[nz] = np.sign(a) * qmag
+    return q
 
 
 def int8_topk(
@@ -538,20 +596,71 @@ def int8_topk(
     query_id: int,
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k over the int8-quantized corpus — the compressed-domain
-    scoring path: scan 1/4 the bytes, score with integer dots, accept the
-    (tiny, measured-in-tests) quantization error on the scores. Same shape
-    as :func:`brute_force_topk`: 1-row broadcast query, map-side scoring,
-    TakeOrderedAndProject top-k with (cosine DESC, id ASC) tie-breaks."""
-    qdf = quantize_embeddings(df, id_col, vec_col)
-    qv = qdf.where(F.col(id_col) == query_id).select(F.col("q_vec").alias("_qq"))
+    """Top-k over the int8-quantized corpus — the compressed-domain scoring
+    path: scan 1/4 the bytes, score with integer dots, accept the (tiny,
+    measured-in-tests) quantization error on the scores.
+
+    Arrow-vectorized (round 4 — the round-3 expression formulation paid the
+    interpreted-HOF fold per row AND re-evaluated the quantization tree up
+    to ~4× per reference under ProjectCollapsing, a 24× bench regression):
+    same partition-local shape as :func:`brute_force_topk`, but the int64
+    matmul is EXACT (dim·127² ≪ 2⁵³), so no margin-fallback rescore is
+    needed — only the final 6dp rounding uses the Decimal twin
+    (:func:`_round6_py`), applied to local candidates within the rounding
+    tie margin of the k-th score. Quantization runs once per batch inside
+    the same stage (:func:`_quantize_np`, bit-identical to
+    :func:`quantize_embeddings`); emitted scores equal the expression
+    construction's, so the DuckDB oracle hash-matches unchanged. Zero-norm
+    vectors score NULL and sort LAST (the engine-wide convention — see
+    :func:`cosine`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    paired = df.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, _field_type(df, id_col)),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({id_col: [], "cosine": []})
+
+    def local_topk(it):
+        qq = None
+        for pdf in it:
+            pdf = pdf[pdf[id_col] != query_id]
+            if len(pdf) == 0:
+                yield empty
+                continue
+            if qq is None:
+                Qv = np.asarray(pdf["_qv"].iat[0], dtype=np.float64)
+                qq = _quantize_np(Qv[None, :])[0]
+                nb = math.sqrt(float((qq * qq).sum()))
+            Qm = _quantize_np(_vecs64(pdf, vec_col))
+            ids = pdf[id_col].to_numpy()
+            dots = (Qm @ qq).astype(np.float64)  # exact int64 → exact double
+            na = np.sqrt((Qm * Qm).sum(axis=1).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_f = dots / (na * nb)  # same association as the oracle
+            bad = ~np.isfinite(cos_f)
+            finite = np.flatnonzero(~bad)
+            if len(finite) > k:
+                kth = np.partition(cos_f[finite], -k)[-k]
+                # scores are exact; only 6dp-rounding ties need slack
+                cand = finite[cos_f[finite] >= kth - 4e-6]
+            else:
+                cand = finite
+            rows = [(ids[r], _round6_py(cos_f[r])) for r in cand]
+            rows.sort(key=lambda t: (-t[1], t[0]))
+            # zero-norm rows are NULL-scored and rank last: pad only
+            out = rows[:k]
+            out += [(i, None) for i in sorted(ids[bad].tolist())[: k - len(out)]]
+            yield pd.DataFrame(out, columns=[id_col, "cosine"])
+
     return (
-        qdf.crossJoin(F.broadcast(qv))
-        .where(F.col(id_col) != query_id)
-        .select(
-            F.col(id_col),
-            quantized_cosine(F.col("q_vec"), F.col("_qq")).alias("cosine"),
-        )
+        paired.mapInPandas(local_topk, schema)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -646,10 +755,17 @@ _DEC6 = Decimal("0.000001")
 
 def _dec6_py(x: float) -> Decimal:
     """Python twin of the decimal(18,6) cast: round the exact binary double
-    to 6dp. Ties-at-7th-digit cannot occur for binary doubles (0.5e-6 has no
-    finite binary expansion), so the rounding mode is immaterial — HALF_UP
-    matches Spark/DuckDB."""
+    to 6dp, half-away-from-zero — HALF_UP matches Spark/DuckDB (ties are
+    possible for doubles whose micro-value is an exact half-integer, e.g.
+    2⁻⁷ → 7812.5 micro, and all engines break them upward)."""
     return Decimal(x).quantize(_DEC6, rounding=ROUND_HALF_UP)
+
+
+def _round6_py(c: float) -> float:
+    """Python twin of ``F.round(double, 6)`` / DuckDB ``round(x, 6)``:
+    shortest-decimal-repr + HALF_UP (BigDecimal.valueOf ≡ Decimal(repr(x))
+    — both shortest round-trip strings)."""
+    return float(Decimal(repr(c)).quantize(_DEC6, rounding=ROUND_HALF_UP))
 
 
 def _cosine6_py(a, b) -> float:
@@ -669,7 +785,7 @@ def _cosine6_py(a, b) -> float:
         # signalling "no score" (callers drop the pair)
         return None
     c = float(_dot_dec_py(av, bv)) / denom
-    return float(Decimal(repr(c)).quantize(_DEC6, rounding=ROUND_HALF_UP))
+    return _round6_py(c)
 
 
 def _dot_dec_py(a: list[float], b: list[float]) -> Decimal:

@@ -74,7 +74,12 @@ v AS (
     ),
     qqn AS (SELECT sum(qb * qb) AS nb FROM qq),
     int8 AS (
-      SELECT 'int8' AS method, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      -- zero-norm guard mirrors quantized_cosine/int8_topk: an all-zero
+      -- vector scores NULL and ranks LAST (both engines' desc default) —
+      -- explicit here because DuckDB's double 0/0 happens to be NULL too
+      SELECT 'int8' AS method, vec_id,
+             CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cosine
       FROM qdots, qqn
       WHERE vec_id != {_QUERY_VEC_ID}
       ORDER BY cosine DESC, vec_id

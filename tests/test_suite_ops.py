@@ -761,6 +761,62 @@ def test_int8_quantization_invariants(emb):
             assert c == want, f"component {a} (amax {amax}): {c} != {want}"
 
 
+def test_quantize_np_matches_catalyst_construction(spark, emb):
+    """The Arrow-stage quantizer (_quantize_np, the execution path inside
+    int8_topk) is BIT-IDENTICAL to the Catalyst quantize_embeddings
+    construction (the oracle-semantics twin) — on the fixture AND on the
+    edge cases: a zero vector, negatives, and 2⁻⁷ (whose micro-value
+    7812.5 is a true decimal tie, broken upward by every engine)."""
+    import numpy as np
+
+    edge = spark.createDataFrame(
+        [
+            (9001, [0.0] * 4),
+            (9002, [0.0078125, -0.0078125, 1.0, -1.0]),
+            (9003, [-0.5, 0.25, -0.125, 0.0000004]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (emb.limit(64), edge):
+        rows = SIM.quantize_embeddings(df, "vec_id", "embedding", keep=("embedding",)).collect()
+        V = np.vstack([[float(x) for x in r["embedding"]] for r in rows]).astype(np.float64)
+        got = SIM._quantize_np(V)
+        for i, r in enumerate(rows):
+            assert got[i].tolist() == list(r["q_vec"]), f"vec_id {r['vec_id']}"
+
+
+def test_zero_norm_scores_null_last_in_every_topk_path(spark):
+    """A zero vector scores NULL in the exact, compressed, and expression
+    paths alike and sorts LAST — the one convention both engines express
+    natively (Arrow turns pandas NaN into null; DuckDB's double 0/0 is
+    NULL; desc defaults to NULLS LAST on both). Before round 4 the three
+    paths disagreed (JVM NaN-first vs Arrow null-last) and the NaN rows
+    EVICTED finite candidates from the local top-k."""
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for fn in (SIM.brute_force_topk, SIM.int8_topk):
+        out = fn(df, "vec_id", "embedding", 0, k=3).collect()
+        assert [r["vec_id"] for r in out] == [3, 2, 1], fn.__name__
+        assert out[-1]["cosine"] is None, fn.__name__
+    # the expression twins agree: zero norm → NULL, not JVM NaN
+    q = SIM.quantize_embeddings(df, "vec_id", "embedding")
+    qv = q.where(F.col("vec_id") == 1).select(F.col("q_vec").alias("_z"))
+    scored = (
+        q.crossJoin(F.broadcast(qv))
+        .select("vec_id", SIM.quantized_cosine(F.col("q_vec"), F.col("_z")).alias("c"))
+        .collect()
+    )
+    assert all(r["c"] is None for r in scored)
+    z = df.where(F.col("vec_id") == 1).select(F.col("embedding").alias("_z"))
+    exprs = (
+        df.crossJoin(F.broadcast(z))
+        .select("vec_id", SIM.cosine(F.col("embedding"), F.col("_z")).alias("c"))
+        .collect()
+    )
+    assert all(r["c"] is None for r in exprs)
+
+
 def test_int8_topk_tracks_exact_topk(emb):
     """Compressed-domain scores stay within the int8 quantization error of
     the exact scores, and the top-10 sets overlap strongly (the point of
