@@ -22,27 +22,71 @@ from pyspark.sql import types as T
 from database_anonymiser_spark.types import group_for_field
 
 
+import warnings
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1024)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — unreadable by Spark
-    natively. Cached per path (immutable tuple): footers don't change for a
-    given fixture path, and every load() would otherwise pay a pyarrow
-    footer read."""
-    try:
-        import pyarrow.dataset as ds
-        import pyarrow as pa
+    natively.
 
-        schema = ds.dataset(path, format="parquet").schema
-        return tuple(
-            f.name
-            for f in schema
-            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    Glob patterns are expanded first (pyarrow's ``ds.dataset`` takes
+    concrete paths, not patterns); every file of one dataset shares an
+    encoding, so probing the first match suffices. A target that matches no
+    files, is empty, or fails to read WARNS and returns () WITHOUT caching —
+    a later call re-probes once files exist. (The earlier bare-except form
+    silently classified such sources as micro-precision and the lru_cache
+    pinned that wrong answer for the process lifetime, breaking ns-encoded
+    streams defined over a not-yet-populated directory.) Successful probes
+    are cached per concrete path: footers don't change for a given fixture
+    path, and every load() would otherwise pay a pyarrow footer read."""
+    import glob as _glob
+    import os
+
+    target = path
+    if any(ch in path for ch in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            warnings.warn(
+                f"nanos-probe: no files match {path!r} yet; assuming no "
+                "TIMESTAMP(NANOS) columns (pass an explicit schema to "
+                "stream_events to skip the probe)",
+                stacklevel=2,
+            )
+            return ()
+        target = matches[0]
+    if os.path.isdir(target) and not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(target) for f in fs
+    ):
+        warnings.warn(
+            f"nanos-probe: {target!r} holds no parquet files yet; assuming no "
+            "TIMESTAMP(NANOS) columns (pass an explicit schema to "
+            "stream_events to skip the probe)",
+            stacklevel=2,
         )
-    except Exception:
         return ()
+    try:
+        return _nanos_probe_cached(target)
+    except Exception as e:
+        warnings.warn(
+            f"nanos-probe failed for {target!r} ({e}); assuming no "
+            "TIMESTAMP(NANOS) columns",
+            stacklevel=2,
+        )
+        return ()
+
+
+@lru_cache(maxsize=1024)
+def _nanos_probe_cached(path: str) -> tuple[str, ...]:
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    schema = ds.dataset(path, format="parquet").schema
+    return tuple(
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    )
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

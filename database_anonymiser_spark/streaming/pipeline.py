@@ -39,13 +39,25 @@ def stream_events(
     discovery; in production this is kafka/kinesis — the transforms are
     source-agnostic). The event-time column's physical precision is read from
     the parquet footer so the same pipeline accepts ns-long and µs-timestamp
-    encodings (the batch catalog does the identical repair, catalog.py)."""
+    encodings (the batch catalog does the identical repair, catalog.py).
+
+    With an explicit ``schema`` the footer probe is SKIPPED entirely — the
+    caller's ts type is authoritative (LongType ts ⇒ epoch-ns under
+    nanosAsLong, converted in-plan; TimestampType ⇒ native µs). That is the
+    correct form for a stream defined over a directory that is still empty:
+    the probe has nothing to read yet (it warns and assumes µs), while the
+    schema states the encoding up front."""
     import os
 
     from database_anonymiser_spark.catalog import _nanos_timestamp_columns
 
-    ts_is_nanos = "ts" in _nanos_timestamp_columns(path_glob)
-    if schema is None:
+    if schema is not None:
+        ts_field = next((f for f in schema.fields if f.name == "ts"), None)
+        ts_is_nanos = ts_field is not None and isinstance(
+            ts_field.dataType, T.LongType
+        )
+    else:
+        ts_is_nanos = "ts" in _nanos_timestamp_columns(path_glob)
         schema = _events_schema(ts_is_nanos)
     # FileStreamSource requires a directory path (it forces basePath to the
     # stream path); pointing at a single parquet file (the fixture layout)

@@ -173,3 +173,100 @@ def test_file_sink_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 150  # no re-emission of the first 100
     assert out.select("id").distinct().count() == 150
+
+
+def _write_nanos_events(path: str, n: int = 20):
+    """A tiny ns-encoded events file (the pre-round-3 fixture encoding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 60_000_000_000 for i in range(n)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([float(i) for i in range(n)], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_events_expands_glob_for_nanos_probe(spark, tmp_path):
+    """A true glob pattern (the documented path_glob contract) must still
+    classify a ns-encoded source correctly — pyarrow datasets can't expand
+    patterns, so the probe globs first (before round 4 the probe's bare
+    except silently classified every glob source as micros, and the
+    TimestampType schema then broke on the INT64-nanos data)."""
+    d = tmp_path / "nev"
+    d.mkdir()
+    _write_nanos_events(str(d / "part-0.parquet"))
+    got = run_to_memory(
+        spark,
+        stream_events(spark, f"{d}/*.parquet"),
+        "t_glob_nanos",
+    )
+    rows = got.orderBy("event_id").collect()
+    assert len(rows) == 20
+    assert rows[0]["ts"] is not None
+    assert (rows[1]["ts"] - rows[0]["ts"]).total_seconds() == 60.0
+
+
+def test_stream_events_explicit_schema_skips_probe(spark, tmp_path, monkeypatch):
+    """With an explicit schema the footer probe must not run at all — the
+    schema's ts type decides the conversion (LongType ⇒ epoch-ns). This is
+    the contract for defining a stream over a directory that fills later."""
+    import database_anonymiser_spark.streaming.pipeline as P
+    from pyspark.sql import types as T
+
+    def _boom(path):
+        raise AssertionError("probe must be skipped when schema is explicit")
+
+    monkeypatch.setattr(
+        "database_anonymiser_spark.catalog._nanos_timestamp_columns", _boom
+    )
+    d = tmp_path / "nev2"
+    d.mkdir()
+    _write_nanos_events(str(d / "part-0.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    got = run_to_memory(
+        spark,
+        P.stream_events(spark, f"{d}/*.parquet", schema=schema),
+        "t_schema_nanos",
+    )
+    rows = got.orderBy("event_id").collect()
+    assert len(rows) == 20
+    assert (rows[1]["ts"] - rows[0]["ts"]).total_seconds() == 60.0
+
+
+def test_nanos_probe_warns_and_does_not_cache_empty(tmp_path):
+    """An empty (or unmatched) target warns and is NOT cached: once files
+    arrive, the next probe sees them — the old lru_cache pinned the wrong
+    'no nanos columns' answer for the process lifetime."""
+    import warnings as W
+
+    from database_anonymiser_spark.catalog import _nanos_timestamp_columns
+
+    d = tmp_path / "late"
+    d.mkdir()
+    pattern = f"{d}/*.parquet"
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        assert _nanos_timestamp_columns(pattern) == ()
+    assert any("no files match" in str(w.message) for w in caught)
+    _write_nanos_events(str(d / "part-0.parquet"))
+    assert _nanos_timestamp_columns(pattern) == ("ts",)
