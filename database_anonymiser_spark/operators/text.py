@@ -269,8 +269,20 @@ def repetition_profile(
     :func:`_top_count`). All ratios use the exact integer micro-half-up
     arithmetic (:func:`_micro_half_up`), so the declared entry value-hash
     checks bit-for-bit against the DuckDB oracle.
+
+    Zero-real-token documents (empty, whitespace-only, or NULL text) emit
+    ALL-ZERO signals and ``repetitive = false``: whitespace split of ''
+    yields the single empty token [''], which would otherwise score
+    top_token_frac = 1.0 and misattribute blank docs to the repetition
+    gate in curation stats (they belong to the length gate). Mirrored in
+    the DuckDB oracle's rep_toks CASE guard (suite/text.py).
     """
-    toks = tokens(text_col)
+    # "has a non-whitespace char" — NOT length(trim(...)): SQL trim strips
+    # only spaces, so a tab-only doc would slip past a trim-based guard
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.when(c.rlike(r"\S"), tokens(text_col)).otherwise(
+        F.array().cast("array<string>")
+    )
     bi = _word_grams(toks, 2)
     tri = _word_grams(toks, 3)
     n_tok = F.size(toks).cast("long")

@@ -34,17 +34,25 @@ def _profile_oracle() -> str:
     )
     top = "coalesce(list_max(list_transform(list_distinct({a}), x -> len(list_filter({a}, y -> y = x)))), 0)"
     gates = TX.REPETITION_THRESHOLDS
-    top_token_frac = _micro_frac_sql(top.format(a="toks"), "n_tokens")
+    # repetition signals use rep_toks/rep_n_tokens: the zero-real-token
+    # guard (blank text would otherwise tokenize to [''] and score 1.0)
+    top_token_frac = _micro_frac_sql(top.format(a="rep_toks"), "rep_n_tokens")
     top_2gram_frac = _micro_frac_sql(top.format(a="bi"), "len(bi)")
     dup_2gram_frac = _micro_frac_sql("len(bi) - len(list_distinct(bi))", "len(bi)")
     dup_3gram_frac = _micro_frac_sql("len(tri) - len(list_distinct(tri))", "len(tri)")
     symbol_word_ratio = _micro_frac_sql(
-        r"CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)", "n_tokens"
+        r"CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)", "rep_n_tokens"
     )
     return rf"""
     WITH m AS (
       SELECT doc_id, text,
              string_split_regex(trim(text), '\s+') AS toks,
+             CASE WHEN regexp_matches(text, '\S')
+                  THEN string_split_regex(trim(text), '\s+')
+                  ELSE [] END AS rep_toks,
+             CASE WHEN regexp_matches(text, '\S')
+                  THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  ELSE 0 END AS rep_n_tokens,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
@@ -57,10 +65,10 @@ def _profile_oracle() -> str:
       FROM documents
     ), g AS (
       SELECT *,
-             list_transform(range(1, greatest(len(toks), 1)),
-                            i -> toks[i] || ' ' || toks[i+1]) AS bi,
-             list_transform(range(1, greatest(len(toks) - 1, 1)),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+             list_transform(range(1, greatest(len(rep_toks), 1)),
+                            i -> rep_toks[i] || ' ' || rep_toks[i+1]) AS bi,
+             list_transform(range(1, greatest(len(rep_toks) - 1, 1)),
+                            i -> rep_toks[i] || ' ' || rep_toks[i+1] || ' ' || rep_toks[i+2]) AS tri
       FROM m
     ), r AS (
       SELECT *,

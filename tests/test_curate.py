@@ -122,3 +122,57 @@ def test_curate_corpus_repetition_gate(spark):
     assert {r["doc_id"] for r in base.select("doc_id").collect()} == {1, 2}
     gated = curate_corpus(docs, near_dedup=False, decontam_n=None, drop_repetitive=True)
     assert {r["doc_id"] for r in gated.select("doc_id").collect()} == {2}
+
+
+def test_curate_corpus_golden_fixture_snapshot(spark, sf_dir):
+    """Golden end-to-end pin (VERDICT r3 #3): the surviving-id set after
+    each pipeline prefix at FIXED parameters on the sf0.001 documents
+    fixture, as count + md5 of the sorted ids — stage-ordering or
+    stage-semantics regressions in the COMPOSITION cannot slip through
+    the per-stage oracles. Values re-derived only for a deliberate
+    semantic change of a stage (each stage is individually oracle-checked;
+    this test pins the glue)."""
+    import hashlib
+
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    kw = dict(min_tokens=3, train_pct=90, jaccard_threshold=0.5, shingle_n=3)
+
+    def snap(df):
+        rows = df.select("doc_id", "split").collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        h = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        return (
+            len(ids),
+            h,
+            sum(1 for r in rows if r["split"] == "train"),
+            sum(1 for r in rows if r["split"] == "eval"),
+        )
+
+    # P1: profile filter + exact dedup + split (no near-dedup/decontam)
+    assert snap(
+        curate_corpus(docs, near_dedup=False, decontam_n=None, **kw)
+    ) == (500, "c7b8df7a96779886bfe0e8b5fc968c52", 375, 125)
+    # P2: + LSH near-dedup via connected components (24 docs collapse)
+    assert snap(
+        curate_corpus(docs, near_dedup=True, decontam_n=None, **kw)
+    ) == (476, "9e788b79dfa81f5ba710e5013d2ea065", 358, 118)
+    # P3: + decontamination (2 contaminated TRAIN docs drop; eval intact)
+    assert snap(
+        curate_corpus(docs, near_dedup=True, decontam_n=5, **kw)
+    ) == (474, "545c5c1d7167cab29b811614dd1c5cf6", 356, 118)
+    # P4: + mixture sampling (src0 2x, src1 0.5x) — (id, copy_idx) multiset
+    out = curate_corpus(
+        docs,
+        near_dedup=True,
+        decontam_n=5,
+        mixture_rates={"src0": 2.0, "src1": 0.5},
+        default_rate=1.0,
+        **kw,
+    )
+    pairs = sorted(
+        (r["doc_id"], r["copy_idx"]) for r in out.select("doc_id", "copy_idx").collect()
+    )
+    h = hashlib.md5(",".join(f"{a}:{b}" for a, b in pairs).encode()).hexdigest()
+    assert (len(pairs), h) == (484, "354c91923b16227e43c8e154b6e76de9")

@@ -146,7 +146,8 @@ def test_repetition_profile_matches_python_oracle(spark, vals):
         return math.floor((2 * num * 1_000_000 + den) / (2 * den)) / 1e6 if den > 0 else 0.0
 
     for i, v in enumerate(vals):
-        toks = re.split(r"\s+", v.strip())
+        # zero-real-token guard: blank text is NOT a single empty token
+        toks = re.split(r"\s+", v.strip()) if v.strip() else []
         bi = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         tri = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
         top = lambda a: max(Counter(a).values()) if a else 0

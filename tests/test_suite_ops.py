@@ -850,3 +850,21 @@ def test_multiprobe_lsh_recall_dominates_single_probe(emb):
     for r in multi:
         if r["vec_id"] in exact_scores:
             assert r["cosine"] == exact_scores[r["vec_id"]]
+
+
+def test_blank_docs_are_not_repetitive(spark):
+    """Empty, whitespace-only, and NULL texts emit all-zero repetition
+    signals and repetitive=false — before round 4 the [''] tokenization
+    scored top_token_frac=1.0 and the curation repetition gate silently
+    claimed blank docs that belong to the length gate."""
+    from database_anonymiser_spark.operators.text import repetition_profile
+
+    rows = [(1, ""), (2, "   \t  "), (3, None), (4, "spam " * 50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in repetition_profile(df, "id", "text").collect()}
+    for i in (1, 2, 3):
+        assert got[i]["repetitive"] is False, i
+        for k in ("top_token_frac", "top_2gram_frac", "dup_2gram_frac",
+                  "dup_3gram_frac", "symbol_word_ratio"):
+            assert got[i][k] == 0.0, (i, k)
+    assert got[4]["repetitive"] is True  # real repetition still gated
