@@ -321,24 +321,50 @@ def agg_multidim(spark, sf_dir):
     )
 
 
-@register("agg_approx_sketch", None, tags=("agg", "sketch"))
-def agg_approx_sketch(spark, sf_dir):
-    """Sketch aggregates — the 100 TB answers to countDistinct and exact
-    percentile: HLL++ (approx_count_distinct) and the GK quantile sketch
-    (approx_percentile), one pass, bounded memory per group.
+_KMV_K = 256
 
-    Rows-only check (DuckDB's sketches differ, so values legitimately
-    diverge); error bounds vs the exact answers are pinned in
-    tests/test_suite_ops.py.
-    """
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
-            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
-            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("approx_p95"),
-        )
+
+@register(
+    "agg_approx_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderstatus,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM orders
+    ), r AS (
+      SELECT o_orderstatus, hv,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS nd
+      FROM h
+    )
+    SELECT o_orderstatus,
+           CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                ELSE round({float((_KMV_K - 1) * 2**60)} / hv, 6) END
+             AS kmv_distinct_est,
+           nd AS exact_distinct
+    FROM r WHERE rn = least({_KMV_K}, nd)
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_sketch(spark, sf_dir):
+    """Distinct-count sketching, in the engine's twin pattern (round 4 —
+    this was the suite's one rows-only entry): the declared query runs the
+    DETERMINISTIC KMV sketch (operators/sketch.py::kmv_distinct —
+    Bar-Yossef et al. 2002: k-th smallest 60-bit md5 hash → (k-1)·2⁶⁰/h(k),
+    built on the md5→long machinery every dedup/split operator already
+    oracle-checks), so the whole entry is value-hash checked against
+    DuckDB. The PRODUCTION sketches — HLL++ approx_count_distinct and GK
+    approx_percentile, whose engine-internal values no oracle can
+    reproduce — remain error-bound-pinned against exact answers in
+    tests/test_suite_ops.py; the KMV estimate itself is accuracy-pinned
+    there too (relative error ~ 1/√k vs exact_distinct)."""
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        load(spark, sf_dir, "orders"),
+        "o_custkey",
+        group_cols=("o_orderstatus",),
+        k=_KMV_K,
     )
 
 

@@ -868,3 +868,28 @@ def test_blank_docs_are_not_repetitive(spark):
                   "dup_3gram_frac", "symbol_word_ratio"):
             assert got[i][k] == 0.0, (i, k)
     assert got[4]["repetitive"] is True  # real repetition still gated
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
+    """KMV at k=256 sits within ~4/sqrt(k) (~25%) of the exact distinct
+    count per group (Bar-Yossef et al. give ~1/sqrt(k) standard error; the
+    fixture groups are single samples, so assert a generous multiple), and
+    groups under k distinct keys report exactly."""
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    orders = load(spark, sf_dir, "orders")
+    got = kmv_distinct(orders, "o_custkey", ("o_orderstatus",), k=256).collect()
+    assert len(got) > 0
+    for r in got:
+        exact = r["exact_distinct"]
+        if exact < 256:
+            assert r["kmv_distinct_est"] == float(exact)
+        else:
+            assert abs(r["kmv_distinct_est"] - exact) / exact < 0.25
+
+    # tiny-group exactness with a group under k
+    small = spark.createDataFrame(
+        [(i % 7, "g") for i in range(100)], "k long, g string"
+    )
+    row = kmv_distinct(small, "k", ("g",), k=256).first()
+    assert row["kmv_distinct_est"] == 7.0 and row["exact_distinct"] == 7
