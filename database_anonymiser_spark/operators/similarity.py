@@ -920,9 +920,17 @@ def knn_join(
     computes one (batch × Q) BLAS matmul and keeps its LOCAL top-k per
     query via argpartition. Only partitions × Q × k candidate rows shuffle
     into the final per-query re-rank (one groupBy window) — shuffle volume
-    is independent of corpus size. Ties break by corpus id ascending, so
-    results are byte-identical at any partitioning (pytest-pinned against
-    a pure-numpy oracle).
+    is independent of corpus size.
+
+    Emitted scores are the EXACT decimal 6dp cosines (round 4): the float
+    matmul only RANKS candidates; every local-top-k survivor (plus rows
+    within the propagated quantization margin of the k-th score) is
+    rescored with :func:`_cosine6_py`, exactly the
+    :func:`brute_force_topk` scheme. Results are therefore byte-identical
+    at any partitioning AND reproducible in an independent ANSI-SQL engine
+    — the packed ``sim_topk_ann`` 'knn' branch is value-hash checked
+    against DuckDB. Zero-norm rows score NULL and rank last (engine
+    convention, :func:`cosine`), padding only short result lists.
     """
     import numpy as np
     import pandas as pd
@@ -956,22 +964,44 @@ def knn_join(
     def local_topk(it):
         QM = np.array(Q, dtype=np.float64)  # Q × dim
         QN = np.linalg.norm(QM, axis=1)
+        dq = 0.5e-6 * np.abs(QM).sum(axis=1)  # per-query 6dp quantization bound
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame({"query_id": [], "neighbour_id": [], "cosine": []})
                 continue
             V = _vecs64(pdf, vec_col)
             ids = pdf[id_col].to_numpy()
-            S = (V @ QM.T) / (np.linalg.norm(V, axis=1)[:, None] * QN[None, :])
+            norms = np.linalg.norm(V, axis=1)
+            dv = 0.5e-6 * np.abs(V).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V @ QM.T) / (norms[:, None] * QN[None, :])
+                margin = (
+                    (np.outer(dv, QN) + np.outer(norms, dq))
+                    / (norms[:, None] * QN[None, :])
+                    + np.abs(S) * ((dv / norms)[:, None] + (dq / QN)[None, :])
+                    + 1e-9
+                )
             qcol, ncol, scol = [], [], []
             for j, qid in enumerate(q_ids):
-                # drop the self-match HERE so it can't occupy a local slot,
-                # then deterministic local top-k: score DESC, corpus id ASC
+                # drop the self-match HERE so it can't occupy a local slot
                 keep = np.flatnonzero(ids != qid) if exclude_self else np.arange(len(ids))
-                order = keep[np.lexsort((ids[keep], -S[keep, j]))][:k]
-                qcol.extend([qid] * len(order))
-                ncol.extend(ids[order])
-                scol.extend(S[order, j])
+                s = S[keep, j]
+                bad = ~np.isfinite(s)
+                finite = keep[~bad]
+                if len(finite) > k:
+                    kth = np.partition(S[finite, j], -k)[-k]
+                    cut = kth - (2 * float(margin[finite, j].max()) + 2e-6)
+                    cand = finite[S[finite, j] >= cut]
+                else:
+                    cand = finite
+                rows = [(ids[r], _cosine6_py(V[r], Q[j])) for r in cand]
+                rows = [(i, c) for i, c in rows if c is not None]
+                rows.sort(key=lambda t: (-t[1], t[0]))
+                out = rows[:k]
+                out += [(i, None) for i in sorted(ids[keep[bad]].tolist())[: k - len(out)]]
+                qcol.extend([qid] * len(out))
+                ncol.extend(i for i, _ in out)
+                scol.extend(c for _, c in out)
             yield pd.DataFrame({"query_id": qcol, "neighbour_id": ncol, "cosine": scol})
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)

@@ -177,6 +177,10 @@ def sim_cosine_pairs(spark, sf_dir):
     return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
 
 
+#: query ids for the packed bulk-kNN branch of sim_topk_ann
+_KNN_QUERY_IDS = (0, 7, 42)
+
+
 def _ann_oracle(
     k: int = 10,
     n_planes: int = 8,
@@ -185,13 +189,15 @@ def _ann_oracle(
     n_probe: int = 4,
     n_flip: int = 1,
 ) -> str:
-    """Reproduce BOTH approximate-NN paths in ANSI SQL. "Approximate" means
-    recall < 1 vs brute force — the plan each path actually runs is fully
-    deterministic, so the oracle rebuilds it end-to-end: the LSH signature
-    (int-quantized planes → exact-decimal sign bits → bucket) with the
-    multi-probe XOR expansion (≤ ``n_flip`` flipped bits), the IVF codebook
-    (lowest-id vectors → exact-decimal argmax assignment → probed lists),
-    and the exact-decimal cosine re-rank with explicit (cosine DESC,
+    """Reproduce all THREE nearest-neighbour paths in ANSI SQL.
+    "Approximate" means recall < 1 vs brute force — the plan each path
+    actually runs is fully deterministic, so the oracle rebuilds it
+    end-to-end: the LSH signature (int-quantized planes → exact-decimal
+    sign bits → bucket) with the multi-probe XOR expansion (≤ ``n_flip``
+    flipped bits), the IVF codebook (lowest-id vectors → exact-decimal
+    argmax assignment → probed lists), and — round 4 — the bulk kNN-join
+    (exact per-query top-k over the whole corpus for a small query block),
+    all re-ranked with the exact-decimal cosine and explicit (cosine DESC,
     vec_id ASC) top-k tie-breaks."""
     from itertools import combinations
 
@@ -239,7 +245,8 @@ def _ann_oracle(
       WHERE vec_id = {_QUERY_VEC_ID}
     ),
     lsh AS (
-      SELECT 'lsh' AS method, c.vec_id, c.cosine
+      SELECT 'lsh' AS method, CAST({_QUERY_VEC_ID} AS BIGINT) AS query_id,
+             c.vec_id, c.cosine
       FROM cos c JOIN sig s ON s.vec_id = c.vec_id
       WHERE s.sig IN (SELECT psig FROM qsig)
       ORDER BY c.cosine DESC, c.vec_id
@@ -268,35 +275,75 @@ def _ann_oracle(
       ORDER BY d DESC, cid ASC LIMIT {n_probe}
     ),
     ivf AS (
-      SELECT 'ivf' AS method, c.vec_id, c.cosine
+      SELECT 'ivf' AS method, CAST({_QUERY_VEC_ID} AS BIGINT) AS query_id,
+             c.vec_id, c.cosine
       FROM cos c
       JOIN assigned a ON a.vec_id = c.vec_id
       JOIN probe p ON a.cid = p.cid
       ORDER BY c.cosine DESC, c.vec_id
       LIMIT {k}
+    ),
+    kq AS (
+      SELECT vec_id AS qid, x AS qx, i FROM v
+      WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+    ),
+    kdots AS (
+      SELECT q.qid, v.vec_id,
+             CAST(sum(CAST(v.x AS DECIMAL(18,6)) * CAST(q.qx AS DECIMAL(18,6))) AS DOUBLE) AS dot
+      FROM v JOIN kq q USING (i)
+      GROUP BY q.qid, v.vec_id
+    ),
+    kcos AS (
+      SELECT d.qid, d.vec_id,
+             round(d.dot / (sqrt(n.nsq) * sqrt(qn2.nsq)), 6) AS cosine
+      FROM kdots d
+      JOIN nsq n ON n.vec_id = d.vec_id
+      JOIN nsq qn2 ON qn2.vec_id = d.qid
+      WHERE d.vec_id != d.qid
+    ),
+    knn AS (
+      SELECT 'knn' AS method, qid AS query_id, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM kcos
+      ) t WHERE rn <= {k}
     )
-    SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+    SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM knn
     """
 
 
 @register("sim_topk_ann", _ann_oracle(), tags=("similarity", "approx"))
 def sim_topk_ann(spark, sf_dir):
-    """Both approximate-NN paths, tagged and unioned: MULTI-PROBE
-    hyperplane-LSH bucketed top-k (home bucket + every 1-bit-flip
-    neighbour bucket — Lv et al. VLDB'07; recall vs single-probe pinned in
-    tests/test_suite_ops.py) and IVF probed-list top-k. Approximate =
-    recall < 1 vs brute force, but the plan each path runs is
-    deterministic — the oracle reproduces the LSH bucketing, the XOR probe
-    expansion, and the IVF codebook/assignment/probe construction exactly,
-    so this entry is value-hash checked like every other similarity
+    """All three nearest-neighbour lookup paths, tagged and unioned:
+    MULTI-PROBE hyperplane-LSH bucketed top-k (home bucket + every
+    1-bit-flip neighbour bucket — Lv et al. VLDB'07; recall vs
+    single-probe pinned in tests/test_suite_ops.py), IVF probed-list
+    top-k, and — round 4 — the bulk kNN-join
+    (operators/similarity.py::knn_join, the kNN-graph construction shape:
+    broadcast-closed query block, partition-local BLAS top-k with
+    exact-decimal rescore, shuffle independent of corpus size) over a
+    3-query block. Every path's plan is deterministic — the oracle
+    reproduces the LSH bucketing, the XOR probe expansion, the IVF
+    codebook/assignment/probe construction, and the per-query exact top-k
+    — so this entry is value-hash checked like every other similarity
     query."""
     emb = load(spark, sf_dir, "embeddings")
+    qid = F.lit(_QUERY_VEC_ID).cast("long")
     lsh = SIM.lsh_bucket_topk(
         emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10, n_flip=1
-    ).select(
-        F.lit("lsh").alias("method"), "vec_id", "cosine"
-    )
+    ).select(F.lit("lsh").alias("method"), qid.alias("query_id"), "vec_id", "cosine")
     ivf = SIM.ivf_topk(emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID, k=10).select(
-        F.lit("ivf").alias("method"), "vec_id", "cosine"
+        F.lit("ivf").alias("method"), qid.alias("query_id"), "vec_id", "cosine"
     )
-    return lsh.unionByName(ivf)
+    knn = SIM.knn_join(
+        emb,
+        emb.where(F.col("vec_id").isin(*_KNN_QUERY_IDS)),
+        "vec_id",
+        "embedding",
+        k=10,
+    ).select(
+        F.lit("knn").alias("method"),
+        "query_id",
+        F.col("neighbour_id").alias("vec_id"),
+        "cosine",
+    )
+    return lsh.unionByName(ivf).unionByName(knn)

@@ -567,9 +567,10 @@ def test_pack_sequences_invariants(spark, docs):
 
 def test_knn_join_matches_numpy_oracle(spark, emb):
     """Bulk k-NN (every query's top-k in one pass) must equal a pure-numpy
-    ground truth computed with the same float64 arithmetic and the same
-    (score DESC, id ASC) tie-break — and be identical at any input
-    partitioning (local top-k per partition merges losslessly)."""
+    ground truth with the same (score DESC, id ASC) tie-break — and be
+    identical at any input partitioning (local top-k per partition merges
+    losslessly). Emitted scores are the exact-decimal 6dp cosines (round
+    4), so the numpy float truth agrees within the 6dp rounding step."""
     import numpy as np
 
     corpus = emb.where(F.col("vec_id") < 300)
@@ -590,7 +591,9 @@ def test_knn_join_matches_numpy_oracle(spark, emb):
         expected = [(int(ids[i]), float(scores[i])) for i in order if ids[i] != qid][:5]
         actual = sorted(got_map[qid], key=lambda t: (-t[1], t[0]))
         assert [a[0] for a in actual] == [e[0] for e in expected]
-        assert all(abs(a[1] - e[1]) < 1e-12 for a, e in zip(actual, expected))
+        # exact-decimal scores quantize inputs at 6dp: cosine can move
+        # ~1e-5 from the raw-float truth (same bound as cosine_matches_numpy)
+        assert all(abs(a[1] - e[1]) < 1e-4 for a, e in zip(actual, expected))
 
     repart = SIM.knn_join(corpus.repartition(13), queries, "vec_id", "embedding", k=5)
     assert got.exceptAll(repart).isEmpty() and repart.exceptAll(got).isEmpty()
