@@ -366,6 +366,12 @@ def lsh_candidate_pairs(
     )
 
 
+#: default ceiling on the rows one bucket-scoring task handles: a bucket of
+#: m members costs one m×m matmul in one task; 4096² float64 scores ≈ 128 MB
+#: of intermediate — the largest tile a healthy executor should see.
+MAX_BUCKET_SIZE = 4096
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -374,6 +380,7 @@ def cosine_lsh_pairs(
     n_planes: int = 16,
     rows_per_band: int = 4,
     dim: int = 64,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via hyperplane-LSH blocking — the
     scale path (mirrors the banded MinHash construction in
@@ -413,17 +420,26 @@ def cosine_lsh_pairs(
     # δb/‖b‖), δ = 0.5e-6·Σ|x|) — tiny-norm vectors inflate it
     # automatically, so every EMITTED score is the exact decimal value and
     # identical across bands (which is what makes the final distinct
-    # correct). Skew caveat: a bucket holding m vectors costs one m×m
-    # matmul in one task — the same quadratic candidate cost the join
-    # formulation pays, concentrated; the remedy at scale is the
-    # ⌈log₂ n⌉ band-width law (recommended_lsh_params), not the verify
-    # shape.
+    # correct).
+    #
+    # SKEW GUARD (round 4 — closes the documented hot-bucket caveat): a
+    # bucket of m members would cost one m×m matmul in ONE task. Members
+    # hash (md5 of id) into nb = ⌈m / max_bucket_size⌉ blocks and every
+    # block PAIR (p ≤ q) becomes its own scoring group — each unordered
+    # vector pair lands in exactly one group, per-task work is bounded by
+    # max_bucket_size², and a degenerate bucket shatters into nb(nb+1)/2
+    # parallel tiles (total work unchanged: the quadratic candidate cost is
+    # the LSH parameterization's to control via the ⌈log₂ n⌉ band-width
+    # law; the guard bounds per-TASK memory and latency, not total cost).
+    # Bucket sizes come from one tiny aggregate over the cached signature
+    # frame (buckets × 1 rows, broadcast back); normal buckets get nb = 1
+    # and take the identical single-group triu path as before.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     planes = int_planes(dim, n_planes)
-    sig = lsh_signatures(df, id_col, vec_col, planes, keep_vec=True)
+    sig = lsh_signatures(df, id_col, vec_col, planes, keep_vec=True).cache()
     band_structs = []
     for b0 in range(0, n_planes, rows_per_band):
         cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
@@ -433,6 +449,38 @@ def cosine_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, vec_col, "_b.band_id", "_b.band_key")
+    sizes = (
+        sig.select(F.explode(F.array(*band_structs)).alias("_b"))
+        .select("_b.band_id", "_b.band_key")
+        .groupBy("band_id", "band_key")
+        .agg(F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("_nb"))
+    )
+    blk = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.col("_nb")
+    ).cast("int")
+    blocked = (
+        buckets.join(F.broadcast(sizes), ["band_id", "band_key"])
+        .withColumn("_blk", blk)
+        .select(
+            id_col,
+            vec_col,
+            "band_id",
+            "band_key",
+            "_blk",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nb") - 1),
+                    lambda q: F.struct(
+                        F.least(F.col("_blk"), q).alias("_pa"),
+                        F.greatest(F.col("_blk"), q).alias("_pb"),
+                    ),
+                )
+            ).alias("_pq"),
+        )
+        .select(id_col, vec_col, "band_id", "band_key", "_blk", "_pq._pa", "_pq._pb")
+    )
     schema = T.StructType(
         [
             T.StructField("id_a", _field_type(df, id_col)),
@@ -442,7 +490,23 @@ def cosine_lsh_pairs(
     )
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
-    def bucket_pairs(pdf):
+    def _score_pairs(V, ids, i_idx, j_idx, cos_f, margin):
+        near = (cos_f[i_idx, j_idx] >= threshold - margin[i_idx, j_idx]) | ~np.isfinite(
+            cos_f[i_idx, j_idx]
+        )
+        ids_a, ids_b, scores = [], [], []
+        for i, j in zip(i_idx[near], j_idx[near]):
+            exact = _cosine6_py(V[i], V[j])
+            if exact is not None and exact >= threshold:
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                ids_a.append(a)
+                ids_b.append(b)
+                scores.append(exact)
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": scores})
+
+    def bucket_pairs(key, pdf):
         n = len(pdf)
         if n < 2:
             return empty
@@ -459,19 +523,18 @@ def cosine_lsh_pairs(
                 + np.abs(cos_f) * (np.add.outer(dabs / norms, dabs / norms))
                 + 1e-9
             )
-        near = (cos_f >= threshold - margin) | ~np.isfinite(cos_f)
-        ia, ja = np.triu_indices(n, 1)
-        ids_a, ids_b, scores = [], [], []
-        for i, j in zip(ia[near[ia, ja]], ja[near[ia, ja]]):
-            exact = _cosine6_py(V[i], V[j])
-            if exact is not None and exact >= threshold:
-                ids_a.append(ids[i])
-                ids_b.append(ids[j])
-                scores.append(exact)
-        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": scores})
+        pa, pb = key[2], key[3]
+        if pa == pb:  # one block (nb=1: the whole bucket) — plain triu
+            i_idx, j_idx = np.triu_indices(n, 1)
+        else:  # cross-block tile: pairs (x ∈ block pa, y ∈ block pb) only
+            in_a = np.flatnonzero(pdf["_blk"].to_numpy() == pa)
+            in_b = np.flatnonzero(pdf["_blk"].to_numpy() == pb)
+            i_idx = np.repeat(in_a, len(in_b))
+            j_idx = np.tile(in_b, len(in_a))
+        return _score_pairs(V, ids, i_idx, j_idx, cos_f, margin)
 
     return (
-        buckets.groupBy("band_id", "band_key")
+        blocked.groupBy("band_id", "band_key", "_pa", "_pb")
         .applyInPandas(bucket_pairs, schema)
         .distinct()
     )

@@ -896,3 +896,39 @@ def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
     )
     row = kmv_distinct(small, "k", ("g",), k=256).first()
     assert row["kmv_distinct_est"] == 7.0 and row["exact_distinct"] == 7
+
+
+def test_lsh_hot_bucket_skew_guard_preserves_pairs(spark):
+    """A degenerate corpus (every vector near-identical → ONE hot bucket
+    per band) must produce the IDENTICAL pair set and scores whether the
+    bucket is scored as one tile (huge max_bucket_size) or shattered into
+    block-pair tiles (small max_bucket_size) — and both must equal the
+    O(n²) brute force. Each unordered pair lands in exactly one block-pair
+    group, so no pair is lost or double-scored."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [1.0 + random.uniform(-1e-3, 1e-3) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.99, n_planes=8, rows_per_band=4, dim=8)
+
+    def pairs(max_bucket):
+        return {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in SIM.cosine_lsh_pairs(
+                df, "vec_id", "embedding", max_bucket_size=max_bucket, **kw
+            ).collect()
+        }
+
+    one_tile = pairs(10_000)
+    sharded = pairs(8)  # 60 members → 8 blocks → 36 tiles
+    assert sharded == one_tile
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.cosine_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
+    }
+    # every vector pair shares every bucket here, so LSH == brute force
+    assert sharded == brute and len(brute) > 1500
