@@ -857,6 +857,89 @@ def _dot_dec_py(a: list[float], b: list[float]) -> Decimal:
     return sum((_dec6_py(x) * _dec6_py(y) for x, y in zip(a, b)), Decimal(0))
 
 
+def train_ivf_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means codebook for :func:`ivf_topk` —
+    the trained upgrade over the lowest-id placeholder (recall measured in
+    tests/test_suite_ops.py; the declared oracle entry stays on the
+    training-free codebook, which an ANSI-SQL oracle can reproduce).
+
+    Determinism without fixing a partitioning: init is the ``n_centroids``
+    lowest-id vectors; each Lloyd iteration assigns map-side by float64
+    argmax dot (ties → lower centroid index) and updates centroids from
+    EXACT per-cluster component sums — components quantized to micro-ints
+    (the engine's 6dp convention) and summed as BIGINTs, so the update is
+    identical at any partitioning/order; means are then L2-normalized
+    (spherical k-means — the right objective for cosine retrieval). Empty
+    clusters keep their previous centroid.
+
+    Scale shape: per iteration one map-side Arrow assignment pass + one
+    partial-aggregated groupBy of K×(dim+1) sums; only K×dim totals reach
+    the driver (it IS the model). Train on a deterministic sample
+    (e.g. ``hash_sample``) when the corpus is large — k-means quality
+    saturates long before 100 TB of training points.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    init = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    C = np.array([[float(x) for x in r[0]] for r in init], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1)[:, None], 1e-30)
+    dim = C.shape[1]
+    micro = F.transform(
+        F.col(vec_col), lambda x: (_dec(x) * 1_000_000).cast("long")
+    ).alias("_mi")
+
+    for _ in range(n_iter):
+        cmat = [list(map(float, c)) for c in C]
+
+        def assign(it):
+            P = np.array(cmat, dtype=np.float64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"_cid": [], vec_col: []})
+                    continue
+                V = _vecs64(pdf, vec_col)
+                yield pd.DataFrame(
+                    {"_cid": (V @ P.T).argmax(axis=1), vec_col: pdf[vec_col]}
+                )
+
+        a_schema = T.StructType(
+            [T.StructField("_cid", T.IntegerType()),
+             T.StructField(vec_col, _field_type(df, vec_col))]
+        )
+        assigned = df.select(id_col, vec_col).mapInPandas(assign, a_schema)
+        sums = (
+            assigned.select("_cid", micro)
+            .groupBy("_cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_mi", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        newC = C.copy()
+        for r in sums:
+            cid, cnt = r["_cid"], r["_n"]
+            mean = np.array(
+                [r[f"_s{i}"] for i in range(dim)], dtype=np.float64
+            ) / (cnt * 1e6)
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                newC[cid] = mean / norm
+        C = newC
+    return [(cid, [float(x) for x in C[cid]]) for cid in range(n_centroids)]
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -865,26 +948,33 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer + probed list search.
 
-    Codebook: the ``n_centroids`` lowest-id vectors (deterministic,
-    training-free — a k-means codebook drops in without changing the plan).
-    The codebook is collected to the driver (K rows — the one legitimate
-    collect: it IS the model) and inlined as literals, so list assignment is
-    a map-side argmax with NO shuffle and no join. Query probes the
-    ``n_probe`` nearest lists; exact-decimal cosine re-ranks only those
-    lists' members — per-query work is ~n_probe/n_centroids of the corpus,
-    the property that makes IVF the interactive-lookup path at 100 TB.
+    Codebook: by default the ``n_centroids`` lowest-id vectors
+    (deterministic, training-free — what the declared oracle reproduces);
+    pass ``codebook`` (e.g. from :func:`train_ivf_codebook`) to drop in a
+    trained spherical-k-means quantizer WITHOUT changing the plan (recall
+    comparison pinned in tests/test_suite_ops.py). The codebook is
+    collected to the driver (K rows — the one legitimate collect: it IS
+    the model) and inlined as literals, so list assignment is a map-side
+    argmax with NO shuffle and no join. Query probes the ``n_probe``
+    nearest lists; exact-decimal cosine re-ranks only those lists' members
+    — per-query work is ~n_probe/n_centroids of the corpus, the property
+    that makes IVF the interactive-lookup path at 100 TB.
 
     Every arithmetic step — assignment dots, probe ranking, final cosine —
     is exact decimal with explicit tie-breaks, so the whole deterministic
     construction is reproduced in the DuckDB oracle (suite/similarity.py).
     """
-    cent_rows = (
-        df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if codebook is None:
+        cent_rows = (
+            df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        )
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    else:
+        centroids = [(int(cid), [float(x) for x in cv]) for cid, cv in codebook]
 
     # List assignment, Arrow-vectorized like lsh_signatures: one float64
     # matmul scores every (vector, centroid) pair per batch; a row only
