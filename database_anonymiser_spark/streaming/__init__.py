@@ -10,8 +10,10 @@ runtime (sources, sinks, triggers, watermarks).
 
 from database_anonymiser_spark.streaming.pipeline import (  # noqa: F401
     dedup_stream,
+    enriched_stream,
     masked_stream,
     purchase_view_join_stream,
+    run_foreach_batch,
     session_agg_stream,
     sliding_agg_stream,
     stream_events,

@@ -263,3 +263,49 @@ def user_running_stats_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enriched_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the unbounded
+    stream joins a bounded dimension (user table, allow/deny list, model
+    metadata). The static side is re-read per micro-batch by the runtime
+    (picking up slowly-changing dims) and BROADCAST — the join is stateless
+    (no watermark, no join state), which is what distinguishes it from the
+    stream-stream interval join (:func:`purchase_view_join_stream`) and
+    makes it safe at any stream volume: per-batch cost is one broadcast
+    hash join, state is zero.
+
+    Left join keeps events with no dimension row (enrichment must never
+    drop data); dimension columns arrive NULL and downstream gates decide.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def run_foreach_batch(
+    df: DataFrame,
+    sink,
+    checkpoint: str,
+):
+    """Drive a stream through ``foreachBatch`` — the escape hatch for sinks
+    Structured Streaming lacks natively (JDBC upsert, MERGE, multi-table
+    fan-out). ``sink(batch_df, batch_id)`` runs on each micro-batch's
+    BATCH DataFrame with the full batch API available.
+
+    Exactly-once contract: the checkpoint WAL replays a failed batch with
+    the SAME batch_id, so the sink must be idempotent per batch_id (write
+    to a batch_id-keyed location, or MERGE on a key) — Spark guarantees
+    at-least-once delivery into foreachBatch and the id is what upgrades
+    it (exercised with a crash-and-restart test in
+    tests/test_streaming.py). availableNow = bounded drain; production
+    drops the trigger.
+    """
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

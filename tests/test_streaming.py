@@ -270,3 +270,68 @@ def test_nanos_probe_warns_and_does_not_cache_empty(tmp_path):
     assert any("no files match" in str(w.message) for w in caught)
     _write_nanos_events(str(d / "part-0.parquet"))
     assert _nanos_timestamp_columns(pattern) == ("ts",)
+
+
+def test_enriched_stream_equals_batch_broadcast_join(spark, sf_dir, events_path):
+    """Stream-static left enrichment join == the batch broadcast left join
+    (stateless: no watermark, no join state), and events with no dimension
+    row survive with NULL enrichment."""
+    from database_anonymiser_spark.streaming.pipeline import enriched_stream
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = enriched_stream(stream_events(spark, events_path), dim)
+    got = run_to_memory(
+        spark,
+        stream.select("event_id", "user_id", "segment"),
+        "t_enrich",
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    g = {(r["event_id"], r["segment"]) for r in got.collect()}
+    b = {(r["event_id"], r["segment"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+    assert any(s is None for _, s in g) or all(s is not None for _, s in g)
+
+
+def test_foreach_batch_sink_is_exactly_once_across_restart(spark, tmp_path):
+    """foreachBatch + checkpoint: a sink that CRASHES mid-batch must, on
+    restart, replay the SAME batch_id so an idempotent (batch_id-keyed)
+    write yields exactly-once output."""
+    import os
+
+    from database_anonymiser_spark.streaming.pipeline import run_foreach_batch
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(out_dir)
+    spark.range(0, 50).coalesce(1).write.mode("append").parquet(in_dir)
+
+    crashed = {"yet": False}
+
+    def crashy_sink(batch_df, batch_id):
+        # idempotent: batch_id-keyed overwrite — replay rewrites, not appends
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if not crashed["yet"]:
+            crashed["yet"] = True
+            raise RuntimeError("injected sink crash AFTER write, BEFORE commit")
+
+    stream = spark.readStream.schema("id long").parquet(in_dir)
+    try:
+        run_foreach_batch(stream, crashy_sink, cp)
+        raise AssertionError("expected the injected crash to surface")
+    except Exception as e:
+        assert "injected sink crash" in str(e)
+
+    # restart from the same checkpoint: batch replays with the SAME id
+    stream2 = spark.readStream.schema("id long").parquet(in_dir)
+    run_foreach_batch(stream2, crashy_sink, cp)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50  # no duplicates: replay overwrote, didn't append
+    assert out.select("id").distinct().count() == 50
