@@ -45,6 +45,8 @@ def curate_corpus(
     min_quality: float = 0.0,
     allowed_langs: tuple[str, ...] | None = None,
     drop_repetitive: bool = False,
+    clean_lines: bool = False,
+    drop_boilerplate: bool = False,
     near_dedup: bool = True,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
@@ -72,7 +74,22 @@ def curate_corpus(
     benchmark). ``mixture_rates=None`` skips mixing; otherwise rates
     apply to train AND eval rows keyed on ``source_col`` (copy_idx
     appears in the output).
+
+    C4 pre-gates (round 4, both default-off — the raw-crawl scrub that
+    runs BEFORE profiling, per Raffel et al. 2020): ``clean_lines``
+    replaces each document's text with its C4-cleaned lines
+    (text.py::c4_clean), so the length/quality/dedup gates judge the
+    cleaned document; ``drop_boilerplate`` drops brace/lorem-ipsum pages
+    outright. Both stay map-side (one projection, no shuffle).
     """
+    if clean_lines or drop_boilerplate:
+        c4 = TX.c4_clean(docs, id_col, text_col, keep=(text_col, source_col))
+        if drop_boilerplate:
+            c4 = c4.where(~F.col("c4_boilerplate"))
+        text_expr = F.col("c4_text") if clean_lines else F.col(text_col)
+        docs = c4.select(
+            F.col(id_col), text_expr.alias(text_col), F.col(source_col)
+        )
     prof = TX.text_profile(docs, id_col, text_col, keep=(text_col, source_col))
     kept = prof.where(
         (F.col("n_tokens") >= min_tokens)

@@ -555,3 +555,50 @@ def ngram_contamination(
         "n_common",
         F.round(F.col("n_common") / F.col("_n_eval"), 6).alias("contamination"),
     )
+
+
+#: C4 line-keep rule (Raffel et al. 2020 §2.2): a line survives when it has
+#: ≥ C4_MIN_LINE_WORDS words and ends in terminal punctuation. Doc-level:
+#: pages containing curly braces or the phrase "lorem ipsum" are flagged as
+#: boilerplate (code / placeholder pages).
+C4_MIN_LINE_WORDS = 3
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_clean(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """C4-style line-level cleaning signals + cleaned text — the classic
+    pretraining-corpus scrub between raw crawl and the document-level gates
+    (quality/repetition): per LINE keep only real sentences (≥
+    :data:`C4_MIN_LINE_WORDS` words, terminal punctuation); per DOC flag
+    code/boilerplate pages ('{' / 'lorem ipsum').
+
+    Entirely map-side array expressions over one split of the text — zero
+    shuffle, zero Python; every condition is a character-class regex with
+    identical semantics under Java regex and RE2, so the packed
+    ``text_profile`` columns value-hash check against the DuckDB oracle
+    (suite/text.py). Columns: ``c4_n_lines``, ``c4_kept_lines``,
+    ``c4_boilerplate``, ``c4_clean_fingerprint`` (md5 of the cleaned text —
+    pins the exact reconstructed document without hauling it through the
+    compare), ``c4_text`` (the cleaned document, for pipeline use).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else F.col(str(text_col))
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"\S")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= C4_MIN_LINE_WORDS)
+        & ln.rlike(C4_TERMINAL_RE),
+    )
+    cleaned = F.array_join(kept, "\n")
+    boiler = c.contains("{") | F.lower(c).contains("lorem ipsum")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("c4_n_lines"),
+        F.size(kept).cast("long").alias("c4_kept_lines"),
+        boiler.alias("c4_boilerplate"),
+        F.md5(cleaned).alias("c4_clean_fingerprint"),
+        cleaned.alias("c4_text"),
+        *[F.col(x) for x in keep],
+    )

@@ -43,9 +43,23 @@ def _profile_oracle() -> str:
     symbol_word_ratio = _micro_frac_sql(
         r"CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)", "rep_n_tokens"
     )
+    c4_kept = (
+        r"list_filter(string_split(text, chr(10)), ln -> "
+        r"regexp_matches(ln, '\S') AND "
+        rf"len(string_split_regex(trim(ln), '\s+')) >= {TX.C4_MIN_LINE_WORDS} AND "
+        r"""regexp_matches(ln, '[.!?"]\s*$'))"""
+    )
     return rf"""
     WITH m AS (
       SELECT doc_id, text,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS c4_n_lines,
+             CAST(len({c4_kept}) AS BIGINT) AS c4_kept_lines,
+             (contains(text, '{{') OR contains(lower(text), 'lorem ipsum'))
+               AS c4_boilerplate,
+             -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+             -- array_join([]) is '' — align on the empty string
+             md5(coalesce(array_to_string({c4_kept}, chr(10)), ''))
+               AS c4_clean_fingerprint,
              string_split_regex(trim(text), '\s+') AS toks,
              CASE WHEN regexp_matches(text, '\S')
                   THEN string_split_regex(trim(text), '\s+')
@@ -105,7 +119,8 @@ def _profile_oracle() -> str:
            (top_token_frac > {gates["top_token_frac"]}
             OR top_2gram_frac > {gates["top_2gram_frac"]}
             OR dup_3gram_frac > {gates["dup_3gram_frac"]}
-            OR symbol_word_ratio > {gates["symbol_word_ratio"]}) AS repetitive
+            OR symbol_word_ratio > {gates["symbol_word_ratio"]}) AS repetitive,
+           c4_n_lines, c4_kept_lines, c4_boilerplate, c4_clean_fingerprint
     FROM r
     """
 
@@ -119,13 +134,17 @@ def text_profile(spark, sf_dir):
     (operators/text.py::repetition_profile) ride the SAME single projection
     — Catalyst collapses the chained selects into one map-side pass over
     one scan. The md5-bucket split arithmetic, the micro-half-up ratios,
-    and the nested-lambda top-count construction are all reproduced in the
+    the nested-lambda top-count construction, and (round 4) the C4-style
+    line-cleaning signals (operators/text.py::c4_clean — kept-line counts,
+    boilerplate flag, md5 of the cleaned text) are all reproduced in the
     oracle, so every column is value-hash checked."""
     docs = load(spark, sf_dir, "documents")
     split = TX.train_eval_split(docs, "source")
     prof = TX.text_profile(split, "doc_id", "text", keep=("split_bucket", "split", "text"))
     rep_keep = tuple(c for c in prof.columns if c not in ("doc_id", "text"))
-    return TX.repetition_profile(prof, "doc_id", "text", keep=rep_keep)
+    rep = TX.repetition_profile(prof, "doc_id", "text", keep=rep_keep + ("text",))
+    c4_keep = tuple(c for c in rep.columns if c not in ("doc_id", "text"))
+    return TX.c4_clean(rep, "doc_id", "text", keep=c4_keep).drop("c4_text")
 
 
 @register(

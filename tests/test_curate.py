@@ -176,3 +176,33 @@ def test_curate_corpus_golden_fixture_snapshot(spark, sf_dir):
     )
     h = hashlib.md5(",".join(f"{a}:{b}" for a, b in pairs).encode()).hexdigest()
     assert (len(pairs), h) == (484, "354c91923b16227e43c8e154b6e76de9")
+
+
+def test_curate_corpus_c4_pre_gates(spark):
+    """clean_lines rewrites docs to their C4-kept lines BEFORE profiling
+    (so the min_tokens gate judges the cleaned text) and drop_boilerplate
+    removes brace/lorem-ipsum pages outright; defaults-off leaves the
+    pipeline byte-identical (golden snapshot test covers that)."""
+    rows = [
+        (1, "This document keeps both of its sentences intact today.\nMenu Home About", "srcA"),
+        (2, "Short menu.\nNav bar\nFooter links here", "srcA"),
+        (3, "A lorem ipsum placeholder page with plenty of words to pass gates.", "srcB"),
+        (4, "Perfectly normal prose with enough words to pass the gates easily.", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate_corpus(docs, near_dedup=False, decontam_n=None, min_tokens=3)
+    assert {r["doc_id"] for r in base.select("doc_id").collect()} == {1, 2, 3, 4}
+
+    gated = curate_corpus(
+        docs,
+        near_dedup=False,
+        decontam_n=None,
+        min_tokens=3,
+        clean_lines=True,
+        drop_boilerplate=True,
+    )
+    out = {r["doc_id"]: r["text"] for r in gated.select("doc_id", "text").collect()}
+    # 3 dropped (lorem ipsum); 2 dropped (no line survives cleaning → blank
+    # text fails min_tokens); 1 survives with ONLY its kept sentence
+    assert set(out) == {1, 4}
+    assert out[1] == "This document keeps both of its sentences intact today."

@@ -966,3 +966,38 @@ def test_kmeans_codebook_recall_beats_lowest_id(spark, emb):
         emb.repartition(7), "vec_id", "embedding", n_centroids=16, n_iter=5
     )
     assert cb == cb2
+
+
+def test_c4_clean_line_rules(spark):
+    """C4 line filter: real sentences (≥3 words + terminal punctuation)
+    survive; short lines, unterminated lines, and blank lines drop; docs
+    with braces or 'lorem ipsum' flag as boilerplate; the fingerprint pins
+    the exact cleaned text."""
+    import hashlib
+
+    from database_anonymiser_spark.operators.text import c4_clean
+
+    doc = "\n".join(
+        [
+            "This sentence has enough words.",   # kept
+            "Too short.",                         # < 3 words
+            "this line has many words but no terminal punctuation",  # drop
+            "",                                   # blank
+            'Another good one ends with a quote."',  # kept
+            "Menu Home About",                    # no punct
+        ]
+    )
+    rows = [
+        (1, doc),
+        (2, "function f() { return 1; }"),
+        (3, "Lorem Ipsum dolor sit amet filler text here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df, "doc_id", "text").collect()}
+    assert (got[1]["c4_n_lines"], got[1]["c4_kept_lines"]) == (6, 2)
+    want = "This sentence has enough words.\nAnother good one ends with a quote.\""
+    assert got[1]["c4_text"] == want
+    assert got[1]["c4_clean_fingerprint"] == hashlib.md5(want.encode()).hexdigest()
+    assert got[1]["c4_boilerplate"] is False
+    assert got[2]["c4_boilerplate"] is True      # braces
+    assert got[3]["c4_boilerplate"] is True      # lorem ipsum (any case)
