@@ -47,6 +47,7 @@ def curate_corpus(
     drop_repetitive: bool = False,
     clean_lines: bool = False,
     drop_boilerplate: bool = False,
+    dedup_lines_min_docs: int | None = None,
     near_dedup: bool = True,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
@@ -81,6 +82,10 @@ def curate_corpus(
     (text.py::c4_clean), so the length/quality/dedup gates judge the
     cleaned document; ``drop_boilerplate`` drops brace/lorem-ipsum pages
     outright. Both stay map-side (one projection, no shuffle).
+    ``dedup_lines_min_docs`` additionally runs CROSS-document line dedup
+    (dedup.py::line_dedup — RefinedWeb/CCNet boilerplate removal: any
+    normalized line shared by that many docs is stripped corpus-wide)
+    before the per-document gates.
     """
     if clean_lines or drop_boilerplate:
         c4 = TX.c4_clean(docs, id_col, text_col, keep=(text_col, source_col))
@@ -89,6 +94,11 @@ def curate_corpus(
         text_expr = F.col("c4_text") if clean_lines else F.col(text_col)
         docs = c4.select(
             F.col(id_col), text_expr.alias(text_col), F.col(source_col)
+        )
+    if dedup_lines_min_docs is not None:
+        deduped = D.line_dedup(docs, id_col, text_col, min_docs=dedup_lines_min_docs)
+        docs = deduped.join(docs.select(id_col, source_col), id_col).select(
+            F.col(id_col), F.col(text_col), F.col(source_col)
         )
     prof = TX.text_profile(docs, id_col, text_col, keep=(text_col, source_col))
     kept = prof.where(

@@ -363,3 +363,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"_v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document LINE dedup — boilerplate removal (the
+    RefinedWeb/CCNet scrub): a line whose normalized form appears in
+    ≥ ``min_docs`` DISTINCT documents (nav bars, cookie banners, footers)
+    is removed from every document; unique lines and blank lines keep
+    their original positions.
+
+    Three-shuffle distributed shape: explode lines (map-side), count
+    distinct docs per normalized line (one shuffle with partial agg;
+    normalization = the fingerprint convention, lower + collapse-ws +
+    trim), anti-join the hot-line set (co-partitioned on the same key —
+    AQE picks broadcast when the hot set is small, which it is by
+    definition of boilerplate), reassemble per document by original line
+    position (one shuffle on id). Documents whose every line is
+    boilerplate come back with empty text and let the downstream length
+    gate drop them — the row is never lost.
+
+    Returns (id, text — cleaned, n_removed). Deterministic and
+    ANSI-SQL-reproducible; value-hash checked as the 'line' branch of the
+    declared ``dedup_exact`` entry.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn("key", F.trim(F.regexp_replace(F.lower(F.col("ln")), r"\s+", " ")))
+    hot = (
+        lines.where(F.col("key").rlike(r"\S"))
+        .groupBy("key")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("key")
+    )
+    kept = lines.join(hot, "key", "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("_t"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    tot = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_n_lines"),
+    )
+    return tot.join(reasm, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_t"), F.lit("")).alias(text_col),
+        (F.col("_n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -50,16 +50,75 @@ jac AS (
 
 @register(
     "dedup_exact",
-    """
-    SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
-    FROM documents
-    GROUP BY text
+    r"""
+    WITH doc_branch AS (
+      SELECT 'doc' AS method, text, min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents
+      GROUP BY text
+    ),
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS ln
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, pos, ln,
+             trim(regexp_replace(lower(ln), '\s+', ' ', 'g')) AS key
+      FROM lines
+    ),
+    hot AS (
+      SELECT key FROM keyed
+      WHERE regexp_matches(key, '\S')
+      GROUP BY key
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT k.* FROM keyed k
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.key = k.key)
+    ),
+    reasm AS (
+      SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY pos) AS text,
+             CAST(count(*) AS BIGINT) AS kept_n
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+      FROM documents
+    ),
+    line_branch AS (
+      SELECT 'line' AS method, coalesce(r.text, '') AS text, t.doc_id,
+             t.n_lines - coalesce(r.kept_n, 0) AS n
+      FROM tot t LEFT JOIN reasm r USING (doc_id)
+    )
+    SELECT * FROM doc_branch UNION ALL SELECT * FROM line_branch
     """,
     tags=("dedup",),
 )
 def dedup_exact(spark, sf_dir):
+    """Exact dedup at BOTH granularities, tagged and unioned (round 4):
+    'doc' = whole-document exact dedup (groupBy text, keep min id);
+    'line' = cross-document line dedup (operators/dedup.py::line_dedup —
+    the RefinedWeb/CCNet boilerplate scrub: any normalized line shared by
+    ≥2 documents is stripped from all of them, documents reassembled in
+    original line order). Both branches value-hash checked."""
     docs = load(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, ["text"], "doc_id")
+    doc_branch = D.exact_dedup(docs, ["text"], "doc_id").select(
+        F.lit("doc").alias("method"),
+        "text",
+        "doc_id",
+        F.col("dup_count").cast("long").alias("n"),
+    )
+    line_branch = D.line_dedup(docs, "doc_id", "text", min_docs=2).select(
+        F.lit("line").alias("method"),
+        "text",
+        "doc_id",
+        F.col("n_removed").alias("n"),
+    )
+    return doc_branch.unionByName(line_branch)
 
 
 @register(

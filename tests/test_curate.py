@@ -206,3 +206,26 @@ def test_curate_corpus_c4_pre_gates(spark):
     # text fails min_tokens); 1 survives with ONLY its kept sentence
     assert set(out) == {1, 4}
     assert out[1] == "This document keeps both of its sentences intact today."
+
+
+def test_curate_corpus_line_dedup_pre_gate(spark):
+    """dedup_lines_min_docs strips corpus-wide boilerplate lines before
+    the per-document gates, so two docs sharing a footer stop being
+    near-duplicates of each other."""
+    rows = [
+        (1, "unique article text goes here today.\nShared Footer Line", "srcA"),
+        (2, "a different unique article body text.\nShared Footer Line", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs,
+        near_dedup=False,
+        decontam_n=None,
+        min_tokens=3,
+        dedup_lines_min_docs=2,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.select("doc_id", "text").collect()}
+    assert texts == {
+        1: "unique article text goes here today.",
+        2: "a different unique article body text.",
+    }

@@ -1001,3 +1001,25 @@ def test_c4_clean_line_rules(spark):
     assert got[1]["c4_boilerplate"] is False
     assert got[2]["c4_boilerplate"] is True      # braces
     assert got[3]["c4_boilerplate"] is True      # lorem ipsum (any case)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """A normalized line shared by ≥2 docs (nav/footer boilerplate)
+    vanishes from every doc; unique lines keep their original order;
+    within-doc repeats alone don't trigger; a doc that is ALL boilerplate
+    comes back empty (row preserved) with every line counted removed."""
+    rows = [
+        (1, "Cookie Banner\nunique first sentence\nCOOKIE   banner"),
+        (2, "cookie banner\nanother unique line\nclosing unique line"),
+        (3, "repeated inside\nrepeated inside\nonly here"),
+        (4, "Cookie Banner"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.line_dedup(df, "doc_id", "text").collect()}
+    # normalization (lower + collapse ws) unifies all three banner spellings
+    assert got[1]["text"] == "unique first sentence" and got[1]["n_removed"] == 2
+    assert got[2]["text"] == "another unique line\nclosing unique line"
+    # within-doc repetition is NOT cross-doc boilerplate at min_docs=2
+    assert got[3]["text"] == "repeated inside\nrepeated inside\nonly here"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["text"] == "" and got[4]["n_removed"] == 1
