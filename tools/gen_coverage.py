@@ -42,7 +42,7 @@ MERGE_MAP = [
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
-    ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (new)"),
+    ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (HLL/GK moved to error-bound pytest pins) + deterministic KMV distinct-count sketch (round 4 - makes the entry fully oracle-checked)"),
     ("join_semi_anti", "join_semi + join_anti"),
     ("window_pack", "window_rank + window_running_sum + window_lag + window_lead_ntile + window_range_frame"),
     ("setop_pack", "setop_union + setop_intersect + setop_except"),
@@ -50,10 +50,11 @@ MERGE_MAP = [
     ("func_json", "func_json + func_json_struct"),
     ("stream_windows", "stream_tumbling + stream_sliding + stream_watermark_late_drop (now in-plan + oracle-checked)"),
     ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
+    ("dedup_exact", "whole-document exact dedup + cross-document line dedup (RefinedWeb-style boilerplate removal, round 4)"),
     ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped + dedup_clusters (connected components, round 3) + decontaminate (train/eval n-gram overlap, round 3)"),
-    ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf"),
+    ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf + bulk knn_join branch (round 4, exact-decimal scores)"),
     ("sim_topk_bruteforce", "sim_topk_bruteforce + int8-quantized top-k (compressed-domain scoring, round 3)"),
-    ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint + train_eval_split (leakage-safe, round 3) + repetition_profile (Gopher-style repetition gates, round 3)"),
+    ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint + train_eval_split (leakage-safe, round 3) + repetition_profile (Gopher-style repetition gates, round 3) + c4_clean line-cleaning signals (round 4)"),
     ("mm_extract_features", "mm_extract_features + mm_frame_sample (chained per-frame features)"),
 ]
 
