@@ -195,3 +195,88 @@ def test_pack_sequences_invariants_hold_for_any_lengths(spark, lens, budget):
         if nxt and members:
             first_next = min(nxt, key=lambda m: m["seq_pos"])
             assert total + first_next["n_tokens"] > budget
+
+
+# line-structured ASCII corpus: C4/line-dedup operate per line
+LINE_TEXT = st.lists(
+    st.sampled_from(
+        [
+            "This sentence has enough words.",
+            "Too short.",
+            "no terminal punctuation here at all",
+            "",
+            "   ",
+            "Shared footer line appears everywhere.",
+            'Quoted ending works fine."',
+            "One two three four.",
+        ]
+    ),
+    min_size=0,
+    max_size=6,
+).map("\n".join)
+
+
+@given(vals=st.lists(LINE_TEXT, min_size=1, max_size=12))
+@FAST
+def test_c4_clean_matches_python_oracle(spark, vals):
+    """c4_clean's kept-line count, boilerplate flag, and cleaned text equal
+    a pure-Python rendition of the same rules for ANY line composition."""
+    import re
+
+    from database_anonymiser_spark.operators.text import (
+        C4_MIN_LINE_WORDS,
+        C4_TERMINAL_RE,
+        c4_clean,
+    )
+
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, text string")
+    got = {r["id"]: r for r in c4_clean(df, "id", "text").collect()}
+    for i, v in enumerate(vals):
+        lines = v.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if re.search(r"\S", ln)
+            and len(re.split(r"\s+", ln.strip(" "))) >= C4_MIN_LINE_WORDS
+            and re.search(C4_TERMINAL_RE, ln)
+        ]
+        r = got[i]
+        assert r["c4_n_lines"] == len(lines)
+        assert r["c4_kept_lines"] == len(kept)
+        assert r["c4_text"] == "\n".join(kept)
+        assert r["c4_boilerplate"] == ("{" in v or "lorem ipsum" in v.lower())
+
+
+@given(
+    texts=st.lists(LINE_TEXT, min_size=1, max_size=10),
+    min_docs=st.integers(2, 3),
+)
+@FAST
+def test_line_dedup_matches_python_oracle(spark, texts, min_docs):
+    """line_dedup equals the pure-Python rendition: a normalized line in
+    >= min_docs distinct docs is dropped everywhere; blanks survive; order
+    is preserved; empty docs keep their row."""
+    import re
+    from collections import defaultdict
+
+    from database_anonymiser_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r["id"]: r for r in line_dedup(df, "id", "text", min_docs=min_docs).collect()}
+
+    def norm(ln):
+        return re.sub(r"\s+", " ", ln.lower()).strip(" ")
+
+    docs_per_key = defaultdict(set)
+    for i, v in enumerate(texts):
+        for ln in v.split("\n"):
+            k = norm(ln)
+            if re.search(r"\S", k):
+                docs_per_key[k].add(i)
+    hot = {k for k, d in docs_per_key.items() if len(d) >= min_docs}
+    for i, v in enumerate(texts):
+        lines = v.split("\n")
+        kept = [ln for ln in lines if norm(ln) not in hot]
+        r = got[i]
+        assert r["text"] == "\n".join(kept) if kept else r["text"] == ""
+        assert r["n_removed"] == len(lines) - len(kept)
