@@ -1023,3 +1023,33 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert got[3]["text"] == "repeated inside\nrepeated inside\nonly here"
     assert got[3]["n_removed"] == 0
     assert got[4]["text"] == "" and got[4]["n_removed"] == 1
+
+
+def test_ivf_int8_index_and_query(spark, emb):
+    """The IVF+SQ composition: the index stores int8 codes bit-identical
+    to quantize_embeddings plus a coarse assignment; querying probes lists
+    and returns scores IDENTICAL to the full-scan int8 path for every id
+    it returns, with non-trivial recall against it."""
+    cents_rows = (
+        emb.orderBy("vec_id").limit(16).select("vec_id", "embedding").collect()
+    )
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cents_rows]
+    index = SIM.ivf_int8_index(emb, "vec_id", "embedding", cents).cache()
+
+    # codes + scale match the oracle-checked Catalyst construction
+    q = {r["vec_id"]: r for r in SIM.quantize_embeddings(emb.limit(64), "vec_id", "embedding").collect()}
+    got = {r["vec_id"]: r for r in index.where(F.col("vec_id") < 64).collect()}
+    for vid, exp in q.items():
+        assert list(got[vid]["q_vec"]) == list(exp["q_vec"]), vid
+        assert got[vid]["q_amax_micro"] == exp["q_amax_micro"], vid
+
+    full = {r["vec_id"]: r["cosine"] for r in SIM.int8_topk(emb, "vec_id", "embedding", 0, k=10).collect()}
+    probed = SIM.ivf_int8_topk(index, emb, "vec_id", "embedding", 0, cents, k=10, n_probe=4).collect()
+    assert len(probed) == 10
+    hits = 0
+    for r in probed:
+        if r["vec_id"] in full:
+            assert r["cosine"] == full[r["vec_id"]]  # identical integer scores
+            hits += 1
+    assert hits >= 3  # probing 4/16 lists keeps non-trivial recall
+    index.unpersist()
