@@ -205,3 +205,25 @@ def test_q1_is_single_pass_partial_agg(spark, sf_dir, queries):
     assert "partial_sum" in plan
     assert n_ops(plan, "Scan parquet ") <= 1 or plan.count("Scan parquet") == 1
     assert n_ops(plan, "Exchange") <= 2  # agg shuffle + rangepartition for sort
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF-SQ index partitioned by list id prunes at the
+    scan: probing n lists reads ONLY those partitions (the property that
+    makes per-query cost ~n_probe/K of the index bytes at 100 TB)."""
+    from database_anonymiser_spark.operators import similarity as SIM
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents_rows = emb.orderBy("vec_id").limit(8).select("vec_id", "embedding").collect()
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cents_rows]
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_int8_index(emb, "vec_id", "embedding", cents).write.partitionBy(
+        "_cid"
+    ).parquet(path)
+
+    probed = spark.read.parquet(path).where(F.col("_cid").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cid" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned read returns exactly the probed lists
+    assert {r["_cid"] for r in probed.select("_cid").distinct().collect()} <= {0, 3}
