@@ -63,8 +63,17 @@ def _micro_half_up(num, den):
     double quotient of two <2^53 longs whose true value is an integer IS that
     integer, so floor() is exact. Avoids float round(), whose half-boundary
     behaviour differs between engines (Spark BigDecimal HALF_UP vs DuckDB
-    double rounding) and caused 1-in-1000 value-hash mismatches."""
-    return F.floor((2 * num * F.lit(1000000) + den) / (2 * den)).cast("long")
+    double rounding) and caused 1-in-1000 value-hash mismatches.
+
+    Zero/NULL denominator → 0 (round 4): under ANSI mode (Spark 4 default)
+    the bare division RAISED DIVIDE_BY_ZERO, so one empty document killed
+    an entire corpus-profiling job; ``try_divide`` + coalesce defines every
+    ratio of an empty doc as 0, mirrored in the oracle's CASE guards
+    (suite/text.py)."""
+    return F.coalesce(
+        F.floor(F.try_divide(2 * num * F.lit(1000000) + den, 2 * den)),
+        F.lit(0),
+    ).cast("long")
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -86,9 +86,17 @@ def _profile_oracle() -> str:
       FROM m
     ), r AS (
       SELECT *,
-             (2 * n_punct * 1000000 + n_chars) // (2 * n_chars) AS punct_micro,
-             (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens) AS stop_micro,
-             (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens) AS avglen_micro,
+             -- zero-denominator guard mirrors _micro_half_up: empty docs
+             -- profile as all-zero ratios instead of erroring/NULLing
+             CASE WHEN n_chars > 0
+                  THEN (2 * n_punct * 1000000 + n_chars) // (2 * n_chars)
+                  ELSE 0 END AS punct_micro,
+             CASE WHEN n_tokens > 0
+                  THEN (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens)
+                  ELSE 0 END AS stop_micro,
+             CASE WHEN n_tokens > 0
+                  THEN (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens)
+                  ELSE 0 END AS avglen_micro,
              greatest({langs}) AS best,
              {top_token_frac} AS top_token_frac,
              {top_2gram_frac} AS top_2gram_frac,

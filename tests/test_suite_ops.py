@@ -1053,3 +1053,25 @@ def test_ivf_int8_index_and_query(spark, emb):
             hits += 1
     assert hits >= 3  # probing 4/16 lists keeps non-trivial recall
     index.unpersist()
+
+
+def test_text_profile_survives_blank_and_null_docs(spark):
+    """One empty document must not kill a corpus-profiling job: under ANSI
+    mode the micro-ratio divisions raised DIVIDE_BY_ZERO before round 4.
+    Blank docs profile as all-zero ratios; NULL-text docs yield NULL
+    counts and are dropped by curation's length gate, never crash it."""
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.operators.text import text_profile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text stays profiled today.")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_profile(df, "doc_id", "text").collect()}
+    assert rows[1]["punct_ratio"] == 0.0 and rows[1]["n_chars"] == 0
+    assert rows[2]["punct_ratio"] == 0.0
+    assert rows[4]["quality_score"] > 0.25
+    # end-to-end: curation drops the degenerate docs via the length gate
+    docs = df.withColumn("source", F.lit("srcA"))
+    out = curate_corpus(docs, near_dedup=False, decontam_n=None, min_tokens=3)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {4}
