@@ -254,7 +254,16 @@ def minhash_lsh_pairs(
     """
     sh_arr = shingle_array(df, id_col, text_col, n).cache()
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
-    sig = minhash_signatures_from_array(sh_arr, id_col).cache()
+    # docs below the shingle window have EMPTY shingle sets → null
+    # signatures; without this filter they all collide in one null-key
+    # bucket and the 0-shingle Jaccard verify divides 0/0 (an ANSI-mode
+    # error since Spark 4). No shingles ⇒ no near-dup by construction —
+    # and the exploded-index oracle never sees such docs either.
+    sig = (
+        minhash_signatures_from_array(sh_arr, id_col)
+        .where(F.col("mh_0").isNotNull())
+        .cache()
+    )
     k = len(HASH_FAMILY)
     # one row per (doc, band) via an inline array — no union of k/r DataFrames
     band_structs = []

@@ -1075,3 +1075,19 @@ def test_text_profile_survives_blank_and_null_docs(spark):
     docs = df.withColumn("source", F.lit("srcA"))
     out = curate_corpus(docs, near_dedup=False, decontam_n=None, min_tokens=3)
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {4}
+
+
+def test_minhash_survives_sub_shingle_docs(spark):
+    """Docs shorter than the shingle window have EMPTY shingle sets: they
+    must be inert (no pairs, no crash) — before round 4 their NULL
+    signatures all collided in one bucket and the 0-shingle Jaccard
+    verify raised DIVIDE_BY_ZERO under ANSI mode, so two tweet-length
+    docs killed the whole near-dedup job."""
+    full = "a full length document with plenty of words to shingle properly here."
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny"), (3, full), (4, full)],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", 3, threshold=0.2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(3, 4)]
+    assert pairs[0]["jaccard"] == 1.0
