@@ -64,8 +64,10 @@ def kmv_distinct(
     r = d.withColumn("rn", F.row_number().over(win.orderBy("hv"))).withColumn(
         "nd", F.count(F.lit(1)).over(win)
     )
+    # try_divide: an all-zero md5 prefix (p ≈ 2⁻⁶⁰ per key) must degrade to
+    # NULL, not raise under ANSI mode; DuckDB's /0 is NULL already
     est = F.when(F.col("nd") < k, F.col("nd").cast("double")).otherwise(
-        F.round(F.lit(float((k - 1) * 2**60)) / F.col("hv"), 6)
+        F.round(F.try_divide(F.lit(float((k - 1) * 2**60)), F.col("hv")), 6)
     )
     return r.where(F.col("rn") == F.least(F.lit(k), F.col("nd"))).select(
         *group_cols,
