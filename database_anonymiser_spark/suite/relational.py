@@ -523,21 +523,26 @@ def join_range(spark, sf_dir):
            datediff('day',
                     CAST(lag(o_orderdate) OVER w3 AS DATE),
                     CAST(o_orderdate AS DATE)) AS days_since_prev,
-           CAST(sum(price) OVER w4 AS DOUBLE) AS rolling_7d_spend
+           CAST(sum(price) OVER w4 AS DOUBLE) AS rolling_7d_spend,
+           CAST(sum(price) OVER w5 AS DOUBLE) AS ma3_spend
     FROM d
     WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
            w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            w4 AS (PARTITION BY o_custkey ORDER BY day_num
-                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "timeseries"),
 )
 def window_pack(spark, sf_dir):
     """The full window-function surface in one query over ``orders``:
     ranking (row_number/rank), navigation (lead/lag), distribution (ntile),
-    a ROWS running sum, and a value-based RANGE frame (7-day rolling spend).
+    a ROWS running sum, a value-based RANGE frame (7-day rolling spend),
+    and a bounded ROWS sliding frame (3-row moving sum — round 4; sum not
+    mean so the exact-decimal determinism argument carries unchanged).
 
     Every window partitions by o_custkey, so Catalyst plans ONE shuffle —
     the four differently-ordered Window nodes share the same exchange and
@@ -564,6 +569,7 @@ def window_pack(spark, sf_dir):
     )
     w3 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w4 = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-6, 0)
+    w5 = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
     return d.select(
         "o_orderkey",
         "o_custkey",
@@ -577,6 +583,7 @@ def window_pack(spark, sf_dir):
             F.col("o_orderdate").cast("date"), F.lag("o_orderdate").over(w3).cast("date")
         ).alias("days_since_prev"),
         F.sum("price").over(w4).cast("double").alias("rolling_7d_spend"),
+        F.sum("price").over(w5).cast("double").alias("ma3_spend"),
     )
 
 

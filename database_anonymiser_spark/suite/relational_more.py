@@ -73,23 +73,40 @@ def tpch_q1(spark, sf_dir):
 @register(
     "agg_pivot",
     f"""
-    SELECT l_returnflag,
-           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
-           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH wide AS (
+      SELECT l_returnflag,
+             {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+             {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT 'wide' AS shape, l_returnflag,
+           CAST(NULL AS VARCHAR) AS linestatus, qty_f, qty_o,
+           CAST(NULL AS DOUBLE) AS qty
+    FROM wide
+    UNION ALL
+    SELECT 'long' AS shape, l_returnflag, u.linestatus,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), u.qty
+    FROM wide
+    UNPIVOT (qty FOR linestatus IN (qty_f AS 'F', qty_o AS 'O')) u
     """,
     tags=("agg", "pivot"),
 )
 def agg_pivot(spark, sf_dir):
-    """Pivot (long → wide): one output column per pivoted key value.
+    """Pivot (long → wide) AND its inverse unpivot/melt (wide → long),
+    tagged and unioned (round 4 adds the 'long' branch).
 
     Scale: with the value list given explicitly, pivot compiles to plain
     conditional aggregation (exactly the oracle SQL) — one shuffle on the
     groupBy key, no second pass to discover distinct pivot values.
+    Unpivot is a zero-shuffle Expand over the already-aggregated wide
+    rows. NULL-measure semantics DIFFER between engines (checked
+    empirically: Spark ``unpivot`` keeps NULL measures, DuckDB's UNPIVOT
+    excludes them) — the explicit isNotNull filter pins the UNPIVOT
+    convention on both sides.
     """
     li = load(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(dsum("l_quantity"))
@@ -99,6 +116,32 @@ def agg_pivot(spark, sf_dir):
             F.col("O").alias("qty_o"),
         )
     )
+    wide_branch = wide.select(
+        F.lit("wide").alias("shape"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("linestatus"),
+        "qty_f",
+        "qty_o",
+        F.lit(None).cast("double").alias("qty"),
+    )
+    long_branch = (
+        wide.unpivot(
+            ["l_returnflag"],
+            [F.col("qty_f").alias("F"), F.col("qty_o").alias("O")],
+            "linestatus",
+            "qty",
+        )
+        .where(F.col("qty").isNotNull())
+        .select(
+            F.lit("long").alias("shape"),
+            "l_returnflag",
+            "linestatus",
+            F.lit(None).cast("double").alias("qty_f"),
+            F.lit(None).cast("double").alias("qty_o"),
+            "qty",
+        )
+    )
+    return wide_branch.unionByName(long_branch)
 
 
 @register(
