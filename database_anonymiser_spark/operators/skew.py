@@ -99,6 +99,10 @@ def targeted_salted_join(
     if how not in ("inner", "left"):
         raise ValueError("targeted_salted_join supports inner/left")
     _validate_salt(salt)
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        # the count scale-up divides by it; 0 would be an ANSI-mode
+        # DIVIDE_BY_ZERO deep in the job instead of an input error here
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
     keys = big.select(on)
     if sample_fraction is not None:
         counts = (
