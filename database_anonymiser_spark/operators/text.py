@@ -592,7 +592,7 @@ def c4_clean(
     pins the exact reconstructed document without hauling it through the
     compare), ``c4_text`` (the cleaned document, for pipeline use).
     """
-    c = F.col(text_col) if isinstance(text_col, str) else F.col(str(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     lines = F.split(c, "\n")
     kept = F.filter(
         lines,
