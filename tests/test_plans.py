@@ -227,3 +227,30 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "_cid" in plan.split("PartitionFilters")[1][:200]
     # and the pruned read returns exactly the probed lists
     assert {r["_cid"] for r in probed.select("_cid").distinct().collect()} <= {0, 3}
+
+
+def test_curate_full_pipeline_plan_is_clean(spark, sf_dir):
+    """The COMPOSED curation pipeline with every gate enabled (C4 clean +
+    boilerplate + line dedup + repetition + near-dedup + decontam +
+    mixture) must plan without CartesianProduct / BroadcastNestedLoopJoin
+    and without row-at-a-time Python eval (BatchEvalPython) — the same
+    red-flag bar the declared queries meet."""
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        clean_lines=True,
+        drop_boilerplate=True,
+        dedup_lines_min_docs=2,
+        drop_repetitive=True,
+        near_dedup=True,
+        decontam_n=5,
+        mixture_rates={"src0": 2.0},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched Python only
