@@ -152,8 +152,27 @@ def text_profile(
     corpus is a single pass with zero shuffles (vs one scan per metric
     family). Determinism arguments are inherited from the per-family
     helpers (integer micro-arithmetic, no transcendentals, md5-derived
-    fingerprints).
+    fingerprints). The computed columns are memoized per (session, text
+    column) like the repetition signals — ~0.2s of py4j expression
+    construction per invocation is driver overhead, not query cost.
     """
+    return df.select(
+        F.col(id_col),
+        *_profile_columns(text_col),
+        *[F.col(c) for c in keep],
+    )
+
+
+_PROFILE_CACHE: dict = {}
+
+
+def _profile_columns(text_col: str) -> tuple[Column, ...]:
+    from pyspark.sql import SparkSession
+
+    key = (id(SparkSession.getActiveSession()), text_col)
+    hit = _PROFILE_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = F.col(text_col)
     n_tokens = F.size(tokens(text_col)).cast("long")
     n_chars = F.length(t).cast("long")
@@ -173,8 +192,7 @@ def text_profile(
     for lang in LANG_MARKERS:  # dict order = precedence
         pred = pred.when(lang_counts[lang] == best, F.lit(lang))
     digest = F.md5(normalized_text(text_col))
-    return df.select(
-        F.col(id_col),
+    cols = (
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.ceil(non_space / F.lit(4.0)).cast("long").alias("n_subwords_est"),
@@ -189,8 +207,9 @@ def text_profile(
         pred.alias("lang_pred"),
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
-        *[F.col(c) for c in keep],
     )
+    _PROFILE_CACHE[key] = cols
+    return cols
 
 
 #: Repetition gate thresholds (count-fraction analogues of the Gopher
@@ -295,6 +314,36 @@ def repetition_profile(
     gate in curation stats (they belong to the length gate). Mirrored in
     the DuckDB oracle's rep_toks CASE guard (suite/text.py).
     """
+    return df.select(
+        F.col(id_col),
+        *_repetition_signal_columns(text_col),
+        *[F.col(c) for c in keep],
+    )
+
+
+#: built signal Columns memoized per (session, text column name): Columns
+#: are immutable unresolved expressions, safe to reuse across queries, and
+#: building the two _top_count fold trees costs ~0.4s of py4j round trips
+#: per invocation — pure driver overhead the bench/driver/oracle otherwise
+#: pay on every call. Keyed by session id so a restarted JVM never sees a
+#: stale py4j handle.
+_REP_SIGNAL_CACHE: dict = {}
+
+
+def _repetition_signal_columns(text_col) -> tuple[Column, ...]:
+    if isinstance(text_col, str):
+        from pyspark.sql import SparkSession
+
+        key = (id(SparkSession.getActiveSession()), text_col)
+        hit = _REP_SIGNAL_CACHE.get(key)
+        if hit is None:
+            hit = _build_repetition_signals(text_col)
+            _REP_SIGNAL_CACHE[key] = hit
+        return hit
+    return _build_repetition_signals(text_col)
+
+
+def _build_repetition_signals(text_col) -> tuple[Column, ...]:
     # "has a non-whitespace char" — NOT length(trim(...)): SQL trim strips
     # only spaces, so a tab-only doc would slip past a trim-based guard
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -311,7 +360,7 @@ def repetition_profile(
     dup_2gram_frac = _frac(n_bi - F.size(F.array_distinct(bi)), n_bi)
     dup_3gram_frac = _frac(n_tri - F.size(F.array_distinct(tri)), n_tri)
     symbol_word_ratio = _frac(
-        F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("long"), n_tok
+        F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("long"), n_tok
     )
     gates = REPETITION_THRESHOLDS
     repetitive = (
@@ -320,15 +369,13 @@ def repetition_profile(
         | (dup_3gram_frac > gates["dup_3gram_frac"])
         | (symbol_word_ratio > gates["symbol_word_ratio"])
     )
-    return df.select(
-        F.col(id_col),
+    return (
         top_token_frac.alias("top_token_frac"),
         top_2gram_frac.alias("top_2gram_frac"),
         dup_2gram_frac.alias("dup_2gram_frac"),
         dup_3gram_frac.alias("dup_3gram_frac"),
         symbol_word_ratio.alias("symbol_word_ratio"),
         repetitive.alias("repetitive"),
-        *[F.col(c) for c in keep],
     )
 
 
