@@ -335,3 +335,63 @@ def test_foreach_batch_sink_is_exactly_once_across_restart(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 50  # no duplicates: replay overwrote, didn't append
     assert out.select("id").distinct().count() == 50
+
+
+def test_composed_streaming_pipeline_end_to_end(spark, sf_dir, events_path):
+    """The production composition on ONE stream: anonymise (stateless) →
+    exact dedup (watermark-bounded state) → dimension enrichment
+    (stateless broadcast) → tumbling count by enriched key (windowed
+    state). Runs as a single Structured Streaming query; emitted windows
+    must match the equivalent batch pipeline exactly."""
+    from database_anonymiser_spark.strategies import hash_md5
+    from database_anonymiser_spark.streaming.pipeline import (
+        dedup_stream,
+        enriched_stream,
+        stream_events,
+    )
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ev = stream_events(spark, events_path)
+    # the watermark is set ONCE (inside dedup_stream) and inherited by the
+    # windowed agg — Spark forbids redefining it mid-stream, so the mask
+    # projection keeps ts as LTZ (masked_stream's NTZ cast is its
+    # batch-parity form, not the composition form)
+    masked = dedup_stream(ev).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        hash_md5(F.col("props")).alias("props"),
+    )
+    enriched = enriched_stream(masked, dim)
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "segment",
+            "n",
+        )
+    )
+    got = {
+        (r["window_start"], r["segment"]): r["n"]
+        for r in run_to_memory(spark, agg, "t_composed").collect()
+    }
+
+    batch_events = load(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    batch = (
+        batch_events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n",
+        )
+    )
+    b = {(r["window_start"], r["segment"]): r["n"] for r in batch.collect()}
+    # append mode withholds windows the watermark hasn't closed; every
+    # emitted window must match the batch value exactly
+    assert len(got) > 0
+    for key, n in got.items():
+        assert b.get(key) == n, key
