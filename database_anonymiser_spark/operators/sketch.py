@@ -51,6 +51,11 @@ def kmv_distinct(
     at 100 TB with few groups, production distinct-counting stays HLL
     (``approx_count_distinct``, error-bound-pinned in tests) and this is
     the auditable twin, same as the expression/Arrow twin pairs elsewhere.
+    With ``group_cols=()`` the sketch is global and the window is a
+    single-task sort over ALL distinct hashes (works, tested — but at
+    scale pre-filter with a hash threshold, e.g. ``hv < t·2⁶⁰`` for a
+    t chosen from a coarse count, so only candidate minima reach the
+    sort; the grouped form is the declared, partitioned path).
 
     Returns one row per group: (*group_cols, kmv_distinct_est double,
     exact_distinct long).
