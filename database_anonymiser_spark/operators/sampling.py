@@ -94,3 +94,55 @@ def mixture_sample(
         )
         .drop("_one")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    group_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Deterministic TOKEN-budget mixture — the form real pretraining
+    mixtures are specified in (tokens per source, not documents per
+    source): per group, admit documents in md5-hash order until the
+    group's token budget is met. The admitting order is a pure function of
+    (salt, id) — unbiased, retry-stable, engine-reproducible — and the doc
+    that CROSSES the budget is kept (budgets are "at least", so one long
+    document cannot starve its group). Groups absent from ``budgets`` get
+    ``default_budget``; with ``default_budget=None`` they pass through
+    uncapped.
+
+    Shape: one window per group (cumulative token sum in hash order, ROWS
+    frame over a unique ordering) — a single shuffle on ``group_col``;
+    admitted rows keep all input columns. Value-hash checked as the
+    'budget' branch of the declared ``sample_scan`` entry.
+    """
+    if any(b < 0 for b in budgets.values()) or (
+        default_budget is not None and default_budget < 0
+    ):
+        raise ValueError("budgets must be >= 0")
+    from pyspark.sql.window import Window
+
+    pairs = [x for g, b in budgets.items() for x in (F.lit(g), F.lit(int(b)))]
+    budget_map = F.create_map(*pairs) if pairs else F.create_map()
+    budget = budget_map[F.col(group_col)]
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(int(default_budget)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_bucket(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("_budget", budget)
+        .where(
+            F.col("_budget").isNull()
+            | ((F.col("_cum") - F.col(tokens_col)) < F.col("_budget"))
+        )
+        .drop("_cum", "_budget")
+    )

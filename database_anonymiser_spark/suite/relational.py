@@ -45,6 +45,21 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
         FROM customer
       )
     )
+    UNION ALL
+    SELECT 'budget' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name, cost, budget,
+             sum(cost) OVER (PARTITION BY c_mktsegment ORDER BY h, c_custkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(length(c_name) AS BIGINT) AS cost,
+               CASE c_mktsegment WHEN 'BUILDING' THEN 400
+                                 WHEN 'AUTOMOBILE' THEN 200 END AS budget,
+               ('0x' || substr(md5('budget-v1' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 AS h
+        FROM customer WHERE c_name IS NOT NULL
+      )
+    ) WHERE budget IS NULL OR cum - cost < budget
     """,
     tags=("scan", "filter", "sample"),
 )
@@ -63,6 +78,12 @@ def sample_scan(spark, sf_dir):
     to 0.1 — rate lookup via a literal map, copy fan-out via
     posexplode(array_repeat), all map-side; the oracle reproduces the
     bucket arithmetic and the copy fan-out with unnest(range(...)).
+    'budget' is token-budget sampling (round 4,
+    operators/sampling.py::token_budget_sample) — the form real
+    pretraining mixtures are specified in (tokens per source): admit docs
+    in md5-hash order until each group's budget is met (cost here =
+    name length as the token stand-in; BUILDING 400, AUTOMOBILE 200,
+    others uncapped), one window per group, the crossing doc kept.
     """
     df = load(spark, sf_dir, "customer")
     head = (
@@ -90,7 +111,17 @@ def sample_scan(spark, sf_dir):
         {"BUILDING": 1.5, "AUTOMOBILE": 0.25},
         default_rate=0.1,
     ).select(F.lit("mixture").alias("kind"), "c_custkey", "c_name")
-    return head.unionByName(sampled).unionByName(mixed)
+    budgeted = SA.token_budget_sample(
+        df.where(F.col("c_name").isNotNull())
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("_cost", F.length("c_name").cast("long")),
+        "c_custkey",
+        "_cost",
+        "c_mktsegment",
+        {"BUILDING": 400, "AUTOMOBILE": 200},
+        default_budget=None,
+    ).select(F.lit("budget").alias("kind"), "c_custkey", "c_name")
+    return head.unionByName(sampled).unionByName(mixed).unionByName(budgeted)
 
 
 _ALL_TABLES = (

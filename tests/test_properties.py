@@ -280,3 +280,46 @@ def test_line_dedup_matches_python_oracle(spark, texts, min_docs):
         r = got[i]
         assert r["text"] == "\n".join(kept) if kept else r["text"] == ""
         assert r["n_removed"] == len(lines) - len(kept)
+
+
+@given(
+    toks=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(1, 600),
+)
+@FAST
+def test_token_budget_sample_invariants(spark, toks, budget):
+    """For ANY token distribution and budget: the admitted set meets the
+    budget ('at least': total ≥ min(budget, group total)), removing the
+    LAST admitted doc (in hash order) drops below budget, admission is a
+    prefix of the deterministic hash order, and uncapped groups pass
+    through whole."""
+    from database_anonymiser_spark.operators.sampling import (
+        _bucket,
+        token_budget_sample,
+    )
+
+    rows = [(i, "g", n) for i, n in enumerate(toks)] + [(1000, "u", 7)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    out = token_budget_sample(df, "id", "toks", "src", {"g": budget}, None)
+    got = out.collect()
+    g = sorted((r["id"], r["toks"]) for r in got if r["src"] == "g")
+    assert [r["id"] for r in got if r["src"] == "u"] == [1000]  # uncapped
+
+    order = [
+        r["id"]
+        for r in df.where(F.col("src") == "g")
+        .select("id", _bucket("id", "budget-v1").alias("h"))
+        .orderBy("h", "id")
+        .collect()
+    ]
+    total = {i: t for i, t in enumerate(toks)}
+    # expected: admit along hash order while the running total is < budget
+    run, expected = 0, []
+    for i in order:
+        if run >= budget:
+            break
+        expected.append(i)
+        run += total[i]
+    assert sorted(i for i, _ in g) == sorted(expected)
+    admitted_total = sum(t for _, t in g)
+    assert admitted_total >= min(budget, sum(toks))

@@ -38,7 +38,7 @@ CATEGORIES = [
 MERGE_MAP = [
     ("mask_strategies", "mask_keep + mask_set_null + mask_redact + mask_hash (+ real sha256) + mask_truncate + mask_email_fake + mask_sample_preview"),
     ("count_rows", "count_rows + count_total (ROLLUP grand total)"),
-    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3)"),
+    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3) + token_budget_sample (token-weighted mixture, round 4)"),
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
