@@ -32,7 +32,10 @@ from database_anonymiser_spark.operators.graph import (
     connected_components,
     dedup_survivors,
 )
-from database_anonymiser_spark.operators.sampling import mixture_sample
+from database_anonymiser_spark.operators.sampling import (
+    mixture_sample,
+    token_budget_sample,
+)
 
 
 def curate_corpus(
@@ -57,6 +60,7 @@ def curate_corpus(
     decontam_min_common: int = 1,
     mixture_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
+    token_budgets: dict[str, int] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one curated DataFrame with
     columns (id, text, source, n_tokens, quality_score, lang_pred,
@@ -170,5 +174,12 @@ def curate_corpus(
     if mixture_rates is not None:
         kept = mixture_sample(
             kept, id_col, source_col, mixture_rates, default_rate=default_rate
+        )
+    if token_budgets is not None:
+        # token-weighted mixture (the form pretraining specs use): reuses
+        # the n_tokens the profile stage already computed; unlisted
+        # sources pass through uncapped
+        kept = token_budget_sample(
+            kept, id_col, "n_tokens", source_col, token_budgets, None
         )
     return kept

@@ -229,3 +229,22 @@ def test_curate_corpus_line_dedup_pre_gate(spark):
         1: "unique article text goes here today.",
         2: "a different unique article body text.",
     }
+
+
+def test_curate_corpus_token_budget_stage(spark):
+    """token_budgets caps each source at a token budget (at-least
+    semantics, hash-order admission) using the n_tokens the profile stage
+    already computed; unlisted sources pass through whole."""
+    rows = [(i, f"doc number {i} with exactly eight tokens total.", "big" if i < 20 else "small")
+            for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs, near_dedup=False, decontam_n=None, min_tokens=3,
+        token_budgets={"big": 30},
+    )
+    per_src = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # 8 tokens/doc: docs admit while the running total is < 30, so the
+    # 4th (taking the total to 32 >= 30) is the kept crossing doc
+    assert per_src["big"] == 4
+    assert per_src["small"] == 5  # uncapped
