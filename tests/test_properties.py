@@ -323,3 +323,30 @@ def test_token_budget_sample_invariants(spark, toks, budget):
     assert sorted(i for i, _ in g) == sorted(expected)
     admitted_total = sum(t for _, t in g)
     assert admitted_total >= min(budget, sum(toks))
+
+
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    k=st.sampled_from([4, 16, 256]),
+)
+@FAST
+def test_kmv_matches_python_oracle(spark, keys, k):
+    """kmv_distinct equals the pure-Python rendition of the estimator for
+    ANY key multiset and sketch size: md5→60-bit hashes, k-th smallest
+    distinct hash, (k-1)·2⁶⁰/h(k), exact below k."""
+    import hashlib
+
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(x, "g") for x in keys], "key long, g string")
+    row = kmv_distinct(df, "key", ("g",), k=k).first()
+
+    hashes = sorted({int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+                     for x in keys})
+    nd = len(hashes)
+    if nd < k:
+        want = float(nd)
+    else:
+        want = round((k - 1) * float(2**60) / hashes[k - 1], 6)
+    assert row["exact_distinct"] == nd
+    assert row["kmv_distinct_est"] == want
