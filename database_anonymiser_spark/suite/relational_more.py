@@ -175,8 +175,8 @@ def func_explode(spark, sf_dir):
     """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
     GROUP BY o_orderpriority
@@ -188,15 +188,18 @@ def tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape (order-priority checking): correlated EXISTS as a
     left-semi join, then a small group-count. (The fixture lineitem has no
     l_commitdate/l_receiptdate — TESTDATA.md — so the EXISTS predicate is
-    l_discount > 0.05 on the same tables; the plan shape is identical.)
+    l_discount > 0.05 on the same tables; the plan shape is identical. The
+    window is 1995 Q1 — the fixture's orders span 1995-01-01..2001-08-01, so
+    TPC-H's canonical 1990s-quarter parameter is shifted in-range to keep the
+    oracle comparison non-vacuous.)
 
     Scale: the date filter prunes orders at the scan; the semi join shuffles
     only (l_orderkey) pairs — lineitem is projected to one column and
     deduplicated by the semi join itself, never materialised wide.
     """
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1994-04-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp_ntz"))
     )
     li = load(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
     return (

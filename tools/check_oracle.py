@@ -24,6 +24,12 @@ import duckdb  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Queries whose correct answer is legitimately empty at the test SF. Any OTHER
+# query that returns zero rows is flagged VACUOUS even if it matches the oracle:
+# a 0=0 comparison exercises nothing (tpch_q4 was silently vacuous rounds 2-4
+# because its date window matched no fixture rows — this guard makes that loud).
+EMPTY_OK: frozenset = frozenset()
+
 
 def norm_cell(v):
     if v is None:
@@ -65,6 +71,13 @@ def compare(name, spark_df, con, sql):
     if len(s_records) != len(d_records):
         ok = False
         msgs.append(f"rows: spark={len(s_records)} duckdb={len(d_records)}")
+    if ok and not s_records and name not in EMPTY_OK:
+        ok = False
+        msgs.append(
+            "VACUOUS: both sides returned 0 rows — the comparison proves nothing; "
+            "widen the query's predicate or add the name to EMPTY_OK if emptiness "
+            "is the point"
+        )
     if ok:
         _, s_rows = df_to_rows(s_cols, s_records)
         _, d_rows = df_to_rows(d_cols, d_records)
