@@ -45,37 +45,78 @@ def kmv_distinct(
     division rounds identically under IEEE in any engine; the estimate is
     rounded to 6dp.
 
+    NULL keys are excluded before hashing (``count(DISTINCT x)`` semantics:
+    NULL is not a value). Without the filter, md5(NULL)=NULL would survive
+    the distinct, inflate nd by one, and — because Spark windows sort NULLS
+    FIRST while DuckDB defaults to NULLS LAST — shift the k-th-smallest
+    hash differently in the two engines, breaking value-hash parity.
+
     Scale shape: one shuffle for the (group, hash) distinct (partial
     map-side dedup first), one for the per-group window. The window sorts
     each group's DISTINCT hashes — the price of exact sketch determinism;
     at 100 TB with few groups, production distinct-counting stays HLL
     (``approx_count_distinct``, error-bound-pinned in tests) and this is
     the auditable twin, same as the expression/Arrow twin pairs elsewhere.
-    With ``group_cols=()`` the sketch is global and the window is a
-    single-task sort over ALL distinct hashes (works, tested — but at
-    scale pre-filter with a hash threshold, e.g. ``hv < t·2⁶⁰`` for a
-    t chosen from a coarse count, so only candidate minima reach the
-    sort; the grouped form is the declared, partitioned path).
+
+    With ``group_cols=()`` the sketch is global; a naive global window
+    would single-task-sort ALL distinct hashes. Instead the global path
+    runs a two-level candidate pre-filter: hashes are bucketed by
+    ``hv % num_buckets``, each bucket keeps its k smallest in a PARALLEL
+    per-bucket window, and only those ≤ num_buckets·k survivors reach the
+    final global sort — a bounded single task regardless of cardinality.
+    This is exact (the true k smallest hashes each rank ≤ k inside their
+    own bucket, so the filter can never drop them; when nd < k every hash
+    survives because no bucket exceeds k rows) and estimate-free, so it
+    needs no coarse-count threshold and no fallback: the result is
+    bit-identical to the unfiltered construction by construction.
 
     Returns one row per group: (*group_cols, kmv_distinct_est double,
     exact_distinct long).
     """
-    gcols = [F.col(c) for c in group_cols]
     hv = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    d = df.select(*gcols, hv.alias("hv")).distinct()
-    win = Window.partitionBy(*[F.col(c) for c in group_cols])
-    r = d.withColumn("rn", F.row_number().over(win.orderBy("hv"))).withColumn(
-        "nd", F.count(F.lit(1)).over(win)
-    )
+    keyed = df.where(F.col(key_col).isNotNull())
     # try_divide: an all-zero md5 prefix (p ≈ 2⁻⁶⁰ per key) must degrade to
     # NULL, not raise under ANSI mode; DuckDB's /0 is NULL already
-    est = F.when(F.col("nd") < k, F.col("nd").cast("double")).otherwise(
-        F.round(F.try_divide(F.lit(float((k - 1) * 2**60)), F.col("hv")), 6)
+    def _est(nd, hv_col):
+        return F.when(nd < k, nd.cast("double")).otherwise(
+            F.round(F.try_divide(F.lit(float((k - 1) * 2**60)), hv_col), 6)
+        )
+
+    if group_cols:
+        gcols = [F.col(c) for c in group_cols]
+        d = keyed.select(*gcols, hv.alias("hv")).distinct()
+        win = Window.partitionBy(*[F.col(c) for c in group_cols])
+        r = d.withColumn("rn", F.row_number().over(win.orderBy("hv"))).withColumn(
+            "nd", F.count(F.lit(1)).over(win)
+        )
+        return r.where(F.col("rn") == F.least(F.lit(k), F.col("nd"))).select(
+            *group_cols,
+            _est(F.col("nd"), F.col("hv")).alias("kmv_distinct_est"),
+            F.col("nd").alias("exact_distinct"),
+        )
+
+    # Global path: bucket → per-bucket top-k (parallel) → bounded final sort.
+    d = keyed.select(hv.alias("hv")).distinct()
+    num_buckets = 64
+    b = d.withColumn("_b", F.pmod(F.col("hv"), F.lit(num_buckets)))
+    w_bucket = Window.partitionBy("_b")
+    cand = (
+        b.withColumn("_rn1", F.row_number().over(w_bucket.orderBy("hv")))
+        .withColumn("_bcnt", F.count(F.lit(1)).over(w_bucket))
+        .where(F.col("_rn1") <= k)
     )
+    # nd = sum of each distinct bucket's full count, recovered from the
+    # candidates themselves (the rank-1 row of every non-empty bucket is a
+    # candidate) — no second scan of the distinct frame.
+    w_all = Window.orderBy("hv").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = cand.withColumn(
+        "nd", F.sum(F.when(F.col("_rn1") == 1, F.col("_bcnt"))).over(w_all)
+    ).withColumn("rn", F.row_number().over(Window.orderBy("hv")))
     return r.where(F.col("rn") == F.least(F.lit(k), F.col("nd"))).select(
-        *group_cols,
-        est.alias("kmv_distinct_est"),
+        _est(F.col("nd"), F.col("hv")).alias("kmv_distinct_est"),
         F.col("nd").alias("exact_distinct"),
     )

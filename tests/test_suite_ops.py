@@ -898,6 +898,65 @@ def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
     assert row["kmv_distinct_est"] == 7.0 and row["exact_distinct"] == 7
 
 
+def test_kmv_global_matches_python_oracle_at_scale(spark):
+    """The global (group_cols=()) path — rewritten in round 5 from a
+    single-task sort over ALL distinct hashes to a bucketed two-level
+    candidate pre-filter — stays bit-identical to the pure-Python
+    estimator at a cardinality (40k distinct) that would previously have
+    concentrated every hash in one window task. Also pins the nd-<-k and
+    NULL-key edge cases of the same path."""
+    import hashlib
+
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    n, k = 40_000, 256
+    df = spark.range(n).selectExpr("id * 3 AS key")  # 40k distinct keys
+    row = kmv_distinct(df, "key", (), k=k).first()
+    hashes = sorted(
+        int(hashlib.md5(str(x * 3).encode()).hexdigest()[:15], 16)
+        for x in range(n)
+    )
+    assert row["exact_distinct"] == n
+    assert row["kmv_distinct_est"] == round((k - 1) * float(2**60) / hashes[k - 1], 6)
+
+    # nd < k: exact, even though candidates span many buckets
+    small = spark.createDataFrame([(i % 9,) for i in range(50)], "key long")
+    r2 = kmv_distinct(small, "key", (), k=k).first()
+    assert r2["kmv_distinct_est"] == 9.0 and r2["exact_distinct"] == 9
+
+    # NULL keys are not values (count(DISTINCT) semantics) in either path
+    withnull = spark.createDataFrame(
+        [(None, "g"), (1, "g"), (2, "g"), (None, "g")], "key long, g string"
+    )
+    assert kmv_distinct(withnull, "key", (), k=k).first()["exact_distinct"] == 2
+    assert (
+        kmv_distinct(withnull, "key", ("g",), k=k).first()["exact_distinct"] == 2
+    )
+
+
+def test_kmv_global_plan_bounds_final_sort(spark):
+    """The global path's physical plan must show the candidate Filter
+    (per-bucket rank ≤ k) BETWEEN the parallel bucket window and the final
+    single-partition window — the structure that bounds the last sort at
+    num_buckets·k rows regardless of input cardinality."""
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(1000).selectExpr("id AS key")
+    plan = (
+        kmv_distinct(df, "key", (), k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the plan prints consumers before producers, so the bounded global
+    # stage (SinglePartition exchange) must appear ABOVE the rank filter,
+    # which must appear ABOVE the _b-partitioned parallel bucket window
+    single = plan.find("Exchange SinglePartition")
+    rank_filter = plan.find("Filter (_rn1")
+    bucket_win = plan.find("windowspecdefinition(_b")
+    assert -1 < single < rank_filter < bucket_win
+
+
 def test_lsh_hot_bucket_skew_guard_preserves_pairs(spark):
     """A degenerate corpus (every vector near-identical → ONE hot bucket
     per band) must produce the IDENTICAL pair set and scores whether the
