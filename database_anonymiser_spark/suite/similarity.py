@@ -306,8 +306,43 @@ def _ann_oracle(
         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
         FROM kcos
       ) t WHERE rn <= {k}
+    ),
+    mi AS (
+      SELECT vec_id, i, CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS a
+      FROM v
+    ),
+    am AS (SELECT vec_id, max(abs(a)) AS amax FROM mi GROUP BY vec_id),
+    sqv AS (
+      SELECT vec_id, i,
+             CASE WHEN amax = 0 THEN 0
+                  WHEN a < 0 THEN -CAST(floor((2 * 127 * (-a) + amax) / (2.0 * amax)) AS BIGINT)
+                  ELSE CAST(floor((2 * 127 * a + amax) / (2.0 * amax)) AS BIGINT)
+             END AS qa
+      FROM mi JOIN am USING (vec_id)
+    ),
+    sqq AS (SELECT i, qa AS qb FROM sqv WHERE vec_id = {_QUERY_VEC_ID}),
+    sqmem AS (
+      SELECT s.vec_id, s.i, s.qa
+      FROM sqv s
+      JOIN assigned a ON a.vec_id = s.vec_id
+      JOIN probe p ON a.cid = p.cid
+      WHERE s.vec_id != {_QUERY_VEC_ID}
+    ),
+    sqd AS (
+      SELECT m.vec_id, sum(m.qa * q.qb) AS dot, sum(m.qa * m.qa) AS na
+      FROM sqmem m JOIN sqq q USING (i) GROUP BY m.vec_id
+    ),
+    sqn AS (SELECT sum(qb * qb) AS nb FROM sqq),
+    ivf_sq AS (
+      SELECT 'ivf_sq' AS method, CAST({_QUERY_VEC_ID} AS BIGINT) AS query_id, vec_id,
+             CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cosine
+      FROM sqd, sqn
+      ORDER BY cosine DESC, vec_id
+      LIMIT {k}
     )
     SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM knn
+    UNION ALL SELECT * FROM ivf_sq
     """
 
 
@@ -325,7 +360,20 @@ def sim_topk_ann(spark, sf_dir):
     reproduces the LSH bucketing, the XOR probe expansion, the IVF
     codebook/assignment/probe construction, and the per-query exact top-k
     — so this entry is value-hash checked like every other similarity
-    query."""
+    query.
+
+    Round 5 adds the FOURTH branch, 'ivf_sq': the persisted IVF+SQ index
+    path (operators/similarity.py::ivf_int8_index → ivf_int8_topk — the
+    FAISS IVF+scalar-quantizer composition a real ANN user runs against a
+    stored index). The oracle reuses the ivf branch's decimal
+    assignment/probe CTEs and the int8 branch's quantization CTEs, adding
+    only the compressed-domain integer scoring over the probed lists —
+    the composed index-build → probed-query path is now value-hash
+    checked end-to-end, not just its two pieces. (The index builder's
+    coarse argmax is float64 without the decimal near-tie rescore —
+    legitimate for an approximate structure; on the fixture the top-2
+    assignment dots are separated by ~10 orders of magnitude more than
+    float64 error, so the decimal oracle assignment is identical.)"""
     emb = load(spark, sf_dir, "embeddings")
     qid = F.lit(_QUERY_VEC_ID).cast("long")
     lsh = SIM.lsh_bucket_topk(
@@ -346,4 +394,18 @@ def sim_topk_ann(spark, sf_dir):
         F.col("neighbour_id").alias("vec_id"),
         "cosine",
     )
-    return lsh.unionByName(ivf).unionByName(knn)
+    # training-free codebook (the 16 lowest-id vectors — what the oracle's
+    # cent CTE reproduces); 16 rows is the one legitimate collect, it IS
+    # the coarse-quantizer model
+    cent_rows = (
+        emb.orderBy("vec_id").limit(16).select("vec_id", "embedding").collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    index = SIM.ivf_int8_index(emb, "vec_id", "embedding", centroids)
+    ivf_sq = SIM.ivf_int8_topk(
+        index, emb, "vec_id", "embedding", query_id=_QUERY_VEC_ID,
+        centroids=centroids, k=10,
+    ).select(
+        F.lit("ivf_sq").alias("method"), qid.alias("query_id"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf).unionByName(knn).unionByName(ivf_sq)
