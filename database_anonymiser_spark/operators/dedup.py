@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from database_anonymiser_spark.operators.cachectl import scoped_cache
+
 # (a, b) pairs for the universal hash family h(x) = (a*x + b) mod P.
 # P = 2^31 - 1 (Mersenne prime): keeps a*x + b within int64.
 MERSENNE_P = 2_147_483_647
@@ -149,7 +151,9 @@ def jaccard_pairs(
     ``max_df`` (optional) drops shingles shared by more than that many docs —
     the standard skew guard for the self-join at corpus scale.
     """
-    sh_arr = shingle_array(df, id_col, text_col, n).cache()
+    sh_arr = scoped_cache(
+        "jaccard_pairs", shingle_array(df, id_col, text_col, n)
+    )
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # set sizes read off the array — map-side, no counting shuffle
     sizes = sh_arr.select(F.col(id_col), F.size("shingle_arr").alias("_sz"))
@@ -252,17 +256,20 @@ def minhash_lsh_pairs(
     inverted-index verify at any scale; per-row memory is two documents'
     shingle sets.
     """
-    sh_arr = shingle_array(df, id_col, text_col, n).cache()
+    sh_arr = scoped_cache(
+        "minhash_lsh_pairs.sh_arr", shingle_array(df, id_col, text_col, n)
+    )
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # docs below the shingle window have EMPTY shingle sets → null
     # signatures; without this filter they all collide in one null-key
     # bucket and the 0-shingle Jaccard verify divides 0/0 (an ANSI-mode
     # error since Spark 4). No shingles ⇒ no near-dup by construction —
     # and the exploded-index oracle never sees such docs either.
-    sig = (
-        minhash_signatures_from_array(sh_arr, id_col)
-        .where(F.col("mh_0").isNotNull())
-        .cache()
+    sig = scoped_cache(
+        "minhash_lsh_pairs.sig",
+        minhash_signatures_from_array(sh_arr, id_col).where(
+            F.col("mh_0").isNotNull()
+        ),
     )
     k = len(HASH_FAMILY)
     # one row per (doc, band) via an inline array — no union of k/r DataFrames

@@ -119,6 +119,14 @@ def token_budget_sample(
     frame over a unique ordering) — a single shuffle on ``group_col``;
     admitted rows keep all input columns. Value-hash checked as the
     'budget' branch of the declared ``sample_scan`` entry.
+
+    Determinism of the ROWS-frame cumulative sum requires a UNIQUE window
+    ordering. Ids are unique in a raw corpus, but :func:`mixture_sample`
+    upsampling emits duplicate ids distinguished only by ``copy_idx`` —
+    so when a ``copy_idx`` column is present it joins the ordering as the
+    tiebreaker (round-5 advice fix: without it, WHICH copy crossed the
+    budget boundary depended on partitioning). Inputs with duplicate ids
+    and no ``copy_idx`` column are the caller's contract violation.
     """
     if any(b < 0 for b in budgets.values()) or (
         default_budget is not None and default_budget < 0
@@ -131,9 +139,12 @@ def token_budget_sample(
     budget = budget_map[F.col(group_col)]
     if default_budget is not None:
         budget = F.coalesce(budget, F.lit(int(default_budget)))
+    order = [_bucket(id_col, salt), F.col(id_col)]
+    if "copy_idx" in df.columns:
+        order.append(F.col("copy_idx"))
     w = (
         Window.partitionBy(group_col)
-        .orderBy(_bucket(id_col, salt), F.col(id_col))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(tokens_col).cast("long")).over(w)

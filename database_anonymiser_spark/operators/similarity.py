@@ -26,6 +26,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from database_anonymiser_spark.operators.cachectl import scoped_cache
 from database_anonymiser_spark.operators.dedup import MERSENNE_P
 
 
@@ -346,7 +347,9 @@ def lsh_candidate_pairs(
     the band self-join's two sides would otherwise each rerun the Arrow
     signature stage over the full input."""
     planes = int_planes(dim, n_planes)
-    sig = lsh_signatures(df, id_col, vec_col, planes).cache()
+    sig = scoped_cache(
+        "lsh_candidate_pairs", lsh_signatures(df, id_col, vec_col, planes)
+    )
     band_structs = []
     for b0 in range(0, n_planes, rows_per_band):
         cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
@@ -431,15 +434,23 @@ def cosine_lsh_pairs(
     # parallel tiles (total work unchanged: the quadratic candidate cost is
     # the LSH parameterization's to control via the ⌈log₂ n⌉ band-width
     # law; the guard bounds per-TASK memory and latency, not total cost).
-    # Bucket sizes come from one tiny aggregate over the cached signature
-    # frame (buckets × 1 rows, broadcast back); normal buckets get nb = 1
-    # and take the identical single-group triu path as before.
+    # Round 5: the size aggregate keeps ONLY buckets over max_bucket_size —
+    # in the healthy case that frame is EMPTY, so the broadcast ships ~0
+    # rows (never the O(n·bands) all-buckets frame round-4 advice flagged)
+    # and the left join resolves every row to nb = 1, the identical
+    # single-group triu path as the unguarded plan. The guard's residual
+    # cost is one partial aggregate over the cached signature frame plus an
+    # empty broadcast — the block-pair machinery is paid for only by
+    # corpora that actually have hot buckets.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     planes = int_planes(dim, n_planes)
-    sig = lsh_signatures(df, id_col, vec_col, planes, keep_vec=True).cache()
+    sig = scoped_cache(
+        "cosine_lsh_pairs",
+        lsh_signatures(df, id_col, vec_col, planes, keep_vec=True),
+    )
     band_structs = []
     for b0 in range(0, n_planes, rows_per_band):
         cols = [f"sb_{i}" for i in range(b0, min(b0 + rows_per_band, n_planes))]
@@ -449,11 +460,17 @@ def cosine_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, vec_col, "_b.band_id", "_b.band_key")
-    sizes = (
+    hot = (
         sig.select(F.explode(F.array(*band_structs)).alias("_b"))
         .select("_b.band_id", "_b.band_key")
         .groupBy("band_id", "band_key")
-        .agg(F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("_nb"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > max_bucket_size)
+        .select(
+            "band_id",
+            "band_key",
+            F.ceil(F.col("_cnt") / max_bucket_size).cast("int").alias("_nb"),
+        )
     )
     blk = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
@@ -461,7 +478,8 @@ def cosine_lsh_pairs(
         % F.col("_nb")
     ).cast("int")
     blocked = (
-        buckets.join(F.broadcast(sizes), ["band_id", "band_key"])
+        buckets.join(F.broadcast(hot), ["band_id", "band_key"], "left")
+        .withColumn("_nb", F.coalesce(F.col("_nb"), F.lit(1)))
         .withColumn("_blk", blk)
         .select(
             id_col,

@@ -167,10 +167,8 @@ _PROFILE_CACHE: dict = {}
 
 
 def _profile_columns(text_col: str) -> tuple[Column, ...]:
-    from pyspark.sql import SparkSession
-
-    key = (id(SparkSession.getActiveSession()), text_col)
-    hit = _PROFILE_CACHE.get(key)
+    key = _session_cache_key(text_col, _PROFILE_CACHE)
+    hit = _PROFILE_CACHE.get(key) if key is not None else None
     if hit is not None:
         return hit
     t = F.col(text_col)
@@ -208,7 +206,8 @@ def _profile_columns(text_col: str) -> tuple[Column, ...]:
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
-    _PROFILE_CACHE[key] = cols
+    if key is not None:
+        _PROFILE_CACHE[key] = cols
     return cols
 
 
@@ -325,16 +324,37 @@ def repetition_profile(
 #: are immutable unresolved expressions, safe to reuse across queries, and
 #: building the two _top_count fold trees costs ~0.4s of py4j round trips
 #: per invocation — pure driver overhead the bench/driver/oracle otherwise
-#: pay on every call. Keyed by session id so a restarted JVM never sees a
-#: stale py4j handle.
+#: pay on every call. Keyed by the SparkContext's applicationId — a stable
+#: token unique per context — so a restarted JVM never sees a stale py4j
+#: handle (round-5 advice fix: keying on id(session) could alias a NEW
+#: session onto a dead one's entry after CPython reuses the id). Entries of
+#: dead contexts are evicted on the first build under a new context, so the
+#: dict never grows past one context's worth of columns.
 _REP_SIGNAL_CACHE: dict = {}
+
+
+def _session_cache_key(text_col: str, cache: dict) -> tuple | None:
+    """(applicationId, text_col) cache key, or None when no session is
+    active (caller builds uncached). Evicts other contexts' entries."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return None
+    try:
+        app_id = sess.sparkContext.applicationId
+    except Exception:
+        return None  # context already stopped — don't cache
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+    return (app_id, text_col)
 
 
 def _repetition_signal_columns(text_col) -> tuple[Column, ...]:
     if isinstance(text_col, str):
-        from pyspark.sql import SparkSession
-
-        key = (id(SparkSession.getActiveSession()), text_col)
+        key = _session_cache_key(text_col, _REP_SIGNAL_CACHE)
+        if key is None:
+            return _build_repetition_signals(text_col)
         hit = _REP_SIGNAL_CACHE.get(key)
         if hit is None:
             hit = _build_repetition_signals(text_col)

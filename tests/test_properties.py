@@ -325,6 +325,32 @@ def test_token_budget_sample_invariants(spark, toks, budget):
     assert admitted_total >= min(budget, sum(toks))
 
 
+def test_token_budget_sample_deterministic_on_upsampled_copies(spark):
+    """mixture_sample upsampling emits duplicate ids distinguished only by
+    copy_idx; the budget window must admit the SAME (id, copy_idx) set at
+    any partitioning (round-5 advice: without the copy_idx tiebreaker the
+    ROWS-frame cumulative sum ordered ties arbitrarily, so which copy
+    crossed the budget boundary could differ across runs)."""
+    from database_anonymiser_spark.operators.sampling import (
+        mixture_sample,
+        token_budget_sample,
+    )
+
+    rows = [(i, "g", 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    up = mixture_sample(df, "id", "src", {"g": 3.0})  # 3 copies per id
+
+    def admitted(parts):
+        out = token_budget_sample(
+            up.repartition(parts, "id"), "id", "toks", "src", {"g": 85}, None
+        )
+        return sorted((r["id"], r["copy_idx"]) for r in out.collect())
+
+    a, b, c = admitted(1), admitted(7), admitted(32)
+    assert a == b == c
+    assert len(a) == 9  # 85 tokens at 10/doc-copy: 9th copy crosses
+
+
 @given(
     keys=st.lists(st.integers(0, 500), min_size=1, max_size=120),
     k=st.sampled_from([4, 16, 256]),
