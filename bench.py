@@ -4,7 +4,9 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Headline set spans the engine's operator families: full-pipeline
 anonymisation, scan+agg, fact-fact join, window, streaming-equivalent
-windowing, dedup (minhash), similarity (brute-force top-k), text analysis.
+windowing, dedup (minhash), similarity (brute-force top-k), text analysis,
+plus the COMPOSED curation pipeline in its fully-gated configuration
+(curate_corpus_full — round 5: the product surface timed end to end).
 Each query executes to completion (count/collect of the final result), timed
 after a warm-up of the Spark session on a trivial action.
 
@@ -108,18 +110,53 @@ def main():
     control_sa = _time(_shuffle_arrow_control)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs[name]
+
+    def _bench(name, job):
         best, rows = float("inf"), 0
         for _ in range(REPS):
             t0 = time.perf_counter()
-            rows = spec.spark(spark, sf_dir).count()
+            rows = job()
             best = min(best, time.perf_counter() - t0)
             # queries may .cache() internal stages (e.g. stream_windows'
             # pre-agg); clear between reps so timings stay independent
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {best:.2f}s ({rows} rows, min of {REPS})", file=sys.stderr)
+
+    for name in HEADLINE:
+        spec = specs[name]
+        _bench(name, lambda spec=spec: spec.spark(spark, sf_dir).count())
+
+    # the composed curation pipeline IS the product surface (VERDICT r4 #5):
+    # one fully-gated configuration — boilerplate drop + cross-doc line
+    # dedup + repetition gate + exact & MinHash near dedup + split +
+    # decontamination + mixture + token-budget mix — timed end to end, not
+    # just its stages. clean_lines stays OFF here: the fixture documents
+    # are single-line word streams without terminal punctuation, so the C4
+    # line filter legitimately empties every doc and the headline would be
+    # a 0-row no-op (the C4 expressions' cost is already timed inside the
+    # text_profile headline, where they are packed). At sf0.1 the output
+    # is ~4.8k docs with every gate visibly biting (src0 upsampled 2x,
+    # src1 kept at ~half, src2 token-capped).
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.suite.base import load
+
+    def _curate_full():
+        n = curate_corpus(
+            load(spark, sf_dir, "documents"),
+            min_tokens=3,
+            drop_boilerplate=True,
+            dedup_lines_min_docs=3,
+            drop_repetitive=True,
+            near_dedup=True,
+            decontam_n=8,
+            mixture_rates={"src0": 2.0, "src1": 0.5},
+            token_budgets={"src2": 2_000},
+        ).count()
+        assert n > 0, "curate_corpus_full produced 0 rows - vacuous bench"
+        return n
+
+    _bench("curate_corpus_full", _curate_full)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -395,3 +395,81 @@ def test_composed_streaming_pipeline_end_to_end(spark, sf_dir, events_path):
     assert len(got) > 0
     for key, n in got.items():
         assert b.get(key) == n, key
+
+
+def test_late_data_dropped_by_streaming_dedup_and_session(spark, tmp_path):
+    """Negative path of the watermark contract in the STREAMING runtime
+    (the batch twins would happily keep these rows): batch 1 advances the
+    watermark far past an old timestamp; after a checkpoint restart, a
+    batch carrying an event BEHIND the watermark must be dropped by
+    dropDuplicatesWithinWatermark and produce no session window, while a
+    fresh event in the same batch flows through — proving the drop is
+    lateness, not a stalled query."""
+    import datetime
+
+    from database_anonymiser_spark.streaming.pipeline import (
+        dedup_stream,
+        run_to_files,
+        session_agg_stream,
+        stream_events,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def drain(make_stream, out, ckpt):
+        run_to_files(
+            make_stream(stream_events(spark, in_dir, schema=schema)),
+            str(tmp_path / out),
+            str(tmp_path / ckpt),
+        )
+        return spark.read.parquet(str(tmp_path / out))
+
+    # batch 1: 10 events spanning 9 hours -> watermark lands at
+    # max_ts - 10min = base + 9h - 10min, hours past `base`
+    write_batch(
+        [
+            (i, base + datetime.timedelta(hours=i), i % 3, "view", 1.0, "{}")
+            for i in range(10)
+        ]
+    )
+    d1 = drain(dedup_stream, "dedup_out", "dedup_ckpt")
+    s1 = drain(session_agg_stream, "sess_out", "sess_ckpt")
+    assert d1.count() == 10
+    n_sessions_1 = s1.count()
+    assert n_sessions_1 > 0  # watermark closed the early sessions
+
+    # batch 2 after restart: id 100 is LATE (ts = base, far behind the
+    # restored watermark) -> dropped; id 101 is fresh -> kept
+    write_batch(
+        [
+            (100, base, 9, "view", 1.0, "{}"),
+            (101, base + datetime.timedelta(hours=10), 9, "view", 1.0, "{}"),
+        ]
+    )
+    d2 = drain(dedup_stream, "dedup_out", "dedup_ckpt")
+    ids = {r["event_id"] for r in d2.select("event_id").collect()}
+    assert 101 in ids, "fresh event must survive the second batch"
+    assert 100 not in ids, "late event must be dropped at the watermark"
+
+    s2 = drain(session_agg_stream, "sess_out", "sess_ckpt")
+    late_sessions = s2.where(
+        (F.col("user_id") == 9) & (F.col("session_start") == base)
+    ).count()
+    assert late_sessions == 0, "late event must not open a session window"
