@@ -36,6 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # sim_cosine_pairs joins the set now that it's LSH-blocked (was a crossJoin).
 # join_asof now computes all THREE directions (backward/forward/nearest) in
 # one query — its timing is not comparable 1:1 with round 1's backward-only.
+# Round 5 adds curate_corpus_full (~9-10s at sf0.1: the 9-stage composed
+# pipeline end to end), so the TOTAL is not comparable 1:1 with r4's 19-query
+# total; compare per-query.
 #: repetitions per timed job; the reported number is the minimum
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 

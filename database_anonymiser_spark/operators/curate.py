@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from database_anonymiser_spark.operators import dedup as D
 from database_anonymiser_spark.operators import text as TX
+from database_anonymiser_spark.operators.cachectl import scoped_cache
 from database_anonymiser_spark.operators.graph import (
     connected_components,
     dedup_survivors,
@@ -134,6 +135,17 @@ def curate_corpus(
             .drop(*sig_cols)
         )
 
+    # The pipeline is a DAG, not a chain: the frame below feeds the exact
+    # dedup's BOTH sides, then the near-dedup pair generation AND the
+    # survivors join, and later decontamination reads it three ways
+    # (train, eval, anti). Uncached, Spark re-executes the whole upstream
+    # (C4 scrub, line dedup, profile regex trees, gates) once per consumer
+    # — measured 60s+ vs ~15s on the sf0.1 bench config. Persisting at the
+    # two fan-out points is the standard diamond-dependency treatment
+    # (MEMORY_AND_DISK — spills, never OOMs); scoped_cache bounds the
+    # live cache to the current call.
+    kept = scoped_cache("curate.gated", kept)
+
     # exact dedup: one shuffle on the fingerprint, keep the min id
     canonical = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     kept = kept.join(canonical, [id_col, "fingerprint"], "left_semi")
@@ -155,6 +167,7 @@ def curate_corpus(
     )
 
     if decontam_n is not None:
+        kept = scoped_cache("curate.split", kept)
         train = kept.where(F.col("split") == "train")
         evals = kept.where(F.col("split") == "eval")
         dirty = (

@@ -76,7 +76,11 @@ def connected_components(
             .agg(F.min("label").alias("_nbr"))
             .withColumnRenamed("src", "id")
         )
-        # every node has at least one edge (sym is symmetric) → inner join
+        # every node has at least one edge (sym is symmetric) → inner join.
+        # The checkpoint is LAZY and the changed-count aggregate is what
+        # materializes it — one job per round instead of two (an eager
+        # checkpoint plus a separate count doubles the per-round driver
+        # latency, which is what dominates small inputs).
         new_labels = (
             labels.join(nbr_min, "id")
             .select(
@@ -84,7 +88,7 @@ def connected_components(
                 F.least("label", "_nbr").alias("label"),
                 (F.col("_nbr") < F.col("label")).cast("int").alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0]
         labels = new_labels.drop("_chg")
