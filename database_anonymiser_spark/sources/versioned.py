@@ -1,0 +1,339 @@
+"""Versioned parquet tables: transaction log, MERGE, time travel.
+
+Closes the SURVEY.md §7 "What's hard" item carried since round 1 — "No
+UPDATE in Spark: ... or Delta Lake MERGE/txn log for the faithful rollback
+semantics". Delta itself is not in the container, so this is the published
+transaction-log design (Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020 — public knowledge)
+rendered minimally on plain parquet + JSON:
+
+- ``_log/NNNNNNNN.json`` commit files, one per version. A commit lists the
+  data files it ADDS and REMOVES plus per-file min/max stats of a declared
+  key column. The table state at version V is the replay of commits 0..V —
+  reading is O(versions) tiny JSON files, entirely driver-side metadata.
+- Commits are ATOMIC via exclusive create (``open(..., 'x')``): the commit
+  file either exists completely or not at all, and two racing writers
+  cannot both create the same version (the loser retries or fails —
+  single-table optimistic concurrency, exactly Delta's protocol). A crash
+  mid-write leaves orphan parquet files referenced by no commit: invisible
+  to every reader, cleaned by ``vacuum``.
+- MERGE is copy-on-write with FILE-LEVEL DATA SKIPPING: only data files
+  whose [min,max] key range intersects the source's key range are
+  rewritten; untouched files carry over into the new version by reference.
+  At 100 TB this is the difference between rewriting the table and
+  rewriting the handful of files a trickle of updates lands in — the same
+  pruning Delta drives from its per-file stats. Stats come from the
+  parquet footers (pyarrow) at write time, never from re-scanning data.
+- Time travel: ``snapshot(version=K)`` replays the log prefix — reads are
+  plain ``spark.read.parquet`` over that version's live file list, so every
+  Catalyst optimization (pushdown, pruning) applies unchanged.
+
+Determinism: MERGE output is a pure function of (target state, source
+rows) — the declared ``merge_upsert`` suite entry value-hash checks it
+against a DuckDB anti-join + union rendering of the same semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+@dataclass(frozen=True)
+class _FileEntry:
+    path: str  # relative to table root
+    key_min: object | None
+    key_max: object | None
+
+
+def _log_path(root: Path, version: int) -> Path:
+    return root / _LOG_DIR / f"{version:08d}.json"
+
+
+def _list_versions(root: Path) -> list[int]:
+    log = root / _LOG_DIR
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.stem) for p in log.iterdir() if p.suffix == ".json" and p.stem.isdigit()
+    )
+
+
+def _footer_key_stats(file_path: Path, key_col: str | None):
+    """(min, max) of ``key_col`` from the parquet footer row-group stats —
+    metadata only, no data scan. None bounds disable skipping for the file
+    (a reader must then always consider it — safe, just unpruned)."""
+    if key_col is None:
+        return None, None
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(str(file_path)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        if idx < 0:
+            return None, None
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            mins.append(st.min)
+            maxs.append(st.max)
+        return (min(mins), max(maxs)) if mins else (None, None)
+    except Exception:
+        return None, None
+
+
+def _write_data_files(
+    df: DataFrame, root: Path, key_col: str | None
+) -> list[_FileEntry]:
+    """Write df as parquet under data/<uuid>/ and return entries with
+    footer key stats. Files are INVISIBLE until a commit references them."""
+    sub = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+    out = root / sub
+    df.write.mode("error").parquet(str(out))
+    entries = []
+    for p in sorted(out.rglob("*.parquet")):
+        lo, hi = _footer_key_stats(p, key_col)
+        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi))
+    return entries
+
+
+def _commit(root: Path, version: int, adds, removes, key_col, op: str) -> None:
+    (root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": version,
+            "op": op,
+            "key_col": key_col,
+            "adds": [
+                {"path": e.path, "key_min": e.key_min, "key_max": e.key_max}
+                for e in adds
+            ],
+            "removes": list(removes),
+        },
+        default=str,
+    )
+    tmp = root / _LOG_DIR / f".{uuid.uuid4().hex}.tmp"
+    tmp.write_text(payload)
+    try:
+        # exclusive create = the atomic commit point (Delta's putIfAbsent)
+        with open(_log_path(root, version), "x") as fh:
+            fh.write(payload)
+    except FileExistsError as exc:
+        raise VersionConflict(
+            f"version {version} already committed at {root}"
+        ) from exc
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+class VersionedTable:
+    """A parquet table with a commit log. One instance per table root.
+
+    ``key_col`` is the MERGE key and the data-skipping stats column; it is
+    fixed at table creation (recorded in every commit) like a Delta
+    table's partition/zorder declaration.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+        self.spark = spark
+        self.root = Path(root)
+
+    # ------------------------------------------------------------ state
+
+    def versions(self) -> list[int]:
+        return _list_versions(self.root)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no versioned table at {self.root}")
+        return vs[-1]
+
+    def _live_entries(self, version: int | None = None) -> list[dict]:
+        upto = self.latest_version() if version is None else version
+        live: dict[str, dict] = {}
+        key_col = None
+        for v in self.versions():
+            if v > upto:
+                break
+            rec = json.loads(_log_path(self.root, v).read_text())
+            key_col = rec.get("key_col", key_col)
+            for path in rec["removes"]:
+                live.pop(path, None)
+            for add in rec["adds"]:
+                live[add["path"]] = add
+        self._key_col = key_col
+        return list(live.values())
+
+    def key_col(self) -> str | None:
+        self._live_entries()
+        return self._key_col
+
+    def history(self) -> list[dict]:
+        return [
+            json.loads(_log_path(self.root, v).read_text()) for v in self.versions()
+        ]
+
+    # ------------------------------------------------------------ read
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest) — a plain parquet
+        read over that version's live files; all Catalyst pushdown/pruning
+        applies. An empty version list of files yields an empty frame with
+        the schema of the latest non-empty version."""
+        entries = self._live_entries(version)
+        if not entries:
+            # borrow the schema from ANY committed file (it may since have
+            # been removed from the live set — e.g. a full-delete merge —
+            # but vacuum only deletes UNreferenced files, so it exists)
+            any_adds = [a for rec in self.history() for a in rec["adds"]]
+            if not any_adds:
+                raise FileNotFoundError(f"no data ever committed at {self.root}")
+            schema = self.spark.read.parquet(
+                str(self.root / any_adds[0]["path"])
+            ).schema
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            *[str(self.root / e["path"]) for e in entries]
+        )
+
+    # ----------------------------------------------------------- write
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str | os.PathLike, df: DataFrame, key_col: str
+    ) -> "VersionedTable":
+        t = cls(spark, root)
+        if t.versions():
+            raise FileExistsError(f"versioned table already exists at {t.root}")
+        adds = _write_data_files(df, t.root, key_col)
+        _commit(t.root, 0, adds, [], key_col, op="create")
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append — new files, no reads, one commit."""
+        key_col = self.key_col()
+        v = self.latest_version() + 1
+        adds = _write_data_files(df, self.root, key_col)
+        _commit(self.root, v, adds, [], key_col, op="append")
+        return v
+
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE ``source`` into the table on the table's key column.
+
+        ``when_matched``: 'update' replaces the target row with the source
+        row; 'delete' drops matched target rows. Unmatched source rows are
+        inserted when ``insert_not_matched``. Duplicate keys in ``source``
+        are a contract violation (checked — Delta raises the same).
+
+        Copy-on-write with file skipping: target files whose footer
+        [key_min, key_max] cannot contain any source key keep their data
+        UNTOUCHED and carry over by reference; only intersecting files are
+        rewritten (their non-matched rows preserved). The source's key
+        bounds come from one tiny aggregate; per-file intersection is
+        driver-side metadata arithmetic, never a data scan.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        key_col = self.key_col()
+        if key_col is None:
+            raise ValueError("table has no key_col; cannot merge")
+        v = self.latest_version()
+        entries = self._live_entries(v)
+
+        dup = source.groupBy(key_col).count().where(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError("duplicate merge keys in source")
+
+        bounds = source.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+
+        def may_match(e: dict) -> bool:
+            if lo is None:  # empty source: nothing matches
+                return False
+            if e["key_min"] is None or e["key_max"] is None:
+                return True  # no stats -> must assume it matches
+            return not (e["key_max"] < lo or e["key_min"] > hi)
+
+        touched = [e for e in entries if may_match(e)]
+        untouched = [e for e in entries if not may_match(e)]
+
+        new_files: list[_FileEntry] = []
+        if touched:
+            tgt = self.spark.read.parquet(
+                *[str(self.root / e["path"]) for e in touched]
+            )
+            keep = tgt.join(source.select(key_col), key_col, "left_anti")
+            if when_matched == "update":
+                matched_src = source.join(
+                    tgt.select(key_col).distinct(), key_col, "left_semi"
+                )
+                rewritten = keep.unionByName(matched_src.select(*tgt.columns))
+            else:  # delete
+                rewritten = keep
+            new_files += _write_data_files(rewritten, self.root, key_col)
+            srcs_remaining = (
+                source.join(tgt.select(key_col).distinct(), key_col, "left_anti")
+                if insert_not_matched
+                else None
+            )
+        else:
+            srcs_remaining = source if insert_not_matched else None
+
+        if srcs_remaining is not None:
+            sample = self.snapshot(v).limit(0)
+            inserts = srcs_remaining.select(*sample.columns)
+            new_files += _write_data_files(inserts, self.root, key_col)
+
+        _commit(
+            self.root,
+            v + 1,
+            new_files,
+            [e["path"] for e in touched],
+            key_col,
+            op=f"merge_{when_matched}",
+        )
+        return v + 1
+
+    # ---------------------------------------------------------- hygiene
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO commit (crash orphans) and
+        files removed before the OLDEST retained version... minimally:
+        anything under data/ that no commit's adds reference. Time travel
+        to any logged version keeps working for referenced files."""
+        referenced = set()
+        for rec in self.history():
+            for add in rec["adds"]:
+                referenced.add(add["path"])
+        removed = []
+        data_root = self.root / _DATA_DIR
+        if data_root.is_dir():
+            for p in data_root.rglob("*.parquet"):
+                rel = str(p.relative_to(self.root))
+                if rel not in referenced:
+                    p.unlink()
+                    removed.append(rel)
+        return removed

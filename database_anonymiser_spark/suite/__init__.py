@@ -21,6 +21,7 @@ from database_anonymiser_spark.suite import (  # noqa: F401,E402
     similarity,
     streaming_batch,
     text,
+    versioned_entry,
 )
 
 

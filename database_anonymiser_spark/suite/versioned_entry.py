@@ -1,0 +1,79 @@
+"""Declared MERGE query over the versioned-table layer (sources/versioned.py).
+
+The one suite entry with a WRITE in the middle: it materializes the customer
+table as a versioned parquet table in a fresh temp directory, MERGEs a
+deterministic source (updates + inserts derived from the same fixture), and
+returns the post-merge snapshot. MERGE output is a pure function of
+(target, source), so the DuckDB oracle reproduces it with an anti-join +
+CASE + UNION rendering — the transactional path is value-hash checked like
+every read-only operator.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.suite.base import load, register
+
+#: updates hit every 7th key; inserts clone every 31st key shifted past the
+#: key space — both pure functions of the fixture
+_UPD_MOD = 7
+_INS_MOD = 31
+_INS_SHIFT = 10_000_000
+
+
+@register(
+    "merge_upsert",
+    f"""
+    SELECT c_custkey,
+           c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN -c_acctbal ELSE c_acctbal END
+             AS c_acctbal,
+           CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN 'MERGED' ELSE c_mktsegment END
+             AS c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + {_INS_SHIFT} AS c_custkey,
+           c_name,
+           c_nationkey,
+           c_acctbal,
+           'INSERTED' AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % {_INS_MOD} = 0
+    """,
+    tags=("transaction", "merge"),
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE (upsert) through the transaction-log table: update every 7th
+    customer (negate acctbal, retag segment), insert clones of every 31st
+    customer shifted past the key space, then read the committed snapshot.
+
+    Scale shape: the merge rewrites only data files whose footer key range
+    intersects the source keys (here: all files, since updates span the
+    key space — the skipping property itself is pinned in
+    tests/test_versioned.py), the commit is one atomic exclusive-create,
+    and the returned snapshot is a plain parquet scan of the new version's
+    live files. The temp table lives under the OS tmpdir for the duration
+    of the read (the snapshot is lazy — files must outlive the caller's
+    collect)."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    cust = load(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="merge_upsert_")
+    t = VersionedTable.create(spark, f"{root}/t", cust, key_col="c_custkey")
+
+    updates = (
+        cust.where(F.col("c_custkey") % _UPD_MOD == 0)
+        .withColumn("c_acctbal", -F.col("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("MERGED"))
+    )
+    inserts = (
+        cust.where(F.col("c_custkey") % _INS_MOD == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + _INS_SHIFT)
+        .withColumn("c_mktsegment", F.lit("INSERTED"))
+    )
+    t.merge(updates.unionByName(inserts), when_matched="update")
+    return t.snapshot()

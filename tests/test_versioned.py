@@ -1,0 +1,136 @@
+"""VersionedTable — transaction log, MERGE with file skipping, time travel
+(sources/versioned.py; SURVEY §7 'What's hard': the Delta-style apply path)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.sources.versioned import (
+    VersionConflict,
+    VersionedTable,
+    _write_data_files,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i * 10.0) for i in range(20)], "k long, name string, v double"
+    )
+    return VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+
+
+def test_create_snapshot_roundtrip(spark, table):
+    snap = table.snapshot()
+    assert snap.count() == 20
+    assert table.latest_version() == 0
+    assert table.key_col() == "k"
+
+
+def test_append_and_time_travel(spark, table):
+    more = spark.createDataFrame([(100, "x", 1.0)], "k long, name string, v double")
+    v = table.append(more)
+    assert v == 1
+    assert table.snapshot().count() == 21
+    assert table.snapshot(version=0).count() == 20  # time travel
+
+
+def test_merge_update_and_insert(spark, table):
+    src = spark.createDataFrame(
+        [(3, "updated3", -3.0), (999, "new", 9.0)], "k long, name string, v double"
+    )
+    v = table.merge(src, when_matched="update")
+    assert v == 1
+    got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert got[3] == ("updated3", -3.0)
+    assert got[999] == ("new", 9.0)
+    assert len(got) == 21
+    # time travel: version 0 still has the original row and no insert
+    old = {r["k"]: r["name"] for r in table.snapshot(version=0).collect()}
+    assert old[3] == "name3" and 999 not in old
+
+
+def test_merge_delete(spark, table):
+    src = spark.createDataFrame([(5,), (6,)], "k long")
+    # delete needs full-width source for the dup check only on key; pass keys
+    table.merge(src, when_matched="delete", insert_not_matched=False)
+    ks = {r["k"] for r in table.snapshot().select("k").collect()}
+    assert 5 not in ks and 6 not in ks and len(ks) == 18
+
+
+def test_merge_full_delete_leaves_readable_empty_table(spark, table):
+    src = table.snapshot().select("k")
+    table.merge(src, when_matched="delete", insert_not_matched=False)
+    snap = table.snapshot()
+    assert snap.count() == 0
+    assert snap.columns == ["k", "name", "v"]  # schema preserved
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    src = spark.createDataFrame(
+        [(1, "a", 0.0), (1, "b", 0.0)], "k long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        table.merge(src)
+
+
+def test_merge_file_skipping_carries_untouched_files(spark, tmp_path):
+    """Files whose footer key range cannot contain any source key must
+    carry over BY REFERENCE (same path in the new version), not be
+    rewritten — the data-skipping property that bounds MERGE cost by the
+    touched files, not the table size."""
+    df = (
+        spark.range(300)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    v0_paths = {e["path"] for e in t._live_entries(0)}
+    assert len(v0_paths) == 3
+
+    src = spark.createDataFrame([(1, -1.0), (2, -2.0)], "k long, v double")
+    t.merge(src, when_matched="update")
+    v1_paths = {e["path"] for e in t._live_entries(1)}
+    carried = v0_paths & v1_paths
+    # keys 1,2 live in exactly one range-partitioned file; the other two
+    # files' [min,max] exclude them and must survive untouched
+    assert len(carried) == 2
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[1] == -1.0 and got[2] == -2.0 and got[250] == 500.0
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, table):
+    """Data files written without a commit (a crashed writer) are invisible
+    to snapshots and removed by vacuum; committed files survive vacuum."""
+    orphan = spark.createDataFrame([(777, "orphan", 0.0)], "k long, name string, v double")
+    _write_data_files(orphan, table.root, "k")  # no commit
+    assert table.snapshot().count() == 20  # invisible
+    removed = table.vacuum()
+    assert removed, "vacuum must delete the orphan files"
+    assert table.snapshot().count() == 20
+    assert table.snapshot(version=0).count() == 20  # history intact
+
+
+def test_version_conflict_on_racing_commit(spark, table, tmp_path):
+    """Two writers committing the same version: exclusive create makes the
+    second one fail loudly instead of silently clobbering the log."""
+    from database_anonymiser_spark.sources.versioned import _commit
+
+    with pytest.raises(VersionConflict):
+        _commit(table.root, 0, [], [], "k", op="race")
+
+
+def test_log_is_json_per_version(table):
+    recs = table.history()
+    assert [r["version"] for r in recs] == [0]
+    assert recs[0]["op"] == "create"
+    assert all("path" in a for a in recs[0]["adds"])
+    # commit files are well-formed standalone JSON (no partial writes)
+    raw = (table.root / "_log" / "00000000.json").read_text()
+    assert json.loads(raw)["version"] == 0
