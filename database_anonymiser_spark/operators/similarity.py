@@ -1321,3 +1321,61 @@ def ivf_int8_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): documents whose EMBEDDINGS are near-identical are
+    semantic duplicates even when their surface text differs (template
+    rewrites, paraphrase mirrors) — the dedup family the n-gram operators
+    cannot see. Reference scope: no counterpart in the reference engine
+    (SURVEY.md §2 training-pipeline extension).
+
+    Composition of two individually-oracled pieces, deterministic end to
+    end: hyperplane-LSH cosine pairs at ``threshold``
+    (:func:`cosine_lsh_pairs` — bucketed, never all-pairs) → transitive
+    closure (operators/graph.py::connected_components, min-label
+    propagation) → one row PER INPUT VECTOR: (id, cluster_id, kept) where
+    cluster_id is the minimum member id of the duplicate cluster (the id
+    itself for singletons) and ``kept`` marks the canonical survivor a
+    curation pipeline retains. Published SemDeDup clusters with k-means
+    first and thresholds within clusters; the LSH banding plays the same
+    candidate-bounding role with no trained state, which keeps the whole
+    path value-hash reproducible in the oracle.
+
+    100 TB shape: pair cost ∝ bucket collisions (bounded per task by
+    ``max_bucket_size`` block-pair decomposition), closure cost ∝ |pairs| ×
+    O(log diameter) rounds, final assembly one left join on the id. Nothing
+    collects to the driver.
+    """
+    from database_anonymiser_spark.operators.graph import connected_components
+
+    pairs = cosine_lsh_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        rows_per_band=rows_per_band,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -106,11 +106,14 @@ def sim_topk_bruteforce(spark, sf_dir):
     return exact.unionByName(int8)
 
 
-def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
+def _cosine_lsh_pair_ctes(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
     """Reproduce cosine_lsh_pairs' full construction in ANSI SQL: the
     integer-quantized hyperplane sign bits, the banding, the candidate join,
     and the exact-decimal cosine verification — so even the LSH blocking is
-    value-hash checked (the same precedent as the dedup_minhash oracle)."""
+    value-hash checked (the same precedent as the dedup_minhash oracle).
+    Returns the CTE chain (starting with ``WITH``, ending with ``scored`` =
+    the thresholded pairs) so both sim_cosine_pairs and the dedup_semantic
+    closure build on the identical pair set."""
     planes = SIM.int_planes(dim, n_planes)
     dots = ",\n             ".join(
         f"sum(CAST(x AS DECIMAL(18,6)) * ({planes[p]})[i]) AS d{p}"
@@ -154,10 +157,18 @@ def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band
       JOIN v a ON a.vec_id = c.id_a
       JOIN v b ON b.vec_id = c.id_b AND b.i = a.i
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
-    FROM pd JOIN nsq na ON pd.id_a = na.vec_id JOIN nsq nb ON pd.id_b = nb.vec_id
-    WHERE round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= {threshold}
+    ),
+    scored AS (
+      SELECT id_a, id_b, round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
+      FROM pd JOIN nsq na ON pd.id_a = na.vec_id JOIN nsq nb ON pd.id_b = nb.vec_id
+      WHERE round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= {threshold}
+    )"""
+
+
+def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
+    return f"""
+    {_cosine_lsh_pair_ctes(threshold, n_planes, rows_per_band, dim)}
+    SELECT id_a, id_b, cosine FROM scored
     """
 
 
@@ -175,6 +186,46 @@ def sim_cosine_pairs(spark, sf_dir):
     tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
     emb = load(spark, sf_dir, "embeddings")
     return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
+
+
+def _semantic_dedup_oracle() -> str:
+    """dedup_semantic = the sim_cosine_pairs pair set (identical CTEs) +
+    a recursive-CTE transitive closure + the per-vector survivor verdict —
+    the same closure-check precedent as dedup_jaccard's 'cluster' variant."""
+    ctes = _cosine_lsh_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {ctes},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored
+      UNION ALL
+      SELECT id_b, id_a FROM scored
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(lab.cluster_id, e.vec_id) AS cluster_id,
+           coalesce(lab.cluster_id, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
+    """
+
+
+@register("dedup_semantic", _semantic_dedup_oracle(), tags=("similarity", "dedup", "graph"))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding column (the 6th
+    dedup family — duplicates n-gram operators cannot see): hyperplane-LSH
+    cosine pairs at 0.5 → connected components → one row per vector with
+    its duplicate-cluster id and the canonical-survivor verdict
+    (operators/similarity.py::semantic_dedup). The oracle rebuilds the
+    identical pair set (shared CTE generator with sim_cosine_pairs) and
+    closes it with a recursive CTE, so the composed pipeline — LSH
+    blocking, exact-decimal verify, distributed min-label closure, survivor
+    assembly — is value-hash checked end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
 
 
 #: query ids for the packed bulk-kNN branch of sim_topk_ann

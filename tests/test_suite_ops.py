@@ -1150,3 +1150,28 @@ def test_minhash_survives_sub_shingle_docs(spark):
     pairs = D.minhash_lsh_pairs(df, "doc_id", "text", 3, threshold=0.2).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(3, 4)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_semantic_dedup_invariants(emb):
+    """semantic_dedup: one row per input vector; cluster ids are member
+    minima; exactly one survivor (the min id) per cluster; every LSH pair
+    above threshold lands in one cluster — the invariants the recursive-CTE
+    oracle checks cross-engine, pinned here against the operator directly.
+    Threshold 0.4: the declared entry uses 0.5 (the sf0.01 gate has pairs
+    there), but at this fixture's SF the 0.5 pair set is empty — 0.4 forms
+    ~30 pairs so the closure invariants are exercised on real clusters."""
+    out = SIM.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4).collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["vec_id"] for m in members)
+        assert cid == ids[0], "cluster id must be the minimum member id"
+        kept = [m["vec_id"] for m in members if m["kept"]]
+        assert kept == [ids[0]], "exactly the min-id member survives"
+    pairs = SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    label = {r["vec_id"]: r["cluster_id"] for r in out}
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]], "paired vectors share a cluster"
+    assert any(len(m) > 1 for m in by_cluster.values()), "fixture forms real clusters"
