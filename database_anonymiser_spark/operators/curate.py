@@ -49,6 +49,7 @@ def curate_corpus(
     min_quality: float = 0.0,
     allowed_langs: tuple[str, ...] | None = None,
     drop_repetitive: bool = False,
+    clf_cutoff: float | None = None,
     clean_lines: bool = False,
     drop_boilerplate: bool = False,
     dedup_lines_min_docs: int | None = None,
@@ -71,7 +72,9 @@ def curate_corpus(
     on the profile metrics; ``allowed_langs`` (None = keep all) gates on
     the n-gram language ID; ``drop_repetitive`` additionally rejects docs
     failing the Gopher-style repetition thresholds
-    (text.py::REPETITION_THRESHOLDS). Exact dedup keeps the minimum id per
+    (text.py::REPETITION_THRESHOLDS); ``clf_cutoff`` (None = off) adds the
+    model-based gate — text.py::quality_classifier score ≥ cutoff — after
+    the heuristic gates, CCNet-style. Exact dedup keeps the minimum id per
     fingerprint; near dedup keeps the minimum id per duplicate CLUSTER
     (transitive closure of LSH pairs, so chains collapse to one doc).
     ``decontam_n=None`` skips decontamination; otherwise every TRAIN doc
@@ -116,6 +119,18 @@ def curate_corpus(
     kept = kept.select(
         id_col, text_col, source_col, "n_tokens", "quality_score", "lang_pred", "fingerprint"
     )
+
+    if clf_cutoff is not None:
+        # model-based quality gate (text.py::quality_classifier — the
+        # fixed-weight linear twin of the trained fastText filters): same
+        # map-side shape as the heuristic gates, one more projection on
+        # the same scan
+        keep_cols = tuple(c for c in kept.columns if c != id_col)
+        kept = (
+            TX.quality_classifier(kept, id_col, text_col, keep=keep_cols, cutoff=clf_cutoff)
+            .where(F.col("qc_keep"))
+            .drop("qc_score", "qc_keep")
+        )
 
     if drop_repetitive:
         # Gopher-style repetition gate (text.py::repetition_profile) — still

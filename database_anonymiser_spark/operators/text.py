@@ -678,3 +678,79 @@ def c4_clean(
         cleaned.alias("c4_text"),
         *[F.col(x) for x in keep],
     )
+
+
+#: Linear quality-classifier weights, integer micro-units. Fixed, public,
+#: in-source — the classifier is a deterministic stand-in for the
+#: fastText/logistic quality filters the published pipelines train
+#: (CCNet Wenzek et al. 2019; LLaMA's Wikipedia-reference classifier):
+#: same feature set and decision shape, reproducible weights instead of
+#: an opaque model binary. Score = Σ wᵢ·featᵢ(micro) / 1e7 ∈ ~[-0.5, 0.7];
+#: downstream thresholding is order-equivalent to the sigmoid the trained
+#: models apply (monotone transform), so no transcendental enters the path.
+QUALITY_CLF = {
+    "len_sat": 2,        # × min(n_tokens·1000, 1e6): longer docs, saturating at 1000 tokens
+    "punct": -1,         # × punct_micro: punctuation-dense pages penalized
+    "stop": 3,           # × min(stop_micro·5, 1e6): stopword presence marks natural prose
+    "len_dev": -1,       # × min(|avglen_micro − 5e6|, 5e6)·1/5: odd token lengths penalized
+    "is_en": 1,          # × 1e6 when the marker-lexicon argmax is 'en'
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep: tuple[str, ...] = (),
+    cutoff: float = 0.2,
+) -> DataFrame:
+    """Deterministic linear quality classifier — the model-based document
+    filter of the published curation pipelines (CCNet's fastText LM filter,
+    the LLaMA Wikipedia-reference classifier), rendered as a fixed-weight
+    linear model over the engine's deterministic profile features so the
+    whole path is value-hash reproducible cross-engine (no model binary, no
+    transcendentals: integer micro-arithmetic + one exact constant divide).
+
+    Output: (id, qc_score DOUBLE, qc_keep BOOLEAN[, keep...]) — qc_score is
+    the raw linear score (monotone in the sigmoid the trained twins emit),
+    qc_keep = qc_score >= cutoff.
+
+    100 TB shape: one map-side projection over the scan, zero shuffles,
+    whole-stage codegen end to end — composes into curate_corpus's single
+    profiling pass.
+    """
+    from database_anonymiser_spark.operators.dedup import tokens
+
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(text_col)).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("long")
+    n_stop = F.regexp_count(t, F.lit(STOPWORD_PATTERN)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    punct_micro = _micro_half_up(n_punct, n_chars)
+    stop_micro = _micro_half_up(n_stop, n_tokens)
+    avglen_micro = _micro_half_up(n_nonspace, n_tokens)
+    lang_counts = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*lang_counts.values())
+    is_en = ((best > 0) & (lang_counts["en"] == best)).cast("long")
+    w = QUALITY_CLF
+    logit_micro = (
+        F.lit(w["len_sat"]) * F.least(n_tokens * F.lit(1000), F.lit(1_000_000))
+        + F.lit(w["punct"]) * punct_micro
+        + F.lit(w["stop"]) * F.least(stop_micro * F.lit(5), F.lit(1_000_000))
+        + F.lit(w["len_dev"])
+        * F.floor(
+            F.least(
+                F.abs(avglen_micro - F.lit(5_000_000)), F.lit(5_000_000)
+            )
+            / F.lit(5)
+        ).cast("long")
+        + F.lit(w["is_en"]) * is_en * F.lit(1_000_000)
+    )
+    score = (logit_micro / F.lit(10_000_000.0)).alias("qc_score")
+    return df.select(
+        F.col(id_col),
+        score,
+        (logit_micro >= F.lit(int(cutoff * 10_000_000))).alias("qc_keep"),
+        *[F.col(c) for c in keep],
+    )

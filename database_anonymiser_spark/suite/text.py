@@ -234,3 +234,66 @@ def text_tfidf(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return tfidf(docs, "doc_id", "text")
+
+
+def _quality_clf_oracle(cutoff: float = 0.2) -> str:
+    """DuckDB twin of operators/text.py::quality_classifier: identical
+    integer micro-features, identical fixed weights, one exact constant
+    divide — the score doubles are bit-identical cross-engine."""
+    w = TX.QUALITY_CLF
+    lang_counts = ",\n             ".join(
+        rf"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{lang}"
+        for lang, pat in TX.LANG_MARKERS.items()
+    )
+    langs = ", ".join(f"n_{lang}" for lang in TX.LANG_MARKERS)
+    return rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             {lang_counts}
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens, {langs},
+             greatest({langs}) AS best,
+             CASE WHEN n_chars > 0
+                  THEN (2 * n_punct * 1000000 + n_chars) // (2 * n_chars)
+                  ELSE 0 END AS punct_micro,
+             CASE WHEN n_tokens > 0
+                  THEN (2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens)
+                  ELSE 0 END AS stop_micro,
+             CASE WHEN n_tokens > 0
+                  THEN (2 * n_nonspace * 1000000 + n_tokens) // (2 * n_tokens)
+                  ELSE 0 END AS avglen_micro
+      FROM m
+    ), s AS (
+      SELECT doc_id,
+             ({w["len_sat"]} * least(n_tokens * 1000, 1000000)
+              + ({w["punct"]}) * punct_micro
+              + {w["stop"]} * least(stop_micro * 5, 1000000)
+              + ({w["len_dev"]}) * (least(abs(avglen_micro - 5000000), 5000000) // 5)
+              + {w["is_en"]} * (CASE WHEN best > 0 AND n_en = best THEN 1 ELSE 0 END) * 1000000
+             ) AS logit_micro
+      FROM r
+    )
+    SELECT doc_id,
+           logit_micro / 10000000.0 AS qc_score,
+           logit_micro >= {int(cutoff * 10_000_000)} AS qc_keep
+    FROM s
+    """
+
+
+@register("text_quality_clf", _quality_clf_oracle(), tags=("text",))
+def text_quality_clf(spark, sf_dir):
+    """Model-based quality filtering (operators/text.py::quality_classifier):
+    the fixed-weight linear twin of the fastText/logistic quality filters the
+    published pipelines train (CCNet, LLaMA's Wikipedia-reference filter) —
+    saturating length, punctuation density, stopword prevalence, token-length
+    deviation, and an English-argmax bonus, all in exact integer
+    micro-arithmetic. One map-side projection, zero shuffles; the oracle
+    recomputes every feature AND the weighted sum, so scores hash bit-equal."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.quality_classifier(docs, "doc_id", "text")

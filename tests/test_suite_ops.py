@@ -1175,3 +1175,43 @@ def test_semantic_dedup_invariants(emb):
     for p in pairs:
         assert label[p["id_a"]] == label[p["id_b"]], "paired vectors share a cluster"
     assert any(len(m) > 1 for m in by_cluster.values()), "fixture forms real clusters"
+
+
+def test_quality_classifier_python_twin(docs):
+    """quality_classifier == the plain-Python rendition of the same fixed
+    weights on a corpus sample (exact equality — integer micro-arithmetic
+    plus one constant divide on both sides)."""
+    import re
+
+    from database_anonymiser_spark.operators import text as TX
+
+    sample = docs.limit(60)
+    got = {
+        r["doc_id"]: (r["qc_score"], r["qc_keep"])
+        for r in TX.quality_classifier(sample, "doc_id", "text").collect()
+    }
+
+    def micro(num, den):
+        return (2 * num * 1_000_000 + den) // (2 * den) if den > 0 else 0
+
+    w = TX.QUALITY_CLF
+    for r in sample.collect():
+        t = r["text"]
+        toks = re.split(r"\s+", t.strip())
+        n_tokens, n_chars = len(toks), len(t)
+        n_punct = len(re.findall(r"[.,!?;:]", t))
+        n_stop = len(re.findall(r"\b(?:the|a|of|and|is|to|in)\b", t))
+        n_nonspace = len(re.sub(r"\s+", "", t))
+        counts = {
+            lang: len(re.findall(pat, t)) for lang, pat in TX.LANG_MARKERS.items()
+        }
+        best = max(counts.values())
+        is_en = 1 if best > 0 and counts["en"] == best else 0
+        logit = (
+            w["len_sat"] * min(n_tokens * 1000, 1_000_000)
+            + w["punct"] * micro(n_punct, n_chars)
+            + w["stop"] * min(micro(n_stop, n_tokens) * 5, 1_000_000)
+            + w["len_dev"] * (min(abs(micro(n_nonspace, n_tokens) - 5_000_000), 5_000_000) // 5)
+            + w["is_en"] * is_en * 1_000_000
+        )
+        assert got[r["doc_id"]] == (logit / 10_000_000.0, logit >= 2_000_000)
