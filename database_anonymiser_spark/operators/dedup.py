@@ -437,3 +437,92 @@ def line_dedup(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the substring-granularity
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr): memorizable text repeats as long
+    verbatim spans EMBEDDED in otherwise-distinct documents, which
+    doc-level and line-level dedup both miss. Reference scope: no
+    counterpart in the reference engine (SURVEY.md §2 training-pipeline
+    extension).
+
+    Suffix arrays don't distribute; the standard scalable rendering is the
+    windowed one: every k-token sliding window is hashed (md5 → 60-bit
+    int, the engine's shingle-hash construction), a window whose hash
+    occurs in ≥ ``min_docs`` distinct documents is a duplicated span seed,
+    and per document the seeds' (start-position-sorted, overlap-merged)
+    interval cover counts how many tokens sit inside duplicated spans.
+
+    Output, one row per input document:
+    (id, n_windows, n_dup_windows, dup_tokens, dup_frac) — dup_frac is the
+    exact micro-half-up ratio dup_tokens / n_tokens (same integer
+    construction as the text-profile ratios, bit-equal cross-engine).
+
+    100 TB shape: the window explode is linear in corpus tokens (the same
+    cost class as every n-gram operator here); the hash groupBy produces
+    one row per DISTINCT window, the ≥min_docs filter keeps the hot set
+    tiny, and the seed join back is inverted-index-shaped (cost ∝ dup
+    occurrences, never |docs|²). The interval merge is one lag window per
+    doc over seed positions only. No driver collect anywhere.
+    """
+    tok_df = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    win = F.when(
+        F.size("_t") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_t) - {k - 1}), i -> "
+            f"cast(conv(substring(md5(array_join(slice(_t, i, {k}), ' ')), 1, 15), 16, 10) as bigint))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = tok_df.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("_n_tokens"),
+        win.alias("_w"),
+    )
+    exploded = base.select(
+        F.col(id_col), F.posexplode("_w").alias("pos", "whash")
+    )
+    hot = (
+        exploded.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("whash")
+    )
+    seeds = exploded.join(hot, "whash").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = seeds.select(
+        F.col(id_col),
+        F.least(
+            F.lit(k), F.col("pos") - F.coalesce(F.lag("pos").over(w), F.col("pos") - k)
+        ).alias("_c"),
+    )
+    per_doc = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("_c").alias("dup_tokens"),
+    )
+    from database_anonymiser_spark.operators.text import _micro_half_up
+
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.greatest(F.size("_w").cast("long"), F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                _micro_half_up(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long"), F.col("_n_tokens")
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_frac"),
+        )
+    )

@@ -323,3 +323,61 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(docs, "doc_id", "text")
 
 
+
+
+_SPAN_K = 5
+
+
+@register(
+    "dedup_spans",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {_SPAN_K} + 2, 1))) AS p
+      FROM tok
+    ),
+    w AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(array_to_string(toks[p : p + {_SPAN_K} - 1], ' ')), 1, 15))::BIGINT AS whash
+      FROM pos
+    ),
+    hot AS (
+      SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+    ),
+    seeds AS (SELECT w.doc_id, w.p FROM w JOIN hot USING (whash)),
+    cov AS (
+      SELECT doc_id,
+             least({_SPAN_K}, p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), p - {_SPAN_K})) AS c
+      FROM seeds
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(c) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(toks) - {_SPAN_K} + 1, 0) AS BIGINT) AS n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           (CASE WHEN len(toks) > 0 THEN
+              (2 * coalesce(dup_tokens, 0) * 1000000 + len(toks)) // (2 * len(toks))
+            ELSE 0 END) / 1000000.0 AS dup_frac
+    FROM tok t LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_spans(spark, sf_dir):
+    """Cross-document duplicated-SPAN detection (the substring granularity
+    between line dedup and document dedup — Lee et al. 2021 ExactSubstr,
+    windowed rendering): every 5-token sliding window is hashed; windows
+    occurring in ≥2 distinct documents seed duplicated spans; per document
+    the overlap-merged seed cover yields (n_dup_windows, dup_tokens,
+    dup_frac). The oracle replays the identical window-hash construction,
+    the ≥2-docs filter, and the lag-based interval merge, so the whole
+    inverted-index path is value-hash checked (operators/dedup.py::dup_spans)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.dup_spans(docs, "doc_id", "text", k=_SPAN_K, min_docs=2)

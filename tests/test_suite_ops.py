@@ -1215,3 +1215,27 @@ def test_quality_classifier_python_twin(docs):
             + w["is_en"] * is_en * 1_000_000
         )
         assert got[r["doc_id"]] == (logit / 10_000_000.0, logit >= 2_000_000)
+
+
+def test_dup_spans_interval_merge(spark):
+    """dup_spans on a constructed corpus: a 7-token span shared by two docs
+    (embedded at different offsets, unique elsewhere) yields 3 seed windows
+    (k=5) whose overlap-merged cover is exactly 7 tokens in each doc; a
+    third doc with no shared span reports zeros."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"u1 u2 u3 {shared} v1 v2"),
+        (2, f"w1 {shared} x1 x2 x3 x4"),
+        (3, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from database_anonymiser_spark.operators import dedup as D
+
+    out = {r["doc_id"]: r for r in D.dup_spans(df, "doc_id", "text", k=5).collect()}
+    for doc in (1, 2):
+        assert out[doc]["n_dup_windows"] == 3  # 7-token span -> 3 five-grams
+        assert out[doc]["dup_tokens"] == 7     # merged cover, not 3*5
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["n_windows"] == 6
+    # doc 1: 12 tokens, 7 duplicated -> micro-half-up(7/12)
+    assert out[1]["dup_frac"] == ((2 * 7 * 1_000_000 + 12) // 24) / 1_000_000.0
