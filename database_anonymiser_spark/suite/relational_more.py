@@ -210,3 +210,136 @@ def tpch_q4(spark, sf_dir):
     )
 
 
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+
+
+@register(
+    "tpch_q2",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("sql", "join"),
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar-MIN
+    subquery over the fact table + a star join on the winners. (The fixture
+    has no partsupp — TESTDATA.md — so the correlated min is
+    min(l_extendedprice) per part over lineitem; the decorrelation shape is
+    identical.) The DataFrame side runs the decorrelated plan Catalyst
+    itself would produce — a per-key min aggregate joined back on
+    (partkey, price) — and the oracle keeps the correlated formulation, so
+    the entry pins the decorrelation equivalence cross-engine.
+
+    Scale: the min-aggregate is partial (map-side combine) before one
+    shuffle on l_partkey; the winners join is keyed on the same partkey
+    partitioning; supplier/nation broadcast. No correlated per-row
+    execution anywhere.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    li = load(spark, sf_dir, "lineitem")
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    winners = li.join(minp, "l_partkey").where(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .join(s, winners.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
+    )
+
+
+@register(
+    "tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, {dsum_sql(_REV_SQL, 6)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("sql", "join", "agg"),
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): quarter-windowed orders joined
+    to returned lineitems, revenue per customer, top 20.
+
+    Scale: the date filter prunes orders at the scan and the returnflag
+    filter prunes lineitem; the revenue aggregate is exact-decimal (order-
+    independent across partitionings); the top-20 is TakeOrderedAndProject
+    with an explicit c_custkey tiebreak so the cut is deterministic.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q22_SQL = """
+    SELECT CAST(c_nationkey % 5 AS STRING) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY CAST(c_nationkey % 5 AS STRING)
+"""
+
+
+@register("tpch_q22", _Q22_SQL, tags=("sql", "agg"))
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global-opportunity): uncorrelated scalar-AVG
+    subquery + NOT EXISTS anti join + grouped count/sum. Adapted to the
+    fixture: cntrycode is a nationkey bucket (no c_phone column), and the
+    anti join is scoped to recent orders (>= 2000-01-01) because every
+    fixture customer has SOME order — the unscoped NOT EXISTS would be
+    vacuously empty (the failure mode the harness' empty-result guard
+    exists to catch). The average divides an exact-decimal sum by the
+    count, so the threshold double is partition-order independent.
+
+    Same SQL text runs on both engines (the sql_cte_scalar precedent):
+    Spark plans the scalar subquery as a one-row subquery reuse, the NOT
+    EXISTS as a left-anti join — no correlated per-row execution.
+    """
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
