@@ -57,6 +57,9 @@ class _FileEntry:
     path: str  # relative to table root
     key_min: object | None
     key_max: object | None
+    #: optional per-column footer [min, max] for extra skipping columns
+    #: (populated by optimize_zorder for its clustering columns)
+    stats: dict | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -98,17 +101,27 @@ def _footer_key_stats(file_path: Path, key_col: str | None):
 
 
 def _write_data_files(
-    df: DataFrame, root: Path, key_col: str | None
+    df: DataFrame,
+    root: Path,
+    key_col: str | None,
+    stats_cols: tuple[str, ...] = (),
 ) -> list[_FileEntry]:
     """Write df as parquet under data/<uuid>/ and return entries with
-    footer key stats. Files are INVISIBLE until a commit references them."""
+    footer key stats (plus per-column stats for ``stats_cols``). Files are
+    INVISIBLE until a commit references them."""
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     out = root / sub
     df.write.mode("error").parquet(str(out))
     entries = []
     for p in sorted(out.rglob("*.parquet")):
         lo, hi = _footer_key_stats(p, key_col)
-        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi))
+        stats = None
+        if stats_cols:
+            stats = {}
+            for c in stats_cols:
+                clo, chi = _footer_key_stats(p, c)
+                stats[c] = [clo, chi]
+        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi, stats))
     return entries
 
 
@@ -120,7 +133,12 @@ def _commit(root: Path, version: int, adds, removes, key_col, op: str) -> None:
             "op": op,
             "key_col": key_col,
             "adds": [
-                {"path": e.path, "key_min": e.key_min, "key_max": e.key_max}
+                {
+                    "path": e.path,
+                    "key_min": e.key_min,
+                    "key_max": e.key_max,
+                    **({"stats": e.stats} if e.stats else {}),
+                }
                 for e in adds
             ],
             "removes": list(removes),
@@ -139,6 +157,35 @@ def _commit(root: Path, version: int, adds, removes, key_col, op: str) -> None:
         ) from exc
     finally:
         tmp.unlink(missing_ok=True)
+
+
+_Z_BITS = 16
+
+
+def _zorder_expr(cols: tuple[str, ...], bounds: dict) -> F.Column:
+    """BIGINT z-value: each column min-max normalized onto a 16-bit grid,
+    bits interleaved (column j contributes bit i to output bit i*m + j).
+    Constant/None-bounded columns contribute grid 0 (no discrimination —
+    harmless). All integer bitwise ops, whole-stage codegen'd."""
+    m = len(cols)
+    grids = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None or hi is None or hi == lo:
+            grids.append(F.lit(0).cast("long"))
+            continue
+        span = float(hi) - float(lo)
+        g = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(65535.0)
+        ).cast("long")
+        grids.append(F.least(F.greatest(g, F.lit(0)), F.lit(65535)))
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        for j, g in enumerate(grids):
+            z = z + F.shiftleft(
+                F.shiftright(g, i).bitwiseAND(F.lit(1)), i * m + j
+            ).cast("long")
+    return z
 
 
 class VersionedTable:
@@ -211,6 +258,44 @@ class VersionedTable:
         return self.spark.read.parquet(
             *[str(self.root / e["path"]) for e in entries]
         )
+
+    def files_matching(self, predicates: dict[str, tuple]) -> list[dict]:
+        """Live files whose recorded stats can satisfy ``{col: (lo, hi)}``
+        range predicates — driver-side metadata arithmetic, no data scan.
+        A file without stats for a predicate column is kept (must-scan);
+        the key column's commit-level [key_min, key_max] serves as its
+        stats. This is Delta's data-skipping read path over the same
+        per-file min/max the z-order OPTIMIZE records."""
+        out = []
+        for e in self._live_entries():
+            keep = True
+            for col, (lo, hi) in predicates.items():
+                if col == self._key_col and e.get("key_min") is not None:
+                    clo, chi = e["key_min"], e["key_max"]
+                elif e.get("stats", {}).get(col, [None, None])[0] is not None:
+                    clo, chi = e["stats"][col]
+                else:
+                    continue  # no stats for this column -> cannot prune
+                if chi < lo or clo > hi:
+                    keep = False
+                    break
+            if keep:
+                out.append(e)
+        return out
+
+    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
+        """Snapshot read with file skipping: prune files via
+        :meth:`files_matching`, then apply the same range predicates as
+        real filters (row-group pushdown handles the residual within the
+        surviving files). Empty survivor set → empty frame with the table
+        schema."""
+        entries = self.files_matching(predicates)
+        if not entries:
+            return self.snapshot().limit(0).where(F.lit(False))
+        df = self.spark.read.parquet(*[str(self.root / e["path"]) for e in entries])
+        for col, (lo, hi) in predicates.items():
+            df = df.where(F.col(col).between(lo, hi))
+        return df
 
     # ----------------------------------------------------------- write
 
@@ -314,6 +399,50 @@ class VersionedTable:
             [e["path"] for e in touched],
             key_col,
             op=f"merge_{when_matched}",
+        )
+        return v + 1
+
+    def optimize_zorder(self, cols: tuple[str, ...], file_count: int = 8) -> int:
+        """Rewrite the live data clustered by the Z-ORDER (bit-interleaved)
+        key of ``cols`` — Delta/Iceberg's multi-dimensional OPTIMIZE: after
+        clustering, a range predicate on ANY of the columns maps to a
+        contiguous-ish band of the z-curve, so per-file [min, max] stats
+        (recorded in the commit for every clustering column) prune files
+        for every dimension, not just the first sort column.
+
+        Mechanics: one tiny bounds aggregate (per-column min/max — a 1-row
+        driver read, same class as MERGE's source-bounds aggregate), each
+        column normalized to a 16-bit grid, bits interleaved into one
+        BIGINT (≤4 columns), then ``repartitionByRange`` on the z-key into
+        ``file_count`` files sorted within. Pure metadata + one clustered
+        rewrite; the row set is unchanged (op commits as
+        'optimize_zorder', removing every prior live file by reference).
+
+        100 TB shape: the rewrite is one range-shuffle of the table — the
+        price Delta's OPTIMIZE ZORDER pays too, amortized over every
+        subsequent pruned read; at scale run it per partition/epoch rather
+        than whole-table.
+        """
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("z-order needs 1-4 columns")
+        key_col = self.key_col()
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        df = self.snapshot(v)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        b = df.agg(*aggs).first()
+        z = _zorder_expr(cols, {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in cols})
+        clustered = df.repartitionByRange(file_count, z).sortWithinPartitions(z)
+        new_files = _write_data_files(clustered, self.root, key_col, stats_cols=cols)
+        _commit(
+            self.root,
+            v + 1,
+            new_files,
+            [e["path"] for e in entries],
+            key_col,
+            op="optimize_zorder",
         )
         return v + 1
 

@@ -134,3 +134,48 @@ def test_log_is_json_per_version(table):
     # commit files are well-formed standalone JSON (no partial writes)
     raw = (table.root / "_log" / "00000000.json").read_text()
     assert json.loads(raw)["version"] == 0
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-ORDER OPTIMIZE: (1) the rewrite preserves the row set; (2) a box
+    predicate prunes files via the recorded per-column stats; (3) unlike a
+    LINEAR sort by x (which spreads every y range across all files), the
+    z-layout also prunes on y alone; (4) read_where returns exactly the
+    filtered rows."""
+    grid = [(x, y, x * 100 + y) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(grid, "x int, y int, payload long")
+
+    t = VersionedTable.create(spark, tmp_path / "z", df, key_col="payload")
+    v = t.optimize_zorder(("x", "y"), file_count=16)
+    assert t.latest_version() == v
+    assert _rows(t.snapshot()) == _rows(df)
+
+    total = len(t._live_entries())
+    assert total >= 8  # the rewrite actually produced a multi-file layout
+
+    box = {"x": (0, 9), "y": (0, 9)}
+    box_files = t.files_matching(box)
+    assert len(box_files) < total / 2  # quarter-box -> small corner of the curve
+    assert _rows(t.read_where(box)) == _rows(
+        df.where((F.col("x") <= 9) & (F.col("y") <= 9))
+    )
+
+    y_only = {"y": (0, 4)}
+    assert len(t.files_matching(y_only)) < total  # second dim prunes too
+
+    # control: linear x-sorted layout cannot prune on y (every file spans
+    # the full y range) — the property z-ordering exists to fix
+    lin = VersionedTable.create(
+        spark,
+        tmp_path / "lin",
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        key_col="x",
+    )
+    lv = lin.optimize_zorder(("x",), file_count=16)  # records x stats only
+    assert lin.latest_version() == lv
+    y_cannot_prune = lin.files_matching({"y": (0, 4)})
+    assert len(y_cannot_prune) == len(lin._live_entries())
+
+    # the optimize commit is a full copy-on-write: every pre-optimize file
+    # removed by reference, history intact for time travel
+    assert _rows(t.snapshot(version=0)) == _rows(df)
