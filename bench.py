@@ -38,7 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # one query — its timing is not comparable 1:1 with round 1's backward-only.
 # Round 5 adds curate_corpus_full (~9-10s at sf0.1: the 9-stage composed
 # pipeline end to end), so the TOTAL is not comparable 1:1 with r4's 19-query
-# total; compare per-query.
+# total; compare per-query. Round 5 also adds the three new pipeline
+# operators (dedup_spans, dedup_semantic, text_quality_clf) — same caveat.
 #: repetitions per timed job; the reported number is the minimum
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -57,6 +58,9 @@ HEADLINE = [
     "stream_session",
     "dedup_minhash",
     "dedup_exact",
+    "dedup_spans",
+    "dedup_semantic",
+    "text_quality_clf",
     "sim_topk_bruteforce",
     "sim_cosine_pairs",
     "text_profile",

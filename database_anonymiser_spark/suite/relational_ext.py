@@ -453,3 +453,79 @@ def pandas_grouped_norm(spark, sf_dir):
     return o.groupBy("o_custkey").applyInPandas(
         norm, "o_orderkey long, o_custkey long, price_norm double"
     )
+
+
+def _bloom_oracle(m_bits: int = 1 << 16, k: int = 4) -> str:
+    """Replay the bloom construction in set form: the bitmap's bit b is set
+    iff some build key hashes to b, so membership-against-bitmap ≡
+    membership-in-the-distinct-position-set — false positives (distinct
+    keys colliding on all k positions) reproduce exactly because the md5
+    hash family is identical."""
+    hash_sql = (
+        "(('0x' || substr(md5('bloom' || i || ':' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {m_bits})"
+    )
+    return f"""
+    WITH ks AS (SELECT unnest(range(0, {k})) AS i),
+    bld AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+    ),
+    bpos AS (
+      SELECT DISTINCT {hash_sql.format(key='o_orderkey')} AS p
+      FROM bld, ks
+    ),
+    ppos AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+             {hash_sql.format(key='l.l_orderkey')} AS p
+      FROM lineitem l, ks
+    ),
+    miss AS (
+      SELECT DISTINCT l_orderkey, l_linenumber
+      FROM ppos WHERE NOT EXISTS (SELECT 1 FROM bpos WHERE bpos.p = ppos.p)
+    ),
+    passed AS (
+      SELECT l.l_returnflag
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM miss m
+                        WHERE m.l_orderkey = l.l_orderkey
+                          AND m.l_linenumber = l.l_linenumber)
+    ),
+    b AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS bloom_rows
+          FROM passed GROUP BY l_returnflag),
+    e AS (SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS exact_rows
+          FROM lineitem l JOIN bld ON l.l_orderkey = bld.o_orderkey
+          GROUP BY l.l_returnflag)
+    SELECT b.l_returnflag, b.bloom_rows, e.exact_rows
+    FROM b JOIN e ON b.l_returnflag = e.l_returnflag
+    """
+
+
+@register("join_bloom", _bloom_oracle(), tags=("join", "scale"))
+def join_bloom(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/bloom.py): the broadcast
+    runtime-filter shape made explicit — high-value orders' keys compress
+    to an 8 KB bitmap literal; lineitem is reduced MAP-SIDE (the plan is
+    Scan → codegen Filter, zero shuffle of the probe side — the property
+    the 100 TB fact-reduction case needs). Output: per returnflag the
+    bloom-passed row count alongside the exact semi-join count, so the
+    (tiny, deterministic) false-positive overhead is itself value-hash
+    checked — the oracle replays the identical md5 hash family over the
+    position set, reproducing every false positive."""
+    from database_anonymiser_spark.operators.bloom import bloom_semi_join
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    li = load(spark, sf_dir, "lineitem")
+    passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
+    bloom_agg = passed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("bloom_rows")
+    )
+    exact_agg = (
+        li.join(
+            orders.select("o_orderkey").distinct(),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return bloom_agg.join(exact_agg, "l_returnflag")

@@ -1239,3 +1239,47 @@ def test_dup_spans_interval_merge(spark):
     assert out[3]["n_windows"] == 6
     # doc 1: 12 tokens, 7 duplicated -> micro-half-up(7/12)
     assert out[1]["dup_frac"] == ((2 * 7 * 1_000_000 + 12) // 24) / 1_000_000.0
+
+
+def test_bloom_semi_join_properties(spark, sf_dir):
+    """bloom_semi_join: (1) NO false negatives ever — every exact semi-join
+    row passes the filter; (2) the false-positive rate respects the
+    (1-e^{-kn/m})^k bound with slack; (3) NULL probe keys never pass (SQL
+    semi-join semantics); (4) the probe plan is scan+filter only — no
+    exchange (the property that makes it the 100 TB fact-reduction path)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators.bloom import (
+        K_HASHES,
+        M_BITS,
+        bloom_semi_join,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") == 1, F.col("l_orderkey")),  # some NULL keys
+    )
+    n_build = orders.select("o_orderkey").distinct().count()
+    passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
+    exact = li.join(
+        orders.select("o_orderkey").distinct(),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    n_probe, n_pass, n_exact = li.count(), passed.count(), exact.count()
+    assert (
+        passed.join(
+            exact.select("l_orderkey", "l_linenumber"),
+            ["l_orderkey", "l_linenumber"],
+            "left_semi",
+        ).count()
+        == n_exact
+    ), "bloom dropped a true match"
+    fpr_bound = (1 - math.exp(-K_HASHES * n_build / M_BITS)) ** K_HASHES
+    assert n_pass - n_exact <= max(20, 5 * fpr_bound * n_probe)
+    assert passed.where(F.col("l_orderkey").isNull()).count() == 0
+    assert "Exchange" not in passed._jdf.queryExecution().executedPlan().toString()
