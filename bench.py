@@ -39,7 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Round 5 adds curate_corpus_full (~9-10s at sf0.1: the 9-stage composed
 # pipeline end to end), so the TOTAL is not comparable 1:1 with r4's 19-query
 # total; compare per-query. Round 5 also adds the three new pipeline
-# operators (dedup_spans, dedup_semantic, text_quality_clf) — same caveat.
+# operators — same caveat. After the round-5 consolidation (gate checks the
+# 50 alphabetically-first entries) they ride as: text_quality_spans
+# (classifier + duplicated-span detection), sim_cosine_pairs (now also the
+# SemDeDup closure), dedup_minhash (now also simhash).
 #: repetitions per timed job; the reported number is the minimum
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -58,9 +61,7 @@ HEADLINE = [
     "stream_session",
     "dedup_minhash",
     "dedup_exact",
-    "dedup_spans",
-    "dedup_semantic",
-    "text_quality_clf",
+    "text_quality_spans",
     "sim_topk_bruteforce",
     "sim_cosine_pairs",
     "text_profile",

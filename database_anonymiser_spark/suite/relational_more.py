@@ -214,11 +214,10 @@ def tpch_q4(spark, sf_dir):
 
 _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
 
-
-@register(
-    "tpch_q2",
-    """
-    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, l.l_extendedprice AS min_price
+_Q2_SQL = """
+    SELECT 'q2' AS q, p.p_partkey AS k,
+           p.p_name || '|' || s.s_name || '|' || n.n_name AS name,
+           l.l_extendedprice AS val1, CAST(NULL AS DOUBLE) AS val2
     FROM part p
     JOIN lineitem l ON l.l_partkey = p.p_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -226,45 +225,12 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DE
     WHERE p.p_size <= 10
       AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
                                WHERE l2.l_partkey = p.p_partkey)
-    """,
-    tags=("sql", "join"),
-)
-def tpch_q2(spark, sf_dir):
-    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar-MIN
-    subquery over the fact table + a star join on the winners. (The fixture
-    has no partsupp — TESTDATA.md — so the correlated min is
-    min(l_extendedprice) per part over lineitem; the decorrelation shape is
-    identical.) The DataFrame side runs the decorrelated plan Catalyst
-    itself would produce — a per-key min aggregate joined back on
-    (partkey, price) — and the oracle keeps the correlated formulation, so
-    the entry pins the decorrelation equivalence cross-engine.
+"""
 
-    Scale: the min-aggregate is partial (map-side combine) before one
-    shuffle on l_partkey; the winners join is keyed on the same partkey
-    partitioning; supplier/nation broadcast. No correlated per-row
-    execution anywhere.
-    """
-    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    li = load(spark, sf_dir, "lineitem")
-    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
-    winners = li.join(minp, "l_partkey").where(
-        F.col("l_extendedprice") == F.col("min_price")
-    )
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    return (
-        winners.join(p, winners.l_partkey == p.p_partkey)
-        .join(s, winners.l_suppkey == s.s_suppkey)
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
-    )
-
-
-@register(
-    "tpch_q10",
-    f"""
-    SELECT c.c_custkey, c.c_name, {dsum_sql(_REV_SQL, 6)} AS revenue,
-           c.c_acctbal, n.n_name
+_Q10_SQL = f"""
+    SELECT 'q10' AS q, c.c_custkey AS k,
+           c.c_name || '|' || n.n_name AS name,
+           {dsum_sql(_REV_SQL, 6)} AS val1, c.c_acctbal AS val2
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -273,47 +239,15 @@ def tpch_q2(spark, sf_dir):
       AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
+    ORDER BY val1 DESC, c.c_custkey
     LIMIT 20
-    """,
-    tags=("sql", "join", "agg"),
-)
-def tpch_q10(spark, sf_dir):
-    """TPC-H Q10 (returned-item reporting): quarter-windowed orders joined
-    to returned lineitems, revenue per customer, top 20.
-
-    Scale: the date filter prunes orders at the scan and the returnflag
-    filter prunes lineitem; the revenue aggregate is exact-decimal (order-
-    independent across partitionings); the top-20 is TakeOrderedAndProject
-    with an explicit c_custkey tiebreak so the cut is deterministic.
-    """
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-    )
-    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    n = load(spark, sf_dir, "nation")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-    ).cast("decimal(18,6)")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
+"""
 
 _Q22_SQL = """
-    SELECT CAST(c_nationkey % 5 AS STRING) AS cntrycode,
-           count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    SELECT 'q22' AS q, count(*) AS k,
+           CAST(c_nationkey % 5 AS STRING) AS name,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS val1,
+           CAST(NULL AS DOUBLE) AS val2
     FROM customer c
     WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                               / count(*)
@@ -325,21 +259,92 @@ _Q22_SQL = """
 """
 
 
-@register("tpch_q22", _Q22_SQL, tags=("sql", "agg"))
-def tpch_q22(spark, sf_dir):
-    """TPC-H Q22 shape (global-opportunity): uncorrelated scalar-AVG
-    subquery + NOT EXISTS anti join + grouped count/sum. Adapted to the
-    fixture: cntrycode is a nationkey bucket (no c_phone column), and the
-    anti join is scoped to recent orders (>= 2000-01-01) because every
-    fixture customer has SOME order — the unscoped NOT EXISTS would be
-    vacuously empty (the failure mode the harness' empty-result guard
-    exists to catch). The average divides an exact-decimal sum by the
-    count, so the threshold double is partition-order independent.
+@register(
+    "tpch_q2_q10_q22",
+    f"""
+    SELECT * FROM ({_Q2_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q10_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q22_SQL})
+    """,
+    tags=("sql", "join", "agg"),
+)
+def tpch_q2_q10_q22(spark, sf_dir):
+    """TPC-H Q2 + Q10 + Q22 shapes, tagged and unioned onto one harmonized
+    schema (q, k, name, val1, val2) — packed because the driver's
+    correctness gate checks the 50 alphabetically-first entries (the same
+    constraint that drove the round-2 consolidation).
 
-    Same SQL text runs on both engines (the sql_cte_scalar precedent):
-    Spark plans the scalar subquery as a one-row subquery reuse, the NOT
-    EXISTS as a left-anti join — no correlated per-row execution.
+    - 'q2' (correlated scalar-MIN): min-price lineitem per part (the
+      fixture has no partsupp) star-joined to supplier/nation. The
+      DataFrame side runs the decorrelated plan Catalyst itself produces —
+      per-key min aggregate joined back on (partkey, price) — while the
+      oracle keeps the correlated formulation, pinning decorrelation
+      equivalence cross-engine. Map-side-combined min before one shuffle;
+      supplier/nation broadcast.
+    - 'q10' (returned-item reporting): quarter-windowed orders ⋈ returned
+      lineitems, exact-decimal revenue per customer, top-20 with an
+      explicit c_custkey tiebreak (TakeOrderedAndProject).
+    - 'q22' (global-opportunity): uncorrelated scalar-AVG threshold
+      (exact-decimal sum / count — partition-order independent) + NOT
+      EXISTS anti join, scoped to orders >= 2000-01-01 because every
+      fixture customer has SOME order (unscoped it is vacuously empty —
+      the failure mode the harness' empty-result guard catches). Runs as
+      the same SQL text through spark.sql (the sql_cte_scalar precedent):
+      scalar subquery = one-row subquery reuse, NOT EXISTS = left-anti.
     """
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    li = load(spark, sf_dir, "lineitem")
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    winners = li.join(minp, "l_partkey").where(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    q2 = (
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .join(s, winners.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.lit("q2").alias("q"),
+            F.col("p_partkey").alias("k"),
+            F.concat_ws("|", "p_name", "s_name", "n_name").alias("name"),
+            F.col("min_price").alias("val1"),
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    c = load(spark, sf_dir, "customer")
+    o10 = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li_r = li.where(F.col("l_returnflag") == "R")
+    n10 = load(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(18,6)")
+    q10 = (
+        c.join(o10, c.c_custkey == o10.o_custkey)
+        .join(li_r, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n10, c.c_nationkey == n10.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.lit("q10").alias("q"),
+            F.col("c_custkey").alias("k"),
+            F.concat_ws("|", "c_name", "n_name").alias("name"),
+            F.col("revenue").alias("val1"),
+            F.col("c_acctbal").alias("val2"),
+        )
+    )
+
     for t in ("customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q22_SQL)
+    q22 = spark.sql(_Q22_SQL)
+
+    return q2.unionByName(q10).unionByName(q22)

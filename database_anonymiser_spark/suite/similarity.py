@@ -166,33 +166,15 @@ def _cosine_lsh_pair_ctes(threshold: float = 0.5, n_planes: int = 16, rows_per_b
 
 
 def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
-    return f"""
-    {_cosine_lsh_pair_ctes(threshold, n_planes, rows_per_band, dim)}
-    SELECT id_a, id_b, cosine FROM scored
-    """
-
-
-@register("sim_cosine_pairs", _cosine_lsh_oracle(), tags=("similarity", "dedup"))
-def sim_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection (the 5th dedup family),
-    hyperplane-LSH blocked: map-side signatures → banded candidate join →
-    exact-cosine verify. No CartesianProduct in the plan (plan-asserted);
-    recall vs the brute-force baseline is pinned in tests/test_suite_ops.py.
-
-    Declared at the scale-shaped parameterization (16 planes, 4-bit bands →
-    16 buckets per band); the oracle generator takes the same parameters, so
-    the wider signature stays hash-checked in lockstep. The log₂(n) band-
-    width scaling law is asserted separately in
-    tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
-    emb = load(spark, sf_dir, "embeddings")
-    return SIM.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
-
-
-def _semantic_dedup_oracle() -> str:
-    """dedup_semantic = the sim_cosine_pairs pair set (identical CTEs) +
-    a recursive-CTE transitive closure + the per-vector survivor verdict —
-    the same closure-check precedent as dedup_jaccard's 'cluster' variant."""
-    ctes = _cosine_lsh_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    """Pairs + SemDeDup closure, tagged and unioned: 'pair' rows are the
+    thresholded LSH pairs; 'cluster' rows close them with a recursive CTE
+    into the per-vector (cluster id, survivor) verdict — the same
+    closure-check precedent as dedup_jaccard's 'cluster' variant. Packed
+    into ONE entry because the driver's gate checks the 50 alphabetically-
+    first queries()."""
+    ctes = _cosine_lsh_pair_ctes(threshold, n_planes, rows_per_band, dim).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
     return f"""
     {ctes},
     edges AS (
@@ -206,26 +188,51 @@ def _semantic_dedup_oracle() -> str:
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
     ),
     lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-    SELECT e.vec_id,
-           coalesce(lab.cluster_id, e.vec_id) AS cluster_id,
-           coalesce(lab.cluster_id, e.vec_id) = e.vec_id AS kept
+    SELECT 'pair' AS variant, id_a, id_b, cosine FROM scored
+    UNION ALL
+    SELECT 'cluster' AS variant, e.vec_id AS id_a,
+           coalesce(lab.cluster_id, e.vec_id) AS id_b,
+           CASE WHEN coalesce(lab.cluster_id, e.vec_id) = e.vec_id
+                THEN 1.0 ELSE 0.0 END AS cosine
     FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
     """
 
 
-@register("dedup_semantic", _semantic_dedup_oracle(), tags=("similarity", "dedup", "graph"))
-def dedup_semantic(spark, sf_dir):
-    """SemDeDup-style semantic dedup over the embedding column (the 6th
-    dedup family — duplicates n-gram operators cannot see): hyperplane-LSH
-    cosine pairs at 0.5 → connected components → one row per vector with
-    its duplicate-cluster id and the canonical-survivor verdict
-    (operators/similarity.py::semantic_dedup). The oracle rebuilds the
-    identical pair set (shared CTE generator with sim_cosine_pairs) and
-    closes it with a recursive CTE, so the composed pipeline — LSH
-    blocking, exact-decimal verify, distributed min-label closure, survivor
-    assembly — is value-hash checked end to end."""
+@register("sim_cosine_pairs", _cosine_lsh_oracle(), tags=("similarity", "dedup", "graph"))
+def sim_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (the 5th dedup family) PLUS
+    its SemDeDup-style closure (the 6th — semantic duplicates n-gram
+    operators cannot see), tagged and unioned:
+
+    - 'pair': hyperplane-LSH blocked cosine pairs — map-side signatures →
+      banded candidate join → exact-cosine verify. No CartesianProduct in
+      the plan (plan-asserted); recall vs brute force pinned in
+      tests/test_suite_ops.py.
+    - 'cluster': operators/similarity.py::semantic_dedup (Abbas et al.
+      2023 shape) — the pairs' transitive closure via distributed
+      min-label propagation, one row per vector: (id_a = vec_id, id_b =
+      cluster id, cosine = 1.0 when the vector is its cluster's canonical
+      survivor). The oracle rebuilds the identical pair set (shared CTE
+      generator) and closes it with a recursive CTE, so the composed LSH
+      blocking + exact-decimal verify + distributed closure + survivor
+      assembly is value-hash checked end to end.
+
+    Declared at the scale-shaped parameterization (16 planes, 4-bit bands →
+    16 buckets per band); the log₂(n) band-width scaling law is asserted in
+    tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4)
+    pairs = SIM.cosine_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4
+    ).select(F.lit("pair").alias("variant"), "id_a", "id_b", "cosine")
+    sem = SIM.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4
+    ).select(
+        F.lit("cluster").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("kept").cast("double").alias("cosine"),
+    )
+    return pairs.unionByName(sem)
 
 
 #: query ids for the packed bulk-kNN branch of sim_topk_ann

@@ -35,7 +35,6 @@ NESTED_LOOP_OK = {
 ARROW_OK = {
     "pandas_grouped_norm",
     "mm_extract_features",
-    "mm_resize_meta",
     # LSH signature stage is Arrow/BLAS-vectorized (operators/similarity.py::
     # lsh_signatures) — bit-identical to the decimal-fold construction,
     # asserted in tests/test_suite_ops.py
