@@ -309,3 +309,70 @@ def run_foreach_batch(
     )
     q.awaitTermination()
     return q
+
+
+def curate_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 5,
+    min_quality: float = 0.0,
+    allowed_langs: tuple[str, ...] | None = None,
+    clf_cutoff: float | None = None,
+    drop_boilerplate: bool = True,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus curation — the streaming face of
+    operators/curate.py::curate_corpus for a continuous document ingest
+    feed (crawl frontier, log tailer, upload queue):
+
+    - the STATELESS prefix runs unchanged on the stream: boilerplate drop
+      (text.py::c4_clean), the profile gates (min_tokens / quality /
+      language, text.py::text_profile), and the optional fixed-weight
+      classifier gate (text.py::quality_classifier) are all map-side
+      column expressions — per-batch cost is one projection, state zero;
+    - EXACT dedup streams via dropDuplicatesWithinWatermark on the
+      text fingerprint (the same md5-of-normalized-text the batch
+      pipeline dedups on): state is one row per distinct fingerprint
+      inside the watermark horizon, evicted as event time advances —
+      bounded however long the stream runs;
+    - the GLOBAL stages (near-dedup closure, cross-corpus line dedup,
+      decontamination, mixture) are deliberately NOT streamed: they need
+      corpus-wide state, so they run in the periodic batch compaction
+      over the sink (the standard streaming-ingest / batch-curation
+      split). The stream's contract is: everything it emits has passed
+      every per-document gate and is first-seen within the horizon.
+
+    Output columns: (id, text, ts, n_tokens, quality_score, lang_pred,
+    fingerprint).
+    """
+    from database_anonymiser_spark.operators import text as TX
+
+    keep = (text_col, ts_col)
+    if drop_boilerplate:
+        c4 = TX.c4_clean(docs, id_col, text_col, keep=keep)
+        docs = c4.where(~F.col("c4_boilerplate")).select(
+            F.col(id_col), F.col(text_col), F.col(ts_col)
+        )
+    prof = TX.text_profile(docs, id_col, text_col, keep=keep)
+    kept = prof.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    if allowed_langs is not None:
+        kept = kept.where(F.col("lang_pred").isin(*allowed_langs))
+    kept = kept.select(
+        id_col, text_col, ts_col, "n_tokens", "quality_score", "lang_pred", "fingerprint"
+    )
+    if clf_cutoff is not None:
+        keep_cols = tuple(c for c in kept.columns if c != id_col)
+        kept = (
+            TX.quality_classifier(kept, id_col, text_col, keep=keep_cols, cutoff=clf_cutoff)
+            .where(F.col("qc_keep"))
+            .drop("qc_score", "qc_keep")
+            .select(*kept.columns)
+        )
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

@@ -473,3 +473,38 @@ def test_late_data_dropped_by_streaming_dedup_and_session(spark, tmp_path):
         (F.col("user_id") == 9) & (F.col("session_start") == base)
     ).count()
     assert late_sessions == 0, "late event must not open a session window"
+
+
+def test_curate_stream_gates_and_dedups(spark, tmp_path):
+    """curate_stream: the stateless gates match the batch pipeline on the
+    same rows, and an exact duplicate (same normalized text, different id)
+    arriving within the watermark is dropped by the streaming fingerprint
+    dedup while distinct docs survive."""
+    import datetime
+
+    from database_anonymiser_spark.streaming.pipeline import curate_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    rows = [
+        (1, good, t0),
+        (2, "{ } { } { }", t0),                            # boilerplate -> dropped
+        (3, "tiny", t0),                                   # below min_tokens
+        (4, good + " again and again today", t0),          # distinct -> kept
+        (5, "  " + good + "  ", t0 + datetime.timedelta(minutes=1)),  # dup of 1 (normalized)
+    ]
+    src = tmp_path / "docs_src"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).repartition(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(src))
+    out = curate_stream(stream, min_tokens=5, watermark="10 minutes")
+    got = run_to_memory(spark, out, "t_curate_stream", mode="append")
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == [1, 4], ids
+    prof = {r["doc_id"]: r for r in got.collect()}
+    assert prof[1]["n_tokens"] == 14 and prof[1]["lang_pred"] == "en"
+    assert prof[1]["fingerprint"] is not None
