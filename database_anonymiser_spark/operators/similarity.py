@@ -1332,6 +1332,7 @@ def semantic_dedup(
     rows_per_band: int = 4,
     dim: int = 64,
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
     arXiv:2303.09540): documents whose EMBEDDINGS are near-identical are
@@ -1359,16 +1360,20 @@ def semantic_dedup(
     """
     from database_anonymiser_spark.operators.graph import connected_components
 
-    pairs = cosine_lsh_pairs(
-        df,
-        id_col,
-        vec_col,
-        threshold=threshold,
-        n_planes=n_planes,
-        rows_per_band=rows_per_band,
-        dim=dim,
-        max_bucket_size=max_bucket_size,
-    )
+    if pairs is None:
+        # callers that already materialized the pair set (e.g. to emit it
+        # alongside the clusters) pass it in — the LSH construction is the
+        # expensive stage and must not run twice
+        pairs = cosine_lsh_pairs(
+            df,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            rows_per_band=rows_per_band,
+            dim=dim,
+            max_bucket_size=max_bucket_size,
+        )
     clusters = connected_components(pairs).withColumnRenamed("id", id_col)
     return (
         df.select(id_col)

@@ -221,11 +221,15 @@ def sim_cosine_pairs(spark, sf_dir):
     16 buckets per band); the log₂(n) band-width scaling law is asserted in
     tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_lsh_pairs(
+    # one LSH pass feeds BOTH variants: the pair set is checkpointed (the
+    # closure's own first materialization, same as dedup_jaccard's CC) and
+    # the 'pair' branch re-emits it instead of re-running the bucket scoring
+    raw = SIM.cosine_lsh_pairs(
         emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4
-    ).select(F.lit("pair").alias("variant"), "id_a", "id_b", "cosine")
+    ).localCheckpoint(eager=True)
+    pairs = raw.select(F.lit("pair").alias("variant"), "id_a", "id_b", "cosine")
     sem = SIM.semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.5, n_planes=16, rows_per_band=4
+        emb, "vec_id", "embedding", threshold=0.5, pairs=raw
     ).select(
         F.lit("cluster").alias("variant"),
         F.col("vec_id").alias("id_a"),
