@@ -242,6 +242,9 @@ def sim_cosine_pairs(spark, sf_dir):
 #: query ids for the packed bulk-kNN branch of sim_topk_ann
 _KNN_QUERY_IDS = (0, 7, 42)
 
+#: metadata predicate for the packed filtered-search branch
+_FILTER_LABEL = 3
+
 
 def _ann_oracle(
     k: int = 10,
@@ -402,15 +405,23 @@ def _ann_oracle(
       FROM sqd, sqn
       ORDER BY cosine DESC, vec_id
       LIMIT {k}
+    ),
+    filtered AS (
+      SELECT 'filtered' AS method, CAST({_QUERY_VEC_ID} AS BIGINT) AS query_id,
+             c.vec_id, c.cosine
+      FROM cos c JOIN embeddings e ON e.vec_id = c.vec_id
+      WHERE e.label = {_FILTER_LABEL}
+      ORDER BY c.cosine DESC, c.vec_id
+      LIMIT {k}
     )
     SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM knn
-    UNION ALL SELECT * FROM ivf_sq
+    UNION ALL SELECT * FROM ivf_sq UNION ALL SELECT * FROM filtered
     """
 
 
 @register("sim_topk_ann", _ann_oracle(), tags=("similarity", "approx"))
 def sim_topk_ann(spark, sf_dir):
-    """All three nearest-neighbour lookup paths, tagged and unioned:
+    """All the nearest-neighbour lookup paths, tagged and unioned:
     MULTI-PROBE hyperplane-LSH bucketed top-k (home bucket + every
     1-bit-flip neighbour bucket — Lv et al. VLDB'07; recall vs
     single-probe pinned in tests/test_suite_ops.py), IVF probed-list
@@ -431,7 +442,11 @@ def sim_topk_ann(spark, sf_dir):
     assignment/probe CTEs and the int8 branch's quantization CTEs, adding
     only the compressed-domain integer scoring over the probed lists —
     the composed index-build → probed-query path is now value-hash
-    checked end-to-end, not just its two pieces. (The index builder's
+    checked end-to-end, not just its two pieces. Round 5 adds the FIFTH
+    branch, 'filtered': metadata-filtered vector search (predicate + exact
+    top-k — see the inline comment for why brute force is the correct
+    baseline and how the 100 TB path partitions the index by the filter
+    column). (The index builder's
     coarse argmax is float64 without the decimal near-tie rescore —
     legitimate for an approximate structure; on the fixture the top-2
     assignment dots are separated by ~10 orders of magnitude more than
@@ -470,4 +485,23 @@ def sim_topk_ann(spark, sf_dir):
     ).select(
         F.lit("ivf_sq").alias("method"), qid.alias("query_id"), "vec_id", "cosine"
     )
-    return lsh.unionByName(ivf).unionByName(knn).unionByName(ivf_sq)
+    # FIFTH branch (round 5) — metadata-FILTERED vector search, the hybrid
+    # predicate + top-k lookup every real vector store serves: restrict the
+    # corpus to label = _FILTER_LABEL (the predicate pushes to the parquet
+    # scan; the query vector rides along so the 1-row broadcast still
+    # resolves), exact partition-local top-k on what remains. Brute force
+    # is the CORRECT baseline here: post-filtering an ANN result
+    # under-fills k when probe lists mix labels, so filtered search
+    # degrades to exact scan-and-score until a label-partitioned index
+    # exists — which is the honest 100 TB answer too (partition the index
+    # BY the filter column; see ivf_int8_index's partitioned layout).
+    flt = SIM.brute_force_topk(
+        emb.where(
+            (F.col("label") == _FILTER_LABEL) | (F.col("vec_id") == _QUERY_VEC_ID)
+        ),
+        "vec_id",
+        "embedding",
+        query_id=_QUERY_VEC_ID,
+        k=10,
+    ).select(F.lit("filtered").alias("method"), qid.alias("query_id"), "vec_id", "cosine")
+    return lsh.unionByName(ivf).unionByName(knn).unionByName(ivf_sq).unionByName(flt)
