@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NESTED_LOOP_OK = {
     "join_cross",        # 5×25 dims — BroadcastNestedLoopJoin by design
     "sim_topk_bruteforce",  # 1-row broadcast query vector
+    "sim_topk_ann",      # 1-row broadcast query vector (filtered branch, r5)
     "sql_cte_scalar",    # 1-row scalar subquery broadcast
     "stream_windows",    # 1-row watermark broadcast join
     "tpch_q6_q14",       # single-row metric union
