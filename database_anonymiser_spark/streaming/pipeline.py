@@ -376,3 +376,50 @@ def curate_stream(
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def run_stream_to_versioned(
+    df: DataFrame,
+    table_root: str,
+    key_col: str,
+    checkpoint: str,
+    spark: SparkSession | None = None,
+):
+    """Drain a stream into a VersionedTable (sources/versioned.py) with
+    MERGE-on-key per micro-batch — the streaming-ingest → ACID-table
+    composition (Delta's streaming sink shape, rendered on the engine's
+    own transaction log):
+
+    - batch 0 creates the table (or merges into a pre-existing one);
+    - every batch MERGEs on ``key_col``: re-delivered rows UPDATE instead
+      of duplicating, so at-least-once delivery into foreachBatch
+      upgrades to exactly-once TABLE STATE without a batch-id ledger —
+      the merge itself is the idempotency mechanism (a replayed batch
+      rewrites the same rows to the same values; the transaction log
+      gains a version, the snapshot doesn't change);
+    - each commit is the transaction log's atomic exclusive-create, so a
+      crash mid-batch leaves invisible orphan files (vacuumable), never a
+      torn table.
+
+    100 TB shape: per batch, MERGE rewrites only the data files whose
+    footer key range intersects the batch's keys — a trickle of updates
+    touches a handful of files however large the table is. Returns the
+    finished StreamingQuery.
+    """
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        t = VersionedTable(s, table_root)
+        if not t.versions():
+            VersionedTable.create(s, table_root, batch_df, key_col=key_col)
+            return
+        # duplicate keys WITHIN one batch would violate merge's contract;
+        # keep the last occurrence (arbitrary-but-deterministic via max on
+        # a struct would need an ordering column — streams that can emit
+        # in-batch duplicates should dedup upstream, e.g. curate_stream's
+        # fingerprint dedup; this guard keeps the sink total)
+        batch = batch_df.dropDuplicates([key_col])
+        t.merge(batch, when_matched="update")
+
+    return run_foreach_batch(df, sink, checkpoint)

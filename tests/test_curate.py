@@ -356,3 +356,26 @@ def test_curate_c4_line_dedup_composition(spark, picks, min_docs):
     for t in got.values():
         for ln in t.split("\n"):
             assert re.sub(r"\s+", " ", ln.lower()).strip() not in hot
+
+
+def test_curate_corpus_classifier_gate(spark, sf_dir):
+    """clf_cutoff composes as a strictly-tightening gate: the kept set is a
+    subset of the ungated run, exactly the docs whose standalone
+    quality_classifier score clears the cutoff survive (among the docs the
+    other gates kept), and clf_cutoff=None is the identity."""
+    from database_anonymiser_spark.operators.text import quality_classifier
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = curate_corpus(docs, near_dedup=False, decontam_n=None)
+    gated = curate_corpus(docs, near_dedup=False, decontam_n=None, clf_cutoff=0.2)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert gated_ids < base_ids  # strictly tightens on the fixture
+    passing = {
+        r["doc_id"]
+        for r in quality_classifier(docs, "doc_id", "text", cutoff=0.2)
+        .where(F.col("qc_keep"))
+        .collect()
+    }
+    assert gated_ids == base_ids & passing
