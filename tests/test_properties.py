@@ -376,3 +376,91 @@ def test_kmv_matches_python_oracle(spark, keys, k):
         want = round((k - 1) * float(2**60) / hashes[k - 1], 6)
     assert row["exact_distinct"] == nd
     assert row["kmv_distinct_est"] == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=20,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+@FAST
+def test_dup_spans_matches_python_oracle(spark, texts, k):
+    """dup_spans == the plain-Python rendition on generated corpora: window
+    sets, the ≥2-distinct-docs hot filter, and the overlap-merged cover."""
+    from database_anonymiser_spark.operators.dedup import dup_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_spans(df, "doc_id", "text", k=k).collect()}
+
+    # python twin (window CONTENT, not hash — md5 is collision-free here)
+    wins = {}
+    for i, t in rows:
+        toks = t.strip().split() if t.strip() else [""]
+        wins[i] = [tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for i, ws in wins.items():
+        for w in ws:
+            docs_of[w].add(i)
+    for i, t in rows:
+        hot_pos = sorted(j for j, w in enumerate(wins[i]) if len(docs_of[w]) >= 2)
+        cover, prev = 0, None
+        for p in hot_pos:
+            cover += k if prev is None else min(k, p - prev)
+            prev = p
+        n_tokens = len(t.strip().split()) if t.strip() else 1
+        exp_frac = (
+            ((2 * cover * 1_000_000 + n_tokens) // (2 * n_tokens)) / 1_000_000.0
+            if n_tokens
+            else 0.0
+        )
+        assert got[i]["n_windows"] == len(wins[i])
+        assert got[i]["n_dup_windows"] == len(hot_pos)
+        assert got[i]["dup_tokens"] == cover
+        assert got[i]["dup_frac"] == exp_frac
+
+
+@given(
+    build=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    probe=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+)
+@FAST
+def test_bloom_matches_python_twin(spark, build, probe):
+    """bloom_semi_join == the plain-Python rendition of the same md5 hash
+    family at a deliberately TINY m (forcing collisions): identical pass
+    set including every false positive, and never a false negative."""
+    import hashlib
+
+    from database_anonymiser_spark.operators.bloom import bloom_semi_join
+
+    m, kh = 256, 3
+    bdf = spark.createDataFrame([(v,) for v in set(build)], "k long")
+    pdf = spark.createDataFrame(list(enumerate(probe)), "rid long, k long")
+    got = {
+        (r["rid"], r["k"])
+        for r in bloom_semi_join(pdf, "k", bdf, "k", m_bits=m, k_hashes=kh).collect()
+    }
+
+    def positions(v):
+        return {
+            int(hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()[:15], 16) % m
+            for i in range(kh)
+        }
+
+    bits = set()
+    for v in set(build):
+        bits |= positions(v)
+    expected = {
+        (rid, v) for rid, v in enumerate(probe) if positions(v) <= bits
+    }
+    assert got == expected
+    assert {(rid, v) for rid, v in enumerate(probe) if v in set(build)} <= got
