@@ -446,6 +446,36 @@ class VersionedTable:
         )
         return v + 1
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Small-file compaction (OPTIMIZE without reclustering): rewrite
+        the live set into ⌈total_bytes / target⌉ files. Streaming-merge
+        ingest accretes a file (or few) per micro-batch; scan efficiency
+        at scale needs ~128 MB files (one task each, full row groups).
+        Sizes come from the filesystem, the rewrite is one repartition
+        (round-robin — no shuffle key needed, content unchanged), and the
+        commit removes every prior live file by reference (time travel to
+        pre-compaction versions keeps working). Returns the new version."""
+        key_col = self.key_col()
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        total = sum(
+            (self.root / e["path"]).stat().st_size
+            for e in entries
+            if (self.root / e["path"]).exists()
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.snapshot(v).repartition(int(n_files))
+        new_files = _write_data_files(df, self.root, key_col)
+        _commit(
+            self.root,
+            v + 1,
+            new_files,
+            [e["path"] for e in entries],
+            key_col,
+            op="compact",
+        )
+        return v + 1
+
     # ---------------------------------------------------------- hygiene
 
     def vacuum(self) -> list[str]:

@@ -179,3 +179,31 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     # the optimize commit is a full copy-on-write: every pre-optimize file
     # removed by reference, history intact for time travel
     assert _rows(t.snapshot(version=0)) == _rows(df)
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """compact(): many small append files collapse to one file (tiny table,
+    huge target), the row set is unchanged, pre-compaction versions stay
+    time-travelable, and a crash-orphan-free vacuum keeps every referenced
+    file."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    )
+    t = VersionedTable.create(spark, tmp_path / "c", df.repartition(4), key_col="k")
+    for start in (100, 200, 300):
+        t.append(
+            spark.createDataFrame(
+                [(start + i, f"v{start+i}") for i in range(10)], "k long, v string"
+            ).repartition(3)
+        )
+    before = _rows(t.snapshot())
+    n_before = len(t._live_entries())
+    assert n_before >= 10  # 4 + 3x3 small files
+
+    v = t.compact()
+    assert t.latest_version() == v
+    assert len(t._live_entries()) == 1
+    assert _rows(t.snapshot()) == before
+    assert len(_rows(t.snapshot(version=v - 1))) == len(before)  # time travel
+    t.vacuum()
+    assert _rows(t.snapshot()) == before  # vacuum never touches referenced files
