@@ -61,6 +61,7 @@ HEADLINE = [
     "stream_session",
     "dedup_minhash",
     "dedup_exact",
+    "join_bloom",
     "text_quality_spans",
     "sim_topk_bruteforce",
     "sim_cosine_pairs",

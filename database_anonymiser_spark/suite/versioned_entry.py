@@ -58,7 +58,15 @@ def merge_upsert(spark, sf_dir):
     and the returned snapshot is a plain parquet scan of the new version's
     live files. The temp table lives under the OS tmpdir for the duration
     of the read (the snapshot is lazy — files must outlive the caller's
-    collect)."""
+    collect).
+
+    Round 5: after the MERGE the table is Z-ORDER-OPTIMIZED on
+    (c_nationkey, c_acctbal) and the POST-OPTIMIZE snapshot is returned —
+    the oracle is unchanged because OPTIMIZE must preserve the row set
+    exactly, so the layout rewrite (bit-interleaved clustering +
+    per-column skipping stats) is itself value-hash checked cross-engine;
+    the pruning behavior the layout buys is pinned separately in
+    tests/test_versioned.py."""
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     cust = load(spark, sf_dir, "customer")
@@ -76,4 +84,5 @@ def merge_upsert(spark, sf_dir):
         .withColumn("c_mktsegment", F.lit("INSERTED"))
     )
     t.merge(updates.unionByName(inserts), when_matched="update")
+    t.optimize_zorder(("c_nationkey", "c_acctbal"), file_count=4)
     return t.snapshot()
