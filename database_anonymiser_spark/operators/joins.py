@@ -131,3 +131,58 @@ def asof_join(
             for c in payload
         ],
     )
+
+
+def gap_fill(
+    obs: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    step: str = "1 day",
+    tie_break: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Regular-grid gap filling with last-observation-carried-forward — the
+    time-series resampling step (pandas ``resample().ffill()``, SQL
+    GAP_FILL/LOCF) rendered as grid generation + as-of-backward join:
+
+    1. per key, one aggregate gets [min_ts, max_ts]; the grid is
+       ``sequence(date_trunc(step, min_ts), max_ts, step)`` exploded —
+       rows ∝ Σ per-key span/step, generated map-side from the 1-row-per-
+       key bounds (never materialised on the driver);
+    2. the grid as-of-backward joins the observations
+       (:func:`asof_join`) — each bucket carries the latest observation
+       at-or-before it, so a bucket with no new data repeats the previous
+       value (LOCF); buckets between the calendar-truncated grid start and
+       the key's first observation carry NULL (the standard LOCF
+       contract — nothing to carry yet).
+
+    Output: ``on`` keys, ``bucket_ts`` (grid timestamp), and the carried
+    ``{prefix}{payload}`` columns from :func:`asof_join` (add the
+    observation's own ts column to ``payload`` to carry the source time).
+
+    100 TB shape: the bounds aggregate is one partial-agg shuffle; the
+    as-of join is the engine's single-shuffle union+window construction.
+    Grid density is the caller's lever: step controls output volume
+    exactly, independent of observation skew.
+    """
+    trunc_unit = step.strip().split()[-1].rstrip("s")
+    bounds = obs.groupBy(*on).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_lo"),
+        F.max(ts_col).alias("_hi"),
+    )
+    grid = bounds.select(
+        *on,
+        F.explode(F.expr(f"sequence(_lo, _hi, interval {step})")).alias("bucket_ts"),
+    )
+    return asof_join(
+        grid,
+        obs,
+        on=on,
+        left_ts="bucket_ts",
+        right_ts=ts_col,
+        right_payload=payload,
+        tie_break=tie_break,
+        prefix=prefix,
+        direction="backward",
+    )

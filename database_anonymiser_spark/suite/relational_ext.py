@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from database_anonymiser_spark.operators.joins import asof_join
+from database_anonymiser_spark.operators.joins import asof_join, gap_fill
 from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
 
 # ---------------------------------------------------------------- as-of join
@@ -67,6 +67,20 @@ from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
     FROM p
     LEFT JOIN bk2 ON bk2.event_id = p.event_id
     LEFT JOIN fw ON fw.event_id = p.event_id
+    UNION ALL
+    SELECT 'gapfill' AS direction,
+           CAST(epoch(g.bts) AS BIGINT) AS event_id, g.user_id,
+           t.asof_event_id, t.asof_value
+    FROM (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bts
+      FROM (SELECT user_id, date_trunc('day', min(ts)) AS lo, max(ts) AS hi
+            FROM v GROUP BY user_id)
+    ) g
+    LEFT JOIN LATERAL (
+      SELECT event_id AS asof_event_id, value AS asof_value
+      FROM v WHERE v.user_id = g.user_id AND v.ts <= g.bts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) t ON true
     """,
     tags=("join", "timeseries"),
 )
@@ -110,7 +124,26 @@ def join_asof(spark, sf_dir):
                 "asof_value",
             )
         )
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # FOURTH branch (round 5) — gap filling: a per-user DAILY grid over
+    # each user's view span, LOCF-filled by the as-of-backward join
+    # (operators/joins.py::gap_fill — the resample().ffill() shape).
+    # event_id carries the bucket's epoch seconds (the entry's schema is
+    # BIGINT there). The calendar-aligned grid starts at midnight of each
+    # user's first view DAY, so the leading bucket precedes the first
+    # observation and carries NULL — the standard LOCF contract. The
+    # oracle renders the same grid with generate_series + a LEFT LATERAL
+    # top-1.
+    gf = gap_fill(
+        views, on=["user_id"], ts_col="ts", payload=["event_id", "value"],
+        step="1 day", tie_break="event_id",
+    ).select(
+        F.lit("gapfill").alias("direction"),
+        F.unix_timestamp("bucket_ts").alias("event_id"),
+        "user_id",
+        "asof_event_id",
+        "asof_value",
+    )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(gf)
 
 
 # ---------------------------------------------------------------- cross join

@@ -1283,3 +1283,30 @@ def test_bloom_semi_join_properties(spark, sf_dir):
     assert n_pass - n_exact <= max(20, 5 * fpr_bound * n_probe)
     assert passed.where(F.col("l_orderkey").isNull()).count() == 0
     assert "Exchange" not in passed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gap_fill_locf_semantics(spark):
+    """gap_fill on a constructed series: daily calendar grid per key,
+    LOCF between observations, NULL before the first observation, grid
+    bounded by [trunc(min), max]."""
+    import datetime
+
+    from database_anonymiser_spark.operators.joins import gap_fill
+
+    d = lambda day, hour: datetime.datetime(2024, 3, day, hour, 0, 0)
+    rows = [
+        (1, d(1, 9), 10.0),   # Mar 1 09:00
+        (1, d(3, 12), 30.0),  # gap: Mar 2 has no obs
+        (2, d(2, 0), 99.0),   # exactly on a bucket boundary
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        (r["k"], r["bucket_ts"]): r["asof_v"]
+        for r in gap_fill(df, ["k"], "ts", ["v"], step="1 day").collect()
+    }
+    assert out == {
+        (1, d(1, 0)): None,   # leading bucket precedes first obs
+        (1, d(2, 0)): 10.0,   # LOCF across the gap
+        (1, d(3, 0)): 10.0,   # Mar 3 00:00 is before the 12:00 obs
+        (2, d(2, 0)): 99.0,   # boundary obs is inclusive (<=)
+    }
