@@ -754,3 +754,52 @@ def quality_classifier(
         (logit_micro >= F.lit(int(cutoff * 10_000_000))).alias("qc_keep"),
         *[F.col(c) for c in keep],
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size overlapping document chunking — the window splitter every
+    RAG index and long-document training pipeline runs before embedding
+    (LangChain/LlamaIndex token splitters, the Pile's context windows):
+    chunks of ``chunk_tokens`` whitespace tokens advancing by
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens and no token is dropped. Documents at or under one window yield
+    exactly one chunk (the whole doc).
+
+    Output: (id, chunk_idx, chunk_text, chunk_id) — chunk_id is the md5 of
+    "id:idx:text", a stable global key for downstream embedding/dedup
+    joins however the corpus is repartitioned.
+
+    100 TB shape: one map-side projection (sequence + slice + array_join
+    inside whole-stage codegen, posexplode generator) — no shuffle, no
+    Python; output volume is corpus tokens × (1 + overlap/stride).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from database_anonymiser_spark.operators.dedup import tokens
+
+    tok_df = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    # chunk starts: 1, 1+stride, ... while start <= max(size - overlap, 1)
+    # — the last window may be short but never empty, and a doc within one
+    # window produces the single start 1.
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(_t) - {overlap}, 1), {stride}), "
+        f"s -> array_join(slice(_t, s, {chunk_tokens}), ' '))"
+    )
+    out = tok_df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx"), F.col("chunk_text"))
+        ).alias("chunk_id"),
+    )

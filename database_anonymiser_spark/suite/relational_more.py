@@ -144,30 +144,80 @@ def agg_pivot(spark, sf_dir):
     return wide_branch.unionByName(long_branch)
 
 
+_CHUNK_N, _CHUNK_OVL = 64, 8
+_CHUNK_STRIDE = _CHUNK_N - _CHUNK_OVL
+
+
 @register(
     "func_explode",
-    r"""
-    SELECT doc_id,
-           unnest(list_transform(
-             string_split_regex(trim(text), '\s+'),
-             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), token := x)
-           ), recursive := true)
-    FROM documents
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    t AS (
+      SELECT 'token' AS mode, doc_id,
+             unnest(list_transform(toks,
+               (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), token := x)
+             ), recursive := true),
+             CAST(NULL AS VARCHAR) AS chunk_id
+      FROM tok
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {_CHUNK_OVL}, 1) + 1, {_CHUNK_STRIDE})) AS s
+      FROM tok
+    ),
+    c AS (
+      SELECT 'chunk' AS mode, doc_id,
+             CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS pos,
+             array_to_string(toks[s : s + {_CHUNK_N} - 1], ' ') AS token,
+             md5(doc_id::VARCHAR || ':' || ((s - 1) // {_CHUNK_STRIDE})::VARCHAR || ':'
+                 || array_to_string(toks[s : s + {_CHUNK_N} - 1], ' ')) AS chunk_id
+      FROM st
+    )
+    SELECT * FROM t UNION ALL SELECT * FROM c
     """,
-    tags=("function", "udtf"),
+    tags=("function", "udtf", "text"),
 )
 def func_explode(spark, sf_dir):
-    """UDTF surface (SURVEY.md §2.11): posexplode as the built-in generator —
-    one input row fans out to one row per token with its 0-based position.
+    """UDTF surface (SURVEY.md §2.11), two generator modes tagged and
+    unioned:
 
-    Scale: generators run inside whole-stage codegen with no shuffle; output
-    cardinality is corpus tokens (linear), never materialised on the driver.
+    - 'token': posexplode — one row per token with its 0-based position;
+    - 'chunk' (round 5): fixed-size overlapping document chunking
+      (operators/text.py::chunk_documents — the RAG/long-doc window
+      splitter: {_CHUNK_N}-token windows advancing by {_CHUNK_STRIDE},
+      {_CHUNK_OVL} tokens shared between neighbours, stable md5 chunk ids
+      for downstream embedding/dedup joins).
+
+    Scale: both generators run inside whole-stage codegen with no shuffle;
+    output cardinality is linear in corpus tokens, never materialised on
+    the driver.
     """
+    from database_anonymiser_spark.operators.text import chunk_documents
+
     docs = load(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
-    ).withColumn("pos", F.col("pos").cast("long"))
+    ).select(
+        F.lit("token").alias("mode"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        F.lit(None).cast("string").alias("chunk_id"),
+    )
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK_N, overlap=_CHUNK_OVL
+    ).select(
+        F.lit("chunk").alias("mode"),
+        "doc_id",
+        F.col("chunk_idx").alias("pos"),
+        F.col("chunk_text").alias("token"),
+        "chunk_id",
+    )
+    return toks.unionByName(chunks)
 
 
 @register(

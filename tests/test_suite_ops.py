@@ -1310,3 +1310,38 @@ def test_gap_fill_locf_semantics(spark):
         (1, d(3, 0)): 10.0,   # Mar 3 00:00 is before the 12:00 obs
         (2, d(2, 0)): 99.0,   # boundary obs is inclusive (<=)
     }
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """chunk_documents: every token appears in some chunk, consecutive
+    chunks share exactly `overlap` tokens (except a short tail), a doc at
+    or under one window yields one whole-doc chunk, and chunk ids are
+    stable md5s."""
+    import hashlib
+
+    from database_anonymiser_spark.operators.text import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(150))
+    rows = [(1, long_doc), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # starts at 1, 57, 113 -> 3 chunks; last is short (tokens 113..150)
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    toks = long_doc.split()
+    assert c1[0]["chunk_text"].split() == toks[0:64]
+    assert c1[1]["chunk_text"].split() == toks[56:120]
+    assert c1[2]["chunk_text"].split() == toks[112:150]
+    assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b c"]
+    r = c1[1]
+    assert r["chunk_id"] == hashlib.md5(
+        f"1:1:{r['chunk_text']}".encode()
+    ).hexdigest()

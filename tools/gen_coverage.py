@@ -66,6 +66,7 @@ MERGE_MAP = [
     ("dedup_minhash", "+ dedup_simhash ('simhash' variant rows carry the 64-bit signature in id_b) - round 5"),
     ("func_math_null", "+ func_date (year/month/day/date_trunc/datediff over l_shipdate) - round 5"),
     ("text_profile", "+ dedup_fingerprint (identical md5 fingerprint/fingerprint64 columns already oracled there; standalone entry retired) - round 5"),
+    ("func_explode", "+ chunk_documents ('chunk' mode: fixed-size overlapping RAG/long-doc window splitter with stable md5 chunk ids) - round 5"),
 ]
 
 HEADER = """# COVERAGE: SURVEY.md section 2 operator inventory mapped to declared queries
