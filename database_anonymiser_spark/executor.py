@@ -182,6 +182,112 @@ def _promote(staging: Path, final: Path) -> None:
     staging.rename(final)
 
 
+def execute_plan_versioned(
+    catalog: ParquetCatalog,
+    plan: Plan,
+    tables_root: str | Path,
+    dryrun: bool = True,
+    row_cap: int = DEFAULT_ROW_CAP,
+    force: bool = False,
+) -> ExecutionResult:
+    """Transactional apply through the commit-log tables — the SURVEY §7
+    "faithful rollback" upgrade path over the staged-promote apply.
+
+    Each table lives as a :class:`~database_anonymiser_spark.sources.versioned.VersionedTable`
+    under ``tables_root/<name>`` (created from the catalog source on first
+    touch; version 0 is the pristine table). Apply commits ONE
+    ``anonymise`` version per table that replaces the live set with the
+    masked rewrite; dryrun computes the same counts with ZERO commits —
+    exactly the reference's UPDATE-under-ROLLBACK (executor.ts:98-137)
+    rendered on a transaction log. A failed apply is rolled back by
+    ``restore()`` (forward, auditable), not by hoping a rename didn't land.
+
+    All-or-nothing across tables, two-phase:
+    1. every table's masked data files are fully written while INVISIBLE
+       (referenced by no commit) — any failure here commits nothing and
+       the orphans are vacuumed;
+    2. the per-table commits are pure metadata (one tiny exclusive-create
+       each). A crash inside this window can leave a prefix committed —
+       recovery is ``restore(v-1)`` per committed table; Delta itself has
+       no multi-table transactions, and the window is milliseconds versus
+       phase 1's hours at 100 TB.
+
+    Row counts come from the written files' parquet footers (metadata, no
+    second scan). NOTE: the log retains the pre-image until vacuumed past
+    retention — time travel to the unmasked original is the point for
+    staging-copy workflows (the reference also runs against a copy DB),
+    but production anonymisation should vacuum old versions.
+    """
+    from database_anonymiser_spark.sources.versioned import (
+        VersionedTable,
+        _commit,
+        _write_data_files,
+    )
+
+    root = Path(tables_root)
+    mode = "dryrun" if dryrun else "apply"
+    result = ExecutionResult(mode=mode)
+
+    if not dryrun:
+        dry = execute_plan_versioned(catalog, plan, root, dryrun=True)
+        enforce_row_cap(dry.total_rows, cap=row_cap, force=force)
+
+    # phase 1: mask + (count | invisible write) per table
+    staged: list[tuple[PlannedTable, VersionedTable, list, int]] = []
+    for planned in plan.tables:
+        tr = TableResult(table=planned.table)
+        try:
+            masked, active, downgrades = mask_table(catalog, planned)
+            tr.downgrades = downgrades
+            if active == 0:
+                tr.skipped = True
+                result.tables.append(tr)
+                continue
+            if dryrun:
+                tr.rows = masked.count()
+            else:
+                t_root = root / planned.name
+                t = (
+                    VersionedTable(catalog.spark, t_root)
+                    if (t_root / "_log").is_dir()
+                    else VersionedTable.create(
+                        catalog.spark, t_root, catalog.read(planned.name), key_col=None
+                    )
+                )
+                adds = _write_data_files(masked, t.root, None)
+                import pyarrow.parquet as pq
+
+                tr.rows = sum(
+                    pq.ParquetFile(str(t.root / e.path)).metadata.num_rows
+                    for e in adds
+                )
+                staged.append((planned, t, adds, tr.rows))
+            result.tables.append(tr)
+        except Exception as e:
+            log.exception("table %s failed", planned.table)
+            tr.error = f"{type(e).__name__}: {e}"
+            result.tables.append(tr)
+
+    if any(tr.error is not None for tr in result.tables):
+        if not dryrun:
+            # nothing was committed; drop the invisible phase-1 files
+            result.rolled_back = True
+            for _, t, _, _ in staged:
+                t.vacuum()
+        return result
+
+    # phase 2: metadata-only commit loop
+    for planned, t, adds, rows in staged:
+        v = t.latest_version()
+        removes = [e["path"] for e in t._live_entries(v)]
+        _commit(t.root, v + 1, adds, removes, t.key_col(), op="anonymise")
+
+    for tr in result.tables:
+        if not tr.skipped and tr.error is None:
+            result.updated_by_table[tr.table] = tr.rows
+    return result
+
+
 def execute_plan(
     catalog: ParquetCatalog,
     plan: Plan,

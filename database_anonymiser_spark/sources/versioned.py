@@ -402,6 +402,154 @@ class VersionedTable:
         )
         return v + 1
 
+    def update_where(
+        self,
+        assignments: dict[str, "F.Column | str"],
+        predicate: "F.Column | str",
+        prune: dict[str, tuple] | None = None,
+    ) -> int:
+        """Predicate-scoped UPDATE — the reference's core operation
+        (``UPDATE table SET col = expr`` per strategy,
+        ``src/executor/query-builder.ts:52-74``) with Delta's copy-on-write
+        semantics: rows where ``predicate`` is TRUE get each assignment
+        applied; NULL/FALSE rows are untouched (SQL UPDATE semantics).
+
+        ``prune`` optionally gives ``{col: (lo, hi)}`` ranges implied by the
+        predicate: files whose recorded stats cannot intersect them carry
+        over BY REFERENCE and are never read or rewritten — at 100 TB a
+        scoped update costs O(files containing matches), not O(table).
+        Correctness never depends on ``prune`` (a too-wide prune only
+        rewrites more files; the predicate itself is still applied
+        row-level). Returns the new version; no rows touched still commits
+        (an empty UPDATE is a valid, auditable version).
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in assignments.items()
+        }
+        key_col = self.key_col()
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        touched = self.files_matching(prune) if prune else entries
+        touched_paths = {e["path"] for e in touched}
+        if not touched:
+            _commit(self.root, v + 1, [], [], key_col, op="update_where")
+            return v + 1
+        tgt = self.spark.read.parquet(*[str(self.root / p) for p in touched_paths])
+        rewritten = tgt.select(
+            *[
+                F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
+                if c in assigns
+                else F.col(c)
+                for c in tgt.columns
+            ]
+        )
+        new_files = _write_data_files(rewritten, self.root, key_col)
+        _commit(
+            self.root, v + 1, new_files, sorted(touched_paths), key_col, op="update_where"
+        )
+        return v + 1
+
+    def delete_where(
+        self, predicate: "F.Column | str", prune: dict[str, tuple] | None = None
+    ) -> int:
+        """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
+        is TRUE are dropped; NULL/FALSE rows survive (SQL DELETE
+        semantics). ``prune`` file-skips exactly like :meth:`update_where` —
+        unpruned files are rewritten with the surviving rows, pruned files
+        carry over by reference. Returns the new version."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        key_col = self.key_col()
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        touched = self.files_matching(prune) if prune else entries
+        touched_paths = {e["path"] for e in touched}
+        if not touched:
+            _commit(self.root, v + 1, [], [], key_col, op="delete_where")
+            return v + 1
+        tgt = self.spark.read.parquet(*[str(self.root / p) for p in touched_paths])
+        survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
+        new_files = _write_data_files(survivors, self.root, key_col)
+        _commit(
+            self.root, v + 1, new_files, sorted(touched_paths), key_col, op="delete_where"
+        )
+        return v + 1
+
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: commit a NEW version whose live file set is
+        exactly ``version``'s — rollback as a forward, auditable operation
+        (history is never rewritten; the bad versions stay time-travelable).
+        Pure metadata: adds/removes are references to files that already
+        exist, no data is read or written. Returns the new version."""
+        cur = self.latest_version()
+        target = {e["path"]: e for e in self._live_entries(version)}
+        current = {e["path"]: e for e in self._live_entries(cur)}
+        key_col = self._key_col
+        adds = [
+            _FileEntry(e["path"], e.get("key_min"), e.get("key_max"), e.get("stats"))
+            for p, e in target.items()
+            if p not in current
+        ]
+        removes = [p for p in current if p not in target]
+        _commit(self.root, cur + 1, adds, removes, key_col, op=f"restore_{version}")
+        return cur + 1
+
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two versions (Delta CDF shape):
+        one row per logical change with ``_change_type`` ∈
+        ``insert | update | delete`` — ``update``/``insert`` carry the NEW
+        row image, ``delete`` the OLD one. Rows rewritten byte-identically
+        (compaction, Z-ORDER) are classified carried and EXCLUDED.
+
+        100 TB shape: reads ONLY the files that changed between the two
+        versions (removed ∪ added — file-level set difference on the log),
+        then one full-outer join on the key column with whole-row null-safe
+        struct equality. Cost is O(changed data), never O(table); an
+        append-only interval reads just the appended files and shuffles
+        nothing wide. Assumes key uniqueness within each version (the
+        invariant MERGE maintains); duplicate keys would cross-join inside
+        the diff.
+        """
+        v_to = self.latest_version() if v_to is None else v_to
+        from_files = {e["path"] for e in self._live_entries(v_from)}
+        to_files = {e["path"] for e in self._live_entries(v_to)}
+        key_col = self._key_col
+        if key_col is None:
+            raise ValueError("table has no key_col; cannot diff")
+        removed = sorted(from_files - to_files)
+        added = sorted(to_files - from_files)
+        schema_src = self.snapshot(v_to)
+        cols = schema_src.columns
+
+        def _read(paths):
+            if not paths:
+                return schema_src.limit(0)
+            return self.spark.read.parquet(*[str(self.root / p) for p in paths])
+
+        old = _read(removed).select(
+            F.col(key_col).alias("_k"), F.struct(*cols).alias("_old")
+        )
+        new = _read(added).select(
+            F.col(key_col).alias("_k"), F.struct(*cols).alias("_new")
+        )
+        joined = old.join(new, "_k", "full_outer")
+        change_type = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        )  # equal structs -> NULL -> carried, filtered below
+        image = F.coalesce(F.col("_new"), F.col("_old"))
+        return (
+            joined.select(change_type.alias("_change_type"), image.alias("_r"))
+            .where(F.col("_change_type").isNotNull())
+            .select("_change_type", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        )
+
+    def changes(self, since_version: int) -> DataFrame:
+        """Convenience: :meth:`diff` from ``since_version`` to latest — the
+        incremental-consumption feed a downstream pipeline tails."""
+        return self.diff(since_version, None)
+
     def optimize_zorder(self, cols: tuple[str, ...], file_count: int = 8) -> int:
         """Rewrite the live data clustered by the Z-ORDER (bit-interleaved)
         key of ``cols`` — Delta/Iceberg's multi-dimensional OPTIMIZE: after

@@ -346,3 +346,63 @@ def test_anonymise_events_mixed_type_groups(catalog, spark, tmp_path):
     assert len(row["props"]) == 32  # md5 hex of the JSON payload
     # timestamps survive the round trip in their repaired ntz form
     assert str(out.schema["ts"].dataType) in ("TimestampNTZType()", "TimestampType()")
+
+
+def test_versioned_apply_commits_one_version_per_table(catalog, spark, tmp_path):
+    """execute_plan_versioned: dryrun = zero commits; apply = one
+    'anonymise' commit whose snapshot is the masked table, with version 0
+    the pristine pre-image (time travel) and restore() as real rollback."""
+    from database_anonymiser_spark.executor import execute_plan_versioned
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    plan = build_plan(config_from_dict(base_config_dict()))
+    root = tmp_path / "vt"
+
+    dry = execute_plan_versioned(catalog, plan, root, dryrun=True)
+    assert dry.total_rows == 150
+    assert not root.exists()  # dryrun commits (and writes) nothing
+
+    res = execute_plan_versioned(catalog, plan, root, dryrun=False, force=True)
+    assert res.total_rows == 150 and not res.rolled_back
+    t = VersionedTable(spark, root / "customer")
+    assert t.latest_version() == 1
+    assert t.history()[1]["op"] == "anonymise"
+    snap = t.snapshot()
+    rows = snap.orderBy("c_custkey").limit(3).collect()
+    assert all(len(r["c_name"]) == 32 for r in rows)      # md5 hex
+    assert all(r["c_acctbal"] is None for r in rows)      # SET_NULL
+    # pre-image retained: version 0 is the unmasked source
+    pre = t.snapshot(version=0).orderBy("c_custkey").limit(1).collect()[0]
+    assert len(pre["c_name"]) != 32 and pre["c_acctbal"] is not None
+    # rollback is a forward restore commit
+    v = t.restore(0)
+    assert t.latest_version() == v
+    assert t.snapshot().orderBy("c_custkey").limit(1).collect()[0]["c_acctbal"] is not None
+
+
+def test_versioned_apply_is_all_or_nothing(catalog, spark, tmp_path):
+    """A failing table commits NOTHING anywhere: phase-1 writes are
+    invisible (no commit references them) and get vacuumed on rollback."""
+    from database_anonymiser_spark.executor import execute_plan_versioned
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    d = base_config_dict()
+    d["column_strategy"]["s_name"] = "HASH_SHA256"
+    d["rules"].append(
+        {"table": "public.ghost", "enabled": True, "columns": [{"name": "c_name"}]}
+    )
+    d["rules"].append(
+        {"table": "public.supplier", "enabled": True, "columns": [{"name": "s_name"}]}
+    )
+    plan = build_plan(config_from_dict(d))
+    root = tmp_path / "vt"
+    res = execute_plan_versioned(catalog, plan, root, dryrun=False, force=True)
+    assert res.rolled_back is True
+    assert [tr.table for tr in res.failed_tables] == ["public.ghost"]
+    # tables that were staged before the failure: version 0 (pristine) only,
+    # and their phase-1 files were vacuumed away
+    for name in ("customer", "supplier"):
+        t = VersionedTable(spark, root / name)
+        if (root / name / "_log").is_dir():
+            assert t.latest_version() == 0
+            assert t.history()[0]["op"] == "create"

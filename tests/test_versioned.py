@@ -207,3 +207,78 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert len(_rows(t.snapshot(version=v - 1))) == len(before)  # time travel
     t.vacuum()
     assert _rows(t.snapshot()) == before  # vacuum never touches referenced files
+
+
+def test_update_where_scoped_with_pruning(spark, tmp_path):
+    """update_where applies assignments only where the predicate is TRUE
+    (NULL rows untouched — SQL UPDATE semantics) and, with a prune range,
+    carries non-intersecting files by reference."""
+    df = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id") * 1.0).alias("v"),
+        )
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(spark, tmp_path / "u", df, key_col="k")
+    v0_paths = {e["path"] for e in t._live_entries(0)}
+    assert len(v0_paths) == 3
+
+    t.update_where({"v": F.col("v") + 1000.0}, F.col("v") < 10.0, prune={"k": (0, 9)})
+    v1_paths = {e["path"] for e in t._live_entries(1)}
+    # only the file containing k in [0,9] was rewritten; two carried
+    assert len(v0_paths & v1_paths) == 2
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[1] == 1001.0 and got[9] == 1009.0
+    assert got[151] == 151.0      # untouched file
+    assert got[0] is None         # NULL predicate row untouched
+    assert got[50] is None
+
+
+def test_delete_where_and_restore(spark, table):
+    v1 = table.delete_where(F.col("k") % 2 == 0)
+    assert table.latest_version() == v1
+    ks = {r["k"] for r in table.snapshot().select("k").collect()}
+    assert ks == {k for k in range(20) if k % 2 == 1}
+    # restore is a forward commit: history intact, live set = version 0's
+    v2 = table.restore(0)
+    assert table.latest_version() == v2
+    assert table.snapshot().count() == 20
+    assert table.snapshot(version=v1).count() == 10  # bad version still travelable
+    # restore is pure metadata: live files of v2 ARE v0's files
+    assert {e["path"] for e in t_live(table, v2)} == {e["path"] for e in t_live(table, 0)}
+
+
+def t_live(table, v):
+    return table._live_entries(v)
+
+
+def test_diff_classifies_insert_update_delete_and_excludes_carried(spark, table):
+    # v1: update k=3, delete k=5, insert k=999
+    src = spark.createDataFrame(
+        [(3, "upd", -3.0), (999, "new", 9.0)], "k long, name string, v double"
+    )
+    table.merge(src, when_matched="update")
+    table.delete_where(F.col("k") == 5)
+    # v3: pure layout rewrite — must contribute NOTHING to the diff
+    table.compact()
+    d = {r["k"]: r["_change_type"] for r in table.diff(0).collect()}
+    assert d == {3: "update", 5: "delete", 999: "insert"}
+    rows = {r["k"]: r for r in table.diff(0).collect()}
+    assert rows[3]["name"] == "upd"      # update carries the NEW image
+    assert rows[5]["name"] == "name5"    # delete carries the OLD image
+    # append-only interval: only inserts, no join against the full table
+    v = table.append(
+        spark.createDataFrame([(1234, "a", 0.0)], "k long, name string, v double")
+    )
+    d2 = table.diff(v - 1, v)
+    assert [(r["k"], r["_change_type"]) for r in d2.collect()] == [(1234, "insert")]
+
+
+def test_update_where_empty_prune_commits_noop_version(spark, table):
+    v = table.update_where({"v": F.lit(0.0)}, F.col("k") > 5, prune={"k": (10_000, 20_000)})
+    assert table.latest_version() == v
+    assert table.snapshot().count() == 20
+    assert {r["v"] for r in table.snapshot().where("k > 5").collect()} != {0.0}
