@@ -309,6 +309,51 @@ _Q22_SQL = """
 """
 
 
+_Q12_SQL = """
+    SELECT 'q12' AS q, count(*) AS k, l_returnflag AS name,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS val1,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS val2
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+_Q13_SQL = """
+    SELECT 'q13' AS q, c_count AS k, CAST(NULL AS VARCHAR) AS name,
+           CAST(count(*) AS DOUBLE) AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+"""
+
+_Q17_SQL = f"""
+    SELECT 'q17' AS q, count(*) AS k, 'Brand#1' AS name,
+           {dsum_sql('l_extendedprice')} / 7.0 AS val1,
+           CAST(NULL AS DOUBLE) AS val2
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+_Q19_SQL = f"""
+    SELECT 'q19' AS q, count(*) AS k, CAST(NULL AS VARCHAR) AS name,
+           {dsum_sql(_REV_SQL, 6)} AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 @register(
     "tpch_q2_q10_q22",
     f"""
@@ -317,6 +362,14 @@ _Q22_SQL = """
     SELECT * FROM ({_Q10_SQL})
     UNION ALL
     SELECT * FROM ({_Q22_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q12_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q13_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q17_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q19_SQL})
     """,
     tags=("sql", "join", "agg"),
 )
@@ -343,6 +396,21 @@ def tpch_q2_q10_q22(spark, sf_dir):
       the failure mode the harness' empty-result guard catches). Runs as
       the same SQL text through spark.sql (the sql_cte_scalar precedent):
       scalar subquery = one-row subquery reuse, NOT EXISTS = left-anti.
+
+    Round 5 (second batch) adds four more shapes on the same schema:
+
+    - 'q12' (shipmode-priority): fact-fact join + conditional integer sums
+      (exact regardless of partitioning); the window filter prunes the
+      lineitem scan.
+    - 'q13' (custdist): LEFT OUTER with an extra non-filtering ON
+      predicate, count-of-counts double aggregation — the classic
+      skew-tolerant distribution query.
+    - 'q17' (small-quantity revenue): correlated per-part AVG decorrelated
+      by hand; both the brand-part set and the per-part averages broadcast
+      (71 parts at sf0.01), so the fact table is scanned once and never
+      shuffled.
+    - 'q19' (disjunctive OR-of-ANDs): one broadcast join + residual
+      disjunction; exact-decimal revenue.
     """
     p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
     li = load(spark, sf_dir, "lineitem")
@@ -397,4 +465,111 @@ def tpch_q2_q10_q22(spark, sf_dir):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     q22 = spark.sql(_Q22_SQL)
 
-    return q2.unionByName(q10).unionByName(q22)
+    # q12 (shipmode-priority shape): one fact-fact join windowed on the
+    # lineitem side, conditional integer sums (exact at any partitioning)
+    o12 = load(spark, sf_dir, "orders")
+    li12 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q12 = (
+        o12.join(li12, o12.o_orderkey == li12.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("double").alias("val1"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("double").alias("val2"),
+        )
+        .select(
+            F.lit("q12").alias("q"),
+            "k",
+            F.col("l_returnflag").alias("name"),
+            "val1",
+            "val2",
+        )
+    )
+
+    # q13 (custdist): LEFT join with an extra ON predicate (NULL-extending,
+    # not filtering), per-customer order count, then the count-of-counts
+    c13 = load(spark, sf_dir, "customer")
+    o13 = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    q13 = (
+        c13.join(o13, c13.c_custkey == o13.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("double").alias("val1"))
+        .select(
+            F.lit("q13").alias("q"),
+            F.col("c_count").alias("k"),
+            F.lit(None).cast("string").alias("name"),
+            "val1",
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    # q17 (small-quantity revenue): correlated per-part AVG decorrelated by
+    # hand — brand parts broadcast into lineitem, per-part avg broadcast
+    # back (the avg is exact: integer-valued doubles sum exactly, so the
+    # 0.2*avg threshold is bit-identical cross-engine)
+    p17 = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li17 = li.join(F.broadcast(p17), li.l_partkey == p17.p_partkey)
+    avg17 = li17.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_q"))
+    q17 = (
+        li17.join(F.broadcast(avg17), "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_q"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("val1"),
+        )
+        .select(
+            F.lit("q17").alias("q"),
+            "k",
+            F.lit("Brand#1").alias("name"),
+            "val1",
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    # q19 (disjunctive predicate): broadcast part into lineitem, one OR-of-
+    # ANDs residual filter — Catalyst extracts the common p_brand IN (...)
+    # + p_size <= 15 + l_quantity <= 30 bounds for pushdown
+    p19 = load(spark, sf_dir, "part")
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    rev19 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    q19 = (
+        li.join(F.broadcast(p19), li.l_partkey == p19.p_partkey)
+        .where(
+            arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#7", 15, 20, 30)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            dsum(rev19, 6).alias("val1"),
+        )
+        .select(
+            F.lit("q19").alias("q"),
+            "k",
+            F.lit(None).cast("string").alias("name"),
+            "val1",
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    return (
+        q2.unionByName(q10)
+        .unionByName(q22)
+        .unionByName(q12)
+        .unionByName(q13)
+        .unionByName(q17)
+        .unionByName(q19)
+    )
