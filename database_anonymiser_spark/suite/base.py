@@ -37,14 +37,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     Sets the session confs the suite depends on (runtime-settable SQL confs) —
     the driver may hand us a session built without them. The resulting
-    DataFrame (an immutable logical plan) is cached per (session, path):
+    DataFrame (an immutable logical plan) is cached per (application, path):
     repeated loads across the suite skip Spark's file-listing + footer
-    schema-inference round trip.
+    schema-inference round trip. Keyed by applicationId, not id(session) —
+    CPython reuses id() values after GC, so a stopped-and-recreated session
+    could alias a dead session's stale py4j plan (the round-4 advice bug
+    class fixed in operators/text.py); other applications' entries are
+    evicted so the cache never outgrows one session's tables.
     """
-    key = (id(spark), sf_dir, table)
-    hit = _DF_CACHE.get(key)
-    if hit is not None:
-        return hit
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None  # context stopped/absent — skip caching
+    key = (app_id, sf_dir, table)
+    if app_id is not None:
+        for k in [k for k in _DF_CACHE if k[0] != app_id]:
+            del _DF_CACHE[k]
+        hit = _DF_CACHE.get(key)
+        if hit is not None:
+            return hit
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -53,7 +64,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from database_anonymiser_spark.catalog import read_parquet_table
 
     df = read_parquet_table(spark, f"{sf_dir}/{table}.parquet")
-    _DF_CACHE[key] = df
+    if app_id is not None:
+        _DF_CACHE[key] = df
     return df
 
 
