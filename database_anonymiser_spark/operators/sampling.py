@@ -96,6 +96,70 @@ def mixture_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "strat-v1",
+    oversample: int = 8,
+) -> DataFrame:
+    """Exact-size deterministic stratified sample: the ``n_per_group`` rows
+    with the SMALLEST md5 bucket (ties broken by id) per stratum — the
+    fixed-quota counterpart to :func:`mixture_sample`'s rates (eval-set
+    construction, per-domain probes, balanced fine-tuning slices). Pure
+    function of (salt, id): retry-stable and engine-reproducible (the
+    declared 'stratified' branch of ``sample_scan`` hash-checks it).
+
+    Scale shape: the naive form is one window per group — but a window
+    sort puts each ENTIRE stratum in one task, a single-task bottleneck
+    for a 10-TB stratum. So, exactly like the KMV global pre-filter
+    (operators/sketch.py), a tiny per-group count aggregate picks a hash
+    threshold keeping ~``oversample``·n rows per group, broadcast back as
+    a MAP-SIDE prefilter before the window. The survivor set under
+    ``h < thr`` is a downward-closed prefix of the (h, id) order, so the
+    top-n among survivors equals the global top-n whenever survivors ≥ n;
+    groups where the binomial tail ever undershoots (astronomically
+    unlikely at 8×, but checked, not assumed) fall back to their full
+    rows for the window. Both aggregates touch only (group, count) pairs.
+    """
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be > 0")
+    from pyspark.sql.window import Window
+
+    h = _bucket(id_col, salt)
+    target = n_per_group * oversample
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    thr = (
+        F.when(F.col("_gn") <= target, F.lit(_MICRO))
+        .otherwise(F.ceil(F.lit(float(_MICRO) * target) / F.col("_gn")).cast("long"))
+        .alias("_thr")
+    )
+    # thr = _MICRO for small groups, so h < _thr keeps them whole
+    pre = df.join(F.broadcast(counts.select(group_col, thr, "_gn")), group_col).where(
+        h < F.col("_thr")
+    )
+    # safety: a group whose prefilter survivors dipped below n (possible
+    # only in the far binomial tail) must use its FULL rows — determinism
+    # over micro-efficiency
+    short = (
+        pre.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_sn"), F.max("_gn").alias("_gn2"))
+        .where((F.col("_sn") < n_per_group) & (F.col("_sn") < F.col("_gn2")))
+        .select(group_col)
+    )
+    fallback = df.join(F.broadcast(short), group_col, "left_semi")
+    kept = pre.select(*df.columns).join(
+        F.broadcast(short), group_col, "left_anti"
+    ).unionByName(fallback)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .select(*df.columns)  # restore input column order (join moved the key)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,

@@ -46,6 +46,16 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
       )
     )
     UNION ALL
+    SELECT 'stratified' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY ('0x' || substr(md5('strat-v1' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                          % 1000000, c_custkey
+             ) AS rn
+      FROM customer
+    ) WHERE rn <= 7
+    UNION ALL
     SELECT 'budget' AS kind, c_custkey, c_name FROM (
       SELECT c_custkey, c_name, cost, budget,
              sum(cost) OVER (PARTITION BY c_mktsegment ORDER BY h, c_custkey
@@ -78,6 +88,12 @@ def sample_scan(spark, sf_dir):
     to 0.1 — rate lookup via a literal map, copy fan-out via
     posexplode(array_repeat), all map-side; the oracle reproduces the
     bucket arithmetic and the copy fan-out with unnest(range(...)).
+    'stratified' (round 5, operators/sampling.py::stratified_sample) is
+    the exact-quota counterpart: the 7 smallest-hash customers per market
+    segment — eval-set construction. At scale the window is preceded by a
+    broadcast hash-threshold prefilter (KMV-style) so no stratum ever
+    sorts whole in one task; the oracle is the plain ROW_NUMBER form the
+    prefilter provably equals.
     'budget' is token-budget sampling (round 4,
     operators/sampling.py::token_budget_sample) — the form real
     pretraining mixtures are specified in (tokens per source): admit docs
@@ -111,6 +127,12 @@ def sample_scan(spark, sf_dir):
         {"BUILDING": 1.5, "AUTOMOBILE": 0.25},
         default_rate=0.1,
     ).select(F.lit("mixture").alias("kind"), "c_custkey", "c_name")
+    stratified = SA.stratified_sample(
+        df.select("c_custkey", "c_name", "c_mktsegment"),
+        "c_custkey",
+        "c_mktsegment",
+        7,
+    ).select(F.lit("stratified").alias("kind"), "c_custkey", "c_name")
     budgeted = SA.token_budget_sample(
         df.where(F.col("c_name").isNotNull())
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -121,7 +143,12 @@ def sample_scan(spark, sf_dir):
         {"BUILDING": 400, "AUTOMOBILE": 200},
         default_budget=None,
     ).select(F.lit("budget").alias("kind"), "c_custkey", "c_name")
-    return head.unionByName(sampled).unionByName(mixed).unionByName(budgeted)
+    return (
+        head.unionByName(sampled)
+        .unionByName(mixed)
+        .unionByName(stratified)
+        .unionByName(budgeted)
+    )
 
 
 _ALL_TABLES = (

@@ -494,9 +494,11 @@ def _bloom_oracle(m_bits: int = 1 << 16, k: int = 4) -> str:
     membership-in-the-distinct-position-set — false positives (distinct
     keys colliding on all k positions) reproduce exactly because the md5
     hash family is identical."""
+    # one md5 → 60-bit v, Kirsch-Mitzenmacher (h1 + i*h2) % m — the same
+    # derivation operators/bloom.py compiles to Spark expressions
+    v_sql = "('0x' || substr(md5('bloom:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
     hash_sql = (
-        "(('0x' || substr(md5('bloom' || i || ':' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {m_bits})"
+        f"((({v_sql}) % 1073741824) + i * ((({v_sql}) >> 30) * 2 + 1)) % {m_bits}"
     )
     return f"""
     WITH ks AS (SELECT unnest(range(0, {k})) AS i),

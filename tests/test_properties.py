@@ -451,10 +451,9 @@ def test_bloom_matches_python_twin(spark, build, probe):
     }
 
     def positions(v):
-        return {
-            int(hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()[:15], 16) % m
-            for i in range(kh)
-        }
+        h = int(hashlib.md5(f"bloom:{v}".encode()).hexdigest()[:15], 16)
+        h1, h2 = h % (1 << 30), (h >> 30) * 2 + 1
+        return {(h1 + i * h2) % m for i in range(kh)}
 
     bits = set()
     for v in set(build):

@@ -1345,3 +1345,68 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert r["chunk_id"] == hashlib.md5(
         f"1:1:{r['chunk_text']}".encode()
     ).hexdigest()
+
+
+def test_stratified_sample_exact_quota_and_prefilter_equivalence(spark):
+    """stratified_sample: (1) exact n per stratum (whole group when smaller);
+    (2) the hash-threshold prefilter path (group size >> oversample*n)
+    returns EXACTLY the naive single-window answer; (3) retry-stable under
+    repartitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from database_anonymiser_spark.operators import sampling as SA
+
+    rows = (
+        [(i, "big") for i in range(4000)]          # >> 8*5: prefilter engages
+        + [(10_000 + i, "mid") for i in range(30)]
+        + [(20_000 + i, "tiny") for i in range(3)]  # < n: kept whole
+    )
+    df = spark.createDataFrame(rows, "id long, g string")
+    got = SA.stratified_sample(df, "id", "g", 5, oversample=8)
+    per = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"big": 5, "mid": 5, "tiny": 3}
+
+    # naive twin: one window, no prefilter
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("strat-v1"), F.col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    w = Window.partitionBy("g").orderBy(h.asc(), F.col("id").asc())
+    naive = df.withColumn("_rn", F.row_number().over(w)).where("_rn <= 5").drop("_rn")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+    again = SA.stratified_sample(df.repartition(17), "id", "g", 5, oversample=8)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+
+    with pytest.raises(ValueError):
+        SA.stratified_sample(df, "id", "g", 0)
+
+
+def test_bloom_xxhash64_family_no_false_negatives(spark, sf_dir):
+    """The non-portable fast family (seeded xxhash64, pure JVM hashing)
+    keeps the two load-bearing properties: never drops a true match, and
+    the probe plan stays scan+filter (no Exchange)."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators.bloom import bloom_semi_join
+    from database_anonymiser_spark.suite.base import load
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    li = load(spark, sf_dir, "lineitem")
+    passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey", family="xxhash64")
+    exact = li.join(
+        orders.select("o_orderkey").distinct(),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    n_exact = exact.count()
+    assert (
+        passed.join(
+            exact.select("l_orderkey", "l_linenumber"),
+            ["l_orderkey", "l_linenumber"],
+            "left_semi",
+        ).count()
+        == n_exact
+    )
+    assert "Exchange" not in passed._jdf.queryExecution().executedPlan().toString()
