@@ -95,6 +95,26 @@ def curate_corpus(
     normalized line shared by that many docs is stripped corpus-wide)
     before the per-document gates.
     """
+    # Parallelism floor: the per-doc gate expressions (C4 scrub, profile
+    # regex trees, the repetition profile's O(n log n) sort/fold HOFs) are
+    # the pipeline's compute bulk, and Catalyst pushes every gate FILTER —
+    # expression trees and all — down into the scan stage, THROUGH any
+    # repartition (PushDownPredicates crosses RepartitionByExpression). A
+    # corpus read from a handful of parquet files therefore evaluates the
+    # whole gate chain on that many tasks regardless of cluster size
+    # (measured at sf0.1: 27s single-task vs ~2s wide). The repartition
+    # alone cannot fix it; caching the repartitioned raw docs is the
+    # pushdown barrier — filters stop at the InMemoryRelation, whose
+    # partitioning is already cluster-wide. At 100 TB the scan has natural
+    # parallelism and this whole branch is a no-op; when it does engage,
+    # the cache is MEMORY_AND_DISK (spills, never OOMs) and scoped to the
+    # call.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = scoped_cache(
+            "curate.docs", docs.repartition(sc.defaultParallelism, F.col(id_col))
+        )
+
     if clean_lines or drop_boilerplate:
         c4 = TX.c4_clean(docs, id_col, text_col, keep=(text_col, source_col))
         if drop_boilerplate:
