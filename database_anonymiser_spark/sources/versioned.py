@@ -255,9 +255,29 @@ class VersionedTable:
                 str(self.root / any_adds[0]["path"])
             ).schema
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+        # mergeSchema: files written before an additive schema evolution
+        # lack the newer columns — the reader NULL-fills them, so history
+        # is never rewritten. (The footer-union cost is the classic
+        # mergeSchema price; a fuller build would serve the schema from
+        # the commit log like Delta does.)
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[str(self.root / e["path"]) for e in entries]
         )
+
+    def _read_paths(self, paths, align_to=None) -> DataFrame:
+        """mergeSchema read of specific live files, NULL-filling columns
+        that pre-evolution files lack so the result always carries the
+        ``align_to`` schema (default: the latest snapshot's)."""
+        schema = (align_to if align_to is not None else self.snapshot()).schema
+        d = self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.root / p) for p in paths]
+        )
+        missing = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name not in d.columns
+        ]
+        return d.select(*d.columns, *missing).select(*[f.name for f in schema.fields])
 
     def files_matching(self, predicates: dict[str, tuple]) -> list[dict]:
         """Live files whose recorded stats can satisfy ``{col: (lo, hi)}``
@@ -292,7 +312,7 @@ class VersionedTable:
         entries = self.files_matching(predicates)
         if not entries:
             return self.snapshot().limit(0).where(F.lit(False))
-        df = self.spark.read.parquet(*[str(self.root / e["path"]) for e in entries])
+        df = self._read_paths([e["path"] for e in entries])
         for col, (lo, hi) in predicates.items():
             df = df.where(F.col(col).between(lo, hi))
         return df
@@ -310,9 +330,40 @@ class VersionedTable:
         _commit(t.root, 0, adds, [], key_col, op="create")
         return t
 
-    def append(self, df: DataFrame) -> int:
-        """Blind append — new files, no reads, one commit."""
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Blind append — new files, no reads, one commit.
+
+        ``merge_schema=True`` enables Delta-style ADDITIVE schema
+        evolution: columns the table has but ``df`` lacks are
+        NULL-backfilled into the appended files; columns ``df`` adds are
+        accepted (old files simply lack them — Spark's parquet reader
+        NULL-fills missing columns at scan time under mergeSchema, which
+        :meth:`snapshot` turns on, so no historical file is ever
+        rewritten). Type changes and (without the flag) any schema
+        mismatch are rejected loudly."""
         key_col = self.key_col()
+        cur = self.snapshot().schema
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        clash = [
+            c for c in cur_types if c in new_types and cur_types[c] != new_types[c]
+        ]
+        if clash:
+            raise ValueError(f"schema evolution cannot change column types: {clash}")
+        if set(new_types) != set(cur_types):
+            if not merge_schema:
+                raise ValueError(
+                    "append schema differs from table schema; pass "
+                    f"merge_schema=True to evolve (table-only: "
+                    f"{sorted(set(cur_types) - set(new_types))}, append-only: "
+                    f"{sorted(set(new_types) - set(cur_types))})"
+                )
+            missing = [
+                F.lit(None).cast(cur_types[c]).alias(c)
+                for c in cur_types
+                if c not in new_types
+            ]
+            df = df.select(*df.columns, *missing)
         v = self.latest_version() + 1
         adds = _write_data_files(df, self.root, key_col)
         _commit(self.root, v, adds, [], key_col, op="append")
@@ -367,9 +418,7 @@ class VersionedTable:
 
         new_files: list[_FileEntry] = []
         if touched:
-            tgt = self.spark.read.parquet(
-                *[str(self.root / e["path"]) for e in touched]
-            )
+            tgt = self._read_paths([e["path"] for e in touched])
             keep = tgt.join(source.select(key_col), key_col, "left_anti")
             if when_matched == "update":
                 matched_src = source.join(
@@ -435,7 +484,7 @@ class VersionedTable:
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="update_where")
             return v + 1
-        tgt = self.spark.read.parquet(*[str(self.root / p) for p in touched_paths])
+        tgt = self._read_paths(sorted(touched_paths))
         rewritten = tgt.select(
             *[
                 F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
@@ -467,7 +516,7 @@ class VersionedTable:
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="delete_where")
             return v + 1
-        tgt = self.spark.read.parquet(*[str(self.root / p) for p in touched_paths])
+        tgt = self._read_paths(sorted(touched_paths))
         survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
         new_files = _write_data_files(survivors, self.root, key_col)
         _commit(
@@ -524,7 +573,7 @@ class VersionedTable:
         def _read(paths):
             if not paths:
                 return schema_src.limit(0)
-            return self.spark.read.parquet(*[str(self.root / p) for p in paths])
+            return self._read_paths(paths, align_to=schema_src)
 
         old = _read(removed).select(
             F.col(key_col).alias("_k"), F.struct(*cols).alias("_old")

@@ -282,3 +282,42 @@ def test_update_where_empty_prune_commits_noop_version(spark, table):
     assert table.latest_version() == v
     assert table.snapshot().count() == 20
     assert {r["v"] for r in table.snapshot().where("k > 5").collect()} != {0.0}
+
+
+def test_append_merge_schema_evolution(spark, table):
+    """Additive schema evolution: an append that ADDS a column is accepted
+    under merge_schema=True (old files NULL-fill at read); an append that
+    LACKS a column gets it NULL-backfilled; type changes always reject;
+    merge and diff keep working across the evolution boundary."""
+    import pytest as _pt
+
+    wide = spark.createDataFrame(
+        [(500, "w", 1.0, "extra")], "k long, name string, v double, note string"
+    )
+    with _pt.raises(ValueError, match="merge_schema=True"):
+        table.append(wide)
+    v1 = table.append(wide, merge_schema=True)
+    snap = table.snapshot()
+    assert set(snap.columns) == {"k", "name", "v", "note"}
+    got = {r["k"]: r["note"] for r in snap.collect()}
+    assert got[500] == "extra" and got[3] is None  # old rows NULL-fill
+
+    narrow = spark.createDataFrame([(600, "n")], "k long, name string")
+    table.append(narrow, merge_schema=True)
+    r600 = table.snapshot().where("k = 600").collect()[0]
+    assert r600["v"] is None and r600["note"] is None  # backfilled
+
+    bad = spark.createDataFrame([(1, "x", 1)], "k long, name string, v int")
+    with _pt.raises(ValueError, match="types"):
+        table.append(bad, merge_schema=True)
+
+    # merge across the boundary: touched pre-evolution files align to the
+    # evolved schema; diff classifies the update correctly
+    src = spark.createDataFrame(
+        [(3, "upd", -3.0, "tagged")], "k long, name string, v double, note string"
+    )
+    v_m = table.merge(src, when_matched="update")
+    r3 = table.snapshot().where("k = 3").collect()[0]
+    assert (r3["name"], r3["note"]) == ("upd", "tagged")
+    d = {r["k"]: r["_change_type"] for r in table.diff(v1, v_m).collect()}
+    assert d[3] == "update" and d[600] == "insert"
