@@ -245,6 +245,11 @@ _KNN_QUERY_IDS = (0, 7, 42)
 #: metadata predicate for the packed filtered-search branch
 _FILTER_LABEL = 3
 
+#: product-quantization shape for the packed 'pq' branch: 8 subspaces of
+#: 8 dims, 16 codewords each — 64 float32 → 8 small ints per vector
+_PQ_M_SUB = 8
+_PQ_K_SUB = 16
+
 
 def _ann_oracle(
     k: int = 10,
@@ -413,9 +418,48 @@ def _ann_oracle(
       WHERE e.label = {_FILTER_LABEL}
       ORDER BY c.cosine DESC, c.vec_id
       LIMIT {k}
+    ),
+    cbv AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K_SUB}),
+    cb AS (
+      SELECT dense_rank() OVER (ORDER BY m.vec_id) - 1 AS code, m.i, m.a
+      FROM mi m JOIN cbv ON m.vec_id = cbv.vec_id
+    ),
+    pqd AS (
+      SELECT m.vec_id, (m.i - 1) // {dim // _PQ_M_SUB} AS sub, c.code,
+             sum((m.a - c.a) * (m.a - c.a)) AS d2
+      FROM mi m JOIN cb c ON c.i = m.i
+      GROUP BY 1, 2, 3
+    ),
+    pqc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2 ASC, code ASC) AS rn
+        FROM pqd) t WHERE rn = 1
+    ),
+    pqq AS (SELECT i, a AS qa FROM mi WHERE vec_id = {_QUERY_VEC_ID}),
+    pql AS (
+      SELECT (c.i - 1) // {dim // _PQ_M_SUB} AS sub, c.code,
+             sum(c.a * q.qa) AS dp, sum(c.a * c.a) AS n2
+      FROM cb c JOIN pqq q USING (i) GROUP BY 1, 2
+    ),
+    pqs AS (
+      SELECT kk.vec_id, sum(l.dp) AS dot, sum(l.n2) AS na
+      FROM pqc kk JOIN pql l ON l.sub = kk.sub AND l.code = kk.code
+      GROUP BY 1
+    ),
+    pqn AS (SELECT sum(qa * qa) AS nb FROM pqq),
+    pq AS (
+      SELECT 'pq' AS method, CAST({_QUERY_VEC_ID} AS BIGINT) AS query_id, vec_id,
+             CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cosine
+      FROM pqs, pqn
+      WHERE vec_id != {_QUERY_VEC_ID}
+      ORDER BY cosine DESC, vec_id
+      LIMIT {k}
     )
     SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM knn
     UNION ALL SELECT * FROM ivf_sq UNION ALL SELECT * FROM filtered
+    UNION ALL SELECT * FROM pq
     """
 
 
@@ -504,4 +548,27 @@ def sim_topk_ann(spark, sf_dir):
         query_id=_QUERY_VEC_ID,
         k=10,
     ).select(F.lit("filtered").alias("method"), qid.alias("query_id"), "vec_id", "cosine")
-    return lsh.unionByName(ivf).unionByName(knn).unionByName(ivf_sq).unionByName(flt)
+    # SIXTH branch (round 5) — product quantization with ADC scoring
+    # (operators/similarity.py::pq_index/pq_topk, Jégou et al. 2011): 8
+    # subspaces × 16 codewords, all arithmetic in exact micro-int space, so
+    # the codebook construction, the per-subspace argmin assignment, the
+    # dot/norm² lookup tables and the final round-6 cosine are each
+    # replayed verbatim by the oracle's BIGINT CTEs. Recall vs brute force
+    # is pinned in tests/test_suite_ops.py.
+    books = SIM.pq_codebooks(emb, "vec_id", "embedding", m_sub=_PQ_M_SUB, k_sub=_PQ_K_SUB)
+    pq = SIM.pq_topk(
+        SIM.pq_index(emb, "vec_id", "embedding", books),
+        emb,
+        "vec_id",
+        "embedding",
+        query_id=_QUERY_VEC_ID,
+        books=books,
+        k=10,
+    ).select(F.lit("pq").alias("method"), qid.alias("query_id"), "vec_id", "cosine")
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(knn)
+        .unionByName(ivf_sq)
+        .unionByName(flt)
+        .unionByName(pq)
+    )
