@@ -39,7 +39,7 @@ CATEGORIES = [
 MERGE_MAP = [
     ("mask_strategies", "mask_keep + mask_set_null + mask_redact + mask_hash (+ real sha256) + mask_truncate + mask_email_fake + mask_sample_preview"),
     ("count_rows", "count_rows + count_total (ROLLUP grand total)"),
-    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3) + token_budget_sample (token-weighted mixture, round 4)"),
+    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3) + token_budget_sample (token-weighted mixture, round 4) + stratified_sample (exact n-per-stratum with KMV-style prefilter, round 5)"),
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
@@ -53,14 +53,14 @@ MERGE_MAP = [
     ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
     ("dedup_exact", "whole-document exact dedup + cross-document line dedup (RefinedWeb-style boilerplate removal, round 4)"),
     ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped + dedup_clusters (connected components, round 3) + decontaminate (train/eval n-gram overlap, round 3)"),
-    ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf + bulk knn_join branch (round 4, exact-decimal scores)"),
+    ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf + bulk knn_join branch (round 4, exact-decimal scores) + ivf_sq persisted-index branch + metadata-filtered search + product-quantization ADC branch (round 5)"),
     ("sim_topk_bruteforce", "sim_topk_bruteforce + int8-quantized top-k (compressed-domain scoring, round 3)"),
     ("text_profile", "text_tokens + text_quality + text_langid + text_fingerprint + train_eval_split (leakage-safe, round 3) + repetition_profile (Gopher-style repetition gates, round 3) + c4_clean line-cleaning signals (round 4)"),
     ("mm_extract_features", "mm_extract_features + mm_frame_sample (chained per-frame features) + mm_resize_meta (per-doc resize metadata joined onto the frame rows, round 5)"),
     # Round-5 consolidation: the new surface packed back to exactly 50 so
     # every declared operator stays inside the driver's 50-entry
     # alphabetical correctness window:
-    ("tpch_q2_q10_q22", "tpch_q2 (correlated scalar-MIN, decorrelation equivalence) + tpch_q10 (returned-item top-20) + tpch_q22 (scalar-AVG threshold + NOT EXISTS anti join) - round 5"),
+    ("tpch_q2_q10_q22", "tpch_q2 (correlated scalar-MIN, decorrelation equivalence) + tpch_q10 (returned-item top-20) + tpch_q22 (scalar-AVG threshold + NOT EXISTS anti join) + tpch_q12 (conditional priority sums) + tpch_q13 (custdist outer join + count-of-counts) + tpch_q17 (decorrelated per-part AVG threshold) + tpch_q19 (disjunctive OR-of-ANDs) - round 5"),
     ("text_quality_spans", "text_quality_clf (fixed-weight linear quality classifier, bit-exact scores) + dedup_spans (windowed ExactSubstr duplicated-span cover) - round 5"),
     ("sim_cosine_pairs", "+ dedup_semantic (SemDeDup-style closure: 'cluster' variant = per-vector cluster id + survivor verdict, recursive-CTE oracle) - round 5"),
     ("dedup_minhash", "+ dedup_simhash ('simhash' variant rows carry the 64-bit signature in id_b) - round 5"),
