@@ -423,3 +423,29 @@ def run_stream_to_versioned(
         t.merge(batch, when_matched="update")
 
     return run_foreach_batch(df, sink, checkpoint)
+
+
+def versioned_change_feed(
+    spark: SparkSession, table_root: str, since_version: int
+) -> tuple[DataFrame | None, int]:
+    """One incremental pull of a versioned table's row-level changes — the
+    CONSUME side of :func:`run_stream_to_versioned` (Delta's change data
+    feed shape): ``(changes_df, new_cursor)`` where ``changes_df`` is
+    ``diff(since_version, latest)`` (``_change_type`` ∈ insert / update /
+    delete, carried rewrites excluded) and ``new_cursor`` is the version
+    the caller should persist and pass next time. Returns ``(None,
+    since_version)`` when nothing new committed — a poll loop over this is
+    the standard CDC tail, and downstream exactly-once falls out of the
+    cursor: a crashed consumer re-pulls the identical deterministic diff.
+
+    100 TB shape: the pull reads ONLY files that changed in the interval
+    (file-level set difference on the commit log) and shuffles one key
+    join of just those rows — tailing an append-mostly table costs the
+    appended bytes, never a table scan."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, table_root)
+    latest = t.latest_version()
+    if latest <= since_version:
+        return None, since_version
+    return t.diff(since_version, latest), latest

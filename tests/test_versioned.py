@@ -321,3 +321,54 @@ def test_append_merge_schema_evolution(spark, table):
     assert (r3["name"], r3["note"]) == ("upd", "tagged")
     d = {r["k"]: r["_change_type"] for r in table.diff(v1, v_m).collect()}
     assert d[3] == "update" and d[600] == "insert"
+
+
+def test_change_feed_reconstructs_table_state(spark, tmp_path):
+    """Incremental change-feed consumption (streaming/pipeline.py::
+    versioned_change_feed): applying each pull's insert/update/delete rows
+    onto the consumer's copy reproduces the table snapshot exactly, across
+    multiple pulls with interleaved merge/delete/compact commits; an idle
+    pull returns (None, cursor) unchanged."""
+    from database_anonymiser_spark.streaming.pipeline import versioned_change_feed
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.0) for i in range(30)], "k long, name string, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "cdc", df, key_col="k")
+    state = {r["k"]: (r["name"], r["v"]) for r in t.snapshot().collect()}
+    cursor = 0
+
+    def apply_pull():
+        nonlocal cursor
+        changes, cursor2 = versioned_change_feed(spark, str(tmp_path / "cdc"), cursor)
+        if changes is not None:
+            for r in changes.collect():
+                if r["_change_type"] == "delete":
+                    state.pop(r["k"], None)
+                else:
+                    state[r["k"]] = (r["name"], r["v"])
+        cursor = cursor2
+
+    # interval 1: merge (update k=2, insert k=100)
+    t.merge(
+        spark.createDataFrame(
+            [(2, "upd", -2.0), (100, "new", 1.0)], "k long, name string, v double"
+        )
+    )
+    apply_pull()
+    assert state == {
+        r["k"]: (r["name"], r["v"]) for r in t.snapshot().collect()
+    }
+
+    # interval 2: delete + compaction (compaction must contribute nothing)
+    t.delete_where(F.col("k") < 5)
+    t.compact()
+    apply_pull()
+    assert state == {
+        r["k"]: (r["name"], r["v"]) for r in t.snapshot().collect()
+    }
+    assert 2 not in state and 100 in state
+
+    # idle pull: no new commits
+    changes, c2 = versioned_change_feed(spark, str(tmp_path / "cdc"), cursor)
+    assert changes is None and c2 == cursor
