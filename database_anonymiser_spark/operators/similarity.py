@@ -1352,6 +1352,131 @@ def pq_codebooks(
     ]
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 3,
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd-trained PQ codebooks — the trained upgrade over
+    :func:`pq_codebooks`' lowest-id placeholder (the same relationship as
+    :func:`train_ivf_codebook` to the IVF lowest-id codebook; the declared
+    oracle branch stays on the training-free books, which ANSI SQL can
+    reproduce — training quality is pinned by the distortion test in
+    tests/test_suite_ops.py instead).
+
+    Deterministic at any partitioning: init is the training-free books;
+    each iteration assigns codes by exact integer L2² argmin (ties →
+    lower code, numpy first-hit) and recomputes each codeword as the
+    HALF-UP-rounded mean of its members' micro-int components — BIGINT
+    component sums via one groupBy per iteration, so the update is
+    identical regardless of order. Empty cells keep their codeword.
+
+    Scale shape: per iteration one Arrow assignment pass + one
+    partial-aggregated groupBy of (m_sub·k_sub) × (sub_dim+1) sums; only
+    m_sub·k_sub rows reach the driver (they ARE the model). Train on a
+    deterministic sample (:func:`~database_anonymiser_spark.operators.sampling.hash_sample`)
+    when the corpus is large."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = pq_codebooks(df, id_col, vec_col, m_sub=m_sub, k_sub=k_sub)
+    d = len(books[0][0])
+    micro = F.transform(
+        F.col(vec_col), lambda x: (_dec(x) * 1_000_000).cast("long")
+    ).alias("_mi")
+    base = df.select(micro)
+    schema = T.StructType(
+        [T.StructField("sub", T.IntegerType()), T.StructField("code", T.IntegerType())]
+        + [T.StructField(f"s{i}", T.LongType()) for i in range(d)]
+        + [T.StructField("n", T.LongType())]
+    )
+
+    for _ in range(n_iter):
+        bmats = [np.array(b, dtype=np.int64) for b in books]
+
+        def emit(it):
+            cols = ["sub", "code"] + [f"s{i}" for i in range(d)] + ["n"]
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({c: [] for c in cols})
+                    continue
+                V = np.vstack(pdf["_mi"].to_numpy()).astype(np.int64)
+                frames = []
+                for j, B in enumerate(bmats):
+                    S = V[:, j * d : (j + 1) * d]
+                    codes = ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                    # partial per-(sub, code) component sums — map-side combine
+                    fr = pd.DataFrame(S, columns=[f"s{i}" for i in range(d)])
+                    fr["code"] = codes
+                    g = fr.groupby("code").agg(["sum", "size"])
+                    out = pd.DataFrame(
+                        {f"s{i}": g[(f"s{i}", "sum")] for i in range(d)}
+                    )
+                    out["n"] = g[(f"s{0}", "size")]
+                    out["sub"] = j
+                    out["code"] = g.index
+                    frames.append(out)
+                yield pd.concat(frames, ignore_index=True)[cols]
+
+        sums = (
+            base.mapInPandas(emit, schema)
+            .groupBy("sub", "code")
+            .agg(
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(d)],
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new_books = [[list(cw) for cw in b] for b in books]
+        for r in sums:
+            j, c, n = r["sub"], r["code"], r["n"]
+            if n > 0:
+                new_books[j][c] = [
+                    int((2 * r[f"s{i}"] + n) // (2 * n))  # HALF-UP integer mean
+                    if r[f"s{i}"] >= 0
+                    else -int((2 * (-r[f"s{i}"]) + n) // (2 * n))
+                    for i in range(d)
+                ]
+        books = new_books
+    return books
+
+
+def pq_distortion(
+    df: DataFrame, id_col: str, vec_col: str, books: list[list[list[int]]]
+) -> int:
+    """Total integer quantization distortion Σ rows Σ subspaces min_c L2² —
+    the k-means objective, used to pin that training improves on the
+    training-free books (exact BIGINT, so the comparison is noise-free)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = len(books[0][0])
+    micro = F.transform(
+        F.col(vec_col), lambda x: (_dec(x) * 1_000_000).cast("long")
+    ).alias("_mi")
+    bmats = [np.array(b, dtype=np.int64) for b in books]
+    schema = T.StructType([T.StructField("d2", T.LongType())])
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"d2": []})
+                continue
+            V = np.vstack(pdf["_mi"].to_numpy()).astype(np.int64)
+            tot = np.zeros(len(V), dtype=np.int64)
+            for j, B in enumerate(bmats):
+                S = V[:, j * d : (j + 1) * d]
+                tot += ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            yield pd.DataFrame({"d2": tot})
+
+    return df.select(micro).mapInPandas(score, schema).agg(F.sum("d2")).first()[0]
+
+
 def pq_index(
     df: DataFrame,
     id_col: str,

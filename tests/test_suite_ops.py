@@ -1448,3 +1448,29 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
     row1 = [r for r in got if r["vec_id"] in range(16)]
     for r in row1:
         assert r["cosine"] is None or -1.0 <= r["cosine"] <= 1.0
+
+
+def test_trained_pq_codebooks_reduce_distortion(spark, sf_dir):
+    """train_pq_codebooks: (1) Lloyd iterations strictly reduce (or hold)
+    the exact-integer quantization distortion vs the training-free books;
+    (2) the trained books are partitioning-invariant (BIGINT sums +
+    half-up integer means); (3) pq_topk runs unchanged on them."""
+    from database_anonymiser_spark.operators import similarity as SIM
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    free = SIM.pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_sub=16)
+    trained = SIM.train_pq_codebooks(emb, "vec_id", "embedding", m_sub=8, k_sub=16, n_iter=3)
+    d_free = SIM.pq_distortion(emb, "vec_id", "embedding", free)
+    d_trained = SIM.pq_distortion(emb, "vec_id", "embedding", trained)
+    assert d_trained <= d_free
+    assert d_trained < d_free * 0.9, f"training barely moved: {d_trained} vs {d_free}"
+
+    trained2 = SIM.train_pq_codebooks(
+        emb.repartition(11), "vec_id", "embedding", m_sub=8, k_sub=16, n_iter=3
+    )
+    assert trained2 == trained
+
+    idx = SIM.pq_index(emb, "vec_id", "embedding", trained)
+    got = SIM.pq_topk(idx, emb, "vec_id", "embedding", 0, trained, k=10).collect()
+    assert len(got) == 10
