@@ -27,6 +27,91 @@ from pyspark.sql.window import Window
 KMV_HASH_SPACE = float(2**60)
 
 
+#: Count-Min defaults: depth 4 × width 1024 → ε ≈ e/w ≈ 0.27% of the
+#: stream length per estimate at δ ≈ e^-4
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_positions(key, depth: int, width: int) -> list:
+    """Counter positions of ``key`` for each of the ``depth`` rows: one
+    md5 → 60-bit v, Kirsch-Mitzenmacher (h1 + r·h2) % width — the bloom
+    filter's exact derivation (operators/bloom.py), so one md5+conv per
+    row of input regardless of depth, and any engine with md5 replays it."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cm:"), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    h1 = v % F.lit(1 << 30)
+    h2 = F.shiftright(v, 30) * F.lit(2) + F.lit(1)
+    return [(h1 + F.lit(r) * h2) % F.lit(width) for r in range(depth)]
+
+
+def count_min_freq(
+    df: DataFrame,
+    key_col: str,
+    probe_keys: list,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005 —
+    public knowledge) for ``probe_keys``, next to their exact counts:
+    (key string, cm_est long, exact long). The sketch NEVER underestimates
+    (est ≥ exact, the one-sided CM guarantee — collisions only add), and
+    est ≤ exact + ε·N with probability 1 − δ; both pinned in tests, and
+    the whole construction — hash family, counter build, min-of-rows
+    probe — is deterministic md5+BIGINT, value-hash checked in the
+    declared ``agg_approx_sketch`` 'cm' branch.
+
+    Scale shape: the sketch is one groupBy over (depth × width) BOUNDED
+    cells — partial map-side combine collapses each partition to ≤ d·w
+    rows before the shuffle, so sketch cost is independent of stream
+    length (the entire point at 100 TB: frequency estimates for any key
+    from d·w BIGINTs). Probes broadcast-join the tiny cell table; exact
+    counts come from one filtered aggregate over just the probed keys."""
+    keyed = df.where(F.col(key_col).isNotNull())
+    pos = _cm_positions(F.col(key_col), depth, width)
+    cells = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), pos[r].alias("pos"))
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("_c")
+        )
+        .groupBy(F.col("_c.r").alias("r"), F.col("_c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    probes = spark.createDataFrame([(str(k),) for k in probe_keys], "key string")
+    ppos = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), p.alias("pos"))
+                    for r, p in enumerate(_cm_positions(F.col("key"), depth, width))
+                ]
+            )
+        ).alias("_c"),
+    ).select("key", F.col("_c.r").alias("r"), F.col("_c.pos").alias("pos"))
+    est = (
+        ppos.join(F.broadcast(cells), ["r", "pos"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )
+    exact = (
+        keyed.where(F.col(key_col).cast("string").isin([str(k) for k in probe_keys]))
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "key", "left").select(
+        "key", "cm_est", F.coalesce(F.col("exact"), F.lit(0)).alias("exact")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,

@@ -380,6 +380,8 @@ def agg_multidim(spark, sf_dir):
 
 
 _KMV_K = 256
+_CM_D, _CM_W = 4, 1024
+_CM_PROBES = tuple(range(1, 11)) + (99999999,)  # last one absent from orders
 
 
 @register(
@@ -395,36 +397,91 @@ _KMV_K = 256
              row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
              count(*) OVER (PARTITION BY o_orderstatus) AS nd
       FROM h
+    ),
+    kmv AS (
+      SELECT 'kmv' AS sketch, o_orderstatus AS key,
+             CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                  ELSE round({float((_KMV_K - 1) * 2**60)} / hv, 6) END AS est,
+             nd AS exact
+      FROM r WHERE rn = least({_KMV_K}, nd)
+    ),
+    rs AS (SELECT unnest(range(0, {_CM_D})) AS r),
+    cmv AS (
+      SELECT ('0x' || substr(md5('cm:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    cells AS (
+      SELECT r, ((v % 1073741824) + r * ((v >> 30) * 2 + 1)) % {_CM_W} AS pos,
+             count(*) AS cnt
+      FROM cmv, rs GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest([{", ".join(f"'{k}'" for k in _CM_PROBES)}]) AS key),
+    ppos AS (
+      SELECT key, r,
+             (((('0x' || substr(md5('cm:' || key), 1, 15))::BIGINT) % 1073741824)
+              + r * (((('0x' || substr(md5('cm:' || key), 1, 15))::BIGINT) >> 30) * 2 + 1))
+             % {_CM_W} AS pos
+      FROM probes, rs
+    ),
+    pest AS (
+      SELECT p.key, min(coalesce(c.cnt, 0)) AS cm_est
+      FROM ppos p LEFT JOIN cells c ON c.r = p.r AND c.pos = p.pos
+      GROUP BY 1
+    ),
+    pexact AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS exact
+      FROM orders
+      WHERE CAST(o_custkey AS VARCHAR) IN ({", ".join(f"'{k}'" for k in _CM_PROBES)})
+      GROUP BY 1
+    ),
+    cm AS (
+      SELECT 'cm' AS sketch, e.key, CAST(e.cm_est AS DOUBLE) AS est,
+             coalesce(x.exact, 0) AS exact
+      FROM pest e LEFT JOIN pexact x ON x.key = e.key
     )
-    SELECT o_orderstatus,
-           CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
-                ELSE round({float((_KMV_K - 1) * 2**60)} / hv, 6) END
-             AS kmv_distinct_est,
-           nd AS exact_distinct
-    FROM r WHERE rn = least({_KMV_K}, nd)
+    SELECT * FROM kmv UNION ALL SELECT * FROM cm
     """,
     tags=("agg", "sketch"),
 )
 def agg_approx_sketch(spark, sf_dir):
-    """Distinct-count sketching, in the engine's twin pattern (round 4 —
-    this was the suite's one rows-only entry): the declared query runs the
-    DETERMINISTIC KMV sketch (operators/sketch.py::kmv_distinct —
-    Bar-Yossef et al. 2002: k-th smallest 60-bit md5 hash → (k-1)·2⁶⁰/h(k),
-    built on the md5→long machinery every dedup/split operator already
-    oracle-checks), so the whole entry is value-hash checked against
-    DuckDB. The PRODUCTION sketches — HLL++ approx_count_distinct and GK
-    approx_percentile, whose engine-internal values no oracle can
-    reproduce — remain error-bound-pinned against exact answers in
-    tests/test_suite_ops.py; the KMV estimate itself is accuracy-pinned
-    there too (relative error ~ 1/√k vs exact_distinct)."""
-    from database_anonymiser_spark.operators.sketch import kmv_distinct
+    """Sketch family, in the engine's twin pattern — two deterministic,
+    ANSI-SQL-reproducible sketches tagged and unioned:
 
-    return kmv_distinct(
-        load(spark, sf_dir, "orders"),
-        "o_custkey",
-        group_cols=("o_orderstatus",),
-        k=_KMV_K,
+    - 'kmv': per-group KMV distinct count (operators/sketch.py::
+      kmv_distinct — Bar-Yossef et al. 2002: k-th smallest 60-bit md5
+      hash → (k-1)·2⁶⁰/h(k)).
+    - 'cm' (round 5): Count-Min point-frequency estimates
+      (operators/sketch.py::count_min_freq — Cormode & Muthukrishnan
+      2005) for a fixed probe-key set incl. one absent key; the sketch is
+      d×w BOUNDED counter cells (partial map-side combine → cost
+      independent of stream length), the hash family is the bloom
+      filter's one-md5 Kirsch-Mitzenmacher derivation, and est ≥ exact
+      (one-sided CM guarantee) is pinned in tests along with the ε·N
+      bound.
+
+    Both constructions are pure md5+BIGINT, so the whole entry — including
+    every hash collision — is value-hash checked against DuckDB. The
+    PRODUCTION sketches (HLL++ approx_count_distinct, GK
+    approx_percentile), whose engine-internal values no oracle can
+    reproduce, remain error-bound-pinned in tests/test_suite_ops.py."""
+    from database_anonymiser_spark.operators.sketch import count_min_freq, kmv_distinct
+
+    o = load(spark, sf_dir, "orders")
+    kmv = kmv_distinct(o, "o_custkey", group_cols=("o_orderstatus",), k=_KMV_K).select(
+        F.lit("kmv").alias("sketch"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("kmv_distinct_est").alias("est"),
+        F.col("exact_distinct").alias("exact"),
     )
+    cm = count_min_freq(
+        o, "o_custkey", list(_CM_PROBES), depth=_CM_D, width=_CM_W
+    ).select(
+        F.lit("cm").alias("sketch"),
+        "key",
+        F.col("cm_est").cast("double").alias("est"),
+        "exact",
+    )
+    return kmv.unionByName(cm)
 
 
 # ---------------------------------------------------------------- joins

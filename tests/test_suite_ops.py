@@ -1474,3 +1474,30 @@ def test_trained_pq_codebooks_reduce_distortion(spark, sf_dir):
     idx = SIM.pq_index(emb, "vec_id", "embedding", trained)
     got = SIM.pq_topk(idx, emb, "vec_id", "embedding", 0, trained, k=10).collect()
     assert len(got) == 10
+
+
+def test_count_min_guarantees(spark, sf_dir):
+    """count_min_freq: (1) one-sided — est >= exact for every probe
+    (collisions only ADD); (2) the CM error bound est <= exact + (e/w)*N
+    holds with generous slack; (3) estimates are partitioning-invariant;
+    (4) an absent key reports exact = 0."""
+    import math
+
+    from database_anonymiser_spark.operators.sketch import count_min_freq
+    from database_anonymiser_spark.suite.base import load
+
+    o = load(spark, sf_dir, "orders")
+    n_stream = o.where("o_custkey IS NOT NULL").count()
+    probes = list(range(1, 21)) + [99999999]
+    got = {r["key"]: (r["cm_est"], r["exact"]) for r in
+           count_min_freq(o, "o_custkey", probes, depth=4, width=1024).collect()}
+    assert len(got) == len(probes)
+    eps = math.e / 1024
+    for k, (est, exact) in got.items():
+        assert est >= exact, f"CM underestimated {k}: {est} < {exact}"
+        assert est <= exact + 5 * eps * n_stream
+    assert got["99999999"][1] == 0
+
+    again = {r["key"]: (r["cm_est"], r["exact"]) for r in
+             count_min_freq(o.repartition(9), "o_custkey", probes, depth=4, width=1024).collect()}
+    assert again == got
