@@ -112,6 +112,73 @@ def count_min_freq(
     )
 
 
+def hash_sample_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.95),
+    k: int = 512,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Deterministic sample-quantile sketch: exact interpolated percentiles
+    over the k rows with the SMALLEST md5 key hash — a uniform row sample
+    that is a pure function of the data (retry/engine/partitioning
+    stable), completing the sketch family's quantile member next to KMV
+    (distinct count) and Count-Min (frequency). Sample-quantile error is
+    the standard O(1/√k) rank deviation, pinned with slack in tests; the
+    PRODUCTION path at 100 TB remains ``approx_percentile`` (GK), whose
+    engine-internal values only error-bound tests can check.
+
+    Output: one row per prob — (prob double, q_est double, q_exact
+    double); ``q_exact`` is the full-data percentile for the accuracy
+    twin. The sample selection reuses the KMV global path's bucketed
+    pre-filter (bucket by hv, per-bucket top-k in parallel, bounded final
+    rank) so no task ever sorts more than ~buckets·k rows however large
+    the input; interpolation parity between Spark ``percentile`` and
+    DuckDB ``quantile_cont`` is the agg_orders_stats precedent."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("q:"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        hv.alias("hv"), F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
+    )
+    num_buckets = 64
+    # key tiebreak: a 60-bit hash collision between distinct keys would
+    # otherwise make the rank-k boundary engine-dependent
+    w_bucket = Window.partitionBy(F.pmod(F.col("hv"), F.lit(num_buckets)))
+    cand = keyed.withColumn(
+        "_rn1", F.row_number().over(w_bucket.orderBy("hv", "_k"))
+    ).where(F.col("_rn1") <= k)
+    sample = cand.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("hv", "_k"))
+    ).where(F.col("_rn") <= k)
+    agg_sample = [
+        F.round(F.expr(f"percentile(_v, {p})"), round_dp).alias(f"_s{i}")
+        for i, p in enumerate(probs)
+    ]
+    agg_exact = [
+        F.round(F.expr(f"percentile({value_col}, {p})"), round_dp).alias(f"_e{i}")
+        for i, p in enumerate(probs)
+    ]
+    s = sample.agg(*agg_sample)
+    e = df.where(F.col(key_col).isNotNull()).agg(*agg_exact)
+    wide = s.crossJoin(e)
+    rows = [
+        wide.select(
+            F.lit(float(p)).alias("prob"),
+            F.col(f"_s{i}").alias("q_est"),
+            F.col(f"_e{i}").alias("q_exact"),
+        )
+        for i, p in enumerate(probs)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,

@@ -382,6 +382,7 @@ def agg_multidim(spark, sf_dir):
 _KMV_K = 256
 _CM_D, _CM_W = 4, 1024
 _CM_PROBES = tuple(range(1, 11)) + (99999999,)  # last one absent from orders
+_Q_K = 512
 
 
 @register(
@@ -402,7 +403,7 @@ _CM_PROBES = tuple(range(1, 11)) + (99999999,)  # last one absent from orders
       SELECT 'kmv' AS sketch, o_orderstatus AS key,
              CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
                   ELSE round({float((_KMV_K - 1) * 2**60)} / hv, 6) END AS est,
-             nd AS exact
+             CAST(nd AS DOUBLE) AS exact
       FROM r WHERE rn = least({_KMV_K}, nd)
     ),
     rs AS (SELECT unnest(range(0, {_CM_D})) AS r),
@@ -436,15 +437,39 @@ _CM_PROBES = tuple(range(1, 11)) + (99999999,)  # last one absent from orders
     ),
     cm AS (
       SELECT 'cm' AS sketch, e.key, CAST(e.cm_est AS DOUBLE) AS est,
-             coalesce(x.exact, 0) AS exact
+             CAST(coalesce(x.exact, 0) AS DOUBLE) AS exact
       FROM pest e LEFT JOIN pexact x ON x.key = e.key
+    ),
+    qh AS (
+      SELECT ('0x' || substr(md5('q:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv,
+             o_orderkey AS k2, o_totalprice AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    qsamp AS (
+      SELECT v FROM (SELECT v, row_number() OVER (ORDER BY hv, k2) AS rn FROM qh) t
+      WHERE rn <= {_Q_K}
+    ),
+    qx AS (
+      SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS e50,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS e95
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    qs AS (
+      SELECT round(quantile_cont(v, 0.5), 4) AS s50,
+             round(quantile_cont(v, 0.95), 4) AS s95
+      FROM qsamp
+    ),
+    q AS (
+      SELECT 'q' AS sketch, '0.5' AS key, s50 AS est, e50 AS exact FROM qs, qx
+      UNION ALL
+      SELECT 'q' AS sketch, '0.95' AS key, s95 AS est, e95 AS exact FROM qs, qx
     )
-    SELECT * FROM kmv UNION ALL SELECT * FROM cm
+    SELECT * FROM kmv UNION ALL SELECT * FROM cm UNION ALL SELECT * FROM q
     """,
     tags=("agg", "sketch"),
 )
 def agg_approx_sketch(spark, sf_dir):
-    """Sketch family, in the engine's twin pattern — two deterministic,
+    """Sketch family, in the engine's twin pattern — three deterministic,
     ANSI-SQL-reproducible sketches tagged and unioned:
 
     - 'kmv': per-group KMV distinct count (operators/sketch.py::
@@ -458,20 +483,29 @@ def agg_approx_sketch(spark, sf_dir):
       filter's one-md5 Kirsch-Mitzenmacher derivation, and est ≥ exact
       (one-sided CM guarantee) is pinned in tests along with the ε·N
       bound.
+    - 'q' (round 5): hash-sample quantile sketch
+      (operators/sketch.py::hash_sample_quantile) — exact interpolated
+      percentiles over the 512 smallest-hash rows (a deterministic
+      uniform sample; KMV-style bucketed prefilter so no task sorts the
+      full input), with the full-data percentile as the accuracy twin.
 
     Both constructions are pure md5+BIGINT, so the whole entry — including
     every hash collision — is value-hash checked against DuckDB. The
     PRODUCTION sketches (HLL++ approx_count_distinct, GK
     approx_percentile), whose engine-internal values no oracle can
     reproduce, remain error-bound-pinned in tests/test_suite_ops.py."""
-    from database_anonymiser_spark.operators.sketch import count_min_freq, kmv_distinct
+    from database_anonymiser_spark.operators.sketch import (
+        count_min_freq,
+        hash_sample_quantile,
+        kmv_distinct,
+    )
 
     o = load(spark, sf_dir, "orders")
     kmv = kmv_distinct(o, "o_custkey", group_cols=("o_orderstatus",), k=_KMV_K).select(
         F.lit("kmv").alias("sketch"),
         F.col("o_orderstatus").alias("key"),
         F.col("kmv_distinct_est").alias("est"),
-        F.col("exact_distinct").alias("exact"),
+        F.col("exact_distinct").cast("double").alias("exact"),
     )
     cm = count_min_freq(
         o, "o_custkey", list(_CM_PROBES), depth=_CM_D, width=_CM_W
@@ -479,9 +513,20 @@ def agg_approx_sketch(spark, sf_dir):
         F.lit("cm").alias("sketch"),
         "key",
         F.col("cm_est").cast("double").alias("est"),
-        "exact",
+        F.col("exact").cast("double").alias("exact"),
     )
-    return kmv.unionByName(cm)
+    # third member (round 5): hash-sample quantile sketch — exact
+    # interpolated percentiles over the 512 smallest-hash rows; the
+    # full-data percentile rides along as the accuracy twin
+    q = hash_sample_quantile(
+        o, "o_orderkey", "o_totalprice", probs=(0.5, 0.95), k=_Q_K
+    ).select(
+        F.lit("q").alias("sketch"),
+        F.col("prob").cast("string").alias("key"),
+        F.col("q_est").alias("est"),
+        F.col("q_exact").alias("exact"),
+    )
+    return kmv.unionByName(cm).unionByName(q)
 
 
 # ---------------------------------------------------------------- joins

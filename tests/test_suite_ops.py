@@ -1501,3 +1501,26 @@ def test_count_min_guarantees(spark, sf_dir):
     again = {r["key"]: (r["cm_est"], r["exact"]) for r in
              count_min_freq(o.repartition(9), "o_custkey", probes, depth=4, width=1024).collect()}
     assert again == got
+
+
+def test_hash_sample_quantile_accuracy_and_determinism(spark, sf_dir):
+    """hash_sample_quantile: the sample estimate lands within the O(1/sqrt k)
+    rank band of the exact percentile (slack 5x), and the sample is
+    partitioning-invariant."""
+    from database_anonymiser_spark.operators.sketch import hash_sample_quantile
+    from database_anonymiser_spark.suite.base import load
+
+    o = load(spark, sf_dir, "orders")
+    got = {r["prob"]: (r["q_est"], r["q_exact"]) for r in
+           hash_sample_quantile(o, "o_orderkey", "o_totalprice", probs=(0.25, 0.5, 0.9), k=512).collect()}
+    vals = sorted(r["o_totalprice"] for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    for p, (est, exact) in got.items():
+        # rank deviation bound: the estimate must sit within 5/sqrt(512)
+        # of the target rank in the TRUE distribution
+        import bisect
+        r_est = bisect.bisect_left(vals, est) / n
+        assert abs(r_est - p) <= 5 / (512 ** 0.5), (p, est, exact, r_est)
+    again = {r["prob"]: (r["q_est"], r["q_exact"]) for r in
+             hash_sample_quantile(o.repartition(7), "o_orderkey", "o_totalprice", probs=(0.25, 0.5, 0.9), k=512).collect()}
+    assert again == got

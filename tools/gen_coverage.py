@@ -43,7 +43,7 @@ MERGE_MAP = [
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
-    ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (HLL/GK moved to error-bound pytest pins) + deterministic KMV distinct-count sketch (round 4 - makes the entry fully oracle-checked) + Count-Min point-frequency sketch with one-sided guarantee (round 5)"),
+    ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (HLL/GK moved to error-bound pytest pins) + deterministic KMV distinct-count sketch (round 4 - makes the entry fully oracle-checked) + Count-Min point-frequency sketch with one-sided guarantee (round 5) + hash-sample quantile sketch (round 5)"),
     ("join_semi_anti", "join_semi + join_anti"),
     ("window_pack", "window_rank + window_running_sum + window_lag + window_lead_ntile + window_range_frame"),
     ("setop_pack", "setop_union + setop_intersect + setop_except"),

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "stream_windows",    # 1-row watermark broadcast join
     "tpch_q6_q14",       # single-row metric union
     "text_tfidf",        # 1-row corpus-doc-count broadcast (idf denominator)
+    "agg_approx_sketch",  # 1-row × 1-row sample/exact quantile join (q branch, r5)
 }
 # mapInPandas / applyInPandas surfaces — Arrow-batched Python is the point
 ARROW_OK = {
