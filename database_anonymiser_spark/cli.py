@@ -38,6 +38,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="JSON report path")
     p.add_argument("--force", action="store_true", help="override the row-cap safeguard")
     p.add_argument("--unsafeSamples", action="store_true")
+    p.add_argument(
+        "--versioned",
+        action="store_true",
+        help="apply through commit-log tables under --out (one atomic "
+        "'anonymise' version per table; rollback = restore; version 0 "
+        "keeps the pristine pre-image for time travel)",
+    )
     args = p.parse_args(argv)
     modes = [m for m in ("configGen", "dryrun", "apply") if getattr(args, m)]
     if len(modes) != 1:  # C1 (args.ts:7-29)
@@ -68,7 +75,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.out:
             print("--apply requires --out", file=sys.stderr)
             return 2
-        result = execute_plan(catalog, plan, dryrun=False, output_root=args.out, force=args.force)
+        if args.versioned:
+            from database_anonymiser_spark.executor import execute_plan_versioned
+
+            result = execute_plan_versioned(
+                catalog, plan, args.out, dryrun=False, force=args.force
+            )
+        else:
+            result = execute_plan(
+                catalog, plan, dryrun=False, output_root=args.out, force=args.force
+            )
 
     report = build_report(args.mode, plan, result)
     report_path = args.report or f"anonymiser.{args.mode}.report.json"

@@ -406,3 +406,25 @@ def test_versioned_apply_is_all_or_nothing(catalog, spark, tmp_path):
         if (root / name / "_log").is_dir():
             assert t.latest_version() == 0
             assert t.history()[0]["op"] == "create"
+
+
+def test_cli_versioned_apply(sf_dir, spark, tmp_path, monkeypatch):
+    """--apply --versioned routes through the commit-log executor: one
+    'anonymise' version per table under --out, masked snapshot, pristine
+    version 0, exit 0, report written."""
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    cfg_path = tmp_path / "cfg.yaml"
+    write_yaml(cfg_path, base_config_dict())
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--apply", "--versioned", "--data", sf_dir, "--config", str(cfg_path),
+         "--out", str(tmp_path / "vt"), "--force"]
+    )
+    assert rc == 0
+    t = VersionedTable(spark, tmp_path / "vt" / "customer")
+    assert [h["op"] for h in t.history()] == ["create", "anonymise"]
+    row = t.snapshot().orderBy("c_custkey").limit(1).collect()[0]
+    assert len(row["c_name"]) == 32 and row["c_acctbal"] is None
+    assert (tmp_path / "anonymiser.apply.report.json").exists()
