@@ -152,9 +152,12 @@ def dedup_stream(
 
 
 def purchase_view_join_stream(
-    events: DataFrame, lookback: str = "30 minutes", watermark: str = "10 minutes"
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase joins the same
+    """Watermarked stream-stream join: each purchase joins the same
     user's view events from the preceding ``lookback`` interval.
 
     The event-time range condition plus watermarks on BOTH sides is what
@@ -162,7 +165,16 @@ def purchase_view_join_stream(
     the purchase-side watermark passes view_ts + lookback. Without the
     range condition the state grows without bound — the classic
     stream-stream join mistake at scale.
+
+    ``how='left_outer'`` (round 5) emits every purchase: matched rows as
+    they pair, and a NULL-view row for a purchase only once the watermark
+    proves no further view can arrive for it — exactly Spark's
+    outer-join-on-streams contract (the NULL side is a watermark-closure
+    event, not an instant miss), pinned against the batch anti join in
+    tests/test_streaming.py.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     views = (
         events.where(F.col("event_type") == "view")
         .select(
@@ -188,7 +200,7 @@ def purchase_view_join_stream(
             AND view_ts <= purchase_ts
             AND view_ts >= purchase_ts - INTERVAL {lookback}"""
         ),
-        "inner",
+        how,
     ).select(
         "user_id",
         "purchase_id",

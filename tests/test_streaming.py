@@ -569,3 +569,49 @@ def test_curate_stream_into_versioned_table(spark, tmp_path):
     snap2 = {r["doc_id"]: r["text"] for r in t.snapshot().collect()}
     assert set(snap2) == {1, 2} and snap2[1] == upd and snap2[2] == snap1[2]
     assert t.latest_version() > v1  # log grew; state stayed a function of input
+
+
+def test_stream_stream_left_outer_join_emits_watermark_closed_nulls(
+    spark, sf_dir, events_path
+):
+    """Left-outer stream-stream join: matched pairs are a subset of the
+    batch range join; NULL-view rows appear ONLY for purchases the batch
+    range join leaves unmatched (a NULL emission is a watermark-closure
+    proof, never a false miss); and some of each kind is emitted."""
+    from database_anonymiser_spark.streaming.pipeline import (
+        purchase_view_join_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    stream = purchase_view_join_stream(
+        stream_events(spark, events_path), how="left_outer"
+    )
+    got = run_to_memory(spark, stream, "t_ssjoin_outer", mode="append")
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    cond = (
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch_pairs = {
+        (r["purchase_id"], r["view_id"]) for r in p.join(v, cond).collect()
+    }
+    unmatched = {
+        r["purchase_id"]
+        for r in p.join(v, cond, "left_anti").collect()
+    }
+    rows = got.collect()
+    matched = {(r["purchase_id"], r["view_id"]) for r in rows if r["view_id"] is not None}
+    nulls = {r["purchase_id"] for r in rows if r["view_id"] is None}
+    assert matched and nulls, "outer join should emit both kinds on the fixture"
+    assert matched <= batch_pairs
+    assert nulls <= unmatched, "a NULL row appeared for a purchase that HAS a view match"
