@@ -85,9 +85,13 @@ assertions).
 
 STREAMING_EVIDENCE = """## Streaming-runtime evidence (decision, round-3)
 
-The four streaming-runtime operators — readStream ingest, key-level dedup
-via `dropDuplicatesWithinWatermark`, watermarked stream-stream join, and
-`applyInPandasWithState` sessionization (`streaming/pipeline.py`) — are
+The streaming-runtime operators — readStream ingest, key-level dedup
+via `dropDuplicatesWithinWatermark`, watermarked stream-stream joins
+(inner AND left-outer with watermark-closed NULL emission, r5),
+`applyInPandasWithState` sessionization, stream-static enrichment, the
+idempotent foreachBatch sink, streaming corpus curation, the
+streaming-merge sink into versioned tables, and the incremental
+change-feed consumer (`streaming/pipeline.py`) — are
 deliberately evidenced by the REAL structured-streaming tests in
 `tests/test_streaming.py` (each runs an actual streaming query and compares
 its emitted rows against the batch equivalent on the same data), not by a
