@@ -463,3 +463,45 @@ def test_bloom_matches_python_twin(spark, build, probe):
     }
     assert got == expected
     assert {(rid, v) for rid, v in enumerate(probe) if v in set(build)} <= got
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 200), st.one_of(st.none(), st.floats(-100, 100, allow_nan=False))),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    thresh=st.floats(-50, 50, allow_nan=False),
+    use_prune=st.booleans(),
+)
+@FAST
+def test_versioned_update_delete_match_python_twin(spark, tmp_path_factory, rows, thresh, use_prune):
+    """update_where / delete_where == the plain-Python rendition of SQL
+    UPDATE/DELETE semantics (NULL predicate rows untouched / surviving),
+    with and without a stats prune range — pruning may only change WHICH
+    files rewrite, never the row set."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    root = tmp_path_factory.mktemp("vt")
+    df = spark.createDataFrame(rows, "k long, v double")
+    t = VersionedTable.create(spark, root / "t", df, key_col="k")
+    prune = {"k": (0, 100)} if use_prune else None
+    pred = (F.col("v") < thresh) & (F.col("k") <= 100)
+
+    t.update_where({"v": F.col("v") + 1000.0}, pred, prune=prune)
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    want = {
+        k: (v + 1000.0 if (v is not None and v < thresh and k <= 100) else v)
+        for k, v in rows
+    }
+    assert got == want
+
+    t.delete_where(pred, prune=prune)
+    got2 = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    want2 = {
+        k: v
+        for k, v in want.items()
+        if not (v is not None and v < thresh and k <= 100)
+    }
+    assert got2 == want2
