@@ -205,7 +205,12 @@ def execute_plan_versioned(
     All-or-nothing across tables, two-phase:
     1. every table's masked data files are fully written while INVISIBLE
        (referenced by no commit) — any failure here commits nothing and
-       the orphans are vacuumed;
+       the orphans are vacuumed on EVERY table phase 1 touched, including
+       one that failed mid-write before staging (round-5 advice: partial
+       parquet from a failed ``_write_data_files`` is an orphan too).
+       Tables first created during this run keep their committed
+       version-0 pristine copy after rollback — version 0 is a real
+       commit of the unmasked source, by design;
     2. the per-table commits are pure metadata (one tiny exclusive-create
        each). A crash inside this window can leave a prefix committed —
        recovery is ``restore(v-1)`` per committed table; Delta itself has
@@ -234,6 +239,7 @@ def execute_plan_versioned(
 
     # phase 1: mask + (count | invisible write) per table
     staged: list[tuple[PlannedTable, VersionedTable, list, int]] = []
+    touched: list[VersionedTable] = []  # every table phase 1 wrote into
     for planned in plan.tables:
         tr = TableResult(table=planned.table)
         try:
@@ -254,6 +260,7 @@ def execute_plan_versioned(
                         catalog.spark, t_root, catalog.read(planned.name), key_col=None
                     )
                 )
+                touched.append(t)
                 adds = _write_data_files(masked, t.root, None)
                 import pyarrow.parquet as pq
 
@@ -270,9 +277,11 @@ def execute_plan_versioned(
 
     if any(tr.error is not None for tr in result.tables):
         if not dryrun:
-            # nothing was committed; drop the invisible phase-1 files
+            # nothing was committed; drop the invisible phase-1 files —
+            # from every table touched, not only those that finished
+            # staging (a mid-write failure leaves partial parquet too)
             result.rolled_back = True
-            for _, t, _, _ in staged:
+            for t in touched:
                 t.vacuum()
         return result
 

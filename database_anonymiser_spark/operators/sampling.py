@@ -141,11 +141,20 @@ def stratified_sample(
     )
     # safety: a group whose prefilter survivors dipped below n (possible
     # only in the far binomial tail) must use its FULL rows — determinism
-    # over micro-efficiency
+    # over micro-efficiency. Survivor counts come from COUNTS left-joined
+    # to pre's groupBy (coalesced to 0): deriving them from `pre` alone
+    # would make a ZERO-survivor stratum vanish from the shortfall set and
+    # silently drop the whole stratum (round-5 advice; P ≈ e^-(oversample·n)
+    # per large stratum — small, not astronomical, at n_per_group=1).
+    surv = pre.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sn"))
     short = (
-        pre.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_sn"), F.max("_gn").alias("_gn2"))
-        .where((F.col("_sn") < n_per_group) & (F.col("_sn") < F.col("_gn2")))
+        counts.join(surv, group_col, "left")
+        .select(
+            group_col,
+            F.coalesce(F.col("_sn"), F.lit(0)).alias("_sn"),
+            F.col("_gn"),
+        )
+        .where((F.col("_sn") < n_per_group) & (F.col("_sn") < F.col("_gn")))
         .select(group_col)
     )
     fallback = df.join(F.broadcast(short), group_col, "left_semi")

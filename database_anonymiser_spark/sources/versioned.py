@@ -159,6 +159,16 @@ def _commit(root: Path, version: int, adds, removes, key_col, op: str) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
+    """AND the caller's prune ranges into the row predicate so file-level
+    skipping and row-level filtering can never disagree (see the
+    update_where docstring's prune contract)."""
+    if prune:
+        for col, (lo, hi) in prune.items():
+            pred = pred & F.col(col).between(lo, hi)
+    return pred
+
+
 _Z_BITS = 16
 
 
@@ -245,16 +255,22 @@ class VersionedTable:
         the schema of the latest non-empty version."""
         entries = self._live_entries(version)
         if not entries:
-            # borrow the schema from ANY committed file (it may since have
-            # been removed from the live set — e.g. a full-delete merge —
-            # but vacuum only deletes UNreferenced files, so it exists)
-            any_adds = [a for rec in self.history() for a in rec["adds"]]
-            if not any_adds:
-                raise FileNotFoundError(f"no data ever committed at {self.root}")
-            schema = self.spark.read.parquet(
-                str(self.root / any_adds[0]["path"])
-            ).schema
-            return self.spark.createDataFrame([], schema)
+            # borrow the schema from the MOST RECENT commit (<= version)
+            # that added files — the first-ever file would predate any
+            # additive schema evolution and hand an empty snapshot the
+            # stale pre-evolution schema (round-5 advice). mergeSchema
+            # across that commit's adds covers a commit mixing old
+            # carried-over and new evolved files.
+            upto = self.latest_version() if version is None else version
+            for rec in reversed(self.history()):
+                if rec["version"] <= upto and rec["adds"]:
+                    schema = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(*[str(self.root / a["path"]) for a in rec["adds"]])
+                        .schema
+                    )
+                    return self.spark.createDataFrame([], schema)
+            raise FileNotFoundError(f"no data ever committed at {self.root}")
         # mergeSchema: files written before an additive schema evolution
         # lack the newer columns — the reader NULL-fills them, so history
         # is never rewritten. (The footer-union cost is the classic
@@ -463,14 +479,27 @@ class VersionedTable:
         semantics: rows where ``predicate`` is TRUE get each assignment
         applied; NULL/FALSE rows are untouched (SQL UPDATE semantics).
 
-        ``prune`` optionally gives ``{col: (lo, hi)}`` ranges implied by the
+        ``prune`` optionally gives ``{col: (lo, hi)}`` ranges IMPLIED BY the
         predicate: files whose recorded stats cannot intersect them carry
         over BY REFERENCE and are never read or rewritten — at 100 TB a
         scoped update costs O(files containing matches), not O(table).
-        Correctness never depends on ``prune`` (a too-wide prune only
-        rewrites more files; the predicate itself is still applied
-        row-level). Returns the new version; no rows touched still commits
-        (an empty UPDATE is a valid, auditable version).
+
+        Prune contract (one-sided, round-5 advice): ``prune`` must be a
+        RELAXATION of the predicate — every row the predicate matches must
+        fall inside the prune ranges. A too-WIDE prune only rewrites more
+        files. To keep a too-NARROW prune from corrupting results
+        *silently* (skipped files keeping rows the predicate matches while
+        unskipped files change theirs), the prune ranges are ALSO applied
+        as a row-level conjunct of the predicate: file skipping and the
+        row filter then agree by construction, and a narrow prune
+        consistently narrows the operation's scope instead of splitting it
+        per-file. (Delta derives skipping from the predicate itself; here
+        the hint is caller-supplied, so it is made self-consistent.)
+
+        Assignment keys absent from the table schema raise ``ValueError``
+        (a typo'd column must not commit a silent no-op version). Returns
+        the new version; no rows touched still commits (an empty UPDATE is
+        a valid, auditable version).
         """
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         assigns = {
@@ -478,8 +507,14 @@ class VersionedTable:
         }
         key_col = self.key_col()
         v = self.latest_version()
+        unknown = sorted(set(assigns) - set(self.snapshot(v).columns))
+        if unknown:
+            raise ValueError(
+                f"update_where assigns columns absent from the table schema: {unknown}"
+            )
         entries = self._live_entries(v)
         touched = self.files_matching(prune) if prune else entries
+        pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="update_where")
@@ -504,14 +539,17 @@ class VersionedTable:
     ) -> int:
         """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
         is TRUE are dropped; NULL/FALSE rows survive (SQL DELETE
-        semantics). ``prune`` file-skips exactly like :meth:`update_where` —
-        unpruned files are rewritten with the surviving rows, pruned files
-        carry over by reference. Returns the new version."""
+        semantics). ``prune`` file-skips exactly like :meth:`update_where`,
+        under the same one-sided contract: prune must be implied by the
+        predicate, and its ranges are also applied as a row-level conjunct
+        so a too-narrow prune narrows the delete consistently instead of
+        deleting per-file-inconsistently. Returns the new version."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         key_col = self.key_col()
         v = self.latest_version()
         entries = self._live_entries(v)
         touched = self.files_matching(prune) if prune else entries
+        pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="delete_where")

@@ -428,3 +428,47 @@ def test_cli_versioned_apply(sf_dir, spark, tmp_path, monkeypatch):
     row = t.snapshot().orderBy("c_custkey").limit(1).collect()[0]
     assert len(row["c_name"]) == 32 and row["c_acctbal"] is None
     assert (tmp_path / "anonymiser.apply.report.json").exists()
+
+
+def test_versioned_rollback_vacuums_midwrite_orphans(catalog, spark, tmp_path, monkeypatch):
+    """Round-5 advice: a table that fails MID-_write_data_files (partial
+    parquet written, then exception) never reaches `staged`, but its
+    phase-1 orphans must still be vacuumed on rollback."""
+    from database_anonymiser_spark import executor as EX
+    from database_anonymiser_spark.executor import execute_plan_versioned
+    from database_anonymiser_spark.sources import versioned as V
+
+    d = base_config_dict()
+    d["column_strategy"]["s_name"] = "HASH_SHA256"
+    d["rules"].append(
+        {"table": "public.supplier", "enabled": True, "columns": [{"name": "s_name"}]}
+    )
+    plan = build_plan(config_from_dict(d))
+    root = tmp_path / "vt"
+
+    real = V._write_data_files
+    calls_per_root: dict = {}
+
+    def failing(df, troot, key_col, stats_cols=()):
+        n = calls_per_root.get(str(troot), 0) + 1
+        calls_per_root[str(troot)] = n
+        if "supplier" in str(troot) and n == 2:
+            # version-0 create succeeded (n=1); fail the MASKED write
+            # after real partial files land on disk
+            real(df.limit(3), troot, key_col, stats_cols)
+            raise RuntimeError("simulated mid-write crash")
+        return real(df, troot, key_col, stats_cols)
+
+    monkeypatch.setattr(V, "_write_data_files", failing)
+    res = execute_plan_versioned(catalog, plan, root, dryrun=False, force=True)
+    assert res.rolled_back is True
+    assert any("supplier" in (tr.table or "") and tr.error for tr in res.tables)
+    # the supplier table was touched but never staged: its mid-write
+    # orphans must be gone, version 0 (pristine) intact
+    t = V.VersionedTable(spark, root / "supplier")
+    assert t.latest_version() == 0
+    referenced = {a["path"] for rec in t.history() for a in rec["adds"]}
+    on_disk = {
+        str(p.relative_to(t.root)) for p in (t.root / "data").rglob("*.parquet")
+    }
+    assert on_disk == referenced

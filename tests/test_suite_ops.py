@@ -1524,3 +1524,21 @@ def test_hash_sample_quantile_accuracy_and_determinism(spark, sf_dir):
     again = {r["prob"]: (r["q_est"], r["q_exact"]) for r in
              hash_sample_quantile(o.repartition(7), "o_orderkey", "o_totalprice", probs=(0.25, 0.5, 0.9), k=512).collect()}
     assert again == got
+
+
+def test_stratified_sample_zero_survivor_stratum_falls_back(spark):
+    """Round-5 advice: a stratum whose hash-threshold prefilter keeps ZERO
+    rows must still take the full-rows fallback — deriving the shortfall
+    set from the survivors alone made such strata vanish entirely. With
+    oversample=1 and n_per_group=1, P(zero survivors) ≈ e^-1 per group, so
+    across 200 groups the pre-fix code drops strata almost surely; the fix
+    must return exactly one row for EVERY group."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators import sampling as SA
+
+    rows = [(g * 1000 + i, f"g{g}") for g in range(200) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    got = SA.stratified_sample(df, "id", "g", 1, oversample=1)
+    per = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert len(per) == 200 and set(per.values()) == {1}

@@ -372,3 +372,63 @@ def test_change_feed_reconstructs_table_state(spark, tmp_path):
     # idle pull: no new commits
     changes, c2 = versioned_change_feed(spark, str(tmp_path / "cdc"), cursor)
     assert changes is None and c2 == cursor
+
+
+def test_update_where_rejects_unknown_assignment_column(spark, table):
+    """A typo'd assignment column must raise, not commit a silent no-op
+    version (round-5 advice)."""
+    with pytest.raises(ValueError, match="absent from the table schema"):
+        table.update_where({"nmae": F.lit("x")}, F.col("k") < 5)
+    assert table.latest_version() == 0  # nothing committed
+
+
+def test_update_where_narrow_prune_is_consistent_not_per_file(spark, tmp_path):
+    """Prune contract (round-5 advice): a prune NARROWER than the predicate
+    must narrow the operation consistently — the prune range is applied as
+    a row-level conjunct, so unskipped files cannot update rows outside it
+    while skipped files keep theirs. Files outside the prune still carry
+    over by reference."""
+    df = (
+        spark.range(300)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    v0_paths = {e["path"] for e in t._live_entries(0)}
+    # predicate matches EVERY row; prune covers only the first file's range
+    t.update_where({"v": F.lit(-1.0)}, F.col("v") >= 0.0, prune={"k": (0, 5)})
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert all(got[k] == -1.0 for k in range(6))
+    assert all(got[k] == float(k) for k in range(6, 300))  # outside prune: untouched
+    carried = v0_paths & {e["path"] for e in t._live_entries(1)}
+    assert len(carried) == 2  # the two non-intersecting files carried by reference
+
+
+def test_delete_where_narrow_prune_is_consistent(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    # predicate TRUE for all rows, prune narrows to k in [0, 9]
+    t.delete_where(F.col("v") > 0.0, prune={"k": (0, 9)})
+    ks = sorted(r["k"] for r in t.snapshot().select("k").collect())
+    assert ks == list(range(10, 100))
+
+
+def test_empty_snapshot_schema_survives_evolution(spark, table):
+    """snapshot() of a logically empty table must carry the LATEST schema,
+    not the first-ever file's pre-evolution one (round-5 advice)."""
+    evolved = spark.createDataFrame(
+        [(500, "e", 1.0, "extra")], "k long, name string, v double, tag string"
+    )
+    table.append(evolved, merge_schema=True)
+    table.delete_where(F.lit(True))  # full delete -> logically empty
+    snap = table.snapshot()
+    assert snap.count() == 0
+    assert snap.columns == ["k", "name", "v", "tag"]
+    # append validation built on the empty snapshot accepts the evolved shape
+    v = table.append(
+        spark.createDataFrame(
+            [(1, "a", 0.0, "t")], "k long, name string, v double, tag string"
+        )
+    )
+    assert table.snapshot(v).count() == 1
