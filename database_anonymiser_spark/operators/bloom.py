@@ -23,9 +23,14 @@ an EXPLICIT, deterministic rendering of the same operator:
   what makes the whole filter value-hash checkable cross-engine, false
   positives included;
 - hash family 'xxhash64' (fast path): k seeded xxhash64 calls — pure JVM
-  long hashing, ~16× cheaper than even one md5 on the probe scan
-  (measured at sf0.1). NOT cross-engine reproducible, so the declared
-  oracle entry stays on md5; at 100 TB production probes, pick this one;
+  long hashing. RECORDED evidence (round 6): bench.py times both families
+  on the identical query (``join_bloom`` md5 vs ``join_bloom_xxhash64``;
+  3.36s vs 1.42s end-to-end at sf0.1, where the shared exact-twin join and
+  aggregation floor the total — the probe expression itself is the ~0.3s/
+  md5 vs ~free/xxhash64 gap measured in the round-5 expression-cost
+  notes). NOT cross-engine reproducible, so the declared oracle entry
+  stays on md5; at 100 TB production probes, pick this one (no-false-
+  negative property pinned for both families in tests);
 - build: per-key positions → DISTINCT → pack into ⌈m/63⌉ BIGINT words with
   a bit_or aggregate (63 bits per word keeps every word positive — bit
   arithmetic needs no sign handling on either engine). The word list

@@ -63,6 +63,7 @@ def curate_corpus(
     mixture_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     token_budgets: dict[str, int] | None = None,
+    stop_after: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one curated DataFrame with
     columns (id, text, source, n_tokens, quality_score, lang_pred,
@@ -94,7 +95,17 @@ def curate_corpus(
     (dedup.py::line_dedup — RefinedWeb/CCNet boilerplate removal: any
     normalized line shared by that many docs is stripped corpus-wide)
     before the per-document gates.
+
+    ``stop_after`` (bench/debug only) returns the pipeline's intermediate
+    frame after the named stage — 'gates' (scrub + profile + heuristic/
+    classifier/repetition gates), 'exact' (exact dedup), 'near'
+    (near dedup), 'split', 'decontam' — so bench.py can attribute wall
+    time per stage by timing cumulative prefixes. ``None`` (the default)
+    runs the full pipeline; results are unchanged.
     """
+    _STAGES = (None, "gates", "exact", "near", "split", "decontam")
+    if stop_after not in _STAGES:
+        raise ValueError(f"stop_after must be one of {_STAGES}")
     # Parallelism floor: the per-doc gate expressions (C4 scrub, profile
     # regex trees, the repetition profile's O(n log n) sort/fold HOFs) are
     # the pipeline's compute bulk, and Catalyst pushes every gate FILTER —
@@ -180,10 +191,14 @@ def curate_corpus(
     # (MEMORY_AND_DISK — spills, never OOMs); scoped_cache bounds the
     # live cache to the current call.
     kept = scoped_cache("curate.gated", kept)
+    if stop_after == "gates":
+        return kept
 
     # exact dedup: one shuffle on the fingerprint, keep the min id
     canonical = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     kept = kept.join(canonical, [id_col, "fingerprint"], "left_semi")
+    if stop_after == "exact":
+        return kept
 
     if near_dedup:
         pairs = D.minhash_lsh_pairs(
@@ -196,10 +211,14 @@ def curate_corpus(
         )
         clusters = connected_components(pairs)
         kept = dedup_survivors(kept, id_col, clusters)
+    if stop_after == "near":
+        return kept
 
     kept = TX.train_eval_split(kept, source_col, train_pct=train_pct).drop(
         "split_bucket"
     )
+    if stop_after == "split":
+        return kept
 
     if decontam_n is not None:
         kept = scoped_cache("curate.split", kept)
@@ -218,6 +237,8 @@ def curate_corpus(
             .distinct()
         )
         kept = kept.join(dirty, id_col, "left_anti")
+    if stop_after == "decontam":
+        return kept
 
     if mixture_rates is not None:
         kept = mixture_sample(

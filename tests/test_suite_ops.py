@@ -1542,3 +1542,38 @@ def test_stratified_sample_zero_survivor_stratum_falls_back(spark):
     got = SA.stratified_sample(df, "id", "g", 1, oversample=1)
     per = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert len(per) == 200 and set(per.values()) == {1}
+
+
+def test_scoped_cache_interleaved_pipelines_memoized_and_bounded(spark):
+    """Composition safety (round-5 verdict #4): two pipelines interleaving
+    the same operator slot BOTH stay cached (capacity-2 LRU, no mutual
+    unpersist); re-caching a semantically identical plan returns the SAME
+    memoized frame; a third distinct frame evicts only the LRU entry."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators import cachectl as C
+
+    slot = "test.interleave"
+    a = spark.range(100).withColumn("x", F.col("id") * 2)
+    b = spark.range(50).withColumn("x", F.col("id") * 3)
+    ca = C.scoped_cache(slot, a)
+    cb = C.scoped_cache(slot, b)  # interleaved second pipeline
+    # both correct AND both still cached — the old last-call-wins slot
+    # would have unpersisted `a` here
+    assert ca.count() == 100 and cb.count() == 50
+    assert ca.storageLevel.useMemory or ca.storageLevel.useDisk
+    assert cb.storageLevel.useMemory or cb.storageLevel.useDisk
+
+    # memoization: the same logical pipeline re-cached returns the
+    # existing cached frame object (no duplicate cache blocks)
+    ca2 = C.scoped_cache(slot, spark.range(100).withColumn("x", F.col("id") * 2))
+    assert ca2 is ca
+
+    # a third DISTINCT frame evicts the least-recently-used (b: a was
+    # refreshed to most-recent by the memoized call above)
+    cc = C.scoped_cache(slot, spark.range(10).withColumn("y", F.lit(1)))
+    assert cc.count() == 10
+    assert not (cb.storageLevel.useMemory or cb.storageLevel.useDisk)  # evicted
+    assert ca.storageLevel.useMemory or ca.storageLevel.useDisk  # retained
+    lru = C._SLOTS[(spark.sparkContext.applicationId, slot)]
+    assert len(lru) == C.CAPACITY
