@@ -1,0 +1,173 @@
+"""Versioned ANN index store — the index as a MAINTAINED artifact.
+
+A real vector store's index is not a per-call temporary: it is built once,
+served for many queries, periodically REBUILT as the corpus moves, and
+rolled back / compared across builds when a rebuild regresses recall. This
+module composes the round-5 flagships into that lifecycle (round-5 verdict
+#5): the IVF-SQ index rows (:func:`~database_anonymiser_spark.operators.
+similarity.ivf_int8_index` — (id, _cid, q_vec int8, q_amax_micro)) live in
+a :class:`~database_anonymiser_spark.sources.versioned.VersionedTable`, and
+the trained coarse codebook (model-sized: K centroids × dim floats) rides
+in the SAME commit's metadata slot — an index version is therefore
+self-contained: codes + the exact codebook that produced them, atomically.
+
+Lifecycle: ``rebuild`` (train + encode + one commit replacing the live
+set) → ``query`` (probe the n_probe nearest lists of ANY version — time
+travel gives "query the index as of yesterday's build" for recall
+regression hunts) → ``vacuum(retain_versions=K)`` reclaims superseded
+builds. Reads prune FILES by the commit-recorded per-file ``_cid`` stats
+before pruning row groups: the index is written range-partitioned by
+``_cid``, so a probe touches ~n_probe/K of the files — the scan-pruning
+FAISS gets from list offsets, here from Delta-style data skipping.
+
+100 TB shape: training aggregates only K×(dim+1) sums per iteration, the
+encode pass is map-side Arrow, the commit is metadata; queries read only
+probed-list bytes of an index already ~4× smaller than the float corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.similarity import (
+    ivf_int8_index,
+    ivf_int8_topk,
+    train_ivf_codebook,
+)
+from database_anonymiser_spark.sources.versioned import (
+    VersionedTable,
+    _commit,
+    _write_data_files,
+)
+
+
+class VersionedAnnIndex:
+    """IVF-SQ index over an embedding corpus, stored as a versioned table.
+
+    ``root`` is the table root; one instance per index. The index schema
+    is fixed by :func:`ivf_int8_index`; the coarse codebook is stored in
+    each build commit's ``meta`` and read back for probing, so queries
+    against version V always use V's own codebook.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+        self.spark = spark
+        self.root = Path(root)
+        self.table = VersionedTable(spark, root)
+
+    # ---------------------------------------------------------- build
+
+    def rebuild(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        n_centroids: int = 16,
+        n_iter: int = 5,
+        n_files: int = 4,
+    ) -> int:
+        """Train the codebook on ``corpus``, encode it, and commit ONE new
+        version whose live set is the fresh index (previous build's files
+        removed by reference — still time-travelable until a retention
+        vacuum). The index is written range-partitioned by ``_cid`` so the
+        per-file stats recorded in the commit make probes file-skippable.
+        Returns the committed version (0 for the first build)."""
+        centroids = train_ivf_codebook(corpus, id_col, vec_col, n_centroids, n_iter)
+        index_df = (
+            ivf_int8_index(corpus, id_col, vec_col, centroids)
+            .repartitionByRange(n_files, F.col("_cid"))
+            .sortWithinPartitions("_cid")
+        )
+        vs = self.table.versions()
+        version = (vs[-1] + 1) if vs else 0
+        removes = (
+            [e["path"] for e in self.table._live_entries(vs[-1])] if vs else []
+        )
+        adds = _write_data_files(index_df, self.root, "_cid")
+        meta = {
+            "kind": "ivf_int8",
+            "id_col": id_col,
+            "centroids": [[cid, [float(x) for x in cv]] for cid, cv in centroids],
+        }
+        _commit(
+            self.root, version, adds, removes, "_cid", op="index_rebuild", meta=meta
+        )
+        return version
+
+    # ---------------------------------------------------------- read
+
+    def centroids(self, version: int | None = None) -> list[tuple[int, list[float]]]:
+        meta = self.table.commit_meta(version)
+        if not meta or "centroids" not in meta:
+            raise ValueError(f"no index build recorded at version {version}")
+        return [(int(cid), [float(x) for x in cv]) for cid, cv in meta["centroids"]]
+
+    def query(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        query_id: int,
+        k: int = 10,
+        n_probe: int = 4,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Top-k against the stored index AS OF ``version`` (default:
+        latest). The probed lists' cid range prunes index FILES via the
+        commit stats (``read_where``) before ``ivf_int8_topk`` prunes rows
+        — the query vector itself comes from ``corpus`` (a 1-row bounded
+        lookup, as in the declared ``sim_topk_ann`` branches)."""
+        centroids = self.centroids(version)
+        qrow = (
+            corpus.where(F.col(id_col) == query_id).select(vec_col).collect()
+        )
+        if not qrow:
+            return self.table.snapshot(version).limit(0).select(
+                F.col(id_col), F.lit(0.0).alias("cosine")
+            )
+        from database_anonymiser_spark.operators.similarity import _dot_dec_py
+
+        qvec = [float(x) for x in qrow[0][0]]
+        probe = sorted(
+            centroids, key=lambda c: (-_dot_dec_py(c[1], qvec), c[0])
+        )[:n_probe]
+        lo = min(cid for cid, _ in probe)
+        hi = max(cid for cid, _ in probe)
+        # file-level skip on the probed cid RANGE (commit-recorded _cid
+        # stats of the requested version), then the exact probe-set filter
+        # inside ivf_int8_topk; files without stats are kept (must-scan)
+        entries = [
+            e
+            for e in self.table._live_entries(version)
+            if not (
+                e.get("key_min") is not None
+                and e.get("key_max") is not None
+                and (e["key_max"] < lo or e["key_min"] > hi)
+            )
+        ]
+        index = (
+            self.table._read_paths(
+                [e["path"] for e in entries],
+                align_to=self.table.snapshot(version),
+            )
+            if entries
+            else self.table.snapshot(version).limit(0)
+        )
+        return ivf_int8_topk(
+            index, corpus, id_col, vec_col, query_id, centroids, k, n_probe
+        )
+
+    # -------------------------------------------------------- hygiene
+
+    def versions(self) -> list[int]:
+        return self.table.versions()
+
+    def vacuum(self, retain_versions: int | None = None) -> list[str]:
+        """Reclaim superseded builds (delegates to the table's retention
+        vacuum): ``retain_versions=K`` keeps the newest K builds
+        time-travelable and deletes the rest's files."""
+        return self.table.vacuum(retain_versions)

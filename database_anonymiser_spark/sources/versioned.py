@@ -211,13 +211,26 @@ def _write_data_files(
     return entries
 
 
-def _commit(root: Path, version: int, adds, removes, key_col, op: str) -> None:
+def _commit(
+    root: Path,
+    version: int,
+    adds,
+    removes,
+    key_col,
+    op: str,
+    meta: dict | None = None,
+) -> None:
+    """``meta`` (optional) rides in the commit record — Delta's operation
+    metadata slot. Used by e.g. the versioned ANN index store to version
+    the trained codebook WITH the code rows it encodes (model-sized JSON;
+    state replay ignores it)."""
     (root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
     payload = json.dumps(
         {
             "version": version,
             "op": op,
             "key_col": key_col,
+            **({"meta": meta} if meta is not None else {}),
             "adds": [
                 {
                     "path": e.path,
@@ -323,6 +336,12 @@ class VersionedTable:
         return [
             json.loads(_log_path(self.root, v).read_text()) for v in self.versions()
         ]
+
+    def commit_meta(self, version: int | None = None) -> dict | None:
+        """The ``meta`` dict recorded by the commit that created
+        ``version`` (default: latest) — one tiny JSON read."""
+        v = self.latest_version() if version is None else version
+        return json.loads(_log_path(self.root, v).read_text()).get("meta")
 
     # ------------------------------------------------------------ read
 

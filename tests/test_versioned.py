@@ -533,3 +533,63 @@ def test_concurrent_writers_one_wins_loser_retries_no_double_reference(spark, ta
     assert len(all_adds) == len(set(all_adds))
     # and the loser's first attempt left no stray tmp files in the log dir
     assert not list((table.root / "_log").glob("*.tmp"))
+
+
+def test_versioned_ann_index_lifecycle(spark, sf_dir, tmp_path):
+    """Round-5 verdict #5: the ANN index as a maintained artifact. Build →
+    commit → probed query → corpus moves → REBUILD (new version) → query
+    reflects the new build → TIME-TRAVEL query against the old build uses
+    the OLD codebook+codes → retention vacuum reclaims the superseded
+    build. Results are cross-checked against the per-call ivf_int8 path
+    (same corpus, same params → identical answers)."""
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        ivf_int8_index,
+        ivf_int8_topk,
+        train_ivf_codebook,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VersionedAnnIndex(spark, tmp_path / "ann")
+    v0 = idx.rebuild(emb, "vec_id", "embedding", n_centroids=8, n_iter=2)
+    assert v0 == 0
+    meta = idx.table.commit_meta(0)
+    assert meta["kind"] == "ivf_int8" and len(meta["centroids"]) == 8
+
+    got0 = idx.query(emb, "vec_id", "embedding", query_id=3, k=5).collect()
+    # cross-check vs the per-call (unversioned) path: identical answers
+    cb = train_ivf_codebook(emb, "vec_id", "embedding", 8, 2)
+    per_call = ivf_int8_topk(
+        ivf_int8_index(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", 3, cb, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got0] == [
+        (r["vec_id"], r["cosine"]) for r in per_call
+    ]
+
+    # corpus moves: drop half the vectors, rebuild -> version 1
+    emb2 = emb.where(F.col("vec_id") % 2 == 0)
+    v1 = idx.rebuild(emb2, "vec_id", "embedding", n_centroids=8, n_iter=2)
+    assert v1 == 1
+    got1 = idx.query(emb2, "vec_id", "embedding", query_id=4, k=5).collect()
+    assert got1 and all(r["vec_id"] % 2 == 0 for r in got1)  # new build served
+
+    # time travel: the v0 build still answers with ODD ids present and
+    # uses v0's own codebook (centroids differ between builds)
+    old = idx.query(emb, "vec_id", "embedding", query_id=3, k=5, version=0)
+    assert [(r["vec_id"], r["cosine"]) for r in old.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in got0
+    ]
+    assert idx.centroids(0) != idx.centroids(1)
+
+    # retention: keep only the newest build; v0's files are reclaimed,
+    # v1 queries keep working
+    removed = idx.vacuum(retain_versions=1)
+    assert removed
+    still = idx.query(emb2, "vec_id", "embedding", query_id=4, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in still] == [
+        (r["vec_id"], r["cosine"]) for r in got1
+    ]
+    with pytest.raises(Exception):
+        idx.query(emb, "vec_id", "embedding", query_id=3, k=5, version=0).collect()
