@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from database_anonymiser_spark.operators.similarity import (
     ivf_int8_index,
     ivf_int8_topk,
+    pq_codebooks,
+    pq_index,
+    pq_topk,
     train_ivf_codebook,
+    train_pq_codebooks,
 )
 from database_anonymiser_spark.sources.versioned import (
     VersionedTable,
@@ -98,6 +102,43 @@ class VersionedAnnIndex:
         )
         return version
 
+    def rebuild_pq(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        m_sub: int = 8,
+        k_sub: int = 16,
+        n_iter: int = 3,
+        trained: bool = True,
+        n_files: int = 4,
+    ) -> int:
+        """PQ variant of :meth:`rebuild`: per-subspace codebooks (Lloyd-
+        trained by default; ``trained=False`` uses the training-free
+        lowest-id books the SQL oracle can replay) + the (id, codes) rows
+        as the committed live set. The books — m_sub × k_sub × sub_dim
+        micro-ints, model-sized — ride in the commit meta, so ADC queries
+        against any version use the exact books that encoded it. A root
+        may even alternate kinds across versions; every version
+        self-describes via its meta."""
+        books = (
+            train_pq_codebooks(corpus, id_col, vec_col, m_sub, k_sub, n_iter)
+            if trained
+            else pq_codebooks(corpus, id_col, vec_col, m_sub, k_sub)
+        )
+        index_df = pq_index(corpus, id_col, vec_col, books).repartition(n_files)
+        vs = self.table.versions()
+        version = (vs[-1] + 1) if vs else 0
+        removes = (
+            [e["path"] for e in self.table._live_entries(vs[-1])] if vs else []
+        )
+        adds = _write_data_files(index_df, self.root, id_col)
+        meta = {"kind": "pq", "id_col": id_col, "books": books}
+        _commit(
+            self.root, version, adds, removes, id_col, op="index_rebuild", meta=meta
+        )
+        return version
+
     # ---------------------------------------------------------- read
 
     def centroids(self, version: int | None = None) -> list[tuple[int, list[float]]]:
@@ -117,10 +158,22 @@ class VersionedAnnIndex:
         version: int | None = None,
     ) -> DataFrame:
         """Top-k against the stored index AS OF ``version`` (default:
-        latest). The probed lists' cid range prunes index FILES via the
-        commit stats (``read_where``) before ``ivf_int8_topk`` prunes rows
-        — the query vector itself comes from ``corpus`` (a 1-row bounded
-        lookup, as in the declared ``sim_topk_ann`` branches)."""
+        latest), dispatching on the version's recorded ``kind``. For
+        ivf_int8 the probed lists' cid range prunes index FILES via the
+        commit stats before ``ivf_int8_topk`` prunes rows; for pq the ADC
+        scoring reads the whole (already ~30×-compressed) code table. The
+        query vector itself comes from ``corpus`` (a 1-row bounded lookup,
+        as in the declared ``sim_topk_ann`` branches); ``n_probe`` is
+        ignored for pq."""
+        meta = self.table.commit_meta(version)
+        if not meta or "kind" not in meta:
+            raise ValueError(f"no index build recorded at version {version}")
+        if meta["kind"] == "pq":
+            books = [[[int(x) for x in cw] for cw in sub] for sub in meta["books"]]
+            return pq_topk(
+                self.table.snapshot(version), corpus, id_col, vec_col,
+                query_id, books, k,
+            )
         centroids = self.centroids(version)
         qrow = (
             corpus.where(F.col(id_col) == query_id).select(vec_col).collect()

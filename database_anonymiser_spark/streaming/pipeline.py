@@ -415,8 +415,15 @@ def run_stream_to_versioned(
 
     100 TB shape: per batch, MERGE rewrites only the data files whose
     footer key range intersects the batch's keys — a trickle of updates
-    touches a handful of files however large the table is. Returns the
-    finished StreamingQuery.
+    touches a handful of files however large the table is. One version
+    accrues per micro-batch, which is exactly the workload the log
+    CHECKPOINTS bound (round-6): every CHECKPOINT_INTERVAL commits the
+    writer materializes full state, so per-batch metadata reads stay
+    O(interval) however long the stream runs — not O(batches). Disk
+    growth from copy-on-write churn is the operator's job: run
+    ``VersionedTable.vacuum(retain_versions=K)`` (and ``compact()``)
+    periodically, as with Delta's VACUUM/OPTIMIZE. Returns the finished
+    StreamingQuery.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
 

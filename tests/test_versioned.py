@@ -593,3 +593,43 @@ def test_versioned_ann_index_lifecycle(spark, sf_dir, tmp_path):
     ]
     with pytest.raises(Exception):
         idx.query(emb, "vec_id", "embedding", query_id=3, k=5, version=0).collect()
+
+
+def test_versioned_pq_index_lifecycle(spark, sf_dir, tmp_path):
+    """PQ variant of the index lifecycle: books ride in the commit meta,
+    ADC answers match the per-call pq path, and a REBUILD with different
+    codebook training (trained vs training-free) is version-dispatched —
+    a time-travel query decodes with the OLD version's own books."""
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        pq_codebooks,
+        pq_index,
+        pq_topk,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VersionedAnnIndex(spark, tmp_path / "pq")
+    v0 = idx.rebuild_pq(emb, "vec_id", "embedding", trained=False)
+    assert v0 == 0 and idx.table.commit_meta(0)["kind"] == "pq"
+
+    got0 = idx.query(emb, "vec_id", "embedding", query_id=7, k=5).collect()
+    books = pq_codebooks(emb, "vec_id", "embedding")
+    per_call = pq_topk(
+        pq_index(emb, "vec_id", "embedding", books),
+        emb, "vec_id", "embedding", 7, books, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got0] == [
+        (r["vec_id"], r["cosine"]) for r in per_call
+    ]
+
+    # rebuild with TRAINED books -> new version answers may differ;
+    # time travel to v0 still reproduces the old answers exactly
+    v1 = idx.rebuild_pq(emb, "vec_id", "embedding", trained=True, n_iter=2)
+    assert v1 == 1
+    old = idx.query(emb, "vec_id", "embedding", query_id=7, k=5, version=0).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in old] == [
+        (r["vec_id"], r["cosine"]) for r in got0
+    ]
+    new = idx.query(emb, "vec_id", "embedding", query_id=7, k=5).collect()
+    assert len(new) == 5  # trained build serves
