@@ -1,0 +1,116 @@
+"""Cross-scale bench for the heavy trio (round-5 verdict stretch #8).
+
+Times curate_corpus_full, join_bloom (both hash families) and
+dedup_minhash at one or more scale-factor directories — by default the
+driver fixtures sf0.01/sf0.1 plus the derived sf1 set from
+tools/gen_benchdata.py — with bench.py's methodology (same session,
+warm-up, min of REPS, cache cleared between reps). Prints one JSON line:
+{"scales": {"sf0.1": {"curate_corpus_full": s, ...}, "sf1": {...}},
+ "control_sec": s}
+
+Run: python tools/bench_scale.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(repo, ".benchdata", "sf1"),
+    ]
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators.bloom import bloom_semi_join
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.session import get_spark
+    from database_anonymiser_spark.suite import all_queries
+    from database_anonymiser_spark.suite.base import load
+
+    spark = get_spark(app_name="bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    spark.range(1000).count()
+
+    def _identity_batches(it):
+        yield from it
+
+    spark.range(10_000).repartition(32).mapInPandas(
+        _identity_batches, "id long"
+    ).count()
+
+    def _time(job) -> float:
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            job()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(best, 3)
+
+    control = _time(
+        lambda: spark.range(50_000_000).selectExpr("sum(id * 2)").collect()
+    )
+
+    def _bloom(sf_dir, family):
+        orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+        li = load(spark, sf_dir, "lineitem")
+        passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey", family=family)
+        bloom_agg = passed.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("bloom_rows")
+        )
+        exact_agg = (
+            li.join(
+                orders.select("o_orderkey").distinct(),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_semi",
+            )
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("exact_rows"))
+        )
+        return bloom_agg.join(exact_agg, "l_returnflag").count()
+
+    def _curate(sf_dir):
+        n = curate_corpus(
+            load(spark, sf_dir, "documents"),
+            min_tokens=3,
+            drop_boilerplate=True,
+            dedup_lines_min_docs=3,
+            drop_repetitive=True,
+            near_dedup=True,
+            decontam_n=8,
+            mixture_rates={"src0": 2.0, "src1": 0.5},
+            token_budgets={"src2": 2_000},
+        ).count()
+        assert n > 0
+        return n
+
+    out: dict[str, dict[str, float]] = {}
+    for sf_dir in dirs:
+        tag = "sf" + sf_dir.rstrip("/").split("sf")[-1]
+        row: dict[str, float] = {}
+        row["dedup_minhash"] = _time(
+            lambda: specs["dedup_minhash"].spark(spark, sf_dir).count()
+        )
+        row["join_bloom"] = _time(lambda: _bloom(sf_dir, "md5"))
+        row["join_bloom_xxhash64"] = _time(lambda: _bloom(sf_dir, "xxhash64"))
+        row["curate_corpus_full"] = _time(lambda: _curate(sf_dir))
+        out[tag] = row
+        print(f"# {tag}: {row}", file=sys.stderr)
+
+    print(json.dumps({"scales": out, "control_sec": control, "reps": REPS}))
+
+
+if __name__ == "__main__":
+    main()
