@@ -12,9 +12,11 @@ in the SAME commit's metadata slot — an index version is therefore
 self-contained: codes + the exact codebook that produced them, atomically.
 
 Lifecycle: ``rebuild`` (train + encode + one commit replacing the live
-set) → ``query`` (probe the n_probe nearest lists of ANY version — time
-travel gives "query the index as of yesterday's build" for recall
-regression hunts) → ``vacuum(retain_versions=K)`` reclaims superseded
+set; IVF-SQ or PQ kind) → ``query`` (probe the n_probe nearest lists of
+ANY version — time travel gives "query the index as of yesterday's
+build" for recall regression hunts) → ``upsert`` (encode a delta with
+the current codebook, MERGE on the vector id — incremental maintenance
+between rebuilds) → ``vacuum(retain_versions=K)`` reclaims superseded
 builds. Reads prune FILES by the commit-recorded per-file ``_cid`` stats
 before pruning row groups: the index is written range-partitioned by
 ``_cid``, so a probe touches ~n_probe/K of the files — the scan-pruning
@@ -91,14 +93,16 @@ class VersionedAnnIndex:
         removes = (
             [e["path"] for e in self.table._live_entries(vs[-1])] if vs else []
         )
-        adds = _write_data_files(index_df, self.root, "_cid")
+        # key on the VECTOR id (the merge key for incremental upserts);
+        # the list id rides as a per-file STATS column for probe pruning
+        adds = _write_data_files(index_df, self.root, id_col, stats_cols=("_cid",))
         meta = {
             "kind": "ivf_int8",
             "id_col": id_col,
             "centroids": [[cid, [float(x) for x in cv]] for cid, cv in centroids],
         }
         _commit(
-            self.root, version, adds, removes, "_cid", op="index_rebuild", meta=meta
+            self.root, version, adds, removes, id_col, op="index_rebuild", meta=meta
         )
         return version
 
@@ -139,12 +143,40 @@ class VersionedAnnIndex:
         )
         return version
 
+    def upsert(self, corpus_delta: DataFrame, id_col: str, vec_col: str) -> int:
+        """Incremental maintenance: encode ``corpus_delta`` with the
+        CURRENT build's codebook (centroids or PQ books — no retrain) and
+        MERGE the code rows on the vector id — new vectors insert,
+        re-embedded vectors update in place, and file skipping bounds the
+        rewrite to the id-intersecting files. The honest trade: merged
+        files carry no ``_cid`` stats, so ivf probe pruning degrades to
+        must-scan for them until the next ``rebuild`` re-clusters (the
+        index-maintenance analogue of Delta ingest before OPTIMIZE).
+        Returns the new version."""
+        meta = self._index_meta()
+        if meta["kind"] == "pq":
+            books = [[[int(x) for x in cw] for cw in sub] for sub in meta["books"]]
+            rows = pq_index(corpus_delta, id_col, vec_col, books)
+        else:
+            rows = ivf_int8_index(corpus_delta, id_col, vec_col, self.centroids())
+        return self.table.merge(rows, when_matched="update")
+
     # ---------------------------------------------------------- read
 
+    def _index_meta(self, version: int | None = None) -> dict:
+        """The governing build metadata for ``version``: the newest
+        meta-carrying commit at or below it — upsert merges commit no
+        meta, so the codebook of the last (re)build governs them."""
+        upto = self.table.latest_version() if version is None else version
+        for rec in reversed(self.table.history()):
+            if rec["version"] <= upto and rec.get("meta"):
+                return rec["meta"]
+        raise ValueError(f"no index build recorded at or before version {version}")
+
     def centroids(self, version: int | None = None) -> list[tuple[int, list[float]]]:
-        meta = self.table.commit_meta(version)
-        if not meta or "centroids" not in meta:
-            raise ValueError(f"no index build recorded at version {version}")
+        meta = self._index_meta(version)
+        if "centroids" not in meta:
+            raise ValueError(f"version {version} is not an ivf_int8 build")
         return [(int(cid), [float(x) for x in cv]) for cid, cv in meta["centroids"]]
 
     def query(
@@ -165,9 +197,7 @@ class VersionedAnnIndex:
         query vector itself comes from ``corpus`` (a 1-row bounded lookup,
         as in the declared ``sim_topk_ann`` branches); ``n_probe`` is
         ignored for pq."""
-        meta = self.table.commit_meta(version)
-        if not meta or "kind" not in meta:
-            raise ValueError(f"no index build recorded at version {version}")
+        meta = self._index_meta(version)
         if meta["kind"] == "pq":
             books = [[[int(x) for x in cw] for cw in sub] for sub in meta["books"]]
             return pq_topk(
@@ -190,18 +220,17 @@ class VersionedAnnIndex:
         )[:n_probe]
         lo = min(cid for cid, _ in probe)
         hi = max(cid for cid, _ in probe)
-        # file-level skip on the probed cid RANGE (commit-recorded _cid
-        # stats of the requested version), then the exact probe-set filter
-        # inside ivf_int8_topk; files without stats are kept (must-scan)
-        entries = [
-            e
-            for e in self.table._live_entries(version)
-            if not (
-                e.get("key_min") is not None
-                and e.get("key_max") is not None
-                and (e["key_max"] < lo or e["key_min"] > hi)
-            )
-        ]
+        # file-level skip on the probed cid RANGE (the commit-recorded
+        # _cid stats column of the requested version), then the exact
+        # probe-set filter inside ivf_int8_topk; files without _cid stats
+        # — e.g. upsert-merged ones, until the next rebuild — are kept
+        # (must-scan: pruning degrades, correctness doesn't)
+        entries = []
+        for e in self.table._live_entries(version):
+            st = (e.get("stats") or {}).get("_cid", [None, None])
+            if st[0] is not None and st[1] is not None and (st[1] < lo or st[0] > hi):
+                continue
+            entries.append(e)
         index = (
             self.table._read_paths(
                 [e["path"] for e in entries],

@@ -86,6 +86,9 @@ class _FileEntry:
     #: optional per-column footer [min, max] for extra skipping columns
     #: (populated by optimize_zorder for its clustering columns)
     stats: dict | None = None
+    #: footer row count — makes COUNT(*) a pure log read (Delta records
+    #: numRecords per add for the same reason)
+    num_rows: int | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -195,6 +198,8 @@ def _write_data_files(
     """Write df as parquet under data/<uuid>/ and return entries with
     footer key stats (plus per-column stats for ``stats_cols``). Files are
     INVISIBLE until a commit references them."""
+    import pyarrow.parquet as pq
+
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     out = root / sub
     df.write.mode("error").parquet(str(out))
@@ -207,7 +212,11 @@ def _write_data_files(
             for c in stats_cols:
                 clo, chi = _footer_key_stats(p, c)
                 stats[c] = [clo, chi]
-        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi, stats))
+        try:
+            n_rows = pq.ParquetFile(str(p)).metadata.num_rows
+        except Exception:
+            n_rows = None
+        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi, stats, n_rows))
     return entries
 
 
@@ -237,6 +246,7 @@ def _commit(
                     "key_min": e.key_min,
                     "key_max": e.key_max,
                     **({"stats": e.stats} if e.stats else {}),
+                    **({"num_rows": e.num_rows} if e.num_rows is not None else {}),
                 }
                 for e in adds
             ],
@@ -670,7 +680,13 @@ class VersionedTable:
         current = {e["path"]: e for e in self._live_entries(cur)}
         key_col = self._key_col
         adds = [
-            _FileEntry(e["path"], e.get("key_min"), e.get("key_max"), e.get("stats"))
+            _FileEntry(
+                e["path"],
+                e.get("key_min"),
+                e.get("key_max"),
+                e.get("stats"),
+                e.get("num_rows"),
+            )
             for p, e in target.items()
             if p not in current
         ]
@@ -778,35 +794,69 @@ class VersionedTable:
         )
         return v + 1
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
-        """Small-file compaction (OPTIMIZE without reclustering): rewrite
-        the live set into ⌈total_bytes / target⌉ files. Streaming-merge
-        ingest accretes a file (or few) per micro-batch; scan efficiency
-        at scale needs ~128 MB files (one task each, full row groups).
-        Sizes come from the filesystem, the rewrite is one repartition
-        (round-robin — no shuffle key needed, content unchanged), and the
-        commit removes every prior live file by reference (time travel to
-        pre-compaction versions keeps working). Returns the new version."""
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+    ) -> int:
+        """Small-file compaction (OPTIMIZE without reclustering), BIN-
+        PACKING: only files smaller than ``small_file_bytes`` (default
+        target/2 — Delta's OPTIMIZE considers sub-threshold files only)
+        are rewritten, into ⌈small_bytes / target⌉ files; already-right-
+        sized files carry over BY REFERENCE. Streaming-merge ingest
+        accretes a file (or few) per micro-batch; scan efficiency at
+        scale needs ~128 MB files (one task each, full row groups) — but
+        rewriting the WHOLE table to get them would make compaction
+        O(table) (the round-6 fix; previously every live file was
+        rewritten). Sizes come from the filesystem, the rewrite is one
+        repartition of just the small files (round-robin — no shuffle key
+        needed, content unchanged), and the commit removes only the
+        compacted files by reference (time travel to pre-compaction
+        versions keeps working). Fewer than two small files → metadata
+        no-op: returns the CURRENT version without committing."""
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes // 2
         key_col = self.key_col()
         v = self.latest_version()
         entries = self._live_entries(v)
-        total = sum(
-            (self.root / e["path"]).stat().st_size
+        sized = [
+            (e, (self.root / e["path"]).stat().st_size)
             for e in entries
             if (self.root / e["path"]).exists()
-        )
+        ]
+        small = [(e, b) for e, b in sized if b < small_file_bytes]
+        if len(small) < 2:
+            return v  # nothing worth packing; no empty commit
+        total = sum(b for _, b in small)
         n_files = max(1, -(-total // target_file_bytes))
-        df = self.snapshot(v).repartition(int(n_files))
+        df = self._read_paths(
+            sorted(e["path"] for e, _ in small), align_to=self.snapshot(v)
+        ).repartition(int(n_files))
         new_files = _write_data_files(df, self.root, key_col)
         _commit(
             self.root,
             v + 1,
             new_files,
-            [e["path"] for e in entries],
+            [e["path"] for e, _ in small],
             key_col,
             op="compact",
         )
         return v + 1
+
+    def row_count(self, version: int | None = None) -> int:
+        """COUNT(*) of a snapshot from the commit log's per-file footer
+        row counts — zero data scan when every live file recorded one
+        (every round-6+ commit does); legacy entries fall back to one
+        footer read each, still metadata-only."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for e in self._live_entries(version):
+            n = e.get("num_rows")
+            if n is None:
+                n = pq.ParquetFile(str(self.root / e["path"])).metadata.num_rows
+            total += int(n)
+        return total
 
     # ---------------------------------------------------------- hygiene
 

@@ -396,6 +396,8 @@ def run_stream_to_versioned(
     key_col: str,
     checkpoint: str,
     spark: SparkSession | None = None,
+    compact_every: int | None = None,
+    vacuum_retain: int | None = None,
 ):
     """Drain a stream into a VersionedTable (sources/versioned.py) with
     MERGE-on-key per micro-batch — the streaming-ingest → ACID-table
@@ -420,9 +422,15 @@ def run_stream_to_versioned(
     CHECKPOINTS bound (round-6): every CHECKPOINT_INTERVAL commits the
     writer materializes full state, so per-batch metadata reads stay
     O(interval) however long the stream runs — not O(batches). Disk
-    growth from copy-on-write churn is the operator's job: run
-    ``VersionedTable.vacuum(retain_versions=K)`` (and ``compact()``)
-    periodically, as with Delta's VACUUM/OPTIMIZE. Returns the finished
+    growth from copy-on-write churn is handled IN-LINE when the
+    maintenance knobs are set (the operational defaults a long-running
+    ingest needs, mirroring Delta's auto-OPTIMIZE + VACUUM):
+    ``compact_every=N`` bin-packs accreted small files every N batches
+    (metadata no-op when nothing is small); ``vacuum_retain=K`` then
+    reclaims files outside the newest K versions — together they bound
+    BOTH the file count and the directory bytes of an indefinite stream,
+    at the documented price that versions older than the retention
+    window stop being time-travelable. Returns the finished
     StreamingQuery.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
@@ -440,6 +448,10 @@ def run_stream_to_versioned(
         # fingerprint dedup; this guard keeps the sink total)
         batch = batch_df.dropDuplicates([key_col])
         t.merge(batch, when_matched="update")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            t.compact()
+            if vacuum_retain:
+                t.vacuum(retain_versions=vacuum_retain)
 
     return run_foreach_batch(df, sink, checkpoint)
 

@@ -633,3 +633,80 @@ def test_versioned_pq_index_lifecycle(spark, sf_dir, tmp_path):
     ]
     new = idx.query(emb, "vec_id", "embedding", query_id=7, k=5).collect()
     assert len(new) == 5  # trained build serves
+
+
+def test_row_count_is_metadata_only(spark, table):
+    """COUNT(*) from the commit log's recorded per-file footer counts —
+    matches the scan count at every version, including after merges."""
+    assert table.row_count() == 20 == table.snapshot().count()
+    table.merge(
+        spark.createDataFrame(
+            [(3, "u", 0.0), (500, "n", 1.0)], "k long, name string, v double"
+        )
+    )
+    assert table.row_count() == 21 == table.snapshot().count()
+    assert table.row_count(0) == 20  # time-travel count too
+    # every live entry actually recorded num_rows (no footer fallback)
+    assert all(e.get("num_rows") is not None for e in table._live_entries())
+
+
+def test_compact_bin_packs_only_small_files(spark, tmp_path):
+    """Bin-packing compaction (round 6): right-sized files carry over BY
+    REFERENCE; only sub-threshold files are rewritten — compaction cost
+    is O(small files), not O(table). A table with <2 small files is a
+    metadata no-op (no empty commit)."""
+    big = spark.range(20_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    ).coalesce(1)
+    t = VersionedTable.create(spark, tmp_path / "t", big, key_col="k")
+    big_paths = {e["path"] for e in t._live_entries()}
+    for i in range(4):  # four tiny appends
+        t.append(
+            spark.createDataFrame([(100_000 + i, "s")], "k long, v string").coalesce(1)
+        )
+    v_before = t.latest_version()
+    big_bytes = max(
+        (t.root / p).stat().st_size for p in {e["path"] for e in t._live_entries()}
+    )
+    v = t.compact(target_file_bytes=128 * 1024 * 1024, small_file_bytes=big_bytes)
+    assert v == v_before + 1
+    after = {e["path"] for e in t._live_entries()}
+    assert big_paths <= after  # the big file carried over by reference
+    assert len(after) == len(big_paths) + 1  # four tiny files -> one
+    assert t.row_count() == 20_004
+    # second compact: nothing small left to pack -> metadata no-op
+    assert t.compact(small_file_bytes=big_bytes) == v
+    assert t.latest_version() == v
+
+
+def test_ann_index_upsert_matches_full_encode(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: upserting the other half of the
+    corpus (encoded with the ORIGINAL build's centroids) answers queries
+    identically to a one-shot index of the full corpus under those same
+    centroids; re-upserting the same delta is idempotent table state."""
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        ivf_int8_index,
+        ivf_int8_topk,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    idx = VersionedAnnIndex(spark, tmp_path / "ann")
+    idx.rebuild(even, "vec_id", "embedding", n_centroids=8, n_iter=2)
+    cb = idx.centroids()
+    v1 = idx.upsert(odd, "vec_id", "embedding")
+    assert v1 == 1
+    got = idx.query(emb, "vec_id", "embedding", query_id=3, k=5).collect()
+    ref = ivf_int8_topk(
+        ivf_int8_index(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", 3, cb, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in ref
+    ]
+    # idempotent re-delivery: a replayed upsert adds a version, not rows
+    idx.upsert(odd, "vec_id", "embedding")
+    assert idx.table.row_count() == emb.count()
