@@ -27,22 +27,32 @@ _INS_SHIFT = 10_000_000
 @register(
     "merge_upsert",
     f"""
+    WITH m AS (
+      SELECT c_custkey,
+             c_name,
+             c_nationkey,
+             CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN -c_acctbal ELSE c_acctbal END
+               AS c_acctbal,
+             CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN 'MERGED' ELSE c_mktsegment END
+               AS c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + {_INS_SHIFT} AS c_custkey,
+             c_name,
+             c_nationkey,
+             c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer
+      WHERE c_custkey % {_INS_MOD} = 0
+    )
     SELECT c_custkey,
            c_name,
            c_nationkey,
-           CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN -c_acctbal ELSE c_acctbal END
-             AS c_acctbal,
-           CASE WHEN c_custkey % {_UPD_MOD} = 0 THEN 'MERGED' ELSE c_mktsegment END
-             AS c_mktsegment
-    FROM customer
-    UNION ALL
-    SELECT c_custkey + {_INS_SHIFT} AS c_custkey,
-           c_name,
-           c_nationkey,
-           c_acctbal,
-           'INSERTED' AS c_mktsegment
-    FROM customer
-    WHERE c_custkey % {_INS_MOD} = 0
+           CASE WHEN c_mktsegment = 'INSERTED' THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM m
+    WHERE NOT (c_custkey % 13 = 0)
     """,
     tags=("transaction", "merge"),
 )
@@ -66,7 +76,17 @@ def merge_upsert(spark, sf_dir):
     exactly, so the layout rewrite (bit-interleaved clustering +
     per-column skipping stats) is itself value-hash checked cross-engine;
     the pruning behavior the layout buys is pinned separately in
-    tests/test_versioned.py."""
+    tests/test_versioned.py.
+
+    Round 6: the entry then drives the SCOPED mutation path through the
+    same log — ``update_where`` bumps every INSERTED clone's balance by
+    1000 under a key-range prune implied by the predicate (inserted keys
+    all sit past _INS_SHIFT: the file-skipping write path itself is under
+    the oracle now, not only under pytest), and ``delete_where`` drops
+    every 13th key — so the returned snapshot hash-checks MERGE +
+    OPTIMIZE + UPDATE + DELETE as one committed lineage (versions
+    0..4). The DuckDB oracle replays them as CASE + WHERE over the merge
+    CTE."""
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     cust = load(spark, sf_dir, "customer")
@@ -85,4 +105,11 @@ def merge_upsert(spark, sf_dir):
     )
     t.merge(updates.unionByName(inserts), when_matched="update")
     t.optimize_zorder(("c_nationkey", "c_acctbal"), file_count=4)
+    t.update_where(
+        {"c_acctbal": F.col("c_acctbal") + 1000.0},
+        F.col("c_mktsegment") == "INSERTED",
+        # implied by the predicate: only the shifted clones are INSERTED
+        prune={"c_custkey": (_INS_SHIFT, 2 * _INS_SHIFT)},
+    )
+    t.delete_where(F.col("c_custkey") % 13 == 0)
     return t.snapshot()
