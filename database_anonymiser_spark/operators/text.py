@@ -803,3 +803,77 @@ def chunk_documents(
             F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx"), F.col("chunk_text"))
         ).alias("chunk_id"),
     )
+
+
+#: char-bigram LM alphabet: a-z, space, and '_' (everything else folds to
+#: '_') — 28 symbols, so the model is ≤ 784 cells however large the corpus
+LM_ALPHABET_SIZE = 28
+
+
+def char_bigram_lm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained character-bigram LM quality score — the LM-filter
+    class of CCNet/Dolma (there a KenLM 5-gram perplexity; here the
+    smallest model with the same shape: P(c2|c1) with add-one smoothing
+    over a 28-symbol alphabet) rendered in the engine's exact-integer
+    convention so scores value-hash check cross-engine.
+
+    Text folds to lowercase with non-[a-z ] mapped to '_'; the model is
+    the corpus's bigram transition table; a document's score is the MEAN
+    transition probability of its bigrams in micro-ints:
+    ``prob_micro(c1c2) = (cnt(c1c2)+1)*1e6 div (cnt(c1·)+28)`` and
+    ``lm_mean_prob = (Σ prob_micro) div n_bigrams / 1e6``. The arithmetic
+    mean of transition probabilities is monotone with fluency in the same
+    direction as (negated) perplexity but stays in integer space —
+    log-domain bits-per-char would hinge on cross-engine ``log`` ulps.
+    Natural running text rides high-frequency transitions; junk (random
+    chars, tables of symbols) rides smoothed near-zero ones.
+
+    Returns (id, lm_bigrams, lm_mean_prob); documents with <2 normalized
+    chars get (0, 0.0). 100 TB shape: the TRAIN pass is one bounded
+    aggregate (≤784 cells, partial-aggregated map-side — the model, like
+    the IVF codebook, is data-size-independent); the SCORE pass explodes
+    bigrams map-side, broadcast-joins the 784-row model, and aggregates
+    once per document — one shuffle on the doc id, nothing driver-side.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "_")
+    base = df.select(F.col(id_col), norm.alias("_n"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.length("_n") >= 2, F.sequence(F.lit(1), F.length("_n") - 1)
+            ).otherwise(F.array())
+        ).alias("_i"),
+        F.col("_n"),
+    ).select(id_col, F.expr("substring(_n, _i, 2)").alias("_bg"))
+    counts = grams.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cnt"))
+    tots = counts.groupBy(F.substring("_bg", 1, 1).alias("_c1")).agg(
+        F.sum("_cnt").alias("_tot")
+    )
+    model = counts.join(
+        tots, F.substring(counts["_bg"], 1, 1) == tots["_c1"]
+    ).select(
+        "_bg",
+        F.expr(f"(_cnt + 1) * 1000000 div (_tot + {LM_ALPHABET_SIZE})").alias(
+            "_prob_micro"
+        ),
+    )
+    scored = (
+        grams.join(F.broadcast(model), "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("lm_bigrams"),
+            F.expr("sum(_prob_micro) div count(1)").alias("_mean_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lm_bigrams"), F.lit(0)).alias("lm_bigrams"),
+            (F.coalesce(F.col("_mean_micro"), F.lit(0)) / 1_000_000.0).alias(
+                "lm_mean_prob"
+            ),
+        )
+    )

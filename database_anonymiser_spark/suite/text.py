@@ -325,9 +325,45 @@ def _dup_spans_ctes() -> str:
     """
 
 
+def _lm_ctes() -> str:
+    """CTE chain of the char-bigram LM oracle (operators/text.py::
+    char_bigram_lm): fold the alphabet, explode bigrams, train the
+    add-one-smoothed transition table, score as integer mean transition
+    probability — every step exact integer division, so the doubles are
+    bit-identical cross-engine."""
+    return """
+    lmnorm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS n
+      FROM documents
+    ),
+    lmgrams AS (
+      SELECT doc_id, substr(n, CAST(i AS INT), 2) AS bg
+      FROM lmnorm, LATERAL unnest(range(1, CAST(length(n) AS BIGINT))) AS u(i)
+    ),
+    lmcounts AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM lmgrams GROUP BY bg
+    ),
+    lmtots AS (
+      SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM lmcounts GROUP BY 1
+    ),
+    lmmodel AS (
+      SELECT bg, (cnt + 1) * 1000000 // (tot + 28) AS prob_micro
+      FROM lmcounts JOIN lmtots ON substr(lmcounts.bg, 1, 1) = lmtots.c1
+    ),
+    lmscore AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS lm_bigrams,
+             SUM(m.prob_micro) // count(*) AS mean_micro
+      FROM lmgrams g JOIN lmmodel m USING (bg)
+      GROUP BY g.doc_id
+    )
+    """
+
+
 def _quality_spans_oracle() -> str:
     return f"""
     WITH {_dup_spans_ctes().strip().rstrip()},
+    {_lm_ctes().strip().rstrip()},
     clf AS (
       {_quality_clf_oracle()}
     )
@@ -337,9 +373,12 @@ def _quality_spans_oracle() -> str:
            coalesce(a.dup_tokens, 0) AS dup_tokens,
            (CASE WHEN len(t.toks) > 0 THEN
               (2 * coalesce(a.dup_tokens, 0) * 1000000 + len(t.toks)) // (2 * len(t.toks))
-            ELSE 0 END) / 1000000.0 AS dup_frac
+            ELSE 0 END) / 1000000.0 AS dup_frac,
+           coalesce(l.lm_bigrams, 0) AS lm_bigrams,
+           coalesce(l.mean_micro, 0) / 1000000.0 AS lm_mean_prob
     FROM tok t
     LEFT JOIN spanagg a USING (doc_id)
+    LEFT JOIN lmscore l USING (doc_id)
     JOIN clf USING (doc_id)
     """
 
@@ -360,13 +399,18 @@ def text_quality_spans(spark, sf_dir):
       in the windowed rendering — 5-token window hashes, ≥2-distinct-docs
       seeds, lag-based overlap-merged token cover per doc. Inverted-index
       shape, cost ∝ duplicate occurrences.
+    - char_bigram_lm (operators/text.py, round 6): the CCNet/Dolma
+      LM-filter class — corpus-trained add-one-smoothed char-bigram
+      transition model (≤784 cells, the bounded 'model' aggregate class),
+      scored as exact-integer mean transition probability per doc.
 
-    The two frames join on the doc id (both one-row-per-doc); the oracle
-    replays both constructions and the join.
+    The three frames join on the doc id (all one-row-per-doc); the oracle
+    replays every construction and the joins.
     """
     docs = load(spark, sf_dir, "documents")
     from database_anonymiser_spark.operators.dedup import dup_spans
 
     clf = TX.quality_classifier(docs, "doc_id", "text")
     spans = dup_spans(docs, "doc_id", "text", k=_SPAN_K, min_docs=2)
-    return clf.join(spans, "doc_id")
+    lm = TX.char_bigram_lm(docs, "doc_id", "text")
+    return clf.join(spans, "doc_id").join(lm, "doc_id")

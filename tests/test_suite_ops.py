@@ -1577,3 +1577,36 @@ def test_scoped_cache_interleaved_pipelines_memoized_and_bounded(spark):
     assert ca.storageLevel.useMemory or ca.storageLevel.useDisk  # retained
     lru = C._SLOTS[(spark.sparkContext.applicationId, slot)]
     assert len(lru) == C.CAPACITY
+
+
+def test_char_bigram_lm_orders_fluent_above_junk(spark):
+    """char_bigram_lm: (1) running English text scores strictly above
+    junk (symbols/random consonant strings ride smoothed near-zero
+    transitions); (2) scores are exact integers underneath - partition
+    invariant; (3) <2-char docs get (0, 0.0)."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators import text as TX
+
+    fluent = "the cat sat on the mat and the dog ran to the man with the hat"
+    junk = "xq zj qv kx jz vq qk zx jq vz qx kj zq vk xz jv"
+    # corpus dominated by running text (as a real corpus is): the model
+    # learns English transitions; the one junk doc rides smoothed tails
+    rows = (
+        [(1, fluent), (2, junk), (3, "a")]
+        + [(10 + i, f"she said the word {w} and then sat down with the book")
+           for i, w in enumerate(["cat", "dog", "hat", "mat", "man", "rat"])]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.char_bigram_lm(df, "doc_id", "text").collect()}
+    assert got[1]["lm_mean_prob"] > got[2]["lm_mean_prob"] * 2
+    assert got[3] == (3, 0, 0.0)
+    assert got[1]["lm_bigrams"] == len(fluent) - 1
+
+    again = {
+        r["doc_id"]: r
+        for r in TX.char_bigram_lm(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
