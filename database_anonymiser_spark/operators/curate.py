@@ -50,6 +50,7 @@ def curate_corpus(
     allowed_langs: tuple[str, ...] | None = None,
     drop_repetitive: bool = False,
     clf_cutoff: float | None = None,
+    lm_cutoff: float | None = None,
     clean_lines: bool = False,
     drop_boilerplate: bool = False,
     dedup_lines_min_docs: int | None = None,
@@ -75,7 +76,10 @@ def curate_corpus(
     failing the Gopher-style repetition thresholds
     (text.py::REPETITION_THRESHOLDS); ``clf_cutoff`` (None = off) adds the
     model-based gate — text.py::quality_classifier score ≥ cutoff — after
-    the heuristic gates, CCNet-style. Exact dedup keeps the minimum id per
+    the heuristic gates, CCNet-style. ``lm_cutoff`` (None = off, round 6)
+    adds the corpus-trained char-bigram LM gate (text.py::char_bigram_lm,
+    the perplexity-filter slot of the CCNet/Dolma recipes): keep docs
+    with ``lm_mean_prob`` ≥ cutoff. Exact dedup keeps the minimum id per
     fingerprint; near dedup keeps the minimum id per duplicate CLUSTER
     (transitive closure of LSH pairs, so chains collapse to one doc).
     ``decontam_n=None`` skips decontamination; otherwise every TRAIN doc
@@ -162,6 +166,17 @@ def curate_corpus(
             .where(F.col("qc_keep"))
             .drop("qc_score", "qc_keep")
         )
+
+    if lm_cutoff is not None:
+        # corpus-trained LM gate (text.py::char_bigram_lm — the CCNet/
+        # Dolma perplexity-filter class): docs whose mean transition
+        # probability sits below the cutoff are dropped. The model trains
+        # on the GATED corpus (post-heuristics), so junk already removed
+        # does not pollute the transition table. One bounded aggregate +
+        # a broadcast join — no new wide shuffle beyond the per-doc agg.
+        lm = TX.char_bigram_lm(kept, id_col, text_col)
+        keep_ids = lm.where(F.col("lm_mean_prob") >= lm_cutoff).select(id_col)
+        kept = kept.join(keep_ids, id_col, "left_semi")
 
     if drop_repetitive:
         # Gopher-style repetition gate (text.py::repetition_profile) — still

@@ -354,6 +354,74 @@ _Q19_SQL = f"""
 """
 
 
+_Q7_SQL = f"""
+    SELECT 'q7' AS q, CAST(year(l.l_shipdate) AS BIGINT) AS k,
+           n1.n_name || '|' || n2.n_name AS name,
+           {dsum_sql(_REV_SQL, 6)} AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 2, 3
+"""
+
+_Q9_AMOUNT = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+    " - CAST(l_quantity AS DECIMAL(18,6))"
+)
+
+_Q9_SQL = f"""
+    SELECT 'q9' AS q, CAST(year(o.o_orderdate) AS BIGINT) AS k, n.n_name AS name,
+           {dsum_sql(_Q9_AMOUNT, 6)} AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 2, 3
+"""
+
+#: q11's threshold comparison runs in exact integer cents so the HAVING
+#: boundary cannot be a cross-engine double ulp
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_Q11_SQL = f"""
+    SELECT 'q11' AS q, l_partkey AS k, CAST(NULL AS STRING) AS name,
+           CAST(sum({_CENTS}) AS DOUBLE) / 100.0 AS val1,
+           CAST(NULL AS DOUBLE) AS val2
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum({_CENTS}) * 1000 > (SELECT sum({_CENTS}) FROM lineitem)
+"""
+
+_Q21_SQL = """
+    SELECT 'q21' AS q, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS k,
+           s.s_name AS name,
+           CAST(NULL AS DOUBLE) AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY k DESC, name
+    LIMIT 10
+"""
+
+
 @register(
     "tpch_q2_q10_q22",
     f"""
@@ -370,14 +438,26 @@ _Q19_SQL = f"""
     SELECT * FROM ({_Q17_SQL})
     UNION ALL
     SELECT * FROM ({_Q19_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q7_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q9_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q11_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q21_SQL})
     """,
     tags=("sql", "join", "agg"),
 )
 def tpch_q2_q10_q22(spark, sf_dir):
-    """TPC-H Q2 + Q10 + Q22 shapes, tagged and unioned onto one harmonized
-    schema (q, k, name, val1, val2) — packed because the driver's
-    correctness gate checks the 50 alphabetically-first entries (the same
-    constraint that drove the round-2 consolidation).
+    """Eleven TPC-H shapes (Q2/Q7/Q9/Q10/Q11/Q12/Q13/Q17/Q19/Q21/Q22),
+    tagged and unioned onto one harmonized schema (q, k, name, val1,
+    val2) — packed because the driver's correctness gate checks the 50
+    alphabetically-first entries (the same constraint that drove the
+    round-2 consolidation). With Q1/Q3/Q4/Q5/Q6/Q14/Q18 as standalone
+    entries, 18 of the 22 canonical shapes are value-hash checked; the
+    remaining four (Q8/Q15/Q16/Q20) need partsupp/region columns the
+    fixture lacks in any faithful rendering.
 
     - 'q2' (correlated scalar-MIN): min-price lineitem per part (the
       fixture has no partsupp) star-joined to supplier/nation. The
@@ -565,6 +645,89 @@ def tpch_q2_q10_q22(spark, sf_dir):
         )
     )
 
+    # Round 6 (third batch) — four more canonical shapes, same schema:
+    #
+    # - q7 (volume shipping): the 5-way nation-pair join with the
+    #   symmetric-pair disjunction and a year rollup; nation joined TWICE
+    #   (supplier's and customer's) — both broadcast, lineitem shuffles
+    #   once for the group-by.
+    # - q9 (product-type profit): 5-way star with a LIKE part filter and
+    #   a per-(nation, year) exact-decimal profit sum (the fixture has no
+    #   partsupp, so cost is rendered as l_quantity — identical plan
+    #   shape: rev minus a per-row decimal).
+    # - q11 (important stock, via spark.sql): group HAVING against a
+    #   GLOBAL scalar subquery — the threshold comparison runs in exact
+    #   integer CENTS so the boundary can't be a cross-engine double ulp.
+    # - q21 (waiting suppliers, via spark.sql): the double-correlated
+    #   EXISTS + NOT EXISTS self-joins on lineitem (Catalyst decorrelates
+    #   to one semi and one anti join on l_orderkey), top-10 with a
+    #   deterministic (count, name) tiebreak. No l_receiptdate in the
+    #   fixture, so 'late' is rendered as l_returnflag = 'R' — same
+    #   correlation structure.
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    s7 = load(spark, sf_dir, "supplier")
+    c7 = load(spark, sf_dir, "customer")
+    o7 = load(spark, sf_dir, "orders")
+    li7 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev7 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    pair = (
+        (F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2")
+    ) | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+    q7 = (
+        s7.join(li7, s7.s_suppkey == li7.l_suppkey)
+        .join(o7, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c7, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .where(pair)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("k"),
+            F.concat_ws("|", "n1.n_name", "n2.n_name").alias("name"),
+        )
+        .agg(dsum(rev7, 6).alias("val1"))
+        .select(
+            F.lit("q7").alias("q"), "k", "name", "val1",
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    p9 = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    amount9 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+        - F.col("l_quantity").cast("decimal(18,6)")
+    )
+    q9 = (
+        li.join(F.broadcast(p9), li.l_partkey == p9.p_partkey)
+        .join(F.broadcast(s7.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o7.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("k"),
+            F.col("n_name").alias("name"),
+        )
+        .agg(dsum(amount9, 6).alias("val1"))
+        .select(
+            F.lit("q9").alias("q"), "k", "name", "val1",
+            F.lit(None).cast("double").alias("val2"),
+        )
+    )
+
+    for t in ("lineitem", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    q11 = spark.sql(_Q11_SQL)
+    q21 = spark.sql(_Q21_SQL)
+
     return (
         q2.unionByName(q10)
         .unionByName(q22)
@@ -572,4 +735,8 @@ def tpch_q2_q10_q22(spark, sf_dir):
         .unionByName(q13)
         .unionByName(q17)
         .unionByName(q19)
+        .unionByName(q7)
+        .unionByName(q9)
+        .unionByName(q11)
+        .unionByName(q21)
     )

@@ -379,3 +379,23 @@ def test_curate_corpus_classifier_gate(spark, sf_dir):
         .collect()
     }
     assert gated_ids == base_ids & passing
+
+
+def test_curate_lm_gate_drops_junk(spark):
+    """lm_cutoff: the corpus-trained bigram-LM gate drops the consonant-
+    soup doc while the running-text docs survive; with the gate off the
+    junk doc passes the heuristic gates (it has enough tokens), proving
+    the LM signal is doing the work."""
+    fluent = [
+        (i, f"the {w} sat on the mat and then the {w} ran to the door", "src0")
+        for i, w in enumerate(["cat", "dog", "fox", "hen", "owl", "rat", "pig", "bat"])
+    ]
+    junk = [(99, "xq zj qv kx jz vq qk zx jq vz qx kj zq vk xz jv", "src0")]
+    df = spark.createDataFrame(fluent + junk, "doc_id long, text string, source string")
+    common = dict(min_tokens=3, near_dedup=False, decontam_n=None)
+    without = curate_corpus(df, **common)
+    assert 99 in {r["doc_id"] for r in without.select("doc_id").collect()}
+    gated = curate_corpus(df, lm_cutoff=0.12, **common)
+    ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert 99 not in ids
+    assert len(ids) >= len(fluent) - 1  # running text survives
