@@ -456,6 +456,54 @@ def run_stream_to_versioned(
     return run_foreach_batch(df, sink, checkpoint)
 
 
+def run_stream_to_ann_index(
+    df: DataFrame,
+    index_root: str,
+    id_col: str,
+    vec_col: str,
+    checkpoint: str,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    spark: SparkSession | None = None,
+):
+    """Streaming VECTOR ingest: drain an embedding stream into a
+    :class:`~database_anonymiser_spark.operators.index_store.VersionedAnnIndex`
+    — the composition a live vector store runs (new/updated embeddings
+    arrive continuously; the ANN index must absorb them without a full
+    retrain per batch).
+
+    - batch 0 trains the codebook on the first batch and commits build 0;
+    - every later batch UPSERTs: encode with the CURRENT codebook, MERGE
+      on the vector id — re-delivered ids update in place, so
+      at-least-once delivery yields exactly-once index state (the same
+      merge-as-idempotency argument as :func:`run_stream_to_versioned`).
+
+    Periodic REBUILD (restoring probe pruning and re-centering the
+    codebook after drift) is deliberately NOT a knob here: a faithful
+    rebuild needs the source-of-truth embedding table, not a micro-batch
+    — the index stores lossy int8 codes, so it cannot re-train itself.
+    Run ``VersionedAnnIndex.rebuild(corpus, ...)`` offline on the
+    ingest's upstream table at the operator's cadence; the sink keeps
+    upserting into the fresh build (any-version query keeps working).
+
+    100 TB shape: per batch one bounded codebook read (commit meta), one
+    map-side Arrow encode of just the batch, one key-skipped MERGE.
+    Returns the finished StreamingQuery.
+    """
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        idx = VersionedAnnIndex(s, index_root)
+        batch = batch_df.dropDuplicates([id_col])
+        if not idx.versions():
+            idx.rebuild(batch, id_col, vec_col, n_centroids, n_iter)
+            return
+        idx.upsert(batch, id_col, vec_col)
+
+    return run_foreach_batch(df, sink, checkpoint)
+
+
 def versioned_change_feed(
     spark: SparkSession, table_root: str, since_version: int
 ) -> tuple[DataFrame | None, int]:

@@ -686,3 +686,71 @@ def test_stream_versioned_sink_inline_maintenance(spark, tmp_path):
     for ver in t.versions()[-2:]:
         retained2 |= set(V._replay(t.root, ver)[0])
     assert on_disk2 == retained2
+
+
+def test_stream_to_ann_index_ingest_and_query(spark, tmp_path):
+    """Streaming vector ingest: batch 0 builds the index, later batches
+    upsert (new ids insert, re-delivered ids update), and a query against
+    the drained index equals the per-call index of the same accumulated
+    corpus under the batch-0 codebook. Crash-restart (re-drain with no
+    new files) leaves index state unchanged."""
+    import shutil
+
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        ivf_int8_index,
+        ivf_int8_topk,
+    )
+    from database_anonymiser_spark.streaming.pipeline import run_stream_to_ann_index
+
+    dim = 8
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "ann")
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(seed):
+        return [((seed * 31 + j * 7) % 13) / 13.0 for j in range(dim)]
+
+    def feed(batch_no, ids):
+        d = src / f"stage{batch_no}"
+        spark.createDataFrame([(i, vec(i)) for i in ids], schema).repartition(
+            1
+        ).write.parquet(str(d), mode="overwrite")
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"b{batch_no}_{p.name}"))
+        shutil.rmtree(d)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_ann_index(
+            stream, root, "vec_id", "embedding", ckpt, n_centroids=4, n_iter=2
+        )
+
+    feed(0, range(0, 20))
+    drain()  # build 0
+    feed(1, range(20, 35))
+    drain()  # upsert
+    feed(2, [5, 6, 40, 41])  # re-delivery of 5,6 + new ids
+    drain()
+
+    idx = VersionedAnnIndex(spark, root)
+    assert len(idx.versions()) == 3
+    all_ids = set(range(0, 35)) | {40, 41}
+    assert idx.table.row_count() == len(all_ids)
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in sorted(all_ids)], schema)
+    got = idx.query(corpus, "vec_id", "embedding", query_id=7, k=5).collect()
+    cb = idx.centroids(0)  # batch-0 codebook governs every upsert
+    ref = ivf_int8_topk(
+        ivf_int8_index(corpus, "vec_id", "embedding", cb),
+        corpus, "vec_id", "embedding", 7, cb, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in ref
+    ]
+
+    drain()  # restart with no new input: no state change
+    assert idx.table.row_count() == len(all_ids)
+    assert len(idx.versions()) == 3
