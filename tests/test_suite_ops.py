@@ -1610,3 +1610,37 @@ def test_char_bigram_lm_orders_fluent_above_junk(spark):
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_media_near_dupes_byte_histogram(spark):
+    """media_near_dupes: byte-shuffled copies (same byte distribution -
+    the re-muxed/reordered media class) pair at cosine ~1; unrelated
+    payloads do not pair; exact and LSH paths agree on the high-threshold
+    pairs; embeddings are unit-norm."""
+    import random
+
+    from database_anonymiser_spark.operators import multimodal as MM
+
+    base = ("the quick brown fox jumps over the lazy dog " * 90).encode()
+    shuffled = bytes(random.Random(2).sample(base, len(base)))  # same multiset
+    # distribution-distinct content (high-byte binary), not just different
+    # random bytes — two uniform histograms would be trivially similar
+    other = bytes(200 + (i * 7) % 56 for i in range(4000))
+    near = base[:3900] + bytes(random.Random(4).randbytes(100))  # light corruption
+    rows = [(1, base), (2, shuffled), (3, other), (4, near)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    emb = {r["doc_id"]: r["embedding"] for r in
+           MM.byte_histogram_embeddings(df).collect()}
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-3 for v in emb.values())
+    assert emb[1] == emb[2]  # identical byte multiset -> identical embedding
+
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in MM.media_near_dupes(df, threshold=0.98).collect()}
+    assert pairs[(1, 2)] >= 0.999999
+    assert (1, 4) in pairs and (2, 4) in pairs  # corruption stays near-dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           MM.media_near_dupes(df, threshold=0.98, use_lsh=True).collect()}
+    assert (1, 2) in lsh and not any(3 in p for p in lsh)
