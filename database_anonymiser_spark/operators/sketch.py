@@ -272,3 +272,121 @@ def kmv_distinct(
         _est(F.col("nd"), F.col("hv")).alias("kmv_distinct_est"),
         F.col("nd").alias("exact_distinct"),
     )
+
+
+def _bottom_k_hashes(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The side's KMV sketch: bottom-k distinct 60-bit md5 hashes of
+    ``key_col`` (NULLs excluded), via the same bucketed pre-filter as the
+    global :func:`kmv_distinct` path so no single task ever sorts more
+    than 64·k candidate rows. Returns a frame of ≤k ``hv`` rows."""
+    hv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = df.where(F.col(key_col).isNotNull()).select(hv.alias("hv")).distinct()
+    num_buckets = 64
+    b = d.withColumn("_b", F.pmod(F.col("hv"), F.lit(num_buckets)))
+    cand = b.withColumn(
+        "_rn1", F.row_number().over(Window.partitionBy("_b").orderBy("hv"))
+    ).where(F.col("_rn1") <= k)
+    return (
+        cand.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .where(F.col("rn") <= k)
+        .select("hv")
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates over two KMV sketches — the Theta-sketch
+    capability (Dasgupta et al., "Theta sketches", and the KMV
+    mergeability of Beyer et al. 2007 — public knowledge): estimate
+    |A ∪ B|, |A ∩ B| and Jaccard from two bottom-k hash sets WITHOUT
+    rescanning either input, the way warehouse sketch columns answer
+    cross-table overlap questions.
+
+    Construction (deterministic, ANSI-SQL-replayable — both keys hash
+    through the same unprefixed md5 as :func:`kmv_distinct`, so equal
+    keys collide across sides by design):
+
+    - UNION: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) —
+      the classic KMV merge; estimate (k-1)·2⁶⁰/θ with θ the merged
+      k-th smallest (exact count when the merged set has < k hashes,
+      which implies BOTH sides were exact).
+    - INTERSECTION: ρ = |{h ∈ K_A ∩ K_B : h ≤ θ}| of the θ-truncated
+      sketches; Jaccard ≈ ρ/k′ (k′ = min(k, merged size)); |A ∩ B| ≈
+      Jaccard · |A ∪ B|-estimate. Error ~1/√k on the Jaccard.
+
+    Returns three rows (op, est, exact): op ∈ union/intersect/jaccard,
+    with the EXACT values computed alongside for audit (two distinct
+    aggregates — drop them at true scale; the sketch math itself touches
+    only the ≤2k merged hash rows after each side's bucketed pre-filter).
+    """
+    ka = _bottom_k_hashes(df_a, key_a, k)
+    kb = _bottom_k_hashes(df_b, key_b, k)
+    m = ka.unionByName(kb).distinct()
+    mr = m.withColumn("rn", F.row_number().over(Window.orderBy("hv"))).withColumn(
+        "nm",
+        F.count(F.lit(1)).over(
+            Window.orderBy("hv").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    theta = mr.where(F.col("rn") == F.least(F.lit(k), F.col("nm"))).select(
+        F.col("hv").alias("th"), F.col("nm")
+    )
+    rho = (
+        ka.join(kb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") <= F.col("th"))
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    a_key = F.col(key_a)
+    b_key = F.col(key_b)
+    exact_a = df_a.where(a_key.isNotNull()).select(a_key.alias("x")).distinct()
+    exact_b = df_b.where(b_key.isNotNull()).select(b_key.alias("x")).distinct()
+    exact_u = exact_a.unionByName(exact_b).distinct().count()
+    exact_i = exact_a.join(exact_b, "x", "left_semi").count()
+
+    stats = F.broadcast(theta).crossJoin(F.broadcast(rho))
+    union_est = F.when(F.col("nm") < k, F.col("nm").cast("double")).otherwise(
+        F.round(F.try_divide(F.lit(float((k - 1) * 2**60)), F.col("th")), 6)
+    )
+    kprime = F.least(F.lit(k), F.col("nm")).cast("double")
+    jac = F.col("rho").cast("double") / kprime
+    out = stats.select(
+        union_est.alias("_u"),
+        F.round(jac, 6).alias("_j"),
+        (F.col("rho").cast("double") / kprime).alias("_jraw"),
+    ).select(
+        "_u",
+        "_j",
+        F.round(F.col("_jraw") * F.col("_u"), 6).alias("_i"),
+    )
+    exact_j = round(exact_i / exact_u, 6) if exact_u else 0.0
+    return out.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("union").alias("op"),
+                    F.col("_u").alias("est"),
+                    F.lit(float(exact_u)).alias("exact"),
+                ),
+                F.struct(
+                    F.lit("intersect").alias("op"),
+                    F.col("_i").alias("est"),
+                    F.lit(float(exact_i)).alias("exact"),
+                ),
+                F.struct(
+                    F.lit("jaccard").alias("op"),
+                    F.col("_j").alias("est"),
+                    F.lit(float(exact_j)).alias("exact"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.op", "s.est", "s.exact")

@@ -463,8 +463,54 @@ _Q_K = 512
       SELECT 'q' AS sketch, '0.5' AS key, s50 AS est, e50 AS exact FROM qs, qx
       UNION ALL
       SELECT 'q' AS sketch, '0.95' AS key, s95 AS est, e95 AS exact FROM qs, qx
+    ),
+    sha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    shb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    ska AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM sha) t
+            WHERE rn <= {_KMV_K}),
+    skb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM shb) t
+            WHERE rn <= {_KMV_K}),
+    sm AS (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) t),
+    smr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nm FROM sm),
+    stheta AS (SELECT hv AS th, nm FROM smr WHERE rn = least({_KMV_K}, nm)),
+    srho AS (
+      SELECT CAST(count(*) AS BIGINT) AS rho
+      FROM ska JOIN skb USING (hv), stheta WHERE ska.hv <= stheta.th
+    ),
+    sstats AS (
+      SELECT CASE WHEN t.nm < {_KMV_K} THEN CAST(t.nm AS DOUBLE)
+                  ELSE round({float((_KMV_K - 1) * 2**60)} / t.th, 6) END AS u,
+             CAST(r.rho AS DOUBLE) / CAST(least({_KMV_K}, t.nm) AS DOUBLE) AS jraw,
+             round(CAST(r.rho AS DOUBLE) / CAST(least({_KMV_K}, t.nm) AS DOUBLE), 6) AS j
+      FROM stheta t, srho r
+    ),
+    sexact AS (
+      SELECT CAST(u_cnt AS DOUBLE) AS xu, CAST(i_cnt AS DOUBLE) AS xi,
+             round(CAST(i_cnt AS DOUBLE) / CAST(u_cnt AS DOUBLE), 6) AS xj
+      FROM (
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT o_custkey AS x FROM orders WHERE o_custkey IS NOT NULL
+             UNION SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) t) AS u_cnt,
+          (SELECT count(DISTINCT o_custkey) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS i_cnt
+      ) t
+    ),
+    setops AS (
+      SELECT 'setops' AS sketch, 'union' AS key, u AS est, xu AS exact FROM sstats, sexact
+      UNION ALL
+      SELECT 'setops', 'intersect', round(jraw * u, 6), xi FROM sstats, sexact
+      UNION ALL
+      SELECT 'setops', 'jaccard', j, xj FROM sstats, sexact
     )
     SELECT * FROM kmv UNION ALL SELECT * FROM cm UNION ALL SELECT * FROM q
+    UNION ALL SELECT * FROM setops
     """,
     tags=("agg", "sketch"),
 )
@@ -526,7 +572,22 @@ def agg_approx_sketch(spark, sf_dir):
         F.col("q_est").alias("est"),
         F.col("q_exact").alias("exact"),
     )
-    return kmv.unionByName(cm).unionByName(q)
+    # fourth member (round 6): Theta-style SET OPERATIONS over two KMV
+    # sketches — |orders.custkeys ∪ customer.custkeys|, the intersection
+    # and the Jaccard, estimated from two bottom-k hash sets without
+    # rescanning either table (operators/sketch.py::kmv_set_ops; exact
+    # values ride along as the audit twin)
+    from database_anonymiser_spark.operators.sketch import kmv_set_ops
+
+    so = kmv_set_ops(
+        o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", k=_KMV_K
+    ).select(
+        F.lit("setops").alias("sketch"),
+        F.col("op").alias("key"),
+        "est",
+        "exact",
+    )
+    return kmv.unionByName(cm).unionByName(q).unionByName(so)
 
 
 # ---------------------------------------------------------------- joins

@@ -1644,3 +1644,34 @@ def test_media_near_dupes_byte_histogram(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in
            MM.media_near_dupes(df, threshold=0.98, use_lsh=True).collect()}
     assert (1, 2) in lsh and not any(3 in p for p in lsh)
+
+
+def test_kmv_set_ops_bounds_and_small_exactness(spark):
+    """kmv_set_ops: (1) when the merged sketch holds fewer than k hashes
+    the union/intersect/jaccard are EXACT (both sides fully represented);
+    (2) at cardinalities >> k the estimates land within ~5/sqrt(k)
+    relative error of the exact values; (3) partition invariance."""
+    from database_anonymiser_spark.operators.sketch import kmv_set_ops
+
+    # small: 30 ∪ 25 with overlap 10 and k=256 -> exact
+    a = spark.range(0, 30).select(F.col("id").alias("x"))
+    b = spark.range(20, 45).select(F.col("id").alias("x"))
+    got = {r["op"]: (r["est"], r["exact"]) for r in
+           kmv_set_ops(a, "x", b, "x", k=256).collect()}
+    for op in ("union", "intersect", "jaccard"):
+        assert got[op][0] == got[op][1], (op, got[op])
+    assert got["union"][1] == 45.0 and got["intersect"][1] == 10.0
+
+    # large: 8000 ∪ 6000, overlap 2000, k=256 -> bounded relative error
+    a2 = spark.range(0, 8000).select(F.col("id").alias("x"))
+    b2 = spark.range(6000, 12000).select(F.col("id").alias("x"))
+    big = {r["op"]: (r["est"], r["exact"]) for r in
+           kmv_set_ops(a2, "x", b2, "x", k=256).collect()}
+    tol = 5.0 / (256 ** 0.5)
+    for op in ("union", "intersect", "jaccard"):
+        est, exact = big[op]
+        assert abs(est - exact) <= tol * exact, (op, est, exact)
+
+    again = {r["op"]: (r["est"], r["exact"]) for r in
+             kmv_set_ops(a2.repartition(13), "x", b2.repartition(7), "x", k=256).collect()}
+    assert again == big
