@@ -710,3 +710,67 @@ def test_ann_index_upsert_matches_full_encode(spark, sf_dir, tmp_path):
     # idempotent re-delivery: a replayed upsert adds a version, not rows
     idx.upsert(odd, "vec_id", "embedding")
     assert idx.table.row_count() == emb.count()
+
+
+def test_incremental_agg_view_tracks_base_through_mutations(spark, tmp_path):
+    """IncrementalAggView: after create + a merge (update/insert) + a
+    delete + an append, each refresh's snapshot equals the from-scratch
+    aggregate of the base snapshot; a vanished group disappears; refresh
+    with no base movement is a no-op; the cursor advances exactly-once."""
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    base = VersionedTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(rows, "k long, g string, v double"),
+        key_col="k",
+    )
+    view = IncrementalAggView.create(spark, tmp_path / "view", base, "g", "v")
+
+    def expect():
+        return {
+            (r["g"]): (r["n"], r["s"])
+            for r in base.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r["g"]: (r["n_rows"], r["sum_value"]) for r in view.snapshot().collect()
+        }
+
+    assert got() == expect()
+
+    # merge: update two rows (move value), insert two new rows in g0/g1
+    base.merge(
+        spark.createDataFrame(
+            [(1, "g1", 100.0), (2, "g2", 200.0), (100, "g0", 7.0), (101, "g1", 8.0)],
+            "k long, g string, v double",
+        )
+    )
+    view.refresh(base)
+    assert got() == expect()
+
+    # delete an entire group (g2 keys: 2,5,8,...) -> group vanishes
+    base.delete_where(F.col("g") == "g2")
+    view.refresh(base)
+    e = expect()
+    assert got() == e and "g2" not in e
+
+    # append re-creates the group
+    base.append(spark.createDataFrame([(500, "g2", 1.5)], "k long, g string, v double"))
+    view.refresh(base)
+    assert got() == expect()
+
+    # idle refresh: no new view version, cursor stable
+    v_before = view.table.latest_version()
+    c_before = view.cursor()
+    view.refresh(base)
+    assert view.table.latest_version() == v_before and view.cursor() == c_before
+    assert view.cursor() == base.latest_version()
