@@ -1,0 +1,116 @@
+"""Slowly-changing-dimension (Type 2) maintenance on the versioned layer.
+
+The warehouse pattern (Kimball's SCD Type 2 — public knowledge): a
+dimension keeps FULL HISTORY by closing the current row and inserting a
+new one whenever a tracked attribute changes, instead of updating in
+place. Rendered here on :class:`~database_anonymiser_spark.sources.
+versioned.VersionedTable` with a single MERGE per apply:
+
+- each dimension row carries ``_sk`` (surrogate key = md5 of natural key
+  + effective timestamp), ``_valid_from``, ``_valid_to`` (NULL = open)
+  and ``_is_current``;
+- ``scd2_apply(source, ts)`` computes, in one pass over source ⋈ current:
+  CLOSES (current rows whose tracked attributes differ from the incoming
+  image → ``_valid_to = ts``, ``_is_current = false``) and OPENS (new
+  images for changed keys + first images for new keys), then MERGEs the
+  union on ``_sk`` — closes update their existing row, opens insert;
+  unchanged keys produce nothing, so re-applying the same source is an
+  exact no-op (idempotent ingest);
+- ``scd2_as_of(dim, ts)`` reconstructs the dimension as of any time from
+  the validity intervals — row-level time travel on business time,
+  complementing the table's version-level time travel on commit history.
+
+100 TB shape: the apply touches source ⋈ current-slice only (the history
+is carried by reference through MERGE's file skipping on ``_sk``), one
+shuffle for the change join and one MERGE commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.sources.versioned import VersionedTable
+
+SCD_COLS = ("_sk", "_valid_from", "_valid_to", "_is_current")
+
+
+def _with_scd_cols(src: DataFrame, key_col: str, ts) -> DataFrame:
+    return src.select(
+        F.md5(
+            F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(ts)))
+        ).alias("_sk"),
+        *src.columns,
+        F.lit(ts).alias("_valid_from"),
+        F.lit(None).cast("string").alias("_valid_to"),
+        F.lit(True).alias("_is_current"),
+    )
+
+
+def scd2_init(
+    spark, root, source: DataFrame, key_col: str, ts: str
+) -> VersionedTable:
+    """Create the dimension from the first source extract; every row opens
+    at ``ts``. The table's MERGE key is the surrogate ``_sk``."""
+    return VersionedTable.create(
+        spark, root, _with_scd_cols(source, key_col, ts), key_col="_sk"
+    )
+
+
+def scd2_apply(
+    dim: VersionedTable,
+    source: DataFrame,
+    key_col: str,
+    tracked_cols: tuple[str, ...],
+    ts: str,
+) -> int:
+    """Apply one source extract at business time ``ts``; returns the new
+    table version (or the current one when nothing changed — no empty
+    commit). ``tracked_cols`` are the attributes whose change opens a new
+    row; untracked attribute drift does NOT create history (Kimball Type
+    1 handling for those would be a separate update — deliberately not
+    conflated here)."""
+    cur = dim.snapshot().where(F.col("_is_current"))
+    attr_cols = [c for c in source.columns if c != key_col]
+    src = source.alias("s")
+    curk = cur.alias("c")
+    joined = src.join(curk, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "left")
+    changed_pred = F.col(f"c.{key_col}").isNull()  # new key
+    for c in tracked_cols:
+        changed_pred = changed_pred | ~F.col(f"s.{c}").eqNullSafe(F.col(f"c.{c}"))
+    delta = joined.where(changed_pred)
+    if delta.limit(1).count() == 0:
+        return dim.latest_version()
+
+    opens = _with_scd_cols(
+        delta.select(*[F.col(f"s.{c}").alias(c) for c in source.columns]),
+        key_col,
+        ts,
+    )
+    closes = delta.where(F.col(f"c.{key_col}").isNotNull()).select(
+        F.col("c._sk").alias("_sk"),
+        *[F.col(f"c.{c}").alias(c) for c in source.columns],
+        F.col("c._valid_from").alias("_valid_from"),
+        F.lit(ts).alias("_valid_to"),
+        F.lit(False).alias("_is_current"),
+    )
+    dim.merge(opens.unionByName(closes), when_matched="update")
+    return dim.latest_version()
+
+
+def scd2_current(dim: VersionedTable) -> DataFrame:
+    return dim.snapshot().where(F.col("_is_current")).drop(*SCD_COLS)
+
+
+def scd2_as_of(dim: VersionedTable, ts: str) -> DataFrame:
+    """The dimension as of business time ``ts``: rows whose validity
+    interval covers it (``_valid_from <= ts < _valid_to``, open-ended
+    rows always qualify once started)."""
+    return (
+        dim.snapshot()
+        .where(
+            (F.col("_valid_from") <= ts)
+            & (F.col("_valid_to").isNull() | (F.col("_valid_to") > ts))
+        )
+        .drop(*SCD_COLS)
+    )

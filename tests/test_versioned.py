@@ -774,3 +774,42 @@ def test_incremental_agg_view_tracks_base_through_mutations(spark, tmp_path):
     view.refresh(base)
     assert view.table.latest_version() == v_before and view.cursor() == c_before
     assert view.cursor() == base.latest_version()
+
+
+def test_scd2_dimension_history_and_as_of(spark, tmp_path):
+    """SCD Type 2 on the versioned layer: a changed tracked attribute
+    closes the current row and opens a new one; new keys insert; an
+    untracked change creates NO history; re-applying the same extract is
+    an exact no-op (idempotent ingest); as-of reconstruction returns the
+    attribute values valid at each business time."""
+    from database_anonymiser_spark.operators import scd
+
+    d0 = spark.createDataFrame(
+        [(1, "alice", "eng"), (2, "bob", "sales")], "k long, name string, dept string"
+    )
+    dim = scd.scd2_init(spark, tmp_path / "dim", d0, "k", "2024-01-01")
+
+    # day 2: alice moves dept (tracked), carol joins, bob renames (untracked)
+    d1 = spark.createDataFrame(
+        [(1, "alice", "ops"), (2, "bobby", "sales"), (3, "carol", "eng")],
+        "k long, name string, dept string",
+    )
+    scd.scd2_apply(dim, d1, "k", tracked_cols=("dept",), ts="2024-02-01")
+
+    cur = {r["k"]: (r["name"], r["dept"]) for r in scd.scd2_current(dim).collect()}
+    assert cur == {1: ("alice", "ops"), 2: ("bob", "sales"), 3: ("carol", "eng")}
+    hist = dim.snapshot().where(F.col("k") == 1).orderBy("_valid_from").collect()
+    assert [(r["dept"], r["_valid_to"], r["_is_current"]) for r in hist] == [
+        ("eng", "2024-02-01", False),
+        ("ops", None, True),
+    ]
+
+    jan = {r["k"]: r["dept"] for r in scd.scd2_as_of(dim, "2024-01-15").collect()}
+    feb = {r["k"]: r["dept"] for r in scd.scd2_as_of(dim, "2024-02-15").collect()}
+    assert jan == {1: "eng", 2: "sales"} and feb == {1: "ops", 2: "sales", 3: "eng"}
+
+    # idempotency: same extract, later ts -> nothing changed on tracked
+    # attrs that are not already current -> no new version
+    v = dim.latest_version()
+    scd.scd2_apply(dim, d1, "k", tracked_cols=("dept",), ts="2024-03-01")
+    assert dim.latest_version() == v
