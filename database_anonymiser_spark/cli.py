@@ -45,10 +45,21 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "'anonymise' version per table; rollback = restore; version 0 "
         "keeps the pristine pre-image for time travel)",
     )
+    p.add_argument(
+        "--purgeHistory",
+        action="store_true",
+        help="with --versioned: after a successful apply, collapse each "
+        "table's retention to the anonymised version only (the pristine "
+        "pre-images time travel could resurrect are reclaimed from disk "
+        "and their absence verified) — the compliance-mode complement of "
+        "the default keep-version-0-for-rollback behavior",
+    )
     args = p.parse_args(argv)
     modes = [m for m in ("configGen", "dryrun", "apply") if getattr(args, m)]
     if len(modes) != 1:  # C1 (args.ts:7-29)
         p.error("exactly one of --configGen | --dryrun | --apply is required")
+    if args.purgeHistory and not args.versioned:
+        p.error("--purgeHistory requires --versioned")
     args.mode = modes[0]
     return args
 
@@ -81,6 +92,31 @@ def main(argv: list[str] | None = None) -> int:
             result = execute_plan_versioned(
                 catalog, plan, args.out, dryrun=False, force=args.force
             )
+            if args.purgeHistory and not result.failed_tables:
+                from pathlib import Path
+
+                from database_anonymiser_spark.sources.versioned import (
+                    VersionedTable,
+                )
+
+                for name in result.updated_by_table:
+                    t_root = Path(args.out) / name.split(".")[-1]
+                    t = VersionedTable(spark, t_root)
+                    reclaimed = t.vacuum(retain_versions=1)
+                    live = {e["path"] for e in t._live_entries()}
+                    on_disk = {
+                        str(p.relative_to(t.root))
+                        for p in (t.root / "data").rglob("*.parquet")
+                    }
+                    if on_disk != live:
+                        print(
+                            f"FAILED purge verification for {name}", file=sys.stderr
+                        )
+                        return 1
+                    print(
+                        f"purged {name}: {len(reclaimed)} pre-image file(s) "
+                        "reclaimed; only the anonymised version remains"
+                    )
         else:
             result = execute_plan(
                 catalog, plan, dryrun=False, output_root=args.out, force=args.force

@@ -858,6 +858,56 @@ class VersionedTable:
             total += int(n)
         return total
 
+    def erase(
+        self, predicate: "F.Column | str", prune: dict[str, tuple] | None = None
+    ) -> dict:
+        """Right-to-erasure (GDPR Art. 17) on a versioned table: time
+        travel is the feature a compliance delete must DEFEAT, so this
+        composes the engine's pieces into a verified hard delete:
+
+        1. ``delete_where(predicate, prune)`` — copy-on-write removal
+           from the current version;
+        2. ``vacuum(retain_versions=1)`` — every pre-deletion version's
+           files (the pre-images time travel would resurrect) are
+           reclaimed from disk;
+        3. VERIFICATION — the new snapshot is re-scanned for matches
+           (must be zero) and the data directory is asserted to hold
+           exactly the live set (nothing reachable retains the rows).
+
+        Returns ``{"version", "rows_deleted", "files_reclaimed"}``; the
+        row count delta comes from the commit log's footer counts
+        (metadata only). Honest caveat, documented not hidden: old commit
+        JSONs keep per-file [min,max] KEY stats — if the erased attribute
+        is the key column itself, those two boundary VALUES may persist
+        in the audit log; erase under a surrogate/synthetic key when the
+        natural key is itself the sensitive datum.
+        """
+        v = self.latest_version()
+        before = self.row_count(v)
+        v2 = self.delete_where(predicate, prune)
+        _write_checkpoint(self.root, v2)
+        reclaimed = self.vacuum(retain_versions=1)
+        after = self.row_count(v2)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        residue = self.snapshot(v2).where(pred).limit(1).count()
+        if residue:
+            raise RuntimeError("erase verification failed: matching rows remain")
+        live = {e["path"] for e in self._live_entries(v2)}
+        on_disk = {
+            str(p.relative_to(self.root))
+            for p in (self.root / _DATA_DIR).rglob("*.parquet")
+        }
+        if on_disk - live:
+            raise RuntimeError(
+                f"erase verification failed: unreachable pre-images remain: "
+                f"{sorted(on_disk - live)[:3]}"
+            )
+        return {
+            "version": v2,
+            "rows_deleted": before - after,
+            "files_reclaimed": len(reclaimed),
+        }
+
     # ---------------------------------------------------------- hygiene
 
     def vacuum(self, retain_versions: int | None = None) -> list[str]:

@@ -472,3 +472,28 @@ def test_versioned_rollback_vacuums_midwrite_orphans(catalog, spark, tmp_path, m
         str(p.relative_to(t.root)) for p in (t.root / "data").rglob("*.parquet")
     }
     assert on_disk == referenced
+
+
+def test_cli_versioned_purge_history(sf_dir, spark, tmp_path, monkeypatch):
+    """--apply --versioned --purgeHistory: the anonymised version is the
+    ONLY recoverable state - version-0 pristine files are reclaimed and
+    time travel to them fails; the masked snapshot is intact."""
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    cfg_path = tmp_path / "cfg.yaml"
+    write_yaml(cfg_path, base_config_dict())
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--apply", "--versioned", "--purgeHistory", "--data", sf_dir,
+         "--config", str(cfg_path), "--out", str(tmp_path / "vt"), "--force"]
+    )
+    assert rc == 0
+    t = VersionedTable(spark, tmp_path / "vt" / "customer")
+    assert [h["op"] for h in t.history()] == ["create", "anonymise"]
+    row = t.snapshot().orderBy("c_custkey").limit(1).collect()[0]
+    assert len(row["c_name"]) == 32  # masked state intact
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.snapshot(0).collect()  # pristine pre-image reclaimed

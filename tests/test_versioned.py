@@ -813,3 +813,20 @@ def test_scd2_dimension_history_and_as_of(spark, tmp_path):
     v = dim.latest_version()
     scd.scd2_apply(dim, d1, "k", tracked_cols=("dept",), ts="2024-03-01")
     assert dim.latest_version() == v
+
+
+def test_erase_defeats_time_travel_and_verifies(spark, table):
+    """Right-to-erasure: after erase(), the rows are gone from the current
+    snapshot, every pre-image file outside the retained version is
+    reclaimed (time travel to any earlier version fails at read), and the
+    report carries the metadata-derived row delta."""
+    table.merge(
+        spark.createDataFrame([(3, "upd", -3.0)], "k long, name string, v double")
+    )
+    rep = table.erase(F.col("k").isin(3, 5, 7))
+    assert rep["rows_deleted"] == 3 and rep["files_reclaimed"] > 0
+    ks = {r["k"] for r in table.snapshot().select("k").collect()}
+    assert not ({3, 5, 7} & ks) and len(ks) == 17
+    with pytest.raises(Exception):
+        table.snapshot(0).collect()  # pre-image unrecoverable
+    assert table.row_count() == 17
