@@ -78,6 +78,10 @@ class VersionConflict(RuntimeError):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contains rows that violate a table CHECK constraint."""
+
+
 @dataclass(frozen=True)
 class _FileEntry:
     path: str  # relative to table root
@@ -487,6 +491,7 @@ class VersionedTable:
                 if c not in new_types
             ]
             df = df.select(*df.columns, *missing)
+        self._check_constraints(df)
         v = self.latest_version() + 1
         adds = _write_data_files(df, self.root, key_col)
         _commit(self.root, v, adds, [], key_col, op="append")
@@ -523,6 +528,8 @@ class VersionedTable:
         dup = source.groupBy(key_col).count().where(F.col("count") > 1).limit(1)
         if dup.count() > 0:
             raise ValueError("duplicate merge keys in source")
+        if when_matched == "update":
+            self._check_constraints(source)
 
         bounds = source.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
@@ -635,6 +642,7 @@ class VersionedTable:
                 for c in tgt.columns
             ]
         )
+        self._check_constraints(rewritten)
         new_files = _write_data_files(rewritten, self.root, key_col)
         _commit(
             self.root, v + 1, new_files, sorted(touched_paths), key_col, op="update_where"
@@ -857,6 +865,74 @@ class VersionedTable:
                 n = pq.ParquetFile(str(self.root / e["path"])).metadata.num_rows
             total += int(n)
         return total
+
+    # ------------------------------------------------------ constraints
+
+    def add_constraint(self, name: str, sql_predicate: str) -> int:
+        """Delta-style CHECK constraint (``ALTER TABLE ADD CONSTRAINT``):
+        ``sql_predicate`` must hold for EVERY row. Enforcement points:
+
+        - at ADD time the full current snapshot is validated (a
+          constraint that existing data violates is rejected, nothing
+          committed);
+        - every subsequent ``append`` and ``merge`` validates its INCOMING
+          rows before any file becomes visible (``update_where`` routes
+          its rewritten rows through the same check). Validation is one
+          aggregate over the rows being written — never a table rescan —
+          and a violation raises ``ConstraintViolation`` with a sample
+          row, leaving the log untouched.
+
+        Constraints live in the commit metadata (replayed with the log,
+        so readers and writers at any version see the constraint set as
+        of that version) and are dropped with :meth:`drop_constraint`.
+        """
+        # SQL CHECK semantics: TRUE and UNKNOWN satisfy, only FALSE violates
+        cnt = (
+            self.snapshot().where(~F.coalesce(F.expr(sql_predicate), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if cnt:
+            raise ConstraintViolation(
+                f"existing rows violate constraint {name!r}: {sql_predicate}"
+            )
+        cons = dict(self.constraints())
+        cons[name] = sql_predicate
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="add_constraint",
+            meta={"constraints": cons},
+        )
+        return v + 1
+
+    def drop_constraint(self, name: str) -> int:
+        cons = dict(self.constraints())
+        cons.pop(name, None)
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="drop_constraint",
+            meta={"constraints": cons},
+        )
+        return v + 1
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The constraint set as of ``version``: the newest
+        constraint-carrying commit at or below it."""
+        upto = self.latest_version() if version is None else version
+        for rec in reversed(self.history()):
+            if rec["version"] <= upto and "constraints" in (rec.get("meta") or {}):
+                return dict(rec["meta"]["constraints"])
+        return {}
+
+    def _check_constraints(self, rows: DataFrame) -> None:
+        for name, pred in self.constraints().items():
+            bad = rows.where(~F.coalesce(F.expr(pred), F.lit(True))).limit(1)
+            sample = bad.collect()
+            if sample:
+                raise ConstraintViolation(
+                    f"constraint {name!r} violated ({pred}); sample row: "
+                    f"{sample[0].asDict()}"
+                )
 
     def erase(
         self, predicate: "F.Column | str", prune: dict[str, tuple] | None = None

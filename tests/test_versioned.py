@@ -830,3 +830,43 @@ def test_erase_defeats_time_travel_and_verifies(spark, table):
     with pytest.raises(Exception):
         table.snapshot(0).collect()  # pre-image unrecoverable
     assert table.row_count() == 17
+
+
+def test_check_constraints_enforced_on_writes(spark, table):
+    """Delta-style CHECK constraints: add-time validation rejects a
+    constraint existing rows violate; append/merge/update_where reject
+    violating incoming rows BEFORE anything becomes visible; UNKNOWN
+    (NULL predicate) satisfies per SQL CHECK semantics; drop lifts the
+    constraint; the constraint set is versioned with the log."""
+    from database_anonymiser_spark.sources.versioned import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        table.add_constraint("neg", "v < 0")  # existing rows violate
+    table.add_constraint("v_cap", "v <= 1000.0")
+    assert table.constraints() == {"v_cap": "v <= 1000.0"}
+
+    bad = spark.createDataFrame([(900, "x", 5000.0)], "k long, name string, v double")
+    n_before = table.snapshot().count()
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        table.append(bad)
+    with pytest.raises(ConstraintViolation):
+        table.merge(bad)
+    with pytest.raises(ConstraintViolation):
+        table.update_where({"v": F.lit(9999.0)}, F.col("k") == 1)
+    assert table.snapshot().count() == n_before  # nothing landed
+
+    # UNKNOWN satisfies: NULL v passes the check (SQL CHECK semantics)
+    table.append(
+        spark.createDataFrame([(901, "y", None)], "k long, name string, v double")
+    )
+    # compliant writes still work; delete-merge needs no row validation
+    table.merge(
+        spark.createDataFrame([(902, "z", 10.0)], "k long, name string, v double")
+    )
+    assert table.snapshot().count() == n_before + 2
+
+    v_with = table.latest_version()
+    table.drop_constraint("v_cap")
+    table.append(bad)  # allowed now
+    assert table.constraints() == {}
+    assert table.constraints(version=v_with) == {"v_cap": "v <= 1000.0"}
