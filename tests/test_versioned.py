@@ -870,3 +870,89 @@ def test_check_constraints_enforced_on_writes(spark, table):
     table.append(bad)  # allowed now
     assert table.constraints() == {}
     assert table.constraints(version=v_with) == {"v_cap": "v <= 1000.0"}
+
+
+def test_randomized_op_sequence_matches_python_twin(spark, tmp_path):
+    """Seeded randomized mutation sequence (merge-update / merge-delete /
+    append / delete_where / update_where / compact / zorder) checked after
+    EVERY op against a pure-Python dict twin, and the incremental view
+    stays equal to the from-scratch aggregate throughout — one test that
+    exercises the storage layer's operations composed in arbitrary order,
+    across checkpoint boundaries (the sequence commits >10 versions)."""
+    import random
+
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    rng = random.Random(42)
+    state = {k: (f"g{k % 4}", float(k)) for k in range(40)}  # k -> (g, v)
+    base = VersionedTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in state.items()], "k long, g string, v double"
+        ),
+        key_col="k",
+    )
+    view = IncrementalAggView.create(spark, tmp_path / "view", base, "g", "v")
+    next_key = 1000
+
+    def spark_state():
+        return {r["k"]: (r["g"], r["v"]) for r in base.snapshot().collect()}
+
+    def view_expect():
+        out = {}
+        for k, (g, v) in state.items():
+            n, s = out.get(g, (0, 0.0))
+            out[g] = (n + 1, round(s + v, 2))
+        return out
+
+    for step in range(14):
+        op = rng.choice(["mupd", "mdel", "append", "delw", "updw", "compact", "zorder"])
+        if op == "mupd":
+            ks = rng.sample(sorted(state), min(3, len(state))) + [next_key]
+            rows = [(k, f"g{k % 4}", float(rng.randint(0, 99))) for k in ks]
+            next_key += 1
+            base.merge(spark.createDataFrame(rows, "k long, g string, v double"))
+            for k, g, v in rows:
+                state[k] = (g, v)
+        elif op == "mdel" and len(state) > 5:
+            ks = rng.sample(sorted(state), 2)
+            base.merge(
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                when_matched="delete",
+                insert_not_matched=False,
+            )
+            for k in ks:
+                state.pop(k)
+        elif op == "append":
+            rows = [(next_key + i, f"g{i}", float(i)) for i in range(2)]
+            next_key += 2
+            base.append(spark.createDataFrame(rows, "k long, g string, v double"))
+            for k, g, v in rows:
+                state[k] = (g, v)
+        elif op == "delw" and len(state) > 5:
+            cut = rng.choice(sorted(state))
+            base.delete_where(F.col("k") % 7 == cut % 7)
+            state = {k: gv for k, gv in state.items() if k % 7 != cut % 7}
+        elif op == "updw":
+            base.update_where({"v": F.col("v") + 1.0}, F.col("g") == "g1")
+            state = {
+                k: (g, v + 1.0 if g == "g1" else v) for k, (g, v) in state.items()
+            }
+        elif op == "compact":
+            base.compact(small_file_bytes=1 << 30)  # everything is small here
+        else:
+            base.optimize_zorder(("k",), file_count=2)
+        assert spark_state() == state, f"divergence after step {step} ({op})"
+        view.refresh(base)
+        got = {
+            r["g"]: (r["n_rows"], round(r["sum_value"], 2))
+            for r in view.snapshot().collect()
+        }
+        assert got == view_expect(), f"view divergence after step {step} ({op})"
+
+    import database_anonymiser_spark.sources.versioned as V
+
+    assert base.latest_version() >= V.CHECKPOINT_INTERVAL  # crossed the boundary
+
+    assert V._list_checkpoints(base.root)  # checkpoints actually engaged
