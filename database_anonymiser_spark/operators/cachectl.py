@@ -80,6 +80,16 @@ def scoped_cache(slot: str, df: DataFrame) -> DataFrame:
     lru = _SLOTS.setdefault((app, slot), OrderedDict())
     for token, frame in list(lru.items()):
         if _same_result(frame, df):
+            lvl = frame.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                # an external spark.catalog.clearCache() dropped the
+                # registration out from under us — re-register, or the
+                # memoized frame silently loses both the caching AND the
+                # pushdown-barrier role the caller cached it for
+                try:
+                    frame.cache()
+                except Exception:
+                    pass
             lru.move_to_end(token)
             return frame  # memoized: same plan -> the already-cached frame
     _NEXT_TOKEN += 1

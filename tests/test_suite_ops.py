@@ -1675,3 +1675,22 @@ def test_kmv_set_ops_bounds_and_small_exactness(spark):
     again = {r["op"]: (r["est"], r["exact"]) for r in
              kmv_set_ops(a2.repartition(13), "x", b2.repartition(7), "x", k=256).collect()}
     assert again == big
+
+
+def test_scoped_cache_survives_external_clearcache(spark):
+    """A memoized hit after spark.catalog.clearCache() must re-register
+    the cache (and thereby the pushdown-barrier role) instead of handing
+    back a silently-uncached frame - the round-6 bench regression."""
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators import cachectl as C
+
+    slot = "test.clearcache"
+    a = spark.range(50).withColumn("x", F.col("id") * 5)
+    c1 = C.scoped_cache(slot, a)
+    assert c1.storageLevel.useMemory or c1.storageLevel.useDisk
+    spark.catalog.clearCache()
+    assert not (c1.storageLevel.useMemory or c1.storageLevel.useDisk)
+    c2 = C.scoped_cache(slot, spark.range(50).withColumn("x", F.col("id") * 5))
+    assert c2 is c1  # still memoized
+    assert c2.storageLevel.useMemory or c2.storageLevel.useDisk  # re-registered
