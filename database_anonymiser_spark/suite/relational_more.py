@@ -422,6 +422,88 @@ _Q21_SQL = """
 """
 
 
+_Q8_SQL = f"""
+    SELECT 'q8' AS q, CAST(year(o.o_orderdate) AS BIGINT) AS k,
+           'NATION_2' AS name,
+           round(
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                           THEN CAST({_REV_SQL} AS DECIMAL(18,6))
+                           ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / {dsum_sql(_REV_SQL, 6)}, 6) AS val1,
+           {dsum_sql(_REV_SQL, 6)} AS val2
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 2
+"""
+
+_Q15_SQL = f"""
+    WITH srev AS (
+      SELECT l_suppkey, {dsum_sql(_REV_SQL, 6)} AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT 'q15' AS q, CAST(s.s_suppkey AS BIGINT) AS k, s.s_name AS name,
+           v.total AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM supplier s JOIN srev v ON s.s_suppkey = v.l_suppkey
+    WHERE v.total = (SELECT max(total) FROM srev)
+"""
+
+#: Q16's partsupp stand-in: the DISTINCT (l_partkey, l_suppkey) pairs
+#: lineitem witnessed; 'complaint' suppliers rendered as negative balance
+_Q16_SQL = """
+    SELECT 'q16' AS q, CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS k,
+           p.p_brand || '|' || p.p_type || '|' || CAST(p.p_size AS STRING) AS name,
+           CAST(NULL AS DOUBLE) AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_name NOT LIKE 'red%'
+      AND p.p_size IN (1, 5, 10, 15, 20)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 3
+"""
+
+#: Q20's availqty threshold rendered on shipped quantities: suppliers who
+#: moved more than half of a red part's windowed volume (exact BIGINT
+#: comparison), reached through the canonical nested-IN chain
+_Q20_SQL = """
+    WITH shipped AS (
+      SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS total_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    ),
+    per_supp AS (
+      SELECT l.l_suppkey, l.l_partkey, sum(CAST(l.l_quantity AS BIGINT)) AS sq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT 'q20' AS q, CAST(s.s_suppkey AS BIGINT) AS k, s.s_name AS name,
+           CAST(NULL AS DOUBLE) AS val1, CAST(NULL AS DOUBLE) AS val2
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM per_supp ps JOIN shipped sh ON sh.l_partkey = ps.l_partkey
+      WHERE ps.sq * 2 > sh.total_q
+    )
+"""
+
+
 @register(
     "tpch_q2_q10_q22",
     f"""
@@ -446,18 +528,28 @@ _Q21_SQL = """
     SELECT * FROM ({_Q11_SQL})
     UNION ALL
     SELECT * FROM ({_Q21_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q8_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q15_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q16_SQL})
+    UNION ALL
+    SELECT * FROM ({_Q20_SQL})
     """,
     tags=("sql", "join", "agg"),
 )
 def tpch_q2_q10_q22(spark, sf_dir):
-    """Eleven TPC-H shapes (Q2/Q7/Q9/Q10/Q11/Q12/Q13/Q17/Q19/Q21/Q22),
-    tagged and unioned onto one harmonized schema (q, k, name, val1,
-    val2) — packed because the driver's correctness gate checks the 50
-    alphabetically-first entries (the same constraint that drove the
-    round-2 consolidation). With Q1/Q3/Q4/Q5/Q6/Q14/Q18 as standalone
-    entries, 18 of the 22 canonical shapes are value-hash checked; the
-    remaining four (Q8/Q15/Q16/Q20) need partsupp/region columns the
-    fixture lacks in any faithful rendering.
+    """Fifteen TPC-H shapes (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q15/Q16/Q17/
+    Q19/Q20/Q21/Q22), tagged and unioned onto one harmonized schema
+    (q, k, name, val1, val2) — packed because the driver's correctness
+    gate checks the 50 alphabetically-first entries (the same constraint
+    that drove the round-2 consolidation). With Q1/Q3/Q4/Q5/Q6/Q14/Q18
+    as standalone entries, ALL 22 canonical TPC-H shapes are value-hash
+    checked. Two stand-ins where the fixture lacks a table: partsupp is
+    rendered as lineitem's DISTINCT (partkey, suppkey) pairs (Q16) /
+    per-pair shipped volume (Q20), preserving each query's join and
+    correlation structure exactly.
 
     - 'q2' (correlated scalar-MIN): min-price lineitem per part (the
       fixture has no partsupp) star-joined to supplier/nation. The
@@ -723,10 +815,22 @@ def tpch_q2_q10_q22(spark, sf_dir):
         )
     )
 
-    for t in ("lineitem", "supplier"):
+    for t in ("lineitem", "supplier", "part", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     q11 = spark.sql(_Q11_SQL)
     q21 = spark.sql(_Q21_SQL)
+    # Round 6 (fourth batch) - the last four canonical shapes, via the SQL
+    # front door (customer/orders views registered by the q22 block):
+    # q8 market share (8-way join, conditional-share division of two
+    # exact-decimal sums), q15 top-revenue supplier (CTE view + scalar MAX
+    # equality on exact sums), q16 supplier-part counting (partsupp stood
+    # in by lineitem's DISTINCT pairs, NOT IN exclusion), q20 nested-IN
+    # with a per-part half-of-volume threshold in exact BIGINTs. With
+    # these, all 22 canonical TPC-H shapes are value-hash checked.
+    q8 = spark.sql(_Q8_SQL)
+    q15 = spark.sql(_Q15_SQL)
+    q16 = spark.sql(_Q16_SQL)
+    q20 = spark.sql(_Q20_SQL)
 
     return (
         q2.unionByName(q10)
@@ -739,4 +843,8 @@ def tpch_q2_q10_q22(spark, sf_dir):
         .unionByName(q9)
         .unionByName(q11)
         .unionByName(q21)
+        .unionByName(q8)
+        .unionByName(q15)
+        .unionByName(q16)
+        .unionByName(q20)
     )
