@@ -102,6 +102,43 @@ def scd2_current(dim: VersionedTable) -> DataFrame:
     return dim.snapshot().where(F.col("_is_current")).drop(*SCD_COLS)
 
 
+def scd2_temporal_join(
+    facts: DataFrame,
+    dim: VersionedTable,
+    key_col: str,
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """EVENT-TIME dimension join: each fact row joins the dimension row
+    that was valid AT THE FACT'S OWN TIMESTAMP — the correctness property
+    batch pipelines silently get wrong when they join facts against the
+    CURRENT dimension (late-arriving facts then carry attributes from the
+    future). One range join on (key, validity interval); each fact
+    matches at most one dimension row because SCD2 intervals partition
+    the timeline per key.
+
+    100 TB shape: an equi-join on the key with an interval residual —
+    shuffles on the key like any fact-dim join; the dimension side is
+    history-sized (current + closed rows), usually broadcastable.
+    ``ts_col`` values are compared as strings against the dim's
+    ``_valid_from``/``_valid_to`` — use one canonical sortable timestamp
+    rendering (ISO-8601) on both sides."""
+    d = dim.snapshot()
+    dcols = [c for c in d.columns if c not in SCD_COLS and c != key_col]
+    d = d.select(
+        F.col(key_col).alias("_dk"),
+        *dcols,
+        F.col("_valid_from"),
+        F.col("_valid_to"),
+    )
+    cond = (
+        (facts[key_col] == F.col("_dk"))
+        & (F.col("_valid_from") <= facts[ts_col])
+        & (F.col("_valid_to").isNull() | (F.col("_valid_to") > facts[ts_col]))
+    )
+    return facts.join(d, cond, how).drop("_dk", "_valid_from", "_valid_to")
+
+
 def scd2_as_of(dim: VersionedTable, ts: str) -> DataFrame:
     """The dimension as of business time ``ts``: rows whose validity
     interval covers it (``_valid_from <= ts < _valid_to``, open-ended

@@ -956,3 +956,38 @@ def test_randomized_op_sequence_matches_python_twin(spark, tmp_path):
     assert base.latest_version() >= V.CHECKPOINT_INTERVAL  # crossed the boundary
 
     assert V._list_checkpoints(base.root)  # checkpoints actually engaged
+
+
+def test_scd2_temporal_join_picks_event_time_version(spark, tmp_path):
+    """Event-time dimension join: facts BEFORE a dimension change carry
+    the old attribute, facts after carry the new one, facts on unknown
+    keys NULL-extend under left join - the late-arriving-fact correctness
+    a current-dimension join silently violates."""
+    from database_anonymiser_spark.operators import scd
+
+    d0 = spark.createDataFrame([(1, "eng"), (2, "sales")], "k long, dept string")
+    dim = scd.scd2_init(spark, tmp_path / "dim", d0, "k", "2024-01-01")
+    scd.scd2_apply(
+        dim,
+        spark.createDataFrame([(1, "ops"), (2, "sales")], "k long, dept string"),
+        "k", tracked_cols=("dept",), ts="2024-02-01",
+    )
+
+    facts = spark.createDataFrame(
+        [(100, 1, "2024-01-15"), (101, 1, "2024-02-15"),
+         (102, 1, "2024-02-01"),  # boundary: new version starts AT ts
+         (103, 9, "2024-03-01")],  # unknown key
+        "event_id long, k long, ets string",
+    )
+    got = {
+        r["event_id"]: r["dept"]
+        for r in scd.scd2_temporal_join(facts, dim, "k", "ets").collect()
+    }
+    assert got == {100: "eng", 101: "ops", 102: "ops", 103: None}
+    # each fact matched at most one dimension row (intervals partition time)
+    assert scd.scd2_temporal_join(facts, dim, "k", "ets").count() == 4
+    # the wrong-but-common alternative for contrast: joining CURRENT gives
+    # event 100 the FUTURE dept - exactly what the temporal join prevents
+    cur = scd.scd2_current(dim)
+    wrong = facts.join(cur, "k", "left").where(F.col("event_id") == 100).collect()
+    assert wrong[0]["dept"] == "ops"
