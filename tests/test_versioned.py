@@ -991,3 +991,61 @@ def test_scd2_temporal_join_picks_event_time_version(spark, tmp_path):
     cur = scd.scd2_current(dim)
     wrong = facts.join(cur, "k", "left").where(F.col("event_id") == 100).collect()
     assert wrong[0]["dept"] == "ops"
+
+
+def test_scd2_randomized_extract_sequence_matches_twin(spark, tmp_path):
+    """Seeded randomized daily extracts applied through scd2_apply,
+    checked after every day against a pure-Python interval twin: the
+    current slice, full history row count, and as-of reconstruction at
+    every past day all match."""
+    import random
+
+    from database_anonymiser_spark.operators import scd
+
+    rng = random.Random(7)
+    keys = list(range(6))
+    depts = ["eng", "ops", "sales"]
+
+    def extract(day):
+        # every key present each day; attrs drift randomly
+        return [(k, f"name{k}", rng.choice(depts)) for k in keys]
+
+    days = [f"2024-0{m}-01" for m in range(1, 8)]
+    first = extract(0)
+    dim = scd.scd2_init(
+        spark, tmp_path / "dim",
+        spark.createDataFrame(first, "k long, name string, dept string"),
+        "k", days[0],
+    )
+    # twin: per key, list of (dept, from, to|None); name untracked
+    twin = {k: [(d, days[0], None)] for k, _, d in first}
+
+    for day_i in range(1, len(days)):
+        ts = days[day_i]
+        rows = extract(day_i)
+        scd.scd2_apply(
+            dim,
+            spark.createDataFrame(rows, "k long, name string, dept string"),
+            "k", tracked_cols=("dept",), ts=ts,
+        )
+        for k, _, d in rows:
+            cur = twin[k][-1]
+            if cur[0] != d:
+                twin[k][-1] = (cur[0], cur[1], ts)
+                twin[k].append((d, ts, None))
+
+        got_cur = {r["k"]: r["dept"] for r in scd.scd2_current(dim).collect()}
+        assert got_cur == {k: ivs[-1][0] for k, ivs in twin.items()}
+        assert dim.snapshot().count() == sum(len(v) for v in twin.values())
+        for probe in days[: day_i + 1]:
+            got_asof = {
+                r["k"]: r["dept"] for r in scd.scd2_as_of(dim, probe).collect()
+            }
+            want = {
+                k: next(
+                    d for d, frm, to in ivs
+                    if frm <= probe and (to is None or to > probe)
+                )
+                for k, ivs in twin.items()
+            }
+            assert got_asof == want, f"as-of {probe} diverged on day {day_i}"
