@@ -125,19 +125,24 @@ def _list_checkpoints(root: Path) -> list[int]:
     return sorted(out)
 
 
-def _replay(root: Path, upto: int) -> tuple[dict[str, dict], str | None]:
-    """Live-file state at version ``upto``: load the newest checkpoint at
-    or below it, then replay only the tail commits — O(interval) commit
-    reads regardless of table age."""
+def _replay(root: Path, upto: int):
+    """State at version ``upto`` — (live files, key_col, constraints):
+    load the newest checkpoint at or below it, then replay only the tail
+    commits — O(interval) commit reads regardless of table age. The
+    constraint set rides through checkpoints for the same reason the
+    file set does: a per-write constraint lookup must not replay the
+    whole log of a long-lived streaming sink."""
     global COMMIT_READS
     live: dict[str, dict] = {}
     key_col = None
+    constraints: dict[str, str] = {}
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
         cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
         live = {a["path"]: a for a in cp["live"]}
         key_col = cp.get("key_col")
+        constraints = dict(cp.get("constraints") or {})
         start = cps[-1] + 1
     for v in _list_versions(root):
         if v < start:
@@ -147,20 +152,28 @@ def _replay(root: Path, upto: int) -> tuple[dict[str, dict], str | None]:
         rec = json.loads(_log_path(root, v).read_text())
         COMMIT_READS += 1
         key_col = rec.get("key_col", key_col)
+        meta = rec.get("meta") or {}
+        if "constraints" in meta:
+            constraints = dict(meta["constraints"])
         for path in rec["removes"]:
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
-    return live, key_col
+    return live, key_col, constraints
 
 
 def _write_checkpoint(root: Path, version: int) -> None:
     """Materialize the full live state at ``version`` (atomic tmp+rename;
     content is a pure function of the log prefix, so concurrent writers of
     the same checkpoint version are harmless)."""
-    live, key_col = _replay(root, version)
+    live, key_col, constraints = _replay(root, version)
     payload = json.dumps(
-        {"version": version, "key_col": key_col, "live": list(live.values())},
+        {
+            "version": version,
+            "key_col": key_col,
+            "constraints": constraints,
+            "live": list(live.values()),
+        },
         default=str,
     )
     tmp = root / _LOG_DIR / f".{uuid.uuid4().hex}.cp.tmp"
@@ -338,8 +351,9 @@ class VersionedTable:
 
     def _live_entries(self, version: int | None = None) -> list[dict]:
         upto = self.latest_version() if version is None else version
-        live, key_col = _replay(self.root, upto)
+        live, key_col, constraints = _replay(self.root, upto)
         self._key_col = key_col
+        self._constraints = constraints
         return list(live.values())
 
     def key_col(self) -> str | None:
@@ -916,13 +930,11 @@ class VersionedTable:
         return v + 1
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
-        """The constraint set as of ``version``: the newest
-        constraint-carrying commit at or below it."""
+        """The constraint set as of ``version`` — replayed with the same
+        checkpoint-bounded walk as the file state (O(interval) commit
+        reads, never the whole log)."""
         upto = self.latest_version() if version is None else version
-        for rec in reversed(self.history()):
-            if rec["version"] <= upto and "constraints" in (rec.get("meta") or {}):
-                return dict(rec["meta"]["constraints"])
-        return {}
+        return _replay(self.root, upto)[2]
 
     def _check_constraints(self, rows: DataFrame) -> None:
         for name, pred in self.constraints().items():
@@ -1013,7 +1025,7 @@ class VersionedTable:
         else:
             referenced = set()
             for v in self.versions()[-retain_versions:]:
-                live, _ = _replay(self.root, v)
+                live = _replay(self.root, v)[0]
                 referenced |= set(live)
         removed = []
         data_root = self.root / _DATA_DIR

@@ -1049,3 +1049,28 @@ def test_scd2_randomized_extract_sequence_matches_twin(spark, tmp_path):
                 for k, ivs in twin.items()
             }
             assert got_asof == want, f"as-of {probe} diverged on day {day_i}"
+
+
+def test_constraints_survive_checkpoint_boundary_with_bounded_reads(spark, tmp_path):
+    """The constraint set rides through log checkpoints: after >10 commits
+    the active constraints are recovered from checkpoint+tail with bounded
+    commit reads, still enforced, and a drop past the boundary clears them."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.versioned import ConstraintViolation
+
+    t = VersionedTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(0, 1.0)], "k long, v double"), key_col="k",
+    )
+    t.add_constraint("cap", "v <= 100.0")
+    for i in range(1, 13):  # cross the checkpoint at version 10
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+    assert V._list_checkpoints(t.root)
+    before = V.COMMIT_READS
+    assert t.constraints() == {"cap": "v <= 100.0"}
+    assert V.COMMIT_READS - before <= V.CHECKPOINT_INTERVAL  # bounded lookup
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(99, 500.0)], "k long, v double"))
+    t.drop_constraint("cap")
+    t.append(spark.createDataFrame([(99, 500.0)], "k long, v double"))
+    assert t.constraints() == {}
