@@ -67,15 +67,37 @@ def _unpersist_quietly(df: DataFrame) -> None:
         pass  # the frame's session may already be stopped
 
 
+def _app_stopped(lru: "OrderedDict[int, DataFrame]") -> bool:
+    """True iff the application owning this slot's frames is STOPPED —
+    probed from a frame's own context, never inferred from mere app-id
+    difference (round-6 advice: two LIVE sessions in one process must
+    not evict each other's memoized frames)."""
+    for frame in lru.values():
+        try:
+            sc = frame.sparkSession.sparkContext
+            if sc._jsc is None:
+                return True
+            return bool(sc._jsc.sc().isStopped())
+        except Exception:
+            return True  # unreachable context -> treat as stopped
+    return False  # empty slot: nothing to protect either way
+
+
 def scoped_cache(slot: str, df: DataFrame) -> DataFrame:
     global _NEXT_TOKEN
     try:
         app = df.sparkSession.sparkContext.applicationId
     except Exception:
         app = "unknown"
-    # lazily drop entries of stopped applications for this slot name
+    # lazily drop entries of STOPPED applications for this slot name —
+    # unpersisting quietly (blocks may already be gone with the context);
+    # frames of other LIVE applications are left untouched
     for key in [k for k in _SLOTS if k[1] == slot and k[0] != app]:
-        _SLOTS.pop(key, None)
+        lru_other = _SLOTS[key]
+        if _app_stopped(lru_other):
+            for frame in lru_other.values():
+                _unpersist_quietly(frame)
+            _SLOTS.pop(key, None)
 
     lru = _SLOTS.setdefault((app, slot), OrderedDict())
     for token, frame in list(lru.items()):

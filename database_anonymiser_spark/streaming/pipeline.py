@@ -448,10 +448,15 @@ def run_stream_to_versioned(
         # fingerprint dedup; this guard keeps the sink total)
         batch = batch_df.dropDuplicates([key_col])
         t.merge(batch, when_matched="update")
+        # the two maintenance knobs are INDEPENDENT (round-6 advice: a
+        # stream configured with only vacuum_retain must still vacuum) —
+        # vacuum runs on the compaction cadence when both are set, else
+        # on its own every-vacuum_retain-batches cadence
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             t.compact()
-            if vacuum_retain:
-                t.vacuum(retain_versions=vacuum_retain)
+        vac_every = compact_every or vacuum_retain
+        if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
+            t.vacuum(retain_versions=vacuum_retain)
 
     return run_foreach_batch(df, sink, checkpoint)
 

@@ -754,3 +754,54 @@ def test_stream_to_ann_index_ingest_and_query(spark, tmp_path):
     drain()  # restart with no new input: no state change
     assert idx.table.row_count() == len(all_ids)
     assert len(idx.versions()) == 3
+
+
+def test_stream_versioned_sink_vacuum_without_compaction(spark, tmp_path):
+    """vacuum_retain fires WITHOUT compact_every (round-6 advice: the two
+    maintenance knobs are independent — a stream configured with only
+    vacuum_retain must not grow disk unboundedly): after draining, the
+    on-disk surplus over the retained versions' live sets is bounded by
+    the per-cycle churn, not the stream's lifetime."""
+    import shutil
+
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, v string"
+
+    def feed(batch_no, rows):
+        d = src / f"stage{batch_no}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"b{batch_no}_{p.name}"))
+        shutil.rmtree(d)
+
+    root = str(tmp_path / "table")
+    for b in range(6):
+        # overlapping keys -> every batch is copy-on-write churn
+        feed(b, [(i, f"v{b}") for i in range(3)])
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(
+            stream, root, key_col="k",
+            checkpoint=str(tmp_path / "ckpt"), vacuum_retain=2,
+        )
+
+    t = VersionedTable(spark, root)
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {
+        i: "v5" for i in range(3)
+    }
+    on_disk = {
+        str(p.relative_to(t.root)) for p in (t.root / "data").rglob("*.parquet")
+    }
+    retained = set()
+    for ver in t.versions()[-2:]:
+        retained |= set(V._replay(t.root, ver)[0])
+    assert retained <= on_disk
+    # without the fix nothing is ever vacuumed and the surplus grows with
+    # EVERY batch; with it the residue is one maintenance cycle's churn
+    assert len(on_disk - retained) <= 4

@@ -1694,3 +1694,52 @@ def test_scoped_cache_survives_external_clearcache(spark):
     c2 = C.scoped_cache(slot, spark.range(50).withColumn("x", F.col("id") * 5))
     assert c2 is c1  # still memoized
     assert c2.storageLevel.useMemory or c2.storageLevel.useDisk  # re-registered
+
+
+def test_scoped_cache_preserves_live_foreign_apps_prunes_dead(spark):
+    """Round-6 advice: scoped_cache must NOT discard another LIVE
+    application's LRU entries (cross-pipeline memoization would silently
+    die with two sessions in one process) — only entries whose context is
+    actually stopped are pruned, and pruning unpersists."""
+    from pyspark import StorageLevel
+
+    from database_anonymiser_spark.operators import cachectl as C
+
+    slot = "test_live_prune"
+    C._SLOTS.pop(("otherapp", slot), None)
+    a = spark.range(64).withColumn("x", F.col("id") + 1)
+    ca = C.scoped_cache(slot, a)
+    own_key = (spark.sparkContext.applicationId, slot)
+    # plant the SAME live frame under a foreign app id: its context is
+    # live, so a later call from our app must leave it untouched
+    from collections import OrderedDict
+
+    C._SLOTS[("otherapp", slot)] = OrderedDict({-1: ca})
+    cb = C.scoped_cache(slot, spark.range(32).withColumn("y", F.lit(2)))
+    assert ("otherapp", slot) in C._SLOTS, "live foreign app entry was discarded"
+    lvl = ca.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # still cached
+
+    # plant a DEAD entry (context unreachable) -> pruned on next call
+    class _DeadFrame:
+        @property
+        def sparkSession(self):
+            raise RuntimeError("stopped")
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+            return self
+
+    dead = _DeadFrame()
+    C._SLOTS[("deadapp", slot)] = OrderedDict({-2: dead})
+    C.scoped_cache(slot, spark.range(16).withColumn("z", F.lit(3)))
+    assert ("deadapp", slot) not in C._SLOTS
+    assert getattr(dead, "unpersisted", False), "pruning must unpersist"
+    # cleanup
+    for k in [k for k in list(C._SLOTS) if k[1] == slot]:
+        for f in C._SLOTS[k].values():
+            try:
+                f.unpersist(False)
+            except Exception:
+                pass
+        C._SLOTS.pop(k, None)
