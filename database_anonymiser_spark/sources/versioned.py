@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -131,16 +132,42 @@ def _list_checkpoints(root: Path) -> list[int]:
     return sorted(out)
 
 
+#: memoized replay states keyed by (root, version) — a committed version
+#: is IMMUTABLE (commits are exclusive-create; only erase's compliance
+#: scrub rewrites stats, and it invalidates the root's entries), so the
+#: replay of a given version is a pure function safe to cache. One table
+#: operation calls _replay several times for the same version
+#: (latest_version → key_col → snapshot → constraints); the memo turns
+#: that into one commit-JSON parse per NEW version — measured in the
+#: storage_churn bench as storage_meta_reads.commit_reads. Entries are
+#: shared: callers must treat file-entry dicts as read-only (they do).
+_REPLAY_CACHE: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+_REPLAY_CACHE_CAP = 64
+
+
+def _replay_cache_invalidate(root: Path) -> None:
+    key = str(root)
+    for k in [k for k in _REPLAY_CACHE if k[0] == key]:
+        _REPLAY_CACHE.pop(k, None)
+
+
 def _replay(root: Path, upto: int):
     """State at version ``upto`` — (live files, key_col, constraints,
     schema): load the newest checkpoint at or below it, then replay only
-    the tail commits — O(interval) commit reads regardless of table age.
-    The constraint set and the table SCHEMA (recorded at create and on
-    every additive evolution) ride through checkpoints for the same
-    reason the file set does: a per-read schema lookup must not replay
-    the whole log — or union parquet footers across all live files — of
-    a long-lived streaming sink (the round-6 verdict's mergeSchema cost)."""
+    the tail commits — O(interval) commit reads regardless of table age,
+    memoized per (root, version) so repeated lookups of the same
+    immutable version cost zero reads. The constraint set and the table
+    SCHEMA (recorded at create and on every additive evolution) ride
+    through checkpoints for the same reason the file set does: a
+    per-read schema lookup must not replay the whole log — or union
+    parquet footers across all live files — of a long-lived streaming
+    sink (the round-6 verdict's mergeSchema cost)."""
     global COMMIT_READS
+    ck = (str(root), upto)
+    hit = _REPLAY_CACHE.get(ck)
+    if hit is not None:
+        _REPLAY_CACHE.move_to_end(ck)
+        return hit
     live: dict[str, dict] = {}
     key_col = None
     constraints: dict[str, str] = {}
@@ -154,7 +181,8 @@ def _replay(root: Path, upto: int):
         constraints = dict(cp.get("constraints") or {})
         schema = cp.get("schema")
         start = cps[-1] + 1
-    for v in _list_versions(root):
+    versions = _list_versions(root)
+    for v in versions:
         if v < start:
             continue
         if v > upto:
@@ -170,7 +198,14 @@ def _replay(root: Path, upto: int):
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
-    return live, key_col, constraints, schema
+    out = (live, key_col, constraints, schema)
+    # only memoize states whose version actually exists — a replay past
+    # the log's end would otherwise pin a stale "latest"
+    if upto in versions:
+        _REPLAY_CACHE[ck] = out
+        while len(_REPLAY_CACHE) > _REPLAY_CACHE_CAP:
+            _REPLAY_CACHE.popitem(last=False)
+    return out
 
 
 def _write_checkpoint(root: Path, version: int) -> None:
@@ -1148,6 +1183,9 @@ class VersionedTable:
         for c in _list_checkpoints(self.root):
             if c < upto:
                 _checkpoint_path(self.root, c).unlink(missing_ok=True)
+        # the scrub is the one operation that rewrites committed JSONs —
+        # drop this root's memoized replay states
+        _replay_cache_invalidate(self.root)
 
     # ---------------------------------------------------------- hygiene
 
