@@ -61,7 +61,7 @@ MERGE_MAP = [
     # Round-5 consolidation: the new surface packed back to exactly 50 so
     # every declared operator stays inside the driver's 50-entry
     # alphabetical correctness window:
-    ("tpch_q2_q10_q22", "tpch_q2 (correlated scalar-MIN, decorrelation equivalence) + tpch_q10 (returned-item top-20) + tpch_q22 (scalar-AVG threshold + NOT EXISTS anti join) + tpch_q12 (conditional priority sums) + tpch_q13 (custdist outer join + count-of-counts) + tpch_q17 (decorrelated per-part AVG threshold) + tpch_q19 (disjunctive OR-of-ANDs) - round 5 + tpch_q7 (nation-pair volume, symmetric disjunction over twice-joined nation) + tpch_q9 (5-way star profit by nation/year) + tpch_q11 (group HAVING vs global scalar, exact integer cents) + tpch_q21 (double-correlated EXISTS + NOT EXISTS self-joins, deterministic top-10) - round 6: + tpch_q8 (8-way market-share division of exact sums) + tpch_q15 (CTE revenue view + scalar-MAX equality) + tpch_q16 (partsupp as DISTINCT lineitem pairs, NOT IN exclusion) + tpch_q20 (nested IN + per-part half-volume threshold in exact BIGINTs) - ALL 22 canonical TPC-H shapes value-hash checked"),
+    ("tpch_q2_q10_q22", "tpch_q2 (correlated scalar-MIN, decorrelation equivalence) + tpch_q10 (returned-item top-20) + tpch_q22 (scalar-AVG threshold + NOT EXISTS anti join) + tpch_q12 (conditional priority sums) + tpch_q13 (custdist outer join + count-of-counts) + tpch_q17 (decorrelated per-part AVG threshold) + tpch_q19 (disjunctive OR-of-ANDs) - round 5 + tpch_q7 (nation-pair volume, symmetric disjunction over twice-joined nation) + tpch_q9 (5-way star profit by nation/year) + tpch_q11 (group HAVING vs global scalar, exact integer cents) + tpch_q21 (double-correlated EXISTS + NOT EXISTS self-joins, deterministic top-10) - round 6: + tpch_q8 (8-way market-share division of exact sums) + tpch_q15 (CTE revenue view + scalar-MAX equality) + tpch_q16 (partsupp as DISTINCT lineitem pairs, NOT IN exclusion) + tpch_q20 (nested IN + per-part half-volume threshold in exact BIGINTs) - ALL 22 canonical TPC-H shapes value-hash checked - round 7: + q2ps/q11ps/q16ps/q20ps (the same four shapes against a DERIVED first-class partsupp with real integer ps_availqty/ps_supplycost semantics; stand-ins kept as regression rows)"),
     ("text_quality_spans", "text_quality_clf (fixed-weight linear quality classifier, bit-exact scores) + dedup_spans (windowed ExactSubstr duplicated-span cover) - round 5 + char_bigram_lm (corpus-trained add-one-smoothed bigram LM, exact-integer mean transition probability; the CCNet/Dolma LM-filter class with a bounded 784-cell model aggregate) - round 6"),
     ("sim_cosine_pairs", "+ dedup_semantic (SemDeDup-style closure: 'cluster' variant = per-vector cluster id + survivor verdict, recursive-CTE oracle) - round 5"),
     ("dedup_minhash", "+ dedup_simhash ('simhash' variant rows carry the 64-bit signature in id_b) - round 5"),
