@@ -78,24 +78,30 @@ def scd2_apply(
     changed_pred = F.col(f"c.{key_col}").isNull()  # new key
     for c in tracked_cols:
         changed_pred = changed_pred | ~F.col(f"s.{c}").eqNullSafe(F.col(f"c.{c}"))
-    delta = joined.where(changed_pred)
-    if delta.limit(1).count() == 0:
-        return dim.latest_version()
+    # cache the change join so the emptiness probe and the MERGE evaluate
+    # it ONCE (round-6 verdict nit: the probe used to recompute the join);
+    # the delta is extract-sized, the same data MERGE materializes anyway
+    delta = joined.where(changed_pred).cache()
+    try:
+        if delta.limit(1).count() == 0:
+            return dim.latest_version()
 
-    opens = _with_scd_cols(
-        delta.select(*[F.col(f"s.{c}").alias(c) for c in source.columns]),
-        key_col,
-        ts,
-    )
-    closes = delta.where(F.col(f"c.{key_col}").isNotNull()).select(
-        F.col("c._sk").alias("_sk"),
-        *[F.col(f"c.{c}").alias(c) for c in source.columns],
-        F.col("c._valid_from").alias("_valid_from"),
-        F.lit(ts).alias("_valid_to"),
-        F.lit(False).alias("_is_current"),
-    )
-    dim.merge(opens.unionByName(closes), when_matched="update")
-    return dim.latest_version()
+        opens = _with_scd_cols(
+            delta.select(*[F.col(f"s.{c}").alias(c) for c in source.columns]),
+            key_col,
+            ts,
+        )
+        closes = delta.where(F.col(f"c.{key_col}").isNotNull()).select(
+            F.col("c._sk").alias("_sk"),
+            *[F.col(f"c.{c}").alias(c) for c in source.columns],
+            F.col("c._valid_from").alias("_valid_from"),
+            F.lit(ts).alias("_valid_to"),
+            F.lit(False).alias("_is_current"),
+        )
+        dim.merge(opens.unionByName(closes), when_matched="update")
+        return dim.latest_version()
+    finally:
+        delta.unpersist()
 
 
 def scd2_current(dim: VersionedTable) -> DataFrame:

@@ -398,6 +398,7 @@ def run_stream_to_versioned(
     spark: SparkSession | None = None,
     compact_every: int | None = None,
     vacuum_retain: int | None = None,
+    refresh_views: tuple[str, ...] = (),
 ):
     """Drain a stream into a VersionedTable (sources/versioned.py) with
     MERGE-on-key per micro-batch — the streaming-ingest → ACID-table
@@ -430,8 +431,17 @@ def run_stream_to_versioned(
     reclaims files outside the newest K versions — together they bound
     BOTH the file count and the directory bytes of an indefinite stream,
     at the documented price that versions older than the retention
-    window stop being time-travelable. Returns the finished
-    StreamingQuery.
+    window stop being time-travelable.
+
+    ``refresh_views`` (round 7) keeps pre-created
+    :class:`~database_anonymiser_spark.operators.ivm.IncrementalAggView`
+    roots FRESH in-line: after each batch's merge, every listed view is
+    advanced by the change feed (update pre-images included, so the
+    refresh reads only the batch's changed files). The streaming
+    warehouse composition: ingest is exactly-once by merge idempotency,
+    the rollup is exactly-once by the view's cursor — a replayed batch
+    re-merges to the same state and the view sees no new base version.
+    Returns the finished StreamingQuery.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
@@ -440,6 +450,7 @@ def run_stream_to_versioned(
         t = VersionedTable(s, table_root)
         if not t.versions():
             VersionedTable.create(s, table_root, batch_df, key_col=key_col)
+            _refresh_views(s, t, refresh_views)
             return
         # duplicate keys WITHIN one batch would violate merge's contract;
         # keep the last occurrence (arbitrary-but-deterministic via max on
@@ -457,8 +468,23 @@ def run_stream_to_versioned(
         vac_every = compact_every or vacuum_retain
         if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
             t.vacuum(retain_versions=vacuum_retain)
+        _refresh_views(s, t, refresh_views)
 
     return run_foreach_batch(df, sink, checkpoint)
+
+
+def _refresh_views(spark: SparkSession, base, roots: tuple[str, ...]) -> None:
+    """Advance each pre-created IncrementalAggView to the base's latest
+    version; a view root that does not exist yet is skipped (the caller
+    creates views once the table exists — e.g. after batch 0)."""
+    if not roots:
+        return
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    for root in roots:
+        view = IncrementalAggView(spark, root)
+        if view.table.versions():
+            view.refresh(base)
 
 
 def run_stream_to_ann_index(

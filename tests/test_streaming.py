@@ -805,3 +805,84 @@ def test_stream_versioned_sink_vacuum_without_compaction(spark, tmp_path):
     # without the fix nothing is ever vacuumed and the surplus grows with
     # EVERY batch; with it the residue is one maintenance cycle's churn
     assert len(on_disk - retained) <= 4
+
+
+def test_stream_versioned_sink_maintains_incremental_view(spark, tmp_path):
+    """refresh_views on run_stream_to_versioned: a pre-created
+    IncrementalAggView stays exactly the from-scratch aggregate of the
+    table after EVERY drained batch (including merges that move rows
+    between groups), and a crash-replayed batch advances neither the
+    table state nor the view (double exactly-once: merge idempotency +
+    view cursor)."""
+    import shutil
+
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, g string, v double"
+    root = str(tmp_path / "table")
+    vroot = str(tmp_path / "view")
+
+    def feed(batch_no, rows):
+        d = src / f"stage{batch_no}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"b{batch_no}_{p.name}"))
+        shutil.rmtree(d)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(
+            stream, root, key_col="k", checkpoint=str(tmp_path / "ckpt"),
+            refresh_views=(vroot,),
+        )
+
+    def check():
+        t = VersionedTable(spark, root)
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in t.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        view = IncrementalAggView(spark, vroot)
+        got = {
+            r["g"]: (r["n_rows"], r["sum_value"]) for r in view.snapshot().collect()
+        }
+        assert got == want
+
+    # batch 0 creates the table; the view is created right after it
+    feed(0, [(i, f"g{i % 2}", float(i)) for i in range(6)])
+    drain()
+    IncrementalAggView.create(
+        spark, vroot, VersionedTable(spark, root), "g", "v"
+    )
+    check()
+    # batch 1 inserts a new group; batch 2 MOVES key 1 to g2 (update)
+    feed(1, [(10, "g2", 5.0), (11, "g0", 1.0)])
+    drain()
+    check()
+    feed(2, [(1, "g2", 100.0)])
+    drain()
+    check()
+    # replay: re-draining with a FRESH checkpoint re-delivers every file;
+    # merge idempotency + the view cursor keep both states unchanged
+    view_v = IncrementalAggView(spark, vroot).table.latest_version()
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_versioned(
+        stream, root, key_col="k", checkpoint=str(tmp_path / "ckpt2"),
+        refresh_views=(vroot,),
+    )
+    check()
+    # the replay commits table versions (merge audit trail) but the view
+    # advanced at most once (its content unchanged - checked above)
+    assert IncrementalAggView(spark, vroot).table.latest_version() <= view_v + 1
