@@ -636,16 +636,25 @@ class VersionedTable:
         v = self.latest_version()
         entries = self._live_entries(v)
 
-        dup = source.groupBy(key_col).count().where(F.col("count") > 1).limit(1)
-        if dup.count() > 0:
+        # one aggregate pass serves BOTH the duplicate-key contract check
+        # and the skipping bounds (was two jobs; partial aggregation keeps
+        # map-side output to one row per task). NULL-key accounting
+        # mirrors the old groupBy semantics: one NULL key is tolerated,
+        # two are duplicates.
+        stats = source.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(key_col).alias("n_keys"),
+            F.countDistinct(key_col).alias("n_distinct"),
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+        ).first()
+        n_null = stats["n_all"] - stats["n_keys"]
+        if stats["n_keys"] != stats["n_distinct"] or n_null > 1:
             raise ValueError("duplicate merge keys in source")
         if when_matched == "update":
             self._check_constraints(source)
 
-        bounds = source.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).first()
-        lo, hi = bounds["lo"], bounds["hi"]
+        lo, hi = stats["lo"], stats["hi"]
 
         def may_match(e: dict) -> bool:
             if lo is None:  # empty source: nothing matches
@@ -659,33 +668,63 @@ class VersionedTable:
 
         new_files: list[_FileEntry] = []
         if touched:
+            # ONE full-outer join resolves keeps, updates/deletes, and
+            # inserts together (Delta's merge shape) — previously three
+            # separate joins (keep-anti, matched-semi over a distinct,
+            # insert-anti) re-read the touched files and re-shuffled the
+            # source; at 100 TB the rewrite is one co-shuffle of
+            # (touched rows, source rows). Presence markers (_t/_s)
+            # classify sides NULL-key-safely; the key join itself stays
+            # plain equality (NULL keys never match — SQL MERGE).
             tgt = self._read_paths([e["path"] for e in touched])
-            keep = tgt.join(source.select(key_col), key_col, "left_anti")
-            if when_matched == "update":
-                matched_src = source.join(
-                    tgt.select(key_col).distinct(), key_col, "left_semi"
-                )
-                rewritten = keep.unionByName(matched_src.select(*tgt.columns))
-            else:  # delete
-                rewritten = keep
-            new_files += _write_data_files(rewritten, self.root, key_col)
-            srcs_remaining = (
-                source.join(tgt.select(key_col).distinct(), key_col, "left_anti")
-                if insert_not_matched
+            cols = tgt.columns
+            t = tgt.withColumn("_t", F.lit(1)).alias("t")
+            # a pure delete-merge needs only the source KEYS (documented:
+            # key-only sources are valid there); insert/update paths need
+            # the full row image
+            need_src_img = insert_not_matched or when_matched == "update"
+            s = (
+                source.select(*(cols if need_src_img else [key_col]))
+                .withColumn("_s", F.lit(1))
+                .alias("s")
+            )
+            j = t.join(
+                s, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "full_outer"
+            )
+            t_img = F.struct(*[F.col(f"t.{c}").alias(c) for c in cols])
+            s_img = (
+                F.struct(*[F.col(f"s.{c}").alias(c) for c in cols])
+                if need_src_img
                 else None
             )
-        else:
-            srcs_remaining = source if insert_not_matched else None
-
-        if srcs_remaining is not None:
+            unmatched_t = F.col("_s").isNull()
+            unmatched_s = F.col("_t").isNull()
+            out_img = F.when(unmatched_t, t_img)
+            if insert_not_matched:
+                out_img = out_img.when(unmatched_s, s_img)
+            if when_matched == "update":
+                out_img = out_img.when(~unmatched_t & ~unmatched_s, s_img)
+            # delete: matched rows fall through to NULL and are dropped
+            if when_matched == "delete" and insert_not_matched:
+                # a delete-merge still INSERTS unmatched source rows —
+                # they must pass CHECK constraints like every other write
+                # path (round-6 advice; Delta validates on every write).
+                # The update path validated the whole source upfront.
+                self._check_constraints(
+                    j.where(unmatched_s).select(
+                        *[F.col(f"s.{c}").alias(c) for c in cols]
+                    )
+                )
+            rewritten = (
+                j.select(out_img.alias("_r"))
+                .where(F.col("_r").isNotNull())
+                .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+            )
+            new_files += _write_data_files(rewritten, self.root, key_col)
+        elif insert_not_matched:
             sample = self.snapshot(v).limit(0)
-            inserts = srcs_remaining.select(*sample.columns)
+            inserts = source.select(*sample.columns)
             if when_matched == "delete":
-                # a delete-merge with insert_not_matched=True still INSERTS
-                # unmatched source rows — they must pass CHECK constraints
-                # like every other write path (round-6 advice; Delta
-                # validates on every write). The update path validated the
-                # whole source (a superset of these inserts) upfront.
                 self._check_constraints(inserts)
             new_files += _write_data_files(inserts, self.root, key_col)
 
