@@ -101,8 +101,13 @@ class VersionedAnnIndex:
             "id_col": id_col,
             "centroids": [[cid, [float(x) for x in cv]] for cid, cv in centroids],
         }
+        # declare _cid as the table's stats property (round 7): upsert
+        # MERGEs then record per-file _cid [min,max] too, so probe
+        # pruning SURVIVES incremental maintenance instead of degrading
+        # to must-scan until the next rebuild
         _commit(
-            self.root, version, adds, removes, id_col, op="index_rebuild", meta=meta
+            self.root, version, adds, removes, id_col, op="index_rebuild",
+            meta=meta, stats_cols=("_cid",),
         )
         return version
 
@@ -148,9 +153,12 @@ class VersionedAnnIndex:
         CURRENT build's codebook (centroids or PQ books — no retrain) and
         MERGE the code rows on the vector id — new vectors insert,
         re-embedded vectors update in place, and file skipping bounds the
-        rewrite to the id-intersecting files. The honest trade: merged
-        files carry no ``_cid`` stats, so ivf probe pruning degrades to
-        must-scan for them until the next ``rebuild`` re-clusters (the
+        rewrite to the id-intersecting files. Probe pruning SURVIVES the
+        merge (round 7): ``_cid`` is declared as the table's stats
+        property at rebuild, so merged files record their own ``_cid``
+        [min,max] — the only residual degradation is range WIDTH (a merged
+        file mixing many lists prunes less sharply than a clustered one),
+        restored by the next ``rebuild``'s re-clustering (the
         index-maintenance analogue of Delta ingest before OPTIMIZE).
         Returns the new version."""
         meta = self._index_meta()

@@ -153,7 +153,7 @@ def _replay_cache_invalidate(root: Path) -> None:
 
 def _replay(root: Path, upto: int):
     """State at version ``upto`` — (live files, key_col, constraints,
-    schema): load the newest checkpoint at or below it, then replay only
+    schema, stats_cols): load the newest checkpoint at or below it, then replay only
     the tail commits — O(interval) commit reads regardless of table age,
     memoized per (root, version) so repeated lookups of the same
     immutable version cost zero reads. The constraint set and the table
@@ -172,6 +172,7 @@ def _replay(root: Path, upto: int):
     key_col = None
     constraints: dict[str, str] = {}
     schema = None
+    stats_cols: list = []
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
@@ -180,6 +181,7 @@ def _replay(root: Path, upto: int):
         key_col = cp.get("key_col")
         constraints = dict(cp.get("constraints") or {})
         schema = cp.get("schema")
+        stats_cols = list(cp.get("stats_cols") or [])
         start = cps[-1] + 1
     versions = _list_versions(root)
     for v in versions:
@@ -191,6 +193,7 @@ def _replay(root: Path, upto: int):
         COMMIT_READS += 1
         key_col = rec.get("key_col", key_col)
         schema = rec.get("schema", schema)
+        stats_cols = rec.get("stats_cols", stats_cols)
         meta = rec.get("meta") or {}
         if "constraints" in meta:
             constraints = dict(meta["constraints"])
@@ -198,7 +201,7 @@ def _replay(root: Path, upto: int):
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
-    out = (live, key_col, constraints, schema)
+    out = (live, key_col, constraints, schema, tuple(stats_cols))
     # only memoize states whose version actually exists — a replay past
     # the log's end would otherwise pin a stale "latest"
     if upto in versions:
@@ -212,13 +215,14 @@ def _write_checkpoint(root: Path, version: int) -> None:
     """Materialize the full live state at ``version`` (atomic tmp+rename;
     content is a pure function of the log prefix, so concurrent writers of
     the same checkpoint version are harmless)."""
-    live, key_col, constraints, schema = _replay(root, version)
+    live, key_col, constraints, schema, stats_cols = _replay(root, version)
     payload = json.dumps(
         {
             "version": version,
             "key_col": key_col,
             "constraints": constraints,
             **({"schema": schema} if schema is not None else {}),
+            **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             "live": list(live.values()),
         },
         default=str,
@@ -293,6 +297,7 @@ def _commit(
     op: str,
     meta: dict | None = None,
     schema: dict | None = None,
+    stats_cols: tuple | None = None,
 ) -> None:
     """``meta`` (optional) rides in the commit record — Delta's operation
     metadata slot. Used by e.g. the versioned ANN index store to version
@@ -301,7 +306,13 @@ def _commit(
     ``jsonValue()`` dict) records the table schema AS OF this commit —
     written at create and on every additive evolution, replayed by
     readers so snapshots never union parquet footers (Delta's
-    metaData-action schemaString, same motivation)."""
+    metaData-action schemaString, same motivation). ``stats_cols``
+    (optional) DECLARES the table's per-file stats columns as of this
+    commit (a table property, like Delta's dataSkippingStatsColumns):
+    replay threads it forward so EVERY subsequent write path records
+    those columns' footer [min,max] — e.g. an ANN index's ``_cid`` stays
+    probe-prunable through upsert merges, a z-ordered table keeps its
+    clustering stats through trickle updates."""
     (root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
     payload = json.dumps(
         {
@@ -309,6 +320,7 @@ def _commit(
             "op": op,
             "key_col": key_col,
             **({"schema": schema} if schema is not None else {}),
+            **({"stats_cols": list(stats_cols)} if stats_cols is not None else {}),
             **({"meta": meta} if meta is not None else {}),
             "adds": [
                 {
@@ -404,11 +416,18 @@ class VersionedTable:
 
     def _live_entries(self, version: int | None = None) -> list[dict]:
         upto = self.latest_version() if version is None else version
-        live, key_col, constraints, schema = _replay(self.root, upto)
+        live, key_col, constraints, schema, stats_cols = _replay(self.root, upto)
         self._key_col = key_col
         self._constraints = constraints
         self._schema_json = schema
+        self._stats_cols = stats_cols
         return list(live.values())
+
+    def stats_cols(self) -> tuple:
+        """The table's declared per-file stats columns (table property:
+        set at create or by optimize_zorder, carried by every write)."""
+        self._live_entries()
+        return self._stats_cols
 
     def _log_schema(self, version: int | None = None):
         """The table schema AS OF ``version`` from the commit log
@@ -545,13 +564,21 @@ class VersionedTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, root: str | os.PathLike, df: DataFrame, key_col: str
+        cls,
+        spark: SparkSession,
+        root: str | os.PathLike,
+        df: DataFrame,
+        key_col: str,
+        stats_cols: tuple = (),
     ) -> "VersionedTable":
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
-        adds = _write_data_files(df, t.root, key_col)
-        _commit(t.root, 0, adds, [], key_col, op="create", schema=df.schema.jsonValue())
+        adds = _write_data_files(df, t.root, key_col, stats_cols=tuple(stats_cols))
+        _commit(
+            t.root, 0, adds, [], key_col, op="create",
+            schema=df.schema.jsonValue(), stats_cols=tuple(stats_cols),
+        )
         return t
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
@@ -601,7 +628,7 @@ class VersionedTable:
                 df = df.select(*[f.name for f in evolved_schema.fields])
         self._check_constraints(df)
         v = self.latest_version() + 1
-        adds = _write_data_files(df, self.root, key_col)
+        adds = _write_data_files(df, self.root, key_col, stats_cols=self._stats_cols)
         _commit(
             self.root, v, adds, [], key_col, op="append",
             schema=evolved_schema.jsonValue() if evolved_schema is not None else None,
@@ -720,13 +747,17 @@ class VersionedTable:
                 .where(F.col("_r").isNotNull())
                 .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
             )
-            new_files += _write_data_files(rewritten, self.root, key_col)
+            new_files += _write_data_files(
+                rewritten, self.root, key_col, stats_cols=self._stats_cols
+            )
         elif insert_not_matched:
             sample = self.snapshot(v).limit(0)
             inserts = source.select(*sample.columns)
             if when_matched == "delete":
                 self._check_constraints(inserts)
-            new_files += _write_data_files(inserts, self.root, key_col)
+            new_files += _write_data_files(
+                inserts, self.root, key_col, stats_cols=self._stats_cols
+            )
 
         _commit(
             self.root,
@@ -800,7 +831,9 @@ class VersionedTable:
             ]
         )
         self._check_constraints(rewritten)
-        new_files = _write_data_files(rewritten, self.root, key_col)
+        new_files = _write_data_files(
+            rewritten, self.root, key_col, stats_cols=self._stats_cols
+        )
         _commit(
             self.root, v + 1, new_files, sorted(touched_paths), key_col, op="update_where"
         )
@@ -828,7 +861,9 @@ class VersionedTable:
             return v + 1
         tgt = self._read_paths(sorted(touched_paths))
         survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
-        new_files = _write_data_files(survivors, self.root, key_col)
+        new_files = _write_data_files(
+            survivors, self.root, key_col, stats_cols=self._stats_cols
+        )
         _commit(
             self.root, v + 1, new_files, sorted(touched_paths), key_col, op="delete_where"
         )
@@ -994,6 +1029,9 @@ class VersionedTable:
         z = _zorder_expr(cols, {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in cols})
         clustered = df.repartitionByRange(file_count, z).sortWithinPartitions(z)
         new_files = _write_data_files(clustered, self.root, key_col, stats_cols=cols)
+        # declare the clustering columns as the table's stats property so
+        # every SUBSEQUENT write (merge/update/compact) keeps recording
+        # their per-file [min,max] - pruning survives trickle updates
         _commit(
             self.root,
             v + 1,
@@ -1001,6 +1039,7 @@ class VersionedTable:
             [e["path"] for e in entries],
             key_col,
             op="optimize_zorder",
+            stats_cols=tuple(cols),
         )
         return v + 1
 
@@ -1042,7 +1081,9 @@ class VersionedTable:
         df = self._read_paths(
             sorted(e["path"] for e, _ in small), align_to=self.snapshot(v)
         ).repartition(int(n_files))
-        new_files = _write_data_files(df, self.root, key_col)
+        new_files = _write_data_files(
+            df, self.root, key_col, stats_cols=self._stats_cols
+        )
         _commit(
             self.root,
             v + 1,

@@ -1444,3 +1444,76 @@ def test_meta_probes_are_o1_commit_reads(spark, sf_dir, tmp_path):
     before = V.COMMIT_READS
     idx._index_meta()
     assert V.COMMIT_READS - before <= 7, "meta probe bounded by upserts-since-build"
+
+
+def test_stats_cols_property_survives_writes(spark, tmp_path):
+    """stats_cols is a TABLE PROPERTY (round 7): declared by
+    optimize_zorder (or create), every subsequent write path — merge,
+    update, delete, compact — records the declared columns' per-file
+    [min,max], so data skipping on those columns survives trickle
+    mutations instead of degrading to must-scan on rewritten files."""
+    rows = [(i, i % 5, float(i)) for i in range(100)]
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame(rows, "k long, g long, v double"),
+        key_col="k",
+    )
+    t.optimize_zorder(("g",), file_count=4)
+    assert t.stats_cols() == ("g",)
+
+    def all_live_have_g_stats():
+        return all(
+            (e.get("stats") or {}).get("g", [None])[0] is not None
+            for e in t._live_entries()
+        )
+
+    assert all_live_have_g_stats()
+    # a g-scoped update rewrites ONLY the g-matching files; the rewritten
+    # files re-record g stats (the property), untouched files keep theirs
+    t.update_where({"v": F.lit(0.0)}, F.col("g") == 2, prune={"g": (2, 2)})
+    assert all_live_have_g_stats(), "update-rewritten files lost the g stats"
+    assert len(t.files_matching({"g": (4, 4)})) < len(t._live_entries())
+    # merge / delete / compact keep recording them too (the toy merge
+    # rewrites everything into one file - stats presence is the claim)
+    t.merge(
+        spark.createDataFrame(
+            [(5, 1, 500.0), (200, 9, 1.0)], "k long, g long, v double"
+        )
+    )
+    t.delete_where(F.col("k") == 9, prune={"k": (9, 9)})
+    t.compact(target_file_bytes=1 << 20)
+    assert all_live_have_g_stats(), "merge/delete/compact lost the g stats"
+
+
+def test_ann_upsert_keeps_cid_stats_and_pruning(spark, sf_dir, tmp_path):
+    """Round 7: _cid is the ANN index table's stats property, so upsert
+    MERGEs record per-file _cid bounds — probe pruning survives
+    incremental maintenance (previously an honest must-scan degradation
+    until rebuild). Queries still match the one-shot index exactly."""
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        ivf_int8_index,
+        ivf_int8_topk,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    idx = VersionedAnnIndex(spark, tmp_path / "ann")
+    idx.rebuild(even, "vec_id", "embedding", n_centroids=8, n_iter=2)
+    idx.upsert(odd, "vec_id", "embedding")
+    assert all(
+        (e.get("stats") or {}).get("_cid", [None])[0] is not None
+        for e in idx.table._live_entries()
+    ), "upsert-merged files must carry _cid stats"
+    cb = idx.centroids()
+    got = idx.query(emb, "vec_id", "embedding", query_id=3, k=5).collect()
+    ref = ivf_int8_topk(
+        ivf_int8_index(emb, "vec_id", "embedding", cb),
+        emb, "vec_id", "embedding", 3, cb, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in ref
+    ]
