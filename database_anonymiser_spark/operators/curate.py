@@ -179,22 +179,13 @@ def curate_corpus(
         kept = kept.join(keep_ids, id_col, "left_semi")
 
     if drop_repetitive:
-        # Gopher-style repetition gate (text.py::repetition_profile) — still
-        # the same map-side scan; signal columns are dropped after the filter
-        sig_cols = (
-            "top_token_frac",
-            "top_2gram_frac",
-            "dup_2gram_frac",
-            "dup_3gram_frac",
-            "symbol_word_ratio",
-            "repetitive",
-        )
-        keep_cols = tuple(c for c in kept.columns if c != id_col)
-        kept = (
-            TX.repetition_profile(kept, id_col, text_col, keep=keep_cols)
-            .where(~F.col("repetitive"))
-            .drop(*sig_cols)
-        )
+        # Gopher-style repetition gate — the FILTER-SAFE lambda-bound form
+        # (text.py::repetitive_gate): a filter on repetition_profile's
+        # alias would re-evaluate the tokenization + fold trees once per
+        # disjunct (no CSE in filter context — measured 2.5x slower);
+        # the HOF binding computes the token array once. Same map-side
+        # scan, identical gate semantics (pinned in tests).
+        kept = kept.where(~TX.repetitive_gate(text_col))
 
     # The pipeline is a DAG, not a chain: the frame below feeds the exact
     # dedup's BOTH sides, then the near-dedup pair generation AND the

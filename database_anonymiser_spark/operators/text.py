@@ -363,6 +363,68 @@ def _repetition_signal_columns(text_col) -> tuple[Column, ...]:
     return _build_repetition_signals(text_col)
 
 
+#: lambda-bound gate Column memoized per (applicationId, text col) — same
+#: rationale as _REP_SIGNAL_CACHE (the fold trees cost ~0.4s of py4j
+#: round trips to build)
+_REP_GATE_CACHE: dict = {}
+
+
+def repetitive_gate(text_col: str) -> Column:
+    """The composite ``repetitive`` boolean as a FILTER-SAFE Column.
+
+    :func:`repetition_profile`'s alias works in projection context, but a
+    filter on it gets the alias SUBSTITUTED into the WHERE clause
+    (PushDownPredicates), where Catalyst performs no common-subexpression
+    elimination — the tokenization and both _top_count fold trees then
+    re-evaluate once per disjunct (the round-5/6 measured trap; see
+    bloom.py for the original case). The one sharing construct that
+    works in filter context is HOF LAMBDA BINDING: the token array is
+    computed ONCE as the single element of a literal array, and every
+    signal derives from the bound lambda variable. Measured at sf0.1:
+    1.76s → 0.70s for the curation repetition gate, identical rows.
+
+    Gate semantics are identical to ``repetition_profile().repetitive``
+    (same empty-token guard: blank docs are NOT repetitive — they belong
+    to the length gate).
+    """
+    key = _session_cache_key(text_col, _REP_GATE_CACHE)
+    if key is not None:
+        hit = _REP_GATE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    c = F.col(text_col)
+    toks = F.when(c.rlike(r"\S"), tokens(text_col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = REPETITION_THRESHOLDS
+
+    def _body(t):
+        bi = _word_grams(t, 2)
+        tri = _word_grams(t, 3)
+        n_tok = F.size(t).cast("long")
+        return (
+            (_frac(_top_count(t), n_tok) > g["top_token_frac"])
+            | (_frac(_top_count(bi), F.size(bi).cast("long")) > g["top_2gram_frac"])
+            | (
+                _frac(
+                    F.size(tri).cast("long")
+                    - F.size(F.array_distinct(tri)).cast("long"),
+                    F.size(tri).cast("long"),
+                )
+                > g["dup_3gram_frac"]
+            )
+            | (
+                _frac(F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("long"), n_tok)
+                > g["symbol_word_ratio"]
+            )
+        )
+
+    gate = F.element_at(F.transform(F.array(toks), _body), 1)
+    if key is not None:
+        _REP_GATE_CACHE[key] = gate
+    return gate
+
+
 def _build_repetition_signals(text_col) -> tuple[Column, ...]:
     # "has a non-whitespace char" — NOT length(trim(...)): SQL trim strips
     # only spaces, so a tab-only doc would slip past a trim-based guard

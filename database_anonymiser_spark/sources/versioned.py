@@ -313,11 +313,16 @@ def _commit(
     those columns' footer [min,max] — e.g. an ANN index's ``_cid`` stays
     probe-prunable through upsert merges, a z-ordered table keeps its
     clustering stats through trickle updates."""
+    import datetime as _dt
+
     (root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
     payload = json.dumps(
         {
             "version": version,
             "op": op,
+            # wall-clock commit time (UTC ISO-8601) — the TIMESTAMP AS OF
+            # axis of time travel; audit metadata, never hashed
+            "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "key_col": key_col,
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols is not None else {}),
@@ -448,6 +453,41 @@ class VersionedTable:
         return [
             json.loads(_log_path(self.root, v).read_text()) for v in self.versions()
         ]
+
+    def version_at(self, timestamp: str) -> int:
+        """TIMESTAMP AS OF resolution (Delta's second time-travel axis):
+        the newest version whose commit wall-clock is <= ``timestamp``
+        (UTC ISO-8601, prefix comparison is fine — the strings sort).
+        Binary search over the version list, one tiny JSON read per probe
+        — O(log versions), never a history walk. Raises ``ValueError``
+        for a timestamp before the first commit (Delta errors the same)."""
+        global COMMIT_READS
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no versioned table at {self.root}")
+
+        def ts_of(v: int) -> str:
+            global COMMIT_READS
+            COMMIT_READS += 1
+            return json.loads(_log_path(self.root, v).read_text()).get("ts") or ""
+
+        lo, hi = 0, len(vs) - 1
+        if ts_of(vs[0]) > timestamp:
+            raise ValueError(
+                f"timestamp {timestamp} precedes the first commit at {self.root}"
+            )
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if ts_of(vs[mid]) <= timestamp:
+                lo = mid
+            else:
+                hi = mid - 1
+        return vs[lo]
+
+    def snapshot_at(self, timestamp: str) -> DataFrame:
+        """The table as of a WALL-CLOCK time: resolve with
+        :meth:`version_at`, read with :meth:`snapshot`."""
+        return self.snapshot(self.version_at(timestamp))
 
     def commit_meta(self, version: int | None = None) -> dict | None:
         """The ``meta`` dict recorded by the commit that created

@@ -1517,3 +1517,36 @@ def test_ann_upsert_keeps_cid_stats_and_pruning(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got] == [
         (r["vec_id"], r["cosine"]) for r in ref
     ]
+
+
+def test_timestamp_time_travel(spark, table):
+    """TIMESTAMP AS OF (round 7): snapshot_at resolves the newest commit
+    at-or-before a wall-clock instant with O(log versions) commit reads;
+    a pre-creation timestamp errors loudly; legacy commits without a ts
+    field sort first (empty string) rather than crashing."""
+    import json as _json
+
+    import database_anonymiser_spark.sources.versioned as V
+
+    for i in range(6):
+        table.append(
+            spark.createDataFrame(
+                [(100 + i, f"r{i}", 0.0)], "k long, name string, v double"
+            )
+        )
+    recs = table.history()
+    # pick the instant of version 3's commit: snapshot_at must see exactly
+    # versions 0..3 (20 base rows + appends 0..2 => 23... v3 = 3 appends)
+    ts3 = recs[3]["ts"]
+    v = table.version_at(ts3)
+    assert v == 3
+    assert table.snapshot_at(ts3).count() == 20 + 3
+    # after the last commit: latest
+    assert table.version_at("9999-12-31") == table.latest_version()
+    # before the first: loud error
+    with pytest.raises(ValueError):
+        table.version_at("1970-01-01")
+    # bounded reads: binary search, not a walk
+    before = V.COMMIT_READS
+    table.version_at(ts3)
+    assert V.COMMIT_READS - before <= 5  # ceil(log2(7)) + first-commit probe
