@@ -294,7 +294,11 @@ class IncrementalAggView:
                     rgroups.where(F.col(group_col).isNull()).limit(1).count() > 0
                 )
                 if lo is not None and not has_null_grp:
-                    based = base.read_where({group_col: (lo, hi)})
+                    # pinned to the cursor's target version: a concurrent
+                    # writer advancing the base mid-refresh must not leak
+                    # post-`latest` rows into the recomputed extrema
+                    # (round-7 advice)
+                    based = base.read_where({group_col: (lo, hi)}, version=latest)
                 elif lo is not None:
                     based = base.snapshot(latest).where(
                         F.col(group_col).isNull()

@@ -144,11 +144,33 @@ def _list_checkpoints(root: Path) -> list[int]:
 _REPLAY_CACHE: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
 _REPLAY_CACHE_CAP = 64
 
+#: opt-in debug audit (tests flip it; see merge): fail loudly when a
+#: merge touches target files containing duplicate key values instead of
+#: emitting one updated row per duplicate. Off by default — it costs one
+#: extra aggregate over the touched rows per merge.
+VALIDATE_MERGE_TARGET_KEYS = os.environ.get("SPARK_GRAFT_VALIDATE_MERGE") == "1"
+
 
 def _replay_cache_invalidate(root: Path) -> None:
     key = str(root)
     for k in [k for k in _REPLAY_CACHE if k[0] == key]:
         _REPLAY_CACHE.pop(k, None)
+
+
+def _commit_sig(root: Path, version: int):
+    """(mtime_ns, size) of the commit JSON — the memo's validity witness.
+    Committed versions are immutable in the normal protocol, but two real
+    events rewrite history at the same path: (a) a table deleted and
+    re-CREATEd at the same root within one process, and (b) another
+    process running erase's ``_scrub_log_stats`` over shared storage. A
+    one-stat() check per cache hit catches both for the probed version
+    (recreate changes commit 0's identity; scrub rewrites the file
+    in-place) without re-parsing any JSON."""
+    try:
+        st = os.stat(_log_path(root, version))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def _replay(root: Path, upto: int):
@@ -166,8 +188,15 @@ def _replay(root: Path, upto: int):
     ck = (str(root), upto)
     hit = _REPLAY_CACHE.get(ck)
     if hit is not None:
-        _REPLAY_CACHE.move_to_end(ck)
-        return hit
+        sig, out = hit
+        # serve only while the commit file is byte-identical to when the
+        # entry was memoized (round-7 advice: rm+re-create at the same
+        # path, or a cross-process erase scrub, must not serve the old
+        # table's live set)
+        if sig is not None and _commit_sig(root, upto) == sig:
+            _REPLAY_CACHE.move_to_end(ck)
+            return out
+        _replay_cache_invalidate(root)
     live: dict[str, dict] = {}
     key_col = None
     constraints: dict[str, str] = {}
@@ -205,9 +234,11 @@ def _replay(root: Path, upto: int):
     # only memoize states whose version actually exists — a replay past
     # the log's end would otherwise pin a stale "latest"
     if upto in versions:
-        _REPLAY_CACHE[ck] = out
-        while len(_REPLAY_CACHE) > _REPLAY_CACHE_CAP:
-            _REPLAY_CACHE.popitem(last=False)
+        sig = _commit_sig(root, upto)
+        if sig is not None:
+            _REPLAY_CACHE[ck] = (sig, out)
+            while len(_REPLAY_CACHE) > _REPLAY_CACHE_CAP:
+                _REPLAY_CACHE.popitem(last=False)
     return out
 
 
@@ -460,28 +491,73 @@ class VersionedTable:
         (UTC ISO-8601, prefix comparison is fine — the strings sort).
         Binary search over the version list, one tiny JSON read per probe
         — O(log versions), never a history walk. Raises ``ValueError``
-        for a timestamp before the first commit (Delta errors the same)."""
+        for a timestamp before the first commit (Delta errors the same).
+
+        The bisection assumes commit timestamps are monotone — true for
+        the sequential single-table writer protocol, but legacy commits
+        (pre-``ts``) and multi-writer clock skew can break it (round-7
+        advice). Any probe that returns a missing ts, or a probe sequence
+        that contradicts monotone order, drops to a LINEAR scan with
+        max-so-far clamping (Delta's timestamp adjustment): each commit's
+        effective time is the max of its own and every predecessor's, so
+        the answer is well-defined and deterministic even over skewed
+        clocks. Skew confined to versions the bisection never probes is
+        resolved as if clamped — the same answer the linear scan gives
+        whenever the probed path is consistent."""
         global COMMIT_READS
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no versioned table at {self.root}")
 
-        def ts_of(v: int) -> str:
+        def ts_of(v: int) -> str | None:
             global COMMIT_READS
             COMMIT_READS += 1
-            return json.loads(_log_path(self.root, v).read_text()).get("ts") or ""
+            return json.loads(_log_path(self.root, v).read_text()).get("ts")
 
-        lo, hi = 0, len(vs) - 1
-        if ts_of(vs[0]) > timestamp:
+        def linear() -> int:
+            best, eff = None, ""
+            for v in vs:
+                eff = max(eff, ts_of(v) or "")
+                if eff and eff <= timestamp:
+                    best = v
+            if best is None:
+                raise ValueError(
+                    f"timestamp {timestamp} precedes the first commit at "
+                    f"{self.root}"
+                )
+            return best
+
+        probed: dict[int, str] = {}
+
+        def probe(i: int) -> str | None:
+            t = ts_of(vs[i])
+            if t is None:
+                return None
+            probed[i] = t
+            return t
+
+        t0 = probe(0)
+        if t0 is None:
+            return linear()
+        if t0 > timestamp:
             raise ValueError(
                 f"timestamp {timestamp} precedes the first commit at {self.root}"
             )
+        lo, hi = 0, len(vs) - 1
         while lo < hi:
             mid = (lo + hi + 1) // 2
-            if ts_of(vs[mid]) <= timestamp:
+            t = probe(mid)
+            if t is None:
+                return linear()
+            if t <= timestamp:
                 lo = mid
             else:
                 hi = mid - 1
+        order = sorted(probed)
+        if any(
+            probed[a] > probed[b] for a, b in zip(order, order[1:])
+        ):  # probed path itself is non-monotone: bisection invariant broke
+            return linear()
         return vs[lo]
 
     def snapshot_at(self, timestamp: str) -> DataFrame:
@@ -562,15 +638,21 @@ class VersionedTable:
         )
         return d.select(*[f.name for f in schema.fields])
 
-    def files_matching(self, predicates: dict[str, tuple]) -> list[dict]:
+    def files_matching(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> list[dict]:
         """Live files whose recorded stats can satisfy ``{col: (lo, hi)}``
         range predicates — driver-side metadata arithmetic, no data scan.
         A file without stats for a predicate column is kept (must-scan);
         the key column's commit-level [key_min, key_max] serves as its
         stats. This is Delta's data-skipping read path over the same
-        per-file min/max the z-order OPTIMIZE records."""
+        per-file min/max the z-order OPTIMIZE records. ``version`` pins
+        the snapshot (default latest) — incremental consumers (IVM's
+        extremum recompute) pass the version their cursor is advancing
+        to, so a concurrent writer landing mid-refresh cannot skew the
+        read past the recorded cursor (round-7 advice)."""
         out = []
-        for e in self._live_entries():
+        for e in self._live_entries(version):
             keep = True
             for col, (lo, hi) in predicates.items():
                 if col == self._key_col and e.get("key_min") is not None:
@@ -586,15 +668,17 @@ class VersionedTable:
                 out.append(e)
         return out
 
-    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
+    def read_where(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
         """Snapshot read with file skipping: prune files via
         :meth:`files_matching`, then apply the same range predicates as
         real filters (row-group pushdown handles the residual within the
         surviving files). Empty survivor set → empty frame with the table
-        schema."""
-        entries = self.files_matching(predicates)
+        schema. ``version`` pins the read (default latest)."""
+        entries = self.files_matching(predicates, version=version)
         if not entries:
-            return self.snapshot().limit(0).where(F.lit(False))
+            return self.snapshot(version).limit(0).where(F.lit(False))
         df = self._read_paths([e["path"] for e in entries])
         for col, (lo, hi) in predicates.items():
             df = df.where(F.col(col).between(lo, hi))
@@ -614,6 +698,10 @@ class VersionedTable:
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
+        # a table deleted and re-created at this root must not inherit the
+        # old table's memoized replay states (round-7 advice); the per-hit
+        # stat signature would also catch it, this makes it unconditional
+        _replay_cache_invalidate(t.root)
         adds = _write_data_files(df, t.root, key_col, stats_cols=tuple(stats_cols))
         _commit(
             t.root, 0, adds, [], key_col, op="create",
@@ -745,14 +833,43 @@ class VersionedTable:
             # plain equality (NULL keys never match — SQL MERGE).
             tgt = self._read_paths([e["path"] for e in touched])
             cols = tgt.columns
-            t = tgt.withColumn("_t", F.lit(1)).alias("t")
+            # presence markers must not shadow real table columns (a user
+            # table may legitimately own '_t'/'_s'; round-7 advice) —
+            # suffix until free. The side aliases t/s are Spark alias
+            # scopes, not columns, so they cannot collide.
+            mt, ms = "_t", "_s"
+            while mt in cols:
+                mt += "_"
+            while ms in cols:
+                ms += "_"
+            if VALIDATE_MERGE_TARGET_KEYS:
+                # opt-in invariant audit: the single-join MERGE emits one
+                # updated row PER duplicate target key (the old
+                # semi-over-distinct path deduplicated silently); a table
+                # whose key-uniqueness was broken by an external writer
+                # should fail loudly here, not drift
+                dup = (
+                    tgt.where(F.col(key_col).isNotNull())
+                    .groupBy(key_col)
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"target table at {self.root} has duplicate values "
+                        f"in key column {key_col!r} among merge-touched "
+                        "files; repair the table before merging"
+                    )
+            t = tgt.withColumn(mt, F.lit(1)).alias("t")
             # a pure delete-merge needs only the source KEYS (documented:
             # key-only sources are valid there); insert/update paths need
             # the full row image
             need_src_img = insert_not_matched or when_matched == "update"
             s = (
                 source.select(*(cols if need_src_img else [key_col]))
-                .withColumn("_s", F.lit(1))
+                .withColumn(ms, F.lit(1))
                 .alias("s")
             )
             j = t.join(
@@ -764,8 +881,8 @@ class VersionedTable:
                 if need_src_img
                 else None
             )
-            unmatched_t = F.col("_s").isNull()
-            unmatched_s = F.col("_t").isNull()
+            unmatched_t = F.col(ms).isNull()
+            unmatched_s = F.col(mt).isNull()
             out_img = F.when(unmatched_t, t_img)
             if insert_not_matched:
                 out_img = out_img.when(unmatched_s, s_img)

@@ -459,6 +459,12 @@ def run_stream_to_versioned(
         # fingerprint dedup; this guard keeps the sink total)
         batch = batch_df.dropDuplicates([key_col])
         t.merge(batch, when_matched="update")
+        # views refresh BEFORE maintenance (round-7 advice): the refresh
+        # consumes diff(cursor, merge-version), whose update PRE-IMAGE
+        # files are exactly what this batch's vacuum is about to delete —
+        # running it here guarantees the feed is read while every file it
+        # references is still live
+        _refresh_views(s, t, refresh_views)
         # the two maintenance knobs are INDEPENDENT (round-6 advice: a
         # stream configured with only vacuum_retain must still vacuum) —
         # vacuum runs on the compaction cadence when both are set, else
@@ -467,8 +473,16 @@ def run_stream_to_versioned(
             t.compact()
         vac_every = compact_every or vacuum_retain
         if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
-            t.vacuum(retain_versions=vacuum_retain)
-        _refresh_views(s, t, refresh_views)
+            # retention must additionally COVER every view cursor: the
+            # NEXT batch's refresh reads diff(cursor, ...), whose removed
+            # side is files live at the cursor version — vacuum may only
+            # reclaim below min(cursor) (same contract as Delta's
+            # "don't vacuum below your streaming reader's checkpoint")
+            retain = vacuum_retain
+            cur = _views_min_cursor(s, refresh_views)
+            if cur is not None:
+                retain = max(retain, t.latest_version() - cur + 1)
+            t.vacuum(retain_versions=retain)
 
     return run_foreach_batch(df, sink, checkpoint)
 
@@ -485,6 +499,25 @@ def _refresh_views(spark: SparkSession, base, roots: tuple[str, ...]) -> None:
         view = IncrementalAggView(spark, root)
         if view.table.versions():
             view.refresh(base)
+
+
+def _views_min_cursor(spark: SparkSession, roots: tuple[str, ...]) -> int | None:
+    """The oldest base version any maintained view still needs pre-image
+    files from — O(1) commit-meta probe per view (the cursor rides in the
+    view's newest commit). None when no listed view exists yet."""
+    if not roots:
+        return None
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    cursors = []
+    for root in roots:
+        view = IncrementalAggView(spark, root)
+        if view.table.versions():
+            try:
+                cursors.append(view.cursor())
+            except ValueError:
+                pass
+    return min(cursors) if cursors else None
 
 
 def run_stream_to_ann_index(

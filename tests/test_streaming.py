@@ -886,3 +886,73 @@ def test_stream_versioned_sink_maintains_incremental_view(spark, tmp_path):
     # the replay commits table versions (merge audit trail) but the view
     # advanced at most once (its content unchanged - checked above)
     assert IncrementalAggView(spark, vroot).table.latest_version() <= view_v + 1
+
+
+def test_stream_versioned_sink_view_refresh_survives_vacuum(spark, tmp_path):
+    """Round-7 advice (high): refresh_views combined with aggressive
+    in-line maintenance (compact_every=1, vacuum_retain=1). The view
+    refresh consumes update PRE-IMAGE files; refreshing after the merge
+    but BEFORE compact/vacuum — with retention clamped to cover the view
+    cursor — must keep every batch's refresh readable. Pre-fix ordering
+    (refresh last) crashed on vacuumed parquet paths on every vacuum
+    batch; the view must instead stay ≡ the from-scratch aggregate
+    through repeated update+compact+vacuum batches."""
+    import shutil
+
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, g string, v double"
+    root = str(tmp_path / "table")
+    vroot = str(tmp_path / "view")
+
+    def feed(batch_no, rows):
+        d = src / f"stage{batch_no}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"b{batch_no}_{p.name}"))
+        shutil.rmtree(d)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(
+            stream, root, key_col="k", checkpoint=str(tmp_path / "ckpt"),
+            compact_every=1, vacuum_retain=1, refresh_views=(vroot,),
+        )
+
+    def check():
+        t = VersionedTable(spark, root)
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in t.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        view = IncrementalAggView(spark, vroot)
+        got = {
+            r["g"]: (r["n_rows"], r["sum_value"]) for r in view.snapshot().collect()
+        }
+        assert got == want
+
+    feed(0, [(i, f"g{i % 2}", float(i)) for i in range(8)])
+    drain()
+    IncrementalAggView.create(spark, vroot, VersionedTable(spark, root), "g", "v")
+    # every subsequent batch UPDATES existing keys (pre-images!) and
+    # inserts one new key, then compacts and vacuums in the same batch
+    for b in range(1, 4):
+        feed(b, [(b, "g0", 100.0 * b), (b + 1, "g1", -10.0 * b), (100 + b, "g2", 1.0)])
+        drain()
+        check()
+    # retention stayed tight: far-past versions are not time-travelable
+    t = VersionedTable(spark, root)
+    with pytest.raises(Exception):
+        t.snapshot(0).collect()

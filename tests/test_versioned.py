@@ -1550,3 +1550,129 @@ def test_timestamp_time_travel(spark, table):
     before = V.COMMIT_READS
     table.version_at(ts3)
     assert V.COMMIT_READS - before <= 5  # ceil(log2(7)) + first-commit probe
+
+
+def test_recreate_at_same_root_invalidates_replay_memo(spark, tmp_path):
+    """Round-7 advice (medium): the replay memo is keyed (root, version);
+    deleting a table and re-CREATEing one at the same path within one
+    process must serve the NEW table's files/schema, never the cached old
+    live set. Also covers the stat-signature path: an in-place rewrite of
+    a commit JSON (cross-process erase scrub) invalidates the memo."""
+    import shutil
+
+    import database_anonymiser_spark.sources.versioned as V
+
+    root = tmp_path / "t"
+    a = spark.createDataFrame([(1, "old")], "k long, name string")
+    t = VersionedTable.create(spark, root, a, key_col="k")
+    assert [r["name"] for r in t.snapshot().collect()] == ["old"]  # memoized
+
+    shutil.rmtree(root)
+    b = spark.createDataFrame([(1, "new"), (2, "new2")], "k long, name string")
+    t2 = VersionedTable.create(spark, root, b, key_col="k")
+    assert sorted(r["name"] for r in t2.snapshot().collect()) == ["new", "new2"]
+    assert t2.row_count() == 2
+
+    # cross-process scrub surrogate: rewrite commit 0 in place (bigger
+    # payload => size/mtime change); the next replay must re-read it
+    p = V._log_path(t2.root, 0)
+    rec = json.loads(p.read_text())
+    rec["adds"] = rec["adds"][:0]  # drop the live files
+    p.write_text(json.dumps(rec))
+    assert VersionedTable(spark, root).snapshot(0).count() == 0
+
+
+def test_version_at_legacy_and_skewed_timestamps(spark, table):
+    """Round-7 advice (low): commits missing ``ts`` (legacy writers) or
+    with non-monotone wall clocks (writer skew) must not silently
+    bisect to a wrong version — both drop to a linear max-so-far-clamped
+    scan (Delta's timestamp adjustment)."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    for i in range(5):
+        table.append(
+            spark.createDataFrame(
+                [(200 + i, f"s{i}", 0.0)], "k long, name string, v double"
+            )
+        )
+    recs = table.history()
+    ts = [r["ts"] for r in recs]
+
+    # legacy: strip ts from version 2 — any probe hitting it falls back
+    p2 = V._log_path(table.root, 2)
+    rec2 = json.loads(p2.read_text())
+    del rec2["ts"]
+    p2.write_text(json.dumps(rec2))
+    # version 2's effective (clamped) time is version 1's ts, so asking
+    # for an instant in [ts1, ts3) resolves to 2 — identical to the
+    # monotone answer; and the call must not crash on the missing field
+    assert table.version_at(ts[3]) == 3
+    assert table.version_at(ts[1]) == 2 if ts[1] < ts[3] else True
+    assert table.version_at("9999-12-31") == table.latest_version()
+
+    # skew: give version 4 a FUTURE clock (sorts after version 5's) —
+    # clamping makes version 5's effective time equal version 4's, so a
+    # query at exactly that instant resolves to 5 (newest with
+    # effective-ts <= t), never 3 (what a naive bisection over the skewed
+    # sequence can return)
+    p4 = V._log_path(table.root, 4)
+    rec4 = json.loads(p4.read_text())
+    rec4["ts"] = "9000-01-01T00:00:00+00:00"
+    p4.write_text(json.dumps(rec4))
+    assert table.version_at("9000-01-01T00:00:00+00:00") == 5
+
+
+def test_merge_tolerates_marker_named_columns(spark, tmp_path):
+    """Round-7 advice (low): a table legitimately owning columns named
+    ``_t``/``_s`` must merge correctly — presence markers suffix away."""
+    df = spark.createDataFrame(
+        [(1, 10, 20, "a"), (2, 11, 21, "b")], "k long, _t long, _s long, name string"
+    )
+    t = VersionedTable.create(spark, tmp_path / "m", df, key_col="k")
+    src = spark.createDataFrame(
+        [(2, 99, 98, "B"), (3, 30, 40, "c")], "k long, _t long, _s long, name string"
+    )
+    t.merge(src, when_matched="update")
+    got = {r["k"]: (r["_t"], r["_s"], r["name"]) for r in t.snapshot().collect()}
+    assert got == {1: (10, 20, "a"), 2: (99, 98, "B"), 3: (30, 40, "c")}
+    # and delete-merge (key-only source) with the marker columns present
+    t.merge(spark.createDataFrame([(1,)], "k long"), when_matched="delete",
+            insert_not_matched=False)
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [2, 3]
+
+
+def test_merge_duplicate_target_keys_fail_loudly_when_validated(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 advice (low): with the opt-in audit on, merging into a
+    target whose key-uniqueness invariant was broken externally raises
+    instead of emitting one updated row per duplicate."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    t = VersionedTable.create(spark, tmp_path / "d", df, key_col="k")
+    # break the invariant behind the log's back: append a duplicate key
+    # via the raw file path (an "external writer")
+    dup = spark.createDataFrame([(1, "rogue")], "k long, name string")
+    adds = _write_data_files(dup, t.root, "k")
+    V._commit(t.root, 1, adds, [], "k", op="append")
+
+    src = spark.createDataFrame([(1, "upd")], "k long, name string")
+    monkeypatch.setattr(V, "VALIDATE_MERGE_TARGET_KEYS", True)
+    with pytest.raises(ValueError, match="duplicate values"):
+        t.merge(src, when_matched="update")
+    monkeypatch.setattr(V, "VALIDATE_MERGE_TARGET_KEYS", False)
+    t.merge(src, when_matched="update")  # documented default: no dedup
+    assert [r["name"] for r in t.snapshot().where("k = 1").collect()].count("upd") >= 1
+
+
+def test_read_where_pins_requested_version(spark, table):
+    """Round-7 advice (low): ``read_where(version=)`` must read the
+    pinned snapshot even after the table advances (the IVM extremum
+    recompute's concurrent-writer guard)."""
+    v0 = table.latest_version()
+    table.update_where({"v": F.col("v") + 1000}, F.col("k") < 5, prune={"k": (0, 4)})
+    pinned = table.read_where({"k": (0, 4)}, version=v0)
+    assert max(r["v"] for r in pinned.collect()) < 1000
+    live = table.read_where({"k": (0, 4)})
+    assert min(r["v"] for r in live.collect()) >= 1000
