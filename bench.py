@@ -297,29 +297,70 @@ def main():
     tidx = pq_index(emb, "vec_id", "embedding", tbooks).cache()
     tidx.count()
     K = 10
-    rec: dict[str, list[float]] = {"ivf": [], "pq": [], "pq_trained": [], "lsh": []}
-    for q in (1, 701, 1301):
-        exact = {
+    QS = (1, 701, 1301)
+    exact_sets = {
+        q: {
             r["vec_id"]
             for r in brute_force_topk(emb, "vec_id", "embedding", q, K).collect()
         }
-        approx = {
-            "ivf": ivf_topk(emb, "vec_id", "embedding", q, K, 16, 4),
-            "pq": pq_topk(pidx, emb, "vec_id", "embedding", q, books, K),
-            "pq_trained": pq_topk(tidx, emb, "vec_id", "embedding", q, tbooks, K),
-            # the interactive multi-probe config: 6 planes keep buckets
-            # ≥ k on the 2k-row fixture, 2-flip probes recover the
-            # hyperplane-straddling neighbours random data scatters
-            "lsh": lsh_bucket_topk(
-                emb, "vec_id", "embedding", q, K, n_planes=6, dim=64, n_flip=2
-            ),
-        }
-        for name, job in approx.items():
-            got = {r["vec_id"] for r in job.collect()}
-            rec[name].append(len(exact & got) / K)
+        for q in QS
+    }
+
+    def _recall(mk) -> float:
+        hits = sum(
+            len(exact_sets[q] & {r["vec_id"] for r in mk(q).collect()}) / K
+            for q in QS
+        )
+        return round(hits / len(QS), 3)
+
+    # headline recall@10 of each branch AT ITS PRODUCTION DEFAULTS
+    # (round-8: ivf/ivf_sq n_probe=6, lsh 8 planes + 3 flips, pq with the
+    # auto ADC-shortlist -> exact re-rank stage)
+    ann_recall = {
+        "ivf": _recall(lambda q: ivf_topk(emb, "vec_id", "embedding", q, K, 16)),
+        "pq": _recall(
+            lambda q: pq_topk(pidx, emb, "vec_id", "embedding", q, books, K)
+        ),
+        "pq_trained": _recall(
+            lambda q: pq_topk(tidx, emb, "vec_id", "embedding", q, tbooks, K)
+        ),
+        "lsh": _recall(
+            lambda q: lsh_bucket_topk(
+                emb, "vec_id", "embedding", q, K, n_planes=8, dim=64
+            )
+        ),
+    }
+    # recall-vs-knob curves (round-7 verdict #2): the sweep that justifies
+    # each default, re-recorded every round so a recall regression names
+    # the branch AND the operating point that moved
+    ann_recall_curve = {
+        "ivf_n_probe": {
+            str(p): _recall(
+                lambda q: ivf_topk(emb, "vec_id", "embedding", q, K, 16, p)
+            )
+            for p in (4, 6, 8)
+        },
+        "lsh_n_flip": {
+            str(f): _recall(
+                lambda q: lsh_bucket_topk(
+                    emb, "vec_id", "embedding", q, K, n_planes=8, dim=64, n_flip=f
+                )
+            )
+            for f in (1, 2, 3)
+        },
+        # 0 = raw ADC (no refine stage) — the round-7 `weak` operating point
+        "pq_refine_k": {
+            str(rk if rk else 0): _recall(
+                lambda q: pq_topk(
+                    pidx, emb, "vec_id", "embedding", q, books, K,
+                    refine_k=rk or None,
+                )
+            )
+            for rk in (0, 100, 250)
+        },
+    }
     pidx.unpersist()
     tidx.unpersist()
-    ann_recall = {k: round(sum(v) / len(v), 3) for k, v in rec.items()}
 
     # --- curate_corpus stage attribution (round-5 verdict #3): cumulative
     # prefixes of the SAME fully-gated configuration, timed once each; the
@@ -361,6 +402,7 @@ def main():
                 "curate_stage_sec": curate_stages,
                 "storage_meta_reads": storage_meta,
                 "ann_recall": ann_recall,
+                "ann_recall_curve": ann_recall_curve,
                 "control_sec": control,
                 "control_shuffle_arrow_sec": control_sa,
                 "reps": REPS,

@@ -199,8 +199,9 @@ class VersionedAnnIndex:
         vec_col: str,
         query_id: int,
         k: int = 10,
-        n_probe: int = 4,
+        n_probe: int = 6,
         version: int | None = None,
+        refine_k: "int | None | str" = "auto",
     ) -> DataFrame:
         """Top-k against the stored index AS OF ``version`` (default:
         latest), dispatching on the version's recorded ``kind``. For
@@ -209,13 +210,16 @@ class VersionedAnnIndex:
         scoring reads the whole (already ~30×-compressed) code table. The
         query vector itself comes from ``corpus`` (a 1-row bounded lookup,
         as in the declared ``sim_topk_ann`` branches); ``n_probe`` is
-        ignored for pq."""
+        ignored for pq. Round 8: both kinds default to the recall-
+        justified operating points (n_probe=6; pq auto ADC-shortlist →
+        exact re-rank — see similarity.pq_topk) so a stored index serves
+        the same recall the bench's ann_recall records."""
         meta = self._index_meta(version)
         if meta["kind"] == "pq":
             books = [[[int(x) for x in cw] for cw in sub] for sub in meta["books"]]
             return pq_topk(
                 self.table.snapshot(version), corpus, id_col, vec_col,
-                query_id, books, k,
+                query_id, books, k, refine_k=refine_k,
             )
         centroids = self.centroids(version)
         qrow = (
@@ -253,7 +257,8 @@ class VersionedAnnIndex:
             else self.table.snapshot(version).limit(0)
         )
         return ivf_int8_topk(
-            index, corpus, id_col, vec_col, query_id, centroids, k, n_probe
+            index, corpus, id_col, vec_col, query_id, centroids, k, n_probe,
+            refine_k=None if refine_k == "auto" else refine_k,
         )
 
     # -------------------------------------------------------- hygiene

@@ -1746,54 +1746,77 @@ def test_scoped_cache_preserves_live_foreign_apps_prunes_dead(spark):
 
 
 def test_ann_recall_floors_pq_and_multiprobe_lsh(spark, sf_dir):
-    """Recall floors for the branches the bench's ann_recall dict tracks
-    (round-6 verdict #8): trained PQ must beat the training-free books on
-    the same queries (that is what training buys), and 2-flip multi-probe
-    LSH must recover a non-trivial share of the exact top-10. All methods
-    are deterministic on the fixed fixture, so the floors are stable."""
+    """ABSOLUTE recall@10 floors at each branch's PRODUCTION DEFAULTS
+    (round-7 verdict #1: the old floors would have passed at 0.05 —
+    these assert the numbers a user actually gets). All methods are
+    deterministic on the fixed fixture, so the floors are exact-measured
+    values minus a small margin; sf0.001 test-fixture queries (0, 3, 7)
+    measured (round 8): pq/pq_trained/ivf/ivf_sq ≥ 0.9 with the default
+    auto-refine / n_probe=6, lsh(8 planes, 3 flips) = 0.433 (a 50-vector
+    corpus leaves most of the 256 buckets empty), raw ADC 0.367 at
+    sf0.01. The sf0.1 bench fixture records the matching sweep in
+    BENCH ann_recall / ann_recall_curve (pq 0.8, trained 0.933,
+    ivf 0.9, lsh 0.733). Also pins that the exact re-rank stage is what
+    buys the lift: raw-ADC recall must sit strictly below the refined
+    default, and trained books must not lose to training-free ones in
+    the compressed domain."""
     from database_anonymiser_spark.operators import similarity as SIM
     from database_anonymiser_spark.suite.base import load
 
     emb = load(spark, sf_dir, "embeddings")
     K = 10
+    QS = (0, 3, 7)
     books = SIM.pq_codebooks(emb, "vec_id", "embedding", 8, 16)
     tbooks = SIM.train_pq_codebooks(emb, "vec_id", "embedding", 8, 16, n_iter=3)
     pidx = SIM.pq_index(emb, "vec_id", "embedding", books)
     tidx = SIM.pq_index(emb, "vec_id", "embedding", tbooks)
-    plain, trained, lsh = [], [], []
-    for q in (0, 3, 7):
-        exact = {
+    cent_rows = (
+        emb.orderBy("vec_id").limit(16).select("vec_id", "embedding").collect()
+    )
+    cent = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    sq_idx = SIM.ivf_int8_index(emb, "vec_id", "embedding", cent)
+    exact = {
+        q: {
             r["vec_id"]
             for r in SIM.brute_force_topk(emb, "vec_id", "embedding", q, K).collect()
         }
-        plain.append(
-            len(exact & {
-                r["vec_id"]
-                for r in SIM.pq_topk(
-                    pidx, emb, "vec_id", "embedding", q, books, K
-                ).collect()
-            }) / K
-        )
-        trained.append(
-            len(exact & {
-                r["vec_id"]
-                for r in SIM.pq_topk(
-                    tidx, emb, "vec_id", "embedding", q, tbooks, K
-                ).collect()
-            }) / K
-        )
-        lsh.append(
-            len(exact & {
-                r["vec_id"]
-                for r in SIM.lsh_bucket_topk(
-                    emb, "vec_id", "embedding", q, K,
-                    n_planes=6, dim=64, n_flip=2,
-                ).collect()
-            }) / K
-        )
-    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
-    assert mean(trained) >= mean(plain), (
-        f"trained PQ recall {mean(trained)} below training-free {mean(plain)}"
+        for q in QS
+    }
+
+    def recall(mk):
+        return sum(
+            len(exact[q] & {r["vec_id"] for r in mk(q).collect()}) / K for q in QS
+        ) / len(QS)
+
+    r_pq = recall(lambda q: SIM.pq_topk(pidx, emb, "vec_id", "embedding", q, books, K))
+    r_pqt = recall(
+        lambda q: SIM.pq_topk(tidx, emb, "vec_id", "embedding", q, tbooks, K)
     )
-    assert mean(trained) >= 0.1, f"trained PQ recall collapsed: {trained}"
-    assert mean(lsh) >= 0.1, f"multi-probe LSH recall collapsed: {lsh}"
+    r_adc = recall(
+        lambda q: SIM.pq_topk(
+            pidx, emb, "vec_id", "embedding", q, books, K, refine_k=None
+        )
+    )
+    r_adct = recall(
+        lambda q: SIM.pq_topk(
+            tidx, emb, "vec_id", "embedding", q, tbooks, K, refine_k=None
+        )
+    )
+    r_ivf = recall(lambda q: SIM.ivf_topk(emb, "vec_id", "embedding", q, K, 16))
+    r_sq = recall(
+        lambda q: SIM.ivf_int8_topk(sq_idx, emb, "vec_id", "embedding", q, cent, K)
+    )
+    r_lsh = recall(
+        lambda q: SIM.lsh_bucket_topk(
+            emb, "vec_id", "embedding", q, K, n_planes=8, dim=64
+        )
+    )
+    assert r_pq >= 0.9, f"PQ default recall {r_pq} below absolute floor 0.9"
+    assert r_pqt >= 0.9, f"trained-PQ default recall {r_pqt} below floor 0.9"
+    assert r_ivf >= 0.9, f"IVF n_probe=6 recall {r_ivf} below floor 0.9"
+    assert r_sq >= 0.9, f"IVF-SQ n_probe=6 recall {r_sq} below floor 0.9"
+    assert r_lsh >= 0.4, f"multi-probe LSH default recall {r_lsh} below floor 0.4"
+    assert r_pq > r_adc, "exact re-rank stage buys nothing over raw ADC"
+    assert r_adct >= r_adc, (
+        f"trained ADC recall {r_adct} below training-free {r_adc}"
+    )
