@@ -301,6 +301,7 @@ def kmv_set_ops(
     df_b: DataFrame,
     key_b: str,
     k: int = 256,
+    audit: bool = False,
 ) -> DataFrame:
     """Set-operation estimates over two KMV sketches — the Theta-sketch
     capability (Dasgupta et al., "Theta sketches", and the KMV
@@ -321,10 +322,14 @@ def kmv_set_ops(
       sketches; Jaccard ≈ ρ/k′ (k′ = min(k, merged size)); |A ∩ B| ≈
       Jaccard · |A ∪ B|-estimate. Error ~1/√k on the Jaccard.
 
-    Returns three rows (op, est, exact): op ∈ union/intersect/jaccard,
-    with the EXACT values computed alongside for audit (two distinct
-    aggregates — drop them at true scale; the sketch math itself touches
-    only the ≤2k merged hash rows after each side's bucketed pre-filter).
+    Returns three rows (op, est[, exact]): op ∈ union/intersect/jaccard.
+    ``audit=True`` adds the EXACT values alongside — two full DISTINCT
+    aggregates over the raw inputs, the cost a production call at scale
+    must never pay (round-7 verdict #4): the default emits only the
+    sketch estimates, whose math touches ≤2k merged hash rows after each
+    side's bucketed pre-filter (plan-asserted DISTINCT-free in
+    tests/test_plans.py). The declared ``agg_approx_sketch`` oracle entry
+    runs ``audit=True`` so DuckDB checks est AND exact together.
     """
     ka = _bottom_k_hashes(df_a, key_a, k)
     kb = _bottom_k_hashes(df_b, key_b, k)
@@ -346,12 +351,13 @@ def kmv_set_ops(
         .where(F.col("hv") <= F.col("th"))
         .agg(F.count(F.lit(1)).alias("rho"))
     )
-    a_key = F.col(key_a)
-    b_key = F.col(key_b)
-    exact_a = df_a.where(a_key.isNotNull()).select(a_key.alias("x")).distinct()
-    exact_b = df_b.where(b_key.isNotNull()).select(b_key.alias("x")).distinct()
-    exact_u = exact_a.unionByName(exact_b).distinct().count()
-    exact_i = exact_a.join(exact_b, "x", "left_semi").count()
+    if audit:
+        a_key = F.col(key_a)
+        b_key = F.col(key_b)
+        exact_a = df_a.where(a_key.isNotNull()).select(a_key.alias("x")).distinct()
+        exact_b = df_b.where(b_key.isNotNull()).select(b_key.alias("x")).distinct()
+        exact_u = exact_a.unionByName(exact_b).distinct().count()
+        exact_i = exact_a.join(exact_b, "x", "left_semi").count()
 
     stats = F.broadcast(theta).crossJoin(F.broadcast(rho))
     union_est = F.when(F.col("nm") < k, F.col("nm").cast("double")).otherwise(
@@ -368,6 +374,16 @@ def kmv_set_ops(
         "_j",
         F.round(F.col("_jraw") * F.col("_u"), 6).alias("_i"),
     )
+    if not audit:
+        return out.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("union").alias("op"), F.col("_u").alias("est")),
+                    F.struct(F.lit("intersect").alias("op"), F.col("_i").alias("est")),
+                    F.struct(F.lit("jaccard").alias("op"), F.col("_j").alias("est")),
+                )
+            ).alias("s")
+        ).select("s.op", "s.est")
     exact_j = round(exact_i / exact_u, 6) if exact_u else 0.0
     return out.select(
         F.explode(

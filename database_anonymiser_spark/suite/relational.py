@@ -580,7 +580,8 @@ def agg_approx_sketch(spark, sf_dir):
     from database_anonymiser_spark.operators.sketch import kmv_set_ops
 
     so = kmv_set_ops(
-        o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", k=_KMV_K
+        o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", k=_KMV_K,
+        audit=True,  # the oracle checks est AND exact; production default skips both DISTINCTs
     ).select(
         F.lit("setops").alias("sketch"),
         F.col("op").alias("key"),

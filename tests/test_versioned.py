@@ -1676,3 +1676,64 @@ def test_read_where_pins_requested_version(spark, table):
     assert max(r["v"] for r in pinned.collect()) < 1000
     live = table.read_where({"k": (0, 4)})
     assert min(r["v"] for r in live.collect()) >= 1000
+
+
+def test_default_vacuum_is_checkpoint_bounded(spark, tmp_path):
+    """Round-7 verdict #3: vacuum(None) must not walk the whole history.
+    The 'ever referenced' witness rides in checkpoints (pruned to files
+    still on disk), so the walk is one checkpoint + the tail commits —
+    while still deleting true crash orphans and keeping every
+    time-travelable file."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame([(1, "a")], "k long, name string")
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    for i in range(25):  # checkpoints at 10 and 20
+        t.append(spark.createDataFrame([(100 + i, f"r{i}")], "k long, name string"))
+    # plant a crash orphan: a parquet file referenced by no commit
+    orphan = t.root / "data" / "orphan-deadbeef.parquet"
+    spark.createDataFrame([(9, "x")], "k long, name string").toPandas().to_parquet(
+        orphan
+    )
+    before = V.COMMIT_READS
+    removed = t.vacuum()
+    reads = V.COMMIT_READS - before
+    assert removed == ["data/orphan-deadbeef.parquet"]
+    assert reads <= 8, f"vacuum(None) read {reads} commits (interval is 10)"
+    # nothing time-travelable was touched
+    assert t.snapshot(0).count() == 1
+    assert t.snapshot().count() == 26
+
+
+def test_legacy_empty_snapshot_reads_bounded_commits(spark, tmp_path):
+    """Round-7 verdict #3 (second site): a LEGACY table (no schema in any
+    commit or checkpoint) read while EMPTY must find its schema by a
+    descending early-exit scan — O(distance to the last adds-bearing
+    commit), not an O(versions) history walk."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame([(1, "a")], "k long, name string")
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    for i in range(12):  # past the version-10 checkpoint
+        t.append(spark.createDataFrame([(100 + i, f"r{i}")], "k long, name string"))
+    t.delete_where(F.lit(True))  # table now empty
+    # simulate a pre-schema-logging writer: strip the recorded schema from
+    # every commit and checkpoint (the rewrite changes each file's stat
+    # signature, so the replay memo self-invalidates)
+    for v in t.versions():
+        p = V._log_path(t.root, v)
+        rec = json.loads(p.read_text())
+        rec.pop("schema", None)
+        p.write_text(json.dumps(rec))
+    for c in V._list_checkpoints(t.root):
+        p = V._checkpoint_path(t.root, c)
+        rec = json.loads(p.read_text())
+        rec.pop("schema", None)
+        p.write_text(json.dumps(rec))
+    t2 = VersionedTable(spark, t.root)
+    before = V.COMMIT_READS
+    snap = t2.snapshot()
+    reads = V.COMMIT_READS - before
+    assert snap.count() == 0
+    assert set(snap.columns) == {"k", "name"}
+    assert reads <= 6, f"legacy empty read walked {reads} commits"
