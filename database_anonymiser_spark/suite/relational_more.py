@@ -549,6 +549,17 @@ _Q2PS_SQL = f"""
             WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
 """
 
+def q2ps_sql_standalone() -> str:
+    """The Q2 shape reading a MATERIALIZED partsupp relation (round-7
+    verdict #7): identical SQL text minus the in-query derivation CTE, so
+    the bench can time the four-way star join + correlated-min subquery
+    itself against a parquet partsupp fixture instead of paying the
+    lineitem-DISTINCT derivation inside every run. The fixture file is
+    generated by the same _PS_CTE text (tools/gen_benchdata.py /
+    bench.py), so results are byte-identical to the declared q2ps row."""
+    return _Q2PS_SQL.replace(f"WITH {_PS_CTE}", "")
+
+
 _Q11PS_SQL = f"""
     WITH {_PS_CTE}
     SELECT 'q11ps' AS q, ps.ps_partkey AS k, CAST(NULL AS STRING) AS name,
