@@ -249,56 +249,10 @@ def main():
     # parsed; DATA_FILES_READ: data files referenced by constructed
     # reads) recorded as a side dict so a metadata-cost regression shows
     # up as a NUMBER, not a vibe.
-    import shutil
-    import tempfile
-
-    import database_anonymiser_spark.sources.versioned as V
+    from tools.storage_probe import storage_churn as _churn_lifecycle
 
     storage_meta: dict[str, int] = {}
-
-    def _storage_churn():
-        root = tempfile.mkdtemp(prefix="bench_vt_")
-        shutil.rmtree(root)
-        c0, f0 = V.COMMIT_READS, V.DATA_FILES_READ
-        orders = load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"
-        )
-        try:
-            t = V.VersionedTable.create(
-                spark, root, orders.repartitionByRange(8, "o_orderkey"),
-                key_col="o_orderkey",
-            )
-            v0 = t.latest_version()
-            for i in range(5):  # trickle: contiguous 2k-key bands
-                lo, hi = 1 + i * 2000, (i + 1) * 2000
-                t.merge(
-                    orders.where(F.col("o_orderkey").between(lo, hi)).withColumn(
-                        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
-                    )
-                )
-            t.update_where(
-                {"o_orderstatus": F.lit("X")},
-                F.col("o_orderkey") <= 1000,
-                prune={"o_orderkey": (1, 1000)},
-            )
-            t.delete_where(
-                F.col("o_orderkey").between(11000, 12000),
-                prune={"o_orderkey": (11000, 12000)},
-            )
-            t.compact(target_file_bytes=64 * 1024 * 1024)
-            t.vacuum(retain_versions=3)
-            n = t.snapshot().count()
-            # the change feed must stay inside the retention window —
-            # versions older than retain_versions are reclaimed (Delta's
-            # CDF-after-VACUUM contract); v0 here marks the window start
-            d = t.diff(max(v0, t.latest_version() - 2)).count()
-            storage_meta["commit_reads"] = V.COMMIT_READS - c0
-            storage_meta["data_files_read"] = V.DATA_FILES_READ - f0
-            return n + d
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-
-    _bench("storage_churn", _storage_churn)
+    _bench("storage_churn", lambda: _churn_lifecycle(spark, sf_dir, storage_meta))
 
     total = round(sum(timings.values()), 3)
 

@@ -1,4 +1,6 @@
-"""Cross-scale bench for the heavy trio (round-5 verdict stretch #8).
+"""Cross-scale bench for the heavy trio + storage lifecycle (round-5
+verdict stretch #8; round-7 verdict #4 adds the storage_churn point with
+its metadata-read counters per scale).
 
 Times curate_corpus_full, join_bloom (both hash families) and
 dedup_minhash at one or more scale-factor directories — by default the
@@ -96,16 +98,25 @@ def main():
         assert n > 0
         return n
 
-    out: dict[str, dict[str, float]] = {}
+    from tools.storage_probe import storage_churn
+
+    out: dict[str, dict] = {}
     for sf_dir in dirs:
         tag = "sf" + sf_dir.rstrip("/").split("sf")[-1]
-        row: dict[str, float] = {}
+        row: dict = {}
         row["dedup_minhash"] = _time(
             lambda: specs["dedup_minhash"].spark(spark, sf_dir).count()
         )
         row["join_bloom"] = _time(lambda: _bloom(sf_dir, "md5"))
         row["join_bloom_xxhash64"] = _time(lambda: _bloom(sf_dir, "xxhash64"))
         row["curate_corpus_full"] = _time(lambda: _curate(sf_dir))
+        # storage lifecycle (same code as bench.py's storage_churn via
+        # tools/storage_probe): trickle is FIXED-SIZE across scales, so
+        # merge/update/delete should stay ~flat while create/compact
+        # scale with the data — counters from the LAST rep
+        meta: dict = {}
+        row["storage_churn"] = _time(lambda: storage_churn(spark, sf_dir, meta))
+        row["storage_meta_reads"] = meta
         out[tag] = row
         print(f"# {tag}: {row}", file=sys.stderr)
 
