@@ -10,7 +10,7 @@ feed, not just on the fixture files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -499,6 +499,74 @@ def _refresh_views(spark: SparkSession, base, roots: tuple[str, ...]) -> None:
         view = IncrementalAggView(spark, root)
         if view.table.versions():
             view.refresh(base)
+
+
+def run_stream_to_scd2(
+    df: DataFrame,
+    dim_root: str,
+    key_col: str,
+    tracked_cols: tuple[str, ...],
+    checkpoint: str,
+    ts_col: str | None = None,
+    spark: SparkSession | None = None,
+):
+    """Drain a stream of dimension images into an SCD TYPE 2 dimension
+    (operators/scd.py) — the round-7 verdict's stretch item: the
+    warehouse tier's last streaming consumer, composing the merge sink's
+    exactly-once argument with Kimball history maintenance:
+
+    - batch 0 ``scd2_init``s the dimension (every row opens at the
+      batch's business time); later batches ``scd2_apply`` — changed
+      tracked attributes CLOSE the current row and OPEN a new one,
+      unchanged images produce NOTHING (so at-least-once delivery into
+      foreachBatch upgrades to exactly-once HISTORY: a replayed batch
+      re-applies the same images, the change join finds no drift, no
+      commit happens — idempotency by apply semantics, no batch ledger);
+    - several images of one key within a batch collapse to the LATEST
+      (by ``ts_col`` desc, deterministic tie-break on the remaining
+      columns) — SCD2 is per-extract, so intra-batch churn below the
+      batch boundary is sub-extract noise by contract, exactly as a
+      nightly batch extract would have collapsed it;
+    - the batch's BUSINESS TIME is max(``ts_col``) over the batch
+      (a pure function of the data, so replays derive the identical
+      timestamp); without ``ts_col`` a zero-padded batch tag is used
+      (lexicographically ordered, stable across checkpoint replays).
+
+    100 TB shape: per batch one change join (source ⋈ current-slice,
+    broadcast-friendly extract side) + one MERGE on _sk with file
+    skipping — history rides by reference; cost is O(changed keys), not
+    O(history). Returns the finished StreamingQuery.
+    """
+    from database_anonymiser_spark.operators.scd import scd2_apply, scd2_init
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        if batch_df.limit(1).count() == 0:
+            return
+        cols = batch_df.columns
+        if ts_col is not None:
+            others = [c for c in cols if c != key_col and c != ts_col]
+            w = Window.partitionBy(key_col).orderBy(
+                F.col(ts_col).desc(),
+                *[F.col(c).desc_nulls_last() for c in others],
+            )
+            batch = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            ts = str(batch_df.agg(F.max(ts_col)).first()[0])
+        else:
+            batch = batch_df.dropDuplicates([key_col])
+            ts = f"batch-{batch_id:012d}"
+        t = VersionedTable(s, dim_root)
+        if not t.versions():
+            scd2_init(s, dim_root, batch, key_col, ts)
+            return
+        scd2_apply(t, batch, key_col, tracked_cols, ts)
+
+    return run_foreach_batch(df, sink, checkpoint)
 
 
 def _views_min_cursor(spark: SparkSession, roots: tuple[str, ...]) -> int | None:

@@ -956,3 +956,110 @@ def test_stream_versioned_sink_view_refresh_survives_vacuum(spark, tmp_path):
     t = VersionedTable(spark, root)
     with pytest.raises(Exception):
         t.snapshot(0).collect()
+
+
+def test_stream_to_scd2_matches_batch_apply_and_replays_idempotently(
+    spark, tmp_path
+):
+    """run_stream_to_scd2 (round-7 verdict stretch): draining extracts
+    through the streaming sink must build EXACTLY the dimension history
+    batch scd2_apply builds from the same extract sequence — closes,
+    opens, validity intervals, as-of reconstruction — and a full replay
+    (fresh checkpoint, same files) must change nothing (exactly-once by
+    apply semantics: unchanged images produce no commit)."""
+    import shutil
+
+    from database_anonymiser_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_to_scd2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "cust_id long, segment string, city string, ts string"
+    sroot = str(tmp_path / "dim_stream")
+    broot = str(tmp_path / "dim_batch")
+    tracked = ("segment",)
+
+    extracts = [
+        # extract 0: initial images
+        [(1, "basic", "rome", "2024-01-01"), (2, "gold", "oslo", "2024-01-01")],
+        # extract 1: cust 1 changes segment (history!), cust 3 is new;
+        # cust 2 re-delivered unchanged (must produce nothing); cust 1
+        # also churns WITHIN the batch - only the latest image applies
+        [
+            (1, "silver", "rome", "2024-02-01"),
+            (1, "gold", "rome", "2024-02-15"),
+            (2, "gold", "oslo", "2024-02-10"),
+            (3, "basic", "kyiv", "2024-02-20"),
+        ],
+        # extract 2: untracked drift only (city) - no history rows
+        [(2, "gold", "bergen", "2024-03-05")],
+    ]
+
+    def feed(i, rows):
+        d = src / f"stage{i}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"b{i}_{p.name}"))
+        shutil.rmtree(d)
+
+    def drain(ckpt="ckpt"):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_scd2(
+            stream, sroot, "cust_id", tracked,
+            checkpoint=str(tmp_path / ckpt), ts_col="ts",
+        )
+
+    # drive the stream extract by extract; mirror with batch applies
+    # (collapsing intra-batch churn to the latest image, as the sink does)
+    for i, rows in enumerate(extracts):
+        feed(i, rows)
+        drain()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r[3]):
+            latest[r[0]] = r
+        img = spark.createDataFrame(sorted(latest.values()), schema)
+        ts = max(r[3] for r in rows)
+        if i == 0:
+            scd2_init(spark, broot, img, "cust_id", ts)
+        else:
+            scd2_apply(
+                VersionedTable(spark, broot), img, "cust_id", tracked, ts
+            )
+
+    def hist(root):
+        return sorted(
+            tuple(r)
+            for r in VersionedTable(spark, root).snapshot()
+            .select("cust_id", "segment", "city", "_valid_from", "_valid_to",
+                    "_is_current")
+            .collect()
+        )
+
+    assert hist(sroot) == hist(broot)
+    h = hist(sroot)
+    # cust 1 has history: basic closed at 2024-02-15, gold open
+    c1 = [r for r in h if r[0] == 1]
+    assert len(c1) == 2
+    assert {(r[1], r[5]) for r in c1} == {("basic", False), ("gold", True)}
+    # untracked city drift created no history for cust 2
+    assert len([r for r in h if r[0] == 2]) == 1
+    # as-of reconstruction crosses the change boundary
+    sdim = VersionedTable(spark, sroot)
+    assert {
+        (r["cust_id"], r["segment"])
+        for r in scd2_as_of(sdim, "2024-01-15").collect()
+    } == {(1, "basic"), (2, "gold")}
+
+    # full replay with a fresh checkpoint: same files re-delivered as one
+    # batch; every image is unchanged vs current -> no commit, no drift
+    v = sdim.latest_version()
+    drain("ckpt2")
+    assert hist(sroot) == h
+    assert VersionedTable(spark, sroot).latest_version() == v
