@@ -55,6 +55,10 @@ from database_anonymiser_spark.sources.versioned import VersionedTable
 
 _DEC = "decimal(18,2)"
 
+#: commits whose live ROW SET is identical to their predecessor's —
+#: Delta's dataChange=false class; refresh skips them (see refresh)
+_ROW_PRESERVING_OPS = ("compact", "optimize_zorder")
+
 
 class IncrementalAggView:
     """A maintained ``SELECT group_col, count(*), sum(sum_col)
@@ -155,7 +159,20 @@ class IncrementalAggView:
         when the base has not moved. Exactly-once: the new cursor rides
         in the view's commit metadata, so a crashed-and-retried refresh
         of the same interval replays the identical deterministic delta
-        into a MERGE keyed by group — same final state."""
+        into a MERGE keyed by group — same final state.
+
+        ROW-PRESERVING commits (compact, optimize_zorder — Delta's
+        dataChange=false class) are SKIPPED, not diffed (round 8): a
+        file-set diff whose range crosses a compaction would read the
+        packed files (added) and every pre-compact small file (removed)
+        only to classify all their rows carried — O(live bytes), exactly
+        the cost a 100 TB view must never pay per refresh. The interval
+        (cursor, latest] is split at such commits into data-changing
+        SEGMENTS; each segment's endpoint diff (which collapses
+        intermediate states correctly) is applied sequentially, and a
+        segment's extremum recompute pins its reads to the segment's end
+        version. An interval that is ONLY compaction advances the cursor
+        with a metadata-only commit — zero data reads, zero rewrite."""
         from database_anonymiser_spark.sources.versioned import (
             _commit,
             _write_data_files,
@@ -169,10 +186,76 @@ class IncrementalAggView:
         if latest <= since:
             return self.table.latest_version()
 
-        # CDF-faithful feed: update OLD images come from the feed itself
-        # (images='both'), so the only files read are the interval's
-        # removed ∪ added set — never a prior base snapshot.
-        changes = base.diff(since, latest, images="both")
+        segments = self._segments(base, since, latest)
+        new_meta = {
+            "cursor": latest,
+            "group_col": group_col,
+            "sum_col": sum_col,
+            "minmax": minmax,
+        }
+        v = self.table.latest_version()
+        if not segments:
+            # pure compaction/reclustering interval: the base's rows are
+            # untouched, so the view content cannot change — advance the
+            # cursor with an adds=[], removes=[] commit (live set carried)
+            _commit(
+                self.table.root, v + 1, [], [], group_col,
+                op="ivm_refresh", meta=new_meta,
+            )
+            return v + 1
+
+        cur_cols = [F.col(group_col), F.col("n_rows"), F.col("_dsum")]
+        if minmax:
+            cur_cols += [F.col("_min"), F.col("_max")]
+        cur = self.table.snapshot().select(*cur_cols)
+        for i, (a, b) in enumerate(segments):
+            cur = self._apply_delta(cur, base, a, b, group_col, sum_col, minmax)
+            if i < len(segments) - 1:
+                # the view is group-cardinality-sized; checkpointing it
+                # between segments bounds lineage without real I/O cost
+                cur = cur.localCheckpoint(eager=True)
+
+        removes = [e["path"] for e in self.table._live_entries(v)]
+        adds = _write_data_files(cur, self.table.root, group_col)
+        _commit(
+            self.table.root, v + 1, adds, removes, group_col,
+            op="ivm_refresh", meta=new_meta,
+        )
+        return v + 1
+
+    @staticmethod
+    def _segments(base: VersionedTable, since: int, latest: int):
+        """Split (since, latest] into maximal data-changing ranges whose
+        endpoint diffs never cross a row-preserving commit. One op probe
+        per interval version (COMMIT_READS-counted tiny JSONs)."""
+        segs: list[tuple[int, int]] = []
+        start = since
+        for v in [x for x in base.versions() if since < x <= latest]:
+            if base.commit_op(v) in _ROW_PRESERVING_OPS:
+                if v - 1 > start:
+                    segs.append((start, v - 1))
+                start = v
+        if latest > start:
+            segs.append((start, latest))
+        return segs
+
+    def _apply_delta(
+        self,
+        cur: DataFrame,
+        base: VersionedTable,
+        v_from: int,
+        v_to: int,
+        group_col: str,
+        sum_col: str,
+        minmax: bool,
+    ) -> DataFrame:
+        """One segment's delta propagation: CDF-faithful feed (update OLD
+        images come from the feed itself — images='both' — so the only
+        files read are the segment's removed ∪ added set), aggregated to
+        per-group +/− partials and merged into ``cur``; min/max run the
+        extremum-loss recompute against the SEGMENT END's pinned
+        snapshot, bounded to affected groups' files."""
+        changes = base.diff(v_from, v_to, images="both")
         plus = changes.where(
             F.col("_change_type").isin("insert", "update_postimage")
         )
@@ -224,10 +307,6 @@ class IncrementalAggView:
                 ),
             )
         )
-        cur_cols = [F.col(group_col), F.col("n_rows"), F.col("_dsum")]
-        if minmax:
-            cur_cols += [F.col("_min"), F.col("_max")]
-        cur = self.table.snapshot().select(*cur_cols)
         joined = cur.alias("c").join(
             delta.alias("d"),
             F.col(f"c.{group_col}").eqNullSafe(F.col(f"d.{group_col}")),
@@ -242,120 +321,99 @@ class IncrementalAggView:
             + F.coalesce(F.col("d.d_sum"), F.lit(0).cast(_DEC))
         ).cast(_DEC)
         if not minmax:
-            merged = joined.select(
+            return joined.select(
                 gkey.alias(group_col),
                 new_rows.alias("n_rows"),
                 new_sum.alias("_dsum"),
             ).where(F.col("n_rows") > 0)
-            recompute = None
-        else:
-            # extremum-loss test: a removal can only LOWER a max / RAISE a
-            # min if the removed band touches the stored extrema (or the
-            # group is new to the view — cursor drift, recompute to be
-            # safe). Insert-only groups merge closed-form.
-            needs_recompute = (
-                F.col("d.rem_min").isNotNull()
-                & (
-                    F.col("c._min").isNull()
-                    | (F.col("d.rem_min") <= F.col("c._min"))
-                    | (F.col("d.rem_max") >= F.col("c._max"))
-                )
+        # extremum-loss test: a removal can only LOWER a max / RAISE a
+        # min if the removed band touches the stored extrema (or the
+        # group is new to the view — cursor drift, recompute to be
+        # safe). Insert-only groups merge closed-form.
+        needs_recompute = (
+            F.col("d.rem_min").isNotNull()
+            & (
+                F.col("c._min").isNull()
+                | (F.col("d.rem_min") <= F.col("c._min"))
+                | (F.col("d.rem_max") >= F.col("c._max"))
             )
-            merged_min = F.least(
-                F.coalesce(F.col("c._min"), F.col("d.ins_min")),
-                F.coalesce(F.col("d.ins_min"), F.col("c._min")),
-            )
-            merged_max = F.greatest(
-                F.coalesce(F.col("c._max"), F.col("d.ins_max")),
-                F.coalesce(F.col("d.ins_max"), F.col("c._max")),
-            )
-            staged = joined.select(
-                gkey.alias(group_col),
-                new_rows.alias("n_rows"),
-                new_sum.alias("_dsum"),
-                merged_min.alias("_min"),
-                merged_max.alias("_max"),
-                needs_recompute.alias("_recompute"),
-            ).where(F.col("n_rows") > 0)
-            staged = staged.localCheckpoint(eager=True)  # delta is view-sized
-            rgroups = staged.where("_recompute").select(group_col)
-            if rgroups.limit(1).count() > 0:
-                # file-skipped read of just the affected groups' rows:
-                # range-prune on the group column (one tiny bounds agg),
-                # exact membership by null-safe semi-join — distributed,
-                # no collect of the group set. A NULL recompute group
-                # cannot range-prune (BETWEEN drops NULLs), so its rows
-                # ride an isNull disjunct over the unpruned snapshot.
-                bounds = rgroups.agg(
-                    F.min(group_col).alias("lo"), F.max(group_col).alias("hi")
-                ).first()
-                lo, hi = bounds["lo"], bounds["hi"]
-                has_null_grp = (
-                    rgroups.where(F.col(group_col).isNull()).limit(1).count() > 0
-                )
-                if lo is not None and not has_null_grp:
-                    # pinned to the cursor's target version: a concurrent
-                    # writer advancing the base mid-refresh must not leak
-                    # post-`latest` rows into the recomputed extrema
-                    # (round-7 advice)
-                    based = base.read_where({group_col: (lo, hi)}, version=latest)
-                elif lo is not None:
-                    based = base.snapshot(latest).where(
-                        F.col(group_col).isNull()
-                        | F.col(group_col).between(lo, hi)
-                    )
-                else:  # all recompute groups are NULL
-                    based = base.snapshot(latest).where(F.col(group_col).isNull())
-                rg = rgroups.withColumnRenamed(group_col, "_rg")
-                affected = based.join(
-                    rg, F.col(group_col).eqNullSafe(F.col("_rg")), "left_semi"
-                )
-                rec = affected.groupBy(group_col).agg(
-                    F.min(val).alias("_rmin"), F.max(val).alias("_rmax")
-                )
-                staged = (
-                    staged.alias("s")
-                    .join(
-                        rec.alias("x"),
-                        F.col(f"s.{group_col}").eqNullSafe(
-                            F.col(f"x.{group_col}")
-                        ),
-                        "left_outer",
-                    )
-                    .select(
-                        F.col(f"s.{group_col}").alias(group_col),
-                        "n_rows",
-                        "_dsum",
-                        F.when(F.col("_recompute"), F.col("_rmin"))
-                        .otherwise(F.col("_min"))
-                        .alias("_min"),
-                        F.when(F.col("_recompute"), F.col("_rmax"))
-                        .otherwise(F.col("_max"))
-                        .alias("_max"),
-                    )
-                )
-            else:
-                staged = staged.drop("_recompute")
-            merged = staged.select(group_col, "n_rows", "_dsum", "_min", "_max")
-
-        v = self.table.latest_version()
-        removes = [e["path"] for e in self.table._live_entries(v)]
-        adds = _write_data_files(merged, self.table.root, group_col)
-        _commit(
-            self.table.root,
-            v + 1,
-            adds,
-            removes,
-            group_col,
-            op="ivm_refresh",
-            meta={
-                "cursor": latest,
-                "group_col": group_col,
-                "sum_col": sum_col,
-                "minmax": minmax,
-            },
         )
-        return v + 1
+        merged_min = F.least(
+            F.coalesce(F.col("c._min"), F.col("d.ins_min")),
+            F.coalesce(F.col("d.ins_min"), F.col("c._min")),
+        )
+        merged_max = F.greatest(
+            F.coalesce(F.col("c._max"), F.col("d.ins_max")),
+            F.coalesce(F.col("d.ins_max"), F.col("c._max")),
+        )
+        staged = joined.select(
+            gkey.alias(group_col),
+            new_rows.alias("n_rows"),
+            new_sum.alias("_dsum"),
+            merged_min.alias("_min"),
+            merged_max.alias("_max"),
+            needs_recompute.alias("_recompute"),
+        ).where(F.col("n_rows") > 0)
+        staged = staged.localCheckpoint(eager=True)  # delta is view-sized
+        rgroups = staged.where("_recompute").select(group_col)
+        if rgroups.limit(1).count() > 0:
+            # file-skipped read of just the affected groups' rows:
+            # range-prune on the group column (one tiny bounds agg),
+            # exact membership by null-safe semi-join — distributed,
+            # no collect of the group set. A NULL recompute group
+            # cannot range-prune (BETWEEN drops NULLs), so its rows
+            # ride an isNull disjunct over the unpruned snapshot.
+            bounds = rgroups.agg(
+                F.min(group_col).alias("lo"), F.max(group_col).alias("hi")
+            ).first()
+            lo, hi = bounds["lo"], bounds["hi"]
+            has_null_grp = (
+                rgroups.where(F.col(group_col).isNull()).limit(1).count() > 0
+            )
+            if lo is not None and not has_null_grp:
+                # pinned to the segment's end version: a concurrent
+                # writer advancing the base mid-refresh must not leak
+                # later rows into the recomputed extrema (round-7 advice)
+                based = base.read_where({group_col: (lo, hi)}, version=v_to)
+            elif lo is not None:
+                based = base.snapshot(v_to).where(
+                    F.col(group_col).isNull()
+                    | F.col(group_col).between(lo, hi)
+                )
+            else:  # all recompute groups are NULL
+                based = base.snapshot(v_to).where(F.col(group_col).isNull())
+            val = F.col(sum_col).cast(_DEC)
+            rg = rgroups.withColumnRenamed(group_col, "_rg")
+            affected = based.join(
+                rg, F.col(group_col).eqNullSafe(F.col("_rg")), "left_semi"
+            )
+            rec = affected.groupBy(group_col).agg(
+                F.min(val).alias("_rmin"), F.max(val).alias("_rmax")
+            )
+            staged = (
+                staged.alias("s")
+                .join(
+                    rec.alias("x"),
+                    F.col(f"s.{group_col}").eqNullSafe(
+                        F.col(f"x.{group_col}")
+                    ),
+                    "left_outer",
+                )
+                .select(
+                    F.col(f"s.{group_col}").alias(group_col),
+                    "n_rows",
+                    "_dsum",
+                    F.when(F.col("_recompute"), F.col("_rmin"))
+                    .otherwise(F.col("_min"))
+                    .alias("_min"),
+                    F.when(F.col("_recompute"), F.col("_rmax"))
+                    .otherwise(F.col("_max"))
+                    .alias("_max"),
+                )
+            )
+        else:
+            staged = staged.drop("_recompute")
+        return staged.select(group_col, "n_rows", "_dsum", "_min", "_max")
 
     # ------------------------------------------------------------ read
 

@@ -596,6 +596,17 @@ class VersionedTable:
         :meth:`version_at`, read with :meth:`snapshot`."""
         return self.snapshot(self.version_at(timestamp))
 
+    def commit_op(self, version: int) -> str | None:
+        """The operation string recorded by ``version``'s commit — one
+        tiny JSON read (COMMIT_READS-counted). Lets incremental consumers
+        recognize ROW-PRESERVING commits (compact, optimize_zorder:
+        Delta's dataChange=false class) and skip their file churn
+        entirely instead of reading rewritten bytes to classify them
+        carried."""
+        global COMMIT_READS
+        COMMIT_READS += 1
+        return json.loads(_log_path(self.root, version).read_text()).get("op")
+
     def commit_meta(self, version: int | None = None) -> dict | None:
         """The ``meta`` dict recorded by the commit that created
         ``version`` (default: latest) — one tiny JSON read (counted in

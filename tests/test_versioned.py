@@ -1737,3 +1737,81 @@ def test_legacy_empty_snapshot_reads_bounded_commits(spark, tmp_path):
     assert snap.count() == 0
     assert set(snap.columns) == {"k", "name"}
     assert reads <= 6, f"legacy empty read walked {reads} commits"
+
+
+def test_ivm_refresh_skips_row_preserving_commits(spark, tmp_path):
+    """Round 8: a refresh interval crossing a COMPACTION must not read the
+    packed/pre-compact files (Delta's dataChange=false semantics) — the
+    interval splits into data-changing segments and the compact version
+    is skipped. A PURE-compaction interval advances the cursor with a
+    metadata-only commit: zero data-file reads, zero view rewrite. View
+    content stays exactly the from-scratch aggregate throughout."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    base_df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(40)], "k long, g long, v double"
+    ).repartitionByRange(4, "k")
+    base = VersionedTable.create(spark, tmp_path / "base", base_df, key_col="k")
+    for i in range(8):  # many small files so the compact packs a lot
+        base.append(
+            spark.createDataFrame(
+                [(100 + i, (100 + i) % 3, float(i))], "k long, g long, v double"
+            ).coalesce(1)
+        )
+    view = IncrementalAggView.create(spark, tmp_path / "view", base, "g", "v")
+
+    def check():
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in base.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: (r["n_rows"], r["sum_value"]) for r in view.snapshot().collect()
+        }
+        assert got == want
+
+    # interval = merge, COMPACT, merge: the compact packs ~12 files into
+    # one; the old endpoint diff would read all of them (added ∪ removed)
+    base.merge(spark.createDataFrame([(5, 1, 500.0)], "k long, g long, v double"))
+    v_m1 = base.latest_version()
+    n_live_before_compact = len(base._live_entries())
+    base.compact()
+    assert base.commit_op(base.latest_version()) == "compact"
+    base.merge(spark.createDataFrame([(6, 0, -600.0)], "k long, g long, v double"))
+    v_m2 = base.latest_version()
+    # changed files of the two data segments (what refresh MAY read)
+    seg_files = 0
+    for a, b in ((view.cursor(), v_m1), (v_m1 + 1, v_m2)):
+        la = {e["path"] for e in base._live_entries(a)}
+        lb = {e["path"] for e in base._live_entries(b)}
+        seg_files += len(la ^ lb)
+    n_view_live = len(view.table._live_entries())
+    before = V.DATA_FILES_READ
+    view.refresh(base)
+    delta = V.DATA_FILES_READ - before
+    assert delta <= seg_files + n_view_live, (
+        f"refresh read {delta} files; segments={seg_files} view={n_view_live}"
+    )
+    # the compact churned ~all live files; the refresh must stay below it
+    assert delta < n_live_before_compact
+    check()
+
+    # pure-compaction interval: append nothing, just recluster
+    base.optimize_zorder(("k",), file_count=2)
+    cur_view_version = view.table.latest_version()
+    live_files = [e["path"] for e in view.table._live_entries()]
+    before = V.DATA_FILES_READ
+    view.refresh(base)
+    assert V.DATA_FILES_READ - before == 0, "pure-compact refresh read data"
+    assert view.cursor() == base.latest_version()
+    assert view.table.latest_version() == cur_view_version + 1
+    # metadata-only commit: the view's live files are carried, not rewritten
+    assert [e["path"] for e in view.table._live_entries()] == live_files
+    check()
