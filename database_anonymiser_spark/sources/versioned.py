@@ -158,19 +158,27 @@ def _replay_cache_invalidate(root: Path) -> None:
 
 
 def _commit_sig(root: Path, version: int):
-    """(mtime_ns, size) of the commit JSON — the memo's validity witness.
-    Committed versions are immutable in the normal protocol, but two real
-    events rewrite history at the same path: (a) a table deleted and
-    re-CREATEd at the same root within one process, and (b) another
-    process running erase's ``_scrub_log_stats`` over shared storage. A
-    one-stat() check per cache hit catches both for the probed version
-    (recreate changes commit 0's identity; scrub rewrites the file
-    in-place) without re-parsing any JSON."""
+    """Validity witness for a memoized replay state: (mtime_ns, size) of
+    the commit JSON at the probed version PLUS the scrub marker's
+    mtime_ns. Committed versions are immutable in the normal protocol,
+    but two real events rewrite history at the same path: (a) a table
+    deleted and re-CREATEd at the same root within one process — caught
+    by the commit file's own stat (new identity); (b) erase's
+    ``_scrub_log_stats``, possibly in ANOTHER process, which rewrites
+    stats in commits OLDER than the probed version — invisible to the
+    probed file's stat, so every scrub also touches ``_log/_scrubbed``
+    and the marker's mtime rides in the signature: any scrub anywhere in
+    the log invalidates every cached state of the root. Two stat()s per
+    cache hit, no JSON parsing."""
     try:
         st = os.stat(_log_path(root, version))
-        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
+    try:
+        marker = os.stat(root / _LOG_DIR / "_scrubbed").st_mtime_ns
+    except OSError:
+        marker = None
+    return (st.st_mtime_ns, st.st_size, marker)
 
 
 def _replay(root: Path, upto: int):
@@ -1197,10 +1205,37 @@ class VersionedTable:
             *[F.col(f"_e._r.{c}").alias(c) for c in cols],
         )
 
-    def changes(self, since_version: int) -> DataFrame:
-        """Convenience: :meth:`diff` from ``since_version`` to latest — the
-        incremental-consumption feed a downstream pipeline tails."""
-        return self.diff(since_version, None)
+    def changes(self, since_version: int, images: str = "new") -> DataFrame:
+        """The incremental-consumption feed a downstream pipeline tails:
+        :meth:`diff` from ``since_version`` to latest, with ROW-PRESERVING
+        commits (compact, optimize_zorder — Delta's dataChange=false
+        class) SKIPPED rather than diffed (round 8, same reasoning as
+        IVM's segment split): an endpoint diff crossing a compaction
+        reads the packed files and every pre-compact file only to
+        classify their rows carried — O(live bytes) a tailing consumer
+        must never pay. The interval is split at such commits; each
+        data-changing segment's endpoint diff is unioned. A row changed
+        in two different segments yields one change row PER SEGMENT
+        (per-epoch granularity — what Delta CDF's per-commit feed gives),
+        whereas :meth:`diff` alone collapses across the whole range;
+        consumers applying deltas additively are insensitive to the
+        difference, and it only arises when the range spans a compaction."""
+        latest = self.latest_version()
+        segs: list[tuple[int, int]] = []
+        start = since_version
+        for v in [x for x in self.versions() if since_version < x <= latest]:
+            if self.commit_op(v) in ("compact", "optimize_zorder"):
+                if v - 1 > start:
+                    segs.append((start, v - 1))
+                start = v
+        if latest > start:
+            segs.append((start, latest))
+        if not segs:
+            return self.diff(latest, latest, images=images)  # empty, right schema
+        out = self.diff(*segs[0], images=images)
+        for a, b in segs[1:]:
+            out = out.unionByName(self.diff(a, b, images=images))
+        return out
 
     def optimize_zorder(self, cols: tuple[str, ...], file_count: int = 8) -> int:
         """Rewrite the live data clustered by the Z-ORDER (bit-interleaved)
@@ -1471,7 +1506,10 @@ class VersionedTable:
             if c < upto:
                 _checkpoint_path(self.root, c).unlink(missing_ok=True)
         # the scrub is the one operation that rewrites committed JSONs —
-        # drop this root's memoized replay states
+        # drop this root's memoized replay states — in THIS process via
+        # the cache, and in every OTHER process via the scrub marker,
+        # whose mtime is part of each cached entry's validity signature
+        (self.root / _LOG_DIR / "_scrubbed").write_text(uuid.uuid4().hex)
         _replay_cache_invalidate(self.root)
 
     # ---------------------------------------------------------- hygiene

@@ -1581,6 +1581,27 @@ def test_recreate_at_same_root_invalidates_replay_memo(spark, tmp_path):
     p.write_text(json.dumps(rec))
     assert VersionedTable(spark, root).snapshot(0).count() == 0
 
+    # scrub OLDER than the probed version (the stat of the probed commit
+    # alone cannot see it): the scrub MARKER in the signature must
+    # invalidate every cached state of the root
+    t3 = VersionedTable.create(
+        spark, tmp_path / "t3",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+        key_col="k",
+    )
+    t3.append(spark.createDataFrame([(3, "c")], "k long, name string"))
+    assert t3.snapshot(1).count() == 3  # memoized at version 1
+    p0 = V._log_path(t3.root, 0)  # rewrite version 0, NOT the probed 1
+    rec0 = json.loads(p0.read_text())
+    rec0["adds"] = rec0["adds"][:0]
+    p0.write_text(json.dumps(rec0))
+    # another process's scrub touches the marker; this process's cache
+    # must notice without any in-process invalidation call
+    import uuid as _uuid
+
+    (t3.root / "_log" / "_scrubbed").write_text(_uuid.uuid4().hex)
+    assert VersionedTable(spark, t3.root).snapshot(1).count() == 1
+
 
 def test_version_at_legacy_and_skewed_timestamps(spark, table):
     """Round-7 advice (low): commits missing ``ts`` (legacy writers) or
@@ -1815,3 +1836,50 @@ def test_ivm_refresh_skips_row_preserving_commits(spark, tmp_path):
     # metadata-only commit: the view's live files are carried, not rewritten
     assert [e["path"] for e in view.table._live_entries()] == live_files
     check()
+
+
+def test_changes_skips_compaction_and_stays_additive(spark, tmp_path):
+    """Round 8: the tailing change feed (changes) must not read compacted
+    file churn — a compact between two merges contributes ZERO rows and
+    ZERO data-file reads beyond the data segments, and the unioned
+    per-segment feed applied additively equals the endpoint state."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).repartitionByRange(4, "k")
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    for i in range(6):  # pile up small files for the compact to pack
+        t.append(spark.createDataFrame([(100 + i, 1.0)], "k long, v double"))
+    v0 = t.latest_version()
+    t.merge(spark.createDataFrame([(5, 500.0)], "k long, v double"))
+    n_live = len(t._live_entries())
+    t.compact()
+    t.merge(spark.createDataFrame([(6, -600.0), (200, 7.0)], "k long, v double"))
+
+    before = V.DATA_FILES_READ
+    feed = t.changes(v0).collect()
+    reads = V.DATA_FILES_READ - before
+    # witness the saving against the endpoint diff, which crosses the
+    # compact and must read its churn (pre-compact files + the pack)
+    before = V.DATA_FILES_READ
+    t.diff(v0).collect()
+    reads_endpoint = V.DATA_FILES_READ - before
+    assert reads < reads_endpoint, (
+        f"changes() read {reads}, endpoint diff {reads_endpoint} — "
+        "segmentation saved nothing"
+    )
+    assert reads_endpoint > n_live  # the endpoint diff really pays the churn
+    got = {(r["_change_type"], r["k"]) for r in feed}
+    assert got == {("update", 5), ("update", 6), ("insert", 200)}
+    # additive application reproduces the endpoint sum
+    end = t.snapshot().agg(F.sum(F.col("v").cast("decimal(18,2)"))).first()[0]
+    start = t.snapshot(v0).agg(F.sum(F.col("v").cast("decimal(18,2)"))).first()[0]
+    both = t.changes(v0, images="both")
+    plus = both.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).agg(F.sum(F.col("v").cast("decimal(18,2)"))).first()[0] or 0
+    minus = both.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).agg(F.sum(F.col("v").cast("decimal(18,2)"))).first()[0] or 0
+    assert start + plus - minus == end
