@@ -1353,18 +1353,27 @@ def ivf_int8_topk(
 
 def _exact_rerank(shortlist, df, id_col, vec_col, qvec, query_id, k: int):
     """Second retrieval stage shared by the quantized top-k paths: take an
-    over-fetched compressed-domain shortlist (ids only), broadcast it back
-    onto the ORIGINAL vectors, and re-score with the exact-decimal cosine
-    (the standard ADC-shortlist → exact-refine two-stage design — Jégou et
-    al. TPAMI 2011 §V; every production PQ system's shape). The shortlist
-    is refine_k rows, so the join broadcasts the tiny side and the corpus
-    is touched only by the semi-join probe; cost is one bounded re-scan of
-    refine_k full vectors, for the recall the lossy stage alone cannot
-    reach (round-7 verdict #1: ADC-only recall@10 was 0.167)."""
+    over-fetched compressed-domain shortlist (ids only) back onto the
+    ORIGINAL vectors and re-score with the exact-decimal cosine (the
+    standard ADC-shortlist → exact-refine two-stage design — Jégou et al.
+    TPAMI 2011 §V; every production PQ system's shape), for the recall the
+    lossy stage alone cannot reach (round-7 verdict #1: ADC-only
+    recall@10 was 0.167).
+
+    The shortlist ids are COLLECTED (refine_k rows — the same bounded
+    model-sized collect class as the query vector itself) and probed as
+    an ``isin`` literal: unlike a semi-join, an In predicate PUSHES INTO
+    the parquet scan (row-group min/max pruning), so at 100 TB the
+    re-rank touches only the stripes holding the refine_k vectors instead
+    of streaming the corpus through a join probe."""
+    ids = [r[0] for r in shortlist.select(id_col).collect()]
+    if not ids:
+        return df.limit(0).select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        )
     qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<float>")
-    cand = df.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
     return (
-        cand.where(F.col(id_col) != query_id)
+        df.where(F.col(id_col).isin(ids) & (F.col(id_col) != query_id))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine"),
