@@ -63,13 +63,28 @@ def scd2_apply(
     key_col: str,
     tracked_cols: tuple[str, ...],
     ts: str,
+    on_late: str = "error",
 ) -> int:
     """Apply one source extract at business time ``ts``; returns the new
     table version (or the current one when nothing changed — no empty
     commit). ``tracked_cols`` are the attributes whose change opens a new
     row; untracked attribute drift does NOT create history (Kimball Type
     1 handling for those would be a separate update — deliberately not
-    conflated here)."""
+    conflated here).
+
+    LATE-ARRIVING extracts (round 8): a changed key whose CURRENT row
+    already opened at ``_valid_from >= ts`` cannot be closed at ``ts``
+    without writing a negative validity interval — silent history
+    corruption (``scd2_as_of`` would drop the key for part of the
+    timeline). ``on_late='error'`` (default) raises loudly — batch
+    extract sequences are expected monotone; ``on_late='skip'`` drops
+    exactly the late images (latest-wins, the streaming sink's choice:
+    an out-of-order replayed batch must not rewrite newer history) and
+    applies the rest. True Kimball late-arriving-dimension SPLICING
+    (inserting an interval mid-history and re-pointing facts) is a
+    different, offline operation — deliberately not conflated here."""
+    if on_late not in ("error", "skip"):
+        raise ValueError("on_late must be 'error' or 'skip'")
     cur = dim.snapshot().where(F.col("_is_current"))
     attr_cols = [c for c in source.columns if c != key_col]
     src = source.alias("s")
@@ -81,8 +96,21 @@ def scd2_apply(
     # cache the change join so the emptiness probe and the MERGE evaluate
     # it ONCE (round-6 verdict nit: the probe used to recompute the join);
     # the delta is extract-sized, the same data MERGE materializes anyway
-    delta = joined.where(changed_pred).cache()
+    is_late = F.col("c._valid_from").isNotNull() & (
+        F.col("c._valid_from") >= F.lit(ts)
+    )
+    cached = joined.where(changed_pred).cache()
+    delta = cached
     try:
+        if on_late == "error":
+            if delta.where(is_late).limit(1).count() > 0:
+                raise ValueError(
+                    f"late-arriving extract: ts {ts!r} is not after every "
+                    "changed key's current _valid_from; pass on_late='skip' "
+                    "to drop late images (latest-wins)"
+                )
+        else:
+            delta = delta.where(~is_late)
         if delta.limit(1).count() == 0:
             return dim.latest_version()
 
@@ -101,7 +129,7 @@ def scd2_apply(
         dim.merge(opens.unionByName(closes), when_matched="update")
         return dim.latest_version()
     finally:
-        delta.unpersist()
+        cached.unpersist()
 
 
 def scd2_current(dim: VersionedTable) -> DataFrame:

@@ -564,7 +564,11 @@ def run_stream_to_scd2(
         if not t.versions():
             scd2_init(s, dim_root, batch, key_col, ts)
             return
-        scd2_apply(t, batch, key_col, tracked_cols, ts)
+        # latest-wins under event-time disorder: a batch whose images are
+        # OLDER than a key's current _valid_from must not rewrite newer
+        # history — those images are dropped, the rest apply (the batch
+        # analogue would raise; a streaming sink must not kill the query)
+        scd2_apply(t, batch, key_col, tracked_cols, ts, on_late="skip")
 
     return run_foreach_batch(df, sink, checkpoint)
 

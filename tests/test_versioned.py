@@ -1883,3 +1883,49 @@ def test_changes_skips_compaction_and_stays_additive(spark, tmp_path):
         F.col("_change_type").isin("delete", "update_preimage")
     ).agg(F.sum(F.col("v").cast("decimal(18,2)"))).first()[0] or 0
     assert start + plus - minus == end
+
+
+def test_scd2_late_extract_raises_or_skips(spark, tmp_path):
+    """Round 8: an extract whose business time is NOT after a changed
+    key's current _valid_from would write a negative validity interval.
+    Default raises loudly; on_late='skip' drops exactly the late images
+    (latest-wins) and applies the rest, leaving history consistent."""
+    from database_anonymiser_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    schema = "id long, tier string"
+    dim = scd2_init(
+        spark, tmp_path / "dim",
+        spark.createDataFrame([(1, "basic"), (2, "gold")], schema),
+        "id", "2024-03-01",
+    )
+    t = VersionedTable(spark, tmp_path / "dim")
+
+    # late: ts BEFORE the current rows opened
+    late = spark.createDataFrame([(1, "silver")], schema)
+    with pytest.raises(ValueError, match="late-arriving"):
+        scd2_apply(t, late, "id", ("tier",), "2024-02-01")
+
+    # skip: the late image for id 1 is dropped; the new key 3 still opens
+    mixed = spark.createDataFrame([(1, "silver"), (3, "basic")], schema)
+    scd2_apply(t, mixed, "id", ("tier",), "2024-02-01", on_late="skip")
+    cur = {r["id"]: r["tier"] for r in
+           t.snapshot().where("_is_current").collect()}
+    assert cur == {1: "basic", 2: "gold", 3: "basic"}
+    # no negative intervals anywhere
+    bad = t.snapshot().where(
+        F.col("_valid_to").isNotNull()
+        & (F.col("_valid_to") < F.col("_valid_from"))
+    ).count()
+    assert bad == 0
+    # a normal later extract still applies on top
+    scd2_apply(
+        t, spark.createDataFrame([(1, "silver")], schema),
+        "id", ("tier",), "2024-04-01",
+    )
+    assert {r["id"]: r["tier"] for r in scd2_as_of(t, "2024-03-15").collect()}[1] == "basic"
+    assert {r["id"]: r["tier"] for r in
+            t.snapshot().where("_is_current").collect()}[1] == "silver"
