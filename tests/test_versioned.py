@@ -1929,3 +1929,89 @@ def test_scd2_late_extract_raises_or_skips(spark, tmp_path):
     assert {r["id"]: r["tier"] for r in scd2_as_of(t, "2024-03-15").collect()}[1] == "basic"
     assert {r["id"]: r["tier"] for r in
             t.snapshot().where("_is_current").collect()}[1] == "silver"
+
+
+def test_ivm_randomized_ops_with_compaction(spark, tmp_path):
+    """Round 8 stress: a seeded random interleaving of appends, merges
+    (value AND group moves), banded deletes, compactions and Z-ORDER
+    rewrites, with view refreshes at random points — after every refresh
+    the min/max view must equal the from-scratch aggregate of a plain
+    Python twin. Exercises multi-segment refresh intervals (data commits
+    split around row-preserving ones) including per-segment extremum
+    recomputes."""
+    import random
+
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    rng = random.Random(8)
+    schema = "k long, g long, v double"
+    twin: dict[int, tuple[int, float]] = {
+        k: (k % 4, float(k)) for k in range(30)
+    }
+    base = VersionedTable.create(
+        spark, tmp_path / "base",
+        spark.createDataFrame([(k, g, v) for k, (g, v) in twin.items()], schema)
+        .repartitionByRange(3, "k"),
+        key_col="k",
+    )
+    view = IncrementalAggView.create(
+        spark, tmp_path / "view", base, "g", "v", minmax=True
+    )
+    next_key = 100
+
+    def check():
+        agg: dict[int, list] = {}
+        for g, v in twin.values():
+            a = agg.setdefault(g, [0, 0.0, float("inf"), float("-inf")])
+            a[0] += 1
+            a[1] += v
+            a[2] = min(a[2], v)
+            a[3] = max(a[3], v)
+        got = {
+            r["g"]: (
+                r["n_rows"], round(r["sum_value"], 2),
+                r["min_value"], r["max_value"],
+            )
+            for r in view.snapshot().collect()
+        }
+        want = {
+            g: (a[0], round(a[1], 2), a[2], a[3]) for g, a in agg.items()
+        }
+        assert got == want
+
+    for step in range(16):
+        op = rng.choice(["append", "merge", "delete", "compact", "zorder"])
+        if op == "append":
+            rows = [
+                (next_key + i, rng.randrange(4), float(rng.randrange(-500, 500)))
+                for i in range(rng.randrange(1, 4))
+            ]
+            next_key += 10
+            base.append(spark.createDataFrame(rows, schema))
+            for k, g, v in rows:
+                twin[k] = (g, v)
+        elif op == "merge" and twin:
+            ks = rng.sample(sorted(twin), min(len(twin), rng.randrange(1, 4)))
+            rows = [
+                (k, rng.randrange(4), float(rng.randrange(-500, 500))) for k in ks
+            ]
+            base.merge(spark.createDataFrame(rows, schema))
+            for k, g, v in rows:
+                twin[k] = (g, v)
+        elif op == "delete" and twin:
+            lo = rng.randrange(0, next_key)
+            hi = lo + rng.randrange(1, 30)
+            base.delete_where(
+                F.col("k").between(lo, hi), prune={"k": (lo, hi)}
+            )
+            for k in [k for k in twin if lo <= k <= hi]:
+                del twin[k]
+        elif op == "compact":
+            base.compact()
+        elif op == "zorder":
+            base.optimize_zorder(("k",), file_count=2)
+        if rng.random() < 0.4:
+            view.refresh(base)
+            check()
+    view.refresh(base)
+    check()
