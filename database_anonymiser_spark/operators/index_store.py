@@ -75,18 +75,28 @@ class VersionedAnnIndex:
         n_centroids: int = 16,
         n_iter: int = 5,
         n_files: int = 4,
+        meta_cols: tuple[str, ...] = (),
     ) -> int:
         """Train the codebook on ``corpus``, encode it, and commit ONE new
         version whose live set is the fresh index (previous build's files
         removed by reference — still time-travelable until a retention
         vacuum). The index is written range-partitioned by ``_cid`` so the
         per-file stats recorded in the commit make probes file-skippable.
-        Returns the committed version (0 for the first build)."""
+        Returns the committed version (0 for the first build).
+
+        ``meta_cols`` (round 8) enables metadata-FILTERED vector search:
+        the listed corpus attributes ride in the index rows, the files
+        are clustered by (meta, _cid) — filter column FIRST, so an
+        equality filter maps to a contiguous band of files — and their
+        per-file [min, max] stats are recorded alongside _cid's. A
+        ``query(where={col: value})`` then file-prunes to the label's band
+        before scoring (see :meth:`query`)."""
         centroids = train_ivf_codebook(corpus, id_col, vec_col, n_centroids, n_iter)
+        cluster = [*(F.col(c) for c in meta_cols), F.col("_cid")]
         index_df = (
-            ivf_int8_index(corpus, id_col, vec_col, centroids)
-            .repartitionByRange(n_files, F.col("_cid"))
-            .sortWithinPartitions("_cid")
+            ivf_int8_index(corpus, id_col, vec_col, centroids, meta_cols=meta_cols)
+            .repartitionByRange(n_files, *cluster)
+            .sortWithinPartitions(*cluster)
         )
         vs = self.table.versions()
         version = (vs[-1] + 1) if vs else 0
@@ -94,20 +104,24 @@ class VersionedAnnIndex:
             [e["path"] for e in self.table._live_entries(vs[-1])] if vs else []
         )
         # key on the VECTOR id (the merge key for incremental upserts);
-        # the list id rides as a per-file STATS column for probe pruning
-        adds = _write_data_files(index_df, self.root, id_col, stats_cols=("_cid",))
+        # the list id (+ any filter columns) ride as per-file STATS
+        # columns for probe/filter pruning
+        stats_cols = ("_cid", *meta_cols)
+        adds = _write_data_files(index_df, self.root, id_col, stats_cols=stats_cols)
         meta = {
             "kind": "ivf_int8",
             "id_col": id_col,
             "centroids": [[cid, [float(x) for x in cv]] for cid, cv in centroids],
+            **({"meta_cols": list(meta_cols)} if meta_cols else {}),
         }
-        # declare _cid as the table's stats property (round 7): upsert
-        # MERGEs then record per-file _cid [min,max] too, so probe
+        # declare the stats property (round 7): upsert MERGEs then record
+        # per-file [min,max] for these columns too, so probe/filter
         # pruning SURVIVES incremental maintenance instead of degrading
         # to must-scan until the next rebuild
         _commit(
             self.root, version, adds, removes, id_col, op="index_rebuild",
-            meta=meta, stats_cols=("_cid",),
+            meta=meta, stats_cols=stats_cols,
+            schema=index_df.schema.jsonValue(),
         )
         return version
 
@@ -144,7 +158,8 @@ class VersionedAnnIndex:
         adds = _write_data_files(index_df, self.root, id_col)
         meta = {"kind": "pq", "id_col": id_col, "books": books}
         _commit(
-            self.root, version, adds, removes, id_col, op="index_rebuild", meta=meta
+            self.root, version, adds, removes, id_col, op="index_rebuild",
+            meta=meta, schema=index_df.schema.jsonValue(),
         )
         return version
 
@@ -202,6 +217,7 @@ class VersionedAnnIndex:
         n_probe: int = 6,
         version: int | None = None,
         refine_k: "int | None | str" = "auto",
+        where: dict | None = None,
     ) -> DataFrame:
         """Top-k against the stored index AS OF ``version`` (default:
         latest), dispatching on the version's recorded ``kind``. For
@@ -215,6 +231,11 @@ class VersionedAnnIndex:
         exact re-rank — see similarity.pq_topk) so a stored index serves
         the same recall the bench's ann_recall records."""
         meta = self._index_meta(version)
+        if where:
+            return self._filtered_topk(
+                meta, corpus, id_col, vec_col, query_id, k, version,
+                refine_k, where,
+            )
         if meta["kind"] == "pq":
             books = [[[int(x) for x in cw] for cw in sub] for sub in meta["books"]]
             return pq_topk(
@@ -258,6 +279,60 @@ class VersionedAnnIndex:
         )
         return ivf_int8_topk(
             index, corpus, id_col, vec_col, query_id, centroids, k, n_probe,
+            refine_k=None if refine_k == "auto" else refine_k,
+        )
+
+    def _filtered_topk(
+        self, meta, corpus, id_col, vec_col, query_id, k, version,
+        refine_k, where,
+    ) -> DataFrame:
+        """Metadata-FILTERED vector search over the stored index (round
+        8) — the hybrid predicate + top-k lookup a real vector store
+        serves, done the way the suite's 'filtered' branch documents as
+        the honest 100 TB design: the index is CLUSTERED by the filter
+        column (rebuild's meta_cols), so an equality filter maps to a
+        contiguous band of files pruned by per-file [min, max] stats;
+        within the band EVERY list is scored (no probe restriction — a
+        selective filter would under-fill k from probed lists, the
+        classic filtered-ANN failure), in the 4×-compressed int8 domain,
+        with the standard exact re-rank on top. Cost: O(label band
+        bytes / 4) + refine_k full vectors — at 100 TB the band is the
+        small side by construction."""
+        if meta["kind"] != "ivf_int8":
+            raise ValueError("filtered search requires an ivf_int8 index")
+        allowed = set(meta.get("meta_cols") or ())
+        unknown = set(where) - allowed
+        if unknown:
+            raise ValueError(
+                f"index at {self.root} was not built with meta_cols for "
+                f"{sorted(unknown)}; rebuild(meta_cols=...) first"
+            )
+        centroids = self.centroids(version)
+        entries = []
+        for e in self.table._live_entries(version):
+            keep = True
+            for c, vv in where.items():
+                st = (e.get("stats") or {}).get(c, [None, None])
+                if st[0] is not None and st[1] is not None and not (
+                    st[0] <= vv <= st[1]
+                ):
+                    keep = False
+                    break
+            if keep:
+                entries.append(e)
+        if not entries:
+            return self.table.snapshot(version).limit(0).select(
+                F.col(id_col), F.lit(0.0).alias("cosine")
+            )
+        # no align_to: the rebuild commit logs the index schema, and
+        # constructing a snapshot frame just for alignment would count
+        # (and at scale, list) the whole live set
+        index = self.table._read_paths([e["path"] for e in entries])
+        for c, vv in where.items():
+            index = index.where(F.col(c) == vv)
+        return ivf_int8_topk(
+            index, corpus, id_col, vec_col, query_id, centroids, k,
+            n_probe=len(centroids),  # score the whole filtered band
             refine_k=None if refine_k == "auto" else refine_k,
         )
 

@@ -1206,6 +1206,7 @@ def ivf_int8_index(
     id_col: str,
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build the IVF-SQ index frame: (id, _cid, q_vec, q_amax_micro) — the
     FAISS IVF+scalar-quantizer composition. ONE Arrow pass per batch does
@@ -1217,7 +1218,13 @@ def ivf_int8_index(
     the stored index is ~4× smaller than the float32 corpus, which at
     100 TB is the difference between re-scanning 100 TB and 25 TB per
     probe-miss workload. Persist it once (parquet/bucketed by _cid) and
-    every query touches only its probed lists' bytes."""
+    every query touches only its probed lists' bytes.
+
+    ``meta_cols`` (round 8) carries filter attributes (e.g. a label)
+    INTO the index rows so a stored index can serve metadata-FILTERED
+    vector search: cluster the persisted files by the meta column and
+    its per-file stats prune at the file level (see
+    VersionedAnnIndex.rebuild/topk)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1231,6 +1238,7 @@ def ivf_int8_index(
             T.StructField("q_vec", T.ArrayType(T.ByteType())),
             T.StructField("q_amax_micro", T.LongType()),
         ]
+        + [T.StructField(c, _field_type(df, c)) for c in meta_cols]
     )
 
     def build(it):
@@ -1239,7 +1247,10 @@ def ivf_int8_index(
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame(
-                    {id_col: [], "_cid": [], "q_vec": [], "q_amax_micro": []}
+                    {
+                        **{id_col: [], "_cid": [], "q_vec": [], "q_amax_micro": []},
+                        **{c: [] for c in meta_cols},
+                    }
                 )
                 continue
             V = _vecs64(pdf, vec_col)
@@ -1251,10 +1262,11 @@ def ivf_int8_index(
                     "_cid": picked,
                     "q_vec": [q.astype("int8").tolist() for q in Q],
                     "q_amax_micro": amax,
+                    **{c: pdf[c] for c in meta_cols},
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(build, schema)
+    return df.select(id_col, vec_col, *meta_cols).mapInPandas(build, schema)
 
 
 def ivf_int8_topk(

@@ -2015,3 +2015,65 @@ def test_ivm_randomized_ops_with_compaction(spark, tmp_path):
             check()
     view.refresh(base)
     check()
+
+
+def test_ann_index_filtered_search(spark, sf_dir, tmp_path):
+    """Round 8: metadata-filtered vector search on the stored index —
+    rebuild with meta_cols clusters files by the filter column and
+    records its per-file stats; topk(where=) must (1) file-prune to the
+    label band (DATA_FILES_READ strictly below the full live set),
+    (2) return exactly the compressed-domain top-k of the label subset
+    (equal to running the int8 scorer over a pre-filtered index), and
+    (3) with refine, match the EXACT brute-force top-k over the subset.
+    Unknown filter columns fail loudly."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.operators.index_store import VersionedAnnIndex
+    from database_anonymiser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_int8_topk,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VersionedAnnIndex(spark, tmp_path / "idx")
+    idx.rebuild(emb, "vec_id", "embedding", n_files=8, meta_cols=("label",))
+    n_live = len(idx.table._live_entries())
+    assert n_live > 2  # pruning needs something to prune
+
+    q = 0
+    label = emb.where(F.col("vec_id") != q).select("label").first()[0]
+
+    before = V.DATA_FILES_READ
+    got = idx.query(
+        emb, "vec_id", "embedding", q, k=5, where={"label": label},
+        refine_k=None,
+    ).collect()
+    reads = V.DATA_FILES_READ - before
+    assert reads < n_live, f"filtered topk read {reads}/{n_live} files"
+
+    # (2) equal to the int8 scorer over a pre-filtered full index
+    cents = idx.centroids()
+    full = ivf_int8_topk(
+        idx.table.snapshot().where(F.col("label") == label),
+        emb, "vec_id", "embedding", q, cents, k=5, n_probe=len(cents),
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in full
+    ]
+    assert len(got) == 5
+
+    # (3) with the exact re-rank: identical to brute force over the subset
+    refined = idx.query(
+        emb, "vec_id", "embedding", q, k=5, where={"label": label},
+        refine_k=50,
+    ).collect()
+    exact = brute_force_topk(
+        emb.where((F.col("label") == label) | (F.col("vec_id") == q)),
+        "vec_id", "embedding", q, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in refined] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+    with pytest.raises(ValueError, match="meta_cols"):
+        idx.query(emb, "vec_id", "embedding", q, k=5, where={"source": "x"})
