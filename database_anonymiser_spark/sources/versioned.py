@@ -250,23 +250,28 @@ def _replay(root: Path, upto: int):
     return out
 
 
-def _ever_added(root: Path, upto: int) -> set:
-    """Every data path any commit ≤ ``upto`` ever ADDED (the witness set
-    default-mode vacuum needs: a file referenced by no commit at all is a
-    crash orphan). Checkpoint-bounded like :func:`_replay`: the newest
-    checkpoint carries the cumulative set (round 8 — pruned to files that
-    still exist on disk, so retention-vacuumed churn doesn't grow it
-    without bound), and only the tail commits are read. Checkpoints
-    written before round 8 lack the field — fall back to a full scan
-    (correct, and self-heals at the next checkpoint write)."""
+def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
+    """Checkpoint-bounded auxiliary state at ``upto``: (ever-added path
+    set, effective max commit timestamp). 'Ever added' is the witness set
+    default-mode vacuum needs (a file referenced by no commit at all is a
+    crash orphan) — pruned at checkpoint-write to files still on disk so
+    retention-vacuumed churn doesn't grow it without bound. ``eff_ts`` is
+    the running max of raw commit timestamps — MONOTONE by construction
+    even under multi-writer clock skew, the axis TIMESTAMP AS OF bisects
+    over. Both load from the newest carrying checkpoint plus the tail
+    commits, like :func:`_replay`; checkpoints written before round 8
+    lack the fields — full scan fallback (correct, self-heals at the
+    next checkpoint write)."""
     global COMMIT_READS
     ever: set = set()
+    eff_ts = ""
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
         cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
         if "ever" in cp:
             ever = set(cp["ever"])
+            eff_ts = cp.get("eff_ts") or ""
             start = cps[-1] + 1
     for v in _list_versions(root):
         if v < start:
@@ -276,7 +281,12 @@ def _ever_added(root: Path, upto: int) -> set:
         rec = json.loads(_log_path(root, v).read_text())
         COMMIT_READS += 1
         ever |= {a["path"] for a in rec["adds"]}
-    return ever
+        eff_ts = max(eff_ts, rec.get("ts") or "")
+    return ever, eff_ts
+
+
+def _ever_added(root: Path, upto: int) -> set:
+    return _checkpoint_aux(root, upto)[0]
 
 
 def _write_checkpoint(root: Path, version: int) -> None:
@@ -284,7 +294,8 @@ def _write_checkpoint(root: Path, version: int) -> None:
     content is a pure function of the log prefix, so concurrent writers of
     the same checkpoint version are harmless)."""
     live, key_col, constraints, schema, stats_cols = _replay(root, version)
-    ever = sorted(p for p in _ever_added(root, version) if (root / p).exists())
+    ever_set, eff_ts = _checkpoint_aux(root, version)
+    ever = sorted(p for p in ever_set if (root / p).exists())
     payload = json.dumps(
         {
             "version": version,
@@ -293,6 +304,10 @@ def _write_checkpoint(root: Path, version: int) -> None:
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             "ever": ever,
+            # running max of raw commit timestamps <= version: the
+            # MONOTONE axis version_at bisects over (raw ts may be skewed
+            # by multi-writer clocks; the effective clamp never is)
+            **({"eff_ts": eff_ts} if eff_ts else {}),
             "live": list(live.values()),
         },
         default=str,
@@ -525,79 +540,71 @@ class VersionedTable:
         ]
 
     def version_at(self, timestamp: str) -> int:
-        """TIMESTAMP AS OF resolution (Delta's second time-travel axis):
-        the newest version whose commit wall-clock is <= ``timestamp``
-        (UTC ISO-8601, prefix comparison is fine — the strings sort).
-        Binary search over the version list, one tiny JSON read per probe
-        — O(log versions), never a history walk. Raises ``ValueError``
-        for a timestamp before the first commit (Delta errors the same).
+        """TIMESTAMP AS OF resolution (Delta's second time-travel axis)
+        under the EFFECTIVE-TIME clamp (Delta's timestamp adjustment):
+        each commit's effective time is the max of its own and every
+        predecessor's raw wall clock, so the answer is well-defined and
+        deterministic even for legacy commits without a ``ts`` and for
+        multi-writer clock skew — the newest version whose effective
+        time is <= ``timestamp`` (UTC ISO-8601; prefix comparison is
+        fine, the strings sort).
 
-        The bisection assumes commit timestamps are monotone — true for
-        the sequential single-table writer protocol, but legacy commits
-        (pre-``ts``) and multi-writer clock skew can break it (round-7
-        advice). Any probe that returns a missing ts, or a probe sequence
-        that contradicts monotone order, drops to a LINEAR scan with
-        max-so-far clamping (Delta's timestamp adjustment): each commit's
-        effective time is the max of its own and every predecessor's, so
-        the answer is well-defined and deterministic even over skewed
-        clocks. Skew confined to versions the bisection never probes is
-        resolved as if clamped — the same answer the linear scan gives
-        whenever the probed path is consistent."""
+        Effective times are MONOTONE by construction, so the search
+        bisects over the checkpoints' recorded ``eff_ts`` (round 8) and
+        then scans only the ≤ CHECKPOINT_INTERVAL-commit window where
+        the transition lives, with early exit — O(log checkpoints +
+        interval) tiny JSON reads, never a full history walk (a naive
+        bisection over RAW timestamps silently lands on a wrong version
+        when skew hides between probes — caught by the round-8 clamp
+        property test). Tables whose checkpoints predate ``eff_ts``
+        degrade to a linear clamped scan (correct; self-heals at the
+        next checkpoint write). Raises ``ValueError`` for a timestamp
+        before the first commit's effective time (Delta errors the
+        same)."""
         global COMMIT_READS
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no versioned table at {self.root}")
 
-        def ts_of(v: int) -> str | None:
-            global COMMIT_READS
+        start, eff = 0, ""
+        cps = _list_checkpoints(self.root)
+        lo, hi = 0, len(cps) - 1
+        best_cp = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            cp = json.loads(_checkpoint_path(self.root, cps[mid]).read_text())
             COMMIT_READS += 1
-            return json.loads(_log_path(self.root, v).read_text()).get("ts")
+            cp_eff = cp.get("eff_ts")
+            if cp_eff is None:
+                best_cp = None  # legacy checkpoint: linear from 0
+                break
+            if cp_eff <= timestamp:
+                best_cp = (cps[mid], cp_eff)
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best_cp is not None:
+            start_version, eff = best_cp
+            start = start_version + 1
+            best = start_version
+        else:
+            best = None
 
-        def linear() -> int:
-            best, eff = None, ""
-            for v in vs:
-                eff = max(eff, ts_of(v) or "")
-                if eff and eff <= timestamp:
-                    best = v
-            if best is None:
-                raise ValueError(
-                    f"timestamp {timestamp} precedes the first commit at "
-                    f"{self.root}"
-                )
-            return best
-
-        probed: dict[int, str] = {}
-
-        def probe(i: int) -> str | None:
-            t = ts_of(vs[i])
-            if t is None:
-                return None
-            probed[i] = t
-            return t
-
-        t0 = probe(0)
-        if t0 is None:
-            return linear()
-        if t0 > timestamp:
+        for v in vs:
+            if v < start:
+                continue
+            rec = json.loads(_log_path(self.root, v).read_text())
+            COMMIT_READS += 1
+            eff = max(eff, rec.get("ts") or "")
+            if eff and eff > timestamp:
+                break
+            if eff:
+                best = v
+        if best is None:
             raise ValueError(
                 f"timestamp {timestamp} precedes the first commit at {self.root}"
             )
-        lo, hi = 0, len(vs) - 1
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            t = probe(mid)
-            if t is None:
-                return linear()
-            if t <= timestamp:
-                lo = mid
-            else:
-                hi = mid - 1
-        order = sorted(probed)
-        if any(
-            probed[a] > probed[b] for a, b in zip(order, order[1:])
-        ):  # probed path itself is non-monotone: bisection invariant broke
-            return linear()
-        return vs[lo]
+        return best
 
     def snapshot_at(self, timestamp: str) -> DataFrame:
         """The table as of a WALL-CLOCK time: resolve with

@@ -550,9 +550,15 @@ def sim_topk_ann(spark, sf_dir):
     # resolves), exact partition-local top-k on what remains. Brute force
     # is the CORRECT baseline here: post-filtering an ANN result
     # under-fills k when probe lists mix labels, so filtered search
-    # degrades to exact scan-and-score until a label-partitioned index
-    # exists — which is the honest 100 TB answer too (partition the index
-    # BY the filter column; see ivf_int8_index's partitioned layout).
+    # degrades to exact scan-and-score unless the index is partitioned by
+    # the filter column. That indexed path EXISTS as of round 8 —
+    # VersionedAnnIndex.rebuild(meta_cols=("label",)) clusters index
+    # files by label and query(where={"label": v}) file-prunes to the
+    # band, int8-scores it and exact-re-ranks (pytest pins it equal to
+    # this brute-force branch under refine). The DECLARED branch stays on
+    # brute force because its equality with the indexed path holds only
+    # while refine_k covers the label band — true at oracle scale,
+    # deliberately not promised at every scale.
     flt = SIM.brute_force_topk(
         emb.where(
             (F.col("label") == _FILTER_LABEL) | (F.col("vec_id") == _QUERY_VEC_ID)
