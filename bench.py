@@ -395,7 +395,21 @@ def main():
                     # load band the 1.04-1.09x control drift recorded.
                     "text_quality_spans_r7_drift": "attributed to machine load; "
                     "stage profile clf=0.378s spans=0.410s lm=0.266s joined=0.251s "
-                    "(warm, sf0.1, min of 3) - no structural regression"
+                    "(warm, sf0.1, min of 3) - no structural regression",
+                    # round-8 end-of-round check: storage_churn and
+                    # join_bloom_xxhash64 measured above their r7
+                    # recordings in two clean runs - same-machine A/B
+                    # against the r7 package (git archive of the r7 tag,
+                    # identical probe script, interleaved runs) shows r7
+                    # code at the SAME speed (merges5 warm 2.85 vs 2.93s;
+                    # bloom-xx 1.34-1.54 vs 1.41-1.74s, overlapping):
+                    # machine drift on the many-small-JVM-jobs class, not
+                    # a code regression. The plain controls do not track
+                    # this class; the A/B is the attribution.
+                    "storage_churn_bloomxx_r8_drift": "same-machine A/B vs r7 "
+                    "package: identical timings (merges5 2.85/2.93s warm; "
+                    "bloom-xx overlapping bands) - machine drift, no code "
+                    "regression",
                 },
                 "control_sec": control,
                 "control_shuffle_arrow_sec": control_sa,

@@ -248,6 +248,45 @@ def minhash_signatures(
     return minhash_signatures_from_array(shingle_array(df, id_col, text_col, n), id_col)
 
 
+def minhash_band_rows(
+    sig: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """One row per (doc, LSH band) from a signature frame: ``(id,
+    band_id, band_key, bk, sig)`` — the SHARED banding construction
+    behind both the batch self-join (:func:`minhash_lsh_pairs`) and the
+    streaming signature store (``run_stream_neardedup``). Map-side only:
+    an inline struct array explode, no shuffle, no union of k/r frames.
+
+    ``bk`` is ``xxhash64(band_id, band_key)`` — one SORTABLE 64-bit
+    bucket key per band row. A stats-carrying store (VersionedTable with
+    ``stats_cols=('bk',)``) records each file's [min, max] bk, so after a
+    Z-ORDER compaction a point-lookup probe skips to at most one file per
+    probed bucket (Delta-style data skipping serving the LSH bucket
+    lookup). ``sig`` carries the full k-component signature on every band
+    row: a candidate pair's Jaccard is estimated as the fraction of
+    matching components without re-reading either document — O(signature)
+    per-doc state, the standard banded-LSH trade (Broder 1997; Leskovec
+    et al., MMDS ch. 3). Columns the caller doesn't touch (Catalyst
+    prunes an unused ``sig``/``bk`` out of the explode) cost nothing.
+    """
+    k = len(HASH_FAMILY)
+    band_structs = []
+    for b0 in range(0, k, rows_per_band):
+        cols = [f"mh_{i}" for i in range(b0, min(b0 + rows_per_band, k))]
+        band_structs.append(
+            F.struct(F.lit(b0).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    return (
+        sig.select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"),
+            F.explode(F.array(*band_structs)).alias("_b"),
+        )
+        .select(id_col, "_b.band_id", "_b.band_key", "sig")
+        .withColumn("bk", F.xxhash64("band_id", "band_key"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -291,17 +330,9 @@ def minhash_lsh_pairs(
             F.col("mh_0").isNotNull()
         ),
     )
-    k = len(HASH_FAMILY)
-    # one row per (doc, band) via an inline array — no union of k/r DataFrames
-    band_structs = []
-    for b0 in range(0, k, rows_per_band):
-        cols = [f"mh_{i}" for i in range(b0, min(b0 + rows_per_band, k))]
-        band_structs.append(
-            F.struct(F.lit(b0).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, "_b.band_id", "_b.band_key")
+    buckets = minhash_band_rows(sig, id_col, rows_per_band=rows_per_band).select(
+        id_col, "band_id", "band_key"
+    )
     left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     candidates = (

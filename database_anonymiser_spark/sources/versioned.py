@@ -54,6 +54,7 @@ against a DuckDB anti-join + union rendering of the same semantics.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import uuid
@@ -149,6 +150,12 @@ _REPLAY_CACHE_CAP = 64
 #: emitting one updated row per duplicate. Off by default — it costs one
 #: extra aggregate over the touched rows per merge.
 VALIDATE_MERGE_TARGET_KEYS = os.environ.get("SPARK_GRAFT_VALIDATE_MERGE") == "1"
+
+#: merge(skip_by="points") collects the source's distinct keys for
+#: per-file point skipping; above this many distinct keys it falls back
+#: to range skipping (the collect is the scale bound — 64k keys ≈ a few
+#: MB on the driver, the same order as a bloom bitmap or ANN shortlist).
+POINT_SKIP_CAP = 65536
 
 
 def _replay_cache_invalidate(root: Path) -> None:
@@ -530,6 +537,17 @@ class VersionedTable:
             return None
         return StructType.fromJson(self._schema_json)
 
+    def _empty_frame(self, version: int | None = None) -> DataFrame:
+        """Zero-row frame with the table's schema AS OF ``version`` —
+        served from the LOG, no file reads (pruned-to-nothing reads and
+        insert-only merges need column names, not data; ``snapshot().
+        limit(0)`` would lazily reference every live file). Legacy tables
+        without a logged schema fall back to the footer read."""
+        sch = self._log_schema(version)
+        if sch is not None:
+            return self.spark.createDataFrame([], sch)
+        return self.snapshot(version).limit(0).where(F.lit(False))
+
     def key_col(self) -> str | None:
         self._live_entries()
         return self._key_col
@@ -733,6 +751,56 @@ class VersionedTable:
                 out.append(e)
         return out
 
+    def files_matching_any(
+        self, col: str, values: list, version: int | None = None
+    ) -> list[dict]:
+        """Live files whose recorded [min, max] stats for ``col`` contain
+        ANY of ``values`` — the POINT-LOOKUP face of
+        :meth:`files_matching` (which serves range predicates). Driver-side
+        metadata arithmetic: one bisect of the sorted value list per file,
+        O(files × log |values|), no data scan. A file without stats for
+        ``col`` is kept (must-scan), matching the range path's contract.
+
+        This is what serves bucket/key point probes at scale — e.g. the
+        streaming near-dedup sink probing its LSH band store: after a
+        Z-ORDER compaction on the probed column each value maps to at
+        most one file, so a probe of v values reads ≤ v files however
+        large the store is."""
+        vals = sorted(values)
+        out = []
+        for e in self._live_entries(version):
+            if col == self._key_col and e.get("key_min") is not None:
+                clo, chi = e["key_min"], e["key_max"]
+            elif e.get("stats", {}).get(col, [None, None])[0] is not None:
+                clo, chi = e["stats"][col]
+            else:
+                out.append(e)  # no stats for this column -> cannot prune
+                continue
+            i = bisect.bisect_left(vals, clo)
+            if i < len(vals) and vals[i] <= chi:
+                out.append(e)
+        return out
+
+    def read_matching_any(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup snapshot read: prune files via
+        :meth:`files_matching_any`, then filter the survivors with an
+        ``isin`` LITERAL (parquet row-group pushdown; a literal, not a
+        semi-join — same reasoning as the ANN re-rank probe: the values
+        are caller-bounded, so shipping them in the plan beats shuffling
+        a probe side). Driver literal cost scales with |values|; callers
+        hold the bound (a micro-batch's bucket set, a shortlist of ids).
+        Empty values or no surviving files → empty frame with the table
+        schema. ``version`` pins the read (default latest)."""
+        if not values:
+            return self._empty_frame(version)
+        entries = self.files_matching_any(col, values, version=version)
+        if not entries:
+            return self._empty_frame(version)
+        df = self._read_paths([e["path"] for e in entries])
+        return df.where(F.col(col).isin(*values))
+
     def read_where(
         self, predicates: dict[str, tuple], version: int | None = None
     ) -> DataFrame:
@@ -743,7 +811,7 @@ class VersionedTable:
         schema. ``version`` pins the read (default latest)."""
         entries = self.files_matching(predicates, version=version)
         if not entries:
-            return self.snapshot(version).limit(0).where(F.lit(False))
+            return self._empty_frame(version)
         df = self._read_paths([e["path"] for e in entries])
         for col, (lo, hi) in predicates.items():
             df = df.where(F.col(col).between(lo, hi))
@@ -833,6 +901,7 @@ class VersionedTable:
         source: DataFrame,
         when_matched: str = "update",
         insert_not_matched: bool = True,
+        skip_by: str = "range",
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
 
@@ -847,6 +916,22 @@ class VersionedTable:
         rewritten (their non-matched rows preserved). The source's key
         bounds come from one tiny aggregate; per-file intersection is
         driver-side metadata arithmetic, never a data scan.
+
+        ``skip_by`` picks the skipping GRANULARITY:
+
+        - ``"range"`` (default): one [lo, hi] interval for the whole
+          source — right for contiguous trickles (an hourly partition, a
+          key band), and the only option for unbounded sources.
+        - ``"points"``: collect the source's DISTINCT keys (capped at
+          ``POINT_SKIP_CAP``; beyond that, silently fall back to range)
+          and keep only target files whose [min, max] contains at least
+          one of them — bisect per file, same arithmetic as
+          :meth:`files_matching_any`. This is the SCATTERED-upsert shape:
+          a micro-batch whose keys land all over the keyspace has a
+          [lo, hi] spanning nearly every file, but its point set touches
+          almost none. The collect is the bounded-driver-collect contract
+          (micro-batch-sized by the caller's choice of this mode); the
+          streaming sinks pass it.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -876,12 +961,31 @@ class VersionedTable:
 
         lo, hi = stats["lo"], stats["hi"]
 
+        points: list | None = None
+        if skip_by == "points" and lo is not None:
+            if stats["n_distinct"] <= POINT_SKIP_CAP:
+                points = sorted(
+                    r[0]
+                    for r in source.select(key_col)
+                    .where(F.col(key_col).isNotNull())
+                    .distinct()
+                    .collect()
+                )
+            # else: fall back to range skipping (documented cap)
+        elif skip_by != "range" and skip_by != "points":
+            raise ValueError("skip_by must be 'range' or 'points'")
+
         def may_match(e: dict) -> bool:
             if lo is None:  # empty source: nothing matches
                 return False
             if e["key_min"] is None or e["key_max"] is None:
                 return True  # no stats -> must assume it matches
-            return not (e["key_max"] < lo or e["key_min"] > hi)
+            if e["key_max"] < lo or e["key_min"] > hi:
+                return False
+            if points is not None:
+                i = bisect.bisect_left(points, e["key_min"])
+                return i < len(points) and points[i] <= e["key_max"]
+            return True
 
         touched = [e for e in entries if may_match(e)]
         untouched = [e for e in entries if not may_match(e)]
@@ -973,8 +1077,7 @@ class VersionedTable:
                 rewritten, self.root, key_col, stats_cols=self._stats_cols
             )
         elif insert_not_matched:
-            sample = self.snapshot(v).limit(0)
-            inserts = source.select(*sample.columns)
+            inserts = source.select(*self._empty_frame(v).columns)
             if when_matched == "delete":
                 self._check_constraints(inserts)
             new_files += _write_data_files(

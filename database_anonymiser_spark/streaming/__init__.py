@@ -14,6 +14,7 @@ from database_anonymiser_spark.streaming.pipeline import (  # noqa: F401
     masked_stream,
     purchase_view_join_stream,
     run_foreach_batch,
+    run_stream_neardedup,
     session_agg_stream,
     sliding_agg_stream,
     stream_events,

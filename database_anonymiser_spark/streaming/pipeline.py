@@ -573,6 +573,173 @@ def run_stream_to_scd2(
     return run_foreach_batch(df, sink, checkpoint)
 
 
+def run_stream_neardedup(
+    docs: DataFrame,
+    out_root: str,
+    store_root: str,
+    checkpoint: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    spark: SparkSession | None = None,
+    store_zorder_every: int | None = None,
+):
+    """Streaming NEAR-duplicate dedup: drain a document stream into a
+    kept-docs VersionedTable, dropping every arriving document that is a
+    MinHash near-duplicate of anything seen before — across the whole
+    stream's history, not just the watermark horizon. This is the
+    continuous-ingest face of :func:`~database_anonymiser_spark.operators
+    .dedup.minhash_lsh_pairs` (which the batch curation pipeline runs
+    corpus-wide), and the component a crawl-ingest pipeline runs at 100 TB:
+    exact dedup streams natively (``curate_stream``'s fingerprint
+    dropDuplicates); NEAR-dup needs state proportional to the corpus, which
+    no in-memory streaming state store can hold — so the state lives in a
+    versioned SIGNATURE STORE table probed by bucket point-lookups.
+
+    Per micro-batch:
+
+    1. IN-BATCH near-dedup — ``minhash_lsh_pairs`` (banded LSH candidates,
+       exact-Jaccard verify) + min-id connected components: deterministic
+       first-survivor selection inside the batch, cost bounded by the
+       batch, never the corpus.
+    2. CROSS-BATCH probe — the batch's LSH band rows (map-side
+       ``minhash_band_rows``) probe the store: the batch's DISTINCT ``bk``
+       bucket keys are collected (bounded: |batch| × bands — a micro-batch,
+       the same bounded-driver-collect contract as the ANN re-rank
+       shortlist), files are pruned via ``files_matching_any`` on the
+       store's per-file bk stats, survivors are read with an isin-literal
+       pushdown and joined to the batch on ``bk``. A collided pair is a
+       duplicate when its signature AGREEMENT (fraction of equal MinHash
+       components — the unbiased Jaccard estimator) clears ``threshold``.
+       The store holds signatures, not documents: O(bands × k ints) state
+       per kept doc, the standard banded-LSH trade — in-batch decisions
+       are exact-verified, cross-batch decisions are estimator-verified.
+    3. Survivors MERGE into the OUT table (key ``id_col``), then their
+       band rows MERGE into the STORE (key ``skey`` = id#band). OUT
+       commits FIRST: a crash between the two merges replays the batch
+       against the un-advanced store, re-derives the same survivors, and
+       re-merges idempotently — store-first would let a replayed survivor
+       match its own co-survivors' freshly stored signatures and silently
+       drop a document that was never written. Both merges run
+       ``skip_by='points'`` — a micro-batch's keys scatter over the
+       keyspace, so range skipping would touch nearly every file while
+       the point set touches almost none; re-delivered batches rewrite
+       identical rows (the merge-as-idempotency contract of
+       :func:`run_stream_to_versioned`).
+
+    Short documents (< n tokens → empty shingle set, null signature) pass
+    through un-deduped and store no bands — no shingles means no near-dup
+    by construction, same as the batch path.
+
+    100 TB shape: per batch everything is bounded by the batch and its
+    COLLISIONS — signatures map-side, the probe reads only files whose bk
+    stats intersect the batch's buckets, the verify joins only collided
+    rows, the merges rewrite only key-intersecting files. The store grows
+    O(kept docs × bands) rows but is never scanned, only point-probed.
+    ``store_zorder_every=N`` re-clusters the store by ``bk`` every N
+    batches (+ retention vacuum): freshly merged batch files span wide bk
+    ranges (hashes are uniform), so skipping degrades as churn accretes
+    and OPTIMIZE restores it — after a re-cluster a probe of v buckets
+    reads ≤ v files regardless of store size (asserted by counter in
+    tests). That is Delta's OPTIMIZE-restores-skipping operating loop.
+    """
+    from database_anonymiser_spark.operators import dedup as DD
+    from database_anonymiser_spark.operators.graph import (
+        connected_components,
+        dedup_survivors,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    k = len(DD.HASH_FAMILY)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        # the batch is re-read by pairs/signatures/merge — pin it once
+        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if not batch.limit(1).count():
+            return
+        pairs = DD.minhash_lsh_pairs(
+            batch, id_col, text_col, n=n,
+            rows_per_band=rows_per_band, threshold=threshold,
+        )
+        if pairs.limit(1).count():
+            batch = dedup_survivors(batch, id_col, connected_components(pairs))
+        sig = DD.minhash_signatures(batch, id_col, text_col, n=n).where(
+            F.col("mh_0").isNotNull()
+        )
+        bands = DD.minhash_band_rows(sig, id_col, rows_per_band=rows_per_band)
+        bands = bands.localCheckpoint(eager=True)
+
+        store = VersionedTable(s, store_root)
+        if store.versions():
+            bks = sorted(r["bk"] for r in bands.select("bk").distinct().collect())
+            if bks:
+                b = bands.select(
+                    F.col(id_col).alias("_nid"), "bk", F.col("sig").alias("_nsig")
+                )
+                h = store.read_matching_any("bk", bks).select(
+                    F.col("id").alias("_oid"), "bk", F.col("sig").alias("_osig")
+                )
+                agree = F.size(
+                    F.expr("filter(zip_with(_nsig, _osig, (x, y) -> x = y), v -> v)")
+                ) / F.lit(k)
+                dup_ids = (
+                    b.join(h, "bk")
+                    .where(F.col("_nid") != F.col("_oid"))
+                    .where(agree >= F.lit(threshold))
+                    .select(F.col("_nid").alias(id_col))
+                    .distinct()
+                )
+                batch = batch.join(dup_ids, id_col, "left_anti")
+                bands = bands.join(dup_ids, id_col, "left_anti")
+
+        # OUT first, STORE second (crash-safety argument in the docstring)
+        if batch.limit(1).count():
+            out = VersionedTable(s, out_root)
+            if not out.versions():
+                VersionedTable.create(s, out_root, batch, key_col=id_col)
+            else:
+                out.merge(batch, when_matched="update", skip_by="points")
+        # skey leads with bk rendered as FIXED-WIDTH HEX, so the store's
+        # merge key sorts in the same order the probe column clusters:
+        # after a Z-ORDER on bk every file has a narrow skey range too,
+        # and the point-skipped merge (skip_by='points') touches only
+        # files actually holding a re-delivered row — without the
+        # alignment, merge key ranges would span the whole store the
+        # moment bk clustering rewrote the files
+        srows = bands.select(
+            F.concat_ws(
+                "#",
+                F.lpad(F.hex(F.col("bk")), 16, "0"),
+                F.col(id_col).cast("string"),
+                F.col("band_id").cast("string"),
+            ).alias("skey"),
+            F.col(id_col).alias("id"),
+            "band_id",
+            "band_key",
+            "bk",
+            "sig",
+        )
+        if srows.limit(1).count():
+            if not store.versions():
+                VersionedTable.create(
+                    s, store_root, srows, key_col="skey", stats_cols=("bk",)
+                )
+            else:
+                store.merge(srows, when_matched="update", skip_by="points")
+        if (
+            store_zorder_every
+            and store.versions()
+            and (batch_id + 1) % store_zorder_every == 0
+        ):
+            store.optimize_zorder(("bk",))
+            store.vacuum(retain_versions=2)
+
+    return run_foreach_batch(docs, sink, checkpoint)
+
+
 def _views_min_cursor(spark: SparkSession, roots: tuple[str, ...]) -> int | None:
     """The oldest base version any maintained view still needs pre-image
     files from — O(1) commit-meta probe per view (the cursor rides in the

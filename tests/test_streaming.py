@@ -1063,3 +1063,136 @@ def test_stream_to_scd2_matches_batch_apply_and_replays_idempotently(
     drain("ckpt2")
     assert hist(sroot) == h
     assert VersionedTable(spark, sroot).latest_version() == v
+
+
+def _nd_doc(seed, nw=40):
+    return " ".join(f"w{seed}_{i}" for i in range(nw))
+
+
+def _nd_neardup(seed, nw=40):
+    ws = [f"w{seed}_{i}" for i in range(nw)]
+    ws[-1] = "CHANGED"
+    return " ".join(ws)
+
+
+def _nd_feed(spark, base, src, bno, rows):
+    import glob
+    import shutil
+
+    d = str(base / f"stage{bno}")
+    spark.createDataFrame(rows, "id long, text string").repartition(1).write.parquet(
+        d, mode="overwrite"
+    )
+    for i, p in enumerate(glob.glob(d + "/*.parquet")):
+        shutil.move(p, str(src / f"b{bno}_{i}.parquet"))
+    shutil.rmtree(d)
+
+
+def test_stream_neardedup_cross_batch_and_replay(spark, tmp_path):
+    """Streaming MinHash near-dedup against the versioned signature
+    store: exact and near duplicates of documents from EARLIER batches
+    are dropped (state spans the whole stream, not a watermark horizon),
+    in-batch near-dup pairs keep the min id, short docs pass through,
+    and the store holds bands only for kept signature-bearing docs.
+    Restart with no new input is a no-op; a full from-scratch REPLAY
+    (checkpoint wiped, same tables) re-derives the same decisions and
+    merges idempotently — out and store state unchanged."""
+    import shutil
+
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_neardedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_root = str(tmp_path / "out")
+    store_root = str(tmp_path / "store")
+
+    def drain():
+        stream = spark.readStream.schema("id long, text string").parquet(str(src))
+        run_stream_neardedup(stream, out_root, store_root, ckpt, threshold=0.5)
+
+    _nd_feed(spark, tmp_path, src, 1,
+             [(1, _nd_doc("a")), (2, _nd_doc("b")), (3, _nd_doc("c")), (4, _nd_doc("d"))])
+    drain()
+    # 5 near-dups B1's doc 1; 6 is an EXACT copy of doc 2's text; 7 new
+    _nd_feed(spark, tmp_path, src, 2,
+             [(5, _nd_neardup("a")), (6, _nd_doc("b")), (7, _nd_doc("e"))])
+    drain()
+    # 8 near-dups B2's doc 7; 9/10 are an IN-batch near-dup pair (min id
+    # 9 survives); 11 is sub-shingle-length (no signature -> passes)
+    _nd_feed(spark, tmp_path, src, 3,
+             [(8, _nd_neardup("e")), (9, _nd_doc("f")), (10, _nd_neardup("f")),
+              (11, "a b")])
+    drain()
+
+    out = VersionedTable(spark, out_root)
+    kept = sorted(r["id"] for r in out.snapshot().select("id").collect())
+    assert kept == [1, 2, 3, 4, 7, 9, 11]
+    store = VersionedTable(spark, store_root)
+    # 6 kept docs carry signatures (11 is short) x 4 bands of the
+    # 8-function family
+    assert store.snapshot().count() == 6 * 4
+    assert store.stats_cols() == ("bk",)
+
+    # restart, no new input: no-op
+    v_out, v_store = out.latest_version(), store.latest_version()
+    drain()
+    assert out.latest_version() == v_out and store.latest_version() == v_store
+
+    # full replay from scratch against the SAME tables: every batch
+    # re-delivered; decisions re-derive (docs never match their own
+    # stored signatures - id-inequality guard) and merges rewrite
+    # identical rows
+    shutil.rmtree(ckpt)
+    drain()
+    assert sorted(r["id"] for r in out.snapshot().select("id").collect()) == kept
+    assert store.snapshot().count() == 6 * 4
+
+
+def test_stream_neardedup_store_probe_bounded(spark, tmp_path):
+    """The 100 TB property of the signature store: after the in-sink
+    Z-ORDER re-cluster on ``bk``, a new batch's probe + point-skipped
+    merges read a BOUNDED number of store files — at most one per probed
+    bucket / merged key, not the store's live file count."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import run_stream_neardedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_root = str(tmp_path / "out")
+    store_root = str(tmp_path / "store")
+
+    def drain():
+        stream = spark.readStream.schema("id long, text string").parquet(str(src))
+        run_stream_neardedup(
+            stream, out_root, store_root, ckpt, threshold=0.5,
+            store_zorder_every=5,
+        )
+
+    nid = 0
+    for b in range(1, 6):
+        rows = []
+        for j in range(4):
+            nid += 1
+            rows.append((nid, _nd_doc(f"s{b}_{j}")))
+        _nd_feed(spark, tmp_path, src, b, rows)
+        drain()
+
+    store = VersionedTable(spark, store_root)
+    n_live = len(store._live_entries())
+    assert n_live >= 6  # zorder re-clustered into its target file count
+    assert store.snapshot().count() == 20 * 4
+
+    f0 = V.DATA_FILES_READ
+    _nd_feed(spark, tmp_path, src, 6, [(999, _nd_doc("fresh"))])
+    drain()
+    delta = V.DATA_FILES_READ - f0
+    # 1 doc = 4 band buckets: probe <= 4 files (one per bucket after the
+    # re-cluster) + store point-merge <= 4 + out point-merge <= 1; the
+    # range-skipped / unclustered alternative reads every live file ON
+    # TOP of that
+    assert delta <= 9, (delta, n_live)
+    assert VersionedTable(spark, out_root).snapshot().count() == 21

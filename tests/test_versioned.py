@@ -2185,3 +2185,94 @@ def test_version_at_clamped_scan_property(spark, tmp_path):
         assert t2.version_at(q) == want, q
         # bounded: checkpoint bisect (<= #cps) + one interval window
         assert V.COMMIT_READS - before <= 2 + 12, q
+
+
+def test_files_matching_any_point_lookup(spark, tmp_path):
+    """files_matching_any keeps exactly the files whose [min, max] stats
+    contain at least one probed value, keeps stats-less files, and
+    read_matching_any returns exactly the matching rows (empty frame
+    with the logged schema when nothing survives — zero file reads)."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 41)], "k long, x long"
+    ).repartitionByRange(4, "k")
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k", stats_cols=("x",))
+    entries = t._live_entries()
+    assert len(entries) == 4 and all(e["stats"]["x"][0] is not None for e in entries)
+
+    # values inside two distinct files' ranges -> exactly those two files
+    hits = t.files_matching_any("x", [10, 400])
+    assert len(hits) == 2
+    got = {r["k"] for r in t.read_matching_any("x", [10, 400]).collect()}
+    assert got == {1, 40}
+
+    # values between files' ranges match nothing; frame is empty with
+    # the table schema and reads no data files
+    f0 = V.DATA_FILES_READ
+    miss = t.read_matching_any("x", [5, 105, 405])
+    assert miss.columns == ["k", "x"] and miss.count() == 0
+    assert V.DATA_FILES_READ == f0
+
+    # key-column probes use the commit-level key bounds
+    assert len(t.files_matching_any("k", [1])) == 1
+    # a column with no recorded stats keeps every file (must-scan)
+    assert len(t.files_matching_any("nostats", [123])) == 4
+
+
+def test_merge_point_skipping_touches_only_point_files(spark, tmp_path):
+    """merge(skip_by='points'): a scattered two-key source whose [lo, hi]
+    RANGE spans every file touches only the files actually containing a
+    source key — range skipping would rewrite all of them. Result state
+    is identical either way."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    def build(root):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 81)], "k long, name string"
+        ).repartitionByRange(8, "k")
+        return VersionedTable.create(spark, root, df, key_col="k")
+
+    src_rows = [(1, "LO"), (80, "HI"), (200, "NEW")]  # spans the keyspace
+
+    t_pts = build(tmp_path / "pts")
+    f0 = V.DATA_FILES_READ
+    t_pts.merge(
+        spark.createDataFrame(src_rows, "k long, name string"), skip_by="points"
+    )
+    pts_reads = V.DATA_FILES_READ - f0
+
+    t_rng = build(tmp_path / "rng")
+    f0 = V.DATA_FILES_READ
+    t_rng.merge(spark.createDataFrame(src_rows, "k long, name string"))
+    rng_reads = V.DATA_FILES_READ - f0
+
+    assert pts_reads == 2  # only the files holding keys 1 and 80
+    assert rng_reads == 8  # the range [1, 200] intersects every file
+    snap_p = sorted(tuple(r) for r in t_pts.snapshot().collect())
+    snap_r = sorted(tuple(r) for r in t_rng.snapshot().collect())
+    assert snap_p == snap_r and (200, "NEW") in snap_p
+
+    # unknown mode rejected
+    with pytest.raises(ValueError, match="skip_by"):
+        t_pts.merge(
+            spark.createDataFrame([(1, "x")], "k long, name string"), skip_by="bogus"
+        )
+
+    # cap fallback: monkey the cap down -> falls back to range, state right
+    old_cap = V.POINT_SKIP_CAP
+    V.POINT_SKIP_CAP = 1
+    try:
+        span_files = len(t_pts.files_matching({"k": (2, 79)}))
+        f0 = V.DATA_FILES_READ
+        t_pts.merge(
+            spark.createDataFrame([(2, "X2"), (79, "X79")], "k long, name string"),
+            skip_by="points",
+        )
+        # over the cap -> range fallback: every file intersecting the
+        # span is read, not just the two holding the keys
+        assert V.DATA_FILES_READ - f0 == span_files and span_files > 2
+    finally:
+        V.POINT_SKIP_CAP = old_cap
+    assert dict((r["k"], r["name"]) for r in t_pts.snapshot().collect())[2] == "X2"
+
