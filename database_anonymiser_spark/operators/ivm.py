@@ -26,6 +26,20 @@ values touch their stored extrema — a file-skipped, semi-joined read of
 just those groups' base rows, never a base scan. AVG is derived
 (sum/count), maintained for free.
 
+APPROX DISTINCT maintains a per-group KMV sketch (the k smallest
+distinct 60-bit hashes — Bar-Yossef et al. 2002, same md5 hash space
+and estimator as ``operators/sketch.py::kmv_distinct`` so the served
+estimate is BIT-IDENTICAL to the batch sketch of the same rows). The
+sketch state is path-independent under the same loss rule as MIN/MAX:
+inserts MERGE closed-form (k smallest of the union of two k-smallest
+sets IS the k smallest of the union — a KMV sketch is a monoid under
+insertion), and a deletion forces a group recompute only when a removed
+value's hash is ≤ the group's k-th minimum, i.e. MIGHT be in the sketch
+(a removed hash above the threshold can never change the k smallest;
+a duplicate removal below it recomputes conservatively). COUNT DISTINCT
+itself is the textbook non-incrementalizable aggregate — the sketch is
+what makes it maintainable with bounded state, which is the point.
+
 The maintained view is itself a ``VersionedTable`` keyed by the group
 column, advanced by MERGE with a recorded ``cursor`` (the base version
 the view reflects) in each commit's metadata — so view maintenance is
@@ -78,8 +92,22 @@ class IncrementalAggView:
     # ---------------------------------------------------------- build
 
     @staticmethod
+    def _hv(sum_col: str):
+        """The sketch hash: 60-bit md5 prefix, the SAME construction as
+        sketch.py::kmv_distinct (NULL values hash to NULL and fall out of
+        collect_set — count-distinct semantics for free)."""
+        return F.conv(
+            F.substring(F.md5(F.col(sum_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    @classmethod
     def _aggregate(
-        rows: DataFrame, group_col: str, sum_col: str, minmax: bool
+        cls,
+        rows: DataFrame,
+        group_col: str,
+        sum_col: str,
+        minmax: bool,
+        adist_k: int = 0,
     ) -> DataFrame:
         aggs = [
             F.count(F.lit(1)).alias("n_rows"),
@@ -90,6 +118,12 @@ class IncrementalAggView:
                 F.min(F.col(sum_col).cast(_DEC)).alias("_min"),
                 F.max(F.col(sum_col).cast(_DEC)).alias("_max"),
             ]
+        if adist_k:
+            aggs.append(
+                F.slice(
+                    F.array_sort(F.collect_set(cls._hv(sum_col))), 1, adist_k
+                ).alias("_kmv")
+            )
         return rows.groupBy(group_col).agg(*aggs)
 
     @classmethod
@@ -101,9 +135,14 @@ class IncrementalAggView:
         group_col: str,
         sum_col: str,
         minmax: bool = False,
+        approx_distinct: bool = False,
+        kmv_k: int = 256,
     ) -> "IncrementalAggView":
         """Materialize the view from ``base``'s LATEST snapshot and record
-        the reflected base version as the cursor."""
+        the reflected base version as the cursor. ``approx_distinct=True``
+        additionally maintains a per-group KMV(``kmv_k``) sketch of
+        ``sum_col`` and serves ``approx_distinct_est`` (module docstring
+        for the maintenance rule)."""
         from database_anonymiser_spark.sources.versioned import (
             _commit,
             _write_data_files,
@@ -113,7 +152,10 @@ class IncrementalAggView:
         if v.table.versions():
             raise FileExistsError(f"view already exists at {root}")
         base_version = base.latest_version()
-        agg = cls._aggregate(base.snapshot(base_version), group_col, sum_col, minmax)
+        agg = cls._aggregate(
+            base.snapshot(base_version), group_col, sum_col, minmax,
+            adist_k=kmv_k if approx_distinct else 0,
+        )
         adds = _write_data_files(
             agg.withColumn("_dsum", F.col("_dsum").cast(_DEC)),
             v.table.root,
@@ -131,6 +173,7 @@ class IncrementalAggView:
                 "group_col": group_col,
                 "sum_col": sum_col,
                 "minmax": bool(minmax),
+                **({"kmv_k": int(kmv_k)} if approx_distinct else {}),
             },
             schema=agg.schema.jsonValue(),
         )
@@ -181,6 +224,7 @@ class IncrementalAggView:
         meta = self._meta()
         group_col, sum_col = meta["group_col"], meta["sum_col"]
         minmax = bool(meta.get("minmax"))
+        adist_k = int(meta.get("kmv_k") or 0)
         since = int(meta["cursor"])
         latest = base.latest_version()
         if latest <= since:
@@ -192,6 +236,7 @@ class IncrementalAggView:
             "group_col": group_col,
             "sum_col": sum_col,
             "minmax": minmax,
+            **({"kmv_k": adist_k} if adist_k else {}),
         }
         v = self.table.latest_version()
         if not segments:
@@ -207,9 +252,13 @@ class IncrementalAggView:
         cur_cols = [F.col(group_col), F.col("n_rows"), F.col("_dsum")]
         if minmax:
             cur_cols += [F.col("_min"), F.col("_max")]
+        if adist_k:
+            cur_cols.append(F.col("_kmv"))
         cur = self.table.snapshot().select(*cur_cols)
         for i, (a, b) in enumerate(segments):
-            cur = self._apply_delta(cur, base, a, b, group_col, sum_col, minmax)
+            cur = self._apply_delta(
+                cur, base, a, b, group_col, sum_col, minmax, adist_k
+            )
             if i < len(segments) - 1:
                 # the view is group-cardinality-sized; checkpointing it
                 # between segments bounds lineage without real I/O cost
@@ -248,13 +297,16 @@ class IncrementalAggView:
         group_col: str,
         sum_col: str,
         minmax: bool,
+        adist_k: int = 0,
     ) -> DataFrame:
         """One segment's delta propagation: CDF-faithful feed (update OLD
         images come from the feed itself — images='both' — so the only
         files read are the segment's removed ∪ added set), aggregated to
-        per-group +/− partials and merged into ``cur``; min/max run the
-        extremum-loss recompute against the SEGMENT END's pinned
-        snapshot, bounded to affected groups' files."""
+        per-group +/− partials and merged into ``cur``; min/max and the
+        KMV sketch run their loss-recompute against the SEGMENT END's
+        pinned snapshot, bounded to affected groups' files (one SHARED
+        recompute read serves both features — a group flagged by either
+        re-derives all non-self-maintainable state in one pass)."""
         changes = base.diff(v_from, v_to, images="both")
         plus = changes.where(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -263,18 +315,28 @@ class IncrementalAggView:
             F.col("_change_type").isin("delete", "update_preimage")
         )
         val = F.col(sum_col).cast(_DEC)
+        hv = self._hv(sum_col)
         minus_aggs = [
             F.count(F.lit(1)).alias("r_rows"),
             F.sum(val).alias("r_sum"),
         ]
         if minmax:
             minus_aggs += [F.min(val).alias("rem_min"), F.max(val).alias("rem_max")]
+        if adist_k:
+            # ALL removed hashes (delta-sized): membership against the
+            # stored sketch is the exact loss test (module docstring)
+            minus_aggs.append(F.collect_set(hv).alias("rem_hs"))
         plus_aggs = [
             F.count(F.lit(1)).alias("i_rows"),
             F.sum(val).alias("i_sum"),
         ]
         if minmax:
             plus_aggs += [F.min(val).alias("ins_min"), F.max(val).alias("ins_max")]
+        if adist_k:
+            # k smallest inserted hashes suffice: min-k is a monoid
+            plus_aggs.append(
+                F.slice(F.array_sort(F.collect_set(hv)), 1, adist_k).alias("ins_hs")
+            )
         d_plus = plus.groupBy(group_col).agg(*plus_aggs)
         d_minus = minus.groupBy(group_col).agg(*minus_aggs)
         delta = (
@@ -305,6 +367,7 @@ class IncrementalAggView:
                     if minmax
                     else []
                 ),
+                *([F.col("ins_hs"), F.col("rem_hs")] if adist_k else []),
             )
         )
         joined = cur.alias("c").join(
@@ -320,39 +383,74 @@ class IncrementalAggView:
             F.coalesce(F.col("c._dsum"), F.lit(0).cast(_DEC))
             + F.coalesce(F.col("d.d_sum"), F.lit(0).cast(_DEC))
         ).cast(_DEC)
-        if not minmax:
+        if not minmax and not adist_k:
             return joined.select(
                 gkey.alias(group_col),
                 new_rows.alias("n_rows"),
                 new_sum.alias("_dsum"),
             ).where(F.col("n_rows") > 0)
-        # extremum-loss test: a removal can only LOWER a max / RAISE a
-        # min if the removed band touches the stored extrema (or the
+        # LOSS tests — a removal forces a group recompute only when it
+        # can actually change non-self-maintainable state:
+        # min/max: the removed band touches the stored extrema (or the
         # group is new to the view — cursor drift, recompute to be
         # safe). Insert-only groups merge closed-form.
-        needs_recompute = (
-            F.col("d.rem_min").isNotNull()
-            & (
-                F.col("c._min").isNull()
-                | (F.col("d.rem_min") <= F.col("c._min"))
-                | (F.col("d.rem_max") >= F.col("c._max"))
-            )
-        )
-        merged_min = F.least(
-            F.coalesce(F.col("c._min"), F.col("d.ins_min")),
-            F.coalesce(F.col("d.ins_min"), F.col("c._min")),
-        )
-        merged_max = F.greatest(
-            F.coalesce(F.col("c._max"), F.col("d.ins_max")),
-            F.coalesce(F.col("d.ins_max"), F.col("c._max")),
-        )
-        staged = joined.select(
+        # KMV: a removed hash is IN the stored sketch (a hash above the
+        # k-th minimum can never change the k smallest; a present-in-base
+        # hash below it is always in the sketch, so arrays_overlap is the
+        # exact test — conservative only for duplicate removals).
+        recompute_terms = []
+        staged_cols = [
             gkey.alias(group_col),
             new_rows.alias("n_rows"),
             new_sum.alias("_dsum"),
-            merged_min.alias("_min"),
-            merged_max.alias("_max"),
-            needs_recompute.alias("_recompute"),
+        ]
+        if minmax:
+            recompute_terms.append(
+                F.col("d.rem_min").isNotNull()
+                & (
+                    F.col("c._min").isNull()
+                    | (F.col("d.rem_min") <= F.col("c._min"))
+                    | (F.col("d.rem_max") >= F.col("c._max"))
+                )
+            )
+            staged_cols += [
+                F.least(
+                    F.coalesce(F.col("c._min"), F.col("d.ins_min")),
+                    F.coalesce(F.col("d.ins_min"), F.col("c._min")),
+                ).alias("_min"),
+                F.greatest(
+                    F.coalesce(F.col("c._max"), F.col("d.ins_max")),
+                    F.coalesce(F.col("d.ins_max"), F.col("c._max")),
+                ).alias("_max"),
+            ]
+        if adist_k:
+            empty = F.array().cast("array<bigint>")
+            recompute_terms.append(
+                F.col("d.rem_hs").isNotNull()
+                & (
+                    F.col("c._kmv").isNull()
+                    | F.arrays_overlap(F.col("d.rem_hs"), F.col("c._kmv"))
+                )
+            )
+            staged_cols.append(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat(
+                                F.coalesce(F.col("c._kmv"), empty),
+                                F.coalesce(F.col("d.ins_hs"), empty),
+                            )
+                        )
+                    ),
+                    1,
+                    adist_k,
+                ).alias("_kmv")
+            )
+        needs_recompute = recompute_terms[0]
+        for term in recompute_terms[1:]:
+            needs_recompute = needs_recompute | term
+        staged = joined.select(
+            *staged_cols, needs_recompute.alias("_recompute")
         ).where(F.col("n_rows") > 0)
         staged = staged.localCheckpoint(eager=True)  # delta is view-sized
         rgroups = staged.where("_recompute").select(group_col)
@@ -387,9 +485,36 @@ class IncrementalAggView:
             affected = based.join(
                 rg, F.col(group_col).eqNullSafe(F.col("_rg")), "left_semi"
             )
-            rec = affected.groupBy(group_col).agg(
-                F.min(val).alias("_rmin"), F.max(val).alias("_rmax")
-            )
+            rec_aggs = []
+            if minmax:
+                rec_aggs += [F.min(val).alias("_rmin"), F.max(val).alias("_rmax")]
+            if adist_k:
+                rec_aggs.append(
+                    F.slice(
+                        F.array_sort(F.collect_set(self._hv(sum_col))), 1, adist_k
+                    ).alias("_rkmv")
+                )
+            rec = affected.groupBy(group_col).agg(*rec_aggs)
+            out_cols = [
+                F.col(f"s.{group_col}").alias(group_col),
+                "n_rows",
+                "_dsum",
+            ]
+            if minmax:
+                out_cols += [
+                    F.when(F.col("_recompute"), F.col("_rmin"))
+                    .otherwise(F.col("_min"))
+                    .alias("_min"),
+                    F.when(F.col("_recompute"), F.col("_rmax"))
+                    .otherwise(F.col("_max"))
+                    .alias("_max"),
+                ]
+            if adist_k:
+                out_cols.append(
+                    F.when(F.col("_recompute"), F.col("_rkmv"))
+                    .otherwise(F.col("_kmv"))
+                    .alias("_kmv")
+                )
             staged = (
                 staged.alias("s")
                 .join(
@@ -399,26 +524,22 @@ class IncrementalAggView:
                     ),
                     "left_outer",
                 )
-                .select(
-                    F.col(f"s.{group_col}").alias(group_col),
-                    "n_rows",
-                    "_dsum",
-                    F.when(F.col("_recompute"), F.col("_rmin"))
-                    .otherwise(F.col("_min"))
-                    .alias("_min"),
-                    F.when(F.col("_recompute"), F.col("_rmax"))
-                    .otherwise(F.col("_max"))
-                    .alias("_max"),
-                )
+                .select(*out_cols)
             )
         else:
             staged = staged.drop("_recompute")
-        return staged.select(group_col, "n_rows", "_dsum", "_min", "_max")
+        keep = [group_col, "n_rows", "_dsum"]
+        if minmax:
+            keep += ["_min", "_max"]
+        if adist_k:
+            keep.append("_kmv")
+        return staged.select(*keep)
 
     # ------------------------------------------------------------ read
 
     def snapshot(self) -> DataFrame:
-        """The view as (group, n_rows, sum_value double[, min/max/avg])."""
+        """The view as (group, n_rows, sum_value double[, min/max/avg]
+        [, approx_distinct_est])."""
         meta = self._meta()
         cols = [
             F.col(meta["group_col"]),
@@ -433,4 +554,25 @@ class IncrementalAggView:
                 .cast("double")
                 .alias("avg_value"),
             ]
+        k = int(meta.get("kmv_k") or 0)
+        if k:
+            # the SAME estimator expression as sketch.py::kmv_distinct —
+            # (k-1)·2⁶⁰ / h(k), exact count below k, try_divide for the
+            # p≈2⁻⁶⁰ all-zero-prefix degenerate — so the served estimate
+            # is bit-identical to the batch sketch of the same rows
+            cols.append(
+                F.when(
+                    F.size("_kmv") < k, F.size("_kmv").cast("double")
+                )
+                .otherwise(
+                    F.round(
+                        F.try_divide(
+                            F.lit(float((k - 1) * 2**60)),
+                            F.element_at("_kmv", k),
+                        ),
+                        6,
+                    )
+                )
+                .alias("approx_distinct_est")
+            )
         return self.table.snapshot().select(*cols)

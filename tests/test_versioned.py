@@ -2276,3 +2276,143 @@ def test_merge_point_skipping_touches_only_point_files(spark, tmp_path):
         V.POINT_SKIP_CAP = old_cap
     assert dict((r["k"], r["name"]) for r in t_pts.snapshot().collect())[2] == "X2"
 
+
+
+def test_ivm_approx_distinct_kmv(spark, tmp_path):
+    """APPROX DISTINCT view maintenance (round 8): the per-group KMV
+    sketch is PATH-INDEPENDENT — after any append/merge/delete/update/
+    compact sequence the maintained sketch (and the served estimate)
+    equals the from-scratch sketch of the base snapshot, bit for bit.
+    Deleting a value whose hash is ABOVE the group's k-th minimum renews
+    nothing (no recompute read beyond the change feed); deleting the
+    group's SMALLEST hash forces the bounded group recompute. Estimator
+    parity: the served approx_distinct_est matches
+    sketch.py::kmv_distinct on the same rows exactly."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+    from database_anonymiser_spark.operators.sketch import kmv_distinct
+
+    K = 8
+    # 4 groups; g=0 has 30 distinct values (> K: estimator branch), the
+    # others stay below K (exact branch); duplicates everywhere
+    rows = [(i, i % 4, float((i // 4) % (30 if i % 4 == 0 else 5))) for i in range(240)]
+    base = VersionedTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(rows, "k long, g long, v double"),
+        key_col="k",
+    )
+    base.optimize_zorder(("g",), file_count=8)
+    view = IncrementalAggView.create(
+        spark, tmp_path / "view", base, "g", "v",
+        approx_distinct=True, kmv_k=K,
+    )
+
+    def sketch_of(df):
+        hv = F.conv(
+            F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return {
+            r["g"]: tuple(r["s"])
+            for r in df.groupBy("g")
+            .agg(F.slice(F.array_sort(F.collect_set(hv)), 1, K).alias("s"))
+            .collect()
+        }
+
+    def check():
+        # internal sketch state == from-scratch sketch, exactly
+        got = {
+            r["g"]: tuple(r["_kmv"])
+            for r in view.table.snapshot().select("g", "_kmv").collect()
+        }
+        assert got == sketch_of(base.snapshot())
+        # served estimate == the batch KMV operator on the same rows
+        want_est = {
+            r["g"]: r["kmv_distinct_est"]
+            for r in kmv_distinct(base.snapshot(), "v", ("g",), k=K).collect()
+        }
+        got_est = {
+            r["g"]: r["approx_distinct_est"] for r in view.snapshot().collect()
+        }
+        assert got_est == want_est
+
+    check()
+
+    # inserts (incl. brand-new group 9): closed-form monoid merge
+    base.append(
+        spark.createDataFrame(
+            [(1000, 0, 77.0), (1001, 9, 1.0), (1002, 9, 2.0)],
+            "k long, g long, v double",
+        )
+    )
+    view.refresh(base)
+    check()
+
+    # update moves rows between groups (pre-image removal + post insert)
+    base.update_where({"g": F.lit(1)}, F.col("k").between(8, 16))
+    view.refresh(base)
+    check()
+
+    # delete a value whose hash is ABOVE g=0's k-th min: sketch provably
+    # unaffected -> refresh reads ONLY the change feed (+ the view's own
+    # files), no recompute read of the group's base rows
+    hv = F.conv(
+        F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    g0 = (
+        base.snapshot().where(F.col("g") == 0)
+        .select("k", "v", hv.alias("h")).collect()
+    )
+    thresh = sorted({r["h"] for r in g0})[K - 1]
+    safe = next(r for r in g0 if r["h"] > thresh)
+    # delete ALL copies of that value so the removal really hits the base
+    doomed = [r["k"] for r in g0 if r["v"] == safe["v"]]
+    vpre = base.latest_version()
+    base.delete_where(F.col("k").isin(doomed) & (F.col("g") == 0))
+    import json as _json
+
+    rec = _json.loads(V._log_path(base.root, base.latest_version()).read_text())
+    feed_files = len(rec["adds"]) + len(rec["removes"])
+    view_files = len(view.table._live_entries())
+    f0 = V.DATA_FILES_READ
+    view.refresh(base)
+    assert V.DATA_FILES_READ - f0 <= feed_files + view_files
+    check()
+
+    # delete g=0's SMALLEST hash: in-sketch loss -> bounded recompute
+    g0 = (
+        base.snapshot().where(F.col("g") == 0)
+        .select("k", "v", hv.alias("h")).collect()
+    )
+    lowest = min(g0, key=lambda r: r["h"])
+    base.delete_where(
+        F.col("k").isin([r["k"] for r in g0 if r["v"] == lowest["v"]])
+        & (F.col("g") == 0)
+    )
+    view.refresh(base)
+    check()
+
+    # row-preserving compaction advances metadata-only; combined
+    # minmax+adist view maintains both through the same feed
+    base.compact(target_file_bytes=64 * 1024 * 1024)
+    view.refresh(base)
+    check()
+
+    both = IncrementalAggView.create(
+        spark, tmp_path / "both", base, "g", "v",
+        minmax=True, approx_distinct=True, kmv_k=K,
+    )
+    base.delete_where(F.col("g") == 9)  # group vanishes from both views
+    view.refresh(base)
+    both.refresh(base)
+    check()
+    assert not [r for r in both.snapshot().collect() if r["g"] == 9]
+    mm = {r["g"]: (r["min_value"], r["max_value"]) for r in both.snapshot().collect()}
+    want_mm = {
+        r["g"]: (r["mn"], r["mx"])
+        for r in base.snapshot().groupBy("g").agg(
+            F.min(F.col("v").cast("decimal(18,2)")).cast("double").alias("mn"),
+            F.max(F.col("v").cast("decimal(18,2)")).cast("double").alias("mx"),
+        ).collect()
+    }
+    assert mm == want_mm
