@@ -182,7 +182,9 @@ class VersionedAnnIndex:
             rows = pq_index(corpus_delta, id_col, vec_col, books)
         else:
             rows = ivf_int8_index(corpus_delta, id_col, vec_col, self.centroids())
-        return self.table.merge(rows, when_matched="update")
+        # vector ids of a delta batch are scattered over the id space:
+        # point skipping touches only files holding a re-delivered id
+        return self.table.merge(rows, when_matched="update", skip_by="points")
 
     # ---------------------------------------------------------- read
 

@@ -126,7 +126,10 @@ def scd2_apply(
             F.lit(ts).alias("_valid_to"),
             F.lit(False).alias("_is_current"),
         )
-        dim.merge(opens.unionByName(closes), when_matched="update")
+        # the delta's surrogate keys are hash-scattered over the keyspace:
+        # point skipping touches only the files holding a closed row's _sk
+        # (range skipping would span nearly the whole dimension)
+        dim.merge(opens.unionByName(closes), when_matched="update", skip_by="points")
         return dim.latest_version()
     finally:
         cached.unpersist()

@@ -760,13 +760,17 @@ class VersionedTable:
         metadata arithmetic: one bisect of the sorted value list per file,
         O(files × log |values|), no data scan. A file without stats for
         ``col`` is kept (must-scan), matching the range path's contract.
+        NULL probe values are dropped (min/max stats never witness NULLs;
+        a NULL point-lookup matches nothing).
 
         This is what serves bucket/key point probes at scale — e.g. the
         streaming near-dedup sink probing its LSH band store: after a
         Z-ORDER compaction on the probed column each value maps to at
         most one file, so a probe of v values reads ≤ v files however
         large the store is."""
-        vals = sorted(values)
+        vals = sorted(v for v in values if v is not None)
+        if not vals:
+            return []
         out = []
         for e in self._live_entries(version):
             if col == self._key_col and e.get("key_min") is not None:

@@ -416,9 +416,13 @@ def run_stream_to_versioned(
       crash mid-batch leaves invisible orphan files (vacuumable), never a
       torn table.
 
-    100 TB shape: per batch, MERGE rewrites only the data files whose
-    footer key range intersects the batch's keys — a trickle of updates
-    touches a handful of files however large the table is. One version
+    100 TB shape: per batch, MERGE rewrites only the data files actually
+    holding one of the batch's keys (``skip_by='points'`` — the batch's
+    distinct key set is micro-batch-bounded, so the point collect is the
+    cap-guarded bounded-driver-collect contract; a SCATTERED batch whose
+    key range spans the table no longer rewrites every file in the span)
+    — a trickle of updates touches a handful of files however large the
+    table is. One version
     accrues per micro-batch, which is exactly the workload the log
     CHECKPOINTS bound (round-6): every CHECKPOINT_INTERVAL commits the
     writer materializes full state, so per-batch metadata reads stay
@@ -458,7 +462,7 @@ def run_stream_to_versioned(
         # in-batch duplicates should dedup upstream, e.g. curate_stream's
         # fingerprint dedup; this guard keeps the sink total)
         batch = batch_df.dropDuplicates([key_col])
-        t.merge(batch, when_matched="update")
+        t.merge(batch, when_matched="update", skip_by="points")
         # views refresh BEFORE maintenance (round-7 advice): the refresh
         # consumes diff(cursor, merge-version), whose update PRE-IMAGE
         # files are exactly what this batch's vacuum is about to delete —
