@@ -254,6 +254,29 @@ def main():
     storage_meta: dict[str, int] = {}
     _bench("storage_churn", lambda: _churn_lifecycle(spark, sf_dir, storage_meta))
 
+    # --- streaming near-dedup ingest telemetry (round 8): the
+    # corpus-lifetime MinHash dedup sink is the continuous-ingest path a
+    # training pipeline runs. One 3-batch lifecycle of the fixture's
+    # documents through apply_neardedup_batch (in-batch LSH + signature-
+    # store probe + point-skipped merges + one Z-ORDER), recorded ONCE as
+    # a side dict (the ann_recall precedent) — wall + per-batch counters,
+    # NOT a headline timing: a micro-batch pipeline is driver-latency-
+    # bound at fixture scale (~15 bounded Spark jobs/batch), so 3 reps
+    # would triple the bench for a number whose regression tripwire is
+    # the FILE-READ counter, not the wall clock.
+    from tools.storage_probe import neardedup_stream as _nd_lifecycle
+
+    neardedup_meta: dict[str, float] = {}
+    _t0 = time.perf_counter()
+    _nd_kept = _nd_lifecycle(spark, sf_dir, neardedup_meta)
+    neardedup_meta["lifecycle_sec"] = round(time.perf_counter() - _t0, 3)
+    neardedup_meta["kept_docs"] = _nd_kept
+    print(
+        f"# neardedup_stream: {neardedup_meta['lifecycle_sec']:.2f}s "
+        f"({_nd_kept} kept, 1 rep)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
 
     # --- ANN recall telemetry (round-6 verdict #8): recall@10 of each
@@ -384,6 +407,7 @@ def main():
                 "queries": timings,
                 "curate_stage_sec": curate_stages,
                 "storage_meta_reads": storage_meta,
+                "neardedup_meta": neardedup_meta,
                 "ann_recall": ann_recall,
                 "ann_recall_curve": ann_recall_curve,
                 "notes": {

@@ -330,51 +330,84 @@ def minhash_lsh_pairs(
             F.col("mh_0").isNotNull()
         ),
     )
+    if max_df is None:
+        return lsh_pairs_from_signatures(
+            sh_arr, sig, id_col, rows_per_band=rows_per_band, threshold=threshold
+        )
+    candidates = _lsh_candidates(sig, id_col, rows_per_band)
+    # max_df path: the df-cap filter lives on the exploded index, so the
+    # verified Jaccard uses the capped sets on both sides consistently
+    # (signatures/candidates stay array-based — recall only)
+    return _verify_capped(sh, candidates, id_col, threshold, max_df)
+
+
+def _lsh_candidates(sig: DataFrame, id_col: str, rows_per_band: int) -> DataFrame:
     buckets = minhash_band_rows(sig, id_col, rows_per_band=rows_per_band).select(
         id_col, "band_id", "band_key"
     )
     left = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
-    candidates = (
+    return (
         left.join(right, ["band_id", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_pairs_from_signatures(
+    sh_arr: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The banded-LSH pair pipeline over PRECOMPUTED (and ideally cached)
+    shingle-array and signature frames — the single-pass entry for
+    callers that also need the signatures themselves (the streaming
+    near-dedup batch builds band rows from the same ``sig``, so the
+    md5/shingle chain runs once per batch, not twice). Semantics
+    identical to :func:`minhash_lsh_pairs`'s default path.
+
+    Candidates come from the band self-join; verification is exact
+    n-gram Jaccard per candidate row (cost ∝ collisions, not |docs|²).
+    """
+    candidates = _lsh_candidates(sig, id_col, rows_per_band)
     # exact-Jaccard verification restricted to LSH candidates (cost ∝
     # candidates, not |docs|²). Default path: join the candidates back to
     # the cached shingle ARRAYS and intersect per row — no explode, no
     # groupBy; set sizes read off the arrays in the same projection.
-    if max_df is None:
-        arr_a = sh_arr.select(
-            F.col(id_col).alias("id_a"), F.col("shingle_arr").alias("_aa")
+    arr_a = sh_arr.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_arr").alias("_aa")
+    )
+    arr_b = sh_arr.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_arr").alias("_ab")
+    )
+    return (
+        candidates.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_aa", "_ab")).alias("_common"),
+            F.size("_aa").alias("_sza"),
+            F.size("_ab").alias("_szb"),
         )
-        arr_b = sh_arr.select(
-            F.col(id_col).alias("id_b"), F.col("shingle_arr").alias("_ab")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+                6,
+            ).alias("jaccard"),
         )
-        return (
-            candidates.join(arr_a, "id_a")
-            .join(arr_b, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.size(F.array_intersect("_aa", "_ab")).alias("_common"),
-                F.size("_aa").alias("_sza"),
-                F.size("_ab").alias("_szb"),
-            )
-            .select(
-                "id_a",
-                "id_b",
-                F.round(
-                    F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
-                    6,
-                ).alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
-        )
-    # max_df path: the df-cap filter lives on the exploded index, so the
-    # verified Jaccard uses the capped sets on both sides consistently
-    # (signatures/candidates stay array-based — recall only)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _verify_capped(
+    sh: DataFrame, candidates: DataFrame, id_col: str, threshold: float, max_df: int
+) -> DataFrame:
     sh, sizes = _apply_max_df(sh, id_col, max_df)
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")

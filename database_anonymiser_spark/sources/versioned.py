@@ -157,6 +157,13 @@ VALIDATE_MERGE_TARGET_KEYS = os.environ.get("SPARK_GRAFT_VALIDATE_MERGE") == "1"
 #: MB on the driver, the same order as a bloom bitmap or ANN shortlist).
 POINT_SKIP_CAP = 65536
 
+#: read_matching_any's row filter switches from an isin literal (parquet
+#: pushdown) to a broadcast semi-join above this many probe values — a
+#: py4j In-literal costs ~1.5 ms per element to build plus analyzer time
+#: on the giant expression (measured: 17 s at 6,600 values vs 1 s for
+#: the join); below the cap the literal's pushdown wins.
+ISIN_LITERAL_CAP = 256
+
 
 def _replay_cache_invalidate(root: Path) -> None:
     key = str(root)
@@ -789,21 +796,37 @@ class VersionedTable:
         self, col: str, values: list, version: int | None = None
     ) -> DataFrame:
         """Point-lookup snapshot read: prune files via
-        :meth:`files_matching_any`, then filter the survivors with an
-        ``isin`` LITERAL (parquet row-group pushdown; a literal, not a
-        semi-join — same reasoning as the ANN re-rank probe: the values
-        are caller-bounded, so shipping them in the plan beats shuffling
-        a probe side). Driver literal cost scales with |values|; callers
-        hold the bound (a micro-batch's bucket set, a shortlist of ids).
-        Empty values or no surviving files → empty frame with the table
-        schema. ``version`` pins the read (default latest)."""
-        if not values:
+        :meth:`files_matching_any`, then filter the survivors' rows.
+        The row filter picks its shape by |values| — MEASURED, not
+        assumed (6,600 values, local[32]):
+
+        - ≤ ``ISIN_LITERAL_CAP``: an ``isin`` LITERAL — parquet
+          row-group pushdown, zero extra jobs (the ANN re-rank
+          shortlist shape);
+        - above it: a BROADCAST left-semi join against an Arrow-built
+          single-column frame. A py4j ``isin`` costs ~1.5 ms per literal
+          to BUILD plus analyzer time on the giant In (10.2 s build +
+          6.6 s exec at 6,600 values vs 1.0 s total for the join) —
+          the literal's pushdown advantage is irrelevant past the cap
+          because file pruning already did the skipping.
+
+        NULL values are dropped (point-lookups never match NULL). Empty
+        values or no surviving files → empty frame with the table
+        schema, zero file refs. ``version`` pins the read (default
+        latest)."""
+        vals = [v for v in values if v is not None]
+        if not vals:
             return self._empty_frame(version)
-        entries = self.files_matching_any(col, values, version=version)
+        entries = self.files_matching_any(col, vals, version=version)
         if not entries:
             return self._empty_frame(version)
         df = self._read_paths([e["path"] for e in entries])
-        return df.where(F.col(col).isin(*values))
+        if len(vals) <= ISIN_LITERAL_CAP:
+            return df.where(F.col(col).isin(*vals))
+        import pandas as pd
+
+        probe = self.spark.createDataFrame(pd.DataFrame({col: vals}))
+        return df.join(F.broadcast(probe), col, "left_semi")
 
     def read_where(
         self, predicates: dict[str, tuple], version: int | None = None

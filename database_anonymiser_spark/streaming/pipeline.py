@@ -577,6 +577,13 @@ def run_stream_to_scd2(
     return run_foreach_batch(df, sink, checkpoint)
 
 
+#: apply_neardedup_batch collects a batch's verified in-batch dup PAIRS
+#: for a driver-side union-find; above this many pairs it falls back to
+#: the distributed connected-components loop (the cap is the
+#: bounded-driver-collect contract — 20k pairs ≈ a few hundred KB)
+DRIVER_CC_CAP = 20_000
+
+
 def run_stream_neardedup(
     docs: DataFrame,
     out_root: str,
@@ -649,99 +656,164 @@ def run_stream_neardedup(
     reads ≤ v files regardless of store size (asserted by counter in
     tests). That is Delta's OPTIMIZE-restores-skipping operating loop.
     """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_neardedup_batch(
+            spark or batch_df.sparkSession,
+            batch_df,
+            out_root,
+            store_root,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            zorder_store=bool(
+                store_zorder_every and (batch_id + 1) % store_zorder_every == 0
+            ),
+        )
+
+    return run_foreach_batch(docs, sink, checkpoint)
+
+
+def apply_neardedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    out_root: str,
+    store_root: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    zorder_store: bool = False,
+) -> None:
+    """One micro-batch of corpus-lifetime near-dedup — the BATCH face of
+    :func:`run_stream_neardedup` (the stream sink delegates here; batch
+    backfills and the bench lifecycle call it directly, same semantics
+    minus the streaming runtime). ``zorder_store=True`` runs the store's
+    Z-ORDER re-cluster + retention vacuum after the merge (the stream
+    passes it on the ``store_zorder_every`` cadence)."""
     from database_anonymiser_spark.operators import dedup as DD
-    from database_anonymiser_spark.operators.graph import (
-        connected_components,
-        dedup_survivors,
-    )
+    from database_anonymiser_spark.operators.graph import connected_components
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     k = len(DD.HASH_FAMILY)
+    s = spark
+    # the batch is re-read by pairs/signatures/merge — pin it once
+    batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    if not batch.limit(1).count():
+        return
+    # SINGLE signature pass: the checkpointed sig frame (|batch| × k+1
+    # small ints) feeds the in-batch pair candidates AND the band rows —
+    # the md5/shingle HOF chain runs once per batch, not once per use
+    sh_arr = DD.shingle_array(batch, id_col, text_col, n)
+    sig = (
+        DD.minhash_signatures_from_array(sh_arr, id_col)
+        .where(F.col("mh_0").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    pairs = DD.lsh_pairs_from_signatures(
+        sh_arr, sig, id_col, rows_per_band=rows_per_band, threshold=threshold
+    ).localCheckpoint(eager=True)  # verified dup pairs only: tiny
+    doomed_df = None
+    pair_rows = pairs.limit(DRIVER_CC_CAP + 1).collect()
+    if pair_rows:
+        if len(pair_rows) <= DRIVER_CC_CAP:
+            # in-batch components on the driver: a micro-batch's verified
+            # dup-pair set is collect-bounded (cap above), and a driver
+            # union-find replaces the distributed pointer-jumping loop's
+            # ~4 jobs with zero — same min-id-survivor semantics
+            parent: dict = {}
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        s = spark or batch_df.sparkSession
-        # the batch is re-read by pairs/signatures/merge — pin it once
-        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
-        if not batch.limit(1).count():
-            return
-        pairs = DD.minhash_lsh_pairs(
-            batch, id_col, text_col, n=n,
-            rows_per_band=rows_per_band, threshold=threshold,
-        )
-        if pairs.limit(1).count():
-            batch = dedup_survivors(batch, id_col, connected_components(pairs))
-        sig = DD.minhash_signatures(batch, id_col, text_col, n=n).where(
-            F.col("mh_0").isNotNull()
-        )
-        bands = DD.minhash_band_rows(sig, id_col, rows_per_band=rows_per_band)
-        bands = bands.localCheckpoint(eager=True)
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
 
-        store = VersionedTable(s, store_root)
-        if store.versions():
-            bks = sorted(r["bk"] for r in bands.select("bk").distinct().collect())
-            if bks:
-                b = bands.select(
-                    F.col(id_col).alias("_nid"), "bk", F.col("sig").alias("_nsig")
-                )
-                h = store.read_matching_any("bk", bks).select(
-                    F.col("id").alias("_oid"), "bk", F.col("sig").alias("_osig")
-                )
-                agree = F.size(
-                    F.expr("filter(zip_with(_nsig, _osig, (x, y) -> x = y), v -> v)")
-                ) / F.lit(k)
-                dup_ids = (
-                    b.join(h, "bk")
-                    .where(F.col("_nid") != F.col("_oid"))
-                    .where(agree >= F.lit(threshold))
-                    .select(F.col("_nid").alias(id_col))
-                    .distinct()
-                )
-                batch = batch.join(dup_ids, id_col, "left_anti")
-                bands = bands.join(dup_ids, id_col, "left_anti")
+            for row in pair_rows:
+                a, b = _find(row["id_a"]), _find(row["id_b"])
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            doomed = [x for x in parent if _find(x) != x]
+            import pandas as pd
 
-        # OUT first, STORE second (crash-safety argument in the docstring)
-        if batch.limit(1).count():
-            out = VersionedTable(s, out_root)
-            if not out.versions():
-                VersionedTable.create(s, out_root, batch, key_col=id_col)
-            else:
-                out.merge(batch, when_matched="update", skip_by="points")
-        # skey leads with bk rendered as FIXED-WIDTH HEX, so the store's
-        # merge key sorts in the same order the probe column clusters:
-        # after a Z-ORDER on bk every file has a narrow skey range too,
-        # and the point-skipped merge (skip_by='points') touches only
-        # files actually holding a re-delivered row — without the
-        # alignment, merge key ranges would span the whole store the
-        # moment bk clustering rewrote the files
-        srows = bands.select(
-            F.concat_ws(
-                "#",
-                F.lpad(F.hex(F.col("bk")), 16, "0"),
-                F.col(id_col).cast("string"),
-                F.col("band_id").cast("string"),
-            ).alias("skey"),
-            F.col(id_col).alias("id"),
-            "band_id",
-            "band_key",
-            "bk",
-            "sig",
-        )
-        if srows.limit(1).count():
-            if not store.versions():
-                VersionedTable.create(
-                    s, store_root, srows, key_col="skey", stats_cols=("bk",)
-                )
-            else:
-                store.merge(srows, when_matched="update", skip_by="points")
-        if (
-            store_zorder_every
-            and store.versions()
-            and (batch_id + 1) % store_zorder_every == 0
-        ):
-            store.optimize_zorder(("bk",))
-            store.vacuum(retain_versions=2)
+            doomed_df = s.createDataFrame(pd.DataFrame({id_col: doomed}))
+        else:
+            comp = connected_components(pairs)
+            doomed_df = comp.where(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias(id_col)
+            )
+        batch = batch.join(doomed_df, id_col, "left_anti")
+    bands = DD.minhash_band_rows(sig, id_col, rows_per_band=rows_per_band)
+    if doomed_df is not None:
+        bands = bands.join(doomed_df, id_col, "left_anti")
+    bands = bands.localCheckpoint(eager=True)
 
-    return run_foreach_batch(docs, sink, checkpoint)
+    store = VersionedTable(s, store_root)
+    if store.versions():
+        bks = sorted(r["bk"] for r in bands.select("bk").distinct().collect())
+        if bks:
+            b = bands.select(
+                F.col(id_col).alias("_nid"), "bk", F.col("sig").alias("_nsig")
+            )
+            h = store.read_matching_any("bk", bks).select(
+                F.col("id").alias("_oid"), "bk", F.col("sig").alias("_osig")
+            )
+            agree = F.size(
+                F.expr("filter(zip_with(_nsig, _osig, (x, y) -> x = y), v -> v)")
+            ) / F.lit(k)
+            dup_ids = (
+                b.join(h, "bk")
+                .where(F.col("_nid") != F.col("_oid"))
+                .where(agree >= F.lit(threshold))
+                .select(F.col("_nid").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+            bands = bands.join(dup_ids, id_col, "left_anti")
+
+    # OUT first, STORE second (crash-safety argument in the docstring)
+    if batch.limit(1).count():
+        out = VersionedTable(s, out_root)
+        if not out.versions():
+            VersionedTable.create(s, out_root, batch, key_col=id_col)
+        else:
+            out.merge(batch, when_matched="update", skip_by="points")
+    # skey leads with bk rendered as FIXED-WIDTH HEX, so the store's
+    # merge key sorts in the same order the probe column clusters:
+    # after a Z-ORDER on bk every file has a narrow skey range too,
+    # and the point-skipped merge (skip_by='points') touches only
+    # files actually holding a re-delivered row — without the
+    # alignment, merge key ranges would span the whole store the
+    # moment bk clustering rewrote the files
+    srows = bands.select(
+        F.concat_ws(
+            "#",
+            F.lpad(F.hex(F.col("bk")), 16, "0"),
+            F.col(id_col).cast("string"),
+            F.col("band_id").cast("string"),
+        ).alias("skey"),
+        F.col(id_col).alias("id"),
+        "band_id",
+        "band_key",
+        "bk",
+        "sig",
+    )
+    if srows.limit(1).count():
+        if not store.versions():
+            VersionedTable.create(
+                s, store_root, srows, key_col="skey", stats_cols=("bk",)
+            )
+        else:
+            store.merge(srows, when_matched="update", skip_by="points")
+    if zorder_store and store.versions():
+        store.optimize_zorder(("bk",))
+        store.vacuum(retain_versions=2)
 
 
 def _views_min_cursor(spark: SparkSession, roots: tuple[str, ...]) -> int | None:

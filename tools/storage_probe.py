@@ -66,3 +66,53 @@ def storage_churn(spark, sf_dir: str, meta: dict) -> int:
         return n + d
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def neardedup_stream(spark, sf_dir: str, meta: dict) -> int:
+    """One near-dedup ingest lifecycle over the fixture's documents
+    (bench.py's ``neardedup_stream``): 3 micro-batches of ~1/3 of the
+    corpus through ``apply_neardedup_batch`` — the exact batch function
+    the streaming sink delegates to (benching it directly keeps the
+    number about the OPERATOR, not availableNow trigger overhead) —
+    in-batch LSH dedup, signature-store probe, point-skipped merges,
+    one Z-ORDER re-cluster after batch 2, with the LAST batch's
+    DATA_FILES_READ delta recorded (the probe-skipping tripwire: it
+    must stay ~bounded by the batch's bucket count + merge touch set,
+    not grow with the store). Returns the kept-doc count witness."""
+    import os
+    import tempfile
+
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import apply_neardedup_batch
+    from database_anonymiser_spark.suite.base import load
+
+    base = tempfile.mkdtemp(prefix="bench_nd_")
+    out_root = os.path.join(base, "out")
+    store_root = os.path.join(base, "store")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def one(bno, zorder=False):
+            apply_neardedup_batch(
+                spark,
+                docs.where(F.col("doc_id") % 3 == bno),
+                out_root,
+                store_root,
+                id_col="doc_id",
+                text_col="text",
+                threshold=0.5,
+                zorder_store=zorder,
+            )
+
+        one(0)
+        one(1, zorder=True)
+        f0 = V.DATA_FILES_READ
+        one(2)
+        meta["last_batch_files_read"] = V.DATA_FILES_READ - f0
+        meta["store_live_files"] = len(
+            VersionedTable(spark, store_root)._live_entries()
+        )
+        return VersionedTable(spark, out_root).snapshot().count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
