@@ -962,6 +962,8 @@ class VersionedTable:
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
+        if skip_by not in ("range", "points"):
+            raise ValueError("skip_by must be 'range' or 'points'")
         key_col = self.key_col()
         if key_col is None:
             raise ValueError("table has no key_col; cannot merge")
@@ -999,8 +1001,6 @@ class VersionedTable:
                     .collect()
                 )
             # else: fall back to range skipping (documented cap)
-        elif skip_by != "range" and skip_by != "points":
-            raise ValueError("skip_by must be 'range' or 'points'")
 
         def may_match(e: dict) -> bool:
             if lo is None:  # empty source: nothing matches

@@ -1196,3 +1196,72 @@ def test_stream_neardedup_store_probe_bounded(spark, tmp_path):
     # TOP of that
     assert delta <= 9, (delta, n_live)
     assert VersionedTable(spark, out_root).snapshot().count() == 21
+
+
+def test_stream_curate_then_neardedup_pipeline(spark, tmp_path):
+    """END-TO-END streaming ingest: curate_stream's per-document gates +
+    watermarked EXACT dedup feed run_stream_neardedup's corpus-lifetime
+    NEAR dedup — the full continuous training-data ingest composition.
+    Sub-length docs fall to the token gate, an exact re-post (same text,
+    new id, inside the watermark) falls to the fingerprint state, a
+    cross-batch near-dup falls to the signature store, and the out table
+    holds exactly the curated survivors with their curation columns."""
+    import datetime
+    import glob
+    import shutil
+
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import (
+        curate_stream,
+        run_stream_neardedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_root = str(tmp_path / "out")
+    store_root = str(tmp_path / "store")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def feed(bno, rows):
+        d = str(tmp_path / f"stage{bno}")
+        spark.createDataFrame(
+            [(i, t, t0 + datetime.timedelta(minutes=m)) for i, t, m in rows],
+            "doc_id long, text string, ts timestamp",
+        ).repartition(1).write.parquet(d, mode="overwrite")
+        for i, p in enumerate(glob.glob(d + "/*.parquet")):
+            shutil.move(p, str(src / f"b{bno}_{i}.parquet"))
+        shutil.rmtree(d)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(str(src))
+        curated = curate_stream(
+            stream, min_tokens=5, drop_boilerplate=False, watermark="1 hour"
+        )
+        run_stream_neardedup(
+            curated, out_root, store_root, ckpt,
+            id_col="doc_id", text_col="text", threshold=0.5,
+        )
+
+    feed(1, [
+        (1, _nd_doc("a"), 0),
+        (2, _nd_doc("b"), 1),
+        (3, "too short", 2),              # token gate (< 5 tokens)
+    ])
+    drain()
+    feed(2, [
+        (4, _nd_doc("a"), 5),             # EXACT re-post of doc 1 -> fingerprint state
+        (5, _nd_neardup("b"), 6),         # NEAR-dup of doc 2 -> signature store
+        (6, _nd_doc("c"), 7),
+    ])
+    drain()
+
+    out = VersionedTable(spark, out_root)
+    kept = sorted(r["doc_id"] for r in out.snapshot().select("doc_id").collect())
+    assert kept == [1, 2, 6]
+    # curation columns ride through the sink into the out table
+    cols = set(out.snapshot().columns)
+    assert {"doc_id", "text", "n_tokens", "quality_score", "lang_pred",
+            "fingerprint"} <= cols
