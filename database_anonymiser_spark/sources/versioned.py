@@ -273,20 +273,28 @@ def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
     the running max of raw commit timestamps — MONOTONE by construction
     even under multi-writer clock skew, the axis TIMESTAMP AS OF bisects
     over. Both load from the newest carrying checkpoint plus the tail
-    commits, like :func:`_replay`; checkpoints written before round 8
-    lack the fields — full scan fallback (correct, self-heals at the
-    next checkpoint write)."""
+    commits, like :func:`_replay`. A checkpoint written before a field
+    existed heals INDEPENDENTLY per field: a pre-r8 checkpoint carrying
+    ``ever`` but not ``eff_ts`` still bounds the ever-set read, while
+    eff_ts recovers with one full-log scan — deriving eff_ts from the
+    tail alone would UNDERSTATE the clamp whenever the skewed-high
+    commit lives in the checkpointed prefix, and every later checkpoint
+    would inherit the poisoned value (caught in review, round 8)."""
     global COMMIT_READS
     ever: set = set()
     eff_ts = ""
-    start = 0
+    ever_start = 0
+    eff_start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
         cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
         if "ever" in cp:
             ever = set(cp["ever"])
-            eff_ts = cp.get("eff_ts") or ""
-            start = cps[-1] + 1
+            ever_start = cps[-1] + 1
+        if "eff_ts" in cp:
+            eff_ts = cp["eff_ts"] or ""
+            eff_start = cps[-1] + 1
+    start = min(ever_start, eff_start)
     for v in _list_versions(root):
         if v < start:
             continue
@@ -294,13 +302,39 @@ def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
             break
         rec = json.loads(_log_path(root, v).read_text())
         COMMIT_READS += 1
-        ever |= {a["path"] for a in rec["adds"]}
-        eff_ts = max(eff_ts, rec.get("ts") or "")
+        if v >= ever_start:
+            ever |= {a["path"] for a in rec["adds"]}
+        if v >= eff_start:
+            eff_ts = max(eff_ts, rec.get("ts") or "")
     return ever, eff_ts
 
 
 def _ever_added(root: Path, upto: int) -> set:
     return _checkpoint_aux(root, upto)[0]
+
+
+_EFF_RE = None
+
+
+def _checkpoint_eff(root: Path, version: int) -> str | None:
+    """The checkpoint's recorded ``eff_ts`` via a BOUNDED head read —
+    the field is written first in the payload (a few dozen bytes in), so
+    the time-travel bisect never parses the O(table-files) live/ever
+    arrays behind it. Returns None for legacy checkpoints (field absent
+    → version_at falls back to the linear clamped scan)."""
+    global _EFF_RE
+    if _EFF_RE is None:
+        import re
+
+        _EFF_RE = re.compile(r'"eff_ts":\s*"([^"]*)"')
+    with open(_checkpoint_path(root, version), "r") as f:
+        head = f.read(4096)
+    m = _EFF_RE.search(head)
+    if m:
+        return m.group(1)
+    # field missing from the head: legacy checkpoint (pre-r8 writers put
+    # no eff_ts at all; r8 writers always place it before the arrays)
+    return json.loads(_checkpoint_path(root, version).read_text()).get("eff_ts")
 
 
 def _write_checkpoint(root: Path, version: int) -> None:
@@ -313,15 +347,19 @@ def _write_checkpoint(root: Path, version: int) -> None:
     payload = json.dumps(
         {
             "version": version,
+            # running max of raw commit timestamps <= version: the
+            # MONOTONE axis version_at bisects over (raw ts may be skewed
+            # by multi-writer clocks; the effective clamp never is).
+            # Written UNCONDITIONALLY ("" = no timestamped commit yet, so
+            # the legacy-heal scan runs once) and FIRST — the bisect
+            # reads it with a bounded head read (_checkpoint_eff), never
+            # parsing the O(files) live/ever arrays behind it
+            "eff_ts": eff_ts,
             "key_col": key_col,
             "constraints": constraints,
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             "ever": ever,
-            # running max of raw commit timestamps <= version: the
-            # MONOTONE axis version_at bisects over (raw ts may be skewed
-            # by multi-writer clocks; the effective clamp never is)
-            **({"eff_ts": eff_ts} if eff_ts else {}),
             "live": list(live.values()),
         },
         default=str,
@@ -597,9 +635,8 @@ class VersionedTable:
         best_cp = None
         while lo <= hi:
             mid = (lo + hi) // 2
-            cp = json.loads(_checkpoint_path(self.root, cps[mid]).read_text())
+            cp_eff = _checkpoint_eff(self.root, cps[mid])
             COMMIT_READS += 1
-            cp_eff = cp.get("eff_ts")
             if cp_eff is None:
                 best_cp = None  # legacy checkpoint: linear from 0
                 break
@@ -611,7 +648,10 @@ class VersionedTable:
         if best_cp is not None:
             start_version, eff = best_cp
             start = start_version + 1
-            best = start_version
+            # an empty eff means "no timestamped commit yet" at that
+            # checkpoint — it still bounds the scan start, but is not
+            # itself an answer
+            best = start_version if eff else None
         else:
             best = None
 

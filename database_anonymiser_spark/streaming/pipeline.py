@@ -706,8 +706,13 @@ def apply_neardedup_batch(
         return
     # SINGLE signature pass: the checkpointed sig frame (|batch| × k+1
     # small ints) feeds the in-batch pair candidates AND the band rows —
-    # the md5/shingle HOF chain runs once per batch, not once per use
-    sh_arr = DD.shingle_array(batch, id_col, text_col, n)
+    # the md5/shingle HOF chain runs once per batch, not once per use.
+    # sh_arr itself is LAZILY checkpointed: sig's eager materialization
+    # below executes it once, and the exact-Jaccard verify's two join
+    # sides then read the stored arrays instead of re-tokenizing
+    sh_arr = DD.shingle_array(batch, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     sig = (
         DD.minhash_signatures_from_array(sh_arr, id_col)
         .where(F.col("mh_0").isNotNull())
@@ -784,17 +789,20 @@ def apply_neardedup_batch(
             VersionedTable.create(s, out_root, batch, key_col=id_col)
         else:
             out.merge(batch, when_matched="update", skip_by="points")
-    # skey leads with bk rendered as FIXED-WIDTH HEX, so the store's
-    # merge key sorts in the same order the probe column clusters:
-    # after a Z-ORDER on bk every file has a narrow skey range too,
-    # and the point-skipped merge (skip_by='points') touches only
-    # files actually holding a re-delivered row — without the
-    # alignment, merge key ranges would span the whole store the
-    # moment bk clustering rewrote the files
+    # skey leads with bk rendered as ORDER-PRESERVING fixed-width hex
+    # (sign bit flipped first: plain hex(-1)='FFFF…' sorts ABOVE
+    # hex(1), so the one post-Z-ORDER file straddling bk=0 would record
+    # a whole-keyspace skey range and be rewritten by every point merge
+    # — caught in review, round 8). With the flip, skey order == bk
+    # order: after a Z-ORDER on bk every file has a narrow skey range
+    # too, and the point-skipped merge touches only files actually
+    # holding a re-delivered row
     srows = bands.select(
         F.concat_ws(
             "#",
-            F.lpad(F.hex(F.col("bk")), 16, "0"),
+            F.lpad(
+                F.hex(F.col("bk").bitwiseXOR(F.lit(-(2**63)))), 16, "0"
+            ),
             F.col(id_col).cast("string"),
             F.col("band_id").cast("string"),
         ).alias("skey"),

@@ -2416,3 +2416,49 @@ def test_ivm_approx_distinct_kmv(spark, tmp_path):
         ).collect()
     }
     assert mm == want_mm
+
+
+def test_checkpoint_eff_ts_heals_from_legacy(spark, tmp_path):
+    """A pre-eff_ts checkpoint must not poison the recorded clamp axis
+    (review finding, round 8): when the skewed-HIGH commit lives in the
+    checkpointed PREFIX, deriving eff_ts from the tail alone understates
+    the clamp and every later checkpoint inherits the lie. The heal path
+    recovers eff_ts with one full-log scan at the next checkpoint write,
+    and version_at keeps returning the clamp-correct answer throughout.
+    Also pins the bounded head read (_checkpoint_eff) against the full
+    parse."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    t = VersionedTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, "a")], "k long, name string"), key_col="k",
+    )
+    for i in range(13):
+        t.append(spark.createDataFrame([(10 + i, "x")], "k long, name string"))
+    assert t.latest_version() == 13 and V._list_checkpoints(t.root) == [10]
+
+    # doctor: v3 carries a wildly SKEWED-HIGH wall clock; strip eff_ts
+    # from the existing checkpoint to simulate a pre-r8 table
+    p3 = V._log_path(t.root, 3)
+    rec = json.loads(p3.read_text())
+    rec["ts"] = "2030-01-01"
+    p3.write_text(json.dumps(rec))
+    cp_path = V._checkpoint_path(t.root, 10)
+    cp = json.loads(cp_path.read_text())
+    cp.pop("eff_ts", None)
+    cp_path.write_text(json.dumps(cp))
+
+    # advance past the next checkpoint boundary: its writer must HEAL
+    # eff_ts from the full log (prefix included), not the tail
+    for i in range(7):
+        t.append(spark.createDataFrame([(50 + i, "y")], "k long, name string"))
+    assert 20 in V._list_checkpoints(t.root)
+    healed = V._checkpoint_eff(t.root, 20)
+    assert healed == "2030-01-01"  # tail-only derivation would lose this
+    assert json.loads(V._checkpoint_path(t.root, 20).read_text())["eff_ts"] == healed
+
+    # clamp-correct answers across the poisoned-prefix boundary: every
+    # version >= 3 has effective time 2030, so a 2029 probe resolves to
+    # v2 and a 2031 probe to the latest version
+    assert t.version_at("2029-06-01") == 2
+    assert t.version_at("2031-01-01") == t.latest_version()
