@@ -1191,10 +1191,11 @@ def test_stream_neardedup_store_probe_bounded(spark, tmp_path):
     drain()
     delta = V.DATA_FILES_READ - f0
     # 1 doc = 4 band buckets: probe <= 4 files (one per bucket after the
-    # re-cluster) + store point-merge <= 4 + out point-merge <= 1; the
-    # range-skipped / unclustered alternative reads every live file ON
-    # TOP of that
-    assert delta <= 9, (delta, n_live)
+    # re-cluster; buckets co-located in one file share the read) + store
+    # point-merge <= 4 + out point-merge <= 1 = 9 worst case; measured 6
+    # after the straddle-file probe fix (round 8). The range-skipped /
+    # unclustered alternative reads every live file ON TOP of that.
+    assert delta <= 6, (delta, n_live)
     assert VersionedTable(spark, out_root).snapshot().count() == 21
 
 
