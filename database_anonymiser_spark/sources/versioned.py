@@ -909,6 +909,96 @@ class VersionedTable:
         )
         return t
 
+    @classmethod
+    def clone(
+        cls,
+        spark: SparkSession,
+        src_root: str | os.PathLike,
+        dst_root: str | os.PathLike,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "VersionedTable":
+        """Delta-style CLONE (Armbrust et al., VLDB 2020 §4.2 operation
+        metadata / Delta Lake's ``CREATE TABLE ... SHALLOW CLONE``): fork
+        a table at ``version`` (default: latest) into a NEW table at
+        ``dst_root``.
+
+        Shallow (default): METADATA-ONLY — the clone's version 0 commit
+        references the source's live data files by ABSOLUTE path; no data
+        is read or copied, so cloning a 100 TB table costs one
+        checkpoint-bounded log replay plus one small JSON write. Key
+        column, CHECK constraints, logged schema, and declared stats
+        columns all carry over, so merges/updates on the clone keep file
+        skipping and constraint enforcement. Every WRITE to the clone is
+        copy-on-write under its own root (the engine's only write mode),
+        so source and clone diverge without ever touching each other's
+        files; the clone's ``vacuum``/``compact`` only reclaim files
+        under its own root (foreign files are never deletion candidates
+        — ``vacuum`` walks ``dst_root/data/`` only). The one shared-fate
+        caveat, exactly Delta's: ``vacuum`` or ``erase`` on the SOURCE
+        can reclaim files a shallow clone still references — clones are
+        dev/test/experiment forks, not backups. ``erase`` on a clone that
+        still references foreign files refuses loudly (the pre-images
+        belong to the source; a "verified hard delete" that leaves them
+        on the source's disk would be a lie).
+
+        ``deep=True`` materializes the live rows into files under
+        ``dst_root`` instead (a full copy — independent lifecycle, no
+        shared fate), keeping the same carried metadata.
+
+        Returns the clone as a :class:`VersionedTable`.
+        """
+        src = cls(spark, src_root)
+        v = src.latest_version() if version is None else version
+        dst = cls(spark, dst_root)
+        if dst.versions():
+            raise FileExistsError(f"versioned table already exists at {dst.root}")
+        _replay_cache_invalidate(dst.root)
+        live, key_col, constraints, schema, stats_cols = _replay(src.root, v)
+        if schema is None and live:
+            schema = src.snapshot(v).schema.jsonValue()
+        if deep:
+            adds = _write_data_files(
+                src.snapshot(v), dst.root, key_col, stats_cols=stats_cols
+            )
+        else:
+            # absolute() so a source opened via a RELATIVE root still
+            # yields entries that resolve from anywhere (caught by the
+            # verify drive: a relative foreign path re-roots under the
+            # CLONE at read time)
+            adds = [
+                _FileEntry(
+                    str((src.root / e["path"]).absolute()),
+                    e.get("key_min"),
+                    e.get("key_max"),
+                    e.get("stats"),
+                    e.get("num_rows"),
+                )
+                for e in live.values()
+            ]
+        meta: dict = {
+            "clone_source": str(src.root),
+            "clone_version": v,
+            "clone_deep": bool(deep),
+        }
+        if constraints:
+            meta["constraints"] = dict(constraints)
+        _commit(
+            dst.root, 0, adds, [], key_col, op="clone",
+            meta=meta, schema=schema, stats_cols=stats_cols,
+        )
+        return dst
+
+    def foreign_files(self, version: int | None = None) -> list[str]:
+        """Live files NOT owned by this table root (absolute-path entries
+        introduced by a shallow :meth:`clone`) — empty once copy-on-write
+        churn (or ``compact``) has rewritten every cloned file locally."""
+        return [
+            e["path"]
+            for e in self._live_entries(version)
+            if os.path.isabs(e["path"])
+        ]
+
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Blind append — new files, no reads, one commit.
 
@@ -1628,6 +1718,14 @@ class VersionedTable:
         (metadata only).
         """
         v = self.latest_version()
+        foreign = self.foreign_files(v)
+        if foreign:
+            raise RuntimeError(
+                "erase on a shallow clone cannot reclaim foreign pre-image "
+                "files (they belong to the clone source and this table's "
+                "vacuum never deletes outside its root) — erase the source "
+                f"table, or deep-clone first; foreign: {sorted(foreign)[:3]}"
+            )
         before = self.row_count(v)
         v2 = self.delete_where(predicate, prune)
         _write_checkpoint(self.root, v2)

@@ -2462,3 +2462,127 @@ def test_checkpoint_eff_ts_heals_from_legacy(spark, tmp_path):
     # v2 and a 2031 probe to the latest version
     assert t.version_at("2029-06-01") == 2
     assert t.version_at("2031-01-01") == t.latest_version()
+
+
+def test_shallow_clone_is_metadata_only_and_isolated(spark, tmp_path):
+    """Delta-style SHALLOW CLONE: forking a table is a pure metadata
+    operation (zero data files read or copied); source and clone then
+    diverge copy-on-write without touching each other's files."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.0) for i in range(40)], "k long, name string, v double"
+    )
+    src = VersionedTable.create(spark, tmp_path / "src", df, key_col="k")
+    src.append(
+        spark.createDataFrame([(100, "x", 1.0)], "k long, name string, v double")
+    )
+
+    f0, c0 = V.DATA_FILES_READ, V.COMMIT_READS
+    clone = VersionedTable.clone(spark, tmp_path / "src", tmp_path / "cl")
+    assert V.DATA_FILES_READ == f0  # metadata-only: no parquet read
+    assert V.COMMIT_READS - c0 <= 4
+    # no data was copied under the clone's root
+    assert not list((tmp_path / "cl").rglob("*.parquet"))
+    assert clone.foreign_files() and all(
+        p.startswith("/") for p in clone.foreign_files()
+    )
+
+    # identical content at the cloned version; carried key_col/schema
+    assert _rows(clone.snapshot()) == _rows(src.snapshot())
+    assert clone.key_col() == "k"
+    assert clone.snapshot().schema == src.snapshot().schema
+
+    # divergence: writes on either side are invisible to the other
+    clone.update_where({"v": F.lit(-1.0)}, F.col("k") == 3)
+    src.delete_where(F.col("k") == 7)
+    assert {r["v"] for r in clone.snapshot().where("k = 3").collect()} == {-1.0}
+    assert {r["v"] for r in src.snapshot().where("k = 3").collect()} == {3.0}
+    assert clone.snapshot().where("k = 7").count() == 1
+    assert src.snapshot().where("k = 7").count() == 0
+
+    # clone's vacuum never reclaims the source's files
+    removed = clone.vacuum(retain_versions=1)
+    assert all(not p.startswith("/") for p in removed)
+    assert _rows(src.snapshot(0).where("k = 3")) != []
+
+
+def test_clone_pinned_version_constraints_and_stats(spark, tmp_path):
+    """Clone at a PINNED version; CHECK constraints, declared stats cols,
+    and merge file-skipping all carry into the clone."""
+    df = spark.createDataFrame(
+        [(i, i % 5, i * 1.0) for i in range(50)], "k long, g long, v double"
+    )
+    src = VersionedTable.create(
+        spark, tmp_path / "src", df, key_col="k", stats_cols=("g",)
+    )
+    src.add_constraint("v_nonneg", "v >= 0")
+    v_pin = src.latest_version()
+    src.append(spark.createDataFrame([(999, 0, 9.0)], "k long, g long, v double"))
+
+    clone = VersionedTable.clone(spark, tmp_path / "src", tmp_path / "cl", version=v_pin)
+    assert clone.snapshot().count() == 50  # pre-append state
+    assert clone.constraints() == {"v_nonneg": "v >= 0"}
+    assert tuple(clone.stats_cols()) == ("g",)
+    with pytest.raises(Exception, match="v_nonneg"):
+        clone.append(spark.createDataFrame([(1000, 0, -5.0)], "k long, g long, v double"))
+    # merge on the clone works and keeps the table consistent
+    clone.merge(
+        spark.createDataFrame([(0, 0, 123.0)], "k long, g long, v double"),
+        when_matched="update",
+    )
+    assert {r["v"] for r in clone.snapshot().where("k = 0").collect()} == {123.0}
+    # clone of a clone composes
+    c2 = VersionedTable.clone(spark, tmp_path / "cl", tmp_path / "cl2")
+    assert _rows(c2.snapshot()) == _rows(clone.snapshot())
+
+
+def test_deep_clone_owns_its_files(spark, tmp_path):
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(10)], "k long, v double")
+    src = VersionedTable.create(spark, tmp_path / "src", df, key_col="k")
+    clone = VersionedTable.clone(spark, tmp_path / "src", tmp_path / "cl", deep=True)
+    assert clone.foreign_files() == []
+    assert list((tmp_path / "cl").rglob("*.parquet"))
+    assert _rows(clone.snapshot()) == _rows(src.snapshot())
+    # fully independent lifecycle: vacuuming the source breaks nothing
+    src.delete_where(F.col("k") < 100)
+    src.vacuum(retain_versions=1)
+    assert clone.snapshot().count() == 10
+
+
+def test_erase_refuses_on_foreign_references_then_allows_after_localize(
+    spark, tmp_path
+):
+    """erase() must not claim a verified hard delete while pre-image
+    files live under the SOURCE root; after compact localizes every
+    foreign file the clone erases normally."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(30)], "k long, name string"
+    )
+    VersionedTable.create(spark, tmp_path / "src", df, key_col="k")
+    clone = VersionedTable.clone(spark, tmp_path / "src", tmp_path / "cl")
+    with pytest.raises(RuntimeError, match="shallow clone"):
+        clone.erase(F.col("k") == 3)
+    # localize: rewrite every live file under the clone's own root
+    clone.compact(small_file_bytes=10**12)
+    assert clone.foreign_files() == []
+    out = clone.erase(F.col("k") == 3)
+    assert out["rows_deleted"] == 1
+    # the source is untouched throughout
+    assert VersionedTable(spark, tmp_path / "src").snapshot().count() == 30
+
+
+def test_clone_from_relative_source_root(spark, tmp_path):
+    """Foreign entries are absolutized at clone time — a source opened via
+    a RELATIVE path must not re-root under the clone at read time (caught
+    by the verify drive, round 8). The relative path is taken from the
+    process cwd (which the JVM shares); os.chdir would desync the two."""
+    import os
+
+    rel_src = os.path.relpath(tmp_path / "rel_src", os.getcwd())
+    rel_cl = os.path.relpath(tmp_path / "rel_cl", os.getcwd())
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "k long, v long")
+    VersionedTable.create(spark, rel_src, df, key_col="k")
+    clone = VersionedTable.clone(spark, rel_src, rel_cl)
+    assert clone.snapshot().count() == 10
+    assert all(p.startswith("/") for p in clone.foreign_files())
