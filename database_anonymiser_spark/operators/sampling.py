@@ -96,6 +96,47 @@ def mixture_sample(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    budget_per_cluster: int,
+    upsample: bool = False,
+    salt: str = "cluster-balance-v1",
+) -> DataFrame:
+    """Flatten a skewed cluster-size distribution toward
+    ``budget_per_cluster`` rows per cluster — the rebalancing stage that
+    follows :func:`~database_anonymiser_spark.operators.similarity.semantic_clusters`
+    (cluster-based pruning keeps coverage of RARE topics instead of
+    letting head topics dominate the token budget; Sorscher et al. 2022,
+    arXiv:2206.14486 §5 prunes per-cluster for exactly this reason).
+
+    Per-cluster rate = budget / n_c, capped at 1.0 unless ``upsample``
+    (then scarce clusters REPEAT — :func:`mixture_sample`'s expected-copies
+    semantics, with ``copy_idx`` distinguishing repeats for downstream
+    shuffle salting). Output size per cluster is rate·n_c ± hash error,
+    i.e. ≈ budget for over-represented clusters and exactly n_c (or
+    ≈ budget with upsampling) for scarce ones. Deterministic: the same
+    rows survive every run, partitioning, and engine.
+
+    Scale shape: one partial-aggregated groupBy collects K (cluster,
+    count) pairs to the driver — K is the number of clusters, the same
+    model-sized bounded collect as the codebook itself — then the whole
+    sample is :func:`mixture_sample`'s map-side literal-map filter riding
+    the scan. Zero shuffles beyond the count aggregate.
+    """
+    if budget_per_cluster <= 0:
+        raise ValueError("budget_per_cluster must be > 0")
+    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    rates: dict = {}
+    for r in counts:
+        rate = budget_per_cluster / r["_n"]
+        rates[r[cluster_col]] = rate if upsample else min(1.0, rate)
+    return mixture_sample(
+        df, id_col, cluster_col, rates, default_rate=0.0, salt=salt
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -1395,6 +1395,68 @@ def _exact_rerank(shortlist, df, id_col, vec_col, qvec, query_id, k: int):
     )
 
 
+def semantic_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Every row plus a ``cluster_id`` — semantic partitioning of a corpus
+    by its embeddings, the first stage of cluster-scoped curation
+    (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 §3: k-means the
+    embedding space, then dedup/prune WITHIN clusters; prototype-distance
+    pruning, Sorscher et al. 2022, arXiv:2206.14486, uses the same
+    clustering). The reference has no similarity surface at all
+    (SURVEY.md §2 — training-pipeline extension).
+
+    Reuses the deterministic spherical-k-means trainer
+    (:func:`train_ivf_codebook` — exact-integer mean updates, so the
+    model is a pure function of the data regardless of partitioning) and
+    assigns in ONE map-side Arrow pass against the broadcast centroid
+    matrix (model-sized closure, the bounded-driver-collect contract).
+    All input columns pass through, so the output drops straight into
+    per-cluster groupBy/applyInPandas stages or
+    :func:`~database_anonymiser_spark.operators.sampling.cluster_balanced_sample`.
+
+    100 TB shape: training saturates on a deterministic sample (pass a
+    ``codebook`` trained on ``hash_sample`` output); assignment is
+    embarrassingly parallel, zero shuffle, and rides the scan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if codebook is None:
+        codebook = train_ivf_codebook(
+            df, id_col, vec_col, n_centroids=n_clusters, n_iter=n_iter
+        )
+    cmat = [list(map(float, cv)) for _, cv in codebook]
+    cids = [int(cid) for cid, _ in codebook]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster_id", T.IntegerType())]
+    )
+    cols = list(df.columns)
+
+    def assign(it):
+        C = np.array(cmat, dtype=np.float64)
+        cid_arr = np.array(cids)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({**{c: [] for c in cols}, "cluster_id": []})
+                continue
+            V = _vecs64(pdf, vec_col)
+            # centroids are L2-normalized, so argmax dot == argmax cosine
+            # for each row; ties break to the lower centroid index
+            # (np.argmax picks the first maximum) — deterministic
+            pdf = pdf.copy()
+            pdf["cluster_id"] = cid_arr[(V @ C.T).argmax(axis=1)]
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def pq_codebooks(
     df: DataFrame,
     id_col: str,

@@ -1849,3 +1849,98 @@ def test_ann_recall_floors_pq_and_multiprobe_lsh(spark, sf_dir):
     assert r_adct >= r_adc, (
         f"trained ADC recall {r_adct} below training-free {r_adc}"
     )
+
+
+def test_semantic_clusters_deterministic_and_separable(spark):
+    """semantic_clusters recovers WELL-SEPARATED ground-truth clusters
+    (3 near-orthogonal directions × 40 perturbed copies), assigns every
+    row exactly once, and is invariant to partitioning (the trainer's
+    exact-integer updates + argmax assignment are pure functions of the
+    data)."""
+    from database_anonymiser_spark.operators.similarity import semantic_clusters
+
+    dim, per = 12, 40
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            v = [0.0] * dim
+            v[c * 4] = 1.0
+            # small deterministic perturbation, unique per row
+            v[(c * 4 + 1 + i % 3) % dim] = 0.05 + (i % 7) * 0.01
+            # interleave ids across groups so the trainer's lowest-id
+            # init spans all three directions (k-means is init-sensitive;
+            # a real corpus trains on a hash_sample for the same reason)
+            rows.append((i * 3 + c, c, v))
+    df = spark.createDataFrame(rows, "id long, truth int, vec array<double>")
+
+    out = semantic_clusters(df, "id", "vec", n_clusters=3, n_iter=6)
+    got = out.collect()
+    assert len(got) == 3 * per
+    assert set(out.columns) == {"id", "truth", "vec", "cluster_id"}
+    # each ground-truth group lands in ONE k-means cluster, and the three
+    # groups land in three DISTINCT clusters
+    by_truth = {}
+    for r in got:
+        by_truth.setdefault(r["truth"], set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in by_truth.values()), by_truth
+    assert len({next(iter(s)) for s in by_truth.values()}) == 3
+    # partition invariance
+    out2 = semantic_clusters(df.repartition(13), "id", "vec", n_clusters=3, n_iter=6)
+    assert {(r["id"], r["cluster_id"]) for r in out2.collect()} == {
+        (r["id"], r["cluster_id"]) for r in got
+    }
+
+
+def test_semantic_clusters_accepts_pretrained_codebook(spark, emb):
+    """A codebook trained on a SAMPLE assigns the full corpus identically
+    to passing it explicitly — the 100 TB path (train small, assign all)."""
+    from database_anonymiser_spark.operators.sampling import hash_sample
+    from database_anonymiser_spark.operators.similarity import (
+        semantic_clusters,
+        train_ivf_codebook,
+    )
+
+    sample = hash_sample(emb, "vec_id", 0.5)
+    cb = train_ivf_codebook(sample, "vec_id", "embedding", n_centroids=8, n_iter=3)
+    a = semantic_clusters(emb, "vec_id", "embedding", codebook=cb)
+    b = semantic_clusters(emb, "vec_id", "embedding", codebook=cb)
+    assert {(r["vec_id"], r["cluster_id"]) for r in a.collect()} == {
+        (r["vec_id"], r["cluster_id"]) for r in b.collect()
+    }
+    assert a.where(F.col("cluster_id") < 0).count() == 0
+    assert a.count() == emb.count()
+
+
+def test_cluster_balanced_sample_flattens_skew(spark):
+    """A 1000/100/20-row skew flattened to ~100 per cluster: head cluster
+    downsampled to budget ± hash error, mid cluster kept whole-ish,
+    scarce cluster kept exactly (no upsample) or repeated to ~budget
+    (upsample=True). Deterministic across calls."""
+    from database_anonymiser_spark.operators.sampling import cluster_balanced_sample
+
+    rows = (
+        [(i, 0) for i in range(1000)]
+        + [(1000 + i, 1) for i in range(100)]
+        + [(1100 + i, 2) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "id long, cluster_id int")
+
+    out = cluster_balanced_sample(df, "id", "cluster_id", budget_per_cluster=100)
+    n = {r["cluster_id"]: r["n"] for r in out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert 70 <= n[0] <= 130          # 0.1 rate on 1000 rows ± hash error
+    assert n[1] == 100                # rate 1.0 → exact passthrough
+    assert n[2] == 20                 # scarce cluster never shrinks
+    again = cluster_balanced_sample(df, "id", "cluster_id", budget_per_cluster=100)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+    up = cluster_balanced_sample(
+        df, "id", "cluster_id", budget_per_cluster=100, upsample=True
+    )
+    nu = {r["cluster_id"]: r["n"] for r in up.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert 70 <= nu[2] <= 130         # 5.0 rate on 20 rows: repeats to ~100
+    assert up.where("cluster_id = 2 and copy_idx >= 1").count() > 0
+
+    with pytest.raises(ValueError, match="budget_per_cluster"):
+        cluster_balanced_sample(df, "id", "cluster_id", budget_per_cluster=0)
