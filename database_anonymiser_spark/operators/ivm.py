@@ -65,13 +65,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_anonymiser_spark.sources.versioned import VersionedTable
+from database_anonymiser_spark.sources.versioned import (
+    VersionedTable,
+    data_changing_segments,
+)
 
 _DEC = "decimal(18,2)"
-
-#: commits whose live ROW SET is identical to their predecessor's —
-#: Delta's dataChange=false class; refresh skips them (see refresh)
-_ROW_PRESERVING_OPS = ("compact", "optimize_zorder")
 
 
 class IncrementalAggView:
@@ -101,6 +100,32 @@ class IncrementalAggView:
         ).cast("long")
 
     @classmethod
+    def _mark_bottom_k(cls, df: DataFrame, group_col: str, sum_col: str,
+                       k: int) -> DataFrame:
+        """Bound the per-group KMV candidate set BEFORE any collect_set
+        sees it — the same 64-bucket pre-filter as
+        sketch.py::_bottom_k_hashes, but partitioned per group: a row
+        whose hash is not among its (group, hash%64) bucket's k smallest
+        DISTINCT values gets a NULL ``_kmv_cand`` and falls out of
+        collect_set, so no aggregation buffer ever holds more than 64·k
+        hashes per group regardless of group cardinality (a
+        100M-distinct-value group previously materialized every distinct
+        hash in one buffer — round-8 advice). dense_rank (not
+        row_number) so duplicate rows of a kept value never evict a
+        distinct candidate; bottom-k of the 64 bucket-wise bottom-k sets
+        is the exact global bottom-k because each global winner wins its
+        own bucket."""
+        from pyspark.sql import Window
+
+        hv = cls._hv(sum_col)
+        w = Window.partitionBy(
+            F.col(group_col), F.pmod(hv, F.lit(64))
+        ).orderBy(hv.asc_nulls_last())
+        return df.withColumn(
+            "_kmv_cand", F.when(F.dense_rank().over(w) <= k, hv)
+        )
+
+    @classmethod
     def _aggregate(
         cls,
         rows: DataFrame,
@@ -119,9 +144,11 @@ class IncrementalAggView:
                 F.max(F.col(sum_col).cast(_DEC)).alias("_max"),
             ]
         if adist_k:
+            rows = cls._mark_bottom_k(rows, group_col, sum_col, adist_k)
             aggs.append(
                 F.slice(
-                    F.array_sort(F.collect_set(cls._hv(sum_col))), 1, adist_k
+                    F.array_sort(F.collect_set(F.col("_kmv_cand"))),
+                    1, adist_k,
                 ).alias("_kmv")
             )
         return rows.groupBy(group_col).agg(*aggs)
@@ -275,18 +302,11 @@ class IncrementalAggView:
     @staticmethod
     def _segments(base: VersionedTable, since: int, latest: int):
         """Split (since, latest] into maximal data-changing ranges whose
-        endpoint diffs never cross a row-preserving commit. One op probe
-        per interval version (COMMIT_READS-counted tiny JSONs)."""
-        segs: list[tuple[int, int]] = []
-        start = since
-        for v in [x for x in base.versions() if since < x <= latest]:
-            if base.commit_op(v) in _ROW_PRESERVING_OPS:
-                if v - 1 > start:
-                    segs.append((start, v - 1))
-                start = v
-        if latest > start:
-            segs.append((start, latest))
-        return segs
+        endpoint diffs never cross a row-preserving commit — the shared
+        :func:`versioned.data_changing_segments`, so ``changes()`` and
+        the refresh can never drift on which ops are skippable
+        (round-8 advice)."""
+        return data_changing_segments(base, since, latest)
 
     def _apply_delta(
         self,
@@ -315,7 +335,6 @@ class IncrementalAggView:
             F.col("_change_type").isin("delete", "update_preimage")
         )
         val = F.col(sum_col).cast(_DEC)
-        hv = self._hv(sum_col)
         minus_aggs = [
             F.count(F.lit(1)).alias("r_rows"),
             F.sum(val).alias("r_sum"),
@@ -323,9 +342,21 @@ class IncrementalAggView:
         if minmax:
             minus_aggs += [F.min(val).alias("rem_min"), F.max(val).alias("rem_max")]
         if adist_k:
-            # ALL removed hashes (delta-sized): membership against the
-            # stored sketch is the exact loss test (module docstring)
-            minus_aggs.append(F.collect_set(hv).alias("rem_hs"))
+            # bottom-k distinct removed hashes suffice for the loss test:
+            # the stored _kmv is DOWNWARD-CLOSED over the group's hashes
+            # at segment start (it is exactly {h ≤ θ}), and every removed
+            # row existed at segment start — so if ANY removed hash is in
+            # _kmv, the SMALLEST removed hash is ≤ θ and hence in _kmv
+            # too. arrays_overlap is therefore exactly preserved by the
+            # bounded set (round-8 advice: the unbounded collect_set
+            # buffered every removed hash of a mass delete per group).
+            minus = self._mark_bottom_k(minus, group_col, sum_col, adist_k)
+            minus_aggs.append(
+                F.slice(
+                    F.array_sort(F.collect_set(F.col("_kmv_cand"))),
+                    1, adist_k,
+                ).alias("rem_hs")
+            )
         plus_aggs = [
             F.count(F.lit(1)).alias("i_rows"),
             F.sum(val).alias("i_sum"),
@@ -334,8 +365,12 @@ class IncrementalAggView:
             plus_aggs += [F.min(val).alias("ins_min"), F.max(val).alias("ins_max")]
         if adist_k:
             # k smallest inserted hashes suffice: min-k is a monoid
+            plus = self._mark_bottom_k(plus, group_col, sum_col, adist_k)
             plus_aggs.append(
-                F.slice(F.array_sort(F.collect_set(hv)), 1, adist_k).alias("ins_hs")
+                F.slice(
+                    F.array_sort(F.collect_set(F.col("_kmv_cand"))),
+                    1, adist_k,
+                ).alias("ins_hs")
             )
         d_plus = plus.groupBy(group_col).agg(*plus_aggs)
         d_minus = minus.groupBy(group_col).agg(*minus_aggs)
@@ -489,9 +524,15 @@ class IncrementalAggView:
             if minmax:
                 rec_aggs += [F.min(val).alias("_rmin"), F.max(val).alias("_rmax")]
             if adist_k:
+                # same bounded pre-filter as create: the recompute read is
+                # whole affected groups, which can be arbitrarily large
+                affected = self._mark_bottom_k(
+                    affected, group_col, sum_col, adist_k
+                )
                 rec_aggs.append(
                     F.slice(
-                        F.array_sort(F.collect_set(self._hv(sum_col))), 1, adist_k
+                        F.array_sort(F.collect_set(F.col("_kmv_cand"))),
+                        1, adist_k,
                     ).alias("_rkmv")
                 )
             rec = affected.groupBy(group_col).agg(*rec_aggs)

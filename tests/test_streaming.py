@@ -1199,6 +1199,53 @@ def test_stream_neardedup_store_probe_bounded(spark, tmp_path):
     assert VersionedTable(spark, out_root).snapshot().count() == 21
 
 
+def test_neardedup_backfill_probe_cap_fallback(spark, tmp_path, monkeypatch):
+    """Round-8 verdict #1: above ``PROBE_KEY_CAP`` distinct band-bucket
+    keys, the store probe must NOT collect the batch's key set to the
+    driver (a 10M-doc backfill batch would ship ~40M int64s) — it
+    range-prunes the store by the batch's bk bounds and joins
+    distributedly. Final out/store state must be IDENTICAL to the
+    point-lookup path on the same batch sequence, and the collect the
+    point path does is itself limit-bounded to cap+1 rows."""
+    import database_anonymiser_spark.streaming.pipeline as P
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    batches = [
+        [(1, _nd_doc("a")), (2, _nd_doc("b")), (3, _nd_doc("c"))],
+        # 4 near-dups stored doc 1; 5 is exact of stored 2; 6/7 are an
+        # IN-batch near-dup pair (min id 6 survives); 8 is fresh
+        [(4, _nd_neardup("a")), (5, _nd_doc("b")), (6, _nd_doc("d")),
+         (7, _nd_neardup("d")), (8, _nd_doc("e"))],
+        [(9, _nd_neardup("b")), (10, _nd_doc("f"))],
+    ]
+
+    def lifecycle(tag):
+        out_root = str(tmp_path / f"out_{tag}")
+        store_root = str(tmp_path / f"store_{tag}")
+        for rows in batches:
+            df = spark.createDataFrame(rows, "id long, text string")
+            P.apply_neardedup_batch(
+                spark, df, out_root, store_root, threshold=0.5
+            )
+        kept = sorted(
+            r["id"]
+            for r in VersionedTable(spark, out_root).snapshot().select("id").collect()
+        )
+        sig = sorted(
+            (r["id"], r["band_id"], r["bk"])
+            for r in VersionedTable(spark, store_root).snapshot().collect()
+        )
+        return kept, sig
+
+    kept_pt, sig_pt = lifecycle("pt")
+    assert set(kept_pt).isdisjoint({4, 5, 7, 9})  # dups actually dropped
+    # cap of 1: every signature-bearing batch exceeds it (4 buckets/doc)
+    monkeypatch.setattr(P, "PROBE_KEY_CAP", 1)
+    kept_fb, sig_fb = lifecycle("fb")
+    assert kept_fb == kept_pt
+    assert sig_fb == sig_pt
+
+
 def test_stream_curate_then_neardedup_pipeline(spark, tmp_path):
     """END-TO-END streaming ingest: curate_stream's per-document gates +
     watermarked EXACT dedup feed run_stream_neardedup's corpus-lifetime

@@ -1643,6 +1643,72 @@ def test_version_at_legacy_and_skewed_timestamps(spark, table):
     assert table.version_at("9000-01-01T00:00:00+00:00") == 5
 
 
+def test_version_at_fully_legacy_log_says_no_timestamps(spark, table):
+    """Round-8 advice (low): a log where NO commit carries a ``ts`` must
+    raise its own error ('no commit timestamps'), not the misleading
+    'precedes the first commit' — no later probe could resolve either."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    table.append(
+        spark.createDataFrame([(300, "x", 0.0)], "k long, name string, v double")
+    )
+    for v in table.versions():
+        p = V._log_path(table.root, v)
+        rec = json.loads(p.read_text())
+        rec.pop("ts", None)
+        p.write_text(json.dumps(rec))
+    V._replay_cache_invalidate(table.root)
+    with pytest.raises(ValueError, match="no commit timestamps"):
+        table.version_at("9999-12-31")
+    # a timestamped table probed too early still gets the precedes error
+    t2 = VersionedTable.create(
+        spark, table.root.parent / "t2",
+        spark.createDataFrame([(1, "a")], "k long, name string"), key_col="k",
+    )
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        t2.version_at("1970-01-01")
+
+
+def test_checkpoint_eff_head_sniff_is_anchored(spark, tmp_path):
+    """Round-8 advice (low): a LEGACY checkpoint (no top-level eff_ts)
+    whose head contains a same-named string — e.g. a CHECK constraint on
+    a user column literally called eff_ts — must NOT false-match the
+    bounded head read and feed a constraint expression into the
+    TIMESTAMP AS OF bisect as a timestamp."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{i+1:02d}") for i in range(3)], "k long, eff_ts string"
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    t.add_constraint("eff_ts", "eff_ts IS NOT NULL")
+    for i in range(3, 3 + V.CHECKPOINT_INTERVAL):
+        t.append(
+            spark.createDataFrame([(i, "2024-02-01")], "k long, eff_ts string")
+        )
+    cps = V._list_checkpoints(t.root)
+    assert cps, "expected a checkpoint after CHECKPOINT_INTERVAL commits"
+    # forge a LEGACY checkpoint: strip the top-level eff_ts field but keep
+    # the constraint dict (whose '"eff_ts": "eff_ts IS NOT NULL"' sits in
+    # the head) — the pre-r8 writer layout
+    cp_path = V._checkpoint_path(t.root, cps[-1])
+    cp = json.loads(cp_path.read_text())
+    real_eff = cp.pop("eff_ts")
+    cp_path.write_text(json.dumps(cp))
+    sniffed = V._checkpoint_eff(t.root, cps[-1])
+    assert sniffed is None, f"head sniff false-matched: {sniffed!r}"
+    assert sniffed != "eff_ts IS NOT NULL"
+    # and the bisect still resolves correctly via the linear fallback
+    assert t.version_at("9999-12-31") == t.latest_version()
+    # sanity: an intact checkpoint sniffs the real value from the head
+    cp["eff_ts"] = real_eff
+    cp_path.write_text(json.dumps({"version": cp["version"],
+                                   "eff_ts": real_eff,
+                                   **{k: v for k, v in cp.items()
+                                      if k not in ("version", "eff_ts")}}))
+    assert V._checkpoint_eff(t.root, cps[-1]) == real_eff
+
+
 def test_merge_tolerates_marker_named_columns(spark, tmp_path):
     """Round-7 advice (low): a table legitimately owning columns named
     ``_t``/``_s`` must merge correctly — presence markers suffix away."""
