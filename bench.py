@@ -434,6 +434,23 @@ def main():
                     "package: identical timings (merges5 2.85/2.93s warm; "
                     "bloom-xx overlapping bands) - machine drift, no code "
                     "regression",
+                    # round-8 verdict #2: the two r8 regressions that lacked
+                    # an A/B got one in round 9 (tools/ab_probe.py,
+                    # interleaved fresh-JVM runs of the r7 git archive vs
+                    # HEAD, both tree locations): curate_corpus_full warm
+                    # minimum 7.08s (r7) vs 7.04s (r9) - identical; the
+                    # sim_cosine_pairs LSH job's bands fully overlap and
+                    # FLIP SIGN with run order/tree location (r9 mins
+                    # 1.19-1.39s vs r7 mins 1.07-1.47s). Both operators'
+                    # code is byte-identical to r7 (verified). The r9 full
+                    # bench also measures both BELOW their r7 records
+                    # (curate 6.57 vs 6.84s, sim 1.58 vs 1.77s): the r8
+                    # readings were machine load, not code.
+                    "curate_sim_r8_drift": "same-machine interleaved A/B vs "
+                    "r7 package (tools/ab_probe.py): curate warm-min "
+                    "7.08/7.04s, sim bands overlap and flip sign with run "
+                    "order; operator code byte-identical - machine drift, "
+                    "no code regression",
                 },
                 "control_sec": control,
                 "control_shuffle_arrow_sec": control_sa,
