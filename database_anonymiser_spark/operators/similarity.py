@@ -1395,6 +1395,111 @@ def _exact_rerank(shortlist, df, id_col, vec_col, qvec, query_id, k: int):
     )
 
 
+def _unit_micro(a: list[int]) -> list[int]:
+    """L2-normalize a micro-int vector BACK to micro-int units — the
+    exact-arithmetic centroid rendering of the spherical k-means: the
+    squared norm is an exact Python int, and each component pays exactly
+    ONE correctly-rounded float conversion, one IEEE divide, and one
+    half-away-from-zero rounding — the identical op sequence an ANSI-SQL
+    replay performs (``CAST(a*1000000 AS DOUBLE)/sqrt(CAST(S AS
+    DOUBLE))``), so centroids are bit-reproducible cross-engine. A zero
+    vector passes through unchanged."""
+    S = sum(x * x for x in a)
+    if S == 0:
+        return [int(x) for x in a]
+    n = math.sqrt(float(S))
+    out = []
+    for x in a:
+        val = float(x * 1_000_000) / n
+        out.append(int(math.floor(abs(val) + 0.5)) * (1 if val >= 0 else -1))
+    return out
+
+
+def _micro_arr(vec_col: str) -> F.Column:
+    """array<float> → array<long> of 6dp micro-ints — the engine's
+    standard integer rendering (same decimal(18,6) cast the oracles
+    replay), computed JVM-side so the Arrow stages receive exact longs."""
+    return F.transform(
+        F.col(vec_col), lambda x: (_dec(x) * 1_000_000).cast("long")
+    )
+
+
+def train_spherical_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic EXACT-INTEGER spherical k-means: centroids are
+    micro-int unit vectors (:func:`_unit_micro`) and assignment is
+    argmax of the exact BIGINT dot ``Σ a_i·c_i`` (ties → lower centroid
+    index) — no float reduction anywhere, so the model is a pure
+    function of the data at ANY partitioning AND bit-reproducible by an
+    ANSI-SQL replay (the declared 'assign' branch of sim_cosine_pairs
+    value-hash checks the full Lloyd loop against DuckDB). Init is the
+    ``n_clusters`` lowest-id vectors; updates sum micro components as
+    exact integers per cluster and re-unitize; empty clusters keep their
+    previous centroid. Centroid norms agree to 1 micro, so the integer
+    argmax IS the spherical (cosine) objective at 6dp resolution — the
+    same quantization contract as :func:`int_planes` / the PQ path.
+
+    Scale shape: per iteration one map-side Arrow assignment pass + one
+    partial-aggregated groupBy of K×(dim+1) integer sums; only K×dim
+    totals reach the driver (it IS the model). Train on a deterministic
+    sample (e.g. ``hash_sample``) when the corpus is large."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    init = df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    cents = [
+        _unit_micro([int(_dec6_py(float(x)) * 1_000_000) for x in r[0]])
+        for r in init
+    ]
+    dim = len(cents[0])
+    mi = _micro_arr(vec_col).alias("_mi")
+
+    a_schema = T.StructType(
+        [T.StructField("_cid", T.IntegerType()),
+         T.StructField("_mi", T.ArrayType(T.LongType()))]
+    )
+    for _ in range(n_iter):
+        cmat = [list(c) for c in cents]
+
+        def assign(it):
+            C = np.array(cmat, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"_cid": [], "_mi": []})
+                    continue
+                A = np.vstack(pdf["_mi"].to_numpy()).astype(np.int64)
+                # exact int64 dots; np.argmax breaks ties to the FIRST
+                # maximum == lowest cid — the SQL replay's
+                # (dot DESC, cid ASC) row_number
+                yield pd.DataFrame(
+                    {"_cid": (A @ C.T).argmax(axis=1).astype(np.int32),
+                     "_mi": pdf["_mi"]}
+                )
+
+        assigned = df.select(mi).mapInPandas(assign, a_schema)
+        sums = (
+            assigned.groupBy("_cid")
+            .agg(*[
+                F.sum(F.element_at("_mi", i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        new = list(cents)
+        for r in sums:
+            s = [int(r[f"_s{i}"] or 0) for i in range(dim)]
+            if any(s):
+                new[r["_cid"]] = _unit_micro(s)
+        cents = new
+    return list(enumerate(cents))
+
+
 def semantic_clusters(
     df: DataFrame,
     id_col: str,
@@ -1402,6 +1507,7 @@ def semantic_clusters(
     n_clusters: int = 16,
     n_iter: int = 5,
     codebook: list[tuple[int, list[float]]] | None = None,
+    with_dot: bool = False,
 ) -> DataFrame:
     """Every row plus a ``cluster_id`` — semantic partitioning of a corpus
     by its embeddings, the first stage of cluster-scoped curation
@@ -1411,14 +1517,20 @@ def semantic_clusters(
     clustering). The reference has no similarity surface at all
     (SURVEY.md §2 — training-pipeline extension).
 
-    Reuses the deterministic spherical-k-means trainer
-    (:func:`train_ivf_codebook` — exact-integer mean updates, so the
-    model is a pure function of the data regardless of partitioning) and
-    assigns in ONE map-side Arrow pass against the broadcast centroid
+    Trains with :func:`train_spherical_kmeans` (exact-integer Lloyd loop
+    — deterministic at any partitioning AND ANSI-SQL-replayable, which is
+    what lets the declared 'assign' branch of sim_cosine_pairs value-hash
+    check this operator end to end) and assigns in ONE map-side Arrow
+    pass of exact BIGINT dots against the broadcast micro-int centroid
     matrix (model-sized closure, the bounded-driver-collect contract).
     All input columns pass through, so the output drops straight into
     per-cluster groupBy/applyInPandas stages or
     :func:`~database_anonymiser_spark.operators.sampling.cluster_balanced_sample`.
+    ``with_dot=True`` adds ``cluster_dot`` — the winning integer dot
+    (micro² units; cosine ≈ dot/1e12 once both sides are unit) for
+    prototype-distance pruning and the oracle's value coverage.
+    ``codebook`` accepts either this trainer's micro-int centroids or
+    :func:`train_ivf_codebook` floats (quantized+re-unitized on entry).
 
     100 TB shape: training saturates on a deterministic sample (pass a
     ``codebook`` trained on ``hash_sample`` output); assignment is
@@ -1429,32 +1541,46 @@ def semantic_clusters(
     from pyspark.sql import types as T
 
     if codebook is None:
-        codebook = train_ivf_codebook(
-            df, id_col, vec_col, n_centroids=n_clusters, n_iter=n_iter
+        codebook = train_spherical_kmeans(
+            df, id_col, vec_col, n_clusters=n_clusters, n_iter=n_iter
         )
-    cmat = [list(map(float, cv)) for _, cv in codebook]
+    cmat = []
+    for _, cv in codebook:
+        if all(float(x) == int(x) for x in cv):
+            cmat.append([int(x) for x in cv])
+        else:  # float codebook (e.g. train_ivf_codebook): quantize
+            cmat.append(
+                _unit_micro([int(_dec6_py(float(x)) * 1_000_000) for x in cv])
+            )
     cids = [int(cid) for cid, _ in codebook]
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("cluster_id", T.IntegerType())]
-    )
+    extra = [T.StructField("cluster_id", T.IntegerType())]
+    if with_dot:
+        extra.append(T.StructField("cluster_dot", T.LongType()))
+    out_schema = T.StructType(list(df.schema.fields) + extra)
     cols = list(df.columns)
 
     def assign(it):
-        C = np.array(cmat, dtype=np.float64)
+        C = np.array(cmat, dtype=np.int64)
         cid_arr = np.array(cids)
         for pdf in it:
             if len(pdf) == 0:
-                yield pd.DataFrame({**{c: [] for c in cols}, "cluster_id": []})
+                empty = {**{c: [] for c in cols}, "cluster_id": []}
+                if with_dot:
+                    empty["cluster_dot"] = []
+                yield pd.DataFrame(empty)
                 continue
-            V = _vecs64(pdf, vec_col)
-            # centroids are L2-normalized, so argmax dot == argmax cosine
-            # for each row; ties break to the lower centroid index
-            # (np.argmax picks the first maximum) — deterministic
+            A = np.vstack(pdf["_mi"].to_numpy()).astype(np.int64)
+            D = A @ C.T  # exact int64
+            best = D.argmax(axis=1)  # ties → first max == lowest cid
             pdf = pdf.copy()
-            pdf["cluster_id"] = cid_arr[(V @ C.T).argmax(axis=1)]
-            yield pdf
+            pdf["cluster_id"] = cid_arr[best]
+            if with_dot:
+                pdf["cluster_dot"] = D[np.arange(len(D)), best]
+            yield pdf.drop(columns=["_mi"])
 
-    return df.mapInPandas(assign, out_schema)
+    return df.withColumn("_mi", _micro_arr(vec_col)).mapInPandas(
+        assign, out_schema
+    )
 
 
 def pq_codebooks(

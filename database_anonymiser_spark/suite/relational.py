@@ -56,6 +56,16 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
       FROM customer
     ) WHERE rn <= 7
     UNION ALL
+    SELECT 'cluster_balance' AS kind, c_custkey, c_name FROM (
+      SELECT c.c_custkey, c.c_name,
+             CAST(round(least(1.0, CAST(200 AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS micro,
+             ('0x' || substr(md5('cluster-balance-v1' || CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS bucket
+      FROM customer c
+      JOIN (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1) n
+        ON n.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+    ) WHERE (micro // 1000000) + CASE WHEN bucket < micro % 1000000 THEN 1 ELSE 0 END >= 1
+    UNION ALL
     SELECT 'budget' AS kind, c_custkey, c_name FROM (
       SELECT c_custkey, c_name, cost, budget,
              sum(cost) OVER (PARTITION BY c_mktsegment ORDER BY h, c_custkey
@@ -94,6 +104,14 @@ def sample_scan(spark, sf_dir):
     broadcast hash-threshold prefilter (KMV-style) so no stratum ever
     sorts whole in one task; the oracle is the plain ROW_NUMBER form the
     prefilter provably equals.
+    'cluster_balance' (round 9, operators/sampling.py::
+    cluster_balanced_sample) flattens a skewed cluster-size distribution
+    toward a fixed per-cluster budget (here 200 rows per market segment —
+    the Sorscher-style rebalancing stage that follows semantic_clusters):
+    per-cluster rate = min(1, budget/n_c) derived from a one-pass count
+    aggregate, then mixture_sample's md5-bucket filter under its own
+    salt; the oracle recomputes the counts, the capped micro-rate (same
+    double op order: divide, cap, x1e6, round) and the bucket filter.
     'budget' is token-budget sampling (round 4,
     operators/sampling.py::token_budget_sample) — the form real
     pretraining mixtures are specified in (tokens per source): admit docs
@@ -133,6 +151,12 @@ def sample_scan(spark, sf_dir):
         "c_mktsegment",
         7,
     ).select(F.lit("stratified").alias("kind"), "c_custkey", "c_name")
+    balanced = SA.cluster_balanced_sample(
+        df.select("c_custkey", "c_name", "c_mktsegment"),
+        "c_custkey",
+        "c_mktsegment",
+        budget_per_cluster=200,
+    ).select(F.lit("cluster_balance").alias("kind"), "c_custkey", "c_name")
     budgeted = SA.token_budget_sample(
         df.where(F.col("c_name").isNotNull())
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -147,6 +171,7 @@ def sample_scan(spark, sf_dir):
         head.unionByName(sampled)
         .unionByName(mixed)
         .unionByName(stratified)
+        .unionByName(balanced)
         .unionByName(budgeted)
     )
 

@@ -165,6 +165,104 @@ def _cosine_lsh_pair_ctes(threshold: float = 0.5, n_planes: int = 16, rows_per_b
     )"""
 
 
+#: spherical-k-means shape for the packed 'assign' branch (round 9):
+#: small K and unrolled iterations keep the oracle SQL compact; the
+#: operator default (16 clusters, 5 iters) is the same code path.
+_KM_CLUSTERS = 4
+_KM_ITER = 2
+
+
+def _kmeans_ctes(n_clusters: int = _KM_CLUSTERS, n_iter: int = _KM_ITER) -> str:
+    """Replay train_spherical_kmeans + the final assignment in ANSI SQL —
+    the full exact-integer Lloyd loop, unrolled: micro-int vectors (the
+    same decimal(18,6) cast as every other oracle), init = the K
+    lowest-id vectors unit-normalized to micro-ints, per-iteration exact
+    BIGINT argmax-dot assignment (ties → lower cid via row_number), exact
+    HUGEINT component sums, re-unitization with the IDENTICAL float op
+    sequence as operators/similarity.py::_unit_micro (one int→double
+    conversion, one IEEE divide, one half-away rounding — bit-equal cross
+    engine), and empty/zero-sum clusters carrying the previous centroid.
+    Builds on the ``v`` unnest CTE; ends with ``kaf`` = (vec_id, cid,
+    dot) of the final assignment."""
+
+    def norm(a, S):
+        val = (
+            f"(CAST(CAST({a} AS HUGEINT) * 1000000 AS DOUBLE)"
+            f" / sqrt(CAST({S} AS DOUBLE)))"
+        )
+        return (
+            f"CASE WHEN {S} = 0 THEN CAST({a} AS BIGINT) ELSE "
+            f"CAST(floor(abs({val}) + 0.5) AS BIGINT)"
+            f" * (CASE WHEN {val} >= 0 THEN 1 ELSE -1 END) END"
+        )
+
+    parts = [
+        f"""
+    kmi AS (
+      SELECT vec_id, i, CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS a
+      FROM v
+    ),
+    kinit AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+    ),
+    kr0 AS (SELECT s.cid, m.i, m.a FROM kinit s JOIN kmi m USING (vec_id)),
+    kc0 AS (
+      SELECT r.cid, r.i, {norm('r.a', 't.S')} AS c
+      FROM kr0 r JOIN (
+        SELECT cid, sum(CAST(a AS HUGEINT) * a) AS S FROM kr0 GROUP BY cid
+      ) t USING (cid)
+    )"""
+    ]
+    prev = "kc0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    kd{t} AS (
+      SELECT m.vec_id, c.cid, sum(m.a * c.c) AS dot
+      FROM kmi m JOIN {prev} c USING (i) GROUP BY 1, 2
+    ),
+    ka{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        FROM kd{t}
+      ) WHERE rn = 1
+    ),
+    ks{t} AS (
+      SELECT a.cid, m.i, sum(CAST(m.a AS HUGEINT)) AS s
+      FROM ka{t} a JOIN kmi m USING (vec_id) GROUP BY 1, 2
+    ),
+    kn{t} AS (
+      SELECT t.cid, t.i, {norm('t.s', 'u.S')} AS c
+      FROM ks{t} t JOIN (
+        SELECT cid, sum(s * s) AS S FROM ks{t} GROUP BY cid
+      ) u USING (cid)
+      WHERE u.S <> 0
+    ),
+    kc{t} AS (
+      SELECT p.cid, p.i, coalesce(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN kn{t} n ON n.cid = p.cid AND n.i = p.i
+    )"""
+        )
+        prev = f"kc{t}"
+    parts.append(
+        f""",
+    kdf AS (
+      SELECT m.vec_id, c.cid, sum(m.a * c.c) AS dot
+      FROM kmi m JOIN {prev} c USING (i) GROUP BY 1, 2
+    ),
+    kaf AS (
+      SELECT vec_id, cid, dot FROM (
+        SELECT vec_id, cid, dot,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        FROM kdf
+      ) WHERE rn = 1
+    )"""
+    )
+    return "".join(parts)
+
+
 def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band: int = 4, dim: int = 64) -> str:
     """Pairs + SemDeDup closure, tagged and unioned: 'pair' rows are the
     thresholded LSH pairs; 'cluster' rows close them with a recursive CTE
@@ -187,7 +285,8 @@ def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band
       UNION
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
     ),
-    lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    {_kmeans_ctes()}
     SELECT 'pair' AS variant, id_a, id_b, cosine FROM scored
     UNION ALL
     SELECT 'cluster' AS variant, e.vec_id AS id_a,
@@ -195,6 +294,10 @@ def _cosine_lsh_oracle(threshold: float = 0.5, n_planes: int = 16, rows_per_band
            CASE WHEN coalesce(lab.cluster_id, e.vec_id) = e.vec_id
                 THEN 1.0 ELSE 0.0 END AS cosine
     FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
+    UNION ALL
+    SELECT 'assign' AS variant, vec_id AS id_a, CAST(cid AS BIGINT) AS id_b,
+           round(CAST(dot AS DOUBLE) / 1000000000000.0, 6) AS cosine
+    FROM kaf
     """
 
 
@@ -217,6 +320,14 @@ def sim_cosine_pairs(spark, sf_dir):
       blocking + exact-decimal verify + distributed closure + survivor
       assembly is value-hash checked end to end.
 
+    - 'assign' (round 9): operators/similarity.py::semantic_clusters —
+      the SemDeDup/Sorscher cluster-partitioning stage — as (vec_id,
+      cluster id, winning dot/1e12): the EXACT-INTEGER spherical k-means
+      (_KM_CLUSTERS=4 clusters, _KM_ITER=2 unrolled Lloyd iterations at
+      the declared shape) whose full training loop + assignment the
+      oracle replays CTE-for-CTE (round-8 verdict #3 — the one §2.13
+      operator pair that was pytest-only).
+
     Declared at the scale-shaped parameterization (16 planes, 4-bit bands →
     16 buckets per band); the log₂(n) band-width scaling law is asserted in
     tests/test_suite_ops.py::test_lsh_candidates_scale_subquadratically."""
@@ -236,7 +347,18 @@ def sim_cosine_pairs(spark, sf_dir):
         F.col("cluster_id").alias("id_b"),
         F.col("kept").cast("double").alias("cosine"),
     )
-    return pairs.unionByName(sem)
+    assigned = SIM.semantic_clusters(
+        emb, "vec_id", "embedding",
+        n_clusters=_KM_CLUSTERS, n_iter=_KM_ITER, with_dot=True,
+    ).select(
+        F.lit("assign").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").cast("long").alias("id_b"),
+        F.round(F.col("cluster_dot").cast("double") / F.lit(1e12), 6).alias(
+            "cosine"
+        ),
+    )
+    return pairs.unionByName(sem).unionByName(assigned)
 
 
 #: query ids for the packed bulk-kNN branch of sim_topk_ann

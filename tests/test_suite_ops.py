@@ -1891,6 +1891,47 @@ def test_semantic_clusters_deterministic_and_separable(spark):
     }
 
 
+def test_spherical_kmeans_exact_integer_model(spark, emb):
+    """Round-9 (verdict #3): the trainer behind semantic_clusters is
+    EXACT-INTEGER — centroids are micro-int unit vectors (norm within 1
+    micro of 1e6), the model is bit-identical under repartitioning, and
+    with_dot exposes the winning BIGINT dot (cosine = dot/1e12 within
+    quantization error of the exact-decimal cosine)."""
+    from database_anonymiser_spark.operators.similarity import (
+        semantic_clusters,
+        train_spherical_kmeans,
+    )
+
+    cb = train_spherical_kmeans(emb, "vec_id", "embedding", n_clusters=4, n_iter=2)
+    cb2 = train_spherical_kmeans(
+        emb.repartition(17), "vec_id", "embedding", n_clusters=4, n_iter=2
+    )
+    assert cb == cb2  # exact integers: no float-reduction drift
+    import math
+
+    for _, c in cb:
+        assert all(isinstance(x, int) for x in c)
+        norm = math.sqrt(sum(x * x for x in c))
+        assert abs(norm - 1_000_000) <= 1.0, norm
+
+    out = semantic_clusters(
+        emb, "vec_id", "embedding", codebook=cb, with_dot=True
+    )
+    rows = out.select("vec_id", "cluster_id", "cluster_dot").collect()
+    assert len(rows) == emb.count()
+    assert all(isinstance(r["cluster_dot"], int) for r in rows[:5])
+    # the winning dot is the max over the codebook (spot-check one row)
+    r0 = sorted(rows, key=lambda r: r["vec_id"])[0]
+    v0 = emb.where(F.col("vec_id") == r0["vec_id"]).first()["embedding"]
+    from database_anonymiser_spark.operators.similarity import _dec6_py
+
+    mv = [int(_dec6_py(float(x)) * 1_000_000) for x in v0]
+    dots = {cid: sum(a * b for a, b in zip(mv, c)) for cid, c in cb}
+    best = max(dots.values())
+    assert dots[r0["cluster_id"]] == best == r0["cluster_dot"]
+    assert r0["cluster_id"] == min(c for c, d in dots.items() if d == best)
+
+
 def test_semantic_clusters_accepts_pretrained_codebook(spark, emb):
     """A codebook trained on a SAMPLE assigns the full corpus identically
     to passing it explicitly — the 100 TB path (train small, assign all)."""
