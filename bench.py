@@ -192,6 +192,11 @@ def main():
     from database_anonymiser_spark.operators.curate import curate_corpus
     from database_anonymiser_spark.suite.base import load
 
+    # round 9: the configuration gains the cluster_balance stage
+    # (semantic_clusters -> cluster_balanced_sample between near-dedup and
+    # split - the SemDeDup/Sorscher recipe), so curate_corpus_full is NOT
+    # comparable 1:1 with r8 (same caveat class as the r5/r6 additions);
+    # the stage's marginal cost appears in curate_stage_sec['balance'].
     def _curate_full():
         n = curate_corpus(
             load(spark, sf_dir, "documents"),
@@ -200,6 +205,8 @@ def main():
             dedup_lines_min_docs=3,
             drop_repetitive=True,
             near_dedup=True,
+            cluster_balance=200,
+            embeddings=load(spark, sf_dir, "embeddings"),
             decontam_n=8,
             mixture_rates={"src0": 2.0, "src1": 0.5},
             token_budgets={"src2": 2_000},
@@ -383,6 +390,8 @@ def main():
             dedup_lines_min_docs=3,
             drop_repetitive=True,
             near_dedup=True,
+            cluster_balance=200,
+            embeddings=load(spark, sf_dir, "embeddings"),
             decontam_n=8,
             mixture_rates={"src0": 2.0, "src1": 0.5},
             token_budgets={"src2": 2_000},
@@ -391,7 +400,7 @@ def main():
 
     curate_stages: dict[str, float] = {}
     prev = 0.0
-    for stage in ("gates", "exact", "near", "split", "decontam", None):
+    for stage in ("gates", "exact", "near", "balance", "split", "decontam", None):
         t0 = time.perf_counter()
         _curate_prefix(stage)
         cum = time.perf_counter() - t0

@@ -61,6 +61,13 @@ def curate_corpus(
     train_pct: int = 90,
     decontam_n: int | None = 8,
     decontam_min_common: int = 1,
+    cluster_balance: int | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_id_col: str = "vec_id",
+    embedding_vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iter: int = 5,
+    train_sample_fraction: float | None = None,
     mixture_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     token_budgets: dict[str, int] | None = None,
@@ -100,14 +107,33 @@ def curate_corpus(
     normalized line shared by that many docs is stripped corpus-wide)
     before the per-document gates.
 
+    ``cluster_balance`` (round 9, default off) runs the SemDeDup/Sorscher
+    cluster-scoped rebalancing between near-dedup and the split — the
+    recipe semantic_clusters and cluster_balanced_sample exist for
+    (Abbas et al. 2023 §3; Sorscher et al. 2022 §5): join the surviving
+    docs to ``embeddings`` (id ↔ ``embedding_id_col``), partition the
+    embedding space with the exact-integer spherical k-means
+    (``n_clusters``/``kmeans_iter``), then flatten each cluster toward
+    ``cluster_balance`` rows (rate = min(1, budget/n_c)). Docs WITHOUT an
+    embedding row pass through unbalanced (they cannot be clustered;
+    dropping them silently would turn a coverage gap into data loss).
+    ``train_sample_fraction`` (None = train on everything) trains the
+    codebook on a deterministic hash_sample — the 100 TB shape: k-means
+    quality saturates long before the full corpus, so train small and
+    assign all. Plan shape: one broadcast-ready join to the embedding
+    column, the trainer's K-sized bounded collects over a checkpointed
+    micro frame, one map-side Arrow assignment pass, one count aggregate
+    — no new wide shuffle of the corpus.
+
     ``stop_after`` (bench/debug only) returns the pipeline's intermediate
     frame after the named stage — 'gates' (scrub + profile + heuristic/
     classifier/repetition gates), 'exact' (exact dedup), 'near'
-    (near dedup), 'split', 'decontam' — so bench.py can attribute wall
-    time per stage by timing cumulative prefixes. ``None`` (the default)
-    runs the full pipeline; results are unchanged.
+    (near dedup), 'balance' (cluster rebalancing), 'split', 'decontam' —
+    so bench.py can attribute wall time per stage by timing cumulative
+    prefixes. ``None`` (the default) runs the full pipeline; results are
+    unchanged.
     """
-    _STAGES = (None, "gates", "exact", "near", "split", "decontam")
+    _STAGES = (None, "gates", "exact", "near", "balance", "split", "decontam")
     if stop_after not in _STAGES:
         raise ValueError(f"stop_after must be one of {_STAGES}")
     # Parallelism floor: the per-doc gate expressions (C4 scrub, profile
@@ -218,6 +244,48 @@ def curate_corpus(
         clusters = connected_components(pairs)
         kept = dedup_survivors(kept, id_col, clusters)
     if stop_after == "near":
+        return kept
+
+    if cluster_balance is not None:
+        if embeddings is None:
+            raise ValueError("cluster_balance requires an embeddings frame")
+        from database_anonymiser_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+        from database_anonymiser_spark.operators.similarity import (
+            semantic_clusters,
+        )
+
+        emb = embeddings.select(
+            F.col(embedding_id_col).alias(id_col),
+            F.col(embedding_vec_col).alias("_vec"),
+        )
+        # the survivor set is read twice (clustered side + passthrough
+        # anti side) — same diamond treatment as the gate fan-out
+        kept = scoped_cache("curate.neardeduped", kept)
+        with_emb = kept.join(emb, id_col, "inner")
+        codebook = None
+        if train_sample_fraction is not None:
+            from database_anonymiser_spark.operators.sampling import hash_sample
+            from database_anonymiser_spark.operators.similarity import (
+                train_spherical_kmeans,
+            )
+
+            codebook = train_spherical_kmeans(
+                hash_sample(with_emb, id_col, train_sample_fraction),
+                id_col, "_vec",
+                n_clusters=n_clusters, n_iter=kmeans_iter,
+            )
+        clustered = semantic_clusters(
+            with_emb, id_col, "_vec",
+            n_clusters=n_clusters, n_iter=kmeans_iter, codebook=codebook,
+        )
+        balanced = cluster_balanced_sample(
+            clustered, id_col, "cluster_id", cluster_balance
+        ).drop("copy_idx", "cluster_id", "_vec")
+        no_emb = kept.join(emb.select(id_col), id_col, "left_anti")
+        kept = balanced.unionByName(no_emb)
+    if stop_after == "balance":
         return kept
 
     kept = TX.train_eval_split(kept, source_col, train_pct=train_pct).drop(

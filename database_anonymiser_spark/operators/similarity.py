@@ -1444,10 +1444,14 @@ def train_spherical_kmeans(
     argmax IS the spherical (cosine) objective at 6dp resolution — the
     same quantization contract as :func:`int_planes` / the PQ path.
 
-    Scale shape: per iteration one map-side Arrow assignment pass + one
-    partial-aggregated groupBy of K×(dim+1) integer sums; only K×dim
-    totals reach the driver (it IS the model). Train on a deterministic
-    sample (e.g. ``hash_sample``) when the corpus is large."""
+    Scale shape: per iteration ONE map-side Arrow pass that assigns and
+    partially sums in the same batch loop, emitting ≤ K rows of (cid,
+    count, component-sum array) per partition — no shuffle, no wide agg
+    plan; the driver merges K×partitions partial rows with exact Python
+    ints (integer addition is order-free, so the model stays a pure
+    function of the data). Train on a deterministic sample (e.g.
+    ``hash_sample``) when the corpus is large. Per-partition int64 sums
+    bound |partition| ≤ ~9e12 rows before overflow — never binding."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1457,45 +1461,59 @@ def train_spherical_kmeans(
         _unit_micro([int(_dec6_py(float(x)) * 1_000_000) for x in r[0]])
         for r in init
     ]
-    dim = len(cents[0])
-    mi = _micro_arr(vec_col).alias("_mi")
+    # pin the micro vectors once: every Lloyd iteration re-reads this
+    # frame, and without the checkpoint each iteration re-executes the
+    # caller's whole upstream (join/curation lineage) — n_iter× the scan
+    # cost for a training input that is usually a SAMPLE anyway (the
+    # documented 100 TB shape). Lazy: materialized by iteration 1.
+    mdf = df.select(_micro_arr(vec_col).alias("_mi")).localCheckpoint(
+        eager=False
+    )
 
-    a_schema = T.StructType(
+    p_schema = T.StructType(
         [T.StructField("_cid", T.IntegerType()),
-         T.StructField("_mi", T.ArrayType(T.LongType()))]
+         T.StructField("_n", T.LongType()),
+         T.StructField("_s", T.ArrayType(T.LongType()))]
     )
     for _ in range(n_iter):
         cmat = [list(c) for c in cents]
 
-        def assign(it):
+        def partials(it):
             C = np.array(cmat, dtype=np.int64)
+            acc: dict = {}
             for pdf in it:
                 if len(pdf) == 0:
-                    yield pd.DataFrame({"_cid": [], "_mi": []})
                     continue
                 A = np.vstack(pdf["_mi"].to_numpy()).astype(np.int64)
                 # exact int64 dots; np.argmax breaks ties to the FIRST
                 # maximum == lowest cid — the SQL replay's
                 # (dot DESC, cid ASC) row_number
-                yield pd.DataFrame(
-                    {"_cid": (A @ C.T).argmax(axis=1).astype(np.int32),
-                     "_mi": pdf["_mi"]}
-                )
+                cids = (A @ C.T).argmax(axis=1)
+                for cid in np.unique(cids):
+                    rows = A[cids == cid]
+                    n, s = acc.get(int(cid), (0, None))
+                    part = rows.sum(axis=0)
+                    acc[int(cid)] = (
+                        n + len(rows),
+                        part if s is None else s + part,
+                    )
+            yield pd.DataFrame(
+                {"_cid": list(acc.keys()),
+                 "_n": [v[0] for v in acc.values()],
+                 "_s": [v[1].tolist() for v in acc.values()]}
+            )
 
-        assigned = df.select(mi).mapInPandas(assign, a_schema)
-        sums = (
-            assigned.groupBy("_cid")
-            .agg(*[
-                F.sum(F.element_at("_mi", i + 1)).alias(f"_s{i}")
-                for i in range(dim)
-            ])
-            .collect()
-        )
+        totals: dict[int, list[int]] = {}
+        for r in mdf.mapInPandas(partials, p_schema).collect():
+            s = totals.get(r["_cid"])
+            if s is None:
+                totals[r["_cid"]] = [int(x) for x in r["_s"]]
+            else:
+                totals[r["_cid"]] = [a + int(b) for a, b in zip(s, r["_s"])]
         new = list(cents)
-        for r in sums:
-            s = [int(r[f"_s{i}"] or 0) for i in range(dim)]
+        for cid, s in totals.items():
             if any(s):
-                new[r["_cid"]] = _unit_micro(s)
+                new[cid] = _unit_micro(s)
         cents = new
     return list(enumerate(cents))
 

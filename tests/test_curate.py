@@ -162,6 +162,17 @@ def test_curate_corpus_golden_fixture_snapshot(spark, sf_dir):
     assert snap(
         curate_corpus(docs, near_dedup=True, decontam_n=5, **kw)
     ) == (474, "545c5c1d7167cab29b811614dd1c5cf6", 356, 118)
+    # P3b (round 9): + cluster-balanced rebalancing (SemDeDup/Sorscher
+    # recipe) between near-dedup and split — exact-integer k-means + md5
+    # buckets, so the surviving-id set pins like every other prefix
+    emb = load(spark, sf_dir, "embeddings")
+    assert snap(
+        curate_corpus(
+            docs, near_dedup=True, decontam_n=5,
+            cluster_balance=40, embeddings=emb,
+            n_clusters=8, kmeans_iter=3, **kw,
+        )
+    ) == (311, "200f0bb45064c5292e84af5fd142b7b1", 226, 85)
     # P4: + mixture sampling (src0 2x, src1 0.5x) — (id, copy_idx) multiset
     out = curate_corpus(
         docs,
@@ -176,6 +187,45 @@ def test_curate_corpus_golden_fixture_snapshot(spark, sf_dir):
     )
     h = hashlib.md5(",".join(f"{a}:{b}" for a, b in pairs).encode()).hexdigest()
     assert (len(pairs), h) == (484, "354c91923b16227e43c8e154b6e76de9")
+
+
+def test_curate_corpus_cluster_balance_stage(spark, sf_dir):
+    """Round-9 (verdict #6): the optional cluster_balance stage flattens
+    the post-near-dedup corpus toward the per-cluster budget; docs WITHOUT
+    an embedding row pass through unbalanced; output schema is unchanged
+    (no cluster/copy columns leak); requesting the stage without an
+    embeddings frame raises."""
+    import pytest as _pytest
+
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kw = dict(min_tokens=3, decontam_n=None, near_dedup=True)
+
+    base = curate_corpus(docs, stop_after="near", **kw)
+    n_base = base.count()
+
+    # only half the docs carry embeddings: the other half must survive
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    out = curate_corpus(
+        docs, cluster_balance=10, embeddings=half,
+        n_clusters=4, kmeans_iter=2, stop_after="balance", **kw,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    no_emb_ids = {i for i in base_ids if i % 2 == 1}
+    assert no_emb_ids <= out_ids  # passthrough, never dropped
+    balanced_kept = out_ids - no_emb_ids
+    # the embedded half got flattened toward 4 clusters x 10 budget
+    n_embedded = len(base_ids) - len(no_emb_ids)
+    assert len(balanced_kept) < n_embedded
+    assert len(balanced_kept) >= min(n_embedded, 4 * 10) // 2
+    assert set(out.columns) == set(base.columns)
+    assert out.count() < n_base
+
+    with _pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(docs, cluster_balance=10, **kw)
 
 
 def test_curate_corpus_c4_pre_gates(spark):
