@@ -327,8 +327,9 @@ def main():
         return round(hits / len(QS), 3)
 
     # headline recall@10 of each branch AT ITS PRODUCTION DEFAULTS
-    # (round-8: ivf/ivf_sq n_probe=6, lsh 8 planes + 3 flips, pq with the
-    # auto ADC-shortlist -> exact re-rank stage)
+    # (round-9 re-tune: ivf/ivf_sq n_probe=8 and pq auto-refine = N/8,
+    # both justified on TWO scales - see ann_recall_sf1 below; lsh 8
+    # planes + 3 flips)
     ann_recall = {
         "ivf": _recall(lambda q: ivf_topk(emb, "vec_id", "embedding", q, K, 16)),
         "pq": _recall(
@@ -375,6 +376,22 @@ def main():
     pidx.unpersist()
     tidx.unpersist()
 
+    # --- ANN recall at sf1 (round-8 verdict #5): the production probe
+    # defaults are recall-justified at sf0.1; IVF probe coverage degrades
+    # as lists grow, so the SAME defaults are re-measured on the 10x
+    # derived corpus (tools/gen_benchdata.py embeddings — component-
+    # shuffled replicas: norms preserved, neighborhoods decorrelated).
+    # Skipped silently when the derived set is absent.
+    ann_recall_sf1: dict[str, float] = {}
+    _sf1_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1"
+    )
+    if os.path.exists(os.path.join(_sf1_dir, "embeddings.parquet")):
+        from tools.ann_probe import ann_recall_headline
+
+        ann_recall_sf1 = ann_recall_headline(spark, _sf1_dir)
+        print(f"# ann_recall_sf1: {ann_recall_sf1}", file=sys.stderr)
+
     # --- curate_corpus stage attribution (round-5 verdict #3): cumulative
     # prefixes of the SAME fully-gated configuration, timed once each; the
     # delta between consecutive prefixes attributes that stage's marginal
@@ -419,6 +436,7 @@ def main():
                 "neardedup_meta": neardedup_meta,
                 "ann_recall": ann_recall,
                 "ann_recall_curve": ann_recall_curve,
+                "ann_recall_sf1": ann_recall_sf1,
                 "notes": {
                     # round-7 verdict #5: the 0.45->0.61s text_quality_spans
                     # drift was profiled in isolation (round 8): stages

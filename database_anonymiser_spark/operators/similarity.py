@@ -974,16 +974,18 @@ def ivf_topk(
     query_id: int,
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 6,
+    n_probe: int = 8,
     codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer + probed list search.
 
-    Default ``n_probe=6`` (of 16 lists) is the measured knee on the
-    2k-vector bench fixture: recall@10 = 0.733 / 0.9 / 0.967 at n_probe
-    4 / 6 / 8 (BENCH ann_recall_curve records the sweep each round) — 6
-    clears the 0.85 bar at 37% of lists probed; tune down for larger
-    n_centroids where each list is a smaller corpus fraction.
+    Default ``n_probe=8`` (of 16 lists) — re-tuned round 9 on TWO scales
+    (BENCH ann_recall_curve records the per-round sweep): on the
+    2k-vector fixture recall@10 = 0.733 / 0.9 / 0.967 at n_probe 4/6/8;
+    on the 10× derived corpus the SAME probes give 0.8 at 6 but 0.9 at 8
+    — fixed-count probing loses recall as lists grow, so the default
+    sits at the point that holds 0.9 on both measured scales. Tune down
+    for larger n_centroids where each list is a smaller corpus fraction.
 
     Codebook: by default the ``n_centroids`` lowest-id vectors
     (deterministic, training-free — what the declared oracle reproduces);
@@ -1277,7 +1279,7 @@ def ivf_int8_topk(
     query_id: int,
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
-    n_probe: int = 6,
+    n_probe: int = 8,
     refine_k: int | None = None,
 ) -> DataFrame:
     """Query the IVF-SQ index (:func:`ivf_int8_index`): probe the
@@ -1297,10 +1299,11 @@ def ivf_int8_topk(
     whose ids are re-scored against the ORIGINAL vectors with the
     exact-decimal cosine — int8 rounding stops costing rank inversions
     near the top-k boundary. Measured on the 2k bench fixture (round 8):
-    recall@10 = 0.7 / 0.867 at n_probe 4 / 6 (hence the 6 default), and
-    0.9 at n_probe=6 with refine_k=50 — int8 loss is small, so here the
-    refine is a polish; the probe count is the recall lever (unlike PQ,
-    where the refine IS the fix)."""
+    recall@10 = 0.7 / 0.867 at n_probe 4 / 6, and 0.9 at n_probe=6 with
+    refine_k=50 — int8 loss is small, so here the refine is a polish;
+    the probe count is the recall lever (unlike PQ, where the refine IS
+    the fix). Default n_probe=8 follows ivf_topk's round-9 two-scale
+    re-tune (fixed-count probing loses recall as lists grow)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1846,15 +1849,24 @@ def pq_topk(
     alone is near-random at k=10 (recall@10 = 0.167 on the 2k-vector
     bench fixture, BENCH_r07 — the round-7 verdict's one `weak`);
     measured on that fixture the refine sweep gives 0.433 @ 5·k, 0.633 @
-    10·k, 0.8 @ 25·k (trained books: 0.933 @ 25·k), so ``"auto"`` =
-    max(25·k, 100) — recall recorded per-round in BENCH ann_recall,
-    floored absolutely in tests/test_suite_ops.py. ``None`` disables the
-    refine (raw ADC — debugging/telemetry only). The refine cost — one
-    bounded re-scan of refine_k full vectors — is independent of corpus
-    size; at 100 TB the ratio refine_k/n vanishes while the absolute
-    recall behavior is set by refine_k alone."""
+    10·k, 0.8 @ 25·k (trained books: 0.933 @ 25·k) — recall recorded
+    per-round in BENCH ann_recall, floored absolutely in
+    tests/test_suite_ops.py. ``None`` disables the refine (raw ADC —
+    debugging/telemetry only).
+
+    ``"auto"`` = max(25·k, N/8) with N the index row count (one count of
+    the usually-cached index) — re-tuned round 9 on two scales: at a
+    FIXED absolute shortlist (250), recall@10 fell 0.8 → 0.433 (trained
+    0.933 → 0.533) on the 10× corpus, while the measured sweep at both
+    scales shows the recall invariant is the shortlist FRACTION for a
+    fixed 32-bit code (N/8 ⇒ 0.8/0.933 at 2k, 0.867/0.9 at 20k). A
+    fractional shortlist means the refine cost grows with N; that is the
+    honest price of 8×16 codebooks — the production lever for keeping
+    refine_k absolute at 100 TB is growing the CODE (m_sub/k_sub, e.g.
+    8×256), which shrinks ADC distortion instead of widening the
+    shortlist. Pass an explicit refine_k to pin the cost."""
     if refine_k == "auto":
-        refine_k = max(25 * k, 100)
+        refine_k = max(25 * k, math.ceil(index.count() / 8))
     m_sub = len(books)
     qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrow:

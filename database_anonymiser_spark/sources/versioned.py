@@ -1036,14 +1036,96 @@ class VersionedTable:
         )
         return dst
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        root: str | os.PathLike,
+        key_col: str,
+        stats_cols: tuple = (),
+    ) -> "VersionedTable":
+        """CONVERT an existing plain-parquet directory into a versioned
+        table IN PLACE — Delta's ``CONVERT TO DELTA parquet.`path```
+        (Armbrust et al., VLDB 2020 §4.3), the on-ramp for real users
+        with existing data: version 0 ADOPTS every ``*.parquet`` already
+        under ``root`` BY REFERENCE (paths recorded relative to the
+        root), harvesting per-file key/stats bounds and row counts from
+        the parquet FOOTERS — metadata-only, zero rewrite, zero data
+        read, so converting 100 TB costs one footer pass.
+
+        After conversion the table time-travels, merges, updates,
+        compacts and vacuums like any other: new writes land under
+        ``root/data/`` (the log-owned area), and copy-on-write churn
+        gradually DEREFERENCES the adopted files. The safety contract
+        the clone rails already established carries over: ``vacuum``
+        only ever deletes under ``root/data/``, so the pre-conversion
+        files — which this engine did not write and other readers may
+        still scan — are NEVER deletion candidates, even after every
+        row has churned out of them; they surface in
+        :meth:`foreign_files` until then, and ``erase`` refuses while
+        any is live (a "verified hard delete" that left adopted
+        pre-images on disk would be a lie — same rule as shallow
+        clones). Refuses on a directory that is already a versioned
+        table, already has a ``data/`` area (ambiguous ownership), or
+        holds no parquet files."""
+        t = cls(spark, root)
+        if t.versions():
+            raise FileExistsError(f"already a versioned table at {t.root}")
+        if (t.root / _DATA_DIR).exists():
+            raise FileExistsError(
+                f"{t.root}/{_DATA_DIR} exists: refusing to adopt a "
+                "directory whose data/ area has ambiguous ownership"
+            )
+        files = sorted(
+            p for p in t.root.rglob("*.parquet")
+            if _LOG_DIR not in p.relative_to(t.root).parts
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {t.root}")
+        import pyarrow.parquet as pq
+
+        _replay_cache_invalidate(t.root)
+        adds = []
+        for p in files:
+            lo, hi = _footer_key_stats(p, key_col)
+            stats = None
+            if stats_cols:
+                stats = {}
+                for c in stats_cols:
+                    clo, chi = _footer_key_stats(p, c)
+                    stats[c] = [clo, chi]
+            try:
+                n_rows = pq.ParquetFile(str(p)).metadata.num_rows
+            except Exception:
+                n_rows = None
+            adds.append(
+                _FileEntry(str(p.relative_to(t.root)), lo, hi, stats, n_rows)
+            )
+        # footer-derived schema of the whole set (mergeSchema=false is
+        # fine: convert requires a uniform layout, like Delta's CONVERT)
+        schema = spark.read.parquet(
+            *[str(p) for p in files]
+        ).schema.jsonValue()
+        _commit(
+            t.root, 0, adds, [], key_col, op="convert",
+            meta={"converted_files": len(adds)},
+            schema=schema, stats_cols=tuple(stats_cols),
+        )
+        return t
+
     def foreign_files(self, version: int | None = None) -> list[str]:
-        """Live files NOT owned by this table root (absolute-path entries
-        introduced by a shallow :meth:`clone`) — empty once copy-on-write
-        churn (or ``compact``) has rewritten every cloned file locally."""
+        """Live files NOT written by this table's own log — absolute-path
+        entries introduced by a shallow :meth:`clone`, plus adopted
+        pre-conversion files from :meth:`convert` (anything living
+        outside the log-owned ``data/`` area). Empty once copy-on-write
+        churn (or ``compact``) has rewritten every such file locally;
+        while non-empty, ``erase`` refuses and ``vacuum`` never touches
+        them."""
         return [
             e["path"]
             for e in self._live_entries(version)
             if os.path.isabs(e["path"])
+            or not e["path"].startswith(_DATA_DIR + "/")
         ]
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
@@ -1762,10 +1844,12 @@ class VersionedTable:
         foreign = self.foreign_files(v)
         if foreign:
             raise RuntimeError(
-                "erase on a shallow clone cannot reclaim foreign pre-image "
-                "files (they belong to the clone source and this table's "
-                "vacuum never deletes outside its root) — erase the source "
-                f"table, or deep-clone first; foreign: {sorted(foreign)[:3]}"
+                "erase cannot reclaim foreign/adopted pre-image files (a "
+                "shallow clone's source files, or a converted table's "
+                "pre-conversion parquet — this table's vacuum never "
+                "deletes files its log did not write) — erase the source "
+                "table, deep-clone first, or compact to churn the adopted "
+                f"files out; foreign: {sorted(foreign)[:3]}"
             )
         before = self.row_count(v)
         v2 = self.delete_where(predicate, prune)

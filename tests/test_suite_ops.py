@@ -1781,7 +1781,7 @@ def test_ann_recall_floors_pq_and_multiprobe_lsh(spark, sf_dir):
     deterministic on the fixed fixture, so the floors are exact-measured
     values minus a small margin; sf0.001 test-fixture queries (0, 3, 7)
     measured (round 8): pq/pq_trained/ivf/ivf_sq ≥ 0.9 with the default
-    auto-refine / n_probe=6, lsh(8 planes, 3 flips) = 0.433 (a 50-vector
+    auto-refine / n_probe (8 since the round-9 two-scale re-tune), lsh(8 planes, 3 flips) = 0.433 (a 50-vector
     corpus leaves most of the 256 buckets empty), raw ADC 0.367 at
     sf0.01. The sf0.1 bench fixture records the matching sweep in
     BENCH ann_recall / ann_recall_curve (pq 0.8, trained 0.933,
@@ -1842,8 +1842,8 @@ def test_ann_recall_floors_pq_and_multiprobe_lsh(spark, sf_dir):
     )
     assert r_pq >= 0.9, f"PQ default recall {r_pq} below absolute floor 0.9"
     assert r_pqt >= 0.9, f"trained-PQ default recall {r_pqt} below floor 0.9"
-    assert r_ivf >= 0.9, f"IVF n_probe=6 recall {r_ivf} below floor 0.9"
-    assert r_sq >= 0.9, f"IVF-SQ n_probe=6 recall {r_sq} below floor 0.9"
+    assert r_ivf >= 0.9, f"IVF default-probe recall {r_ivf} below floor 0.9"
+    assert r_sq >= 0.9, f"IVF-SQ default-probe recall {r_sq} below floor 0.9"
     assert r_lsh >= 0.4, f"multi-probe LSH default recall {r_lsh} below floor 0.4"
     assert r_pq > r_adc, "exact re-rank stage buys nothing over raw ADC"
     assert r_adct >= r_adc, (

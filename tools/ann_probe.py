@@ -1,0 +1,69 @@
+"""Headline ANN recall@k at PRODUCTION DEFAULTS for any sf_dir — the
+cross-scale face of bench.py's ann_recall dict (round-8 verdict #5: the
+probe defaults were recall-justified at sf0.1 only; IVF probe coverage
+degrades as lists grow, so the defaults need a larger-scale point).
+
+Ground truth is the exact brute-force top-k on the SAME corpus, so the
+number is a recall, not a proxy, at every scale.
+"""
+
+from __future__ import annotations
+
+
+def ann_recall_headline(
+    spark, sf_dir: str, k: int = 10, qs: tuple[int, ...] = (1, 701, 1301)
+) -> dict[str, float]:
+    """recall@k of the four ANN branches at their production defaults
+    (ivf n_probe=8 of 16 lists; pq 8x16 with the auto ADC-shortlist →
+    exact re-rank; trained-pq n_iter=3; lsh 8 planes + default flips),
+    averaged over the ``qs`` probe queries, vs exact brute force."""
+    from database_anonymiser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+        pq_codebooks,
+        pq_index,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", 8, 16)
+    pidx = pq_index(emb, "vec_id", "embedding", books).cache()
+    pidx.count()
+    tbooks = train_pq_codebooks(emb, "vec_id", "embedding", 8, 16, n_iter=3)
+    tidx = pq_index(emb, "vec_id", "embedding", tbooks).cache()
+    tidx.count()
+    exact_sets = {
+        q: {
+            r["vec_id"]
+            for r in brute_force_topk(emb, "vec_id", "embedding", q, k).collect()
+        }
+        for q in qs
+    }
+
+    def _recall(mk) -> float:
+        hits = sum(
+            len(exact_sets[q] & {r["vec_id"] for r in mk(q).collect()}) / k
+            for q in qs
+        )
+        return round(hits / len(qs), 3)
+
+    out = {
+        "ivf": _recall(lambda q: ivf_topk(emb, "vec_id", "embedding", q, k, 16)),
+        "pq": _recall(
+            lambda q: pq_topk(pidx, emb, "vec_id", "embedding", q, books, k)
+        ),
+        "pq_trained": _recall(
+            lambda q: pq_topk(tidx, emb, "vec_id", "embedding", q, tbooks, k)
+        ),
+        "lsh": _recall(
+            lambda q: lsh_bucket_topk(
+                emb, "vec_id", "embedding", q, k, n_planes=8, dim=64
+            )
+        ),
+    }
+    pidx.unpersist()
+    tidx.unpersist()
+    return out

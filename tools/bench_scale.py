@@ -117,6 +117,23 @@ def main():
         meta: dict = {}
         row["storage_churn"] = _time(lambda: storage_churn(spark, sf_dir, meta))
         row["storage_meta_reads"] = meta
+        # near-dedup ingest lifecycle (round-8 verdict #4: the sink's
+        # scale claim — probe reads bounded by the batch's bucket count,
+        # not the store size — needs more than one scale point). One rep:
+        # the number of interest is the COUNTER, wall is secondary.
+        from tools.storage_probe import neardedup_stream
+
+        nd_meta: dict = {}
+        t0 = time.perf_counter()
+        nd_meta["kept_docs"] = neardedup_stream(spark, sf_dir, nd_meta)
+        nd_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
+        row["neardedup_meta"] = nd_meta
+        # ANN recall at production defaults (round-8 verdict #5): only
+        # where the scale dir carries an embeddings table
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            from tools.ann_probe import ann_recall_headline
+
+            row["ann_recall"] = ann_recall_headline(spark, sf_dir)
         out[tag] = row
         print(f"# {tag}: {row}", file=sys.stderr)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import random
+import sys
 
 import duckdb
 import pyarrow as pa
@@ -64,6 +65,37 @@ def gen_documents():
     print(f"documents: {len(out)} rows ({len(docs)} x {REPLICAS})")
 
 
+def gen_embeddings():
+    """10 replicas of the embeddings table (round-8 verdict #5: the ANN
+    recall telemetry needs a larger-scale point). Replica 0 is the
+    original; replicas 1-9 offset vec_id by r*10^9 and SHUFFLE each
+    vector's COMPONENT ORDER with a per-(replica, vec) seeded permutation
+    — the embedding twin of the document word shuffle: norms (hence
+    cluster-radius scale) are preserved exactly, while a random 64-dim
+    permutation decorrelates the replica from the original (expected
+    cosine ≈ the corpus mean), so the 10× corpus keeps the same local
+    neighborhood SHAPE instead of planting 10-way exact-duplicate
+    neighbors that would make every recall probe trivially easy."""
+    tbl = duckdb.sql(f"SELECT * FROM '{SRC}/embeddings.parquet'").arrow()
+    rows = tbl.to_pylist()
+    out = []
+    for r in range(REPLICAS):
+        for row in rows:
+            d = dict(row)
+            d["vec_id"] = row["vec_id"] + r * OFFSET
+            if r > 0:
+                vec = list(row["embedding"])
+                random.Random(r * OFFSET + row["vec_id"]).shuffle(vec)
+                d["embedding"] = vec
+            out.append(d)
+    pq.write_table(
+        pa.Table.from_pylist(out, schema=tbl.schema),
+        os.path.join(OUT, "embeddings.parquet"),
+        row_group_size=65536,
+    )
+    print(f"embeddings: {len(out)} rows ({len(rows)} x {REPLICAS})")
+
+
 def gen_keyed(table: str, key_cols: tuple[str, ...]):
     con = duckdb.connect()
     parts = []
@@ -84,9 +116,15 @@ def gen_keyed(table: str, key_cols: tuple[str, ...]):
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    gen_documents()
-    gen_keyed("orders", ("o_orderkey", "o_custkey"))
-    gen_keyed("lineitem", ("l_orderkey",))
+    only = sys.argv[1:] if len(sys.argv) > 1 else None
+    if only is None or "documents" in only:
+        gen_documents()
+    if only is None or "embeddings" in only:
+        gen_embeddings()
+    if only is None or "orders" in only:
+        gen_keyed("orders", ("o_orderkey", "o_custkey"))
+    if only is None or "lineitem" in only:
+        gen_keyed("lineitem", ("l_orderkey",))
 
 
 if __name__ == "__main__":

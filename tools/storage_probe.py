@@ -93,7 +93,11 @@ def neardedup_stream(spark, sf_dir: str, meta: dict) -> int:
     try:
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
+        import time as _time
+
         def one(bno, zorder=False):
+            f0 = V.DATA_FILES_READ
+            t0 = _time.perf_counter()
             apply_neardedup_batch(
                 spark,
                 docs.where(F.col("doc_id") % 3 == bno),
@@ -104,12 +108,17 @@ def neardedup_stream(spark, sf_dir: str, meta: dict) -> int:
                 threshold=0.5,
                 zorder_store=zorder,
             )
+            meta.setdefault("batch_files_read", []).append(
+                V.DATA_FILES_READ - f0
+            )
+            meta.setdefault("batch_sec", []).append(
+                round(_time.perf_counter() - t0, 3)
+            )
 
         one(0)
         one(1, zorder=True)
-        f0 = V.DATA_FILES_READ
         one(2)
-        meta["last_batch_files_read"] = V.DATA_FILES_READ - f0
+        meta["last_batch_files_read"] = meta["batch_files_read"][-1]
         meta["store_live_files"] = len(
             VersionedTable(spark, store_root)._live_entries()
         )
