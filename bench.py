@@ -478,6 +478,13 @@ def main():
                     "7.08/7.04s, sim bands overlap and flip sign with run "
                     "order; operator code byte-identical - machine drift, "
                     "no code regression",
+                    # round 9 content changes - NOT comparable 1:1 with r8:
+                    "r9_non_comparable": "sim_cosine_pairs gains the "
+                    "'assign' k-means branch (+~0.7s: 2 trainer jobs + 1 "
+                    "assign pass) and curate_corpus_full gains the "
+                    "cluster_balance stage (curate_stage_sec['balance']); "
+                    "ivf default n_probe 6->8 and pq auto-refine N/8 lift "
+                    "ann_recall at both scales (see ann_recall_sf1)",
                 },
                 "control_sec": control,
                 "control_shuffle_arrow_sec": control_sa,

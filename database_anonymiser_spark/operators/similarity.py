@@ -1862,9 +1862,12 @@ def pq_topk(
     fixed 32-bit code (N/8 ⇒ 0.8/0.933 at 2k, 0.867/0.9 at 20k). A
     fractional shortlist means the refine cost grows with N; that is the
     honest price of 8×16 codebooks — the production lever for keeping
-    refine_k absolute at 100 TB is growing the CODE (m_sub/k_sub, e.g.
-    8×256), which shrinks ADC distortion instead of widening the
-    shortlist. Pass an explicit refine_k to pin the cost."""
+    refine_k absolute at 100 TB is growing the CODE, which shrinks ADC
+    distortion instead of widening the shortlist (measured on the 20k
+    corpus with refine_k PINNED at 250: 8×16 → 0.433, 8×64 → 0.7,
+    trained 8×64 → 0.767 — code growth recovers most of what the wider
+    shortlist otherwise buys). Pass an explicit refine_k to pin the
+    cost."""
     if refine_k == "auto":
         refine_k = max(25 * k, math.ceil(index.count() / 8))
     m_sub = len(books)
