@@ -1128,7 +1128,9 @@ class VersionedTable:
             or not e["path"].startswith(_DATA_DIR + "/")
         ]
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self, df: DataFrame, merge_schema: bool = False, max_retries: int = 5
+    ) -> int:
         """Blind append — new files, no reads, one commit.
 
         ``merge_schema=True`` enables Delta-style ADDITIVE schema
@@ -1138,7 +1140,20 @@ class VersionedTable:
         NULL-fills missing columns at scan time under mergeSchema, which
         :meth:`snapshot` turns on, so no historical file is ever
         rewritten). Type changes and (without the flag) any schema
-        mismatch are rejected loudly."""
+        mismatch are rejected loudly.
+
+        LOSING AN OCC RACE AUTO-RETRIES (round 9 — Delta's automatic
+        conflict resolution for its one read-set-free commit class): a
+        blind append conflicts with a concurrent writer only on the
+        version NUMBER, so the rebase is to re-commit the SAME
+        already-written files at the new head — no rewrite, no re-read —
+        up to ``max_retries`` times. The retry is refused (conflict
+        re-raised) when the winning commit changed the logged SCHEMA:
+        the files on disk were validated against the old one, and
+        re-validating might demand a backfill rewrite — that decision
+        goes back to the caller. Appends that THEMSELVES evolve the
+        schema never auto-retry (two concurrent evolutions need a human
+        order)."""
         key_col = self.key_col()
         cur = self._log_schema() or self.snapshot().schema
         cur_types = {f.name: f.dataType for f in cur.fields}
@@ -1174,13 +1189,24 @@ class VersionedTable:
                 evolved_schema = StructType(list(cur.fields) + new_fields)
                 df = df.select(*[f.name for f in evolved_schema.fields])
         self._check_constraints(df)
-        v = self.latest_version() + 1
+        validated = cur.jsonValue()
         adds = _write_data_files(df, self.root, key_col, stats_cols=self._stats_cols)
-        _commit(
-            self.root, v, adds, [], key_col, op="append",
-            schema=evolved_schema.jsonValue() if evolved_schema is not None else None,
-        )
-        return v
+        for attempt in range(max_retries + 1):
+            v = self.latest_version() + 1
+            try:
+                _commit(
+                    self.root, v, adds, [], key_col, op="append",
+                    schema=evolved_schema.jsonValue()
+                    if evolved_schema is not None else None,
+                )
+                return v
+            except VersionConflict:
+                if attempt == max_retries or evolved_schema is not None:
+                    raise
+                now = self._log_schema()
+                if now is not None and now.jsonValue() != validated:
+                    raise  # winner changed the schema: no blind rebase
+        raise AssertionError("unreachable")
 
     def merge(
         self,
@@ -1627,7 +1653,12 @@ class VersionedTable:
             out = out.unionByName(self.diff(a, b, images=images))
         return out
 
-    def optimize_zorder(self, cols: tuple[str, ...], file_count: int = 8) -> int:
+    def optimize_zorder(
+        self,
+        cols: tuple[str, ...],
+        file_count: int = 8,
+        where: dict[str, tuple] | None = None,
+    ) -> int:
         """Rewrite the live data clustered by the Z-ORDER (bit-interleaved)
         key of ``cols`` — Delta/Iceberg's multi-dimensional OPTIMIZE: after
         clustering, a range predicate on ANY of the columns maps to a
@@ -1646,14 +1677,29 @@ class VersionedTable:
         100 TB shape: the rewrite is one range-shuffle of the table — the
         price Delta's OPTIMIZE ZORDER pays too, amortized over every
         subsequent pruned read; at scale run it per partition/epoch rather
-        than whole-table.
+        than whole-table — that is what ``where`` (round 9) is for:
+        Delta's ``OPTIMIZE ... WHERE``. With range predicates ({col:
+        (lo, hi)}), only the files whose stats OVERLAP the predicate are
+        reclustered — they are read and rewritten WHOLE (never row-
+        filtered: the row set must not change), every other file is
+        untouched, and the commit removes just the rewritten subset. The
+        epoch-by-epoch OPTIMIZE loop a 100 TB table actually runs is
+        then a sequence of bounded scoped rewrites, not one table-sized
+        shuffle. No-op (returns the current version) when nothing
+        overlaps.
         """
         if not 1 <= len(cols) <= 4:
             raise ValueError("z-order needs 1-4 columns")
         key_col = self.key_col()
         v = self.latest_version()
-        entries = self._live_entries(v)
-        df = self.snapshot(v)
+        if where is None:
+            entries = self._live_entries(v)
+            df = self.snapshot(v)
+        else:
+            entries = self.files_matching(where, version=v)
+            if not entries:
+                return v
+            df = self._read_paths([e["path"] for e in entries])
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -1914,7 +1960,9 @@ class VersionedTable:
 
     # ---------------------------------------------------------- hygiene
 
-    def vacuum(self, retain_versions: int | None = None) -> list[str]:
+    def vacuum(
+        self, retain_versions: int | None = None, dry_run: bool = False
+    ) -> list[str]:
         """Reclaim dead data files. Two modes:
 
         - ``retain_versions=None`` (default): delete only files referenced
@@ -1931,7 +1979,13 @@ class VersionedTable:
           ``VACUUM ... RETAIN`` contract. The commit log itself is kept
           (tiny, and the audit trail stays complete).
 
-        Returns the deleted paths (relative to the table root)."""
+        ``dry_run=True`` (round 9 — Delta's ``VACUUM ... DRY RUN``)
+        returns the deletion candidates WITHOUT unlinking anything — the
+        pre-flight a production retention job runs before committing to
+        an irreversible reclaim.
+
+        Returns the deleted (or, dry run, would-be-deleted) paths
+        (relative to the table root)."""
         if retain_versions is not None and retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         if retain_versions is None:
@@ -1950,6 +2004,7 @@ class VersionedTable:
             for p in data_root.rglob("*.parquet"):
                 rel = str(p.relative_to(self.root))
                 if rel not in referenced:
-                    p.unlink()
+                    if not dry_run:
+                        p.unlink()
                     removed.append(rel)
         return removed

@@ -2754,3 +2754,111 @@ def test_convert_point_skipping_and_stats_harvest(spark, tmp_path):
     # range-prune on the harvested stats column too
     entries = t.files_matching({"k": (0, 100)})
     assert 0 < len(entries) < n_live
+
+
+def test_append_auto_retries_occ_conflict(spark, table, monkeypatch):
+    """Round 9: a blind append losing the OCC race rebases automatically —
+    same already-written files re-committed at the new head, no rewrite —
+    UNLESS the winner changed the logged schema (then the conflict
+    surfaces: the files were validated against the old schema)."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    real_commit = V._commit
+    state = {"rival": 0}
+
+    def racing_commit(root, version, adds, removes, key_col, op, **kw):
+        if op == "append" and state["rival"] > 0:
+            state["rival"] -= 1
+            rival = V._write_data_files(
+                spark.createDataFrame(
+                    [(900 + state["rival"], "rival", 0.0)],
+                    "k long, name string, v double",
+                ),
+                root, "k",
+            )
+            real_commit(root, version, rival, [], "k", op="append")
+        return real_commit(root, version, adds, removes, key_col, op, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    base = table.latest_version()
+    state["rival"] = 2  # lose the race twice, win on the third attempt
+    f0 = V.DATA_FILES_READ
+    v = table.append(
+        spark.createDataFrame([(300, "mine", 1.0)], "k long, name string, v double")
+    )
+    assert v == base + 3  # two rivals landed first
+    assert V.DATA_FILES_READ == f0  # rebase never re-read or rewrote data
+    ks = {r["k"] for r in table.snapshot().select("k").collect()}
+    assert {300, 900, 901} <= ks
+    # no file double-referenced across the interleaved commits
+    all_adds = [a["path"] for rec in table.history() for a in rec["adds"]]
+    assert len(all_adds) == len(set(all_adds))
+
+    # schema-changing winner: no blind rebase
+    def schema_racing_commit(root, version, adds, removes, key_col, op, **kw):
+        if op == "append" and state["rival"] > 0:
+            state["rival"] -= 1
+            real_commit(
+                root, version, [], [], "k", op="add_column_marker",
+                schema={"type": "struct", "fields": []},
+            )
+        return real_commit(root, version, adds, removes, key_col, op, **kw)
+
+    monkeypatch.setattr(V, "_commit", schema_racing_commit)
+    state["rival"] = 1
+    with pytest.raises(V.VersionConflict):
+        table.append(
+            spark.createDataFrame(
+                [(400, "x", 1.0)], "k long, name string, v double"
+            )
+        )
+
+
+def test_optimize_zorder_where_scoped_rewrite(spark, tmp_path):
+    """Round 9 (Delta OPTIMIZE ... WHERE): a range-scoped Z-ORDER rewrites
+    ONLY the files whose stats overlap the predicate — whole files, never
+    row-filtered — leaving every other live file untouched, and a
+    no-overlap predicate is a version-preserving no-op."""
+    df1 = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)], "k long, lab int, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(1000, 1100)], "k long, lab int, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "z", df1, key_col="k")
+    t.append(df2)
+    before = {e["path"] for e in t._live_entries()}
+    low_files = {e["path"] for e in t.files_matching({"k": (0, 99)})}
+    high_files = before - low_files
+    assert low_files and high_files  # disjoint key ranges => both sets real
+
+    v = t.optimize_zorder(("k", "lab"), file_count=2, where={"k": (0, 99)})
+    after = {e["path"] for e in t._live_entries()}
+    assert high_files <= after           # untouched files carried
+    assert not (low_files & after)       # overlapping files rewritten
+    assert t.snapshot().count() == 200   # row set unchanged
+    assert sorted(r["k"] for r in t.snapshot().collect()) == (
+        list(range(100)) + list(range(1000, 1100))
+    )
+    # the rewritten band carries z-stats for BOTH dimensions
+    new_files = after - high_files
+    ent = {e["path"]: e for e in t._live_entries()}
+    assert all((ent[p].get("stats") or {}).get("lab") for p in new_files)
+    # no-overlap scope: no-op, same version
+    assert t.optimize_zorder(("k", "lab"), where={"k": (5000, 6000)}) == v
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """Round 9 (Delta VACUUM DRY RUN): candidates are returned, nothing is
+    unlinked; the subsequent real vacuum deletes exactly that list."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    t = VersionedTable.create(spark, tmp_path / "d", df, key_col="k")
+    t.update_where({"v": F.col("v") + 1.0}, F.col("k") < 25, prune={"k": (0, 24)})
+    t.compact()
+    cand = t.vacuum(retain_versions=1, dry_run=True)
+    assert cand  # churn produced dead files
+    assert all((t.root / p).exists() for p in cand)  # nothing deleted
+    assert t.snapshot(0).count() == 50  # time travel intact
+    real = t.vacuum(retain_versions=1)
+    assert sorted(real) == sorted(cand)
+    assert not any((t.root / p).exists() for p in real)

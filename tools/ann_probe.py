@@ -29,6 +29,10 @@ def ann_recall_headline(
     from database_anonymiser_spark.suite.base import load
 
     emb = load(spark, sf_dir, "embeddings")
+    # wrap probe ids into the corpus id range (a 500-row sf0.01 corpus has
+    # no vec_id 701/1301 — an absent query would silently score recall 0)
+    max_id = emb.agg({"vec_id": "max"}).first()[0]
+    qs = tuple(sorted({q % (int(max_id) + 1) for q in qs}))
     books = pq_codebooks(emb, "vec_id", "embedding", 8, 16)
     pidx = pq_index(emb, "vec_id", "embedding", books).cache()
     pidx.count()
