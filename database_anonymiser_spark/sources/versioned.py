@@ -168,8 +168,9 @@ ISIN_LITERAL_CAP = 256
 #: Delta's dataChange=false class. The ONE source of truth for every
 #: incremental consumer (``changes()`` here, the IVM refresh): a new
 #: row-preserving op added here is skipped by both (round-8 advice —
-#: the two previously carried private copies that could drift).
-ROW_PRESERVING_OPS = ("compact", "optimize_zorder")
+#: the two previously carried private copies that could drift; round 9's
+#: ``analyze`` is the first op added under the shared rule).
+ROW_PRESERVING_OPS = ("compact", "optimize_zorder", "analyze")
 
 
 def data_changing_segments(table, since: int, upto: int) -> list[tuple[int, int]]:
@@ -1112,6 +1113,46 @@ class VersionedTable:
             schema=schema, stats_cols=tuple(stats_cols),
         )
         return t
+
+    def analyze(self, stats_cols: tuple[str, ...]) -> int:
+        """ANALYZE TABLE-style stats harvest (round 9 — Delta's
+        ``dataSkippingStatsColumns`` reconfiguration + stats recompute):
+        declare ``stats_cols`` and record per-file [min, max] for every
+        LIVE file from its parquet FOOTER — metadata only, zero rewrite,
+        zero data reads. The commit re-references the same paths with
+        enriched stats (replay: remove+re-add) and merges the columns
+        into the table's declared stats property, so (a) range reads
+        prune on the new columns immediately, and (b) every subsequent
+        write keeps recording them. The natural companion to
+        :meth:`convert` (adopt first, declare skipping columns when the
+        query pattern emerges) and to tables whose OPTIMIZE predates a
+        new filter column. Row-preserving (``ROW_PRESERVING_OPS``):
+        incremental consumers skip it for free."""
+        if not stats_cols:
+            raise ValueError("analyze needs at least one stats column")
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        key_col = self.key_col()
+        new_entries = []
+        for e in entries:
+            stats = dict(e.get("stats") or {})
+            for c in stats_cols:
+                clo, chi = _footer_key_stats(self.root / e["path"], c)
+                stats[c] = [clo, chi]
+            new_entries.append(
+                _FileEntry(
+                    e["path"], e.get("key_min"), e.get("key_max"),
+                    stats or None, e.get("num_rows"),
+                )
+            )
+        merged = tuple(
+            dict.fromkeys(tuple(self._stats_cols or ()) + tuple(stats_cols))
+        )
+        _commit(
+            self.root, v + 1, new_entries, [e["path"] for e in entries],
+            key_col, op="analyze", stats_cols=merged,
+        )
+        return v + 1
 
     def foreign_files(self, version: int | None = None) -> list[str]:
         """Live files NOT written by this table's own log — absolute-path

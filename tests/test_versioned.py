@@ -2862,3 +2862,48 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     real = t.vacuum(retain_versions=1)
     assert sorted(real) == sorted(cand)
     assert not any((t.root / p).exists() for p in real)
+
+
+def test_analyze_stats_harvest_metadata_only(spark, tmp_path):
+    """Round 9 (ANALYZE TABLE): declaring stats columns after the fact
+    harvests per-file [min,max] from footers — zero data reads, zero
+    rewrite — range reads prune immediately, subsequent writes keep
+    recording the columns, and incremental consumers skip the analyze
+    commit as row-preserving."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    root = tmp_path / "a"
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(700)], "k long, lab int, v double"
+    )
+    df.repartitionByRange(7, F.col("lab")).write.parquet(str(root / "raw"))
+    t = VersionedTable.convert(spark, root / "raw", key_col="k")
+    assert t.stats_cols() == ()
+    # view maintained across the analyze: refresh must be metadata-only
+    view = IncrementalAggView.create(
+        spark, tmp_path / "view", t, group_col="lab", sum_col="v"
+    )
+
+    f0 = V.DATA_FILES_READ
+    v = t.analyze(("lab",))
+    assert V.DATA_FILES_READ == f0  # footer-only: no parquet data read
+    assert t.stats_cols() == ("lab",)
+    assert t.latest_version() == v
+    n_live = len(t._live_entries())
+    pruned = t.files_matching({"lab": (0, 0)})
+    assert 0 < len(pruned) < n_live  # the new stats prune immediately
+    assert t.snapshot().count() == 700  # row set unchanged
+    assert _rows(t.snapshot(v - 1)) == _rows(t.snapshot(v))
+
+    # changes() across the analyze yields nothing; IVM refresh advances
+    # the cursor without reading data
+    assert t.changes(v - 1).count() == 0
+    f1 = V.DATA_FILES_READ
+    view.refresh(t)
+    assert view.cursor() == v
+    assert V.DATA_FILES_READ == f1  # pure metadata cursor advance
+    # a later write keeps recording the declared stats column
+    t.append(spark.createDataFrame([(9000, 3, 1.0)], "k long, lab int, v double"))
+    newest = [e for e in t._live_entries() if e["path"].startswith("data/")]
+    assert any((e.get("stats") or {}).get("lab") for e in newest)
