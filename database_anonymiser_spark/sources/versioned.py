@@ -55,7 +55,9 @@ against a DuckDB anti-join + union rendering of the same semantics.
 from __future__ import annotations
 
 import bisect
+import hashlib
 import json
+import math
 import os
 import uuid
 from collections import OrderedDict
@@ -101,6 +103,11 @@ class _FileEntry:
     #: footer row count — makes COUNT(*) a pure log read (Delta records
     #: numRecords per add for the same reason)
     num_rows: int | None = None
+    #: optional per-column bloom SIDECAR refs ({col: relpath under the
+    #: table root}) — the point-lookup skipping index for columns the
+    #: file is NOT clustered by (round 9); the bitmap lives in a sidecar
+    #: file, never in the log, so commit JSONs stay tiny
+    bloom: dict | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -332,6 +339,11 @@ def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
         COMMIT_READS += 1
         if v >= ever_start:
             ever |= {a["path"] for a in rec["adds"]}
+            # bloom sidecars share the witness set: a referenced sidecar
+            # is not a crash orphan (vacuum's sidecar pass consults this)
+            ever |= {
+                p for a in rec["adds"] for p in (a.get("bloom") or {}).values()
+            }
         if v >= eff_start:
             eff_ts = max(eff_ts, rec.get("ts") or "")
     return ever, eff_ts
@@ -432,6 +444,114 @@ def _footer_key_stats(file_path: Path, key_col: str | None):
         return None, None
 
 
+_BLOOM_DIR = "_bloom"
+_BLOOM_FPP = 0.01
+_BLOOM_CACHE: "OrderedDict[str, bytes]" = OrderedDict()
+_BLOOM_CACHE_CAP = 256
+#: declared-stats entries with this prefix request a per-file BLOOM
+#: sidecar instead of (or next to) [min,max] range stats — the
+#: point-lookup index for columns the layout is NOT clustered by
+_BLOOM_PREFIX = "bloom:"
+
+
+def _split_stats_decl(stats_cols) -> tuple[tuple, tuple]:
+    """(range-stat columns, bloom columns) from a declared stats tuple —
+    the ``bloom:<col>`` convention rides the existing stats_cols
+    plumbing (replay/checkpoints/every write path) unchanged."""
+    rng, blm = [], []
+    for c in stats_cols or ():
+        if str(c).startswith(_BLOOM_PREFIX):
+            blm.append(str(c)[len(_BLOOM_PREFIX):])
+        else:
+            rng.append(c)
+    return tuple(rng), tuple(blm)
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Double-hashing pair from md5 of the value's string rendering —
+    same cross-engine-stable md5 family as the skipping fingerprints.
+    Intended for integer/string columns (float repr is not canonical)."""
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return int(h[:16], 16), int(h[16:], 16) | 1
+
+
+def _bloom_build(values, fpp: float = _BLOOM_FPP) -> bytes:
+    """Serialize a bloom filter of the DISTINCT non-null values: one
+    JSON header line ({m, k, n}) + the bitmap. m, k sized by the
+    standard formulas for ``fpp``; ~1.2 bytes/distinct value at 1%."""
+    vals = {v for v in values if v is not None}
+    n = max(len(vals), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = min(16, max(1, int(round(m / n * math.log(2)))))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    return json.dumps({"m": m, "k": k, "n": len(vals)}).encode() + b"\n" + bytes(bits)
+
+
+def _bloom_maybe_contains(blob: bytes, value) -> bool:
+    nl = blob.index(b"\n")
+    hdr = json.loads(blob[:nl])
+    m, k = hdr["m"], hdr["k"]
+    bits = blob[nl + 1:]
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        b = (h1 + i * h2) % m
+        if not (bits[b >> 3] >> (b & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_load(root: Path, ref: str) -> bytes | None:
+    """Sidecar loader with a small LRU (sidecars are immutable — written
+    tmp+rename, never modified). ``ref`` is root-relative or absolute
+    (shallow clones carry the source's sidecars by absolute path)."""
+    p = Path(ref) if os.path.isabs(ref) else root / ref
+    key = str(p)
+    blob = _BLOOM_CACHE.get(key)
+    if blob is not None:
+        _BLOOM_CACHE.move_to_end(key)
+        return blob
+    try:
+        blob = p.read_bytes()
+    except OSError:
+        return None
+    _BLOOM_CACHE[key] = blob
+    while len(_BLOOM_CACHE) > _BLOOM_CACHE_CAP:
+        _BLOOM_CACHE.popitem(last=False)
+    return blob
+
+
+def _bloom_sidecars_for(
+    root: Path, file_path: Path, bloom_cols: tuple[str, ...]
+) -> dict | None:
+    """Build + persist one bloom sidecar per indexed column for a
+    just-written parquet file: a single-COLUMN pyarrow read of the new
+    file (bounded by what was just written — the price Delta pays inline
+    during its write), distinct, bitmap, tmp+rename under ``_bloom/``."""
+    if not bloom_cols:
+        return None
+    import pyarrow.parquet as pq
+
+    out = {}
+    for c in bloom_cols:
+        try:
+            tbl = pq.read_table(str(file_path), columns=[c])
+        except Exception:
+            continue  # column absent in this file: no sidecar, must-scan
+        blob = _bloom_build(tbl.column(0).to_pylist())
+        rel = f"{_BLOOM_DIR}/{uuid.uuid4().hex}.bf"
+        (root / _BLOOM_DIR).mkdir(parents=True, exist_ok=True)
+        tmp = root / _BLOOM_DIR / f".{uuid.uuid4().hex}.tmp"
+        tmp.write_bytes(blob)
+        tmp.rename(root / rel)
+        out[c] = rel
+    return out or None
+
+
 def _write_data_files(
     df: DataFrame,
     root: Path,
@@ -443,6 +563,7 @@ def _write_data_files(
     INVISIBLE until a commit references them."""
     import pyarrow.parquet as pq
 
+    range_cols, bloom_cols = _split_stats_decl(stats_cols)
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     out = root / sub
     df.write.mode("error").parquet(str(out))
@@ -450,16 +571,21 @@ def _write_data_files(
     for p in sorted(out.rglob("*.parquet")):
         lo, hi = _footer_key_stats(p, key_col)
         stats = None
-        if stats_cols:
+        if range_cols:
             stats = {}
-            for c in stats_cols:
+            for c in range_cols:
                 clo, chi = _footer_key_stats(p, c)
                 stats[c] = [clo, chi]
         try:
             n_rows = pq.ParquetFile(str(p)).metadata.num_rows
         except Exception:
             n_rows = None
-        entries.append(_FileEntry(str(p.relative_to(root)), lo, hi, stats, n_rows))
+        entries.append(
+            _FileEntry(
+                str(p.relative_to(root)), lo, hi, stats, n_rows,
+                bloom=_bloom_sidecars_for(root, p, bloom_cols),
+            )
+        )
     return entries
 
 
@@ -509,6 +635,7 @@ def _commit(
                     "key_max": e.key_max,
                     **({"stats": e.stats} if e.stats else {}),
                     **({"num_rows": e.num_rows} if e.num_rows is not None else {}),
+                    **({"bloom": e.bloom} if getattr(e, "bloom", None) else {}),
                 }
                 for e in adds
             ],
@@ -862,10 +989,20 @@ class VersionedTable:
         streaming near-dedup sink probing its LSH band store: after a
         Z-ORDER compaction on the probed column each value maps to at
         most one file, so a probe of v values reads ≤ v files however
-        large the store is."""
+        large the store is.
+
+        Files carrying a BLOOM sidecar for ``col`` (declared via
+        ``analyze(bloom_cols=...)`` — round 9) are additionally pruned by
+        bloom membership, AFTER the range test: the second access path
+        for point lookups on a column the layout is NOT clustered by,
+        where every file's [min, max] spans the whole domain and range
+        stats prune nothing. One small sidecar read per file (LRU-cached,
+        immutable), never a data scan; false positives only — a bloom
+        can keep a file, never wrongly drop one."""
         vals = sorted(v for v in values if v is not None)
         if not vals:
             return []
+        hpairs = None  # probe hashes computed once, shared across files
         out = []
         for e in self._live_entries(version):
             if col == self._key_col and e.get("key_min") is not None:
@@ -873,11 +1010,30 @@ class VersionedTable:
             elif e.get("stats", {}).get(col, [None, None])[0] is not None:
                 clo, chi = e["stats"][col]
             else:
-                out.append(e)  # no stats for this column -> cannot prune
-                continue
-            i = bisect.bisect_left(vals, clo)
-            if i < len(vals) and vals[i] <= chi:
-                out.append(e)
+                clo = chi = None  # no range stats: fall through to bloom
+            if clo is not None:
+                i = bisect.bisect_left(vals, clo)
+                if not (i < len(vals) and vals[i] <= chi):
+                    continue  # range-pruned
+            ref = (e.get("bloom") or {}).get(col)
+            if ref is not None:
+                blob = _bloom_load(self.root, ref)
+                if blob is not None:
+                    if hpairs is None:
+                        hpairs = [_bloom_hashes(v) for v in vals]
+                    nl = blob.index(b"\n")
+                    hdr = json.loads(blob[:nl])
+                    m, k, bits = hdr["m"], hdr["k"], blob[nl + 1:]
+                    if not any(
+                        all(
+                            (bits[((h1 + i * h2) % m) >> 3]
+                             >> (((h1 + i * h2) % m) & 7)) & 1
+                            for i in range(k)
+                        )
+                        for h1, h2 in hpairs
+                    ):
+                        continue  # bloom-pruned
+            out.append(e)
         return out
 
     def read_matching_any(
@@ -1021,6 +1177,10 @@ class VersionedTable:
                     e.get("key_max"),
                     e.get("stats"),
                     e.get("num_rows"),
+                    bloom={
+                        c: str((src.root / p).absolute())
+                        for c, p in (e.get("bloom") or {}).items()
+                    } or None,
                 )
                 for e in live.values()
             ]
@@ -1086,13 +1246,14 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         _replay_cache_invalidate(t.root)
+        range_cols, bloom_cols = _split_stats_decl(stats_cols)
         adds = []
         for p in files:
             lo, hi = _footer_key_stats(p, key_col)
             stats = None
-            if stats_cols:
+            if range_cols:
                 stats = {}
-                for c in stats_cols:
+                for c in range_cols:
                     clo, chi = _footer_key_stats(p, c)
                     stats[c] = [clo, chi]
             try:
@@ -1100,7 +1261,10 @@ class VersionedTable:
             except Exception:
                 n_rows = None
             adds.append(
-                _FileEntry(str(p.relative_to(t.root)), lo, hi, stats, n_rows)
+                _FileEntry(
+                    str(p.relative_to(t.root)), lo, hi, stats, n_rows,
+                    bloom=_bloom_sidecars_for(t.root, p, bloom_cols),
+                )
             )
         # footer-derived schema of the whole set (mergeSchema=false is
         # fine: convert requires a uniform layout, like Delta's CONVERT)
@@ -1114,7 +1278,11 @@ class VersionedTable:
         )
         return t
 
-    def analyze(self, stats_cols: tuple[str, ...]) -> int:
+    def analyze(
+        self,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+    ) -> int:
         """ANALYZE TABLE-style stats harvest (round 9 — Delta's
         ``dataSkippingStatsColumns`` reconfiguration + stats recompute):
         declare ``stats_cols`` and record per-file [min, max] for every
@@ -1127,9 +1295,21 @@ class VersionedTable:
         :meth:`convert` (adopt first, declare skipping columns when the
         query pattern emerges) and to tables whose OPTIMIZE predates a
         new filter column. Row-preserving (``ROW_PRESERVING_OPS``):
-        incremental consumers skip it for free."""
-        if not stats_cols:
-            raise ValueError("analyze needs at least one stats column")
+        incremental consumers skip it for free.
+
+        ``bloom_cols`` (round 9) additionally builds per-file BLOOM
+        sidecars — the point-lookup skipping index for a column the
+        layout is NOT clustered by (every file's [min, max] spans the
+        domain; only membership prunes). The bloom harvest is the one
+        non-footer cost: a single-COLUMN pyarrow read per live file —
+        still never a row scan — and the sidecar bitmap (~1.2
+        bytes/distinct value at the 1% fpp) lives under ``_bloom/``,
+        NEVER in the log, so commit JSONs stay tiny. Declared as
+        ``bloom:<col>`` in the stats property, so every subsequent write
+        maintains sidecars for its new files and
+        :meth:`files_matching_any` prunes by membership from then on."""
+        if not stats_cols and not bloom_cols:
+            raise ValueError("analyze needs at least one stats/bloom column")
         v = self.latest_version()
         entries = self._live_entries(v)
         key_col = self.key_col()
@@ -1139,14 +1319,31 @@ class VersionedTable:
             for c in stats_cols:
                 clo, chi = _footer_key_stats(self.root / e["path"], c)
                 stats[c] = [clo, chi]
+            bloom = dict(e.get("bloom") or {})
+            missing = tuple(c for c in bloom_cols if c not in bloom)
+            if missing:
+                # works for adopted/foreign files too: the data file is
+                # read wherever it lives, the sidecar lands under OUR root
+                built = _bloom_sidecars_for(
+                    self.root,
+                    Path(e["path"]) if os.path.isabs(e["path"])
+                    else self.root / e["path"],
+                    missing,
+                )
+                if built:
+                    bloom.update(built)
             new_entries.append(
                 _FileEntry(
                     e["path"], e.get("key_min"), e.get("key_max"),
-                    stats or None, e.get("num_rows"),
+                    stats or None, e.get("num_rows"), bloom=bloom or None,
                 )
             )
         merged = tuple(
-            dict.fromkeys(tuple(self._stats_cols or ()) + tuple(stats_cols))
+            dict.fromkeys(
+                tuple(self._stats_cols or ())
+                + tuple(stats_cols)
+                + tuple(_BLOOM_PREFIX + c for c in bloom_cols)
+            )
         )
         _commit(
             self.root, v + 1, new_entries, [e["path"] for e in entries],
@@ -1747,10 +1944,12 @@ class VersionedTable:
         b = df.agg(*aggs).first()
         z = _zorder_expr(cols, {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in cols})
         clustered = df.repartitionByRange(file_count, z).sortWithinPartitions(z)
-        new_files = _write_data_files(clustered, self.root, key_col, stats_cols=cols)
-        # declare the clustering columns as the table's stats property so
-        # every SUBSEQUENT write (merge/update/compact) keeps recording
-        # their per-file [min,max] - pruning survives trickle updates
+        # declare the clustering columns in the table's stats property
+        # (MERGED with what is already declared — a later OPTIMIZE must
+        # not silently drop an existing range/bloom declaration) so every
+        # SUBSEQUENT write (merge/update/compact) keeps recording them
+        decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
+        new_files = _write_data_files(clustered, self.root, key_col, stats_cols=decl)
         _commit(
             self.root,
             v + 1,
@@ -1758,7 +1957,7 @@ class VersionedTable:
             [e["path"] for e in entries],
             key_col,
             op="optimize_zorder",
-            stats_cols=tuple(cols),
+            stats_cols=decl,
         )
         return v + 1
 
@@ -2039,10 +2238,25 @@ class VersionedTable:
             for v in self.versions()[-retain_versions:]:
                 live = _replay(self.root, v)[0]
                 referenced |= set(live)
+                referenced |= {
+                    p for a in live.values()
+                    for p in (a.get("bloom") or {}).values()
+                }
         removed = []
         data_root = self.root / _DATA_DIR
         if data_root.is_dir():
             for p in data_root.rglob("*.parquet"):
+                rel = str(p.relative_to(self.root))
+                if rel not in referenced:
+                    if not dry_run:
+                        p.unlink()
+                    removed.append(rel)
+        # bloom sidecars follow the same lifecycle as the files they
+        # index: orphans (never referenced) / outside the retention
+        # window are reclaimed alongside the data files (round 9)
+        bloom_root = self.root / _BLOOM_DIR
+        if bloom_root.is_dir():
+            for p in bloom_root.glob("*.bf"):
                 rel = str(p.relative_to(self.root))
                 if rel not in referenced:
                     if not dry_run:

@@ -2907,3 +2907,81 @@ def test_analyze_stats_harvest_metadata_only(spark, tmp_path):
     t.append(spark.createDataFrame([(9000, 3, 1.0)], "k long, lab int, v double"))
     newest = [e for e in t._live_entries() if e["path"].startswith("data/")]
     assert any((e.get("stats") or {}).get("lab") for e in newest)
+
+
+def test_bloom_sidecar_point_lookup_second_access_path(spark, tmp_path):
+    """Round 9 (Delta bloom-filter index): a table clustered by one
+    column gets point-lookup FILE pruning on a DIFFERENT, hash-scattered
+    column via per-file bloom sidecars — where [min,max] stats span the
+    whole domain and prune nothing. Sidecars live under _bloom/ (never
+    in the log), are maintained by subsequent writes, never produce
+    false-negative pruning, and die with their files at vacuum."""
+    import json as _json
+
+    import database_anonymiser_spark.sources.versioned as V
+
+    root = tmp_path / "b"
+    # k-clustered files; 'tag' is hash-scattered so every file's tag
+    # range spans the domain (range stats useless for tag lookups)
+    df = spark.createDataFrame(
+        [(i, f"t{(i * 7919) % 1000:03d}", float(i)) for i in range(2000)],
+        "k long, tag string, v double",
+    )
+    t = VersionedTable.create(spark, root, df, key_col="k")
+    t.optimize_zorder(("k",), file_count=8)
+    n_live = len(t._live_entries())
+    assert n_live >= 8
+
+    # range stats alone cannot prune the scattered column
+    assert len(t.files_matching_any("tag", ["t013"])) == n_live
+
+    v = t.analyze(bloom_cols=("tag",))
+    assert "bloom:tag" in t.stats_cols()
+    # log stays tiny: the commit JSON holds sidecar PATHS, not bitmaps
+    rec = _json.loads(V._log_path(t.root, v).read_text())
+    assert all(
+        ref.startswith("_bloom/")
+        for a in rec["adds"] for ref in (a.get("bloom") or {}).values()
+    )
+    assert len(V._log_path(t.root, v).read_bytes()) < 64 * 1024
+
+    probed = t.files_matching_any("tag", ["t013"])
+    assert 0 < len(probed) < n_live  # bloom pruned where ranges couldn't
+    # zero false negatives over every present value (bloom keeps, never
+    # wrongly drops): each tag's actual file must be in the probed set
+    got = sorted(
+        r["k"] for r in t.read_matching_any("tag", ["t013"]).collect()
+    )
+    want = sorted(
+        r["k"] for r in t.snapshot().where(F.col("tag") == "t013").collect()
+    )
+    assert got == want and want
+    # an absent value prunes (essentially) every file — allow the 1% fpp
+    assert len(t.files_matching_any("tag", ["zzz-absent"])) <= 1
+
+    # subsequent writes MAINTAIN the index: merged files get sidecars
+    t.merge(
+        spark.createDataFrame(
+            [(5000, "tNEW", 1.0)], "k long, tag string, v double"
+        ),
+        when_matched="update",
+    )
+    assert sorted(
+        r["k"] for r in t.read_matching_any("tag", ["tNEW"]).collect()
+    ) == [5000]
+    newest = [e for e in t._live_entries() if (e.get("bloom") or {}).get("tag")]
+    assert len(newest) == len(t._live_entries())  # every live file indexed
+
+    # vacuum reclaims sidecars with their files
+    t.compact()
+    dead = t.vacuum(retain_versions=1)
+    assert any(p.startswith("_bloom/") for p in dead)
+    live_refs = {
+        p for e in t._live_entries() for p in (e.get("bloom") or {}).values()
+    }
+    on_disk = {str(p.relative_to(t.root)) for p in (t.root / "_bloom").glob("*.bf")}
+    assert on_disk == live_refs  # exactly the live sidecars survive
+    # and the probe still answers correctly post-vacuum
+    assert sorted(
+        r["k"] for r in t.read_matching_any("tag", ["t013"]).collect()
+    ) == want
