@@ -259,6 +259,7 @@ def _replay(root: Path, upto: int):
     constraints: dict[str, str] = {}
     schema = None
     stats_cols: list = []
+    colmap: dict = {}
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
@@ -268,6 +269,7 @@ def _replay(root: Path, upto: int):
         constraints = dict(cp.get("constraints") or {})
         schema = cp.get("schema")
         stats_cols = list(cp.get("stats_cols") or [])
+        colmap = dict(cp.get("column_mapping") or {})
         start = cps[-1] + 1
     versions = _list_versions(root)
     for v in versions:
@@ -283,11 +285,13 @@ def _replay(root: Path, upto: int):
         meta = rec.get("meta") or {}
         if "constraints" in meta:
             constraints = dict(meta["constraints"])
+        if "column_mapping" in meta:
+            colmap = dict(meta["column_mapping"])
         for path in rec["removes"]:
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
-    out = (live, key_col, constraints, schema, tuple(stats_cols))
+    out = (live, key_col, constraints, schema, tuple(stats_cols), colmap)
     # only memoize states whose version actually exists — a replay past
     # the log's end would otherwise pin a stale "latest"
     if upto in versions:
@@ -391,7 +395,9 @@ def _write_checkpoint(root: Path, version: int) -> None:
     """Materialize the full live state at ``version`` (atomic tmp+rename;
     content is a pure function of the log prefix, so concurrent writers of
     the same checkpoint version are harmless)."""
-    live, key_col, constraints, schema, stats_cols = _replay(root, version)
+    live, key_col, constraints, schema, stats_cols, colmap = _replay(
+        root, version
+    )
     ever_set, eff_ts = _checkpoint_aux(root, version)
     ever = sorted(p for p in ever_set if (root / p).exists())
     payload = json.dumps(
@@ -407,6 +413,7 @@ def _write_checkpoint(root: Path, version: int) -> None:
             "eff_ts": eff_ts,
             "key_col": key_col,
             "constraints": constraints,
+            **({"column_mapping": colmap} if colmap else {}),
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             "ever": ever,
@@ -557,12 +564,32 @@ def _write_data_files(
     root: Path,
     key_col: str | None,
     stats_cols: tuple[str, ...] = (),
+    colmap: dict | None = None,
 ) -> list[_FileEntry]:
     """Write df as parquet under data/<uuid>/ and return entries with
     footer key stats (plus per-column stats for ``stats_cols``). Files are
-    INVISIBLE until a commit references them."""
+    INVISIBLE until a commit references them.
+
+    ``colmap`` (round 9, column mapping): the parquet BYTES and every
+    per-file stat/bloom key use PHYSICAL column names — frozen at the
+    column's birth, immutable across renames — while ``df``, ``key_col``
+    and ``stats_cols`` arrive in LOGICAL names. The rename happens here,
+    at the single write chokepoint, so no other write path knows
+    mappings exist."""
     import pyarrow.parquet as pq
 
+    m = dict((colmap or {}).get("map") or {})
+    if m:
+        for lg, ph in m.items():
+            if lg != ph and lg in df.columns:
+                df = df.withColumnRenamed(lg, ph)
+        key_col = m.get(key_col, key_col)
+        stats_cols = tuple(
+            _BLOOM_PREFIX + m.get(c[len(_BLOOM_PREFIX):], c[len(_BLOOM_PREFIX):])
+            if str(c).startswith(_BLOOM_PREFIX)
+            else m.get(c, c)
+            for c in stats_cols or ()
+        )
     range_cols, bloom_cols = _split_stats_decl(stats_cols)
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     out = root / sub
@@ -709,6 +736,16 @@ class VersionedTable:
     def __init__(self, spark: SparkSession, root: str | os.PathLike):
         self.spark = spark
         self.root = Path(root)
+        self._colmap: dict = {}
+
+    # --------------------------------------------- column mapping state
+
+    def _map(self) -> dict:
+        """logical→physical name map ({} = identity for every column)."""
+        return dict(self._colmap.get("map") or {})
+
+    def _phys(self, col: str) -> str:
+        return (self._colmap.get("map") or {}).get(col, col)
 
     # ------------------------------------------------------------ state
 
@@ -723,11 +760,14 @@ class VersionedTable:
 
     def _live_entries(self, version: int | None = None) -> list[dict]:
         upto = self.latest_version() if version is None else version
-        live, key_col, constraints, schema, stats_cols = _replay(self.root, upto)
+        live, key_col, constraints, schema, stats_cols, colmap = _replay(
+            self.root, upto
+        )
         self._key_col = key_col
         self._constraints = constraints
         self._schema_json = schema
         self._stats_cols = stats_cols
+        self._colmap = colmap
         return list(live.values())
 
     def stats_cols(self) -> tuple:
@@ -922,6 +962,22 @@ class VersionedTable:
         DATA_FILES_READ += len(entries)
         paths = [str(self.root / e["path"]) for e in entries]
         if logged is not None:
+            m = self._colmap.get("map") or {}
+            if m:
+                # column mapping: the bytes carry PHYSICAL names — read
+                # against the physical rendering of the logical schema,
+                # then alias back (Delta's column-mapping read, same
+                # reason renames never rewrite files)
+                from pyspark.sql.types import StructField
+
+                phys = StructType(
+                    [StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+                     for f in logged.fields]
+                )
+                return self.spark.read.schema(phys).parquet(*paths).select(
+                    *[F.col(m.get(f.name, f.name)).alias(f.name)
+                      for f in logged.fields]
+                )
             return self.spark.read.schema(logged).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
@@ -938,6 +994,20 @@ class VersionedTable:
             if align_to is not None
             else (self._log_schema() or self.snapshot().schema)
         )
+        m = self._colmap.get("map") or {}
+        if m:
+            from pyspark.sql.types import StructField, StructType
+
+            phys = StructType(
+                [StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+                 for f in schema.fields]
+            )
+            return self.spark.read.schema(phys).parquet(
+                *[str(self.root / p) for p in paths]
+            ).select(
+                *[F.col(m.get(f.name, f.name)).alias(f.name)
+                  for f in schema.fields]
+            )
         d = self.spark.read.schema(schema).parquet(
             *[str(self.root / p) for p in paths]
         )
@@ -957,13 +1027,17 @@ class VersionedTable:
         to, so a concurrent writer landing mid-refresh cannot skew the
         read past the recorded cursor (round-7 advice)."""
         out = []
-        for e in self._live_entries(version):
+        entries = self._live_entries(version)
+        # column mapping: stats/bloom keys are PHYSICAL (frozen at the
+        # column's birth) — translate each queried logical name once
+        pred = {self._phys(c): (c, b) for c, b in predicates.items()}
+        for e in entries:
             keep = True
-            for col, (lo, hi) in predicates.items():
+            for pcol, (col, (lo, hi)) in pred.items():
                 if col == self._key_col and e.get("key_min") is not None:
                     clo, chi = e["key_min"], e["key_max"]
-                elif e.get("stats", {}).get(col, [None, None])[0] is not None:
-                    clo, chi = e["stats"][col]
+                elif e.get("stats", {}).get(pcol, [None, None])[0] is not None:
+                    clo, chi = e["stats"][pcol]
                 else:
                     continue  # no stats for this column -> cannot prune
                 if chi < lo or clo > hi:
@@ -1004,18 +1078,20 @@ class VersionedTable:
             return []
         hpairs = None  # probe hashes computed once, shared across files
         out = []
-        for e in self._live_entries(version):
+        entries = self._live_entries(version)
+        pcol = self._phys(col)  # stats/bloom keys are physical
+        for e in entries:
             if col == self._key_col and e.get("key_min") is not None:
                 clo, chi = e["key_min"], e["key_max"]
-            elif e.get("stats", {}).get(col, [None, None])[0] is not None:
-                clo, chi = e["stats"][col]
+            elif e.get("stats", {}).get(pcol, [None, None])[0] is not None:
+                clo, chi = e["stats"][pcol]
             else:
                 clo = chi = None  # no range stats: fall through to bloom
             if clo is not None:
                 i = bisect.bisect_left(vals, clo)
                 if not (i < len(vals) and vals[i] <= chi):
                     continue  # range-pruned
-            ref = (e.get("bloom") or {}).get(col)
+            ref = (e.get("bloom") or {}).get(pcol)
             if ref is not None:
                 blob = _bloom_load(self.root, ref)
                 if blob is not None:
@@ -1158,7 +1234,9 @@ class VersionedTable:
         if dst.versions():
             raise FileExistsError(f"versioned table already exists at {dst.root}")
         _replay_cache_invalidate(dst.root)
-        live, key_col, constraints, schema, stats_cols = _replay(src.root, v)
+        live, key_col, constraints, schema, stats_cols, colmap = _replay(
+            src.root, v
+        )
         if schema is None and live:
             schema = src.snapshot(v).schema.jsonValue()
         if deep:
@@ -1189,6 +1267,11 @@ class VersionedTable:
             "clone_version": v,
             "clone_deep": bool(deep),
         }
+        if colmap and not deep:
+            # shallow clones read the SOURCE's physical bytes — the
+            # mapping must travel; a deep clone materialized via the
+            # logical snapshot starts fresh (physical == logical)
+            meta["column_mapping"] = dict(colmap)
         if constraints:
             meta["constraints"] = dict(constraints)
         _commit(
@@ -1314,13 +1397,17 @@ class VersionedTable:
         entries = self._live_entries(v)
         key_col = self.key_col()
         new_entries = []
+        # stats/bloom keys and footer lookups are PHYSICAL names (column
+        # mapping): translate the requested logical names once
+        p_stats = tuple(self._phys(c) for c in stats_cols)
+        p_bloom = tuple(self._phys(c) for c in bloom_cols)
         for e in entries:
             stats = dict(e.get("stats") or {})
-            for c in stats_cols:
+            for c in p_stats:
                 clo, chi = _footer_key_stats(self.root / e["path"], c)
                 stats[c] = [clo, chi]
             bloom = dict(e.get("bloom") or {})
-            missing = tuple(c for c in bloom_cols if c not in bloom)
+            missing = tuple(c for c in p_bloom if c not in bloom)
             if missing:
                 # works for adopted/foreign files too: the data file is
                 # read wherever it lives, the sidecar lands under OUR root
@@ -1422,13 +1509,32 @@ class VersionedTable:
                 new_fields = [
                     f for f in df.schema.fields if f.name not in cur_types
                 ]
+                if self._colmap:
+                    # column mapping active: a new column is written under
+                    # its own name (identity physical) — refuse names that
+                    # collide with another column's physical or a RETIRED
+                    # physical, where old files already hold bytes under
+                    # that name for a DIFFERENT logical column
+                    m = self._map()
+                    taken = {m.get(n, n) for n in cur_types} | set(
+                        self._colmap.get("retired") or []
+                    )
+                    clash2 = [f.name for f in new_fields if f.name in taken]
+                    if clash2:
+                        raise ValueError(
+                            f"new column(s) {clash2} collide with a "
+                            "historical physical column name (renamed or "
+                            "dropped earlier); choose different names"
+                        )
                 from pyspark.sql.types import StructType
 
                 evolved_schema = StructType(list(cur.fields) + new_fields)
                 df = df.select(*[f.name for f in evolved_schema.fields])
         self._check_constraints(df)
         validated = cur.jsonValue()
-        adds = _write_data_files(df, self.root, key_col, stats_cols=self._stats_cols)
+        adds = _write_data_files(df, self.root, key_col,
+                                 stats_cols=self._stats_cols,
+                                 colmap=self._colmap)
         for attempt in range(max_retries + 1):
             v = self.latest_version() + 1
             try:
@@ -1624,14 +1730,16 @@ class VersionedTable:
                 .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
             )
             new_files += _write_data_files(
-                rewritten, self.root, key_col, stats_cols=self._stats_cols
+                rewritten, self.root, key_col, stats_cols=self._stats_cols,
+                colmap=self._colmap,
             )
         elif insert_not_matched:
             inserts = source.select(*self._empty_frame(v).columns)
             if when_matched == "delete":
                 self._check_constraints(inserts)
             new_files += _write_data_files(
-                inserts, self.root, key_col, stats_cols=self._stats_cols
+                inserts, self.root, key_col, stats_cols=self._stats_cols,
+                colmap=self._colmap,
             )
 
         _commit(
@@ -1707,7 +1815,8 @@ class VersionedTable:
         )
         self._check_constraints(rewritten)
         new_files = _write_data_files(
-            rewritten, self.root, key_col, stats_cols=self._stats_cols
+            rewritten, self.root, key_col, stats_cols=self._stats_cols,
+            colmap=self._colmap,
         )
         _commit(
             self.root, v + 1, new_files, sorted(touched_paths), key_col, op="update_where"
@@ -1737,7 +1846,8 @@ class VersionedTable:
         tgt = self._read_paths(sorted(touched_paths))
         survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
         new_files = _write_data_files(
-            survivors, self.root, key_col, stats_cols=self._stats_cols
+            survivors, self.root, key_col, stats_cols=self._stats_cols,
+            colmap=self._colmap,
         )
         _commit(
             self.root, v + 1, new_files, sorted(touched_paths), key_col, op="delete_where"
@@ -1949,7 +2059,8 @@ class VersionedTable:
         # not silently drop an existing range/bloom declaration) so every
         # SUBSEQUENT write (merge/update/compact) keeps recording them
         decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
-        new_files = _write_data_files(clustered, self.root, key_col, stats_cols=decl)
+        new_files = _write_data_files(clustered, self.root, key_col,
+                                      stats_cols=decl, colmap=self._colmap)
         _commit(
             self.root,
             v + 1,
@@ -2000,7 +2111,8 @@ class VersionedTable:
             sorted(e["path"] for e, _ in small), align_to=self.snapshot(v)
         ).repartition(int(n_files))
         new_files = _write_data_files(
-            df, self.root, key_col, stats_cols=self._stats_cols
+            df, self.root, key_col, stats_cols=self._stats_cols,
+            colmap=self._colmap,
         )
         _commit(
             self.root,
@@ -2028,6 +2140,111 @@ class VersionedTable:
         return total
 
     # ------------------------------------------------------ constraints
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` without rewriting a byte —
+        Delta's column mapping (round 9): the parquet files keep the
+        column's PHYSICAL name (frozen at its birth) forever; the rename
+        only updates the logged LOGICAL schema and the logical→physical
+        map carried in commit metadata. Readers at any version see that
+        version's names (time travel across the rename shows the old
+        name); per-file stats/bloom keys are physical, so data skipping
+        survives the rename untouched. The KEY column may be renamed
+        (subsequent commits record the new logical name).
+
+        Refused when: ``old`` is absent, ``new`` already exists, ``new``
+        collides with any column's physical name or a retired physical
+        (old files hold bytes under that name belonging to a DIFFERENT
+        logical column), or a CHECK constraint references ``old`` (drop
+        or rewrite the constraint first — Delta refuses the same)."""
+        schema = self._log_schema()
+        if schema is None:
+            raise ValueError("rename requires a logged schema (legacy table)")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        m = self._map()
+        physicals = {m.get(n, n) for n in names}
+        retired = set(self._colmap.get("retired") or [])
+        if new in (physicals - {m.get(old, old)}) | retired:
+            raise ValueError(
+                f"{new!r} collides with a historical physical column name; "
+                "files on disk hold bytes under that name for a different "
+                "logical column"
+            )
+        for cname, sql in (self._constraints or {}).items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(old)}\b", sql):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop or "
+                    "rewrite it before renaming"
+                )
+        phys = m.pop(old, old)
+        m[new] = phys
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType,
+                            f.nullable)
+                for f in schema.fields
+            ]
+        )
+        key_col = new if self.key_col() == old else self.key_col()
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], key_col, op="rename_column",
+            meta={
+                "column_mapping": {
+                    "map": m,
+                    "retired": sorted(retired),
+                },
+                "renamed": {"from": old, "to": new},
+            },
+            schema=new_schema.jsonValue(),
+        )
+        return v + 1
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` — metadata only (Delta column
+        mapping): the logical schema loses the field; the physical bytes
+        stay in every existing file and are simply never read again. The
+        physical name is RETIRED so no later column can be created under
+        it (old bytes would resurrect as the new column's data).
+        Refused for the key column or a constraint-referenced column."""
+        schema = self._log_schema()
+        if schema is None:
+            raise ValueError("drop requires a logged schema (legacy table)")
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name!r}")
+        if name == self.key_col():
+            raise ValueError("cannot drop the key column")
+        for cname, sql in (self._constraints or {}).items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"constraint {cname!r} references {name!r}; drop it first"
+                )
+        m = self._map()
+        retired = set(self._colmap.get("retired") or [])
+        retired.add(m.pop(name, name))
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="drop_column",
+            meta={
+                "column_mapping": {"map": m, "retired": sorted(retired)},
+                "dropped": name,
+            },
+            schema=new_schema.jsonValue(),
+        )
+        return v + 1
 
     def add_constraint(self, name: str, sql_predicate: str) -> int:
         """Delta-style CHECK constraint (``ALTER TABLE ADD CONSTRAINT``):

@@ -2985,3 +2985,109 @@ def test_bloom_sidecar_point_lookup_second_access_path(spark, tmp_path):
     assert sorted(
         r["k"] for r in t.read_matching_any("tag", ["t013"]).collect()
     ) == want
+
+
+def test_rename_column_zero_rewrite_mapping(spark, tmp_path):
+    """Round 9 (Delta column mapping): RENAME updates only the logged
+    logical schema + the logical→physical map — no file is rewritten,
+    data skipping survives (stats/bloom keys are physical), reads and
+    writes use the new name, time travel shows the old name, and the
+    KEY column itself can be renamed."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)], "k long, name string, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "r", df, key_col="k")
+    t.optimize_zorder(("v",), file_count=4)
+    files_before = sorted(e["path"] for e in t._live_entries())
+
+    v_pre = t.latest_version()
+    t.rename_column("v", "score")
+    assert sorted(e["path"] for e in t._live_entries()) == files_before  # zero rewrite
+    assert [f.name for f in t.snapshot().schema.fields] == ["k", "name", "score"]
+    assert t.snapshot().where(F.col("score") == 42.0).count() == 1
+    # time travel BEFORE the rename serves the old name
+    assert "v" in t.snapshot(v_pre).columns and "score" not in t.snapshot(v_pre).columns
+    # data skipping under the NEW logical name (stats recorded physical)
+    n_live = len(t._live_entries())
+    assert 0 < len(t.files_matching({"score": (0.0, 10.0)})) < n_live
+
+    # writes under the new name: merge + update + append
+    t.merge(
+        spark.createDataFrame([(1, "upd", 9999.5), (500, "new", 1.5)],
+                              "k long, name string, score double"),
+        when_matched="update",
+    )
+    got = {r["k"]: r["score"] for r in t.snapshot().collect()}
+    assert got[1] == 9999.5 and got[500] == 1.5 and len(got) == 101
+    t.update_where({"score": F.col("score") + 1000.0}, F.col("k") == 2,
+                   prune={"k": (2, 2)})
+    assert t.snapshot().where("k = 2").first()["score"] == 1002.0
+    t.append(spark.createDataFrame([(600, "a", 0.5)],
+                                   "k long, name string, score double"))
+    assert t.snapshot().count() == 102
+
+    # KEY column rename: merges keep working keyed on the new name
+    t.rename_column("k", "id")
+    assert t.key_col() == "id"
+    t.merge(
+        spark.createDataFrame([(600, "A", 0.7)],
+                              "id long, name string, score double"),
+        when_matched="update",
+    )
+    assert t.snapshot().where("id = 600").first()["name"] == "A"
+    # the full history replays through a checkpoint boundary
+    for i in range(V.CHECKPOINT_INTERVAL):
+        t.append(spark.createDataFrame([(700 + i, "x", 0.1)],
+                                       "id long, name string, score double"))
+    t2 = VersionedTable(spark, tmp_path / "r")  # fresh handle: replays log
+    assert t2.snapshot().where(F.col("score") == 9999.5).count() == 1
+    assert [f.name for f in t2.snapshot().schema.fields] == ["id", "name", "score"]
+
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("name", "score")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("ghost", "g2")
+    # renaming BACK to a historical physical of a different column: the
+    # bytes on disk under 'v' belong to logical 'score' - refuse 'name'->'v'
+    with pytest.raises(ValueError, match="physical"):
+        t.rename_column("name", "v")
+    t.add_constraint("pos", "score >= 0.0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("score", "points")
+
+
+def test_drop_column_metadata_only_and_resurrection_guard(spark, tmp_path):
+    """DROP COLUMN is metadata-only; the physical name is retired so a
+    later evolution cannot resurrect old bytes under it."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)], "k long, name string, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "d", df, key_col="k")
+    files_before = sorted(e["path"] for e in t._live_entries())
+    v_pre = t.latest_version()
+    t.drop_column("v")
+    assert sorted(e["path"] for e in t._live_entries()) == files_before
+    assert [f.name for f in t.snapshot().schema.fields] == ["k", "name"]
+    assert t.snapshot(v_pre).where(F.col("v") == 3.0).count() == 1  # time travel
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("k")
+    # resurrection guard: evolving a NEW column named 'v' must refuse -
+    # every existing file still holds the dropped column's bytes as 'v'
+    with pytest.raises(ValueError, match="physical"):
+        t.append(
+            spark.createDataFrame([(100, "x", "fresh")],
+                                  "k long, name string, v string"),
+            merge_schema=True,
+        )
+    # a non-colliding evolution still works and round-trips
+    t.append(
+        spark.createDataFrame([(100, "x", 7)], "k long, name string, w long"),
+        merge_schema=True,
+    )
+    assert t.snapshot().where("w = 7").count() == 1
+    # rename after drop composes: name->label, reads fine
+    t.rename_column("name", "label")
+    assert t.snapshot().where(F.col("label") == "n3").count() == 1
