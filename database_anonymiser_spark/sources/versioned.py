@@ -108,6 +108,12 @@ class _FileEntry:
     #: file is NOT clustered by (round 9); the bitmap lives in a sidecar
     #: file, never in the log, so commit JSONs stay tiny
     bloom: dict | None = None
+    #: optional DELETION VECTOR sidecar ref (round 9): dead row positions
+    #: of this file, marked without rewriting it — Delta's DV class; the
+    #: position list lives in a sidecar under _dv/, never in the log
+    dv: str | None = None
+    #: dead-position count for the DV — keeps row_count a pure log read
+    dv_count: int | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -348,6 +354,7 @@ def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
             ever |= {
                 p for a in rec["adds"] for p in (a.get("bloom") or {}).values()
             }
+            ever |= {a["dv"] for a in rec["adds"] if a.get("dv")}
         if v >= eff_start:
             eff_ts = max(eff_ts, rec.get("ts") or "")
     return ever, eff_ts
@@ -452,6 +459,14 @@ def _footer_key_stats(file_path: Path, key_col: str | None):
 
 
 _BLOOM_DIR = "_bloom"
+_DV_DIR = "_dv"
+#: delete_where(dv=True) collects matched (file, row_index) positions to
+#: write the deletion-vector sidecars; above this many matches it falls
+#: back to the rewrite path — DVs are the TRICKLE-delete amortization
+#: (mark 100 dead rows in a 1 GB file with a 1 KB sidecar), a mass
+#: delete wants the rewrite anyway. Same bounded-collect shape as
+#: POINT_SKIP_CAP.
+DV_COLLECT_CAP = 100_000
 _BLOOM_FPP = 0.01
 _BLOOM_CACHE: "OrderedDict[str, bytes]" = OrderedDict()
 _BLOOM_CACHE_CAP = 256
@@ -663,6 +678,8 @@ def _commit(
                     **({"stats": e.stats} if e.stats else {}),
                     **({"num_rows": e.num_rows} if e.num_rows is not None else {}),
                     **({"bloom": e.bloom} if getattr(e, "bloom", None) else {}),
+                    **({"dv": e.dv, "dv_count": e.dv_count}
+                       if getattr(e, "dv", None) else {}),
                 }
                 for e in adds
             ],
@@ -959,6 +976,16 @@ class VersionedTable:
                     )
                     return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no data ever committed at {self.root}")
+        dvs = self._dv_map(entries)
+        if dvs and logged is not None:
+            # deletion vectors present: route through the DV-aware reader
+            # (anti-joins dead positions); the common no-DV case below
+            # stays on the zero-overhead direct read
+            return self._read_paths(
+                [e["path"] for e in entries],
+                align_to=self.spark.createDataFrame([], logged),
+                dv_map=dvs,
+            )
         DATA_FILES_READ += len(entries)
         paths = [str(self.root / e["path"]) for e in entries]
         if logged is not None:
@@ -981,37 +1008,104 @@ class VersionedTable:
             return self.spark.read.schema(logged).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def _read_paths(self, paths, align_to=None) -> DataFrame:
+    @staticmethod
+    def _file_uri(abs_path: str) -> str:
+        """The URI rendering Spark's ``_metadata.file_path`` uses for a
+        local file (Hadoop Path.toString: ``file:`` + one slash) — the
+        join key between DV sidecar positions and scanned rows."""
+        return "file:" + str(abs_path)
+
+    def _dv_map(self, entries) -> dict:
+        """{path → dv sidecar ref} for the entries that carry one."""
+        return {
+            e["path"]: e["dv"] for e in entries if e.get("dv")
+        }
+
+    def _dv_pairs(self, dv_map: dict):
+        """(file-URI, row_index) rows of every dead position named by the
+        given sidecars — the anti-join side of a DV-filtered read. Small
+        by construction: DVs are the TRICKLE-delete path (the writer caps
+        the marked set and falls back to rewrite above it)."""
+        pairs = []
+        for p, ref in dv_map.items():
+            sp = Path(ref) if os.path.isabs(ref) else self.root / ref
+            idx = json.loads(sp.read_text())["indices"]
+            fp = p if os.path.isabs(p) else str(self.root / p)
+            uri = self._file_uri(str(Path(fp).absolute()))
+            pairs.extend((uri, int(i)) for i in idx)
+        return pairs
+
+    def _read_paths(
+        self,
+        paths,
+        align_to=None,
+        dv_map: dict | None = None,
+        with_position: bool = False,
+    ) -> DataFrame:
         """Read specific live files against an explicit schema (the
         ``align_to`` frame's if given, else the log-recorded table
         schema), NULL-filling columns that pre-evolution files lack — no
         footer union. Legacy tables without a logged schema pay one
-        mergeSchema read."""
+        mergeSchema read.
+
+        ``dv_map`` ({path → deletion-vector sidecar ref}, round 9):
+        files carrying a DV are read WITH ``_metadata.file_path`` /
+        ``row_index`` and their dead positions anti-joined away (one
+        small broadcast against the sidecar pairs); files without stay
+        on the plain fast path. Every internal consumer routes through
+        here, so a DV'd row can never resurrect via a rewrite, merge,
+        compact or diff read."""
         global DATA_FILES_READ
-        DATA_FILES_READ += len(list(paths))
+        paths = list(paths)
+        DATA_FILES_READ += len(paths)
         schema = (
             align_to.schema
             if align_to is not None
             else (self._log_schema() or self.snapshot().schema)
         )
         m = self._colmap.get("map") or {}
-        if m:
-            from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import StructField, StructType
 
-            phys = StructType(
+        phys = (
+            StructType(
                 [StructField(m.get(f.name, f.name), f.dataType, f.nullable)
                  for f in schema.fields]
             )
-            return self.spark.read.schema(phys).parquet(
-                *[str(self.root / p) for p in paths]
-            ).select(
-                *[F.col(m.get(f.name, f.name)).alias(f.name)
-                  for f in schema.fields]
-            )
-        d = self.spark.read.schema(schema).parquet(
-            *[str(self.root / p) for p in paths]
+            if m
+            else schema
         )
-        return d.select(*[f.name for f in schema.fields])
+        out_cols = (
+            [F.col(m.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+            if m
+            else [F.col(f.name) for f in schema.fields]
+        )
+        dv_map = {p: r for p, r in (dv_map or {}).items() if p in set(paths)}
+        meta_cols = [
+            F.col("_metadata.file_path").alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        ]
+        plain = [p for p in paths if p not in dv_map]
+        parts = []
+        if plain:
+            parts.append(
+                self.spark.read.schema(phys).parquet(
+                    *[str(self.root / p) for p in plain]
+                ).select(*(meta_cols if with_position else []), *out_cols)
+            )
+        if dv_map:
+            import pandas as pd
+
+            d = self.spark.read.schema(phys).parquet(
+                *[str(self.root / p) for p in dv_map]
+            ).select(*meta_cols, *out_cols)
+            pf = self.spark.createDataFrame(
+                pd.DataFrame(self._dv_pairs(dv_map), columns=["_dv_fp", "_dv_ri"])
+            )
+            d = d.join(F.broadcast(pf), ["_dv_fp", "_dv_ri"], "left_anti")
+            parts.append(d if with_position else d.drop("_dv_fp", "_dv_ri"))
+        if len(parts) == 1:
+            return parts[0]
+        return parts[0].unionByName(parts[1])
 
     def files_matching(
         self, predicates: dict[str, tuple], version: int | None = None
@@ -1140,7 +1234,9 @@ class VersionedTable:
         entries = self.files_matching_any(col, vals, version=version)
         if not entries:
             return self._empty_frame(version)
-        df = self._read_paths([e["path"] for e in entries])
+        df = self._read_paths(
+            [e["path"] for e in entries], dv_map=self._dv_map(entries)
+        )
         if len(vals) <= ISIN_LITERAL_CAP:
             return df.where(F.col(col).isin(*vals))
         import pandas as pd
@@ -1159,7 +1255,9 @@ class VersionedTable:
         entries = self.files_matching(predicates, version=version)
         if not entries:
             return self._empty_frame(version)
-        df = self._read_paths([e["path"] for e in entries])
+        df = self._read_paths(
+            [e["path"] for e in entries], dv_map=self._dv_map(entries)
+        )
         for col, (lo, hi) in predicates.items():
             df = df.where(F.col(col).between(lo, hi))
         return df
@@ -1259,6 +1357,9 @@ class VersionedTable:
                         c: str((src.root / p).absolute())
                         for c, p in (e.get("bloom") or {}).items()
                     } or None,
+                    dv=str((src.root / e["dv"]).absolute())
+                    if e.get("dv") else None,
+                    dv_count=e.get("dv_count"),
                 )
                 for e in live.values()
             ]
@@ -1656,7 +1757,9 @@ class VersionedTable:
             # (touched rows, source rows). Presence markers (_t/_s)
             # classify sides NULL-key-safely; the key join itself stays
             # plain equality (NULL keys never match — SQL MERGE).
-            tgt = self._read_paths([e["path"] for e in touched])
+            tgt = self._read_paths(
+                [e["path"] for e in touched], dv_map=self._dv_map(touched)
+            )
             cols = tgt.columns
             # presence markers must not shadow real table columns (a user
             # table may legitimately own '_t'/'_s'; round-7 advice) —
@@ -1804,7 +1907,9 @@ class VersionedTable:
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="update_where")
             return v + 1
-        tgt = self._read_paths(sorted(touched_paths))
+        tgt = self._read_paths(
+            sorted(touched_paths), dv_map=self._dv_map(touched)
+        )
         rewritten = tgt.select(
             *[
                 F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
@@ -1823,8 +1928,90 @@ class VersionedTable:
         )
         return v + 1
 
+    def _delete_dv(self, pred, touched, entries, key_col, v) -> int | None:
+        """The deletion-vector write path (delete_where(dv=True)): mark
+        matched positions in per-file sidecars, re-reference the files.
+        Returns the new version, or None when the match count exceeds
+        DV_COLLECT_CAP (caller falls back to rewrite)."""
+        tgt = self._read_paths(
+            [e["path"] for e in touched],
+            dv_map=self._dv_map(touched),
+            with_position=True,
+        )
+        hits = (
+            tgt.where(F.coalesce(pred, F.lit(False)))
+            .select("_dv_fp", "_dv_ri")
+            .limit(DV_COLLECT_CAP + 1)
+            .collect()
+        )
+        if len(hits) > DV_COLLECT_CAP:
+            return None
+        by_uri: dict = {}
+        for r in hits:
+            by_uri.setdefault(r["_dv_fp"], []).append(int(r["_dv_ri"]))
+        uri_of = {}
+        for e in touched:
+            p = e["path"]
+            fp = p if os.path.isabs(p) else str(self.root / p)
+            uri_of[self._file_uri(str(Path(fp).absolute()))] = e
+        (self.root / _DV_DIR).mkdir(parents=True, exist_ok=True)
+        new_adds = []
+        removes = []
+        for uri, idx in by_uri.items():
+            e = uri_of[uri]
+            old = []
+            if e.get("dv"):
+                sp = self.root / e["dv"]
+                old = json.loads(sp.read_text())["indices"]
+            merged = sorted(set(old) | set(idx))
+            rel = f"{_DV_DIR}/{uuid.uuid4().hex}.dv"
+            tmp = self.root / _DV_DIR / f".{uuid.uuid4().hex}.tmp"
+            tmp.write_text(json.dumps({"indices": merged}))
+            tmp.rename(self.root / rel)
+            new_adds.append(
+                _FileEntry(
+                    e["path"], e.get("key_min"), e.get("key_max"),
+                    e.get("stats"), e.get("num_rows"),
+                    bloom=e.get("bloom"), dv=rel, dv_count=len(merged),
+                )
+            )
+            removes.append(e["path"])
+        _commit(
+            self.root, v + 1, new_adds, removes, key_col, op="delete_dv",
+            meta={"rows_marked": len(hits)},
+        )
+        return v + 1
+
+    def purge_dv(self) -> int:
+        """Materialize every live deletion vector away (Delta's ``REORG
+        TABLE ... APPLY (PURGE)``): rewrite each DV-bearing file without
+        its dead rows, drop the vectors. No-op (current version) when no
+        live file carries one. ``erase`` runs this first — dead bytes
+        left on disk would violate its verified-hard-delete contract."""
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        dvd = [e for e in entries if e.get("dv")]
+        if not dvd:
+            return v
+        key_col = self.key_col()
+        df = self._read_paths(
+            [e["path"] for e in dvd], dv_map=self._dv_map(dvd)
+        )
+        new_files = _write_data_files(
+            df, self.root, key_col, stats_cols=self._stats_cols,
+            colmap=self._colmap,
+        )
+        _commit(
+            self.root, v + 1, new_files, [e["path"] for e in dvd],
+            key_col, op="purge_dv",
+        )
+        return v + 1
+
     def delete_where(
-        self, predicate: "F.Column | str", prune: dict[str, tuple] | None = None
+        self,
+        predicate: "F.Column | str",
+        prune: dict[str, tuple] | None = None,
+        dv: bool = False,
     ) -> int:
         """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
         is TRUE are dropped; NULL/FALSE rows survive (SQL DELETE
@@ -1832,7 +2019,21 @@ class VersionedTable:
         under the same one-sided contract: prune must be implied by the
         predicate, and its ranges are also applied as a row-level conjunct
         so a too-narrow prune narrows the delete consistently instead of
-        deleting per-file-inconsistently. Returns the new version."""
+        deleting per-file-inconsistently. Returns the new version.
+
+        ``dv=True`` (round 9 — Delta deletion vectors): instead of
+        rewriting every touched file, mark the matched rows dead in
+        per-file SIDECARS (``_dv/``) and re-reference the files with the
+        new DV — the trickle-delete amortization (100 dead rows in a
+        1 GB file cost a 1 KB sidecar, not a 1 GB rewrite). Every read
+        path (snapshot, point/range reads, merge, compact, diff/CDF —
+        which classifies the newly-dead rows as ``delete`` events via
+        the (path, dv) file identity) honors the vectors; ``compact``
+        or :meth:`purge_dv` materializes them away; ``erase`` purges
+        them first (dead bytes on disk would violate its contract).
+        The matched-position collect is bounded by ``DV_COLLECT_CAP``
+        — above it the call falls back to the rewrite path, which a
+        mass delete wants anyway."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         key_col = self.key_col()
         v = self.latest_version()
@@ -1843,7 +2044,14 @@ class VersionedTable:
         if not touched:
             _commit(self.root, v + 1, [], [], key_col, op="delete_where")
             return v + 1
-        tgt = self._read_paths(sorted(touched_paths))
+        if dv:
+            done = self._delete_dv(pred, touched, entries, key_col, v)
+            if done is not None:
+                return done
+            # cap exceeded: fall through to the rewrite path
+        tgt = self._read_paths(
+            sorted(touched_paths), dv_map=self._dv_map(touched)
+        )
         survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
         new_files = _write_data_files(
             survivors, self.root, key_col, stats_cols=self._stats_cols,
@@ -1871,9 +2079,14 @@ class VersionedTable:
                 e.get("key_max"),
                 e.get("stats"),
                 e.get("num_rows"),
+                bloom=e.get("bloom"),
+                dv=e.get("dv"),
+                dv_count=e.get("dv_count"),
             )
             for p, e in target.items()
-            if p not in current
+            # re-add when ANY entry state differs (a same-path file whose
+            # deletion vector changed must roll back too — round 9)
+            if current.get(p) != e
         ]
         removes = [p for p in current if p not in target]
         _commit(self.root, cur + 1, adds, removes, key_col, op=f"restore_{version}")
@@ -1910,13 +2123,28 @@ class VersionedTable:
         if images not in ("new", "both"):
             raise ValueError("images must be 'new' or 'both'")
         v_to = self.latest_version() if v_to is None else v_to
-        from_files = {e["path"] for e in self._live_entries(v_from)}
-        to_files = {e["path"] for e in self._live_entries(v_to)}
+        from_map = {e["path"]: e for e in self._live_entries(v_from)}
+        to_map = {e["path"]: e for e in self._live_entries(v_to)}
         key_col = self._key_col
         if key_col is None:
             raise ValueError("table has no key_col; cannot diff")
-        removed = sorted(from_files - to_files)
-        added = sorted(to_files - from_files)
+        # file IDENTITY is (path, deletion-vector ref): a DV commit keeps
+        # the path but changes the live row set, so the file appears on
+        # BOTH sides of the diff — read once under each DV state — and
+        # the join classifies newly-dead rows as deletes, everything else
+        # carried. Zero DV-specific logic below this point (round 9).
+        removed_e = sorted(
+            (e for p, e in from_map.items()
+             if p not in to_map or to_map[p].get("dv") != e.get("dv")),
+            key=lambda e: e["path"],
+        )
+        added_e = sorted(
+            (e for p, e in to_map.items()
+             if p not in from_map or from_map[p].get("dv") != e.get("dv")),
+            key=lambda e: e["path"],
+        )
+        removed = [e["path"] for e in removed_e]
+        added = [e["path"] for e in added_e]
         # schema from the log (zero file reads); legacy fallback snapshots
         logged = self._log_schema(v_to)
         schema_src = (
@@ -1926,15 +2154,17 @@ class VersionedTable:
         )
         cols = schema_src.columns
 
-        def _read(paths):
+        def _read(paths, ents):
             if not paths:
                 return schema_src.limit(0)
-            return self._read_paths(paths, align_to=schema_src)
+            return self._read_paths(
+                paths, align_to=schema_src, dv_map=self._dv_map(ents)
+            )
 
-        old = _read(removed).select(
+        old = _read(removed, removed_e).select(
             F.col(key_col).alias("_k"), F.struct(*cols).alias("_old")
         )
-        new = _read(added).select(
+        new = _read(added, added_e).select(
             F.col(key_col).alias("_k"), F.struct(*cols).alias("_new")
         )
         joined = old.join(new, "_k", "full_outer")
@@ -2047,7 +2277,9 @@ class VersionedTable:
             entries = self.files_matching(where, version=v)
             if not entries:
                 return v
-            df = self._read_paths([e["path"] for e in entries])
+            df = self._read_paths(
+                [e["path"] for e in entries], dv_map=self._dv_map(entries)
+            )
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -2108,7 +2340,9 @@ class VersionedTable:
         total = sum(b for _, b in small)
         n_files = max(1, -(-total // target_file_bytes))
         df = self._read_paths(
-            sorted(e["path"] for e, _ in small), align_to=self.snapshot(v)
+            sorted(e["path"] for e, _ in small),
+            align_to=self.snapshot(v),
+            dv_map=self._dv_map([e for e, _ in small]),
         ).repartition(int(n_files))
         new_files = _write_data_files(
             df, self.root, key_col, stats_cols=self._stats_cols,
@@ -2136,7 +2370,7 @@ class VersionedTable:
             n = e.get("num_rows")
             if n is None:
                 n = pq.ParquetFile(str(self.root / e["path"])).metadata.num_rows
-            total += int(n)
+            total += int(n) - int(e.get("dv_count") or 0)
         return total
 
     # ------------------------------------------------------ constraints
@@ -2354,7 +2588,11 @@ class VersionedTable:
                 "table, deep-clone first, or compact to churn the adopted "
                 f"files out; foreign: {sorted(foreign)[:3]}"
             )
-        before = self.row_count(v)
+        if any(e.get("dv") for e in self._live_entries(v)):
+            # deletion vectors leave dead BYTES in live files — a
+            # verified hard delete must materialize them away first
+            self.purge_dv()
+        before = self.row_count(self.latest_version())
         v2 = self.delete_where(predicate, prune)
         _write_checkpoint(self.root, v2)
         reclaimed = self.vacuum(retain_versions=1)
@@ -2459,6 +2697,9 @@ class VersionedTable:
                     p for a in live.values()
                     for p in (a.get("bloom") or {}).values()
                 }
+                referenced |= {
+                    a["dv"] for a in live.values() if a.get("dv")
+                }
         removed = []
         data_root = self.root / _DATA_DIR
         if data_root.is_dir():
@@ -2474,6 +2715,14 @@ class VersionedTable:
         bloom_root = self.root / _BLOOM_DIR
         if bloom_root.is_dir():
             for p in bloom_root.glob("*.bf"):
+                rel = str(p.relative_to(self.root))
+                if rel not in referenced:
+                    if not dry_run:
+                        p.unlink()
+                    removed.append(rel)
+        dv_root = self.root / _DV_DIR
+        if dv_root.is_dir():
+            for p in dv_root.glob("*.dv"):
                 rel = str(p.relative_to(self.root))
                 if rel not in referenced:
                     if not dry_run:

@@ -3091,3 +3091,141 @@ def test_drop_column_metadata_only_and_resurrection_guard(spark, tmp_path):
     # rename after drop composes: name->label, reads fine
     t.rename_column("name", "label")
     assert t.snapshot().where(F.col("label") == "n3").count() == 1
+
+
+def test_deletion_vectors_trickle_delete_lifecycle(spark, tmp_path):
+    """Round 9 (Delta deletion vectors): delete_where(dv=True) marks rows
+    dead in per-file sidecars — zero rewrite — and EVERY read face honors
+    them: snapshot, row_count, point/range reads, merge, CDF (newly-dead
+    rows surface as delete events via the (path, dv) file identity),
+    RESTORE rolls a DV state back, compact/purge materialize them away,
+    and erase purges first. Above DV_COLLECT_CAP the call falls back to
+    the rewrite path."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1000)],
+        "k long, name string, v double",
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    files_before = sorted(e["path"] for e in t._live_entries())
+
+    v1 = t.delete_where(F.col("k").isin(3, 500, 997), dv=True)
+    # zero rewrite: same data files, a DV sidecar appeared
+    assert sorted(e["path"] for e in t._live_entries()) == files_before
+    assert any(e.get("dv") for e in t._live_entries())
+    assert (tmp_path / "t" / "_dv").is_dir()
+    # every read face filters
+    assert t.snapshot().count() == 997
+    assert t.snapshot().where("k in (3, 500, 997)").count() == 0
+    assert t.row_count() == 997  # pure log arithmetic (num_rows - dv_count)
+    assert t.read_where({"k": (0, 10)}).count() == 10  # 3 gone
+    # time travel BEFORE the DV still sees the rows
+    assert t.snapshot(v1 - 1).count() == 1000
+
+    # CDF: the DV commit yields exactly the three deletes
+    ch = t.diff(v1 - 1, v1)
+    got = {(r["_change_type"], r["k"]) for r in ch.collect()}
+    assert got == {("delete", 3), ("delete", 500), ("delete", 997)}
+
+    # cumulative second DV on the same file(s)
+    t.delete_where(F.col("k") == 4, dv=True)
+    assert t.snapshot().count() == 996
+    assert t.row_count() == 996
+
+    # merge cannot resurrect a DV'd row; inserts/updates work
+    t.merge(
+        spark.createDataFrame(
+            [(5, "UPD", 1.0), (2000, "new", 2.0)], "k long, name string, v double"
+        ),
+        when_matched="update",
+    )
+    snap = {r["k"]: r["name"] for r in t.snapshot().collect()}
+    assert snap[5] == "UPD" and snap[2000] == "new"
+    assert 3 not in snap and 4 not in snap and len(snap) == 997
+
+    # RESTORE to the one-DV state brings k=4 back but not k=3
+    t.restore(v1)
+    ks = {r["k"] for r in t.snapshot().select("k").collect()}
+    assert 4 in ks and 3 not in ks and 2000 not in ks
+
+    # purge_dv materializes: rows unchanged, vectors gone, dead bytes gone
+    n = t.snapshot().count()
+    t.purge_dv()
+    assert t.snapshot().count() == n
+    assert not any(e.get("dv") for e in t._live_entries())
+    assert t.purge_dv() == t.latest_version()  # no-op without vectors
+
+    # cap: a mass delete falls back to the REWRITE path (no new DV)
+    t2 = VersionedTable.create(
+        spark, tmp_path / "cap",
+        spark.createDataFrame([(i, float(i)) for i in range(500)], "k long, v double"),
+        key_col="k",
+    )
+    import pytest as _p
+
+    monkey_cap = V.DV_COLLECT_CAP
+    try:
+        V.DV_COLLECT_CAP = 10
+        t2.delete_where(F.col("k") < 100, dv=True)  # 100 > cap -> rewrite
+    finally:
+        V.DV_COLLECT_CAP = monkey_cap
+    assert t2.snapshot().count() == 400
+    assert not any(e.get("dv") for e in t2._live_entries())
+
+    # erase on a DV-bearing table purges first, then hard-deletes
+    t3 = VersionedTable.create(
+        spark, tmp_path / "er",
+        spark.createDataFrame([(i, f"s{i}") for i in range(50)], "k long, name string"),
+        key_col="k",
+    )
+    t3.delete_where(F.col("k") == 7, dv=True)
+    out = t3.erase(F.col("k") == 8)
+    assert out["rows_deleted"] == 1
+    # nothing on disk holds k=7 or k=8 anymore (the erase contract)
+    import pyarrow.parquet as pq
+
+    for p in (tmp_path / "er").rglob("*.parquet"):
+        tb = pq.read_table(str(p), columns=["k"])
+        ks_disk = set(tb.column(0).to_pylist())
+        assert 7 not in ks_disk and 8 not in ks_disk
+
+
+def test_deletion_vectors_ivm_and_vacuum(spark, tmp_path):
+    """A maintained view stays EXACT across DV deletes (the change feed
+    delivers them as ordinary delete events), and vacuum reclaims DV
+    sidecars with their files."""
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(300)], "k long, lab int, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "b", df, key_col="k")
+    view = IncrementalAggView.create(
+        spark, tmp_path / "view", t, group_col="lab", sum_col="v", minmax=True
+    )
+    t.delete_where(F.col("k").isin(0, 7, 23, 104), dv=True)
+    view.refresh(t)
+    want = {
+        (r["lab"], r["n_rows"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in t.snapshot().groupBy("lab").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.min("v").cast("double").alias("min_value"),
+            F.max("v").cast("double").alias("max_value"),
+        ).collect()
+    }
+    got = {
+        (r["lab"], r["n_rows"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in view.snapshot().select(
+            "lab", "n_rows", "sum_value", "min_value", "max_value"
+        ).collect()
+    }
+    assert got == want
+
+    # compact materializes the DVs; retention vacuum reclaims sidecars
+    t.compact()
+    dead = t.vacuum(retain_versions=1)
+    assert any(p.startswith("_dv/") for p in dead)
+    assert not list((tmp_path / "b" / "_dv").glob("*.dv"))
+    assert t.snapshot().count() == 296
