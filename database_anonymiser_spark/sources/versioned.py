@@ -2012,6 +2012,7 @@ class VersionedTable:
         predicate: "F.Column | str",
         prune: dict[str, tuple] | None = None,
         dv: bool = False,
+        prune_values: tuple | None = None,
     ) -> int:
         """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
         is TRUE are dropped; NULL/FALSE rows survive (SQL DELETE
@@ -2033,12 +2034,29 @@ class VersionedTable:
         them first (dead bytes on disk would violate its contract).
         The matched-position collect is bounded by ``DV_COLLECT_CAP``
         — above it the call falls back to the rewrite path, which a
-        mass delete wants anyway."""
+        mass delete wants anyway.
+
+        ``prune_values=(col, values)`` (round 9) is the POINT-LOOKUP
+        touch set: files are selected by :meth:`files_matching_any` —
+        range stats AND bloom sidecars prune — under the same one-sided
+        contract as ``prune`` (the predicate must imply membership in
+        ``values``); unlike ``prune`` no extra row conjunct is added,
+        the caller's predicate is authoritative. This is what makes a
+        per-document forget on a bucket-clustered store touch ≈ the
+        document's files instead of scanning it (streaming/pipeline.py::
+        neardedup_forget)."""
+        if prune is not None and prune_values is not None:
+            raise ValueError("pass prune OR prune_values, not both")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         key_col = self.key_col()
         v = self.latest_version()
         entries = self._live_entries(v)
-        touched = self.files_matching(prune) if prune else entries
+        if prune_values is not None:
+            touched = self.files_matching_any(
+                prune_values[0], list(prune_values[1])
+            )
+        else:
+            touched = self.files_matching(prune) if prune else entries
         pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
         if not touched:

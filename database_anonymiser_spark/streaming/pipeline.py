@@ -857,6 +857,72 @@ def apply_neardedup_batch(
         store.vacuum(retain_versions=2)
 
 
+def neardedup_forget(
+    spark: SparkSession,
+    out_root: str,
+    store_root: str,
+    doc_ids,
+    dv: bool = True,
+) -> dict:
+    """Per-document right-to-be-forgotten for the near-dedup ingest
+    (round 9) — remove documents from the curated OUT table AND their
+    LSH band signatures from the store, touching ≈ the documents' files
+    instead of scanning either table:
+
+    - OUT (keyed by the doc id): a point-skipped delete-MERGE — the same
+      files_matching_any pruning every trickle merge uses;
+    - STORE (keyed by ``skey``, Z-ORDER-clustered by ``bk`` — the doc's
+      band rows are SCATTERED across the bucket keyspace, so range stats
+      cannot find them): located via the ``id`` BLOOM sidecar index
+      (built once on first call via ``analyze(bloom_cols=('id',))``,
+      maintained by every subsequent write) and deleted with DELETION
+      VECTORS by default — a forget of one document marks ~n_bands rows
+      dead in a handful of files, rewriting nothing. ``dv=False`` uses
+      the rewrite path (same pruned touch set).
+
+    Forgetting also forgets the DEDUP MEMORY for those documents — a
+    later re-delivery of the same or near-duplicate text is admitted
+    again. That is the point of erasure, not a defect: retaining the
+    signature would retain a fingerprint of the forgotten content.
+
+    Returns {"out_deleted", "store_files_touched", "store_rows_marked"}.
+    """
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return {"out_deleted": 0, "store_files_touched": 0, "store_rows_marked": 0}
+    out = VersionedTable(spark, out_root)
+    import pandas as pd
+
+    n_before = out.row_count()
+    out.merge(
+        spark.createDataFrame(pd.DataFrame({out.key_col(): ids})),
+        when_matched="delete",
+        insert_not_matched=False,
+        skip_by="points",
+    )
+    out_deleted = n_before - out.row_count()
+
+    store = VersionedTable(spark, store_root)
+    meta = {"out_deleted": out_deleted, "store_files_touched": 0,
+            "store_rows_marked": 0}
+    if not store.versions():
+        return meta
+    if "bloom:id" not in store.stats_cols():
+        # one-time index build: a single-column read per live store file;
+        # every later signature write maintains it for free
+        store.analyze(bloom_cols=("id",))
+    touched = store.files_matching_any("id", ids)
+    meta["store_files_touched"] = len(touched)
+    n_store = store.row_count()
+    store.delete_where(
+        F.col("id").isin(ids), dv=dv, prune_values=("id", ids)
+    )
+    meta["store_rows_marked"] = n_store - store.row_count()
+    return meta
+
+
 def _views_min_cursor(spark: SparkSession, roots: tuple[str, ...]) -> int | None:
     """The oldest base version any maintained view still needs pre-image
     files from — O(1) commit-meta probe per view (the cursor rides in the

@@ -1313,3 +1313,65 @@ def test_stream_curate_then_neardedup_pipeline(spark, tmp_path):
     cols = set(out.snapshot().columns)
     assert {"doc_id", "text", "n_tokens", "quality_score", "lang_pred",
             "fingerprint"} <= cols
+
+
+def test_neardedup_forget_document(spark, tmp_path):
+    """Round 9: per-document right-to-be-forgotten over the near-dedup
+    pipeline — the doc leaves the OUT table via a point-skipped
+    delete-merge and its band signatures leave the STORE via the 'id'
+    bloom index + deletion vectors, touching a bounded file set (the
+    store is clustered by bk, where the doc's rows are scattered — range
+    stats alone cannot find them). Forgetting also forgets the dedup
+    MEMORY: a later near-duplicate of the forgotten text is ADMITTED
+    (keeping the signature would retain a fingerprint of erased
+    content)."""
+    import database_anonymiser_spark.sources.versioned as V
+    import database_anonymiser_spark.streaming.pipeline as P
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    out_root = str(tmp_path / "out")
+    store_root = str(tmp_path / "store")
+    rows = [(i, _nd_doc(f"d{i}")) for i in range(1, 25)]
+    P.apply_neardedup_batch(
+        spark, spark.createDataFrame(rows, "id long, text string"),
+        out_root, store_root, threshold=0.5, zorder_store=True,
+    )
+    out = VersionedTable(spark, out_root)
+    store = VersionedTable(spark, store_root)
+    assert out.snapshot().count() == 24
+    n_sig = store.snapshot().count()
+    n_live = len(store._live_entries())
+
+    meta = P.neardedup_forget(spark, out_root, store_root, [7, 13])
+    assert meta["out_deleted"] == 2
+    assert meta["store_rows_marked"] == 2 * 4  # 4 bands per doc
+    # bloom-pruned touch set, not a store scan
+    assert 0 < meta["store_files_touched"] <= max(2, n_live - 1)
+    assert sorted(r["id"] for r in out.snapshot().select("id").collect()) == [
+        i for i in range(1, 25) if i not in (7, 13)
+    ]
+    assert store.snapshot().where(F.col("id").isin(7, 13)).count() == 0
+    assert store.snapshot().count() == n_sig - 8
+    # deletion vectors: signatures left WITHOUT rewriting the store files
+    assert any(e.get("dv") for e in store._live_entries())
+
+    # dedup memory is forgotten: a near-dup of doc 7's text is ADMITTED,
+    # while a near-dup of a retained doc is still dropped
+    P.apply_neardedup_batch(
+        spark,
+        spark.createDataFrame(
+            [(100, _nd_neardup("d7")), (101, _nd_neardup("d2"))],
+            "id long, text string",
+        ),
+        out_root, store_root, threshold=0.5,
+    )
+    kept = {r["id"] for r in out.snapshot().select("id").collect()}
+    assert 100 in kept      # forgotten fingerprint cannot haunt
+    assert 101 not in kept  # retained docs still dedup
+
+    # idempotent / empty
+    again = P.neardedup_forget(spark, out_root, store_root, [7])
+    assert again["out_deleted"] == 0 and again["store_rows_marked"] == 0
+    assert P.neardedup_forget(spark, out_root, store_root, []) == {
+        "out_deleted": 0, "store_files_touched": 0, "store_rows_marked": 0,
+    }
