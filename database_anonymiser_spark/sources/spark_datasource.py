@@ -45,9 +45,12 @@ from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -230,3 +233,205 @@ class VersionedDataSource(DataSource):
 
     def streamReader(self, schema):
         return _ChangesStreamReader(self._path(), dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') unsupported — versioned tables are "
+                "append/merge-only through the DataSource writer"
+            )
+        key_col, stats_cols, colmap = _writer_state(self._path(), schema)
+        return _VersionedBatchWriter(self._path(), key_col, stats_cols, colmap)
+
+    def streamWriter(self, schema, overwrite: bool):
+        key_col, stats_cols, colmap = _writer_state(self._path(), schema)
+        return _VersionedStreamWriter(self._path(), key_col, stats_cols, colmap)
+
+
+# --------------------------------------------------------------- writers
+
+
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, entries: list):
+        #: serialized _FileEntry dicts (path/key bounds/stats/rows/bloom)
+        self.entries = entries
+
+
+class _VersionedWriterBase:
+    """Shared two-phase write: executors stream Arrow batches into
+    parquet files under ``data/`` (invisible until referenced — phase 1,
+    exactly the engine's native write protocol) and compute their footer
+    stats / bloom sidecars with pure pyarrow; the DRIVER assembles the
+    returned entries into one atomic log commit (phase 2). A failed task
+    or query leaves only unreferenced files, which ``vacuum(None)``
+    reclaims as crash orphans."""
+
+    def __init__(self, root: str, key_col: str, stats_cols, colmap: dict):
+        self.root = root
+        self.key_col = key_col
+        self.stats_cols = tuple(stats_cols or ())
+        self.colmap = dict(colmap or {})
+
+    # executor side
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from database_anonymiser_spark.sources.versioned import (
+            _DATA_DIR,
+            _bloom_sidecars_for,
+            _footer_key_stats,
+            _split_stats_decl,
+        )
+
+        batches = list(iterator)
+        if not batches:
+            return _WriteMessage([])
+        m = dict(self.colmap.get("map") or {})
+        if m:
+            # logical → physical rename before any byte is written
+            batches = [
+                b.rename_columns([m.get(n, n) for n in b.schema.names])
+                for b in batches
+            ]
+        key_phys = m.get(self.key_col, self.key_col)
+        decl = tuple(
+            "bloom:" + m.get(c[len("bloom:"):], c[len("bloom:"):])
+            if str(c).startswith("bloom:") else m.get(c, c)
+            for c in self.stats_cols
+        )
+        range_cols, bloom_cols = _split_stats_decl(decl)
+        root = Path(self.root)
+        sub = root / _DATA_DIR / _uuid.uuid4().hex
+        sub.mkdir(parents=True, exist_ok=True)
+        fp = sub / f"part-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.Table.from_batches(batches), str(fp))
+        lo, hi = _footer_key_stats(fp, key_phys)
+        stats = None
+        if range_cols:
+            stats = {}
+            for c in range_cols:
+                clo, chi = _footer_key_stats(fp, c)
+                stats[c] = [clo, chi]
+        n_rows = pq.ParquetFile(str(fp)).metadata.num_rows
+        bloom = _bloom_sidecars_for(root, fp, bloom_cols)
+        return _WriteMessage(
+            [{
+                "path": str(fp.relative_to(root)),
+                "key_min": lo, "key_max": hi,
+                "stats": stats, "num_rows": n_rows, "bloom": bloom,
+            }]
+        )
+
+    # driver side
+    def _entries(self, messages):
+        from database_anonymiser_spark.sources.versioned import _FileEntry
+
+        out = []
+        for msg in messages:
+            for e in (msg.entries if msg else []):
+                out.append(
+                    _FileEntry(
+                        e["path"], e["key_min"], e["key_max"],
+                        e["stats"], e["num_rows"], bloom=e.get("bloom"),
+                    )
+                )
+        return out
+
+    def _commit_entries(self, entries, op: str, meta: dict | None = None):
+        from database_anonymiser_spark.sources.versioned import (
+            VersionConflict,
+            _commit,
+            _list_versions,
+        )
+
+        root = Path(self.root)
+        for attempt in range(6):
+            v = _list_versions(root)[-1] + 1
+            try:
+                _commit(root, v, entries, [], self.key_col, op=op, meta=meta)
+                return v
+            except VersionConflict:
+                if attempt == 5:
+                    raise
+
+    def _abort(self, messages):
+        root = Path(self.root)
+        for msg in messages:
+            for e in (msg.entries if msg else []):
+                (root / e["path"]).unlink(missing_ok=True)
+                for p in (e.get("bloom") or {}).values():
+                    (root / p).unlink(missing_ok=True)
+
+
+class _VersionedBatchWriter(_VersionedWriterBase, DataSourceArrowWriter):
+    def commit(self, messages):
+        self._commit_entries(self._entries(messages), op="append")
+
+    def abort(self, messages):
+        self._abort(messages)
+
+
+class _VersionedStreamWriter(_VersionedWriterBase, DataSourceStreamArrowWriter):
+    def commit(self, messages, batchId: int):
+        from database_anonymiser_spark.sources.versioned import (
+            _list_versions,
+            _log_path,
+        )
+
+        root = Path(self.root)
+        # exactly-once under epoch replay (single-writer stream per
+        # table): a re-delivered epoch whose id is already the newest
+        # committed stream_epoch is SKIPPED; its files stay unreferenced
+        # and vacuum(None) reclaims them as crash orphans
+        last = _list_versions(root)[-1]
+        rec = json.loads(_log_path(root, last).read_text())
+        if (rec.get("meta") or {}).get("stream_epoch") == batchId:
+            self._abort(messages)
+            return
+        self._commit_entries(
+            self._entries(messages),
+            op="stream_append",
+            meta={"stream_epoch": batchId},
+        )
+
+    def abort(self, messages, batchId: int):
+        self._abort(messages)
+
+
+def _writer_state(root: str, write_schema):
+    """Validate the incoming frame against the table and assemble the
+    pickled writer config. Append-only: the logical schemas must match
+    exactly (use the append/merge APIs for evolution), and tables with
+    CHECK constraints refuse (the writer path has no executor-side SQL
+    evaluator — route constrained tables through the foreachBatch merge
+    sink instead)."""
+    p = Path(root)
+    versions = _list_versions(p)
+    if not versions:
+        raise FileNotFoundError(
+            f"no versioned table at {root}: create it first "
+            "(VersionedTable.create) — the DataSource writer appends"
+        )
+    _live, key_col, constraints, schema, stats_cols, colmap = _replay(
+        p, versions[-1]
+    )
+    if constraints:
+        raise ValueError(
+            "DataSource writes into a table with CHECK constraints are "
+            "not supported (no executor-side validator) — use the "
+            "foreachBatch merge sink"
+        )
+    if schema is None:
+        raise ValueError("DataSource writer requires a logged schema")
+    logical = StructType.fromJson(schema)
+    if [f.name for f in write_schema.fields] != [f.name for f in logical.fields]:
+        raise ValueError(
+            f"schema mismatch: writing {[f.name for f in write_schema.fields]} "
+            f"into table {[f.name for f in logical.fields]} — the DataSource "
+            "writer is append-only with an exact column match (evolve via "
+            "VersionedTable.append(merge_schema=True))"
+        )
+    return key_col, stats_cols, colmap

@@ -116,3 +116,99 @@ def test_versioned_datasource_schema_evolution_null_fill(registered, tmp_path):
     got = spark.read.format("versioned").option("path", str(root)).load()
     rows = {r["k"]: r["extra"] for r in got.collect()}
     assert rows == {1: None, 2: 9}
+
+
+def test_versioned_datasource_writer_batch_and_stream(registered, tmp_path):
+    """The WRITER faces (round 9): executors write parquet under data/
+    with pure pyarrow (invisible until referenced), the driver commits
+    one atomic log version per save/epoch. Batch append round-trips
+    (with column mapping + maintained stats/bloom); the streaming writer
+    is exactly-once per epoch and composes with the streaming READER
+    into a versioned-to-versioned pipe."""
+    spark = registered
+    src_root = tmp_path / "src"
+    t = VersionedTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(50)],
+            "k long, name string, v double",
+        ),
+        key_col="k",
+    )
+    t.rename_column("v", "score")
+    t.optimize_zorder(("k",), file_count=2)
+
+    # batch writer: append through spark.write
+    extra = spark.createDataFrame(
+        [(100 + i, "w", 0.5 + i) for i in range(5)],
+        "k long, name string, score double",
+    )
+    extra.write.format("versioned").option("path", str(src_root)).mode(
+        "append"
+    ).save()
+    assert t.snapshot().count() == 55
+    assert t.snapshot().where("score = 2.5").first()["k"] == 102
+    assert t.commit_op(t.latest_version()) == "append"
+    # physical bytes carry the PRE-rename name; stats maintained
+    newest = [e for e in t._live_entries() if e.get("key_min") is not None]
+    assert newest  # key stats recorded by the executor-side writer
+    assert t.row_count() == 55  # num_rows recorded → log-only COUNT(*)
+
+    # schema/constraint refusals
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.createDataFrame([(1, "x")], "k long, name string").write.format(
+            "versioned"
+        ).option("path", str(src_root)).mode("append").save()
+    with pytest.raises(Exception, match="overwrite"):
+        extra.write.format("versioned").option("path", str(src_root)).mode(
+            "overwrite"
+        ).save()
+
+    # streaming writer: versioned -> versioned pipe via the DataSource
+    dst_root = tmp_path / "dst"
+    VersionedTable.create(
+        spark,
+        dst_root,
+        t.snapshot().limit(0),
+        key_col="k",
+    )
+    ck = tmp_path / "ck"
+    q = (
+        spark.readStream.format("versioned").option("path", str(src_root)).load()
+        .writeStream.format("versioned")
+        .option("path", str(dst_root))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    dst = VersionedTable(spark, dst_root)
+    assert dst.snapshot().count() == 55
+    assert dst.commit_op(dst.latest_version()) == "stream_append"
+    # drain again with no new source commits: no duplicate rows
+    q = (
+        spark.readStream.format("versioned").option("path", str(src_root)).load()
+        .writeStream.format("versioned")
+        .option("path", str(dst_root))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert dst.snapshot().count() == 55
+    # source appends flow through on the next drain
+    t.append(
+        spark.createDataFrame([(999, "z", 9.5)], "k long, name string, score double")
+    )
+    q = (
+        spark.readStream.format("versioned").option("path", str(src_root)).load()
+        .writeStream.format("versioned")
+        .option("path", str(dst_root))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert dst.snapshot().count() == 56
+    assert dst.snapshot().where("k = 999").first()["score"] == 9.5
