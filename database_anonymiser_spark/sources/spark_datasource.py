@@ -63,7 +63,8 @@ from database_anonymiser_spark.sources.versioned import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, arrow_schema_physical, logical_names: list):
+    def __init__(self, path: str, arrow_schema_physical, logical_names: list,
+                 dv_path: str | None = None):
         self.path = path
         #: the logical schema rendered in PHYSICAL field names as a
         #: pyarrow schema (pickled to the executor) — pyarrow.dataset
@@ -72,6 +73,10 @@ class _FilePartition(InputPartition):
         #: right types
         self.arrow_schema_physical = arrow_schema_physical
         self.logical_names = logical_names
+        #: absolute path of the file's deletion-vector sidecar (or None)
+        #: — the EXECUTOR loads it (sidecars live next to the data on
+        #: shared storage; only the pointer rides the pickled partition)
+        self.dv_path = dv_path
 
 
 def _read_file_aligned(part: _FilePartition):
@@ -79,10 +84,22 @@ def _read_file_aligned(part: _FilePartition):
     aligned to the logical schema: dataset-projection against the
     physical rendering (typed NULL-fill for pre-evolution files,
     post-evolution extras dropped), then one rename physical→logical.
-    Yields Arrow RecordBatches (the zero-copy path into Spark)."""
+    Files carrying a deletion vector drop their dead positions with a
+    boolean mask before anything leaves the executor (positions are
+    file row indices — ``to_table()`` preserves file order, so mask
+    index i is file row i). Yields Arrow RecordBatches (the zero-copy
+    path into Spark)."""
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(part.path, schema=part.arrow_schema_physical).to_table()
+    if part.dv_path:
+        dead = json.loads(Path(part.dv_path).read_text())["indices"]
+        mask = [True] * tbl.num_rows
+        for i in dead:
+            if i < len(mask):
+                mask[i] = False
+        tbl = tbl.filter(pa.array(mask))
     tbl = tbl.rename_columns(part.logical_names)
     for batch in tbl.to_batches(max_chunksize=65536):
         yield batch
@@ -134,7 +151,10 @@ class _SnapshotReader(DataSourceReader):
             path = e["path"]
             if not os.path.isabs(path):
                 path = str(Path(self.root) / path)
-            out.append(_FilePartition(path, phys, names))
+            dv = e.get("dv")
+            if dv and not os.path.isabs(dv):
+                dv = str(Path(self.root) / dv)
+            out.append(_FilePartition(path, phys, names, dv_path=dv))
         return out or [None]
 
     def read(self, partition):
@@ -374,6 +394,14 @@ class _VersionedBatchWriter(_VersionedWriterBase, DataSourceArrowWriter):
         self._abort(messages)
 
 
+#: how many commits back the stream writer's replay check scans for the
+#: newest committed stream_epoch — covers housekeeping commits (compact /
+#: optimize / analyze / vacuum markers) that land between a sink commit
+#: and a crash-replay of the same epoch. Bounded: the check is O(cap)
+#: tiny-JSON reads, never O(versions).
+_EPOCH_SCAN_CAP = 64
+
+
 class _VersionedStreamWriter(_VersionedWriterBase, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int):
         from database_anonymiser_spark.sources.versioned import (
@@ -385,12 +413,18 @@ class _VersionedStreamWriter(_VersionedWriterBase, DataSourceStreamArrowWriter):
         # exactly-once under epoch replay (single-writer stream per
         # table): a re-delivered epoch whose id is already the newest
         # committed stream_epoch is SKIPPED; its files stay unreferenced
-        # and vacuum(None) reclaims them as crash orphans
-        last = _list_versions(root)[-1]
-        rec = json.loads(_log_path(root, last).read_text())
-        if (rec.get("meta") or {}).get("stream_epoch") == batchId:
-            self._abort(messages)
-            return
+        # and vacuum(None) reclaims them as crash orphans. The scan walks
+        # newest→oldest past any interleaved housekeeping commits and
+        # stops at the first stream commit found (cap: _EPOCH_SCAN_CAP).
+        for v in _list_versions(root)[::-1][:_EPOCH_SCAN_CAP]:
+            rec = json.loads(_log_path(root, v).read_text())
+            epoch = (rec.get("meta") or {}).get("stream_epoch")
+            if epoch is None:
+                continue
+            if epoch == batchId:
+                self._abort(messages)
+                return
+            break  # newest committed stream epoch differs — commit ours
         self._commit_entries(
             self._entries(messages),
             op="stream_append",

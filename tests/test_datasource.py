@@ -118,6 +118,71 @@ def test_versioned_datasource_schema_evolution_null_fill(registered, tmp_path):
     assert rows == {1: None, 2: 9}
 
 
+def test_versioned_datasource_reads_honor_deletion_vectors(registered, tmp_path):
+    """A snapshot through format("versioned") must drop DV-marked rows —
+    the executor-side pyarrow reader applies the sidecar mask before any
+    batch leaves the partition (a DV'd row must never resurrect through
+    ANY read face). A delete_dv commit is a rewrite commit to the
+    STREAMING face: refuse by default, skip whole under
+    skipChangeCommits (re-delivering its re-referenced files would
+    duplicate the survivors)."""
+    spark = registered
+    root = tmp_path / "dv"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(40)], "k long, name string"
+        ),
+        key_col="k",
+    )
+    out_dir, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, root, out_dir, ck)
+    assert spark.read.parquet(str(out_dir)).count() == 40
+
+    v = t.delete_where("k % 10 = 3", dv=True)
+    assert t.commit_op(v) == "delete_dv"
+    got = spark.read.format("versioned").option("path", str(root)).load()
+    assert got.count() == 36
+    assert sorted(r["k"] for r in got.where("k < 10").collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9,
+    ]
+    with pytest.raises(Exception, match="APPENDS|skipChangeCommits"):
+        _drain(spark, root, out_dir, ck)
+    _drain(spark, root, out_dir, ck, skipChangeCommits="true")
+    assert spark.read.parquet(str(out_dir)).count() == 40  # nothing re-sent
+
+
+def test_stream_writer_epoch_replay_survives_housekeeping(registered, tmp_path):
+    """The stream writer's exactly-once check scans past housekeeping
+    commits interleaved between a sink commit and the crash-replay of
+    the same epoch (a compact landing in between must not defeat the
+    dedup)."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _VersionedStreamWriter,
+    )
+
+    spark = registered
+    root = tmp_path / "w"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(i, "a") for i in range(20)], "k long, v string"),
+        key_col="k",
+    )
+    t.append(spark.createDataFrame([(100, "b")], "k long, v string"))
+    w = _VersionedStreamWriter(str(root), "k", (), {})
+    w.commit([], batchId=7)
+    v_after_epoch = t.latest_version()
+    assert t.commit_op(v_after_epoch) == "stream_append"
+    t.compact()  # housekeeping lands between commit and replay
+    w.commit([], batchId=7)  # crash-replay of the same epoch
+    # replay skipped: no new stream_append past the compact
+    assert t.commit_op(t.latest_version()) == "compact"
+    w.commit([], batchId=8)  # the NEXT epoch still commits
+    assert t.commit_op(t.latest_version()) == "stream_append"
+
+
 def test_versioned_datasource_writer_batch_and_stream(registered, tmp_path):
     """The WRITER faces (round 9): executors write parquet under data/
     with pure pyarrow (invisible until referenced), the driver commits
