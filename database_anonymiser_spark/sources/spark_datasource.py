@@ -49,13 +49,22 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from database_anonymiser_spark.sources.versioned import (
     ROW_PRESERVING_OPS,
+    _bloom_hashes,
+    _entry_matches_points,
+    _entry_overlaps_range,
     _list_versions,
     _log_path,
     _replay,
@@ -106,19 +115,19 @@ def _read_file_aligned(part: _FilePartition):
 
 
 def _snapshot_state(root: str):
-    """(live entries, logical schema json, colmap) at the latest version
-    — pure file I/O (usable from the driver-side planner without a
-    SparkSession)."""
+    """(live entries, logical schema json, colmap, key_col) at the latest
+    version — pure file I/O (usable from the driver-side planner without
+    a SparkSession)."""
     p = Path(root)
     versions = _list_versions(p)
     if not versions:
         raise FileNotFoundError(f"no versioned table at {root}")
-    live, _key, _cons, schema, _stats, colmap = _replay(p, versions[-1])
+    live, key, _cons, schema, _stats, colmap = _replay(p, versions[-1])
     if schema is None:
         raise ValueError(
             "versioned DataSource requires a logged schema (legacy table)"
         )
-    return live, schema, colmap
+    return live, schema, colmap, key
 
 
 def _arrow_physical(schema_json: dict, colmap: dict):
@@ -142,18 +151,52 @@ def _arrow_physical(schema_json: dict, colmap: dict):
 class _SnapshotReader(DataSourceReader):
     def __init__(self, root: str):
         self.root = root
+        #: (logical col, kind, payload) triples recorded by pushFilters —
+        #: kind 'range' carries (lo, hi), kind 'points' a value list.
+        #: Always empty on this base class (no pushFilters): Spark's
+        #: worker HARD-FAILS any source defining pushFilters while
+        #: ``spark.sql.python.filterPushdown.enabled`` is false (its
+        #: default), so pushdown lives on the opt-in subclass below.
+        self.pushed: list = []
 
     def partitions(self):
-        live, schema, colmap = _snapshot_state(self.root)
+        live, schema, colmap, key_col = _snapshot_state(self.root)
         phys, names = _arrow_physical(schema, colmap)
+        m = dict((colmap or {}).get("map") or {})
+        key_pcol = m.get(key_col, key_col)
+        root = Path(self.root)
         out = []
         for e in live.values():
+            skip = False
+            for c, kind, payload in self.pushed:
+                pcol = m.get(c, c)
+                if kind == "range":
+                    lo, hi = payload
+                    if not _entry_overlaps_range(e, pcol, key_pcol, lo, hi):
+                        skip = True
+                        break
+                else:
+                    try:
+                        vals = sorted(payload)
+                    except TypeError:
+                        continue  # mixed-type IN list: cannot prune
+                    hpairs = (
+                        [_bloom_hashes(v) for v in vals]
+                        if (e.get("bloom") or {}).get(pcol) else None
+                    )
+                    if not _entry_matches_points(
+                        root, e, pcol, key_pcol, vals, hpairs
+                    ):
+                        skip = True
+                        break
+            if skip:
+                continue
             path = e["path"]
             if not os.path.isabs(path):
-                path = str(Path(self.root) / path)
+                path = str(root / path)
             dv = e.get("dv")
             if dv and not os.path.isabs(dv):
-                dv = str(Path(self.root) / dv)
+                dv = str(root / dv)
             out.append(_FilePartition(path, phys, names, dv_path=dv))
         return out or [None]
 
@@ -163,12 +206,55 @@ class _SnapshotReader(DataSourceReader):
         return _read_file_aligned(partition)
 
 
+class _PushdownSnapshotReader(_SnapshotReader):
+    """The snapshot reader with FILE-SKIPPING FILTER PUSHDOWN (Spark 4.1
+    Python DataSource API) — selected by ``option("pushdown", "true")``
+    and requiring ``spark.sql.python.filterPushdown.enabled=true`` (the
+    worker refuses a pushFilters-defining source without it, which is
+    why pushdown is an opt-in subclass rather than the default).
+
+    Equality / range / IN filters on top-level columns become stats +
+    bloom file pruning in ``partitions()`` — the same arithmetic as the
+    native ``files_matching`` / ``files_matching_any`` read path, via
+    the shared ``_entry_*`` matchers. ALL filters are returned to Spark
+    for row-level re-evaluation: the pushdown only shrinks the FILE
+    set (stats/bloom can prove a file empty for a predicate, never
+    evaluate it row-exactly), exactly like parquet row-group stats."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if not (isinstance(col, tuple) and len(col) == 1):
+                continue  # nested / non-column reference: no pruning
+            c = col[0]
+            if isinstance(f, EqualTo) and not isinstance(f.value, (list, bool)):
+                self.pushed.append((c, "points", [f.value]))
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals and not any(isinstance(v, (list, bool)) for v in vals):
+                    self.pushed.append((c, "points", vals))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self.pushed.append((c, "range", (f.value, None)))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self.pushed.append((c, "range", (None, f.value)))
+        return filters
+
+
 class _ChangesStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options: dict):
         self.root = root
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        #: last offset version this reader planned up to — advanced by
+        #: initialOffset and every partitions() call; lets latestOffset
+        #: bound the NEXT batch under maxFilesPerTrigger. None right
+        #: after a restart until Spark replans (the one batch planned
+        #: before that is unbounded — the Python stream API exposes no
+        #: admission-control start offset; documented caveat).
+        self._cursor: int | None = None
         sv = str(options.get("startingversion", "0"))
         p = Path(root)
         versions = _list_versions(p)
@@ -182,14 +268,41 @@ class _ChangesStreamReader(DataSourceStreamReader):
             self.start_version = max(int(sv) - 1, -1)
 
     def initialOffset(self):
+        self._cursor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self):
         versions = _list_versions(Path(self.root))
-        return {"version": versions[-1] if versions else self.start_version}
+        head = versions[-1] if versions else self.start_version
+        if self.max_files is None or self._cursor is None:
+            return {"version": head}
+        # rate limit (Delta's maxFilesPerTrigger): advance commit by
+        # commit from the cursor, stopping once the batch would exceed
+        # the cap — always admitting at least one row-delivering commit
+        # so the stream can never stall. O(admitted commits) tiny-JSON
+        # reads; a 100k-commit backfill becomes many bounded batches.
+        p = Path(self.root)
+        end, n_files = self._cursor, 0
+        for v in [x for x in versions if x > self._cursor]:
+            rec = json.loads(_log_path(p, v).read_text())
+            adds = 0
+            if rec.get("op") not in ROW_PRESERVING_OPS and not (
+                rec.get("removes") and self.skip_change
+            ):
+                adds = len(rec.get("adds") or [])
+            if n_files and n_files + adds > self.max_files:
+                break
+            end, n_files = v, n_files + adds
+            if n_files >= self.max_files:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         a, b = int(start["version"]), int(end["version"])
+        # the planned batch ends here — the next latestOffset bounds
+        # its advance from this point (incl. the replayed batch after a
+        # restart, which re-plans through this call)
+        self._cursor = max(self._cursor if self._cursor is not None else -1, b)
         if b <= a:
             return [None]
         p = Path(self.root)
@@ -239,7 +352,7 @@ class VersionedDataSource(DataSource):
         return "versioned"
 
     def schema(self):
-        _live, schema, _colmap = _snapshot_state(self._path())
+        _live, schema, _colmap, _key = _snapshot_state(self._path())
         return StructType.fromJson(schema)
 
     def _path(self) -> str:
@@ -249,6 +362,8 @@ class VersionedDataSource(DataSource):
         return path
 
     def reader(self, schema):
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _PushdownSnapshotReader(self._path())
         return _SnapshotReader(self._path())
 
     def streamReader(self, schema):

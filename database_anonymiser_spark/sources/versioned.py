@@ -547,6 +547,74 @@ def _bloom_load(root: Path, ref: str) -> bytes | None:
     return blob
 
 
+def _entry_bounds(e: dict, pcol: str, key_pcol: str):
+    """Recorded [lo, hi] stats of one live entry for PHYSICAL column
+    ``pcol`` — the commit-level key bounds serve the key column; (None,
+    None) when the entry carries no stats for it (must-scan). Pure
+    metadata arithmetic shared by the table's file-skipping reads and
+    the ``format("versioned")`` DataSource's filter pushdown (which has
+    no SparkSession — one matcher, no drift)."""
+    if pcol == key_pcol and e.get("key_min") is not None:
+        return e["key_min"], e["key_max"]
+    s = (e.get("stats") or {}).get(pcol, [None, None])
+    return (s[0], s[1]) if s[0] is not None else (None, None)
+
+
+def _entry_overlaps_range(e: dict, pcol: str, key_pcol: str, lo, hi) -> bool:
+    """File-level range test: can this entry hold a row with ``pcol``
+    in [lo, hi]? ``None`` bounds are unbounded. Conservative: entries
+    without stats, and incomparable types (a datetime predicate against
+    string-serialized stats), KEEP the file — pruning may only ever
+    drop a file it can PROVE empty for the predicate."""
+    clo, chi = _entry_bounds(e, pcol, key_pcol)
+    if clo is None:
+        return True
+    try:
+        if hi is not None and clo > hi:
+            return False
+        if lo is not None and chi < lo:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+def _entry_matches_points(
+    root: Path, e: dict, pcol: str, key_pcol: str, vals_sorted: list,
+    hpairs: list | None,
+) -> bool:
+    """File-level point-lookup test: can this entry hold ANY of the
+    sorted probe values? Range stats first (one bisect), then the
+    bloom sidecar when the entry carries one for ``pcol`` (``hpairs``
+    = precomputed ``_bloom_hashes`` pairs, shared across files). False
+    positives only — a file is dropped only when provably empty."""
+    clo, chi = _entry_bounds(e, pcol, key_pcol)
+    if clo is not None:
+        try:
+            i = bisect.bisect_left(vals_sorted, clo)
+            if not (i < len(vals_sorted) and vals_sorted[i] <= chi):
+                return False
+        except TypeError:
+            pass
+    ref = (e.get("bloom") or {}).get(pcol)
+    if ref is not None and hpairs is not None:
+        blob = _bloom_load(root, ref)
+        if blob is not None:
+            nl = blob.index(b"\n")
+            hdr = json.loads(blob[:nl])
+            m, k, bits = hdr["m"], hdr["k"], blob[nl + 1:]
+            if not any(
+                all(
+                    (bits[((h1 + i * h2) % m) >> 3]
+                     >> (((h1 + i * h2) % m) & 7)) & 1
+                    for i in range(k)
+                )
+                for h1, h2 in hpairs
+            ):
+                return False
+    return True
+
+
 def _bloom_sidecars_for(
     root: Path, file_path: Path, bloom_cols: tuple[str, ...]
 ) -> dict | None:
@@ -1120,26 +1188,18 @@ class VersionedTable:
         extremum recompute) pass the version their cursor is advancing
         to, so a concurrent writer landing mid-refresh cannot skew the
         read past the recorded cursor (round-7 advice)."""
-        out = []
         entries = self._live_entries(version)
         # column mapping: stats/bloom keys are PHYSICAL (frozen at the
         # column's birth) — translate each queried logical name once
-        pred = {self._phys(c): (c, b) for c, b in predicates.items()}
-        for e in entries:
-            keep = True
-            for pcol, (col, (lo, hi)) in pred.items():
-                if col == self._key_col and e.get("key_min") is not None:
-                    clo, chi = e["key_min"], e["key_max"]
-                elif e.get("stats", {}).get(pcol, [None, None])[0] is not None:
-                    clo, chi = e["stats"][pcol]
-                else:
-                    continue  # no stats for this column -> cannot prune
-                if chi < lo or clo > hi:
-                    keep = False
-                    break
-            if keep:
-                out.append(e)
-        return out
+        pred = {self._phys(c): b for c, b in predicates.items()}
+        key_pcol = self._phys(self._key_col)
+        return [
+            e for e in entries
+            if all(
+                _entry_overlaps_range(e, pcol, key_pcol, lo, hi)
+                for pcol, (lo, hi) in pred.items()
+            )
+        ]
 
     def files_matching_any(
         self, col: str, values: list, version: int | None = None
@@ -1170,41 +1230,20 @@ class VersionedTable:
         vals = sorted(v for v in values if v is not None)
         if not vals:
             return []
-        hpairs = None  # probe hashes computed once, shared across files
-        out = []
-        entries = self._live_entries(version)
         pcol = self._phys(col)  # stats/bloom keys are physical
-        for e in entries:
-            if col == self._key_col and e.get("key_min") is not None:
-                clo, chi = e["key_min"], e["key_max"]
-            elif e.get("stats", {}).get(pcol, [None, None])[0] is not None:
-                clo, chi = e["stats"][pcol]
-            else:
-                clo = chi = None  # no range stats: fall through to bloom
-            if clo is not None:
-                i = bisect.bisect_left(vals, clo)
-                if not (i < len(vals) and vals[i] <= chi):
-                    continue  # range-pruned
-            ref = (e.get("bloom") or {}).get(pcol)
-            if ref is not None:
-                blob = _bloom_load(self.root, ref)
-                if blob is not None:
-                    if hpairs is None:
-                        hpairs = [_bloom_hashes(v) for v in vals]
-                    nl = blob.index(b"\n")
-                    hdr = json.loads(blob[:nl])
-                    m, k, bits = hdr["m"], hdr["k"], blob[nl + 1:]
-                    if not any(
-                        all(
-                            (bits[((h1 + i * h2) % m) >> 3]
-                             >> (((h1 + i * h2) % m) & 7)) & 1
-                            for i in range(k)
-                        )
-                        for h1, h2 in hpairs
-                    ):
-                        continue  # bloom-pruned
-            out.append(e)
-        return out
+        key_pcol = self._phys(self._key_col)
+        entries = self._live_entries(version)
+        # probe hashes computed once, shared across files — and only
+        # when some entry actually carries a bloom sidecar for the column
+        hpairs = (
+            [_bloom_hashes(v) for v in vals]
+            if any((e.get("bloom") or {}).get(pcol) for e in entries)
+            else None
+        )
+        return [
+            e for e in entries
+            if _entry_matches_points(self.root, e, pcol, key_pcol, vals, hpairs)
+        ]
 
     def read_matching_any(
         self, col: str, values: list, version: int | None = None

@@ -183,6 +183,108 @@ def test_stream_writer_epoch_replay_survives_housekeeping(registered, tmp_path):
     assert t.commit_op(t.latest_version()) == "stream_append"
 
 
+def test_pushdown_reader_prunes_files_by_stats_and_bloom(registered, tmp_path):
+    """option("pushdown","true"): equality/range/IN filters prune the
+    partition list with the SAME stats+bloom arithmetic as the native
+    files_matching/files_matching_any path, and Spark still re-applies
+    every filter row-level (results identical to the unpruned read)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _PushdownSnapshotReader,
+        _SnapshotReader,
+    )
+
+    spark = registered
+    root = tmp_path / "p"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"d{i % 17}", float(i)) for i in range(2000)],
+            "k long, dom string, v double",
+        ),
+        key_col="k",
+    )
+    t.optimize_zorder(("k",), file_count=8)  # key-clustered: stats prune
+    t.analyze(bloom_cols=("dom",))  # unclustered column: bloom prunes
+
+    total = len(t._live_entries())
+    assert total >= 8
+
+    # unit face: the pruned partition list matches the native matcher
+    r = _PushdownSnapshotReader(str(root))
+    kept = r.pushFilters([EqualTo(("k",), 42)])
+    assert list(kept) == [EqualTo(("k",), 42)]  # all returned to Spark
+    assert len(r.partitions()) == len(t.files_matching_any("k", [42]))
+    assert len(r.partitions()) < total
+
+    r2 = _PushdownSnapshotReader(str(root))
+    r2.pushFilters([GreaterThan(("k",), 1750)])
+    assert len(r2.partitions()) == len(t.files_matching({"k": (1751, 2**62)}))
+    assert len(r2.partitions()) < total
+
+    r3 = _PushdownSnapshotReader(str(root))
+    r3.pushFilters([In(("dom",), ("d3", "d5"))])
+    assert len(r3.partitions()) == len(t.files_matching_any("dom", ["d3", "d5"]))
+
+    # base reader never defines pushFilters (worker refuses it when the
+    # session conf is off — the reason pushdown is an opt-in subclass)
+    assert "pushFilters" not in _SnapshotReader.__dict__
+
+    # e2e face: enabled pushdown returns exactly the unpruned answers
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pushed = (
+            spark.read.format("versioned")
+            .option("path", str(root)).option("pushdown", "true").load()
+        )
+        assert [r["v"] for r in pushed.where("k = 42").collect()] == [42.0]
+        assert pushed.where("k > 1750").count() == 249
+        assert pushed.where("dom in ('d3','d5')").count() == sum(
+            1 for i in range(2000) if i % 17 in (3, 5)
+        )
+        assert pushed.where("v = 7.0").first()["k"] == 7  # no-stats col: kept
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_stream_reader_max_files_per_trigger_bounds_batches(registered, tmp_path):
+    """maxFilesPerTrigger: latestOffset advances commit-by-commit from
+    the planning cursor, admitting at most N added files per batch
+    (always ≥1 commit so the stream cannot stall); housekeeping commits
+    ride along for free."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _ChangesStreamReader,
+    )
+
+    spark = registered
+    root = tmp_path / "rl"
+    mk = lambda i: spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1)
+    t = VersionedTable.create(spark, root, mk(0), key_col="k")
+    for i in range(1, 5):
+        t.append(mk(i))  # versions 1..4, one file each
+    head = t.latest_version()
+
+    r = _ChangesStreamReader(str(root), {"maxfilespertrigger": "2"})
+    start = r.initialOffset()
+    offsets = []
+    while True:
+        end = r.latestOffset()
+        if end["version"] == start["version"]:
+            break
+        parts = r.partitions(start, end)
+        offsets.append((end["version"], len([p for p in parts if p])))
+        start = end
+    # 2 files per batch: (v0,v1) then (v2,v3) then (v4)
+    assert [n for _, n in offsets] == [2, 2, 1]
+    assert offsets[-1][0] == head
+
+    # unlimited reader drains in one batch (control)
+    r0 = _ChangesStreamReader(str(root), {})
+    assert r0.latestOffset()["version"] == head
+
+
 def test_versioned_datasource_writer_batch_and_stream(registered, tmp_path):
     """The WRITER faces (round 9): executors write parquet under data/
     with pure pyarrow (invisible until referenced), the driver commits
