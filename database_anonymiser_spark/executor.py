@@ -282,7 +282,10 @@ def execute_plan_versioned(
             # staging (a mid-write failure leaves partial parquet too)
             result.rolled_back = True
             for t in touched:
-                t.vacuum()
+                # grace 0: these are OUR just-staged files (single
+                # writer inside the apply run), not a concurrent
+                # writer's in-flight window
+                t.vacuum(orphan_grace_s=0)
         return result
 
     # phase 2: metadata-only commit loop

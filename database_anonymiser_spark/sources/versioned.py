@@ -1230,9 +1230,9 @@ class VersionedTable:
         vals = sorted(v for v in values if v is not None)
         if not vals:
             return []
+        entries = self._live_entries(version)  # also refreshes _key_col/_colmap
         pcol = self._phys(col)  # stats/bloom keys are physical
         key_pcol = self._phys(self._key_col)
-        entries = self._live_entries(version)
         # probe hashes computed once, shared across files — and only
         # when some entry actually carries a bloom sidecar for the column
         hpairs = (
@@ -2656,7 +2656,10 @@ class VersionedTable:
         before = self.row_count(self.latest_version())
         v2 = self.delete_where(predicate, prune)
         _write_checkpoint(self.root, v2)
-        reclaimed = self.vacuum(retain_versions=1)
+        # grace 0: erase's verified-hard-delete contract sweeps EVERY
+        # non-live byte, including fresh orphans (no concurrent writer
+        # is supportable during a compliance erase anyway)
+        reclaimed = self.vacuum(retain_versions=1, orphan_grace_s=0)
         live_now = {e["path"] for e in self._live_entries(v2)}
         self._scrub_log_stats(keep_live=live_now, upto=v2)
         after = self.row_count(v2)
@@ -2717,7 +2720,10 @@ class VersionedTable:
     # ---------------------------------------------------------- hygiene
 
     def vacuum(
-        self, retain_versions: int | None = None, dry_run: bool = False
+        self,
+        retain_versions: int | None = None,
+        dry_run: bool = False,
+        orphan_grace_s: float = 3600.0,
     ) -> list[str]:
         """Reclaim dead data files. Two modes:
 
@@ -2740,8 +2746,21 @@ class VersionedTable:
         pre-flight a production retention job runs before committing to
         an irreversible reclaim.
 
+        ``orphan_grace_s`` (round 9): an UNREFERENCED file younger than
+        this many seconds (mtime) is NOT a reclaim candidate — it may be
+        an IN-FLIGHT two-phase write (data files land before the commit
+        that references them: the native writers, the DataSource
+        writers, and a multi-table transaction's staged parts all have
+        this window). Delta's VACUUM applies the same modification-time
+        threshold for the same reason (its default is 7 days; ours is
+        1 h — pass 0 only when the table provably has no concurrent
+        writer, as the crash-cleanup tests do).
+
         Returns the deleted (or, dry run, would-be-deleted) paths
         (relative to the table root)."""
+        import time as _time
+
+        cutoff = _time.time() - max(orphan_grace_s, 0.0)
         if retain_versions is not None and retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         if retain_versions is None:
@@ -2749,7 +2768,12 @@ class VersionedTable:
             # #3: this was the last routine O(versions) history() walk) —
             # one checkpoint read + the tail commits
             referenced = _ever_added(self.root, self.latest_version())
+            ever = referenced
         else:
+            # the ever-set scopes the orphan grace: a file some OLD commit
+            # references is superseded CHURN (reclaim regardless of age);
+            # only a never-referenced file can be an in-flight write
+            ever = _ever_added(self.root, self.latest_version())
             referenced = set()
             for v in self.versions()[-retain_versions:]:
                 live = _replay(self.root, v)[0]
@@ -2766,7 +2790,9 @@ class VersionedTable:
         if data_root.is_dir():
             for p in data_root.rglob("*.parquet"):
                 rel = str(p.relative_to(self.root))
-                if rel not in referenced:
+                if rel not in referenced and (
+                    rel in ever or p.stat().st_mtime <= cutoff
+                ):
                     if not dry_run:
                         p.unlink()
                     removed.append(rel)
@@ -2777,7 +2803,9 @@ class VersionedTable:
         if bloom_root.is_dir():
             for p in bloom_root.glob("*.bf"):
                 rel = str(p.relative_to(self.root))
-                if rel not in referenced:
+                if rel not in referenced and (
+                    rel in ever or p.stat().st_mtime <= cutoff
+                ):
                     if not dry_run:
                         p.unlink()
                     removed.append(rel)
@@ -2785,7 +2813,9 @@ class VersionedTable:
         if dv_root.is_dir():
             for p in dv_root.glob("*.dv"):
                 rel = str(p.relative_to(self.root))
-                if rel not in referenced:
+                if rel not in referenced and (
+                    rel in ever or p.stat().st_mtime <= cutoff
+                ):
                     if not dry_run:
                         p.unlink()
                     removed.append(rel)

@@ -111,7 +111,10 @@ def test_crash_orphans_invisible_and_vacuumed(spark, table):
     orphan = spark.createDataFrame([(777, "orphan", 0.0)], "k long, name string, v double")
     _write_data_files(orphan, table.root, "k")  # no commit
     assert table.snapshot().count() == 20  # invisible
-    removed = table.vacuum()
+    # fresh orphans survive the default in-flight grace window...
+    assert table.vacuum() == []
+    # ...and are reclaimed once past it (grace 0 = "no concurrent writer")
+    removed = table.vacuum(orphan_grace_s=0)
     assert removed, "vacuum must delete the orphan files"
     assert table.snapshot().count() == 20
     assert table.snapshot(version=0).count() == 20  # history intact
@@ -1783,7 +1786,7 @@ def test_default_vacuum_is_checkpoint_bounded(spark, tmp_path):
         orphan
     )
     before = V.COMMIT_READS
-    removed = t.vacuum()
+    removed = t.vacuum(orphan_grace_s=0)
     reads = V.COMMIT_READS - before
     assert removed == ["data/orphan-deadbeef.parquet"]
     assert reads <= 8, f"vacuum(None) read {reads} commits (interval is 10)"
