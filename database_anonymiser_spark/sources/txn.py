@@ -170,9 +170,16 @@ class MultiTableTransaction:
     lives next to one participant's log.
     """
 
-    def __init__(self, coordinator: str | Path):
+    def __init__(self, coordinator: str | Path, txn_id: str | None = None):
         self.coordinator = Path(coordinator)
-        self.id = uuid.uuid4().hex
+        if txn_id is not None and not all(
+            c.isalnum() or c in "._-" for c in txn_id
+        ):
+            raise ValueError(f"txn_id must be filename-safe: {txn_id!r}")
+        #: explicit ``txn_id`` makes the transaction DETERMINISTIC —
+        #: what a streaming sink keys by epoch so a replayed batch finds
+        #: its predecessor's witness instead of double-appending
+        self.id = txn_id or uuid.uuid4().hex
         self.parts: list[dict] = []
         self._done = False
 

@@ -505,6 +505,75 @@ def _refresh_views(spark: SparkSession, base, roots: tuple[str, ...]) -> None:
             view.refresh(base)
 
 
+def run_stream_fanout_txn(
+    df: DataFrame,
+    outputs,
+    coordinator: str,
+    checkpoint: str,
+    spark: SparkSession | None = None,
+    sink_name: str = "fanout",
+):
+    """Drain ONE stream into SEVERAL versioned tables with each
+    micro-batch committed ATOMICALLY across all of them — the
+    multi-table transaction (sources/txn.py) as a streaming sink.
+
+    ``outputs`` is a sequence of ``(table_root, key_col, transform)``:
+    each micro-batch is routed through every ``transform``
+    (DataFrame → DataFrame; None = identity) and the results are staged
+    as ONE transaction, so downstream readers never observe a batch's
+    documents without its embeddings (or any other split-write skew) —
+    the consistency the one-stream-two-sinks composition loses when
+    written as two independent queries, and the reason Delta documents
+    "one table per stream" as a limitation. Tables that do not exist
+    yet are created EMPTY with the transform's schema on first sight
+    (metadata-only v0), so the data itself is always transactional.
+
+    Exactly-once under replay: the transaction id is DETERMINISTIC per
+    epoch (``{sink_name}-{batch_id}``); every batch first runs
+    ``recover(coordinator)`` (rolling forward a predecessor that
+    crashed after its decision point), then skips itself entirely when
+    all its parts' idempotency witnesses are already in the tables'
+    logs. Crash before the manifest → the replay re-stages from
+    scratch (earlier staged files are invisible orphans under vacuum's
+    grace window); crash after → roll-forward completes it, the replay
+    no-ops.
+
+    100 TB shape: per batch the only data-sized work is the per-table
+    distributed writes (phase 1); decision + finalization are
+    O(tables) tiny-JSON renames, and the witness scans are bounded
+    (``TXN_SCAN_CAP``). Returns the finished StreamingQuery.
+    """
+    from database_anonymiser_spark.sources.txn import (
+        MultiTableTransaction,
+        _part_committed,
+        recover,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        recover(coordinator)
+        txn_id = f"{sink_name}-{batch_id:08d}"
+        frames = []
+        for root, key_col, tf in outputs:
+            out = tf(batch_df) if tf is not None else batch_df
+            t = VersionedTable(s, root)
+            if not t.versions():
+                VersionedTable.create(s, root, out.limit(0), key_col=key_col)
+            frames.append((t, out))
+        if all(
+            _part_committed(t.root, txn_id, i) is not None
+            for i, (t, _) in enumerate(frames)
+        ):
+            return  # replayed epoch: every part already rolled forward
+        txn = MultiTableTransaction(coordinator, txn_id=txn_id)
+        for t, out in frames:
+            txn.stage_append(t, out)
+        txn.commit()
+
+    return run_foreach_batch(df, sink, checkpoint)
+
+
 def run_stream_to_scd2(
     df: DataFrame,
     dim_root: str,
