@@ -359,6 +359,13 @@ class VersionedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("option 'path' (table root) is required")
+        # the SQL face (CREATE TABLE ... USING versioned) hands the
+        # OPTIONS path back as a normalized file: URI — strip the scheme
+        # so the posix-path log reader resolves it (file:/x, file:///x)
+        if path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            path = urlparse(path).path
         return path
 
     def reader(self, schema):
@@ -548,6 +555,30 @@ class _VersionedStreamWriter(_VersionedWriterBase, DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int):
         self._abort(messages)
+
+
+def register_sql_views(spark, tables: dict) -> None:
+    """The SQL face: register each versioned table as a temp view served
+    by the DataSource, so plain ``spark.sql`` (joins, CTEs, windows —
+    the whole surface) runs over it::
+
+        register_sql_views(spark, {"docs": "/data/docs", "dims": "/data/dims"})
+        spark.sql("SELECT ... FROM docs JOIN dims USING (k)")
+
+    Views are PINNED SNAPSHOTS of each table's head at registration —
+    repeatable reads for a whole SQL session by construction; re-call to
+    advance to the current head. (Why not ``CREATE TABLE ... USING
+    versioned``: Spark 4.1 passes a catalog table's scan an EMPTY
+    options dict, so a Python DataSource behind a catalog table can
+    never find its path — measured here, the reason this face is
+    view-based.)"""
+    spark.dataSource.register(VersionedDataSource)
+    for name, root in tables.items():
+        (
+            spark.read.format("versioned")
+            .option("path", str(root)).load()
+            .createOrReplaceTempView(name)
+        )
 
 
 def _writer_state(root: str, write_schema):

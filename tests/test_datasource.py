@@ -183,6 +183,46 @@ def test_stream_writer_epoch_replay_survives_housekeeping(registered, tmp_path):
     assert t.commit_op(t.latest_version()) == "stream_append"
 
 
+def test_sql_face_pinned_snapshot_views(registered, tmp_path):
+    """register_sql_views: the whole spark.sql surface (filters, joins)
+    over versioned tables, with PINNED-snapshot semantics — appends
+    after registration stay invisible until a re-register (repeatable
+    reads; also the only sound shape on Spark 4.1, which hands a
+    catalog table's Python scan an empty options dict). A file: URI
+    path normalizes through load() too."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        register_sql_views,
+    )
+
+    spark = registered
+    root = tmp_path / "sqlt"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"),
+        key_col="k",
+    )
+    register_sql_views(spark, {"docs_sql": root})
+    assert spark.sql("SELECT v FROM docs_sql WHERE k = 2").first()["v"] == "y"
+    joined = spark.sql(
+        "SELECT a.k, b.v FROM docs_sql a JOIN docs_sql b ON a.k = b.k "
+        "WHERE a.k = 1"
+    )
+    assert joined.first()["v"] == "x"
+    # pinned: a later append is invisible until re-registration
+    t.append(spark.createDataFrame([(3, "z")], "k long, v string"))
+    assert spark.sql("SELECT count(*) AS c FROM docs_sql").first()["c"] == 2
+    register_sql_views(spark, {"docs_sql": root})
+    assert spark.sql("SELECT count(*) AS c FROM docs_sql").first()["c"] == 3
+    # file: URI path accepted (the normalization the SQL path needs)
+    got = (
+        spark.read.format("versioned")
+        .option("path", f"file:{root}").load()
+    )
+    assert got.count() == 3
+    spark.catalog.dropTempView("docs_sql")
+
+
 def test_pushdown_reader_prunes_files_by_stats_and_bloom(registered, tmp_path):
     """option("pushdown","true"): equality/range/IN filters prune the
     partition list with the SAME stats+bloom arithmetic as the native
