@@ -255,12 +255,29 @@ class _ChangesStreamReader(DataSourceStreamReader):
         #: before that is unbounded — the Python stream API exposes no
         #: admission-control start offset; documented caveat).
         self._cursor: int | None = None
-        sv = str(options.get("startingversion", "0"))
         p = Path(root)
         versions = _list_versions(p)
         if not versions:
             raise FileNotFoundError(f"no versioned table at {root}")
-        if sv == "latest":
+        st = options.get("startingtimestamp")
+        sv = str(options.get("startingversion", "0"))
+        if st is not None:
+            # startingTimestamp (Delta's second starting axis), defined
+            # as the COMPLEMENT of TIMESTAMP AS OF under the same
+            # clamp-correct version_at resolution: the stream delivers
+            # everything AFTER the as-of snapshot at that timestamp, so
+            # bootstrap-snapshot + follow composes with no gap and no
+            # overlap. A timestamp before the first commit streams the
+            # full history.
+            from database_anonymiser_spark.sources.versioned import (
+                VersionedTable,
+            )
+
+            try:
+                self.start_version = VersionedTable(None, root).version_at(st)
+            except ValueError:
+                self.start_version = -1
+        elif sv == "latest":
             # start at the head: deliver only commits AFTER stream start
             self.start_version = versions[-1]
         else:

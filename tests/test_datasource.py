@@ -9,6 +9,7 @@ aware.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -287,6 +288,38 @@ def test_pushdown_reader_prunes_files_by_stats_and_bloom(registered, tmp_path):
         assert pushed.where("v = 7.0").first()["k"] == 7  # no-stats col: kept
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_stream_reader_starting_timestamp_complements_as_of(registered, tmp_path):
+    """startingTimestamp streams exactly the commits AFTER the
+    TIMESTAMP AS OF snapshot at that timestamp — bootstrap + follow
+    composes gap-free and overlap-free. A pre-history timestamp streams
+    everything."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _ChangesStreamReader,
+    )
+
+    spark = registered
+    root = tmp_path / "ts"
+    mk = lambda i: spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1)
+    t = VersionedTable.create(spark, root, mk(0), key_col="k")
+    t.append(mk(1))
+    ts_mid = json.loads(
+        (root / "_log" / f"{t.latest_version():08d}.json").read_text()
+    )["ts"]
+    t.append(mk(2))
+    t.append(mk(3))
+
+    r = _ChangesStreamReader(str(root), {"startingtimestamp": ts_mid})
+    # as-of snapshot at ts_mid = version 1 → stream starts at version 2
+    assert r.initialOffset() == {"version": t.version_at(ts_mid)}
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len([p for p in parts if p]) == 2  # versions 2 and 3 only
+
+    r0 = _ChangesStreamReader(
+        str(root), {"startingtimestamp": "1970-01-01T00:00:00+00:00"}
+    )
+    assert r0.initialOffset() == {"version": -1}  # full history
 
 
 def test_stream_reader_max_files_per_trigger_bounds_batches(registered, tmp_path):
