@@ -284,6 +284,25 @@ def main():
         file=sys.stderr,
     )
 
+    # --- transactional fan-out telemetry (round 9): 3 epochs of the
+    # documents fixture into two versioned tables, each epoch ONE
+    # cross-table transaction (the run_stream_fanout_txn protocol).
+    # Recorded once as a side dict like the other lifecycles; the
+    # regression tripwire is epoch_commit_reads (the finalize + witness
+    # metadata cost must stay O(tables × scan cap), never O(history)).
+    from tools.storage_probe import txn_fanout as _txn_lifecycle
+
+    txn_fanout_meta: dict[str, float] = {}
+    _t0 = time.perf_counter()
+    _txn_rows = _txn_lifecycle(spark, sf_dir, txn_fanout_meta)
+    txn_fanout_meta["lifecycle_sec"] = round(time.perf_counter() - _t0, 3)
+    print(
+        f"# txn_fanout: {txn_fanout_meta['lifecycle_sec']:.2f}s "
+        f"({_txn_rows} rows x 2 tables, commit_reads/epoch "
+        f"{txn_fanout_meta['epoch_commit_reads']})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
 
     # --- ANN recall telemetry (round-6 verdict #8): recall@10 of each
@@ -434,6 +453,7 @@ def main():
                 "curate_stage_sec": curate_stages,
                 "storage_meta_reads": storage_meta,
                 "neardedup_meta": neardedup_meta,
+                "txn_fanout_meta": txn_fanout_meta,
                 "ann_recall": ann_recall,
                 "ann_recall_curve": ann_recall_curve,
                 "ann_recall_sf1": ann_recall_sf1,

@@ -125,3 +125,60 @@ def neardedup_stream(spark, sf_dir: str, meta: dict) -> int:
         return VersionedTable(spark, out_root).snapshot().count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def txn_fanout(spark, sf_dir: str, meta: dict) -> int:
+    """One transactional fan-out ingest lifecycle (round 9): 3 epochs of
+    ~1/3 of the fixture's documents, each staged into TWO versioned
+    tables (raw docs + a derived signature table) and committed as ONE
+    cross-table transaction with a deterministic epoch id — the exact
+    protocol ``run_stream_fanout_txn`` drives per micro-batch (benched
+    directly, the apply_neardedup_batch precedent: the number is about
+    the OPERATOR, not trigger overhead). Records per-epoch wall and the
+    per-epoch COMMIT_READS delta (the finalize + witness-scan metadata
+    cost, which must stay O(tables × scan cap), never O(history)), then
+    verifies both tables landed every epoch atomically. Returns the
+    fanned-out row count witness."""
+    import os
+    import tempfile
+    import time as _time
+
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.txn import MultiTableTransaction
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.suite.base import load
+
+    base = tempfile.mkdtemp(prefix="bench_txn_")
+    root_a = os.path.join(base, "docs")
+    root_b = os.path.join(base, "sigs")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        sigs = lambda b: b.select(
+            "doc_id", F.md5(F.col("text")).alias("sig")
+        )
+        VersionedTable.create(spark, root_a, docs.limit(0), key_col="doc_id")
+        VersionedTable.create(
+            spark, root_b, sigs(docs.limit(0)), key_col="doc_id"
+        )
+        ta = VersionedTable(spark, root_a)
+        tb = VersionedTable(spark, root_b)
+        for bno in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == bno)
+            c0 = V.COMMIT_READS
+            t0 = _time.perf_counter()
+            txn = MultiTableTransaction(root_a, txn_id=f"bench-{bno:04d}")
+            txn.stage_append(ta, batch)
+            txn.stage_append(tb, sigs(batch))
+            txn.commit()
+            meta.setdefault("epoch_sec", []).append(
+                round(_time.perf_counter() - t0, 3)
+            )
+            meta.setdefault("epoch_commit_reads", []).append(
+                V.COMMIT_READS - c0
+            )
+        na, nb = ta.snapshot().count(), tb.snapshot().count()
+        assert na == nb, f"fan-out skew: {na} docs vs {nb} sigs"
+        meta["tables_row_count"] = na
+        return na
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
