@@ -214,6 +214,70 @@ def test_stream_fanout_txn_atomic_and_exactly_once(spark, tmp_path):
     assert _part_committed(vecs.root, "t1-00000001", 1) is not None
 
 
+def test_txn_recover_converges_from_every_partial_state(spark, tmp_path):
+    """Enumerate all 4 partial-finalize states of a decided 2-part
+    transaction ({} / {0} / {1} / {0,1} already committed, manifest
+    present): recover() converges each to the same final state with
+    exactly one copy of every part — including the out-of-order {1}
+    state a forward finalizer never produces but a recovery crash can."""
+    from database_anonymiser_spark.sources.txn import _finalize, _part_committed
+    from database_anonymiser_spark.sources.versioned import (
+        _FileEntry,
+        _commit,
+        _list_versions,
+    )
+
+    for subset in ([], [0], [1], [0, 1]):
+        tag = "".join(map(str, subset)) or "none"
+        ta = _mk(spark, tmp_path / f"a{tag}")
+        tb = _mk(spark, tmp_path / f"b{tag}")
+        txn = MultiTableTransaction(tmp_path / f"a{tag}", txn_id=f"fz-{tag}")
+        txn.stage_append(
+            ta, spark.createDataFrame([(70, "p")], "k long, v string")
+        )
+        txn.stage_append(
+            tb, spark.createDataFrame([(71, "q")], "k long, v string")
+        )
+        # decided: manifest on disk, then pre-commit the chosen subset
+        d = tmp_path / f"a{tag}" / "_txn"
+        d.mkdir(parents=True, exist_ok=True)
+        manifest = d / f"{txn.id}.json"
+        manifest.write_text(json.dumps({"id": txn.id, "parts": txn.parts}))
+        for i, t in ((0, ta), (1, tb)):
+            if i in subset:
+                part = txn.parts[i]
+                _commit(
+                    t.root, _list_versions(t.root)[-1] + 1,
+                    [_FileEntry(**e) for e in part["entries"]], [],
+                    part["key_col"], op="txn_append",
+                    meta={"txn": txn.id, "txn_part": i},
+                )
+        [res] = recover(tmp_path / f"a{tag}")
+        assert not manifest.exists()
+        assert ta.snapshot().where("k = 70").count() == 1, subset
+        assert tb.snapshot().where("k = 71").count() == 1, subset
+        assert _part_committed(ta.root, txn.id, 0) == res[str(ta.root)]
+        assert _part_committed(tb.root, txn.id, 1) == res[str(tb.root)]
+
+
+def test_two_interleaved_txns_both_land(spark, tmp_path):
+    """Two concurrent transactions over the SAME two tables: blind
+    appends never conflict logically, so both roll forward (OCC rebase
+    orders them); all four rows present exactly once."""
+    ta = _mk(spark, tmp_path / "a")
+    tb = _mk(spark, tmp_path / "b")
+    t1 = MultiTableTransaction(tmp_path / "a")
+    t2 = MultiTableTransaction(tmp_path / "a")
+    t1.stage_append(ta, spark.createDataFrame([(81, "p")], "k long, v string"))
+    t2.stage_append(ta, spark.createDataFrame([(82, "q")], "k long, v string"))
+    t1.stage_append(tb, spark.createDataFrame([(83, "r")], "k long, v string"))
+    t2.stage_append(tb, spark.createDataFrame([(84, "s")], "k long, v string"))
+    t2.commit()  # decided second-staged first: order is irrelevant
+    t1.commit()
+    assert _rows(ta.snapshot().where("k >= 80")) == [(81, "p"), (82, "q")]
+    assert _rows(tb.snapshot().where("k >= 80")) == [(83, "r"), (84, "s")]
+
+
 def test_txn_validation_failures_stage_nothing(spark, tmp_path):
     ta = _mk(spark, tmp_path / "a")
     ta.add_constraint("pos", "k >= 0")
