@@ -103,11 +103,13 @@ def _read_file_aligned(part: _FilePartition):
 
     tbl = ds.dataset(part.path, schema=part.arrow_schema_physical).to_table()
     if part.dv_path:
-        dead = json.loads(Path(part.dv_path).read_text())["indices"]
-        mask = [True] * tbl.num_rows
-        for i in dead:
-            if i < len(mask):
-                mask[i] = False
+        import numpy as np
+
+        dead = np.asarray(
+            json.loads(Path(part.dv_path).read_text())["indices"], dtype=np.int64
+        )
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[dead[dead < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(mask))
     tbl = tbl.rename_columns(part.logical_names)
     for batch in tbl.to_batches(max_chunksize=65536):

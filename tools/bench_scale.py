@@ -128,6 +128,17 @@ def main():
         nd_meta["kept_docs"] = neardedup_stream(spark, sf_dir, nd_meta)
         nd_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
         row["neardedup_meta"] = nd_meta
+        # transactional fan-out lifecycle (round 9): 3 epochs into two
+        # tables, one cross-table transaction each. One rep; the scale
+        # claim is the COMMIT_READS-per-epoch counter (checkpoint-
+        # bounded metadata, flat across corpus size), wall secondary.
+        from tools.storage_probe import txn_fanout
+
+        tx_meta: dict = {}
+        t0 = time.perf_counter()
+        tx_meta["rows"] = txn_fanout(spark, sf_dir, tx_meta)
+        tx_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
+        row["txn_fanout_meta"] = tx_meta
         # ANN recall at production defaults (round-8 verdict #5): only
         # where the scale dir carries an embeddings table
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
