@@ -24,7 +24,16 @@ are skipped silently):
   RAISES by default; ``skipChangeCommits=true`` skips it whole;
 - ``startingVersion`` (default 0) picks where the follow begins —
   0 streams the full history from the initial snapshot, ``latest``
-  starts at the current head (new appends only).
+  starts at the current head (new appends only);
+- ``readChangeFeed=true`` (Delta's streaming CDF): instead of append
+  rows, every commit's ROW-LEVEL CHANGE EVENTS are delivered with
+  Delta CDF's exact layout — data columns then ``_change_type``
+  (insert | delete | update_preimage | update_postimage),
+  ``_commit_version``, ``_commit_timestamp``. Pure-append commits stay
+  one-partition-per-file (no join); change commits become one diff
+  partition each, Arrow-joined executor-side on the key under the same
+  (path, dv) file identity as ``VersionedTable.diff`` — O(that
+  commit's changed files), bounded by the writer's batch scope.
 
 Execution model: the driver only lists tiny commit JSONs (the same
 checkpoint-bounded metadata reads as every other consumer); each ADDED
@@ -242,12 +251,161 @@ class _PushdownSnapshotReader(_SnapshotReader):
         return filters
 
 
+#: CDF metadata columns appended after the data columns (Delta CDF's
+#: exact layout: _change_type, _commit_version, _commit_timestamp).
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _cdf_tag(tbl, ctype: str, version: int, ts: str | None):
+    """Append the three CDF metadata columns (constant per commit) to an
+    Arrow table whose columns are already the logical data columns."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    when = _dt.datetime.fromisoformat(ts) if ts else None
+    return (
+        tbl.append_column(_CDF_COLS[0], pa.array([ctype] * n, pa.string()))
+        .append_column(_CDF_COLS[1], pa.array([version] * n, pa.int64()))
+        .append_column(
+            _CDF_COLS[2], pa.array([when] * n, pa.timestamp("us", tz="UTC"))
+        )
+    )
+
+
+class _CdfInsertPartition(InputPartition):
+    """One appended file of a pure-append commit → `insert` change rows.
+    Fully parallel (one task per file), no join — the overwhelmingly
+    common shape of a streamed table's history."""
+
+    def __init__(self, file_part: _FilePartition, version: int, ts: str | None):
+        self.file_part = file_part
+        self.version = version
+        self.ts = ts
+
+
+class _CdfDiffPartition(InputPartition):
+    """One CHANGE commit (merge/update/delete/DV/restore) → its row-level
+    change events, derived executor-side by the same (path, dv) file-
+    identity diff as ``VersionedTable.diff`` but in pure pyarrow (no
+    SparkSession exists in the DataSource worker). One partition per
+    commit: a change commit's removed∪added files are bounded by the
+    writer's batch scope (the same O(changed data) argument diff()
+    makes), unlike a backfill's append volume which stays file-parallel
+    via ``_CdfInsertPartition``. Delta avoids this read-side join by
+    persisting ``_change_data`` files at commit time; deriving keeps the
+    write path lean and the feed exact."""
+
+    def __init__(self, removed, added, arrow_schema_physical, logical_names,
+                 key_col, version, ts):
+        #: (abs data path, abs dv sidecar path | None) pairs
+        self.removed = removed
+        self.added = added
+        self.arrow_schema_physical = arrow_schema_physical
+        self.logical_names = logical_names
+        self.key_col = key_col
+        self.version = version
+        self.ts = ts
+
+
+def _read_side(pairs, phys, names):
+    """Concatenate (path, dv) file reads into one logical-named table."""
+    import pyarrow as pa
+
+    tables = [
+        pa.Table.from_batches(
+            _read_file_aligned(_FilePartition(p, phys, names, dv_path=dv)),
+            schema=pa.schema(
+                [phys.field(i).with_name(names[i]) for i in range(len(names))]
+            ),
+        )
+        for p, dv in pairs
+    ]
+    if not tables:
+        return pa.schema(
+            [phys.field(i).with_name(names[i]) for i in range(len(names))]
+        ).empty_table()
+    return pa.concat_tables(tables)
+
+
+def _null_safe_eq(a, b, n: int):
+    """Per-row null-safe equality of two aligned Arrow columns as a numpy
+    bool array; vectorized where Arrow compute supports the type, python
+    fallback otherwise (nested lists on older pyarrow)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    try:
+        eq = pc.or_(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+        )
+        return eq.to_numpy(zero_copy_only=False).astype(bool)
+    except Exception:
+        return np.fromiter(
+            (x == y for x, y in zip(a.to_pylist(), b.to_pylist())),
+            dtype=bool, count=n,
+        )
+
+
+def _diff_commit(part: _CdfDiffPartition):
+    """Row-level change events of one commit, Delta-CDF-faithful
+    (images='both'): insert / delete / update_preimage+update_postimage;
+    byte-identical carried rows excluded. Key uniqueness per version is
+    the table invariant (MERGE maintains it), same as diff()."""
+    import numpy as np
+
+    old = _read_side(part.removed, part.arrow_schema_physical, part.logical_names)
+    new = _read_side(part.added, part.arrow_schema_physical, part.logical_names)
+    k = part.key_col
+    old_pos = {v: i for i, v in enumerate(old[k].to_pylist())} if old.num_rows else {}
+    new_keys = new[k].to_pylist() if new.num_rows else []
+    ins, com_old, com_new = [], [], []
+    for i, key in enumerate(new_keys):
+        j = old_pos.pop(key, None)
+        if j is None:
+            ins.append(i)
+        else:
+            com_old.append(j)
+            com_new.append(i)
+    dels = sorted(old_pos.values())
+    parts = []
+    if ins:
+        parts.append((new.take(ins), "insert"))
+    if dels:
+        parts.append((old.take(dels), "delete"))
+    if com_old:
+        o_al, n_al = old.take(com_old), new.take(com_new)
+        changed = np.zeros(len(com_old), dtype=bool)
+        for c in part.logical_names:
+            if c == k:
+                continue  # join key: equal by construction
+            changed |= ~_null_safe_eq(o_al[c], n_al[c], len(com_old))
+        if changed.any():
+            idx = np.flatnonzero(changed)
+            parts.append((o_al.take(idx), "update_preimage"))
+            parts.append((n_al.take(idx), "update_postimage"))
+    for tbl, ctype in parts:
+        for batch in _cdf_tag(tbl, ctype, part.version, part.ts).to_batches(
+            max_chunksize=65536
+        ):
+            yield batch
+
+
 class _ChangesStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options: dict):
         self.root = root
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        #: readChangeFeed=true (Delta's streaming CDF): deliver every
+        #: commit's row-level change events with _change_type /
+        #: _commit_version / _commit_timestamp instead of append rows;
+        #: change commits are diffed, not erred. skipChangeCommits is
+        #: meaningless under CDF and ignored (Delta's reader likewise
+        #: treats them as orthogonal options).
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         #: last offset version this reader planned up to — advanced by
@@ -306,7 +464,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
             rec = json.loads(_log_path(p, v).read_text())
             adds = 0
             if rec.get("op") not in ROW_PRESERVING_OPS and not (
-                rec.get("removes") and self.skip_change
+                rec.get("removes") and self.skip_change and not self.cdf
             ):
                 adds = len(rec.get("adds") or [])
             if n_files and n_files + adds > self.max_files:
@@ -336,25 +494,83 @@ class _ChangesStreamReader(DataSourceStreamReader):
             op = rec.get("op")
             if op in ROW_PRESERVING_OPS:
                 continue  # housekeeping: the row set did not change
-            if rec.get("removes"):
+            if rec.get("removes") and not self.cdf:
                 if self.skip_change:
                     continue
                 raise RuntimeError(
                     f"commit {v} ({op}) changes existing rows; a versioned "
                     "table used as a stream source processes APPENDS — set "
-                    "skipChangeCommits=true to skip rewrite commits (the "
-                    "Delta streaming-source contract)"
+                    "skipChangeCommits=true to skip rewrite commits, or "
+                    "readChangeFeed=true to stream the row-level change "
+                    "feed (the Delta streaming-source contract)"
                 )
+            if self.cdf and rec.get("removes"):
+                # change commit: one diff partition — old side resolved
+                # from the PREVIOUS version's live set (the commit record
+                # carries removed paths but not their prior DV state);
+                # (path, dv) identity drops pairs a commit re-references
+                # unchanged. Replays are checkpoint-bounded + memoized.
+                prev_live, *_rest = _replay(p, v - 1)
+
+                def _abs(entry):
+                    path = entry["path"]
+                    dv = entry.get("dv")
+                    return (
+                        path if os.path.isabs(path) else str(p / path),
+                        (dv if os.path.isabs(dv) else str(p / dv)) if dv else None,
+                    )
+
+                adds = rec.get("adds", [])
+                add_ids = {(e["path"], e.get("dv")) for e in adds}
+                removed = [
+                    _abs(prev_live[path])
+                    for path in rec["removes"]
+                    if path in prev_live
+                    and (path, prev_live[path].get("dv")) not in add_ids
+                ]
+                rem_ids = {
+                    (path, prev_live[path].get("dv"))
+                    for path in rec["removes"] if path in prev_live
+                }
+                added = [
+                    _abs(e) for e in adds
+                    if (e["path"], e.get("dv")) not in rem_ids
+                ]
+                key_col = _rest[0]
+                out.append(_CdfDiffPartition(
+                    removed, added, phys, names, key_col, v, rec.get("ts")
+                ))
+                continue
             for add in rec.get("adds", []):
                 path = add["path"]
                 if not os.path.isabs(path):
                     path = str(p / path)
-                out.append(_FilePartition(path, phys, names))
+                fp = _FilePartition(path, phys, names)
+                out.append(
+                    _CdfInsertPartition(fp, v, rec.get("ts")) if self.cdf else fp
+                )
         return out or [None]
 
     def read(self, partition):
         if partition is None:
             return iter(())
+        if isinstance(partition, _CdfDiffPartition):
+            return _diff_commit(partition)
+        if isinstance(partition, _CdfInsertPartition):
+            import pyarrow as pa
+
+            fp = partition.file_part
+            tbl = pa.Table.from_batches(
+                _read_file_aligned(fp),
+                schema=pa.schema(
+                    [fp.arrow_schema_physical.field(i).with_name(fp.logical_names[i])
+                     for i in range(len(fp.logical_names))]
+                ),
+            )
+            return iter(
+                _cdf_tag(tbl, "insert", partition.version, partition.ts)
+                .to_batches(max_chunksize=65536)
+            )
         return _read_file_aligned(partition)
 
     def commit(self, end):
@@ -372,7 +588,16 @@ class VersionedDataSource(DataSource):
 
     def schema(self):
         _live, schema, _colmap, _key = _snapshot_state(self._path())
-        return StructType.fromJson(schema)
+        st = StructType.fromJson(schema)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, TimestampType
+
+            st = (
+                st.add(_CDF_COLS[0], StringType())
+                .add(_CDF_COLS[1], LongType())
+                .add(_CDF_COLS[2], TimestampType())
+            )
+        return st
 
     def _path(self) -> str:
         path = self.options.get("path")
@@ -388,6 +613,12 @@ class VersionedDataSource(DataSource):
         return path
 
     def reader(self, schema):
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            raise ValueError(
+                "readChangeFeed is a STREAMING option here — use "
+                "spark.readStream, or VersionedTable.changes() for a "
+                "batch change feed"
+            )
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return _PushdownSnapshotReader(self._path())
         return _SnapshotReader(self._path())

@@ -452,3 +452,97 @@ def test_versioned_datasource_writer_batch_and_stream(registered, tmp_path):
     q.awaitTermination(180)
     assert dst.snapshot().count() == 56
     assert dst.snapshot().where("k = 999").first()["score"] == 9.5
+
+
+def test_stream_read_change_feed_full_lifecycle(registered, tmp_path):
+    """readChangeFeed=true — the Delta streaming-CDF face: every commit's
+    row-level change events, tagged _change_type / _commit_version /
+    _commit_timestamp, exactly matching the native batch diff
+    (images='both') per commit. Covers create-append inserts, a MERGE
+    (update + insert in one commit), a DV delete (file identity =
+    (path, dv)), an UPDATE rewrite, a compaction (row-preserving —
+    delivers nothing), and exactly-once incremental delivery across a
+    second drain."""
+    spark = registered
+    root = tmp_path / "cdf"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(6)],
+            "k long, name string, v double",
+        ),
+        key_col="k",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "UPD", 0.25), (100, "new", 9.0)],
+            "k long, name string, v double",
+        ),
+        when_matched="update",
+    )
+    t.delete_where("k = 2", dv=True)
+    t.update_where({"name": "upper(name)"}, "k = 3")
+    t.compact(target_file_bytes=1 << 20)
+    t.append(
+        spark.createDataFrame([(200, "tail", 7.5)], "k long, name string, v double")
+    )
+
+    out_dir, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, root, out_dir, ck, readChangeFeed="true")
+    got = spark.read.parquet(str(out_dir))
+    assert [f.name for f in got.schema.fields] == [
+        "k", "name", "v", "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    # every delivered change row carries its commit's wall-clock ts
+    assert got.where("_commit_timestamp is null").count() == 0
+
+    data_cols = ["k", "name", "v"]
+
+    def _by_commit(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["_commit_version"], set()).add(
+                (r["_change_type"],) + tuple(r[c] for c in data_cols)
+            )
+        return out
+
+    def _expected(v):
+        return {
+            (r["_change_type"],) + tuple(r[c] for c in data_cols)
+            for r in t.diff(v - 1, v, images="both").collect()
+        }
+
+    seen = _by_commit(got)
+    # the compaction commit must not appear at all
+    compacted = [v for v in t.versions() if t.commit_op(v) == "compact"]
+    assert compacted and all(v not in seen for v in compacted)
+    # each delivered commit matches the native per-commit diff exactly
+    row_changing = [
+        v for v in t.versions()
+        if t.commit_op(v) not in ("compact", "optimize_zorder", "analyze")
+    ]
+    assert sorted(seen) == row_changing
+    for v in row_changing:
+        assert seen[v] == _expected(v), f"commit {v} mismatch"
+    # spot-check semantics: the merge commit carries pre+post images
+    merge_v = [v for v in t.versions() if t.commit_op(v).startswith("merge")][0]
+    types = {c for (c, *_r) in seen[merge_v]}
+    assert types == {"insert", "update_preimage", "update_postimage"}
+    dv_v = [v for v in t.versions() if t.commit_op(v) == "delete_dv"][0]
+    assert seen[dv_v] == {("delete", 2, "n2", 2.0)}
+
+    # incremental: a later rewrite delete arrives alone on the next drain
+    t.delete_where("k = 4")
+    _drain(spark, root, out_dir, ck, readChangeFeed="true")
+    seen2 = _by_commit(spark.read.parquet(str(out_dir)))
+    new_v = t.latest_version()
+    assert seen2[new_v] == {("delete", 4, "n4", 4.0)}
+    for v in row_changing:  # nothing re-delivered
+        assert seen2[v] == seen[v]
+
+    # batch face refuses the streaming-only option with a clear error
+    with pytest.raises(Exception, match="STREAMING|readStream"):
+        spark.read.format("versioned").option("path", str(root)).option(
+            "readChangeFeed", "true"
+        ).load().count()
