@@ -44,17 +44,61 @@ _INS_SHIFT = 10_000_000
              'INSERTED' AS c_mktsegment
       FROM customer
       WHERE c_custkey % {_INS_MOD} = 0
+    ),
+    state3 AS (
+      SELECT c_custkey,
+             c_name,
+             c_nationkey,
+             CASE WHEN c_mktsegment = 'INSERTED' THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM m
+    ),
+    cdf AS (
+      -- v0: CREATE commits every customer row as an insert
+      SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+             c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      UNION ALL
+      -- v1 MERGE: every 7th key updated (pre + post images) ...
+      SELECT 'update_preimage', 1,
+             c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % {_UPD_MOD} = 0
+      UNION ALL
+      SELECT 'update_postimage', 1,
+             c_custkey, c_name, c_nationkey, -c_acctbal, 'MERGED'
+      FROM customer WHERE c_custkey % {_UPD_MOD} = 0
+      UNION ALL
+      -- ... plus the shifted clones inserted by the same commit
+      SELECT 'insert', 1, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM m WHERE c_mktsegment = 'INSERTED'
+      UNION ALL
+      -- v2 (OPTIMIZE Z-ORDER) is row-preserving: NO feed rows
+      -- v3 UPDATE WHERE: every clone's balance bumped by 1000
+      SELECT 'update_preimage', 3,
+             c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM m WHERE c_mktsegment = 'INSERTED'
+      UNION ALL
+      SELECT 'update_postimage', 3,
+             c_custkey, c_name, c_nationkey, c_acctbal + 1000.0, c_mktsegment
+      FROM m WHERE c_mktsegment = 'INSERTED'
+      UNION ALL
+      -- v4 DELETE WHERE: every 13th key leaves with its v3 (OLD) image
+      SELECT 'delete', 4, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM state3 WHERE c_custkey % 13 = 0
     )
-    SELECT c_custkey,
-           c_name,
-           c_nationkey,
-           CASE WHEN c_mktsegment = 'INSERTED' THEN c_acctbal + 1000.0
-                ELSE c_acctbal END AS c_acctbal,
-           c_mktsegment
-    FROM m
+    SELECT 'snapshot' AS variant,
+           CAST(NULL AS VARCHAR) AS change_type,
+           CAST(NULL AS BIGINT) AS commit_version,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM state3
     WHERE NOT (c_custkey % 13 = 0)
+    UNION ALL
+    SELECT 'cdf', change_type, commit_version,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM cdf
     """,
-    tags=("transaction", "merge"),
+    tags=("transaction", "merge", "cdf"),
 )
 def merge_upsert(spark, sf_dir):
     """MERGE (upsert) through the transaction-log table: update every 7th
@@ -86,8 +130,21 @@ def merge_upsert(spark, sf_dir):
     every 13th key — so the returned snapshot hash-checks MERGE +
     OPTIMIZE + UPDATE + DELETE as one committed lineage (versions
     0..4). The DuckDB oracle replays them as CASE + WHERE over the merge
-    CTE."""
-    from database_anonymiser_spark.sources.versioned import VersionedTable
+    CTE.
+
+    Round 9: the entry also returns the CHANGE DATA FEED of the same
+    lineage ('cdf' variant rows) — creation inserts at version 0, then
+    per-commit ``diff(v-1, v, images='both')`` rows (Delta CDF's exact
+    event vocabulary: insert / delete / update_preimage /
+    update_postimage) tagged with their commit version, row-preserving
+    commits (the Z-ORDER) contributing nothing. The oracle reconstructs
+    the full feed in SQL from the deterministic mutation recipe, so CDF
+    semantics — previously pytest-only — are value-hash checked
+    cross-engine alongside the snapshot they must reconcile with."""
+    from database_anonymiser_spark.sources.versioned import (
+        ROW_PRESERVING_OPS,
+        VersionedTable,
+    )
 
     cust = load(spark, sf_dir, "customer")
     root = tempfile.mkdtemp(prefix="merge_upsert_")
@@ -112,4 +169,27 @@ def merge_upsert(spark, sf_dir):
         prune={"c_custkey": (_INS_SHIFT, 2 * _INS_SHIFT)},
     )
     t.delete_where(F.col("c_custkey") % 13 == 0)
-    return t.snapshot()
+
+    cols = cust.columns
+    feed = t.snapshot(0).select(
+        F.lit("insert").alias("change_type"), *cols
+    ).withColumn("commit_version", F.lit(0).cast("long"))
+    for v in range(1, t.latest_version() + 1):
+        if t.commit_op(v) in ROW_PRESERVING_OPS:
+            continue  # Z-ORDER: dataChange=false, no feed rows
+        feed = feed.unionByName(
+            t.diff(v - 1, v, images="both")
+            .withColumnRenamed("_change_type", "change_type")
+            .withColumn("commit_version", F.lit(v).cast("long"))
+        )
+    snap = t.snapshot().select(
+        F.lit("snapshot").alias("variant"),
+        F.lit(None).cast("string").alias("change_type"),
+        F.lit(None).cast("long").alias("commit_version"),
+        *cols,
+    )
+    return snap.unionByName(
+        feed.select(
+            F.lit("cdf").alias("variant"), "change_type", "commit_version", *cols
+        )
+    )
