@@ -419,6 +419,19 @@ class _ChangesStreamReader(DataSourceStreamReader):
         versions = _list_versions(p)
         if not versions:
             raise FileNotFoundError(f"no versioned table at {root}")
+        #: the stream's FIXED logical view (Delta's schema contract): the
+        #: head schema+colmap at query start — what ``schema()`` told
+        #: Spark. Every batch (including restarts replaying intervals
+        #: that predate an evolution) aligns its files to THIS view
+        #: (pre-evolution files typed-NULL-fill, dropped columns simply
+        #: not requested). A commit that changes the logged schema or
+        #: column mapping AFTER stream start fails the query with a
+        #: restart instruction instead of shipping misaligned Arrow
+        #: batches — on restart the new head schema becomes the view.
+        self._head_at_start = versions[-1]
+        _l, _k, _c, self._schema0, _s, self._colmap0 = _replay(
+            p, self._head_at_start
+        )
         st = options.get("startingtimestamp")
         sv = str(options.get("startingversion", "0"))
         if st is not None:
@@ -483,11 +496,23 @@ class _ChangesStreamReader(DataSourceStreamReader):
         if b <= a:
             return [None]
         p = Path(self.root)
-        # schema/colmap AS OF the interval end — the batch's logical view
+        # the batch's logical view is the STREAM-START schema (see
+        # __init__); an interval-end schema that differs can only mean a
+        # mid-stream evolution — fail with the restart contract
         _live, _key, _cons, schema, _stats, colmap = _replay(p, b)
         if schema is None:
             raise ValueError("streaming a legacy table without a logged schema")
-        phys, names = _arrow_physical(schema, colmap)
+        if b > self._head_at_start and (
+            schema != self._schema0 or colmap != self._colmap0
+        ):
+            raise RuntimeError(
+                f"the table's schema changed by version {b} while this "
+                "stream was running; RESTART the streaming query to pick "
+                "up the new schema (files written before the change are "
+                "read under it with typed NULL-fill — the Delta "
+                "schema-evolution contract)"
+            )
+        phys, names = _arrow_physical(self._schema0, self._colmap0)
         out = []
         for v in [x for x in _list_versions(p) if a < x <= b]:
             rec = json.loads(_log_path(p, v).read_text())

@@ -546,3 +546,60 @@ def test_stream_read_change_feed_full_lifecycle(registered, tmp_path):
         spark.read.format("versioned").option("path", str(root)).option(
             "readChangeFeed", "true"
         ).load().count()
+
+
+def test_stream_schema_evolution_contract(registered, tmp_path):
+    """The Delta schema contract on the streaming source: the stream's
+    logical view is FIXED at query start; a same-schema commit after
+    start plans fine, an evolution commit after start fails the planner
+    with a restart instruction, and a fresh stream started after the
+    evolution reads the whole history under the NEW schema with
+    pre-evolution files typed-NULL-filled."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _ChangesStreamReader,
+    )
+
+    spark = registered
+    root = tmp_path / "evo"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        key_col="k",
+    )
+
+    # reader constructed now: its view is the v0 schema
+    rdr = _ChangesStreamReader(str(root), {})
+    start = rdr.initialOffset()
+
+    # same-schema append after start: plans fine (no false positive)
+    t.append(spark.createDataFrame([(3, "c")], "k long, s string"))
+    parts = rdr.partitions(start, rdr.latestOffset())
+    assert sum(p is not None for p in parts) >= 1
+
+    # additive evolution after start: the planner fails with the contract
+    t.append(
+        spark.createDataFrame([(4, "d", 1.5)], "k long, s string, extra double"),
+        merge_schema=True,
+    )
+    with pytest.raises(RuntimeError, match="RESTART the streaming query"):
+        rdr.partitions(rdr.initialOffset(), rdr.latestOffset())
+
+    # restart (fresh reader = new query): full history under the NEW
+    # schema, pre-evolution rows NULL-filled in the added column
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, root, out, ck)
+    got = spark.read.parquet(str(out))
+    assert [f.name for f in got.schema.fields] == ["k", "s", "extra"]
+    rows = {r["k"]: (r["s"], r["extra"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", None), 4: ("d", 1.5)}
+
+    # and a rename through column mapping is likewise a view change
+    rdr2 = _ChangesStreamReader(str(root), {})
+    start2 = rdr2.initialOffset()
+    t.rename_column("s", "label")
+    t.append(
+        spark.createDataFrame([(5, "e", 2.5)], "k long, label string, extra double")
+    )
+    with pytest.raises(RuntimeError, match="RESTART the streaming query"):
+        rdr2.partitions(start2, rdr2.latestOffset())
