@@ -303,6 +303,21 @@ def main():
         file=sys.stderr,
     )
 
+    # --- DataSource read faces (round 9): the same snapshot aggregate
+    # native vs format("versioned") (the ratio = Arrow-source overhead),
+    # plus one streaming CDF drain of the lifecycle's change events.
+    from tools.storage_probe import datasource_read as _ds_probe
+
+    datasource_meta: dict[str, float] = {}
+    _ds_rows = _ds_probe(spark, sf_dir, datasource_meta)
+    print(
+        f"# datasource_read: native {datasource_meta['native_read_sec']:.2f}s "
+        f"vs arrow-source {datasource_meta['datasource_read_sec']:.2f}s "
+        f"({_ds_rows} rows); cdf drain {datasource_meta['cdf_drain_sec']:.2f}s "
+        f"({datasource_meta['cdf_events']} events)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
 
     # --- ANN recall telemetry (round-6 verdict #8): recall@10 of each
@@ -454,6 +469,7 @@ def main():
                 "storage_meta_reads": storage_meta,
                 "neardedup_meta": neardedup_meta,
                 "txn_fanout_meta": txn_fanout_meta,
+                "datasource_meta": datasource_meta,
                 "ann_recall": ann_recall,
                 "ann_recall_curve": ann_recall_curve,
                 "ann_recall_sf1": ann_recall_sf1,

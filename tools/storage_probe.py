@@ -182,3 +182,74 @@ def txn_fanout(spark, sf_dir: str, meta: dict) -> int:
         return na
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def datasource_read(spark, sf_dir: str, meta: dict) -> int:
+    """Round-9 DataSource read-path probe: the same snapshot aggregate
+    through the NATIVE read face and through ``format("versioned")``
+    (the Spark Python DataSource — pure-pyarrow partition reads, Arrow
+    hand-off), plus one full CDF streaming drain of the lifecycle
+    (create → band merge → DV delete) to a parquet sink. Records the
+    batch wall of each face (their ratio is the Arrow-source overhead —
+    the DataSource must stay same-order as native, not same-time: the
+    JVM parquet scan is whole-stage-codegen'd) and the CDF drain's wall
+    + delivered change events. Returns the snapshot row count witness."""
+    import os
+    import tempfile
+    import time as _time
+
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.suite.base import load
+
+    spark.dataSource.register(VersionedDataSource)
+    base = tempfile.mkdtemp(prefix="bench_ds_")
+    root = os.path.join(base, "t")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        t = VersionedTable.create(
+            spark, root, orders.repartitionByRange(8, "o_orderkey"),
+            key_col="o_orderkey",
+        )
+        t.merge(
+            orders.where("o_orderkey between 2000 and 4000")
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1),
+            when_matched="update",
+        )
+        t.delete_where("o_orderkey % 97 = 0", dv=True)
+
+        agg = lambda df: df.agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+        ).collect()[0]
+
+        t0 = _time.perf_counter()
+        r_native = agg(t.snapshot())
+        meta["native_read_sec"] = round(_time.perf_counter() - t0, 3)
+
+        t0 = _time.perf_counter()
+        r_ds = agg(
+            spark.read.format("versioned").option("path", root).load()
+        )
+        meta["datasource_read_sec"] = round(_time.perf_counter() - t0, 3)
+        assert r_native["n"] == r_ds["n"], (r_native, r_ds)
+
+        out = os.path.join(base, "out")
+        t0 = _time.perf_counter()
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", root).option("readChangeFeed", "true")
+            .load().writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        meta["cdf_drain_sec"] = round(_time.perf_counter() - t0, 3)
+        meta["cdf_events"] = spark.read.parquet(out).count()
+        return int(r_native["n"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
