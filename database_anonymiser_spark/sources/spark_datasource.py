@@ -82,7 +82,7 @@ from database_anonymiser_spark.sources.versioned import (
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, arrow_schema_physical, logical_names: list,
-                 dv_path: str | None = None):
+                 dv_path: str | None = None, scan_filters: list | None = None):
         self.path = path
         #: the logical schema rendered in PHYSICAL field names as a
         #: pyarrow schema (pickled to the executor) — pyarrow.dataset
@@ -95,6 +95,44 @@ class _FilePartition(InputPartition):
         #: — the EXECUTOR loads it (sidecars live next to the data on
         #: shared storage; only the pointer rides the pickled partition)
         self.dv_path = dv_path
+        #: pushed predicates as (PHYSICAL col, kind, payload) triples,
+        #: evaluated inside the pyarrow scan (parquet row-group stats
+        #: pruning + row filtering BEFORE the Arrow hand-off). Superset
+        #: semantics are fine — Spark re-evaluates every filter row-
+        #: exactly; any conjunct pyarrow cannot apply is just dropped.
+        self.scan_filters = scan_filters
+
+
+def _scan_expr(filters, schema):
+    """pyarrow.compute expression for the pushed (physical col, kind,
+    payload) triples, or None. Conservative: a conjunct referencing a
+    column the file's logical view lacks, or one pyarrow cannot build,
+    is dropped (the scan then over-returns; Spark's re-evaluation makes
+    it exact)."""
+    import pyarrow.compute as pc
+
+    expr = None
+    names = set(schema.names)
+    for pcol, kind, payload in filters or ():
+        if pcol not in names:
+            continue
+        try:
+            f = pc.field(pcol)
+            if kind == "range":
+                lo, hi = payload
+                e = None
+                if lo is not None:
+                    e = f >= lo
+                if hi is not None:
+                    e = (f <= hi) if e is None else e & (f <= hi)
+                if e is None:
+                    continue
+            else:
+                e = f.isin(list(payload))
+        except Exception:
+            continue
+        expr = e if expr is None else expr & e
+    return expr
 
 
 def _read_file_aligned(part: _FilePartition):
@@ -110,7 +148,18 @@ def _read_file_aligned(part: _FilePartition):
     import pyarrow as pa
     import pyarrow.dataset as ds
 
-    tbl = ds.dataset(part.path, schema=part.arrow_schema_physical).to_table()
+    dataset = ds.dataset(part.path, schema=part.arrow_schema_physical)
+    expr = _scan_expr(getattr(part, "scan_filters", None),
+                      part.arrow_schema_physical)
+    if expr is not None and not part.dv_path:
+        # no DV: filter inside the scan — parquet row-group stats prune
+        # whole groups, surviving rows filter before the Arrow hand-off
+        try:
+            tbl = dataset.to_table(filter=expr)
+        except Exception:
+            tbl = dataset.to_table()  # type mismatch etc.: over-return
+    else:
+        tbl = dataset.to_table()
     if part.dv_path:
         import numpy as np
 
@@ -120,6 +169,12 @@ def _read_file_aligned(part: _FilePartition):
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[dead[dead < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(mask))
+        if expr is not None:
+            # DV masks are POSITIONAL — filter only after the mask
+            try:
+                tbl = tbl.filter(expr)
+            except Exception:
+                pass
     tbl = tbl.rename_columns(part.logical_names)
     for batch in tbl.to_batches(max_chunksize=65536):
         yield batch
@@ -176,6 +231,11 @@ class _SnapshotReader(DataSourceReader):
         m = dict((colmap or {}).get("map") or {})
         key_pcol = m.get(key_col, key_col)
         root = Path(self.root)
+        # the surviving files' scans also evaluate the predicates
+        # (physical-named) — row-group pruning + pre-hand-off filtering
+        scanf = [
+            (m.get(c, c), kind, payload) for c, kind, payload in self.pushed
+        ] or None
         out = []
         for e in live.values():
             skip = False
@@ -208,7 +268,9 @@ class _SnapshotReader(DataSourceReader):
             dv = e.get("dv")
             if dv and not os.path.isabs(dv):
                 dv = str(root / dv)
-            out.append(_FilePartition(path, phys, names, dv_path=dv))
+            out.append(
+                _FilePartition(path, phys, names, dv_path=dv, scan_filters=scanf)
+            )
         return out or [None]
 
     def read(self, partition):

@@ -273,6 +273,23 @@ def test_pushdown_reader_prunes_files_by_stats_and_bloom(registered, tmp_path):
     # session conf is off — the reason pushdown is an opt-in subclass)
     assert "pushFilters" not in _SnapshotReader.__dict__
 
+    # scan face: the surviving files' pyarrow scans ALSO evaluate the
+    # predicates (row-group pruning + pre-hand-off filtering) — the rows
+    # leaving the executors are a tight superset of the exact answer
+    # (range pushdown widens > to >=), not whole files
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _read_file_aligned,
+    )
+
+    scanned = [
+        b.num_rows for p in r2.partitions() for b in _read_file_aligned(p)
+    ]
+    assert sum(scanned) == 250  # k >= 1750, not the ~2000-row file set
+    scanned_in = [
+        b.num_rows for p in r3.partitions() for b in _read_file_aligned(p)
+    ]
+    assert sum(scanned_in) == sum(1 for i in range(2000) if i % 17 in (3, 5))
+
     # e2e face: enabled pushdown returns exactly the unpruned answers
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
@@ -286,6 +303,18 @@ def test_pushdown_reader_prunes_files_by_stats_and_bloom(registered, tmp_path):
             1 for i in range(2000) if i % 17 in (3, 5)
         )
         assert pushed.where("v = 7.0").first()["k"] == 7  # no-stats col: kept
+
+        # deletion vectors: positional masks apply BEFORE the scan
+        # filter — a DV'd row must not resurrect through the filtered
+        # scan, and survivors stay exact
+        t.delete_where("k % 500 = 499", dv=True)
+        pushed2 = (
+            spark.read.format("versioned")
+            .option("path", str(root)).option("pushdown", "true").load()
+        )
+        assert pushed2.where("k > 1750").count() == 248  # 1999 DV'd
+        assert pushed2.where("k = 999").count() == 0
+        assert pushed2.where("k = 42").first()["v"] == 42.0
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
 
