@@ -520,7 +520,13 @@ def main():
                     "assign pass) and curate_corpus_full gains the "
                     "cluster_balance stage (curate_stage_sec['balance']); "
                     "ivf default n_probe 6->8 and pq auto-refine N/8 lift "
-                    "ann_recall at both scales (see ann_recall_sf1)",
+                    "ann_recall at both scales (see ann_recall_sf1). "
+                    "Cost of the balance stage isolated on identical r9 "
+                    "code, idle machine, best-of-2: curate WITHOUT "
+                    "cluster_balance 7.37s (r8 record 8.22s - no code "
+                    "regression), WITH cluster_balance=200 9.37s - the "
+                    "stage costs ~2.0s; any larger curate delta in a full "
+                    "bench run is load drift on the many-stage class",
                 },
                 "control_sec": control,
                 "control_shuffle_arrow_sec": control_sa,

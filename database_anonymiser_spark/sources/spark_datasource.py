@@ -180,15 +180,22 @@ def _read_file_aligned(part: _FilePartition):
         yield batch
 
 
-def _snapshot_state(root: str):
-    """(live entries, logical schema json, colmap, key_col) at the latest
-    version — pure file I/O (usable from the driver-side planner without
-    a SparkSession)."""
+def _snapshot_state(root: str, version: int | None = None):
+    """(live entries, logical schema json, colmap, key_col) at ``version``
+    (default: latest) — pure file I/O (usable from the driver-side
+    planner without a SparkSession)."""
     p = Path(root)
     versions = _list_versions(p)
     if not versions:
         raise FileNotFoundError(f"no versioned table at {root}")
-    live, key, _cons, schema, _stats, colmap = _replay(p, versions[-1])
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"version {version} does not exist at {root} "
+            f"(have {versions[0]}..{versions[-1]})"
+        )
+    live, key, _cons, schema, _stats, colmap = _replay(p, version)
     if schema is None:
         raise ValueError(
             "versioned DataSource requires a logged schema (legacy table)"
@@ -215,8 +222,11 @@ def _arrow_physical(schema_json: dict, colmap: dict):
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, root: str):
+    def __init__(self, root: str, version: int | None = None):
         self.root = root
+        #: versionAsOf / timestampAsOf pin (None = latest) — Delta's
+        #: batch time-travel options, resolved by the DataSource
+        self.version = version
         #: (logical col, kind, payload) triples recorded by pushFilters —
         #: kind 'range' carries (lo, hi), kind 'points' a value list.
         #: Always empty on this base class (no pushFilters): Spark's
@@ -226,7 +236,7 @@ class _SnapshotReader(DataSourceReader):
         self.pushed: list = []
 
     def partitions(self):
-        live, schema, colmap, key_col = _snapshot_state(self.root)
+        live, schema, colmap, key_col = _snapshot_state(self.root, self.version)
         phys, names = _arrow_physical(schema, colmap)
         m = dict((colmap or {}).get("map") or {})
         key_pcol = m.get(key_col, key_col)
@@ -455,6 +465,165 @@ def _diff_commit(part: _CdfDiffPartition):
             yield batch
 
 
+def _plan_change_partitions(
+    p: Path, a: int, b: int, phys, names, *, cdf: bool, skip_change: bool
+) -> list:
+    """Partitions delivering the commits in (a, b] — the SHARED planner
+    of the streaming follow and the batch change-feed read. Housekeeping
+    (row-preserving) commits contribute nothing; under ``cdf`` pure
+    appends stay one-partition-per-file and change commits become one
+    diff partition each; without ``cdf`` a change commit is skipped
+    whole (``skip_change``) or refused (the Delta streaming-source
+    contract)."""
+    out: list = []
+    for v in [x for x in _list_versions(p) if a < x <= b]:
+        rec = json.loads(_log_path(p, v).read_text())
+        op = rec.get("op")
+        if op in ROW_PRESERVING_OPS:
+            continue  # housekeeping: the row set did not change
+        if rec.get("removes") and not cdf:
+            if skip_change:
+                continue
+            raise RuntimeError(
+                f"commit {v} ({op}) changes existing rows; a versioned "
+                "table used as a stream source processes APPENDS — set "
+                "skipChangeCommits=true to skip rewrite commits, or "
+                "readChangeFeed=true to stream the row-level change "
+                "feed (the Delta streaming-source contract)"
+            )
+        if cdf and rec.get("removes"):
+            # change commit: one diff partition — old side resolved
+            # from the PREVIOUS version's live set (the commit record
+            # carries removed paths but not their prior DV state);
+            # (path, dv) identity drops pairs a commit re-references
+            # unchanged. Replays are checkpoint-bounded + memoized.
+            prev_live, *_rest = _replay(p, v - 1)
+
+            def _abs(entry):
+                path = entry["path"]
+                dv = entry.get("dv")
+                return (
+                    path if os.path.isabs(path) else str(p / path),
+                    (dv if os.path.isabs(dv) else str(p / dv)) if dv else None,
+                )
+
+            adds = rec.get("adds", [])
+            add_ids = {(e["path"], e.get("dv")) for e in adds}
+            removed = [
+                _abs(prev_live[path])
+                for path in rec["removes"]
+                if path in prev_live
+                and (path, prev_live[path].get("dv")) not in add_ids
+            ]
+            rem_ids = {
+                (path, prev_live[path].get("dv"))
+                for path in rec["removes"] if path in prev_live
+            }
+            added = [
+                _abs(e) for e in adds
+                if (e["path"], e.get("dv")) not in rem_ids
+            ]
+            key_col = _rest[0]
+            out.append(_CdfDiffPartition(
+                removed, added, phys, names, key_col, v, rec.get("ts")
+            ))
+            continue
+        for add in rec.get("adds", []):
+            path = add["path"]
+            if not os.path.isabs(path):
+                path = str(p / path)
+            fp = _FilePartition(path, phys, names)
+            out.append(
+                _CdfInsertPartition(fp, v, rec.get("ts")) if cdf else fp
+            )
+    return out
+
+
+def _read_change_partition(partition):
+    """Executor-side dispatch shared by the streaming follow and the
+    batch change-feed read."""
+    if partition is None:
+        return iter(())
+    if isinstance(partition, _CdfDiffPartition):
+        return _diff_commit(partition)
+    if isinstance(partition, _CdfInsertPartition):
+        import pyarrow as pa
+
+        fp = partition.file_part
+        tbl = pa.Table.from_batches(
+            _read_file_aligned(fp),
+            schema=pa.schema(
+                [fp.arrow_schema_physical.field(i).with_name(fp.logical_names[i])
+                 for i in range(len(fp.logical_names))]
+            ),
+        )
+        return iter(
+            _cdf_tag(tbl, "insert", partition.version, partition.ts)
+            .to_batches(max_chunksize=65536)
+        )
+    return _read_file_aligned(partition)
+
+
+class _CdfBatchReader(DataSourceReader):
+    """Delta's BATCH change-feed read: ``spark.read.format("versioned")
+    .option("readChangeFeed", "true").option("startingVersion", s)
+    [.option("endingVersion", e)]`` — the row-level change events of
+    commits s..e INCLUSIVE (defaults: 0..latest), same event vocabulary
+    and partitioning as the streaming CDF. ``startingVersion 0``
+    includes the CREATE commit's rows as inserts. Timestamp axes mirror
+    the streaming source: ``startingTimestamp`` delivers everything
+    AFTER the as-of snapshot at that timestamp (the TIMESTAMP AS OF
+    complement, so snapshot-bootstrap + batch-CDF composes gap-free),
+    ``endingTimestamp`` ends at the as-of version. Files align to the
+    HEAD schema (pre-evolution files typed-NULL-fill) — one logical
+    view, the same one ``schema()`` declares."""
+
+    def __init__(self, root: str, options: dict):
+        self.root = root
+        p = Path(root)
+        versions = _list_versions(p)
+        if not versions:
+            raise FileNotFoundError(f"no versioned table at {root}")
+        latest = versions[-1]
+        from database_anonymiser_spark.sources.versioned import VersionedTable
+
+        st = options.get("startingtimestamp")
+        if st is not None:
+            try:
+                self.a = VersionedTable(None, root).version_at(st)
+            except ValueError:
+                self.a = -1
+        else:
+            self.a = int(options.get("startingversion", 0)) - 1
+        et = options.get("endingtimestamp")
+        if et is not None:
+            self.b = VersionedTable(None, root).version_at(et)
+        else:
+            ev = options.get("endingversion")
+            self.b = latest if ev is None else int(ev)
+        if self.b > latest:
+            raise ValueError(
+                f"endingVersion {self.b} is beyond the head ({latest})"
+            )
+        if self.a > self.b:
+            raise ValueError(
+                f"startingVersion {self.a + 1} is beyond the ending "
+                f"version {self.b}"
+            )
+
+    def partitions(self):
+        _live, schema, colmap, _key = _snapshot_state(self.root)
+        phys, names = _arrow_physical(schema, colmap)
+        out = _plan_change_partitions(
+            Path(self.root), self.a, self.b, phys, names,
+            cdf=True, skip_change=False,
+        )
+        return out or [None]
+
+    def read(self, partition):
+        return _read_change_partition(partition)
+
+
 class _ChangesStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options: dict):
         self.root = root
@@ -575,90 +744,13 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 "schema-evolution contract)"
             )
         phys, names = _arrow_physical(self._schema0, self._colmap0)
-        out = []
-        for v in [x for x in _list_versions(p) if a < x <= b]:
-            rec = json.loads(_log_path(p, v).read_text())
-            op = rec.get("op")
-            if op in ROW_PRESERVING_OPS:
-                continue  # housekeeping: the row set did not change
-            if rec.get("removes") and not self.cdf:
-                if self.skip_change:
-                    continue
-                raise RuntimeError(
-                    f"commit {v} ({op}) changes existing rows; a versioned "
-                    "table used as a stream source processes APPENDS — set "
-                    "skipChangeCommits=true to skip rewrite commits, or "
-                    "readChangeFeed=true to stream the row-level change "
-                    "feed (the Delta streaming-source contract)"
-                )
-            if self.cdf and rec.get("removes"):
-                # change commit: one diff partition — old side resolved
-                # from the PREVIOUS version's live set (the commit record
-                # carries removed paths but not their prior DV state);
-                # (path, dv) identity drops pairs a commit re-references
-                # unchanged. Replays are checkpoint-bounded + memoized.
-                prev_live, *_rest = _replay(p, v - 1)
-
-                def _abs(entry):
-                    path = entry["path"]
-                    dv = entry.get("dv")
-                    return (
-                        path if os.path.isabs(path) else str(p / path),
-                        (dv if os.path.isabs(dv) else str(p / dv)) if dv else None,
-                    )
-
-                adds = rec.get("adds", [])
-                add_ids = {(e["path"], e.get("dv")) for e in adds}
-                removed = [
-                    _abs(prev_live[path])
-                    for path in rec["removes"]
-                    if path in prev_live
-                    and (path, prev_live[path].get("dv")) not in add_ids
-                ]
-                rem_ids = {
-                    (path, prev_live[path].get("dv"))
-                    for path in rec["removes"] if path in prev_live
-                }
-                added = [
-                    _abs(e) for e in adds
-                    if (e["path"], e.get("dv")) not in rem_ids
-                ]
-                key_col = _rest[0]
-                out.append(_CdfDiffPartition(
-                    removed, added, phys, names, key_col, v, rec.get("ts")
-                ))
-                continue
-            for add in rec.get("adds", []):
-                path = add["path"]
-                if not os.path.isabs(path):
-                    path = str(p / path)
-                fp = _FilePartition(path, phys, names)
-                out.append(
-                    _CdfInsertPartition(fp, v, rec.get("ts")) if self.cdf else fp
-                )
+        out = _plan_change_partitions(
+            p, a, b, phys, names, cdf=self.cdf, skip_change=self.skip_change
+        )
         return out or [None]
 
     def read(self, partition):
-        if partition is None:
-            return iter(())
-        if isinstance(partition, _CdfDiffPartition):
-            return _diff_commit(partition)
-        if isinstance(partition, _CdfInsertPartition):
-            import pyarrow as pa
-
-            fp = partition.file_part
-            tbl = pa.Table.from_batches(
-                _read_file_aligned(fp),
-                schema=pa.schema(
-                    [fp.arrow_schema_physical.field(i).with_name(fp.logical_names[i])
-                     for i in range(len(fp.logical_names))]
-                ),
-            )
-            return iter(
-                _cdf_tag(tbl, "insert", partition.version, partition.ts)
-                .to_batches(max_chunksize=65536)
-            )
-        return _read_file_aligned(partition)
+        return _read_change_partition(partition)
 
     def commit(self, end):
         pass  # offsets live in Spark's streaming checkpoint
@@ -674,9 +766,12 @@ class VersionedDataSource(DataSource):
         return "versioned"
 
     def schema(self):
-        _live, schema, _colmap, _key = _snapshot_state(self._path())
+        cdf = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        _live, schema, _colmap, _key = _snapshot_state(
+            self._path(), None if cdf else self._pinned_version()
+        )
         st = StructType.fromJson(schema)
-        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+        if cdf:
             from pyspark.sql.types import LongType, StringType, TimestampType
 
             st = (
@@ -685,6 +780,23 @@ class VersionedDataSource(DataSource):
                 .add(_CDF_COLS[2], TimestampType())
             )
         return st
+
+    def _pinned_version(self) -> int | None:
+        """versionAsOf / timestampAsOf (Delta's batch time-travel
+        options) resolved to a version pin, or None for the head."""
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("set versionAsOf OR timestampAsOf, not both")
+        if v is not None:
+            return int(v)
+        if ts is not None:
+            from database_anonymiser_spark.sources.versioned import (
+                VersionedTable,
+            )
+
+            return VersionedTable(None, self._path()).version_at(ts)
+        return None
 
     def _path(self) -> str:
         path = self.options.get("path")
@@ -701,14 +813,11 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema):
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
-            raise ValueError(
-                "readChangeFeed is a STREAMING option here — use "
-                "spark.readStream, or VersionedTable.changes() for a "
-                "batch change feed"
-            )
+            return _CdfBatchReader(self._path(), dict(self.options))
+        version = self._pinned_version()
         if str(self.options.get("pushdown", "false")).lower() == "true":
-            return _PushdownSnapshotReader(self._path())
-        return _SnapshotReader(self._path())
+            return _PushdownSnapshotReader(self._path(), version)
+        return _SnapshotReader(self._path(), version)
 
     def streamReader(self, schema):
         return _ChangesStreamReader(self._path(), dict(self.options))

@@ -1698,6 +1698,8 @@ class VersionedTable:
         when_matched: str = "update",
         insert_not_matched: bool = True,
         skip_by: str = "range",
+        op_col: str | None = None,
+        meta: dict | None = None,
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
 
@@ -1728,11 +1730,26 @@ class VersionedTable:
           almost none. The collect is the bounded-driver-collect contract
           (micro-batch-sized by the caller's choice of this mode); the
           streaming sinks pass it.
+
+        ``op_col`` (round 9) turns the merge MULTI-CLAUSE (Delta's
+        ``whenMatchedUpdate + whenMatchedDelete + whenNotMatchedInsert``
+        in one statement — the CDC-apply shape): ``source`` carries the
+        table's columns plus ``op_col`` ∈ 'upsert' | 'delete'; matched
+        upserts replace, matched deletes drop, unmatched upserts insert,
+        unmatched deletes no-op — ONE atomic commit, same single
+        full-outer join, same file skipping (both ops' keys participate:
+        a delete key intersecting a file forces its rewrite).
+        ``when_matched``/``insert_not_matched`` are ignored under
+        ``op_col`` (the op column IS the clause selector). Prefer the
+        :meth:`apply_changes` face. ``meta`` rides into the commit
+        record (streaming sinks' epoch witness).
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
         if skip_by not in ("range", "points"):
             raise ValueError("skip_by must be 'range' or 'points'")
+        if op_col is not None and op_col not in source.columns:
+            raise ValueError(f"op_col {op_col!r} not in source columns")
         key_col = self.key_col()
         if key_col is None:
             raise ValueError("table has no key_col; cannot merge")
@@ -1744,17 +1761,30 @@ class VersionedTable:
         # map-side output to one row per task). NULL-key accounting
         # mirrors the old groupBy semantics: one NULL key is tolerated,
         # two are duplicates.
-        stats = source.agg(
+        aggs = [
             F.count(F.lit(1)).alias("n_all"),
             F.count(key_col).alias("n_keys"),
             F.countDistinct(key_col).alias("n_distinct"),
             F.min(key_col).alias("lo"),
             F.max(key_col).alias("hi"),
-        ).first()
+        ]
+        if op_col is not None:
+            aggs.append(
+                F.sum(
+                    F.when(~F.col(op_col).isin("upsert", "delete"), 1).otherwise(0)
+                ).alias("n_bad_op")
+            )
+        stats = source.agg(*aggs).first()
         n_null = stats["n_all"] - stats["n_keys"]
         if stats["n_keys"] != stats["n_distinct"] or n_null > 1:
             raise ValueError("duplicate merge keys in source")
-        if when_matched == "update":
+        if op_col is not None and (stats["n_bad_op"] or 0) > 0:
+            raise ValueError(f"{op_col} values must be 'upsert' or 'delete'")
+        if op_col is not None:
+            self._check_constraints(
+                source.where(F.col(op_col) == "upsert").drop(op_col)
+            )
+        elif when_matched == "update":
             self._check_constraints(source)
 
         lo, hi = stats["lo"], stats["hi"]
@@ -1833,12 +1863,16 @@ class VersionedTable:
             # a pure delete-merge needs only the source KEYS (documented:
             # key-only sources are valid there); insert/update paths need
             # the full row image
-            need_src_img = insert_not_matched or when_matched == "update"
-            s = (
-                source.select(*(cols if need_src_img else [key_col]))
-                .withColumn(ms, F.lit(1))
-                .alias("s")
+            need_src_img = (
+                op_col is not None
+                or insert_not_matched
+                or when_matched == "update"
             )
+            s_cols = (
+                [*cols, op_col] if op_col is not None
+                else (cols if need_src_img else [key_col])
+            )
+            s = source.select(*s_cols).withColumn(ms, F.lit(1)).alias("s")
             j = t.join(
                 s, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "full_outer"
             )
@@ -1850,13 +1884,21 @@ class VersionedTable:
             )
             unmatched_t = F.col(ms).isNull()
             unmatched_s = F.col(mt).isNull()
-            out_img = F.when(unmatched_t, t_img)
-            if insert_not_matched:
-                out_img = out_img.when(unmatched_s, s_img)
-            if when_matched == "update":
-                out_img = out_img.when(~unmatched_t & ~unmatched_s, s_img)
+            if op_col is not None:
+                # multi-clause: the op column selects the clause per row —
+                # matched/unmatched upserts take the source image,
+                # deletes (matched: drop; unmatched: no-op) fall through
+                # to NULL and are filtered
+                is_up = F.col(f"s.{op_col}") == "upsert"
+                out_img = F.when(unmatched_t, t_img).when(is_up, s_img)
+            else:
+                out_img = F.when(unmatched_t, t_img)
+                if insert_not_matched:
+                    out_img = out_img.when(unmatched_s, s_img)
+                if when_matched == "update":
+                    out_img = out_img.when(~unmatched_t & ~unmatched_s, s_img)
             # delete: matched rows fall through to NULL and are dropped
-            if when_matched == "delete" and insert_not_matched:
+            if op_col is None and when_matched == "delete" and insert_not_matched:
                 # a delete-merge still INSERTS unmatched source rows —
                 # they must pass CHECK constraints like every other write
                 # path (round-6 advice; Delta validates on every write).
@@ -1875,9 +1917,14 @@ class VersionedTable:
                 rewritten, self.root, key_col, stats_cols=self._stats_cols,
                 colmap=self._colmap,
             )
-        elif insert_not_matched:
-            inserts = source.select(*self._empty_frame(v).columns)
-            if when_matched == "delete":
+        elif op_col is not None or insert_not_matched:
+            src = (
+                source.where(F.col(op_col) == "upsert")
+                if op_col is not None
+                else source
+            )
+            inserts = src.select(*self._empty_frame(v).columns)
+            if op_col is None and when_matched == "delete":
                 self._check_constraints(inserts)
             new_files += _write_data_files(
                 inserts, self.root, key_col, stats_cols=self._stats_cols,
@@ -1890,9 +1937,29 @@ class VersionedTable:
             new_files,
             [e["path"] for e in touched],
             key_col,
-            op=f"merge_{when_matched}",
+            op="apply_changes" if op_col is not None else f"merge_{when_matched}",
+            meta=meta,
         )
         return v + 1
+
+    def apply_changes(
+        self,
+        source: DataFrame,
+        op_col: str = "_op",
+        skip_by: str = "range",
+        meta: dict | None = None,
+    ) -> int:
+        """Delta Live Tables' ``APPLY CHANGES INTO`` — the CDC-apply
+        primitive: ``source`` carries the table's columns plus ``op_col``
+        ∈ 'upsert' | 'delete' (at most one event per key — collapse the
+        feed upstream); upserts replace-or-insert, deletes drop-if-
+        present, all in ONE atomic commit through the single-join
+        multi-clause :meth:`merge`. This is what a replication sink
+        applies per micro-batch of another table's change feed
+        (``streaming.pipeline.run_stream_replicate``): replaying the
+        same collapsed batch is idempotent — upserts re-assert the same
+        images, deletes of absent keys no-op."""
+        return self.merge(source, skip_by=skip_by, op_col=op_col, meta=meta)
 
     def update_where(
         self,

@@ -574,6 +574,110 @@ def run_stream_fanout_txn(
     return run_foreach_batch(df, sink, checkpoint)
 
 
+def run_stream_replicate(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Cross-table CDC REPLICATION: tail ``src_root``'s change feed
+    through ``format("versioned")`` with ``readChangeFeed=true`` and
+    APPLY CHANGES into ``dst_root`` — Delta's CDF→replica composition,
+    the pattern a warehouse uses to mirror a table across storage
+    domains without ever copying unchanged rows.
+
+    Per micro-batch: drop ``update_preimage`` events, collapse to the
+    LAST event per key (by ``_commit_version`` — a key can appear at
+    most once per commit, so the order is total), map delete→'delete' /
+    insert|update_postimage→'upsert', and
+    :meth:`~sources.versioned.VersionedTable.apply_changes` the
+    collapsed delta in ONE atomic commit (``skip_by='points'``: the
+    replica rewrites only files holding the batch's keys). Batch 0
+    bootstraps the replica with the source's key column.
+
+    Exactly-once twice over: a replayed batch is (a) SKIPPED by the
+    epoch witness riding in the replica's commit metadata (the
+    ``_VersionedStreamWriter`` scan), and (b) idempotent even without
+    it — upserts re-assert the same images, deletes of absent keys
+    no-op. The replica's state after any drain equals the source
+    snapshot at the drained offset.
+
+    100 TB shape: the feed reads only changed files (append commits
+    file-parallel, change commits one bounded diff partition each);
+    the apply rewrites only key-intersecting replica files. A trickle
+    of source changes costs the trickle, never a table copy.
+    """
+    import json
+    from pathlib import Path
+
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+        _CDF_COLS,
+    )
+    from database_anonymiser_spark.sources.versioned import (
+        VersionedTable,
+        _list_versions,
+        _log_path,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src_key = VersionedTable(spark, src_root).key_col()
+
+    reader = (
+        spark.readStream.format("versioned")
+        .option("path", src_root)
+        .option("readChangeFeed", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        s = spark or batch_df.sparkSession
+        data_cols = [c for c in batch_df.columns if c not in _CDF_COLS]
+        dst = VersionedTable(s, dst_root)
+        if not dst.versions():
+            VersionedTable.create(
+                s, dst_root, batch_df.select(*data_cols).limit(0),
+                key_col=src_key,
+            )
+            dst = VersionedTable(s, dst_root)
+        else:
+            # epoch witness: a crash-replayed batch that already applied
+            # is skipped (scan newest→oldest, bounded — single-writer
+            # replica, so the newest apply_changes commit carries the
+            # last applied epoch)
+            root = Path(dst_root)
+            for v in _list_versions(root)[::-1][:64]:
+                rec = json.loads(_log_path(root, v).read_text())
+                epoch = (rec.get("meta") or {}).get("stream_epoch")
+                if epoch is None:
+                    continue
+                if epoch == batch_id:
+                    return
+                break
+        ev = batch_df.where(F.col("_change_type") != "update_preimage")
+        w = Window.partitionBy(src_key).orderBy(F.col("_commit_version").desc())
+        delta = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .withColumn(
+                "_op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete"))
+                .otherwise(F.lit("upsert")),
+            )
+            .select(*data_cols, "_op")
+        )
+        dst.apply_changes(
+            delta, op_col="_op", skip_by="points",
+            meta={"stream_epoch": batch_id},
+        )
+
+    return run_foreach_batch(reader.load(), sink, checkpoint)
+
+
 def run_stream_to_scd2(
     df: DataFrame,
     dim_root: str,

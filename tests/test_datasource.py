@@ -570,11 +570,25 @@ def test_stream_read_change_feed_full_lifecycle(registered, tmp_path):
     for v in row_changing:  # nothing re-delivered
         assert seen2[v] == seen[v]
 
-    # batch face refuses the streaming-only option with a clear error
-    with pytest.raises(Exception, match="STREAMING|readStream"):
+    # batch face: the SAME feed through spark.read (Delta's batch CDF) —
+    # full range equals the streamed events, a bounded range slices it
+    batch_all = (
+        spark.read.format("versioned").option("path", str(root))
+        .option("readChangeFeed", "true").load()
+    )
+    assert _by_commit(batch_all) == seen2
+    sliced = (
+        spark.read.format("versioned").option("path", str(root))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(merge_v))
+        .option("endingVersion", str(dv_v)).load()
+    )
+    assert sorted(_by_commit(sliced)) == [merge_v, dv_v]
+    assert _by_commit(sliced)[dv_v] == {("delete", 2, "n2", 2.0)}
+    with pytest.raises(Exception, match="beyond the head"):
         spark.read.format("versioned").option("path", str(root)).option(
             "readChangeFeed", "true"
-        ).load().count()
+        ).option("endingVersion", "999").load().count()
 
 
 def test_stream_schema_evolution_contract(registered, tmp_path):
@@ -632,3 +646,107 @@ def test_stream_schema_evolution_contract(registered, tmp_path):
     )
     with pytest.raises(RuntimeError, match="RESTART the streaming query"):
         rdr2.partitions(start2, rdr2.latestOffset())
+
+
+def test_stream_replicate_mirrors_source(registered, tmp_path):
+    """run_stream_replicate: the CDF→replica composition. After every
+    drain the replica's snapshot equals the source's snapshot at the
+    drained offset — across merges, DV deletes, rewrites, compactions
+    (delivered as nothing), and appends; a wiped checkpoint re-applies
+    the whole collapsed history idempotently to the same state; each
+    drain lands as ONE apply_changes commit on the replica."""
+    from database_anonymiser_spark.streaming.pipeline import run_stream_replicate
+
+    spark = registered
+    src_root, dst_root = tmp_path / "src", tmp_path / "dst"
+    ck = tmp_path / "ck"
+    t = VersionedTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(30)],
+            "k long, name string, v double",
+        ),
+        key_col="k",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(7, "UPD", 0.7), (100, "new", 10.0)], "k long, name string, v double"
+        ),
+        when_matched="update",
+    )
+    t.delete_where("k % 9 = 4", dv=True)
+    t.update_where({"name": "upper(name)"}, "k = 2")
+    t.compact(target_file_bytes=1 << 20)
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+    dst = VersionedTable(spark, dst_root)
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+    # bootstrap + one collapsed batch: create + 1 apply_changes commit
+    assert dst.latest_version() == 1
+    assert dst.commit_op(1) == "apply_changes"
+
+    # incremental: more churn, second drain converges with ONE commit
+    t.append(
+        spark.createDataFrame([(200, "tail", 20.0)], "k long, name string, v double")
+    )
+    t.delete_where("k = 7")
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+    assert dst.latest_version() == 2
+
+    # wiped checkpoint: the full history re-applies idempotently
+    import shutil
+
+    shutil.rmtree(ck)
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+
+    # replayed-epoch witness: re-draining with the SAME checkpoint and no
+    # new source commits leaves the replica's version untouched
+    v = dst.latest_version()
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+    assert dst.latest_version() == v
+
+
+def test_batch_time_travel_options(registered, tmp_path):
+    """versionAsOf / timestampAsOf on the batch face — Delta's time-travel
+    read options: the snapshot (rows AND schema) is pinned to the
+    resolved version; both set at once is an error; timestampAsOf
+    resolves through the same clamp-correct version_at as the native
+    TIMESTAMP AS OF."""
+    spark = registered
+    root = tmp_path / "tt"
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        key_col="k",
+    )
+    t.delete_where("k = 2")
+    ts_v1 = json.loads((root / "_log" / "00000001.json").read_text())["ts"]
+    t.append(
+        spark.createDataFrame([(3, "c", 1.5)], "k long, s string, extra double"),
+        merge_schema=True,
+    )
+
+    def _read(**opts):
+        r = spark.read.format("versioned").option("path", str(root))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert {r["k"] for r in _read(versionAsOf="0").collect()} == {1, 2}
+    v1 = _read(versionAsOf="1")
+    assert [f.name for f in v1.schema.fields] == ["k", "s"]  # pre-evolution
+    assert {r["k"] for r in v1.collect()} == {1}
+    head = _read()
+    assert head.count() == 2 and "extra" in head.columns
+    assert {r["k"] for r in _read(timestampAsOf=str(ts_v1)).collect()} == {1}
+    with pytest.raises(Exception, match="not both"):
+        _read(versionAsOf="1", timestampAsOf=str(ts_v1)).count()
+    with pytest.raises(Exception, match="does not exist"):
+        _read(versionAsOf="9").count()

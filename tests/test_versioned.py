@@ -3232,3 +3232,63 @@ def test_deletion_vectors_ivm_and_vacuum(spark, tmp_path):
     assert any(p.startswith("_dv/") for p in dead)
     assert not list((tmp_path / "b" / "_dv").glob("*.dv"))
     assert t.snapshot().count() == 296
+
+
+def test_apply_changes_multi_clause_single_commit(spark, table):
+    """apply_changes (Delta's APPLY CHANGES INTO / multi-clause MERGE):
+    matched upserts replace, matched deletes drop, unmatched upserts
+    insert, unmatched deletes no-op — all in ONE commit; replaying the
+    same batch is idempotent; op values and duplicate keys validated."""
+    v0 = table.latest_version()
+    changes = spark.createDataFrame(
+        [
+            (3, "three", 3.3, "upsert"),     # matched upsert
+            (5, None, 0.0, "delete"),        # matched delete
+            (100, "hundred", 1.0, "upsert"), # unmatched upsert
+            (999, None, 0.0, "delete"),      # unmatched delete: no-op
+        ],
+        "k long, name string, v double, _op string",
+    )
+    v1 = table.apply_changes(changes, meta={"stream_epoch": 7})
+    assert v1 == v0 + 1  # one atomic commit for all four clauses
+    assert table.commit_op(v1) == "apply_changes"
+    snap = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert snap[3] == ("three", 3.3)
+    assert 5 not in snap
+    assert snap[100] == ("hundred", 1.0)
+    assert 999 not in snap
+    assert len(snap) == 20  # 20 - 1 delete + 1 insert
+
+    # replay of the identical batch: same final state (idempotent)
+    table.apply_changes(changes)
+    snap2 = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert snap2 == snap
+
+    # the change feed of the apply commit is the four-clause outcome
+    d = {
+        (r["_change_type"], r["k"])
+        for r in table.diff(v0, v1, images="both").collect()
+    }
+    assert d == {
+        ("update_preimage", 3), ("update_postimage", 3),
+        ("delete", 5), ("insert", 100),
+    }
+
+    with pytest.raises(ValueError, match="upsert' or 'delete"):
+        table.apply_changes(
+            spark.createDataFrame(
+                [(1, "x", 1.0, "nope")], "k long, name string, v double, _op string"
+            )
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        table.apply_changes(
+            spark.createDataFrame(
+                [(1, "x", 1.0, "upsert"), (1, None, 0.0, "delete")],
+                "k long, name string, v double, _op string",
+            )
+        )
+    with pytest.raises(ValueError, match="op_col"):
+        table.merge(
+            spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double"),
+            op_col="_op",
+        )
