@@ -54,6 +54,36 @@ _INS_SHIFT = 10_000_000
              c_mktsegment
       FROM m
     ),
+    snap4 AS (
+      SELECT * FROM state3 WHERE NOT (c_custkey % 13 = 0)
+    ),
+    -- v5 APPLY CHANGES clauses: upserts = snap4 keys %11=0 (not %17=0),
+    -- inserts = fresh 2x-shifted clones of every 41st customer,
+    -- deletes = ORIGINAL keys %17=0 (absent ones no-op)
+    upd5 AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 7.0 AS c_acctbal, 'CDC' AS c_mktsegment
+      FROM snap4
+      WHERE c_custkey % 11 = 0 AND c_custkey % 17 <> 0
+    ),
+    new5 AS (
+      SELECT c_custkey + {2 * _INS_SHIFT} AS c_custkey, c_name, c_nationkey,
+             c_acctbal, 'CDCNEW' AS c_mktsegment
+      FROM customer WHERE c_custkey % 41 = 0
+    ),
+    del5 AS (
+      SELECT * FROM snap4
+      WHERE c_custkey < {_INS_SHIFT} AND c_custkey % 17 = 0
+    ),
+    state5 AS (
+      SELECT * FROM snap4
+      WHERE NOT (c_custkey % 11 = 0 AND c_custkey % 17 <> 0)
+        AND NOT (c_custkey < {_INS_SHIFT} AND c_custkey % 17 = 0)
+      UNION ALL
+      SELECT * FROM upd5
+      UNION ALL
+      SELECT * FROM new5
+    ),
     cdf AS (
       -- v0: CREATE commits every customer row as an insert
       SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -86,13 +116,23 @@ _INS_SHIFT = 10_000_000
       -- v4 DELETE WHERE: every 13th key leaves with its v3 (OLD) image
       SELECT 'delete', 4, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM state3 WHERE c_custkey % 13 = 0
+      UNION ALL
+      -- v5 APPLY CHANGES: matched upserts (pre + post), inserts, deletes
+      SELECT 'update_preimage', 5, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM snap4 WHERE c_custkey % 11 = 0 AND c_custkey % 17 <> 0
+      UNION ALL
+      SELECT 'update_postimage', 5, * FROM upd5
+      UNION ALL
+      SELECT 'insert', 5, * FROM new5
+      UNION ALL
+      SELECT 'delete', 5, * FROM del5
     )
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM state3
-    WHERE NOT (c_custkey % 13 = 0)
+    FROM state5
     UNION ALL
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -140,7 +180,13 @@ def merge_upsert(spark, sf_dir):
     commits (the Z-ORDER) contributing nothing. The oracle reconstructs
     the full feed in SQL from the deterministic mutation recipe, so CDF
     semantics — previously pytest-only — are value-hash checked
-    cross-engine alongside the snapshot they must reconcile with."""
+    cross-engine alongside the snapshot they must reconcile with.
+
+    Round 9 also appends v5 = APPLY CHANGES INTO (the multi-clause CDC
+    merge): matched upserts, fresh inserts, and deletes — including
+    no-op deletes of keys already gone — land in ONE commit, and both
+    the post-apply snapshot AND the v5 feed events are under the same
+    oracle."""
     from database_anonymiser_spark.sources.versioned import (
         ROW_PRESERVING_OPS,
         VersionedTable,
@@ -169,6 +215,29 @@ def merge_upsert(spark, sf_dir):
         prune={"c_custkey": (_INS_SHIFT, 2 * _INS_SHIFT)},
     )
     t.delete_where(F.col("c_custkey") % 13 == 0)
+
+    # v5 (round 9): APPLY CHANGES INTO — the multi-clause CDC merge in
+    # ONE commit. Upserts derive from the PINNED v4 snapshot (pure
+    # function of the lineage), inserts are fresh 2×-shifted clones,
+    # deletes target original keys %17=0 (those already gone at v4
+    # exercise the unmatched-delete no-op clause).
+    snap4 = t.snapshot(t.latest_version())
+    k = F.col("c_custkey")
+    ups = (
+        snap4.where((k % 11 == 0) & (k % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 7.0)
+        .withColumn("c_mktsegment", F.lit("CDC"))
+    )
+    new5 = (
+        cust.where(k % 41 == 0)
+        .withColumn("c_custkey", k + 2 * _INS_SHIFT)
+        .withColumn("c_mktsegment", F.lit("CDCNEW"))
+    )
+    dels = cust.where(k % 17 == 0)
+    t.apply_changes(
+        ups.unionByName(new5).withColumn("_op", F.lit("upsert"))
+        .unionByName(dels.withColumn("_op", F.lit("delete")))
+    )
 
     cols = cust.columns
     feed = t.snapshot(0).select(
