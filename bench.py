@@ -314,7 +314,8 @@ def main():
         f"# datasource_read: native {datasource_meta['native_read_sec']:.2f}s "
         f"vs arrow-source {datasource_meta['datasource_read_sec']:.2f}s "
         f"({_ds_rows} rows); cdf drain {datasource_meta['cdf_drain_sec']:.2f}s "
-        f"({datasource_meta['cdf_events']} events)",
+        f"({datasource_meta['cdf_events']} events); replicate "
+        f"{datasource_meta['replicate_sec']:.2f}s",
         file=sys.stderr,
     )
 

@@ -250,6 +250,24 @@ def datasource_read(spark, sf_dir: str, meta: dict) -> int:
         q.awaitTermination(300)
         meta["cdf_drain_sec"] = round(_time.perf_counter() - t0, 3)
         meta["cdf_events"] = spark.read.parquet(out).count()
+
+        # end-to-end CDC replication: CDF stream → collapsed delta →
+        # apply_changes replica; the replica must mirror the snapshot
+        from database_anonymiser_spark.streaming.pipeline import (
+            run_stream_replicate,
+        )
+
+        t0 = _time.perf_counter()
+        run_stream_replicate(
+            spark, root, os.path.join(base, "replica"),
+            os.path.join(base, "rck"),
+        )
+        meta["replicate_sec"] = round(_time.perf_counter() - t0, 3)
+        n_rep = (
+            VersionedTable(spark, os.path.join(base, "replica"))
+            .snapshot().count()
+        )
+        assert n_rep == r_native["n"], (n_rep, r_native["n"])
         return int(r_native["n"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
