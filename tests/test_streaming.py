@@ -1375,3 +1375,99 @@ def test_neardedup_forget_document(spark, tmp_path):
     assert P.neardedup_forget(spark, out_root, store_root, []) == {
         "out_deleted": 0, "store_files_touched": 0, "store_rows_marked": 0,
     }
+
+
+def test_medallion_bronze_silver_gold(spark, tmp_path):
+    """The full warehouse composition on the engine's own primitives:
+    BRONZE = streaming ingest (file stream → merge sink), SILVER = CDC
+    replication of bronze through the format("versioned") change feed,
+    GOLD = incremental aggregate view maintained off silver. After every
+    trickle: silver ≡ bronze, gold ≡ from-scratch aggregate of silver;
+    a no-input re-drain moves no tier."""
+    import shutil
+
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_replicate,
+        run_stream_to_versioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    bronze_root = str(tmp_path / "bronze")
+    silver_root = str(tmp_path / "silver")
+    gold_root = str(tmp_path / "gold")
+    ck_b, ck_s = str(tmp_path / "ckb"), str(tmp_path / "cks")
+    schema = "k long, grp string, amt double"
+
+    def feed(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / tag), mode="overwrite"
+        )
+        for p in (src / tag).glob("*.parquet"):
+            shutil.move(str(p), str(src / f"{tag}_{p.name}"))
+        shutil.rmtree(src / tag)
+
+    def drain_all():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(stream, bronze_root, key_col="k", checkpoint=ck_b)
+        run_stream_replicate(spark, bronze_root, silver_root, ck_s)
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    feed([(i, f"g{i % 3}", float(i)) for i in range(30)], "b0")
+    drain_all()
+    bronze = VersionedTable(spark, bronze_root)
+    silver = VersionedTable(spark, silver_root)
+    assert _rows(silver.snapshot()) == _rows(bronze.snapshot())
+
+    gold = IncrementalAggView.create(
+        spark, gold_root, silver, group_col="grp", sum_col="amt", minmax=True
+    )
+
+    def gold_expected():
+        return _rows(
+            silver.snapshot().groupBy("grp").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("amt").alias("sum_value"),
+                F.min("amt").alias("min_value"),
+                F.max("amt").alias("max_value"),
+            )
+        )
+
+    def gold_actual():
+        return _rows(
+            gold.snapshot().select(
+                "grp", "n_rows", "sum_value", "min_value", "max_value"
+            )
+        )
+
+    assert gold_actual() == gold_expected()
+
+    # trickle 2: updates (k<5 re-keyed amounts) + new keys + a new group
+    feed(
+        [(k, f"g{k % 3}", 100.0 + k) for k in range(5)]
+        + [(100 + i, "g9", 7.0) for i in range(4)],
+        "b1",
+    )
+    drain_all()
+    gold.refresh(silver)
+    assert _rows(silver.snapshot()) == _rows(bronze.snapshot())
+    assert gold_actual() == gold_expected()
+    assert silver.snapshot().where("grp = 'g9'").count() == 4
+
+    # no-input re-drain: every tier's version is untouched
+    vb, vs, vg = (
+        bronze.latest_version(),
+        silver.latest_version(),
+        gold.table.latest_version(),
+    )
+    drain_all()
+    gold.refresh(silver)
+    assert (
+        bronze.latest_version(),
+        silver.latest_version(),
+        gold.table.latest_version(),
+    ) == (vb, vs, vg)
