@@ -139,6 +139,16 @@ def main():
         tx_meta["rows"] = txn_fanout(spark, sf_dir, tx_meta)
         tx_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
         row["txn_fanout_meta"] = tx_meta
+        # DataSource read faces + CDC replication (round 9): native vs
+        # Arrow-source snapshot aggregate, one CDF drain, one replica.
+        # The scale claims: the Arrow-source stays same-ORDER as native,
+        # the CDF drain scales with delivered events (file-parallel),
+        # the replica's apply rewrites only key-intersecting files.
+        from tools.storage_probe import datasource_read
+
+        ds_meta: dict = {}
+        ds_meta["rows"] = datasource_read(spark, sf_dir, ds_meta)
+        row["datasource_meta"] = ds_meta
         # ANN recall at production defaults (round-8 verdict #5): only
         # where the scale dir carries an embeddings table
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
