@@ -532,7 +532,13 @@ def _plan_change_partitions(
             path = add["path"]
             if not os.path.isabs(path):
                 path = str(p / path)
-            fp = _FilePartition(path, phys, names)
+            # belt-and-braces: honor a DV ref on an added file (today
+            # adds-with-dv always travel with removes → the diff branch,
+            # but the planner must not silently resurrect masked rows)
+            dv = add.get("dv")
+            if dv and not os.path.isabs(dv):
+                dv = str(p / dv)
+            fp = _FilePartition(path, phys, names, dv_path=dv)
             out.append(
                 _CdfInsertPartition(fp, v, rec.get("ts")) if cdf else fp
             )

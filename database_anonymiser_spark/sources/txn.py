@@ -91,15 +91,30 @@ class TransactionAborted(RuntimeError):
     must eventually roll forward, never silently half-apply."""
 
 
-def _part_committed(root: Path, txn_id: str, part: int) -> int | None:
+def _part_committed(
+    root: Path, txn_id: str, part: int, family: str | None = None
+) -> int | None:
     """The version that already carries this part's idempotency witness
     (``meta.txn == id and meta.txn_part == part``) within the last
-    ``TXN_SCAN_CAP`` commits, else None."""
+    ``TXN_SCAN_CAP`` commits, else None.
+
+    ``family`` bounds the scan for SINGLE-WRITER transaction streams
+    (the fan-out sink's per-epoch ids): family epochs commit to a table
+    in order, so the first witness met walking newest→oldest that
+    belongs to the same family but a DIFFERENT txn proves this txn never
+    committed here — break instead of walking to the cap. Turns the
+    fresh-epoch scan from O(min(history, cap)) into O(commits since the
+    previous epoch); witnesses of other writers/families never break."""
+    import database_anonymiser_spark.sources.versioned as _V
+
     for v in _list_versions(root)[::-1][:TXN_SCAN_CAP]:
+        _V.COMMIT_READS += 1  # the scan IS a metadata read: count it
         rec = json.loads(_log_path(root, v).read_text())
         m = rec.get("meta") or {}
         if m.get("txn") == txn_id and m.get("txn_part") == part:
             return v
+        if family is not None and m.get("txn_family") == family:
+            return None  # newest family epoch here differs: ours is absent
     return None
 
 
@@ -108,10 +123,11 @@ def _finalize(manifest_path: Path) -> dict[str, int]:
     not-yet-committed part, manifest deleted last. Re-entrant (witness
     scan first) — safe to call again after any crash."""
     man = json.loads(manifest_path.read_text())
+    fam = man.get("family")
     results: dict[str, int] = {}
     for i, part in enumerate(man["parts"]):
         root = Path(part["root"])
-        done = _part_committed(root, man["id"], i)
+        done = _part_committed(root, man["id"], i, family=fam)
         if done is not None:
             results[part["root"]] = done
             continue
@@ -131,7 +147,10 @@ def _finalize(manifest_path: Path) -> dict[str, int]:
             try:
                 _commit(
                     root, v, entries, [], part["key_col"], op="txn_append",
-                    meta={"txn": man["id"], "txn_part": i},
+                    meta={
+                        "txn": man["id"], "txn_part": i,
+                        **({"txn_family": fam} if fam else {}),
+                    },
                 )
                 results[part["root"]] = v
                 break
@@ -170,7 +189,12 @@ class MultiTableTransaction:
     lives next to one participant's log.
     """
 
-    def __init__(self, coordinator: str | Path, txn_id: str | None = None):
+    def __init__(
+        self,
+        coordinator: str | Path,
+        txn_id: str | None = None,
+        family: str | None = None,
+    ):
         self.coordinator = Path(coordinator)
         if txn_id is not None and not all(
             c.isalnum() or c in "._-" for c in txn_id
@@ -180,6 +204,11 @@ class MultiTableTransaction:
         #: what a streaming sink keys by epoch so a replayed batch finds
         #: its predecessor's witness instead of double-appending
         self.id = txn_id or uuid.uuid4().hex
+        #: optional SINGLE-WRITER stream tag (the fan-out sink's
+        #: sink_name): rides in the manifest and every part's witness
+        #: meta so witness scans can break at the newest family epoch
+        #: (see _part_committed) instead of walking to the cap
+        self.family = family
         self.parts: list[dict] = []
         self._done = False
 
@@ -228,7 +257,10 @@ class MultiTableTransaction:
         d = self.coordinator / _TXN_DIR
         d.mkdir(parents=True, exist_ok=True)
         tmp = d / f".{self.id}.tmp"
-        tmp.write_text(json.dumps({"id": self.id, "parts": self.parts}))
+        tmp.write_text(json.dumps({
+            "id": self.id, "parts": self.parts,
+            **({"family": self.family} if self.family else {}),
+        }))
         manifest = d / f"{self.id}.json"
         tmp.rename(manifest)  # <- the transaction commits HERE
         return _finalize(manifest)

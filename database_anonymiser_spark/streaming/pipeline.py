@@ -562,11 +562,11 @@ def run_stream_fanout_txn(
                 VersionedTable.create(s, root, out.limit(0), key_col=key_col)
             frames.append((t, out))
         if all(
-            _part_committed(t.root, txn_id, i) is not None
+            _part_committed(t.root, txn_id, i, family=sink_name) is not None
             for i, (t, _) in enumerate(frames)
         ):
             return  # replayed epoch: every part already rolled forward
-        txn = MultiTableTransaction(coordinator, txn_id=txn_id)
+        txn = MultiTableTransaction(coordinator, txn_id=txn_id, family=sink_name)
         for t, out in frames:
             txn.stage_append(t, out)
         txn.commit()

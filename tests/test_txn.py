@@ -291,3 +291,53 @@ def test_txn_validation_failures_stage_nothing(spark, tmp_path):
     assert txn.parts == []
     with pytest.raises(ValueError, match="nothing staged"):
         txn.commit()
+
+def test_family_bounds_witness_scan_flat_per_epoch(spark, tmp_path):
+    """Single-writer transaction streams tag their txns with a FAMILY:
+    the witness scan breaks at the newest same-family witness of a
+    different epoch, so a fresh epoch's scan cost stays O(commits per
+    epoch) — FLAT as the table's history grows — instead of walking to
+    TXN_SCAN_CAP. Replay dedup still finds its own witness; a family
+    must never break on OTHER writers' commits interleaved between
+    epochs."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    mk = lambda lo: spark.createDataFrame(
+        [(i, "x") for i in range(lo, lo + 3)], "k long, v string"
+    ).coalesce(1)
+    a = _mk(spark, tmp_path / "a", n=2)
+    b = _mk(spark, tmp_path / "b", n=2, prefix="b")
+
+    for epoch in range(6):
+        txn = MultiTableTransaction(
+            tmp_path / "a", txn_id=f"fam-{epoch:04d}", family="fam"
+        )
+        txn.stage_append(a, mk(100 + 10 * epoch))
+        txn.stage_append(b, mk(100 + 10 * epoch))
+        txn.commit()
+        # an unrelated interleaved writer must not break the family scan
+        a.append(mk(500 + 10 * epoch))
+
+    from database_anonymiser_spark.sources.txn import _part_committed
+
+    # replay dedup: the last epoch's witnesses are found on both tables
+    assert _part_committed(a.root, "fam-0005", 0, family="fam") is not None
+    assert _part_committed(b.root, "fam-0005", 1, family="fam") is not None
+
+    # the FLATNESS claim, measured on the scan itself: a fresh
+    # (never-committed) epoch is proven absent after O(commits since the
+    # previous epoch) reads — the interleaved append (meta-less) is
+    # walked over, the previous family witness breaks; without family
+    # the same probe walks all the way to history start / the cap
+    c0 = V.COMMIT_READS
+    assert _part_committed(a.root, "fam-0099", 0, family="fam") is None
+    fam_reads = V.COMMIT_READS - c0
+    c0 = V.COMMIT_READS
+    assert _part_committed(a.root, "fam-0099", 0) is None
+    capped_reads = V.COMMIT_READS - c0
+    assert fam_reads <= 3, fam_reads  # interleaved append + prior witness
+    assert capped_reads == len(a.versions()), capped_reads  # full walk
+    assert fam_reads < capped_reads
+
+    assert a.snapshot().count() == 2 + 6 * 3 + 6 * 3  # txns + interleaves
+    assert b.snapshot().count() == 2 + 6 * 3

@@ -166,7 +166,9 @@ def txn_fanout(spark, sf_dir: str, meta: dict) -> int:
             batch = docs.where(F.col("doc_id") % 3 == bno)
             c0 = V.COMMIT_READS
             t0 = _time.perf_counter()
-            txn = MultiTableTransaction(root_a, txn_id=f"bench-{bno:04d}")
+            txn = MultiTableTransaction(
+                root_a, txn_id=f"bench-{bno:04d}", family="bench"
+            )
             txn.stage_append(ta, batch)
             txn.stage_append(tb, sigs(batch))
             txn.commit()
