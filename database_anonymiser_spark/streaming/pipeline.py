@@ -580,6 +580,8 @@ def run_stream_replicate(
     dst_root: str,
     checkpoint: str,
     max_files_per_trigger: int | None = None,
+    where: "F.Column | str | None" = None,
+    select: tuple[str, ...] | None = None,
 ):
     """Cross-table CDC REPLICATION: tail ``src_root``'s change feed
     through ``format("versioned")`` with ``readChangeFeed=true`` and
@@ -607,6 +609,17 @@ def run_stream_replicate(
     file-parallel, change commits one bounded diff partition each);
     the apply rewrites only key-intersecting replica files. A trickle
     of source changes costs the trickle, never a table copy.
+
+    ``where`` / ``select`` (round 9) turn the replica into a maintained
+    SELECTION/PROJECTION VIEW — a row-level-incremental materialized
+    ``SELECT select FROM src WHERE where``: a row whose post-image
+    FAILS the predicate becomes a DELETE downstream (it may have
+    satisfied it before — deletes of absent keys no-op, so no pre-image
+    bookkeeping is needed), one that satisfies it upserts its projected
+    image. Row-local semantics only (the predicate/projection see one
+    row at a time); ``select`` must keep the key column. After every
+    drain the replica equals ``src.snapshot().where(where)
+    .select(*select)`` exactly.
     """
     import json
     from pathlib import Path
@@ -623,6 +636,9 @@ def run_stream_replicate(
 
     spark.dataSource.register(VersionedDataSource)
     src_key = VersionedTable(spark, src_root).key_col()
+    if select is not None and src_key not in select:
+        raise ValueError(f"select must keep the key column {src_key!r}")
+    out_cols = list(select) if select is not None else None
 
     reader = (
         spark.readStream.format("versioned")
@@ -637,10 +653,11 @@ def run_stream_replicate(
             return
         s = spark or batch_df.sparkSession
         data_cols = [c for c in batch_df.columns if c not in _CDF_COLS]
+        keep_cols = out_cols if out_cols is not None else data_cols
         dst = VersionedTable(s, dst_root)
         if not dst.versions():
             VersionedTable.create(
-                s, dst_root, batch_df.select(*data_cols).limit(0),
+                s, dst_root, batch_df.select(*keep_cols).limit(0),
                 key_col=src_key,
             )
             dst = VersionedTable(s, dst_root)
@@ -668,8 +685,20 @@ def run_stream_replicate(
                 F.when(F.col("_change_type") == "delete", F.lit("delete"))
                 .otherwise(F.lit("upsert")),
             )
-            .select(*data_cols, "_op")
         )
+        if where is not None:
+            # selection view: an upsert whose post-image leaves the
+            # predicate becomes a DELETE downstream (it may have
+            # satisfied it before; deleting an absent key no-ops)
+            pred = F.expr(where) if isinstance(where, str) else where
+            delta = delta.withColumn(
+                "_op",
+                F.when(
+                    (F.col("_op") == "upsert") & ~F.coalesce(pred, F.lit(False)),
+                    F.lit("delete"),
+                ).otherwise(F.col("_op")),
+            )
+        delta = delta.select(*keep_cols, "_op")
         dst.apply_changes(
             delta, op_col="_op", skip_by="points",
             meta={"stream_epoch": batch_id},

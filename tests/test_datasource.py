@@ -750,3 +750,65 @@ def test_batch_time_travel_options(registered, tmp_path):
         _read(versionAsOf="1", timestampAsOf=str(ts_v1)).count()
     with pytest.raises(Exception, match="does not exist"):
         _read(versionAsOf="9").count()
+
+
+def test_stream_replicate_selection_projection_view(registered, tmp_path):
+    """where=/select= on run_stream_replicate maintain a row-level
+    incremental SELECT/WHERE view: rows entering the predicate insert,
+    rows LEAVING it (post-image fails) delete downstream, unchanged
+    rows never move; after every drain the view equals the from-scratch
+    filtered projection of the source snapshot."""
+    from database_anonymiser_spark.streaming.pipeline import run_stream_replicate
+
+    spark = registered
+    src_root, dst_root, ck = tmp_path / "src", tmp_path / "view", tmp_path / "ck"
+    t = VersionedTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(20)],
+            "k long, name string, v double",
+        ),
+        key_col="k",
+    )
+
+    def _expected():
+        return sorted(
+            (r["k"], r["v"])
+            for r in t.snapshot().where("v >= 10.0").select("k", "v").collect()
+        )
+
+    def _actual():
+        return sorted(
+            (r["k"], r["v"])
+            for r in VersionedTable(spark, dst_root).snapshot().collect()
+        )
+
+    kw = dict(where="v >= 10.0", select=("k", "v"))
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck), **kw)
+    assert VersionedTable(spark, dst_root).snapshot().columns == ["k", "v"]
+    assert _actual() == _expected()  # 10..19
+
+    # churn across the predicate boundary: k=3 enters, k=15 leaves,
+    # k=12 updates within, k=18 deleted at the source, k=100 enters new
+    t.merge(
+        spark.createDataFrame(
+            [(3, "up", 50.0), (15, "down", 1.0), (12, "in", 12.5),
+             (100, "new", 99.0)],
+            "k long, name string, v double",
+        ),
+        when_matched="update",
+    )
+    t.delete_where("k = 18")
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck), **kw)
+    got = _actual()
+    assert got == _expected()
+    ks = {k for k, _ in got}
+    assert 3 in ks and 100 in ks and 15 not in ks and 18 not in ks
+
+    # select must keep the key
+    with pytest.raises(ValueError, match="key column"):
+        run_stream_replicate(
+            spark, str(src_root), str(dst_root), str(tmp_path / "ck2"),
+            select=("v",),
+        )
