@@ -465,6 +465,37 @@ def _diff_commit(part: _CdfDiffPartition):
             yield batch
 
 
+def _key_disjoint_groups(removed: list, added: list) -> list:
+    """Partition a change commit's file entries into KEY-DISJOINT groups
+    by their footer [key_min, key_max] stats (interval sweep): a key
+    lives only in files whose range covers it, and all such files
+    overlap pairwise at that key, so they land in one group — every
+    key's old AND new rows stay in the same diff partition. A commit
+    that rewrote scattered key bands therefore diffs as SEVERAL
+    parallel partitions instead of one; any stat-less file collapses
+    the commit to a single group (correctness over parallelism)."""
+    items = [(e, 0) for e in removed] + [(e, 1) for e in added]
+    if not items:
+        return []
+    if any(e.get("key_min") is None or e.get("key_max") is None for e, _ in items):
+        return [(removed, added)]
+    items.sort(key=lambda t: (t[0]["key_min"], t[0]["key_max"]))
+    groups, cur = [], [items[0]]
+    cur_max = items[0][0]["key_max"]
+    for it in items[1:]:
+        if it[0]["key_min"] <= cur_max:
+            cur.append(it)
+            cur_max = max(cur_max, it[0]["key_max"])
+        else:
+            groups.append(cur)
+            cur, cur_max = [it], it[0]["key_max"]
+    groups.append(cur)
+    return [
+        ([e for e, s in g if s == 0], [e for e, s in g if s == 1])
+        for g in groups
+    ]
+
+
 def _plan_change_partitions(
     p: Path, a: int, b: int, phys, names, *, cdf: bool, skip_change: bool
 ) -> list:
@@ -509,8 +540,8 @@ def _plan_change_partitions(
 
             adds = rec.get("adds", [])
             add_ids = {(e["path"], e.get("dv")) for e in adds}
-            removed = [
-                _abs(prev_live[path])
+            rem_entries = [
+                prev_live[path]
                 for path in rec["removes"]
                 if path in prev_live
                 and (path, prev_live[path].get("dv")) not in add_ids
@@ -519,14 +550,17 @@ def _plan_change_partitions(
                 (path, prev_live[path].get("dv"))
                 for path in rec["removes"] if path in prev_live
             }
-            added = [
-                _abs(e) for e in adds
-                if (e["path"], e.get("dv")) not in rem_ids
+            add_entries = [
+                e for e in adds if (e["path"], e.get("dv")) not in rem_ids
             ]
             key_col = _rest[0]
-            out.append(_CdfDiffPartition(
-                removed, added, phys, names, key_col, v, rec.get("ts")
-            ))
+            # key-disjoint file groups diff in parallel — a commit that
+            # rewrote scattered key bands is several partitions, not one
+            for rem_g, add_g in _key_disjoint_groups(rem_entries, add_entries):
+                out.append(_CdfDiffPartition(
+                    [_abs(e) for e in rem_g], [_abs(e) for e in add_g],
+                    phys, names, key_col, v, rec.get("ts"),
+                ))
             continue
         for add in rec.get("adds", []):
             path = add["path"]

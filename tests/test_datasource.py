@@ -812,3 +812,55 @@ def test_stream_replicate_selection_projection_view(registered, tmp_path):
             spark, str(src_root), str(dst_root), str(tmp_path / "ck2"),
             select=("v",),
         )
+
+
+def test_cdf_diff_partitions_split_by_key_disjoint_groups(registered, tmp_path):
+    """A change commit whose touched files form key-disjoint range
+    clusters diffs as SEVERAL parallel partitions (interval sweep over
+    footer key stats), and the delivered events still match the native
+    per-commit diff exactly; stat-less files collapse to one group."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _CdfDiffPartition,
+        _ChangesStreamReader,
+        _key_disjoint_groups,
+    )
+
+    # unit face
+    e = lambda lo, hi: {"path": f"f{lo}", "key_min": lo, "key_max": hi}
+    gs = _key_disjoint_groups([e(0, 10), e(50, 60)], [e(5, 9), e(55, 58)])
+    assert len(gs) == 2
+    assert {x["key_min"] for x in gs[0][0] + gs[0][1]} == {0, 5}
+    gs1 = _key_disjoint_groups([e(0, 10)], [{"path": "x", "key_min": None,
+                                             "key_max": None}])
+    assert len(gs1) == 1  # stat-less: single group
+    assert _key_disjoint_groups([], []) == []
+
+    # e2e: range-clustered files, one DV delete touching two disjoint
+    # bands → >1 diff partition in the plan, events ≡ native diff
+    spark = registered
+    root = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    ).repartitionByRange(8, "k")
+    t = VersionedTable.create(spark, root, df, key_col="k")
+    t.delete_where("k < 50 or k >= 950", dv=True)
+
+    rdr = _ChangesStreamReader(str(root), {"readchangefeed": "true"})
+    start = {"version": 0}  # past the create: just the delete commit
+    parts = rdr.partitions(start, {"version": 1})
+    diffs = [p for p in parts if isinstance(p, _CdfDiffPartition)]
+    assert len(diffs) >= 2, "disjoint bands must split into groups"
+
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, root, out, ck, readChangeFeed="true",
+           startingVersion="1")
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.diff(0, 1, images="both").collect()
+    }
+    assert got == want
+    assert len(got) == 100 and all(c == "delete" for c, *_ in got)
