@@ -2503,6 +2503,50 @@ class VersionedTable:
 
     # ------------------------------------------------------ constraints
 
+    def add_column(self, name: str, dtype) -> int:
+        """``ALTER TABLE ADD COLUMN`` as a pure METADATA commit — zero
+        data reads or writes: the logged schema gains the (nullable)
+        field and every existing file NULL-fills it at read through the
+        same explicit-schema projection as merge_schema appends; the
+        live file set is untouched, so incremental consumers (changes(),
+        IVM) see an empty file-level diff across it. ``dtype`` is a
+        DataType or a DDL type string. Refused when the name already
+        exists or collides with a historical physical name (the same
+        resurrection guard as evolution: old files hold bytes under that
+        name belonging to a DIFFERENT logical column)."""
+        from pyspark.sql.types import DataType, StructField, StructType
+
+        schema = self._log_schema()
+        if schema is None:
+            raise ValueError("add_column requires a logged schema")
+        if isinstance(dtype, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            dtype = _parse_datatype_string(dtype)
+        if not isinstance(dtype, DataType):
+            raise ValueError(f"not a data type: {dtype!r}")
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise ValueError(f"column already exists: {name!r}")
+        m = self._map()
+        physicals = {m.get(n, n) for n in names}
+        retired = set(self._colmap.get("retired") or [])
+        if name in physicals | retired:
+            raise ValueError(
+                f"{name!r} collides with a historical physical column "
+                "name; files on disk hold bytes under that name for a "
+                "different logical column"
+            )
+        new_schema = StructType(
+            [*schema.fields, StructField(name, dtype, True)]
+        )
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="add_column",
+            schema=new_schema.jsonValue(),
+        )
+        return v + 1
+
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE RENAME COLUMN`` without rewriting a byte —
         Delta's column mapping (round 9): the parquet files keep the

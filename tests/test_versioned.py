@@ -3292,3 +3292,36 @@ def test_apply_changes_multi_clause_single_commit(spark, table):
             spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double"),
             op_col="_op",
         )
+
+
+def test_add_column_pure_metadata(spark, table):
+    """ALTER TABLE ADD COLUMN: a zero-data-read metadata commit; old
+    rows NULL-fill, later writes populate, time travel shows the old
+    schema, the file-level diff across it is empty, and the
+    resurrection guard refuses a dropped column's physical name."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    f0 = V.DATA_FILES_READ
+    v = table.add_column("score", "double")
+    assert V.DATA_FILES_READ == f0  # pure metadata
+    assert table.commit_op(v) == "add_column"
+    snap = table.snapshot()
+    assert snap.schema["score"].dataType.typeName() == "double"
+    assert snap.where("score is not null").count() == 0
+    assert "score" not in table.snapshot(version=v - 1).columns  # travel
+
+    table.append(
+        spark.createDataFrame([(100, "x", 1.0, 9.9)],
+                              "k long, name string, v double, score double")
+    )
+    assert table.snapshot().where("score = 9.9").first()["k"] == 100
+    # the add-column interval's file-level diff is empty
+    assert table.diff(v - 1, v).count() == 0
+
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("score", "double")
+    table.drop_column("score")
+    with pytest.raises(ValueError, match="historical physical"):
+        table.add_column("score", "long")  # old files hold score bytes
+    with pytest.raises(ValueError, match="not a data type"):
+        table.add_column("z", 42)
