@@ -1938,7 +1938,19 @@ class VersionedTable:
             [e["path"] for e in touched],
             key_col,
             op="apply_changes" if op_col is not None else f"merge_{when_matched}",
-            meta=meta,
+            # Delta's operationMetrics slot, FREE metrics only (every
+            # number below was already computed for the merge itself —
+            # no extra job): source size, skip outcome, rewrite scope
+            meta={
+                **(meta or {}),
+                "metrics": {
+                    "source_rows": int(stats["n_all"]),
+                    "skip_by": "points" if points is not None else "range",
+                    "files_touched": len(touched),
+                    "files_carried": len(untouched),
+                    "files_written": len(new_files),
+                },
+            },
         )
         return v + 1
 

@@ -582,6 +582,8 @@ def run_stream_replicate(
     max_files_per_trigger: int | None = None,
     where: "F.Column | str | None" = None,
     select: tuple[str, ...] | None = None,
+    compact_every: int | None = None,
+    vacuum_retain: int | None = None,
 ):
     """Cross-table CDC REPLICATION: tail ``src_root``'s change feed
     through ``format("versioned")`` with ``readChangeFeed=true`` and
@@ -620,6 +622,11 @@ def run_stream_replicate(
     row at a time); ``select`` must keep the key column. After every
     drain the replica equals ``src.snapshot().where(where)
     .select(*select)`` exactly.
+
+    ``compact_every`` / ``vacuum_retain`` are the same in-line replica
+    maintenance knobs as ``run_stream_to_versioned`` — an indefinitely
+    tailing replica accretes one apply commit per drained batch, so the
+    same file-count/bytes bounding applies.
     """
     import json
     from pathlib import Path
@@ -703,6 +710,11 @@ def run_stream_replicate(
             delta, op_col="_op", skip_by="points",
             meta={"stream_epoch": batch_id},
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            dst.compact()
+        vac_every = compact_every or vacuum_retain
+        if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
+            dst.vacuum(retain_versions=vacuum_retain)
 
     return run_foreach_batch(reader.load(), sink, checkpoint)
 

@@ -3325,3 +3325,22 @@ def test_add_column_pure_metadata(spark, table):
         table.add_column("score", "long")  # old files hold score bytes
     with pytest.raises(ValueError, match="not a data type"):
         table.add_column("z", 42)
+
+
+def test_merge_commit_records_free_operation_metrics(spark, table):
+    """Delta's operationMetrics slot: merge/apply commits record the
+    already-computed source size, skip outcome, and rewrite scope —
+    zero extra jobs."""
+    v = table.merge(
+        spark.createDataFrame(
+            [(1, "UPD", 0.5), (100, "new", 1.0)],
+            "k long, name string, v double",
+        ),
+        when_matched="update",
+        skip_by="points",
+    )
+    m = table.history()[-1]["meta"]["metrics"]
+    assert m["source_rows"] == 2 and m["skip_by"] == "points"
+    assert m["files_written"] >= 1
+    assert m["files_touched"] + m["files_carried"] >= 1
+    assert table.commit_op(v).startswith("merge")
