@@ -3344,3 +3344,43 @@ def test_merge_commit_records_free_operation_metrics(spark, table):
     assert m["files_written"] >= 1
     assert m["files_touched"] + m["files_carried"] >= 1
     assert table.commit_op(v).startswith("merge")
+
+
+def test_apply_changes_randomized_model_twin(spark, tmp_path):
+    """Randomized CDC-apply twin: a seeded sequence of collapsed change
+    batches (upserts + deletes over a small key space, interleaved with
+    compactions) applied through apply_changes must equal a plain
+    Python dict replaying the same events — every clause combination
+    (matched/unmatched × upsert/delete) occurs by volume."""
+    import random
+
+    rng = random.Random(20260815)
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ),
+        key_col="k",
+    )
+    model = {k: float(k) for k in range(10)}
+
+    for step in range(8):
+        keys = rng.sample(range(25), rng.randint(1, 8))
+        batch = []
+        for k in keys:
+            if rng.random() < 0.35:
+                batch.append((k, 0.0, "delete"))
+                model.pop(k, None)
+            else:
+                val = round(rng.uniform(0, 100), 3)
+                batch.append((k, val, "upsert"))
+                model[k] = val
+        t.apply_changes(
+            spark.createDataFrame(batch, "k long, v double, _op string"),
+            skip_by=rng.choice(("range", "points")),
+        )
+        if step % 3 == 2:
+            t.compact()
+        got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        assert got == model, f"step {step}"
