@@ -358,16 +358,20 @@ class _CdfInsertPartition(InputPartition):
 
 
 class _CdfDiffPartition(InputPartition):
-    """One CHANGE commit (merge/update/delete/DV/restore) → its row-level
-    change events, derived executor-side by the same (path, dv) file-
-    identity diff as ``VersionedTable.diff`` but in pure pyarrow (no
-    SparkSession exists in the DataSource worker). One partition per
-    commit: a change commit's removed∪added files are bounded by the
+    """One KEY-DISJOINT file group of a CHANGE commit (merge/update/
+    delete/DV/restore) → its row-level change events, derived
+    executor-side by the same (path, dv) file-identity diff as
+    ``VersionedTable.diff`` but in pure pyarrow (no SparkSession exists
+    in the DataSource worker). A commit splits into one partition per
+    key-disjoint range cluster of its removed∪added files
+    (``_key_disjoint_groups``) — scattered-band rewrites diff in
+    parallel, and each partition's data is bounded by its band; a
+    commit whose files all overlap stays one partition, bounded by the
     writer's batch scope (the same O(changed data) argument diff()
-    makes), unlike a backfill's append volume which stays file-parallel
-    via ``_CdfInsertPartition``. Delta avoids this read-side join by
-    persisting ``_change_data`` files at commit time; deriving keeps the
-    write path lean and the feed exact."""
+    makes). Backfill append volume stays fully file-parallel via
+    ``_CdfInsertPartition``. Delta avoids this read-side join by
+    persisting ``_change_data`` files at commit time; deriving keeps
+    the write path lean and the feed exact."""
 
     def __init__(self, removed, added, arrow_schema_physical, logical_names,
                  key_col, version, ts):
