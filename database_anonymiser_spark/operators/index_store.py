@@ -190,16 +190,19 @@ class VersionedAnnIndex:
 
     def _index_meta(self, version: int | None = None) -> dict:
         """The governing build metadata for ``version``: the newest
-        meta-carrying commit at or below it — upsert merges commit no
-        meta, so the codebook of the last (re)build governs them.
-        Probed DESCENDING, one commit JSON at a time, stopping at the
-        first meta hit: O(upserts since the last rebuild) tiny reads,
-        never a history walk (the round-6 verdict's O(versions)
+        meta-carrying commit at or below it — upsert merges carry no
+        BUILD descriptor (since round 9 every merge commit records free
+        operation ``metrics``, so 'has meta' no longer means 'is a
+        build': the stop test is the ``kind`` key, the descriptor only
+        (re)builds write), so the codebook of the last (re)build governs
+        them. Probed DESCENDING, one commit JSON at a time, stopping at
+        the first descriptor hit: O(upserts since the last rebuild) tiny
+        reads, never a history walk (the round-6 verdict's O(versions)
         regression for streaming-fed indexes, closed)."""
         upto = self.table.latest_version() if version is None else version
         for v in reversed([x for x in self.table.versions() if x <= upto]):
             meta = self.table.commit_meta(v)
-            if meta:
+            if meta and "kind" in meta:
                 return meta
         raise ValueError(f"no index build recorded at or before version {version}")
 
