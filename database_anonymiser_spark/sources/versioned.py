@@ -1699,6 +1699,8 @@ class VersionedTable:
         insert_not_matched: bool = True,
         skip_by: str = "range",
         op_col: str | None = None,
+        not_matched_by_source: str | None = None,
+        by_source_scope: dict[str, tuple] | None = None,
         meta: dict | None = None,
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
@@ -1743,6 +1745,27 @@ class VersionedTable:
         ``op_col`` (the op column IS the clause selector). Prefer the
         :meth:`apply_changes` face. ``meta`` rides into the commit
         record (streaming sinks' epoch witness).
+
+        ``not_matched_by_source='delete'`` (round 9) adds Delta's
+        ``whenNotMatchedBySourceDelete`` clause — target rows whose key
+        does NOT appear in the source are deleted, the FULL-SNAPSHOT-SYNC
+        shape (mirror a table from a periodic complete extract: matched
+        rows update, fresh rows insert, vanished rows leave — one atomic
+        commit). Scale contract: the clause inverts the skipping logic —
+        ANY target row could be unmatched, so without a scope EVERY live
+        file must be read (documented full rewrite, exactly Delta's
+        cost). ``by_source_scope`` is the fix and mirrors Delta's
+        recommended ``whenNotMatchedBySourceDelete(condition)``: a
+        ``{col: (lo, hi)}`` range dict (the :meth:`files_matching`
+        vocabulary) limiting which TARGET rows are candidates for the
+        by-source delete. Files whose recorded stats prove no row can
+        satisfy the scope carry over by reference (same
+        ``_entry_overlaps_range`` arithmetic as the read path); rows
+        inside a read file are re-tested exactly, and a row whose scope
+        predicate evaluates NULL is KEPT (the condition must be TRUE to
+        delete — SQL MERGE). Mutually exclusive with ``op_col`` (a CDC
+        feed is a partial extract; "absent from batch" means nothing
+        there).
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -1750,6 +1773,16 @@ class VersionedTable:
             raise ValueError("skip_by must be 'range' or 'points'")
         if op_col is not None and op_col not in source.columns:
             raise ValueError(f"op_col {op_col!r} not in source columns")
+        if not_matched_by_source not in (None, "delete"):
+            raise ValueError("not_matched_by_source must be None or 'delete'")
+        if not_matched_by_source is not None and op_col is not None:
+            raise ValueError(
+                "not_matched_by_source is incompatible with op_col: a CDC "
+                "feed is a partial extract, 'absent from source' means "
+                "nothing there"
+            )
+        if by_source_scope is not None and not_matched_by_source is None:
+            raise ValueError("by_source_scope requires not_matched_by_source")
         key_col = self.key_col()
         if key_col is None:
             raise ValueError("table has no key_col; cannot merge")
@@ -1813,8 +1846,29 @@ class VersionedTable:
                 return i < len(points) and points[i] <= e["key_max"]
             return True
 
-        touched = [e for e in entries if may_match(e)]
-        untouched = [e for e in entries if not may_match(e)]
+        # by-source clause inverts the skipping question for target rows:
+        # a file may hold UNMATCHED rows regardless of source keys, so it
+        # must be read unless its stats prove the scope empty for it
+        key_pcol = self._phys(key_col)
+        scope_pred = (
+            {self._phys(c): b for c, b in by_source_scope.items()}
+            if by_source_scope is not None
+            else None
+        )
+
+        def in_scope(e: dict) -> bool:
+            if not_matched_by_source is None:
+                return False
+            if scope_pred is None:
+                return True  # unscoped full sync: every file is a candidate
+            return all(
+                _entry_overlaps_range(e, pcol, key_pcol, slo, shi)
+                for pcol, (slo, shi) in scope_pred.items()
+            )
+
+        touched = [e for e in entries if may_match(e) or in_scope(e)]
+        touched_paths = {e["path"] for e in touched}
+        untouched = [e for e in entries if e["path"] not in touched_paths]
 
         new_files: list[_FileEntry] = []
         if touched:
@@ -1839,6 +1893,25 @@ class VersionedTable:
                 mt += "_"
             while ms in cols:
                 ms += "_"
+            bs = None
+            if not_matched_by_source is not None:
+                # row-level scope flag computed on the TARGET before the
+                # join (bare column refs stay unambiguous); file pruning
+                # already dropped provably-out-of-scope files, this
+                # re-tests the survivors' rows exactly
+                bs = "_bs"
+                while bs in cols:
+                    bs += "_"
+                if by_source_scope is None:
+                    scope_expr = F.lit(True)
+                else:
+                    scope_expr = F.lit(True)
+                    for c, (slo, shi) in by_source_scope.items():
+                        if slo is not None:
+                            scope_expr = scope_expr & (F.col(c) >= F.lit(slo))
+                        if shi is not None:
+                            scope_expr = scope_expr & (F.col(c) <= F.lit(shi))
+                tgt = tgt.withColumn(bs, scope_expr)
             if VALIDATE_MERGE_TARGET_KEYS:
                 # opt-in invariant audit: the single-join MERGE emits one
                 # updated row PER duplicate target key (the old
@@ -1892,7 +1965,16 @@ class VersionedTable:
                 is_up = F.col(f"s.{op_col}") == "upsert"
                 out_img = F.when(unmatched_t, t_img).when(is_up, s_img)
             else:
-                out_img = F.when(unmatched_t, t_img)
+                if not_matched_by_source == "delete":
+                    # unmatched target rows survive only OUTSIDE the
+                    # scope; a NULL scope evaluation keeps the row (the
+                    # condition must be TRUE to delete — SQL MERGE)
+                    keep_t = unmatched_t & ~F.col(f"t.{bs}").eqNullSafe(
+                        F.lit(True)
+                    )
+                else:
+                    keep_t = unmatched_t
+                out_img = F.when(keep_t, t_img)
                 if insert_not_matched:
                     out_img = out_img.when(unmatched_s, s_img)
                 if when_matched == "update":
@@ -1949,6 +2031,11 @@ class VersionedTable:
                     "files_touched": len(touched),
                     "files_carried": len(untouched),
                     "files_written": len(new_files),
+                    **(
+                        {"by_source": not_matched_by_source}
+                        if not_matched_by_source is not None
+                        else {}
+                    ),
                 },
             },
         )

@@ -3384,3 +3384,124 @@ def test_apply_changes_randomized_model_twin(spark, tmp_path):
             t.compact()
         got = {r["k"]: r["v"] for r in t.snapshot().collect()}
         assert got == model, f"step {step}"
+
+
+def test_merge_not_matched_by_source_full_sync(spark, table):
+    """not_matched_by_source='delete' (unscoped): the committed state IS
+    the source — matched rows update, fresh rows insert, vanished rows
+    delete, one atomic commit (Delta whenNotMatchedBySourceDelete)."""
+    src = spark.createDataFrame(
+        [(3, "sync3", -3.0), (7, "name7", 70.0), (999, "new", 9.0)],
+        "k long, name string, v double",
+    )
+    v = table.merge(src, not_matched_by_source="delete")
+    got = _rows(table.snapshot())
+    assert got == _rows(src)
+    m = table.history()[-1]["meta"]["metrics"]
+    assert m["by_source"] == "delete" and m["files_carried"] == 0
+    # time travel unaffected
+    assert table.snapshot(version=v - 1).count() == 20
+
+
+def test_merge_by_source_scope_prunes_files_and_rows(spark, tmp_path):
+    """by_source_scope: files provably outside the scope carry over BY
+    REFERENCE (never read), and rows outside the scope inside a read
+    file survive — only in-scope unmatched rows are deleted."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = (
+        spark.range(300)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    v0_paths = {e["path"] for e in t._live_entries(0)}
+    assert len(v0_paths) == 3
+
+    # sync the band [200, 240]: keep evens updated, odds vanish
+    src = (
+        spark.range(200, 241, 2)
+        .select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    )
+    f0 = V.DATA_FILES_READ
+    t.merge(
+        src,
+        not_matched_by_source="delete",
+        by_source_scope={"k": (200, 240)},
+    )
+    reads = V.DATA_FILES_READ - f0
+    assert reads == 1  # only the file holding the scope band
+    carried = v0_paths & {e["path"] for e in t._live_entries(1)}
+    assert len(carried) == 2
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    # in scope: evens updated, odds gone
+    assert got[200] == -1.0 and got[240] == -1.0 and 201 not in got
+    # outside scope (even in the rewritten file): untouched
+    assert got[199] == 398.0 and got[241] == 482.0 and got[0] == 0.0
+    assert len(got) == 300 - 20  # 20 odd keys in [200, 240] deleted
+
+
+def test_merge_by_source_empty_source_is_scoped_delete(spark, table):
+    """An EMPTY full extract under a scope deletes every in-scope row
+    (and nothing else) — the degenerate full-sync case must not
+    short-circuit to a no-op."""
+    empty = spark.createDataFrame([], "k long, name string, v double")
+    table.merge(
+        empty,
+        not_matched_by_source="delete",
+        by_source_scope={"k": (5, 9)},
+    )
+    ks = {r["k"] for r in table.snapshot().select("k").collect()}
+    assert ks == set(range(5)) | set(range(10, 20))
+
+
+def test_merge_by_source_null_scope_eval_keeps_row(spark, tmp_path):
+    """A row whose scope predicate evaluates NULL is KEPT — the
+    by-source condition must be TRUE to delete (SQL MERGE)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    t = VersionedTable.create(spark, tmp_path / "t", df, key_col="k")
+    src = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    t.merge(src, not_matched_by_source="delete", by_source_scope={"v": (0.0, 99.0)})
+    ks = {r["k"] for r in t.snapshot().select("k").collect()}
+    assert ks == {1, 2}  # k=3 in scope+unmatched -> gone; k=2 NULL -> kept
+
+
+def test_merge_by_source_validation(spark, table):
+    src = spark.createDataFrame([(1, "a", 0.0)], "k long, name string, v double")
+    with pytest.raises(ValueError, match="not_matched_by_source"):
+        table.merge(src, not_matched_by_source="update")
+    with pytest.raises(ValueError, match="incompatible with op_col"):
+        table.merge(
+            src.withColumn("_op", F.lit("upsert")),
+            op_col="_op",
+            not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="by_source_scope requires"):
+        table.merge(src, by_source_scope={"k": (0, 1)})
+
+
+def test_merge_by_source_cdf_events(spark, table):
+    """The change feed of a full-sync merge carries exactly the rows
+    that changed: deletes for vanished keys, update pre/post for keys
+    whose image changed, NOTHING for matched-but-identical rows."""
+    # keep k in [0, 16], update only k=4 (others keep identical images)
+    keep = table.snapshot().where(F.col("k") <= 16)
+    src = keep.withColumn(
+        "v", F.when(F.col("k") == 4, F.lit(-4.0)).otherwise(F.col("v"))
+    )
+    v = table.merge(src, not_matched_by_source="delete")
+    d = table.diff(v - 1, v, images="both")
+    by_type = {
+        ct: sorted(r["k"] for r in rows)
+        for ct, rows in (
+            (ct, d.where(F.col("_change_type") == ct).collect())
+            for ct in ("delete", "update_preimage", "update_postimage", "insert")
+        )
+    }
+    assert by_type["delete"] == [17, 18, 19]
+    assert by_type["update_preimage"] == [4]
+    assert by_type["update_postimage"] == [4]
+    assert by_type["insert"] == []
