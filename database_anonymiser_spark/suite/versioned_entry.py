@@ -84,6 +84,22 @@ _INS_SHIFT = 10_000_000
       UNION ALL
       SELECT * FROM new5
     ),
+    -- v6 FULL-SYNC merge (not_matched_by_source='delete'): the source is
+    -- a complete extract of state5 minus every 3rd key, with every 5th
+    -- surviving key re-balanced (+2.0, 'SYNC'), plus fresh 3x-shifted
+    -- clones of every 43rd customer — so state6 IS the source
+    src6 AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 2.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 5 = 0 THEN 'SYNC'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM state5 WHERE c_custkey % 3 <> 0
+      UNION ALL
+      SELECT c_custkey + {3 * _INS_SHIFT} AS c_custkey, c_name, c_nationkey,
+             c_acctbal, 'SYNCNEW' AS c_mktsegment
+      FROM customer WHERE c_custkey % 43 = 0
+    ),
     cdf AS (
       -- v0: CREATE commits every customer row as an insert
       SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -127,12 +143,31 @@ _INS_SHIFT = 10_000_000
       SELECT 'insert', 5, * FROM new5
       UNION ALL
       SELECT 'delete', 5, * FROM del5
+      UNION ALL
+      -- v6 FULL SYNC: deletes for vanished keys, update pre/post ONLY for
+      -- keys whose image actually changed (matched-identical rows are
+      -- invisible to the content diff), inserts for the fresh clones
+      SELECT 'delete', 6, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM state5 WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT 'update_preimage', 6, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM state5 WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+      UNION ALL
+      SELECT 'update_postimage', 6, c_custkey, c_name, c_nationkey,
+             c_acctbal + 2.0, 'SYNC'
+      FROM state5 WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+      UNION ALL
+      SELECT 'insert', 6, c_custkey + {3 * _INS_SHIFT}, c_name, c_nationkey,
+             c_acctbal, 'SYNCNEW'
+      FROM customer WHERE c_custkey % 43 = 0
     )
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM state5
+    FROM src6
     UNION ALL
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -186,7 +221,16 @@ def merge_upsert(spark, sf_dir):
     merge): matched upserts, fresh inserts, and deletes — including
     no-op deletes of keys already gone — land in ONE commit, and both
     the post-apply snapshot AND the v5 feed events are under the same
-    oracle."""
+    oracle.
+
+    Round 9 (cont.) appends v6 = FULL-SYNC MERGE
+    (``not_matched_by_source='delete'`` — Delta's
+    whenNotMatchedBySourceDelete): the table mirrors a complete extract
+    in one commit (matched update, fresh insert, vanished delete), and
+    the oracle checks BOTH the post-sync snapshot (= the extract) and
+    the v6 feed events — deletes for vanished keys, update pre/post
+    images ONLY for rows whose content actually changed (matched rows
+    re-delivered with identical images are invisible to the diff)."""
     from database_anonymiser_spark.sources.versioned import (
         ROW_PRESERVING_OPS,
         VersionedTable,
@@ -238,6 +282,28 @@ def merge_upsert(spark, sf_dir):
         ups.unionByName(new5).withColumn("_op", F.lit("upsert"))
         .unionByName(dels.withColumn("_op", F.lit("delete")))
     )
+
+    # v6 (round 9): FULL-SYNC merge — not_matched_by_source='delete'
+    # mirrors the table onto a complete extract derived from the pinned
+    # v5 snapshot: every 3rd key vanishes, every 5th surviving key
+    # re-balances (+2.0, 'SYNC'), fresh 3x-shifted clones of every 43rd
+    # customer insert. One atomic commit; the content diff must emit
+    # update events ONLY for rows whose image actually changed.
+    snap5 = t.snapshot(t.latest_version())
+    kept = snap5.where(k % 3 != 0)
+    sync = kept.withColumn(
+        "c_acctbal",
+        F.when(k % 5 == 0, F.col("c_acctbal") + 2.0).otherwise(F.col("c_acctbal")),
+    ).withColumn(
+        "c_mktsegment",
+        F.when(k % 5 == 0, F.lit("SYNC")).otherwise(F.col("c_mktsegment")),
+    )
+    new6 = (
+        cust.where(k % 43 == 0)
+        .withColumn("c_custkey", k + 3 * _INS_SHIFT)
+        .withColumn("c_mktsegment", F.lit("SYNCNEW"))
+    )
+    t.merge(sync.unionByName(new6), not_matched_by_source="delete")
 
     cols = cust.columns
     feed = t.snapshot(0).select(
