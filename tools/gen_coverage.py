@@ -30,6 +30,7 @@ CATEGORIES = [
     ("Text analysis (LLM-pipeline)", ["text_profile", "text_tfidf", "text_pii_scrub", "text_quality_spans"]),
     ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features"]),
     ("Versioned tables (transaction log)", ["merge_upsert"]),
+    ("Training-data export (LLM-pipeline)", ["shard_export"]),
 ]
 
 # Round-2 consolidation: the suite was packed from 81 entries to 49 so the
