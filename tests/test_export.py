@@ -122,3 +122,30 @@ def test_verify_shards_detects_tamper(spark, docs, tmp_path):
     victim.unlink()
     r = verify_shards(spark, str(out))
     assert r["ok"] is False and r["mismatched"] == [2]
+
+
+def test_curate_then_export_composition(spark, sf_dir, tmp_path):
+    """The pipeline seam: curate_corpus's output feeds
+    export_training_shards directly (token column included), the manifest
+    accounts for every curated row and token, and the landed export
+    verifies — the full corpus -> curated shards handoff in one flow."""
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    curated = curate_corpus(docs, min_tokens=5, near_dedup=False, decontam_n=None)
+    rows = curated.count()
+    tokens = curated.agg(F.sum("n_tokens")).first()[0]
+    assert rows > 0
+
+    out = tmp_path / "export"
+    m = export_training_shards(
+        curated,
+        str(out),
+        "doc_id",
+        tokens_per_shard=max(1, tokens // 4),
+        n_tokens_col="n_tokens",
+    )
+    assert m["total_rows"] == rows
+    assert sum(s["n_tokens"] for s in m["shards"].values()) == tokens
+    assert verify_shards(spark, str(out)) == {"ok": True, "mismatched": []}
