@@ -319,6 +319,22 @@ def main():
         file=sys.stderr,
     )
 
+    # --- training-shard export lifecycle (round 9): the terminal
+    # curation handoff — token-sized shards + manifest + verify over the
+    # fixture's documents. One rep (lifecycle class, like neardedup):
+    # the regression tripwires are the structural counters
+    # (one file per shard, verify_ok), the walls attribute cost.
+    from tools.storage_probe import shard_export_probe as _export_probe
+
+    export_meta: dict[str, float] = {}
+    _exp_rows = _export_probe(spark, sf_dir, export_meta)
+    print(
+        f"# shard_export: write {export_meta['export_sec']:.2f}s, verify "
+        f"{export_meta['verify_sec']:.2f}s ({_exp_rows} rows -> "
+        f"{export_meta['n_shards']} shards, ok={export_meta['verify_ok']})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
 
     # --- ANN recall telemetry (round-6 verdict #8): recall@10 of each
@@ -471,6 +487,7 @@ def main():
                 "neardedup_meta": neardedup_meta,
                 "txn_fanout_meta": txn_fanout_meta,
                 "datasource_meta": datasource_meta,
+                "export_meta": export_meta,
                 "ann_recall": ann_recall,
                 "ann_recall_curve": ann_recall_curve,
                 "ann_recall_sf1": ann_recall_sf1,

@@ -273,3 +273,59 @@ def datasource_read(spark, sf_dir: str, meta: dict) -> int:
         return int(r_native["n"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def shard_export_probe(spark, sf_dir: str, meta: dict) -> int:
+    """Round-9 training-shard export lifecycle: the fixture's documents
+    through export_training_shards (token-budget sizing, xxhash64
+    production family) into a temp dir, then verify_shards over the
+    landed parquet. Records the export wall (one hash-partition shuffle
+    + manifest aggregate + atomic promote), the verify wall (one scan
+    collapsing to n_shards rows), and the sizing outcome. The scale
+    tripwire is STRUCTURAL: exactly one data file per shard and a
+    manifest whose totals equal the input — a 10x corpus costs one 10x
+    scan/shuffle, never more files per shard or a driver collect."""
+    import os
+    import tempfile
+    import time as _time
+
+    from database_anonymiser_spark.operators.export import (
+        export_training_shards,
+        verify_shards,
+    )
+    from database_anonymiser_spark.suite.base import load
+
+    base = tempfile.mkdtemp(prefix="bench_export_")
+    out = os.path.join(base, "export")
+    try:
+        # whitespace token count inline (text_profile's n_tokens
+        # definition) — the export ships the TEXT, sized by tokens
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+            .alias("n_tokens"),
+        )
+        t0 = _time.perf_counter()
+        m = export_training_shards(
+            docs, out, "doc_id",
+            tokens_per_shard=50_000, n_tokens_col="n_tokens",
+        )
+        meta["export_sec"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        ok = verify_shards(spark, out)
+        meta["verify_sec"] = round(_time.perf_counter() - t0, 3)
+        meta["n_shards"] = m["n_shards"]
+        meta["total_rows"] = m["total_rows"]
+        files = sum(
+            1
+            for sd in os.listdir(os.path.join(out, "data"))
+            if sd.startswith("shard=")
+            for f in os.listdir(os.path.join(out, "data", sd))
+            if f.endswith(".parquet")
+        )
+        meta["data_files"] = files
+        meta["verify_ok"] = bool(ok["ok"]) and files == m["n_shards"]
+        return m["total_rows"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
