@@ -1,0 +1,236 @@
+"""Corpus-scale BPE tokenizer training and application.
+
+`text_profile` estimates token counts with a vocabulary-free regex
+(`text.py::BPE_PIECE_RE`); this module LEARNS the vocabulary — the
+byte-pair-encoding merge table of Sennrich et al. 2016 (ACL,
+"Neural Machine Translation of Rare Words with Subword Units"), the
+construction behind the GPT-2/RoBERTa tokenizer family — from the
+corpus itself, Spark-first:
+
+- **The corpus is scanned once.** Pre-tokenize every document with the
+  same `BPE_PIECE_RE` pieces the profiler counts, aggregate to a
+  (piece, freq) WORD-FREQUENCY table, and train on that. At 100 TB the
+  distinct-piece table is orders of magnitude smaller than the corpus
+  (it is the corpus' vocabulary, not its text) and stays distributed.
+- **One JVM aggregation per merge round, zero Python in the loop.**
+  Each round counts adjacent symbol pairs weighted by word frequency
+  (`arrays_zip` of the shifted symbol arrays → explode → sum), takes
+  the arg-max pair with a deterministic tie-break (count desc, then
+  lexicographic), and rewrites the symbol arrays with a single
+  `F.aggregate` fold (greedy left-to-right merge — the fold's
+  last-element test is equivalent to the scan-and-skip-two pass).
+  Only the winning pair (one row) ever reaches the driver per round.
+- **Deterministic at any partitioning**: counts are associative sums,
+  the tie-break is total, and the fold is per-row. Re-training on a
+  differently-partitioned cluster yields the identical merge table.
+
+Divergences from the reference implementations, documented: no
+end-of-word marker (round-trip concatenation equals the piece, which
+the tests pin; merges simply never cross piece boundaries because
+pairs are generated within one piece's array), and pieces longer than
+``max_word_len`` are excluded from TRAINING statistics (a pathological
+megaword would dominate the pair counts) while still being tokenized
+at apply time.
+
+Application (`apply_bpe`) is the production hot path and uses an
+Arrow-batched pandas UDF (never row-at-a-time): merges are applied in
+rank order per piece — exactly the training rewrite order, so
+tokenizing the training corpus reproduces the trainer's final symbol
+state (pinned by test).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.text import BPE_PIECE_RE
+
+#: training-table guard: pieces longer than this many characters are
+#: excluded from pair statistics (never from application)
+MAX_WORD_LEN = 64
+
+#: materialization cadence for the iterated vocab frame — every round
+#: rewrites the symbol arrays, so the plan would otherwise nest n_merges
+#: folds deep; a localCheckpoint every few rounds keeps analysis cost flat
+_CHECKPOINT_EVERY = 8
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str,
+    lowercase: bool = True,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """The ONE corpus scan: (word, freq) over `BPE_PIECE_RE` pieces.
+    Map-side explode + one partial-aggregated groupBy; the result is
+    vocabulary-sized, not corpus-sized."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), 0)).alias("word")
+        )
+        .where(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of one merge rule (a, b) -> ab
+    to a symbol array, as a JVM-side fold: append each symbol unless the
+    running output ends with `a` and the symbol is `b`, in which case
+    replace the tail with the merged symbol. Equivalent to the classic
+    scan-and-skip-two pass (the replaced tail can itself be a merge
+    product only when its full string equals `a`, which is exactly when
+    the scan would merge too)."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+    return_vocab: bool = False,
+):
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns the
+    ordered merge list ``[(a, b), ...]`` (the model — driver-sized by
+    construction: one pair per round), or ``(merges, vocab_df)`` with
+    the final (word, freq, syms) frame when ``return_vocab``.
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (a merge seen once generalizes to nothing).
+
+    Scale shape: one corpus scan builds the word-frequency table; each
+    round is one explode+groupBy over the VOCABULARY (not the corpus)
+    plus a 1-row argmax collect; the symbol-array rewrite is a JVM fold.
+    For a trillion-token corpus, train on a deterministic
+    `hash_sample` of documents — the vocabulary converges long before
+    the full corpus is needed (Sennrich trains on ~10M words).
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = word_frequencies(
+        docs, text_col, lowercase=lowercase, max_word_len=max_word_len
+    ).withColumn(
+        # chars: split at every inter-character position (not start, and
+        # only where a character follows — Spark keeps trailing empties)
+        "syms",
+        F.split(F.col("word"), "(?!^)(?=.)"),
+    )
+    words = words.localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms) - 1)").alias("a"),
+                        F.expr("slice(syms, 2, size(syms) - 1)").alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.select(
+            "word", "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint()
+    if return_vocab:
+        return merges, words
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    lowercase: bool = True,
+    emit_tokens: bool = False,
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge table: per document,
+    pre-tokenize into `BPE_PIECE_RE` pieces, split each piece to
+    characters, and apply the merges IN RANK ORDER (the training rewrite
+    order, so training-corpus tokenization reproduces the trainer's
+    final symbol state). Returns (id, n_bpe_tokens[, bpe_tokens]).
+
+    The hot path is one Arrow-batched pandas UDF (the merge table is a
+    broadcast-sized Python constant; each batch tokenizes in-process —
+    never row-at-a-time py4j). Map-side only: no shuffle, no driver
+    data."""
+    from pyspark.sql import types as T
+
+    piece_re = _re.compile(BPE_PIECE_RE)
+    rules = [tuple(m) for m in merges]
+
+    def _tok(piece: str) -> list:
+        syms = list(piece)
+        for a, b in rules:
+            if len(syms) < 2:
+                break
+            out = []
+            j = 0
+            n = len(syms)
+            while j < n:
+                if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf(
+        T.ArrayType(T.StringType()) if emit_tokens else T.LongType()
+    )
+    def bpe(texts: pd.Series) -> pd.Series:
+        vals = []
+        for t in texts:
+            if t is None:
+                vals.append([] if emit_tokens else 0)
+                continue
+            s = t.lower() if lowercase else t
+            toks: list = []
+            for piece in piece_re.findall(s):
+                toks.extend(_tok(piece))
+            vals.append(toks if emit_tokens else len(toks))
+        return pd.Series(vals)
+
+    out = [F.col(id_col)]
+    if emit_tokens:
+        out.append(bpe(F.col(text_col)).alias("bpe_tokens"))
+        return df.select(*out).withColumn(
+            "n_bpe_tokens", F.size("bpe_tokens").cast("long")
+        )
+    out.append(bpe(F.col(text_col)).alias("n_bpe_tokens"))
+    return df.select(*out)

@@ -1,0 +1,131 @@
+"""Corpus-scale BPE training/application (operators/tokenizer.py):
+pinned merges on the classic toy corpus, partition invariance, early
+stop, train/apply consistency, and compression on the real fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_anonymiser_spark.operators.tokenizer import (
+    apply_bpe,
+    train_bpe,
+    word_frequencies,
+)
+
+
+@pytest.fixture()
+def toy(spark):
+    # Sennrich et al.'s shape: low*5, lower*2, newest*3, wider*1
+    return spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower"),
+            (3, "newest newest newest"),
+            (4, "wider"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_toy_corpus_merges_pinned(spark, toy):
+    """First merges on the classic corpus: 'lo' wins (7 = low5 + lower2,
+    lexicographic tie-break vs 'ow' at 7... actually l+o and o+w both
+    occur 7 times — (l,o) < (o,w) so (l,o) merges first), then low,
+    then the -er/-est suffixes."""
+    merges = train_bpe(toy, "text", 8)
+    assert merges == [
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "r"),
+        ("e", "s"),
+        ("e", "w"),
+        ("es", "t"),
+        ("ew", "est"),
+        ("n", "ewest"),
+    ]
+
+
+def test_training_partition_invariant(spark, toy):
+    assert train_bpe(toy, "text", 6) == train_bpe(
+        toy.repartition(7), "text", 6
+    )
+
+
+def test_early_stop_on_min_pair_count(spark, toy):
+    # every pair in 'wider' alone occurs once; with min_pair_count high
+    # enough training stops before n_merges rounds
+    merges = train_bpe(toy, "text", 50, min_pair_count=2)
+    assert 0 < len(merges) < 50
+    # all returned merges were frequent enough: re-counting the first
+    # round's winner is >= 2 by construction; the list is deduplicated
+    assert len(set(merges)) == len(merges)
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe(toy, "text", -1)
+
+
+def test_train_apply_consistency_on_vocab(spark, toy):
+    """Tokenizing the training words with the learned table reproduces
+    the trainer's final symbol state — rank-order application IS the
+    training rewrite order."""
+    merges, vocab = train_bpe(toy, "text", 8, return_vocab=True)
+    words = vocab.selectExpr("word AS wid", "word AS text")
+    got = {
+        r["wid"]: list(r["bpe_tokens"])
+        for r in apply_bpe(words, "wid", "text", merges, emit_tokens=True).collect()
+    }
+    for r in vocab.collect():
+        assert got[r["word"]] == list(r["syms"])
+
+
+def test_apply_edges_null_empty_and_roundtrip(spark, toy):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "Hello, World 42!")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(toy, "text", 4)
+    out = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_tokens"]))
+        for r in apply_bpe(df, "doc_id", "text", merges, emit_tokens=True).collect()
+    }
+    assert out[1] == (0, []) and out[2] == (0, [])
+    n, toks = out[3]
+    assert n == len(toks) > 0
+    # round-trip: concatenating tokens restores the lowercased pieces
+    assert "".join(toks) == "hello,world42!"
+    # zero merges -> pure characters of the pieces
+    chars = apply_bpe(df, "doc_id", "text", [], emit_tokens=True).collect()
+    for r in chars:
+        assert all(len(t) == 1 for t in r["bpe_tokens"])
+
+
+def test_max_word_len_excluded_from_training_not_apply(spark):
+    mega = "x" * 500
+    docs = spark.createDataFrame(
+        [(1, f"{mega} {mega}"), (2, "ab ab ab")], "doc_id long, text string"
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs, "text").collect()}
+    assert mega not in wf and wf["ab"] == 3
+    merges = train_bpe(docs, "text", 2)
+    assert ("a", "b") in merges
+    # the megaword still tokenizes at apply time (chars + any merges)
+    n = (
+        apply_bpe(docs, "doc_id", "text", merges)
+        .where(F.col("doc_id") == 1)
+        .first()["n_bpe_tokens"]
+    )
+    assert n == 1000  # no 'xx' merge learned -> 2 x 500 chars
+
+
+def test_fixture_compression_improves_with_merges(spark, sf_dir):
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    m10 = train_bpe(docs, "text", 10)
+    m40 = train_bpe(docs, "text", 40)
+    assert m40[:10] == m10  # merge tables are prefixes of each other
+    tot = lambda ms: (
+        apply_bpe(docs, "doc_id", "text", ms)
+        .agg(F.sum("n_bpe_tokens"))
+        .first()[0]
+    )
+    t0, t10, t40 = tot([]), tot(m10), tot(m40)
+    assert t0 > t10 > t40  # every merge strictly reduces the token count
