@@ -79,6 +79,7 @@ HEADLINE = [
     "text_profile",
     "func_json",
     "mm_binary_meta",
+    "shard_export",
 ]
 
 
