@@ -1593,6 +1593,84 @@ class VersionedTable:
             or not e["path"].startswith(_DATA_DIR + "/")
         ]
 
+    def _align_schema(
+        self, df: DataFrame, cur, merge_schema: bool, op: str, carry: tuple = ()
+    ):
+        """Validate + align a write's frame against the logged schema
+        ``cur``; returns ``(df_aligned, evolved_schema | None)``. Shared
+        by append and MERGE (one rule set, no drift):
+
+        - type changes are always rejected;
+        - columns the table has but ``df`` lacks are NULL-backfilled;
+        - columns ``df`` adds are ADDITIVE evolution — only under
+          ``merge_schema=True`` (else a loud error), appended after the
+          table's fields (stable positions), with the column-mapping
+          collision check (a new column may not reuse a historical
+          physical name whose bytes belong to a different logical
+          column).
+
+        ``carry`` columns (MERGE's op column) ride through every
+        projection untouched and never participate in the comparison.
+        """
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        new_types = {
+            f.name: f.dataType
+            for f in df.schema.fields
+            if f.name not in carry
+        }
+        clash = [
+            c for c in cur_types if c in new_types and cur_types[c] != new_types[c]
+        ]
+        if clash:
+            raise ValueError(f"schema evolution cannot change column types: {clash}")
+        evolved_schema = None
+        if set(new_types) != set(cur_types):
+            if not merge_schema:
+                raise ValueError(
+                    f"{op} schema differs from table schema; pass "
+                    f"merge_schema=True to evolve (table-only: "
+                    f"{sorted(set(cur_types) - set(new_types))}, {op}-only: "
+                    f"{sorted(set(new_types) - set(cur_types))})"
+                )
+            missing = [
+                F.lit(None).cast(cur_types[c]).alias(c)
+                for c in cur_types
+                if c not in new_types
+            ]
+            df = df.select(*df.columns, *missing)
+            if set(new_types) - set(cur_types):
+                # additive evolution: the log's recorded schema advances —
+                # table columns first (stable positions), new ones appended
+                new_fields = [
+                    f
+                    for f in df.schema.fields
+                    if f.name not in cur_types and f.name not in carry
+                ]
+                if self._colmap:
+                    # column mapping active: a new column is written under
+                    # its own name (identity physical) — refuse names that
+                    # collide with another column's physical or a RETIRED
+                    # physical, where old files already hold bytes under
+                    # that name for a DIFFERENT logical column
+                    m = self._map()
+                    taken = {m.get(n, n) for n in cur_types} | set(
+                        self._colmap.get("retired") or []
+                    )
+                    clash2 = [f.name for f in new_fields if f.name in taken]
+                    if clash2:
+                        raise ValueError(
+                            f"new column(s) {clash2} collide with a "
+                            "historical physical column name (renamed or "
+                            "dropped earlier); choose different names"
+                        )
+                from pyspark.sql.types import StructType
+
+                evolved_schema = StructType(list(cur.fields) + new_fields)
+                df = df.select(
+                    *[f.name for f in evolved_schema.fields], *carry
+                )
+        return df, evolved_schema
+
     def append(
         self, df: DataFrame, merge_schema: bool = False, max_retries: int = 5
     ) -> int:
@@ -1621,55 +1699,7 @@ class VersionedTable:
         order)."""
         key_col = self.key_col()
         cur = self._log_schema() or self.snapshot().schema
-        cur_types = {f.name: f.dataType for f in cur.fields}
-        new_types = {f.name: f.dataType for f in df.schema.fields}
-        clash = [
-            c for c in cur_types if c in new_types and cur_types[c] != new_types[c]
-        ]
-        if clash:
-            raise ValueError(f"schema evolution cannot change column types: {clash}")
-        evolved_schema = None
-        if set(new_types) != set(cur_types):
-            if not merge_schema:
-                raise ValueError(
-                    "append schema differs from table schema; pass "
-                    f"merge_schema=True to evolve (table-only: "
-                    f"{sorted(set(cur_types) - set(new_types))}, append-only: "
-                    f"{sorted(set(new_types) - set(cur_types))})"
-                )
-            missing = [
-                F.lit(None).cast(cur_types[c]).alias(c)
-                for c in cur_types
-                if c not in new_types
-            ]
-            df = df.select(*df.columns, *missing)
-            if set(new_types) - set(cur_types):
-                # additive evolution: the log's recorded schema advances —
-                # table columns first (stable positions), new ones appended
-                new_fields = [
-                    f for f in df.schema.fields if f.name not in cur_types
-                ]
-                if self._colmap:
-                    # column mapping active: a new column is written under
-                    # its own name (identity physical) — refuse names that
-                    # collide with another column's physical or a RETIRED
-                    # physical, where old files already hold bytes under
-                    # that name for a DIFFERENT logical column
-                    m = self._map()
-                    taken = {m.get(n, n) for n in cur_types} | set(
-                        self._colmap.get("retired") or []
-                    )
-                    clash2 = [f.name for f in new_fields if f.name in taken]
-                    if clash2:
-                        raise ValueError(
-                            f"new column(s) {clash2} collide with a "
-                            "historical physical column name (renamed or "
-                            "dropped earlier); choose different names"
-                        )
-                from pyspark.sql.types import StructType
-
-                evolved_schema = StructType(list(cur.fields) + new_fields)
-                df = df.select(*[f.name for f in evolved_schema.fields])
+        df, evolved_schema = self._align_schema(df, cur, merge_schema, op="append")
         self._check_constraints(df)
         validated = cur.jsonValue()
         adds = _write_data_files(df, self.root, key_col,
@@ -1701,6 +1731,7 @@ class VersionedTable:
         op_col: str | None = None,
         not_matched_by_source: str | None = None,
         by_source_scope: dict[str, tuple] | None = None,
+        merge_schema: bool = False,
         meta: dict | None = None,
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
@@ -1766,6 +1797,19 @@ class VersionedTable:
         delete — SQL MERGE). Mutually exclusive with ``op_col`` (a CDC
         feed is a partial extract; "absent from batch" means nothing
         there).
+
+        ``merge_schema=True`` (round 9) is Delta's MERGE schema
+        evolution (``spark.databricks.delta.schema.autoMerge`` /
+        ``withSchemaEvolution()``): additive source columns advance the
+        logged schema IN THE SAME COMMIT as the merge (touched files are
+        rewritten with the new column, untouched files NULL-fill at scan
+        time — no historical rewrite), and target columns the source
+        lacks are NULL-backfilled into the source image. The rule set is
+        :meth:`_align_schema` — byte-identical to append's (type changes
+        always rejected; column-mapping physical-name collisions
+        refused). Without the flag, extra source columns are IGNORED and
+        missing ones error — Delta's updateAll/insertAll contract when
+        autoMerge is off.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -1788,6 +1832,17 @@ class VersionedTable:
             raise ValueError("table has no key_col; cannot merge")
         v = self.latest_version()
         entries = self._live_entries(v)
+
+        evolved_schema = None
+        if merge_schema:
+            cur = self._log_schema() or self.snapshot().schema
+            source, evolved_schema = self._align_schema(
+                source,
+                cur,
+                True,
+                op="merge",
+                carry=(op_col,) if op_col is not None else (),
+            )
 
         # one aggregate pass serves BOTH the duplicate-key contract check
         # and the skipping bounds (was two jobs; partial aggregation keeps
@@ -1883,6 +1938,13 @@ class VersionedTable:
             tgt = self._read_paths(
                 [e["path"] for e in touched], dv_map=self._dv_map(touched)
             )
+            if evolved_schema is not None:
+                # evolution: touched files are rewritten WITH the new
+                # columns (NULL for existing rows); untouched files
+                # NULL-fill at scan time under the evolved log schema
+                for f in evolved_schema.fields:
+                    if f.name not in tgt.columns:
+                        tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
             cols = tgt.columns
             # presence markers must not shadow real table columns (a user
             # table may legitimately own '_t'/'_s'; round-7 advice) —
@@ -2005,7 +2067,12 @@ class VersionedTable:
                 if op_col is not None
                 else source
             )
-            inserts = src.select(*self._empty_frame(v).columns)
+            ins_cols = (
+                [f.name for f in evolved_schema.fields]
+                if evolved_schema is not None
+                else self._empty_frame(v).columns
+            )
+            inserts = src.select(*ins_cols)
             if op_col is None and when_matched == "delete":
                 self._check_constraints(inserts)
             new_files += _write_data_files(
@@ -2020,6 +2087,9 @@ class VersionedTable:
             [e["path"] for e in touched],
             key_col,
             op="apply_changes" if op_col is not None else f"merge_{when_matched}",
+            schema=(
+                evolved_schema.jsonValue() if evolved_schema is not None else None
+            ),
             # Delta's operationMetrics slot, FREE metrics only (every
             # number below was already computed for the merge itself —
             # no extra job): source size, skip outcome, rewrite scope
@@ -2046,6 +2116,7 @@ class VersionedTable:
         source: DataFrame,
         op_col: str = "_op",
         skip_by: str = "range",
+        merge_schema: bool = False,
         meta: dict | None = None,
     ) -> int:
         """Delta Live Tables' ``APPLY CHANGES INTO`` — the CDC-apply
@@ -2057,8 +2128,17 @@ class VersionedTable:
         applies per micro-batch of another table's change feed
         (``streaming.pipeline.run_stream_replicate``): replaying the
         same collapsed batch is idempotent — upserts re-assert the same
-        images, deletes of absent keys no-op."""
-        return self.merge(source, skip_by=skip_by, op_col=op_col, meta=meta)
+        images, deletes of absent keys no-op. ``merge_schema=True``
+        lets the feed carry upstream ADDITIVE DDL (a replica following
+        its source's ALTER TABLE ADD COLUMN) — same one-commit
+        evolution as :meth:`merge`."""
+        return self.merge(
+            source,
+            skip_by=skip_by,
+            op_col=op_col,
+            merge_schema=merge_schema,
+            meta=meta,
+        )
 
     def update_where(
         self,

@@ -3505,3 +3505,69 @@ def test_merge_by_source_cdf_events(spark, table):
     assert by_type["update_preimage"] == [4]
     assert by_type["update_postimage"] == [4]
     assert by_type["insert"] == []
+
+
+def test_merge_schema_evolution_adds_column_in_same_commit(spark, table):
+    """merge_schema=True: an additive source column advances the logged
+    schema IN the merge commit — touched files carry it, untouched and
+    historical reads NULL-fill, and the next plain merge sees it as a
+    table column (Delta autoMerge)."""
+    src = spark.createDataFrame(
+        [(3, "upd3", -3.0, "gold"), (999, "new", 9.0, "silver")],
+        "k long, name string, v double, tier string",
+    )
+    # without the flag extra source columns are IGNORED (Delta's
+    # updateAll/insertAll contract when autoMerge is off)
+    table.merge(src)
+    assert table.snapshot().columns == ["k", "name", "v"]
+    v = table.merge(src, merge_schema=True)
+    snap = table.snapshot()
+    assert snap.columns == ["k", "name", "v", "tier"]
+    got = {r["k"]: (r["name"], r["tier"]) for r in snap.collect()}
+    assert got[3] == ("upd3", "gold") and got[999] == ("new", "silver")
+    assert got[0] == ("name0", None)  # untouched row NULL-fills
+    assert snap.count() == 21
+    # time travel below the evolution shows the OLD schema
+    assert table.snapshot(version=v - 1).columns == ["k", "name", "v"]
+    # and a later plain merge must now supply (or evolve past) 'tier'
+    nxt = spark.createDataFrame(
+        [(5, "u5", 1.0, None)], "k long, name string, v double, tier string"
+    )
+    table.merge(nxt)  # exact evolved schema: no flag needed
+    assert table.snapshot().where("k = 5").first()["tier"] is None
+
+
+def test_merge_schema_evolution_backfills_missing_source_cols(spark, table):
+    """Target columns the source lacks NULL-backfill into the source
+    image (update wipes v to NULL for matched keys; inserts carry NULL)."""
+    src = spark.createDataFrame([(4, "only-name4"), (777, "n777")], "k long, name string")
+    table.merge(src, merge_schema=True)
+    got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert got[4] == ("only-name4", None) and got[777] == ("n777", None)
+    assert got[6] == ("name6", 60.0)  # unmatched rows untouched
+
+
+def test_merge_schema_evolution_rejects_type_change(spark, table):
+    src = spark.createDataFrame([(1, "x", 5)], "k long, name string, v long")
+    with pytest.raises(ValueError, match="cannot change column types"):
+        table.merge(src, merge_schema=True)
+
+
+def test_apply_changes_schema_evolution_replica_follows_ddl(spark, tmp_path):
+    """A CDC replica following upstream ADD COLUMN: apply_changes with
+    merge_schema=True lands the widened feed batch and the evolution in
+    one commit; earlier replica rows NULL-fill."""
+    base = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "k long, name string"
+    )
+    t = VersionedTable.create(spark, tmp_path / "r", base, key_col="k")
+    feed = spark.createDataFrame(
+        [(2, "n2", "eu", "upsert"), (11, "n11", "us", "upsert"), (5, None, None, "delete")],
+        "k long, name string, region string, _op string",
+    )
+    t.apply_changes(feed, merge_schema=True)
+    snap = t.snapshot()
+    assert snap.columns == ["k", "name", "region"]
+    got = {r["k"]: r["region"] for r in snap.collect()}
+    assert got[2] == "eu" and got[11] == "us" and 5 not in got
+    assert got[0] is None and len(got) == 10
