@@ -584,6 +584,7 @@ def run_stream_replicate(
     select: tuple[str, ...] | None = None,
     compact_every: int | None = None,
     vacuum_retain: int | None = None,
+    evolve_schema: bool = True,
 ):
     """Cross-table CDC REPLICATION: tail ``src_root``'s change feed
     through ``format("versioned")`` with ``readChangeFeed=true`` and
@@ -627,6 +628,18 @@ def run_stream_replicate(
     maintenance knobs as ``run_stream_to_versioned`` — an indefinitely
     tailing replica accretes one apply commit per drained batch, so the
     same file-count/bytes bounding applies.
+
+    ``evolve_schema`` (round 9, default on): a FULL-mirror replica
+    (``select=None``) follows the source's additive DDL — after the
+    upstream ALTER TABLE ADD COLUMN fails the stream with its restart
+    instruction, the restarted stream's first widened batch lands via
+    ``apply_changes(merge_schema=True)``: replica schema advances in
+    that one commit, pre-DDL replica rows NULL-fill. Without it (or
+    under an explicit ``select`` projection, which FIXES the replica's
+    columns) the widened feed column would be silently dropped by the
+    merge's ignore-extra-columns contract — a mirror that quietly
+    diverges from its source is exactly the failure a replica exists to
+    prevent.
     """
     import json
     from pathlib import Path
@@ -708,6 +721,7 @@ def run_stream_replicate(
         delta = delta.select(*keep_cols, "_op")
         dst.apply_changes(
             delta, op_col="_op", skip_by="points",
+            merge_schema=evolve_schema and select is None,
             meta={"stream_epoch": batch_id},
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:

@@ -864,3 +864,53 @@ def test_cdf_diff_partitions_split_by_key_disjoint_groups(registered, tmp_path):
     }
     assert got == want
     assert len(got) == 100 and all(c == "delete" for c, *_ in got)
+
+
+def test_stream_replicate_follows_upstream_add_column(registered, tmp_path):
+    """A full-mirror replica follows upstream additive DDL: after the
+    source's ALTER TABLE ADD COLUMN (+ widened writes), the restarted
+    replication stream lands the widened batch via apply_changes
+    schema evolution — replica schema advances in one commit, pre-DDL
+    replica rows NULL-fill, and the mirror equality invariant holds."""
+    from database_anonymiser_spark.streaming.pipeline import run_stream_replicate
+
+    spark = registered
+    src_root, dst_root = tmp_path / "src", tmp_path / "dst"
+    ck = tmp_path / "ck"
+    t = VersionedTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(12)], "k long, name string"
+        ),
+        key_col="k",
+    )
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+    dst = VersionedTable(spark, dst_root)
+    assert dst.snapshot().columns == ["k", "name"]
+
+    # upstream DDL + widened churn (the add itself is metadata-only and
+    # feeds no rows; the merge after it carries the new column)
+    t.add_column("region", "string")
+    t.merge(
+        spark.createDataFrame(
+            [(3, "UPD", "eu"), (50, "new", "us")], "k long, name string, region string"
+        ),
+        when_matched="update",
+    )
+    run_stream_replicate(spark, str(src_root), str(dst_root), str(ck))
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert dst.snapshot().columns == ["k", "name", "region"]
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+    got = {r["k"]: r["region"] for r in dst.snapshot().collect()}
+    assert got[3] == "eu" and got[50] == "us" and got[0] is None
+
+    # a PROJECTED replica's columns are fixed: evolution never applies
+    sel_root, ck2 = tmp_path / "sel", tmp_path / "ck2"
+    run_stream_replicate(
+        spark, str(src_root), str(sel_root), str(ck2), select=("k", "name")
+    )
+    assert VersionedTable(spark, sel_root).snapshot().columns == ["k", "name"]
