@@ -2369,6 +2369,13 @@ class VersionedTable:
         )
         return v + 1
 
+    def restore_to_timestamp(self, timestamp: str) -> int:
+        """``RESTORE TABLE ... TO TIMESTAMP AS OF`` — the time axis of
+        :meth:`restore`: resolve through the clamp-correct
+        :meth:`version_at` (checkpoint-bisected effective times), then
+        commit the forward restore to that version's live set."""
+        return self.restore(self.version_at(timestamp))
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: commit a NEW version whose live file set is
         exactly ``version``'s — rollback as a forward, auditable operation
@@ -3014,6 +3021,7 @@ class VersionedTable:
         retain_versions: int | None = None,
         dry_run: bool = False,
         orphan_grace_s: float = 3600.0,
+        retain_hours: float | None = None,
     ) -> list[str]:
         """Reclaim dead data files. Two modes:
 
@@ -3046,9 +3054,47 @@ class VersionedTable:
         1 h — pass 0 only when the table provably has no concurrent
         writer, as the crash-cleanup tests do).
 
+        ``retain_hours`` (round 9 — Delta's ``VACUUM ... RETAIN N
+        HOURS``): the TIME axis of the same retention contract. The
+        window boundary resolves through the clamp-correct
+        :meth:`version_at` (checkpoint-bisected effective times — clock
+        skew cannot mis-place it), and every version committed inside
+        the window is retained exactly as if its count had been passed
+        as ``retain_versions`` (latest always kept). A cutoff older
+        than the whole history keeps everything; a log with no commit
+        timestamps at all rejects time-based retention loudly.
+        Mutually exclusive with ``retain_versions``.
+
         Returns the deleted (or, dry run, would-be-deleted) paths
         (relative to the table root)."""
         import time as _time
+
+        if retain_hours is not None:
+            if retain_versions is not None:
+                raise ValueError(
+                    "pass retain_versions or retain_hours, not both"
+                )
+            if retain_hours < 0:
+                raise ValueError("retain_hours must be >= 0")
+            from datetime import datetime, timedelta, timezone
+
+            cutoff_iso = (
+                datetime.now(timezone.utc) - timedelta(hours=retain_hours)
+            ).isoformat()
+            vs_all = self.versions()
+            try:
+                boundary = self.version_at(cutoff_iso)
+                retain_versions = max(
+                    1, sum(1 for v in vs_all if v > boundary)
+                )
+            except ValueError as e:
+                if "no commit timestamps" in str(e):
+                    raise ValueError(
+                        "time-based retention needs commit timestamps; "
+                        f"the log at {self.root} has none"
+                    ) from e
+                # cutoff precedes the first commit: whole history retained
+                retain_versions = len(vs_all)
 
         cutoff = _time.time() - max(orphan_grace_s, 0.0)
         if retain_versions is not None and retain_versions < 1:

@@ -3571,3 +3571,65 @@ def test_apply_changes_schema_evolution_replica_follows_ddl(spark, tmp_path):
     got = {r["k"]: r["region"] for r in snap.collect()}
     assert got[2] == "eu" and got[11] == "us" and 5 not in got
     assert got[0] is None and len(got) == 10
+
+
+def test_vacuum_retain_hours_resolves_to_version_window(spark, table):
+    """vacuum(retain_hours=H) keeps exactly the versions committed
+    inside the window (boundary via the clamp-correct version_at):
+    parity with the equivalent retain_versions call, dry-run first."""
+    import datetime as _dt
+    import database_anonymiser_spark.sources.versioned as V
+
+    # churn: 4 rewrite commits so old files become reclaimable
+    for i in range(4):
+        table.update_where({"v": F.col("v") + 1.0}, F.col("k") < 100)
+    # backdate commits: v0..v2 ten hours ago, v3 five hours ago, v4 now
+    now = _dt.datetime.now(_dt.timezone.utc)
+    ages_h = {0: 10, 1: 10, 2: 10, 3: 5, 4: 0}
+    for v, age in ages_h.items():
+        p = V._log_path(table.root, v)
+        rec = json.loads(p.read_text())
+        rec["ts"] = (now - _dt.timedelta(hours=age)).isoformat()
+        p.write_text(json.dumps(rec))
+
+    # window = 6h -> versions 3,4 inside -> retain_versions=2 parity
+    want = sorted(table.vacuum(retain_versions=2, dry_run=True))
+    got = sorted(table.vacuum(retain_hours=6, dry_run=True))
+    assert got == want and len(got) > 0
+    # window older than the whole history: nothing reclaimed
+    assert table.vacuum(retain_hours=1000, dry_run=True) == []
+    # real run: snapshot at the head still reads; pre-window time travel dies
+    table.vacuum(retain_hours=6, orphan_grace_s=0)
+    assert table.snapshot().count() == 20
+    with pytest.raises(Exception):
+        table.snapshot(version=0).count()
+    # validation
+    with pytest.raises(ValueError, match="not both"):
+        table.vacuum(retain_versions=2, retain_hours=1)
+    with pytest.raises(ValueError, match=">= 0"):
+        table.vacuum(retain_hours=-1)
+
+
+def test_vacuum_retain_hours_rejects_timestampless_log(spark, table):
+    import database_anonymiser_spark.sources.versioned as V
+
+    for v in table.versions():
+        p = V._log_path(table.root, v)
+        rec = json.loads(p.read_text())
+        rec.pop("ts", None)
+        p.write_text(json.dumps(rec))
+    with pytest.raises(ValueError, match="no.*timestamps|timestamps.*none"):
+        table.vacuum(retain_hours=1)
+
+
+def test_restore_to_timestamp(spark, table):
+    """RESTORE ... TO TIMESTAMP AS OF: forward-commits the version_at
+    resolution's live set."""
+    table.update_where({"v": F.lit(0.0)}, F.col("k") >= 0)
+    ts_after_v0 = table.history()[0]["ts"]
+    v = table.restore_to_timestamp(ts_after_v0)
+    assert v == table.latest_version()
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got[3] == 30.0  # original values back
+    # the wiped state stays time-travelable (forward restore)
+    assert table.snapshot(version=v - 1).where("v = 0.0").count() == 20
