@@ -155,6 +155,15 @@ def main():
             from tools.ann_probe import ann_recall_headline
 
             row["ann_recall"] = ann_recall_headline(spark, sf_dir)
+        # training-shard export lifecycle (round 9): write + verify
+        # walls and the structural counters (one file per shard,
+        # manifest totals). Fixed token budget per shard across scales:
+        # a 10x corpus should land ~10x shards in ~1 scan/shuffle.
+        from tools.storage_probe import shard_export_probe
+
+        ex_meta: dict = {}
+        ex_meta["rows"] = shard_export_probe(spark, sf_dir, ex_meta)
+        row["export_meta"] = ex_meta
         out[tag] = row
         print(f"# {tag}: {row}", file=sys.stderr)
 
