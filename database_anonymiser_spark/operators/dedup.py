@@ -121,6 +121,51 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def best_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    score_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quality-aware survivor selection: per ``key_cols`` group keep the
+    HIGHEST-``score_col`` row (ties → smallest ``id_col``) — what a real
+    curation pipeline wants from dedup ("of these duplicates, keep the
+    best copy"), where :func:`exact_dedup`'s min-id pick is arbitrary.
+
+    One aggregation, no window: the arg-max rides a struct
+    ``max(struct(score, -id, payload...))`` whose ordering is total and
+    deterministic, so partial (map-side) aggregation applies and the
+    shuffle carries ONE struct per (partition, group) — at 100 TB this
+    beats the row_number()-over-window formulation, which shuffles every
+    row to its group before ranking. NULL scores sort below every value
+    (they win only in an all-NULL group, where the id tie-break
+    decides — matching SQL's ``DESC NULLS LAST``). ``keep_cols`` payload
+    columns ride the struct and come back with the survivor.
+
+    Returns ``key_cols + [score_col, id_col, *keep_cols, dup_count]``.
+    """
+    payload = [F.col(c).alias(f"p_{c}") for c in keep_cols]
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("nid"),
+            *payload,
+        )
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(best.alias("_b"), F.count(F.lit(1)).alias("dup_count"))
+        .select(
+            *key_cols,
+            F.col("_b.s").alias(score_col),
+            (-F.col("_b.nid")).alias(id_col),
+            *[F.col(f"_b.p_{c}").alias(c) for c in keep_cols],
+            "dup_count",
+        )
+    )
+
+
 def normalized_text(text_col) -> F.Column:
     """Canonical form: lowercase, collapse whitespace, trim."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

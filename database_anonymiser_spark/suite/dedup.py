@@ -93,8 +93,20 @@ jac AS (
       SELECT 'line' AS method, coalesce(r.text, '') AS text, t.doc_id,
              t.n_lines - coalesce(r.kept_n, 0) AS n
       FROM tot t LEFT JOIN reasm r USING (doc_id)
+    ),
+    best_branch AS (
+      SELECT 'best' AS method, text, doc_id, n FROM (
+        SELECT text, doc_id,
+               CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n,
+               row_number() OVER (
+                 PARTITION BY lang, source
+                 ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+               ) AS rn
+        FROM documents
+      ) WHERE rn = 1
     )
     SELECT * FROM doc_branch UNION ALL SELECT * FROM line_branch
+    UNION ALL SELECT * FROM best_branch
     """,
     tags=("dedup",),
 )
@@ -118,7 +130,19 @@ def dedup_exact(spark, sf_dir):
         "doc_id",
         F.col("n_removed").alias("n"),
     )
-    return doc_branch.unionByName(line_branch)
+    # 'best' (round 9): quality-aware survivor selection — keep the
+    # LONGEST doc per (lang, source) group, ties -> smallest id
+    # (operators/dedup.py::best_dedup: single-aggregation struct argmax,
+    # no window; the oracle replays it as DESC NULLS LAST row_number)
+    best_branch = D.best_dedup(
+        docs, ["lang", "source"], "doc_id", "n_chars", keep_cols=("text",)
+    ).select(
+        F.lit("best").alias("method"),
+        "text",
+        "doc_id",
+        F.col("dup_count").cast("long").alias("n"),
+    )
+    return doc_branch.unionByName(line_branch).unionByName(best_branch)
 
 
 # dedup_fingerprint retired as a DECLARED entry (round 5 consolidation —

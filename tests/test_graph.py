@@ -99,3 +99,40 @@ def test_matches_union_find(spark, edges):
     want_min = {n: min(ns) for r, ns in by_root.items() for n in ns}
     got = _cc(spark, edges)
     assert got == want_min
+
+
+def test_best_dedup_argmax_semantics(spark):
+    """best_dedup: highest score wins, score ties -> smallest id, NULL
+    scores lose to any value (all-NULL group falls back to min id),
+    payload columns come back with the SURVIVOR's values."""
+    from database_anonymiser_spark.operators.dedup import best_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 5.0, "a"),
+            ("g1", 2, 9.0, "b"),   # winner: highest score
+            ("g1", 3, 9.0, "c"),   # same score, larger id -> loses
+            ("g2", 4, None, "d"),
+            ("g2", 5, 0.1, "e"),   # beats NULL
+            ("g3", 7, None, "f"),  # all-NULL group: min id wins
+            ("g3", 6, None, "g"),
+        ],
+        "grp string, id long, score double, payload string",
+    )
+    got = {
+        r["grp"]: (r["id"], r["score"], r["payload"], r["dup_count"])
+        for r in best_dedup(
+            df, ["grp"], "id", "score", keep_cols=("payload",)
+        ).collect()
+    }
+    assert got["g1"] == (2, 9.0, "b", 3)
+    assert got["g2"] == (5, 0.1, "e", 2)
+    assert got["g3"] == (6, None, "g", 2)
+    # partition invariance
+    got2 = {
+        r["grp"]: r["id"]
+        for r in best_dedup(
+            df.repartition(8), ["grp"], "id", "score", keep_cols=("payload",)
+        ).collect()
+    }
+    assert got2 == {g: v[0] for g, v in got.items()}

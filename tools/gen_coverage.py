@@ -53,7 +53,7 @@ MERGE_MAP = [
     ("func_json", "func_json + func_json_struct"),
     ("stream_windows", "stream_tumbling + stream_sliding + stream_watermark_late_drop (now in-plan + oracle-checked)"),
     ("tpch_q6_q14", "tpch_q6 + tpch_q14"),
-    ("dedup_exact", "whole-document exact dedup + cross-document line dedup (RefinedWeb-style boilerplate removal, round 4)"),
+    ("dedup_exact", "whole-document exact dedup + cross-document line dedup (RefinedWeb-style boilerplate removal, round 4) + quality-aware survivor selection ('best' variant, round 9)"),
     ("dedup_jaccard", "dedup_ngram_jaccard + dedup_jaccard_capped + dedup_clusters (connected components, round 3) + decontaminate (train/eval n-gram overlap, round 3)"),
     ("sim_topk_ann", "sim_topk_lsh + sim_topk_ivf + bulk knn_join branch (round 4, exact-decimal scores) + ivf_sq persisted-index branch + metadata-filtered search + product-quantization ADC branch (round 5)"),
     ("sim_topk_bruteforce", "sim_topk_bruteforce + int8-quantized top-k (compressed-domain scoring, round 3)"),
