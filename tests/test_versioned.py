@@ -3382,6 +3382,31 @@ def test_apply_changes_randomized_model_twin(spark, tmp_path):
         )
         if step % 3 == 2:
             t.compact()
+        if step % 4 == 3:
+            # FULL-SYNC merge (round 9): mirror the table onto a random
+            # complete extract — scoped to a random key band half the
+            # time (out-of-band model rows must survive)
+            ext = {
+                k: round(rng.uniform(0, 100), 3)
+                for k in rng.sample(range(25), rng.randint(3, 12))
+            }
+            scope = None
+            if rng.random() < 0.5:
+                lo = rng.randint(0, 12)
+                scope = {"k": (lo, lo + rng.randint(3, 12))}
+            src = spark.createDataFrame(list(ext.items()), "k long, v double")
+            t.merge(
+                src,
+                not_matched_by_source="delete",
+                by_source_scope=scope,
+            )
+            if scope is None:
+                model = dict(ext)
+            else:
+                lo, hi = scope["k"]
+                model = {
+                    k: v for k, v in model.items() if not (lo <= k <= hi)
+                } | ext
         got = {r["k"]: r["v"] for r in t.snapshot().collect()}
         assert got == model, f"step {step}"
 
