@@ -182,6 +182,10 @@ def export_training_shards(
 
         if out.exists():  # overwrite=True: swap, then drop the old tree
             old = out.parent / (out.name + ".old")
+            # a crashed prior overwrite can leave the .old tree behind;
+            # it is garbage by definition (its export already left `out`)
+            if old.exists():
+                shutil.rmtree(old)
             out.rename(old)
             staging.rename(out)
             shutil.rmtree(old)

@@ -112,6 +112,14 @@ def test_export_atomic_promote_and_overwrite(spark, docs, tmp_path):
     assert verify_shards(spark, str(out))["ok"]
     residue = [p.name for p in tmp_path.iterdir() if p.name != "e"]
     assert residue == []
+    # a crashed prior overwrite's leftover .old tree must not block the
+    # next overwrite (it is garbage: its export already left `out`)
+    (tmp_path / "e.old").mkdir()
+    (tmp_path / "e.old" / "junk").write_text("x")
+    m2 = export_training_shards(
+        docs, str(out), "doc_id", n_shards=3, overwrite=True
+    )
+    assert m2["total_rows"] == 500 and not (tmp_path / "e.old").exists()
 
 
 def test_verify_shards_detects_tamper(spark, docs, tmp_path):
