@@ -195,7 +195,7 @@ def _snapshot_state(root: str, version: int | None = None):
             f"version {version} does not exist at {root} "
             f"(have {versions[0]}..{versions[-1]})"
         )
-    live, key, _cons, schema, _stats, colmap = _replay(p, version)
+    live, key, _cons, schema, _stats, colmap, _props = _replay(p, version)
     if schema is None:
         raise ValueError(
             "versioned DataSource requires a logged schema (legacy table)"
@@ -704,7 +704,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         #: restart instruction instead of shipping misaligned Arrow
         #: batches — on restart the new head schema becomes the view.
         self._head_at_start = versions[-1]
-        _l, _k, _c, self._schema0, _s, self._colmap0 = _replay(
+        _l, _k, _c, self._schema0, _s, self._colmap0, _p = _replay(
             p, self._head_at_start
         )
         st = options.get("startingtimestamp")
@@ -774,7 +774,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # the batch's logical view is the STREAM-START schema (see
         # __init__); an interval-end schema that differs can only mean a
         # mid-stream evolution — fail with the restart contract
-        _live, _key, _cons, schema, _stats, colmap = _replay(p, b)
+        _live, _key, _cons, schema, _stats, colmap, _props = _replay(p, b)
         if schema is None:
             raise ValueError("streaming a legacy table without a logged schema")
         if b > self._head_at_start and (
@@ -1085,7 +1085,7 @@ def _writer_state(root: str, write_schema):
             f"no versioned table at {root}: create it first "
             "(VersionedTable.create) — the DataSource writer appends"
         )
-    _live, key_col, constraints, schema, stats_cols, colmap = _replay(
+    _live, key_col, constraints, schema, stats_cols, colmap, _props = _replay(
         p, versions[-1]
     )
     if constraints:

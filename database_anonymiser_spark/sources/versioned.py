@@ -266,6 +266,7 @@ def _replay(root: Path, upto: int):
     schema = None
     stats_cols: list = []
     colmap: dict = {}
+    props: dict = {}
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
@@ -276,6 +277,7 @@ def _replay(root: Path, upto: int):
         schema = cp.get("schema")
         stats_cols = list(cp.get("stats_cols") or [])
         colmap = dict(cp.get("column_mapping") or {})
+        props = dict(cp.get("properties") or {})
         start = cps[-1] + 1
     versions = _list_versions(root)
     for v in versions:
@@ -293,11 +295,13 @@ def _replay(root: Path, upto: int):
             constraints = dict(meta["constraints"])
         if "column_mapping" in meta:
             colmap = dict(meta["column_mapping"])
+        if "properties" in meta:
+            props = dict(meta["properties"])
         for path in rec["removes"]:
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
-    out = (live, key_col, constraints, schema, tuple(stats_cols), colmap)
+    out = (live, key_col, constraints, schema, tuple(stats_cols), colmap, props)
     # only memoize states whose version actually exists — a replay past
     # the log's end would otherwise pin a stale "latest"
     if upto in versions:
@@ -402,7 +406,7 @@ def _write_checkpoint(root: Path, version: int) -> None:
     """Materialize the full live state at ``version`` (atomic tmp+rename;
     content is a pure function of the log prefix, so concurrent writers of
     the same checkpoint version are harmless)."""
-    live, key_col, constraints, schema, stats_cols, colmap = _replay(
+    live, key_col, constraints, schema, stats_cols, colmap, props = _replay(
         root, version
     )
     ever_set, eff_ts = _checkpoint_aux(root, version)
@@ -423,6 +427,7 @@ def _write_checkpoint(root: Path, version: int) -> None:
             **({"column_mapping": colmap} if colmap else {}),
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+            **({"properties": props} if props else {}),
             "ever": ever,
             "live": list(live.values()),
         },
@@ -845,7 +850,7 @@ class VersionedTable:
 
     def _live_entries(self, version: int | None = None) -> list[dict]:
         upto = self.latest_version() if version is None else version
-        live, key_col, constraints, schema, stats_cols, colmap = _replay(
+        live, key_col, constraints, schema, stats_cols, colmap, _props = _replay(
             self.root, upto
         )
         self._key_col = key_col
@@ -1371,7 +1376,7 @@ class VersionedTable:
         if dst.versions():
             raise FileExistsError(f"versioned table already exists at {dst.root}")
         _replay_cache_invalidate(dst.root)
-        live, key_col, constraints, schema, stats_cols, colmap = _replay(
+        live, key_col, constraints, schema, stats_cols, colmap, _props = _replay(
             src.root, v
         )
         if schema is None and live:
@@ -2884,6 +2889,72 @@ class VersionedTable:
             meta={"constraints": cons},
         )
         return v + 1
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """Delta's ``ALTER TABLE SET TBLPROPERTIES``: merge ``props``
+        into the table's property map as a pure-metadata commit (no data
+        read or written). Properties are versioned exactly like the file
+        state — they replay through the same checkpoint-bounded walk, so
+        an as-of read sees the map as of that version — and are for
+        OPERATORS and tooling (owners, pipelines, retention policy
+        hints); the engine attaches no semantics to any key."""
+        merged = {**self.table_properties(), **{str(k): str(v) for k, v in props.items()}}
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="set_properties",
+            meta={"properties": merged},
+        )
+        return v + 1
+
+    def unset_properties(self, keys: "list[str] | tuple") -> int:
+        """``ALTER TABLE UNSET TBLPROPERTIES`` — absent keys no-op
+        (Delta's IF EXISTS behavior)."""
+        cur = dict(self.table_properties())
+        for k in keys:
+            cur.pop(str(k), None)
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="unset_properties",
+            meta={"properties": cur},
+        )
+        return v + 1
+
+    def table_properties(self, version: int | None = None) -> dict[str, str]:
+        """The property map as of ``version`` (default latest) — same
+        checkpoint-bounded replay as :meth:`constraints`."""
+        upto = self.latest_version() if version is None else version
+        return dict(_replay(self.root, upto)[6])
+
+    def detail(self) -> dict:
+        """Delta's ``DESCRIBE DETAIL`` — one dict of operational facts
+        about the CURRENT version: version, row/file counts, total data
+        bytes (one os.stat per live file — driver metadata, no scan),
+        key column, schema field names, Z-ORDER/stats clustering columns,
+        constraint + property maps, column-mapping state, and how many
+        live files carry deletion vectors or bloom sidecars."""
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        schema = self._log_schema()
+        n_bytes = 0
+        for e in entries:
+            try:
+                n_bytes += (self.root / e["path"]).stat().st_size
+            except OSError:
+                pass
+        return {
+            "version": v,
+            "num_files": len(entries),
+            "num_rows": sum(e.get("num_rows") or 0 for e in entries),
+            "size_bytes": n_bytes,
+            "key_col": self.key_col(),
+            "columns": [f.name for f in schema.fields] if schema else None,
+            "stats_cols": list(self._stats_cols or ()),
+            "constraints": dict(self.constraints()),
+            "properties": self.table_properties(),
+            "column_mapping": bool(self._colmap),
+            "files_with_dv": sum(1 for e in entries if e.get("dv")),
+            "files_with_bloom": sum(1 for e in entries if e.get("bloom")),
+        }
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """The constraint set as of ``version`` — replayed with the same

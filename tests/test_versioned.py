@@ -3658,3 +3658,39 @@ def test_restore_to_timestamp(spark, table):
     assert got[3] == 30.0  # original values back
     # the wiped state stays time-travelable (forward restore)
     assert table.snapshot(version=v - 1).where("v = 0.0").count() == 20
+
+
+def test_table_properties_versioned_and_checkpointed(spark, table):
+    """SET/UNSET TBLPROPERTIES: pure-metadata commits, versioned like
+    the file state, surviving a checkpoint + replay-cache wipe."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    assert table.table_properties() == {}
+    v1 = table.set_properties({"owner": "pipeline-a", "tier": "bronze"})
+    v2 = table.set_properties({"tier": "silver"})  # merge, not replace
+    assert table.table_properties() == {"owner": "pipeline-a", "tier": "silver"}
+    assert table.table_properties(version=v1) == {
+        "owner": "pipeline-a", "tier": "bronze"
+    }
+    assert table.table_properties(version=0) == {}
+    table.unset_properties(["owner", "absent-key"])  # IF EXISTS no-op
+    assert table.table_properties() == {"tier": "silver"}
+    # snapshot unaffected by the metadata commits
+    assert table.snapshot().count() == 20
+    # properties ride checkpoints: force one, wipe the memo, re-read
+    V._write_checkpoint(table.root, table.latest_version())
+    V._replay_cache_invalidate(table.root)
+    assert table.table_properties() == {"tier": "silver"}
+
+
+def test_describe_detail(spark, table):
+    table.set_properties({"tier": "gold"})
+    table.add_constraint("v_nonneg", "v >= 0")
+    d = table.detail()
+    assert d["version"] == table.latest_version()
+    assert d["num_rows"] == 20 and d["num_files"] >= 1
+    assert d["size_bytes"] > 0
+    assert d["key_col"] == "k" and d["columns"] == ["k", "name", "v"]
+    assert d["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["properties"] == {"tier": "gold"}
+    assert d["files_with_dv"] == 0 and d["column_mapping"] is False
