@@ -1316,7 +1316,19 @@ class VersionedTable:
         df: DataFrame,
         key_col: str,
         stats_cols: tuple = (),
+        generated: dict[str, str] | None = None,
     ) -> "VersionedTable":
+        """``generated`` (round 9 — Delta's ``GENERATED ALWAYS AS``,
+        which Delta likewise allows only at table creation):
+        ``{col: sql_expr}`` columns the WRITE PATH computes when a write
+        omits them and VALIDATES when a write supplies them. The
+        expressions live in the table's property map under
+        ``generated.<col>`` (replayed/checkpointed with everything
+        else), and enforcement is a CHECK constraint
+        ``<col> <=> (<expr>)`` auto-added at create — so every existing
+        write path (append, merge, update_where's rewrites) rejects a
+        divergent supplied value through the machinery it already runs,
+        with zero extra jobs when the column is simply computed."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
@@ -1324,12 +1336,60 @@ class VersionedTable:
         # old table's memoized replay states (round-7 advice); the per-hit
         # stat signature would also catch it, this makes it unconditional
         _replay_cache_invalidate(t.root)
+        gen = {str(c): str(e) for c, e in (generated or {}).items()}
+        meta = None
+        if gen:
+            for c, e in gen.items():
+                if c == key_col:
+                    raise ValueError("the key column cannot be generated")
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(e))
+            meta = {
+                "properties": {f"generated.{c}": e for c, e in gen.items()},
+                "constraints": {
+                    f"_gen_{c}": f"{c} <=> ({e})" for c, e in gen.items()
+                },
+            }
+            bad = df.where(
+                ~F.coalesce(
+                    F.expr(" AND ".join(f"{c} <=> ({e})" for c, e in gen.items())),
+                    F.lit(True),
+                )
+            ).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    "initial rows contradict a generated column expression"
+                )
         adds = _write_data_files(df, t.root, key_col, stats_cols=tuple(stats_cols))
         _commit(
             t.root, 0, adds, [], key_col, op="create",
             schema=df.schema.jsonValue(), stats_cols=tuple(stats_cols),
+            meta=meta,
         )
         return t
+
+    def generated_columns(self) -> dict[str, str]:
+        """{col: sql_expr} declared at create (empty when none)."""
+        pref = "generated."
+        return {
+            k[len(pref):]: v
+            for k, v in self.table_properties().items()
+            if k.startswith(pref)
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute generated columns a write omitted (supplied ones pass
+        through and are validated by their auto-constraint). A column
+        whose expression cannot resolve against ``df`` (e.g. a key-only
+        delete-merge source) is left absent — the write path that
+        actually needs it will fail loudly on its own."""
+        for c, e in self.generated_columns().items():
+            if c not in df.columns:
+                try:
+                    df = df.withColumn(c, F.expr(e))
+                except Exception:
+                    pass
+        return df
 
     @classmethod
     def clone(
@@ -1703,6 +1763,7 @@ class VersionedTable:
         schema never auto-retry (two concurrent evolutions need a human
         order)."""
         key_col = self.key_col()
+        df = self._apply_generated(df)
         cur = self._log_schema() or self.snapshot().schema
         df, evolved_schema = self._align_schema(df, cur, merge_schema, op="append")
         self._check_constraints(df)
@@ -1837,6 +1898,7 @@ class VersionedTable:
             raise ValueError("table has no key_col; cannot merge")
         v = self.latest_version()
         entries = self._live_entries(v)
+        source = self._apply_generated(source)
 
         evolved_schema = None
         if merge_schema:

@@ -3694,3 +3694,74 @@ def test_describe_detail(spark, table):
     assert d["constraints"] == {"v_nonneg": "v >= 0"}
     assert d["properties"] == {"tier": "gold"}
     assert d["files_with_dv"] == 0 and d["column_mapping"] is False
+
+
+def test_generated_columns_compute_validate_and_replay(spark, tmp_path):
+    """GENERATED ALWAYS AS (create-time only, like Delta): writes that
+    omit the column get it computed; writes that supply a divergent
+    value are rejected by the auto-constraint; the expressions replay
+    with the log (clone carries them; update_where rewrites are
+    validated)."""
+    from database_anonymiser_spark.sources.versioned import ConstraintViolation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, amount double"
+    )
+    t = VersionedTable.create(
+        spark, tmp_path / "t", df, key_col="k",
+        generated={"amount_cents": "CAST(amount * 100 AS BIGINT)"},
+    )
+    got = {r["k"]: r["amount_cents"] for r in t.snapshot().collect()}
+    assert got == {1: 1000, 2: 2000}
+    assert t.generated_columns() == {
+        "amount_cents": "CAST(amount * 100 AS BIGINT)"
+    }
+
+    # append WITHOUT the column: computed
+    t.append(spark.createDataFrame([(3, 1.5)], "k long, amount double"))
+    assert t.snapshot().where("k = 3").first()["amount_cents"] == 150
+    # append WITH a correct value: accepted; divergent: rejected
+    t.append(
+        spark.createDataFrame(
+            [(4, 2.0, 200)], "k long, amount double, amount_cents bigint"
+        )
+    )
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(5, 2.0, 999)], "k long, amount double, amount_cents bigint"
+            )
+        )
+    # merge without the column: computed for updates AND inserts
+    t.merge(
+        spark.createDataFrame([(1, 99.0), (9, 3.0)], "k long, amount double"),
+        when_matched="update",
+    )
+    got = {r["k"]: r["amount_cents"] for r in t.snapshot().collect()}
+    assert got[1] == 9900 and got[9] == 300
+    # update_where that breaks the invariant is rejected (no silent drift)
+    with pytest.raises(ConstraintViolation):
+        t.update_where({"amount": F.col("amount") + 1.0}, "k = 2")
+    # updating both together passes
+    t.update_where(
+        {
+            "amount": F.col("amount") + 1.0,
+            "amount_cents": F.expr("CAST((amount + 1.0) * 100 AS BIGINT)"),
+        },
+        "k = 2",
+    )
+    assert t.snapshot().where("k = 2").first()["amount_cents"] == 2100
+    # key column cannot be generated
+    with pytest.raises(ValueError, match="key column"):
+        VersionedTable.create(
+            spark, tmp_path / "bad", df, key_col="k", generated={"k": "k + 1"}
+        )
+    # initial rows contradicting the expression are rejected
+    with pytest.raises(ConstraintViolation):
+        VersionedTable.create(
+            spark,
+            tmp_path / "bad2",
+            df.withColumn("amount_cents", F.lit(7).cast("bigint")),
+            key_col="k",
+            generated={"amount_cents": "CAST(amount * 100 AS BIGINT)"},
+        )
