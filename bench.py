@@ -533,6 +533,19 @@ def main():
                     "7.08/7.04s, sim bands overlap and flip sign with run "
                     "order; operator code byte-identical - machine drift, "
                     "no code regression",
+                    # round-9 CONTINUATION: the headline list gains
+                    # shard_export (the 51st declared entry) and the
+                    # export lifecycle side dict; storage_churn /
+                    # txn_fanout COMMIT_READS each read higher than the
+                    # mid-round README table (45->54; [2,4,6]->[4,6,8])
+                    # because transaction witness scans now increment
+                    # the counter - verified IDENTICAL on the
+                    # pre-continuation tip, still constant across
+                    # sf0.01/0.1/1:
+                    "r9_continuation": "headline +shard_export; "
+                    "commit_reads counting now includes txn witness "
+                    "scans (constant across scales; no extra reads - "
+                    "A/B'd vs pre-continuation tip)",
                     # round 9 content changes - NOT comparable 1:1 with r8:
                     "r9_non_comparable": "sim_cosine_pairs gains the "
                     "'assign' k-means branch (+~0.7s: 2 trainer jobs + 1 "

@@ -157,3 +157,20 @@ def test_curate_then_export_composition(spark, sf_dir, tmp_path):
     assert m["total_rows"] == rows
     assert sum(s["n_tokens"] for s in m["shards"].values()) == tokens
     assert verify_shards(spark, str(out)) == {"ok": True, "mismatched": []}
+
+
+def test_export_crash_leaves_no_staging_or_out(spark, docs, tmp_path, monkeypatch):
+    """A failure mid-export (here: the manifest aggregate) must leave
+    NEITHER a partial out_dir NOR a staging residue — the atomic-promote
+    contract under crash."""
+    import database_anonymiser_spark.operators.export as E
+
+    def boom(cols):
+        raise RuntimeError("mid-export failure")
+
+    monkeypatch.setattr(E, "_row_checksum", boom)
+    out = tmp_path / "x"
+    with pytest.raises(RuntimeError, match="mid-export"):
+        export_training_shards(docs, str(out), "doc_id", n_shards=3)
+    assert not out.exists()
+    assert list(tmp_path.iterdir()) == []
