@@ -505,3 +505,42 @@ def test_versioned_update_delete_match_python_twin(spark, tmp_path_factory, rows
         if not (v is not None and v < thresh and k <= 100)
     }
     assert got2 == want2
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs")
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(0, 12),
+)
+@FAST
+def test_bpe_roundtrip_and_determinism_property(spark, texts, n_merges):
+    """For ANY corpus: (a) training is deterministic under repartition;
+    (b) tokenizing with the learned table round-trips — concatenating a
+    doc's tokens equals the concatenation of its lowercased regex
+    pieces; (c) every token is non-empty."""
+    import re
+
+    from database_anonymiser_spark.operators.text import BPE_PIECE_RE
+    from database_anonymiser_spark.operators.tokenizer import apply_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, "text", n_merges)
+    assert merges == train_bpe(df.repartition(5), "text", n_merges)
+    piece_re = re.compile(BPE_PIECE_RE)
+    got = apply_bpe(df, "doc_id", "text", merges, emit_tokens=True).collect()
+    for r in got:
+        toks = list(r["bpe_tokens"])
+        assert all(toks), toks
+        want = "".join(piece_re.findall(texts[r["doc_id"]].lower()))
+        assert "".join(toks) == want
