@@ -1317,6 +1317,9 @@ class VersionedTable:
         key_col: str,
         stats_cols: tuple = (),
         generated: dict[str, str] | None = None,
+        identity_col: str | None = None,
+        identity_start: int = 1,
+        identity_step: int = 1,
     ) -> "VersionedTable":
         """``generated`` (round 9 — Delta's ``GENERATED ALWAYS AS``,
         which Delta likewise allows only at table creation):
@@ -1328,7 +1331,24 @@ class VersionedTable:
         ``<col> <=> (<expr>)`` auto-added at create — so every existing
         write path (append, merge, update_where's rewrites) rejects a
         divergent supplied value through the machinery it already runs,
-        with zero extra jobs when the column is simply computed."""
+        with zero extra jobs when the column is simply computed.
+
+        ``identity_col`` (round 9 — Delta's ``GENERATED ALWAYS AS
+        IDENTITY``, likewise creation-time only): a surrogate-key column
+        the engine allocates. Ids are unique and ≥ ``identity_start``,
+        advancing by ``identity_step``, but NOT contiguous (Delta makes
+        the same non-promise): each write assigns
+        ``next + monotonically_increasing_id() · step`` — task-local
+        counters under partition-id bases, one map-side expression, no
+        shuffle, no coordination — and the commit advances
+        ``identity.next`` past the write's FOOTER-STATS maximum (driver
+        metadata arithmetic; the column auto-joins ``stats_cols``).
+        Writes may never SUPPLY the column (ALWAYS semantics); allocation
+        runs on create and append — a MERGE whose inserts would need
+        fresh ids must route through append or pre-assign keys (error
+        says so). A blind append that allocated ids refuses the OCC
+        auto-retry (the winner may have used the same range; the caller
+        re-reads and re-allocates)."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
@@ -1360,13 +1380,85 @@ class VersionedTable:
                 raise ConstraintViolation(
                     "initial rows contradict a generated column expression"
                 )
-        adds = _write_data_files(df, t.root, key_col, stats_cols=tuple(stats_cols))
+        stats_cols = tuple(stats_cols)
+        if identity_col is not None:
+            if identity_col in df.columns:
+                raise ValueError(
+                    f"identity column {identity_col!r} is GENERATED ALWAYS; "
+                    "the initial frame cannot supply it"
+                )
+            if identity_step < 1:
+                raise ValueError("identity_step must be >= 1")
+            df = df.withColumn(
+                identity_col,
+                (
+                    F.lit(int(identity_start))
+                    + F.monotonically_increasing_id() * F.lit(int(identity_step))
+                ).cast("long"),
+            )
+            if identity_col != key_col and identity_col not in stats_cols:
+                stats_cols = stats_cols + (identity_col,)
+        adds = _write_data_files(df, t.root, key_col, stats_cols=stats_cols)
+        if identity_col is not None:
+            hi = int(identity_start)
+            for e in adds:
+                m = (e.stats or {}).get(identity_col)
+                if m is None and identity_col == key_col:
+                    m = [e.key_min, e.key_max]
+                if m is not None and m[1] is not None:
+                    hi = max(hi, int(m[1]))
+            meta = dict(meta or {})
+            props = dict(meta.get("properties") or {})
+            props.update(
+                {
+                    "identity.col": identity_col,
+                    "identity.step": str(int(identity_step)),
+                    "identity.next": str(hi + int(identity_step)),
+                }
+            )
+            meta["properties"] = props
         _commit(
             t.root, 0, adds, [], key_col, op="create",
-            schema=df.schema.jsonValue(), stats_cols=tuple(stats_cols),
+            schema=df.schema.jsonValue(), stats_cols=stats_cols,
             meta=meta,
         )
         return t
+
+    def identity_column(self) -> "tuple[str, int, int] | None":
+        """(col, step, next) of the table's identity column, or None."""
+        p = self.table_properties()
+        if "identity.col" not in p:
+            return None
+        return (
+            p["identity.col"],
+            int(p.get("identity.step", "1")),
+            int(p.get("identity.next", "1")),
+        )
+
+    def _allocate_identity(self, adds: list) -> dict | None:
+        """Identity bookkeeping for a write that ALLOCATED ids: derive the
+        new high-water from the written files' FOOTER STATS (driver
+        metadata arithmetic — no second data scan, and immune to the
+        non-determinism of re-evaluating the assignment plan) and return
+        the properties meta advancing ``identity.next``."""
+        ident = self.identity_column()
+        if ident is None:
+            return None
+        col, step, _nxt = ident
+        pcol = self._phys(col)
+        hi = None
+        for e in adds:
+            st = e.stats or {}
+            m = st.get(pcol) or st.get(col)
+            if m is not None and m[1] is not None:
+                hi = int(m[1]) if hi is None else max(hi, int(m[1]))
+            elif col == self._key_col and e.key_max is not None:
+                hi = int(e.key_max) if hi is None else max(hi, int(e.key_max))
+        if hi is None:
+            return None  # empty write: high-water unchanged
+        props = dict(self.table_properties())
+        props["identity.next"] = str(hi + step)
+        return {"properties": props}
 
     def generated_columns(self) -> dict[str, str]:
         """{col: sql_expr} declared at create (empty when none)."""
@@ -1763,6 +1855,22 @@ class VersionedTable:
         schema never auto-retry (two concurrent evolutions need a human
         order)."""
         key_col = self.key_col()
+        ident = self.identity_column()
+        id_meta = None
+        if ident is not None:
+            icol, istep, inext = ident
+            if icol in df.columns:
+                raise ValueError(
+                    f"identity column {icol!r} is GENERATED ALWAYS; "
+                    "writes cannot supply it"
+                )
+            df = df.withColumn(
+                icol,
+                (
+                    F.lit(inext)
+                    + F.monotonically_increasing_id() * F.lit(istep)
+                ).cast("long"),
+            )
         df = self._apply_generated(df)
         cur = self._log_schema() or self.snapshot().schema
         df, evolved_schema = self._align_schema(df, cur, merge_schema, op="append")
@@ -1771,6 +1879,8 @@ class VersionedTable:
         adds = _write_data_files(df, self.root, key_col,
                                  stats_cols=self._stats_cols,
                                  colmap=self._colmap)
+        if ident is not None:
+            id_meta = self._allocate_identity(adds)
         for attempt in range(max_retries + 1):
             v = self.latest_version() + 1
             try:
@@ -1778,10 +1888,17 @@ class VersionedTable:
                     self.root, v, adds, [], key_col, op="append",
                     schema=evolved_schema.jsonValue()
                     if evolved_schema is not None else None,
+                    meta=id_meta,
                 )
                 return v
             except VersionConflict:
-                if attempt == max_retries or evolved_schema is not None:
+                # identity allocation also refuses the blind rebase: the
+                # winning commit may have consumed the same id range
+                if (
+                    attempt == max_retries
+                    or evolved_schema is not None
+                    or id_meta is not None
+                ):
                     raise
                 now = self._log_schema()
                 if now is not None and now.jsonValue() != validated:
@@ -1899,6 +2016,18 @@ class VersionedTable:
         v = self.latest_version()
         entries = self._live_entries(v)
         source = self._apply_generated(source)
+        ident = self.identity_column()
+        if ident is not None and ident[0] not in source.columns:
+            # a pure delete-merge needs no row images, so no ids; any
+            # other shape would have to allocate inside the join - route
+            # ingest through append (which allocates) or pre-assign keys
+            if op_col is not None or insert_not_matched or when_matched == "update":
+                raise ValueError(
+                    f"merge source lacks identity column {ident[0]!r}; "
+                    "MERGE does not allocate identity values - append new "
+                    "rows (allocation happens there) or supply the column "
+                    "with existing ids"
+                )
 
         evolved_schema = None
         if merge_schema:

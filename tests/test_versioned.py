@@ -3765,3 +3765,60 @@ def test_generated_columns_compute_validate_and_replay(spark, tmp_path):
             key_col="k",
             generated={"amount_cents": "CAST(amount * 100 AS BIGINT)"},
         )
+
+
+def test_identity_column_allocation_and_always_semantics(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: create + append allocate unique
+    ids >= start on the step grid; supplying the column is rejected;
+    the high-water survives restarts (it lives in the commit log);
+    merges of existing rows keep their ids, and a merge that would
+    need fresh ids without them errors with guidance."""
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(40)], "name string"
+    )
+    t = VersionedTable.create(
+        spark, tmp_path / "t", df.repartition(4), key_col="sk",
+        identity_col="sk", identity_start=100, identity_step=2,
+    )
+
+    def ids():
+        return [r["sk"] for r in t.snapshot().select("sk").collect()]
+
+    first = ids()
+    assert len(first) == len(set(first)) == 40
+    assert min(first) >= 100 and all((i - 100) % 2 == 0 for i in first)
+
+    # append allocates PAST everything before (fresh handle: the
+    # high-water must come from the log, not object state)
+    t2 = VersionedTable(spark, tmp_path / "t")
+    t2.append(spark.createDataFrame([(f"v{i}",) for i in range(10)], "name string"))
+    after = [r["sk"] for r in t2.snapshot().select("sk").collect()]
+    assert len(after) == len(set(after)) == 50
+    assert min(set(after) - set(first)) > max(first)
+
+    # ALWAYS: supplying the column is rejected on create and append
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t2.append(
+            spark.createDataFrame([(1, "x")], "sk long, name string")
+        )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        VersionedTable.create(
+            spark, tmp_path / "bad",
+            spark.createDataFrame([(1, "x")], "sk long, name string"),
+            key_col="sk", identity_col="sk",
+        )
+    with pytest.raises(ValueError, match="identity_step"):
+        VersionedTable.create(
+            spark, tmp_path / "bad2", df, key_col="sk",
+            identity_col="sk", identity_step=0,
+        )
+
+    # merge with EXISTING ids updates in place; without ids it refuses
+    one = t2.snapshot().limit(1).collect()[0]
+    t2.merge(
+        spark.createDataFrame([(one["sk"], "RENAMED")], "sk long, name string"),
+        when_matched="update",
+    )
+    assert t2.snapshot().where(F.col("sk") == one["sk"]).first()["name"] == "RENAMED"
+    with pytest.raises(ValueError, match="does not allocate identity"):
+        t2.merge(spark.createDataFrame([("w",)], "name string"))
