@@ -1094,6 +1094,15 @@ def _writer_state(root: str, write_schema):
             "not supported (no executor-side validator) — use the "
             "foreachBatch merge sink"
         )
+    if (_props or {}).get("identity.col"):
+        # generated columns are already refused via their auto-constraint;
+        # identity has none, so refuse explicitly — this writer appends
+        # frames verbatim and must not accept user-supplied ids
+        raise ValueError(
+            "DataSource writes into a table with an identity column are "
+            "not supported (no executor-side allocation) — use "
+            "VersionedTable.append, which allocates"
+        )
     if schema is None:
         raise ValueError("DataSource writer requires a logged schema")
     logical = StructType.fromJson(schema)

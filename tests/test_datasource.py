@@ -914,3 +914,28 @@ def test_stream_replicate_follows_upstream_add_column(registered, tmp_path):
         spark, str(src_root), str(sel_root), str(ck2), select=("k", "name")
     )
     assert VersionedTable(spark, sel_root).snapshot().columns == ["k", "name"]
+
+
+def test_datasource_writer_refuses_identity_tables(registered, tmp_path):
+    """The DataSource writer appends frames verbatim, so a table whose
+    identity column the engine must allocate refuses it with guidance
+    (generated columns are already refused via their auto-constraint)."""
+    spark = registered
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([("a",), ("b",)], "name string"),
+        key_col="sk",
+        identity_col="sk",
+    )
+    df = t.snapshot()
+    with pytest.raises(Exception, match="identity column"):
+        (
+            df.write.format("versioned")
+            .option("path", str(tmp_path / "t"))
+            .mode("append")
+            .save()
+        )
+    # the supported path allocates fine
+    t.append(spark.createDataFrame([("c",)], "name string"))
+    assert t.snapshot().count() == 3
