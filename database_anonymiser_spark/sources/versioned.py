@@ -1571,6 +1571,12 @@ class VersionedTable:
             meta["column_mapping"] = dict(colmap)
         if constraints:
             meta["constraints"] = dict(constraints)
+        if _props:
+            # properties travel — including generated./identity. entries,
+            # so a clone keeps computing, validating, and allocating
+            # exactly like its source (identity ranges diverge after the
+            # fork, which is fine: the clone is a new table)
+            meta["properties"] = dict(_props)
         _commit(
             dst.root, 0, adds, [], key_col, op="clone",
             meta=meta, schema=schema, stats_cols=stats_cols,

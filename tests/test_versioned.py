@@ -3822,3 +3822,32 @@ def test_identity_column_allocation_and_always_semantics(spark, tmp_path):
     assert t2.snapshot().where(F.col("sk") == one["sk"]).first()["name"] == "RENAMED"
     with pytest.raises(ValueError, match="does not allocate identity"):
         t2.merge(spark.createDataFrame([("w",)], "name string"))
+
+
+def test_clone_carries_properties_generated_identity(spark, tmp_path):
+    """CLONE forwards the property map — TBLPROPERTIES, generated
+    expressions, and the identity state all keep working on the fork
+    (identity ranges diverge after it: the clone is a new table)."""
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "src",
+        spark.createDataFrame([("a", 2.0)], "name string, amount double"),
+        key_col="sk",
+        identity_col="sk",
+        generated={"cents": "CAST(amount * 100 AS BIGINT)"},
+    )
+    t.set_properties({"tier": "gold"})
+    c = VersionedTable.clone(spark, tmp_path / "src", tmp_path / "dst")
+    assert c.table_properties()["tier"] == "gold"
+    assert c.generated_columns() == {"cents": "CAST(amount * 100 AS BIGINT)"}
+    assert c.identity_column() is not None
+    c.append(spark.createDataFrame([("b", 3.0)], "name string, amount double"))
+    rows = {r["name"]: (r["sk"], r["cents"]) for r in c.snapshot().collect()}
+    assert rows["b"][1] == 300  # generated computed on the clone
+    assert rows["b"][0] > rows["a"][0]  # identity allocated past the fork
+    with pytest.raises(Exception):
+        c.append(
+            spark.createDataFrame(
+                [("x", 1.0, 999)], "name string, amount double, cents bigint"
+            )
+        )  # divergent generated value still rejected on the clone
