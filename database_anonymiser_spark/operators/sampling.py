@@ -271,3 +271,40 @@ def token_budget_sample(
         )
         .drop("_cum", "_budget")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """DOMAIN CAPPING: keep at most ``k`` rows per ``group_col``, the
+    highest-``score_col`` ones (ties → smallest ``id_col``) — the
+    per-domain contribution cap every web-corpus recipe applies so one
+    prolific source cannot dominate the mixture (C4 caps pages per
+    domain; Gopher/RefinedWeb cap by registered domain).
+
+    One rank window: the shuffle carries each group's rows to one
+    reducer where the rank is a streaming pass over the sort — no
+    per-group buffering of more than the sort machinery itself (Spark
+    windows spill), and at 100 TB the alternative collect_list-then-trim
+    aggregation would buffer whole groups in memory, so the window IS
+    the scale-safe shape here (contrast :func:`~database_anonymiser_spark
+    .operators.dedup.best_dedup`, whose k=1 case collapses to a struct
+    argmax with map-side partials). Skewed domains are bounded by the
+    cap itself: output ≤ k·|groups| regardless of input skew.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

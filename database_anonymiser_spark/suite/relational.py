@@ -80,6 +80,15 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
         FROM customer WHERE c_name IS NOT NULL
       )
     ) WHERE budget IS NULL OR cum - cost < budget
+    UNION ALL
+    SELECT 'domain_cap' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+             ) AS rn
+      FROM customer
+    ) WHERE rn <= 9
     """,
     tags=("scan", "filter", "sample"),
 )
@@ -112,6 +121,11 @@ def sample_scan(spark, sf_dir):
     aggregate, then mixture_sample's md5-bucket filter under its own
     salt; the oracle recomputes the counts, the capped micro-rate (same
     double op order: divide, cap, x1e6, round) and the bucket filter.
+    'domain_cap' (round 9, operators/sampling.py::cap_per_group) is
+    the per-domain contribution cap (the C4/Gopher/RefinedWeb
+    pages-per-domain rule): the 9 highest-balance customers per market
+    segment, ties -> smallest key; one rank window, output bounded by
+    k x |groups| regardless of skew.
     'budget' is token-budget sampling (round 4,
     operators/sampling.py::token_budget_sample) — the form real
     pretraining mixtures are specified in (tokens per source): admit docs
@@ -167,12 +181,23 @@ def sample_scan(spark, sf_dir):
         {"BUILDING": 400, "AUTOMOBILE": 200},
         default_budget=None,
     ).select(F.lit("budget").alias("kind"), "c_custkey", "c_name")
+    # 'domain_cap' (round 9, operators/sampling.py::cap_per_group): the
+    # per-domain contribution cap (C4/Gopher cap pages per domain) — keep
+    # the 9 highest-balance customers per market segment, ties -> min key
+    capped = SA.cap_per_group(
+        df.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        "c_mktsegment",
+        "c_acctbal",
+        9,
+        "c_custkey",
+    ).select(F.lit("domain_cap").alias("kind"), "c_custkey", "c_name")
     return (
         head.unionByName(sampled)
         .unionByName(mixed)
         .unionByName(stratified)
         .unionByName(balanced)
         .unionByName(budgeted)
+        .unionByName(capped)
     )
 
 

@@ -136,3 +136,26 @@ def test_best_dedup_argmax_semantics(spark):
         ).collect()
     }
     assert got2 == {g: v[0] for g, v in got.items()}
+
+
+def test_cap_per_group_semantics(spark):
+    """cap_per_group: top-k by score per group, ties -> smallest id,
+    NULLs last; groups smaller than k pass whole; k validated."""
+    from database_anonymiser_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 9.0), ("a", 4, None),
+            ("b", 5, 1.0),
+        ],
+        "grp string, id long, score double",
+    )
+    got = sorted(
+        (r["grp"], r["id"])
+        for r in cap_per_group(df, "grp", "score", 2, "id").collect()
+    )
+    assert got == [("a", 2), ("a", 3), ("b", 5)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        cap_per_group(df, "grp", "score", 0, "id")
