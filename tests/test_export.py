@@ -174,3 +174,55 @@ def test_export_crash_leaves_no_staging_or_out(spark, docs, tmp_path, monkeypatc
         export_training_shards(docs, str(out), "doc_id", n_shards=3)
     assert not out.exists()
     assert list(tmp_path.iterdir()) == []
+
+
+def test_full_pretraining_pipeline_composition(spark, sf_dir, tmp_path):
+    """The COMPLETE pretraining data flow on the real fixture, every
+    seam real: curate the corpus -> train a BPE table on the survivors
+    -> tokenize with it (real token counts, not the whitespace proxy)
+    -> greedily pack into training sequences -> export token-sized
+    shards -> re-verify the landed export. Token totals are conserved
+    end-to-end and no packed sequence exceeds the budget unless it is
+    a single oversized document."""
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.operators.text import pack_sequences
+    from database_anonymiser_spark.operators.tokenizer import apply_bpe, train_bpe
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        docs, min_tokens=5, near_dedup=False, decontam_n=None
+    ).select("doc_id", "text")
+
+    merges = train_bpe(curated, "text", 25)
+    assert len(merges) == 25
+    counted = apply_bpe(curated, "doc_id", "text", merges)
+    sized = curated.join(counted, "doc_id")
+    total_tokens = sized.agg(F.sum("n_bpe_tokens")).first()[0]
+    assert total_tokens > 0
+
+    budget = 512
+    packed = pack_sequences(sized, "doc_id", "n_bpe_tokens", budget=budget)
+    # packing conserves docs and tokens; bins respect the budget unless
+    # a single doc overflows it alone
+    assert packed.count() == sized.count()
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+    )
+    bad = per_seq.where((F.col("t") > budget) & (F.col("n") > 1)).count()
+    assert bad == 0
+
+    enriched = sized.join(
+        packed.select("doc_id", "seq_id", "seq_pos"), "doc_id"
+    )
+    out = tmp_path / "shards"
+    m = export_training_shards(
+        enriched,
+        str(out),
+        "doc_id",
+        tokens_per_shard=max(1, total_tokens // 5),
+        n_tokens_col="n_bpe_tokens",
+    )
+    assert m["total_rows"] == sized.count()
+    assert sum(s["n_tokens"] for s in m["shards"].values()) == total_tokens
+    assert verify_shards(spark, str(out)) == {"ok": True, "mismatched": []}
