@@ -3851,3 +3851,48 @@ def test_clone_carries_properties_generated_identity(spark, tmp_path):
                 [("x", 1.0, 999)], "name string, amount double, cents bigint"
             )
         )  # divergent generated value still rejected on the clone
+
+
+def test_merge_evolution_with_by_source_and_cdf_exactness(spark, table):
+    """Interplays: (a) merge_schema + not_matched_by_source compose in
+    one commit; (b) the change feed across an EVOLVING merge emits
+    events ONLY for truly changed rows — a kept row whose only
+    difference is the NULL-filled new column (old file: column absent,
+    read NULL-filled; new file: explicit NULL) must be invisible."""
+    # full sync onto a WIDER extract: keep k<10 with identical images
+    # except k=4 (re-balanced), plus a new column 'tier' on everything
+    src = spark.createDataFrame(
+        [
+            (k, f"name{k}", -4.0 if k == 4 else k * 10.0,
+             "gold" if k % 2 == 0 else "std")
+            for k in range(10)
+        ] + [(500, "new", 1.0, "gold")],
+        "k long, name string, v double, tier string",
+    )
+    v = table.merge(
+        src, not_matched_by_source="delete", merge_schema=True
+    )
+    snap = table.snapshot()
+    assert snap.columns == ["k", "name", "v", "tier"]
+    assert _rows(snap) == _rows(src.select("k", "name", "v", "tier"))
+
+    d = table.diff(v - 1, v, images="both")
+    by = {
+        ct: sorted(r["k"] for r in rows)
+        for ct, rows in (
+            (ct, d.where(F.col("_change_type") == ct).collect())
+            for ct in ("delete", "update_preimage", "update_postimage", "insert")
+        )
+    }
+    assert by["delete"] == list(range(10, 20))
+    assert by["insert"] == [500]
+    # every kept row gained tier: rows with tier=NULL... k odd -> 'std',
+    # k even -> 'gold' — ALL matched rows changed (new non-NULL column)
+    # except none are identical, so update events cover k 0..9
+    assert by["update_preimage"] == list(range(10))
+
+    # second evolving-free merge: re-assert identical images -> the diff
+    # of THAT commit must be empty for kept rows (NULL-fill invisibility)
+    v2 = table.merge(src, not_matched_by_source="delete")
+    d2 = table.diff(v2 - 1, v2, images="both")
+    assert d2.count() == 0
