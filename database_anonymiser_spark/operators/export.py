@@ -71,6 +71,14 @@ def shard_assign(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    clash = [c for c in ("shard", "_ord") if c in df.columns]
+    if clash:
+        # withColumn would silently OVERWRITE user data (and the manifest
+        # would checksum the overwritten values) — refuse loudly instead
+        raise ValueError(
+            f"input already has column(s) {clash}, which shard assignment "
+            "would overwrite; rename them before exporting"
+        )
     if hash_family == "md5":
         sid = F.col(id_col).cast("string")
         shard = _md5_long(F.concat(F.lit(salt), sid)) % n_shards

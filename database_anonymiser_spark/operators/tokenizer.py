@@ -186,10 +186,21 @@ def apply_bpe(
     The hot path is one Arrow-batched pandas UDF (the merge table is a
     broadcast-sized Python constant; each batch tokenizes in-process —
     never row-at-a-time py4j). Map-side only: no shuffle, no driver
-    data."""
+    data.
+
+    The pre-tokenizer is compiled with ``re.ASCII`` so ``\\s`` means the
+    ASCII class — matching Java regex (Spark's `regexp_extract_all`,
+    which `word_frequencies` trains through) and RE2 (the DuckDB
+    oracle). Under Python's default Unicode ``\\s``, a U+00A0 (ubiquitous
+    in web corpora) would be silently dropped at apply time while
+    training counted it as a piece, breaking train/apply parity.
+
+    Pieces are memoized per batch: Zipf's law means a handful of
+    distinct pieces cover most occurrences, so the dict cache turns the
+    vast majority of per-occurrence merge walks into O(1) lookups."""
     from pyspark.sql import types as T
 
-    piece_re = _re.compile(BPE_PIECE_RE)
+    piece_re = _re.compile(BPE_PIECE_RE, _re.ASCII)
     rules = [tuple(m) for m in merges]
 
     def _tok(piece: str) -> list:
@@ -214,16 +225,29 @@ def apply_bpe(
         T.ArrayType(T.StringType()) if emit_tokens else T.LongType()
     )
     def bpe(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
         vals = []
         for t in texts:
             if t is None:
                 vals.append([] if emit_tokens else 0)
                 continue
             s = t.lower() if lowercase else t
-            toks: list = []
-            for piece in piece_re.findall(s):
-                toks.extend(_tok(piece))
-            vals.append(toks if emit_tokens else len(toks))
+            if emit_tokens:
+                toks: list = []
+                for piece in piece_re.findall(s):
+                    got = memo.get(piece)
+                    if got is None:
+                        got = memo[piece] = _tok(piece)
+                    toks.extend(got)
+                vals.append(toks)
+            else:
+                n = 0
+                for piece in piece_re.findall(s):
+                    got = memo.get(piece)
+                    if got is None:
+                        got = memo[piece] = len(_tok(piece))
+                    n += got
+                vals.append(n)
         return pd.Series(vals)
 
     out = [F.col(id_col)]

@@ -66,6 +66,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as st
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -774,6 +775,75 @@ def _commit(
         tmp.unlink(missing_ok=True)
     if CHECKPOINT_INTERVAL and version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _write_checkpoint(root, version)
+
+
+def _norm_merge_clauses(matched, not_matched):
+    """Shape-validate MERGE clause lists (Delta's multi-clause grammar)
+    into ``([(kind, cond, set|None)], [(kind, cond, values|None)])``.
+    All but the LAST clause of each list must carry a condition (Delta's
+    rule — an unconditional clause earlier would shadow the rest)."""
+    m_out: list[tuple] = []
+    for cl in matched or []:
+        if not isinstance(cl, (tuple, list)) or not cl:
+            raise ValueError(f"malformed matched clause: {cl!r}")
+        kind = cl[0]
+        if kind == "update":
+            if len(cl) != 3:
+                raise ValueError(
+                    "matched update clause is ('update', condition, set)"
+                )
+            _, cond, payload = cl
+            if payload is not None and (
+                not isinstance(payload, dict) or not payload
+            ):
+                raise ValueError(
+                    "update set must be a non-empty {col: sql_expr} dict "
+                    "or None (updateAll)"
+                )
+        elif kind == "delete":
+            if len(cl) != 2:
+                raise ValueError("matched delete clause is ('delete', condition)")
+            _, cond = cl
+            payload = None
+        else:
+            raise ValueError(
+                f"matched clause kind must be 'update' or 'delete', got {kind!r}"
+            )
+        if cond is not None and not isinstance(cond, str):
+            raise ValueError("clause condition must be a SQL string or None")
+        m_out.append((kind, cond, payload))
+    nm_out: list[tuple] = []
+    for cl in not_matched or []:
+        if (
+            not isinstance(cl, (tuple, list))
+            or len(cl) != 3
+            or cl[0] != "insert"
+        ):
+            raise ValueError(
+                f"not_matched clause is ('insert', condition, values); got {cl!r}"
+            )
+        _, cond, payload = cl
+        if cond is not None and not isinstance(cond, str):
+            raise ValueError("clause condition must be a SQL string or None")
+        if payload is not None and (
+            not isinstance(payload, dict) or not payload
+        ):
+            raise ValueError(
+                "insert values must be a non-empty {col: sql_expr} dict "
+                "or None (insertAll)"
+            )
+        nm_out.append(("insert", cond, payload))
+    for kind, cond, _ in m_out[:-1]:
+        if cond is None:
+            raise ValueError(
+                "only the LAST matched clause may omit its condition"
+            )
+    for _, cond, _ in nm_out[:-1]:
+        if cond is None:
+            raise ValueError(
+                "only the LAST not_matched clause may omit its condition"
+            )
+    return m_out, nm_out
 
 
 def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
@@ -1922,6 +1992,8 @@ class VersionedTable:
         by_source_scope: dict[str, tuple] | None = None,
         merge_schema: bool = False,
         meta: dict | None = None,
+        matched: "list[tuple] | None" = None,
+        not_matched: "list[tuple] | None" = None,
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
 
@@ -1993,12 +2065,54 @@ class VersionedTable:
         logged schema IN THE SAME COMMIT as the merge (touched files are
         rewritten with the new column, untouched files NULL-fill at scan
         time — no historical rewrite), and target columns the source
-        lacks are NULL-backfilled into the source image. The rule set is
-        :meth:`_align_schema` — byte-identical to append's (type changes
-        always rejected; column-mapping physical-name collisions
-        refused). Without the flag, extra source columns are IGNORED and
-        missing ones error — Delta's updateAll/insertAll contract when
-        autoMerge is off.
+        lacks take the TARGET row's value on matched updates (Delta's
+        autoMerge updateAll preserves target-only column values; round
+        10 — previously they were NULL-wiped) and NULL on inserts. The
+        rule set is :meth:`_align_schema` — byte-identical to append's
+        (type changes always rejected; column-mapping physical-name
+        collisions refused). Without the flag, extra source columns are
+        IGNORED and missing ones error — Delta's updateAll/insertAll
+        contract when autoMerge is off.
+
+        ``matched`` / ``not_matched`` (round 10) are Delta's CONDITIONAL
+        MULTI-CLAUSE grammar (``whenMatchedUpdate(condition, set)``,
+        ``whenMatchedDelete(condition)``, ``whenNotMatchedInsert(
+        condition, values)`` — DeltaTable.merge / SQL MERGE with multiple
+        WHEN clauses):
+
+        - ``matched`` is an ORDERED list of ``("update", condition,
+          set)`` / ``("delete", condition)`` clauses. For each matched
+          (target, source) pair the FIRST clause whose condition is TRUE
+          applies; a pair no clause accepts is KEPT UNCHANGED (SQL
+          MERGE). ``condition`` is a SQL string over the ``t.``/``s.``
+          alias scopes (None = always — allowed only on the LAST matched
+          clause, Delta's rule); ``set`` maps target columns to SQL
+          exprs over ``t.``/``s.`` — columns absent from ``set`` KEEP
+          the target row's value (the partial-column update; None =
+          updateAll). The key column, identity columns, and generated
+          columns may not appear in ``set`` (the key would break file
+          skipping and key uniqueness; the others are GENERATED ALWAYS —
+          generated columns are recomputed from the post-update image
+          instead, Delta's recompute-on-update).
+        - ``not_matched`` is an ordered list of ``("insert", condition,
+          values)`` clauses over unmatched SOURCE rows — first TRUE
+          condition inserts (conditions see ``s.`` only; ``t.`` is all
+          NULL there); a source row no clause accepts is NOT inserted.
+          ``values`` maps columns to SQL exprs (absent columns insert
+          NULL — Delta's insert(values) contract; None = insertAll).
+
+        Passing either list supersedes ``when_matched`` /
+        ``insert_not_matched`` (which must stay at their defaults — a
+        silent conflict is refused) and is mutually exclusive with
+        ``op_col`` (that IS a clause mechanism). Same single full-outer
+        join, same file skipping: clauses only ever touch matched pairs
+        and unmatched source rows, so the skipped-file arithmetic is
+        unchanged. CHECK constraints are validated on the REWRITTEN
+        image (a ``set`` expr can produce values the raw source never
+        contained). Cites Delta Lake MERGE (Armbrust et al., VLDB 2020
+        §3.2) for the clause semantics; the reference's own surface has
+        no MERGE (its writes are whole-table rewrites,
+        `src/executor/executor.ts`).
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -2006,6 +2120,21 @@ class VersionedTable:
             raise ValueError("skip_by must be 'range' or 'points'")
         if op_col is not None and op_col not in source.columns:
             raise ValueError(f"op_col {op_col!r} not in source columns")
+        use_clauses = matched is not None or not_matched is not None
+        m_clauses: list[tuple] = []
+        nm_clauses: list[tuple] = []
+        if use_clauses:
+            if op_col is not None:
+                raise ValueError(
+                    "matched/not_matched clauses are incompatible with "
+                    "op_col (the op column IS a clause selector)"
+                )
+            if when_matched != "update" or not insert_not_matched:
+                raise ValueError(
+                    "matched/not_matched clauses supersede when_matched/"
+                    "insert_not_matched; leave those at their defaults"
+                )
+            m_clauses, nm_clauses = _norm_merge_clauses(matched, not_matched)
         if not_matched_by_source not in (None, "delete"):
             raise ValueError("not_matched_by_source must be None or 'delete'")
         if not_matched_by_source is not None and op_col is not None:
@@ -2023,11 +2152,53 @@ class VersionedTable:
         entries = self._live_entries(v)
         source = self._apply_generated(source)
         ident = self.identity_column()
+        gen_cols = self.generated_columns()
+        if use_clauses:
+            for kind, _cond, payload in m_clauses:
+                if kind == "update" and payload is not None:
+                    if key_col in payload:
+                        raise ValueError(
+                            f"matched update set may not change the merge "
+                            f"key {key_col!r}"
+                        )
+                    if ident is not None and ident[0] in payload:
+                        raise ValueError(
+                            f"identity column {ident[0]!r} is GENERATED "
+                            "ALWAYS; update set may not touch it"
+                        )
+                    g = sorted(c for c in payload if c in gen_cols)
+                    if g:
+                        raise ValueError(
+                            f"generated column(s) {g} are recomputed from "
+                            "their expressions, not settable"
+                        )
+            if ident is not None:
+                for _k, _cond, vals in nm_clauses:
+                    if vals is not None and vals.get(ident[0], "").replace(
+                        " ", ""
+                    ) != f"s.{ident[0]}":
+                        raise ValueError(
+                            "insert values on an identity table must carry "
+                            f"the source's id: values[{ident[0]!r}] == "
+                            f"'s.{ident[0]}' (MERGE does not allocate "
+                            "identity values)"
+                        )
         if ident is not None and ident[0] not in source.columns:
             # a pure delete-merge needs no row images, so no ids; any
             # other shape would have to allocate inside the join - route
             # ingest through append (which allocates) or pre-assign keys
-            if op_col is not None or insert_not_matched or when_matched == "update":
+            needs_ident = (
+                (bool(nm_clauses) or any(
+                    k == "update" and sm is None for k, _c, sm in m_clauses
+                ))
+                if use_clauses
+                else (
+                    op_col is not None
+                    or insert_not_matched
+                    or when_matched == "update"
+                )
+            )
+            if needs_ident:
                 raise ValueError(
                     f"merge source lacks identity column {ident[0]!r}; "
                     "MERGE does not allocate identity values - append new "
@@ -2035,6 +2206,11 @@ class VersionedTable:
                     "with existing ids"
                 )
 
+        # columns the USER's source actually carries — anything
+        # _align_schema NULL-backfills beyond this set is synthetic and
+        # must not overwrite target values on matched updates (Delta's
+        # autoMerge updateAll preserves target-only columns; round 10)
+        src_user_cols = set(source.columns)
         evolved_schema = None
         if merge_schema:
             cur = self._log_schema() or self.snapshot().schema
@@ -2064,13 +2240,28 @@ class VersionedTable:
                     F.when(~F.col(op_col).isin("upsert", "delete"), 1).otherwise(0)
                 ).alias("n_bad_op")
             )
+        ident_supplied = ident is not None and ident[0] in source.columns
+        if ident_supplied:
+            aggs.append(F.max(F.col(ident[0])).alias("_max_ident"))
         stats = source.agg(*aggs).first()
         n_null = stats["n_all"] - stats["n_keys"]
         if stats["n_keys"] != stats["n_distinct"] or n_null > 1:
             raise ValueError("duplicate merge keys in source")
         if op_col is not None and (stats["n_bad_op"] or 0) > 0:
             raise ValueError(f"{op_col} values must be 'upsert' or 'delete'")
-        if op_col is not None:
+        if ident_supplied and stats["_max_ident"] is not None and int(
+            stats["_max_ident"]
+        ) >= ident[2]:
+            # identity uniqueness guard: an inserted id at/above
+            # identity.next would be REALLOCATED by a later append
+            raise ValueError(
+                f"merge source supplies identity value(s) >= identity.next "
+                f"({stats['_max_ident']} >= {ident[2]}); MERGE accepts only "
+                "previously-allocated ids (append allocates)"
+            )
+        if use_clauses:
+            pass  # clause images are validated on the REWRITTEN frame below
+        elif op_col is not None:
             self._check_constraints(
                 source.where(F.col(op_col) == "upsert").drop(op_col)
             )
@@ -2128,7 +2319,9 @@ class VersionedTable:
         untouched = [e for e in entries if e["path"] not in touched_paths]
 
         new_files: list[_FileEntry] = []
-        if touched:
+        # a clause merge with insert clauses still inserts when NO target
+        # file intersects the source keys — join against the empty frame
+        if touched or (use_clauses and nm_clauses and stats["n_all"] > 0):
             # ONE full-outer join resolves keeps, updates/deletes, and
             # inserts together (Delta's merge shape) — previously three
             # separate joins (keep-anti, matched-semi over a distinct,
@@ -2137,8 +2330,12 @@ class VersionedTable:
             # (touched rows, source rows). Presence markers (_t/_s)
             # classify sides NULL-key-safely; the key join itself stays
             # plain equality (NULL keys never match — SQL MERGE).
-            tgt = self._read_paths(
-                [e["path"] for e in touched], dv_map=self._dv_map(touched)
+            tgt = (
+                self._read_paths(
+                    [e["path"] for e in touched], dv_map=self._dv_map(touched)
+                )
+                if touched
+                else self._empty_frame(v)
             )
             if evolved_schema is not None:
                 # evolution: touched files are rewritten WITH the new
@@ -2199,24 +2396,53 @@ class VersionedTable:
             t = tgt.withColumn(mt, F.lit(1)).alias("t")
             # a pure delete-merge needs only the source KEYS (documented:
             # key-only sources are valid there); insert/update paths need
-            # the full row image
+            # the full row image. A CLAUSE merge carries whatever columns
+            # the source has (set/values exprs reference them by s.name;
+            # Delta's source-shape freedom) — the full target image is
+            # only demanded by updateAll/insertAll clauses.
+            need_full_img = use_clauses and (
+                any(k == "update" and sm is None for k, _c, sm in m_clauses)
+                or any(vals is None for _k, _c, vals in nm_clauses)
+            )
+            if need_full_img:
+                miss = [c for c in cols if c not in source.columns]
+                if miss:
+                    raise ValueError(
+                        "updateAll/insertAll clauses (set/values None) need "
+                        f"the full target schema in the source; missing {miss}"
+                    )
             need_src_img = (
                 op_col is not None
                 or insert_not_matched
                 or when_matched == "update"
             )
-            s_cols = (
-                [*cols, op_col] if op_col is not None
-                else (cols if need_src_img else [key_col])
-            )
+            if use_clauses:
+                s_cols = list(source.columns)
+            elif op_col is not None:
+                s_cols = [*cols, op_col]
+            else:
+                s_cols = cols if need_src_img else [key_col]
             s = source.select(*s_cols).withColumn(ms, F.lit(1)).alias("s")
             j = t.join(
                 s, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "full_outer"
             )
             t_img = F.struct(*[F.col(f"t.{c}").alias(c) for c in cols])
+            # NULL-backfilled columns (merge_schema sources lacking target
+            # columns) take the TARGET value: preserves matched rows'
+            # values (Delta updateAll), and t.c is NULL anyway on inserts
             s_img = (
-                F.struct(*[F.col(f"s.{c}").alias(c) for c in cols])
-                if need_src_img
+                F.struct(
+                    *[
+                        (
+                            F.col(f"t.{c}")
+                            if (merge_schema and c not in src_user_cols
+                                and c in tgt.columns)
+                            else F.col(f"s.{c}")
+                        ).alias(c)
+                        for c in cols
+                    ]
+                )
+                if (need_src_img and not use_clauses) or need_full_img
                 else None
             )
             unmatched_t = F.col(ms).isNull()
@@ -2228,6 +2454,71 @@ class VersionedTable:
                 # to NULL and are filtered
                 is_up = F.col(f"s.{op_col}") == "upsert"
                 out_img = F.when(unmatched_t, t_img).when(is_up, s_img)
+            elif use_clauses:
+                # conditional multi-clause resolution: one WHEN chain =
+                # clause order = Delta's first-TRUE-wins; matched pairs
+                # no clause accepts fall to the trailing keep branch,
+                # unmatched source rows no insert clause accepts fall
+                # through to NULL (not inserted)
+                dtypes = {f.name: f.dataType for f in tgt.schema.fields}
+                for _k, _c, payload in [*m_clauses, *nm_clauses]:
+                    unknown = sorted(c for c in (payload or {}) if c not in cols)
+                    if unknown:
+                        raise ValueError(
+                            f"clause set/values reference unknown target "
+                            f"column(s) {unknown}"
+                        )
+                matched_pair = ~unmatched_t & ~unmatched_s
+                if not_matched_by_source == "delete":
+                    keep_t = unmatched_t & ~F.col(f"t.{bs}").eqNullSafe(
+                        F.lit(True)
+                    )
+                else:
+                    keep_t = unmatched_t
+                out_img = F.when(keep_t, t_img)
+                null_img = F.lit(None).cast(
+                    st.StructType([st.StructField(c, dtypes[c]) for c in cols])
+                )
+                for kind, cond, payload in m_clauses:
+                    hit = matched_pair if cond is None else (
+                        matched_pair & F.expr(cond).eqNullSafe(F.lit(True))
+                    )
+                    if kind == "delete":
+                        out_img = out_img.when(hit, null_img)
+                    elif payload is None:
+                        out_img = out_img.when(hit, s_img)
+                    else:
+                        img = F.struct(
+                            *[
+                                (
+                                    F.expr(payload[c])
+                                    .cast(dtypes[c])
+                                    if c in payload
+                                    else F.col(f"t.{c}")
+                                ).alias(c)
+                                for c in cols
+                            ]
+                        )
+                        out_img = out_img.when(hit, img)
+                out_img = out_img.when(matched_pair, t_img)  # no-clause keep
+                for _kind, cond, payload in nm_clauses:
+                    hit = unmatched_s if cond is None else (
+                        unmatched_s & F.expr(cond).eqNullSafe(F.lit(True))
+                    )
+                    if payload is None:
+                        out_img = out_img.when(hit, s_img)
+                    else:
+                        img = F.struct(
+                            *[
+                                (
+                                    F.expr(payload[c]).cast(dtypes[c])
+                                    if c in payload
+                                    else F.lit(None).cast(dtypes[c])
+                                ).alias(c)
+                                for c in cols
+                            ]
+                        )
+                        out_img = out_img.when(hit, img)
             else:
                 if not_matched_by_source == "delete":
                     # unmatched target rows survive only OUTSIDE the
@@ -2259,11 +2550,24 @@ class VersionedTable:
                 .where(F.col("_r").isNotNull())
                 .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
             )
+            if use_clauses:
+                if gen_cols:
+                    # GENERATED ALWAYS: recompute from the post-merge image
+                    # (Delta recomputes generated columns whose inputs an
+                    # update touched; recomputing everywhere is the same
+                    # value on untouched rows by the auto-constraint)
+                    for gcol, gexpr in gen_cols.items():
+                        if gcol in cols:
+                            rewritten = rewritten.withColumn(gcol, F.expr(gexpr))
+                    rewritten = rewritten.select(*cols)
+                # a set/values expr can produce values the raw source never
+                # contained — CHECK constraints validate the REWRITTEN image
+                self._check_constraints(rewritten)
             new_files += _write_data_files(
                 rewritten, self.root, key_col, stats_cols=self._stats_cols,
                 colmap=self._colmap,
             )
-        elif op_col is not None or insert_not_matched:
+        elif not use_clauses and (op_col is not None or insert_not_matched):
             src = (
                 source.where(F.col(op_col) == "upsert")
                 if op_col is not None
@@ -2288,7 +2592,11 @@ class VersionedTable:
             new_files,
             [e["path"] for e in touched],
             key_col,
-            op="apply_changes" if op_col is not None else f"merge_{when_matched}",
+            op=(
+                "apply_changes"
+                if op_col is not None
+                else ("merge_clauses" if use_clauses else f"merge_{when_matched}")
+            ),
             schema=(
                 evolved_schema.jsonValue() if evolved_schema is not None else None
             ),
@@ -2306,6 +2614,14 @@ class VersionedTable:
                     **(
                         {"by_source": not_matched_by_source}
                         if not_matched_by_source is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "matched_clauses": [k for k, _c, _p in m_clauses],
+                            "not_matched_clauses": len(nm_clauses),
+                        }
+                        if use_clauses
                         else {}
                     ),
                 },
@@ -3352,8 +3668,13 @@ class VersionedTable:
             vs_all = self.versions()
             try:
                 boundary = self.version_at(cutoff_iso)
+                # the BOUNDARY version is what version_at/snapshot_at
+                # resolve for any timestamp inside the window but before
+                # its first commit — it must stay readable, so it counts
+                # toward retention too (Delta keeps tombstones younger
+                # than the window for exactly this snapshot)
                 retain_versions = max(
-                    1, sum(1 for v in vs_all if v > boundary)
+                    1, sum(1 for v in vs_all if v > boundary) + 1
                 )
             except ValueError as e:
                 if "no commit timestamps" in str(e):

@@ -100,6 +100,39 @@ _INS_SHIFT = 10_000_000
              c_acctbal, 'SYNCNEW' AS c_mktsegment
       FROM customer WHERE c_custkey % 43 = 0
     ),
+    -- v7 CONDITIONAL MULTI-CLAUSE merge: the source carries only
+    -- (c_custkey, d) — every EVEN state6 key plus fresh 4x-shifted
+    -- clones of every 47th customer, d = (key % 100) - 50. Ordered
+    -- matched clauses: d > 0 -> partial update (acctbal += d,
+    -- segment 'COND', name/nationkey PRESERVED); d < -40 -> delete;
+    -- else kept. Insert clause: d > 0 only, values-dict insert
+    -- (name 'CLAUSENEW', unspecified nationkey/segment are NULL).
+    src7 AS (
+      SELECT c_custkey, (c_custkey % 100) - 50 AS d
+      FROM src6 WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey + {4 * _INS_SHIFT} AS c_custkey,
+             ((c_custkey + {4 * _INS_SHIFT}) % 100) - 50 AS d
+      FROM customer WHERE c_custkey % 47 = 0
+    ),
+    state7 AS (
+      SELECT * FROM src6
+      WHERE c_custkey % 2 <> 0
+         OR ((c_custkey % 100) - 50 <= 0 AND (c_custkey % 100) - 50 >= -40)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + ((c_custkey % 100) - 50) AS c_acctbal,
+             'COND' AS c_mktsegment
+      FROM src6
+      WHERE c_custkey % 2 = 0 AND (c_custkey % 100) - 50 > 0
+      UNION ALL
+      SELECT c_custkey, 'CLAUSENEW' AS c_name,
+             CAST(NULL AS BIGINT) AS c_nationkey,
+             CAST(d AS DOUBLE) AS c_acctbal,
+             CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM src7
+      WHERE c_custkey > {4 * _INS_SHIFT} AND d > 0
+    ),
     cdf AS (
       -- v0: CREATE commits every customer row as an insert
       SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -162,12 +195,31 @@ _INS_SHIFT = 10_000_000
       SELECT 'insert', 6, c_custkey + {3 * _INS_SHIFT}, c_name, c_nationkey,
              c_acctbal, 'SYNCNEW'
       FROM customer WHERE c_custkey % 43 = 0
+      UNION ALL
+      -- v7 conditional clauses: pre/post for updated-by-clause-1 rows,
+      -- deletes for clause-2 rows, values-dict inserts; matched rows no
+      -- clause accepted are KEPT and emit nothing
+      SELECT 'update_preimage', 7, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM src6 WHERE c_custkey % 2 = 0 AND (c_custkey % 100) - 50 > 0
+      UNION ALL
+      SELECT 'update_postimage', 7, c_custkey, c_name, c_nationkey,
+             c_acctbal + ((c_custkey % 100) - 50), 'COND'
+      FROM src6 WHERE c_custkey % 2 = 0 AND (c_custkey % 100) - 50 > 0
+      UNION ALL
+      SELECT 'delete', 7, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM src6 WHERE c_custkey % 2 = 0 AND (c_custkey % 100) - 50 < -40
+      UNION ALL
+      SELECT 'insert', 7, c_custkey, 'CLAUSENEW', CAST(NULL AS BIGINT),
+             CAST(d AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM src7 WHERE c_custkey > {4 * _INS_SHIFT} AND d > 0
     )
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM src6
+    FROM state7
     UNION ALL
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -230,7 +282,17 @@ def merge_upsert(spark, sf_dir):
     the oracle checks BOTH the post-sync snapshot (= the extract) and
     the v6 feed events — deletes for vanished keys, update pre/post
     images ONLY for rows whose content actually changed (matched rows
-    re-delivered with identical images are invisible to the diff)."""
+    re-delivered with identical images are invisible to the diff).
+
+    Round 10 appends v7 = CONDITIONAL MULTI-CLAUSE MERGE (Delta's
+    ``whenMatchedUpdate(condition, set)`` / ``whenMatchedDelete(
+    condition)`` / ``whenNotMatchedInsert(condition, values)``): the
+    source carries ONLY (key, d) — the partial-column shape — and the
+    ordered clauses exercise first-TRUE-wins precedence, subset updates
+    that must leave unset columns bit-identical, a conditional delete,
+    a conditional values-dict insert (unspecified columns NULL), and the
+    no-clause-matched KEEP. Both the post-clause snapshot and the v7
+    feed events are value-hash checked under the oracle."""
     from database_anonymiser_spark.sources.versioned import (
         ROW_PRESERVING_OPS,
         VersionedTable,
@@ -304,6 +366,43 @@ def merge_upsert(spark, sf_dir):
         .withColumn("c_mktsegment", F.lit("SYNCNEW"))
     )
     t.merge(sync.unionByName(new6), not_matched_by_source="delete")
+
+    # v7 (round 10): conditional multi-clause merge. The source is the
+    # PARTIAL shape (key + a delta column only): every even v6 key plus
+    # fresh 4x-shifted clones of every 47th customer, d = key%100 - 50.
+    snap6 = t.snapshot(t.latest_version())
+    src7 = (
+        snap6.where(k % 2 == 0)
+        .select("c_custkey")
+        .unionByName(
+            cust.where(k % 47 == 0).select(
+                (k + 4 * _INS_SHIFT).alias("c_custkey")
+            )
+        )
+        .withColumn("d", (F.col("c_custkey") % 100 - 50).cast("long"))
+    )
+    t.merge(
+        src7,
+        matched=[
+            (
+                "update",
+                "s.d > 0",
+                {"c_acctbal": "t.c_acctbal + s.d", "c_mktsegment": "'COND'"},
+            ),
+            ("delete", "s.d < -40"),
+        ],
+        not_matched=[
+            (
+                "insert",
+                "s.d > 0",
+                {
+                    "c_custkey": "s.c_custkey",
+                    "c_name": "'CLAUSENEW'",
+                    "c_acctbal": "s.d",
+                },
+            ),
+        ],
+    )
 
     cols = cust.columns
     feed = t.snapshot(0).select(

@@ -226,3 +226,18 @@ def test_full_pretraining_pipeline_composition(spark, sf_dir, tmp_path):
     assert m["total_rows"] == sized.count()
     assert sum(s["n_tokens"] for s in m["shards"].values()) == total_tokens
     assert verify_shards(spark, str(out)) == {"ok": True, "mismatched": []}
+
+
+def test_shard_columns_collision_refused(spark):
+    """Pre-existing 'shard'/'_ord' columns would be silently overwritten
+    (destroying user data the manifest then checksums) — refused loudly."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators.export import shard_assign
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, shard long")
+    with _pt.raises(ValueError, match="shard"):
+        shard_assign(df, "doc_id", 4)
+    df2 = spark.createDataFrame([(1, 0)], "doc_id long, _ord long")
+    with _pt.raises(ValueError, match="_ord"):
+        shard_assign(df2, "doc_id", 4)

@@ -115,6 +115,52 @@ def test_max_word_len_excluded_from_training_not_apply(spark):
     assert n == 1000  # no 'xx' merge learned -> 2 x 500 chars
 
 
+def test_unicode_whitespace_train_apply_parity(spark):
+    """U+00A0 (no-break space) must be treated identically by training
+    (JVM regexp_extract_all, where \\s is ASCII) and application
+    (Python re compiled with re.ASCII): both count it as a punctuation
+    piece. Under Python's default Unicode \\s it would be dropped at
+    apply time only, silently breaking n_bpe_pieces parity."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs, "text").collect()}
+    assert wf[" "] == 1 and wf["ab"] == 4
+    out = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe(docs, "doc_id", "text", [], emit_tokens=True).collect()
+    }
+    # doc 1 keeps the NBSP as its own piece; doc 2's ASCII space is dropped
+    assert out[1] == ["a", "b", " ", "a", "b"]
+    assert out[2] == ["a", "b", "a", "b"]
+    # and the applied piece stream length matches training's piece count
+    total_train = sum(len(w) * f for w, f in wf.items())
+    total_apply = sum(len(t) for toks in out.values() for t in toks)
+    assert total_train == total_apply
+
+
+def test_memo_cache_matches_uncached_tokenization(spark, toy):
+    """The per-batch memo over distinct pieces is a pure cache: repeated
+    pieces in one batch tokenize identically to their first occurrence,
+    and counts equal the length of the emitted token lists."""
+    merges = train_bpe(toy, "text", 6)
+    df = spark.createDataFrame(
+        [(i, "lower newest lower wider lower" * 3) for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1)  # one batch -> the memo is exercised across rows
+    toks = apply_bpe(df, "doc_id", "text", merges, emit_tokens=True).collect()
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_bpe(df, "doc_id", "text", merges).collect()
+    }
+    ref = None
+    for r in toks:
+        assert counts[r["doc_id"]] == len(r["bpe_tokens"])
+        if ref is None:
+            ref = list(r["bpe_tokens"])
+        assert list(r["bpe_tokens"]) == ref
+
+
 def test_fixture_compression_improves_with_merges(spark, sf_dir):
     from database_anonymiser_spark.suite.base import load
 

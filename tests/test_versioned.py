@@ -3562,13 +3562,15 @@ def test_merge_schema_evolution_adds_column_in_same_commit(spark, table):
     assert table.snapshot().where("k = 5").first()["tier"] is None
 
 
-def test_merge_schema_evolution_backfills_missing_source_cols(spark, table):
-    """Target columns the source lacks NULL-backfill into the source
-    image (update wipes v to NULL for matched keys; inserts carry NULL)."""
+def test_merge_schema_evolution_preserves_target_only_cols(spark, table):
+    """Target columns the source lacks KEEP the target row's value on
+    matched updates (Delta autoMerge updateAll parity — round 10; they
+    were previously NULL-wiped) and insert NULL on unmatched rows."""
     src = spark.createDataFrame([(4, "only-name4"), (777, "n777")], "k long, name string")
     table.merge(src, merge_schema=True)
     got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
-    assert got[4] == ("only-name4", None) and got[777] == ("n777", None)
+    assert got[4] == ("only-name4", 40.0)  # v preserved, not wiped
+    assert got[777] == ("n777", None)  # insert: no source value -> NULL
     assert got[6] == ("name6", 60.0)  # unmatched rows untouched
 
 
@@ -3617,8 +3619,10 @@ def test_vacuum_retain_hours_resolves_to_version_window(spark, table):
         rec["ts"] = (now - _dt.timedelta(hours=age)).isoformat()
         p.write_text(json.dumps(rec))
 
-    # window = 6h -> versions 3,4 inside -> retain_versions=2 parity
-    want = sorted(table.vacuum(retain_versions=2, dry_run=True))
+    # window = 6h -> versions 3,4 committed inside, PLUS the boundary
+    # version 2 (what snapshot_at resolves for any in-window timestamp
+    # before v3's commit) -> retain_versions=3 parity
+    want = sorted(table.vacuum(retain_versions=3, dry_run=True))
     got = sorted(table.vacuum(retain_hours=6, dry_run=True))
     assert got == want and len(got) > 0
     # window older than the whole history: nothing reclaimed
@@ -3626,6 +3630,11 @@ def test_vacuum_retain_hours_resolves_to_version_window(spark, table):
     # real run: snapshot at the head still reads; pre-window time travel dies
     table.vacuum(retain_hours=6, orphan_grace_s=0)
     assert table.snapshot().count() == 20
+    # TIMESTAMP AS OF inside the declared window but before its first
+    # commit resolves to the boundary version — it must stay readable
+    # after the vacuum (Delta keeps tombstones younger than the window)
+    in_window_ts = (now - _dt.timedelta(hours=5.5)).isoformat()
+    assert table.snapshot_at(in_window_ts).count() == 20
     with pytest.raises(Exception):
         table.snapshot(version=0).count()
     # validation
@@ -3896,3 +3905,212 @@ def test_merge_evolution_with_by_source_and_cdf_exactness(spark, table):
     v2 = table.merge(src, not_matched_by_source="delete")
     d2 = table.diff(v2 - 1, v2, images="both")
     assert d2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Conditional multi-clause MERGE (round 10): Delta's whenMatchedUpdate(
+# condition, set) / whenMatchedDelete(condition) / whenNotMatchedInsert(
+# condition, values) grammar on the single-full-outer-join merge.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_clauses_update_set_subset(spark, table):
+    """Partial-column update: columns absent from `set` keep the target
+    value bit-identically; unmatched target rows untouched; unmatched
+    source rows NOT inserted when no insert clause is given."""
+    src = spark.createDataFrame(
+        [(3, 999.0), (7, 1000.0), (555, 5.0)], "k long, bump double"
+    )
+    v = table.merge(src, matched=[("update", None, {"v": "s.bump"})])
+    got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert got[3] == ("name3", 999.0)  # v updated, name preserved
+    assert got[7] == ("name7", 1000.0)
+    assert got[5] == ("name5", 50.0)  # unmatched target untouched
+    assert 555 not in got  # no insert clause -> source row dropped
+    assert len(got) == 20
+    m = table.commit_meta(v)["metrics"]
+    assert m["matched_clauses"] == ["update"] and m["not_matched_clauses"] == 0
+
+
+def test_merge_clauses_ordered_first_true_wins(spark, table):
+    """Clause ORDER is precedence: a matched pair satisfying several
+    conditions takes the FIRST clause; pairs no clause accepts are kept
+    unchanged (SQL MERGE)."""
+    src = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "k long, nv double"
+    )
+    # k=1 (v=10): nv<v -> delete fires (first). k=2 (v=20): nv>=v ->
+    # second clause updates. k=3 (v=30): 500>=30 -> update too, but the
+    # guard s.nv < 100 excludes it -> kept unchanged.
+    table.merge(
+        src,
+        matched=[
+            ("delete", "s.nv < t.v"),
+            ("update", "s.nv >= t.v AND s.nv < 100", {"v": "s.nv"}),
+        ],
+    )
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert 1 not in got  # deleted by first clause
+    assert got[2] == 50.0  # updated by second
+    assert got[3] == 30.0  # no clause TRUE -> kept
+    assert len(got) == 19
+
+
+def test_merge_clauses_insert_conditional_values(spark, table):
+    """whenNotMatchedInsert(condition, values): only passing source rows
+    insert; values exprs compute columns, unspecified columns get NULL
+    (Delta's insert(values) contract)."""
+    src = spark.createDataFrame(
+        [(100, 7.0), (101, -1.0), (5, 123.0)], "k long, score double"
+    )
+    table.merge(
+        src,
+        not_matched=[
+            ("insert", "s.score > 0", {"k": "s.k", "v": "s.score * 2"})
+        ],
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert got[100] == (None, 14.0)  # name unspecified -> NULL
+    assert 101 not in got  # condition FALSE -> not inserted
+    assert got[5] == ("name5", 50.0)  # matched: no matched clause -> kept
+    assert len(got) == 21
+
+
+def test_merge_clauses_update_delete_insert_combined(spark, table):
+    """The full Delta shape in ONE commit: conditional update + fallback
+    delete + conditional insert, against a partial-schema source."""
+    src = spark.createDataFrame(
+        [(0, 1.0), (1, -1.0), (200, 3.0), (201, -3.0)], "k long, d double"
+    )
+    v = table.merge(
+        src,
+        matched=[
+            ("update", "s.d > 0", {"v": "t.v + s.d"}),
+            ("delete", None),  # matched rows failing the update condition
+        ],
+        not_matched=[("insert", "s.d > 0", {"k": "s.k", "v": "s.d"})],
+    )
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got[0] == 0.0 + 1.0
+    assert 1 not in got  # fallback delete
+    assert got[200] == 3.0 and 201 not in got
+    assert table.commit_op(v) == "merge_clauses"
+
+
+def test_merge_clauses_validation_matrix(spark, table):
+    src = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="incompatible with op_col"):
+        table.merge(src, op_col="v", matched=[("delete", None)])
+    with pytest.raises(ValueError, match="supersede"):
+        table.merge(src, when_matched="delete", matched=[("delete", None)])
+    with pytest.raises(ValueError, match="LAST matched clause"):
+        table.merge(
+            src, matched=[("delete", None), ("update", "s.v > 0", None)]
+        )
+    with pytest.raises(ValueError, match="LAST not_matched clause"):
+        table.merge(
+            src,
+            not_matched=[("insert", None, None), ("insert", "s.v > 0", None)],
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        table.merge(src, matched=[("update", None, {"k": "s.k + 1"})])
+    with pytest.raises(ValueError, match="unknown target"):
+        table.merge(src, matched=[("update", None, {"nope": "s.v"})])
+    with pytest.raises(ValueError, match="non-empty"):
+        table.merge(src, matched=[("update", None, {})])
+    with pytest.raises(ValueError, match="kind"):
+        table.merge(src, matched=[("upsert", None, None)])
+    with pytest.raises(ValueError, match="clause is"):
+        table.merge(src, matched=[("update", None)])
+    # updateAll clause against a partial source: loud, not AnalysisException
+    part = spark.createDataFrame([(1, 2.0)], "k long, d double")
+    with pytest.raises(ValueError, match="missing"):
+        table.merge(part, matched=[("update", None, None)])
+
+
+def test_merge_clauses_constraint_checked_on_rewritten_image(spark, table):
+    """A set expr can synthesize values the raw source never held: CHECK
+    constraints validate the REWRITTEN image and abort the commit."""
+    from database_anonymiser_spark.sources.versioned import ConstraintViolation
+
+    table.add_constraint("v_nonneg", "v >= 0")
+    v_before = table.latest_version()
+    src = spark.createDataFrame([(3, 1.0)], "k long, d double")
+    with pytest.raises(ConstraintViolation):
+        table.merge(src, matched=[("update", None, {"v": "t.v - 1000"})])
+    assert table.latest_version() == v_before  # nothing committed
+    # and a passing one commits fine
+    table.merge(src, matched=[("update", None, {"v": "t.v + s.d"})])
+    assert table.snapshot().where("k = 3").first()["v"] == 31.0
+
+
+def test_merge_clauses_insert_only_no_touched_files(spark, table):
+    """Insert clauses fire even when NO target file intersects the
+    source keys (the skipped-everything fast path still joins against
+    the empty frame)."""
+    src = spark.createDataFrame(
+        [(10_000, 1.0), (10_001, -1.0)], "k long, s double"
+    )
+    v = table.merge(
+        src,
+        not_matched=[("insert", "s.s > 0", {"k": "s.k", "v": "s.s"})],
+    )
+    m = table.commit_meta(v)["metrics"]
+    assert m["files_touched"] == 0
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got[10_000] == 1.0 and 10_001 not in got and len(got) == 21
+
+
+def test_merge_clauses_generated_columns_recomputed(spark, tmp_path):
+    """Generated columns are refused in `set` and RECOMPUTED from the
+    post-update image (Delta's recompute-on-update)."""
+    base = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "k long, price double"
+    )
+    t = VersionedTable.create(
+        spark, tmp_path / "g", base, key_col="k",
+        generated={"price2": "price * 2"},
+    )
+    src = spark.createDataFrame([(1, 10.0)], "k long, np double")
+    with pytest.raises(ValueError, match="generated"):
+        t.merge(src, matched=[("update", None, {"price2": "s.np"})])
+    t.merge(src, matched=[("update", None, {"price": "s.np"})])
+    got = {r["k"]: (r["price"], r["price2"]) for r in t.snapshot().collect()}
+    assert got[1] == (10.0, 20.0)  # recomputed from the new price
+    assert got[2] == (3.0, 6.0)  # untouched row identical
+
+
+def test_merge_clauses_identity_guards(spark, tmp_path):
+    """Identity tables: `set` may not touch the id; insert values must
+    carry the source's id verbatim; supplied ids >= identity.next are
+    rejected on ANY merge path (a later append would reallocate them)."""
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    t = VersionedTable.create(
+        spark, tmp_path / "i", base, key_col="k", identity_col="id"
+    )
+    nxt = t.identity_column()[2]
+    src = spark.createDataFrame(
+        [(1, t.snapshot().where("k = 1").first()["id"], 9.0)],
+        "k long, id long, v double",
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(src, matched=[("update", None, {"id": "s.id + 10"})])
+    with pytest.raises(ValueError, match="identity table"):
+        t.merge(
+            src,
+            not_matched=[("insert", None, {"k": "s.k", "id": "s.id + 100"})],
+        )
+    # legal partial update on an identity table: no ids needed at all
+    t.merge(
+        spark.createDataFrame([(1, 7.0)], "k long, nv double"),
+        matched=[("update", None, {"v": "s.nv"})],
+    )
+    assert t.snapshot().where("k = 1").first()["v"] == 7.0
+    # supplied id >= next rejected (legacy path too)
+    bad = spark.createDataFrame(
+        [(99, nxt + 5, 1.0)], "k long, id long, v double"
+    )
+    with pytest.raises(ValueError, match="identity.next"):
+        t.merge(bad)
+    with pytest.raises(ValueError, match="identity.next"):
+        t.merge(bad, not_matched=[("insert", None, None)])
