@@ -51,14 +51,59 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def _imaging():
+    """PIL if importable, else None (this container has no imaging libs;
+    a real deployment gets the real kernels with zero code changes)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _audio():
+    """soundfile if importable, else None."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_image(data: bytes) -> "object":
-    """STUB: real image decode requires PIL/opencv (not in this container)."""
-    raise NotImplementedError("image decode requires an imaging library at runtime")
+    """Real decode when PIL exists (round 10 — was an unconditional
+    stub): returns a loaded ``PIL.Image``. Without an imaging library
+    the honest ``NotImplementedError`` stands — callers wanting the
+    deterministic fake use the feature kernels' default path."""
+    img_mod = _imaging()
+    if img_mod is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library at runtime "
+            "(pip install pillow); the deterministic fake kernels cover "
+            "this container"
+        )
+    import io
+
+    img = img_mod.open(io.BytesIO(data))
+    img.load()
+    return img
 
 
 def decode_audio(data: bytes) -> "object":
-    """STUB: real audio decode requires soundfile/ffmpeg (not in container)."""
-    raise NotImplementedError("audio decode requires an audio library at runtime")
+    """Real decode when soundfile exists (round 10): returns
+    ``(samples ndarray, sample_rate)``. Otherwise the honest stub."""
+    sf_mod = _audio()
+    if sf_mod is None:
+        raise NotImplementedError(
+            "audio decode requires an audio library at runtime "
+            "(pip install soundfile); the deterministic fake kernels "
+            "cover this container"
+        )
+    import io
+
+    return sf_mod.read(io.BytesIO(data))
 
 
 def _fake_decode_features(data: bytes) -> tuple[int, int, int, int, int]:
@@ -87,16 +132,29 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     passthrough: tuple[str, ...] = (),
+    decoder: str = "fake",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
     Partition-local (zero shuffle); each Arrow batch crosses the JVM↔Python
     boundary exactly once. ``passthrough`` columns (e.g. a frame index when
     chaining after :func:`sample_frames`) are carried through unchanged, so
-    per-frame feature extraction composes shuffle-free. Swap
-    ``_fake_decode_features`` for a real decoder when the imaging libs
-    exist — the plumbing is identical.
+    per-frame feature extraction composes shuffle-free.
+
+    ``decoder``: ``"fake"`` (default) is the deterministic digest kernel —
+    the oracle-checked path that works in any container. ``"image"``
+    (round 10) decodes each payload with PIL and reports the REAL
+    (width, height) in the same schema slots; it refuses at PLAN time
+    when no imaging library is importable (driver-side check — a missing
+    executor lib would otherwise surface as a mid-job task failure).
     """
+    if decoder not in ("fake", "image"):
+        raise ValueError("decoder must be 'fake' or 'image'")
+    if decoder == "image" and _imaging() is None:
+        raise NotImplementedError(
+            "decoder='image' requires an imaging library (pip install "
+            "pillow); the deterministic 'fake' kernel covers this container"
+        )
     in_fields = {f.name: f for f in df.schema.fields}
     missing = [c for c in passthrough if c not in in_fields]
     if missing:
@@ -111,9 +169,25 @@ def extract_features(
         + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
     )
 
+    def _real_image_features(data: bytes) -> tuple[int, int, int, int, int]:
+        digest = hashlib.md5(data).digest()
+        try:
+            w, h = decode_image(data).size
+        except Exception:
+            w = h = -1  # undecodable payload: dims are sentinel, row kept
+        return (
+            len(data),
+            int.from_bytes(digest[:4], "big"),
+            data[0] if data else -1,
+            int(w),
+            int(h),
+        )
+
+    kernel = _fake_decode_features if decoder == "fake" else _real_image_features
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode_features(b if b is not None else b"") for b in pdf[payload_col]]
+            feats = [kernel(b if b is not None else b"") for b in pdf[payload_col]]
             out = {"doc_id": pdf[id_col].astype("int64")}
             for c in passthrough:
                 out[c] = pdf[c]
@@ -160,17 +234,26 @@ def resize_payloads(
     payload_col: str = "payload",
     target_w: int = 224,
     target_h: int = 224,
+    kernel: str = "fake",
 ) -> DataFrame:
     """Resize plumbing via mapInPandas: decode → resample → re-encode, one
     Arrow crossing per batch, partition-local (zero shuffle).
 
-    The resample kernel is the deterministic fake (#_fake_decode_features's
-    dims + a digest-derived pixel buffer sized w*h*3); swap in PIL's
-    ``Image.resize`` when imaging libs exist — signatures and batch shape
-    are identical.
+    ``kernel="fake"`` (default, works anywhere): deterministic
+    digest-derived dims + pixel buffer sized w*h*3. ``kernel="pil"``
+    (round 10): PIL decode → ``Image.resize`` → PNG re-encode with the
+    real original dims; refused at plan time when no imaging library is
+    importable. Signatures and batch shape are identical either way.
     """
+    if kernel not in ("fake", "pil"):
+        raise ValueError("kernel must be 'fake' or 'pil'")
+    if kernel == "pil" and _imaging() is None:
+        raise NotImplementedError(
+            "kernel='pil' requires an imaging library (pip install "
+            "pillow); the deterministic 'fake' kernel covers this container"
+        )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf_len = target_w * target_h * 3
         for pdf in it:
             rows = []
@@ -185,6 +268,29 @@ def resize_payloads(
                 rows, columns=["doc_id", "payload", "orig_width", "orig_height", "width", "height"]
             )
 
+    def pil_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                data = data if data is not None else b""
+                try:
+                    img = decode_image(data)
+                    ow, oh = img.size
+                    buf = io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    payload = buf.getvalue()
+                except Exception:
+                    payload, ow, oh = b"", -1, -1  # undecodable: sentinel row
+                rows.append(
+                    (int(doc_id), payload, int(ow), int(oh), target_w, target_h)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "orig_width", "orig_height", "width", "height"]
+            )
+
+    batches = fake_batches if kernel == "fake" else pil_batches
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
 
 

@@ -279,6 +279,7 @@ def cap_per_group(
     score_col: str,
     k: int,
     id_col: str,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """DOMAIN CAPPING: keep at most ``k`` rows per ``group_col``, the
     highest-``score_col`` ones (ties → smallest ``id_col``) — the
@@ -286,20 +287,45 @@ def cap_per_group(
     prolific source cannot dominate the mixture (C4 caps pages per
     domain; Gopher/RefinedWeb cap by registered domain).
 
-    One rank window: the shuffle carries each group's rows to one
-    reducer where the rank is a streaming pass over the sort — no
-    per-group buffering of more than the sort machinery itself (Spark
-    windows spill), and at 100 TB the alternative collect_list-then-trim
-    aggregation would buffer whole groups in memory, so the window IS
-    the scale-safe shape here (contrast :func:`~database_anonymiser_spark
-    .operators.dedup.best_dedup`, whose k=1 case collapses to a struct
-    argmax with map-side partials). Skewed domains are bounded by the
-    cap itself: output ≤ k·|groups| regardless of input skew.
+    Default (``salt_partitions=None``): one rank window — the shuffle
+    carries each group's rows to one reducer where the rank is a
+    streaming pass over the sort (Spark windows spill, so it completes
+    under any skew), and output ≤ k·|groups| regardless of input skew.
+
+    ``salt_partitions=S`` (round 10) bounds the SKEWED case: a first
+    rank window partitioned by (group, hash(id) mod S) splits a hot
+    domain's sort across S reducers and keeps each salt's top-k, so the
+    final exact window sees at most k·S rows per group instead of the
+    domain's full row count (10⁹ rows of one registered domain at
+    100 TB now cost S bounded sorts + one k·S-row sort). EXACT by
+    construction: every global top-k row is within its own salt's
+    top-k, and the (score desc, id) tie-break is a total order, so
+    stage 1 never drops a winner — pinned by a parity test. The salt is
+    a deterministic function of the row (xxhash64 of ``id_col``), never
+    ``spark_partition_id()``, so retries re-derive identical output.
+    The price is a second full-data shuffle when the input is NOT
+    skewed — which is why it is opt-in (contrast
+    :func:`~database_anonymiser_spark.operators.dedup.best_dedup`,
+    whose k=1 case collapses to a struct argmax with map-side
+    partials).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     from pyspark.sql.window import Window
 
+    if salt_partitions is not None:
+        if salt_partitions < 1:
+            raise ValueError("salt_partitions must be >= 1")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_partitions))
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(
+            F.col(score_col).desc_nulls_last(), F.col(id_col)
+        )
+        df = (
+            df.withColumn("_salt", salt)
+            .withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= k)
+            .drop("_rk", "_salt")
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc_nulls_last(), F.col(id_col)
     )

@@ -431,27 +431,38 @@ def _diff_commit(part: _CdfDiffPartition):
     byte-identical carried rows excluded. Key uniqueness per version is
     the table invariant (MERGE maintains it), same as diff()."""
     import numpy as np
+    import pyarrow.compute as pc
 
     old = _read_side(part.removed, part.arrow_schema_physical, part.logical_names)
     new = _read_side(part.added, part.arrow_schema_physical, part.logical_names)
     k = part.key_col
-    old_pos = {v: i for i, v in enumerate(old[k].to_pylist())} if old.num_rows else {}
-    new_keys = new[k].to_pylist() if new.num_rows else []
-    ins, com_old, com_new = [], [], []
-    for i, key in enumerate(new_keys):
-        j = old_pos.pop(key, None)
-        if j is None:
-            ins.append(i)
-        else:
-            com_old.append(j)
-            com_new.append(i)
-    dels = sorted(old_pos.values())
+    # pyarrow-native key alignment (round 10 — was a Python dict + loop):
+    # index_in gives, per new key, its position among the old keys (null
+    # = absent = insert; nulls MATCH nulls, same as the dict the loop
+    # built). Old keys are unique per version (the MERGE invariant), so
+    # first-match IS the match. Everything stays vectorized end-to-end.
+    if old.num_rows and new.num_rows:
+        pos = pc.index_in(
+            new[k].combine_chunks(), value_set=old[k].combine_chunks()
+        )
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False).astype(bool)
+        pos_np = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+        com_new = np.flatnonzero(valid)
+        com_old = pos_np[com_new].astype(np.int64)
+        ins = np.flatnonzero(~valid)
+        del_mask = np.ones(old.num_rows, dtype=bool)
+        del_mask[com_old] = False
+        dels = np.flatnonzero(del_mask)
+    else:
+        com_old = com_new = np.empty(0, dtype=np.int64)
+        ins = np.arange(new.num_rows, dtype=np.int64)
+        dels = np.arange(old.num_rows, dtype=np.int64)
     parts = []
-    if ins:
+    if len(ins):
         parts.append((new.take(ins), "insert"))
-    if dels:
+    if len(dels):
         parts.append((old.take(dels), "delete"))
-    if com_old:
+    if len(com_old):
         o_al, n_al = old.take(com_old), new.take(com_new)
         changed = np.zeros(len(com_old), dtype=bool)
         for c in part.logical_names:
@@ -1088,6 +1099,24 @@ def _writer_state(root: str, write_schema):
     _live, key_col, constraints, schema, stats_cols, colmap, _props = _replay(
         p, versions[-1]
     )
+    gen_cols = sorted(
+        k[len("generated."):]
+        for k in (_props or {})
+        if k.startswith("generated.")
+    )
+    if gen_cols:
+        # decided + pinned (round 10): REFUSAL, like identity. The writer
+        # appends frames verbatim with an exact column match, so it could
+        # only accept user-supplied generated values — but it has no
+        # executor-side SQL evaluator to validate value == expr (the
+        # auto-constraint would refuse below anyway with a misleading
+        # CHECK-constraints message). Compute-on-omit is append's job.
+        raise ValueError(
+            f"DataSource writes into a table with generated column(s) "
+            f"{gen_cols} are not supported (no executor-side evaluator "
+            "to compute or validate them) — use VersionedTable.append, "
+            "which computes omitted generated columns"
+        )
     if constraints:
         raise ValueError(
             "DataSource writes into a table with CHECK constraints are "
@@ -1095,9 +1124,8 @@ def _writer_state(root: str, write_schema):
             "foreachBatch merge sink"
         )
     if (_props or {}).get("identity.col"):
-        # generated columns are already refused via their auto-constraint;
-        # identity has none, so refuse explicitly — this writer appends
-        # frames verbatim and must not accept user-supplied ids
+        # like generated columns above: this writer appends frames
+        # verbatim and must not accept user-supplied ids
         raise ValueError(
             "DataSource writes into a table with an identity column are "
             "not supported (no executor-side allocation) — use "

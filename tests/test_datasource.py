@@ -939,3 +939,30 @@ def test_datasource_writer_refuses_identity_tables(registered, tmp_path):
     # the supported path allocates fine
     t.append(spark.createDataFrame([("c",)], "name string"))
     assert t.snapshot().count() == 3
+
+
+def test_datasource_writer_refuses_generated_tables(registered, tmp_path):
+    """Decided + pinned (round 10): generated-column tables REFUSE the
+    DataSource writer with a generated-specific message (not the
+    misleading CHECK-constraints one) — the writer appends verbatim and
+    has no executor-side evaluator to compute or validate the column.
+    VersionedTable.append is the supported path (computes on omit)."""
+    spark = registered
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "g",
+        spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, price double"),
+        key_col="k",
+        generated={"price2": "price * 2"},
+    )
+    df = t.snapshot()
+    with pytest.raises(Exception, match="generated column"):
+        (
+            df.write.format("versioned")
+            .option("path", str(tmp_path / "g"))
+            .mode("append")
+            .save()
+        )
+    # the supported path computes the omitted column
+    t.append(spark.createDataFrame([(3, 4.0)], "k long, price double"))
+    assert t.snapshot().where("k = 3").first()["price2"] == 8.0

@@ -159,3 +159,61 @@ def test_cap_per_group_semantics(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         cap_per_group(df, "grp", "score", 0, "id")
+
+
+def test_cap_per_group_salted_parity_and_bound(spark):
+    """salt_partitions=S: identical output to the single window (exact
+    top-k survives the salted pre-pass), and the pre-pass provably
+    bounds what reaches the final window for a pathological hot domain:
+    <= k*S rows instead of the domain's full row count."""
+    import random
+
+    from database_anonymiser_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(7)
+    rows = [("hot", i, float(rng.randrange(1000))) for i in range(5000)]
+    rows += [("cold", 10_000 + i, float(i)) for i in range(10)]
+    rows += [("tie", 20_000 + i, 1.0) for i in range(8)]  # all-tied group
+    df = spark.createDataFrame(
+        rows, "grp string, id long, score double"
+    ).repartition(16)
+
+    plain = sorted(
+        tuple(r) for r in cap_per_group(df, "grp", "score", 5, "id").collect()
+    )
+    for s in (1, 4, 32):
+        salted = sorted(
+            tuple(r)
+            for r in cap_per_group(
+                df, "grp", "score", 5, "id", salt_partitions=s
+            ).collect()
+        )
+        assert salted == plain, f"salt_partitions={s} diverged"
+
+    # the bound: the stage-1 pre-filter alone emits <= k*S rows/group
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.window import Window
+
+    k, s = 5, 4
+    salt = F.pmod(F.xxhash64(F.col("id")), F.lit(s))
+    w1 = Window.partitionBy("grp", "_salt").orderBy(
+        F.col("score").desc_nulls_last(), F.col("id")
+    )
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+    )
+    per_group = {
+        r["grp"]: r["n"]
+        for r in stage1.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group["hot"] <= k * s  # 5000-row domain -> <= 20 survivors
+    with _pt_raises_value_error():
+        cap_per_group(df, "grp", "score", 2, "id", salt_partitions=0)
+
+
+def _pt_raises_value_error():
+    import pytest as _pt
+
+    return _pt.raises(ValueError, match="salt_partitions")

@@ -292,11 +292,36 @@ def test_multimodal_passthrough_validation(spark, docs):
         MM.extract_features(payloads, passthrough=("no_such_col",))
 
 
-def test_multimodal_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        MM.decode_audio(b"RIFF")
+def test_multimodal_decode_optional_real_kernels(spark, docs):
+    """Round 10: decode is REAL when the libs exist, the honest stub when
+    they don't — both branches covered, whichever this container is in.
+    The real-kernel entry points refuse at PLAN time (driver-side) when
+    the lib is missing, never as a mid-job task failure."""
+    payloads = MM.attach_binary_payload(docs.limit(3), "doc_id", "text")
+    if MM._imaging() is None:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            MM.extract_features(payloads, decoder="image")
+        with pytest.raises(NotImplementedError):
+            MM.resize_payloads(payloads, kernel="pil")
+    else:  # a deployment with pillow: the same calls are real
+        import io
+
+        img_mod = MM._imaging()
+        buf = io.BytesIO()
+        img_mod.new("RGB", (20, 10)).save(buf, format="PNG")
+        assert MM.decode_image(buf.getvalue()).size == (20, 10)
+        feats = MM.extract_features(payloads, decoder="image").collect()
+        # text payloads are not decodable images -> sentinel dims, row kept
+        assert all(r["fake_width"] == -1 for r in feats)
+    if MM._audio() is None:
+        with pytest.raises(NotImplementedError):
+            MM.decode_audio(b"RIFF")
+    with pytest.raises(ValueError, match="decoder"):
+        MM.extract_features(payloads, decoder="nope")
+    with pytest.raises(ValueError, match="kernel"):
+        MM.resize_payloads(payloads, kernel="nope")
 
 
 def test_asof_join_semantics(spark):
