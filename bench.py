@@ -335,6 +335,36 @@ def main():
         file=sys.stderr,
     )
 
+    # --- BPE tokenizer lifecycle probe (round-10 verdict #4): train wall
+    # over the SF corpus' word-frequency table + apply throughput
+    # (tokens/sec through the Arrow applier with its per-batch piece
+    # memo). A side metric, not a headline query — the train loop's
+    # wall is dominated by per-round job overhead at this tiny scale.
+    from database_anonymiser_spark.operators.tokenizer import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    _docs_tok = load(spark, sf_dir, "documents")
+    _t0 = time.perf_counter()
+    _merges = train_bpe(_docs_tok, "text", 24)
+    _train_sec = round(time.perf_counter() - _t0, 3)
+    _t0 = time.perf_counter()
+    _tok_total = int(
+        apply_bpe(_docs_tok, "doc_id", "text", _merges)
+        .agg(F.sum("n_bpe_tokens"))
+        .first()[0]
+    )
+    _apply_sec = round(time.perf_counter() - _t0, 3)
+    tokenizer_meta = {
+        "train_sec": _train_sec,
+        "n_merges": len(_merges),
+        "apply_sec": _apply_sec,
+        "tokens": _tok_total,
+        "tokens_per_sec": int(_tok_total / _apply_sec) if _apply_sec else 0,
+    }
+    print(f"# tokenizer: {tokenizer_meta}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
 
     # --- ANN recall telemetry (round-6 verdict #8): recall@10 of each
@@ -475,99 +505,58 @@ def main():
         curate_stages[stage or "mix"] = round(max(cum - prev, 0.0), 3)
         prev = cum
         spark.catalog.clearCache()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "curate_stage_sec": curate_stages,
-                "storage_meta_reads": storage_meta,
-                "neardedup_meta": neardedup_meta,
-                "txn_fanout_meta": txn_fanout_meta,
-                "datasource_meta": datasource_meta,
-                "export_meta": export_meta,
-                "ann_recall": ann_recall,
-                "ann_recall_curve": ann_recall_curve,
-                "ann_recall_sf1": ann_recall_sf1,
-                "notes": {
-                    # round-7 verdict #5: the 0.45->0.61s text_quality_spans
-                    # drift was profiled in isolation (round 8): stages
-                    # measure clf 0.378 / spans 0.410 / lm 0.266 standalone
-                    # and the joined entry 0.251s warm at sf0.1 - no stage
-                    # regressed; the r7 number sat inside the same machine-
-                    # load band the 1.04-1.09x control drift recorded.
-                    "text_quality_spans_r7_drift": "attributed to machine load; "
-                    "stage profile clf=0.378s spans=0.410s lm=0.266s joined=0.251s "
-                    "(warm, sf0.1, min of 3) - no structural regression",
-                    # round-8 end-of-round check: storage_churn and
-                    # join_bloom_xxhash64 measured above their r7
-                    # recordings in two clean runs - same-machine A/B
-                    # against the r7 package (git archive of the r7 tag,
-                    # identical probe script, interleaved runs) shows r7
-                    # code at the SAME speed (merges5 warm 2.85 vs 2.93s;
-                    # bloom-xx 1.34-1.54 vs 1.41-1.74s, overlapping):
-                    # machine drift on the many-small-JVM-jobs class, not
-                    # a code regression. The plain controls do not track
-                    # this class; the A/B is the attribution.
-                    "storage_churn_bloomxx_r8_drift": "same-machine A/B vs r7 "
-                    "package: identical timings (merges5 2.85/2.93s warm; "
-                    "bloom-xx overlapping bands) - machine drift, no code "
-                    "regression",
-                    # round-8 verdict #2: the two r8 regressions that lacked
-                    # an A/B got one in round 9 (tools/ab_probe.py,
-                    # interleaved fresh-JVM runs of the r7 git archive vs
-                    # HEAD, both tree locations): curate_corpus_full warm
-                    # minimum 7.08s (r7) vs 7.04s (r9) - identical; the
-                    # sim_cosine_pairs LSH job's bands fully overlap and
-                    # FLIP SIGN with run order/tree location (r9 mins
-                    # 1.19-1.39s vs r7 mins 1.07-1.47s). Both operators'
-                    # code is byte-identical to r7 (verified). The r9 full
-                    # bench also measures both BELOW their r7 records
-                    # (curate 6.57 vs 6.84s, sim 1.58 vs 1.77s): the r8
-                    # readings were machine load, not code.
-                    "curate_sim_r8_drift": "same-machine interleaved A/B vs "
-                    "r7 package (tools/ab_probe.py): curate warm-min "
-                    "7.08/7.04s, sim bands overlap and flip sign with run "
-                    "order; operator code byte-identical - machine drift, "
-                    "no code regression",
-                    # round-9 CONTINUATION: the bench gains the
-                    # shard-export lifecycle side dict (export_meta;
-                    # the declared check rides as sample_scan's 'shard'
-                    # variant so the suite stays at exactly 50 entries
-                    # inside the driver's correctness window); storage_churn /
-                    # txn_fanout COMMIT_READS each read higher than the
-                    # mid-round README table (45->54; [2,4,6]->[4,6,8])
-                    # because transaction witness scans now increment
-                    # the counter - verified IDENTICAL on the
-                    # pre-continuation tip, still constant across
-                    # sf0.01/0.1/1:
-                    "r9_continuation": "export lifecycle probe added; "
-                    "commit_reads counting now includes txn witness "
-                    "scans (constant across scales; no extra reads - "
-                    "A/B'd vs pre-continuation tip)",
-                    # round 9 content changes - NOT comparable 1:1 with r8:
-                    "r9_non_comparable": "sim_cosine_pairs gains the "
-                    "'assign' k-means branch (+~0.7s: 2 trainer jobs + 1 "
-                    "assign pass) and curate_corpus_full gains the "
-                    "cluster_balance stage (curate_stage_sec['balance']); "
-                    "ivf default n_probe 6->8 and pq auto-refine N/8 lift "
-                    "ann_recall at both scales (see ann_recall_sf1). "
-                    "Cost of the balance stage isolated on identical r9 "
-                    "code, idle machine, best-of-2: curate WITHOUT "
-                    "cluster_balance 7.37s (r8 record 8.22s - no code "
-                    "regression), WITH cluster_balance=200 9.37s - the "
-                    "stage costs ~2.0s; any larger curate delta in a full "
-                    "bench run is load drift on the many-stage class",
-                },
-                "control_sec": control,
-                "control_shuffle_arrow_sec": control_sa,
-                "reps": REPS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # --- Emit (round-10 verdict #1): the r9 record was LOST because the
+    # headline JSON line outgrew the driver's 2000-char tail-capture
+    # window (multi-paragraph notes inside the dict). The contract now:
+    # the final stdout line is ONE COMPACT JSON (size-asserted), prose
+    # lives in BENCH_NOTES.md, and the full side-metric dicts land in
+    # bench_sidecar.json next to this script — both written BEFORE the
+    # headline so no stage noise can follow it.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "curate_stage_sec": curate_stages,
+        "storage_meta_reads": storage_meta,
+        "neardedup_meta": neardedup_meta,
+        "txn_fanout_meta": txn_fanout_meta,
+        "datasource_meta": datasource_meta,
+        "export_meta": export_meta,
+        "tokenizer_meta": tokenizer_meta,
+        "ann_recall": ann_recall,
+        "ann_recall_curve": ann_recall_curve,
+        "ann_recall_sf1": ann_recall_sf1,
+        "control_sec": control,
+        "control_shuffle_arrow_sec": control_sa,
+        "reps": REPS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "notes": "BENCH_NOTES.md",
+    }
+    with open(os.path.join(_here, "bench_sidecar.json"), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "ann_recall": ann_recall,
+            "control_sec": control,
+            "control_shuffle_arrow_sec": control_sa,
+            "reps": REPS,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sidecar": "bench_sidecar.json",
+            "notes": "BENCH_NOTES.md",
+        },
+        separators=(",", ":"),
     )
+    # hard guard on the driver's tail-capture window
+    assert len(headline) < 1900, f"headline JSON too long ({len(headline)})"
+    sys.stderr.flush()
+    print(headline)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

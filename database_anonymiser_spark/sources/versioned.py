@@ -846,6 +846,52 @@ def _norm_merge_clauses(matched, not_matched):
     return m_out, nm_out
 
 
+def _norm_by_source_clauses(clauses):
+    """Shape-validate a not_matched_by_source clause LIST (Delta's
+    ``whenNotMatchedBySourceUpdate(condition, set)`` /
+    ``whenNotMatchedBySourceDelete(condition)``). Same grammar as the
+    matched list, but conditions and set exprs see the TARGET row only
+    (``t.`` — every ``s.`` column is NULL on these rows by definition)."""
+    out: list[tuple] = []
+    for cl in clauses:
+        if not isinstance(cl, (tuple, list)) or not cl:
+            raise ValueError(f"malformed by-source clause: {cl!r}")
+        kind = cl[0]
+        if kind == "update":
+            if len(cl) != 3:
+                raise ValueError(
+                    "by-source update clause is ('update', condition, set)"
+                )
+            _, cond, payload = cl
+            if not isinstance(payload, dict) or not payload:
+                raise ValueError(
+                    "by-source update set must be a non-empty "
+                    "{col: sql_expr} dict (there is no source row to "
+                    "updateAll from)"
+                )
+        elif kind == "delete":
+            if len(cl) != 2:
+                raise ValueError(
+                    "by-source delete clause is ('delete', condition)"
+                )
+            _, cond = cl
+            payload = None
+        else:
+            raise ValueError(
+                f"by-source clause kind must be 'update' or 'delete', "
+                f"got {kind!r}"
+            )
+        if cond is not None and not isinstance(cond, str):
+            raise ValueError("clause condition must be a SQL string or None")
+        out.append((kind, cond, payload))
+    for _k, cond, _p in out[:-1]:
+        if cond is None:
+            raise ValueError(
+                "only the LAST by-source clause may omit its condition"
+            )
+    return out
+
+
 def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
     """AND the caller's prune ranges into the row predicate so file-level
     skipping and row-level filtering can never disagree (see the
@@ -2101,18 +2147,32 @@ class VersionedTable:
           ``values`` maps columns to SQL exprs (absent columns insert
           NULL — Delta's insert(values) contract; None = insertAll).
 
-        Passing either list supersedes ``when_matched`` /
+        ``not_matched_by_source`` ALSO accepts an ordered clause list
+        (round 10 — Delta's ``whenNotMatchedBySourceUpdate(condition,
+        set)`` / ``whenNotMatchedBySourceDelete(condition)``):
+        ``[("update", cond, set), ("delete", cond)]`` over unmatched
+        TARGET rows — first TRUE applies, none TRUE keeps the row.
+        Conditions and ``set`` exprs see ``t.`` only (every ``s.``
+        column is NULL on these rows by definition). ``by_source_scope``
+        scopes the candidates exactly as for the legacy ``'delete'``
+        string (out-of-scope files carry over by reference; out-of-scope
+        rows keep unconditionally). With matched/not_matched clause
+        lists, the legacy string form is refused — pass
+        ``[("delete", None)]``.
+
+        Passing any clause list supersedes ``when_matched`` /
         ``insert_not_matched`` (which must stay at their defaults — a
         silent conflict is refused) and is mutually exclusive with
         ``op_col`` (that IS a clause mechanism). Same single full-outer
-        join, same file skipping: clauses only ever touch matched pairs
-        and unmatched source rows, so the skipped-file arithmetic is
-        unchanged. CHECK constraints are validated on the REWRITTEN
-        image (a ``set`` expr can produce values the raw source never
-        contained). Cites Delta Lake MERGE (Armbrust et al., VLDB 2020
-        §3.2) for the clause semantics; the reference's own surface has
-        no MERGE (its writes are whole-table rewrites,
-        `src/executor/executor.ts`).
+        join, same file skipping: matched/insert clauses only ever touch
+        matched pairs and unmatched source rows, so the skipped-file
+        arithmetic is unchanged (a by-source clause list inverts it,
+        like the legacy string — scope or pay the full read). CHECK
+        constraints are validated on the REWRITTEN image (a ``set`` expr
+        can produce values the raw source never contained). Cites Delta
+        Lake MERGE (Armbrust et al., VLDB 2020 §3.2) for the clause
+        semantics; the reference's own surface has no MERGE (its writes
+        are whole-table rewrites, `src/executor/executor.ts`).
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -2120,7 +2180,22 @@ class VersionedTable:
             raise ValueError("skip_by must be 'range' or 'points'")
         if op_col is not None and op_col not in source.columns:
             raise ValueError(f"op_col {op_col!r} not in source columns")
-        use_clauses = matched is not None or not_matched is not None
+        bys_clauses: list[tuple] = []
+        if isinstance(not_matched_by_source, (list, tuple)):
+            # clause-list form (Delta's whenNotMatchedBySourceUpdate /
+            # ...Delete grammar) — forces the clause path, where matched
+            # pairs keep and unmatched source rows drop unless their own
+            # clause lists say otherwise (Delta's default row fates)
+            bys_clauses = _norm_by_source_clauses(not_matched_by_source)
+            if not bys_clauses:
+                raise ValueError(
+                    "not_matched_by_source clause list must be non-empty "
+                    "(pass None to disable)"
+                )
+            not_matched_by_source = "clauses"
+        use_clauses = (
+            matched is not None or not_matched is not None or bool(bys_clauses)
+        )
         m_clauses: list[tuple] = []
         nm_clauses: list[tuple] = []
         if use_clauses:
@@ -2135,8 +2210,22 @@ class VersionedTable:
                     "insert_not_matched; leave those at their defaults"
                 )
             m_clauses, nm_clauses = _norm_merge_clauses(matched, not_matched)
-        if not_matched_by_source not in (None, "delete"):
-            raise ValueError("not_matched_by_source must be None or 'delete'")
+        if not_matched_by_source not in (None, "delete", "clauses"):
+            raise ValueError(
+                "not_matched_by_source must be None, 'delete', or a clause "
+                "list [('update', cond, set), ('delete', cond)]"
+            )
+        if not_matched_by_source == "delete" and (
+            matched is not None or not_matched is not None
+        ):
+            # inside the clause grammar the by-source family is a clause
+            # list too — mixing the legacy string with clause lists would
+            # leave its interaction with the ordered clauses ambiguous
+            raise ValueError(
+                "with matched/not_matched clause lists, pass "
+                "not_matched_by_source as a clause list "
+                "([('delete', None)] is the legacy 'delete')"
+            )
         if not_matched_by_source is not None and op_col is not None:
             raise ValueError(
                 "not_matched_by_source is incompatible with op_col: a CDC "
@@ -2154,7 +2243,7 @@ class VersionedTable:
         ident = self.identity_column()
         gen_cols = self.generated_columns()
         if use_clauses:
-            for kind, _cond, payload in m_clauses:
+            for kind, _cond, payload in [*m_clauses, *bys_clauses]:
                 if kind == "update" and payload is not None:
                     if key_col in payload:
                         raise ValueError(
@@ -2461,7 +2550,7 @@ class VersionedTable:
                 # unmatched source rows no insert clause accepts fall
                 # through to NULL (not inserted)
                 dtypes = {f.name: f.dataType for f in tgt.schema.fields}
-                for _k, _c, payload in [*m_clauses, *nm_clauses]:
+                for _k, _c, payload in [*m_clauses, *nm_clauses, *bys_clauses]:
                     unknown = sorted(c for c in (payload or {}) if c not in cols)
                     if unknown:
                         raise ValueError(
@@ -2469,16 +2558,41 @@ class VersionedTable:
                             f"column(s) {unknown}"
                         )
                 matched_pair = ~unmatched_t & ~unmatched_s
-                if not_matched_by_source == "delete":
-                    keep_t = unmatched_t & ~F.col(f"t.{bs}").eqNullSafe(
-                        F.lit(True)
-                    )
-                else:
-                    keep_t = unmatched_t
-                out_img = F.when(keep_t, t_img)
                 null_img = F.lit(None).cast(
                     st.StructType([st.StructField(c, dtypes[c]) for c in cols])
                 )
+                if not_matched_by_source == "clauses":
+                    # by-source clause family: out-of-scope unmatched
+                    # target rows keep unconditionally (scope pruning
+                    # re-tested row-exactly); in-scope rows take the
+                    # first-TRUE by-source clause; none TRUE -> keep.
+                    # Clause exprs see t.* only (s.* is NULL here).
+                    in_scope_t = F.col(f"t.{bs}").eqNullSafe(F.lit(True))
+                    cand = unmatched_t & in_scope_t
+                    out_img = F.when(unmatched_t & ~in_scope_t, t_img)
+                    for kind, cond, payload in bys_clauses:
+                        hit = cand if cond is None else (
+                            cand & F.expr(cond).eqNullSafe(F.lit(True))
+                        )
+                        if kind == "delete":
+                            out_img = out_img.when(hit, null_img)
+                        else:
+                            img = F.struct(
+                                *[
+                                    (
+                                        F.expr(payload[c]).cast(dtypes[c])
+                                        if c in payload
+                                        else F.col(f"t.{c}")
+                                    ).alias(c)
+                                    for c in cols
+                                ]
+                            )
+                            out_img = out_img.when(hit, img)
+                    out_img = out_img.when(unmatched_t, t_img)  # no-clause keep
+                else:
+                    # (the legacy 'delete' string cannot reach here: with
+                    # clause lists it must be passed as a clause list)
+                    out_img = F.when(unmatched_t, t_img)
                 for kind, cond, payload in m_clauses:
                     hit = matched_pair if cond is None else (
                         matched_pair & F.expr(cond).eqNullSafe(F.lit(True))

@@ -4114,3 +4114,96 @@ def test_merge_clauses_identity_guards(spark, tmp_path):
         t.merge(bad)
     with pytest.raises(ValueError, match="identity.next"):
         t.merge(bad, not_matched=[("insert", None, None)])
+
+
+def test_merge_by_source_clause_list(spark, table):
+    """whenNotMatchedBySourceUpdate/Delete as a clause LIST: unmatched
+    target rows take the first-TRUE by-source clause (exprs see t.*
+    only), none-TRUE rows keep, and the legacy 'delete' string is
+    refused when clause lists are in play."""
+    src = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "k long, d double"
+    )
+    # matched (k 0..2): partial update. Unmatched targets: k<10 flagged
+    # STALE (update), k multiple of 7 deleted, others kept.
+    table.merge(
+        src,
+        matched=[("update", None, {"v": "s.d"})],
+        not_matched_by_source=[
+            ("update", "t.k < 10", {"name": "concat(t.name, '-STALE')"}),
+            ("delete", "t.k % 7 = 0"),
+        ],
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in table.snapshot().collect()}
+    assert got[1] == ("name1", 2.0)  # matched partial update
+    assert got[3] == ("name3-STALE", 30.0)  # first by-source clause
+    # k=7 satisfies BOTH clauses -> FIRST wins (updated, not deleted)
+    assert got[7] == ("name7-STALE", 70.0)
+    assert 14 not in got  # k>=10 and %7=0 -> second clause deletes
+    assert got[11] == ("name11", 110.0)  # no clause TRUE -> kept
+    assert len(got) == 19
+
+
+def test_merge_by_source_clause_order_first_true_wins(spark, table):
+    """A row satisfying BOTH by-source clauses takes the FIRST."""
+    src = spark.createDataFrame([(100, 1.0)], "k long, d double")
+    table.merge(
+        src,
+        not_matched_by_source=[
+            ("update", "t.k % 2 = 0", {"v": "t.v + 0.5"}),
+            ("delete", None),  # fallback: odd keys deleted
+        ],
+    )
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got[4] == 40.5  # even: updated by clause 1
+    assert 3 not in got  # odd: fallback delete
+    assert len(got) == 10  # 10 even keys survive (no inserts: no clause)
+    assert 100 not in got  # unmatched SOURCE row: no insert clause
+
+
+def test_merge_by_source_clause_scope_prunes(spark, table):
+    """by_source_scope still scopes the clause list: out-of-scope
+    unmatched targets keep unconditionally (and out-of-scope files
+    carry over by reference)."""
+    src = spark.createDataFrame([(0, 9.0)], "k long, d double")
+    v = table.merge(
+        src,
+        matched=[("update", None, {"v": "s.d"})],
+        not_matched_by_source=[("delete", None)],
+        by_source_scope={"k": (0, 5)},
+    )
+    got = sorted(r["k"] for r in table.snapshot().collect())
+    assert got == [0] + list(range(6, 20))  # 1..5 deleted, >5 out of scope
+    assert table.commit_meta(v)["metrics"]["by_source"] == "clauses"
+
+
+def test_merge_by_source_clause_validation(spark, table):
+    src = spark.createDataFrame([(1, 2.0)], "k long, d double")
+    with pytest.raises(ValueError, match="legacy 'delete'"):
+        table.merge(
+            src,
+            matched=[("delete", None)],
+            not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        table.merge(src, not_matched_by_source=[])
+    with pytest.raises(ValueError, match="LAST by-source"):
+        table.merge(
+            src,
+            not_matched_by_source=[
+                ("delete", None),
+                ("update", "t.k > 0", {"v": "t.v"}),
+            ],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        table.merge(src, not_matched_by_source=[("update", None, None)])
+    with pytest.raises(ValueError, match="merge key"):
+        table.merge(
+            src, not_matched_by_source=[("update", None, {"k": "t.k + 1"})]
+        )
+    with pytest.raises(ValueError, match="incompatible with op_col"):
+        table.merge(
+            src.withColumn("_op", F.lit("upsert")),
+            op_col="_op",
+            not_matched_by_source=[("delete", None)],
+        )
