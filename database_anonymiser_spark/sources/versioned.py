@@ -1900,6 +1900,19 @@ class VersionedTable:
         clash = [
             c for c in cur_types if c in new_types and cur_types[c] != new_types[c]
         ]
+        # a frame column NARROWER than the table's (post-widen_column
+        # writers still producing the old type) upcasts losslessly
+        # instead of erroring — Delta's writer does the same
+        upcast = [
+            c
+            for c in clash
+            if cur_types[c].typeName()
+            in self._WIDENINGS.get(new_types[c].typeName(), ())
+        ]
+        for c in upcast:
+            df = df.withColumn(c, F.col(c).cast(cur_types[c]))
+            new_types[c] = cur_types[c]
+        clash = [c for c in clash if c not in upcast]
         if clash:
             raise ValueError(f"schema evolution cannot change column types: {clash}")
         evolved_schema = None
@@ -3361,6 +3374,73 @@ class VersionedTable:
         v = self.latest_version()
         _commit(
             self.root, v + 1, [], [], self.key_col(), op="add_column",
+            schema=new_schema.jsonValue(),
+        )
+        return v + 1
+
+    #: lossless read-time widenings (Delta's type widening, Delta 3.2 /
+    #: the Parquet upcast set Spark 4's vectorized reader and pyarrow's
+    #: dataset projection both perform): every value representable in
+    #: the old type is exactly representable in the new. long→double is
+    #: deliberately ABSENT (lossy above 2^53); decimals are out of scope
+    #: (precision bookkeeping without an oracle win).
+    _WIDENINGS = {
+        "byte": ("short", "integer", "long", "double"),
+        "short": ("integer", "long", "double"),
+        "integer": ("long", "double"),
+        "float": ("double",),
+    }
+
+    def widen_column(self, name: str, new_type) -> int:
+        """``ALTER TABLE ALTER COLUMN ... TYPE`` for LOSSLESS widenings
+        (Delta Lake type widening, Delta 3.2+) as a pure METADATA commit
+        — zero data reads or writes: the logged schema's field changes
+        type and every existing file upcasts AT SCAN TIME through the
+        explicit-schema read (Spark's parquet reader and the Arrow
+        DataSource's dataset projection both perform the cast —
+        verified, not assumed, in tests/test_versioned.py). Narrowings
+        and cross-family changes are refused with the allowed matrix.
+
+        Interplay: later appends/merges should supply the NEW type;
+        frames still carrying the OLD (or any narrower-widenable) type
+        are upcast automatically by :meth:`_align_schema` instead of
+        refused — Delta's writer does the same. A streaming follower
+        sees the schema change and fails with its restart contract
+        (the stream-start schema is the fixed view)."""
+        from pyspark.sql.types import DataType, StructField, StructType
+
+        schema = self._log_schema()
+        if schema is None:
+            raise ValueError("widen_column requires a logged schema")
+        if isinstance(new_type, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            new_type = _parse_datatype_string(new_type)
+        if not isinstance(new_type, DataType):
+            raise ValueError(f"not a data type: {new_type!r}")
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        old = schema[name].dataType
+        if old == new_type:
+            raise ValueError(f"{name!r} already has type {old.simpleString()}")
+        allowed = self._WIDENINGS.get(old.typeName(), ())
+        if new_type.typeName() not in allowed:
+            raise ValueError(
+                f"cannot widen {name!r} from {old.simpleString()} to "
+                f"{new_type.simpleString()}; lossless widenings from "
+                f"{old.simpleString()}: {list(allowed) or 'none'}"
+            )
+        new_schema = StructType(
+            [
+                StructField(f.name, new_type if f.name == name else f.dataType,
+                            f.nullable)
+                for f in schema.fields
+            ]
+        )
+        v = self.latest_version()
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="widen_column",
             schema=new_schema.jsonValue(),
         )
         return v + 1

@@ -133,6 +133,20 @@ _INS_SHIFT = 10_000_000
       FROM src7
       WHERE c_custkey > {4 * _INS_SHIFT} AND d > 0
     ),
+    -- v8 BY-SOURCE CLAUSE FAMILY: a KEY-ONLY source of every ODD state7
+    -- key; matched (odd) rows keep; unmatched (even) targets take the
+    -- first-TRUE by-source clause — negative balance -> segment
+    -- 'NEGBAL' (update), else key %10=0 -> delete, else kept.
+    state8 AS (
+      SELECT * FROM state7 WHERE c_custkey % 2 = 1
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             'NEGBAL' AS c_mktsegment
+      FROM state7 WHERE c_custkey % 2 = 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT * FROM state7
+      WHERE c_custkey % 2 = 0 AND c_acctbal >= 0 AND c_custkey % 10 <> 0
+    ),
     cdf AS (
       -- v0: CREATE commits every customer row as an insert
       SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -214,12 +228,28 @@ _INS_SHIFT = 10_000_000
       SELECT 'insert', 7, c_custkey, 'CLAUSENEW', CAST(NULL AS BIGINT),
              CAST(d AS DOUBLE), CAST(NULL AS VARCHAR)
       FROM src7 WHERE c_custkey > {4 * _INS_SHIFT} AND d > 0
+      UNION ALL
+      -- v8 by-source clauses: update pre/post for flagged rows (the
+      -- segment change is a genuine content change — no prior NEGBAL),
+      -- deletes for the fallthrough-delete rows, nothing for keeps
+      SELECT 'update_preimage', 8, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM state7 WHERE c_custkey % 2 = 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT 'update_postimage', 8, c_custkey, c_name, c_nationkey,
+             c_acctbal, 'NEGBAL'
+      FROM state7 WHERE c_custkey % 2 = 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT 'delete', 8, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM state7
+      WHERE c_custkey % 2 = 0 AND c_acctbal >= 0 AND c_custkey % 10 = 0
     )
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM state7
+    FROM state8
     UNION ALL
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -292,7 +322,14 @@ def merge_upsert(spark, sf_dir):
     that must leave unset columns bit-identical, a conditional delete,
     a conditional values-dict insert (unspecified columns NULL), and the
     no-clause-matched KEEP. Both the post-clause snapshot and the v7
-    feed events are value-hash checked under the oracle."""
+    feed events are value-hash checked under the oracle.
+
+    Round 10 (cont.) appends v8 = the BY-SOURCE CLAUSE FAMILY
+    (``whenNotMatchedBySourceUpdate(condition, set)`` + ``...Delete``):
+    a KEY-ONLY source of the odd v7 keys — matched rows keep, unmatched
+    (even) targets take the first-TRUE by-source clause (negative
+    balance → partial segment update; else key%10=0 → delete; else
+    keep) — snapshot and v8 feed events under the same oracle."""
     from database_anonymiser_spark.sources.versioned import (
         ROW_PRESERVING_OPS,
         VersionedTable,
@@ -401,6 +438,19 @@ def merge_upsert(spark, sf_dir):
                     "c_acctbal": "s.d",
                 },
             ),
+        ],
+    )
+
+    # v8 (round 10 cont.): by-source clause family with a KEY-ONLY
+    # source (every odd v7 key) — unmatched even targets: flag negative
+    # balances, else delete key%10=0, else keep.
+    snap7 = t.snapshot(t.latest_version())
+    src8 = snap7.where(k % 2 == 1).select("c_custkey")
+    t.merge(
+        src8,
+        not_matched_by_source=[
+            ("update", "t.c_acctbal < 0", {"c_mktsegment": "'NEGBAL'"}),
+            ("delete", "t.c_custkey % 10 = 0"),
         ],
     )
 

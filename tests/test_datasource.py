@@ -966,3 +966,25 @@ def test_datasource_writer_refuses_generated_tables(registered, tmp_path):
     # the supported path computes the omitted column
     t.append(spark.createDataFrame([(3, 4.0)], "k long, price double"))
     assert t.snapshot().where("k = 3").first()["price2"] == 8.0
+
+
+def test_datasource_reads_widened_table(registered, tmp_path):
+    """The Arrow read face after widen_column: pyarrow's dataset
+    projection upcasts old int32/float32 bytes to the widened logical
+    schema — batch and streaming-CDF reads both serve the new types."""
+    spark = registered
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "w",
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v float"),
+        key_col="k",
+    )
+    t.widen_column("v", "double")
+    t.widen_column("k", "long")
+    df = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "w"))
+        .load()
+    )
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 1.5), (2, 2.5)]

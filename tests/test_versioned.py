@@ -4207,3 +4207,80 @@ def test_merge_by_source_clause_validation(spark, table):
             op_col="_op",
             not_matched_by_source=[("delete", None)],
         )
+
+
+def test_widen_column_type_metadata_only(spark, tmp_path):
+    """Type widening (Delta 3.2's ALTER COLUMN TYPE): a pure metadata
+    commit — old files upcast at scan (int32 bytes read as long), no
+    rewrite; time travel below the commit shows the old type; later
+    narrow-typed writes upcast automatically; narrowings refused."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    base = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, 3.5)], "k int, v float"
+    )
+    t = VersionedTable.create(spark, tmp_path / "w", base, key_col="k")
+    n_files = len(list((tmp_path / "w" / "data").rglob("*.parquet")))
+
+    v1 = t.widen_column("v", "double")
+    t.widen_column("k", "long")  # the KEY column widens too
+    assert len(list((tmp_path / "w" / "data").rglob("*.parquet"))) == n_files
+    snap = t.snapshot()
+    assert dict(snap.dtypes) == {"k": "bigint", "v": "double"}
+    assert sorted(tuple(r) for r in snap.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5),
+    ]
+    # time travel below the widen shows the narrow type
+    assert dict(t.snapshot(v1 - 1).dtypes) == {"k": "int", "v": "float"}
+    # the widen commit changes no rows: its content diff is empty
+    assert t.diff(v1 - 1, v1).count() == 0
+
+    # a writer still producing the OLD narrow type upcasts automatically
+    t.append(spark.createDataFrame([(4, 4.5)], "k int, v float"))
+    # and the new wide type appends natively; merge still key-skips
+    t.append(spark.createDataFrame([(5, 5.5)], "k long, v double"))
+    t.merge(
+        spark.createDataFrame([(4, 44.0)], "k long, v double"),
+        skip_by="points",
+    )
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[4] == 44.0 and got[5] == 5.5 and len(got) == 5
+    assert dict(t.snapshot().dtypes) == {"k": "bigint", "v": "double"}
+
+    # checkpoint + replay-cache wipe: the widened schema survives
+    V._write_checkpoint(t.root, t.latest_version())
+    V._REPLAY_CACHE.clear()
+    t2 = VersionedTable(spark, tmp_path / "w")
+    assert dict(t2.snapshot().dtypes) == {"k": "bigint", "v": "double"}
+
+    # validation matrix
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column("nope", "long")
+    with pytest.raises(ValueError, match="already has type"):
+        t.widen_column("v", "double")
+    with pytest.raises(ValueError, match="lossless widenings"):
+        t.widen_column("k", "int")  # narrowing
+    with pytest.raises(ValueError, match="lossless widenings"):
+        t.widen_column("k", "double")  # long -> double is lossy
+    with pytest.raises(ValueError, match="lossless widenings"):
+        t.widen_column("v", "string")  # cross-family
+
+
+def test_widen_column_composes_with_column_mapping(spark, tmp_path):
+    """Widen AFTER a rename: the physical bytes keep the birth name AND
+    the narrow type; reads alias physical->logical and upcast in one
+    explicit-schema scan."""
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "wm",
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, qty int"),
+        key_col="k",
+    )
+    t.rename_column("qty", "quantity")
+    t.widen_column("quantity", "long")
+    snap = t.snapshot()
+    assert dict(snap.dtypes) == {"k": "bigint", "quantity": "bigint"}
+    assert sorted(tuple(r) for r in snap.collect()) == [(1, 10), (2, 20)]
+    # and a write in the new shape round-trips
+    t.append(spark.createDataFrame([(3, 30)], "k long, quantity long"))
+    assert t.snapshot().count() == 3
