@@ -71,6 +71,8 @@ def curate_corpus(
     mixture_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     token_budgets: dict[str, int] | None = None,
+    temperature_target: int | None = None,
+    temperature_alpha: float = 0.5,
     stop_after: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one curated DataFrame with
@@ -94,7 +96,11 @@ def curate_corpus(
     any eval doc is dropped (eval rows are never dropped — they are the
     benchmark). ``mixture_rates=None`` skips mixing; otherwise rates
     apply to train AND eval rows keyed on ``source_col`` (copy_idx
-    appears in the output).
+    appears in the output). ``temperature_target`` (round 10) is the
+    hands-free alternative: α-scaled source rebalancing (sources
+    sampled ∝ n^α toward that many rows,
+    :func:`~database_anonymiser_spark.operators.sampling.temperature_mixture`)
+    — mutually exclusive with ``mixture_rates``.
 
     C4 pre-gates (round 4, both default-off — the raw-crawl scrub that
     runs BEFORE profiling, per Raffel et al. 2020): ``clean_lines``
@@ -314,6 +320,23 @@ def curate_corpus(
     if stop_after == "decontam":
         return kept
 
+    if temperature_target is not None:
+        # α-scaled source rebalancing (GPT-3/XLM-R/Llama): sources
+        # sampled ∝ n^α toward temperature_target rows — the
+        # hands-free alternative to hand-written mixture_rates
+        # (mutually exclusive: both at once would double-sample)
+        if mixture_rates is not None:
+            raise ValueError(
+                "pass mixture_rates or temperature_target, not both"
+            )
+        from database_anonymiser_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        kept = temperature_mixture(
+            kept, id_col, source_col, temperature_target,
+            alpha=temperature_alpha,
+        )
     if mixture_rates is not None:
         kept = mixture_sample(
             kept, id_col, source_col, mixture_rates, default_rate=default_rate

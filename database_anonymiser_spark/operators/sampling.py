@@ -96,6 +96,63 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "temp-mix-v1",
+) -> DataFrame:
+    """TEMPERATURE-SCALED mixture sampling — the multilingual/multi-source
+    rebalancing recipe of GPT-3 / XLM-R / Llama: sample sources with
+    probability ∝ n_s^α (α < 1 flattens the size distribution so head
+    sources stop dominating while tail sources upsample), targeting
+    ``target_total`` output rows overall. α = 1 is proportional
+    (no-op mixing), α = 0 is uniform-per-source.
+
+    Derivation (all on the driver, from one K-sized count aggregate):
+    integer weights w_s = floor(n_s^α · 1e6), S = Σ w_s (exact integer
+    sum — no float-order dependence), per-source micro-rate
+    micro_s = (target_total · w_s · 1e6) // (S · n_s) — exact integer
+    arithmetic end to end, so the selection is reproducible by ANY
+    engine with md5 (the declared-suite oracle reproduces it; α = 0.5
+    routes through ``math.sqrt``, IEEE-correctly-rounded in every
+    engine, rather than libm ``pow`` whose last ulp is not portable).
+    Rates may exceed 1 for scarce sources — :func:`mixture_sample`'s
+    expected-copies upsampling applies, with ``copy_idx`` marking
+    repeats. Scale shape: the count aggregate is the only job before
+    the map-side literal-map filter; nothing else shuffles.
+    """
+    import math
+
+    if target_total <= 0:
+        raise ValueError("target_total must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return mixture_sample(df, id_col, source_col, {}, 0.0, salt=salt)
+    weights = {
+        s: math.floor(
+            (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha) * _MICRO
+        )
+        for s, n in counts.items()
+    }
+    total_w = sum(weights.values())
+    rates = {
+        s: ((target_total * weights[s] * _MICRO) // (total_w * n)) / _MICRO
+        for s, n in counts.items()
+    }
+    # a NULL source is its own group: literal maps cannot key on NULL,
+    # so its rate rides the default (NULL lookups coalesce to it)
+    null_rate = rates.pop(None, 0.0)
+    return mixture_sample(df, id_col, source_col, rates, null_rate, salt=salt)
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str,

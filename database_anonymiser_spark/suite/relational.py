@@ -49,6 +49,26 @@ STAR_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
       )
     )
     UNION ALL
+    SELECT 'temperature' AS kind, c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             unnest(range((micro // 1000000)
+                          + CASE WHEN bucket < micro % 1000000 THEN 1 ELSE 0 END))
+      FROM (
+        SELECT c.c_custkey, c.c_name,
+               CAST((450 * w.w * 1000000) // (w.s_w * w.n) AS BIGINT) AS micro,
+               ('0x' || substr(md5('temp-mix-v1' || CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 AS bucket
+        FROM customer c
+        JOIN (
+          SELECT c_mktsegment, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w,
+                 sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+                   OVER () AS s_w
+          FROM (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1)
+        ) w ON w.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+      )
+    )
+    UNION ALL
     SELECT 'stratified' AS kind, c_custkey, c_name FROM (
       SELECT c_custkey, c_name,
              row_number() OVER (
@@ -123,6 +143,14 @@ def sample_scan(spark, sf_dir):
     to 0.1 — rate lookup via a literal map, copy fan-out via
     posexplode(array_repeat), all map-side; the oracle reproduces the
     bucket arithmetic and the copy fan-out with unnest(range(...)).
+    'temperature' (round 10, operators/sampling.py::temperature_mixture)
+    is α-scaled source rebalancing (GPT-3/XLM-R/Llama: sample sources
+    ∝ n^α, α=0.5 flattens the size distribution) targeting 450 rows:
+    integer weights w = floor(sqrt(n)·1e6) (sqrt is IEEE
+    correctly-rounded in every engine), integer weight sum, integer
+    micro-rate — the whole derivation is exact cross-engine, and the
+    oracle reproduces selection AND upsampling fan-out
+    (unnest(range(copies))) bit-for-bit.
     'stratified' (round 5, operators/sampling.py::stratified_sample) is
     the exact-quota counterpart: the 7 smallest-hash customers per market
     segment — eval-set construction. At scale the window is preceded by a
@@ -182,6 +210,16 @@ def sample_scan(spark, sf_dir):
         {"BUILDING": 1.5, "AUTOMOBILE": 0.25},
         default_rate=0.1,
     ).select(F.lit("mixture").alias("kind"), "c_custkey", "c_name")
+    # 'temperature' (round 10, operators/sampling.py::temperature_mixture):
+    # GPT-3/XLM-R/Llama α-sampling — sources sampled ∝ n^α (α=0.5),
+    # targeting 450 rows; exact integer micro-rates from isqrt-grid
+    # weights, so the oracle reproduces the selection bit-for-bit
+    tempered = SA.temperature_mixture(
+        df.select("c_custkey", "c_name", "c_mktsegment"),
+        "c_custkey",
+        "c_mktsegment",
+        target_total=450,
+    ).select(F.lit("temperature").alias("kind"), "c_custkey", "c_name")
     stratified = SA.stratified_sample(
         df.select("c_custkey", "c_name", "c_mktsegment"),
         "c_custkey",
@@ -241,6 +279,7 @@ def sample_scan(spark, sf_dir):
     return (
         pad(head).unionByName(pad(sampled))
         .unionByName(pad(mixed))
+        .unionByName(pad(tempered))
         .unionByName(pad(stratified))
         .unionByName(pad(balanced))
         .unionByName(pad(budgeted))

@@ -449,3 +449,25 @@ def test_curate_lm_gate_drops_junk(spark):
     ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
     assert 99 not in ids
     assert len(ids) >= len(fluent) - 1  # running text survives
+
+
+def test_curate_temperature_mixing(spark, sf_dir):
+    """temperature_target: α-scaled source rebalancing as the mix stage;
+    mutually exclusive with hand-written mixture_rates."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = curate_corpus(docs, min_tokens=3, temperature_target=300)
+    n = out.count()
+    assert 150 < n < 450  # near the target, hash error only
+    assert "copy_idx" in out.columns
+    with _pt.raises(ValueError, match="not both"):
+        curate_corpus(
+            docs,
+            min_tokens=3,
+            temperature_target=300,
+            mixture_rates={"src0": 1.0},
+        )

@@ -217,3 +217,61 @@ def _pt_raises_value_error():
     import pytest as _pt
 
     return _pt.raises(ValueError, match="salt_partitions")
+
+
+def test_temperature_mixture_flattens_and_upsamples(spark):
+    """α-sampling: α=1 is proportional (source shares preserved), α=0.5
+    flattens (small sources gain share, large lose), α=0 targets
+    uniform-per-source; scarce sources UPSAMPLE via expected-copies;
+    NULL sources ride the default-rate path; totals land near target."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "big") for i in range(3000)]
+        + [(10_000 + i, "small") for i in range(200)]
+        + [(20_000 + i, None) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+
+    def shares(alpha, target):
+        out = temperature_mixture(df, "id", "src", target, alpha=alpha)
+        got = {
+            r["src"]: r["n"]
+            for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(got.values())
+        return got, total
+
+    got1, tot1 = shares(1.0, 1000)
+    got05, tot05 = shares(0.5, 1000)
+    got0, tot0 = shares(0.0, 1000)
+    for tot in (tot1, tot05, tot0):
+        assert abs(tot - 1000) < 120  # hash error, not binomial noise
+    # α=1: proportional — big keeps ~3000/3400 of the sample
+    assert got1["big"] / tot1 == _pt.approx(3000 / 3400, abs=0.05)
+    # flattening is monotone in α: big's share strictly drops as α falls
+    assert got1["big"] / tot1 > got05["big"] / tot05 > got0["big"] / tot0
+    # α=0: near-uniform per source
+    assert got0["big"] / tot0 == _pt.approx(1 / 3, abs=0.07)
+    assert got0[None] > 0  # NULL source sampled via the default rate
+
+    # scarce source under a big target: rate > 1 -> upsampling copies
+    up = temperature_mixture(df, "id", "src", 10_000, alpha=0.0)
+    n_small = up.where("src = 'small'").count()
+    assert n_small > 2 * 200  # ~3333 expected from 200 rows
+    assert up.where("src = 'small' AND copy_idx > 0").count() > 0
+
+    # determinism: same selection under any partitioning
+    a = sorted(tuple(r) for r in temperature_mixture(df, "id", "src", 500).collect())
+    b = sorted(
+        tuple(r)
+        for r in temperature_mixture(df.repartition(13), "id", "src", 500).collect()
+    )
+    assert a == b
+
+    with _pt.raises(ValueError, match="target_total"):
+        temperature_mixture(df, "id", "src", 0)
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "id", "src", 10, alpha=-1.0)
