@@ -17,10 +17,22 @@ from database_anonymiser_spark import strategies as S
 from database_anonymiser_spark.suite.base import load, register
 
 
+#: padded NULL mask columns for the privacy-audit variant rows
+_MASK_NULLS_SQL = """
+           CAST(NULL AS VARCHAR) AS keep_name,
+           CAST(NULL AS VARCHAR) AS null_mktsegment,
+           CAST(NULL AS VARCHAR) AS redact_mktsegment,
+           CAST(NULL AS VARCHAR) AS hash_name,
+           CAST(NULL AS VARCHAR) AS sha256_name,
+           CAST(NULL AS VARCHAR) AS trunc_name,
+           CAST(NULL AS VARCHAR) AS email_name,
+           CAST(NULL AS VARCHAR) AS preview_name"""
+
+
 @register(
     "mask_strategies",
-    """
-    SELECT c_custkey,
+    f"""
+    SELECT 'mask' AS kind, c_custkey,
            c_name AS keep_name,
            CAST(NULL AS VARCHAR) AS null_mktsegment,
            '***' AS redact_mktsegment,
@@ -30,23 +42,82 @@ from database_anonymiser_spark.suite.base import load, register
            md5(coalesce(c_name, '')) || '@example.com' AS email_name,
            CASE WHEN length(c_name) <= 6 THEN '***'
                 ELSE substr(c_name, 1, 2) || '***' || substr(c_name, length(c_name) - 1, 2)
-           END AS preview_name
+           END AS preview_name,
+           CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS BIGINT) AS nat,
+           CAST(NULL AS BIGINT) AS class_n, CAST(NULL AS BOOLEAN) AS flag
+    FROM customer
+    UNION ALL
+    SELECT 'kanon', CAST(NULL AS BIGINT),{_MASK_NULLS_SQL},
+           c_mktsegment AS seg, c_nationkey AS nat,
+           count(*) AS class_n, count(*) < 10 AS flag
+    FROM customer GROUP BY c_mktsegment, c_nationkey
+    UNION ALL
+    SELECT 'ldiv', CAST(NULL AS BIGINT),{_MASK_NULLS_SQL},
+           c_mktsegment AS seg, CAST(NULL AS BIGINT) AS nat,
+           count(DISTINCT c_nationkey) AS class_n,
+           count(DISTINCT c_nationkey) < 24 AS flag
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'suppress', c.c_custkey,{_MASK_NULLS_SQL},
+           CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS BIGINT) AS nat,
+           CAST(NULL AS BIGINT) AS class_n, CAST(NULL AS BOOLEAN) AS flag
+    FROM customer c
+    JOIN (
+      SELECT c_mktsegment, c_nationkey FROM customer
+      GROUP BY 1, 2 HAVING count(*) >= 10
+    ) g ON g.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+       AND g.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+    UNION ALL
+    SELECT 'generalize', c_custkey,{_MASK_NULLS_SQL},
+           CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS BIGINT) AS nat,
+           CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS class_n,
+           CAST(NULL AS BOOLEAN) AS flag
     FROM customer
     """,
-    tags=("masking",),
+    tags=("masking", "privacy"),
 )
 def mask_strategies(spark, sf_dir):
-    """All strategy compilers in one projection (query-builder.ts:21-51):
-    T1 KEEP, T2 SET_NULL, T3 REDACT, T4 HASH (md5, faithful) + the
-    HASH_SHA256_REAL extension (checked against DuckDB's sha256), T5
-    TRUNCATE, T6 EMAIL_FAKE, T7 sample preview.
+    """All strategy compilers in one projection (query-builder.ts:21-51)
+    PLUS the privacy-audit family over the same table.
 
-    Scale: one codegen'd select over the scan — zero shuffles, zero Python;
+    'mask' rows: T1 KEEP, T2 SET_NULL, T3 REDACT, T4 HASH (md5,
+    faithful) + the HASH_SHA256_REAL extension (checked against DuckDB's
+    sha256), T5 TRUNCATE, T6 EMAIL_FAKE, T7 sample preview — one
+    codegen'd select over the scan, zero shuffles, zero Python;
     identical plan shape to a production whole-table mask.
+
+    The release-audit variants (round 10, operators/privacy.py — the
+    question the reference never answers: is the masked output SAFE to
+    release?):
+    'kanon' — k-anonymity equivalence classes over the quasi-identifier
+    pair (segment, nation) with k=10: per-class size + violation flag
+    (Sweeney 2002). One partial-aggregated groupBy; |classes|-sized.
+    'ldiv' — distinct l-diversity of nation within segment classes,
+    l=24 (Machanavajjhala 2007's homogeneity-attack guard).
+    'suppress' — the ids SURVIVING suppression to k=10 on the same
+    quasi pair (the enforcement step; output is k-anonymous by
+    construction, null-safe class join).
+    'generalize' — fixed-width numeric generalization of the balance
+    (width 500, band lower bound): the coarsening that enlarges classes
+    so suppression destroys fewer rows.
     """
+    from database_anonymiser_spark.operators import privacy as P
+
     df = load(spark, sf_dir, "customer")
     name = F.col("c_name")
-    return df.select(
+    mask_cols = (
+        "keep_name", "null_mktsegment", "redact_mktsegment", "hash_name",
+        "sha256_name", "trunc_name", "email_name", "preview_name",
+    )
+    nul = lambda: [F.lit(None).cast("string").alias(c) for c in mask_cols]
+    pad = [
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.lit(None).cast("long").alias("class_n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    ]
+    masks = df.select(
+        F.lit("mask").alias("kind"),
         "c_custkey",
         S.keep(name).alias("keep_name"),
         S.set_null(F.col("c_mktsegment"), "string").alias("null_mktsegment"),
@@ -56,6 +127,47 @@ def mask_strategies(spark, sf_dir):
         S.truncate(name, 4).alias("trunc_name"),
         S.email_fake(name).alias("email_name"),
         S.mask_sample_preview(name).alias("preview_name"),
+        *pad,
+    )
+    kanon = P.k_anonymity(df, ["c_mktsegment", "c_nationkey"], 10).select(
+        F.lit("kanon").alias("kind"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        *nul(),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("class_n"),
+        F.col("violates").alias("flag"),
+    )
+    ldiv = P.l_diversity(df, ["c_mktsegment"], "c_nationkey", 24).select(
+        F.lit("ldiv").alias("kind"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        *nul(),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.col("distinct_sensitive").alias("class_n"),
+        F.col("violates").alias("flag"),
+    )
+    sup = P.suppress_to_k(
+        df.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        ["c_mktsegment", "c_nationkey"],
+        10,
+    ).select(
+        F.lit("suppress").alias("kind"), "c_custkey", *nul(), *pad
+    )
+    gen = df.select(
+        F.lit("generalize").alias("kind"),
+        "c_custkey",
+        *nul(),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        P.generalize_num("c_acctbal", 500).cast("long").alias("class_n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return (
+        masks.unionByName(kanon)
+        .unionByName(ldiv)
+        .unionByName(sup)
+        .unionByName(gen)
     )
 
 

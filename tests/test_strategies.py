@@ -122,3 +122,88 @@ def test_masking_idempotent(spark, df):
     # property: mask(mask(x)) == mask(x) for REDACT / EMAIL_FAKE domain outputs
     redacted = one(df, S.redact(F.col("s")))
     assert one(df.select(F.lit(redacted).alias("s")), S.redact(F.col("s"))) == redacted
+
+
+# ---------------------------------------------------------------------------
+# Privacy-audit operators (round 10, operators/privacy.py): the question
+# the reference never answers — is the masked output safe to release?
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_audit_and_suppression(spark):
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    rows = (
+        [(i, "z1", 30) for i in range(5)]       # class of 5
+        + [(10 + i, "z1", 40) for i in range(2)]  # class of 2 (violates k=3)
+        + [(20, "z2", None), (21, "z2", None)]    # NULL quasi -> its own class
+        + [(30, None, 30)]                        # NULL zip class of 1
+    )
+    df = spark.createDataFrame(rows, "id long, zip string, age int")
+    classes = {
+        (r["zip"], r["age"]): (r["class_n"], r["violates"])
+        for r in P.k_anonymity(df, ["zip", "age"], 3).collect()
+    }
+    assert classes[("z1", 30)] == (5, False)
+    assert classes[("z1", 40)] == (2, True)
+    assert classes[("z2", None)] == (2, True)
+    assert classes[(None, 30)] == (1, True)
+
+    s = P.k_anonymity_summary(df, ["zip", "age"], 3)
+    assert s == {
+        "n_classes": 4, "n_violating_classes": 3, "rows_at_risk": 5,
+        "k_actual": 1, "n_rows": 10, "k_required": 3, "satisfied": False,
+    }
+
+    # suppression drops exactly the violating classes' rows (incl. the
+    # NULL-quasi ones — null-safe class join), and the survivor set is
+    # k-anonymous by construction
+    kept = P.suppress_to_k(df, ["zip", "age"], 3)
+    assert sorted(r["id"] for r in kept.collect()) == [0, 1, 2, 3, 4]
+    assert P.k_anonymity_summary(kept, ["zip", "age"], 3)["satisfied"]
+
+    with _pt.raises(ValueError, match="k must"):
+        P.k_anonymity(df, ["zip"], 0)
+    with _pt.raises(ValueError, match="at least one"):
+        P.k_anonymity(df, [], 3)
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    rows = (
+        [(i, "z1", "flu") for i in range(4)]  # k=4 but EVERYONE has flu
+        + [(10, "z2", "flu"), (11, "z2", "cold"), (12, "z2", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, zip string, dx string")
+    got = {
+        r["zip"]: (r["class_n"], r["distinct_sensitive"], r["violates"])
+        for r in P.l_diversity(df, ["zip"], "dx", 2).collect()
+    }
+    # the homogeneity attack: big class, one value -> violation
+    assert got["z1"] == (4, 1, True)
+    # NULL sensitive does not count toward diversity
+    assert got["z2"] == (3, 2, False)
+    with _pt.raises(ValueError, match="quasi-identifier"):
+        P.l_diversity(df, ["dx"], "dx", 2)
+
+
+def test_generalize_num_bands(spark):
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    df = spark.createDataFrame(
+        [(1, 1234.5), (2, -0.01), (3, None), (4, 500.0)], "id long, v double"
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in df.select("id", P.generalize_num("v", 500).alias("band")).collect()
+    }
+    assert got == {1: 1000.0, 2: -500.0, 3: None, 4: 500.0}
+    with _pt.raises(ValueError, match="width"):
+        P.generalize_num("v", 0)
