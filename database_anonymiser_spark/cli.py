@@ -54,12 +54,41 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "and their absence verified) — the compliance-mode complement of "
         "the default keep-version-0-for-rollback behavior",
     )
+    p.add_argument(
+        "--audit",
+        action="store_true",
+        help="release gate (round-10 extension, no reference analogue): "
+        "k-anonymity audit of --table over the --quasi columns; exits "
+        "non-zero when any equivalence class is smaller than --k (add "
+        "--sensitive for the l-diversity homogeneity check). Run it on "
+        "an --apply output directory before shipping the data.",
+    )
+    p.add_argument("--table", default=None, help="table to audit")
+    p.add_argument(
+        "--quasi", default=None,
+        help="comma-separated quasi-identifier columns for --audit",
+    )
+    p.add_argument("--k", type=int, default=10, help="k for --audit")
+    p.add_argument(
+        "--sensitive", default=None,
+        help="sensitive column for the --audit l-diversity check",
+    )
+    p.add_argument("--l", type=int, default=2, dest="l_required",
+                   help="l for the --audit l-diversity check")
     args = p.parse_args(argv)
-    modes = [m for m in ("configGen", "dryrun", "apply") if getattr(args, m)]
-    if len(modes) != 1:  # C1 (args.ts:7-29)
-        p.error("exactly one of --configGen | --dryrun | --apply is required")
+    modes = [
+        m for m in ("configGen", "dryrun", "apply", "audit")
+        if getattr(args, m)
+    ]
+    if len(modes) != 1:  # C1 (args.ts:7-29), extended with the audit mode
+        p.error(
+            "exactly one of --configGen | --dryrun | --apply | --audit "
+            "is required"
+        )
     if args.purgeHistory and not args.versioned:
         p.error("--purgeHistory requires --versioned")
+    if args.audit and (not args.table or not args.quasi):
+        p.error("--audit requires --table and --quasi")
     args.mode = modes[0]
     return args
 
@@ -75,6 +104,40 @@ def main(argv: list[str] | None = None) -> int:
         write_yaml(SAMPLES_FILE, art.samples)
         print(f"wrote {args.config} and {SAMPLES_FILE}")
         return 0
+
+    if args.mode == "audit":
+        from database_anonymiser_spark.operators.privacy import (
+            k_anonymity_summary,
+            l_diversity,
+        )
+
+        df = catalog.read(args.table)
+        quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+        report = {
+            "mode": "audit",
+            "table": args.table,
+            "quasi": quasi,
+            "k_anonymity": k_anonymity_summary(df, quasi, args.k),
+        }
+        ok = report["k_anonymity"]["satisfied"]
+        if args.sensitive is not None:
+            viol = (
+                l_diversity(df, quasi, args.sensitive, args.l_required)
+                .where("violates")
+                .count()
+            )
+            report["l_diversity"] = {
+                "sensitive": args.sensitive,
+                "l_required": args.l_required,
+                "n_violating_classes": int(viol),
+                "satisfied": viol == 0,
+            }
+            ok = ok and viol == 0
+        report_path = args.report or "anonymiser.audit.report.json"
+        write_json_report(report_path, report)
+        verdict = "RELEASE OK" if ok else "RELEASE BLOCKED"
+        print(f"audit: {verdict}; report → {report_path}")
+        return 0 if ok else 1
 
     config = read_generated_config(args.config)
     preflight_validate(config, args.mode)

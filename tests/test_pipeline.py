@@ -497,3 +497,45 @@ def test_cli_versioned_purge_history(sf_dir, spark, tmp_path, monkeypatch):
 
     with _pytest.raises(Exception):
         t.snapshot(0).collect()  # pristine pre-image reclaimed
+
+
+def test_cli_audit_mode_release_gate(sf_dir, tmp_path, monkeypatch):
+    """--audit (round 10): k-anonymity release gate over a table — exits
+    0 with RELEASE OK when every class has >= k rows, 1 when not; the
+    JSON report carries the summary; validation requires table+quasi."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    # segment-only classes at sf0.001: 5 classes of ~30 -> k=5 passes
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5"]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["k_anonymity"]["satisfied"] is True
+    assert rep["k_anonymity"]["k_actual"] >= 5
+
+    # (segment, nation) classes are tiny at sf0.001 -> k=10 blocks
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment,c_nationkey", "--k", "10"]
+    )
+    assert rc == 1
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["k_anonymity"]["satisfied"] is False
+
+    # l-diversity rider: nation within segment is diverse at l=2
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--sensitive", "c_nationkey", "--l", "2"]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["l_diversity"]["satisfied"] is True
+
+    with pytest.raises(SystemExit):
+        main(["--audit", "--data", sf_dir])  # table+quasi required
