@@ -2316,12 +2316,38 @@ class VersionedTable:
         evolved_schema = None
         if merge_schema:
             cur = self._log_schema() or self.snapshot().schema
+            carry_cols: tuple = (op_col,) if op_col is not None else ()
+            if use_clauses:
+                # Delta's clause-evolution rule: the schema evolves only
+                # for source columns a clause ASSIGNS (set/values keys) —
+                # a clause-input column (the partial-shape delta) rides
+                # through as carry, never becoming a table column. An
+                # updateAll/insertAll clause assigns everything, so the
+                # whole source participates as before.
+                has_all = any(
+                    k == "update" and sm is None for k, _c, sm in m_clauses
+                ) or any(v is None for _k, _c, v in nm_clauses)
+                if not has_all:
+                    cur_names = {f.name for f in cur.fields}
+                    assigned = {
+                        c
+                        for _k, _c, payload in [
+                            *m_clauses, *nm_clauses, *bys_clauses
+                        ]
+                        if payload
+                        for c in payload
+                    }
+                    carry_cols = tuple(
+                        c
+                        for c in source.columns
+                        if c not in cur_names and c not in assigned
+                    )
             source, evolved_schema = self._align_schema(
                 source,
                 cur,
                 True,
                 op="merge",
-                carry=(op_col,) if op_col is not None else (),
+                carry=carry_cols,
             )
 
         # one aggregate pass serves BOTH the duplicate-key contract check

@@ -310,7 +310,15 @@ def test_append_merge_schema_evolution(spark, table):
     r600 = table.snapshot().where("k = 600").collect()[0]
     assert r600["v"] is None and r600["note"] is None  # backfilled
 
-    bad = spark.createDataFrame([(1, "x", 1)], "k long, name string, v int")
+    # a NARROWER-widenable frame type upcasts automatically (round 10,
+    # the type-widening writer contract): v int -> the table's double
+    up = spark.createDataFrame([(700, "u", 7)], "k long, name string, v int")
+    table.append(up, merge_schema=True)
+    assert table.snapshot().where("k = 700").first()["v"] == 7.0
+    # a genuine (lossy/cross-family) type change still always rejects
+    bad = spark.createDataFrame(
+        [(1, "x", "oops")], "k long, name string, v string"
+    )
     with _pt.raises(ValueError, match="types"):
         table.append(bad, merge_schema=True)
 
@@ -4284,3 +4292,28 @@ def test_widen_column_composes_with_column_mapping(spark, tmp_path):
     # and a write in the new shape round-trips
     t.append(spark.createDataFrame([(3, 30)], "k long, quantity long"))
     assert t.snapshot().count() == 3
+
+
+def test_merge_clauses_with_schema_evolution(spark, table):
+    """Clause merges compose with merge_schema=True: an additive source
+    column lands in the same commit and a set expr can reference it;
+    untouched rows NULL-fill; target-only columns keep their values."""
+    src = spark.createDataFrame(
+        [(1, 5.0, "gold"), (999, 1.0, "new")], "k long, d double, tier string"
+    )
+    t_v = table.merge(
+        src,
+        matched=[("update", "s.d > 0", {"v": "t.v + s.d", "tier": "s.tier"})],
+        not_matched=[
+            ("insert", None, {"k": "s.k", "v": "s.d", "tier": "s.tier"})
+        ],
+        merge_schema=True,
+    )
+    snap = table.snapshot()
+    assert snap.columns == ["k", "name", "v", "tier"]
+    got = {r["k"]: (r["name"], r["v"], r["tier"]) for r in snap.collect()}
+    assert got[1] == ("name1", 15.0, "gold")  # name preserved, tier set
+    assert got[999] == (None, 1.0, "new")  # values-insert
+    assert got[2] == ("name2", 20.0, None)  # untouched: NULL-fill
+    # pre-evolution time travel shows the old schema
+    assert table.snapshot(t_v - 1).columns == ["k", "name", "v"]
