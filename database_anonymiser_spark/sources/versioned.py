@@ -2703,23 +2703,40 @@ class VersionedTable:
                 .where(F.col("_r").isNotNull())
                 .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
             )
-            if use_clauses:
-                if gen_cols:
-                    # GENERATED ALWAYS: recompute from the post-merge image
-                    # (Delta recomputes generated columns whose inputs an
-                    # update touched; recomputing everywhere is the same
-                    # value on untouched rows by the auto-constraint)
-                    for gcol, gexpr in gen_cols.items():
-                        if gcol in cols:
-                            rewritten = rewritten.withColumn(gcol, F.expr(gexpr))
-                    rewritten = rewritten.select(*cols)
-                # a set/values expr can produce values the raw source never
-                # contained — CHECK constraints validate the REWRITTEN image
-                self._check_constraints(rewritten)
-            new_files += _write_data_files(
+            if use_clauses and gen_cols:
+                # GENERATED ALWAYS: recompute from the post-merge image
+                # (Delta recomputes generated columns whose inputs an
+                # update touched; recomputing everywhere is the same
+                # value on untouched rows by the auto-constraint)
+                for gcol, gexpr in gen_cols.items():
+                    if gcol in cols:
+                        rewritten = rewritten.withColumn(gcol, F.expr(gexpr))
+                rewritten = rewritten.select(*cols)
+            staged = _write_data_files(
                 rewritten, self.root, key_col, stats_cols=self._stats_cols,
                 colmap=self._colmap,
             )
+            if use_clauses and self.constraints():
+                # a set/values expr can produce values the raw source
+                # never contained — CHECK constraints validate the
+                # REWRITTEN image. Validate the WRITTEN files (staged,
+                # unreferenced until the commit below) instead of the
+                # lazy frame: the expensive join runs ONCE, the check is
+                # a cheap parquet read-back, and on violation the staged
+                # bytes are reclaimed and nothing was ever visible.
+                try:
+                    self._check_constraints(
+                        self._read_paths(
+                            [e.path for e in staged], align_to=rewritten
+                        )
+                    )
+                except ConstraintViolation:
+                    for e in staged:
+                        (self.root / e.path).unlink(missing_ok=True)
+                        for bp in (e.bloom or {}).values():
+                            (self.root / bp).unlink(missing_ok=True)
+                    raise
+            new_files += staged
         elif not use_clauses and (op_col is not None or insert_not_matched):
             src = (
                 source.where(F.col(op_col) == "upsert")
