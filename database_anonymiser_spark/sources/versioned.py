@@ -794,11 +794,13 @@ def _norm_merge_clauses(matched, not_matched):
                 )
             _, cond, payload = cl
             if payload is not None and (
-                not isinstance(payload, dict) or not payload
+                not isinstance(payload, dict)
+                or not payload
+                or not all(isinstance(v, str) for v in payload.values())
             ):
                 raise ValueError(
-                    "update set must be a non-empty {col: sql_expr} dict "
-                    "or None (updateAll)"
+                    "update set must be a non-empty {col: sql_expr_string} "
+                    "dict or None (updateAll)"
                 )
         elif kind == "delete":
             if len(cl) != 2:
@@ -826,11 +828,13 @@ def _norm_merge_clauses(matched, not_matched):
         if cond is not None and not isinstance(cond, str):
             raise ValueError("clause condition must be a SQL string or None")
         if payload is not None and (
-            not isinstance(payload, dict) or not payload
+            not isinstance(payload, dict)
+            or not payload
+            or not all(isinstance(v, str) for v in payload.values())
         ):
             raise ValueError(
-                "insert values must be a non-empty {col: sql_expr} dict "
-                "or None (insertAll)"
+                "insert values must be a non-empty {col: sql_expr_string} "
+                "dict or None (insertAll)"
             )
         nm_out.append(("insert", cond, payload))
     for kind, cond, _ in m_out[:-1]:
@@ -863,11 +867,15 @@ def _norm_by_source_clauses(clauses):
                     "by-source update clause is ('update', condition, set)"
                 )
             _, cond, payload = cl
-            if not isinstance(payload, dict) or not payload:
+            if (
+                not isinstance(payload, dict)
+                or not payload
+                or not all(isinstance(v, str) for v in payload.values())
+            ):
                 raise ValueError(
                     "by-source update set must be a non-empty "
-                    "{col: sql_expr} dict (there is no source row to "
-                    "updateAll from)"
+                    "{col: sql_expr_string} dict (there is no source row "
+                    "to updateAll from)"
                 )
         elif kind == "delete":
             if len(cl) != 2:
@@ -2276,9 +2284,9 @@ class VersionedTable:
                         )
             if ident is not None:
                 for _k, _cond, vals in nm_clauses:
-                    if vals is not None and vals.get(ident[0], "").replace(
-                        " ", ""
-                    ) != f"s.{ident[0]}":
+                    if vals is not None and str(
+                        vals.get(ident[0], "")
+                    ).replace(" ", "") != f"s.{ident[0]}":
                         raise ValueError(
                             "insert values on an identity table must carry "
                             f"the source's id: values[{ident[0]!r}] == "
