@@ -136,12 +136,15 @@ def temperature_mixture(
     }
     if not counts:
         return mixture_sample(df, id_col, source_col, {}, 0.0, salt=salt)
-    weights = {
-        s: math.floor(
-            (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha) * _MICRO
-        )
-        for s, n in counts.items()
-    }
+    weights = {}
+    for s, n in counts.items():
+        w = (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha) * _MICRO
+        if not math.isfinite(w):
+            raise ValueError(
+                f"weight n^alpha overflows for source {s!r} "
+                f"(n={n}, alpha={alpha}); lower alpha"
+            )
+        weights[s] = math.floor(w)
     total_w = sum(weights.values())
     rates = {
         s: ((target_total * weights[s] * _MICRO) // (total_w * n)) / _MICRO
