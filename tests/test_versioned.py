@@ -4317,3 +4317,33 @@ def test_merge_clauses_with_schema_evolution(spark, table):
     assert got[2] == ("name2", 20.0, None)  # untouched: NULL-fill
     # pre-evolution time travel shows the old schema
     assert table.snapshot(t_v - 1).columns == ["k", "name", "v"]
+
+
+def test_merge_clauses_compose_with_column_mapping(spark, tmp_path):
+    """Clause set exprs reference LOGICAL names on a renamed table: the
+    joined target aliases physical->logical on read and the rewrite
+    renames back at the write chokepoint — zero special-casing."""
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "cm",
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, amount double"
+        ),
+        key_col="k",
+    )
+    t.rename_column("amount", "balance")
+    src = spark.createDataFrame([(1, 5.0), (2, -99.0)], "k long, d double")
+    t.merge(
+        src,
+        matched=[
+            ("update", "s.d > 0", {"balance": "t.balance + s.d"}),
+            ("delete", None),
+        ],
+    )
+    got = {r["k"]: r["balance"] for r in t.snapshot().collect()}
+    assert got == {1: 15.0, 3: 30.0}  # 2 deleted by the fallback clause
+    # physical bytes still carry the birth name
+    import pyarrow.parquet as pq
+
+    f = next((tmp_path / "cm" / "data").rglob("*.parquet"))
+    assert "amount" in pq.read_schema(str(f)).names
