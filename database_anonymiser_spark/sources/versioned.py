@@ -186,6 +186,28 @@ ISIN_LITERAL_CAP = 256
 #: ``analyze`` is the first op added under the shared rule).
 ROW_PRESERVING_OPS = ("compact", "optimize_zorder", "analyze")
 
+#: winner-commit ops a conflicted MERGE may try to REBASE across (data-only
+#: writes; everything else — DDL, constraints, properties, restores,
+#: clones — invalidates the merge's read assumptions wholesale)
+MERGE_REBASE_SAFE_OPS = frozenset(
+    {
+        "append",
+        "stream_append",
+        "anonymise",
+        "merge_update",
+        "merge_delete",
+        "merge_clauses",
+        "apply_changes",
+        "update_where",
+        "delete_where",
+        "delete_dv",
+        "purge_dv",
+        "compact",
+        "optimize_zorder",
+        "analyze",
+    }
+)
+
 
 def data_changing_segments(table, since: int, upto: int) -> list[tuple[int, int]]:
     """Split ``(since, upto]`` of ``table``'s history into maximal
@@ -696,6 +718,13 @@ def _write_data_files(
             n_rows = pq.ParquetFile(str(p)).metadata.num_rows
         except Exception:
             n_rows = None
+        if n_rows == 0:
+            # an empty task's part file: dead weight in the log (a
+            # stat-less entry defeats skipping and the MERGE rebase
+            # validation, and every read lists it forever) — drop it
+            # here, the one write chokepoint (round 10)
+            p.unlink(missing_ok=True)
+            continue
         entries.append(
             _FileEntry(
                 str(p.relative_to(root)), lo, hi, stats, n_rows,
@@ -2061,6 +2090,7 @@ class VersionedTable:
         meta: dict | None = None,
         matched: "list[tuple] | None" = None,
         not_matched: "list[tuple] | None" = None,
+        max_retries: int = 3,
     ) -> int:
         """MERGE ``source`` into the table on the table's key column.
 
@@ -2180,6 +2210,17 @@ class VersionedTable:
         rows keep unconditionally). With matched/not_matched clause
         lists, the legacy string form is refused — pass
         ``[("delete", None)]``.
+
+        Losing an OCC race AUTO-REBASES when provably safe (round 10 —
+        Delta's logical conflict detection for MERGE): on
+        ``VersionConflict`` the winner commits are validated — data-only
+        ops, none of OUR rewritten files removed, no winner-added file
+        whose key stats could match the source keys (or fall in the
+        by-source scope) — and the already-written files re-commit at
+        the new head, up to ``max_retries`` times, with zero re-read or
+        rewrite. Concurrent trickle merges on DISJOINT key bands all
+        succeed (the multi-writer 100 TB shape); overlapping or
+        DDL-racing merges re-raise for a true retry against fresh state.
 
         Passing any clause list supersedes ``when_matched`` /
         ``insert_not_matched`` (which must stay at their defaults — a
@@ -2764,48 +2805,85 @@ class VersionedTable:
                 colmap=self._colmap,
             )
 
-        _commit(
-            self.root,
-            v + 1,
-            new_files,
-            [e["path"] for e in touched],
-            key_col,
-            op=(
-                "apply_changes"
-                if op_col is not None
-                else ("merge_clauses" if use_clauses else f"merge_{when_matched}")
-            ),
-            schema=(
-                evolved_schema.jsonValue() if evolved_schema is not None else None
-            ),
-            # Delta's operationMetrics slot, FREE metrics only (every
-            # number below was already computed for the merge itself —
-            # no extra job): source size, skip outcome, rewrite scope
-            meta={
-                **(meta or {}),
-                "metrics": {
-                    "source_rows": int(stats["n_all"]),
-                    "skip_by": "points" if points is not None else "range",
-                    "files_touched": len(touched),
-                    "files_carried": len(untouched),
-                    "files_written": len(new_files),
-                    **(
-                        {"by_source": not_matched_by_source}
-                        if not_matched_by_source is not None
-                        else {}
-                    ),
-                    **(
-                        {
-                            "matched_clauses": [k for k, _c, _p in m_clauses],
-                            "not_matched_clauses": len(nm_clauses),
-                        }
-                        if use_clauses
-                        else {}
-                    ),
-                },
-            },
+        commit_op = (
+            "apply_changes"
+            if op_col is not None
+            else ("merge_clauses" if use_clauses else f"merge_{when_matched}")
         )
-        return v + 1
+        commit_schema = (
+            evolved_schema.jsonValue() if evolved_schema is not None else None
+        )
+        # Delta's operationMetrics slot, FREE metrics only (every
+        # number below was already computed for the merge itself —
+        # no extra job): source size, skip outcome, rewrite scope
+        commit_meta = {
+            **(meta or {}),
+            "metrics": {
+                "source_rows": int(stats["n_all"]),
+                "skip_by": "points" if points is not None else "range",
+                "files_touched": len(touched),
+                "files_carried": len(untouched),
+                "files_written": len(new_files),
+                **(
+                    {"by_source": not_matched_by_source}
+                    if not_matched_by_source is not None
+                    else {}
+                ),
+                **(
+                    {
+                        "matched_clauses": [k for k, _c, _p in m_clauses],
+                        "not_matched_clauses": len(nm_clauses),
+                    }
+                    if use_clauses
+                    else {}
+                ),
+            },
+        }
+        removes = [e["path"] for e in touched]
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, removes, key_col,
+                    op=commit_op, schema=commit_schema, meta=commit_meta,
+                )
+                return base_v + 1
+            except VersionConflict:
+                # OCC AUTO-REBASE (round 10 — Delta's logical conflict
+                # detection for MERGE): a concurrent writer took our
+                # version number. The prepared files stay valid iff every
+                # winner commit (a) is a data-only op (DDL / constraints /
+                # properties / restores invalidate the read assumptions
+                # wholesale), (b) removed NONE of the files we rewrote
+                # (else our pre-images are stale), and (c) added no file
+                # whose key stats could MATCH our source keys or fall in
+                # our by-source scope (else rows we should have
+                # updated/deleted/checked-for-insert-collision arrived
+                # after our snapshot). Then the same already-written
+                # files re-commit at the new head — no re-read, no
+                # rewrite. Concurrent trickle merges on DISJOINT key
+                # bands therefore all succeed (the 100 TB multi-writer
+                # shape); overlapping ones fail loudly for a true retry.
+                if attempt == max_retries:
+                    raise
+                head = self.latest_version()
+                global COMMIT_READS
+                for wv in [x for x in self.versions() if base_v < x <= head]:
+                    rec = json.loads(_log_path(self.root, wv).read_text())
+                    COMMIT_READS += 1
+                    if (
+                        rec.get("op") not in MERGE_REBASE_SAFE_OPS
+                        or rec.get("schema") is not None
+                        or "column_mapping" in (rec.get("meta") or {})
+                    ):
+                        raise
+                    if set(rec.get("removes") or ()) & touched_paths:
+                        raise
+                    for a in rec.get("adds") or ():
+                        if may_match(a) or in_scope(a):
+                            raise
+                base_v = head
+        raise AssertionError("unreachable")
 
     def apply_changes(
         self,
