@@ -4450,3 +4450,72 @@ def test_merge_occ_rebase_disjoint_winner(spark, table, monkeypatch):
             skip_by="points",
             max_retries=0,
         )
+
+
+def test_merge_clauses_randomized_python_twin(spark, tmp_path):
+    """Seeded randomized CONDITIONAL-CLAUSE merges against a pure-Python
+    twin implementing the Delta row fates: per matched pair the FIRST
+    true clause (update-with-set / delete) else keep; per unmatched
+    source row the first true insert clause else drop; per unmatched
+    target row the first true by-source clause else keep. Five seeded
+    rounds over one table, snapshot compared after each commit."""
+    import random
+
+    rng = random.Random(20251015)
+    rows = {k: (k, float(k % 7), k % 3) for k in range(40)}  # k, v, g
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "tw",
+        spark.createDataFrame(list(rows.values()), "k long, v double, g long"),
+        key_col="k",
+    )
+    for rnd in range(5):
+        # source: a random half of live keys + some fresh keys, with d
+        live = sorted(rows)
+        src_keys = sorted(rng.sample(live, len(live) // 2)) + [
+            1000 + rnd * 10 + i for i in range(3)
+        ]
+        src_rows = [(k, float(rng.randrange(-5, 6))) for k in src_keys]
+        thr_u = rng.randrange(-4, 5)
+        thr_d = rng.randrange(-4, 5)
+        thr_i = rng.randrange(-4, 5)
+        thr_b = rng.randrange(0, 3)
+        src = spark.createDataFrame(src_rows, "k long, d double")
+        t.merge(
+            src,
+            matched=[
+                ("update", f"s.d > {thr_u}", {"v": "t.v + s.d"}),
+                ("delete", f"s.d < {thr_d}"),
+            ],
+            not_matched=[
+                ("insert", f"s.d > {thr_i}", {"k": "s.k", "v": "s.d", "g": "9"})
+            ],
+            not_matched_by_source=[
+                ("update", f"t.g = {thr_b}", {"v": "t.v + 100"}),
+            ],
+            skip_by="points",
+        )
+        # the twin
+        src_map = dict(src_rows)
+        new_rows = {}
+        for k, (kk, v, g) in rows.items():
+            if k in src_map:
+                d = src_map[k]
+                if d > thr_u:
+                    new_rows[k] = (kk, v + d, g)
+                elif d < thr_d:
+                    pass  # deleted
+                else:
+                    new_rows[k] = (kk, v, g)
+            else:  # not matched by source
+                if g == thr_b:
+                    new_rows[k] = (kk, v + 100, g)
+                else:
+                    new_rows[k] = (kk, v, g)
+        for k, d in src_map.items():
+            if k not in rows and d > thr_i:
+                new_rows[k] = (k, d, 9)
+        rows = new_rows
+        got = sorted(tuple(r) for r in t.snapshot().collect())
+        want = sorted(rows.values())
+        assert got == want, f"round {rnd}: {got} != {want}"
