@@ -537,7 +537,10 @@ def test_bpe_roundtrip_and_determinism_property(spark, texts, n_merges):
     )
     merges = train_bpe(df, "text", n_merges)
     assert merges == train_bpe(df.repartition(5), "text", n_merges)
-    piece_re = re.compile(BPE_PIECE_RE)
+    # re.ASCII: the reference must use the engine's semantics — \s is
+    # ASCII under Java regex/RE2, so a U+00A0 IS a piece (the round-10
+    # parity fix; hypothesis found the divergence with a NBSP text)
+    piece_re = re.compile(BPE_PIECE_RE, re.ASCII)
     got = apply_bpe(df, "doc_id", "text", merges, emit_tokens=True).collect()
     for r in got:
         toks = list(r["bpe_tokens"])
