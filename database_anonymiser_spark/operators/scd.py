@@ -30,15 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from database_anonymiser_spark.sources.versioned import VersionedTable
+from database_anonymiser_spark.sources.versioned import VersionedTable, _key_tuple
 
 SCD_COLS = ("_sk", "_valid_from", "_valid_to", "_is_current")
 
 
-def _with_scd_cols(src: DataFrame, key_col: str, ts) -> DataFrame:
+def _with_scd_cols(src: DataFrame, key_col, ts) -> DataFrame:
+    # composite natural keys (round 11): the surrogate hashes the full
+    # key tuple + effective timestamp — single-key output is unchanged
+    kt = _key_tuple(key_col)
     return src.select(
         F.md5(
-            F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(ts)))
+            F.concat_ws(
+                ":", *[F.col(c).cast("string") for c in kt], F.lit(str(ts))
+            )
         ).alias("_sk"),
         *src.columns,
         F.lit(ts).alias("_valid_from"),
@@ -48,7 +53,7 @@ def _with_scd_cols(src: DataFrame, key_col: str, ts) -> DataFrame:
 
 
 def scd2_init(
-    spark, root, source: DataFrame, key_col: str, ts: str
+    spark, root, source: DataFrame, key_col, ts: str
 ) -> VersionedTable:
     """Create the dimension from the first source extract; every row opens
     at ``ts``. The table's MERGE key is the surrogate ``_sk``."""
@@ -60,7 +65,7 @@ def scd2_init(
 def scd2_apply(
     dim: VersionedTable,
     source: DataFrame,
-    key_col: str,
+    key_col,
     tracked_cols: tuple[str, ...],
     ts: str,
     on_late: str = "error",
@@ -86,11 +91,14 @@ def scd2_apply(
     if on_late not in ("error", "skip"):
         raise ValueError("on_late must be 'error' or 'skip'")
     cur = dim.snapshot().where(F.col("_is_current"))
-    attr_cols = [c for c in source.columns if c != key_col]
+    kt = _key_tuple(key_col)
     src = source.alias("s")
     curk = cur.alias("c")
-    joined = src.join(curk, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "left")
-    changed_pred = F.col(f"c.{key_col}").isNull()  # new key
+    on = F.col(f"s.{kt[0]}") == F.col(f"c.{kt[0]}")
+    for c in kt[1:]:
+        on = on & (F.col(f"s.{c}") == F.col(f"c.{c}"))
+    joined = src.join(curk, on, "left")
+    changed_pred = F.col(f"c.{kt[0]}").isNull()  # new key
     for c in tracked_cols:
         changed_pred = changed_pred | ~F.col(f"s.{c}").eqNullSafe(F.col(f"c.{c}"))
     # cache the change join so the emptiness probe and the MERGE evaluate
@@ -119,7 +127,7 @@ def scd2_apply(
             key_col,
             ts,
         )
-        closes = delta.where(F.col(f"c.{key_col}").isNotNull()).select(
+        closes = delta.where(F.col(f"c.{kt[0]}").isNotNull()).select(
             F.col("c._sk").alias("_sk"),
             *[F.col(f"c.{c}").alias(c) for c in source.columns],
             F.col("c._valid_from").alias("_valid_from"),
@@ -142,7 +150,7 @@ def scd2_current(dim: VersionedTable) -> DataFrame:
 def scd2_temporal_join(
     facts: DataFrame,
     dim: VersionedTable,
-    key_col: str,
+    key_col,
     ts_col: str,
     how: str = "left",
 ) -> DataFrame:
@@ -160,20 +168,23 @@ def scd2_temporal_join(
     ``ts_col`` values are compared as strings against the dim's
     ``_valid_from``/``_valid_to`` — use one canonical sortable timestamp
     rendering (ISO-8601) on both sides."""
+    kt = _key_tuple(key_col)
     d = dim.snapshot()
-    dcols = [c for c in d.columns if c not in SCD_COLS and c != key_col]
+    dcols = [c for c in d.columns if c not in SCD_COLS and c not in kt]
+    dks = [f"_dk{i}" for i in range(len(kt))]
     d = d.select(
-        F.col(key_col).alias("_dk"),
+        *[F.col(c).alias(dk) for c, dk in zip(kt, dks)],
         *dcols,
         F.col("_valid_from"),
         F.col("_valid_to"),
     )
     cond = (
-        (facts[key_col] == F.col("_dk"))
-        & (F.col("_valid_from") <= facts[ts_col])
+        (F.col("_valid_from") <= facts[ts_col])
         & (F.col("_valid_to").isNull() | (F.col("_valid_to") > facts[ts_col]))
     )
-    return facts.join(d, cond, how).drop("_dk", "_valid_from", "_valid_to")
+    for c, dk in zip(kt, dks):
+        cond = (facts[c] == F.col(dk)) & cond
+    return facts.join(d, cond, how).drop(*dks, "_valid_from", "_valid_to")
 
 
 def scd2_as_of(dim: VersionedTable, ts: str) -> DataFrame:

@@ -74,6 +74,8 @@ from database_anonymiser_spark.sources.versioned import (
     _bloom_hashes,
     _entry_matches_points,
     _entry_overlaps_range,
+    _key_first,
+    _key_tuple,
     _list_versions,
     _log_path,
     _replay,
@@ -239,7 +241,9 @@ class _SnapshotReader(DataSourceReader):
         live, schema, colmap, key_col = _snapshot_state(self.root, self.version)
         phys, names = _arrow_physical(schema, colmap)
         m = dict((colmap or {}).get("map") or {})
-        key_pcol = m.get(key_col, key_col)
+        # composite keys: the entry key slots describe the LEADING column
+        k0 = _key_first(key_col)
+        key_pcol = m.get(k0, k0)
         root = Path(self.root)
         # the surviving files' scans also evaluate the predicates
         # (physical-named) — row-group pruning + pre-hand-off filtering
@@ -435,16 +439,45 @@ def _diff_commit(part: _CdfDiffPartition):
 
     old = _read_side(part.removed, part.arrow_schema_physical, part.logical_names)
     new = _read_side(part.added, part.arrow_schema_physical, part.logical_names)
-    k = part.key_col
+    kt = _key_tuple(part.key_col)
+
+    def _key_arr(tbl):
+        # composite key (round 11): align on the key TUPLE as a struct
+        # array — index_in supports struct equality on current pyarrow;
+        # a pandas MultiIndex get_indexer covers older builds (both
+        # vectorized, no Python row loop)
+        if len(kt) == 1:
+            return tbl[kt[0]].combine_chunks()
+        import pyarrow as pa
+
+        return pa.StructArray.from_arrays(
+            [tbl[c].combine_chunks() for c in kt], names=list(kt)
+        )
+
     # pyarrow-native key alignment (round 10 — was a Python dict + loop):
     # index_in gives, per new key, its position among the old keys (null
     # = absent = insert; nulls MATCH nulls, same as the dict the loop
     # built). Old keys are unique per version (the MERGE invariant), so
     # first-match IS the match. Everything stays vectorized end-to-end.
     if old.num_rows and new.num_rows:
-        pos = pc.index_in(
-            new[k].combine_chunks(), value_set=old[k].combine_chunks()
-        )
+        import pyarrow as pa
+
+        try:
+            pos = pc.index_in(_key_arr(new), value_set=_key_arr(old))
+        except Exception:
+            # older pyarrow without struct index_in: MultiIndex indexer
+            import pandas as pd
+
+            oi = pd.MultiIndex.from_arrays(
+                [old[c].to_pandas() for c in kt]
+            )
+            ni = pd.MultiIndex.from_arrays(
+                [new[c].to_pandas() for c in kt]
+            )
+            raw = oi.get_indexer(ni)
+            pos = pa.array(
+                [None if i < 0 else int(i) for i in raw], type=pa.int64()
+            )
         valid = pc.is_valid(pos).to_numpy(zero_copy_only=False).astype(bool)
         pos_np = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
         com_new = np.flatnonzero(valid)
@@ -466,7 +499,7 @@ def _diff_commit(part: _CdfDiffPartition):
         o_al, n_al = old.take(com_old), new.take(com_new)
         changed = np.zeros(len(com_old), dtype=bool)
         for c in part.logical_names:
-            if c == k:
+            if c in kt:
                 continue  # join key: equal by construction
             changed |= ~_null_safe_eq(o_al[c], n_al[c], len(com_old))
         if changed.any():
@@ -939,7 +972,8 @@ class _VersionedWriterBase:
                 b.rename_columns([m.get(n, n) for n in b.schema.names])
                 for b in batches
             ]
-        key_phys = m.get(self.key_col, self.key_col)
+        k0 = _key_first(self.key_col)
+        key_phys = m.get(k0, k0)
         decl = tuple(
             "bloom:" + m.get(c[len("bloom:"):], c[len("bloom:"):])
             if str(c).startswith("bloom:") else m.get(c, c)

@@ -461,6 +461,28 @@ def _write_checkpoint(root: Path, version: int) -> None:
     tmp.rename(_checkpoint_path(root, version))
 
 
+def _key_first(key_col):
+    """Leading column of a possibly-COMPOSITE key value (round 11):
+    tables may be keyed on ``key_cols=[c1, c2, ...]`` — the commit log
+    then stores the list verbatim. The per-entry ``key_min``/``key_max``
+    slots always describe the LEADING column (the clustering-dominant
+    one); trailing key columns ride the declared ``stats_cols`` so every
+    write path records their per-file [min, max] too, and skipping is
+    the CONJUNCTION of per-column overlap tests."""
+    if isinstance(key_col, (list, tuple)):
+        return key_col[0] if key_col else None
+    return key_col
+
+
+def _key_tuple(key_col) -> tuple:
+    """Normalized tuple view of a key value (single str, list, or None)."""
+    if key_col is None:
+        return ()
+    if isinstance(key_col, (list, tuple)):
+        return tuple(key_col)
+    return (key_col,)
+
+
 def _footer_key_stats(file_path: Path, key_col: str | None):
     """(min, max) of ``key_col`` from the parquet footer row-group stats —
     metadata only, no data scan. None bounds disable skipping for the file
@@ -689,6 +711,10 @@ def _write_data_files(
     mappings exist."""
     import pyarrow.parquet as pq
 
+    # composite keys: the entry-level key slots track the LEADING key
+    # column; trailing key columns arrive via stats_cols (declared at
+    # create), so their bounds are recorded through the same plumbing
+    key_col = _key_first(key_col)
     m = dict((colmap or {}).get("map") or {})
     if m:
         for lg, ph in m.items():
@@ -935,7 +961,13 @@ def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
     update_where docstring's prune contract)."""
     if prune:
         for col, (lo, hi) in prune.items():
-            pred = pred & F.col(col).between(lo, hi)
+            # None = unbounded, matching files_matching's contract — a
+            # between(None, x) would NULL the whole conjunction and turn
+            # the operation into a silent no-op (round-11 fix)
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
     return pred
 
 
@@ -1041,9 +1073,16 @@ class VersionedTable:
             return self.spark.createDataFrame([], sch)
         return self.snapshot(version).limit(0).where(F.lit(False))
 
-    def key_col(self) -> str | None:
+    def key_col(self) -> "str | list | None":
+        """The key as recorded at create: a single column name, or a
+        LIST of names for a composite-key table (round 11)."""
         self._live_entries()
         return self._key_col
+
+    def key_cols(self) -> tuple:
+        """Normalized tuple view of the table key — () when keyless,
+        (col,) for a single key, (c1, c2, ...) for a composite key."""
+        return _key_tuple(self.key_col())
 
     def history(self) -> list[dict]:
         return [
@@ -1350,7 +1389,7 @@ class VersionedTable:
         # column mapping: stats/bloom keys are PHYSICAL (frozen at the
         # column's birth) — translate each queried logical name once
         pred = {self._phys(c): b for c, b in predicates.items()}
-        key_pcol = self._phys(self._key_col)
+        key_pcol = self._phys(_key_first(self._key_col))
         return [
             e for e in entries
             if all(
@@ -1390,7 +1429,7 @@ class VersionedTable:
             return []
         entries = self._live_entries(version)  # also refreshes _key_col/_colmap
         pcol = self._phys(col)  # stats/bloom keys are physical
-        key_pcol = self._phys(self._key_col)
+        key_pcol = self._phys(_key_first(self._key_col))
         # probe hashes computed once, shared across files — and only
         # when some entry actually carries a bloom sidecar for the column
         hpairs = (
@@ -1467,7 +1506,7 @@ class VersionedTable:
         spark: SparkSession,
         root: str | os.PathLike,
         df: DataFrame,
-        key_col: str,
+        key_col: "str | list[str] | tuple",
         stats_cols: tuple = (),
         generated: dict[str, str] | None = None,
         identity_col: str | None = None,
@@ -1505,6 +1544,32 @@ class VersionedTable:
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
+        # COMPOSITE key (round 11 — Delta merges on arbitrary ON
+        # conditions; the common real upsert key is 2-3 columns):
+        # ``key_col`` may be a list/tuple. A 1-element list normalizes to
+        # the plain string (byte-identical single-key behavior); a longer
+        # one is stored verbatim in the log, the LEADING column fills the
+        # per-entry key_min/key_max slots, and the TRAILING columns are
+        # auto-declared stats columns so every write path records their
+        # per-file bounds — skipping becomes a per-column conjunction.
+        key_tuple = _key_tuple(key_col)
+        if len(key_tuple) != len(set(key_tuple)):
+            raise ValueError(f"duplicate columns in composite key {key_tuple}")
+        missing_k = [
+            c for c in key_tuple
+            if c not in df.columns
+            and c != identity_col  # allocated below, never supplied
+            and c not in (generated or {})  # computed below when omitted
+        ]
+        if missing_k:
+            raise ValueError(f"key column(s) {missing_k} not in frame")
+        key_col = list(key_tuple) if len(key_tuple) > 1 else (
+            key_tuple[0] if key_tuple else None
+        )
+        if len(key_tuple) > 1:
+            stats_cols = tuple(
+                dict.fromkeys(tuple(stats_cols) + key_tuple[1:])
+            )
         # a table deleted and re-created at this root must not inherit the
         # old table's memoized replay states (round-7 advice); the per-hit
         # stat signature would also catch it, this makes it unconditional
@@ -1513,8 +1578,8 @@ class VersionedTable:
         meta = None
         if gen:
             for c, e in gen.items():
-                if c == key_col:
-                    raise ValueError("the key column cannot be generated")
+                if c in key_tuple:
+                    raise ValueError("a key column cannot be generated")
                 if c not in df.columns:
                     df = df.withColumn(c, F.expr(e))
             meta = {
@@ -1549,14 +1614,16 @@ class VersionedTable:
                     + F.monotonically_increasing_id() * F.lit(int(identity_step))
                 ).cast("long"),
             )
-            if identity_col != key_col and identity_col not in stats_cols:
+            if identity_col != _key_first(key_col) and (
+                identity_col not in stats_cols
+            ):
                 stats_cols = stats_cols + (identity_col,)
         adds = _write_data_files(df, t.root, key_col, stats_cols=stats_cols)
         if identity_col is not None:
             hi = int(identity_start)
             for e in adds:
                 m = (e.stats or {}).get(identity_col)
-                if m is None and identity_col == key_col:
+                if m is None and identity_col == _key_first(key_col):
                     m = [e.key_min, e.key_max]
                 if m is not None and m[1] is not None:
                     hi = max(hi, int(m[1]))
@@ -1605,7 +1672,7 @@ class VersionedTable:
             m = st.get(pcol) or st.get(col)
             if m is not None and m[1] is not None:
                 hi = int(m[1]) if hi is None else max(hi, int(m[1]))
-            elif col == self._key_col and e.key_max is not None:
+            elif col == _key_first(self._key_col) and e.key_max is not None:
                 hi = int(e.key_max) if hi is None else max(hi, int(e.key_max))
         if hi is None:
             return None  # empty write: high-water unchanged
@@ -1785,10 +1852,16 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         _replay_cache_invalidate(t.root)
+        # composite key: same normalization as create — leading column
+        # fills the entry key slots, trailing ones ride stats_cols
+        kt = _key_tuple(key_col)
+        key_col = list(kt) if len(kt) > 1 else (kt[0] if kt else None)
+        if len(kt) > 1:
+            stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + kt[1:]))
         range_cols, bloom_cols = _split_stats_decl(stats_cols)
         adds = []
         for p in files:
-            lo, hi = _footer_key_stats(p, key_col)
+            lo, hi = _footer_key_stats(p, _key_first(key_col))
             stats = None
             if range_cols:
                 stats = {}
@@ -2299,6 +2372,15 @@ class VersionedTable:
         key_col = self.key_col()
         if key_col is None:
             raise ValueError("table has no key_col; cannot merge")
+        # COMPOSITE key (round 11): every key-wise step below operates on
+        # the tuple — the ON condition is the per-column equality
+        # conjunction, the duplicate contract is over the tuple, and the
+        # file skipping is the conjunction of per-column overlap tests
+        # (leading column via the entry key slots, trailing ones via the
+        # auto-declared stats) — so a two-column point merge touches only
+        # files whose bounds intersect on BOTH columns.
+        key_cols = _key_tuple(key_col)
+        k0 = key_cols[0]
         v = self.latest_version()
         entries = self._live_entries(v)
         source = self._apply_generated(source)
@@ -2307,10 +2389,11 @@ class VersionedTable:
         if use_clauses:
             for kind, _cond, payload in [*m_clauses, *bys_clauses]:
                 if kind == "update" and payload is not None:
-                    if key_col in payload:
+                    kbad = sorted(k for k in key_cols if k in payload)
+                    if kbad:
                         raise ValueError(
                             f"matched update set may not change the merge "
-                            f"key {key_col!r}"
+                            f"key column(s) {kbad}"
                         )
                     if ident is not None and ident[0] in payload:
                         raise ValueError(
@@ -2404,13 +2487,24 @@ class VersionedTable:
         # map-side output to one row per task). NULL-key accounting
         # mirrors the old groupBy semantics: one NULL key is tolerated,
         # two are duplicates.
+        all_nn = key_cols and F.lit(True)
+        for c in key_cols:
+            all_nn = all_nn & F.col(c).isNotNull()
         aggs = [
             F.count(F.lit(1)).alias("n_all"),
-            F.count(key_col).alias("n_keys"),
-            F.countDistinct(key_col).alias("n_distinct"),
-            F.min(key_col).alias("lo"),
-            F.max(key_col).alias("hi"),
+            # rows with a FULLY non-null key tuple (a row with any NULL
+            # key component never matches — SQL equality)
+            F.count(F.when(all_nn, 1)).alias("n_keys"),
+            # count(DISTINCT c1, c2, ...) skips any-NULL rows — same set
+            F.countDistinct(*key_cols).alias("n_distinct"),
         ]
+        for i, c in enumerate(key_cols):
+            # per-column bounds over fully-keyed rows only (the rows
+            # that can match) — single-column: identical to min/max(key)
+            aggs += [
+                F.min(F.when(all_nn, F.col(c))).alias(f"_lo{i}"),
+                F.max(F.when(all_nn, F.col(c))).alias(f"_hi{i}"),
+            ]
         if op_col is not None:
             aggs.append(
                 F.sum(
@@ -2445,36 +2539,60 @@ class VersionedTable:
         elif when_matched == "update":
             self._check_constraints(source)
 
-        lo, hi = stats["lo"], stats["hi"]
+        los = [stats[f"_lo{i}"] for i in range(len(key_cols))]
+        his = [stats[f"_hi{i}"] for i in range(len(key_cols))]
+        lo, hi = los[0], his[0]
 
-        points: list | None = None
+        # per-key-column sorted DISTINCT probe lists — for a single key
+        # this is exactly the old points list; for a composite key the
+        # per-file test is the CONJUNCTION of per-column bisects (false
+        # positives only, like bloom — a file survives when every key
+        # column's range holds at least one probe value)
+        points_cols: "list[list] | None" = None
         if skip_by == "points" and lo is not None:
             if stats["n_distinct"] <= POINT_SKIP_CAP:
-                points = sorted(
-                    r[0]
-                    for r in source.select(key_col)
-                    .where(F.col(key_col).isNotNull())
+                rows = (
+                    source.select(*key_cols)
+                    .where(all_nn)
                     .distinct()
                     .collect()
                 )
+                points_cols = [
+                    sorted({r[i] for r in rows})
+                    for i in range(len(key_cols))
+                ]
             # else: fall back to range skipping (documented cap)
 
+        # trailing key columns read their recorded per-file bounds from
+        # the declared stats (PHYSICAL names, like every stats key)
+        trail_pcols = [self._phys(c) for c in key_cols[1:]]
+
         def may_match(e: dict) -> bool:
-            if lo is None:  # empty source: nothing matches
+            if lo is None:  # no fully-keyed source row: nothing matches
                 return False
-            if e["key_min"] is None or e["key_max"] is None:
-                return True  # no stats -> must assume it matches
-            if e["key_max"] < lo or e["key_min"] > hi:
-                return False
-            if points is not None:
-                i = bisect.bisect_left(points, e["key_min"])
-                return i < len(points) and points[i] <= e["key_max"]
+            bounds = [(e.get("key_min"), e.get("key_max"))]
+            for pc in trail_pcols:
+                s = (e.get("stats") or {}).get(pc) or (None, None)
+                bounds.append((s[0], s[1]))
+            for i, (clo, chi) in enumerate(bounds):
+                if clo is None or chi is None:
+                    continue  # no stats for this column: cannot prune by it
+                try:
+                    if chi < los[i] or clo > his[i]:
+                        return False
+                    if points_cols is not None:
+                        vs = points_cols[i]
+                        j = bisect.bisect_left(vs, clo)
+                        if not (j < len(vs) and vs[j] <= chi):
+                            return False
+                except TypeError:
+                    continue  # incomparable serialized stats: keep
             return True
 
         # by-source clause inverts the skipping question for target rows:
         # a file may hold UNMATCHED rows regardless of source keys, so it
         # must be read unless its stats prove the scope empty for it
-        key_pcol = self._phys(key_col)
+        key_pcol = self._phys(k0)
         scope_pred = (
             {self._phys(c): b for c, b in by_source_scope.items()}
             if by_source_scope is not None
@@ -2556,9 +2674,12 @@ class VersionedTable:
                 # semi-over-distinct path deduplicated silently); a table
                 # whose key-uniqueness was broken by an external writer
                 # should fail loudly here, not drift
+                t_nn = F.lit(True)
+                for c in key_cols:
+                    t_nn = t_nn & F.col(c).isNotNull()
                 dup = (
-                    tgt.where(F.col(key_col).isNotNull())
-                    .groupBy(key_col)
+                    tgt.where(t_nn)
+                    .groupBy(*key_cols)
                     .count()
                     .where(F.col("count") > 1)
                     .limit(1)
@@ -2567,8 +2688,9 @@ class VersionedTable:
                 if dup:
                     raise ValueError(
                         f"target table at {self.root} has duplicate values "
-                        f"in key column {key_col!r} among merge-touched "
-                        "files; repair the table before merging"
+                        f"in key column(s) {list(key_cols)} among "
+                        "merge-touched files; repair the table before "
+                        "merging"
                     )
             t = tgt.withColumn(mt, F.lit(1)).alias("t")
             # a pure delete-merge needs only the source KEYS (documented:
@@ -2598,11 +2720,12 @@ class VersionedTable:
             elif op_col is not None:
                 s_cols = [*cols, op_col]
             else:
-                s_cols = cols if need_src_img else [key_col]
+                s_cols = cols if need_src_img else list(key_cols)
             s = source.select(*s_cols).withColumn(ms, F.lit(1)).alias("s")
-            j = t.join(
-                s, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "full_outer"
-            )
+            on = F.col(f"t.{k0}") == F.col(f"s.{k0}")
+            for c in key_cols[1:]:
+                on = on & (F.col(f"t.{c}") == F.col(f"s.{c}"))
+            j = t.join(s, on, "full_outer")
             t_img = F.struct(*[F.col(f"t.{c}").alias(c) for c in cols])
             # NULL-backfilled columns (merge_schema sources lacking target
             # columns) take the TARGET value: preserves matched rows'
@@ -2820,7 +2943,7 @@ class VersionedTable:
             **(meta or {}),
             "metrics": {
                 "source_rows": int(stats["n_all"]),
-                "skip_by": "points" if points is not None else "range",
+                "skip_by": "points" if points_cols is not None else "range",
                 "files_touched": len(touched),
                 "files_carried": len(untouched),
                 "files_written": len(new_files),
@@ -2866,23 +2989,10 @@ class VersionedTable:
                 # shape); overlapping ones fail loudly for a true retry.
                 if attempt == max_retries:
                     raise
-                head = self.latest_version()
-                global COMMIT_READS
-                for wv in [x for x in self.versions() if base_v < x <= head]:
-                    rec = json.loads(_log_path(self.root, wv).read_text())
-                    COMMIT_READS += 1
-                    if (
-                        rec.get("op") not in MERGE_REBASE_SAFE_OPS
-                        or rec.get("schema") is not None
-                        or "column_mapping" in (rec.get("meta") or {})
-                    ):
-                        raise
-                    if set(rec.get("removes") or ()) & touched_paths:
-                        raise
-                    for a in rec.get("adds") or ():
-                        if may_match(a) or in_scope(a):
-                            raise
-                base_v = head
+                base_v = self._rebase_head(
+                    base_v, touched_paths,
+                    lambda a: may_match(a) or in_scope(a),
+                )
         raise AssertionError("unreachable")
 
     def apply_changes(
@@ -2914,11 +3024,69 @@ class VersionedTable:
             meta=meta,
         )
 
+    def _rebase_head(self, base_v: int, touched_paths: set, add_conflict) -> int:
+        """Winner-commit validation for an OCC AUTO-REBASE (Delta's
+        logical conflict detection — round 10 for MERGE, generalized
+        round 11 to the other read-modify-write ops): every commit that
+        won between ``base_v`` and the current head must be a DATA-ONLY
+        op (no DDL / schema / column-mapping / restore), must have
+        removed NONE of the files we read or rewrote (our pre-images
+        would be stale), and must have added no file for which
+        ``add_conflict(entry)`` is True — the op-specific read-set test
+        (a merge asks "could this file's key stats match my source
+        keys"; a scoped update asks "could it hold rows inside my prune
+        ranges"; a compaction asks nothing — new files simply weren't
+        candidates). Returns the new head to re-commit at; re-raises
+        the ACTIVE VersionConflict otherwise (must be called from the
+        except block)."""
+        head = self.latest_version()
+        global COMMIT_READS
+        for wv in [x for x in self.versions() if base_v < x <= head]:
+            rec = json.loads(_log_path(self.root, wv).read_text())
+            COMMIT_READS += 1
+            if (
+                rec.get("op") not in MERGE_REBASE_SAFE_OPS
+                or rec.get("schema") is not None
+                or "column_mapping" in (rec.get("meta") or {})
+            ):
+                raise
+            if set(rec.get("removes") or ()) & touched_paths:
+                raise
+            for a in rec.get("adds") or ():
+                if add_conflict(a):
+                    raise
+        return head
+
+    def _prune_add_conflict(self, prune, prune_values=None):
+        """The read-set test a predicate-scoped UPDATE/DELETE rebase runs
+        against winner-ADDED files: without a prune hint, ANY added file
+        could hold rows the predicate matches (the snapshot we evaluated
+        it on didn't contain them — write skew), so everything conflicts;
+        with one, the prune contract (predicate ⇒ prune ranges /
+        membership) lets stats-disjoint adds pass. Same
+        ``_entry_overlaps_range`` arithmetic as the file skipping that
+        scoped the operation in the first place."""
+        key_pcol = self._phys(_key_first(self._key_col))
+        if prune is None and prune_values is None:
+            return lambda a: True
+        if prune_values is not None:
+            pcol = self._phys(prune_values[0])
+            vals = sorted(v for v in prune_values[1] if v is not None)
+            return lambda a: _entry_matches_points(
+                self.root, a, pcol, key_pcol, vals, None
+            )
+        pp = {self._phys(c): b for c, b in prune.items()}
+        return lambda a: all(
+            _entry_overlaps_range(a, pcol, key_pcol, lo, hi)
+            for pcol, (lo, hi) in pp.items()
+        )
+
     def update_where(
         self,
         assignments: dict[str, "F.Column | str"],
         predicate: "F.Column | str",
         prune: dict[str, tuple] | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Predicate-scoped UPDATE — the reference's core operation
         (``UPDATE table SET col = expr`` per strategy,
@@ -2963,31 +3131,47 @@ class VersionedTable:
         touched = self.files_matching(prune) if prune else entries
         pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
-        if not touched:
-            _commit(self.root, v + 1, [], [], key_col, op="update_where")
-            return v + 1
-        tgt = self._read_paths(
-            sorted(touched_paths), dv_map=self._dv_map(touched)
-        )
-        rewritten = tgt.select(
-            *[
-                F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
-                if c in assigns
-                else F.col(c)
-                for c in tgt.columns
-            ]
-        )
-        self._check_constraints(rewritten)
-        new_files = _write_data_files(
-            rewritten, self.root, key_col, stats_cols=self._stats_cols,
-            colmap=self._colmap,
-        )
-        _commit(
-            self.root, v + 1, new_files, sorted(touched_paths), key_col, op="update_where"
-        )
-        return v + 1
+        new_files: list = []
+        if touched:
+            tgt = self._read_paths(
+                sorted(touched_paths), dv_map=self._dv_map(touched)
+            )
+            rewritten = tgt.select(
+                *[
+                    F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in tgt.columns
+                ]
+            )
+            self._check_constraints(rewritten)
+            new_files = _write_data_files(
+                rewritten, self.root, key_col, stats_cols=self._stats_cols,
+                colmap=self._colmap,
+            )
+        # losing an OCC race auto-rebases when provably safe (round 11):
+        # data-only winners that touched none of our files AND (under a
+        # prune) added nothing inside our scope — the already-written
+        # files re-commit at the new head, zero re-read
+        add_conflict = self._prune_add_conflict(prune)
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, sorted(touched_paths),
+                    key_col, op="update_where",
+                )
+                return base_v + 1
+            except VersionConflict:
+                if attempt == max_retries:
+                    raise
+                base_v = self._rebase_head(base_v, touched_paths, add_conflict)
+        raise AssertionError("unreachable")
 
-    def _delete_dv(self, pred, touched, entries, key_col, v) -> int | None:
+    def _delete_dv(
+        self, pred, touched, entries, key_col, v,
+        add_conflict=None, max_retries: int = 0,
+    ) -> int | None:
         """The deletion-vector write path (delete_where(dv=True)): mark
         matched positions in per-file sidecars, re-reference the files.
         Returns the new version, or None when the match count exceeds
@@ -3035,11 +3219,24 @@ class VersionedTable:
                 )
             )
             removes.append(e["path"])
-        _commit(
-            self.root, v + 1, new_adds, removes, key_col, op="delete_dv",
-            meta={"rows_marked": len(hits)},
-        )
-        return v + 1
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_adds, removes, key_col,
+                    op="delete_dv", meta={"rows_marked": len(hits)},
+                )
+                return base_v + 1
+            except VersionConflict:
+                # the DV re-references the touched files, so a winner
+                # touching ANY of them (incl. another DV commit on the
+                # same path) conflicts via the removes-overlap check
+                if attempt == max_retries or add_conflict is None:
+                    raise
+                base_v = self._rebase_head(
+                    base_v, set(removes), add_conflict
+                )
+        raise AssertionError("unreachable")
 
     def purge_dv(self) -> int:
         """Materialize every live deletion vector away (Delta's ``REORG
@@ -3072,6 +3269,7 @@ class VersionedTable:
         prune: dict[str, tuple] | None = None,
         dv: bool = False,
         prune_values: tuple | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
         is TRUE are dropped; NULL/FALSE rows survive (SQL DELETE
@@ -3122,26 +3320,41 @@ class VersionedTable:
             touched = self.files_matching(prune) if prune else entries
         pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
-        if not touched:
-            _commit(self.root, v + 1, [], [], key_col, op="delete_where")
-            return v + 1
-        if dv:
-            done = self._delete_dv(pred, touched, entries, key_col, v)
+        if touched and dv:
+            done = self._delete_dv(
+                pred, touched, entries, key_col, v,
+                add_conflict=self._prune_add_conflict(prune, prune_values),
+                max_retries=max_retries,
+            )
             if done is not None:
                 return done
             # cap exceeded: fall through to the rewrite path
-        tgt = self._read_paths(
-            sorted(touched_paths), dv_map=self._dv_map(touched)
-        )
-        survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
-        new_files = _write_data_files(
-            survivors, self.root, key_col, stats_cols=self._stats_cols,
-            colmap=self._colmap,
-        )
-        _commit(
-            self.root, v + 1, new_files, sorted(touched_paths), key_col, op="delete_where"
-        )
-        return v + 1
+        new_files: list = []
+        if touched:
+            tgt = self._read_paths(
+                sorted(touched_paths), dv_map=self._dv_map(touched)
+            )
+            survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
+            new_files = _write_data_files(
+                survivors, self.root, key_col, stats_cols=self._stats_cols,
+                colmap=self._colmap,
+            )
+        # OCC auto-rebase (round 11) — same winner validation as
+        # update_where; the prune/prune_values hint is the read-set test
+        add_conflict = self._prune_add_conflict(prune, prune_values)
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, sorted(touched_paths),
+                    key_col, op="delete_where",
+                )
+                return base_v + 1
+            except VersionConflict:
+                if attempt == max_retries:
+                    raise
+                base_v = self._rebase_head(base_v, touched_paths, add_conflict)
+        raise AssertionError("unreachable")
 
     def restore_to_timestamp(self, timestamp: str) -> int:
         """``RESTORE TABLE ... TO TIMESTAMP AS OF`` — the time axis of
@@ -3249,11 +3462,16 @@ class VersionedTable:
                 paths, align_to=schema_src, dv_map=self._dv_map(ents)
             )
 
+        # composite key: join on the key TUPLE (struct equality — NULL
+        # components never match, same SQL-equality contract as the
+        # single-column path where a NULL key classifies delete+insert)
+        kt = _key_tuple(key_col)
+        k_expr = F.col(kt[0]) if len(kt) == 1 else F.struct(*kt)
         old = _read(removed, removed_e).select(
-            F.col(key_col).alias("_k"), F.struct(*cols).alias("_old")
+            k_expr.alias("_k"), F.struct(*cols).alias("_old")
         )
         new = _read(added, added_e).select(
-            F.col(key_col).alias("_k"), F.struct(*cols).alias("_new")
+            k_expr.alias("_k"), F.struct(*cols).alias("_new")
         )
         joined = old.join(new, "_k", "full_outer")
         is_update = (
@@ -3324,6 +3542,7 @@ class VersionedTable:
         cols: tuple[str, ...],
         file_count: int = 8,
         where: dict[str, tuple] | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Rewrite the live data clustered by the Z-ORDER (bit-interleaved)
         key of ``cols`` — Delta/Iceberg's multi-dimensional OPTIMIZE: after
@@ -3381,21 +3600,32 @@ class VersionedTable:
         decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
         new_files = _write_data_files(clustered, self.root, key_col,
                                       stats_cols=decl, colmap=self._colmap)
-        _commit(
-            self.root,
-            v + 1,
-            new_files,
-            [e["path"] for e in entries],
-            key_col,
-            op="optimize_zorder",
-            stats_cols=decl,
-        )
-        return v + 1
+        # OCC auto-rebase (round 11): like compact — row-preserving, so
+        # winner ADDS never conflict (they stay live, just unclustered
+        # until the next OPTIMIZE); a winner removing one of the files
+        # we reclustered, or any DDL winner, re-raises
+        removes = [e["path"] for e in entries]
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, removes, key_col,
+                    op="optimize_zorder", stats_cols=decl,
+                )
+                return base_v + 1
+            except VersionConflict:
+                if attempt == max_retries:
+                    raise
+                base_v = self._rebase_head(
+                    base_v, set(removes), lambda a: False
+                )
+        raise AssertionError("unreachable")
 
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         small_file_bytes: int | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Small-file compaction (OPTIMIZE without reclustering), BIN-
         PACKING: only files smaller than ``small_file_bytes`` (default
@@ -3436,15 +3666,28 @@ class VersionedTable:
             df, self.root, key_col, stats_cols=self._stats_cols,
             colmap=self._colmap,
         )
-        _commit(
-            self.root,
-            v + 1,
-            new_files,
-            [e["path"] for e, _ in small],
-            key_col,
-            op="compact",
-        )
-        return v + 1
+        # OCC auto-rebase (round 11 — Delta's conflict matrix lets a
+        # row-preserving compaction rebase across ANY disjoint data
+        # writer): winner adds never conflict — they simply weren't
+        # compaction candidates; only a winner that removed one of OUR
+        # small files (or DDL) re-raises. Without this, in-line sink
+        # maintenance serializes against trickle merges.
+        removes = [e["path"] for e, _ in small]
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, removes, key_col,
+                    op="compact",
+                )
+                return base_v + 1
+            except VersionConflict:
+                if attempt == max_retries:
+                    raise
+                base_v = self._rebase_head(
+                    base_v, set(removes), lambda a: False
+                )
+        raise AssertionError("unreachable")
 
     def row_count(self, version: int | None = None) -> int:
         """COUNT(*) of a snapshot from the commit log's per-file footer
@@ -3626,7 +3869,11 @@ class VersionedTable:
                 for f in schema.fields
             ]
         )
-        key_col = new if self.key_col() == old else self.key_col()
+        kc = self.key_col()
+        if isinstance(kc, (list, tuple)):
+            key_col = [new if c == old else c for c in kc]
+        else:
+            key_col = new if kc == old else kc
         v = self.latest_version()
         _commit(
             self.root, v + 1, [], [], key_col, op="rename_column",
@@ -3653,8 +3900,8 @@ class VersionedTable:
             raise ValueError("drop requires a logged schema (legacy table)")
         if name not in [f.name for f in schema.fields]:
             raise ValueError(f"no such column: {name!r}")
-        if name == self.key_col():
-            raise ValueError("cannot drop the key column")
+        if name in self.key_cols():
+            raise ValueError("cannot drop a key column")
         for cname, sql in (self._constraints or {}).items():
             import re as _re
 

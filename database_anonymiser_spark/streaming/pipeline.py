@@ -393,7 +393,7 @@ def curate_stream(
 def run_stream_to_versioned(
     df: DataFrame,
     table_root: str,
-    key_col: str,
+    key_col,
     checkpoint: str,
     spark: SparkSession | None = None,
     compact_every: int | None = None,
@@ -461,7 +461,10 @@ def run_stream_to_versioned(
         # a struct would need an ordering column — streams that can emit
         # in-batch duplicates should dedup upstream, e.g. curate_stream's
         # fingerprint dedup; this guard keeps the sink total)
-        batch = batch_df.dropDuplicates([key_col])
+        batch = batch_df.dropDuplicates(
+            list(key_col) if isinstance(key_col, (list, tuple))
+            else [key_col]
+        )
         t.merge(batch, when_matched="update", skip_by="points")
         # views refresh BEFORE maintenance (round-7 advice): the refresh
         # consumes diff(cursor, merge-version), whose update PRE-IMAGE
@@ -656,8 +659,15 @@ def run_stream_replicate(
 
     spark.dataSource.register(VersionedDataSource)
     src_key = VersionedTable(spark, src_root).key_col()
-    if select is not None and src_key not in select:
-        raise ValueError(f"select must keep the key column {src_key!r}")
+    # composite upstream keys (round 11): the latest-wins collapse
+    # partitions by the full key tuple; the replica inherits it verbatim
+    src_key_cols = (
+        tuple(src_key) if isinstance(src_key, (list, tuple)) else (src_key,)
+    )
+    if select is not None:
+        kmiss = [c for c in src_key_cols if c not in select]
+        if kmiss:
+            raise ValueError(f"select must keep the key column(s) {kmiss}")
     out_cols = list(select) if select is not None else None
 
     reader = (
@@ -696,7 +706,9 @@ def run_stream_replicate(
                     return
                 break
         ev = batch_df.where(F.col("_change_type") != "update_preimage")
-        w = Window.partitionBy(src_key).orderBy(F.col("_commit_version").desc())
+        w = Window.partitionBy(*src_key_cols).orderBy(
+            F.col("_commit_version").desc()
+        )
         delta = (
             ev.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -736,7 +748,7 @@ def run_stream_replicate(
 def run_stream_to_scd2(
     df: DataFrame,
     dim_root: str,
-    key_col: str,
+    key_col,
     tracked_cols: tuple[str, ...],
     checkpoint: str,
     ts_col: str | None = None,
@@ -777,9 +789,13 @@ def run_stream_to_scd2(
         if batch_df.limit(1).count() == 0:
             return
         cols = batch_df.columns
+        kcols = (
+            tuple(key_col) if isinstance(key_col, (list, tuple))
+            else (key_col,)
+        )
         if ts_col is not None:
-            others = [c for c in cols if c != key_col and c != ts_col]
-            w = Window.partitionBy(key_col).orderBy(
+            others = [c for c in cols if c not in kcols and c != ts_col]
+            w = Window.partitionBy(*kcols).orderBy(
                 F.col(ts_col).desc(),
                 *[F.col(c).desc_nulls_last() for c in others],
             )
@@ -790,7 +806,7 @@ def run_stream_to_scd2(
             )
             ts = str(batch_df.agg(F.max(ts_col)).first()[0])
         else:
-            batch = batch_df.dropDuplicates([key_col])
+            batch = batch_df.dropDuplicates(list(kcols))
             ts = f"batch-{batch_id:012d}"
         t = VersionedTable(s, dim_root)
         if not t.versions():

@@ -1,0 +1,353 @@
+"""Composite-key (multi-column) support through the versioned layer
+(round 11 — Delta merges on arbitrary ON conditions; the common real
+upsert key is 2-3 columns, e.g. tenant_id + entity_id).
+
+Contract under test: ``create(key_col=[c1, c2])`` stores the key tuple
+in the log, the per-entry key slots track the LEADING column, trailing
+key columns auto-join the declared stats so every write path records
+their bounds, and every key-wise operation (merge clauses, skipping,
+CDF diff, the DataSource faces, SCD2, CDC replication) operates on the
+tuple."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import database_anonymiser_spark.sources.versioned as V
+from database_anonymiser_spark.sources.versioned import VersionedTable
+
+
+def _mk(spark, root, tenants=3, per=5):
+    df = spark.createDataFrame(
+        [
+            (t, i, f"v{t}-{i}")
+            for t in range(1, tenants + 1)
+            for i in range(1, per + 1)
+        ],
+        "tenant int, eid int, val string",
+    ).repartition(tenants, "tenant")
+    return VersionedTable.create(
+        spark, str(root), df, key_col=["tenant", "eid"]
+    )
+
+
+def test_create_normalizes_and_declares_trailing_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    assert t.key_col() == ["tenant", "eid"]
+    assert t.key_cols() == ("tenant", "eid")
+    # trailing key columns auto-join the declared stats so every write
+    # records their per-file bounds
+    assert "eid" in t.stats_cols()
+    for e in t._live_entries():
+        assert e["key_min"] is not None  # leading col in the key slots
+        assert (e.get("stats") or {}).get("eid") is not None
+
+    # a 1-element list normalizes to the plain single-key string
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    t1 = VersionedTable.create(spark, str(tmp_path / "one"), df, key_col=["k"])
+    assert t1.key_col() == "k"
+
+    with pytest.raises(ValueError, match="duplicate"):
+        VersionedTable.create(
+            spark, str(tmp_path / "dup"), df, key_col=["k", "k"]
+        )
+    with pytest.raises(ValueError, match="not in frame"):
+        VersionedTable.create(
+            spark, str(tmp_path / "miss"), df, key_col=["k", "zz"]
+        )
+
+
+def test_composite_merge_upsert_delete_and_duplicates(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [(2, 3, "UPDATED"), (2, 99, "NEW")], "tenant int, eid int, val string"
+    )
+    v = t.merge(src, skip_by="points")
+    snap = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert snap[(2, 3)] == "UPDATED" and snap[(2, 99)] == "NEW"
+    assert len(snap) == 16
+
+    # key-only source on a pure delete-merge carries just the key tuple
+    t.merge(
+        spark.createDataFrame([(1, 1)], "tenant int, eid int"),
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    assert t.row_count() == 15
+
+    # duplicate TUPLES in the source violate the contract; equal values
+    # in one component alone do not
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, 2, "a"), (1, 2, "b")], "tenant int, eid int, val string"
+            )
+        )
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "a"), (1, 3, "b")], "tenant int, eid int, val string"
+        )
+    )
+    assert t.snapshot().where("tenant=1 and eid=2").first().val == "a"
+    # CDF diff joins on the tuple
+    d = {
+        (r.tenant, r.eid): r._change_type
+        for r in t.diff(0, v).collect()
+    }
+    assert d == {(2, 3): "update", (2, 99): "insert"}
+
+
+def test_composite_point_skipping_is_a_conjunction(spark, tmp_path):
+    """A (tenant, eid) point merge must touch only files whose bounds
+    intersect on BOTH columns — the trailing column's stats prune files
+    the leading column alone would keep."""
+    # tenant clusters the files; eid varies within each — two files per
+    # tenant split by eid band, so pruning needs the conjunction
+    df = spark.createDataFrame(
+        [
+            (t, i, f"v{t}-{i}")
+            for t in range(1, 5)
+            for i in range(1, 101)
+        ],
+        "tenant int, eid int, val string",
+    ).repartitionByRange(8, "tenant", "eid")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=["tenant", "eid"]
+    )
+    n_files = len(t._live_entries())
+    assert n_files >= 6
+
+    f0 = V.DATA_FILES_READ
+    v = t.merge(
+        spark.createDataFrame(
+            [(2, 7, "X")], "tenant int, eid int, val string"
+        ),
+        skip_by="points",
+    )
+    reads = V.DATA_FILES_READ - f0
+    m = t.commit_meta(v)["metrics"]
+    # exactly the one file holding (tenant=2, eid=7) is rewritten
+    assert m["files_touched"] == 1 and reads == 1
+    assert m["files_carried"] == n_files - 1
+    assert t.snapshot().where("tenant=2 and eid=7").first().val == "X"
+
+    # range skipping conjunction: a source spanning eid [1, 3] within
+    # tenant 3 must not touch tenant-3 files whose eid band is disjoint
+    f0 = V.DATA_FILES_READ
+    v2 = t.merge(
+        spark.createDataFrame(
+            [(3, 1, "a"), (3, 3, "b")], "tenant int, eid int, val string"
+        )
+    )
+    m2 = t.commit_meta(v2)["metrics"]
+    assert m2["files_touched"] < n_files  # conjunction pruned something
+
+
+def test_composite_clause_merge_and_key_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [(3, 2, "hot"), (3, 99, "cold")], "tenant int, eid int, val string"
+    )
+    t.merge(
+        src,
+        matched=[
+            ("update", "s.val = 'hot'", {"val": "upper(s.val)"}),
+            ("delete", None),
+        ],
+        not_matched=[("insert", "s.val != 'cold'", None)],
+    )
+    snap = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert snap[(3, 2)] == "HOT" and (3, 99) not in snap
+
+    # neither key component may appear in an update set
+    for bad in ("tenant", "eid"):
+        with pytest.raises(ValueError, match="key column"):
+            t.merge(
+                src,
+                matched=[("update", None, {bad: "s." + bad})],
+            )
+
+
+def test_composite_null_component_inserts_never_matches(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", tenants=1, per=3)
+    # a row with a NULL key component never matches (SQL equality) — it
+    # inserts; a second any-NULL row is refused like the single-key rule
+    src = spark.createDataFrame(
+        [(1, None, "nullish"), (1, 2, "upd")],
+        "tenant int, eid int, val string",
+    )
+    t.merge(src)
+    snap = t.snapshot().collect()
+    assert len(snap) == 4
+    assert any(r.eid is None and r.val == "nullish" for r in snap)
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, None, "x"), (None, 2, "y")],
+                "tenant int, eid int, val string",
+            )
+        )
+
+
+def test_composite_occ_rebase_disjoint_merges(spark, tmp_path):
+    """Two concurrent merges on disjoint composite key bands both land
+    via the OCC auto-rebase (the winner's adds cannot match the loser's
+    key tuples on BOTH columns)."""
+    t = _mk(spark, tmp_path / "t", tenants=4, per=10)
+    loser = VersionedTable(spark, str(tmp_path / "t"))
+    src_win = spark.createDataFrame(
+        [(1, 2, "W")], "tenant int, eid int, val string"
+    )
+    src_lose = spark.createDataFrame(
+        [(4, 9, "L")], "tenant int, eid int, val string"
+    )
+
+    orig = V._commit
+    raced = {"done": False}
+
+    def race(root, version, adds, removes, key_col, **kw):
+        if not raced["done"] and kw.get("op") == "merge_update" and (
+            adds and any("L" not in "" for _ in [0])
+        ):
+            pass
+        return orig(root, version, adds, removes, key_col, **kw)
+
+    # deterministic interleave: commit the winner AFTER the loser has
+    # prepared its files but BEFORE its commit — monkeypatch the commit
+    # chokepoint once
+    calls = {"n": 0}
+
+    def interpose(root, version, adds, removes, key_col, **kw):
+        if kw.get("op") == "merge_update" and calls["n"] == 0:
+            calls["n"] = 1
+            t.merge(src_win, skip_by="points")  # winner takes version
+        return orig(root, version, adds, removes, key_col, **kw)
+
+    V._commit = interpose
+    try:
+        # point the loser's module-level _commit at the interposer: the
+        # loser's first commit attempt triggers the winner, conflicts,
+        # and must rebase cleanly (disjoint tuples)
+        loser.merge(src_lose, skip_by="points")
+    finally:
+        V._commit = orig
+    snap = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert snap[(1, 2)] == "W" and snap[(4, 9)] == "L"
+
+
+def test_composite_maintenance_rename_drop_and_detail(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.update_where({"val": "concat(val, '!')"}, "tenant = 1")
+    assert all(
+        r.val.endswith("!")
+        for r in t.snapshot().where("tenant=1").collect()
+    )
+    t.compact(target_file_bytes=1 << 20)
+    t.optimize_zorder(("tenant", "eid"), file_count=2)
+    assert t.row_count() == 15
+    assert t.detail()["key_col"] == ["tenant", "eid"]
+
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("eid")
+    t.rename_column("eid", "entity_id")
+    assert t.key_col() == ["tenant", "entity_id"]
+    # merges keep working under the renamed key component
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "renamed")], "tenant int, entity_id int, val string"
+        ),
+        skip_by="points",
+    )
+    assert (
+        t.snapshot().where("tenant=1 and entity_id=2").first().val
+        == "renamed"
+    )
+
+
+def test_composite_datasource_snapshot_and_cdf(spark, tmp_path):
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame(
+            [(2, 3, "CHG"), (9, 1, "INS")], "tenant int, eid int, val string"
+        ),
+        skip_by="points",
+    )
+    spark.dataSource.register(VersionedDataSource)
+    snap = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert snap.count() == 16
+    got = {
+        (r.tenant, r.eid): r.val
+        for r in snap.where("tenant = 2").collect()
+    }
+    assert got[(2, 3)] == "CHG"
+
+    cdf = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "t"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0))
+        .load()
+    )
+    ev = {
+        (r.tenant, r.eid, r._change_type) for r in cdf.collect()
+    }
+    assert (2, 3, "update_preimage") in ev
+    assert (2, 3, "update_postimage") in ev
+    assert (9, 1, "insert") in ev
+    # carried rows in the rewritten file are excluded
+    assert not any(ct == "delete" for _, _, ct in ev)
+
+
+def test_composite_scd2_apply_and_temporal_join(spark, tmp_path):
+    from database_anonymiser_spark.operators import scd
+
+    src1 = spark.createDataFrame(
+        [(1, 10, "bronze"), (1, 11, "silver"), (2, 10, "gold")],
+        "tenant int, cust int, tier string",
+    )
+    dim = scd.scd2_init(
+        spark, str(tmp_path / "dim"), src1, ["tenant", "cust"], "2026-01-01"
+    )
+    src2 = spark.createDataFrame(
+        [(1, 10, "silver"), (1, 11, "silver"), (2, 10, "gold"), (3, 1, "new")],
+        "tenant int, cust int, tier string",
+    )
+    scd.scd2_apply(
+        dim, src2, ["tenant", "cust"], ("tier",), "2026-02-01"
+    )
+    cur = {
+        (r.tenant, r.cust): r.tier
+        for r in scd.scd2_current(dim).collect()
+    }
+    assert cur == {
+        (1, 10): "silver", (1, 11): "silver", (2, 10): "gold", (3, 1): "new"
+    }
+    hist = dim.snapshot().where(
+        (F.col("tenant") == 1) & (F.col("cust") == 10)
+    ).collect()
+    assert len(hist) == 2  # closed bronze + open silver
+
+    facts = spark.createDataFrame(
+        [(1, 10, "2026-01-15"), (1, 10, "2026-02-15")],
+        "tenant int, cust int, ts string",
+    )
+    joined = scd.scd2_temporal_join(
+        facts, dim, ["tenant", "cust"], "ts"
+    ).collect()
+    by_ts = {r.ts: r.tier for r in joined}
+    assert by_ts == {"2026-01-15": "bronze", "2026-02-15": "silver"}
+
+    # re-applying the same extract is a no-op (idempotent ingest)
+    v = dim.latest_version()
+    scd.scd2_apply(dim, src2, ["tenant", "cust"], ("tier",), "2026-03-01")
+    assert dim.latest_version() == v
