@@ -147,6 +147,24 @@ _INS_SHIFT = 10_000_000
       SELECT * FROM state7
       WHERE c_custkey % 2 = 0 AND c_acctbal >= 0 AND c_custkey % 10 <> 0
     ),
+    -- v9 COMPOSITE-KEY merge (round 11): the final state re-keyed on
+    -- (c_nationkey, c_custkey) in a second table; tuple-keyed upsert —
+    -- every 9th key with a NON-NULL nationkey re-balances (-5.0,
+    -- 'COMP'; NULL-nationkey rows can never match a tuple source and
+    -- are left out of it), plus fresh 5x-shifted clones of every 53rd
+    -- customer
+    state9 AS (
+      SELECT * FROM state8
+      WHERE NOT (c_custkey % 9 = 0 AND c_nationkey IS NOT NULL)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal - 5.0 AS c_acctbal, 'COMP' AS c_mktsegment
+      FROM state8 WHERE c_custkey % 9 = 0 AND c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT c_custkey + {5 * _INS_SHIFT} AS c_custkey, c_name, c_nationkey,
+             c_acctbal, 'COMPNEW' AS c_mktsegment
+      FROM customer WHERE c_custkey % 53 = 0
+    ),
     cdf AS (
       -- v0: CREATE commits every customer row as an insert
       SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -244,12 +262,26 @@ _INS_SHIFT = 10_000_000
              c_acctbal, c_mktsegment
       FROM state7
       WHERE c_custkey % 2 = 0 AND c_acctbal >= 0 AND c_custkey % 10 = 0
+      UNION ALL
+      -- v9 composite-key merge: tuple-matched updates (pre + post) and
+      -- the fresh clone inserts
+      SELECT 'update_preimage', 9, c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM state8 WHERE c_custkey % 9 = 0 AND c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT 'update_postimage', 9, c_custkey, c_name, c_nationkey,
+             c_acctbal - 5.0, 'COMP'
+      FROM state8 WHERE c_custkey % 9 = 0 AND c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT 'insert', 9, c_custkey + {5 * _INS_SHIFT}, c_name,
+             c_nationkey, c_acctbal, 'COMPNEW'
+      FROM customer WHERE c_custkey % 53 = 0
     )
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM state8
+    FROM state9
     UNION ALL
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -329,7 +361,16 @@ def merge_upsert(spark, sf_dir):
     a KEY-ONLY source of the odd v7 keys — matched rows keep, unmatched
     (even) targets take the first-TRUE by-source clause (negative
     balance → partial segment update; else key%10=0 → delete; else
-    keep) — snapshot and v8 feed events under the same oracle."""
+    keep) — snapshot and v8 feed events under the same oracle.
+
+    Round 11 appends v9 = the COMPOSITE-KEY merge: the final state is
+    re-keyed on the TUPLE (c_nationkey, c_custkey) in a second
+    versioned table and upserted on it with point skipping (per-column
+    probe conjunction) — the returned snapshot is t2's, and the v9 feed
+    events (tuple-joined diff) ride the same oracle. NULL-nationkey
+    rows (the v7 values-dict inserts) pin the SQL-equality contract: a
+    NULL key component never matches, so they are excluded from the
+    update source and survive untouched."""
     from database_anonymiser_spark.sources.versioned import (
         ROW_PRESERVING_OPS,
         VersionedTable,
@@ -454,6 +495,27 @@ def merge_upsert(spark, sf_dir):
         ],
     )
 
+    # v9 (round 11): COMPOSITE-KEY merge — the final state re-keyed on
+    # (c_nationkey, c_custkey) in a second table; the upsert matches on
+    # the TUPLE, point skipping collects tuple probes per column. Rows
+    # with a NULL nationkey (the v7 values-dict inserts) can never match
+    # a tuple source, so the update source excludes them.
+    snap8 = t.snapshot(t.latest_version())
+    t2 = VersionedTable.create(
+        spark, f"{root}/t2", snap8, key_col=["c_nationkey", "c_custkey"]
+    )
+    upd9 = (
+        snap8.where((k % 9 == 0) & F.col("c_nationkey").isNotNull())
+        .withColumn("c_acctbal", F.col("c_acctbal") - 5.0)
+        .withColumn("c_mktsegment", F.lit("COMP"))
+    )
+    new9 = (
+        cust.where(k % 53 == 0)
+        .withColumn("c_custkey", k + 5 * _INS_SHIFT)
+        .withColumn("c_mktsegment", F.lit("COMPNEW"))
+    )
+    t2.merge(upd9.unionByName(new9), skip_by="points")
+
     cols = cust.columns
     feed = t.snapshot(0).select(
         F.lit("insert").alias("change_type"), *cols
@@ -466,7 +528,14 @@ def merge_upsert(spark, sf_dir):
             .withColumnRenamed("_change_type", "change_type")
             .withColumn("commit_version", F.lit(v).cast("long"))
         )
-    snap = t.snapshot().select(
+    # the v9 composite merge's feed rides the same vocabulary, tagged as
+    # commit 9 of the lineage (t2's create events would duplicate state8)
+    feed = feed.unionByName(
+        t2.diff(0, t2.latest_version(), images="both")
+        .withColumnRenamed("_change_type", "change_type")
+        .withColumn("commit_version", F.lit(9).cast("long"))
+    )
+    snap = t2.snapshot().select(
         F.lit("snapshot").alias("variant"),
         F.lit(None).cast("string").alias("change_type"),
         F.lit(None).cast("long").alias("commit_version"),
