@@ -75,6 +75,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--l", type=int, default=2, dest="l_required",
                    help="l for the --audit l-diversity check")
+    p.add_argument(
+        "--t", type=float, default=None, dest="t_required",
+        help="t for the --audit t-closeness check (needs --sensitive); "
+        "catches the skewness attack distinct-l misses",
+    )
+    p.add_argument(
+        "--entropyL", type=float, default=None, dest="entropy_l",
+        help="l for the --audit ENTROPY l-diversity check (needs "
+        "--sensitive); penalizes in-class skew, not just distinctness",
+    )
     args = p.parse_args(argv)
     modes = [
         m for m in ("configGen", "dryrun", "apply", "audit")
@@ -89,6 +99,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--purgeHistory requires --versioned")
     if args.audit and (not args.table or not args.quasi):
         p.error("--audit requires --table and --quasi")
+    if args.audit and args.sensitive is None and (
+        args.t_required is not None or args.entropy_l is not None
+    ):
+        p.error("--t / --entropyL need --sensitive")
     args.mode = modes[0]
     return args
 
@@ -109,6 +123,8 @@ def main(argv: list[str] | None = None) -> int:
         from database_anonymiser_spark.operators.privacy import (
             k_anonymity_summary,
             l_diversity,
+            l_diversity_entropy,
+            t_closeness,
         )
 
         df = catalog.read(args.table)
@@ -133,6 +149,32 @@ def main(argv: list[str] | None = None) -> int:
                 "satisfied": viol == 0,
             }
             ok = ok and viol == 0
+        if args.t_required is not None:
+            bad = (
+                t_closeness(df, quasi, args.sensitive, args.t_required)
+                .where("violates")
+                .count()
+            )
+            report["t_closeness"] = {
+                "sensitive": args.sensitive,
+                "t": args.t_required,
+                "n_violating_classes": int(bad),
+                "satisfied": bad == 0,
+            }
+            ok = ok and bad == 0
+        if args.entropy_l is not None:
+            bad = (
+                l_diversity_entropy(df, quasi, args.sensitive, args.entropy_l)
+                .where("violates")
+                .count()
+            )
+            report["entropy_l_diversity"] = {
+                "sensitive": args.sensitive,
+                "l_required": args.entropy_l,
+                "n_violating_classes": int(bad),
+                "satisfied": bad == 0,
+            }
+            ok = ok and bad == 0
         report_path = args.report or "anonymiser.audit.report.json"
         write_json_report(report_path, report)
         verdict = "RELEASE OK" if ok else "RELEASE BLOCKED"

@@ -15,10 +15,31 @@ protecting privacy"; Machanavajjhala et al. 2007, "l-diversity"):
 - **l-diversity**: a k-anonymous class is still unsafe when everyone in
   it shares the sensitive value (the homogeneity attack) —
   :func:`l_diversity` demands ≥ l DISTINCT sensitive values per class.
+- **t-closeness** (round 11; Li, Li & Venkatasubramanian 2007): even a
+  diverse class leaks when its sensitive DISTRIBUTION deviates from the
+  table's — the skewness attack distinct-l misses (all k rows share a
+  RARE value: diverse enough, still disclosing). :func:`t_closeness`
+  bounds each class's distance from the global distribution — the
+  variational distance for categorical attributes (the paper's equal
+  ground-distance EMD), exact-integer tested so the verdict never hangs
+  on float association order.
+- **entropy / recursive (c,l) l-diversity** (round 11; Machanavajjhala
+  2007 §4): :func:`l_diversity_entropy` demands -Σp·ln p ≥ ln(l) (skew
+  within the class counts, not just distinctness);
+  :func:`l_diversity_recursive` demands r₁ < c·(r_l + … + r_m) over the
+  class's sorted value counts (the most frequent value must not dominate
+  the tail) — integer-exact.
 - **Enforcement**: :func:`suppress_to_k` drops rows of violating classes
-  (suppression — the standard minimum-distortion fix), and
-  :func:`generalize_num` coarsens a numeric column to fixed-width bands
-  (generalization — trades precision for bigger classes; re-audit after).
+  (suppression — the standard minimum-distortion fix);
+  :func:`generalize_num` coarsens a numeric column to fixed-width bands;
+  :func:`generalize_cat` (round 11) coarsens a categorical column up a
+  caller-supplied HIERARCHY (value → parent dict, the DGH ladder of
+  Sweeney's original scheme) — both trade precision for bigger classes;
+  re-audit after.
+- **DP release counts** (round 11; Dwork et al. 2006):
+  :func:`dp_noisy_counts` publishes group counts under ε-differential
+  privacy — Laplace(1/ε) noise per count (counting queries have
+  sensitivity 1), seeded for reproducible releases.
 
 Scale shape: each audit is ONE partial-aggregated groupBy over the quasi
 columns (map-side combine; the class table is |classes|-sized, not
@@ -100,6 +121,158 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame, quasi_cols, sensitive_col: str, t: float
+) -> DataFrame:
+    """Per-class t-closeness audit for a CATEGORICAL sensitive attribute
+    (Li et al. 2007): the distance between the class's sensitive
+    distribution P and the table-wide distribution Q must be ≤ t. With
+    equal ground distances the paper's EMD is the variational distance
+    ½·Σ|p_v − q_v| (values absent from the class contribute q_v).
+
+    Exactness: the distance is a ratio of INTEGERS — ½·Σ|c_v·N − g_v·n|
+    / (n·N) with c_v the class count, g_v the global count, n the class
+    size, N the table size — so ``t_num`` (the integer numerator
+    Σ|c_v·N − g_v·n| + Σ_absent g_v·n) is emitted alongside the float
+    ``t_distance`` and the violation test compares integers against
+    2·t·n·N: no float-association drift, cross-engine checkable.
+
+    Scale shape: one groupBy(quasi, sensitive) count, one |values|-sized
+    global aggregate broadcast onto it, one groupBy(quasi) reduce — the
+    class-value table is |classes × values-present|-sized, never
+    |rows|-sized. NULL sensitive values are excluded from both
+    distributions (consistent with :func:`l_diversity`)."""
+    if not 0 < t <= 1:
+        raise ValueError("t must be in (0, 1]")
+    cols = _quasi(quasi_cols)
+    if sensitive_col in cols:
+        raise ValueError("sensitive_col cannot also be a quasi-identifier")
+    base = df.where(F.col(sensitive_col).isNotNull())
+    glob = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_g"))
+    cv = base.groupBy(*cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    joined = cv.join(F.broadcast(glob), sensitive_col)
+    # per class: n = Σc_v, present-value Σ|c_v·N − g_v·n| and Σg_v; the
+    # absent-value tail is (N − Σ_present g_v)·n. N rides as a literal
+    # from one 1-row aggregate (driver-sized, like MERGE's bounds read).
+    n_total = base.count()
+    per = joined.groupBy(*cols).agg(
+        F.sum("_c").alias("class_n"),
+        F.sum("_g").alias("_g_present"),
+        # |c_v·N − g_v·n| needs n, unknown until this reduce — carry the
+        # pairs through a second pass instead: aggregate the value list
+        F.collect_list(F.struct("_c", "_g")).alias("_pairs"),
+    )
+    pair_term = F.aggregate(
+        "_pairs",
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.abs(
+            p["_c"] * F.lit(n_total) - p["_g"] * F.col("class_n")
+        ),
+    )
+    absent_term = (F.lit(n_total) - F.col("_g_present")) * F.col("class_n")
+    return (
+        per.withColumn("t_num", (pair_term + absent_term).cast("long"))
+        .withColumn(
+            "t_distance",
+            F.col("t_num")
+            / (F.lit(2.0) * F.col("class_n") * F.lit(float(n_total))),
+        )
+        .withColumn(
+            "violates",
+            F.col("t_num").cast("double")
+            > F.lit(2.0 * t * n_total) * F.col("class_n"),
+        )
+        .drop("_pairs", "_g_present")
+    )
+
+
+def l_diversity_entropy(
+    df: DataFrame, quasi_cols, sensitive_col: str, l_required: float
+) -> DataFrame:
+    """Entropy l-diversity (Machanavajjhala 2007 §4.1): each class's
+    sensitive-value entropy −Σ p_v·ln p_v must be ≥ ln(l) — unlike
+    distinct-l this penalizes SKEW (99 of 100 rows sharing one value has
+    100 distinct-diversity... of 2, but entropy ≈ 0.06). One
+    groupBy(quasi, sensitive) + one groupBy(quasi); NULL sensitive
+    excluded."""
+    if l_required < 1:
+        raise ValueError("l_required must be >= 1")
+    import math
+
+    cols = _quasi(quasi_cols)
+    if sensitive_col in cols:
+        raise ValueError("sensitive_col cannot also be a quasi-identifier")
+    cv = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per = cv.groupBy(*cols).agg(
+        F.sum("_c").alias("class_n"),
+        F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+    )
+    # −Σ(c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n — one pass, no p column
+    return (
+        per.withColumn(
+            "entropy",
+            F.log(F.col("class_n")) - F.col("_clogc") / F.col("class_n"),
+        )
+        .withColumn("violates", F.col("entropy") < math.log(l_required))
+        .drop("_clogc")
+    )
+
+
+def l_diversity_recursive(
+    df: DataFrame, quasi_cols, sensitive_col: str, c: float, l_required: int
+) -> DataFrame:
+    """Recursive (c, l)-diversity (Machanavajjhala 2007 §4.2): with the
+    class's sensitive-value counts sorted r₁ ≥ r₂ ≥ …, require
+    r₁ < c·(r_l + r_{l+1} + … + r_m) — the most frequent value must not
+    dominate the tail beyond factor c. Integer-exact (counts and the
+    tail sum are integers; the c comparison is one multiply). A class
+    with fewer than l distinct values violates (empty tail). One
+    groupBy(quasi, sensitive) + a per-class sort of its ≤|values| counts
+    — array ops over a values-sized list, never a row-level window."""
+    if l_required < 1:
+        raise ValueError("l_required must be >= 1")
+    if c <= 0:
+        raise ValueError("c must be positive")
+    cols = _quasi(quasi_cols)
+    if sensitive_col in cols:
+        raise ValueError("sensitive_col cannot also be a quasi-identifier")
+    cv = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per = cv.groupBy(*cols).agg(
+        F.sum("_c").alias("class_n"),
+        F.reverse(F.array_sort(F.collect_list("_c"))).alias("_desc"),
+    )
+    tail = F.aggregate(
+        F.slice(
+            F.col("_desc"),
+            l_required,
+            F.greatest(
+                F.size("_desc") - F.lit(l_required - 1), F.lit(0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        per.withColumn("r1", F.col("_desc")[0])
+        .withColumn("tail_sum", tail)
+        .withColumn(
+            "violates",
+            F.col("r1").cast("double") >= F.lit(float(c)) * F.col("tail_sum"),
+        )
+        .drop("_desc")
+    )
+
+
 def suppress_to_k(df: DataFrame, quasi_cols, k: int) -> DataFrame:
     """ENFORCE k-anonymity by suppression: drop every row whose
     equivalence class is smaller than k. The surviving frame is
@@ -128,3 +301,59 @@ def generalize_num(col, width: float):
         raise ValueError("width must be positive")
     c = col if not isinstance(col, str) else F.col(col)
     return F.floor(c / F.lit(width)) * F.lit(width)
+
+
+def generalize_cat(col, hierarchy: dict, default=None):
+    """Hierarchy-driven categorical generalization (round 11 — the DGH
+    ladder of Sweeney's k-anonymity scheme): map each value one level UP
+    its caller-supplied taxonomy (``{'BUILDING': 'CONSUMER', ...}``).
+    Values absent from the hierarchy take ``default`` (a literal; None =
+    keep the original value — partial hierarchies generalize what they
+    know). A pure map-side column expression (one literal MAP lookup, no
+    join, no Python); NULL stays NULL. Apply repeatedly with the next
+    level's dict to climb the ladder; re-audit after each step."""
+    if not hierarchy:
+        raise ValueError("hierarchy must map at least one value")
+    c = col if not isinstance(col, str) else F.col(col)
+    m = F.create_map(
+        *[F.lit(x) for kv in hierarchy.items() for x in kv]
+    )
+    fallback = F.lit(default) if default is not None else c
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.coalesce(m[c], fallback)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame, group_cols, epsilon: float, seed: int = 0
+) -> DataFrame:
+    """ε-differentially-private group counts (Dwork et al. 2006): the
+    release-safe histogram — each group's count plus Laplace(1/ε) noise
+    (counting queries have sensitivity 1; disjoint groups share the
+    budget, so the whole histogram is ε-DP). Noise is derived by inverse
+    CDF from a SEEDED uniform, so a release is reproducible (and
+    auditable) under its recorded seed while remaining DP against anyone
+    without it. Emits ``noisy_n`` rounded and clamped at 0 (the standard
+    post-processing, DP-safe). One groupBy; map-side noise; no Python.
+
+    Caveat the caller owns (documented, as in every practical DP
+    release): groups whose EXISTENCE is sensitive need a stability-based
+    variant (thresholded release); this publishes the counts of the
+    groups it is given."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    cols = _quasi(group_cols)
+    b = 1.0 / float(epsilon)
+    out = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("true_n"))
+    u = F.rand(seed) - F.lit(0.5)  # uniform(-0.5, 0.5)
+    lap = (
+        -F.lit(b)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return out.withColumn(
+        "noisy_n",
+        F.greatest(
+            F.round(F.col("true_n") + lap).cast("long"), F.lit(0)
+        ),
+    )

@@ -73,6 +73,71 @@ _MASK_NULLS_SQL = """
            CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS class_n,
            CAST(NULL AS BOOLEAN) AS flag
     FROM customer
+    UNION ALL
+    -- t-closeness (round 11): integer numerator t_num = sum over present
+    -- values |c_v*N - g_v*n| + (N - sum g_v_present)*n; distance =
+    -- t_num / (2 n N); violates at t = 0.2
+    SELECT 'tclose', CAST(NULL AS BIGINT),{_MASK_NULLS_SQL},
+           tc.c_mktsegment AS seg, CAST(NULL AS BIGINT) AS nat,
+           tc.t_num AS class_n,
+           CAST(tc.t_num AS DOUBLE) > 2.0 * 0.2 * tc.class_n * tc.N AS flag
+    FROM (
+      SELECT cv.c_mktsegment,
+             any_value(cls.n) AS class_n,
+             any_value(n0.N) AS N,
+             sum(abs(cv.c * n0.N - g.g * cls.n))
+               + (any_value(n0.N) - sum(g.g)) * any_value(cls.n) AS t_num
+      FROM (
+        SELECT c_mktsegment, c_nationkey, count(*) AS c FROM customer
+        WHERE c_nationkey IS NOT NULL GROUP BY 1, 2
+      ) cv
+      JOIN (
+        SELECT c_nationkey, count(*) AS g FROM customer
+        WHERE c_nationkey IS NOT NULL GROUP BY 1
+      ) g USING (c_nationkey)
+      JOIN (
+        SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE c_nationkey IS NOT NULL GROUP BY 1
+      ) cls ON cls.c_mktsegment IS NOT DISTINCT FROM cv.c_mktsegment
+      CROSS JOIN (
+        SELECT count(*) AS N FROM customer WHERE c_nationkey IS NOT NULL
+      ) n0
+      GROUP BY cv.c_mktsegment
+    ) tc
+    UNION ALL
+    -- recursive (c=2, l=3)-diversity (round 11): r1 vs 2*(r3+...+rm)
+    SELECT 'recl', CAST(NULL AS BIGINT),{_MASK_NULLS_SQL},
+           rc.c_mktsegment AS seg, CAST(NULL AS BIGINT) AS nat,
+           rc.r1 AS class_n,
+           CAST(rc.r1 AS DOUBLE) >= 2.0 * rc.tail_sum AS flag
+    FROM (
+      SELECT c_mktsegment,
+             max(CASE WHEN rn = 1 THEN c END) AS r1,
+             coalesce(sum(CASE WHEN rn >= 3 THEN c END), 0) AS tail_sum
+      FROM (
+        SELECT c_mktsegment, c,
+               row_number() OVER (
+                 PARTITION BY c_mktsegment ORDER BY c DESC, c_nationkey
+               ) AS rn
+        FROM (
+          SELECT c_mktsegment, c_nationkey, count(*) AS c FROM customer
+          WHERE c_nationkey IS NOT NULL GROUP BY 1, 2
+        )
+      ) GROUP BY 1
+    ) rc
+    UNION ALL
+    -- categorical hierarchy generalization (round 11): one DGH step up;
+    -- MACHINERY is deliberately absent from the dict -> default 'OTHER'
+    SELECT 'gencat', c_custkey,{_MASK_NULLS_SQL},
+           CASE WHEN c_mktsegment IS NULL THEN NULL
+                WHEN c_mktsegment IN ('BUILDING', 'FURNITURE', 'HOUSEHOLD')
+                  THEN 'CONSUMER'
+                WHEN c_mktsegment = 'AUTOMOBILE' THEN 'BUSINESS'
+                ELSE 'OTHER' END AS seg,
+           CAST(NULL AS BIGINT) AS nat,
+           CAST(NULL AS BIGINT) AS class_n,
+           CAST(NULL AS BOOLEAN) AS flag
+    FROM customer
     """,
     tags=("masking", "privacy"),
 )
@@ -100,6 +165,18 @@ def mask_strategies(spark, sf_dir):
     'generalize' — fixed-width numeric generalization of the balance
     (width 500, band lower bound): the coarsening that enlarges classes
     so suppression destroys fewer rows.
+
+    Round 11 adds the DEPTH audits (the skewness attack distinct-l
+    misses — Li et al. 2007; Machanavajjhala 2007 §4):
+    'tclose' — t-closeness of nation within segment classes at t=0.2;
+    the emitted class_n is the EXACT INTEGER numerator of the
+    variational distance (Σ|c_v·N − g_v·n| + absent tail), so the
+    cross-engine hash never hangs on float association order.
+    'recl' — recursive (c=2, l=3)-diversity: the top value count r₁
+    versus 2·(r₃+…+r_m), integer-exact.
+    'gencat' — hierarchy-driven categorical generalization (one DGH
+    step: segments → CONSUMER/BUSINESS, with MACHINERY deliberately
+    absent from the dict to pin the default branch).
     """
     from database_anonymiser_spark.operators import privacy as P
 
@@ -163,11 +240,52 @@ def mask_strategies(spark, sf_dir):
         P.generalize_num("c_acctbal", 500).cast("long").alias("class_n"),
         F.lit(None).cast("boolean").alias("flag"),
     )
+    tclose = P.t_closeness(df, ["c_mktsegment"], "c_nationkey", 0.2).select(
+        F.lit("tclose").alias("kind"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        *nul(),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.col("t_num").alias("class_n"),
+        F.col("violates").alias("flag"),
+    )
+    recl = P.l_diversity_recursive(
+        df, ["c_mktsegment"], "c_nationkey", 2.0, 3
+    ).select(
+        F.lit("recl").alias("kind"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        *nul(),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.col("r1").cast("long").alias("class_n"),
+        F.col("violates").alias("flag"),
+    )
+    gcat = df.select(
+        F.lit("gencat").alias("kind"),
+        "c_custkey",
+        *nul(),
+        P.generalize_cat(
+            "c_mktsegment",
+            {
+                "BUILDING": "CONSUMER",
+                "FURNITURE": "CONSUMER",
+                "HOUSEHOLD": "CONSUMER",
+                "AUTOMOBILE": "BUSINESS",
+            },
+            default="OTHER",
+        ).alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.lit(None).cast("long").alias("class_n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
     return (
         masks.unionByName(kanon)
         .unionByName(ldiv)
         .unionByName(sup)
         .unionByName(gen)
+        .unionByName(tclose)
+        .unionByName(recl)
+        .unionByName(gcat)
     )
 
 

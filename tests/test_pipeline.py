@@ -539,3 +539,41 @@ def test_cli_audit_mode_release_gate(sf_dir, tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         main(["--audit", "--data", sf_dir])  # table+quasi required
+
+
+def test_cli_audit_t_closeness_and_entropy_riders(sf_dir, tmp_path, monkeypatch):
+    """--t / --entropyL (round 11): the depth audits ride the same gate —
+    nation-within-segment is close to the global distribution at a loose
+    t and diverse enough for a small entropy-l (exit 0); a tight t
+    blocks (exit 1); both need --sensitive."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--sensitive", "c_nationkey", "--t", "0.5", "--entropyL", "2"]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["t_closeness"]["satisfied"] is True
+    assert rep["entropy_l_diversity"]["satisfied"] is True
+
+    # an impossibly tight t blocks the release even though k passes
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--sensitive", "c_nationkey", "--t", "0.0001"]
+    )
+    assert rc == 1
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["t_closeness"]["satisfied"] is False
+    assert rep["k_anonymity"]["satisfied"] is True
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--audit", "--data", sf_dir, "--table", "customer",
+             "--quasi", "c_mktsegment", "--t", "0.5"]
+        )  # --t needs --sensitive

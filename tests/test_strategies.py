@@ -207,3 +207,128 @@ def test_generalize_num_bands(spark):
     assert got == {1: 1000.0, 2: -500.0, 3: None, 4: 500.0}
     with _pt.raises(ValueError, match="width"):
         P.generalize_num("v", 0)
+
+
+def test_t_closeness_catches_the_skew_attack(spark):
+    """The round-11 depth audit: a class whose k rows are diverse enough
+    for distinct-l but concentrate on a globally RARE sensitive value
+    (the skewness attack) must pass distinct-l and FAIL t-closeness."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    # global: flu dominates (91/104); class A is 9 hiv + 1 flu —
+    # 2 distinct values (distinct-l=2 passes), distribution far from
+    # the table's (t-closeness fails)
+    rows = (
+        [("B", "flu")] * 90 + [("B", "hiv")] * 4
+        + [("A", "hiv")] * 9 + [("A", "flu")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    ld = {r.q: r.violates for r in P.l_diversity(df, ["q"], "s", 2).collect()}
+    assert ld == {"A": False, "B": False}  # distinct-l is blind to skew
+    tc = {
+        r.q: (r.violates, r.t_num, r.class_n)
+        for r in P.t_closeness(df, ["q"], "s", 0.2).collect()
+    }
+    assert tc["A"][0] is True and tc["B"][0] is False
+    # exact-integer numerator: N=104, global flu=91/hiv=13, class A
+    # (n=10): |1*104 - 91*10| + |9*104 - 13*10| = 806 + 806 = 1612
+    assert tc["A"][1] == 1612 and tc["A"][2] == 10
+    # distance = t_num / (2 n N) = 1612 / 2080 = 0.775
+    d = {r.q: r.t_distance for r in P.t_closeness(df, ["q"], "s", 0.2).collect()}
+    assert abs(d["A"] - 1612 / (2 * 10 * 104)) < 1e-12
+
+    with _pt.raises(ValueError, match="t must"):
+        P.t_closeness(df, ["q"], "s", 0.0)
+    with _pt.raises(ValueError, match="quasi-identifier"):
+        P.t_closeness(df, ["s"], "s", 0.2)
+
+    # a NULL sensitive value is excluded from BOTH distributions
+    df2 = spark.createDataFrame(
+        rows + [("A", None)], "q string, s string"
+    )
+    tc2 = {r.q: r.t_num for r in P.t_closeness(df2, ["q"], "s", 0.2).collect()}
+    assert tc2 == {q: t for q, (_v, t, _n) in tc.items()}
+
+
+def test_entropy_and_recursive_l_diversity(spark):
+    import math
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    # class A: 9-vs-1 skew — distinct-l 2 but entropy 0.325 < ln 2;
+    # class C: 2-vs-2 balanced — entropy ln 2 exactly (>= passes)
+    rows = (
+        [("A", "hiv")] * 9 + [("A", "flu")]
+        + [("C", "flu")] * 2 + [("C", "cold")] * 2
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    ent = {
+        r.q: (r.entropy, r.violates)
+        for r in P.l_diversity_entropy(df, ["q"], "s", 2).collect()
+    }
+    expect_a = math.log(10) - (9 * math.log(9)) / 10
+    assert abs(ent["A"][0] - expect_a) < 1e-9 and ent["A"][1] is True
+    assert abs(ent["C"][0] - math.log(2)) < 1e-9 and ent["C"][1] is False
+
+    # recursive (c, l): A's counts [9, 1] -> r1=9 >= 2*(r2..) at l=2;
+    # C's [2, 2] -> 2 < 2*2 passes; a 1-value class has an empty tail
+    rc = {
+        r.q: (r.r1, r.tail_sum, r.violates)
+        for r in P.l_diversity_recursive(df, ["q"], "s", 2.0, 2).collect()
+    }
+    assert rc["A"] == (9, 1, True)
+    assert rc["C"] == (2, 2, False)
+    one = spark.createDataFrame([("D", "flu")], "q string, s string")
+    rc1 = P.l_diversity_recursive(one, ["q"], "s", 2.0, 2).first()
+    assert rc1.tail_sum == 0 and rc1.violates is True
+
+
+def test_generalize_cat_hierarchy_and_dp_counts(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    df = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE"), (3, "MACHINERY"), (4, None)],
+        "id long, seg string",
+    )
+    h = {"BUILDING": "CONSUMER", "AUTOMOBILE": "BUSINESS"}
+    got = {
+        r.id: r.g
+        for r in df.select(
+            "id", P.generalize_cat("seg", h, default="OTHER").alias("g")
+        ).collect()
+    }
+    # mapped values climb; unmapped take the default; NULL stays NULL
+    assert got == {1: "CONSUMER", 2: "BUSINESS", 3: "OTHER", 4: None}
+    # None default keeps unmapped values verbatim (partial hierarchy)
+    keep = {
+        r.id: r.g
+        for r in df.select(
+            "id", P.generalize_cat("seg", h).alias("g")
+        ).collect()
+    }
+    assert keep[3] == "MACHINERY" and keep[4] is None
+    with _pt.raises(ValueError, match="hierarchy"):
+        P.generalize_cat("seg", {})
+
+    # DP counts: reproducible under a seed, different across seeds (with
+    # overwhelming probability over 20 groups), never negative, and the
+    # noise scale shrinks with epsilon
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 20).alias("g")
+    )
+    a = sorted(map(tuple, P.dp_noisy_counts(big, ["g"], 1.0, seed=7).collect()))
+    b = sorted(map(tuple, P.dp_noisy_counts(big, ["g"], 1.0, seed=7).collect()))
+    assert a == b
+    c = sorted(map(tuple, P.dp_noisy_counts(big, ["g"], 1.0, seed=8).collect()))
+    assert a != c
+    assert all(n >= 0 for _g, _t, n in a)
+    # eps=1000 -> negligible noise: every group exact
+    tight = P.dp_noisy_counts(big, ["g"], 1000.0, seed=7).collect()
+    assert all(r.noisy_n == r.true_n for r in tight)
+    with _pt.raises(ValueError, match="epsilon"):
+        P.dp_noisy_counts(big, ["g"], 0.0)
