@@ -57,6 +57,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: repetitions per timed job; the reported number is the minimum
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+#: pinned IDLE-machine control constants (round 11 — three consecutive
+#: rounds of records needed load-drift archaeology to read): the
+#: builder's documented idle band for the pure-JVM control is
+#: 0.128-0.150s (midpoint pinned) and the r8 record — the cleanest
+#: idle capture — put the shuffle+Arrow control at 1.007s. Every
+#: record now self-labels with load_band = measured control / pinned
+#: idle, so a 0.35s control reads as "2.5x loaded" without comparing
+#: rounds by hand; per-query regression reads should normalize
+#: sub-second queries by it.
+IDLE_CONTROL_SEC = 0.14
+IDLE_CONTROL_SA_SEC = 1.0
+
 HEADLINE = [
     "anonymise_customer",
     "agg_multidim",
@@ -128,6 +140,13 @@ def main():
         )
 
     control_sa = _time(_shuffle_arrow_control)
+    # self-labeling load factor (round 11): measured controls vs the
+    # pinned idle constants; [jvm_band, shuffle_arrow_band] — ~1.0 on an
+    # idle machine, >1 under load; every record carries its own weather
+    load_band = [
+        round(control / IDLE_CONTROL_SEC, 2),
+        round(control_sa / IDLE_CONTROL_SA_SEC, 2),
+    ]
 
     timings: dict[str, float] = {}
 
@@ -496,15 +515,23 @@ def main():
             stop_after=stop,
         ).count()
 
+    # round 11 (verdict #5): min-of-REPS PER CUMULATIVE PREFIX, then
+    # marginals from the minima — the pipeline-level ±25% idle band came
+    # from summing one noisy draw per stage; minima of cumulative
+    # prefixes are each stable, so their differences (and the emitted
+    # curate_stage_total_sec) are too.
     curate_stages: dict[str, float] = {}
     prev = 0.0
     for stage in ("gates", "exact", "near", "balance", "split", "decontam", None):
-        t0 = time.perf_counter()
-        _curate_prefix(stage)
-        cum = time.perf_counter() - t0
+        cum = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _curate_prefix(stage)
+            cum = min(cum, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         curate_stages[stage or "mix"] = round(max(cum - prev, 0.0), 3)
         prev = cum
-        spark.catalog.clearCache()
+    curate_stage_total = round(sum(curate_stages.values()), 3)
     # --- Emit (round-10 verdict #1): the r9 record was LOST because the
     # headline JSON line outgrew the driver's 2000-char tail-capture
     # window (multi-paragraph notes inside the dict). The contract now:
@@ -519,6 +546,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "curate_stage_sec": curate_stages,
+        "curate_stage_total_sec": curate_stage_total,
         "storage_meta_reads": storage_meta,
         "neardedup_meta": neardedup_meta,
         "txn_fanout_meta": txn_fanout_meta,
@@ -530,6 +558,7 @@ def main():
         "ann_recall_sf1": ann_recall_sf1,
         "control_sec": control,
         "control_shuffle_arrow_sec": control_sa,
+        "load_band": load_band,
         "reps": REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "notes": "BENCH_NOTES.md",
@@ -545,6 +574,8 @@ def main():
             "ann_recall": ann_recall,
             "control_sec": control,
             "control_shuffle_arrow_sec": control_sa,
+            "load_band": load_band,
+            "curate_stage_total_sec": curate_stage_total,
             "reps": REPS,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "sidecar": "bench_sidecar.json",

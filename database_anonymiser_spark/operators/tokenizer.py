@@ -258,3 +258,97 @@ def apply_bpe(
         )
     out.append(bpe(F.col(text_col)).alias("n_bpe_tokens"))
     return df.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer artifact lifecycle (round 11): a trained BPE is a GOVERNED,
+# time-travelable artifact, not a Python list that dies with the driver —
+# the same pattern the versioned ANN index store proves
+# (operators/index_store.py): model rows in a VersionedTable, config in
+# the commit's metadata slot, every save one atomic commit.
+# ---------------------------------------------------------------------------
+
+#: the persisted model's schema: one row per merge rule, rank = apply order
+TOKENIZER_SCHEMA = "rank long, a string, b string"
+
+
+def save_tokenizer(
+    spark,
+    root: str,
+    merges: list[tuple[str, str]],
+    lowercase: bool = True,
+    meta: dict | None = None,
+) -> int:
+    """Persist a trained merge table into the versioned table at ``root``
+    as ONE atomic commit: merge rules as (rank, a, b) rows keyed on rank,
+    apply-relevant config (``lowercase``, plus any caller ``meta`` —
+    training corpus id, n_merges requested, ...) in the commit's metadata
+    slot. Re-saving a re-trained tokenizer is a FULL-SYNC merge
+    (vanished ranks delete, changed rules update, new ranks insert), so
+    every generation is a version: pipelines pin the generation they
+    were built with and time-travel reproduces it exactly. Returns the
+    committed version."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame(rows, TOKENIZER_SCHEMA)
+    commit_meta = {
+        "tokenizer": {
+            "lowercase": bool(lowercase),
+            "n_merges": len(merges),
+            **(meta or {}),
+        }
+    }
+    t = VersionedTable(spark, root)
+    if not t.versions():
+        VersionedTable.create(spark, root, df.limit(0), key_col="rank")
+        t = VersionedTable(spark, root)
+    return t.merge(
+        df, not_matched_by_source="delete", meta=commit_meta,
+    )
+
+
+def load_tokenizer(spark, root: str, version: int | None = None):
+    """Load ``(merges, config)`` from a saved tokenizer table —
+    ``version`` pins a generation (default latest): the merge rows come
+    from that version's snapshot, the config from the newest
+    tokenizer-save commit at or below it. The collect is MODEL-sized
+    (one row per merge rule — the same driver-sized-by-construction
+    bound as training's per-round argmax), never corpus-sized."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, root)
+    if not t.versions():
+        raise FileNotFoundError(f"no tokenizer table at {root}")
+    v = t.latest_version() if version is None else version
+    cfg = None
+    for w in sorted((x for x in t.versions() if x <= v), reverse=True):
+        m = t.commit_meta(w) or {}
+        if "tokenizer" in m:
+            cfg = dict(m["tokenizer"])
+            break
+    if cfg is None:
+        raise ValueError(f"no tokenizer save commit at or below v{v}")
+    rows = t.snapshot(v).orderBy("rank").collect()
+    merges = [(r["a"], r["b"]) for r in rows]
+    return merges, cfg
+
+
+def apply_saved_bpe(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    root: str,
+    version: int | None = None,
+    emit_tokens: bool = False,
+) -> DataFrame:
+    """Tokenize with a SAVED tokenizer generation — load + :func:`apply_bpe`
+    with the saved config (``lowercase`` travels with the artifact, so an
+    apply can never silently diverge from how the vocab was trained)."""
+    merges, cfg = load_tokenizer(spark, root, version=version)
+    return apply_bpe(
+        df, id_col, text_col, merges,
+        lowercase=bool(cfg.get("lowercase", True)),
+        emit_tokens=emit_tokens,
+    )

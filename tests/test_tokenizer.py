@@ -175,3 +175,74 @@ def test_fixture_compression_improves_with_merges(spark, sf_dir):
     )
     t0, t10, t40 = tot([]), tot(m10), tot(m40)
     assert t0 > t10 > t40  # every merge strictly reduces the token count
+
+
+def test_tokenizer_save_load_roundtrip_and_generations(spark, tmp_path):
+    """Round 11: a trained BPE is a governed artifact — save → load →
+    apply must equal the in-memory apply; a re-trained save is a new
+    GENERATION and a version-pinned load serves the old vocab."""
+    from database_anonymiser_spark.operators.tokenizer import (
+        apply_bpe,
+        apply_saved_bpe,
+        load_tokenizer,
+        save_tokenizer,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the bat and the cat chat"),
+         (3, "mats and bats and cats")],
+        "id long, text string",
+    )
+    root = str(tmp_path / "tok")
+    m1 = train_bpe(docs, "text", 12)
+    v1 = save_tokenizer(spark, root, m1, lowercase=True, meta={"gen": 1})
+    got, cfg = load_tokenizer(spark, root)
+    assert got == m1
+    assert cfg["lowercase"] is True and cfg["n_merges"] == len(m1)
+    assert cfg["gen"] == 1
+
+    mem = {
+        r.id: r.bpe_tokens
+        for r in apply_bpe(docs, "id", "text", m1, emit_tokens=True).collect()
+    }
+    saved = {
+        r.id: r.bpe_tokens
+        for r in apply_saved_bpe(
+            spark, docs, "id", "text", root, emit_tokens=True
+        ).collect()
+    }
+    assert saved == mem  # save -> load -> apply == in-memory apply
+
+    # generation 2: a different corpus trains a different table; the
+    # full-sync save replaces the rows in ONE commit
+    docs2 = spark.createDataFrame(
+        [(1, "zig zag zug"), (2, "zag zig zog zag")], "id long, text string"
+    )
+    m2 = train_bpe(docs2, "text", 6)
+    assert m2 != m1
+    v2 = save_tokenizer(spark, root, m2, meta={"gen": 2})
+    assert v2 > v1
+    now, cfg2 = load_tokenizer(spark, root)
+    assert now == m2 and cfg2["gen"] == 2
+
+    # version-pinned load serves the OLD vocab (time travel)
+    old, cfg1 = load_tokenizer(spark, root, version=v1)
+    assert old == m1 and cfg1["gen"] == 1
+    pinned = {
+        r.id: r.bpe_tokens
+        for r in apply_saved_bpe(
+            spark, docs, "id", "text", root, version=v1, emit_tokens=True
+        ).collect()
+    }
+    assert pinned == mem
+
+    # lowercase travels with the artifact
+    v3 = save_tokenizer(spark, str(tmp_path / "cs"), m1, lowercase=False)
+    _m, c = load_tokenizer(spark, str(tmp_path / "cs"), version=v3)
+    assert c["lowercase"] is False
+
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        load_tokenizer(spark, str(tmp_path / "nope"))
