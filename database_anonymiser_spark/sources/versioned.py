@@ -508,6 +508,9 @@ def _footer_key_stats(file_path: Path, key_col: str | None):
         return None, None
 
 
+#: the engine-allocated hidden row-id column of row-tracked tables
+ROW_ID_COL = "_row_id"
+
 _BLOOM_DIR = "_bloom"
 _DV_DIR = "_dv"
 #: delete_where(dv=True) collects matched (file, row_index) positions to
@@ -1506,12 +1509,13 @@ class VersionedTable:
         spark: SparkSession,
         root: str | os.PathLike,
         df: DataFrame,
-        key_col: "str | list[str] | tuple",
+        key_col: "str | list[str] | tuple | None",
         stats_cols: tuple = (),
         generated: dict[str, str] | None = None,
         identity_col: str | None = None,
         identity_start: int = 1,
         identity_step: int = 1,
+        row_tracking: bool = False,
     ) -> "VersionedTable":
         """``generated`` (round 9 — Delta's ``GENERATED ALWAYS AS``,
         which Delta likewise allows only at table creation):
@@ -1540,7 +1544,31 @@ class VersionedTable:
         fresh ids must route through append or pre-assign keys (error
         says so). A blind append that allocated ids refuses the OCC
         auto-retry (the winner may have used the same range; the caller
-        re-reads and re-allocates)."""
+        re-reads and re-allocates).
+
+        ``row_tracking=True`` (round 11 — Delta's row tracking, the CDF
+        story for KEYLESS tables): the engine allocates a hidden
+        ``_row_id`` identity column and keys the table on it, so
+        :meth:`diff` / the streaming change feed / scoped updates and
+        deletes all work on a table with no natural key. Row ids are
+        materialized into the data (identity mechanics), so they survive
+        rewrites — update_where keeps a changed row's id (the feed sees
+        an update, not delete+insert), compact carries them, appends
+        allocate fresh ones past the high-water. Pass ``key_col=None``
+        with it (a keyed table already has a change identity)."""
+        if row_tracking:
+            if key_col is not None:
+                raise ValueError(
+                    "row_tracking is the keyless-table change identity; "
+                    "a keyed table already has one (pass key_col=None)"
+                )
+            if identity_col is not None:
+                raise ValueError(
+                    "row_tracking allocates its own identity column; "
+                    "pass identity_col for a user-visible surrogate instead"
+                )
+            key_col = ROW_ID_COL
+            identity_col = ROW_ID_COL
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"versioned table already exists at {t.root}")
@@ -3126,6 +3154,14 @@ class VersionedTable:
         if unknown:
             raise ValueError(
                 f"update_where assigns columns absent from the table schema: {unknown}"
+            )
+        ident = self.identity_column()
+        if ident is not None and ident[0] in assigns:
+            # GENERATED ALWAYS — and the row-tracking id's stability is
+            # exactly what makes keyless CDF classify updates as updates
+            raise ValueError(
+                f"identity column {ident[0]!r} is GENERATED ALWAYS; "
+                "update_where may not assign it"
             )
         entries = self._live_entries(v)
         touched = self.files_matching(prune) if prune else entries

@@ -351,3 +351,111 @@ def test_composite_scd2_apply_and_temporal_join(spark, tmp_path):
     v = dim.latest_version()
     scd.scd2_apply(dim, src2, ["tenant", "cust"], ("tier",), "2026-03-01")
     assert dim.latest_version() == v
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (round 11): CDF / scoped mutation on KEYLESS tables via an
+# engine-allocated _row_id identity the table keys itself on.
+# ---------------------------------------------------------------------------
+
+
+def test_row_tracking_gives_keyless_tables_a_change_feed(spark, tmp_path):
+    from database_anonymiser_spark.sources.versioned import ROW_ID_COL
+
+    df = spark.createDataFrame(
+        [("alpha", 1.0), ("beta", 2.0), ("gamma", 3.0)], "name string, v double"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=None, row_tracking=True
+    )
+    assert t.key_col() == ROW_ID_COL
+    ids0 = {r.name: r[ROW_ID_COL] for r in t.snapshot().collect()}
+    assert len(set(ids0.values())) == 3  # unique allocated ids
+
+    # append allocates fresh ids past the high-water
+    t.append(spark.createDataFrame([("delta", 4.0)], "name string, v double"))
+    ids1 = {r.name: r[ROW_ID_COL] for r in t.snapshot().collect()}
+    assert ids1["delta"] not in ids0.values()
+    assert all(ids1[n] == i for n, i in ids0.items())  # old rows keep ids
+
+    # update_where keeps the changed row's id -> the feed sees an UPDATE
+    v_upd = t.update_where({"v": "v * 10"}, "name = 'beta'")
+    ids2 = {r.name: r[ROW_ID_COL] for r in t.snapshot().collect()}
+    assert ids2 == ids1
+    ev = {
+        (r._change_type, r.name)
+        for r in t.diff(v_upd - 1, v_upd, images="both").collect()
+    }
+    assert ev == {("update_preimage", "beta"), ("update_postimage", "beta")}
+
+    # delete_where emits a delete with the old image
+    v_del = t.delete_where("name = 'alpha'")
+    ev = {
+        (r._change_type, r.name)
+        for r in t.diff(v_del - 1, v_del).collect()
+    }
+    assert ev == {("delete", "alpha")}
+
+    # compact carries ids (row-preserving)
+    t.compact(target_file_bytes=1 << 20)
+    assert {r.name: r[ROW_ID_COL] for r in t.snapshot().collect()} == {
+        n: i for n, i in ids2.items() if n != "alpha"
+    }
+
+    # whole-interval feed parity vs a KEYED twin running the same lineage
+    kt = VersionedTable.create(
+        spark, str(tmp_path / "k"),
+        spark.createDataFrame(
+            [(1, "alpha", 1.0), (2, "beta", 2.0), (3, "gamma", 3.0)],
+            "id long, name string, v double",
+        ),
+        key_col="id",
+    )
+    kt.append(spark.createDataFrame([(4, "delta", 4.0)], "id long, name string, v double"))
+    kt.update_where({"v": "v * 10"}, "name = 'beta'")
+    kt.delete_where("name = 'alpha'")
+    mine = sorted(
+        (r._change_type, r.name, r.v)
+        for r in t.diff(0, t.latest_version(), images="both").collect()
+    )
+    twin = sorted(
+        (r._change_type, r.name, r.v)
+        for r in kt.diff(0, kt.latest_version(), images="both").collect()
+    )
+    assert mine == twin
+
+    # GENERATED ALWAYS: neither writes nor updates may touch the id
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update_where({"_row_id": "0"}, "true")
+    with pytest.raises(ValueError, match="row_tracking"):
+        VersionedTable.create(
+            spark, str(tmp_path / "bad"), df, key_col="name",
+            row_tracking=True,
+        )
+
+
+def test_row_tracking_streaming_cdf(spark, tmp_path):
+    """The streaming change feed reads a row-tracked (keyless) table like
+    any keyed one — batch CDF face checked here (same planner the stream
+    uses)."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, n int")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=None, row_tracking=True
+    )
+    t.update_where({"n": "n + 100"}, "name = 'a'")
+    spark.dataSource.register(VersionedDataSource)
+    cdf = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "t"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    ev = {(r._change_type, r.name, r.n) for r in cdf.collect()}
+    assert ("update_preimage", "a", 1) in ev
+    assert ("update_postimage", "a", 101) in ev
+    assert not any(ct == "delete" for ct, *_ in ev)  # b carried, excluded
