@@ -459,3 +459,55 @@ def test_row_tracking_streaming_cdf(spark, tmp_path):
     assert ("update_preimage", "a", 1) in ev
     assert ("update_postimage", "a", 101) in ev
     assert not any(ct == "delete" for ct, *_ in ev)  # b carried, excluded
+
+
+def test_composite_key_replication_and_streaming_sink(spark, tmp_path):
+    """CDC replication and the merge streaming sink on a COMPOSITE-key
+    upstream: the replica inherits the key tuple, the latest-wins
+    collapse partitions by it, and snapshots converge across churn."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_replicate,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    src_root, dst_root = tmp_path / "src", tmp_path / "dst"
+    t = _mk(spark, src_root, tenants=3, per=6)
+    t.merge(
+        spark.createDataFrame(
+            [(2, 3, "UPD"), (9, 1, "NEW")], "tenant int, eid int, val string"
+        ),
+        skip_by="points",
+    )
+    t.delete_where("tenant = 1 AND eid = 2")
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    run_stream_replicate(
+        spark, str(src_root), str(dst_root), str(tmp_path / "ck")
+    )
+    dst = VersionedTable(spark, str(dst_root))
+    assert dst.key_col() == ["tenant", "eid"]
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+
+    # incremental churn on both key components converges again
+    t.merge(
+        spark.createDataFrame(
+            [(2, 3, "UPD2"), (3, 6, "X")], "tenant int, eid int, val string"
+        ),
+        skip_by="points",
+    )
+    run_stream_replicate(
+        spark, str(src_root), str(dst_root), str(tmp_path / "ck")
+    )
+    assert _rows(dst.snapshot()) == _rows(t.snapshot())
+
+    # a select that drops a key COMPONENT is refused
+    with pytest.raises(ValueError, match="key column"):
+        run_stream_replicate(
+            spark, str(src_root), str(tmp_path / "d2"),
+            str(tmp_path / "ck2"), select=("tenant", "val"),
+        )
