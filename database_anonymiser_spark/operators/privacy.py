@@ -324,6 +324,84 @@ def generalize_cat(col, hierarchy: dict, default=None):
     )
 
 
+def anonymize_to_k(
+    df: DataFrame,
+    quasi_spec: dict,
+    k: int,
+    max_suppress_frac: float = 0.05,
+) -> tuple[DataFrame, list[dict]]:
+    """Datafly-style k-anonymization (Sweeney 1998/2002's greedy
+    algorithm): GENERALIZE quasi-identifiers step by step until at most
+    ``max_suppress_frac`` of the rows sit in sub-k classes, then
+    SUPPRESS the remainder — the output is k-anonymous by construction.
+
+    ``quasi_spec`` maps each quasi column to its generalization LADDER:
+    a list of steps, each either a positive number (numeric band width
+    for :func:`generalize_num` — widths should grow up the ladder) or a
+    dict (hierarchy for :func:`generalize_cat`); an empty list pins the
+    column (linkable but not generalizable). Each round greedily
+    generalizes the column with the MOST DISTINCT VALUES among those
+    with ladder steps left (Sweeney's heuristic), exactly one step.
+
+    Returns ``(anonymized_df, steps)`` where ``steps`` records the audit
+    trail (column, step index, distinct counts, rows then at risk) — the
+    release report a compliance review wants next to the data.
+
+    Scale shape per round: one distinct-count aggregate over the quasi
+    columns + one k-audit groupBy — both |classes|-sized; the
+    generalizations themselves are map-side column expressions layered
+    on the SAME frame (no intermediate materialization). The loop is
+    driver-side and bounded by the total ladder length (Σ|steps| ≤ a
+    handful), never by the data."""
+    if not 0 <= max_suppress_frac <= 1:
+        raise ValueError("max_suppress_frac must be in [0, 1]")
+    cols = _quasi(list(quasi_spec))
+    for c, ladder in quasi_spec.items():
+        for s in ladder:
+            if not isinstance(s, dict) and (
+                not isinstance(s, (int, float)) or s <= 0
+            ):
+                raise ValueError(
+                    f"ladder step for {c!r} must be a width or a hierarchy dict"
+                )
+    cur = df
+    level = {c: 0 for c in cols}
+    steps: list[dict] = []
+    n_rows = df.count()
+    while True:
+        audit = k_anonymity(cur, cols, k)
+        at_risk = audit.agg(
+            F.sum(F.when(F.col("violates"), F.col("class_n")).otherwise(0))
+        ).first()[0] or 0
+        if n_rows == 0 or at_risk <= max_suppress_frac * n_rows:
+            break
+        candidates = [c for c in cols if level[c] < len(quasi_spec[c])]
+        if not candidates:
+            break  # ladders exhausted: suppression takes the rest
+        distinct = cur.agg(
+            *[F.countDistinct(c).alias(c) for c in candidates]
+        ).first()
+        target = max(candidates, key=lambda c: (distinct[c], c))
+        step = quasi_spec[target][level[target]]
+        if isinstance(step, dict):
+            cur = cur.withColumn(target, generalize_cat(target, step))
+        else:
+            cur = cur.withColumn(
+                target, generalize_num(target, float(step))
+            )
+        level[target] += 1
+        steps.append(
+            {
+                "column": target,
+                "step": level[target],
+                "distinct_before": int(distinct[target]),
+                "rows_at_risk_before": int(at_risk),
+            }
+        )
+    out = suppress_to_k(cur, cols, k)
+    return out, steps
+
+
 def dp_noisy_counts(
     df: DataFrame, group_cols, epsilon: float, seed: int = 0
 ) -> DataFrame:

@@ -332,3 +332,54 @@ def test_generalize_cat_hierarchy_and_dp_counts(spark):
     assert all(r.noisy_n == r.true_n for r in tight)
     with _pt.raises(ValueError, match="epsilon"):
         P.dp_noisy_counts(big, ["g"], 0.0)
+
+
+def test_anonymize_to_k_datafly_loop(spark):
+    """Datafly (round 11): generalize the widest quasi column step by
+    step until <= max_suppress_frac rows violate, then suppress — the
+    output is k-anonymous by construction and the audit trail records
+    each step."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    # ages nearly unique (the widest column -> generalized first);
+    # cities in two regions
+    rows = [
+        (i, 20 + i, "springfield" if i % 2 == 0 else "shelbyville")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, age int, city string")
+    spec = {
+        "age": [10, 50],  # widths up the ladder
+        "city": [{"springfield": "region1", "shelbyville": "region1"}],
+    }
+    out, steps = P.anonymize_to_k(df, spec, k=5, max_suppress_frac=0.0)
+    assert P.k_anonymity_summary(out, ["age", "city"], 5)["satisfied"]
+    assert out.count() > 0
+    # age (40 distinct) generalizes before city (2 distinct)
+    assert steps[0]["column"] == "age" and steps[0]["distinct_before"] == 40
+    assert all(s["rows_at_risk_before"] > 0 for s in steps)
+
+    # already-anonymous input: zero steps, zero suppression
+    ok = spark.createDataFrame(
+        [(i, 1, "x") for i in range(10)], "id long, age int, city string"
+    )
+    out2, steps2 = P.anonymize_to_k(ok, {"age": [10], "city": []}, k=5)
+    assert steps2 == [] and out2.count() == 10
+
+    # exhausted ladders fall back to suppression (still k-anonymous)
+    hard = spark.createDataFrame(
+        [(i, i, "x") for i in range(7)], "id long, age int, city string"
+    )
+    out3, _ = P.anonymize_to_k(
+        hard, {"age": [2], "city": []}, k=5, max_suppress_frac=0.0
+    )
+    assert P.k_anonymity_summary(
+        out3, ["age", "city"], 5
+    )["satisfied"] or out3.count() == 0
+
+    with _pt.raises(ValueError, match="ladder step"):
+        P.anonymize_to_k(df, {"age": [-1]}, k=5)
+    with _pt.raises(ValueError, match="max_suppress_frac"):
+        P.anonymize_to_k(df, spec, k=5, max_suppress_frac=2.0)
