@@ -290,6 +290,22 @@ def main():
     # bound at fixture scale (~15 bounded Spark jobs/batch), so 3 reps
     # would triple the bench for a number whose regression tripwire is
     # the FILE-READ counter, not the wall clock.
+    # composite-key lifecycle (round 11): tuple-point trickle counters —
+    # the files_touched sum is the conjunction-skipping tripwire (must
+    # stay ~flat across scale, like the single-key trickle's)
+    from tools.storage_probe import composite_churn as _ck_lifecycle
+
+    composite_meta: dict[str, int] = {}
+    _t0 = time.perf_counter()
+    _ck_rows = _ck_lifecycle(spark, sf_dir, composite_meta)
+    composite_meta["lifecycle_sec"] = round(time.perf_counter() - _t0, 3)
+    print(
+        f"# composite_churn: {composite_meta['lifecycle_sec']:.2f}s "
+        f"({_ck_rows} rows, touched {composite_meta['files_touched']}, "
+        f"carried {composite_meta['files_carried']})",
+        file=sys.stderr,
+    )
+
     from tools.storage_probe import neardedup_stream as _nd_lifecycle
 
     neardedup_meta: dict[str, float] = {}
@@ -548,6 +564,7 @@ def main():
         "curate_stage_sec": curate_stages,
         "curate_stage_total_sec": curate_stage_total,
         "storage_meta_reads": storage_meta,
+        "composite_meta": composite_meta,
         "neardedup_meta": neardedup_meta,
         "txn_fanout_meta": txn_fanout_meta,
         "datasource_meta": datasource_meta,

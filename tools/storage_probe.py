@@ -329,3 +329,56 @@ def shard_export_probe(spark, sf_dir: str, meta: dict) -> int:
         return m["total_rows"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def composite_churn(spark, sf_dir: str, meta: dict) -> int:
+    """Composite-key lifecycle (round 11): orders keyed on the TUPLE
+    (o_custkey, o_orderkey), clustered by range on both, then a
+    FIXED-SIZE tuple-point trickle — 3 point merges over the fixed key
+    band o_orderkey ∈ [1, 32] (exists at every sf) and one tuple-keyed
+    delete merge. The cross-scale claim: files_touched per point merge
+    stays ~flat as the table grows (the per-column conjunction prunes
+    to the intersecting files), while create cost scales with data —
+    the same shape the single-key trickle proves, now on a tuple key.
+    Records files_touched/files_carried sums + COMMIT_READS /
+    DATA_FILES_READ deltas into ``meta``; returns a row-count witness."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.suite.base import load
+
+    root = tempfile.mkdtemp(prefix="bench_ck_")
+    shutil.rmtree(root)
+    c0, f0 = V.COMMIT_READS, V.DATA_FILES_READ
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    try:
+        t = V.VersionedTable.create(
+            spark, root,
+            orders.repartitionByRange(8, "o_custkey", "o_orderkey"),
+            key_col=["o_custkey", "o_orderkey"],
+        )
+        band = orders.where(F.col("o_orderkey").between(1, 32))
+        touched = carried = 0
+        for i in range(3):
+            v = t.merge(
+                band.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(float(i))
+                ),
+                skip_by="points",
+            )
+            m = (t.commit_meta(v) or {}).get("metrics") or {}
+            touched += int(m.get("files_touched", 0))
+            carried += int(m.get("files_carried", 0))
+        t.merge(
+            band.select("o_custkey", "o_orderkey").limit(4),
+            when_matched="delete", insert_not_matched=False,
+            skip_by="points",
+        )
+        n = t.snapshot().count()
+        meta["files_touched"] = touched
+        meta["files_carried"] = carried
+        meta["commit_reads"] = V.COMMIT_READS - c0
+        meta["data_files_read"] = V.DATA_FILES_READ - f0
+        return n
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
