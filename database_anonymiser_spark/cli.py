@@ -85,6 +85,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="l for the --audit ENTROPY l-diversity check (needs "
         "--sensitive); penalizes in-class skew, not just distinctness",
     )
+    p.add_argument(
+        "--enforceOut", default=None, dest="enforce_out",
+        help="with --audit: when k-anonymity fails, SUPPRESS the "
+        "violating classes and write the k-anonymous output here "
+        "(parquet); the report records rows_suppressed and the exit "
+        "code grades the ENFORCED output",
+    )
     args = p.parse_args(argv)
     modes = [
         m for m in ("configGen", "dryrun", "apply", "audit")
@@ -175,6 +182,33 @@ def main(argv: list[str] | None = None) -> int:
                 "satisfied": bad == 0,
             }
             ok = ok and bad == 0
+        if args.enforce_out is not None and not report["k_anonymity"][
+            "satisfied"
+        ]:
+            # enforcement (round 11): suppression is the minimum-
+            # distortion fix — the written output is k-anonymous by
+            # construction, and the exit code grades THAT output (the
+            # sensitive-attribute riders still gate it)
+            from database_anonymiser_spark.operators.privacy import (
+                suppress_to_k,
+            )
+
+            kept = suppress_to_k(df, quasi, args.k)
+            kept.write.mode("error").parquet(args.enforce_out)
+            n_kept = kept.count()
+            report["enforced"] = {
+                "out": args.enforce_out,
+                "rows_suppressed": report["k_anonymity"]["n_rows"] - n_kept,
+                "rows_kept": n_kept,
+                "k_anonymity": k_anonymity_summary(kept, quasi, args.k),
+            }
+            ok = report["enforced"]["k_anonymity"]["satisfied"] and all(
+                report[key]["satisfied"]
+                for key in (
+                    "l_diversity", "t_closeness", "entropy_l_diversity"
+                )
+                if key in report
+            )
         report_path = args.report or "anonymiser.audit.report.json"
         write_json_report(report_path, report)
         verdict = "RELEASE OK" if ok else "RELEASE BLOCKED"

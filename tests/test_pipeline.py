@@ -577,3 +577,36 @@ def test_cli_audit_t_closeness_and_entropy_riders(sf_dir, tmp_path, monkeypatch)
             ["--audit", "--data", sf_dir, "--table", "customer",
              "--quasi", "c_mktsegment", "--t", "0.5"]
         )  # --t needs --sensitive
+
+
+def test_cli_audit_enforce_out_writes_k_anonymous_output(
+    sf_dir, tmp_path, monkeypatch, spark
+):
+    """--enforceOut (round 11): a failing k-audit suppresses the
+    violating classes, writes the k-anonymous parquet, and the exit code
+    grades the ENFORCED output (0 here — suppression satisfies k by
+    construction)."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.operators.privacy import (
+        k_anonymity_summary,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "safe"
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment,c_nationkey", "--k", "10",
+         "--enforceOut", str(out)]
+    )
+    assert rc == 0  # raw table fails k=10 but the enforced output passes
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["k_anonymity"]["satisfied"] is False
+    assert rep["enforced"]["k_anonymity"]["satisfied"] is True
+    assert rep["enforced"]["rows_suppressed"] > 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == rep["enforced"]["rows_kept"]
+    assert k_anonymity_summary(
+        got, ["c_mktsegment", "c_nationkey"], 10
+    )["satisfied"]
