@@ -511,3 +511,115 @@ def test_composite_key_replication_and_streaming_sink(spark, tmp_path):
             spark, str(src_root), str(tmp_path / "d2"),
             str(tmp_path / "ck2"), select=("tenant", "val"),
         )
+
+
+def test_composite_randomized_op_sequence_matches_python_twin(spark, tmp_path):
+    """Seeded randomized mutation sequence on a COMPOSITE-key table
+    (tuple merge upsert/delete, conditional clause merge, append,
+    scoped update/delete, compact, zorder) checked after EVERY op
+    against a pure-Python dict twin keyed by the tuple — the composite
+    analogue of the single-key randomized twin, across checkpoint
+    boundaries."""
+    import random
+
+    rng = random.Random(11)
+    state = {
+        (t, e): float(t * 100 + e) for t in range(4) for e in range(10)
+    }
+    schema = "tenant long, eid long, v double"
+    base = VersionedTable.create(
+        spark,
+        str(tmp_path / "base"),
+        spark.createDataFrame(
+            [(t, e, v) for (t, e), v in state.items()], schema
+        ).repartitionByRange(4, "tenant", "eid"),
+        key_col=["tenant", "eid"],
+    )
+    next_eid = 1000
+
+    def spark_state():
+        return {
+            (r.tenant, r.eid): r.v for r in base.snapshot().collect()
+        }
+
+    for step in range(14):
+        op = rng.choice(
+            ["mupd", "mdel", "clause", "append", "delw", "updw",
+             "compact", "zorder"]
+        )
+        if op == "mupd":
+            ks = rng.sample(sorted(state), min(3, len(state)))
+            ks.append((rng.randrange(4), next_eid))
+            next_eid += 1
+            rows = [
+                (t, e, float(rng.randint(0, 99))) for t, e in ks
+            ]
+            base.merge(
+                spark.createDataFrame(rows, schema),
+                skip_by=rng.choice(["range", "points"]),
+            )
+            for t, e, v in rows:
+                state[(t, e)] = v
+        elif op == "mdel" and len(state) > 6:
+            ks = rng.sample(sorted(state), 2)
+            base.merge(
+                spark.createDataFrame(list(ks), "tenant long, eid long"),
+                when_matched="delete",
+                insert_not_matched=False,
+                skip_by="points",
+            )
+            for k in ks:
+                state.pop(k)
+        elif op == "clause":
+            ks = rng.sample(sorted(state), min(4, len(state)))
+            rows = [(t, e, float(rng.randint(-9, 9))) for t, e in ks]
+            base.merge(
+                spark.createDataFrame(rows, "tenant long, eid long, d double"),
+                matched=[
+                    ("update", "s.d > 0", {"v": "t.v + s.d"}),
+                    ("delete", "s.d < -5"),
+                ],
+                not_matched=[("insert", None, {
+                    "tenant": "s.tenant", "eid": "s.eid", "v": "s.d",
+                })],
+            )
+            for t, e, d in rows:
+                if (t, e) in state:
+                    if d > 0:
+                        state[(t, e)] += d
+                    elif d < -5:
+                        state.pop((t, e))
+                else:
+                    state[(t, e)] = d
+        elif op == "append":
+            rows = [(9, next_eid + i, float(i)) for i in range(2)]
+            next_eid += 2
+            base.append(spark.createDataFrame(rows, schema))
+            for t, e, v in rows:
+                state[(t, e)] = v
+        elif op == "delw" and len(state) > 6:
+            cut = rng.randrange(4)
+            base.delete_where(
+                (F.col("tenant") == cut) & (F.col("eid") % 2 == 0),
+                prune={"tenant": (cut, cut)},
+            )
+            state = {
+                (t, e): v for (t, e), v in state.items()
+                if not (t == cut and e % 2 == 0)
+            }
+        elif op == "updw":
+            base.update_where({"v": F.col("v") + 1.0}, F.col("eid") % 3 == 0)
+            state = {
+                (t, e): (v + 1.0 if e % 3 == 0 else v)
+                for (t, e), v in state.items()
+            }
+        elif op == "compact":
+            base.compact(small_file_bytes=1 << 30)
+        else:
+            base.optimize_zorder(("tenant", "eid"), file_count=2)
+        assert spark_state() == state, f"divergence after step {step} ({op})"
+
+    import database_anonymiser_spark.sources.versioned as V
+
+    assert base.latest_version() >= V.CHECKPOINT_INTERVAL
+    assert V._list_checkpoints(base.root)
