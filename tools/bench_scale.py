@@ -117,6 +117,16 @@ def main():
         meta: dict = {}
         row["storage_churn"] = _time(lambda: storage_churn(spark, sf_dir, meta))
         row["storage_meta_reads"] = meta
+        # composite-key lifecycle (round 11): tuple-point trickle over a
+        # FIXED 32-key band — files_touched must stay bounded by the
+        # trickle's tuple count, not grow with the table's file count
+        from tools.storage_probe import composite_churn
+
+        ck_meta: dict = {}
+        t0 = time.perf_counter()
+        ck_meta["rows"] = composite_churn(spark, sf_dir, ck_meta)
+        ck_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
+        row["composite_meta"] = ck_meta
         # near-dedup ingest lifecycle (round-8 verdict #4: the sink's
         # scale claim — probe reads bounded by the batch's bucket count,
         # not the store size — needs more than one scale point). One rep:
