@@ -2193,7 +2193,12 @@ class VersionedTable:
         not_matched: "list[tuple] | None" = None,
         max_retries: int = 3,
     ) -> int:
-        """MERGE ``source`` into the table on the table's key column.
+        """MERGE ``source`` into the table on the table's key — a single
+        column, or the COLUMN TUPLE of a composite-key table (round 11):
+        the ON condition is the per-column equality conjunction, the
+        duplicate-source contract applies to the tuple, and file
+        skipping (range AND points) prunes by the conjunction of
+        per-column overlap tests.
 
         ``when_matched``: 'update' replaces the target row with the source
         row; 'delete' drops matched target rows. Unmatched source rows are
