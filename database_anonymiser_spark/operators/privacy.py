@@ -188,6 +188,95 @@ def t_closeness(
     )
 
 
+def t_closeness_ordered(
+    df: DataFrame, quasi_cols, sensitive_col: str, t: float
+) -> DataFrame:
+    """t-closeness for an ORDERED (numeric) sensitive attribute — the
+    paper's second distance (Li et al. 2007 §3, "ordered distance"): EMD
+    over the value ordering, D = (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| with
+    the m global distinct values sorted. Unlike the categorical
+    variational distance, adjacency matters: a class of THREE ADJACENT
+    low incomes is farther from a uniform global than three scattered
+    ones (0.375 vs 0.167 in the paper's example — pinned by test).
+
+    Exactness: with p_j = c_j/n and q_j = g_j/N the numerator
+    Σᵢ|CumCᵢ·N − CumGᵢ·n| is an INTEGER; ``t_num`` is emitted alongside
+    the float ``t_distance`` (= t_num / ((m−1)·n·N)) and the violation
+    compares integers against t·(m−1)·n·N.
+
+    Scale shape: the per-class cumulative needs every class × every
+    global value (absent values carry 0 mass but nonzero cumulative) —
+    a |classes| × |values| grid, bounded by the sensitive DOMAIN (small
+    by definition for a release-audited attribute: diagnoses, income
+    bands), never by rows: one groupBy(quasi, sensitive), one broadcast
+    of the |values| global histogram, one window cumsum per class over
+    its |values| rows."""
+    if not 0 < t <= 1:
+        raise ValueError("t must be in (0, 1]")
+    from pyspark.sql import Window
+
+    cols = _quasi(quasi_cols)
+    if sensitive_col in cols:
+        raise ValueError("sensitive_col cannot also be a quasi-identifier")
+    base = df.where(F.col(sensitive_col).isNotNull())
+    n_total = base.count()
+    glob = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_g"))
+    m = glob.count()
+    cv = base.groupBy(*cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    classes = cv.groupBy(*cols).agg(F.sum("_c").alias("class_n"))
+    if m <= 1:
+        # a single-value domain: every distribution IS the global one
+        return (
+            classes.withColumn("t_num", F.lit(0).cast("long"))
+            .withColumn("t_distance", F.lit(0.0))
+            .withColumn("violates", F.lit(False))
+        )
+    # the classes × values grid: absent (class, value) pairs get zero
+    # mass; the grid is |classes|·|values| rows — domain-bounded
+    grid = classes.crossJoin(F.broadcast(glob)).join(
+        cv, [*cols, sensitive_col], "left"
+    ).withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    w = Window.partitionBy(*cols).orderBy(sensitive_col)
+    cum = grid.select(
+        *cols,
+        "class_n",
+        sensitive_col,
+        F.sum("_c").over(w).alias("_cum_c"),
+        F.sum("_g").over(w).alias("_cum_g"),
+    )
+    per = (
+        cum.withColumn(
+            "_rn",
+            F.row_number().over(w),
+        )
+        .where(F.col("_rn") < m)  # the last cumulative is always 0 diff
+        .groupBy(*cols)
+        .agg(
+            F.first("class_n").alias("class_n"),
+            F.sum(
+                F.abs(
+                    F.col("_cum_c") * F.lit(n_total)
+                    - F.col("_cum_g") * F.col("class_n")
+                )
+            ).alias("t_num"),
+        )
+    )
+    denom = float(max(m - 1, 1)) * float(n_total)
+    return (
+        per.withColumn(
+            "t_distance",
+            F.col("t_num") / (F.lit(denom) * F.col("class_n")),
+        )
+        .withColumn(
+            "violates",
+            F.col("t_num").cast("double")
+            > F.lit(float(t) * denom) * F.col("class_n"),
+        )
+    )
+
+
 def l_diversity_entropy(
     df: DataFrame, quasi_cols, sensitive_col: str, l_required: float
 ) -> DataFrame:

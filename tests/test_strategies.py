@@ -383,3 +383,45 @@ def test_anonymize_to_k_datafly_loop(spark):
         P.anonymize_to_k(df, {"age": [-1]}, k=5)
     with _pt.raises(ValueError, match="max_suppress_frac"):
         P.anonymize_to_k(df, spec, k=5, max_suppress_frac=2.0)
+
+
+def test_t_closeness_ordered_reproduces_the_paper_example(spark):
+    """Li et al. 2007's §3 worked example: uniform global over incomes
+    3k..11k (9 values); the class of three ADJACENT low incomes has
+    ordered-EMD 0.375, the scattered class {6k, 8k, 11k} only 0.167 —
+    adjacency matters, which the categorical variational distance cannot
+    see."""
+    import pytest as _pt
+
+    from database_anonymiser_spark.operators import privacy as P
+
+    rows = (
+        [("A", 3000), ("A", 4000), ("A", 5000)]
+        + [("B", 6000), ("B", 8000), ("B", 11000)]
+        + [("C", 7000), ("C", 9000), ("C", 10000)]
+    )
+    df = spark.createDataFrame(rows, "q string, inc int")
+    got = {
+        r.q: (r.t_distance, r.violates, r.t_num)
+        for r in P.t_closeness_ordered(df, ["q"], "inc", 0.25).collect()
+    }
+    assert abs(got["A"][0] - 0.375) < 1e-12
+    assert abs(got["B"][0] - 1 / 6) < 1e-12
+    assert got["A"][1] is True and got["B"][1] is False
+    # exact integers: n=3, N=9, m-1=8 -> D*(m-1)*n*N = t_num
+    assert got["A"][2] == round(0.375 * 8 * 3 * 9)
+
+    # the categorical distance is BLIND to adjacency: A and B read equal
+    cat = {
+        r.q: r.t_distance
+        for r in P.t_closeness(df, ["q"], "inc", 0.25).collect()
+    }
+    assert abs(cat["A"] - cat["B"]) < 1e-12
+
+    # single-value domain: every class at distance 0
+    one = spark.createDataFrame([("A", 1), ("B", 1)], "q string, inc int")
+    z = P.t_closeness_ordered(one, ["q"], "inc", 0.5).collect()
+    assert all(r.t_distance == 0.0 and r.violates is False for r in z)
+
+    with _pt.raises(ValueError, match="t must"):
+        P.t_closeness_ordered(df, ["q"], "inc", 1.5)
