@@ -126,6 +126,54 @@ _MASK_NULLS_SQL = """
       ) GROUP BY 1
     ) rc
     UNION ALL
+    -- ORDERED-EMD t-closeness (round 11): cumulative |CumC*N - CumG*n|
+    -- over the sorted nation domain, integer numerator; violates at
+    -- t = 0.2 against t*(m-1)*n*N
+    SELECT 'tclose_ord', CAST(NULL AS BIGINT),{_MASK_NULLS_SQL},
+           tco.c_mktsegment AS seg, CAST(NULL AS BIGINT) AS nat,
+           tco.t_num AS class_n,
+           CAST(tco.t_num AS DOUBLE)
+             > 0.2 * tco.m1 * tco.N * tco.class_n AS flag
+    FROM (
+      SELECT c_mktsegment,
+             any_value(class_n) AS class_n,
+             any_value(N) AS N,
+             any_value(m1) AS m1,
+             sum(CASE WHEN rn < m1 + 1 THEN abs(cum_c * N - cum_g * class_n)
+                      ELSE 0 END) AS t_num
+      FROM (
+        SELECT g2.c_mktsegment, g2.c_nationkey, g2.class_n, g2.N, g2.m1,
+               sum(g2.c) OVER w AS cum_c,
+               sum(g2.g) OVER w AS cum_g,
+               row_number() OVER w AS rn
+        FROM (
+          SELECT cls.c_mktsegment, gv.c_nationkey, cls.n AS class_n,
+                 n0.N, n0.m - 1 AS m1, gv.g, coalesce(cv.c, 0) AS c
+          FROM (
+            SELECT c_mktsegment, count(*) AS n FROM customer
+            WHERE c_nationkey IS NOT NULL GROUP BY 1
+          ) cls
+          CROSS JOIN (
+            SELECT c_nationkey, count(*) AS g FROM customer
+            WHERE c_nationkey IS NOT NULL GROUP BY 1
+          ) gv
+          CROSS JOIN (
+            SELECT count(*) AS N, count(DISTINCT c_nationkey) AS m
+            FROM customer WHERE c_nationkey IS NOT NULL
+          ) n0
+          LEFT JOIN (
+            SELECT c_mktsegment, c_nationkey, count(*) AS c FROM customer
+            WHERE c_nationkey IS NOT NULL GROUP BY 1, 2
+          ) cv ON cv.c_mktsegment IS NOT DISTINCT FROM cls.c_mktsegment
+              AND cv.c_nationkey = gv.c_nationkey
+        ) g2
+        WINDOW w AS (
+          PARTITION BY g2.c_mktsegment ORDER BY g2.c_nationkey
+        )
+      )
+      GROUP BY c_mktsegment
+    ) tco
+    UNION ALL
     -- categorical hierarchy generalization (round 11): one DGH step up;
     -- MACHINERY is deliberately absent from the dict -> default 'OTHER'
     SELECT 'gencat', c_custkey,{_MASK_NULLS_SQL},
@@ -174,6 +222,10 @@ def mask_strategies(spark, sf_dir):
     cross-engine hash never hangs on float association order.
     'recl' — recursive (c=2, l=3)-diversity: the top value count r₁
     versus 2·(r₃+…+r_m), integer-exact.
+    'tclose_ord' — ORDERED-EMD t-closeness of nation within segment
+    classes at t=0.2 (the paper's numeric variant: cumulative distance
+    over the sorted domain, adjacency-aware) — again the exact integer
+    numerator under the hash.
     'gencat' — hierarchy-driven categorical generalization (one DGH
     step: segments → CONSUMER/BUSINESS, with MACHINERY deliberately
     absent from the dict to pin the default branch).
@@ -260,6 +312,17 @@ def mask_strategies(spark, sf_dir):
         F.col("r1").cast("long").alias("class_n"),
         F.col("violates").alias("flag"),
     )
+    tord = P.t_closeness_ordered(
+        df, ["c_mktsegment"], "c_nationkey", 0.2
+    ).select(
+        F.lit("tclose_ord").alias("kind"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        *nul(),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("long").alias("nat"),
+        F.col("t_num").alias("class_n"),
+        F.col("violates").alias("flag"),
+    )
     gcat = df.select(
         F.lit("gencat").alias("kind"),
         "c_custkey",
@@ -285,6 +348,7 @@ def mask_strategies(spark, sf_dir):
         .unionByName(gen)
         .unionByName(tclose)
         .unionByName(recl)
+        .unionByName(tord)
         .unionByName(gcat)
     )
 
