@@ -32,6 +32,10 @@ NESTED_LOOP_OK = {
     "tpch_q6_q14",       # single-row metric union
     "text_tfidf",        # 1-row corpus-doc-count broadcast (idf denominator)
     "agg_approx_sketch",  # 1-row × 1-row sample/exact quantile join (q branch, r5)
+    # ordered-EMD t-closeness grid: |classes| × |sensitive-domain| cross
+    # join (5 segments × 25 nations), both sides audit-sized aggregates —
+    # documented in operators/privacy.py::t_closeness_ordered (r11)
+    "mask_strategies",
 }
 # mapInPandas / applyInPandas surfaces — Arrow-batched Python is the point
 ARROW_OK = {
