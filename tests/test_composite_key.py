@@ -623,3 +623,54 @@ def test_composite_randomized_op_sequence_matches_python_twin(spark, tmp_path):
 
     assert base.latest_version() >= V.CHECKPOINT_INTERVAL
     assert V._list_checkpoints(base.root)
+
+
+def test_composite_key_streaming_merge_sink(spark, tmp_path):
+    """run_stream_to_versioned on a COMPOSITE key: per-batch in-batch
+    dedup and the MERGE both key on the tuple; a re-delivered tuple
+    updates instead of duplicating, and a second drain with no new input
+    is a state no-op."""
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_to_versioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    schema = "tenant long, eid long, val string"
+
+    def put(rows, name):
+        import shutil
+
+        d = src / ("_" + name)
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.glob("*.parquet"):
+            shutil.move(str(p), str(src / f"{name}_{p.name}"))
+        shutil.rmtree(d)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(
+            stream, root, key_col=["tenant", "eid"], checkpoint=ckpt
+        )
+
+    put([(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "b0")
+    drain()
+    t = VersionedTable(spark, str(root))
+    assert t.key_col() == ["tenant", "eid"]
+    snap1 = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert snap1 == {(1, 1): "a", (1, 2): "b", (2, 1): "c"}
+
+    # re-delivery of one tuple + a fresh tuple sharing each component
+    put([(1, 1, "a2"), (1, 3, "d"), (2, 2, "e")], "b1")
+    drain()
+    snap2 = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert snap2[(1, 1)] == "a2" and snap2[(1, 3)] == "d"
+    assert len(snap2) == 5
+
+    v = t.latest_version()
+    drain()  # no new input: table state untouched
+    assert {(r.tenant, r.eid): r.val for r in t.snapshot().collect()} == snap2
