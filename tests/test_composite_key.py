@@ -674,3 +674,49 @@ def test_composite_key_streaming_merge_sink(spark, tmp_path):
     v = t.latest_version()
     drain()  # no new input: table state untouched
     assert {(r.tenant, r.eid): r.val for r in t.snapshot().collect()} == snap2
+
+
+def test_ivm_view_on_composite_key_base(spark, tmp_path):
+    """IncrementalAggView over a COMPOSITE-key base: the refresh
+    consumes the tuple-joined diff, so the rollup stays equal to the
+    from-scratch aggregate across tuple merges and scoped deletes."""
+    from database_anonymiser_spark.operators.ivm import IncrementalAggView
+
+    t = _mk(spark, tmp_path / "base", tenants=3, per=4)
+    # value column for the rollup
+    t2root = str(tmp_path / "b2")
+    df = t.snapshot().withColumn("amt", (F.col("eid") * 10.0))
+    base = VersionedTable.create(
+        spark, t2root, df, key_col=["tenant", "eid"]
+    )
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), base, "tenant", "amt"
+    )
+
+    def expect():
+        rows = base.snapshot().groupBy("tenant").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+        ).collect()
+        return {r.tenant: (r.n, round(r.s, 2)) for r in rows}
+
+    base.merge(
+        spark.createDataFrame(
+            [(2, 2, "UP", 500.0), (2, 99, "NEW", 7.0)],
+            "tenant int, eid int, val string, amt double",
+        ),
+        skip_by="points",
+    )
+    view.refresh(base)
+    got = {
+        r["tenant"]: (r["n_rows"], round(r["sum_value"], 2))
+        for r in view.snapshot().collect()
+    }
+    assert got == expect()
+
+    base.delete_where("tenant = 1 AND eid <= 2", prune={"tenant": (1, 1)})
+    view.refresh(base)
+    got = {
+        r["tenant"]: (r["n_rows"], round(r["sum_value"], 2))
+        for r in view.snapshot().collect()
+    }
+    assert got == expect()
