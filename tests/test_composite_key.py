@@ -720,3 +720,55 @@ def test_ivm_view_on_composite_key_base(spark, tmp_path):
         for r in view.snapshot().collect()
     }
     assert got == expect()
+
+
+def test_pushdown_prunes_on_trailing_key_column(spark, tmp_path):
+    """The DataSource pushdown prunes files by the TRAILING key
+    component's auto-declared stats — a composite-key table's second
+    column is range-prunable with zero extra declarations."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _PushdownSnapshotReader,
+        VersionedDataSource,
+    )
+
+    spark.dataSource.register(VersionedDataSource)
+    root = tmp_path / "p"
+    df = spark.createDataFrame(
+        [(t, e, float(t * 1000 + e)) for t in range(4) for e in range(250)],
+        "tenant long, eid long, v double",
+    ).repartitionByRange(8, "tenant", "eid")
+    t = VersionedTable.create(
+        spark, str(root), df, key_col=["tenant", "eid"]
+    )
+    total = len(t._live_entries())
+    assert total >= 6
+
+    # leading component prunes via the entry key slots
+    r1 = _PushdownSnapshotReader(str(root))
+    r1.pushFilters([EqualTo(("tenant",), 2)])
+    assert 0 < len(r1.partitions()) < total
+
+    # trailing component prunes via the auto-declared stats
+    r2 = _PushdownSnapshotReader(str(root))
+    r2.pushFilters([GreaterThan(("eid",), 200)])
+    n2 = len(r2.partitions())
+    assert 0 < n2 < total
+    assert n2 == len(t.files_matching({"eid": (201, 2**62)}))
+
+    # conjunction of both components prunes hardest
+    r3 = _PushdownSnapshotReader(str(root))
+    r3.pushFilters([EqualTo(("tenant",), 2), GreaterThan(("eid",), 200)])
+    assert len(r3.partitions()) <= min(len(r1.partitions()), n2)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pushed = (
+            spark.read.format("versioned")
+            .option("path", str(root)).option("pushdown", "true").load()
+        )
+        got = pushed.where("tenant = 2 AND eid > 200").count()
+        assert got == 49
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
