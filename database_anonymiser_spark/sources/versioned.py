@@ -1483,6 +1483,71 @@ class VersionedTable:
         probe = self.spark.createDataFrame(pd.DataFrame({col: vals}))
         return df.join(F.broadcast(probe), col, "left_semi")
 
+    def read_matching_tuples(
+        self, cols, tuples, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup on a column TUPLE (round 11 — the serving face of
+        composite keys: a CDC consumer fetching specific (tenant, entity)
+        rows): file pruning is the per-column CONJUNCTION of
+        :meth:`files_matching_any` tests (range stats + bloom sidecars,
+        false positives only), then the survivors' rows filter exactly —
+        ≤ ``ISIN_LITERAL_CAP`` tuples as an OR-of-conjunctions literal
+        (parquet row-group pushdown), above it a BROADCAST left-semi join
+        on the tuple (same measured trade as :meth:`read_matching_any`).
+        Tuples containing NULL are dropped (point lookups never match
+        NULL). Works on ANY column tuple with recorded stats, not only
+        the table key."""
+        cols = list(cols)
+        if not cols:
+            raise ValueError("cols must name at least one column")
+        tups = [
+            tuple(t) for t in tuples
+            if t is not None and all(v is not None for v in t)
+        ]
+        bad = [t for t in tups if len(t) != len(cols)]
+        if bad:
+            raise ValueError(
+                f"tuple arity mismatch vs {cols}: {bad[:3]}"
+            )
+        if not tups:
+            return self._empty_frame(version)
+        entries = self._live_entries(version)
+        key_pcol = self._phys(_key_first(self._key_col))
+        keep = entries
+        for i, c in enumerate(cols):
+            pcol = self._phys(c)
+            vals = sorted({t[i] for t in tups})
+            hpairs = (
+                [_bloom_hashes(v) for v in vals]
+                if any((e.get("bloom") or {}).get(pcol) for e in keep)
+                else None
+            )
+            keep = [
+                e for e in keep
+                if _entry_matches_points(
+                    self.root, e, pcol, key_pcol, vals, hpairs
+                )
+            ]
+        if not keep:
+            return self._empty_frame(version)
+        df = self._read_paths(
+            [e["path"] for e in keep], dv_map=self._dv_map(keep)
+        )
+        if len(tups) <= ISIN_LITERAL_CAP:
+            pred = F.lit(False)
+            for t in tups:
+                conj = F.lit(True)
+                for c, v in zip(cols, t):
+                    conj = conj & (F.col(c) == F.lit(v))
+                pred = pred | conj
+            return df.where(pred)
+        import pandas as pd
+
+        probe = self.spark.createDataFrame(
+            pd.DataFrame(tups, columns=cols)
+        )
+        return df.join(F.broadcast(probe), cols, "left_semi")
+
     def read_where(
         self, predicates: dict[str, tuple], version: int | None = None
     ) -> DataFrame:

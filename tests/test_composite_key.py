@@ -772,3 +772,50 @@ def test_pushdown_prunes_on_trailing_key_column(spark, tmp_path):
         assert got == 49
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_read_matching_tuples_point_lookup(spark, tmp_path):
+    """Tuple point lookups prune files by the per-column conjunction and
+    return exactly the requested tuples (literal OR-of-conjunctions
+    under the cap, broadcast semi-join above it — same answers)."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    df = spark.createDataFrame(
+        [(t, e, f"v{t}-{e}") for t in range(1, 5) for e in range(1, 101)],
+        "tenant int, eid int, val string",
+    ).repartitionByRange(8, "tenant", "eid")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=["tenant", "eid"]
+    )
+    n_files = len(t._live_entries())
+
+    f0 = V.DATA_FILES_READ
+    got = sorted(
+        (r.tenant, r.eid, r.val)
+        for r in t.read_matching_tuples(
+            ["tenant", "eid"], [(2, 7), (4, 93)]
+        ).collect()
+    )
+    assert got == [(2, 7, "v2-7"), (4, 93, "v4-93")]
+    assert V.DATA_FILES_READ - f0 < n_files  # pruned
+
+    # NULL-component tuples drop; arity mismatch refuses; empty -> empty
+    assert t.read_matching_tuples(
+        ["tenant", "eid"], [(None, 7)]
+    ).count() == 0
+    with pytest.raises(ValueError, match="arity"):
+        t.read_matching_tuples(["tenant", "eid"], [(1, 2, 3)])
+
+    # above the literal cap: broadcast semi-join path, same answers
+    old = V.ISIN_LITERAL_CAP
+    V.ISIN_LITERAL_CAP = 1
+    try:
+        got2 = sorted(
+            (r.tenant, r.eid, r.val)
+            for r in t.read_matching_tuples(
+                ["tenant", "eid"], [(2, 7), (4, 93)]
+            ).collect()
+        )
+    finally:
+        V.ISIN_LITERAL_CAP = old
+    assert got2 == got
