@@ -86,6 +86,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "--sensitive); penalizes in-class skew, not just distinctness",
     )
     p.add_argument(
+        "--tOrdered", type=float, default=None, dest="t_ordered",
+        help="t for the --audit ORDERED-EMD t-closeness check (numeric "
+        "sensitive attributes; needs --sensitive) — adjacency-aware",
+    )
+    p.add_argument(
         "--enforceOut", default=None, dest="enforce_out",
         help="with --audit: when k-anonymity fails, SUPPRESS the "
         "violating classes and write the k-anonymous output here "
@@ -107,9 +112,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     if args.audit and (not args.table or not args.quasi):
         p.error("--audit requires --table and --quasi")
     if args.audit and args.sensitive is None and (
-        args.t_required is not None or args.entropy_l is not None
+        args.t_required is not None
+        or args.entropy_l is not None
+        or args.t_ordered is not None
     ):
-        p.error("--t / --entropyL need --sensitive")
+        p.error("--t / --tOrdered / --entropyL need --sensitive")
     args.mode = modes[0]
     return args
 
@@ -132,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             l_diversity,
             l_diversity_entropy,
             t_closeness,
+            t_closeness_ordered,
         )
 
         df = catalog.read(args.table)
@@ -165,6 +173,21 @@ def main(argv: list[str] | None = None) -> int:
             report["t_closeness"] = {
                 "sensitive": args.sensitive,
                 "t": args.t_required,
+                "n_violating_classes": int(bad),
+                "satisfied": bad == 0,
+            }
+            ok = ok and bad == 0
+        if args.t_ordered is not None:
+            bad = (
+                t_closeness_ordered(
+                    df, quasi, args.sensitive, args.t_ordered
+                )
+                .where("violates")
+                .count()
+            )
+            report["t_closeness_ordered"] = {
+                "sensitive": args.sensitive,
+                "t": args.t_ordered,
                 "n_violating_classes": int(bad),
                 "satisfied": bad == 0,
             }
@@ -205,7 +228,8 @@ def main(argv: list[str] | None = None) -> int:
             ok = report["enforced"]["k_anonymity"]["satisfied"] and all(
                 report[key]["satisfied"]
                 for key in (
-                    "l_diversity", "t_closeness", "entropy_l_diversity"
+                    "l_diversity", "t_closeness", "t_closeness_ordered",
+                    "entropy_l_diversity",
                 )
                 if key in report
             )

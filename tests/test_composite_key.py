@@ -819,3 +819,33 @@ def test_read_matching_tuples_point_lookup(spark, tmp_path):
     finally:
         V.ISIN_LITERAL_CAP = old
     assert got2 == got
+
+
+def test_composite_by_source_scope_full_sync(spark, tmp_path):
+    """A scoped full-sync merge on a composite-key table: files proved
+    outside the by_source_scope carry by reference; in-scope vanished
+    tuples delete."""
+    df = spark.createDataFrame(
+        [(t, e, f"v{t}-{e}") for t in range(1, 5) for e in range(1, 26)],
+        "tenant int, eid int, val string",
+    ).repartitionByRange(4, "tenant")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=["tenant", "eid"]
+    )
+    n_files = len(t._live_entries())
+    # complete extract of tenant 2 minus the even eids, balances retagged
+    src = (
+        df.where("tenant = 2 AND eid % 2 = 1")
+        .withColumn("val", F.concat(F.col("val"), F.lit("!")))
+    )
+    v = t.merge(
+        src,
+        not_matched_by_source="delete",
+        by_source_scope={"tenant": (2, 2)},
+    )
+    m = t.commit_meta(v)["metrics"]
+    assert m["files_carried"] >= 1  # out-of-scope tenants untouched
+    snap = {(r.tenant, r.eid): r.val for r in t.snapshot().collect()}
+    assert (2, 2) not in snap and snap[(2, 3)] == "v2-3!"
+    assert snap[(1, 2)] == "v1-2" and snap[(4, 24)] == "v4-24"
+    assert len(snap) == 75 + 13  # 3 untouched tenants + 13 odd eids

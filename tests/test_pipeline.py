@@ -610,3 +610,34 @@ def test_cli_audit_enforce_out_writes_k_anonymous_output(
     assert k_anonymity_summary(
         got, ["c_mktsegment", "c_nationkey"], 10
     )["satisfied"]
+
+
+def test_cli_audit_t_ordered_rider(sf_dir, tmp_path, monkeypatch):
+    """--tOrdered (round 11): the ordered-EMD rider gates the release on
+    a numeric sensitive attribute; loose t passes, tight t blocks."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--sensitive", "c_nationkey", "--tOrdered", "0.5"]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["t_closeness_ordered"]["satisfied"] is True
+
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--sensitive", "c_nationkey", "--tOrdered", "0.0001"]
+    )
+    assert rc == 1
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--audit", "--data", sf_dir, "--table", "customer",
+             "--quasi", "c_mktsegment", "--tOrdered", "0.5"]
+        )
