@@ -3260,12 +3260,21 @@ class VersionedTable:
         # prune) added nothing inside our scope — the already-written
         # files re-commit at the new head, zero re-read
         add_conflict = self._prune_add_conflict(prune)
+        # Delta's operationMetrics slot, FREE numbers only (round 11):
+        # everything below was already known to the write
+        op_meta = {
+            "metrics": {
+                "files_touched": len(touched),
+                "files_carried": len(entries) - len(touched),
+                "files_written": len(new_files),
+            }
+        }
         base_v = v
         for attempt in range(max_retries + 1):
             try:
                 _commit(
                     self.root, base_v + 1, new_files, sorted(touched_paths),
-                    key_col, op="update_where",
+                    key_col, op="update_where", meta=op_meta,
                 )
                 return base_v + 1
             except VersionConflict:
@@ -3448,12 +3457,31 @@ class VersionedTable:
         # OCC auto-rebase (round 11) — same winner validation as
         # update_where; the prune/prune_values hint is the read-set test
         add_conflict = self._prune_add_conflict(prune, prune_values)
+        # rows_deleted from footer counts alone: touched minus rewritten
+        # (both recorded per file) — metadata arithmetic, no extra job
+        op_meta = {
+            "metrics": {
+                "files_touched": len(touched),
+                "files_carried": len(entries) - len(touched),
+                "files_written": len(new_files),
+                "rows_deleted": (
+                    # live rows before (footer counts minus DV-dead) vs
+                    # rewritten rows after — fresh files carry no DVs
+                    sum(
+                        int(e.get("num_rows") or 0)
+                        - int(e.get("dv_count") or 0)
+                        for e in touched
+                    )
+                    - sum(int(e.num_rows or 0) for e in new_files)
+                ),
+            }
+        }
         base_v = v
         for attempt in range(max_retries + 1):
             try:
                 _commit(
                     self.root, base_v + 1, new_files, sorted(touched_paths),
-                    key_col, op="delete_where",
+                    key_col, op="delete_where", meta=op_meta,
                 )
                 return base_v + 1
             except VersionConflict:
@@ -3717,6 +3745,12 @@ class VersionedTable:
                 _commit(
                     self.root, base_v + 1, new_files, removes, key_col,
                     op="optimize_zorder", stats_cols=decl,
+                    meta={
+                        "metrics": {
+                            "files_reclustered": len(removes),
+                            "files_written": len(new_files),
+                        }
+                    },
                 )
                 return base_v + 1
             except VersionConflict:
@@ -3785,6 +3819,12 @@ class VersionedTable:
                 _commit(
                     self.root, base_v + 1, new_files, removes, key_col,
                     op="compact",
+                    meta={
+                        "metrics": {
+                            "files_compacted": len(removes),
+                            "files_written": len(new_files),
+                        }
+                    },
                 )
                 return base_v + 1
             except VersionConflict:

@@ -4519,3 +4519,41 @@ def test_merge_clauses_randomized_python_twin(spark, tmp_path):
         got = sorted(tuple(r) for r in t.snapshot().collect())
         want = sorted(rows.values())
         assert got == want, f"round {rnd}: {got} != {want}"
+
+
+def test_maintenance_commits_carry_free_operation_metrics(spark, tmp_path):
+    """Round 11 (Delta operationMetrics parity): update_where /
+    delete_where / compact / optimize_zorder record their file scope —
+    and delete_where its rows_deleted, pure footer-count arithmetic —
+    in the commit metadata slot; every number was already known to the
+    write (zero extra jobs)."""
+    t = VersionedTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 41)], "k long, name string"
+        ).repartitionByRange(4, "k"),
+        key_col="k",
+    )
+    v = t.update_where(
+        {"name": "upper(name)"}, "k <= 10", prune={"k": (1, 10)}
+    )
+    m = t.commit_meta(v)["metrics"]
+    assert m["files_touched"] == 1 and m["files_carried"] == 3
+    assert m["files_written"] >= 1
+
+    v = t.delete_where("k between 11 and 15", prune={"k": (11, 15)})
+    m = t.commit_meta(v)["metrics"]
+    assert m["rows_deleted"] == 5 and m["files_touched"] == 1
+
+    v = t.compact(target_file_bytes=1 << 20)
+    m = t.commit_meta(v)["metrics"]
+    assert m["files_compacted"] >= 2 and m["files_written"] >= 1
+
+    v = t.optimize_zorder(("k",), file_count=2)
+    m = t.commit_meta(v)["metrics"]
+    assert m["files_reclustered"] >= 1 and m["files_written"] >= 1
+
+    # DV delete still reports rows_marked (existing slot)
+    v = t.delete_where("k = 20", prune={"k": (20, 20)}, dv=True)
+    assert t.commit_meta(v)["rows_marked"] == 1
