@@ -39,6 +39,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--force", action="store_true", help="override the row-cap safeguard")
     p.add_argument("--unsafeSamples", action="store_true")
     p.add_argument(
+        "--keyed",
+        action="store_true",
+        help="with --configGen: default the HASH targets (phone/mobile/"
+        "username) to the keyed HASH_HMAC strategy instead of the "
+        "reference's un-keyed hash (dictionary-reversible on low-entropy "
+        "domains); the key itself is NEVER written to the config",
+    )
+    p.add_argument(
+        "--hmacKey", default=None, dest="hmac_key",
+        help="secret key for HASH_HMAC / HASH_KEYED strategies (or set "
+        "the ANONYMISER_HMAC_KEY environment variable); never logged, "
+        "never in the config or report",
+    )
+    p.add_argument(
         "--versioned",
         action="store_true",
         help="apply through commit-log tables under --out (one atomic "
@@ -123,11 +137,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.hmac_key is not None:
+        # install before any plan compiles; the argparse namespace is the
+        # only place the key transits — it is never echoed or reported
+        from database_anonymiser_spark.strategies import set_hmac_key
+
+        set_hmac_key(args.hmac_key)
     spark = get_spark()
     catalog = ParquetCatalog(spark, args.data)
 
     if args.mode == "configGen":
-        art = generate_config(catalog, unsafe_samples=args.unsafeSamples)
+        art = generate_config(
+            catalog, unsafe_samples=args.unsafeSamples, keyed=args.keyed
+        )
         write_yaml(args.config, art.config.to_dict())
         write_yaml(SAMPLES_FILE, art.samples)
         print(f"wrote {args.config} and {SAMPLES_FILE}")
@@ -144,74 +166,91 @@ def main(argv: list[str] | None = None) -> int:
 
         df = catalog.read(args.table)
         quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+
+        def rider_checks(frame) -> tuple[dict, bool]:
+            """The requested sensitive-attribute audits of ONE frame —
+            shared by the base audit and the enforce re-audit (round-12
+            advice: suppression shifts class AND global distributions,
+            so a rider verdict computed pre-suppression does not grade
+            the written output)."""
+            frag: dict = {}
+            all_ok = True
+            if args.sensitive is not None:
+                viol = (
+                    l_diversity(frame, quasi, args.sensitive, args.l_required)
+                    .where("violates")
+                    .count()
+                )
+                frag["l_diversity"] = {
+                    "sensitive": args.sensitive,
+                    "l_required": args.l_required,
+                    "n_violating_classes": int(viol),
+                    "satisfied": viol == 0,
+                }
+                all_ok = all_ok and viol == 0
+            if args.t_required is not None:
+                bad = (
+                    t_closeness(frame, quasi, args.sensitive, args.t_required)
+                    .where("violates")
+                    .count()
+                )
+                frag["t_closeness"] = {
+                    "sensitive": args.sensitive,
+                    "t": args.t_required,
+                    "n_violating_classes": int(bad),
+                    "satisfied": bad == 0,
+                }
+                all_ok = all_ok and bad == 0
+            if args.t_ordered is not None:
+                bad = (
+                    t_closeness_ordered(
+                        frame, quasi, args.sensitive, args.t_ordered
+                    )
+                    .where("violates")
+                    .count()
+                )
+                frag["t_closeness_ordered"] = {
+                    "sensitive": args.sensitive,
+                    "t": args.t_ordered,
+                    "n_violating_classes": int(bad),
+                    "satisfied": bad == 0,
+                }
+                all_ok = all_ok and bad == 0
+            if args.entropy_l is not None:
+                bad = (
+                    l_diversity_entropy(
+                        frame, quasi, args.sensitive, args.entropy_l
+                    )
+                    .where("violates")
+                    .count()
+                )
+                frag["entropy_l_diversity"] = {
+                    "sensitive": args.sensitive,
+                    "l_required": args.entropy_l,
+                    "n_violating_classes": int(bad),
+                    "satisfied": bad == 0,
+                }
+                all_ok = all_ok and bad == 0
+            return frag, all_ok
+
         report = {
             "mode": "audit",
             "table": args.table,
             "quasi": quasi,
             "k_anonymity": k_anonymity_summary(df, quasi, args.k),
         }
-        ok = report["k_anonymity"]["satisfied"]
-        if args.sensitive is not None:
-            viol = (
-                l_diversity(df, quasi, args.sensitive, args.l_required)
-                .where("violates")
-                .count()
-            )
-            report["l_diversity"] = {
-                "sensitive": args.sensitive,
-                "l_required": args.l_required,
-                "n_violating_classes": int(viol),
-                "satisfied": viol == 0,
-            }
-            ok = ok and viol == 0
-        if args.t_required is not None:
-            bad = (
-                t_closeness(df, quasi, args.sensitive, args.t_required)
-                .where("violates")
-                .count()
-            )
-            report["t_closeness"] = {
-                "sensitive": args.sensitive,
-                "t": args.t_required,
-                "n_violating_classes": int(bad),
-                "satisfied": bad == 0,
-            }
-            ok = ok and bad == 0
-        if args.t_ordered is not None:
-            bad = (
-                t_closeness_ordered(
-                    df, quasi, args.sensitive, args.t_ordered
-                )
-                .where("violates")
-                .count()
-            )
-            report["t_closeness_ordered"] = {
-                "sensitive": args.sensitive,
-                "t": args.t_ordered,
-                "n_violating_classes": int(bad),
-                "satisfied": bad == 0,
-            }
-            ok = ok and bad == 0
-        if args.entropy_l is not None:
-            bad = (
-                l_diversity_entropy(df, quasi, args.sensitive, args.entropy_l)
-                .where("violates")
-                .count()
-            )
-            report["entropy_l_diversity"] = {
-                "sensitive": args.sensitive,
-                "l_required": args.entropy_l,
-                "n_violating_classes": int(bad),
-                "satisfied": bad == 0,
-            }
-            ok = ok and bad == 0
+        base_riders, riders_ok = rider_checks(df)
+        report.update(base_riders)
+        ok = report["k_anonymity"]["satisfied"] and riders_ok
         if args.enforce_out is not None and not report["k_anonymity"][
             "satisfied"
         ]:
             # enforcement (round 11): suppression is the minimum-
             # distortion fix — the written output is k-anonymous by
-            # construction, and the exit code grades THAT output (the
-            # sensitive-attribute riders still gate it)
+            # construction, and the exit code grades THAT output: the
+            # k re-audit AND the riders, all recomputed on the KEPT
+            # frame (round-12 advice — the pre-suppression rider
+            # verdicts describe a frame that was not written)
             from database_anonymiser_spark.operators.privacy import (
                 suppress_to_k,
             )
@@ -219,19 +258,17 @@ def main(argv: list[str] | None = None) -> int:
             kept = suppress_to_k(df, quasi, args.k)
             kept.write.mode("error").parquet(args.enforce_out)
             n_kept = kept.count()
+            enforced_riders, enforced_riders_ok = rider_checks(kept)
             report["enforced"] = {
                 "out": args.enforce_out,
                 "rows_suppressed": report["k_anonymity"]["n_rows"] - n_kept,
                 "rows_kept": n_kept,
                 "k_anonymity": k_anonymity_summary(kept, quasi, args.k),
+                **enforced_riders,
             }
-            ok = report["enforced"]["k_anonymity"]["satisfied"] and all(
-                report[key]["satisfied"]
-                for key in (
-                    "l_diversity", "t_closeness", "t_closeness_ordered",
-                    "entropy_l_diversity",
-                )
-                if key in report
+            ok = (
+                report["enforced"]["k_anonymity"]["satisfied"]
+                and enforced_riders_ok
             )
         report_path = args.report or "anonymiser.audit.report.json"
         write_json_report(report_path, report)

@@ -29,6 +29,8 @@ VALID_STRATEGIES = {
     "REDACT",
     "HASH_SHA256",
     "HASH_SHA256_REAL",
+    "HASH_HMAC",
+    "HASH_KEYED",
     "TRUNCATE",
     "EMAIL_FAKE",
 }

@@ -52,11 +52,19 @@ def generate_config(
     sample_limit: int = 3,
     unsafe_samples: bool = False,
     denylist: list[str] | None = None,
+    keyed: bool = False,
 ) -> GeneratedArtifacts:
     """≅ generateConfig (config-generator.ts:22-96).
 
     Sampling is a ``limit(n)`` per table — the only place rows ever reach the
     driver, capped at ``sample_limit`` (reference: sampleLimit=3, main.ts:37).
+
+    ``keyed`` (round 12, opt-in via CLI ``--keyed``): upgrade the default
+    map's un-keyed HASH targets (phone/mobile/username — low-entropy
+    domains where a bare hash is dictionary-reversible) to the keyed
+    ``HASH_HMAC`` strategy. The KEY is never written into the config —
+    apply resolves it from ``--hmacKey`` / the ``ANONYMISER_HMAC_KEY``
+    environment at run time (strategies.py).
     """
     rules: list[TableRule] = []
     samples: dict[str, dict[str, list[str]]] = {}
@@ -78,12 +86,18 @@ def generate_config(
         )
     from datetime import datetime, timezone
 
+    strategy_map = dict(DEFAULT_GLOBAL_COLUMN_STRATEGY)
+    if keyed:
+        strategy_map = {
+            c: ("HASH_HMAC" if s == "HASH_SHA256" else s)
+            for c, s in strategy_map.items()
+        }
     config = GeneratedConfig(
         version=1,
         reviewed=False,
         scope=Scope(schema=catalog.schema_name, denylist=list(denylist or [])),
         samples={"limit": sample_limit, "unsafe": bool(unsafe_samples)},
-        column_strategy=dict(DEFAULT_GLOBAL_COLUMN_STRATEGY),
+        column_strategy=strategy_map,
         rules=rules,
         generated_at=datetime.now(timezone.utc).isoformat(),  # generatedAt parity
     )

@@ -234,10 +234,25 @@ def t_closeness_ordered(
             .withColumn("violates", F.lit(False))
         )
     # the classes × values grid: absent (class, value) pairs get zero
-    # mass; the grid is |classes|·|values| rows — domain-bounded
-    grid = classes.crossJoin(F.broadcast(glob)).join(
-        cv, [*cols, sensitive_col], "left"
-    ).withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    # mass; the grid is |classes|·|values| rows — domain-bounded.
+    # NULL-SAFE quasi join (round 12, advice): a class whose quasi value
+    # is NULL is a real equivalence class (GROUP BY semantics) — plain
+    # '=' would never match it to its own cv counts and falsely flag it;
+    # eqNullSafe mirrors the SQL oracle's IS NOT DISTINCT FROM.
+    cvr = cv.select(
+        *[F.col(c).alias(f"_cv_{i}") for i, c in enumerate(cols)],
+        F.col(sensitive_col).alias("_cv_s"),
+        "_c",
+    )
+    cond = F.col(sensitive_col) == F.col("_cv_s")  # non-null by filter
+    for i, c in enumerate(cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_cv_{i}"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cvr, cond, "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .drop("_cv_s", *[f"_cv_{i}" for i in range(len(cols))])
+    )
     w = Window.partitionBy(*cols).orderBy(sensitive_col)
     cum = grid.select(
         *cols,
@@ -491,17 +506,55 @@ def anonymize_to_k(
     return out, steps
 
 
+#: micro-bucket count for the DP hash-uniform — 5e5 distinct Laplace
+#: magnitudes per sign, plenty for a release histogram, and an exactly
+#: representable rational so Spark and an ANSI oracle compute the SAME
+#: double before the (deterministic) log
+_DP_MICRO = 1_000_000
+
+
+def _dp_uniform(group_cols, seed: int, salt: str) -> F.Column:
+    """Deterministic uniform in (0, 1) that is a PURE FUNCTION of
+    (group key, seed) — the repo's determinism idiom (md5 → hex → conv,
+    cf. ``operators/sampling.py``), never ``F.rand`` and never
+    ``spark_partition_id``: the same release re-run under any
+    partitioning, DOP, or engine yields the same noise (round-12 advice:
+    ``F.rand(seed)`` is only per-partition-deterministic). NULL key
+    components hash as a sentinel distinct from the empty string."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in group_cols
+    ]
+    h = F.md5(F.concat_ws("\x1f", F.lit(f"{salt}:{seed}"), *parts))
+    k = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(_DP_MICRO)
+    return (k.cast("double") + F.lit(0.5)) / F.lit(float(_DP_MICRO))
+
+
+def _laplace(u: F.Column, b: float) -> F.Column:
+    """Laplace(b) noise by inverse CDF from a uniform in (0, 1):
+    −b·sgn(u−½)·ln(1−2|u−½|). The micro-bucketed u keeps the argument
+    ≥ 1/MICRO, so the log is always finite."""
+    c = u - F.lit(0.5)
+    return (
+        -F.lit(float(b))
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+
+
 def dp_noisy_counts(
     df: DataFrame, group_cols, epsilon: float, seed: int = 0
 ) -> DataFrame:
     """ε-differentially-private group counts (Dwork et al. 2006): the
     release-safe histogram — each group's count plus Laplace(1/ε) noise
     (counting queries have sensitivity 1; disjoint groups share the
-    budget, so the whole histogram is ε-DP). Noise is derived by inverse
-    CDF from a SEEDED uniform, so a release is reproducible (and
-    auditable) under its recorded seed while remaining DP against anyone
-    without it. Emits ``noisy_n`` rounded and clamped at 0 (the standard
-    post-processing, DP-safe). One groupBy; map-side noise; no Python.
+    budget, so the whole histogram is ε-DP). Noise derives by inverse
+    CDF from a uniform that is a PURE FUNCTION of (group key, seed) —
+    md5-hash-based, never ``F.rand`` — so a release is bit-reproducible
+    under its recorded seed across partitionings, DOP, and engines
+    (auditable; the ``privacy_dp`` suite entry reproduces it in ANSI
+    SQL), while remaining DP against anyone without the seed. Emits
+    ``noisy_n`` rounded and clamped at 0 (standard post-processing,
+    DP-safe). One groupBy; map-side noise; no Python.
 
     Caveat the caller owns (documented, as in every practical DP
     release): groups whose EXISTENCE is sensitive need a stability-based
@@ -510,17 +563,48 @@ def dp_noisy_counts(
     if epsilon <= 0:
         raise ValueError("epsilon must be positive")
     cols = _quasi(group_cols)
-    b = 1.0 / float(epsilon)
     out = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("true_n"))
-    u = F.rand(seed) - F.lit(0.5)  # uniform(-0.5, 0.5)
-    lap = (
-        -F.lit(b)
-        * F.signum(u)
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
-    )
+    lap = _laplace(_dp_uniform(cols, seed, "dpcount-v1"), 1.0 / float(epsilon))
     return out.withColumn(
         "noisy_n",
         F.greatest(
             F.round(F.col("true_n") + lap).cast("long"), F.lit(0)
         ),
     )
+
+
+def dp_noisy_sums(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float,
+    seed: int = 0,
+) -> DataFrame:
+    """ε-differentially-private group SUMS with contribution clipping
+    (the other half of a DP release next to counts): each row's value is
+    clipped into [lo, hi] before summing, bounding any ONE row's
+    influence, then Laplace((hi−lo)/ε) noise is added per group (the
+    replace-one-neighbor sensitivity of a clipped sum; disjoint groups,
+    shared budget). Noise is the same seeded-hash construction as
+    :func:`dp_noisy_counts` — a pure function of (group, seed), DOP- and
+    engine-invariant. Emits ``clipped_sum`` (the exact pre-noise sum —
+    for the auditor holding the seed) and ``noisy_sum``. NULL values
+    contribute nothing (sum semantics). One groupBy, map-side clip +
+    noise, no Python."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    cols = _quasi(group_cols)
+    if value_col in cols:
+        raise ValueError("value_col cannot also be a group column")
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi)
+    )
+    out = df.groupBy(*cols).agg(F.sum(clipped).alias("clipped_sum"))
+    lap = _laplace(
+        _dp_uniform(cols, seed, "dpsum-v1"), (float(hi) - float(lo)) / float(epsilon)
+    )
+    return out.withColumn("noisy_sum", F.col("clipped_sum") + lap)

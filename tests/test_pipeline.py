@@ -1,6 +1,7 @@
 """End-to-end tests of the faithful pipeline: configGen → plan → dryrun → apply."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_anonymiser_spark.catalog import ParquetCatalog
 from database_anonymiser_spark.config import (
@@ -610,6 +611,119 @@ def test_cli_audit_enforce_out_writes_k_anonymous_output(
     assert k_anonymity_summary(
         got, ["c_mktsegment", "c_nationkey"], 10
     )["satisfied"]
+
+
+def test_cli_audit_enforce_recomputes_riders_on_kept_frame(
+    sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 advice: with --enforceOut the riders must be recomputed
+    on the KEPT frame — suppression shifts class and global
+    distributions, so the pre-enforcement verdicts do not grade the
+    written output. The report now carries both (base riders describe
+    the input; enforced riders gate the exit code)."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "safe"
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment,c_nationkey", "--k", "10",
+         "--sensitive", "c_acctbal", "--l", "2",
+         "--enforceOut", str(out)]
+    )
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["k_anonymity"]["satisfied"] is False  # enforcement ran
+    # the enforced block carries its OWN rider verdicts, computed on the
+    # suppressed frame, and the exit code follows those
+    assert "l_diversity" in rep["enforced"]
+    enforced_ok = (
+        rep["enforced"]["k_anonymity"]["satisfied"]
+        and rep["enforced"]["l_diversity"]["satisfied"]
+    )
+    assert rc == (0 if enforced_ok else 1)
+    # the base rider (pre-suppression) is still reported for the input
+    assert "l_diversity" in rep
+
+
+def test_cli_configgen_keyed_flag(sf_dir, tmp_path, monkeypatch):
+    """--keyed (round 12): the generated default map upgrades the
+    un-keyed HASH targets to HASH_HMAC; the key itself never appears in
+    the YAML (it is resolved from --hmacKey / env at apply time)."""
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.config import read_generated_config
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--configGen", "--data", sf_dir, "--keyed",
+               "--config", str(tmp_path / "cfg.yaml")])
+    assert rc == 0
+    cfg = read_generated_config(str(tmp_path / "cfg.yaml"))
+    strat = cfg.column_strategy
+    assert strat["phone"] == "HASH_HMAC"
+    assert strat["mobile"] == "HASH_HMAC"
+    assert strat["username"] == "HASH_HMAC"
+    assert strat["email"] == "EMAIL_FAKE"  # non-HASH targets untouched
+    raw = (tmp_path / "cfg.yaml").read_text()
+    assert "ANONYMISER_HMAC_KEY" not in raw  # no key material in config
+
+
+def test_apply_with_hmac_strategy_no_key_leak(catalog, spark, tmp_path):
+    """An apply using HASH_HMAC produces stdlib-HMAC tokens and neither
+    the report nor the written parquet contains the key."""
+    import hashlib as _hl
+    import hmac as _hm
+    import json as _json
+
+    from database_anonymiser_spark import strategies as S
+    from database_anonymiser_spark.config import config_from_dict
+    from database_anonymiser_spark.executor import execute_plan
+    from database_anonymiser_spark.planner import build_plan
+    from database_anonymiser_spark.reporting import build_report, write_json_report
+
+    key = "apply-secret-key"
+    S.set_hmac_key(key)
+    try:
+        cfg = config_from_dict(
+            {
+                "version": 1,
+                "reviewed": True,
+                "scope": {"schema": "public", "denylist": []},
+                "column_strategy": {"c_name": "HASH_HMAC"},
+                "rules": [
+                    {
+                        "table": "public.customer",
+                        "enabled": True,
+                        "columns": [
+                            {"name": "c_custkey"}, {"name": "c_name"},
+                        ],
+                    }
+                ],
+            }
+        )
+        plan = build_plan(cfg)
+        result = execute_plan(
+            catalog, plan, dryrun=False, output_root=tmp_path / "out",
+            force=True,
+        )
+        assert not result.failed_tables
+        got = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+        src = catalog.read("customer").select("c_custkey", "c_name")
+        joined = {
+            r["c_custkey"]: r["m"]
+            for r in got.select("c_custkey", F.col("c_name").alias("m")).collect()
+        }
+        for r in src.limit(20).collect():
+            msg = (r["c_name"] or "").encode()
+            assert joined[r["c_custkey"]] == _hm.new(
+                key.encode(), msg, _hl.sha256
+            ).hexdigest()
+        report = build_report("apply", plan, result)
+        write_json_report(tmp_path / "rep.json", report)
+        assert key not in (tmp_path / "rep.json").read_text()
+        assert key not in _json.dumps(report, default=str)
+    finally:
+        S.set_hmac_key(None)
 
 
 def test_cli_audit_t_ordered_rider(sf_dir, tmp_path, monkeypatch):

@@ -385,6 +385,158 @@ def test_anonymize_to_k_datafly_loop(spark):
         P.anonymize_to_k(df, spec, k=5, max_suppress_frac=2.0)
 
 
+def test_hmac_rfc2104_matches_stdlib(spark, df):
+    """HASH_HMAC is real RFC 2104 HMAC-SHA256: pinned against Python's
+    ``hmac`` stdlib (the authoritative oracle for a crypto primitive —
+    DuckDB 1.0's sha256 is VARCHAR-only so the raw-byte inner digest is
+    not SQL-expressible; the portable ``keyed_hash`` carries the
+    cross-engine oracle instead)."""
+    import hmac as pyhmac
+
+    key = "rotate-me-please"
+    expect = lambda m: pyhmac.new(key.encode(), m, hashlib.sha256).hexdigest()
+    assert one(df, S.hash_hmac(F.col("s"), key)) == expect(b"hello world")
+    # NULL coalesces to '' like every other strategy (query-builder.ts:34)
+    assert one(df, S.hash_hmac(F.col("empty"), key)) == expect(b"")
+    # non-string input hashes its string rendering (HASH on OTHER group)
+    assert one(df, S.hash_hmac(F.col("n"), key)) == expect(b"42")
+    # >block-size keys are pre-hashed per RFC 2104
+    long_key = "k" * 100
+    assert one(df, S.hash_hmac(F.col("s"), long_key)) == pyhmac.new(
+        long_key.encode(), b"hello world", hashlib.sha256
+    ).hexdigest()
+    # key rotation changes every token (deterministic per key)
+    assert one(df, S.hash_hmac(F.col("s"), "other-key")) != expect(b"hello world")
+
+
+def test_keyed_hash_portable_construction(spark, df):
+    """keyed_hash = sha256(hex(opad) || sha256(hex(ipad) || msg)) — the
+    engine-portable keyed variant; its SQL twin renders the identical
+    string, and DuckDB executes it to the same digest."""
+    key = "suite-fixture-key-v1"
+    ipad, opad = S._hmac_pads(key.encode())
+    manual = hashlib.sha256(
+        (opad.hex() + hashlib.sha256(
+            (ipad.hex() + "hello world").encode()
+        ).hexdigest()).encode()
+    ).hexdigest()
+    assert one(df, S.keyed_hash(F.col("s"), key)) == manual
+
+    import duckdb
+
+    con = duckdb.connect()
+    twin = S.keyed_hash_sql("'hello world'", key)
+    got = con.sql(f"SELECT {twin}").fetchone()[0]
+    assert got == manual
+
+
+def test_hmac_key_resolution_and_safety(spark, df, monkeypatch):
+    """Key precedence: explicit > set_hmac_key > env; no key at all is a
+    loud plan-time error naming the env var; the key never appears in
+    the compiled plan as plaintext."""
+    monkeypatch.delenv(S.HMAC_KEY_ENV, raising=False)
+    S.set_hmac_key(None)
+    with pytest.raises(ValueError, match=S.HMAC_KEY_ENV):
+        S.strategy_expr("HASH_HMAC", F.col("s"))
+    monkeypatch.setenv(S.HMAC_KEY_ENV, "env-key")
+    import hmac as pyhmac
+
+    assert one(df, S.strategy_expr("HASH_HMAC", F.col("s"))) == pyhmac.new(
+        b"env-key", b"hello world", hashlib.sha256
+    ).hexdigest()
+    S.set_hmac_key("override-key")
+    try:
+        assert one(df, S.strategy_expr("HASH_HMAC", F.col("s"))) == pyhmac.new(
+            b"override-key", b"hello world", hashlib.sha256
+        ).hexdigest()
+        # the plaintext key is absent from the analyzed plan (only the
+        # XOR-derived pads ride as literals; explain output is still to
+        # be treated as sensitive, like any keyed system's plan)
+        plan = df.select(
+            S.strategy_expr("HASH_HMAC", F.col("s")).alias("h")
+        )._jdf.queryExecution().analyzed().toString()
+        assert "override-key" not in plan
+    finally:
+        S.set_hmac_key(None)
+    # type safety: the keyed family downgrades exactly like HASH
+    eff, reason = S.normalize_strategy_for_group("HASH_HMAC", TypeGroup.BOOLEAN)
+    assert eff == "KEEP" and "HASH_HMAC" in reason
+    eff2, _ = S.normalize_strategy_for_group("HASH_KEYED", TypeGroup.STRING)
+    assert eff2 == "HASH_KEYED"
+
+
+def test_dp_noise_is_partition_invariant(spark):
+    """Round-12 advice: noise must be a pure function of (group, seed) —
+    identical under any repartitioning/DOP, unlike F.rand(seed)."""
+    from database_anonymiser_spark.operators import privacy as P
+
+    big = spark.range(0, 2000).select((F.col("id") % 20).alias("g"))
+    base = sorted(map(tuple, P.dp_noisy_counts(big, ["g"], 1.0, seed=7).collect()))
+    for parts in (1, 7, 32):
+        again = sorted(
+            map(
+                tuple,
+                P.dp_noisy_counts(
+                    big.repartition(parts), ["g"], 1.0, seed=7
+                ).collect(),
+            )
+        )
+        assert again == base, f"noise drifted at {parts} partitions"
+    # NULL group keys get their own deterministic noise too
+    withnull = big.withColumn(
+        "g", F.when(F.col("g") == 0, F.lit(None)).otherwise(F.col("g"))
+    )
+    a = sorted(map(tuple, P.dp_noisy_counts(withnull, ["g"], 1.0, seed=7).collect()),
+               key=str)
+    b = sorted(map(tuple, P.dp_noisy_counts(withnull.repartition(5), ["g"], 1.0, seed=7).collect()),
+               key=str)
+    assert a == b
+
+
+def test_dp_noisy_sums_clipping_and_sensitivity(spark):
+    """dp_noisy_sums: contributions are clipped into [lo, hi] BEFORE the
+    sum (the sensitivity bound), noise is seed-reproducible and
+    partition-invariant, and scales with (hi-lo)/eps."""
+    from database_anonymiser_spark.operators import privacy as P
+
+    df = spark.createDataFrame(
+        [("a", -50.0), ("a", 10.0), ("a", 999.0), ("b", 5.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in P.dp_noisy_sums(df, ["g"], "v", 0.0, 100.0, 1000.0, seed=3).collect()}
+    # clip: -50 -> 0, 999 -> 100; NULL contributes nothing
+    assert out["a"].clipped_sum == 110.0
+    assert out["b"].clipped_sum == 5.0
+    # eps=1000 -> noise magnitude <= (hi-lo)/eps * ln(1e6) ~ 1.4
+    assert abs(out["a"].noisy_sum - 110.0) < 2.0
+    # reproducible + partition-invariant
+    a = sorted(map(tuple, P.dp_noisy_sums(df, ["g"], "v", 0.0, 100.0, 2.0, seed=3).collect()))
+    b = sorted(map(tuple, P.dp_noisy_sums(df.repartition(4), ["g"], "v", 0.0, 100.0, 2.0, seed=3).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="hi must exceed lo"):
+        P.dp_noisy_sums(df, ["g"], "v", 5.0, 5.0, 1.0)
+    with pytest.raises(ValueError, match="epsilon"):
+        P.dp_noisy_sums(df, ["g"], "v", 0.0, 1.0, -1.0)
+
+
+def test_t_closeness_ordered_null_quasi_class(spark):
+    """Round-12 advice: a class whose quasi value is NULL must match its
+    own per-value counts through the grid join (eqNullSafe) — before the
+    fix its cum_c was 0 and it was falsely flagged. Here the NULL class
+    mirrors the global distribution exactly, so its distance is 0."""
+    from database_anonymiser_spark.operators import privacy as P
+
+    rows = (
+        [(None, 1), (None, 2)] * 3      # NULL class: uniform over {1,2}
+        + [("q1", 1), ("q1", 2)] * 3    # same shape
+    )
+    df = spark.createDataFrame(rows, "q string, s int")
+    got = {r.q: (r.t_num, r.violates) for r in
+           P.t_closeness_ordered(df, ["q"], "s", 0.1).collect()}
+    assert got[None] == (0, False), got
+    assert got["q1"] == (0, False), got
+
+
 def test_t_closeness_ordered_reproduces_the_paper_example(spark):
     """Li et al. 2007's §3 worked example: uniform global over incomes
     3k..11k (9 values); the class of three ADJACENT low incomes has
