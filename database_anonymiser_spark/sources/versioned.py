@@ -483,6 +483,19 @@ def _key_tuple(key_col) -> tuple:
     return (key_col,)
 
 
+def _has_map_type(dt) -> bool:
+    """True if ``dt`` contains a MapType anywhere (recursively) — map
+    columns are excluded from Spark set operations, so content-identity
+    fallbacks (diff's any-NULL-key multiset exceptAll) must detect them."""
+    if isinstance(dt, st.MapType):
+        return True
+    if isinstance(dt, st.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, st.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def _footer_key_stats(file_path: Path, key_col: str | None):
     """(min, max) of ``key_col`` from the parquet footer row-group stats —
     metadata only, no data scan. None bounds disable skipping for the file
@@ -2582,9 +2595,13 @@ class VersionedTable:
 
         # one aggregate pass serves BOTH the duplicate-key contract check
         # and the skipping bounds (was two jobs; partial aggregation keeps
-        # map-side output to one row per task). NULL-key accounting
-        # mirrors the old groupBy semantics: one NULL key is tolerated,
-        # two are duplicates.
+        # map-side output to one row per task). NULL-key accounting: a
+        # key tuple with any NULL component never matches (SQL equality),
+        # so DISTINCT any-NULL tuples are legal — only a REPEATED
+        # any-NULL tuple is a duplicate. DISTINCT over a struct is
+        # null-safe, so (1,NULL) vs (2,NULL) count as two tuples while
+        # (1,NULL) twice counts as one (single-key: two bare-NULL keys
+        # collapse to one tuple and still fail, same as the old rule).
         all_nn = key_cols and F.lit(True)
         for c in key_cols:
             all_nn = all_nn & F.col(c).isNotNull()
@@ -2595,6 +2612,11 @@ class VersionedTable:
             F.count(F.when(all_nn, 1)).alias("n_keys"),
             # count(DISTINCT c1, c2, ...) skips any-NULL rows — same set
             F.countDistinct(*key_cols).alias("n_distinct"),
+            # distinct any-NULL tuples (NULL struct for keyed rows is
+            # skipped by countDistinct; struct DISTINCT is null-safe)
+            F.countDistinct(
+                F.when(~all_nn, F.struct(*[F.col(c) for c in key_cols]))
+            ).alias("n_null_distinct"),
         ]
         for i, c in enumerate(key_cols):
             # per-column bounds over fully-keyed rows only (the rows
@@ -2614,7 +2636,10 @@ class VersionedTable:
             aggs.append(F.max(F.col(ident[0])).alias("_max_ident"))
         stats = source.agg(*aggs).first()
         n_null = stats["n_all"] - stats["n_keys"]
-        if stats["n_keys"] != stats["n_distinct"] or n_null > 1:
+        if (
+            stats["n_keys"] != stats["n_distinct"]
+            or n_null != stats["n_null_distinct"]
+        ):
             raise ValueError("duplicate merge keys in source")
         if op_col is not None and (stats["n_bad_op"] or 0) > 0:
             raise ValueError(f"{op_col} values must be 'upsert' or 'delete'")
@@ -3596,9 +3621,21 @@ class VersionedTable:
                 paths, align_to=schema_src, dv_map=self._dv_map(ents)
             )
 
-        # composite key: join on the key TUPLE (struct equality — NULL
-        # components never match, same SQL-equality contract as the
-        # single-column path where a NULL key classifies delete+insert)
+        # key join re-identifies the same logical row across file
+        # rewrites. A key with ANY NULL component has no SQL-equality
+        # identity (the merge engine never matches it), and Spark's
+        # struct equality in a join IS null-safe on fields — so any-NULL
+        # keys are routed AROUND the join for EVERY key arity (round-12
+        # advice: the composite struct path silently null-safe-matched
+        # while the single-column path never did). Within the routed
+        # subset, identity falls back to FULL ROW CONTENT: a multiset
+        # exceptAll in each direction cancels rows carried unchanged
+        # through a rewrite (deterministic regardless of file layout —
+        # the delete/insert events depend only on the data, never on
+        # which files the writer happened to touch), and what remains
+        # classifies delete (old side) / insert (new side). Map-typed
+        # columns cannot participate in set ops; such schemas fall back
+        # to plain delete+insert for any-NULL keys (documented, rare).
         kt = _key_tuple(key_col)
         k_expr = F.col(kt[0]) if len(kt) == 1 else F.struct(*kt)
         old = _read(removed, removed_e).select(
@@ -3607,7 +3644,33 @@ class VersionedTable:
         new = _read(added, added_e).select(
             k_expr.alias("_k"), F.struct(*cols).alias("_new")
         )
-        joined = old.join(new, "_k", "full_outer")
+        if len(kt) == 1:
+            any_null = F.col("_k").isNull()
+        else:
+            any_null = F.lit(False)
+            for c in kt:
+                any_null = any_null | F.col(f"_k.{c}").isNull()
+        row_t = st.StructType(
+            [st.StructField(f.name, f.dataType, True) for f in schema_src.schema]
+        )
+        old_nk = old.where(any_null).select("_old")
+        new_nk = new.where(any_null).select("_new")
+        if not _has_map_type(row_t):
+            dels_nk = old_nk.exceptAll(new_nk.withColumnRenamed("_new", "_old"))
+            ins_nk = new_nk.exceptAll(old_nk.withColumnRenamed("_old", "_new"))
+        else:
+            dels_nk, ins_nk = old_nk, new_nk
+        joined = (
+            old.where(~any_null)
+            .join(new.where(~any_null), "_k", "full_outer")
+            .select("_old", "_new")
+            .unionByName(
+                dels_nk.select("_old", F.lit(None).cast(row_t).alias("_new"))
+            )
+            .unionByName(
+                ins_nk.select(F.lit(None).cast(row_t).alias("_old"), "_new")
+            )
+        )
         is_update = (
             F.col("_old").isNotNull()
             & F.col("_new").isNotNull()

@@ -172,7 +172,9 @@ def test_composite_clause_merge_and_key_guard(spark, tmp_path):
 def test_composite_null_component_inserts_never_matches(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", tenants=1, per=3)
     # a row with a NULL key component never matches (SQL equality) — it
-    # inserts; a second any-NULL row is refused like the single-key rule
+    # inserts; DISTINCT any-NULL tuples are each legal rows (round-12
+    # advice: (1,NULL) and (NULL,2) are different tuples that merely
+    # never match), while a REPEATED any-NULL tuple is a duplicate
     src = spark.createDataFrame(
         [(1, None, "nullish"), (1, 2, "upd")],
         "tenant int, eid int, val string",
@@ -181,13 +183,73 @@ def test_composite_null_component_inserts_never_matches(spark, tmp_path):
     snap = t.snapshot().collect()
     assert len(snap) == 4
     assert any(r.eid is None and r.val == "nullish" for r in snap)
+    # two DISTINCT partial-NULL tuples: both accepted, both insert
+    t.merge(
+        spark.createDataFrame(
+            [(1, None, "x"), (None, 2, "y")],
+            "tenant int, eid int, val string",
+        )
+    )
+    assert t.row_count() == 6
+    # the SAME any-NULL tuple twice is a duplicate (single-key rule:
+    # two bare-NULL keys are one tuple — still refused)
     with pytest.raises(ValueError, match="duplicate merge keys"):
         t.merge(
             spark.createDataFrame(
-                [(1, None, "x"), (None, 2, "y")],
+                [(None, 7, "a"), (None, 7, "b")],
                 "tenant int, eid int, val string",
             )
         )
+
+
+def test_composite_diff_null_key_component_matches_single_key_semantics(
+    spark, tmp_path
+):
+    """A NULL key component has no key identity in diff()/CDF — any-NULL
+    tuples are routed around the key join for EVERY key arity (round-12
+    advice: Spark's struct join is null-safe on fields, so the composite
+    path silently matched what the single-column path never did), and
+    identity falls back to full-row CONTENT: carried-unchanged rows emit
+    no events (multiset exceptAll), changed rows classify delete+insert
+    — deterministic regardless of which files a writer touched."""
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, None, "n0")], "tenant int, eid int, val string"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=["tenant", "eid"]
+    )
+    # keyed row updated in place; the any-NULL row's value changes too
+    # (delete + append) — single-key semantics say delete+insert of the
+    # NULL-keyed row, never update
+    t.merge(
+        spark.createDataFrame([(1, 1, "a2")], "tenant int, eid int, val string")
+    )
+    t.delete_where("val = 'n0'")
+    t.append(
+        spark.createDataFrame([(1, None, "n1")], "tenant int, eid int, val string")
+    )
+    ev = {
+        (r.tenant, r.eid, r.val): r._change_type
+        for r in t.diff(0, t.latest_version(), images="both").collect()
+    }
+    assert ev[(1, 1, "a")] == "update_preimage"
+    assert ev[(1, 1, "a2")] == "update_postimage"
+    assert ev[(1, None, "n0")] == "delete"
+    assert ev[(1, None, "n1")] == "insert"
+
+    # single-key twin: same classification for a bare NULL key
+    df1 = spark.createDataFrame([(1, "a"), (None, "n0")], "k int, val string")
+    t1 = VersionedTable.create(spark, str(tmp_path / "one"), df1, key_col="k")
+    t1.merge(spark.createDataFrame([(1, "a2")], "k int, val string"))
+    t1.delete_where("val = 'n0'")
+    t1.append(spark.createDataFrame([(None, "n1")], "k int, val string"))
+    ev1 = {
+        (r.k, r.val): r._change_type
+        for r in t1.diff(0, t1.latest_version(), images="both").collect()
+    }
+    assert ev1[(None, "n0")] == "delete"
+    assert ev1[(None, "n1")] == "insert"
+    assert ev1[(1, "a")] == "update_preimage"
 
 
 def test_composite_occ_rebase_disjoint_merges(spark, tmp_path):
