@@ -63,6 +63,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -72,6 +74,7 @@ from pyspark.sql.types import StructType
 from database_anonymiser_spark.sources.versioned import (
     ROW_PRESERVING_OPS,
     _bloom_hashes,
+    _entry_matches_nullness,
     _entry_matches_points,
     _entry_overlaps_range,
     _key_first,
@@ -129,6 +132,8 @@ def _scan_expr(filters, schema):
                     e = (f <= hi) if e is None else e & (f <= hi)
                 if e is None:
                     continue
+            elif kind == "nullness":
+                e = f.is_null() if payload == "isnull" else ~f.is_null()
             else:
                 e = f.isin(list(payload))
         except Exception:
@@ -260,6 +265,10 @@ class _SnapshotReader(DataSourceReader):
                     if not _entry_overlaps_range(e, pcol, key_pcol, lo, hi):
                         skip = True
                         break
+                elif kind == "nullness":
+                    if not _entry_matches_nullness(e, pcol, payload):
+                        skip = True
+                        break
                 else:
                     try:
                         vals = sorted(payload)
@@ -324,6 +333,13 @@ class _PushdownSnapshotReader(_SnapshotReader):
                 self.pushed.append((c, "range", (f.value, None)))
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 self.pushed.append((c, "range", (None, f.value)))
+            elif isinstance(f, IsNull):
+                self.pushed.append((c, "nullness", "isnull"))
+            elif isinstance(f, IsNotNull):
+                # Spark derives IsNotNull from every comparison filter,
+                # so all-NULL files prune on ordinary scans (round 12 —
+                # per-file null_count stats)
+                self.pushed.append((c, "nullness", "notnull"))
         return filters
 
 
@@ -1017,6 +1033,7 @@ class _VersionedWriterBase:
         from database_anonymiser_spark.sources.versioned import (
             _DATA_DIR,
             _bloom_sidecars_for,
+            _footer_col_stats,
             _footer_key_stats,
             _split_stats_decl,
         )
@@ -1049,8 +1066,8 @@ class _VersionedWriterBase:
         if range_cols:
             stats = {}
             for c in range_cols:
-                clo, chi = _footer_key_stats(fp, c)
-                stats[c] = [clo, chi]
+                clo, chi, cnc = _footer_col_stats(fp, c)
+                stats[c] = [clo, chi, cnc]
         n_rows = pq.ParquetFile(str(fp)).metadata.num_rows
         bloom = _bloom_sidecars_for(root, fp, bloom_cols)
         return _WriteMessage(

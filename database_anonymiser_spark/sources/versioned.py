@@ -500,25 +500,43 @@ def _footer_key_stats(file_path: Path, key_col: str | None):
     """(min, max) of ``key_col`` from the parquet footer row-group stats —
     metadata only, no data scan. None bounds disable skipping for the file
     (a reader must then always consider it — safe, just unpruned)."""
-    if key_col is None:
-        return None, None
+    lo, hi, _ = _footer_col_stats(file_path, key_col)
+    return lo, hi
+
+
+def _footer_col_stats(file_path: Path, col: str | None):
+    """(min, max, null_count) of ``col`` from the parquet footer row-group
+    stats — metadata only, no data scan. The three slots degrade
+    INDEPENDENTLY: an all-NULL column has no min/max but a perfectly good
+    null count (Delta's per-add ``nullCount`` stat, round 12 — what lets
+    ``col IS (NOT) NULL`` predicates prune files); any missing row-group
+    stat disables just that slot (None = must-scan for that test)."""
+    if col is None:
+        return None, None, None
     import pyarrow.parquet as pq
 
     try:
         md = pq.ParquetFile(str(file_path)).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
         if idx < 0:
-            return None, None
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None, None
-            mins.append(st.min)
-            maxs.append(st.max)
-        return (min(mins), max(maxs)) if mins else (None, None)
+            return None, None, None
+        n = md.num_row_groups
+        mins, maxs, nulls = [], [], []
+        for rg in range(n):
+            rst = md.row_group(rg).column(idx).statistics
+            if rst is not None and rst.has_null_count:
+                nulls.append(rst.null_count)
+            if rst is not None and rst.has_min_max:
+                mins.append(rst.min)
+                maxs.append(rst.max)
+        # each slot needs EVERY row group's stat (a sum/bound over a
+        # partial view would lie); they fail independently
+        nc = sum(nulls) if n and len(nulls) == n else None
+        if n and len(mins) == n:
+            return min(mins), max(maxs), nc
+        return None, None, nc
     except Exception:
-        return None, None
+        return None, None, None
 
 
 #: the engine-allocated hidden row-id column of row-tracked tables
@@ -645,6 +663,30 @@ def _entry_overlaps_range(e: dict, pcol: str, key_pcol: str, lo, hi) -> bool:
     return True
 
 
+#: accepted string forms for a NULLNESS predicate in a ``files_matching``
+#: / ``read_where`` / ``update_where(prune=)`` dict — ``{"col":
+#: "isnull"}`` prunes files whose recorded null_count is 0, ``{"col":
+#: "notnull"}`` prunes files that are provably ALL-NULL for the column
+_NULLNESS = ("isnull", "notnull")
+
+
+def _entry_matches_nullness(e: dict, pcol: str, form: str) -> bool:
+    """File-level IS (NOT) NULL test against the entry's recorded
+    null_count (stats slot 3, round 12). Conservative like every other
+    matcher: unknown null_count keeps the file. ``notnull`` pruning
+    compares against the file's TOTAL row count (deletion vectors only
+    shrink the live set, so null_count == num_rows still proves no live
+    non-null row exists — one-sided, safe)."""
+    s = (e.get("stats") or {}).get(pcol)
+    nc = s[2] if s is not None and len(s) > 2 else None
+    if nc is None:
+        return True
+    if form == "isnull":
+        return nc > 0
+    n_rows = e.get("num_rows")
+    return n_rows is None or nc < n_rows
+
+
 def _entry_matches_points(
     root: Path, e: dict, pcol: str, key_pcol: str, vals_sorted: list,
     hpairs: list | None,
@@ -754,8 +796,12 @@ def _write_data_files(
         if range_cols:
             stats = {}
             for c in range_cols:
-                clo, chi = _footer_key_stats(p, c)
-                stats[c] = [clo, chi]
+                # 3-slot stat [min, max, null_count] (round 12 — Delta's
+                # nullCount): the third slot serves IS (NOT) NULL
+                # skipping; 2-slot entries from older commits read as
+                # null_count-unknown (must-scan for nullness)
+                clo, chi, cnc = _footer_col_stats(p, c)
+                stats[c] = [clo, chi, cnc]
         try:
             n_rows = pq.ParquetFile(str(p)).metadata.num_rows
         except Exception:
@@ -974,9 +1020,18 @@ def _norm_by_source_clauses(clauses):
 def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
     """AND the caller's prune ranges into the row predicate so file-level
     skipping and row-level filtering can never disagree (see the
-    update_where docstring's prune contract)."""
+    update_where docstring's prune contract). Nullness prune forms
+    (``"isnull"`` / ``"notnull"``, round 12) conjoin the matching
+    IS (NOT) NULL row test under the same contract."""
     if prune:
-        for col, (lo, hi) in prune.items():
+        for col, b in prune.items():
+            if isinstance(b, str):
+                pred = pred & (
+                    F.col(col).isNull() if b == "isnull"
+                    else F.col(col).isNotNull()
+                )
+                continue
+            lo, hi = b
             # None = unbounded, matching files_matching's contract — a
             # between(None, x) would NULL the whole conjunction and turn
             # the operation into a silent no-op (round-11 fix)
@@ -1400,18 +1455,33 @@ class VersionedTable:
         the snapshot (default latest) — incremental consumers (IVM's
         extremum recompute) pass the version their cursor is advancing
         to, so a concurrent writer landing mid-refresh cannot skew the
-        read past the recorded cursor (round-7 advice)."""
+        read past the recorded cursor (round-7 advice).
+
+        A predicate value may also be the string ``"isnull"`` /
+        ``"notnull"`` (round 12 — Delta prunes the same forms from its
+        per-add nullCount): files whose recorded null_count proves the
+        nullness test empty are skipped — e.g. a consent-backfill
+        ``read_where({"consent": "isnull"})`` touches only files that
+        actually hold NULLs."""
         entries = self._live_entries(version)
         # column mapping: stats/bloom keys are PHYSICAL (frozen at the
         # column's birth) — translate each queried logical name once
         pred = {self._phys(c): b for c, b in predicates.items()}
         key_pcol = self._phys(_key_first(self._key_col))
+
+        def _match(e, pcol, b):
+            if isinstance(b, str):
+                if b not in _NULLNESS:
+                    raise ValueError(
+                        f"predicate for {pcol!r} must be (lo, hi) or one "
+                        f"of {_NULLNESS}, got {b!r}"
+                    )
+                return _entry_matches_nullness(e, pcol, b)
+            return _entry_overlaps_range(e, pcol, key_pcol, *b)
+
         return [
             e for e in entries
-            if all(
-                _entry_overlaps_range(e, pcol, key_pcol, lo, hi)
-                for pcol, (lo, hi) in pred.items()
-            )
+            if all(_match(e, pcol, b) for pcol, b in pred.items())
         ]
 
     def files_matching_any(
@@ -1575,8 +1645,14 @@ class VersionedTable:
         df = self._read_paths(
             [e["path"] for e in entries], dv_map=self._dv_map(entries)
         )
-        for col, (lo, hi) in predicates.items():
-            df = df.where(F.col(col).between(lo, hi))
+        for col, b in predicates.items():
+            if isinstance(b, str):  # "isnull" / "notnull", validated above
+                df = df.where(
+                    F.col(col).isNull() if b == "isnull"
+                    else F.col(col).isNotNull()
+                )
+            else:
+                df = df.where(F.col(col).between(*b))
         return df
 
     # ----------------------------------------------------------- write
@@ -1972,8 +2048,8 @@ class VersionedTable:
             if range_cols:
                 stats = {}
                 for c in range_cols:
-                    clo, chi = _footer_key_stats(p, c)
-                    stats[c] = [clo, chi]
+                    clo, chi, cnc = _footer_col_stats(p, c)
+                    stats[c] = [clo, chi, cnc]
             try:
                 n_rows = pq.ParquetFile(str(p)).metadata.num_rows
             except Exception:
@@ -2039,8 +2115,8 @@ class VersionedTable:
         for e in entries:
             stats = dict(e.get("stats") or {})
             for c in p_stats:
-                clo, chi = _footer_key_stats(self.root / e["path"], c)
-                stats[c] = [clo, chi]
+                clo, chi, cnc = _footer_col_stats(self.root / e["path"], c)
+                stats[c] = [clo, chi, cnc]
             bloom = dict(e.get("bloom") or {})
             missing = tuple(c for c in p_bloom if c not in bloom)
             if missing:
@@ -3200,8 +3276,10 @@ class VersionedTable:
             )
         pp = {self._phys(c): b for c, b in prune.items()}
         return lambda a: all(
-            _entry_overlaps_range(a, pcol, key_pcol, lo, hi)
-            for pcol, (lo, hi) in pp.items()
+            _entry_matches_nullness(a, pcol, b)
+            if isinstance(b, str)
+            else _entry_overlaps_range(a, pcol, key_pcol, *b)
+            for pcol, b in pp.items()
         )
 
     def update_where(
@@ -3245,7 +3323,10 @@ class VersionedTable:
         }
         key_col = self.key_col()
         v = self.latest_version()
-        unknown = sorted(set(assigns) - set(self.snapshot(v).columns))
+        # logged schema when available: a full-table snapshot PLAN just
+        # to list columns counts every live file as read (round 12)
+        sch = self._log_schema(v) or self.snapshot(v).schema
+        unknown = sorted(set(assigns) - {f.name for f in sch.fields})
         if unknown:
             raise ValueError(
                 f"update_where assigns columns absent from the table schema: {unknown}"
