@@ -89,6 +89,100 @@ class VersionConflict(RuntimeError):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+class ProtocolError(RuntimeError):
+    """The table requires a feature this engine does not implement
+    (Delta's protocol action, round 12) — reading or writing anyway
+    would silently misread DVs / column maps / row ids the unknown
+    feature governs."""
+
+
+#: protocol / table features (round 12 — Delta's reader/writer feature
+#: sets): persisted as JSON lists under reserved property keys so they
+#: ride the existing properties plumbing (commits, checkpoints, CLONE)
+PROTOCOL_READER_KEY = "protocol.reader_features"
+PROTOCOL_WRITER_KEY = "protocol.writer_features"
+#: features THIS engine can read (a feature lands in the reader set
+#: when ignoring it would misread data: DV'd dead rows resurrect,
+#: physical names surface, widened types misalign, row ids vanish)
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "rowTracking", "typeWidening"}
+)
+#: features this engine can write — a superset: writer-only features
+#: (identity allocation, generated-column enforcement, CHECK
+#: constraints) don't change how bytes are READ, only what a compliant
+#: writer must maintain
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"identityColumns", "generatedColumns", "checkConstraints"}
+)
+
+
+def _protocol_features(props) -> "tuple[frozenset, frozenset]":
+    """(reader_features, writer_features) from a table's property map.
+    Tables created before protocol existed have neither key: empty sets
+    (fully readable — every pre-protocol capability is supported).
+    A CORRUPT protocol value refuses, never ignores (an unreadable
+    guard is indistinguishable from a feature we can't honor)."""
+    out = []
+    for k in (PROTOCOL_READER_KEY, PROTOCOL_WRITER_KEY):
+        raw = (props or {}).get(k)
+        if not raw:
+            out.append(frozenset())
+            continue
+        try:
+            vals = json.loads(raw)
+            if not isinstance(vals, list):
+                raise ValueError(vals)
+            out.append(frozenset(str(v) for v in vals))
+        except Exception as exc:
+            raise ProtocolError(
+                f"unparseable table protocol under {k!r}: {raw!r}"
+            ) from exc
+    return out[0], out[1]
+
+
+def _check_protocol_read(props, root) -> None:
+    r, _w = _protocol_features(props)
+    unknown = sorted(r - SUPPORTED_READER_FEATURES)
+    if unknown:
+        raise ProtocolError(
+            f"table at {root} requires reader feature(s) {unknown} this "
+            f"engine does not implement (supported: "
+            f"{sorted(SUPPORTED_READER_FEATURES)}); reading anyway would "
+            "silently misread the data the feature governs — upgrade the "
+            "engine, or export from a reader that supports them"
+        )
+
+
+def _check_protocol_write(props, root) -> None:
+    _check_protocol_read(props, root)  # writing requires full reading
+    _r, w = _protocol_features(props)
+    unknown = sorted(w - SUPPORTED_WRITER_FEATURES)
+    if unknown:
+        raise ProtocolError(
+            f"table at {root} requires writer feature(s) {unknown} this "
+            f"engine does not implement (supported: "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)}); committing anyway "
+            "could break invariants the feature maintains — upgrade the "
+            "engine, or write through one that supports them"
+        )
+
+
+def _adopt_features(props, reader=(), writer=()) -> dict | None:
+    """Property map with the given features added to the table's
+    protocol, or None when every feature is already declared (the
+    caller then omits the properties slot — no metadata churn). Reader
+    features imply writer membership (a writer must understand what it
+    produces), matching Delta."""
+    r, w = _protocol_features(props)
+    nr, nw = r | set(reader), w | set(writer) | set(reader)
+    if nr == r and nw == w:
+        return None
+    out = dict(props or {})
+    out[PROTOCOL_READER_KEY] = json.dumps(sorted(nr))
+    out[PROTOCOL_WRITER_KEY] = json.dumps(sorted(nw))
+    return out
+
+
 class ConstraintViolation(ValueError):
     """A write contains rows that violate a table CHECK constraint."""
 
@@ -324,6 +418,10 @@ def _replay(root: Path, upto: int):
             live.pop(path, None)
         for add in rec["adds"]:
             live[add["path"]] = add
+    # protocol gate (round 12): ONE chokepoint covers every consumer —
+    # the native table, the DataSource planner, vacuum/erase — because
+    # they all resolve state through this replay
+    _check_protocol_read(props, root)
     out = (live, key_col, constraints, schema, tuple(stats_cols), colmap, props)
     # only memoize states whose version actually exists — a replay past
     # the log's end would otherwise pin a stale "latest"
@@ -849,6 +947,11 @@ def _commit(
     clustering stats through trickle updates."""
     import datetime as _dt
 
+    if version > 0:
+        # writer protocol gate (round 12): the head state's required
+        # writer features must all be implemented before any commit —
+        # memoized replay, ~zero cost (the write path just replayed it)
+        _check_protocol_write(_replay(root, version - 1)[6], root)
     (root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
     payload = json.dumps(
         {
@@ -1819,6 +1922,24 @@ class VersionedTable:
                 }
             )
             meta["properties"] = props
+        # protocol (round 12 — Delta's protocol action): declare the
+        # feature sets this table requires AT BIRTH; later commits extend
+        # them on first use (DV delete, rename/drop, widen, constraint)
+        meta = dict(meta or {})
+        props = dict(meta.get("properties") or {})
+        meta["properties"] = _adopt_features(
+            props,
+            reader=(["rowTracking"] if row_tracking else []),
+            writer=(
+                (["identityColumns"]
+                 if identity_col is not None and not row_tracking else [])
+                + (["generatedColumns"] if gen else [])
+            ),
+        ) or {
+            **props,
+            PROTOCOL_READER_KEY: "[]",
+            PROTOCOL_WRITER_KEY: "[]",
+        }
         _commit(
             t.root, 0, adds, [], key_col, op="create",
             schema=df.schema.jsonValue(), stats_cols=stats_cols,
@@ -1858,7 +1979,7 @@ class VersionedTable:
                 hi = int(e.key_max) if hi is None else max(hi, int(e.key_max))
         if hi is None:
             return None  # empty write: high-water unchanged
-        props = dict(self.table_properties())
+        props = dict(self._raw_properties())
         props["identity.next"] = str(hi + step)
         return {"properties": props}
 
@@ -3441,11 +3562,21 @@ class VersionedTable:
             )
             removes.append(e["path"])
         base_v = v
+        # first DV on this table: the commit also adopts the
+        # deletionVectors protocol feature (pre-feature readers would
+        # resurrect the marked-dead rows)
+        adopted = _adopt_features(
+            self._raw_properties(), reader=["deletionVectors"]
+        )
+        dv_meta = {
+            "rows_marked": len(hits),
+            **({"properties": adopted} if adopted else {}),
+        }
         for attempt in range(max_retries + 1):
             try:
                 _commit(
                     self.root, base_v + 1, new_adds, removes, key_col,
-                    op="delete_dv", meta={"rows_marked": len(hits)},
+                    op="delete_dv", meta=dv_meta,
                 )
                 return base_v + 1
             except VersionConflict:
@@ -4101,9 +4232,11 @@ class VersionedTable:
             ]
         )
         v = self.latest_version()
+        adopted = _adopt_features(self._raw_properties(), reader=["typeWidening"])
         _commit(
             self.root, v + 1, [], [], self.key_col(), op="widen_column",
             schema=new_schema.jsonValue(),
+            meta={"properties": adopted} if adopted else None,
         )
         return v + 1
 
@@ -4165,6 +4298,7 @@ class VersionedTable:
         else:
             key_col = new if kc == old else kc
         v = self.latest_version()
+        adopted = _adopt_features(self._raw_properties(), reader=["columnMapping"])
         _commit(
             self.root, v + 1, [], [], key_col, op="rename_column",
             meta={
@@ -4173,6 +4307,7 @@ class VersionedTable:
                     "retired": sorted(retired),
                 },
                 "renamed": {"from": old, "to": new},
+                **({"properties": adopted} if adopted else {}),
             },
             schema=new_schema.jsonValue(),
         )
@@ -4206,11 +4341,13 @@ class VersionedTable:
 
         new_schema = StructType([f for f in schema.fields if f.name != name])
         v = self.latest_version()
+        adopted = _adopt_features(self._raw_properties(), reader=["columnMapping"])
         _commit(
             self.root, v + 1, [], [], self.key_col(), op="drop_column",
             meta={
                 "column_mapping": {"map": m, "retired": sorted(retired)},
                 "dropped": name,
+                **({"properties": adopted} if adopted else {}),
             },
             schema=new_schema.jsonValue(),
         )
@@ -4247,9 +4384,15 @@ class VersionedTable:
         cons = dict(self.constraints())
         cons[name] = sql_predicate
         v = self.latest_version()
+        adopted = _adopt_features(
+            self._raw_properties(), writer=["checkConstraints"]
+        )
         _commit(
             self.root, v + 1, [], [], self.key_col(), op="add_constraint",
-            meta={"constraints": cons},
+            meta={
+                "constraints": cons,
+                **({"properties": adopted} if adopted else {}),
+            },
         )
         return v + 1
 
@@ -4270,8 +4413,16 @@ class VersionedTable:
         state — they replay through the same checkpoint-bounded walk, so
         an as-of read sees the map as of that version — and are for
         OPERATORS and tooling (owners, pipelines, retention policy
-        hints); the engine attaches no semantics to any key."""
-        merged = {**self.table_properties(), **{str(k): str(v) for k, v in props.items()}}
+        hints); the engine attaches no semantics to any key — EXCEPT the
+        reserved ``protocol.*`` slots, which only feature adoption may
+        write (hand-editing the guard would be editing the lock)."""
+        bad = sorted(k for k in props if str(k).startswith("protocol."))
+        if bad:
+            raise ValueError(
+                f"properties {bad} are protocol-reserved; table features "
+                "are adopted by the operations that first use them"
+            )
+        merged = {**self._raw_properties(), **{str(k): str(v) for k, v in props.items()}}
         v = self.latest_version()
         _commit(
             self.root, v + 1, [], [], self.key_col(), op="set_properties",
@@ -4282,7 +4433,13 @@ class VersionedTable:
     def unset_properties(self, keys: "list[str] | tuple") -> int:
         """``ALTER TABLE UNSET TBLPROPERTIES`` — absent keys no-op
         (Delta's IF EXISTS behavior)."""
-        cur = dict(self.table_properties())
+        cur = dict(self._raw_properties())
+        bad = sorted(k for k in keys if str(k).startswith("protocol."))
+        if bad:
+            raise ValueError(
+                f"properties {bad} are protocol-reserved; a required "
+                "feature cannot be un-declared while data depends on it"
+            )
         for k in keys:
             cur.pop(str(k), None)
         v = self.latest_version()
@@ -4293,8 +4450,20 @@ class VersionedTable:
         return v + 1
 
     def table_properties(self, version: int | None = None) -> dict[str, str]:
-        """The property map as of ``version`` (default latest) — same
-        checkpoint-bounded replay as :meth:`constraints`."""
+        """The USER property map as of ``version`` (default latest) —
+        same checkpoint-bounded replay as :meth:`constraints`. The
+        reserved ``protocol.*`` slots ride the same storage but are NOT
+        properties (Delta models protocol as a separate action): they
+        surface as :meth:`detail`'s reader/writer feature lists."""
+        return {
+            k: v for k, v in self._raw_properties(version).items()
+            if not k.startswith("protocol.")
+        }
+
+    def _raw_properties(self, version: int | None = None) -> dict[str, str]:
+        """The stored property map INCLUDING protocol slots — what
+        set/unset and feature adoption must merge against (merging the
+        filtered view would silently un-declare the table's features)."""
         upto = self.latest_version() if version is None else version
         return dict(_replay(self.root, upto)[6])
 
@@ -4314,6 +4483,8 @@ class VersionedTable:
                 n_bytes += (self.root / e["path"]).stat().st_size
             except OSError:
                 pass
+        props = self.table_properties()
+        r_feat, w_feat = _protocol_features(self._raw_properties())
         return {
             "version": v,
             "num_files": len(entries),
@@ -4323,7 +4494,9 @@ class VersionedTable:
             "columns": [f.name for f in schema.fields] if schema else None,
             "stats_cols": list(self._stats_cols or ()),
             "constraints": dict(self.constraints()),
-            "properties": self.table_properties(),
+            "properties": props,
+            "reader_features": sorted(r_feat),
+            "writer_features": sorted(w_feat),
             "column_mapping": bool(self._colmap),
             "files_with_dv": sum(1 for e in entries if e.get("dv")),
             "files_with_bloom": sum(1 for e in entries if e.get("bloom")),
