@@ -111,16 +111,42 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(parquet); the report records rows_suppressed and the exit "
         "code grades the ENFORCED output",
     )
+    p.add_argument(
+        "--sql", default=None, metavar="STATEMENT",
+        help="SQL mode (round 12): register every --data table as a "
+        "temp view (plus any --versionedTable pins), run ONE statement, "
+        "print the result (or write it with --out) and a JSON report",
+    )
+    p.add_argument(
+        "--sqlFile", default=None, dest="sql_file", metavar="PATH",
+        help="SQL mode: read the statement from a file instead of --sql",
+    )
+    p.add_argument(
+        "--versionedTable", action="append", default=None,
+        dest="versioned_tables", metavar="NAME=ROOT[@VERSION]",
+        help="SQL mode: also register a commit-log table as view NAME "
+        "(repeatable); @VERSION pins a time-travel read through the "
+        "DataSource's versionAsOf option",
+    )
+    p.add_argument(
+        "--maxRows", type=int, default=20, dest="max_rows",
+        help="SQL mode: print at most this many result rows",
+    )
     args = p.parse_args(argv)
+    if args.sql is not None and args.sql_file is not None:
+        p.error("set --sql OR --sqlFile, not both")
+    args.sqlMode = args.sql is not None or args.sql_file is not None
     modes = [
-        m for m in ("configGen", "dryrun", "apply", "audit")
+        m for m in ("configGen", "dryrun", "apply", "audit", "sqlMode")
         if getattr(args, m)
     ]
-    if len(modes) != 1:  # C1 (args.ts:7-29), extended with the audit mode
+    if len(modes) != 1:  # C1 (args.ts:7-29), extended with audit + sql
         p.error(
             "exactly one of --configGen | --dryrun | --apply | --audit "
-            "is required"
+            "| --sql/--sqlFile is required"
         )
+    if args.versioned_tables and not args.sqlMode:
+        p.error("--versionedTable is a --sql mode option")
     if args.purgeHistory and not args.versioned:
         p.error("--purgeHistory requires --versioned")
     if args.audit and (not args.table or not args.quasi):
@@ -153,6 +179,61 @@ def main(argv: list[str] | None = None) -> int:
         write_yaml(args.config, art.config.to_dict())
         write_yaml(SAMPLES_FILE, art.samples)
         print(f"wrote {args.config} and {SAMPLES_FILE}")
+        return 0
+
+    if args.mode == "sqlMode":
+        import time as _time
+        from pathlib import Path
+
+        from database_anonymiser_spark.sources.spark_datasource import (
+            VersionedDataSource,
+        )
+
+        stmt = args.sql if args.sql is not None else Path(args.sql_file).read_text()
+        # every --data table is a view under its bare name (the same
+        # catalog the other modes plan over), so TPC-H-shaped statements
+        # run as-is against the extract directory
+        for ti in catalog.list_tables():
+            catalog.read(ti.name).createOrReplaceTempView(ti.name)
+        if args.versioned_tables:
+            spark.dataSource.register(VersionedDataSource)
+            for spec in args.versioned_tables:
+                name, sep, rest = spec.partition("=")
+                if not sep or not name or not rest:
+                    print(
+                        f"--versionedTable {spec!r}: expected NAME=ROOT[@VERSION]",
+                        file=sys.stderr,
+                    )
+                    return 2
+                root, _, ver = rest.rpartition("@") if "@" in rest else (rest, "", "")
+                reader = spark.read.format("versioned").option("path", root)
+                if ver:
+                    # time travel through the DataSource option path
+                    reader = reader.option("versionAsOf", ver)
+                reader.load().createOrReplaceTempView(name)
+        t0 = _time.time()
+        df = spark.sql(stmt)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            n_rows = spark.read.parquet(args.out).count()
+            print(f"sql: {n_rows} rows → {args.out}")
+        else:
+            shown = df.limit(args.max_rows + 1).collect()
+            n_rows = len(shown)
+            for r in shown[: args.max_rows]:
+                print(r.asDict())
+            if n_rows > args.max_rows:
+                print(f"... (> {args.max_rows} rows; use --out to write all)")
+        report = {
+            "mode": "sql",
+            "statement": stmt,
+            "columns": list(df.columns),
+            "rows": int(n_rows),
+            "truncated": bool(not args.out and n_rows > args.max_rows),
+            "out": args.out,
+            "elapsed_sec": round(_time.time() - t0, 3),
+        }
+        write_json_report(args.report or "anonymiser.sql.report.json", report)
         return 0
 
     if args.mode == "audit":

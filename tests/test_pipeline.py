@@ -755,3 +755,65 @@ def test_cli_audit_t_ordered_rider(sf_dir, tmp_path, monkeypatch):
             ["--audit", "--data", sf_dir, "--table", "customer",
              "--quasi", "c_mktsegment", "--tOrdered", "0.5"]
         )
+
+
+def test_cli_sql_mode_tpch_shape_and_time_travel(sf_dir, spark, tmp_path, monkeypatch):
+    """--sql (round 12): the CLI registers every --data table as a temp
+    view and runs one statement — a TPC-H Q1 shape end to end — and
+    --versionedTable NAME=ROOT@VERSION registers a commit-log table
+    through the DataSource's versionAsOf option, so time travel is a
+    plain SQL read."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    monkeypatch.chdir(tmp_path)
+    # TPC-H Q1 shape over the --data views
+    rc = main(
+        ["--sql",
+         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+         "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+         "GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2",
+         "--data", sf_dir, "--out", str(tmp_path / "q1")]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "q1"))
+    assert got.count() >= 3
+    assert set(got.columns) == {"l_returnflag", "l_linestatus", "sum_qty", "n"}
+    rep = _json.loads((tmp_path / "anonymiser.sql.report.json").read_text())
+    assert rep["mode"] == "sql" and rep["rows"] == got.count()
+
+    # versioned view + time travel: v0 has 3 rows, head has 4
+    t = VersionedTable.create(
+        spark, str(tmp_path / "vt"),
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"),
+        key_col="k",
+    )
+    t.append(spark.createDataFrame([(4, "d")], "k long, s string"))
+    rc = main(
+        ["--sql", "SELECT COUNT(*) AS n_head, "
+         "(SELECT COUNT(*) FROM events_v0) AS n_v0 FROM events_head",
+         "--data", sf_dir,
+         "--versionedTable", f"events_head={tmp_path / 'vt'}",
+         "--versionedTable", f"events_v0={tmp_path / 'vt'}@0",
+         "--report", str(tmp_path / "tt.json")]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "tt.json").read_text())
+    assert rep["rows"] == 1
+    rc = main(
+        ["--sql", "SELECT k, s FROM events_v0 ORDER BY k",
+         "--data", sf_dir,
+         "--versionedTable", f"events_v0={tmp_path / 'vt'}@0",
+         "--out", str(tmp_path / "v0_out")]
+    )
+    assert rc == 0
+    v0 = spark.read.parquet(str(tmp_path / "v0_out"))
+    assert v0.count() == 3  # the pre-append image
+
+    # exactly-one-mode contract extends to SQL mode
+    with pytest.raises(SystemExit):
+        main(["--sql", "SELECT 1", "--dryrun", "--data", sf_dir])
+    with pytest.raises(SystemExit):
+        main(["--versionedTable", "x=y", "--dryrun", "--data", sf_dir])
