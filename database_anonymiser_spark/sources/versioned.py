@@ -679,6 +679,40 @@ def _bloom_hashes(value) -> tuple[int, int]:
     return int(h[:16], 16), int(h[16:], 16) | 1
 
 
+#: component separator inside a TUPLE bloom's value rendering and a
+#: tuple bloom's declaration/sidecar key ("a,b" — round 12): per-column
+#: blooms admit files holding the components in DIFFERENT rows (a file
+#: with (a=1,b=9),(a=2,b=8) survives a probe for (1,8)); a concatenated
+#: tuple bloom witnesses co-occurrence and prunes them
+_TUPLE_SEP = "\x1f"
+
+
+def _tuple_render(vals) -> str:
+    """Canonical string rendering of a column tuple for bloom
+    fingerprints — unit-separator-joined ``str()`` of each component,
+    the same rendering family as single-value ``_bloom_hashes``."""
+    return _TUPLE_SEP.join(str(v) for v in vals)
+
+
+def _bloom_ref_matches_any(root: Path, ref: str, hpairs) -> bool:
+    """Can the bloom sidecar at ``ref`` contain ANY of the probe hash
+    pairs? Unloadable sidecars keep the file (must-scan, like every
+    matcher); false positives only."""
+    blob = _bloom_load(root, ref)
+    if blob is None:
+        return True
+    nl = blob.index(b"\n")
+    hdr = json.loads(blob[:nl])
+    m, k, bits = hdr["m"], hdr["k"], blob[nl + 1:]
+    return any(
+        all(
+            (bits[((h1 + i * h2) % m) >> 3] >> (((h1 + i * h2) % m) & 7)) & 1
+            for i in range(k)
+        )
+        for h1, h2 in hpairs
+    )
+
+
 def _bloom_build(values, fpp: float = _BLOOM_FPP) -> bytes:
     """Serialize a bloom filter of the DISTINCT non-null values: one
     JSON header line ({m, k, n}) + the bitmap. m, k sized by the
@@ -804,20 +838,8 @@ def _entry_matches_points(
             pass
     ref = (e.get("bloom") or {}).get(pcol)
     if ref is not None and hpairs is not None:
-        blob = _bloom_load(root, ref)
-        if blob is not None:
-            nl = blob.index(b"\n")
-            hdr = json.loads(blob[:nl])
-            m, k, bits = hdr["m"], hdr["k"], blob[nl + 1:]
-            if not any(
-                all(
-                    (bits[((h1 + i * h2) % m) >> 3]
-                     >> (((h1 + i * h2) % m) & 7)) & 1
-                    for i in range(k)
-                )
-                for h1, h2 in hpairs
-            ):
-                return False
+        if not _bloom_ref_matches_any(root, ref, hpairs):
+            return False
     return True
 
 
@@ -827,18 +849,34 @@ def _bloom_sidecars_for(
     """Build + persist one bloom sidecar per indexed column for a
     just-written parquet file: a single-COLUMN pyarrow read of the new
     file (bounded by what was just written — the price Delta pays inline
-    during its write), distinct, bitmap, tmp+rename under ``_bloom/``."""
+    during its write), distinct, bitmap, tmp+rename under ``_bloom/``.
+
+    A comma-joined spec (``"a,b"``, round 12) builds a TUPLE bloom: the
+    member set is the unit-separator rendering of each fully-non-null
+    row tuple (any-NULL tuples never equal a probe — excluding them is
+    one-sided-safe), witnessing component CO-OCCURRENCE the per-column
+    blooms cannot."""
     if not bloom_cols:
         return None
     import pyarrow.parquet as pq
 
     out = {}
     for c in bloom_cols:
+        parts = c.split(",") if "," in c else [c]
         try:
-            tbl = pq.read_table(str(file_path), columns=[c])
+            tbl = pq.read_table(str(file_path), columns=parts)
         except Exception:
             continue  # column absent in this file: no sidecar, must-scan
-        blob = _bloom_build(tbl.column(0).to_pylist())
+        if len(parts) > 1:
+            cols = [tbl.column(i).to_pylist() for i in range(len(parts))]
+            vals = [
+                _tuple_render(t)
+                for t in zip(*cols)
+                if all(v is not None for v in t)
+            ]
+            blob = _bloom_build(vals)
+        else:
+            blob = _bloom_build(tbl.column(0).to_pylist())
         rel = f"{_BLOOM_DIR}/{uuid.uuid4().hex}.bf"
         (root / _BLOOM_DIR).mkdir(parents=True, exist_ok=True)
         tmp = root / _BLOOM_DIR / f".{uuid.uuid4().hex}.tmp"
@@ -878,7 +916,9 @@ def _write_data_files(
                 df = df.withColumnRenamed(lg, ph)
         key_col = m.get(key_col, key_col)
         stats_cols = tuple(
-            _BLOOM_PREFIX + m.get(c[len(_BLOOM_PREFIX):], c[len(_BLOOM_PREFIX):])
+            _BLOOM_PREFIX + ",".join(
+                m.get(p, p) for p in c[len(_BLOOM_PREFIX):].split(",")
+            )
             if str(c).startswith(_BLOOM_PREFIX)
             else m.get(c, c)
             for c in stats_cols or ()
@@ -1714,6 +1754,23 @@ class VersionedTable:
                     self.root, e, pcol, key_pcol, vals, hpairs
                 )
             ]
+        # tuple bloom (round 12): the per-column conjunction admits files
+        # holding the components in DIFFERENT rows; a concatenated-tuple
+        # sidecar (analyze(bloom_cols=[("a","b")])) witnesses
+        # co-occurrence and prunes them — consulted AFTER the cheap
+        # per-column tests, on the already-shrunk survivor set
+        tkey = ",".join(self._phys(c) for c in cols)
+        if len(cols) > 1 and any(
+            (e.get("bloom") or {}).get(tkey) for e in keep
+        ):
+            thp = [_bloom_hashes(_tuple_render(t)) for t in tups]
+            keep = [
+                e for e in keep
+                if (e.get("bloom") or {}).get(tkey) is None
+                or _bloom_ref_matches_any(
+                    self.root, e["bloom"][tkey], thp
+                )
+            ]
         if not keep:
             return self._empty_frame(version)
         df = self._read_paths(
@@ -2232,7 +2289,15 @@ class VersionedTable:
         # stats/bloom keys and footer lookups are PHYSICAL names (column
         # mapping): translate the requested logical names once
         p_stats = tuple(self._phys(c) for c in stats_cols)
-        p_bloom = tuple(self._phys(c) for c in bloom_cols)
+        # a bloom spec may be a column TUPLE (list/tuple or "a,b" string,
+        # round 12): the sidecar key is the comma-joined physical names
+        p_bloom = tuple(
+            ",".join(
+                self._phys(x)
+                for x in (c if isinstance(c, (list, tuple)) else str(c).split(","))
+            )
+            for c in bloom_cols
+        )
         for e in entries:
             stats = dict(e.get("stats") or {})
             for c in p_stats:
@@ -2261,7 +2326,12 @@ class VersionedTable:
             dict.fromkeys(
                 tuple(self._stats_cols or ())
                 + tuple(stats_cols)
-                + tuple(_BLOOM_PREFIX + c for c in bloom_cols)
+                + tuple(
+                    _BLOOM_PREFIX + (
+                        ",".join(c) if isinstance(c, (list, tuple)) else str(c)
+                    )
+                    for c in bloom_cols
+                )
             )
         )
         _commit(
@@ -2886,6 +2956,23 @@ class VersionedTable:
         # trailing key columns read their recorded per-file bounds from
         # the declared stats (PHYSICAL names, like every stats key)
         trail_pcols = [self._phys(c) for c in key_cols[1:]]
+        # tuple bloom probes (round 12): when the table carries a
+        # concatenated-tuple sidecar for the key tuple, the collected
+        # distinct source tuples probe it AFTER the per-column
+        # conjunction — pruning correlated-key files the per-column
+        # test admits. Hashes computed once, only if some entry
+        # actually carries the sidecar.
+        tuple_hpairs = None
+        tkey = ",".join(self._phys(c) for c in key_cols)
+        if (
+            points_cols is not None
+            and len(key_cols) > 1
+            and any((e.get("bloom") or {}).get(tkey) for e in entries)
+        ):
+            tuple_hpairs = [
+                _bloom_hashes(_tuple_render(tuple(r[i] for i in range(len(key_cols)))))
+                for r in rows
+            ]
 
         def may_match(e: dict) -> bool:
             if lo is None:  # no fully-keyed source row: nothing matches
@@ -2907,6 +2994,12 @@ class VersionedTable:
                             return False
                 except TypeError:
                     continue  # incomparable serialized stats: keep
+            if tuple_hpairs is not None:
+                ref = (e.get("bloom") or {}).get(tkey)
+                if ref is not None and not _bloom_ref_matches_any(
+                    self.root, ref, tuple_hpairs
+                ):
+                    return False
             return True
 
         # by-source clause inverts the skipping question for target rows:

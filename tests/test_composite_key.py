@@ -911,3 +911,57 @@ def test_composite_by_source_scope_full_sync(spark, tmp_path):
     assert (2, 2) not in snap and snap[(2, 3)] == "v2-3!"
     assert snap[(1, 2)] == "v1-2" and snap[(4, 24)] == "v4-24"
     assert len(snap) == 75 + 13  # 3 untouched tenants + 13 odd eids
+
+
+def test_tuple_bloom_prunes_correlated_composite_probes(spark, tmp_path):
+    """Concatenated-TUPLE bloom sidecars (round 12): the per-column
+    conjunction admits a file holding the probe's components in
+    DIFFERENT rows — e.g. (a=1,b=9),(a=2,b=8) surviving a probe for
+    (1,8); a tuple bloom witnesses co-occurrence and prunes it, in both
+    read_matching_tuples and the points-merge skipping."""
+    # file A: anti-correlated pairs covering ranges a∈[1,2], b∈[8,9];
+    # file B: the genuinely-present tuple (1,8); file C: disjoint range
+    fa = spark.createDataFrame(
+        [(1, 9, "a19"), (2, 8, "a28")], "a int, b int, val string"
+    ).coalesce(1)
+    fb = spark.createDataFrame([(1, 8, "b18")], "a int, b int, val string")
+    fc = spark.createDataFrame([(5, 50, "c")], "a int, b int, val string")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), fa, key_col=["a", "b"])
+    t.append(fb)
+    t.append(fc)
+
+    # WITHOUT the tuple bloom, the per-column conjunction admits file A
+    assert len(t.files_matching_any("a", [1])) >= 2
+    f0 = V.DATA_FILES_READ
+    got = t.read_matching_tuples(["a", "b"], [(1, 8)]).collect()
+    reads_before = V.DATA_FILES_READ - f0
+    assert [r.val for r in got] == ["b18"]
+    assert reads_before == 2  # files A and B both admitted
+
+    # analyze declares the tuple bloom; the probe now reads ONE file
+    t.analyze(bloom_cols=[("a", "b")])
+    f0 = V.DATA_FILES_READ
+    got = t.read_matching_tuples(["a", "b"], [(1, 8)]).collect()
+    assert [r.val for r in got] == ["b18"]
+    assert V.DATA_FILES_READ - f0 == 1
+
+    # points-merge consults it too: the tuple-point upsert touches only
+    # the file that truly holds the tuple
+    v = t.merge(
+        spark.createDataFrame([(1, 8, "UPD")], "a int, b int, val string"),
+        skip_by="points",
+    )
+    m = t.commit_meta(v)["metrics"]
+    assert m["files_touched"] == 1
+    assert t.snapshot().where("a=1 and b=8").first().val == "UPD"
+    # the anti-correlated rows are untouched
+    snap = {(r.a, r.b): r.val for r in t.snapshot().collect()}
+    assert snap[(1, 9)] == "a19" and snap[(2, 8)] == "a28"
+
+    # the declaration rides subsequent writes: the merge's new file
+    # carries a maintained tuple sidecar under the same key
+    tkey = "a,b"
+    new_files = [
+        e for e in t._live_entries() if (e.get("bloom") or {}).get(tkey)
+    ]
+    assert len(new_files) == len(t._live_entries())
