@@ -490,12 +490,56 @@ def _null_safe_eq(a, b, n: int):
                 ok[np.unique(row_of[~elem_eq])] = False
             out[idx[ok]] = True
         return out
+    if pa.types.is_map(t):
+        # maps decompose into key-sorted list<struct<key,value>> and
+        # reuse the list path above (round 12 — was the Python-object
+        # fallback): entry ORDER is not map identity, so each list is
+        # canonicalized by one global (row, key) Arrow sort — O(E log E)
+        # kernel work, no per-row Python. Degenerate duplicate keys
+        # (Spark disallows them on write) compare conservatively: a
+        # spurious not-equal only over-reports an update event.
+        return _null_safe_eq(_map_canon(a), _map_canon(b), n)
     return _null_safe_eq_py(a, b, n)
+
+
+def _map_canon(arr):
+    """Map column canonicalized to a key-sorted ``list<struct<key,
+    value>>`` (vectorized: cast + flatten + one Arrow table sort +
+    rebuild on the original offsets/validity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    lv = arr.cast(
+        pa.list_(
+            pa.struct(
+                [pa.field("key", t.key_type), pa.field("value", t.item_type)]
+            )
+        )
+    )
+    lens = (
+        pc.fill_null(pc.list_value_length(lv), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(lv)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype("int32")
+    mask = pc.is_null(lv).to_numpy(zero_copy_only=False).astype(bool)
+    if len(flat):
+        row_of = np.repeat(np.arange(len(lv), dtype=np.int64), lens)
+        idx = pc.sort_indices(
+            pa.table({"r": pa.array(row_of), "k": flat.field(0)}),
+            sort_keys=[("r", "ascending"), ("k", "ascending")],
+        )
+        flat = flat.take(idx)
+    return pa.ListArray.from_arrays(pa.array(offs), flat, mask=pa.array(mask))
 
 
 def _null_safe_eq_py(a, b, n: int):
     """Last-resort python-object comparison (types with neither a kernel
-    nor a structural decomposition — e.g. maps)."""
+    nor a structural decomposition — exotica only; maps decompose via
+    ``_map_canon`` since round 12)."""
     import numpy as np
 
     return np.fromiter(

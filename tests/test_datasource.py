@@ -990,15 +990,24 @@ def test_datasource_reads_widened_table(registered, tmp_path):
     assert sorted(tuple(r) for r in df.collect()) == [(1, 1.5), (2, 2.5)]
 
 
-def test_null_safe_eq_nested_vectorized():
+def test_null_safe_eq_nested_vectorized(monkeypatch):
     """Round 11 (carried nit): nested types compare structurally —
     lists/structs recurse through numpy/Arrow vector ops instead of the
-    old per-row Python loop; maps still take the object fallback."""
+    old per-row Python loop. Round 12: MAPS decompose into key-sorted
+    list<struct> and ride the same list path (entry order is not map
+    identity), so the object fallback serves no standard Spark type —
+    pinned by making it unreachable for every case below."""
     import pyarrow as pa
 
+    import database_anonymiser_spark.sources.spark_datasource as DS
     from database_anonymiser_spark.sources.spark_datasource import (
         _null_safe_eq,
     )
+
+    def _boom(a, b, n):
+        raise AssertionError("object fallback reached for a standard type")
+
+    monkeypatch.setattr(DS, "_null_safe_eq_py", _boom)
 
     def chk(a, b, expect, typ=None):
         aa, bb = pa.array(a, type=typ), pa.array(b, type=typ)
@@ -1021,10 +1030,26 @@ def test_null_safe_eq_nested_vectorized():
     # null struct vs valid struct is NOT equal
     chk([None, {"x": 1}], [{"x": 1}, {"x": 1}], [False, True],
         typ=pa.struct([("x", pa.int64())]))
-    # map type: no kernel, no decomposition -> object fallback still right
+    # map type (round 12): key-sorted list<struct> decomposition — entry
+    # ORDER does not affect identity, values/sizes/nullness do
     mt = pa.map_(pa.string(), pa.int64())
     chk([[("a", 1)], [("b", 2)]], [[("a", 1)], [("b", 3)]], [True, False],
         typ=mt)
+    chk(
+        [[("a", 1), ("b", 2)], [("x", 1)], None, [], [("k", None)]],
+        [[("b", 2), ("a", 1)], [("x", 1), ("y", 2)], None, [], [("k", None)]],
+        [True, False, True, True, True],
+        typ=mt,
+    )
+    # map vs NULL map; and a map nested INSIDE a struct rides the same path
+    chk([None, [("a", 1)]], [[("a", 1)], [("a", 1)]], [False, True], typ=mt)
+    stm = pa.struct([("m", mt), ("n", pa.int64())])
+    chk(
+        [{"m": [("b", 2), ("a", 1)], "n": 1}, {"m": [("a", 1)], "n": 2}],
+        [{"m": [("a", 1), ("b", 2)], "n": 1}, {"m": [("a", 2)], "n": 2}],
+        [True, False],
+        typ=stm,
+    )
 
 
 def test_cdf_diff_on_nested_columns(spark, tmp_path):
@@ -1064,3 +1089,42 @@ def test_cdf_diff_on_nested_columns(spark, tmp_path):
         for r in cdf.where("_commit_version = 1").collect()
     }
     assert not any(k == 3 for _ct, k in v1)
+
+
+def test_cdf_diff_on_map_columns_e2e(spark, tmp_path, monkeypatch):
+    """Map-typed CDF end to end WITHOUT the object fallback (round 12):
+    a carried map row (even with a different entry rendering) emits no
+    event; a changed map value classifies update."""
+    import database_anonymiser_spark.sources.spark_datasource as DS
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    monkeypatch.setattr(
+        DS, "_null_safe_eq_py",
+        lambda a, b, n: (_ for _ in ()).throw(AssertionError("fallback")),
+    )
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"x": 9}), (3, {})],
+        "k long, m map<string,int>",
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, key_col="k")
+    t.merge(
+        spark.createDataFrame(
+            [(1, {"b": 2, "a": 1}), (2, {"x": 10}), (3, {})],
+            "k long, m map<string,int>",
+        )
+    )
+    spark.dataSource.register(VersionedDataSource)
+    cdf = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "t"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    ev = {(r._change_type, r.k) for r in cdf.collect()}
+    assert ev == {("update_preimage", 2), ("update_postimage", 2)}
+    post = cdf.where("_change_type = 'update_postimage'").first()
+    assert post.m == {"x": 10}
