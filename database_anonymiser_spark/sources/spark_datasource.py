@@ -846,6 +846,15 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
+        #: maxBytesPerTrigger (round 12 — Delta's byte-based admission):
+        #: file COUNTS are a poor proxy under compaction (one compacted
+        #: file can be the whole backfill); bytes bound executor memory
+        #: directly. Sizes come from the commit log's per-add ``size``
+        #: (recorded at the write chokepoints); legacy adds without one
+        #: cost one os.stat. Composes with maxFilesPerTrigger: a batch
+        #: stops at whichever cap it would exceed first.
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
         #: last offset version this reader planned up to — advanced by
         #: initialOffset and every partitions() call; lets latestOffset
         #: bound the NEXT batch under maxFilesPerTrigger. None right
@@ -902,26 +911,49 @@ class _ChangesStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         versions = _list_versions(Path(self.root))
         head = versions[-1] if versions else self.start_version
-        if self.max_files is None or self._cursor is None:
+        if (
+            self.max_files is None and self.max_bytes is None
+        ) or self._cursor is None:
             return {"version": head}
-        # rate limit (Delta's maxFilesPerTrigger): advance commit by
-        # commit from the cursor, stopping once the batch would exceed
-        # the cap — always admitting at least one row-delivering commit
-        # so the stream can never stall. O(admitted commits) tiny-JSON
-        # reads; a 100k-commit backfill becomes many bounded batches.
+        # rate limit (Delta's maxFilesPerTrigger / maxBytesPerTrigger):
+        # advance commit by commit from the cursor, stopping once the
+        # batch would exceed EITHER cap — always admitting at least one
+        # row-delivering commit so the stream can never stall (a single
+        # file larger than maxBytes still flows, like Delta).
+        # O(admitted commits) tiny-JSON reads; a 100k-commit backfill
+        # becomes many bounded batches.
         p = Path(self.root)
-        end, n_files = self._cursor, 0
+        end, n_files, n_bytes = self._cursor, 0, 0
         for v in [x for x in versions if x > self._cursor]:
             rec = json.loads(_log_path(p, v).read_text())
-            adds = 0
+            adds, bts = 0, 0
             if rec.get("op") not in ROW_PRESERVING_OPS and not (
                 rec.get("removes") and self.skip_change and not self.cdf
             ):
-                adds = len(rec.get("adds") or [])
-            if n_files and n_files + adds > self.max_files:
+                add_recs = rec.get("adds") or []
+                adds = len(add_recs)
+                if self.max_bytes is not None:
+                    for a in add_recs:
+                        sz = a.get("size")
+                        if sz is None:
+                            # legacy add without a recorded size: one stat
+                            fp = a["path"]
+                            if not os.path.isabs(fp):
+                                fp = str(p / fp)
+                            try:
+                                sz = os.stat(fp).st_size
+                            except OSError:
+                                sz = 0
+                        bts += int(sz)
+            if n_files and (
+                (self.max_files is not None and n_files + adds > self.max_files)
+                or (self.max_bytes is not None and n_bytes + bts > self.max_bytes)
+            ):
                 break
-            end, n_files = v, n_files + adds
-            if n_files >= self.max_files:
+            end, n_files, n_bytes = v, n_files + adds, n_bytes + bts
+            if (self.max_files is not None and n_files >= self.max_files) or (
+                self.max_bytes is not None and n_bytes >= self.max_bytes
+            ):
                 break
         return {"version": end}
 
@@ -1133,6 +1165,7 @@ class _VersionedWriterBase:
                     _FileEntry(
                         e["path"], e["key_min"], e["key_max"],
                         e["stats"], e["num_rows"], bloom=e.get("bloom"),
+                        size=e.get("size"),
                     )
                 )
         return out

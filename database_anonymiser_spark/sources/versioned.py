@@ -209,6 +209,11 @@ class _FileEntry:
     dv: str | None = None
     #: dead-position count for the DV — keeps row_count a pure log read
     dv_count: int | None = None
+    #: on-disk byte size (Delta's add.size, round 12) — recorded at the
+    #: write chokepoints so streaming maxBytesPerTrigger admission is a
+    #: pure log read; None on legacy/re-referenced entries (readers
+    #: fall back to one os.stat)
+    size: int | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -951,10 +956,15 @@ def _write_data_files(
             # here, the one write chokepoint (round 10)
             p.unlink(missing_ok=True)
             continue
+        try:
+            size = p.stat().st_size
+        except OSError:
+            size = None
         entries.append(
             _FileEntry(
                 str(p.relative_to(root)), lo, hi, stats, n_rows,
                 bloom=_bloom_sidecars_for(root, p, bloom_cols),
+                size=size,
             )
         )
     return entries
@@ -1014,6 +1024,8 @@ def _commit(
                     **({"bloom": e.bloom} if getattr(e, "bloom", None) else {}),
                     **({"dv": e.dv, "dv_count": e.dv_count}
                        if getattr(e, "dv", None) else {}),
+                    **({"size": e.size}
+                       if getattr(e, "size", None) is not None else {}),
                 }
                 for e in adds
             ],
@@ -2136,6 +2148,7 @@ class VersionedTable:
                     dv=str((src.root / e["dv"]).absolute())
                     if e.get("dv") else None,
                     dv_count=e.get("dv_count"),
+                    size=e.get("size"),
                 )
                 for e in live.values()
             ]
@@ -2232,10 +2245,15 @@ class VersionedTable:
                 n_rows = pq.ParquetFile(str(p)).metadata.num_rows
             except Exception:
                 n_rows = None
+            try:
+                size = p.stat().st_size
+            except OSError:
+                size = None
             adds.append(
                 _FileEntry(
                     str(p.relative_to(t.root)), lo, hi, stats, n_rows,
                     bloom=_bloom_sidecars_for(t.root, p, bloom_cols),
+                    size=size,
                 )
             )
         # footer-derived schema of the whole set (mergeSchema=false is
@@ -2320,6 +2338,7 @@ class VersionedTable:
                 _FileEntry(
                     e["path"], e.get("key_min"), e.get("key_max"),
                     stats or None, e.get("num_rows"), bloom=bloom or None,
+                    size=e.get("size"),
                 )
             )
         merged = tuple(
@@ -3651,6 +3670,7 @@ class VersionedTable:
                     e["path"], e.get("key_min"), e.get("key_max"),
                     e.get("stats"), e.get("num_rows"),
                     bloom=e.get("bloom"), dv=rel, dv_count=len(merged),
+                    size=e.get("size"),
                 )
             )
             removes.append(e["path"])
@@ -3847,6 +3867,7 @@ class VersionedTable:
                 bloom=e.get("bloom"),
                 dv=e.get("dv"),
                 dv_count=e.get("dv_count"),
+                size=e.get("size"),
             )
             for p, e in target.items()
             # re-add when ANY entry state differs (a same-path file whose

@@ -1128,3 +1128,92 @@ def test_cdf_diff_on_map_columns_e2e(spark, tmp_path, monkeypatch):
     assert ev == {("update_preimage", 2), ("update_postimage", 2)}
     post = cdf.where("_change_type = 'update_postimage'").first()
     assert post.m == {"x": 10}
+
+
+def test_stream_reader_max_bytes_per_trigger_bounds_batches(registered, tmp_path):
+    """maxBytesPerTrigger (round 12): byte-based admission from the
+    per-add ``size`` recorded in the log — file counts are a poor proxy
+    under compaction (one compacted file can be the whole backfill).
+    Always ≥1 row-delivering commit per batch (an oversized single file
+    still flows); composes with maxFilesPerTrigger."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        _ChangesStreamReader,
+    )
+
+    spark = registered
+    root = tmp_path / "bl"
+    import hashlib as _h
+
+    def _pay(k):  # incompressible: 8 distinct digests per row
+        return "".join(
+            _h.md5(f"{k}-{i}".encode()).hexdigest() for i in range(8)
+        )
+
+    mk = lambda i, n: spark.createDataFrame(
+        [(i * 1000 + j, _pay(i * 1000 + j)) for j in range(n)],
+        "k long, v string",
+    ).coalesce(1)
+    t = VersionedTable.create(spark, root, mk(0, 10), key_col="k")
+    for i in range(1, 4):
+        t.append(mk(i, 10))  # versions 1..3, one ~1KB file each
+    # every add carries its recorded size
+    sizes = [e.get("size") for e in t._live_entries()]
+    assert all(isinstance(s, int) and s > 0 for s in sizes)
+    one = max(sizes)
+
+    def drain(opts):
+        r = _ChangesStreamReader(str(root), opts)
+        start = r.initialOffset()
+        batches = []
+        while True:
+            end = r.latestOffset()
+            if end["version"] == start["version"]:
+                break
+            parts = r.partitions(start, end)
+            batches.append(len([p for p in parts if p]))
+            start = end
+        return batches
+
+    # cap ≈ 1.5 files: one file per batch (each next file would exceed)
+    assert drain({"maxbytespertrigger": str(int(one * 1.5))}) == [1, 1, 1, 1]
+    # cap ≈ 2.5 files: two per batch
+    assert drain({"maxbytespertrigger": str(int(one * 2.5))}) == [2, 2]
+
+    # the verdict's compaction shape: a downstream table ingests the
+    # COMPACTED upstream backfill as one big file among small trickle
+    # appends — a file-count cap lumps it with neighbors, the byte cap
+    # isolates it (and an oversized single file still flows: never ≥1
+    # commit admitted means never stalls)
+    t.compact()
+    root2 = tmp_path / "down"
+    t2 = VersionedTable.create(spark, root2, mk(8, 1), key_col="k")
+    t2.append(t.snapshot().coalesce(1))  # the compacted backfill: 1 big file
+    t2.append(mk(7, 1))
+    small = min(e["size"] for e in t2._live_entries())
+    big = max(e["size"] for e in t2._live_entries())
+    assert big > 3 * small
+
+    def drain2(opts):
+        r = _ChangesStreamReader(str(root2), opts)
+        start = r.initialOffset()
+        batches = []
+        while True:
+            end = r.latestOffset()
+            if end["version"] == start["version"]:
+                break
+            parts = r.partitions(start, end)
+            batches.append(len([p for p in parts if p]))
+            start = end
+        return batches
+
+    # byte cap < big: the backfill file comes through ALONE (admitted
+    # despite exceeding the cap — first row-delivering commit), small
+    # neighbors batch separately; a 2-file cap would have lumped them
+    assert drain2({"maxbytespertrigger": str(int(small * 1.5))}) == [1, 1, 1]
+    assert drain2({"maxfilespertrigger": "2"}) == [2, 1]
+
+    # composes with maxFilesPerTrigger: whichever cap binds first (the
+    # trailing 0-file batch is the compact commit riding along for free)
+    assert drain(
+        {"maxbytespertrigger": str(one * 10), "maxfilespertrigger": "1"}
+    ) == [1, 1, 1, 1, 0]
