@@ -165,6 +165,12 @@ def main():
             from tools.ann_probe import ann_recall_headline
 
             row["ann_recall"] = ann_recall_headline(spark, sf_dir)
+            # round-12 verdict #8: sim_cosine_pairs joins the scale-
+            # sensitive set (LSH-blocked all-pairs is the entry most
+            # exposed to candidate-pair growth at 10×)
+            row["sim_cosine_pairs"] = _time(
+                lambda: specs["sim_cosine_pairs"].spark(spark, sf_dir).count()
+            )
         # training-shard export lifecycle (round 9): write + verify
         # walls and the structural counters (one file per shard,
         # manifest totals). Fixed token budget per shard across scales:
