@@ -3970,33 +3970,52 @@ class VersionedTable:
         new = _read(added, added_e).select(
             k_expr.alias("_k"), F.struct(*cols).alias("_new")
         )
-        if len(kt) == 1:
-            any_null = F.col("_k").isNull()
-        else:
-            any_null = F.lit(False)
-            for c in kt:
-                any_null = any_null | F.col(f"_k.{c}").isNull()
-        row_t = st.StructType(
-            [st.StructField(f.name, f.dataType, True) for f in schema_src.schema]
+        ident = self.identity_column()
+        key_never_null = kt == (ROW_ID_COL,) or (
+            len(kt) == 1 and ident is not None and ident[0] == kt[0]
         )
-        old_nk = old.where(any_null).select("_old")
-        new_nk = new.where(any_null).select("_new")
-        if not _has_map_type(row_t):
-            dels_nk = old_nk.exceptAll(new_nk.withColumnRenamed("_new", "_old"))
-            ins_nk = new_nk.exceptAll(old_nk.withColumnRenamed("_old", "_new"))
+        if key_never_null:
+            # engine-allocated keys (row tracking, identity) cannot be
+            # NULL — skip the routing plan entirely (the streaming CDF
+            # hot path stays two-shuffle-free)
+            joined = old.join(new, "_k", "full_outer").select("_old", "_new")
         else:
-            dels_nk, ins_nk = old_nk, new_nk
-        joined = (
-            old.where(~any_null)
-            .join(new.where(~any_null), "_k", "full_outer")
-            .select("_old", "_new")
-            .unionByName(
-                dels_nk.select("_old", F.lit(None).cast(row_t).alias("_new"))
+            if len(kt) == 1:
+                any_null = F.col("_k").isNull()
+            else:
+                any_null = F.lit(False)
+                for c in kt:
+                    any_null = any_null | F.col(f"_k.{c}").isNull()
+            row_t = st.StructType(
+                [st.StructField(f.name, f.dataType, True)
+                 for f in schema_src.schema]
             )
-            .unionByName(
-                ins_nk.select(F.lit(None).cast(row_t).alias("_old"), "_new")
+            old_nk = old.where(any_null).select("_old")
+            new_nk = new.where(any_null).select("_new")
+            if not _has_map_type(row_t):
+                dels_nk = old_nk.exceptAll(
+                    new_nk.withColumnRenamed("_new", "_old")
+                )
+                ins_nk = new_nk.exceptAll(
+                    old_nk.withColumnRenamed("_old", "_new")
+                )
+            else:
+                dels_nk, ins_nk = old_nk, new_nk
+            joined = (
+                old.where(~any_null)
+                .join(new.where(~any_null), "_k", "full_outer")
+                .select("_old", "_new")
+                .unionByName(
+                    dels_nk.select(
+                        "_old", F.lit(None).cast(row_t).alias("_new")
+                    )
+                )
+                .unionByName(
+                    ins_nk.select(
+                        F.lit(None).cast(row_t).alias("_old"), "_new"
+                    )
+                )
             )
-        )
         is_update = (
             F.col("_old").isNotNull()
             & F.col("_new").isNotNull()

@@ -118,8 +118,13 @@ def hash_sha256(col: Column) -> Column:
 def _hmac_pads(key: bytes) -> tuple[bytes, bytes]:
     """RFC 2104 inner/outer pads for SHA-256: keys longer than the 64-byte
     block are hashed first, then zero-padded; pads are key ⊕ 0x36 / 0x5c.
-    Driver-side byte arithmetic — the key never appears in the plan as
-    plaintext, only the derived pads ride as binary literals."""
+    Driver-side byte arithmetic. CAVEAT (honest, not hand-waved): the
+    pads ride the compiled plan as binary literals and are KEY-EQUIVALENT
+    material (XOR with the public constants inverts them) — the key
+    stays out of configs/reports/logs BY THIS MODULE, but an
+    ``EXPLAIN``/plan dump of a keyed expression must be treated as
+    secret-bearing, exactly like any engine that evaluates a keyed
+    function near the data."""
     kb = hashlib.sha256(key).digest() if len(key) > _HMAC_BLOCK else key
     kb = kb.ljust(_HMAC_BLOCK, b"\x00")
     return (
