@@ -112,6 +112,21 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "code grades the ENFORCED output",
     )
     p.add_argument(
+        "--dpOut", default=None, dest="dp_out", metavar="PATH",
+        help="with --audit: also WRITE an ε-differentially-private "
+        "release of the quasi-group counts (dp_noisy_counts) to this "
+        "parquet path — the publishable histogram companion to the "
+        "audit verdict; noise is a pure function of (group, --dpSeed)",
+    )
+    p.add_argument(
+        "--epsilon", type=float, default=1.0,
+        help="ε for --dpOut (default 1.0)",
+    )
+    p.add_argument(
+        "--dpSeed", type=int, default=0, dest="dp_seed",
+        help="seed recorded with a --dpOut release (reproducible noise)",
+    )
+    p.add_argument(
         "--sql", default=None, metavar="STATEMENT",
         help="SQL mode (round 12): register every --data table as a "
         "temp view (plus any --versionedTable pins), run ONE statement, "
@@ -127,6 +142,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="SQL mode: also register a commit-log table as view NAME "
         "(repeatable); @VERSION pins a time-travel read through the "
         "DataSource's versionAsOf option",
+    )
+    p.add_argument(
+        "--changesTable", action="append", default=None,
+        dest="changes_tables", metavar="NAME=ROOT[@SINCE]",
+        help="SQL mode: register a commit-log table's CHANGE DATA FEED "
+        "as view NAME (repeatable) — Delta CDF's layout (_change_type, "
+        "_commit_version, _commit_timestamp) via the DataSource's "
+        "readChangeFeed path; @SINCE sets startingVersion (default 0)",
     )
     p.add_argument(
         "--maxRows", type=int, default=20, dest="max_rows",
@@ -145,8 +168,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
             "exactly one of --configGen | --dryrun | --apply | --audit "
             "| --sql/--sqlFile is required"
         )
-    if args.versioned_tables and not args.sqlMode:
-        p.error("--versionedTable is a --sql mode option")
+    if (args.versioned_tables or args.changes_tables) and not args.sqlMode:
+        p.error("--versionedTable/--changesTable are --sql mode options")
+    if args.dp_out is not None and not args.audit:
+        p.error("--dpOut requires --audit")
     if args.purgeHistory and not args.versioned:
         p.error("--purgeHistory requires --versioned")
     if args.audit and (not args.table or not args.quasi):
@@ -195,22 +220,37 @@ def main(argv: list[str] | None = None) -> int:
         # run as-is against the extract directory
         for ti in catalog.list_tables():
             catalog.read(ti.name).createOrReplaceTempView(ti.name)
-        if args.versioned_tables:
+        if args.versioned_tables or args.changes_tables:
             spark.dataSource.register(VersionedDataSource)
-            for spec in args.versioned_tables:
-                name, sep, rest = spec.partition("=")
+
+            def _spec(raw: str, flag: str):
+                name, sep, rest = raw.partition("=")
                 if not sep or not name or not rest:
-                    print(
-                        f"--versionedTable {spec!r}: expected NAME=ROOT[@VERSION]",
-                        file=sys.stderr,
+                    raise SystemExit(
+                        f"{flag} {raw!r}: expected NAME=ROOT[@PIN]"
                     )
-                    return 2
-                root, _, ver = rest.rpartition("@") if "@" in rest else (rest, "", "")
+                root, _, pin = (
+                    rest.rpartition("@") if "@" in rest else (rest, "", "")
+                )
+                return name, root, pin
+
+            for spec in args.versioned_tables or []:
+                name, root, ver = _spec(spec, "--versionedTable")
                 reader = spark.read.format("versioned").option("path", root)
                 if ver:
                     # time travel through the DataSource option path
                     reader = reader.option("versionAsOf", ver)
                 reader.load().createOrReplaceTempView(name)
+            for spec in args.changes_tables or []:
+                name, root, since = _spec(spec, "--changesTable")
+                (
+                    spark.read.format("versioned")
+                    .option("path", root)
+                    .option("readChangeFeed", "true")
+                    .option("startingVersion", since or "0")
+                    .load()
+                    .createOrReplaceTempView(name)
+                )
         t0 = _time.time()
         df = spark.sql(stmt)
         if args.out:
@@ -351,6 +391,25 @@ def main(argv: list[str] | None = None) -> int:
                 report["enforced"]["k_anonymity"]["satisfied"]
                 and enforced_riders_ok
             )
+        if args.dp_out is not None:
+            # the publishable companion artifact: an ε-DP histogram of
+            # the quasi groups (noise a pure function of (group, seed) —
+            # the report records ε and seed so an auditor reproduces the
+            # release bit-exactly; the seed must stay as private as the
+            # release demands)
+            from database_anonymiser_spark.operators.privacy import (
+                dp_noisy_counts,
+            )
+
+            rel = dp_noisy_counts(df, quasi, args.epsilon, seed=args.dp_seed)
+            rel.write.mode("error").parquet(args.dp_out)
+            report["dp_release"] = {
+                "out": args.dp_out,
+                "epsilon": args.epsilon,
+                "seed": args.dp_seed,
+                "n_groups": rel.count(),
+                "mechanism": "laplace_counts",
+            }
         report_path = args.report or "anonymiser.audit.report.json"
         write_json_report(report_path, report)
         verdict = "RELEASE OK" if ok else "RELEASE BLOCKED"

@@ -85,6 +85,16 @@ from database_anonymiser_spark.sources.versioned import (
 )
 
 
+class _EmptyPartition(InputPartition):
+    """The zero-row partition: Spark 4.1's worker type-checks every
+    element of partitions() against InputPartition, so an empty file
+    set must return THIS, never [None] (round 12 — surfaced by an
+    empty change-feed range)."""
+
+    def __init__(self):
+        super().__init__(0)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, arrow_schema_physical, logical_names: list,
                  dv_path: str | None = None, scan_filters: list | None = None):
@@ -294,10 +304,10 @@ class _SnapshotReader(DataSourceReader):
             out.append(
                 _FilePartition(path, phys, names, dv_path=dv, scan_filters=scanf)
             )
-        return out or [None]
+        return out or [_EmptyPartition()]
 
     def read(self, partition):
-        if partition is None:
+        if partition is None or isinstance(partition, _EmptyPartition):
             return iter(())
         return _read_file_aligned(partition)
 
@@ -749,7 +759,7 @@ def _plan_change_partitions(
 def _read_change_partition(partition):
     """Executor-side dispatch shared by the streaming follow and the
     batch change-feed read."""
-    if partition is None:
+    if partition is None or isinstance(partition, _EmptyPartition):
         return iter(())
     if isinstance(partition, _CdfDiffPartition):
         return _diff_commit(partition)
@@ -825,7 +835,7 @@ class _CdfBatchReader(DataSourceReader):
             Path(self.root), self.a, self.b, phys, names,
             cdf=True, skip_change=False,
         )
-        return out or [None]
+        return out or [_EmptyPartition()]
 
     def read(self, partition):
         return _read_change_partition(partition)
@@ -964,7 +974,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # restart, which re-plans through this call)
         self._cursor = max(self._cursor if self._cursor is not None else -1, b)
         if b <= a:
-            return [None]
+            return [_EmptyPartition()]
         p = Path(self.root)
         # the batch's logical view is the STREAM-START schema (see
         # __init__); an interval-end schema that differs can only mean a
@@ -986,7 +996,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         out = _plan_change_partitions(
             p, a, b, phys, names, cdf=self.cdf, skip_change=self.skip_change
         )
-        return out or [None]
+        return out or [_EmptyPartition()]
 
     def read(self, partition):
         return _read_change_partition(partition)

@@ -214,6 +214,10 @@ class _FileEntry:
     #: pure log read; None on legacy/re-referenced entries (readers
     #: fall back to one os.stat)
     size: int | None = None
+    #: True on files produced BY a clustering rewrite (round 12 — the
+    #: incremental-clustering watermark: optimize_cluster reclusters
+    #: only files without it, Delta liquid clustering's cost shape)
+    clustered: bool | None = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -283,7 +287,10 @@ ISIN_LITERAL_CAP = 256
 #: row-preserving op added here is skipped by both (round-8 advice —
 #: the two previously carried private copies that could drift; round 9's
 #: ``analyze`` is the first op added under the shared rule).
-ROW_PRESERVING_OPS = ("compact", "optimize_zorder", "analyze")
+ROW_PRESERVING_OPS = (
+    "compact", "optimize_zorder", "analyze", "optimize_cluster",
+    "set_clustering",
+)
 
 #: winner-commit ops a conflicted MERGE may try to REBASE across (data-only
 #: writes; everything else — DDL, constraints, properties, restores,
@@ -897,6 +904,7 @@ def _write_data_files(
     key_col: str | None,
     stats_cols: tuple[str, ...] = (),
     colmap: dict | None = None,
+    mark_clustered: bool = False,
 ) -> list[_FileEntry]:
     """Write df as parquet under data/<uuid>/ and return entries with
     footer key stats (plus per-column stats for ``stats_cols``). Files are
@@ -964,7 +972,7 @@ def _write_data_files(
             _FileEntry(
                 str(p.relative_to(root)), lo, hi, stats, n_rows,
                 bloom=_bloom_sidecars_for(root, p, bloom_cols),
-                size=size,
+                size=size, clustered=mark_clustered or None,
             )
         )
     return entries
@@ -1026,6 +1034,8 @@ def _commit(
                        if getattr(e, "dv", None) else {}),
                     **({"size": e.size}
                        if getattr(e, "size", None) is not None else {}),
+                    **({"clustered": True}
+                       if getattr(e, "clustered", None) else {}),
                 }
                 for e in adds
             ],
@@ -4169,6 +4179,130 @@ class VersionedTable:
                 )
         raise AssertionError("unreachable")
 
+    def set_clustering(self, cols: tuple[str, ...]) -> int:
+        """Declare the table's CLUSTERING KEY (round 12 — Delta liquid
+        clustering's ``CLUSTER BY``): a pure-metadata commit recording
+        ``clustering.cols`` in the property map and merging the columns
+        into the declared per-file stats (so every write from now on
+        records their bounds). No data moves here — clustering happens
+        incrementally in :meth:`optimize_cluster`. Re-declaring with
+        different columns is allowed (Delta allows ALTER ... CLUSTER BY):
+        every live file simply counts as unclustered again at the next
+        optimize."""
+        cols = tuple(cols)
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("clustering needs 1-4 columns")
+        schema = self._log_schema()
+        if schema is not None:
+            missing = [c for c in cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"no such column(s): {missing}")
+        v = self.latest_version()
+        props = dict(self._raw_properties())
+        props["clustering.cols"] = json.dumps(list(cols))
+        decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
+        _commit(
+            self.root, v + 1, [], [], self.key_col(), op="set_clustering",
+            meta={"properties": props}, stats_cols=decl,
+        )
+        return v + 1
+
+    def clustering_cols(self) -> tuple[str, ...]:
+        """The declared clustering key, or () when none."""
+        raw = self._raw_properties().get("clustering.cols")
+        return tuple(json.loads(raw)) if raw else ()
+
+    def optimize_cluster(
+        self, file_count: int | None = None, max_retries: int = 3
+    ) -> int:
+        """INCREMENTAL clustering maintenance (round 12 — the cost shape
+        of Delta liquid clustering's OPTIMIZE): z-order-rewrite ONLY the
+        live files not already produced by a clustering rewrite (the
+        per-entry ``clustered`` watermark), carrying every clustered
+        file BY REFERENCE. The first call after :meth:`set_clustering`
+        is a full recluster (everything is unclustered); afterwards each
+        call costs O(data written since the last call), not O(table) —
+        the property that keeps a 100 TB clustered table maintainable
+        under trickle ingest, where a whole-table OPTIMIZE ZORDER would
+        be a table-sized shuffle every epoch.
+
+        Trade-off (documented, same as liquid clustering): incremental
+        generations form separate z-runs, so per-file pruning is
+        slightly looser than one full recluster until generations are
+        eventually merged by a full :meth:`optimize_zorder`; stats
+        recording and file skipping work identically either way. The
+        z-grid normalizes over the DELTA's own bounds — fine for
+        pruning (stats are per-file footers, not grid-derived).
+
+        Row-preserving (``ROW_PRESERVING_OPS``): streaming followers and
+        incremental consumers skip it for free. Returns the new version,
+        or the current one when nothing is unclustered (metadata no-op).
+        """
+        cols = self.clustering_cols()
+        if not cols:
+            raise ValueError(
+                "no clustering key declared; call set_clustering first"
+            )
+        key_col = self.key_col()
+        v = self.latest_version()
+        entries = self._live_entries(v)
+        todo = [e for e in entries if not e.get("clustered")]
+        if not todo:
+            return v
+        df = self._read_paths(
+            [e["path"] for e in todo], dv_map=self._dv_map(todo)
+        )
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        b = df.agg(*aggs).first()
+        z = _zorder_expr(cols, {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in cols})
+        if file_count is None:
+            # size-derived: ~128 MB targets from the delta's recorded
+            # bytes (stat fallback for legacy adds)
+            total = 0
+            for e in todo:
+                sz = e.get("size")
+                if sz is None:
+                    try:
+                        sz = (self.root / e["path"]).stat().st_size
+                    except OSError:
+                        sz = 0
+                total += int(sz)
+            file_count = max(1, -(-total // (128 * 1024 * 1024)))
+        out = df.repartitionByRange(file_count, z).sortWithinPartitions(z)
+        decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
+        new_files = _write_data_files(
+            out, self.root, key_col, stats_cols=decl, colmap=self._colmap,
+            mark_clustered=True,
+        )
+        removes = [e["path"] for e in todo]
+        base_v = v
+        for attempt in range(max_retries + 1):
+            try:
+                _commit(
+                    self.root, base_v + 1, new_files, removes, key_col,
+                    op="optimize_cluster", stats_cols=decl,
+                    meta={
+                        "metrics": {
+                            "files_clustered": len(removes),
+                            "files_carried": len(entries) - len(removes),
+                            "files_written": len(new_files),
+                        }
+                    },
+                )
+                return base_v + 1
+            except VersionConflict:
+                if attempt == max_retries:
+                    raise
+                # row-preserving: winner ADDS stay live (they are just
+                # unclustered until the next optimize); a winner touching
+                # one of OUR files re-raises
+                base_v = self._rebase_head(
+                    base_v, set(removes), lambda a: False
+                )
+        raise AssertionError("unreachable")
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
@@ -4630,6 +4764,11 @@ class VersionedTable:
             "properties": props,
             "reader_features": sorted(r_feat),
             "writer_features": sorted(w_feat),
+            "clustering_cols": list(self.clustering_cols()),
+            "files_unclustered": (
+                sum(1 for e in entries if not e.get("clustered"))
+                if self.clustering_cols() else None
+            ),
             "column_mapping": bool(self._colmap),
             "files_with_dv": sum(1 for e in entries if e.get("dv")),
             "files_with_bloom": sum(1 for e in entries if e.get("bloom")),

@@ -817,3 +817,101 @@ def test_cli_sql_mode_tpch_shape_and_time_travel(sf_dir, spark, tmp_path, monkey
         main(["--sql", "SELECT 1", "--dryrun", "--data", sf_dir])
     with pytest.raises(SystemExit):
         main(["--versionedTable", "x=y", "--dryrun", "--data", sf_dir])
+
+
+def test_cli_sql_changes_table_registers_cdf_view(sf_dir, spark, tmp_path, monkeypatch):
+    """--changesTable (round 12): the CLI registers a commit-log table's
+    change feed as a SQL view (Delta CDF layout) with an optional @SINCE
+    startingVersion pin."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    monkeypatch.chdir(tmp_path)
+    t = VersionedTable.create(
+        spark, str(tmp_path / "vt"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        key_col="k",
+    )
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], "k long, s string"))
+    rc = main(
+        ["--sql",
+         "SELECT _change_type, k, s FROM ch WHERE _commit_version = 1 "
+         "ORDER BY _change_type, k",
+         "--data", sf_dir,
+         "--changesTable", f"ch={tmp_path / 'vt'}",
+         "--out", str(tmp_path / "ch_out")]
+    )
+    assert rc == 0
+    rows = {
+        (r._change_type, r.k, r.s)
+        for r in spark.read.parquet(str(tmp_path / "ch_out")).collect()
+    }
+    assert rows == {
+        ("insert", 3, "c"),
+        ("update_preimage", 2, "b"),
+        ("update_postimage", 2, "B2"),
+    }
+    # @SINCE pin: starting past the merge yields nothing
+    rc = main(
+        ["--sql", "SELECT count(*) AS n FROM ch2",
+         "--data", sf_dir,
+         "--changesTable", f"ch2={tmp_path / 'vt'}@2",
+         "--report", str(tmp_path / "ch2.json")]
+    )
+    assert rc == 0
+    assert _json.loads((tmp_path / "ch2.json").read_text())["rows"] == 1
+
+
+def test_cli_audit_dp_release(sf_dir, spark, tmp_path, monkeypatch):
+    """--dpOut (round 12): the audit mode writes an ε-DP histogram of the
+    quasi groups; the release is reproducible under its recorded seed
+    and differs under another."""
+    import json as _json
+
+    from database_anonymiser_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--dpOut", str(tmp_path / "rel1"), "--epsilon", "2.0",
+         "--dpSeed", "42"]
+    )
+    assert rc == 0
+    rep = _json.loads((tmp_path / "anonymiser.audit.report.json").read_text())
+    assert rep["dp_release"]["epsilon"] == 2.0
+    assert rep["dp_release"]["seed"] == 42
+    rel1 = {
+        r.c_mktsegment: r.noisy_n
+        for r in spark.read.parquet(str(tmp_path / "rel1")).collect()
+    }
+    assert rep["dp_release"]["n_groups"] == len(rel1)
+
+    # same seed → bit-identical release; different seed → different noise
+    main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--dpOut", str(tmp_path / "rel2"), "--epsilon", "2.0",
+         "--dpSeed", "42"]
+    )
+    rel2 = {
+        r.c_mktsegment: r.noisy_n
+        for r in spark.read.parquet(str(tmp_path / "rel2")).collect()
+    }
+    assert rel1 == rel2
+    main(
+        ["--audit", "--data", sf_dir, "--table", "customer",
+         "--quasi", "c_mktsegment", "--k", "5",
+         "--dpOut", str(tmp_path / "rel3"), "--epsilon", "2.0",
+         "--dpSeed", "43"]
+    )
+    rel3 = {
+        r.c_mktsegment: r.noisy_n
+        for r in spark.read.parquet(str(tmp_path / "rel3")).collect()
+    }
+    assert rel1 != rel3
+
+    with pytest.raises(SystemExit):
+        main(["--dpOut", "x", "--dryrun", "--data", sf_dir])
