@@ -942,7 +942,7 @@ def _write_data_files(
     df.write.mode("error").parquet(str(out))
     entries = []
     for p in sorted(out.rglob("*.parquet")):
-        lo, hi = _footer_key_stats(p, key_col)
+        lo, hi, key_nc = _footer_col_stats(p, key_col)
         stats = None
         if range_cols:
             stats = {}
@@ -953,6 +953,15 @@ def _write_data_files(
                 # null_count-unknown (must-scan for nullness)
                 clo, chi, cnc = _footer_col_stats(p, c)
                 stats[c] = [clo, chi, cnc]
+        if key_col is not None and key_nc is not None and (
+            key_col not in (stats or {})
+        ):
+            # the LEADING key column's stat rides too (same harvest, the
+            # footer was already open): its null_count lets diff() prove
+            # "no NULL keys in these files" and skip the any-NULL routing
+            # plan entirely (round 12)
+            stats = dict(stats or {})
+            stats[key_col] = [lo, hi, key_nc]
         try:
             n_rows = pq.ParquetFile(str(p)).metadata.num_rows
         except Exception:
@@ -3984,6 +3993,23 @@ class VersionedTable:
         key_never_null = kt == (ROW_ID_COL,) or (
             len(kt) == 1 and ident is not None and ident[0] == kt[0]
         )
+        if not key_never_null:
+            # stats proof (round 12): when every diffed file RECORDS
+            # null_count == 0 for every key column, no any-NULL key can
+            # exist on either side — skip the routing plan (the common
+            # all-non-null case pays nothing for the NULL semantics)
+            pcols = [self._phys(c) for c in kt]
+
+            def _nc_zero(ents) -> bool:
+                for e in ents:
+                    st_ = e.get("stats") or {}
+                    for pc in pcols:
+                        s_ = st_.get(pc)
+                        if s_ is None or len(s_) < 3 or s_[2] != 0:
+                            return False
+                return True
+
+            key_never_null = _nc_zero(removed_e) and _nc_zero(added_e)
         if key_never_null:
             # engine-allocated keys (row tracking, identity) cannot be
             # NULL — skip the routing plan entirely (the streaming CDF

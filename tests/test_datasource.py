@@ -1162,6 +1162,10 @@ def test_stream_reader_max_bytes_per_trigger_bounds_batches(registered, tmp_path
     one = max(sizes)
 
     def drain(opts):
+        from database_anonymiser_spark.sources.spark_datasource import (
+            _EmptyPartition,
+        )
+
         r = _ChangesStreamReader(str(root), opts)
         start = r.initialOffset()
         batches = []
@@ -1170,7 +1174,10 @@ def test_stream_reader_max_bytes_per_trigger_bounds_batches(registered, tmp_path
             if end["version"] == start["version"]:
                 break
             parts = r.partitions(start, end)
-            batches.append(len([p for p in parts if p]))
+            batches.append(
+                len([p for p in parts
+                     if p and not isinstance(p, _EmptyPartition)])
+            )
             start = end
         return batches
 
@@ -1194,6 +1201,10 @@ def test_stream_reader_max_bytes_per_trigger_bounds_batches(registered, tmp_path
     assert big > 3 * small
 
     def drain2(opts):
+        from database_anonymiser_spark.sources.spark_datasource import (
+            _EmptyPartition,
+        )
+
         r = _ChangesStreamReader(str(root2), opts)
         start = r.initialOffset()
         batches = []
@@ -1202,7 +1213,10 @@ def test_stream_reader_max_bytes_per_trigger_bounds_batches(registered, tmp_path
             if end["version"] == start["version"]:
                 break
             parts = r.partitions(start, end)
-            batches.append(len([p for p in parts if p]))
+            batches.append(
+                len([p for p in parts
+                     if p and not isinstance(p, _EmptyPartition)])
+            )
             start = end
         return batches
 
