@@ -515,6 +515,16 @@ def merge_upsert(spark, sf_dir):
         .withColumn("c_mktsegment", F.lit("COMPNEW"))
     )
     t2.merge(upd9.unionByName(new9), skip_by="points")
+    # round 12: INCREMENTAL CLUSTERING rides the same oracle — declare
+    # the clustering key and recluster. Row-preserving by contract, so
+    # the returned snapshot AND the v9 feed must hash-check unchanged:
+    # the layout rewrite (z-ordered generations, clustered watermark) is
+    # itself value-hash checked cross-engine, exactly like the round-5
+    # Z-ORDER precedent. The NULL-nationkey rows additionally pin the
+    # diff's content-identity rule: carried unchanged through the
+    # rewrite, they must stay EVENTLESS however the files shuffle.
+    t2.set_clustering(("c_nationkey", "c_acctbal"))
+    t2.optimize_cluster(file_count=4)
 
     cols = cust.columns
     feed = t.snapshot(0).select(
