@@ -562,13 +562,70 @@ def _diff_commit(part: _CdfDiffPartition):
     """Row-level change events of one commit, Delta-CDF-faithful
     (images='both'): insert / delete / update_preimage+update_postimage;
     byte-identical carried rows excluded. Key uniqueness per version is
-    the table invariant (MERGE maintains it), same as diff()."""
+    the table invariant (MERGE maintains it), same as diff().
+
+    NULL-key semantics mirror the native ``diff()`` exactly (round 12 —
+    the same arity-consistency rule: an any-NULL key has no SQL-equality
+    identity, and ``index_in``'s nulls-MATCH-nulls would silently give
+    it one): any-NULL-key rows route around the key alignment, identity
+    falls back to full-row CONTENT (multiset cancel — carried-unchanged
+    rows emit nothing, changed rows classify delete+insert). The cancel
+    is an object-path over ONLY the any-NULL subset — empty on any
+    properly keyed table, and provably empty whenever the files record
+    zero key nulls."""
     import numpy as np
     import pyarrow.compute as pc
 
     old = _read_side(part.removed, part.arrow_schema_physical, part.logical_names)
     new = _read_side(part.added, part.arrow_schema_physical, part.logical_names)
     kt = _key_tuple(part.key_col)
+
+    def _null_key_mask(tbl):
+        m = None
+        for c in kt:
+            nm = pc.is_null(tbl[c]).to_numpy(zero_copy_only=False).astype(bool)
+            m = nm if m is None else (m | nm)
+        return m
+
+    null_parts = []
+    if old.num_rows or new.num_rows:
+        om = _null_key_mask(old) if old.num_rows else np.empty(0, dtype=bool)
+        nm = _null_key_mask(new) if new.num_rows else np.empty(0, dtype=bool)
+        if om.any() or nm.any():
+            from collections import Counter
+
+            old_n = old.take(np.flatnonzero(om)) if om.any() else old.slice(0, 0)
+            new_n = new.take(np.flatnonzero(nm)) if nm.any() else new.slice(0, 0)
+            old = old.take(np.flatnonzero(~om)) if om.any() else old
+            new = new.take(np.flatnonzero(~nm)) if nm.any() else new
+
+            def _render(rows):
+                # deterministic content rendering (schema order is
+                # fixed); map entry order renders as-is — a re-ordered
+                # equal map classifies delete+insert, the documented
+                # conservative direction, same caveat as _map_canon
+                return [repr(list(r.items())) for r in rows]
+
+            o_rows = _render(old_n.to_pylist())
+            n_rows = _render(new_n.to_pylist())
+            co, cn = Counter(o_rows), Counter(n_rows)
+
+            def _residue(keys, other):
+                used: Counter = Counter()
+                out = []
+                for i, k in enumerate(keys):
+                    if used[k] < other.get(k, 0):
+                        used[k] += 1  # cancelled: carried unchanged
+                    else:
+                        out.append(i)
+                return out
+
+            d_idx = _residue(o_rows, cn)
+            i_idx = _residue(n_rows, co)
+            if d_idx:
+                null_parts.append((old_n.take(d_idx), "delete"))
+            if i_idx:
+                null_parts.append((new_n.take(i_idx), "insert"))
 
     def _key_arr(tbl):
         # composite key (round 11): align on the key TUPLE as a struct
@@ -619,7 +676,7 @@ def _diff_commit(part: _CdfDiffPartition):
         com_old = com_new = np.empty(0, dtype=np.int64)
         ins = np.arange(new.num_rows, dtype=np.int64)
         dels = np.arange(old.num_rows, dtype=np.int64)
-    parts = []
+    parts = list(null_parts)
     if len(ins):
         parts.append((new.take(ins), "insert"))
     if len(dels):

@@ -965,3 +965,63 @@ def test_tuple_bloom_prunes_correlated_composite_probes(spark, tmp_path):
         e for e in t._live_entries() if (e.get("bloom") or {}).get(tkey)
     ]
     assert len(new_files) == len(t._live_entries())
+
+
+def test_datasource_cdf_null_key_parity_with_native_diff(spark, tmp_path):
+    """The Arrow CDF face classifies any-NULL keys by CONTENT identity,
+    exactly like native diff() (round 12): index_in's nulls-match-nulls
+    would silently give a NULL component a key identity the merge engine
+    never grants. Carried-unchanged NULL-key rows emit nothing; changed
+    ones classify delete+insert, never update."""
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, None, "n0"), (1, None, "keep")],
+        "tenant int, eid int, val string",
+    ).coalesce(1)
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, key_col=["tenant", "eid"]
+    )
+    # one commit rewrites the file: keyed row updated; one NULL-key row
+    # changes content (delete n0 + append n1 within separate commits
+    # would not exercise the same-commit path — use merge + delete +
+    # append, then read the WHOLE feed)
+    t.merge(
+        spark.createDataFrame([(1, 1, "a2")], "tenant int, eid int, val string")
+    )
+    t.delete_where("val = 'n0'")
+    t.append(
+        spark.createDataFrame([(1, None, "n1")], "tenant int, eid int, val string")
+    )
+    spark.dataSource.register(VersionedDataSource)
+    cdf = (
+        spark.read.format("versioned")
+        .option("path", str(tmp_path / "t"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    ev = {(r._change_type, r.tenant, r.eid, r.val) for r in cdf.collect()}
+    # keyed row: proper update pair
+    assert ("update_preimage", 1, 1, "a") in ev
+    assert ("update_postimage", 1, 1, "a2") in ev
+    # NULL-key rows: content identity — n0 deleted, n1 inserted, the
+    # carried 'keep' row (rewritten twice with identical content) silent
+    assert ("delete", 1, None, "n0") in ev
+    assert ("insert", 1, None, "n1") in ev
+    assert not any(r[3] == "keep" for r in ev)
+    assert not any(
+        ct.startswith("update") and eid is None for ct, _, eid, _ in ev
+    )
+    # parity: the native feed (per-commit diffs) sees the same multiset
+    native = set()
+    for v in range(1, t.latest_version() + 1):
+        if t.commit_op(v) in V.ROW_PRESERVING_OPS:
+            continue
+        native |= {
+            (r._change_type, r.tenant, r.eid, r.val)
+            for r in t.diff(v - 1, v, images="both").collect()
+        }
+    assert native == ev
