@@ -399,6 +399,7 @@ def run_stream_to_versioned(
     compact_every: int | None = None,
     vacuum_retain: int | None = None,
     refresh_views: tuple[str, ...] = (),
+    cluster_every: int | None = None,
 ):
     """Drain a stream into a VersionedTable (sources/versioned.py) with
     MERGE-on-key per micro-batch — the streaming-ingest → ACID-table
@@ -431,7 +432,11 @@ def run_stream_to_versioned(
     maintenance knobs are set (the operational defaults a long-running
     ingest needs, mirroring Delta's auto-OPTIMIZE + VACUUM):
     ``compact_every=N`` bin-packs accreted small files every N batches
-    (metadata no-op when nothing is small); ``vacuum_retain=K`` then
+    (metadata no-op when nothing is small); ``cluster_every=M`` runs the
+    round-12 INCREMENTAL clustering pass on its own cadence (no-op until
+    the table has a declared clustering key — only files written since
+    the last pass are reclustered, so the trickle keeps itself clustered
+    at O(new data) per pass); ``vacuum_retain=K`` then
     reclaims files outside the newest K versions — together they bound
     BOTH the file count and the directory bytes of an indefinite stream,
     at the documented price that versions older than the retention
@@ -478,6 +483,19 @@ def run_stream_to_versioned(
         # on its own every-vacuum_retain-batches cadence
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             t.compact()
+        # cluster_every (round 12 — in-line incremental clustering, the
+        # liquid-clustering maintenance loop a trickle ingest needs):
+        # recluster ONLY the files written since the last pass — O(new
+        # data) per call; no-op until the caller has declared a key via
+        # set_clustering. Runs AFTER compact so the pass clusters the
+        # bin-packed output, not the pre-compaction shards.
+        if (
+            cluster_every
+            and batch_id > 0
+            and batch_id % cluster_every == 0
+            and t.clustering_cols()
+        ):
+            t.optimize_cluster()
         vac_every = compact_every or vacuum_retain
         if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
             # retention must additionally COVER every view cursor: the

@@ -138,3 +138,52 @@ def registered(spark):
 
     spark.dataSource.register(VersionedDataSource)
     return spark
+
+
+def test_streaming_sink_inline_clustering(spark, tmp_path):
+    """cluster_every (round 12): the streaming merge sink keeps its table
+    clustered IN-LINE — after the cadence batch, everything written since
+    the last pass is reclustered (no-op until a key is declared); table
+    STATE is untouched (row-preserving)."""
+    import shutil
+
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_to_versioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    schema = "k long, g int, v double"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(src / "stage"), mode="overwrite"
+        )
+        for p in (src / "stage").glob("*.parquet"):
+            shutil.move(str(p), str(src / f"{name}_{p.name}"))
+        shutil.rmtree(src / "stage")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_versioned(
+            stream, root, key_col="k", checkpoint=ckpt, cluster_every=1,
+        )
+
+    feed("b0", [(i, i % 5, float(i)) for i in range(50)])
+    drain()
+    t = VersionedTable(spark, root)
+    # no clustering key declared yet: the knob is a no-op, not an error
+    assert t.clustering_cols() == ()
+
+    t.set_clustering(("g",))
+    feed("b1", [(100 + i, i % 5, -1.0) for i in range(10)])
+    drain()
+    t = VersionedTable(spark, root)
+    d = t.detail()
+    assert d["clustering_cols"] == ["g"]
+    assert d["files_unclustered"] == 0  # the cadence pass ran in-line
+    assert t.commit_op(t.latest_version()) == "optimize_cluster"
+    assert t.row_count() == 60
+    assert t.snapshot().where("v = -1.0").count() == 10
