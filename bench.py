@@ -306,6 +306,22 @@ def main():
         file=sys.stderr,
     )
 
+    # incremental-clustering lifecycle (round 12): the per-pass file-read
+    # list is the O(new data) tripwire — each incremental pass must read
+    # only the trickle's files, never the table
+    from tools.storage_probe import clustering_churn as _cl_lifecycle
+
+    clustering_meta: dict = {}
+    _t0 = time.perf_counter()
+    _cl_rows = _cl_lifecycle(spark, sf_dir, clustering_meta)
+    clustering_meta["lifecycle_sec"] = round(time.perf_counter() - _t0, 3)
+    print(
+        f"# clustering_churn: {clustering_meta['lifecycle_sec']:.2f}s "
+        f"({_cl_rows} rows, initial {clustering_meta['initial_files_read']}, "
+        f"incremental {clustering_meta['incremental_files_read']})",
+        file=sys.stderr,
+    )
+
     from tools.storage_probe import neardedup_stream as _nd_lifecycle
 
     neardedup_meta: dict[str, float] = {}
@@ -565,6 +581,7 @@ def main():
         "curate_stage_total_sec": curate_stage_total,
         "storage_meta_reads": storage_meta,
         "composite_meta": composite_meta,
+        "clustering_meta": clustering_meta,
         "neardedup_meta": neardedup_meta,
         "txn_fanout_meta": txn_fanout_meta,
         "datasource_meta": datasource_meta,

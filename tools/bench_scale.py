@@ -131,6 +131,13 @@ def main():
         # scale claim — probe reads bounded by the batch's bucket count,
         # not the store size — needs more than one scale point). One rep:
         # the number of interest is the COUNTER, wall is secondary.
+        from tools.storage_probe import clustering_churn
+
+        cl_meta: dict = {}
+        t0 = time.perf_counter()
+        cl_meta["rows"] = clustering_churn(spark, sf_dir, cl_meta)
+        cl_meta["lifecycle_sec"] = round(time.perf_counter() - t0, 3)
+        row["clustering_meta"] = cl_meta
         from tools.storage_probe import neardedup_stream
 
         nd_meta: dict = {}

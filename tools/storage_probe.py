@@ -382,3 +382,48 @@ def composite_churn(spark, sf_dir: str, meta: dict) -> int:
         return n
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def clustering_churn(spark, sf_dir: str, meta: dict) -> int:
+    """Incremental-clustering lifecycle (round 12): orders clustered by
+    (o_custkey, o_totalprice), then a FIXED-SIZE trickle of 3 appends
+    with an optimize_cluster after each. The cross-scale claim: each
+    maintenance pass reads ONLY the files written since the last pass
+    (the per-entry clustered watermark), so ``data_files_read`` per pass
+    stays ~flat as the table grows while the initial full recluster
+    scales with data. Records the initial/incremental file-read split +
+    files_unclustered-after into ``meta``; returns a row-count witness."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.suite.base import load
+
+    root = tempfile.mkdtemp(prefix="bench_cl_")
+    shutil.rmtree(root)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    try:
+        t = V.VersionedTable.create(
+            spark, root, orders.repartition(8), key_col="o_orderkey",
+        )
+        t.set_clustering(("o_custkey", "o_totalprice"))
+        f0 = V.DATA_FILES_READ
+        t.optimize_cluster()
+        meta["initial_files_read"] = V.DATA_FILES_READ - f0
+        trickle = orders.limit(64).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10**9)
+        )
+        inc_reads = []
+        for i in range(3):
+            t.append(
+                trickle.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10**6)
+                ).coalesce(1)
+            )
+            f0 = V.DATA_FILES_READ
+            t.optimize_cluster()
+            inc_reads.append(V.DATA_FILES_READ - f0)
+        meta["incremental_files_read"] = inc_reads
+        meta["files_unclustered_after"] = t.detail()["files_unclustered"]
+        return t.row_count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
