@@ -547,3 +547,89 @@ def test_bpe_roundtrip_and_determinism_property(spark, texts, n_merges):
         assert all(toks), toks
         want = "".join(piece_re.findall(texts[r["doc_id"]].lower()))
         assert "".join(toks) == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)), min_size=1, max_size=50
+    ),
+    probe=st.sampled_from(["isnull", "notnull"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_nullness_matcher_is_one_sided_sound(tmp_path_factory, vals, probe):
+    """Round-12 null_count skipping soundness: for ANY column content,
+    a file pruned by the nullness matcher provably holds NO row the
+    predicate matches — pruning may only ever drop provably-empty
+    files. Pure pyarrow + the pure matcher, no Spark."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_spark.sources.versioned import (
+        _entry_matches_nullness,
+        _footer_col_stats,
+    )
+
+    d = tmp_path_factory.mktemp("np")
+    fp = d / f"{_uuid.uuid4().hex}.parquet"
+    pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}), str(fp))
+    lo, hi, nc = _footer_col_stats(fp, "v")
+    entry = {"stats": {"v": [lo, hi, nc]}, "num_rows": len(vals)}
+    kept = _entry_matches_nullness(entry, "v", probe)
+    matches = (
+        any(v is None for v in vals)
+        if probe == "isnull"
+        else any(v is not None for v in vals)
+    )
+    if matches:
+        assert kept  # soundness: a matching file is NEVER pruned
+    # (a non-matching file MAY be kept — conservative is allowed)
+    # and with stats unknown, everything is must-scan
+    assert _entry_matches_nullness({"stats": {}}, "v", probe)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=40,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_tuple_bloom_never_prunes_a_present_tuple(tmp_path_factory, rows, probes):
+    """Round-12 tuple-bloom soundness: a probe tuple actually PRESENT in
+    the file always survives the sidecar test (false positives only,
+    never false negatives)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_anonymiser_spark.sources.versioned import (
+        _bloom_hashes,
+        _bloom_ref_matches_any,
+        _bloom_sidecars_for,
+        _tuple_render,
+    )
+
+    root = tmp_path_factory.mktemp("tb")
+    fp = root / f"{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        str(fp),
+    )
+    refs = _bloom_sidecars_for(root, fp, ("a,b",))
+    assert refs and "a,b" in refs
+    present = set(rows)
+    for t in probes:
+        hp = [_bloom_hashes(_tuple_render(t))]
+        kept = _bloom_ref_matches_any(root, refs["a,b"], hp)
+        if t in present:
+            assert kept  # soundness: present tuples always survive
