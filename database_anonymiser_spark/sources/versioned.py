@@ -237,6 +237,44 @@ def _checkpoint_path(root: Path, version: int) -> Path:
     return root / _LOG_DIR / f"{version:08d}.checkpoint.json"
 
 
+def _checkpoint_live_path(root: Path, version: int) -> Path:
+    """The PARQUET sidecar holding a checkpoint's O(files) arrays
+    (round 12 — Delta's parquet checkpoints, same motivation): at 10^6
+    live files a JSON live array is hundreds of MB parsed on every cold
+    replay; columnar + dictionary-encoded paths are ~an order smaller
+    and scan-friendly. The JSON checkpoint keeps every SMALL field (and
+    the head-sniffable eff_ts) and points here via ``live_parquet``.
+    The file IS parquet but is named WITHOUT the extension: data tooling
+    (and this repo's own tests) legitimately glob ``**/*.parquet`` for
+    DATA files, and a metadata sidecar must never match."""
+    return root / _LOG_DIR / f"{version:08d}.checkpoint.live"
+
+
+def _checkpoint_arrays(root: Path, version: int, cp: dict):
+    """(live entries, ever paths, has_ever) of a loaded checkpoint —
+    parquet-sidecar v2 or inline-JSON v1. Raises when a v2 sidecar is
+    unreadable (callers treat the whole checkpoint as absent and replay
+    the full log — a silently EMPTY live set would drop files)."""
+    ref = cp.get("live_parquet")
+    if not ref:
+        return list(cp.get("live") or []), list(cp.get("ever") or []), (
+            "ever" in cp
+        )
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(str(root / _LOG_DIR / ref))
+    kinds = tbl.column("kind").to_pylist()
+    paths = tbl.column("path").to_pylist()
+    entries = tbl.column("entry").to_pylist()
+    live, ever = [], []
+    for k, pth, e in zip(kinds, paths, entries):
+        if k == "live":
+            live.append(json.loads(e))
+        else:
+            ever.append(pth)
+    return live, ever, True
+
+
 def _list_checkpoints(root: Path) -> list[int]:
     log = root / _LOG_DIR
     if not log.is_dir():
@@ -399,15 +437,22 @@ def _replay(root: Path, upto: int):
     start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
-        cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
-        live = {a["path"]: a for a in cp["live"]}
-        key_col = cp.get("key_col")
-        constraints = dict(cp.get("constraints") or {})
-        schema = cp.get("schema")
-        stats_cols = list(cp.get("stats_cols") or [])
-        colmap = dict(cp.get("column_mapping") or {})
-        props = dict(cp.get("properties") or {})
-        start = cps[-1] + 1
+        try:
+            cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
+            live_arr, _ever, _he = _checkpoint_arrays(root, cps[-1], cp)
+        except Exception:
+            # unreadable checkpoint (or missing v2 sidecar): fall back
+            # to a full-log replay — slow but never wrong
+            cp, live_arr = None, None
+        if cp is not None:
+            live = {a["path"]: a for a in live_arr}
+            key_col = cp.get("key_col")
+            constraints = dict(cp.get("constraints") or {})
+            schema = cp.get("schema")
+            stats_cols = list(cp.get("stats_cols") or [])
+            colmap = dict(cp.get("column_mapping") or {})
+            props = dict(cp.get("properties") or {})
+            start = cps[-1] + 1
     versions = _list_versions(root)
     for v in versions:
         if v < start:
@@ -469,13 +514,18 @@ def _checkpoint_aux(root: Path, upto: int) -> tuple[set, str]:
     eff_start = 0
     cps = [c for c in _list_checkpoints(root) if c <= upto]
     if cps:
-        cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
-        if "ever" in cp:
-            ever = set(cp["ever"])
-            ever_start = cps[-1] + 1
-        if "eff_ts" in cp:
-            eff_ts = cp["eff_ts"] or ""
-            eff_start = cps[-1] + 1
+        try:
+            cp = json.loads(_checkpoint_path(root, cps[-1]).read_text())
+            _live, ever_arr, has_ever = _checkpoint_arrays(root, cps[-1], cp)
+        except Exception:
+            cp, has_ever = None, False  # unreadable: heal from the log
+        if cp is not None:
+            if has_ever:
+                ever = set(ever_arr)
+                ever_start = cps[-1] + 1
+            if "eff_ts" in cp:
+                eff_ts = cp["eff_ts"] or ""
+                eff_start = cps[-1] + 1
     start = min(ever_start, eff_start)
     for v in _list_versions(root):
         if v < start:
@@ -544,6 +594,33 @@ def _write_checkpoint(root: Path, version: int) -> None:
     )
     ever_set, eff_ts = _checkpoint_aux(root, version)
     ever = sorted(p for p in ever_set if (root / p).exists())
+    # v2 (round 12): the O(files) arrays land in a PARQUET sidecar
+    # (entry fidelity via a JSON-string column — the entry shape evolves
+    # per round, a typed schema would need migration each time); the
+    # sidecar renames into place BEFORE the JSON that references it, so
+    # a visible checkpoint always has its arrays. Concurrent writers of
+    # the same version produce identical content (pure function of the
+    # log prefix) — last rename wins, harmless.
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    live_list = list(live.values())
+    arr_tbl = _pa.table({
+        "kind": _pa.array(
+            ["live"] * len(live_list) + ["ever"] * len(ever), _pa.string()
+        ),
+        "path": _pa.array(
+            [e["path"] for e in live_list] + ever, _pa.string()
+        ),
+        "entry": _pa.array(
+            [json.dumps(e, default=str) for e in live_list]
+            + [None] * len(ever),
+            _pa.string(),
+        ),
+    })
+    ptmp = root / _LOG_DIR / f".{uuid.uuid4().hex}.cplive.tmp"
+    _pq.write_table(arr_tbl, str(ptmp), compression="snappy")
+    ptmp.rename(_checkpoint_live_path(root, version))
     payload = json.dumps(
         {
             "version": version,
@@ -561,8 +638,7 @@ def _write_checkpoint(root: Path, version: int) -> None:
             **({"schema": schema} if schema is not None else {}),
             **({"stats_cols": list(stats_cols)} if stats_cols else {}),
             **({"properties": props} if props else {}),
-            "ever": ever,
-            "live": list(live.values()),
+            "live_parquet": _checkpoint_live_path(root, version).name,
         },
         default=str,
     )
@@ -4922,6 +4998,7 @@ class VersionedTable:
         for c in _list_checkpoints(self.root):
             if c < upto:
                 _checkpoint_path(self.root, c).unlink(missing_ok=True)
+                _checkpoint_live_path(self.root, c).unlink(missing_ok=True)
         # the scrub is the one operation that rewrites committed JSONs —
         # drop this root's memoized replay states — in THIS process via
         # the cache, and in every OTHER process via the scrub marker,

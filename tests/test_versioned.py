@@ -1380,10 +1380,19 @@ def test_erase_scrubs_log_stats_and_checkpoints(spark, tmp_path):
     assert V._list_checkpoints(t.root)
     rep = t.erase(F.col("k") <= 1000005, prune={"k": (1000001, 1000005)})
     assert rep["rows_deleted"] == 5
-    # the erased keys' boundary values survive in NO _log file
+    # the erased keys' boundary values survive in NO _log file — incl.
+    # the round-12 parquet checkpoint sidecar, whose entry strings are
+    # decoded and searched (a byte scan through snappy would miss them)
     erased_markers = ["1000001", "1000005", "5000001.0", "5000005.0"]
     for p in sorted((t.root / "_log").iterdir()):
-        text = p.read_text()
+        if p.name.endswith(".checkpoint.live"):
+            import json as _json
+
+            import pyarrow.parquet as _pq
+
+            text = _json.dumps(_pq.read_table(str(p)).to_pylist())
+        else:
+            text = p.read_text()
         for m in erased_markers:
             assert m not in text, f"{m} survives in {p.name}"
     # superseded checkpoints are gone; one checkpoint at/after erase remains
