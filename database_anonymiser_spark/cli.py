@@ -130,7 +130,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "--sql", default=None, metavar="STATEMENT",
         help="SQL mode (round 12): register every --data table as a "
         "temp view (plus any --versionedTable pins), run ONE statement, "
-        "print the result (or write it with --out) and a JSON report",
+        "print the result (or write it with --out) and a JSON report. "
+        "Round 13: UPDATE / DELETE / MERGE INTO statements against an "
+        "un-pinned --versionedTable view route to the table's native "
+        "ops and land as one commit (CDF-visible, time travel intact)",
     )
     p.add_argument(
         "--sqlFile", default=None, dest="sql_file", metavar="PATH",
@@ -138,18 +141,21 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument(
         "--versionedTable", action="append", default=None,
-        dest="versioned_tables", metavar="NAME=ROOT[@VERSION]",
+        dest="versioned_tables", metavar="NAME=ROOT[@PIN]",
         help="SQL mode: also register a commit-log table as view NAME "
-        "(repeatable); @VERSION pins a time-travel read through the "
-        "DataSource's versionAsOf option",
+        "(repeatable); @PIN pins a time-travel read — a version number "
+        "(versionAsOf) or ts:<ISO-8601> (timestampAsOf, round 13). "
+        "An UN-pinned view is also the DML target surface",
     )
     p.add_argument(
         "--changesTable", action="append", default=None,
-        dest="changes_tables", metavar="NAME=ROOT[@SINCE]",
+        dest="changes_tables", metavar="NAME=ROOT[@SINCE[..END]]",
         help="SQL mode: register a commit-log table's CHANGE DATA FEED "
         "as view NAME (repeatable) — Delta CDF's layout (_change_type, "
         "_commit_version, _commit_timestamp) via the DataSource's "
-        "readChangeFeed path; @SINCE sets startingVersion (default 0)",
+        "readChangeFeed path. @SINCE sets the start (default version 0) "
+        "and ..END bounds it (round 13); each side is a version number "
+        "or ts:<ISO-8601> (starting/endingTimestamp)",
     )
     p.add_argument(
         "--maxRows", type=int, default=20, dest="max_rows",
@@ -220,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         # run as-is against the extract directory
         for ti in catalog.list_tables():
             catalog.read(ti.name).createOrReplaceTempView(ti.name)
+        versioned_views: dict[str, dict] = {}
         if args.versioned_tables or args.changes_tables:
             spark.dataSource.register(VersionedDataSource)
 
@@ -234,24 +241,74 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return name, root, pin
 
+            def _axis(reader, val: str, flag: str, version_opt: str,
+                      ts_opt: str):
+                """One time-axis value: a version number, or ts:<ISO>
+                (round 13 — CLI parity with the DataSource's timestamp
+                options)."""
+                if val.startswith("ts:"):
+                    return reader.option(ts_opt, val[3:])
+                if not val.isdigit():
+                    raise SystemExit(
+                        f"{flag}: pin {val!r} must be a version number "
+                        "or ts:<ISO-8601 UTC>"
+                    )
+                return reader.option(version_opt, val)
+
             for spec in args.versioned_tables or []:
                 name, root, ver = _spec(spec, "--versionedTable")
                 reader = spark.read.format("versioned").option("path", root)
                 if ver:
                     # time travel through the DataSource option path
-                    reader = reader.option("versionAsOf", ver)
+                    reader = _axis(reader, ver, "--versionedTable",
+                                   "versionAsOf", "timestampAsOf")
                 reader.load().createOrReplaceTempView(name)
+                versioned_views[name.lower()] = {
+                    "root": root, "pinned": bool(ver)
+                }
             for spec in args.changes_tables or []:
-                name, root, since = _spec(spec, "--changesTable")
-                (
+                name, root, pin = _spec(spec, "--changesTable")
+                reader = (
                     spark.read.format("versioned")
                     .option("path", root)
                     .option("readChangeFeed", "true")
-                    .option("startingVersion", since or "0")
-                    .load()
-                    .createOrReplaceTempView(name)
                 )
+                since, _, end = pin.partition("..")
+                if since:
+                    reader = _axis(reader, since, "--changesTable",
+                                   "startingVersion", "startingTimestamp")
+                else:
+                    reader = reader.option("startingVersion", "0")
+                if end:
+                    reader = _axis(reader, end, "--changesTable",
+                                   "endingVersion", "endingTimestamp")
+                reader.load().createOrReplaceTempView(name)
         t0 = _time.time()
+        from database_anonymiser_spark.sql_dml import (
+            SqlDmlError,
+            classify_dml,
+            execute_dml,
+        )
+
+        if classify_dml(stmt):
+            # UPDATE / DELETE / MERGE INTO route to the versioned table's
+            # native ops — one commit, CDF-visible, OCC-rebased (round 13;
+            # per-table UPDATE ... SET is the reference's entire execution
+            # surface, src/executor/query-builder.ts:58-61)
+            try:
+                report = execute_dml(spark, stmt, versioned_views)
+            except SqlDmlError as e:
+                print(f"sql dml: {e}", file=sys.stderr)
+                return 2
+            report["elapsed_sec"] = round(_time.time() - t0, 3)
+            write_json_report(
+                args.report or "anonymiser.sql.report.json", report
+            )
+            print(
+                f"sql {report['op']}: {report['table']} → version "
+                f"{report['new_version']} ({report['metrics']})"
+            )
+            return 0
         df = spark.sql(stmt)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)

@@ -16,6 +16,11 @@ import tempfile
 from pyspark.sql import functions as F
 
 from database_anonymiser_spark.suite.base import load, register
+from database_anonymiser_spark.suite.sql_dml_entry import (
+    SQL_DML_CTES,
+    SQL_DML_FINAL,
+    sql_dml_state,
+)
 
 #: updates hit every 7th key; inserts clone every 31st key shifted past the
 #: key space — both pure functions of the fixture
@@ -276,7 +281,8 @@ _INS_SHIFT = 10_000_000
       SELECT 'insert', 9, c_custkey + {5 * _INS_SHIFT}, c_name,
              c_nationkey, c_acctbal, 'COMPNEW'
       FROM customer WHERE c_custkey % 53 = 0
-    )
+    ),
+    {SQL_DML_CTES}
     SELECT 'snapshot' AS variant,
            CAST(NULL AS VARCHAR) AS change_type,
            CAST(NULL AS BIGINT) AS commit_version,
@@ -286,8 +292,16 @@ _INS_SHIFT = 10_000_000
     SELECT 'cdf', change_type, commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
     FROM cdf
+    UNION ALL
+    -- round 13: the SQL DML face's post-lineage snapshot (see
+    -- sql_dml_entry.py for the statement recipe this replays)
+    SELECT 'sqldml' AS variant,
+           CAST(NULL AS VARCHAR) AS change_type,
+           CAST(NULL AS BIGINT) AS commit_version,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM ({SQL_DML_FINAL}) sd_final
     """,
-    tags=("transaction", "merge", "cdf"),
+    tags=("transaction", "merge", "cdf", "sql_dml"),
 )
 def merge_upsert(spark, sf_dir):
     """MERGE (upsert) through the transaction-log table: update every 7th
@@ -551,8 +565,18 @@ def merge_upsert(spark, sf_dir):
         F.lit(None).cast("long").alias("commit_version"),
         *cols,
     )
+    # round 13: the SQL DML face (UPDATE/DELETE/MERGE INTO statement
+    # strings through sql_dml.execute_dml — --sql mode's router) rides
+    # as 'sqldml' variant rows of this entry (the suite is pinned at 50
+    # names), putting the statement parser itself under the value hash.
+    sqldml = sql_dml_state(spark, sf_dir).select(
+        F.lit("sqldml").alias("variant"),
+        F.lit(None).cast("string").alias("change_type"),
+        F.lit(None).cast("long").alias("commit_version"),
+        *cols,
+    )
     return snap.unionByName(
         feed.select(
             F.lit("cdf").alias("variant"), "change_type", "commit_version", *cols
         )
-    )
+    ).unionByName(sqldml)
