@@ -214,10 +214,15 @@ class _FileEntry:
     #: pure log read; None on legacy/re-referenced entries (readers
     #: fall back to one os.stat)
     size: int | None = None
-    #: True on files produced BY a clustering rewrite (round 12 — the
+    #: set on files produced BY a clustering rewrite (round 12 — the
     #: incremental-clustering watermark: optimize_cluster reclusters
-    #: only files without it, Delta liquid clustering's cost shape)
-    clustered: bool | None = None
+    #: only files without it, Delta liquid clustering's cost shape).
+    #: Round 13: the value is the clustering RUN id (int >= 1) — each
+    #: optimize pass writes one z-run, and the bounded cross-generation
+    #: merge folds the smallest runs level-style (LSM's amortization)
+    #: without ever rewriting the whole table. Legacy boolean ``True``
+    #: marks (round-12 tables) read as run 1.
+    clustered: "bool | int | None" = None
 
 
 def _log_path(root: Path, version: int) -> Path:
@@ -980,7 +985,7 @@ def _write_data_files(
     key_col: str | None,
     stats_cols: tuple[str, ...] = (),
     colmap: dict | None = None,
-    mark_clustered: bool = False,
+    clustered_run: int | None = None,
 ) -> list[_FileEntry]:
     """Write df as parquet under data/<uuid>/ and return entries with
     footer key stats (plus per-column stats for ``stats_cols``). Files are
@@ -1057,7 +1062,7 @@ def _write_data_files(
             _FileEntry(
                 str(p.relative_to(root)), lo, hi, stats, n_rows,
                 bloom=_bloom_sidecars_for(root, p, bloom_cols),
-                size=size, clustered=mark_clustered or None,
+                size=size, clustered=clustered_run,
             )
         )
     return entries
@@ -1119,7 +1124,7 @@ def _commit(
                        if getattr(e, "dv", None) else {}),
                     **({"size": e.size}
                        if getattr(e, "size", None) is not None else {}),
-                    **({"clustered": True}
+                    **({"clustered": e.clustered}
                        if getattr(e, "clustered", None) else {}),
                 }
                 for e in adds
@@ -3963,6 +3968,10 @@ class VersionedTable:
                 dv=e.get("dv"),
                 dv_count=e.get("dv_count"),
                 size=e.get("size"),
+                # the clustering watermark rolls back WITH the file —
+                # dropping it would make the next optimize recluster
+                # restored files for nothing (round 13)
+                clustered=e.get("clustered"),
             )
             for p, e in target.items()
             # re-add when ANY entry state differs (a same-path file whose
@@ -4315,7 +4324,10 @@ class VersionedTable:
         return tuple(json.loads(raw)) if raw else ()
 
     def optimize_cluster(
-        self, file_count: int | None = None, max_retries: int = 3
+        self,
+        file_count: int | None = None,
+        merge_runs: int | None = None,
+        max_retries: int = 3,
     ) -> int:
         """INCREMENTAL clustering maintenance (round 12 — the cost shape
         of Delta liquid clustering's OPTIMIZE): z-order-rewrite ONLY the
@@ -4328,27 +4340,77 @@ class VersionedTable:
         under trickle ingest, where a whole-table OPTIMIZE ZORDER would
         be a table-sized shuffle every epoch.
 
-        Trade-off (documented, same as liquid clustering): incremental
-        generations form separate z-runs, so per-file pruning is
-        slightly looser than one full recluster until generations are
-        eventually merged by a full :meth:`optimize_zorder`; stats
-        recording and file skipping work identically either way. The
-        z-grid normalizes over the DELTA's own bounds — fine for
-        pruning (stats are per-file footers, not grid-derived).
+        Each pass writes one Z-RUN (generation), its id recorded in the
+        per-entry ``clustered`` slot. Runs are separately z-ordered, so
+        per-file pruning is slightly looser than one full recluster as
+        run count grows. ``merge_runs`` (round 13) is the BOUNDED
+        cross-generation merge that keeps run count in check without
+        ever paying an O(table) OPTIMIZE: when the post-pass run count
+        would exceed ``merge_runs``, the SMALLEST existing runs (by
+        recorded bytes) fold into this pass's rewrite — level-style,
+        exactly LSM compaction's amortization — while the biggest runs
+        carry by reference. Steady state under trickle ingest with
+        ``merge_runs=K``: every pass costs O(new data + the smallest
+        runs), the table converges to <= K runs, and a full rewrite
+        happens only if K=1 ever forces the last big run in. A
+        merge-ONLY pass (nothing unclustered but too many runs) also
+        works. The z-grid normalizes over the rewritten subset's own
+        bounds — fine for pruning (stats are per-file footers, not
+        grid-derived).
 
         Row-preserving (``ROW_PRESERVING_OPS``): streaming followers and
         incremental consumers skip it for free. Returns the new version,
-        or the current one when nothing is unclustered (metadata no-op).
+        or the current one when nothing needs rewriting (metadata
+        no-op).
         """
         cols = self.clustering_cols()
         if not cols:
             raise ValueError(
                 "no clustering key declared; call set_clustering first"
             )
+        if merge_runs is not None and merge_runs < 1:
+            raise ValueError("merge_runs must be >= 1")
         key_col = self.key_col()
         v = self.latest_version()
         entries = self._live_entries(v)
         todo = [e for e in entries if not e.get("clustered")]
+        # group clustered files into their z-runs; legacy boolean marks
+        # (round-12 tables) collapse into run 1
+        runs: dict[int, list[dict]] = {}
+        for e in entries:
+            rid = e.get("clustered")
+            if rid:
+                runs.setdefault(1 if rid is True else int(rid), []).append(e)
+        new_run = max(runs, default=0) + 1
+        runs_before = len(runs)
+        folded = 0
+        if merge_runs is not None:
+            # folding k runs into this pass's single new run nets a run
+            # count of (runs_before - k) + 1; the +1 applies whether the
+            # new run starts from fresh data, folded runs, or both
+            need = runs_before + (1 if todo else 0) - merge_runs
+            if need > 0 and not todo:
+                need += 1
+            if need > 0:
+
+                def _run_bytes(es: list[dict]) -> int:
+                    total = 0
+                    for e in es:
+                        sz = e.get("size")
+                        if sz is None:
+                            try:
+                                sz = (self.root / e["path"]).stat().st_size
+                            except OSError:
+                                sz = 0
+                        total += int(sz)
+                    return total
+
+                # level-style victim choice: smallest runs first, so the
+                # bulk generations are carried by reference
+                order = sorted(runs, key=lambda r: (_run_bytes(runs[r]), r))
+                for rid in order[: min(need, runs_before)]:
+                    todo = todo + runs.pop(rid)
+                    folded += 1
         if not todo:
             return v
         df = self._read_paths(
@@ -4376,7 +4438,7 @@ class VersionedTable:
         decl = tuple(dict.fromkeys(tuple(cols) + tuple(self._stats_cols or ())))
         new_files = _write_data_files(
             out, self.root, key_col, stats_cols=decl, colmap=self._colmap,
-            mark_clustered=True,
+            clustered_run=new_run,
         )
         removes = [e["path"] for e in todo]
         base_v = v
@@ -4390,6 +4452,9 @@ class VersionedTable:
                             "files_clustered": len(removes),
                             "files_carried": len(entries) - len(removes),
                             "files_written": len(new_files),
+                            "runs_before": runs_before,
+                            "runs_merged": folded,
+                            "runs_after": len(runs) + 1,
                         }
                     },
                 )
@@ -4869,6 +4934,16 @@ class VersionedTable:
             "clustering_cols": list(self.clustering_cols()),
             "files_unclustered": (
                 sum(1 for e in entries if not e.get("clustered"))
+                if self.clustering_cols() else None
+            ),
+            # distinct z-run generations among clustered files (round 13
+            # — the bounded cross-generation merge's convergence witness;
+            # legacy boolean marks count as one run)
+            "clustering_runs": (
+                len({
+                    1 if e.get("clustered") is True else int(e["clustered"])
+                    for e in entries if e.get("clustered")
+                })
                 if self.clustering_cols() else None
             ),
             "column_mapping": bool(self._colmap),

@@ -400,6 +400,7 @@ def run_stream_to_versioned(
     vacuum_retain: int | None = None,
     refresh_views: tuple[str, ...] = (),
     cluster_every: int | None = None,
+    cluster_merge_runs: int | None = None,
 ):
     """Drain a stream into a VersionedTable (sources/versioned.py) with
     MERGE-on-key per micro-batch — the streaming-ingest → ACID-table
@@ -436,7 +437,10 @@ def run_stream_to_versioned(
     round-12 INCREMENTAL clustering pass on its own cadence (no-op until
     the table has a declared clustering key — only files written since
     the last pass are reclustered, so the trickle keeps itself clustered
-    at O(new data) per pass); ``vacuum_retain=K`` then
+    at O(new data) per pass; ``cluster_merge_runs=K`` additionally folds
+    the smallest z-run generations into the pass whenever the run count
+    would exceed K — round 13's bounded level-style merge, so pruning
+    tightness doesn't decay with stream age); ``vacuum_retain=K`` then
     reclaims files outside the newest K versions — together they bound
     BOTH the file count and the directory bytes of an indefinite stream,
     at the documented price that versions older than the retention
@@ -489,13 +493,17 @@ def run_stream_to_versioned(
         # data) per call; no-op until the caller has declared a key via
         # set_clustering. Runs AFTER compact so the pass clusters the
         # bin-packed output, not the pre-compaction shards.
+        # cluster_merge_runs (round 13) bounds the generation count the
+        # cadence accretes: when a pass would push the z-run count past
+        # the bound, the smallest runs fold into it level-style — the
+        # stream never needs an out-of-band full OPTIMIZE to stay tight.
         if (
             cluster_every
             and batch_id > 0
             and batch_id % cluster_every == 0
             and t.clustering_cols()
         ):
-            t.optimize_cluster()
+            t.optimize_cluster(merge_runs=cluster_merge_runs)
         vac_every = compact_every or vacuum_retain
         if vacuum_retain and batch_id > 0 and batch_id % vac_every == 0:
             # retention must additionally COVER every view cursor: the

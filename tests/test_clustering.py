@@ -187,3 +187,77 @@ def test_streaming_sink_inline_clustering(spark, tmp_path):
     assert t.commit_op(t.latest_version()) == "optimize_cluster"
     assert t.row_count() == 60
     assert t.snapshot().where("v = -1.0").count() == 10
+
+
+def test_optimize_cluster_merge_runs_bounded(spark, tmp_path):
+    """Round 13: the bounded cross-generation merge. Three trickle
+    generations fold level-style into one pass that reads ONLY their
+    files — the pre-clustered bulk run (largest by bytes) carries by
+    reference — and the table converges to the requested run count."""
+    t = _mk(spark, tmp_path / "t")  # 4-file bulk, 400 rows
+    t.set_clustering(("g",))
+    t.optimize_cluster(file_count=4)  # run 1: the bulk
+    for i in range(3):  # runs 2, 3, 4 — one tiny generation each
+        t.append(
+            spark.createDataFrame(
+                [(1000 + i, i, float(i))], "k long, g int, v double"
+            )
+        )
+        t.optimize_cluster(file_count=1)
+    d = t.detail()
+    assert d["clustering_runs"] == 4 and d["files_unclustered"] == 0
+    rows_before = {(r.k, r.g, r.v) for r in t.snapshot().collect()}
+    bulk_files = {
+        e["path"] for e in t._live_entries() if e.get("clustered") == 1
+    }
+    assert len(bulk_files) == 4
+
+    # merge-ONLY pass (nothing unclustered, too many runs): reads exactly
+    # the 3 trickle generations' files, never the bulk
+    f0 = V.DATA_FILES_READ
+    v = t.optimize_cluster(merge_runs=2)
+    assert V.DATA_FILES_READ - f0 == 3
+    m = t.commit_meta(v)["metrics"]
+    assert m["runs_before"] == 4
+    assert m["runs_merged"] == 3
+    assert m["runs_after"] == 2
+    assert m["files_clustered"] == 3 and m["files_carried"] == 4
+    assert bulk_files <= {e["path"] for e in t._live_entries()}
+    assert t.detail()["clustering_runs"] == 2
+    assert {(r.k, r.g, r.v) for r in t.snapshot().collect()} == rows_before
+
+    # converged: the bounded pass is now a pure metadata no-op
+    assert t.optimize_cluster(merge_runs=2) == v
+
+    # trickle + bound in ONE pass: the new file and the small merged run
+    # fold together (2 files read); the bulk still carries
+    t.append(
+        spark.createDataFrame([(2000, 9, 9.0)], "k long, g int, v double")
+    )
+    f0 = V.DATA_FILES_READ
+    v2 = t.optimize_cluster(merge_runs=2)
+    assert V.DATA_FILES_READ - f0 == 2
+    m2 = t.commit_meta(v2)["metrics"]
+    assert m2["runs_before"] == 2 and m2["runs_merged"] == 1
+    assert m2["runs_after"] == 2
+    assert bulk_files <= {e["path"] for e in t._live_entries()}
+    assert t.row_count() == 404
+    with pytest.raises(ValueError, match="merge_runs"):
+        t.optimize_cluster(merge_runs=0)
+
+
+def test_restore_keeps_clustering_watermark(spark, tmp_path):
+    """RESTORE re-adds carry the clustered run id — a rollback must not
+    make the next optimize pass recluster restored files for nothing."""
+    t = _mk(spark, tmp_path / "t")
+    t.set_clustering(("g",))
+    v_clustered = t.optimize_cluster(file_count=2)
+    t.append(
+        spark.createDataFrame([(5000, 1, 1.0)], "k long, g int, v double")
+    )
+    t.delete_where("k < 100")  # rewrites clustered files → restore re-adds
+    t.restore(v_clustered)
+    assert t.detail()["files_unclustered"] == 0
+    assert t.detail()["clustering_runs"] == 1
+    # nothing to do: the restored files still carry their watermark
+    assert t.optimize_cluster() == t.latest_version()

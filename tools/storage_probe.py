@@ -423,6 +423,14 @@ def clustering_churn(spark, sf_dir: str, meta: dict) -> int:
             t.optimize_cluster()
             inc_reads.append(V.DATA_FILES_READ - f0)
         meta["incremental_files_read"] = inc_reads
+        # round 13: the bounded cross-generation merge — fold the three
+        # trickle z-runs level-style while the bulk run carries by
+        # reference; merge_files_read is the O(small runs) tripwire and
+        # runs_after the convergence witness
+        f0 = V.DATA_FILES_READ
+        v = t.optimize_cluster(merge_runs=2)
+        meta["merge_files_read"] = V.DATA_FILES_READ - f0
+        meta["runs_after"] = t.commit_meta(v)["metrics"]["runs_after"]
         meta["files_unclustered_after"] = t.detail()["files_unclustered"]
         return t.row_count()
     finally:
