@@ -577,3 +577,49 @@ def test_t_closeness_ordered_reproduces_the_paper_example(spark):
 
     with _pt.raises(ValueError, match="t must"):
         P.t_closeness_ordered(df, ["q"], "inc", 1.5)
+
+
+def test_keyed_pad_material_absent_from_committed_artifacts():
+    """Round-13 keyed-plan hygiene: the HMAC ipad/opad literals are
+    key-equivalent material and ride any explain() of a keyed
+    expression. The suite's fixture key is the one key whose pads could
+    plausibly leak through plan-derived artifacts (plan_audit, bench
+    stderr, notes) — assert they appear in NO committed artifact, in
+    either rendering (hex text, as keyed_hash embeds; or repr'd raw
+    bytes, as hash_hmac embeds). Also pin the redaction helper that
+    keeps analyzer error messages literal-free in PLANS.md."""
+    import os
+    import sys
+
+    from database_anonymiser_spark.strategies import _hmac_pads
+    from database_anonymiser_spark.suite.masking import _HMAC_FIXTURE_KEY
+
+    ipad, opad = _hmac_pads(_HMAC_FIXTURE_KEY.encode())
+    needles = [ipad.hex(), opad.hex(), repr(ipad)[2:-1], repr(opad)[2:-1]]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = [
+        "PLANS.md", "BENCH_NOTES.md", "bench_sidecar.json", "README.md",
+        "COVERAGE.md", "SURVEY.md",
+    ] + [f for f in os.listdir(root) if f.startswith("bench_stderr")]
+    scanned = 0
+    for name in artifacts:
+        p = os.path.join(root, name)
+        if not os.path.isfile(p):
+            continue
+        text = open(p, errors="replace").read()
+        scanned += 1
+        for needle in needles:
+            assert needle not in text, f"keyed pad material in {name}"
+    assert scanned >= 3  # the tripwire actually looked at something
+
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from plan_audit import redact_literals
+    finally:
+        sys.path.pop(0)
+    msg = f"cannot resolve sha2(concat(0x{ipad.hex()}, ...)) due to ..."
+    red = redact_literals(msg)
+    assert ipad.hex() not in red and "<redacted-literal>" in red
+    # short hex (a version hash, a uuid fragment) is NOT redacted
+    assert redact_literals("commit abc123 deadbeef") == "commit abc123 deadbeef"

@@ -60,6 +60,19 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+#: 32+ contiguous hex chars (optionally 0x-prefixed): the shape of the
+#: HMAC ipad/opad literals (64-byte pads = 128 hex chars) that ride a
+#: keyed expression's compiled plan. Plan TEXT never lands in PLANS.md
+#: (only operator counts do), but analyzer error MESSAGES can embed
+#: expression literals — redact before anything derived from a plan or
+#: an exception is committed (round-13 keyed-plan hygiene).
+_HEX_LITERAL = re.compile(r"(?:0x)?[0-9A-Fa-f]{32,}")
+
+
+def redact_literals(text: str) -> str:
+    return _HEX_LITERAL.sub("<redacted-literal>", str(text))
+
+
 def n_ops(plan: str, op: str) -> int:
     return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.M))
 
@@ -82,7 +95,9 @@ def main() -> int:
             plan = plan_of(spec.spark(spark, args.sf))
         except Exception as e:  # audit must not die on one query
             rows.append((name, "-", "-", "-", "-", "-", f"ERROR {type(e).__name__}"))
-            flags.append(f"{name}: plan capture failed: {e}")
+            flags.append(
+                f"{name}: plan capture failed: {redact_literals(e)}"
+            )
             continue
         scans = n_ops(plan, "Scan parquet")
         exchanges = n_ops(plan, "Exchange")
