@@ -461,7 +461,8 @@ def main():
     # headline recall@10 of each branch AT ITS PRODUCTION DEFAULTS
     # (round-9 re-tune: ivf/ivf_sq n_probe=8 and pq auto-refine = N/8,
     # both justified on TWO scales - see ann_recall_sf1 below; lsh 8
-    # planes + 3 flips)
+    # planes + QUERY-DIRECTED probing at the SAME 93-bucket budget the
+    # old 3-flip rule spent, now margin-ranked — round 13: 0.733→0.833)
     ann_recall = {
         "ivf": _recall(lambda q: ivf_topk(emb, "vec_id", "embedding", q, K, 16)),
         "pq": _recall(
@@ -471,6 +472,13 @@ def main():
             lambda q: pq_topk(tidx, emb, "vec_id", "embedding", q, tbooks, K)
         ),
         "lsh": _recall(
+            lambda q: lsh_bucket_topk(
+                emb, "vec_id", "embedding", q, K, n_planes=8, dim=64,
+                n_probes=93,
+            )
+        ),
+        # the pre-r13 blind-flip default, kept as the comparison row
+        "lsh_flip3": _recall(
             lambda q: lsh_bucket_topk(
                 emb, "vec_id", "embedding", q, K, n_planes=8, dim=64
             )
@@ -493,6 +501,17 @@ def main():
                 )
             )
             for f in (1, 2, 3)
+        },
+        # round 13: query-directed probing (margin-ranked masks) — the
+        # sweep that justifies the n_probes=64 default above
+        "lsh_n_probes": {
+            str(p): _recall(
+                lambda q: lsh_bucket_topk(
+                    emb, "vec_id", "embedding", q, K, n_planes=8, dim=64,
+                    n_probes=p,
+                )
+            )
+            for p in (32, 64, 93, 144)
         },
         # 0 = raw ADC (no refine stage) — the round-7 `weak` operating point
         "pq_refine_k": {

@@ -137,7 +137,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument(
         "--sqlFile", default=None, dest="sql_file", metavar="PATH",
-        help="SQL mode: read the statement from a file instead of --sql",
+        help="SQL mode: read from a file instead of --sql; a file may "
+        "hold a SCRIPT of semicolon-separated DML statements (the "
+        "reference's execution shape — per-table UPDATEs in one run), "
+        "executed in order, one commit each (round 13)",
+    )
+    p.add_argument(
+        "--sqlDryrun", action="store_true", dest="sql_dryrun",
+        help="SQL mode, DML only: parse + validate each statement and "
+        "count the rows it WOULD touch, committing nothing — the "
+        "reference's BEGIN..ROLLBACK dry-run transaction "
+        "(executor.ts:98-136) on the immutable log (round 13)",
     )
     p.add_argument(
         "--versionedTable", action="append", default=None,
@@ -288,28 +298,66 @@ def main(argv: list[str] | None = None) -> int:
             SqlDmlError,
             classify_dml,
             execute_dml,
+            split_statements,
         )
 
-        if classify_dml(stmt):
+        stmts = split_statements(stmt)
+        if len(stmts) > 1 and not all(classify_dml(s) for s in stmts):
+            print(
+                "sql: a multi-statement script must be ALL DML "
+                "(UPDATE/DELETE/MERGE); run SELECTs one at a time",
+                file=sys.stderr,
+            )
+            return 2
+        if stmts and classify_dml(stmts[0]):
             # UPDATE / DELETE / MERGE INTO route to the versioned table's
-            # native ops — one commit, CDF-visible, OCC-rebased (round 13;
-            # per-table UPDATE ... SET is the reference's entire execution
-            # surface, src/executor/query-builder.ts:58-61)
-            try:
-                report = execute_dml(spark, stmt, versioned_views)
-            except SqlDmlError as e:
-                print(f"sql dml: {e}", file=sys.stderr)
-                return 2
+            # native ops — one commit per statement, CDF-visible,
+            # OCC-rebased (round 13; per-table UPDATE ... SET scripts are
+            # the reference's entire execution surface,
+            # src/executor/query-builder.ts:58-61 / executor.ts:104-132);
+            # --sqlDryrun validates + counts without committing
+            frags = []
+            for s in stmts:
+                try:
+                    frag = execute_dml(
+                        spark, s, versioned_views, dryrun=args.sql_dryrun
+                    )
+                except SqlDmlError as e:
+                    print(f"sql dml: {e}", file=sys.stderr)
+                    if frags:
+                        print(
+                            f"(script aborted after {len(frags)} committed "
+                            "statement(s); each statement is its own "
+                            "commit — roll back with restore if needed)",
+                            file=sys.stderr,
+                        )
+                    return 2
+                frags.append(frag)
+                if args.sql_dryrun:
+                    counts = {
+                        k: v for k, v in frag.items()
+                        if k.endswith("_rows") or k == "rows_would_change"
+                    }
+                    print(f"sql dryrun {frag['op']}: {frag['table']} {counts}")
+                else:
+                    print(
+                        f"sql {frag['op']}: {frag['table']} → version "
+                        f"{frag['new_version']} ({frag['metrics']})"
+                    )
+            report = frags[0] if len(frags) == 1 else {
+                "mode": "sql_dml_script",
+                "dryrun": bool(args.sql_dryrun),
+                "statements": frags,
+            }
             report["elapsed_sec"] = round(_time.time() - t0, 3)
             write_json_report(
                 args.report or "anonymiser.sql.report.json", report
             )
-            print(
-                f"sql {report['op']}: {report['table']} → version "
-                f"{report['new_version']} ({report['metrics']})"
-            )
             return 0
-        df = spark.sql(stmt)
+        if args.sql_dryrun:
+            print("--sqlDryrun applies to DML statements only", file=sys.stderr)
+            return 2
+        df = spark.sql(stmts[0] if len(stmts) == 1 else stmt)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             n_rows = spark.read.parquet(args.out).count()

@@ -221,6 +221,28 @@ def int_planes(dim: int, n_planes: int) -> list[list[int]]:
     ]
 
 
+def _plane_dots(vec_col, planes: list[list[int]]) -> list[F.Column]:
+    """One exact-decimal dot column per quantized hyperplane — the shared
+    primitive under :func:`_sign_bits` (their signs) and the
+    query-directed probe ranking (their magnitudes are the hyperplane
+    MARGINS: how far the query sits from each cut). Map-side,
+    deterministic in any engine."""
+    dots = []
+    for p in planes:
+        plane = F.array(*[F.lit(c) for c in p])
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    vec_col, plane,
+                    lambda x, y: (_dec(x) * y).cast("decimal(30,6)"),
+                ),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: (acc + x).cast("decimal(38,6)"),
+            )
+        )
+    return dots
+
+
 def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
     """One 0/1 column per quantized hyperplane: sign of the exact-decimal
     dot against the integer plane. Map-side, deterministic in any engine.
@@ -230,18 +252,10 @@ def _sign_bits(vec_col, planes: list[list[int]]) -> list[F.Column]:
     vectors; for table-wide signature computation use
     :func:`lsh_signatures` — bit-identical, but Arrow/BLAS-vectorized
     instead of paying the interpreted higher-order fold per row."""
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(c) for c in p])
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col, plane, lambda x, y: (_dec(x) * y).cast("decimal(30,6)")
-            ),
-            F.lit(0).cast("decimal(38,6)"),
-            lambda acc, x: (acc + x).cast("decimal(38,6)"),
-        )
-        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
+    return [
+        F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+        for dot in _plane_dots(vec_col, planes)
+    ]
 
 
 #: Sign-ambiguity margin for the numpy fast path in :func:`lsh_signatures`.
@@ -773,6 +787,7 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     dim: int = 64,
     n_flip: int = 3,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature bucketing + exact
     re-rank inside the query's bucket. Recall measured in tests.
@@ -785,6 +800,33 @@ def lsh_bucket_topk(
     of maintaining more hash tables. The probe set is a tiny broadcast
     literal (Σ C(n_planes, f) signatures); per-probe cost stays bounded by
     the bucket, the property that makes this the interactive path at scale.
+
+    ``n_probes`` (round 13) upgrades the blind flip enumeration to
+    QUERY-DIRECTED probing — the actual refinement of Lv et al. §4:
+    a bit's flip is only worth paying for when the query sits CLOSE to
+    that hyperplane (small |dot| margin), so rank ALL 2^n_planes flip
+    masks by the summed margins of their flipped planes and probe the
+    ``n_probes`` cheapest (mask 0 costs 0 → the home bucket is always
+    probed). Measured on the 2k-vector bench fixture (round-13 sweep,
+    re-recorded each round in BENCH ann_recall_curve 'lsh_n_probes'):
+    at the SAME 93-bucket budget the old n_flip=3 default spends,
+    recall@10 rises 0.733 → 0.833, and 0.9 is reached at 144 probes
+    (56% of buckets) where the flip rule needs essentially all of them.
+    The production default is therefore ``n_probes=93``. TIER NOTE:
+    this fixture (uniform random 64-dim) is hyperplane LSH's
+    concentration-of-measure worst case — recall is largely a function
+    of the candidate fraction examined, and no sub-50%-of-buckets
+    configuration reaches the ≥0.9 the ivf/pq families deliver. LSH is
+    the engine's CHEAP-SHORTLIST tier (bounded bucket lookups for
+    two-stage rerank, streaming near-dedup ingest, filtered pre-search);
+    use ``ivf_topk``/``pq_topk`` when ≥0.9 standalone recall is the
+    requirement. Floors for BOTH tiers are pinned in
+    tests/test_suite_ops.py. The ranking is computed IN-PLAN on the one
+    query row (exact-decimal margins, deterministic mask tie-break —
+    engine-reproducible like every other decision in this module); the
+    table side is untouched. ``n_flip`` is ignored when ``n_probes`` is
+    set. Requires ``n_planes <= 12`` (the mask enumeration is 2^p on
+    one row).
 
     Default ``n_flip=3`` is measured on the 2k-vector bench fixture
     (round 8): at 8 planes, recall@10 = 0.067 / 0.267 / 0.733 for 1 / 2 /
@@ -802,7 +844,8 @@ def lsh_bucket_topk(
     """
     from itertools import combinations
 
-    signed = lsh_signatures(df, id_col, vec_col, int_planes(dim, n_planes), keep_vec=True)
+    planes = int_planes(dim, n_planes)
+    signed = lsh_signatures(df, id_col, vec_col, planes, keep_vec=True)
     sig = None
     for i in range(n_planes):
         term = F.col(f"sb_{i}") * F.lit(2**i)
@@ -810,21 +853,54 @@ def lsh_bucket_topk(
     with_sig = signed.withColumn("_sig", sig.cast("int")).drop(
         *[f"sb_{i}" for i in range(n_planes)]
     )
-    # all bit-masks with ≤ n_flip bits set (0 = the home bucket)
-    masks = [0] + [
-        sum(1 << b for b in bits)
-        for f in range(1, n_flip + 1)
-        for bits in combinations(range(n_planes), f)
-    ]
-    probes = F.array(*[F.lit(m) for m in masks])
-    qsig = (
-        with_sig.where(F.col(id_col) == query_id)
-        .select(
-            F.explode(
-                F.transform(probes, lambda m: F.col("_sig").bitwiseXOR(m))
-            ).alias("_qsig"),
-            F.col(vec_col).alias("_qv"),
+    qrow = with_sig.where(F.col(id_col) == query_id)
+    if n_probes is not None:
+        if not 1 <= n_probes <= 2**n_planes:
+            raise ValueError(f"n_probes must be in [1, {2**n_planes}]")
+        if n_planes > 12:
+            raise ValueError(
+                "query-directed probing enumerates 2^n_planes masks; "
+                "use n_planes <= 12 (or the n_flip rule)"
+            )
+        # margins on the ONE query row; the join back to the full frame
+        # is still the same single broadcast of the probe set
+        margins = [F.abs(d) for d in _plane_dots(F.col(vec_col), planes)]
+
+        def _flip_cost(mk):
+            s = F.lit(0).cast("decimal(38,6)")
+            for j in range(n_planes):
+                s = (
+                    F.when(
+                        mk.bitwiseAND(F.lit(1 << j)) != 0,
+                        (s + margins[j]).cast("decimal(38,6)"),
+                    ).otherwise(s)
+                )
+            return s
+
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(2**n_planes - 1)),
+            lambda mk: F.struct(
+                _flip_cost(mk).alias("s"), mk.cast("int").alias("m")
+            ),
         )
+        # array_sort on struct<s, m>: cost ascending, mask as the
+        # deterministic tie-break; take the n_probes cheapest
+        probe_arr = F.transform(
+            F.slice(F.array_sort(scored), 1, n_probes),
+            lambda st: F.col("_sig").bitwiseXOR(st["m"]),
+        )
+    else:
+        # all bit-masks with ≤ n_flip bits set (0 = the home bucket)
+        masks = [0] + [
+            sum(1 << b for b in bits)
+            for f in range(1, n_flip + 1)
+            for bits in combinations(range(n_planes), f)
+        ]
+        probes = F.array(*[F.lit(m) for m in masks])
+        probe_arr = F.transform(probes, lambda m: F.col("_sig").bitwiseXOR(m))
+    qsig = qrow.select(
+        F.explode(probe_arr).alias("_qsig"),
+        F.col(vec_col).alias("_qv"),
     )
     bucket = with_sig.join(
         F.broadcast(qsig), with_sig["_sig"] == qsig["_qsig"]

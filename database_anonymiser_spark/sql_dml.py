@@ -12,6 +12,7 @@ versioned table's NATIVE ops —
 
     ``UPDATE v SET c = e, ... [WHERE p]``  → :meth:`VersionedTable.update_where`
     ``DELETE FROM v [WHERE p]``            → :meth:`VersionedTable.delete_where`
+    ``INSERT INTO v [(cols)] VALUES|query``→ :meth:`VersionedTable.append`
     ``MERGE INTO v USING s ON ... WHEN``   → :meth:`VersionedTable.merge`
 
 so the statement lands as ONE commit in the table's log — CDF-visible,
@@ -37,10 +38,10 @@ Scope contract — refusals are loud, never silent:
   DELETE/INSERT``) are matched outside quotes and parens, so CASE WHEN
   expressions inside SET values or conditions parse through unharmed.
 
-Parsing is deliberately a ~200-line scanner, not a SQL grammar: the
-three statement shapes are fixed, everything inside an expression slot
-is Spark's problem, and a malformed skeleton raises :class:`SqlDmlError`
-with the supported grammar in the message.
+Parsing is deliberately a scanner, not a SQL grammar: the four statement
+shapes are fixed, everything inside an expression slot is Spark's
+problem, and a malformed skeleton raises :class:`SqlDmlError` with the
+supported grammar in the message.
 """
 
 from __future__ import annotations
@@ -176,6 +177,14 @@ class _Delete:
 
 
 @dataclass
+class _Insert:
+    table: str
+    columns: "list[str] | None"          # None = positional full schema
+    values: "list[list[str]] | None"     # VALUES rows of exprs, or
+    query: "str | None"                  # ... a SELECT/WITH source
+
+
+@dataclass
 class _Merge:
     target: str
     target_alias: str
@@ -189,9 +198,9 @@ class _Merge:
 
 
 def classify_dml(stmt: str) -> str | None:
-    """'update' | 'delete' | 'merge' when the statement is one of the
-    three DML shapes, else None (caller falls through to ``spark.sql``)."""
-    head = re.match(r"\s*(UPDATE|DELETE|MERGE)\b", stmt, re.I)
+    """'update' | 'delete' | 'merge' | 'insert' when the statement is one
+    of the DML shapes, else None (caller falls through to ``spark.sql``)."""
+    head = re.match(r"\s*(UPDATE|DELETE|MERGE|INSERT)\b", stmt, re.I)
     return head.group(1).lower() if head else None
 
 
@@ -206,6 +215,7 @@ _GRAMMAR = (
     "supported DML grammar:\n"
     "  UPDATE <view> SET col = expr [, ...] [WHERE <pred>]\n"
     "  DELETE FROM <view> [WHERE <pred>]\n"
+    "  INSERT INTO <view> [(cols)] VALUES (exprs) [, ...] | <query>\n"
     "  MERGE INTO <view> [AS] t USING (<query>|<view>) [AS] s ON <key equality>\n"
     "    WHEN MATCHED [AND c] THEN UPDATE SET ...|SET *|DELETE\n"
     "    WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *\n"
@@ -286,6 +296,60 @@ def _parse_delete(stmt: str) -> _Delete:
     if not pred:
         raise SqlDmlError("WHERE with an empty predicate")
     return _Delete(table, _requalify(pred, {table: ""}))
+
+
+def _parse_insert(stmt: str) -> _Insert:
+    stmt = _strip_stmt(stmt)
+    m = re.match(r"\s*INSERT\s+INTO\s+(" + _IDENT + r")\s*", stmt, re.I)
+    if not m:
+        raise SqlDmlError(f"unsupported INSERT shape\n{_GRAMMAR}")
+    table = _unquote(m.group(1))
+    rest = stmt[m.end() :].lstrip()
+    columns: list[str] | None = None
+    if rest.startswith("("):
+        rmask = _mask(rest)
+        close = next(
+            (i for i, c in enumerate(rest) if c == ")" and rmask[i] == (0, True)),
+            -1,
+        )
+        if close < 0:
+            raise SqlDmlError(f"unbalanced parens in INSERT column list")
+        inner = rest[1:close]
+        head = rest[close + 1 :].lstrip()
+        # "(cols) VALUES/SELECT ..." vs a bare "(SELECT ...)" source: a
+        # column list is a plain comma list of identifiers
+        if re.fullmatch(
+            r"\s*" + _IDENT + r"(\s*,\s*" + _IDENT + r")*\s*", inner
+        ) and re.match(r"(VALUES|SELECT|WITH|TABLE)\b", head, re.I):
+            columns = [_unquote(c) for c in _split_top(inner)]
+            if len(set(columns)) != len(columns):
+                raise SqlDmlError("duplicate column in INSERT list")
+            rest = head
+    vm = re.match(r"VALUES\b", rest, re.I)
+    if not vm:
+        if not rest:
+            raise SqlDmlError(f"INSERT needs VALUES or a query\n{_GRAMMAR}")
+        return _Insert(table, columns, None, rest)
+    body = rest[vm.end() :]
+    rows: list[list[str]] = []
+    for grp in _split_top(body):
+        g = grp.strip()
+        if not (g.startswith("(") and g.endswith(")")):
+            raise SqlDmlError(
+                f"malformed VALUES row {g!r}; expected (expr, ...)"
+            )
+        row = [e.strip() for e in _split_top(g[1:-1])]
+        if rows and len(row) != len(rows[0]):
+            raise SqlDmlError("VALUES rows have inconsistent arity")
+        rows.append(row)
+    if not rows or not rows[0]:
+        raise SqlDmlError("empty VALUES list")
+    if columns is not None and len(columns) != len(rows[0]):
+        raise SqlDmlError(
+            f"INSERT arity mismatch: {len(columns)} columns, "
+            f"{len(rows[0])} values per row"
+        )
+    return _Insert(table, columns, rows, None)
 
 
 def _parse_name_alias(seg: str, what: str) -> tuple[str, str]:
@@ -501,13 +565,32 @@ def _split_top_and(s: str) -> list[str]:
 # execution
 # --------------------------------------------------------------------------
 
-def execute_dml(spark, stmt: str, versioned_views: dict[str, dict]) -> dict:
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on top-level semicolons (quote-aware) — the
+    reference's execution unit is a SCRIPT of per-table UPDATE statements
+    (``executor.ts:104-132`` loops tables inside one run), so --sqlFile
+    accepts the same shape."""
+    return [s.strip() for s in _split_top(script, ";") if s.strip()]
+
+
+def execute_dml(
+    spark, stmt: str, versioned_views: dict[str, dict], dryrun: bool = False
+) -> dict:
     """Run one DML statement against its ``--versionedTable`` target and
     return the report fragment.  ``versioned_views`` maps LOWERCASED view
     name → ``{"root": str, "pinned": bool}`` (pinned = registered with a
     version/timestamp pin → DML refused).  Raises :class:`SqlDmlError`
     for anything out of contract; the caller classifies first with
-    :func:`classify_dml`."""
+    :func:`classify_dml`.
+
+    ``dryrun=True`` is the reference's BEGIN … ROLLBACK transaction
+    (``executor.ts:98-136``) rendered on an immutable log: the statement
+    is fully parsed and validated (target class, pin, MERGE key check,
+    column existence via the same native-op preconditions) and the rows
+    it WOULD touch are counted — but nothing commits and the table's
+    version does not move."""
+    from pyspark.sql import functions as F
+
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     kind = classify_dml(stmt)
@@ -536,12 +619,84 @@ def execute_dml(spark, stmt: str, versioned_views: dict[str, dict]) -> dict:
         u = _parse_update(stmt)
         table_name = u.table
         vt = _target_table(u.table)
+        if dryrun:
+            n = vt.snapshot().where(F.expr(u.predicate or "true")).count()
+            # the assignment columns go through the same existence check
+            # the real op would apply (a typo'd column must fail the
+            # dry run too, not just the apply)
+            sch = vt.snapshot().schema
+            unknown = sorted(set(u.assignments) - {f.name for f in sch.fields})
+            if unknown:
+                raise SqlDmlError(
+                    f"UPDATE assigns columns absent from {u.table!r}: {unknown}"
+                )
+            return {
+                "mode": "sql_dml_dryrun", "op": kind, "table": u.table,
+                "rows_would_change": int(n), "statement": stmt,
+            }
         new_v = vt.update_where(u.assignments, u.predicate or "true")
     elif kind == "delete":
         d = _parse_delete(stmt)
         table_name = d.table
         vt = _target_table(d.table)
+        if dryrun:
+            n = vt.snapshot().where(F.expr(d.predicate or "true")).count()
+            return {
+                "mode": "sql_dml_dryrun", "op": kind, "table": d.table,
+                "rows_would_change": int(n), "statement": stmt,
+            }
         new_v = vt.delete_where(d.predicate or "true")
+    elif kind == "insert":
+        ins = _parse_insert(stmt)
+        table_name = ins.table
+        vt = _target_table(ins.table)
+        sch = vt.snapshot().schema
+        ident = vt.identity_column()
+        gen_cols = set(vt.generated_columns() or ())
+        target_cols = ins.columns or [f.name for f in sch.fields]
+        unknown = sorted(set(target_cols) - {f.name for f in sch.fields})
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT names columns absent from {ins.table!r}: {unknown}"
+            )
+        if ident is not None and ident[0] in target_cols:
+            raise SqlDmlError(
+                f"identity column {ident[0]!r} is GENERATED ALWAYS; use a "
+                "column list that omits it (values are allocated)"
+            )
+        if ins.values is not None:
+            rows_sql = ", ".join("(" + ", ".join(r) + ")" for r in ins.values)
+            src = spark.sql(f"VALUES {rows_sql}")
+        else:
+            src = spark.sql(ins.query)
+        if len(src.columns) != len(target_cols):
+            raise SqlDmlError(
+                f"INSERT arity mismatch: {len(target_cols)} target "
+                f"column(s), source has {len(src.columns)}"
+            )
+        # positional mapping (SQL INSERT semantics), cast to the target
+        # types; unnamed columns NULL-fill — except identity (allocated
+        # by append) and generated columns (recomputed by append)
+        by_type = {f.name: f.dataType for f in sch.fields}
+        named = {
+            t: F.col(c).cast(by_type[t]).alias(t)
+            for c, t in zip(src.columns, target_cols)
+        }
+        for f in sch.fields:
+            if f.name in named or f.name in gen_cols or (
+                ident is not None and f.name == ident[0]
+            ):
+                continue
+            named[f.name] = F.lit(None).cast(f.dataType).alias(f.name)
+        # schema field order — append's alignment is name-based but a
+        # schema-ordered frame is what a reader of the report expects
+        df = src.select(*[named[f.name] for f in sch.fields if f.name in named])
+        if dryrun:
+            return {
+                "mode": "sql_dml_dryrun", "op": kind, "table": ins.table,
+                "rows_would_change": int(df.count()), "statement": stmt,
+            }
+        new_v = vt.append(df)
     else:
         mg = _parse_merge(stmt)
         table_name = mg.target
@@ -568,6 +723,17 @@ def execute_dml(spark, stmt: str, versioned_views: dict[str, dict]) -> dict:
                         f"the source already has a {tcol!r} column"
                     )
                 src = src.withColumnRenamed(scol, tcol)
+        if dryrun:
+            key_list = list(key_cols)
+            snap = vt.snapshot().select(*key_list)
+            matched = snap.join(src.select(*key_list), key_list, "inner").count()
+            unmatched = src.select(*key_list).count() - matched
+            return {
+                "mode": "sql_dml_dryrun", "op": kind, "table": mg.target,
+                "matched_rows": int(matched),
+                "unmatched_source_rows": int(unmatched),
+                "statement": stmt,
+            }
         new_v = vt.merge(
             src,
             matched=mg.matched,

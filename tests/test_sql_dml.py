@@ -342,3 +342,131 @@ def test_e2e_timestamp_pin_and_ts_cdf(spark, dml_env, tmp_path):
             "--data", str(data_dir),
             "--versionedTable", f"x={root}@yesterday",
         ])
+
+
+def test_e2e_sql_script_and_dryrun(spark, dml_env, tmp_path):
+    """Round 13 cont.: --sqlFile scripts (semicolon-separated DML, the
+    reference's per-table-UPDATE execution shape) and --sqlDryrun (the
+    reference's BEGIN..ROLLBACK dry-run: validate + count, zero
+    commits)."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+
+    # dryrun counts without committing
+    report = tmp_path / "dry.json"
+    rc = _run([
+        "--sql", "UPDATE cust SET v = upper(v) WHERE k <= 2",
+        "--sqlDryrun",
+        "--data", str(data_dir),
+        "--versionedTable", f"cust={root}",
+        "--report", str(report),
+    ])
+    assert rc == 0
+    rep = json.loads(report.read_text())
+    assert rep["mode"] == "sql_dml_dryrun"
+    assert rep["rows_would_change"] == 2
+    assert t.latest_version() == v0  # nothing committed
+
+    # a typo'd column fails the dry run too
+    rc = _run([
+        "--sql", "UPDATE cust SET nope = 1", "--sqlDryrun",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2 and t.latest_version() == v0
+
+    # merge dryrun reports matched / unmatched source rows
+    rc = _run([
+        "--sql",
+        "MERGE INTO cust t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "--sqlDryrun",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(report),
+    ])
+    assert rc == 0
+    rep = json.loads(report.read_text())
+    assert rep["matched_rows"] == 2 and rep["unmatched_source_rows"] == 1
+    assert t.latest_version() == v0
+
+    # multi-statement script: each statement is its own commit, in order
+    script = tmp_path / "apply.sql"
+    script.write_text(
+        "UPDATE cust SET v = upper(v) WHERE k = 1;\n"
+        "DELETE FROM cust WHERE k = 4;\n"
+        "MERGE INTO cust t USING src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);\n"
+    )
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(report),
+    ])
+    assert rc == 0
+    assert t.latest_version() == v0 + 3
+    rep = json.loads(report.read_text())
+    assert rep["mode"] == "sql_dml_script" and len(rep["statements"]) == 3
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows == {1: "ONE", 2: "two", 3: "three", 99: "ninety-nine"}
+
+    # a script mixing SELECT and DML is refused before anything runs
+    script.write_text("SELECT 1;\nDELETE FROM cust WHERE k = 1;")
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2 and t.latest_version() == v0 + 3
+
+
+def test_parse_insert():
+    from database_anonymiser_spark.sql_dml import _parse_insert
+
+    i = _parse_insert("INSERT INTO cust (k, v) VALUES (7, 'x'), (8, concat('y', 'z'))")
+    assert i.table == "cust" and i.columns == ["k", "v"]
+    assert i.values == [["7", "'x'"], ["8", "concat('y', 'z')"]]
+    q = _parse_insert("INSERT INTO cust SELECT k, v FROM src WHERE k > 0")
+    assert q.columns is None and q.query.startswith("SELECT")
+    sub = _parse_insert("INSERT INTO cust (v, k) SELECT v, k FROM src")
+    assert sub.columns == ["v", "k"]
+    with pytest.raises(SqlDmlError):  # arity
+        _parse_insert("INSERT INTO cust (k, v) VALUES (1)")
+    with pytest.raises(SqlDmlError):  # inconsistent rows
+        _parse_insert("INSERT INTO cust (k) VALUES (1), (2, 3)")
+    with pytest.raises(SqlDmlError):
+        _parse_insert("INSERT INTO cust")
+
+
+def test_e2e_sql_insert(spark, dml_env, tmp_path):
+    """Round 13 cont.: INSERT INTO completes the DML quartet — VALUES and
+    query sources, positional semantics, NULL fill for unnamed columns,
+    one append commit each."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    rc = _run([
+        "--sql", "INSERT INTO cust (k, v) VALUES (7, 'seven'), (8, upper('eight'))",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0 and t.latest_version() == v0 + 1
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[7] == "seven" and rows[8] == "EIGHT"
+    # query source, positional against an explicit column list
+    rc = _run([
+        "--sql", "INSERT INTO cust (k, v) SELECT k + 100, v FROM src WHERE k = 99",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()}[199] == "ninety-nine"
+    # dryrun counts, commits nothing
+    v = t.latest_version()
+    rc = _run([
+        "--sql", "INSERT INTO cust (k, v) VALUES (1000, 'x')", "--sqlDryrun",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0 and t.latest_version() == v
+    # unknown column refused
+    rc = _run([
+        "--sql", "INSERT INTO cust (k, nope) VALUES (1, 2)",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2

@@ -85,12 +85,17 @@ def test_runtime_tumbling_append_matches_watermark_final(
         r.window_start for r in declared if r.kind == "tumbling"
     }
     assert final and set(final) < all_tumbling  # a strict, non-empty subset
+    from pyspark.sql import functions as F
+
     ev = stream_events(spark, f"{sf_dir}/events.parquet")
     agg = (
-        tumbling_agg_stream(ev)
-        .groupBy("window_start")
-        .sum("n")
-        .withColumnRenamed("sum(n)", "n")
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
     )
     tbl = _run_available_now(agg, "rt_tumbling_final", "append")
     got = {r.window_start: r.n for r in spark.table(tbl).collect()}

@@ -1865,11 +1865,29 @@ def test_ann_recall_floors_pq_and_multiprobe_lsh(spark, sf_dir):
             emb, "vec_id", "embedding", q, K, n_planes=8, dim=64
         )
     )
+    # round 13: query-directed probing at the production default (93
+    # margin-ranked buckets — the same budget the 3-flip rule spends).
+    # LSH is the documented CHEAP-SHORTLIST tier (see lsh_bucket_topk's
+    # tier note): its floor asserts the margin ranking beats the blind
+    # flip rule at equal budget, not the ≥0.9 the ivf/pq tier owns.
+    r_lshq = recall(
+        lambda q: SIM.lsh_bucket_topk(
+            emb, "vec_id", "embedding", q, K, n_planes=8, dim=64, n_probes=93
+        )
+    )
     assert r_pq >= 0.9, f"PQ default recall {r_pq} below absolute floor 0.9"
     assert r_pqt >= 0.9, f"trained-PQ default recall {r_pqt} below floor 0.9"
     assert r_ivf >= 0.9, f"IVF default-probe recall {r_ivf} below floor 0.9"
     assert r_sq >= 0.9, f"IVF-SQ default-probe recall {r_sq} below floor 0.9"
     assert r_lsh >= 0.4, f"multi-probe LSH default recall {r_lsh} below floor 0.4"
+    assert r_lshq >= 0.55, (
+        f"query-directed LSH recall {r_lshq} below floor 0.55 (measured "
+        "0.567 on this fixture, round 13)"
+    )
+    assert r_lshq > r_lsh, (
+        "query-directed probing must beat the blind flip rule at the "
+        f"same 93-bucket budget (qd {r_lshq} vs flips {r_lsh})"
+    )
     assert r_pq > r_adc, "exact re-rank stage buys nothing over raw ADC"
     assert r_adct >= r_adc, (
         f"trained ADC recall {r_adct} below training-free {r_adc}"

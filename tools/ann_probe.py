@@ -15,8 +15,9 @@ def ann_recall_headline(
 ) -> dict[str, float]:
     """recall@k of the four ANN branches at their production defaults
     (ivf n_probe=8 of 16 lists; pq 8x16 with the auto ADC-shortlist →
-    exact re-rank; trained-pq n_iter=3; lsh 8 planes + default flips),
-    averaged over the ``qs`` probe queries, vs exact brute force."""
+    exact re-rank; trained-pq n_iter=3; lsh 8 planes + query-directed
+    93-bucket probing, round 13), averaged over the ``qs`` probe
+    queries, vs exact brute force."""
     from database_anonymiser_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -64,7 +65,8 @@ def ann_recall_headline(
         ),
         "lsh": _recall(
             lambda q: lsh_bucket_topk(
-                emb, "vec_id", "embedding", q, k, n_planes=8, dim=64
+                emb, "vec_id", "embedding", q, k, n_planes=8, dim=64,
+                n_probes=93,
             )
         ),
     }
