@@ -553,12 +553,121 @@ def _split_top_and(s: str) -> list[str]:
     mask = _mask(s)
     cuts = [m for m in re.compile(r"\bAND\b", re.I).finditer(s)
             if mask[m.start()] == (0, True)]
-    parts, last = [], 0
+    # a top-level AND that pairs with a preceding top-level BETWEEN is
+    # the BETWEEN's own connective, not a conjunction boundary
+    betweens = [m.start() for m in re.compile(r"\bBETWEEN\b", re.I).finditer(s)
+                if mask[m.start()] == (0, True)]
+    real_cuts, bi = [], 0
     for m in cuts:
+        if bi < len(betweens) and betweens[bi] < m.start():
+            bi += 1  # this AND closes that BETWEEN
+            continue
+        real_cuts.append(m)
+    parts, last = [], 0
+    for m in real_cuts:
         parts.append(s[last : m.start()])
         last = m.end()
     parts.append(s[last:])
     return parts
+
+
+_NUM_LIT = r"-?\d+(?:\.\d+)?"
+_STR_LIT = r"'(?:[^']|'')*'"
+_LIT = rf"(?:{_NUM_LIT}|{_STR_LIT})"
+
+
+def _lit_value(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def derive_prune(pred: str) -> dict:
+    """Derive ``{col: (lo, hi) | "isnull" | "notnull"}`` file-skipping
+    hints IMPLIED by a SQL predicate — what Delta does when it compiles
+    data skipping from the WHERE clause, rendered for the native ops'
+    ``prune=`` vocabulary (round 13: a scoped SQL UPDATE/DELETE must
+    cost O(files containing matches), not O(table)).
+
+    One-sided by construction: only top-level AND conjuncts of the
+    shapes ``col <op> literal``, ``literal <op> col``, ``col BETWEEN a
+    AND b``, ``col IN (literals)``, ``col IS [NOT] NULL`` contribute;
+    anything else (ORs, functions, subqueries, column-to-column) is
+    simply not pruned on. A top-level OR disables derivation entirely
+    (the statement is a disjunction — no conjunct is implied). The
+    native ops additionally conjoin the prune into the row predicate
+    (their documented self-consistency contract), so a derived hint can
+    narrow a read but never split semantics."""
+    mask = _mask(pred)
+    if any(
+        mask[m.start()] == (0, True)
+        for m in re.compile(r"\bOR\b", re.I).finditer(pred)
+    ):
+        return {}
+    out: dict = {}
+
+    def _narrow(col: str, lo, hi):
+        cur = out.get(col)
+        if isinstance(cur, str):
+            cur = (None, None)
+        clo, chi = cur if cur else (None, None)
+        if lo is not None:
+            clo = lo if clo is None else max(clo, lo)
+        if hi is not None:
+            chi = hi if chi is None else min(chi, hi)
+        out[col] = (clo, chi)
+
+    ident = r"(?:[A-Za-z_][\w$]*|`[^`]+`|\"[^\"]+\")"
+    for raw in _split_top_and(pred):
+        c = raw.strip()
+        while c.startswith("(") and c.endswith(")") and _mask(c)[len(c) - 1] == (0, True):
+            inner = c[1:-1].strip()
+            if not inner:
+                break
+            c = inner
+        m = re.fullmatch(
+            rf"({ident})\s*(=|==|<=|>=|<|>)\s*({_LIT})", c
+        ) or re.fullmatch(
+            rf"({_LIT})\s*(=|==|<=|>=|<|>)\s*({ident})", c
+        )
+        if m:
+            a, op, b = m.groups()
+            col_first = re.fullmatch(ident, a) is not None
+            col = _unquote(a if col_first else b)
+            val = _lit_value(b if col_first else a)
+            if not col_first:  # 5 < col  ≡  col > 5
+                op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+            if op in ("=", "=="):
+                _narrow(col, val, val)
+            elif op in ("<", "<="):
+                _narrow(col, None, val)
+            else:
+                _narrow(col, val, None)
+            continue
+        m = re.fullmatch(
+            rf"({ident})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})", c, re.I
+        )
+        if m:
+            col, lo, hi = m.groups()
+            _narrow(_unquote(col), _lit_value(lo), _lit_value(hi))
+            continue
+        m = re.fullmatch(
+            rf"({ident})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)", c, re.I
+        )
+        if m:
+            vals = [_lit_value(v) for v in _split_top(m.group(2))]
+            try:
+                _narrow(_unquote(m.group(1)), min(vals), max(vals))
+            except TypeError:
+                pass  # mixed-type literal list: not prunable
+            continue
+        m = re.fullmatch(rf"({ident})\s+IS\s+(NOT\s+)?NULL", c, re.I)
+        if m and _unquote(m.group(1)) not in out:
+            out[_unquote(m.group(1))] = (
+                "notnull" if m.group(2) else "isnull"
+            )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -634,7 +743,14 @@ def execute_dml(
                 "mode": "sql_dml_dryrun", "op": kind, "table": u.table,
                 "rows_would_change": int(n), "statement": stmt,
             }
-        new_v = vt.update_where(u.assignments, u.predicate or "true")
+        new_v = vt.update_where(
+            u.assignments,
+            u.predicate or "true",
+            # file-skipping hints implied by the WHERE (Delta compiles
+            # data skipping from the predicate; here the statement front
+            # does): a scoped SQL UPDATE reads O(matching files)
+            prune=(derive_prune(u.predicate) or None) if u.predicate else None,
+        )
     elif kind == "delete":
         d = _parse_delete(stmt)
         table_name = d.table
@@ -645,7 +761,10 @@ def execute_dml(
                 "mode": "sql_dml_dryrun", "op": kind, "table": d.table,
                 "rows_would_change": int(n), "statement": stmt,
             }
-        new_v = vt.delete_where(d.predicate or "true")
+        new_v = vt.delete_where(
+            d.predicate or "true",
+            prune=(derive_prune(d.predicate) or None) if d.predicate else None,
+        )
     elif kind == "insert":
         ins = _parse_insert(stmt)
         table_name = ins.table

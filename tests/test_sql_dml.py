@@ -470,3 +470,62 @@ def test_e2e_sql_insert(spark, dml_env, tmp_path):
         "--data", str(data_dir), "--versionedTable", f"cust={root}",
     ])
     assert rc == 2
+
+
+def test_derive_prune_units():
+    from database_anonymiser_spark.sql_dml import derive_prune as dp
+
+    assert dp("k >= 100") == {"k": (100, None)}
+    assert dp("k > 5 AND k <= 20") == {"k": (5, 20)}
+    assert dp("k = 7 AND v = 'x'") == {"k": (7, 7), "v": ("x", "x")}
+    assert dp("100 <= k") == {"k": (100, None)}
+    assert dp("k BETWEEN 3 AND 9 AND upper(v) = 'A'") == {"k": (3, 9)}
+    assert dp("k IN (4, 2, 9)") == {"k": (2, 9)}
+    assert dp("v IS NULL AND k IS NOT NULL") == {"v": "isnull", "k": "notnull"}
+    # a range and a nullness on the same column: the range wins
+    assert dp("k IS NOT NULL AND k > 3") == {"k": (3, None)}
+    # parenthesized conjunct unwraps; unknown shapes contribute nothing
+    assert dp("(k >= 1) AND length(v) > 2") == {"k": (1, None)}
+    # a top-level OR disables derivation entirely
+    assert dp("k > 5 OR v = 'x'") == {}
+    # ... but an OR inside parens is just an opaque conjunct
+    assert dp("k > 5 AND (v = 'x' OR v = 'y')") == {"k": (5, None)}
+    # string with escaped quote; float literal
+    assert dp("v = 'it''s' AND p < 1.5") == {"v": ("it's", "it's"), "p": (None, 1.5)}
+    # column-to-column and subqueries are not prunable
+    assert dp("a = b") == {}
+    assert dp("k IN (SELECT k FROM t)") == {}
+
+
+def test_e2e_sql_update_prunes_files(spark, tmp_path):
+    """The SQL face derives file skipping from the WHERE: an update
+    scoped to one file's key range reads (and rewrites) only that file;
+    the other files carry by reference."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    spark.range(1).write.parquet(str(data_dir / "dummy.parquet"))
+    root = tmp_path / "t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        key_col="k",
+    )
+    for base in (100, 200, 300):  # three more files, disjoint key ranges
+        t.append(
+            spark.createDataFrame(
+                [(base + i, "x") for i in range(5)], "k long, v string"
+            ).coalesce(1)
+        )
+    f0 = V.DATA_FILES_READ
+    rc = _run([
+        "--sql", "UPDATE t SET v = upper(v) WHERE k >= 200 AND k <= 204",
+        "--data", str(data_dir), "--versionedTable", f"t={root}",
+    ])
+    assert rc == 0
+    assert V.DATA_FILES_READ - f0 == 1  # only the 200-file was read
+    m = t.commit_meta(t.latest_version())["metrics"]
+    assert m["files_touched"] == 1 and m["files_carried"] == 3
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[200] == "X" and rows[100] == "x" and rows[300] == "x"
