@@ -45,7 +45,7 @@ MERGE_MAP = [
     ("agg_multidim", "agg_cube + agg_rollup + agg_grouping_sets"),
     ("agg_approx_sketch", "agg_approx_distinct + approx_percentile (HLL/GK moved to error-bound pytest pins) + deterministic KMV distinct-count sketch (round 4 - makes the entry fully oracle-checked) + Count-Min point-frequency sketch with one-sided guarantee (round 5) + hash-sample quantile sketch (round 5) + Theta-style KMV set operations: union/intersection/Jaccard estimated from two bottom-k sketches without rescanning either table, exact when merged size < k (round 6)"),
     ("join_semi_anti", "join_semi + join_anti"),
-    ("merge_upsert", "MERGE upsert + Z-ORDER OPTIMIZE row-set identity (round 5) + scoped update_where under key-range prune + delete_where (round 6 - the copy-on-write mutation path is value-hash checked as one committed lineage, versions 0..4)"),
+    ("merge_upsert", "MERGE upsert + Z-ORDER OPTIMIZE row-set identity (round 5) + scoped update_where under key-range prune + delete_where (round 6 - the copy-on-write mutation path is value-hash checked as one committed lineage, versions 0..4) + SQL DML face ('sqldml' variant, round 13 - UPDATE/DELETE/MERGE INTO statement strings through sql_dml.execute_dml, the --sql router; the parser itself is value-hash checked)"),
     ("window_pack", "window_rank + window_running_sum + window_lag + window_lead_ntile + window_range_frame"),
     ("setop_pack", "setop_union + setop_intersect + setop_except"),
     ("func_math_null", "func_math + func_null + func_map"),
