@@ -301,15 +301,25 @@ def main(argv: list[str] | None = None) -> int:
             split_statements,
         )
 
+        from database_anonymiser_spark.sql_dml import (
+            classify_utility,
+            execute_utility,
+        )
+
         stmts = split_statements(stmt)
-        if len(stmts) > 1 and not all(classify_dml(s) for s in stmts):
+
+        def _routed(s: str) -> bool:
+            return bool(classify_dml(s) or classify_utility(s))
+
+        if len(stmts) > 1 and not all(_routed(s) for s in stmts):
             print(
-                "sql: a multi-statement script must be ALL DML "
-                "(UPDATE/DELETE/MERGE); run SELECTs one at a time",
+                "sql: a multi-statement script must be ALL DML/maintenance "
+                "(UPDATE/DELETE/INSERT/MERGE/OPTIMIZE/VACUUM/RESTORE/"
+                "DESCRIBE/ALTER); run SELECTs one at a time",
                 file=sys.stderr,
             )
             return 2
-        if stmts and classify_dml(stmts[0]):
+        if stmts and _routed(stmts[0]):
             # UPDATE / DELETE / MERGE INTO route to the versioned table's
             # native ops — one commit per statement, CDF-visible,
             # OCC-rebased (round 13; per-table UPDATE ... SET scripts are
@@ -319,9 +329,19 @@ def main(argv: list[str] | None = None) -> int:
             frags = []
             for s in stmts:
                 try:
-                    frag = execute_dml(
-                        spark, s, versioned_views, dryrun=args.sql_dryrun
-                    )
+                    if classify_utility(s):
+                        if args.sql_dryrun:
+                            print(
+                                "--sqlDryrun covers DML statements only "
+                                f"(maintenance statement: {s[:60]!r})",
+                                file=sys.stderr,
+                            )
+                            return 2
+                        frag = execute_utility(spark, s, versioned_views)
+                    else:
+                        frag = execute_dml(
+                            spark, s, versioned_views, dryrun=args.sql_dryrun
+                        )
                 except SqlDmlError as e:
                     print(f"sql dml: {e}", file=sys.stderr)
                     if frags:
@@ -333,7 +353,19 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     return 2
                 frags.append(frag)
-                if args.sql_dryrun:
+                if frag["mode"] == "sql_utility":
+                    if "rows" in frag:
+                        for r in frag["rows"][: args.max_rows]:
+                            print(r)
+                        print(f"sql {frag['op']}: {frag['table']}")
+                    else:
+                        tail_slot = (
+                            f"→ version {frag['new_version']}"
+                            if "new_version" in frag
+                            else f"reclaimed {frag['files_reclaimed']} file(s)"
+                        )
+                        print(f"sql {frag['op']}: {frag['table']} {tail_slot}")
+                elif args.sql_dryrun:
                     counts = {
                         k: v for k, v in frag.items()
                         if k.endswith("_rows") or k == "rows_would_change"

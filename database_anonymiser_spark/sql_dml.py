@@ -674,6 +674,153 @@ def derive_prune(pred: str) -> dict:
 # execution
 # --------------------------------------------------------------------------
 
+def classify_utility(stmt: str) -> str | None:
+    """'optimize' | 'vacuum' | 'restore' | 'describe' | 'alter' when the
+    statement is one of the table-maintenance shapes (Delta's SQL
+    surface for the same ops), else None."""
+    head = re.match(
+        r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER)\b", stmt, re.I
+    )
+    return head.group(1).lower() if head else None
+
+
+_UTILITY_GRAMMAR = (
+    "supported maintenance grammar (Delta's SQL surface on the native ops):\n"
+    "  OPTIMIZE <view> [ZORDER BY (cols)]\n"
+    "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS]\n"
+    "  RESTORE [TABLE] <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'\n"
+    "  DESCRIBE HISTORY|DETAIL <view>\n"
+    "  ALTER TABLE <view> CLUSTER BY (cols)"
+)
+
+
+def execute_utility(
+    spark, stmt: str, versioned_views: dict[str, dict]
+) -> dict:
+    """Run one maintenance statement against its ``--versionedTable``
+    target: OPTIMIZE → incremental clustering (or bin-pack compaction
+    when no clustering key is declared) / OPTIMIZE ZORDER BY → full
+    z-order rewrite; VACUUM → orphan or retention reclaim; RESTORE →
+    forward rollback commit; DESCRIBE HISTORY/DETAIL → the log's own
+    metadata as rows; ALTER TABLE ... CLUSTER BY → declare the
+    clustering key. Mutating statements require an UN-pinned view;
+    DESCRIBE works on pinned registrations too (it reads the log, not
+    a snapshot)."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    kind = classify_utility(stmt)
+    s = _strip_stmt(stmt)
+
+    def _table(name: str, mutating: bool = True) -> "VersionedTable":
+        meta = versioned_views.get(_unquote(name).lower())
+        if meta is None:
+            raise SqlDmlError(
+                f"{kind.upper()} target {name!r} is not a versioned view "
+                "(--versionedTable registers one)"
+            )
+        if mutating and meta["pinned"]:
+            raise SqlDmlError(
+                f"{kind.upper()} target {name!r} is pinned to a historical "
+                "version/timestamp; maintenance runs at the head only"
+            )
+        return VersionedTable(spark, meta["root"])
+
+    def _cols(seg: str) -> tuple:
+        return tuple(
+            _unquote(c) for c in _split_top(seg) if c.strip()
+        )
+
+    if kind == "optimize":
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?",
+            s, re.I,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported OPTIMIZE shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1))
+        if m.group("z"):
+            v = t.optimize_zorder(_cols(m.group("z")))
+            op = "optimize_zorder"
+        elif t.clustering_cols():
+            v = t.optimize_cluster()
+            op = "optimize_cluster"
+        else:
+            v = t.compact()
+            op = "compact"
+        return {"mode": "sql_utility", "op": op, "table": _unquote(m.group(1)),
+                "new_version": int(v), "statement": stmt}
+    if kind == "vacuum":
+        m = re.fullmatch(
+            rf"VACUUM\s+({_IDENT})"
+            r"(?:\s+RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+(?P<unit>VERSIONS|HOURS))?",
+            s, re.I,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported VACUUM shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1))
+        if m.group("unit") and m.group("unit").upper() == "VERSIONS":
+            reclaimed = t.vacuum(retain_versions=int(float(m.group("n"))))
+        elif m.group("unit"):
+            reclaimed = t.vacuum(retain_hours=float(m.group("n")))
+        else:
+            reclaimed = t.vacuum()
+        return {"mode": "sql_utility", "op": "vacuum",
+                "table": _unquote(m.group(1)),
+                "files_reclaimed": len(reclaimed), "statement": stmt}
+    if kind == "restore":
+        m = re.fullmatch(
+            rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+            s, re.I,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported RESTORE shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1))
+        v = (
+            t.restore(int(m.group("v")))
+            if m.group("v") is not None
+            else t.restore_to_timestamp(m.group("ts"))
+        )
+        return {"mode": "sql_utility", "op": "restore",
+                "table": _unquote(m.group(1)),
+                "new_version": int(v), "statement": stmt}
+    if kind == "describe":
+        m = re.fullmatch(
+            rf"DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})", s, re.I
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported DESCRIBE shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(2), mutating=False)
+        if m.group(1).upper() == "HISTORY":
+            rows = [
+                {"version": h["version"], "op": h["op"], "ts": h.get("ts"),
+                 "adds": len(h.get("adds", [])),
+                 "removes": len(h.get("removes", []))}
+                for h in t.history()
+            ]
+        else:
+            rows = [t.detail()]
+        return {"mode": "sql_utility", "op": f"describe_{m.group(1).lower()}",
+                "table": _unquote(m.group(2)), "rows": rows,
+                "statement": stmt}
+    # ALTER
+    m = re.fullmatch(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s*\((?P<c>[^)]*)\)",
+        s, re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            f"only ALTER TABLE ... CLUSTER BY is supported\n{_UTILITY_GRAMMAR}"
+        )
+    t = _table(m.group(1))
+    v = t.set_clustering(_cols(m.group("c")))
+    return {"mode": "sql_utility", "op": "set_clustering",
+            "table": _unquote(m.group(1)), "new_version": int(v),
+            "statement": stmt}
+
+
 def split_statements(script: str) -> list[str]:
     """Split a SQL script on top-level semicolons (quote-aware) — the
     reference's execution unit is a SCRIPT of per-table UPDATE statements

@@ -529,3 +529,83 @@ def test_e2e_sql_update_prunes_files(spark, tmp_path):
     assert m["files_touched"] == 1 and m["files_carried"] == 3
     rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
     assert rows[200] == "X" and rows[100] == "x" and rows[300] == "x"
+
+
+def test_e2e_sql_maintenance_statements(spark, dml_env, tmp_path):
+    """Round 13 cont.: Delta's SQL maintenance surface on the native ops
+    — ALTER TABLE CLUSTER BY, OPTIMIZE (incremental clustering /
+    compaction / ZORDER), VACUUM RETAIN, RESTORE TO VERSION AS OF,
+    DESCRIBE HISTORY/DETAIL — each through --sql / --sqlFile."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+
+    # a maintenance script mixing DML and utility statements
+    script = tmp_path / "maint.sql"
+    script.write_text(
+        "UPDATE cust SET v = upper(v) WHERE k = 1;\n"
+        "ALTER TABLE cust CLUSTER BY (k);\n"
+        "OPTIMIZE cust;\n"
+    )
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(tmp_path / "rep.json"),
+    ])
+    assert rc == 0
+    assert t.clustering_cols() == ("k",)
+    assert t.commit_op(t.latest_version()) == "optimize_cluster"
+    assert t.detail()["files_unclustered"] == 0
+    v_clustered = t.latest_version()
+
+    # RESTORE to the pre-script image, as SQL
+    rc = _run([
+        "--sql", f"RESTORE TABLE cust TO VERSION AS OF {v0}",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    assert {r["v"] for r in t.snapshot().collect()} == {
+        "one", "two", "three", "four"
+    }
+
+    # VACUUM RETAIN 1 VERSIONS reclaims the superseded files
+    rep = tmp_path / "vac.json"
+    rc = _run([
+        "--sql", "VACUUM cust RETAIN 1 VERSIONS",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(rep),
+    ])
+    assert rc == 0
+    assert json.loads(rep.read_text())["files_reclaimed"] > 0
+
+    # DESCRIBE HISTORY lists every commit; DETAIL returns the one dict
+    rep2 = tmp_path / "hist.json"
+    rc = _run([
+        "--sql", "DESCRIBE HISTORY cust",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(rep2),
+    ])
+    assert rc == 0
+    hist = json.loads(rep2.read_text())["rows"]
+    assert [h["version"] for h in hist] == list(range(t.latest_version() + 1))
+    assert any(h["op"] == f"restore_{v0}" for h in hist)
+    rc = _run([
+        "--sql", "DESCRIBE DETAIL cust",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(rep2),
+    ])
+    assert rc == 0
+    assert json.loads(rep2.read_text())["rows"][0]["clustering_cols"] == ["k"]
+
+    # refusals: mutating maintenance on a pinned view; bad shape
+    rc = _run([
+        "--sql", "OPTIMIZE cust_old",
+        "--data", str(data_dir), "--versionedTable", f"cust_old={root}@0",
+    ])
+    assert rc == 2
+    rc = _run([
+        "--sql", "ALTER TABLE cust ADD COLUMN x INT",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2
+    _ = v_clustered
