@@ -76,6 +76,14 @@ SQL_DML_FINAL = f"""
            'SQLNEW' AS c_mktsegment
     FROM customer
     WHERE c_custkey % 37 = 0 AND ((c_custkey + {_SHIFT}) % 100) - 50 > 0
+    UNION ALL
+    -- SQL DML v4: INSERT INTO cust (c_custkey, c_name, c_acctbal,
+    --   c_mktsegment) SELECT ... — the append route; unnamed
+    --   c_nationkey NULL-fills
+    SELECT c_custkey + {2 * _SHIFT}, c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           c_acctbal, 'SQLINS' AS c_mktsegment
+    FROM customer WHERE c_custkey % 41 = 0
 """
 
 
@@ -131,6 +139,16 @@ def sql_dml_state(spark, sf_dir):
         "WHEN NOT MATCHED AND u.d > 0 THEN INSERT "
         "(c_custkey, c_name, c_acctbal, c_mktsegment) "
         "VALUES (u.c_custkey, 'SQLNEW', CAST(u.d AS DOUBLE), 'SQLNEW')",
+        views,
+    )
+    # v4 (round 13 cont.): the INSERT route — a query source with an
+    # explicit column list; the unnamed c_nationkey NULL-fills
+    cust.createOrReplaceTempView("sql_dml_customer")
+    execute_dml(
+        spark,
+        "INSERT INTO cust (c_custkey, c_name, c_acctbal, c_mktsegment) "
+        f"SELECT c_custkey + {2 * _SHIFT}, c_name, c_acctbal, 'SQLINS' "
+        "FROM sql_dml_customer WHERE c_custkey % 41 = 0",
         views,
     )
     return t.snapshot()
