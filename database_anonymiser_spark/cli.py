@@ -150,6 +150,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(executor.ts:98-136) on the immutable log (round 13)",
     )
     p.add_argument(
+        "--sqlRollbackOnError", action="store_true", dest="sql_rollback",
+        help="SQL mode, scripts: when a later statement fails, RESTORE "
+        "every table the script already touched to its pre-script "
+        "version (the reference's whole-apply rollback, "
+        "main.ts:100-133, as forward auditable restore commits — "
+        "history keeps the attempted statements, time travel shows "
+        "them, the head is the pre-script image)",
+    )
+    p.add_argument(
         "--versionedTable", action="append", default=None,
         dest="versioned_tables", metavar="NAME=ROOT[@PIN]",
         help="SQL mode: also register a commit-log table as view NAME "
@@ -301,6 +310,8 @@ def main(argv: list[str] | None = None) -> int:
             split_statements,
         )
 
+        from pyspark.errors import AnalysisException as _SparkAnalysisError
+
         from database_anonymiser_spark.sql_dml import (
             classify_utility,
             execute_utility,
@@ -327,6 +338,34 @@ def main(argv: list[str] | None = None) -> int:
             # src/executor/query-builder.ts:58-61 / executor.ts:104-132);
             # --sqlDryrun validates + counts without committing
             frags = []
+            # pre-script head of every table the script touches (first
+            # touch wins) — the --sqlRollbackOnError restore targets
+            start_versions: dict[str, int] = {}
+
+            def _note_start(table: str):
+                key = table.lower()
+                if args.sql_rollback and key not in start_versions:
+                    from database_anonymiser_spark.sources.versioned import (
+                        VersionedTable,
+                    )
+
+                    start_versions[key] = VersionedTable(
+                        spark, versioned_views[key]["root"]
+                    ).latest_version()
+
+            def _rollback_script() -> list[str]:
+                from database_anonymiser_spark.sources.versioned import (
+                    VersionedTable,
+                )
+
+                restored = []
+                for key, v_start in reversed(list(start_versions.items())):
+                    t = VersionedTable(spark, versioned_views[key]["root"])
+                    if t.latest_version() != v_start:
+                        t.restore(v_start)
+                        restored.append(key)
+                return restored
+
             for s in stmts:
                 try:
                     if classify_utility(s):
@@ -337,18 +376,55 @@ def main(argv: list[str] | None = None) -> int:
                                 file=sys.stderr,
                             )
                             return 2
+                        # note the head BEFORE the op so a failing later
+                        # statement can restore this one's effect too
+                        import re as _re
+
+                        m = _re.search(
+                            r"\b(?:OPTIMIZE|VACUUM|RESTORE(?:\s+TABLE)?|"
+                            r"DESCRIBE\s+(?:HISTORY|DETAIL)|ALTER\s+TABLE)"
+                            r"\s+([A-Za-z_][\w$]*)",
+                            s, _re.I,
+                        )
+                        if m and m.group(1).lower() in versioned_views:
+                            _note_start(m.group(1))
                         frag = execute_utility(spark, s, versioned_views)
                     else:
+                        import re as _re
+
+                        tm = _re.search(
+                            r"\b(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|"
+                            r"INSERT\s+INTO)\s+([A-Za-z_][\w$]*)",
+                            s, _re.I,
+                        )
+                        if tm and tm.group(1).lower() in versioned_views:
+                            _note_start(tm.group(1))
                         frag = execute_dml(
                             spark, s, versioned_views, dryrun=args.sql_dryrun
                         )
-                except SqlDmlError as e:
+                except (SqlDmlError, ValueError, _SparkAnalysisError) as e:
+                    # SqlDmlError = skeleton/contract refusals from the
+                    # statement front; ValueError = the native ops' own
+                    # precondition refusals (unknown column, identity
+                    # assignment, clause shape); AnalysisException = a
+                    # bad expression inside a slot. All three abort the
+                    # statement cleanly (nothing of IT committed).
                     print(f"sql dml: {e}", file=sys.stderr)
-                    if frags:
+                    if frags and args.sql_rollback:
+                        restored = _rollback_script()
+                        print(
+                            f"script rolled back: {len(restored)} table(s) "
+                            f"restored to their pre-script version(s) "
+                            f"({', '.join(restored)}) — the attempted "
+                            "statements remain time-travelable history",
+                            file=sys.stderr,
+                        )
+                    elif frags:
                         print(
                             f"(script aborted after {len(frags)} committed "
                             "statement(s); each statement is its own "
-                            "commit — roll back with restore if needed)",
+                            "commit — pass --sqlRollbackOnError to restore "
+                            "touched tables on failure)",
                             file=sys.stderr,
                         )
                     return 2

@@ -609,3 +609,40 @@ def test_e2e_sql_maintenance_statements(spark, dml_env, tmp_path):
     ])
     assert rc == 2
     _ = v_clustered
+
+
+def test_e2e_sql_script_rollback_on_error(spark, dml_env, tmp_path):
+    """--sqlRollbackOnError: a failing later statement restores every
+    table the script already touched to its pre-script version — the
+    reference's whole-apply rollback (main.ts:100-133) as forward,
+    auditable restore commits."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    before = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    script = tmp_path / "bad.sql"
+    script.write_text(
+        "UPDATE cust SET v = upper(v) WHERE k <= 2;\n"
+        "DELETE FROM cust WHERE k = 4;\n"
+        "UPDATE cust SET nope = 1;\n"  # fails: unknown column
+    )
+    rc = _run([
+        "--sqlFile", str(script), "--sqlRollbackOnError",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2
+    # head snapshot equals the pre-script image ...
+    assert {(r["k"], r["v"]) for r in t.snapshot().collect()} == before
+    # ... via a restore commit (history keeps the attempted statements)
+    assert t.commit_op(t.latest_version()) == f"restore_{v0}"
+    assert t.latest_version() == v0 + 3  # update + delete + restore
+    # without the flag, partial effects remain (documented)
+    script.write_text(
+        "DELETE FROM cust WHERE k = 4;\nUPDATE cust SET nope = 1;"
+    )
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2, 3]
