@@ -674,6 +674,117 @@ def derive_prune(pred: str) -> dict:
 # execution
 # --------------------------------------------------------------------------
 
+#: bounded-driver-collect cap for IN (SELECT ...) materialization —
+#: the same order as versioned.ISIN_LITERAL_CAP's philosophy (a larger
+#: revocation set should flow through MERGE, which joins distributed)
+IN_SUBQUERY_CAP = 10_000
+
+
+def _materialize_in_subqueries(spark, pred: str) -> str:
+    """Rewrite every ``[NOT] IN (SELECT ...)`` inside ``pred`` into a
+    LITERAL value list by running the subquery (round 13) — the GDPR
+    shape ``UPDATE t SET ... WHERE id IN (SELECT id FROM revoked)``
+    cannot ride ``F.expr`` (no subquery resolution outside spark.sql),
+    so the statement front evaluates the one-column subquery and splices
+    the values back as SQL literals. Semantics are EXACT, including SQL
+    three-valued logic: collected NULLs are rendered as literal NULL
+    (``x NOT IN (1, NULL)`` keeps its UNKNOWN behavior). Bounded: more
+    than :data:`IN_SUBQUERY_CAP` values is refused with guidance to use
+    MERGE (a join, not a literal). An empty result renders the standard
+    empty-IN identities (``IN`` → FALSE, ``NOT IN`` → TRUE)."""
+    mask = _mask(pred)
+    out, i = [], 0
+    pat = re.compile(r"\b(NOT\s+)?IN\s*\(\s*(?:SELECT|WITH)\b", re.I)
+    while True:
+        m = pat.search(pred, i)
+        if not m:
+            out.append(pred[i:])
+            break
+        if not mask[m.start()][1]:  # inside a string literal
+            out.append(pred[i : m.end()])
+            i = m.end()
+            continue
+        negated = m.group(1) is not None
+        open_idx = pred.index("(", m.start())
+        depth_at_open = mask[open_idx][0]
+        close = next(
+            (
+                j
+                for j in range(open_idx + 1, len(pred))
+                if pred[j] == ")" and mask[j] == (depth_at_open, True)
+            ),
+            -1,
+        )
+        if close < 0:
+            raise SqlDmlError(f"unbalanced parens in IN-subquery: {pred!r}")
+        sub = pred[open_idx + 1 : close].strip()
+        rows = spark.sql(sub).limit(IN_SUBQUERY_CAP + 1).collect()
+        if len(rows) > IN_SUBQUERY_CAP:
+            raise SqlDmlError(
+                f"IN-subquery returns more than {IN_SUBQUERY_CAP} values; "
+                "use MERGE INTO (a distributed join) for large driver sets"
+            )
+        if rows and len(rows[0]) != 1:
+            raise SqlDmlError("IN-subquery must select exactly one column")
+        lits = []
+        for r in rows:
+            v = r[0]
+            if v is None:
+                lits.append("NULL")
+            elif isinstance(v, bool):
+                lits.append("TRUE" if v else "FALSE")
+            elif isinstance(v, (int, float)):
+                lits.append(repr(v))
+            else:
+                lits.append("'" + str(v).replace("'", "''") + "'")
+        if lits:
+            out.append(pred[i : m.start()])
+            out.append(
+                ("NOT " if negated else "") + "IN (" + ", ".join(lits) + ")"
+            )
+        else:
+            # empty result set: SQL defines `x IN (empty)` as FALSE and
+            # `x NOT IN (empty)` as TRUE for EVERY x, including NULL —
+            # operand-independent, so the exact rewrite replaces the
+            # WHOLE comparison (operand included; it is side-effect
+            # free) with the constant. The operand's left boundary is
+            # found by a quote/paren-aware backward scan; a mis-cut can
+            # only yield text F.expr refuses loudly, never silently
+            # wrong semantics.
+            op_start = _operand_start(pred, mask, m.start())
+            out.append(pred[i:op_start])
+            out.append("(TRUE)" if negated else "(FALSE)")
+        i = close + 1
+    return "".join(out)
+
+
+def _operand_start(pred: str, mask, end: int) -> int:
+    """Left boundary of the expression immediately before position
+    ``end`` — an identifier (possibly qualified/quoted), a function
+    call, or a parenthesized expression."""
+    j = end - 1
+    while j >= 0 and pred[j].isspace():
+        j -= 1
+    if j < 0:
+        raise SqlDmlError("IN-subquery has no left operand")
+    if pred[j] == ")":
+        depth = mask[j][0]
+        k = j - 1
+        while k >= 0 and not (pred[k] == "(" and mask[k] == (depth, True)):
+            k -= 1
+        if k < 0:
+            raise SqlDmlError("unbalanced operand parens before IN")
+        j = k - 1  # optional function name continues below
+    elif pred[j] in "`\"":
+        quote, k = pred[j], j - 1
+        while k >= 0 and pred[k] != quote:
+            k -= 1
+        j = k - 1
+    while j >= 0 and (pred[j].isalnum() or pred[j] in "_$."):
+        j -= 1
+    return j + 1
+
+
 def classify_utility(stmt: str) -> str | None:
     """'optimize' | 'vacuum' | 'restore' | 'describe' | 'alter' when the
     statement is one of the table-maintenance shapes (Delta's SQL
@@ -875,6 +986,10 @@ def execute_dml(
         u = _parse_update(stmt)
         table_name = u.table
         vt = _target_table(u.table)
+        if u.predicate:
+            # [NOT] IN (SELECT ...) → literal list (GDPR revocation
+            # shape); also unlocks derive_prune's IN-list skipping
+            u.predicate = _materialize_in_subqueries(spark, u.predicate)
         if dryrun:
             n = vt.snapshot().where(F.expr(u.predicate or "true")).count()
             # the assignment columns go through the same existence check
@@ -902,6 +1017,8 @@ def execute_dml(
         d = _parse_delete(stmt)
         table_name = d.table
         vt = _target_table(d.table)
+        if d.predicate:
+            d.predicate = _materialize_in_subqueries(spark, d.predicate)
         if dryrun:
             n = vt.snapshot().where(F.expr(d.predicate or "true")).count()
             return {

@@ -646,3 +646,58 @@ def test_e2e_sql_script_rollback_on_error(spark, dml_env, tmp_path):
     ])
     assert rc == 2
     assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2, 3]
+
+
+def test_in_subquery_materialization(spark, dml_env, tmp_path):
+    """[NOT] IN (SELECT ...) predicates in SQL UPDATE/DELETE — the GDPR
+    revocation shape — materialize to bounded literal lists with exact
+    SQL three-valued semantics (NULLs ride as literal NULL; empty sets
+    collapse to the standard FALSE/TRUE constants)."""
+    from database_anonymiser_spark.sql_dml import (
+        IN_SUBQUERY_CAP,
+        _materialize_in_subqueries,
+    )
+
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+
+    # unit: literal splice, NOT form, empty set, string containing 'IN ('
+    got = _materialize_in_subqueries(
+        spark, "k IN (SELECT 1 AS x UNION ALL SELECT 3)"
+    )
+    assert got in ("k IN (1, 3)", "k IN (3, 1)")
+    got = _materialize_in_subqueries(
+        spark, "upper(v) NOT IN (SELECT 'A' AS x) AND k > 0"
+    )
+    assert got == "upper(v) NOT IN ('A') AND k > 0"
+    got = _materialize_in_subqueries(
+        spark, "k IN (SELECT 1 AS x WHERE 1 = 0) OR v = 'z'"
+    )
+    assert got == "(FALSE) OR v = 'z'"
+    got = _materialize_in_subqueries(
+        spark, "a = 1 AND k NOT IN (SELECT 1 AS x WHERE 1 = 0)"
+    )
+    assert got == "a = 1 AND (TRUE)"
+    with pytest.raises(SqlDmlError, match="one column"):
+        _materialize_in_subqueries(spark, "k IN (SELECT 1 AS a, 2 AS b)")
+    _ = IN_SUBQUERY_CAP  # cap exists and is documented
+
+    # e2e: revoke-consent UPDATE driven by a subquery over a --data view
+    rc = _run([
+        "--sql",
+        "UPDATE cust SET v = 'REDACTED' "
+        "WHERE k IN (SELECT k FROM src WHERE v LIKE '%new%')",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[2] == "REDACTED" and rows[3] == "REDACTED"
+    assert rows[1] == "one" and rows[4] == "four"
+    # NOT IN over an empty subquery result updates everything
+    rc = _run([
+        "--sql",
+        "DELETE FROM cust WHERE k NOT IN (SELECT k FROM src WHERE k < 0)",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    assert t.snapshot().count() == 0
