@@ -790,7 +790,7 @@ def classify_utility(stmt: str) -> str | None:
     statement is one of the table-maintenance shapes (Delta's SQL
     surface for the same ops), else None."""
     head = re.match(
-        r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER)\b", stmt, re.I
+        r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE)\b", stmt, re.I
     )
     return head.group(1).lower() if head else None
 
@@ -801,7 +801,10 @@ _UTILITY_GRAMMAR = (
     "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS]\n"
     "  RESTORE [TABLE] <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'\n"
     "  DESCRIBE HISTORY|DETAIL <view>\n"
-    "  ALTER TABLE <view> CLUSTER BY (cols)"
+    "  ALTER TABLE <view> CLUSTER BY (cols)\n"
+    "  ERASE FROM <view> WHERE <pred>   -- engine extension: GDPR Art. 17\n"
+    "      verified hard delete (delete + vacuum + log-stat scrub +\n"
+    "      re-scan verification; time travel below the erase is GONE)"
 )
 
 
@@ -916,6 +919,24 @@ def execute_utility(
         return {"mode": "sql_utility", "op": f"describe_{m.group(1).lower()}",
                 "table": _unquote(m.group(2)), "rows": rows,
                 "statement": stmt}
+    if kind == "erase":
+        m = re.fullmatch(
+            rf"ERASE\s+FROM\s+({_IDENT})\s+WHERE\s+(?P<p>.+)", s, re.I | re.S
+        )
+        if not m:
+            raise SqlDmlError(
+                f"ERASE needs FROM <view> WHERE <pred> (an unscoped erase "
+                f"would be DELETE-the-table; write it explicitly)\n"
+                f"{_UTILITY_GRAMMAR}"
+            )
+        t = _table(m.group(1))
+        pred = _requalify(
+            m.group("p").strip(), {_unquote(m.group(1)): ""}
+        )
+        pred = _materialize_in_subqueries(spark, pred)
+        result = t.erase(pred, prune=derive_prune(pred) or None)
+        return {"mode": "sql_utility", "op": "erase",
+                "table": _unquote(m.group(1)), **result, "statement": stmt}
     # ALTER
     m = re.fullmatch(
         rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s*\((?P<c>[^)]*)\)",

@@ -701,3 +701,33 @@ def test_in_subquery_materialization(spark, dml_env, tmp_path):
     ])
     assert rc == 0
     assert t.snapshot().count() == 0
+
+
+def test_e2e_sql_erase(spark, dml_env, tmp_path):
+    """ERASE FROM ... WHERE — the GDPR Art. 17 verified hard delete as a
+    SQL statement (engine extension): rows gone, pre-images reclaimed
+    from disk, time travel below the erase cannot resurrect them."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    rep = tmp_path / "erase.json"
+    rc = _run([
+        "--sql", "ERASE FROM cust WHERE k IN (SELECT k FROM src WHERE k <= 3)",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(rep),
+    ])
+    assert rc == 0
+    out = json.loads(rep.read_text())
+    assert out["op"] == "erase" and out["rows_deleted"] == 2
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 4]
+    # every on-disk file is live: the pre-images are physically gone
+    live = {e["path"] for e in t._live_entries()}
+    on_disk = {
+        str(p.relative_to(t.root)) for p in (t.root / "data").rglob("*.parquet")
+    }
+    assert on_disk == live
+    # unscoped erase is refused (write DELETE explicitly)
+    rc = _run([
+        "--sql", "ERASE FROM cust",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2
