@@ -150,6 +150,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(executor.ts:98-136) on the immutable log (round 13)",
     )
     p.add_argument(
+        "--emitSql", default=None, dest="emit_sql", metavar="PATH",
+        help="with --dryrun: ALSO write the resolved plan as a SQL DML "
+        "script (one UPDATE per table — the reference's literal "
+        "query-builder.ts artifact), reviewable and runnable back "
+        "through --sqlFile against versioned views; keyed strategies "
+        "emit {{HMAC_*_HEX}} placeholders, never key material (r13)",
+    )
+    p.add_argument(
         "--sqlRollbackOnError", action="store_true", dest="sql_rollback",
         help="SQL mode, scripts: when a later statement fails, RESTORE "
         "every table the script already touched to its pre-script "
@@ -634,6 +642,13 @@ def main(argv: list[str] | None = None) -> int:
     plan = build_plan(config)
 
     if args.mode == "dryrun":
+        if args.emit_sql:
+            from database_anonymiser_spark.sql_gen import emit_sql_script
+
+            from pathlib import Path as _Path
+
+            _Path(args.emit_sql).write_text(emit_sql_script(catalog, plan))
+            print(f"emitted SQL script → {args.emit_sql}")
         result = execute_plan(catalog, plan, dryrun=True)
     else:
         if not args.out:

@@ -953,12 +953,32 @@ def execute_utility(
             "statement": stmt}
 
 
+def _strip_line_comments(s: str) -> str:
+    """Remove ``-- ...`` line comments (outside string literals) — an
+    emitted/reviewed script carries them; the statement parsers don't."""
+    mask = _mask(s)
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "-" and i + 1 < n and s[i + 1] == "-" and mask[i][1]:
+            j = s.find("\n", i)
+            i = n if j < 0 else j  # the newline survives
+            continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def split_statements(script: str) -> list[str]:
-    """Split a SQL script on top-level semicolons (quote-aware) — the
-    reference's execution unit is a SCRIPT of per-table UPDATE statements
-    (``executor.ts:104-132`` loops tables inside one run), so --sqlFile
-    accepts the same shape."""
-    return [s.strip() for s in _split_top(script, ";") if s.strip()]
+    """Split a SQL script on top-level semicolons (quote- and
+    comment-aware) — the reference's execution unit is a SCRIPT of
+    per-table UPDATE statements (``executor.ts:104-132`` loops tables
+    inside one run), so --sqlFile accepts the same shape, including
+    ``--`` comment lines."""
+    return [
+        s.strip()
+        for s in _split_top(_strip_line_comments(script), ";")
+        if s.strip()
+    ]
 
 
 def execute_dml(

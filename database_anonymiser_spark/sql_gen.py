@@ -1,0 +1,120 @@
+"""Emit the anonymisation plan as a SQL DML script (round 13).
+
+The reference's executor never touches rows itself — it COMPILES the
+plan to per-table ``UPDATE "t" SET "col" = expr`` statements and ships
+them to Postgres (``src/executor/query-builder.ts:52-74``). This module
+is that compiler for the Spark engine: the same resolved, type-safety-
+normalized plan the executor runs is rendered to reviewable SQL, one
+UPDATE per table, runnable back through ``--sqlFile`` against
+``--versionedTable`` views (the round-13 DML face routes each statement
+to the native copy-on-write ops).
+
+Why it exists: the emitted script is the reference's LITERAL artifact —
+a user migrating from the reference can diff this script against what
+query-builder.ts produced, review it, check it into change control, and
+run it with ``--sqlDryrun`` first. The pytest equivalence check pins
+that executing the emitted script reproduces the engine's own apply
+output value-for-value.
+
+Keyed strategies (HASH_HMAC / HASH_KEYED) are the one thing a script
+cannot carry: the RFC 2104 pads are key-equivalent material, so their
+SET expressions are emitted with ``{{HMAC_IPAD_HEX}}`` /
+``{{HMAC_OPAD_HEX}}`` placeholders and a header explaining the
+substitution — the key never lands in a file, same contract as the
+config/report/log paths.
+"""
+
+from __future__ import annotations
+
+from database_anonymiser_spark.strategies import (
+    DEFAULT_TRUNCATE_LENGTH,
+    normalize_columns_for_types,
+)
+
+__all__ = ["strategy_sql", "emit_sql_script"]
+
+
+def _s(col: str) -> str:
+    """The reference's null-safe stringification, as SQL."""
+    return f"coalesce(CAST({col} AS STRING), '')"
+
+
+def strategy_sql(
+    strategy: str, col: str, type_sql: str, params: dict | None = None
+) -> str | None:
+    """SQL rendering of one (strategy, column) — the exact twin of
+    ``strategies.strategy_expr`` (asserted value-equal by the pytest
+    equivalence check). Returns None for KEEP/unknown (no SET clause —
+    query-builder.ts:48-56)."""
+    params = params or {}
+    s = (strategy or "KEEP").upper()
+    if s == "SET_NULL":
+        return f"CAST(NULL AS {type_sql})"
+    if s == "REDACT":
+        return "'***'"
+    if s == "HASH_SHA256":  # the reference's md5-under-that-name quirk
+        return f"md5({_s(col)})"
+    if s == "HASH_SHA256_REAL":
+        return f"sha2({_s(col)}, 256)"
+    if s in ("HASH_HMAC", "HASH_KEYED"):
+        # keyed_hash construction with key-material placeholders — see
+        # the module docstring; strategies.keyed_hash_sql renders the
+        # same shape for a CONCRETE key when an auditor asks
+        return (
+            "sha2(concat('{{HMAC_OPAD_HEX}}', sha2(concat("
+            "'{{HMAC_IPAD_HEX}}', " + _s(col) + "), 256)), 256)"
+        )
+    if s == "TRUNCATE":
+        n = int(params.get("n", DEFAULT_TRUNCATE_LENGTH))
+        return f"substring({_s(col)}, 1, {n})"
+    if s == "EMAIL_FAKE":
+        return f"concat(md5({_s(col)}), '@example.com')"
+    return None  # KEEP / unknown: no SET clause
+
+
+def emit_sql_script(catalog, plan) -> str:
+    """Render the resolved plan as per-table UPDATE statements, applying
+    the SAME live-schema type-safety normalization the executor applies
+    (``executor.ts:45-85`` → ``strategies.normalize_columns_for_types``)
+    so the script and the engine downgrade identically. Tables with zero
+    active rewrites emit nothing (query-builder.ts:54-56)."""
+    lines = [
+        "-- anonymisation script emitted by database_anonymiser_spark",
+        "-- one UPDATE per table; run through:",
+        "--   python -m database_anonymiser_spark.cli --sqlFile <this> \\",
+        "--     --data <extract> --versionedTable <t>=<root> [--sqlDryrun]",
+        "-- {{HMAC_IPAD_HEX}}/{{HMAC_OPAD_HEX}} placeholders (if present)",
+        "-- are RFC 2104 pad hex for your secret key — substitute at run",
+        "-- time, never commit a substituted script.",
+        "",
+    ]
+    emitted = 0
+    for pt in plan.tables:
+        try:
+            schema = catalog.read(pt.name).schema
+        except Exception:
+            lines.append(f"-- {pt.name}: not in the extract, skipped")
+            continue
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        sets = []
+        for nc in normalize_columns_for_types(list(pt.columns), schema):
+            expr = strategy_sql(
+                nc.strategy, nc.column, types[nc.column], nc.params
+            )
+            if expr is not None:
+                sets.append(f"{nc.column} = {expr}")
+            if nc.downgraded_from:
+                lines.append(
+                    f"-- {pt.name}.{nc.column}: {nc.downgraded_from} "
+                    f"downgraded ({nc.reason})"
+                )
+        if not sets:
+            lines.append(f"-- {pt.name}: no active rewrites, skipped")
+            lines.append("")
+            continue
+        lines.append(f"UPDATE {pt.name} SET")
+        lines.append(",\n".join(f"  {s}" for s in sets) + ";")
+        lines.append("")
+        emitted += 1
+    lines.append(f"-- {emitted} table(s) with active rewrites")
+    return "\n".join(lines) + "\n"

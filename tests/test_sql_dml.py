@@ -731,3 +731,59 @@ def test_e2e_sql_erase(spark, dml_env, tmp_path):
         "--data", str(data_dir), "--versionedTable", f"cust={root}",
     ])
     assert rc == 2
+
+
+def test_emitted_sql_script_reproduces_engine_apply(spark, sf_dir, tmp_path):
+    """--emitSql equivalence: the emitted UPDATE script (the reference's
+    literal query-builder.ts artifact) run through the SQL DML face must
+    reproduce the engine's own masked projection value-for-value —
+    including the type-safety downgrade (REDACT on a NUMBER column
+    downgrades to KEEP in BOTH paths)."""
+    from database_anonymiser_spark.catalog import ParquetCatalog
+    from database_anonymiser_spark.executor import mask_table
+    from database_anonymiser_spark.planner import (
+        Plan,
+        PlannedColumn,
+        PlannedTable,
+    )
+    from database_anonymiser_spark.sql_dml import (
+        execute_dml,
+        split_statements,
+    )
+    from database_anonymiser_spark.sql_gen import emit_sql_script
+
+    catalog = ParquetCatalog(spark, sf_dir)
+    pt = PlannedTable(
+        table="public.customer", schema="public", name="customer",
+        columns=(
+            PlannedColumn("c_name", "EMAIL_FAKE"),
+            PlannedColumn("c_mktsegment", "HASH_SHA256"),
+            PlannedColumn("c_acctbal", "REDACT"),      # NUMBER → downgrade
+            PlannedColumn("c_nationkey", "SET_NULL"),
+        ),
+    )
+    plan = Plan(created_at="t0", tables=(pt,))
+    script = emit_sql_script(catalog, plan)
+    assert "UPDATE customer SET" in script
+    assert "downgraded" in script  # the REDACT-on-NUMBER note
+    assert "md5(coalesce(CAST(c_mktsegment AS STRING), ''))" in script
+
+    # the engine's own projection (what --apply writes)
+    engine = {
+        tuple(r)
+        for r in mask_table(catalog, pt)[0]
+        .orderBy("c_custkey")
+        .collect()
+    }
+
+    # the emitted script against a versioned copy of the same table
+    root = tmp_path / "cust_v"
+    t = VersionedTable.create(
+        spark, str(root), catalog.read("customer"), key_col="c_custkey"
+    )
+    views = {"customer": {"root": str(root), "pinned": False}}
+    stmts = split_statements(script)
+    assert len(stmts) == 1
+    execute_dml(spark, stmts[0], views)
+    scripted = {tuple(r) for r in t.snapshot().orderBy("c_custkey").collect()}
+    assert scripted == engine
