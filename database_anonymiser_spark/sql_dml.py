@@ -662,6 +662,17 @@ def derive_prune(pred: str) -> dict:
             except TypeError:
                 pass  # mixed-type literal list: not prunable
             continue
+        m = re.fullmatch(
+            rf"({ident})\s+LIKE\s+'(?P<pat>(?:[^'%_]|'')*)%'", c, re.I
+        )
+        if m:
+            # plain-prefix LIKE: 'abc%' implies 'abc' <= col <= 'abc\U0010FFFF'
+            # (no _ or interior % in the prefix — anything else is not a
+            # pure prefix test and contributes nothing)
+            prefix = m.group("pat").replace("''", "'")
+            if prefix:
+                _narrow(_unquote(m.group(1)), prefix, prefix + "\U0010FFFF")
+            continue
         m = re.fullmatch(rf"({ident})\s+IS\s+(NOT\s+)?NULL", c, re.I)
         if m and _unquote(m.group(1)) not in out:
             out[_unquote(m.group(1))] = (

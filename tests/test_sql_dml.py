@@ -787,3 +787,16 @@ def test_emitted_sql_script_reproduces_engine_apply(spark, sf_dir, tmp_path):
     execute_dml(spark, stmts[0], views)
     scripted = {tuple(r) for r in t.snapshot().orderBy("c_custkey").collect()}
     assert scripted == engine
+
+
+def test_derive_prune_like_prefix():
+    from database_anonymiser_spark.sql_dml import derive_prune as dp
+
+    assert dp("v LIKE 'abc%'") == {"v": ("abc", "abc\U0010FFFF")}
+    assert dp("v LIKE 'it''s%' AND k > 0") == {
+        "v": ("it's", "it's\U0010FFFF"), "k": (0, None),
+    }
+    # not a pure prefix: wildcard inside, leading %, bare % — no prune
+    assert dp("v LIKE 'a_c%'") == {}
+    assert dp("v LIKE '%abc'") == {}
+    assert dp("v LIKE '%'") == {}
