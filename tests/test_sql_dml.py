@@ -800,3 +800,37 @@ def test_derive_prune_like_prefix():
     assert dp("v LIKE 'a_c%'") == {}
     assert dp("v LIKE '%abc'") == {}
     assert dp("v LIKE '%'") == {}
+
+
+def test_e2e_changes_table_timestamp_bounds(spark, dml_env, tmp_path):
+    """@ts: forms on BOTH CDF bounds (startingTimestamp/endingTimestamp
+    through the CLI pin grammar) — the last time-axis form the round-13
+    parity work added."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    ts_v0 = json.loads((root / "_log" / f"{v0:08d}.json").read_text())["ts"]
+    _run([
+        "--sql", "UPDATE cust SET v = 'a1' WHERE k = 1",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    v1 = t.latest_version()
+    ts_v1 = json.loads((root / "_log" / f"{v1:08d}.json").read_text())["ts"]
+    _run([
+        "--sql", "UPDATE cust SET v = 'a2' WHERE k = 2",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    out = tmp_path / "slice"
+    # startingTimestamp is the snapshot-bootstrap complement (strictly
+    # AFTER the as-of version — spark_datasource.py docstring), so the
+    # v1-only slice starts at v0's timestamp and ends at v1's
+    rc = _run([
+        "--sql", "SELECT _change_type, k, v FROM ch",
+        "--data", str(data_dir),
+        "--changesTable", f"ch={root}@ts:{ts_v0}..ts:{ts_v1}",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    rows = {(r["_change_type"], r["k"]) for r in spark.read.parquet(str(out)).collect()}
+    # exactly v1's events: the k=1 update, nothing from v0 or v2
+    assert rows == {("update_preimage", 1), ("update_postimage", 1)}
