@@ -188,6 +188,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "--maxRows", type=int, default=20, dest="max_rows",
         help="SQL mode: print at most this many result rows",
     )
+    p.add_argument(
+        "--pushdown", action="store_true",
+        help="SQL mode: register --versionedTable views through the "
+        "FILE-SKIPPING pushdown reader face (equality/range/IN filters "
+        "prune files by stats + bloom before Spark re-evaluates rows; "
+        "sets spark.sql.python.filterPushdown.enabled) — the scan-side "
+        "twin of the DML face's derive_prune (round 13)",
+    )
     args = p.parse_args(argv)
     if args.sql is not None and args.sql_file is not None:
         p.error("set --sql OR --sqlFile, not both")
@@ -282,9 +290,15 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 return reader.option(version_opt, val)
 
+            if args.pushdown:
+                spark.conf.set(
+                    "spark.sql.python.filterPushdown.enabled", "true"
+                )
             for spec in args.versioned_tables or []:
                 name, root, ver = _spec(spec, "--versionedTable")
                 reader = spark.read.format("versioned").option("path", root)
+                if args.pushdown:
+                    reader = reader.option("pushdown", "true")
                 if ver:
                     # time travel through the DataSource option path
                     reader = _axis(reader, ver, "--versionedTable",

@@ -808,7 +808,7 @@ def classify_utility(stmt: str) -> str | None:
 
 _UTILITY_GRAMMAR = (
     "supported maintenance grammar (Delta's SQL surface on the native ops):\n"
-    "  OPTIMIZE <view> [ZORDER BY (cols)]\n"
+    "  OPTIMIZE <view> [ZORDER BY (cols) | MERGE RUNS <k>]\n"
     "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS]\n"
     "  RESTORE [TABLE] <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'\n"
     "  DESCRIBE HISTORY|DETAIL <view>\n"
@@ -858,7 +858,8 @@ def execute_utility(
     if kind == "optimize":
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_IDENT})"
-            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?",
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\)"
+            r"|\s+MERGE\s+RUNS\s+(?P<mr>\d+))?",
             s, re.I,
         )
         if not m:
@@ -868,8 +869,17 @@ def execute_utility(
             v = t.optimize_zorder(_cols(m.group("z")))
             op = "optimize_zorder"
         elif t.clustering_cols():
-            v = t.optimize_cluster()
+            # MERGE RUNS k = the round-13 bounded cross-generation merge
+            mr = m.group("mr")
+            v = t.optimize_cluster(
+                merge_runs=int(mr) if mr is not None else None
+            )
             op = "optimize_cluster"
+        elif m.group("mr") is not None:
+            raise SqlDmlError(
+                "OPTIMIZE ... MERGE RUNS needs a declared clustering key "
+                "(ALTER TABLE ... CLUSTER BY first)"
+            )
         else:
             v = t.compact()
             op = "compact"

@@ -834,3 +834,54 @@ def test_e2e_changes_table_timestamp_bounds(spark, dml_env, tmp_path):
     rows = {(r["_change_type"], r["k"]) for r in spark.read.parquet(str(out)).collect()}
     # exactly v1's events: the k=1 update, nothing from v0 or v2
     assert rows == {("update_preimage", 1), ("update_postimage", 1)}
+
+
+def test_e2e_optimize_merge_runs_and_pushdown(spark, dml_env, tmp_path):
+    """OPTIMIZE ... MERGE RUNS k reaches the round-13 bounded
+    cross-generation merge from SQL; --pushdown registers versioned
+    views through the file-skipping reader face."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    # build 3 z-runs: cluster, then two trickle generations
+    (tmp_path / "s.sql").write_text(
+        "ALTER TABLE cust CLUSTER BY (k);\nOPTIMIZE cust;\n"
+    )
+    rc = _run([
+        "--sqlFile", str(tmp_path / "s.sql"),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    for i in (50, 60):
+        t.append(spark.createDataFrame([(i, "x")], "k int, v string"))
+        t.optimize_cluster(file_count=1)
+    assert t.detail()["clustering_runs"] == 3
+    rep = tmp_path / "opt.json"
+    rc = _run([
+        "--sql", "OPTIMIZE cust MERGE RUNS 2",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(rep),
+    ])
+    assert rc == 0
+    assert t.detail()["clustering_runs"] == 2
+    m = t.commit_meta(t.latest_version())["metrics"]
+    assert m["runs_after"] == 2
+    # MERGE RUNS without a clustering key is refused
+    root2 = tmp_path / "nokey"
+    VersionedTable.create(
+        spark, str(root2),
+        spark.createDataFrame([(1, "a")], "k int, v string"), key_col="k",
+    )
+    rc = _run([
+        "--sql", "OPTIMIZE other MERGE RUNS 2",
+        "--data", str(data_dir), "--versionedTable", f"other={root2}",
+    ])
+    assert rc == 2
+    # --pushdown face: same answers through the pruning reader
+    out = tmp_path / "pd"
+    rc = _run([
+        "--sql", "SELECT k, v FROM cust WHERE k >= 50",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--pushdown", "--out", str(out),
+    ])
+    assert rc == 0
+    assert sorted(r["k"] for r in spark.read.parquet(str(out)).collect()) == [50, 60]
