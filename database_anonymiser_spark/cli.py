@@ -335,14 +335,19 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.errors import AnalysisException as _SparkAnalysisError
 
         from database_anonymiser_spark.sql_dml import (
-            classify_utility,
+            claim_utility,
             execute_utility,
+            statement_target,
         )
 
         stmts = split_statements(stmt)
 
         def _routed(s: str) -> bool:
-            return bool(classify_dml(s) or classify_utility(s))
+            # claim_utility, not classify_utility: DESCRIBE/ALTER/CREATE
+            # are valid plain Spark SQL too — only the engine's own
+            # maintenance shapes route away from spark.sql (round-14
+            # advice fix: 'DESCRIBE customer' must keep working)
+            return bool(classify_dml(s) or claim_utility(s, versioned_views))
 
         if len(stmts) > 1 and not all(_routed(s) for s in stmts):
             print(
@@ -390,7 +395,16 @@ def main(argv: list[str] | None = None) -> int:
 
             for s in stmts:
                 try:
-                    if classify_utility(s):
+                    # note the head BEFORE the op so a failing later
+                    # statement can restore this one's effect too — the
+                    # target comes from the statement front's own
+                    # identifier grammar, so quoted views are tracked
+                    # (round-14 advice fix: the old bare-identifier
+                    # regex left `cust`-quoted targets un-restored)
+                    tgt = statement_target(s)
+                    if tgt and tgt.lower() in versioned_views:
+                        _note_start(tgt)
+                    if claim_utility(s, versioned_views):
                         if args.sql_dryrun:
                             print(
                                 "--sqlDryrun covers DML statements only "
@@ -398,29 +412,8 @@ def main(argv: list[str] | None = None) -> int:
                                 file=sys.stderr,
                             )
                             return 2
-                        # note the head BEFORE the op so a failing later
-                        # statement can restore this one's effect too
-                        import re as _re
-
-                        m = _re.search(
-                            r"\b(?:OPTIMIZE|VACUUM|RESTORE(?:\s+TABLE)?|"
-                            r"DESCRIBE\s+(?:HISTORY|DETAIL)|ALTER\s+TABLE)"
-                            r"\s+([A-Za-z_][\w$]*)",
-                            s, _re.I,
-                        )
-                        if m and m.group(1).lower() in versioned_views:
-                            _note_start(m.group(1))
                         frag = execute_utility(spark, s, versioned_views)
                     else:
-                        import re as _re
-
-                        tm = _re.search(
-                            r"\b(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|"
-                            r"INSERT\s+INTO)\s+([A-Za-z_][\w$]*)",
-                            s, _re.I,
-                        )
-                        if tm and tm.group(1).lower() in versioned_views:
-                            _note_start(tm.group(1))
                         frag = execute_dml(
                             spark, s, versioned_views, dryrun=args.sql_dryrun
                         )
@@ -487,7 +480,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.sql_dryrun:
             print("--sqlDryrun applies to DML statements only", file=sys.stderr)
             return 2
-        df = spark.sql(stmts[0] if len(stmts) == 1 else stmt)
+        try:
+            df = spark.sql(stmts[0] if len(stmts) == 1 else stmt)
+        except _SparkAnalysisError as e:
+            # a statement nobody claimed and Spark refuses (e.g.
+            # DESCRIBE HISTORY of a non-versioned view) reports cleanly
+            print(f"sql: {e}", file=sys.stderr)
+            return 2
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             n_rows = spark.read.parquet(args.out).count()

@@ -606,16 +606,29 @@ def derive_prune(pred: str) -> dict:
     ):
         return {}
     out: dict = {}
+    unprunable: set = set()
 
     def _narrow(col: str, lo, hi):
+        if col in unprunable:
+            return
         cur = out.get(col)
         if isinstance(cur, str):
             cur = (None, None)
         clo, chi = cur if cur else (None, None)
-        if lo is not None:
-            clo = lo if clo is None else max(clo, lo)
-        if hi is not None:
-            chi = hi if chi is None else min(chi, hi)
+        try:
+            if lo is not None:
+                clo = lo if clo is None else max(clo, lo)
+            if hi is not None:
+                chi = hi if chi is None else min(chi, hi)
+        except TypeError:
+            # mixed-literal-type bounds on one column (e.g. "c <= 5 AND
+            # c <= 'x'") are not orderable here — drop the column from
+            # pruning entirely (conservative, round-14 advice fix: an
+            # uncaught TypeError escaped execute_dml past the CLI's
+            # except clause and skipped the rollback path)
+            unprunable.add(col)
+            out.pop(col, None)
+            return
         out[col] = (clo, chi)
 
     ident = r"(?:[A-Za-z_][\w$]*|`[^`]+`|\"[^\"]+\")"
@@ -666,12 +679,25 @@ def derive_prune(pred: str) -> dict:
             rf"({ident})\s+LIKE\s+'(?P<pat>(?:[^'%_]|'')*)%'", c, re.I
         )
         if m:
-            # plain-prefix LIKE: 'abc%' implies 'abc' <= col <= 'abc\U0010FFFF'
-            # (no _ or interior % in the prefix — anything else is not a
-            # pure prefix test and contributes nothing)
+            # plain-prefix LIKE: 'abc%' implies 'abc' <= col < 'abd'
+            # (Delta-style truncation-increment: bump the last
+            # incrementable char; EVERY string with prefix 'abc' sorts
+            # strictly below 'abd', so the inclusive hi is one-sided-
+            # sound). Round-14 advice fix: the old prefix+U+10FFFF upper
+            # bound was NOT implied by the predicate — a value
+            # 'abc\U0010FFFFx' matches LIKE 'abc%' but sorts above it,
+            # and since prune ranges conjoin into the row predicate that
+            # silently skipped matching rows. (No _ or interior % in the
+            # prefix — anything else is not a pure prefix test and
+            # contributes nothing.)
             prefix = m.group("pat").replace("''", "'")
             if prefix:
-                _narrow(_unquote(m.group(1)), prefix, prefix + "\U0010FFFF")
+                hi = None
+                for k in range(len(prefix) - 1, -1, -1):
+                    if ord(prefix[k]) < 0x10FFFF:
+                        hi = prefix[:k] + chr(ord(prefix[k]) + 1)
+                        break
+                _narrow(_unquote(m.group(1)), prefix, hi)
             continue
         m = re.fullmatch(rf"({ident})\s+IS\s+(NOT\s+)?NULL", c, re.I)
         if m and _unquote(m.group(1)) not in out:
@@ -797,13 +823,83 @@ def _operand_start(pred: str, mask, end: int) -> int:
 
 
 def classify_utility(stmt: str) -> str | None:
-    """'optimize' | 'vacuum' | 'restore' | 'describe' | 'alter' when the
-    statement is one of the table-maintenance shapes (Delta's SQL
-    surface for the same ops), else None."""
+    """'optimize' | 'vacuum' | 'restore' | 'describe' | 'alter' | ...
+    when the statement STARTS like one of the table-maintenance shapes
+    (Delta's SQL surface for the same ops), else None. Keyword-level
+    only — the router must use :func:`claim_utility`, which also checks
+    the SHAPE and the target, because DESCRIBE/ALTER/CREATE are valid
+    plain Spark SQL too (round-14 advice fix: round 13 claimed every
+    DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
-        r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE)\b", stmt, re.I
+        r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
+        r"CONVERT)\b",
+        stmt, re.I,
     )
     return head.group(1).lower() if head else None
+
+
+def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
+    """The router's claim check: the utility kind when
+    :func:`execute_utility` will actually handle this statement, else
+    None (the caller falls through to ``spark.sql``).
+
+    OPTIMIZE / VACUUM / RESTORE / ERASE / COPY INTO / CONVERT are not
+    Spark SQL statements at all, so the keyword alone claims them (a
+    malformed shape then errors with OUR grammar, which beats Spark's
+    parse error). DESCRIBE / ALTER / CREATE exist in plain Spark SQL,
+    so only the engine's own shapes are claimed:
+
+    - ``DESCRIBE HISTORY|DETAIL <versioned view>``
+    - ``ALTER TABLE <versioned view> ...`` (any sub-shape: if it is not
+      one the utility face supports, refusing with the grammar is the
+      right outcome for a versioned target)
+    - ``CREATE TABLE ... USING VERSIONED ...`` (the explicit format
+      marker, like Spark's ``USING delta``)
+    """
+    kind = classify_utility(stmt)
+    if kind is None:
+        return None
+    if kind not in ("describe", "alter", "create"):
+        return kind
+    s = _strip_stmt(stmt)
+    if kind == "describe":
+        m = re.match(
+            rf"DESCRIBE\s+(?:HISTORY|DETAIL)\s+({_IDENT})\s*$", s, re.I
+        )
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    if kind == "alter":
+        m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\b", s, re.I)
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    # CREATE: claimed only with the explicit USING VERSIONED marker
+    mask = _mask(s)
+    return kind if _find(s, mask, r"\bUSING\s+VERSIONED\b") else None
+
+
+def statement_target(stmt: str) -> str | None:
+    """The UNQUOTED table a DML or mutating-maintenance statement
+    touches, for the CLI's rollback bookkeeping — parsed with the same
+    identifier grammar as the statement fronts, so quoted targets
+    (``UPDATE `cust` SET ...``) are tracked too (round-14 advice fix:
+    the CLI's ad-hoc bare-identifier regex silently skipped quoted
+    views, leaving them un-restored on --sqlRollbackOnError). Returns
+    None for non-mutating statements (DESCRIBE) and shapes without a
+    view target (CONVERT — it creates the table it names)."""
+    s = _strip_stmt(stmt)
+    m = re.match(
+        rf"(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|INSERT\s+INTO|"
+        rf"OPTIMIZE|VACUUM|RESTORE(?:\s+TABLE)?|ERASE\s+FROM|"
+        rf"ALTER\s+TABLE|COPY\s+INTO)\s+({_IDENT})",
+        s, re.I,
+    )
+    return _unquote(m.group(1)) if m else None
 
 
 _UTILITY_GRAMMAR = (

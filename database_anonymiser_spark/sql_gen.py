@@ -56,10 +56,26 @@ def strategy_sql(
         return f"md5({_s(col)})"
     if s == "HASH_SHA256_REAL":
         return f"sha2({_s(col)}, 256)"
-    if s in ("HASH_HMAC", "HASH_KEYED"):
-        # keyed_hash construction with key-material placeholders — see
-        # the module docstring; strategies.keyed_hash_sql renders the
-        # same shape for a CONCRETE key when an auditor asks
+    if s == "HASH_HMAC":
+        # raw-byte RFC 2104 — the exact twin of strategies.hash_hmac
+        # (binary pads via unhex, inner digest unhex'd back to bytes);
+        # round-14 advice fix: the hex-text shape below is HASH_KEYED's,
+        # and emitting it here produced different values than --apply
+        inner = (
+            "sha2(concat(unhex('{{HMAC_IPAD_HEX}}'), CAST("
+            + _s(col)
+            + " AS BINARY)), 256)"
+        )
+        return (
+            "sha2(concat(unhex('{{HMAC_OPAD_HEX}}'), unhex("
+            + inner
+            + ")), 256)"
+        )
+    if s == "HASH_KEYED":
+        # hex-text keyed_hash construction (engine-portable: no binary
+        # concat needed) with key-material placeholders — see the module
+        # docstring; strategies.keyed_hash_sql renders the same shape
+        # for a CONCRETE key when an auditor asks
         return (
             "sha2(concat('{{HMAC_OPAD_HEX}}', sha2(concat("
             "'{{HMAC_IPAD_HEX}}', " + _s(col) + "), 256)), 256)"

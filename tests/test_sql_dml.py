@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_anonymiser_spark.cli import main as cli_main
 from database_anonymiser_spark.sql_dml import (
@@ -201,6 +202,62 @@ def dml_env(spark, tmp_path):
 
 def _run(args: list[str]) -> int:
     return cli_main(args)
+
+
+def test_e2e_plain_describe_falls_through_to_spark_sql(dml_env):
+    """Round-14 advice fix: round 13 claimed EVERY DESCRIBE/ALTER for
+    the utility face, breaking round-12-valid plain Spark SQL like
+    ``DESCRIBE src`` — only the engine's own maintenance shapes
+    (DESCRIBE HISTORY|DETAIL <versioned view>) may route away."""
+    data_dir, root = dml_env
+    # plain DESCRIBE of a --data temp view: spark.sql's statement
+    rc = _run([
+        "--sql", "DESCRIBE src",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    # DESCRIBE <versioned view> without HISTORY/DETAIL: also spark.sql
+    rc = _run([
+        "--sql", "DESCRIBE cust",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    # the engine's own shape still routes to the utility face
+    rc = _run([
+        "--sql", "DESCRIBE HISTORY cust",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    # DESCRIBE HISTORY of a NON-versioned view is claimed by nobody —
+    # it falls to spark.sql, which refuses it (rc != 0 but not a crash)
+    rc = _run([
+        "--sql", "DESCRIBE HISTORY src",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc != 0
+
+
+def test_e2e_rollback_tracks_quoted_target(spark, dml_env):
+    """Round-14 advice fix: --sqlRollbackOnError must restore a table
+    targeted through a QUOTED identifier (`cust`) — the old ad-hoc
+    regex only matched bare identifiers and left it un-restored."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    script = (
+        "UPDATE `cust` SET v = 'touched' WHERE k = 1;\n"
+        "UPDATE cust SET nope = 1;\n"  # unknown column → statement fails
+    )
+    rc = _run([
+        "--sql", script,
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--sqlRollbackOnError",
+    ])
+    assert rc == 2
+    # head restored to the pre-script image (a forward RESTORE commit)
+    assert t.latest_version() > v0  # history keeps the attempt
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[1] == "one"
 
 
 def test_e2e_sql_update_commit_cdf_timetravel(spark, dml_env, tmp_path):
@@ -789,17 +846,124 @@ def test_emitted_sql_script_reproduces_engine_apply(spark, sf_dir, tmp_path):
     assert scripted == engine
 
 
+def test_emitted_sql_script_reproduces_keyed_apply(spark, sf_dir, tmp_path):
+    """--emitSql equivalence for the KEYED strategies (round-14 advice
+    fix): with the {{HMAC_*_HEX}} placeholders substituted, the emitted
+    HASH_HMAC expression must reproduce strategies.hash_hmac's raw-byte
+    RFC 2104 values (round 13 wrongly emitted the hex-text shape), and
+    HASH_KEYED must reproduce keyed_hash's hex-text values."""
+    import database_anonymiser_spark.strategies as S
+    from database_anonymiser_spark.catalog import ParquetCatalog
+    from database_anonymiser_spark.executor import mask_table
+    from database_anonymiser_spark.planner import (
+        Plan,
+        PlannedColumn,
+        PlannedTable,
+    )
+    from database_anonymiser_spark.sql_dml import (
+        execute_dml,
+        split_statements,
+    )
+    from database_anonymiser_spark.sql_gen import emit_sql_script
+
+    key = "r14-emit-equivalence-key"
+    S.set_hmac_key(key)
+    try:
+        catalog = ParquetCatalog(spark, sf_dir)
+        pt = PlannedTable(
+            table="public.customer", schema="public", name="customer",
+            columns=(
+                PlannedColumn("c_name", "HASH_HMAC"),
+                PlannedColumn("c_mktsegment", "HASH_KEYED"),
+            ),
+        )
+        plan = Plan(created_at="t0", tables=(pt,))
+        script = emit_sql_script(catalog, plan)
+        # key material never lands in the file — placeholders only
+        ipad, opad = S._hmac_pads(key.encode())
+        assert ipad.hex() not in script and opad.hex() not in script
+        assert "{{HMAC_IPAD_HEX}}" in script and "{{HMAC_OPAD_HEX}}" in script
+        # HASH_HMAC must carry the raw-byte shape (unhex'd pads + unhex
+        # of the inner digest), HASH_KEYED the hex-text shape
+        assert "unhex('{{HMAC_IPAD_HEX}}')" in script
+        assert "concat('{{HMAC_IPAD_HEX}}'" in script
+
+        engine = {
+            tuple(r)
+            for r in mask_table(catalog, pt)[0].orderBy("c_custkey").collect()
+        }
+
+        root = tmp_path / "cust_keyed_v"
+        t = VersionedTable.create(
+            spark, str(root), catalog.read("customer"), key_col="c_custkey"
+        )
+        views = {"customer": {"root": str(root), "pinned": False}}
+        runnable = script.replace("{{HMAC_IPAD_HEX}}", ipad.hex()).replace(
+            "{{HMAC_OPAD_HEX}}", opad.hex()
+        )
+        stmts = split_statements(runnable)
+        assert len(stmts) == 1
+        execute_dml(spark, stmts[0], views)
+        scripted = {
+            tuple(r) for r in t.snapshot().orderBy("c_custkey").collect()
+        }
+        assert scripted == engine
+        # and the HMAC values really are RFC 2104 (stdlib witness)
+        import hmac as _hmac
+
+        src = {
+            r["c_custkey"]: r["c_name"]
+            for r in catalog.read("customer").limit(5).collect()
+        }
+        got = {
+            r["c_custkey"]: r["c_name"]
+            for r in t.snapshot()
+            .where(F.col("c_custkey").isin(*src))
+            .collect()
+        }
+        for k_, name in src.items():
+            want = _hmac.new(
+                key.encode(), (name or "").encode(), "sha256"
+            ).hexdigest()
+            assert got[k_] == want
+    finally:
+        S.set_hmac_key(None)
+
+
 def test_derive_prune_like_prefix():
     from database_anonymiser_spark.sql_dml import derive_prune as dp
 
-    assert dp("v LIKE 'abc%'") == {"v": ("abc", "abc\U0010FFFF")}
+    # truncation-increment upper bound (round-14 advice fix): every
+    # string with prefix 'abc' sorts strictly below 'abd', INCLUDING
+    # 'abc\U0010FFFFx' which the old prefix+U+10FFFF bound wrongly
+    # excluded (LIKE-matching rows must never be prune-skipped)
+    assert dp("v LIKE 'abc%'") == {"v": ("abc", "abd")}
     assert dp("v LIKE 'it''s%' AND k > 0") == {
-        "v": ("it's", "it's\U0010FFFF"), "k": (0, None),
+        "v": ("it's", "it't"), "k": (0, None),
     }
+    # unincrementable last char: bump the previous one
+    assert dp("v LIKE 'a\U0010FFFF%'") == {"v": ("a\U0010FFFF", "b")}
+    # ALL chars at the max code point: lower bound only
+    assert dp("v LIKE '\U0010FFFF%'") == {"v": ("\U0010FFFF", None)}
     # not a pure prefix: wildcard inside, leading %, bare % — no prune
     assert dp("v LIKE 'a_c%'") == {}
     assert dp("v LIKE '%abc'") == {}
     assert dp("v LIKE '%'") == {}
+
+
+def test_derive_prune_mixed_type_bounds_drop_column():
+    """Round-14 advice fix: mixed literal types on one column must drop
+    it from pruning (conservative), not raise an uncaught TypeError out
+    of execute_dml past the CLI's except clause."""
+    from database_anonymiser_spark.sql_dml import derive_prune as dp
+
+    assert dp("c <= 5 AND c <= 'x'") == {}
+    # other columns keep their hints
+    assert dp("c <= 5 AND c <= 'x' AND k > 0") == {"k": (0, None)}
+    # a later conjunct on the poisoned column must not resurrect it
+    assert dp("c <= 5 AND c <= 'x' AND c >= 1") == {}
+    # nullness on a poisoned column is still sound (orthogonal to order)
+    assert dp("c <= 5 AND c <= 'x' AND c IS NOT NULL") == {"c": "notnull"}
 
 
 def test_e2e_changes_table_timestamp_bounds(spark, dml_env, tmp_path):
