@@ -340,6 +340,11 @@ def main(argv: list[str] | None = None) -> int:
             statement_target,
         )
 
+        from database_anonymiser_spark.sql_txn import (
+            ScriptTransaction,
+            classify_txn,
+        )
+
         stmts = split_statements(stmt)
 
         def _routed(s: str) -> bool:
@@ -347,13 +352,18 @@ def main(argv: list[str] | None = None) -> int:
             # are valid plain Spark SQL too — only the engine's own
             # maintenance shapes route away from spark.sql (round-14
             # advice fix: 'DESCRIBE customer' must keep working)
-            return bool(classify_dml(s) or claim_utility(s, versioned_views))
+            return bool(
+                classify_dml(s)
+                or claim_utility(s, versioned_views)
+                or classify_txn(s)
+            )
 
         if len(stmts) > 1 and not all(_routed(s) for s in stmts):
             print(
-                "sql: a multi-statement script must be ALL DML/maintenance "
-                "(UPDATE/DELETE/INSERT/MERGE/OPTIMIZE/VACUUM/RESTORE/"
-                "DESCRIBE/ALTER); run SELECTs one at a time",
+                "sql: a multi-statement script must be ALL DML/maintenance/"
+                "transaction-control (UPDATE/DELETE/INSERT/MERGE/OPTIMIZE/"
+                "VACUUM/RESTORE/DESCRIBE/ALTER/BEGIN/COMMIT/ROLLBACK); run "
+                "SELECTs one at a time",
                 file=sys.stderr,
             )
             return 2
@@ -393,6 +403,7 @@ def main(argv: list[str] | None = None) -> int:
                         restored.append(key)
                 return restored
 
+            txn = None  # the open BEGIN..COMMIT group, if any (round 14)
             for s in stmts:
                 try:
                     # note the head BEFORE the op so a failing later
@@ -404,7 +415,34 @@ def main(argv: list[str] | None = None) -> int:
                     tgt = statement_target(s)
                     if tgt and tgt.lower() in versioned_views:
                         _note_start(tgt)
-                    if claim_utility(s, versioned_views):
+                    tk = classify_txn(s)
+                    if tk == "begin":
+                        if txn is not None:
+                            raise SqlDmlError(
+                                "nested BEGIN: transactions do not nest"
+                            )
+                        if args.sql_dryrun:
+                            frag = {"mode": "sql_txn_dryrun", "op": "begin"}
+                        else:
+                            txn = ScriptTransaction(spark, versioned_views)
+                            frag = {"mode": "sql_txn", "op": "begin",
+                                    "txn": txn.id, "statement": s}
+                    elif tk in ("commit", "rollback"):
+                        if args.sql_dryrun:
+                            frag = {"mode": "sql_txn_dryrun", "op": tk}
+                        elif txn is None:
+                            raise SqlDmlError(f"{tk.upper()} without BEGIN")
+                        else:
+                            frag = (
+                                txn.commit() if tk == "commit"
+                                else txn.rollback()
+                            )
+                            txn = None
+                    elif txn is not None:
+                        # inside an open transaction: DML stages against
+                        # the workspace fork; dryrun never opens one
+                        frag = txn.execute(s)
+                    elif claim_utility(s, versioned_views):
                         if args.sql_dryrun:
                             print(
                                 "--sqlDryrun covers DML statements only "
@@ -418,6 +456,11 @@ def main(argv: list[str] | None = None) -> int:
                             spark, s, versioned_views, dryrun=args.sql_dryrun
                         )
                 except (SqlDmlError, ValueError, _SparkAnalysisError) as e:
+                    if txn is not None:
+                        # an open transaction never half-applies: discard
+                        # the workspaces — NO table shows any effect
+                        txn.rollback()
+                        txn = None
                     # SqlDmlError = skeleton/contract refusals from the
                     # statement front; ValueError = the native ops' own
                     # precondition refusals (unknown column, identity
@@ -444,7 +487,35 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     return 2
                 frags.append(frag)
-                if frag["mode"] == "sql_utility":
+                if frag["mode"] == "sql_txn_dryrun":
+                    print(f"sql dryrun {frag['op']}: transaction control "
+                          "acknowledged (statements count individually)")
+                elif frag["mode"] == "sql_txn":
+                    if frag["op"] == "commit":
+                        pub = ", ".join(
+                            f"{k} → v{v['new_version']}"
+                            for k, v in frag["tables"].items()
+                        ) or "no changes"
+                        print(
+                            f"sql txn commit [{frag['txn']}]: "
+                            f"{frag['statements']} statement(s) published "
+                            f"atomically ({pub})"
+                        )
+                    elif frag["op"] == "rollback":
+                        print(
+                            f"sql txn rollback [{frag['txn']}]: "
+                            f"{frag['statements_discarded']} staged "
+                            "statement(s) discarded — nothing was visible"
+                        )
+                    else:
+                        print(f"sql txn begin [{frag['txn']}]")
+                elif frag["mode"] == "sql_txn_stmt":
+                    print(
+                        f"sql txn {frag['op']}: {frag['table']} staged "
+                        f"(workspace v{frag['workspace_version']}; visible "
+                        "at COMMIT)"
+                    )
+                elif frag["mode"] == "sql_utility":
                     if "rows" in frag:
                         for r in frag["rows"][: args.max_rows]:
                             print(r)
@@ -467,6 +538,19 @@ def main(argv: list[str] | None = None) -> int:
                         f"sql {frag['op']}: {frag['table']} → version "
                         f"{frag['new_version']} ({frag['metrics']})"
                     )
+            if txn is not None:
+                # the script ended inside BEGIN without COMMIT/ROLLBACK:
+                # discard the workspaces (atomicity: nothing published)
+                # and fail loudly — a silent auto-commit would publish
+                # work the author never finished reviewing
+                txn.rollback()
+                print(
+                    "sql: script ended inside an open BEGIN (no COMMIT/"
+                    "ROLLBACK) — the transaction was rolled back; nothing "
+                    "was published",
+                    file=sys.stderr,
+                )
+                return 2
             report = frags[0] if len(frags) == 1 else {
                 "mode": "sql_dml_script",
                 "dryrun": bool(args.sql_dryrun),

@@ -118,6 +118,58 @@ def _part_committed(
     return None
 
 
+def _finalize_publish(root: Path, man: dict, part: dict, i: int) -> int:
+    """Roll one PUBLISH part forward (round 14, SQL script transactions).
+
+    Unlike a blind append, a publish carries a READ SET — the removed
+    paths — so finalization re-validates at the CURRENT head that every
+    removed path is still live and the logged schema still matches the
+    staging-time one, then lands adds+removes as ONE ``txn_publish``
+    commit. Validation failure raises :class:`TransactionAborted` with
+    the manifest left in place (the same operator-resolves contract as
+    the schema gate on append parts). In practice the SQL front
+    validates immediately before the manifest rename, so this path only
+    fires in the crash-recovery race window."""
+    entries = [_FileEntry(**e) for e in part["entries"]]
+    removes = list(part["removes"])
+    for attempt in range(_TXN_MAX_RETRIES + 1):
+        head = _list_versions(root)
+        v = (head[-1] if head else -1) + 1
+        live, schema_now = {}, None
+        if head:
+            st = _replay(root, head[-1])
+            live, schema_now = st[0], st[3]
+        missing = [p for p in removes if p not in live]
+        if missing:
+            raise TransactionAborted(
+                f"publish part {i} of txn {man['id']} cannot roll forward "
+                f"at {root}: removed file(s) no longer live at head "
+                f"(concurrent writer): {missing[:3]}{'...' if len(missing) > 3 else ''}; "
+                "resolve and re-run recover(), or delete the manifest to "
+                "abandon the transaction (staged files become vacuum-able "
+                "orphans)"
+            )
+        if part.get("schema") is not None and schema_now != part["schema"]:
+            raise TransactionAborted(
+                f"table {root} changed schema after staging (txn "
+                f"{man['id']} part {i}); resolve and re-run recover()"
+            )
+        try:
+            _commit(
+                root, v, entries, removes, part["key_col"],
+                op="txn_publish",
+                meta={
+                    "txn": man["id"], "txn_part": i,
+                    **(part.get("meta") or {}),
+                },
+            )
+            return v
+        except VersionConflict:
+            if attempt == _TXN_MAX_RETRIES:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _finalize(manifest_path: Path) -> dict[str, int]:
     """Roll the decided transaction forward: one OCC append commit per
     not-yet-committed part, manifest deleted last. Re-entrant (witness
@@ -130,6 +182,9 @@ def _finalize(manifest_path: Path) -> dict[str, int]:
         done = _part_committed(root, man["id"], i, family=fam)
         if done is not None:
             results[part["root"]] = done
+            continue
+        if part.get("kind") == "publish":
+            results[part["root"]] = _finalize_publish(root, man, part, i)
             continue
         head = _list_versions(root)
         if part.get("schema") is not None:
@@ -244,6 +299,41 @@ class MultiTableTransaction:
             }
         )
 
+    def stage_publish(
+        self,
+        root: str | Path,
+        key_col,
+        entries: list,
+        removes: list[str],
+        schema: dict | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        """Phase 1 for a PUBLISH part (round 14, SQL script
+        transactions): a general adds+removes commit, not a blind
+        append. The caller has ALREADY placed every add entry's
+        data/DV/bloom file under ``root`` (invisible until a commit
+        references them — the engine's native write protocol) and
+        validated the diff against the head it was computed from; this
+        just holds the part for the manifest. ``schema`` (a StructType
+        jsonValue) re-validates at finalization; ``removes`` re-validate
+        as still-live (see :func:`_finalize_publish`)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        self.parts.append(
+            {
+                "kind": "publish",
+                "root": str(root),
+                "key_col": key_col,
+                "schema": schema,
+                "entries": [
+                    asdict(e) if not isinstance(e, dict) else dict(e)
+                    for e in entries
+                ],
+                "removes": [str(p) for p in removes],
+                **({"meta": meta} if meta else {}),
+            }
+        )
+
     def commit(self) -> dict[str, int]:
         """Phase 2 + finalization. The tmp+rename of the manifest is the
         atomic decision point; everything after is roll-forward that
@@ -274,7 +364,17 @@ class MultiTableTransaction:
         for part in self.parts:
             root = Path(part["root"])
             for e in part["entries"]:
-                (root / e["path"]).unlink(missing_ok=True)
-                for p in (e.get("bloom") or {}).values():
-                    (root / p).unlink(missing_ok=True)
+                # ABSOLUTE refs are pre-existing shared files (a publish
+                # part re-referencing another table's data, the shallow-
+                # clone shape) — never deletion candidates; only this
+                # transaction's own staged (relative) files go
+                import os as _os
+
+                for ref in (
+                    e["path"],
+                    e.get("dv"),
+                    *(e.get("bloom") or {}).values(),
+                ):
+                    if ref and not _os.path.isabs(ref):
+                        (root / ref).unlink(missing_ok=True)
         self.parts = []

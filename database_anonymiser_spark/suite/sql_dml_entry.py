@@ -152,3 +152,68 @@ def sql_dml_state(spark, sf_dir):
         views,
     )
     return t.snapshot()
+
+
+def sql_txn_state(spark, sf_dir):
+    """Round 14: the SAME four-statement lineage as
+    :func:`sql_dml_state`, but wrapped in ``BEGIN .. COMMIT`` and run
+    through :class:`~database_anonymiser_spark.sql_txn.ScriptTransaction`
+    (the ``--sqlFile`` transaction runner) — the reference's whole-apply
+    transaction shape (``src/main.ts:102-111``). All four statements
+    stage against a shallow-clone workspace and publish as ONE
+    ``txn_publish`` commit; the final snapshot must be value-identical
+    to the per-statement run, which the shared oracle arm pins
+    (variant='sqltxn' vs variant='sqldml' hash against the same
+    relational rendering). The atomic shape itself is asserted here:
+    exactly one commit above the create, nothing in between.
+
+    Scale shape: the fork is a metadata-only shallow clone; each
+    statement pays its normal copy-on-write + file-skipping cost against
+    the fork; COMMIT is O(changed files) renames + one tiny-JSON commit
+    — a transaction costs the same bytes as its statements run bare."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.sql_txn import ScriptTransaction
+
+    cust = load(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="sql_txn_")
+    t = VersionedTable.create(spark, f"{root}/cust", cust, key_col="c_custkey")
+    views = {"cust": {"root": f"{root}/cust", "pinned": False}}
+
+    k = F.col("c_custkey")
+    src = (
+        cust.where(k % 3 == 0)
+        .select("c_custkey")
+        .unionByName(
+            cust.where(k % 37 == 0).select((k + _SHIFT).alias("c_custkey"))
+        )
+        .withColumn("d", (F.col("c_custkey") % 100 - 50).cast("long"))
+    )
+    src.createOrReplaceTempView("sql_txn_src")
+    cust.createOrReplaceTempView("sql_txn_customer")
+
+    txn = ScriptTransaction(spark, views)
+    txn.execute(
+        "UPDATE cust SET c_acctbal = -c_acctbal, c_mktsegment = 'SQLUPD' "
+        "WHERE c_custkey % 7 = 0"
+    )
+    txn.execute("DELETE FROM cust WHERE c_custkey % 13 = 0")
+    txn.execute(
+        "MERGE INTO cust AS c USING sql_txn_src AS u "
+        "ON c.c_custkey = u.c_custkey "
+        "WHEN MATCHED AND u.d < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET "
+        "c_acctbal = c.c_acctbal + u.d, c_mktsegment = 'SQLMRG' "
+        "WHEN NOT MATCHED AND u.d > 0 THEN INSERT "
+        "(c_custkey, c_name, c_acctbal, c_mktsegment) "
+        "VALUES (u.c_custkey, 'SQLNEW', CAST(u.d AS DOUBLE), 'SQLNEW')"
+    )
+    txn.execute(
+        "INSERT INTO cust (c_custkey, c_name, c_acctbal, c_mktsegment) "
+        f"SELECT c_custkey + {2 * _SHIFT}, c_name, c_acctbal, 'SQLINS' "
+        "FROM sql_txn_customer WHERE c_custkey % 41 = 0"
+    )
+    txn.commit()
+    # the atomic shape IS the claim: exactly one publish above the create
+    assert t.latest_version() == 1, t.latest_version()
+    assert t.commit_op(1) == "txn_publish", t.commit_op(1)
+    return t.snapshot()

@@ -20,6 +20,7 @@ from database_anonymiser_spark.suite.sql_dml_entry import (
     SQL_DML_CTES,
     SQL_DML_FINAL,
     sql_dml_state,
+    sql_txn_state,
 )
 
 #: updates hit every 7th key; inserts clone every 31st key shifted past the
@@ -300,6 +301,15 @@ _INS_SHIFT = 10_000_000
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
     FROM ({SQL_DML_FINAL}) sd_final
+    UNION ALL
+    -- round 14: the same lineage inside BEGIN..COMMIT (ScriptTransaction
+    -- fork/diff/publish — ONE atomic commit) must land on the IDENTICAL
+    -- relational rendering
+    SELECT 'sqltxn' AS variant,
+           CAST(NULL AS VARCHAR) AS change_type,
+           CAST(NULL AS BIGINT) AS commit_version,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM ({SQL_DML_FINAL}) sd_final_txn
     """,
     tags=("transaction", "merge", "cdf", "sql_dml"),
 )
@@ -575,8 +585,24 @@ def merge_upsert(spark, sf_dir):
         F.lit(None).cast("long").alias("commit_version"),
         *cols,
     )
-    return snap.unionByName(
-        feed.select(
-            F.lit("cdf").alias("variant"), "change_type", "commit_version", *cols
+    # round 14: the SAME statement lineage wrapped in BEGIN..COMMIT and
+    # run through the ScriptTransaction publisher (ONE txn_publish
+    # commit, nothing visible in between) rides as 'sqltxn' rows — the
+    # transaction fork/diff/publish machinery itself under the value
+    # hash, against the identical relational rendering
+    sqltxn = sql_txn_state(spark, sf_dir).select(
+        F.lit("sqltxn").alias("variant"),
+        F.lit(None).cast("string").alias("change_type"),
+        F.lit(None).cast("long").alias("commit_version"),
+        *cols,
+    )
+    return (
+        snap.unionByName(
+            feed.select(
+                F.lit("cdf").alias("variant"), "change_type",
+                "commit_version", *cols,
+            )
         )
-    ).unionByName(sqldml)
+        .unionByName(sqldml)
+        .unionByName(sqltxn)
+    )
