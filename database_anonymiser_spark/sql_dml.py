@@ -30,10 +30,20 @@ Scope contract — refusals are loud, never silent:
 - DML against a plain ``--data`` parquet view is refused with a hint
   (parquet files are immutable; the commit log is what makes DML atomic
   and auditable);
-- MERGE's ON condition must be exactly the key-equality conjunction of
-  the target's declared key (the native merge joins on the key; any
-  other ON would silently change semantics — refused with the expected
-  shape in the message);
+- MERGE's ON condition must CONTAIN the key-equality conjunction of
+  the target's declared key (the native merge joins on the key).
+  Additional conjuncts — Delta's residual-ON shape, ``ON t.id = s.id
+  AND t.region = 'EU'`` — are honored by threading them into the
+  clause conditions (round 14): matched clauses fire only where the
+  residual holds, and a key-matched pair FAILING the residual is "not
+  matched by source" under full-ON semantics (the target key is
+  unique, so no other source row can match it) — the BY SOURCE clauses
+  apply to it.  One documented deviation: ``WHEN NOT MATCHED ... THEN
+  INSERT`` stays keyed on the KEY equality alone — a source row whose
+  key exists in the target never inserts, because the table's
+  key-uniqueness contract forbids the duplicate key Delta would write
+  there.  An ON that does not contain the full key equality is still
+  refused with the expected shape in the message;
 - statement-boundary keywords (``WHEN [NOT] MATCHED``, ``THEN UPDATE/
   DELETE/INSERT``) are matched outside quotes and parens, so CASE WHEN
   expressions inside SET values or conditions parse through unharmed.
@@ -216,7 +226,7 @@ _GRAMMAR = (
     "  UPDATE <view> SET col = expr [, ...] [WHERE <pred>]\n"
     "  DELETE FROM <view> [WHERE <pred>]\n"
     "  INSERT INTO <view> [(cols)] VALUES (exprs) [, ...] | <query>\n"
-    "  MERGE INTO <view> [AS] t USING (<query>|<view>) [AS] s ON <key equality>\n"
+    "  MERGE INTO <view> [AS] t USING (<query>|<view>) [AS] s ON <key equality [AND residual]>\n"
     "    WHEN MATCHED [AND c] THEN UPDATE SET ...|SET *|DELETE\n"
     "    WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *\n"
     "    WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ...|DELETE"
@@ -511,42 +521,45 @@ def _parse_merge(stmt: str) -> _Merge:
 
 def _parse_on_keys(
     on: str, talias: str, salias: str, key_cols: tuple
-) -> dict[str, str]:
-    """Validate the ON condition as exactly the key-equality conjunction;
-    return {target_key_col: source_col}.  Anything else is refused — the
-    native merge joins on the declared key, so honoring a different ON
-    silently would change which rows count as 'matched'."""
+) -> tuple[dict[str, str], list[str]]:
+    """Split the ON condition into the key-equality conjunction and the
+    residual (round 14 — Delta accepts arbitrary ON; the native merge
+    joins on the declared key, so the residual is threaded into clause
+    conditions by the caller).  Returns ``({target_key_col: source_col},
+    [residual conjuncts requalified to t./s.])``.  An ON that does not
+    CONTAIN the full key equality is refused — without it, "matched"
+    would silently mean something other than what the key-joined native
+    merge computes."""
     expected = " AND ".join(f"{talias}.{k} = {salias}.{k}" for k in key_cols)
+    requal = {talias: "t", salias: "s"}
     pairs: dict[str, str] = {}
+    residual: list[str] = []
+    key_set = {str(k) for k in key_cols}
     for conj in _split_top_and(on):
         m = re.match(
             r"\s*\(?\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*("
             + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*\)?\s*$",
             conj,
         )
-        if not m:
-            raise SqlDmlError(
-                f"merge ON conjunct {conj.strip()!r} is not a plain "
-                f"qualified equality; expected: ON {expected}"
-            )
-        q1, c1, q2, c2 = (_unquote(g) for g in m.groups())
-        side = {talias.lower(): "t", salias.lower(): "s"}
-        s1, s2 = side.get(q1.lower()), side.get(q2.lower())
-        if s1 is None or s2 is None or s1 == s2:
-            raise SqlDmlError(
-                f"merge ON conjunct {conj.strip()!r} must relate the "
-                f"target ({talias}) to the source ({salias})"
-            )
-        tcol, scol = (c1, c2) if s1 == "t" else (c2, c1)
-        if tcol in pairs:
-            raise SqlDmlError(f"key column {tcol!r} appears twice in ON")
-        pairs[tcol] = scol
-    if set(pairs) != set(key_cols):
+        if m:
+            q1, c1, q2, c2 = (_unquote(g) for g in m.groups())
+            side = {talias.lower(): "t", salias.lower(): "s"}
+            s1, s2 = side.get(q1.lower()), side.get(q2.lower())
+            if s1 is not None and s2 is not None and s1 != s2:
+                tcol, scol = (c1, c2) if s1 == "t" else (c2, c1)
+                if tcol in key_set and tcol not in pairs:
+                    pairs[tcol] = scol
+                    continue
+                # a qualified equality on a non-key column (or a repeat
+                # of a key column) is an ordinary residual conjunct
+        residual.append(_requalify(conj.strip(), requal))
+    if set(pairs) != key_set:
         raise SqlDmlError(
-            f"merge ON must equate exactly the table key {list(key_cols)}; "
-            f"got target columns {sorted(pairs)}. Expected: ON {expected}"
+            f"merge ON must contain the key-equality conjunction for the "
+            f"table key {list(key_cols)}; got target key columns "
+            f"{sorted(pairs)}. Expected: ON {expected} [AND <residual>]"
         )
-    return pairs
+    return pairs, residual
 
 
 def _split_top_and(s: str) -> list[str]:
@@ -1248,12 +1261,39 @@ def execute_dml(
                 f"MERGE target {mg.target!r} has no declared key; the "
                 "native merge joins on the table key"
             )
-        pairs = _parse_on_keys(mg.on, mg.target_alias, mg.source_alias, key_cols)
+        pairs, residual = _parse_on_keys(
+            mg.on, mg.target_alias, mg.source_alias, key_cols
+        )
         src = (
             spark.sql(mg.source_sql)
             if mg.source_is_query
             else spark.table(mg.source_sql)
         )
+        res_sql = " AND ".join(f"({c})" for c in residual) if residual else None
+        if res_sql:
+            # Delta's residual-ON semantics over the key-joined native
+            # merge: matched clauses require the residual; a key-matched
+            # pair FAILING it is "not matched by source" under full-ON
+            # semantics (target keys are unique — no other source row can
+            # match), so the BY SOURCE clauses apply there, gated on NOT
+            # residual. WHEN NOT MATCHED inserts stay key-equality-keyed
+            # (module docstring: the key-uniqueness deviation).
+            mg.matched = [
+                (cl[0],
+                 res_sql if cl[1] is None else f"({res_sql}) AND ({cl[1]})",
+                 *cl[2:])
+                for cl in mg.matched
+            ]
+            not_res = f"NOT coalesce({res_sql}, false)"
+            mg.matched.extend(
+                (cl[0],
+                 not_res if cl[1] is None else f"({not_res}) AND ({cl[1]})",
+                 *cl[2:])
+                for cl in mg.by_source
+            )
+            # with neither matched nor by-source clauses the residual has
+            # no observable effect (inserts are key-equality-keyed) — the
+            # empty matched list already keeps every matched pair
         # the native merge expects the source to carry the TARGET's key
         # column names; rename the ON-mapped source columns over
         for tcol, scol in pairs.items():
@@ -1266,9 +1306,27 @@ def execute_dml(
                 src = src.withColumnRenamed(scol, tcol)
         if dryrun:
             key_list = list(key_cols)
-            snap = vt.snapshot().select(*key_list)
-            matched = snap.join(src.select(*key_list), key_list, "inner").count()
-            unmatched = src.select(*key_list).count() - matched
+            if res_sql:
+                # full-ON matched count: key equality AND the residual
+                t = vt.snapshot().alias("t")
+                s = src.alias("s")
+                cond = F.expr(
+                    " AND ".join(f"t.{k} = s.{k}" for k in key_list)
+                    + f" AND ({res_sql})"
+                )
+                matched = t.join(s, cond, "inner").count()
+            else:
+                snap = vt.snapshot().select(*key_list)
+                matched = snap.join(
+                    src.select(*key_list), key_list, "inner"
+                ).count()
+            # insert candidates are key-unmatched source rows (module
+            # docstring: inserts stay keyed on the key equality)
+            unmatched = (
+                src.select(*key_list)
+                .join(vt.snapshot().select(*key_list), key_list, "left_anti")
+                .count()
+            )
             return {
                 "mode": "sql_dml_dryrun", "op": kind, "table": mg.target,
                 "matched_rows": int(matched),

@@ -52,15 +52,23 @@ SQL_DML_CTES = """
 #: d>0 values-dict inserts; the source is every 3rd ORIGINAL key (so keys
 #: deleted at v2 exercise the unmatched path) plus shifted clones of
 #: every 37th, d = key%100 - 50.
+#:
+#: Round 14 — the MERGE carries a RESIDUAL ON (`AND c.c_mktsegment <>
+#: 'SQLUPD'`, the full-ON grammar): key-matched pairs whose target row
+#: was retagged 'SQLUPD' at v1 FAIL the residual, so the matched clauses
+#: (delete/update) skip them — they stay verbatim (first arm's OR) — and
+#: their source rows never insert (the key-uniqueness deviation the
+#: sql_dml module docstring pins).
 SQL_DML_FINAL = f"""
     SELECT * FROM sd_state2
-    WHERE c_custkey % 3 <> 0
+    WHERE c_custkey % 3 <> 0 OR c_mktsegment = 'SQLUPD'
     UNION ALL
     SELECT c_custkey, c_name, c_nationkey,
            c_acctbal + ((c_custkey % 100) - 50) AS c_acctbal,
            'SQLMRG' AS c_mktsegment
     FROM sd_state2
-    WHERE c_custkey % 3 = 0 AND (c_custkey % 100) - 50 >= 0
+    WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'SQLUPD'
+      AND (c_custkey % 100) - 50 >= 0
     UNION ALL
     SELECT c_custkey, 'SQLNEW' AS c_name,
            CAST(NULL AS INTEGER) AS c_nationkey,
@@ -132,7 +140,7 @@ def sql_dml_state(spark, sf_dir):
     execute_dml(
         spark,
         "MERGE INTO cust AS c USING sql_dml_src AS u "
-        "ON c.c_custkey = u.c_custkey "
+        "ON c.c_custkey = u.c_custkey AND c.c_mktsegment <> 'SQLUPD' "
         "WHEN MATCHED AND u.d < 0 THEN DELETE "
         "WHEN MATCHED THEN UPDATE SET "
         "c_acctbal = c.c_acctbal + u.d, c_mktsegment = 'SQLMRG' "
@@ -199,7 +207,7 @@ def sql_txn_state(spark, sf_dir):
     txn.execute("DELETE FROM cust WHERE c_custkey % 13 = 0")
     txn.execute(
         "MERGE INTO cust AS c USING sql_txn_src AS u "
-        "ON c.c_custkey = u.c_custkey "
+        "ON c.c_custkey = u.c_custkey AND c.c_mktsegment <> 'SQLUPD' "
         "WHEN MATCHED AND u.d < 0 THEN DELETE "
         "WHEN MATCHED THEN UPDATE SET "
         "c_acctbal = c.c_acctbal + u.d, c_mktsegment = 'SQLMRG' "

@@ -161,17 +161,33 @@ def test_parse_merge_refusals():
 
 
 def test_parse_on_keys():
-    assert _parse_on_keys("t.k = s.kk", "t", "s", ("k",)) == {"k": "kk"}
+    assert _parse_on_keys("t.k = s.kk", "t", "s", ("k",)) == ({"k": "kk"}, [])
     # reversed sides + composite
     assert _parse_on_keys(
         "s.a = t.k1 AND t.k2 = s.b", "t", "s", ("k1", "k2")
-    ) == {"k1": "a", "k2": "b"}
+    ) == ({"k1": "a", "k2": "b"}, [])
     with pytest.raises(SqlDmlError):  # not the key
         _parse_on_keys("t.other = s.other", "t", "s", ("k",))
-    with pytest.raises(SqlDmlError):  # non-equality conjunct
-        _parse_on_keys("t.k = s.k AND t.v > s.v", "t", "s", ("k",))
     with pytest.raises(SqlDmlError):  # subset of a composite key
         _parse_on_keys("t.k1 = s.k1", "t", "s", ("k1", "k2"))
+    # round 14: residual conjuncts ride along, requalified to t./s.
+    assert _parse_on_keys(
+        "c.k = u.k AND c.v > u.v", "c", "u", ("k",)
+    ) == ({"k": "k"}, ["c.v > u.v".replace("c.", "t.").replace("u.", "s.")])
+    pairs, res = _parse_on_keys(
+        "t.k = s.k AND t.region = 'EU' AND s.amt BETWEEN 1 AND 5",
+        "t", "s", ("k",),
+    )
+    assert pairs == {"k": "k"}
+    assert res == ["t.region = 'EU'", "s.amt BETWEEN 1 AND 5"]
+    # a non-key qualified equality is residual, not a key pair
+    pairs, res = _parse_on_keys(
+        "t.k = s.k AND t.v = s.v", "t", "s", ("k",)
+    )
+    assert pairs == {"k": "k"} and res == ["t.v = s.v"]
+    # the key equality must still be present even with residuals
+    with pytest.raises(SqlDmlError):
+        _parse_on_keys("t.region = 'EU'", "t", "s", ("k",))
 
 
 # --------------------------------------------------------------------------
@@ -334,6 +350,92 @@ def test_e2e_sql_merge(spark, dml_env, tmp_path):
         1: "one", 2: "two-new", 3: "three-new", 4: "four",
         99: "ninety-nine",
     }
+
+
+def test_e2e_sql_merge_residual_on(spark, dml_env, tmp_path):
+    """Round 14: arbitrary MERGE ON = key equality + residual.  The
+    residual gates the matched clauses; a key-matched pair failing it
+    routes to the BY SOURCE clauses (full-ON 'not matched by source');
+    inserts stay keyed on the key equality (key-uniqueness deviation,
+    module docstring)."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    # residual false for k=3: kept unchanged AND s-row (3,'three-new')
+    # NOT inserted; k=2 residual true: updated; k=99 unmatched: inserted
+    rc = _run([
+        "--sql",
+        "MERGE INTO cust t USING src s ON t.k = s.k AND t.k <> 3 "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+        "--data", str(data_dir),
+        "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows == {
+        1: "one", 2: "two-new", 3: "three", 4: "four", 99: "ninety-nine",
+    }
+
+
+def test_e2e_sql_merge_residual_by_source(spark, dml_env, tmp_path):
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    # source-side residual: only (2,'two-new') passes; k=3 is key-matched
+    # but residual-false → treated as not-matched-by-source → deleted,
+    # exactly like the never-matched k=1 and k=4
+    rc = _run([
+        "--sql",
+        "MERGE INTO cust t USING src s ON t.k = s.k AND s.v = 'two-new' "
+        "WHEN MATCHED THEN UPDATE SET v = concat(s.v, '!') "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        "--data", str(data_dir),
+        "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows == {2: "two-new!"}
+
+
+def test_e2e_sql_merge_residual_clause_conditions_and_dryrun(
+    spark, dml_env, tmp_path
+):
+    """Residual composed with per-clause AND conditions; dryrun counts
+    full-ON matches."""
+    import json
+
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    report = tmp_path / "rep.json"
+    stmt = (
+        "MERGE INTO cust t USING src s ON t.k = s.k AND t.k <> 3 "
+        "WHEN MATCHED AND s.v = 'two-new' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN UPDATE SET "
+        "v = 'residual-failed'"
+    )
+    rc = _run([
+        "--sql", stmt, "--sqlDryrun",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--report", str(report),
+    ])
+    assert rc == 0
+    rep = json.loads(report.read_text())
+    # full-ON matched pairs: k=2 only (k=3 fails the residual)
+    assert rep["matched_rows"] == 1
+    assert rep["unmatched_source_rows"] == 1  # k=99 (key-unmatched)
+    assert t.latest_version() == v0
+
+    rc = _run([
+        "--sql", stmt,
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    # k=2: matched + clause cond true → deleted; k=3: residual-false →
+    # by-source clause (cond t.k = 3 true) updates it; k=1/4: key-
+    # unmatched targets, by-source cond false → kept
+    assert rows == {1: "one", 3: "residual-failed", 4: "four"}
 
 
 def test_e2e_refusals(spark, dml_env, tmp_path):
