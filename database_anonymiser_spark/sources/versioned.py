@@ -1297,6 +1297,11 @@ def _and_prune(pred: F.Column, prune: dict | None) -> F.Column:
     return pred
 
 
+#: marker column for the membership semi-join (round 14); reserved name,
+#: dropped before any write
+_MEMBER_MARK = "__membership_hit__"
+
+
 _Z_BITS = 16
 
 
@@ -3615,11 +3620,121 @@ class VersionedTable:
             for pcol, b in pp.items()
         )
 
+    def _membership_plan(self, membership, sch):
+        """Round 14 — plan the ``membership=(col, subjects_df, negated)``
+        semi-join predicate (the oversized ``[NOT] IN (SELECT ...)``
+        path: sql_dml routes subject lists beyond ``IN_SUBQUERY_CAP``
+        here instead of refusing, so a 100k-subject GDPR revocation runs
+        as a DISTRIBUTED join, never a driver collect).
+
+        Returns ``(col, subjects|None, negated, fate, prune)`` with
+        ``fate`` ∈ ``'test'`` (join needed) / ``'never'`` (the conjunct
+        can never be TRUE — the op touches 0 rows but still commits) /
+        ``'always'`` (the conjunct is TRUE for every row — drop it).
+
+        Exact SQL three-valued logic, pinned per case:
+
+        - ``col IN (S)`` is TRUE iff col equals some NON-NULL subject
+          (NULL subjects / NULL col yield at most UNKNOWN, and UPDATE/
+          DELETE only act on TRUE) — so the test is a match against the
+          DISTINCT non-null subjects, and their min/max is a valid
+          file-skipping range IMPLIED by the conjunct. Empty S →
+          ``'never'``.
+        - ``col NOT IN (S)``: any NULL subject makes it never TRUE
+          (one LIMIT-1 probe decides); otherwise TRUE iff col is
+          non-NULL with no equal subject — an anti-match, and NO prune
+          is possible (any file may hold non-members). Empty S →
+          ``'always'`` (vacuously TRUE for every row, NULL col
+          included).
+
+        Scale shape: subjects are deduped distributedly; the only
+        driver-side jobs are a LIMIT-1 null probe and (IN only) one
+        min/max aggregate. The join itself is planned by Spark — AQE
+        broadcasts a small subject set and shuffle-joins a huge one."""
+        col, subjects, negated = membership
+        names = {f.name for f in sch.fields}
+        if col not in names:
+            raise ValueError(
+                f"membership column {col!r} absent from the table schema"
+            )
+        if len(subjects.columns) != 1:
+            raise ValueError(
+                "membership subjects must have exactly one column, got "
+                f"{subjects.columns}"
+            )
+        if _MEMBER_MARK in names:
+            raise ValueError(f"{_MEMBER_MARK!r} is a reserved column name")
+        scol = subjects.columns[0]
+        if negated and subjects.where(
+            F.col(scol).isNull()
+        ).limit(1).count() > 0:
+            return col, None, True, "never", None
+        vals = (
+            subjects.where(F.col(scol).isNotNull())
+            .select(F.col(scol).alias(col))
+            .distinct()
+        )
+        if negated:
+            if vals.limit(1).count() == 0:
+                return col, None, True, "always", None
+            return col, vals, True, "test", None
+        row = vals.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if row["lo"] is None:
+            return col, None, False, "never", None
+        return col, vals, False, "test", {col: (row["lo"], row["hi"])}
+
+    @staticmethod
+    def _merge_membership_prune(prune, m_prune):
+        """Conjoin the membership-implied range into the caller's prune
+        dict (both are relaxations of the total predicate, so their
+        intersection is too). On a same-column collision the ranges are
+        intersected when both are (lo, hi) tuples; a mixed-type
+        comparison or a nullness string keeps the caller's entry
+        (conservative — wider prune only reads more files)."""
+        if not m_prune:
+            return prune
+        out = dict(prune or {})
+        for c, (lo, hi) in m_prune.items():
+            cur = out.get(c)
+            if cur is None:
+                out[c] = (lo, hi)
+            elif isinstance(cur, tuple):
+                try:
+                    clo, chi = cur
+                    nlo = lo if clo is None else (
+                        clo if lo is None else max(clo, lo)
+                    )
+                    nhi = hi if chi is None else (
+                        chi if hi is None else min(chi, hi)
+                    )
+                    out[c] = (nlo, nhi)
+                except TypeError:
+                    pass
+        return out
+
+    def _with_membership(self, tgt, col, vals, negated):
+        """Join the subject set onto the read target and return
+        ``(frame_with_marker, membership_column)`` — the exact row-level
+        test the plan promised. ``vals`` is already distinct, so the
+        left join preserves row multiplicity; NULL target keys never
+        match (SQL equality)."""
+        flagged = vals.withColumn(_MEMBER_MARK, F.lit(True))
+        joined = tgt.join(flagged, [col], "left").select(
+            *tgt.columns, _MEMBER_MARK
+        )
+        member = (
+            F.col(col).isNotNull() & F.col(_MEMBER_MARK).isNull()
+            if negated
+            else F.coalesce(F.col(_MEMBER_MARK), F.lit(False))
+        )
+        return joined, member
+
     def update_where(
         self,
         assignments: dict[str, "F.Column | str"],
         predicate: "F.Column | str",
         prune: dict[str, tuple] | None = None,
+        membership: "tuple | None" = None,
         max_retries: int = 3,
     ) -> int:
         """Predicate-scoped UPDATE — the reference's core operation
@@ -3644,6 +3759,14 @@ class VersionedTable:
         consistently narrows the operation's scope instead of splitting it
         per-file. (Delta derives skipping from the predicate itself; here
         the hint is caller-supplied, so it is made self-consistent.)
+
+        ``membership=(col, subjects_df, negated)`` (round 14) conjoins an
+        exact ``col [NOT] IN (subjects)`` test evaluated as a DISTRIBUTED
+        join (see :meth:`_membership_plan` for the three-valued-logic
+        contract) — the oversized-IN-subquery path: the subject set is
+        never collected to the driver, an IN's min/max implies an extra
+        file-skipping range, and Spark's planner (AQE) picks broadcast
+        vs shuffle for the join.
 
         Assignment keys absent from the table schema raise ``ValueError``
         (a typo'd column must not commit a silent no-op version). Returns
@@ -3672,8 +3795,21 @@ class VersionedTable:
                 f"identity column {ident[0]!r} is GENERATED ALWAYS; "
                 "update_where may not assign it"
             )
+        m_col = m_vals = None
+        m_negated = False
+        m_fate = None
+        if membership is not None:
+            m_col, m_vals, m_negated, m_fate, m_prune = self._membership_plan(
+                membership, sch
+            )
+            prune = self._merge_membership_prune(prune, m_prune)
         entries = self._live_entries(v)
-        touched = self.files_matching(prune) if prune else entries
+        if m_fate == "never":
+            # the membership conjunct can never be TRUE: commit the
+            # (auditable) empty update without reading anything
+            touched = []
+        else:
+            touched = self.files_matching(prune) if prune else entries
         pred = _and_prune(pred, prune)
         touched_paths = {e["path"] for e in touched}
         new_files: list = []
@@ -3681,12 +3817,18 @@ class VersionedTable:
             tgt = self._read_paths(
                 sorted(touched_paths), dv_map=self._dv_map(touched)
             )
+            out_cols = list(tgt.columns)
+            if m_fate == "test":
+                tgt, member = self._with_membership(
+                    tgt, m_col, m_vals, m_negated
+                )
+                pred = pred & member
             rewritten = tgt.select(
                 *[
                     F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c)
                     if c in assigns
                     else F.col(c)
-                    for c in tgt.columns
+                    for c in out_cols
                 ]
             )
             self._check_constraints(rewritten)
@@ -3834,6 +3976,7 @@ class VersionedTable:
         prune: dict[str, tuple] | None = None,
         dv: bool = False,
         prune_values: tuple | None = None,
+        membership: "tuple | None" = None,
         max_retries: int = 3,
     ) -> int:
         """Predicate-scoped DELETE (copy-on-write). Rows where ``predicate``
@@ -3870,17 +4013,42 @@ class VersionedTable:
         the caller's predicate is authoritative. This is what makes a
         per-document forget on a bucket-clustered store touch ≈ the
         document's files instead of scanning it (streaming/pipeline.py::
-        neardedup_forget)."""
+        neardedup_forget).
+
+        ``membership=(col, subjects_df, negated)`` (round 14): exact
+        ``col [NOT] IN (subjects)`` conjunct evaluated as a distributed
+        join — see :meth:`update_where` and :meth:`_membership_plan`.
+        Mutually exclusive with ``dv`` and ``prune_values`` (the mass
+        delete wants the rewrite path)."""
         if prune is not None and prune_values is not None:
             raise ValueError("pass prune OR prune_values, not both")
+        if membership is not None and (dv or prune_values is not None):
+            # the DV path's position collect and the point-lookup touch
+            # set both assume a string/Column predicate; the semi-join
+            # membership is the mass-delete shape, which wants the
+            # rewrite path anyway
+            raise ValueError(
+                "membership is mutually exclusive with dv and prune_values"
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         key_col = self.key_col()
         v = self.latest_version()
+        m_col = m_vals = None
+        m_negated = False
+        m_fate = None
+        if membership is not None:
+            sch = self._log_schema(v) or self.snapshot(v).schema
+            m_col, m_vals, m_negated, m_fate, m_prune = self._membership_plan(
+                membership, sch
+            )
+            prune = self._merge_membership_prune(prune, m_prune)
         entries = self._live_entries(v)
         if prune_values is not None:
             touched = self.files_matching_any(
                 prune_values[0], list(prune_values[1])
             )
+        elif m_fate == "never":
+            touched = []  # membership never TRUE: auditable empty delete
         else:
             touched = self.files_matching(prune) if prune else entries
         pred = _and_prune(pred, prune)
@@ -3899,7 +4067,15 @@ class VersionedTable:
             tgt = self._read_paths(
                 sorted(touched_paths), dv_map=self._dv_map(touched)
             )
-            survivors = tgt.where(~F.coalesce(pred, F.lit(False)))
+            out_cols = list(tgt.columns)
+            if m_fate == "test":
+                tgt, member = self._with_membership(
+                    tgt, m_col, m_vals, m_negated
+                )
+                pred = pred & member
+            survivors = tgt.where(~F.coalesce(pred, F.lit(False))).select(
+                *out_cols
+            )
             new_files = _write_data_files(
                 survivors, self.root, key_col, stats_cols=self._stats_cols,
                 colmap=self._colmap,
@@ -4969,7 +5145,10 @@ class VersionedTable:
                 )
 
     def erase(
-        self, predicate: "F.Column | str", prune: dict[str, tuple] | None = None
+        self,
+        predicate: "F.Column | str",
+        prune: dict[str, tuple] | None = None,
+        membership: "tuple | None" = None,
     ) -> dict:
         """Right-to-erasure (GDPR Art. 17) on a versioned table: time
         travel is the feature a compliance delete must DEFEAT, so this
@@ -4997,6 +5176,11 @@ class VersionedTable:
            (must be zero) and the data directory is asserted to hold
            exactly the live set (nothing reachable retains the rows).
 
+        ``membership`` (round 14) rides through to :meth:`delete_where`
+        — the >10k-subject GDPR revocation runs as a distributed
+        semi-join — and the step-4 verification re-applies the same
+        membership test to the post-erase snapshot.
+
         Returns ``{"version", "rows_deleted", "files_reclaimed"}``; the
         row count delta comes from the commit log's footer counts
         (metadata only).
@@ -5017,7 +5201,7 @@ class VersionedTable:
             # verified hard delete must materialize them away first
             self.purge_dv()
         before = self.row_count(self.latest_version())
-        v2 = self.delete_where(predicate, prune)
+        v2 = self.delete_where(predicate, prune, membership=membership)
         _write_checkpoint(self.root, v2)
         # grace 0: erase's verified-hard-delete contract sweeps EVERY
         # non-live byte, including fresh orphans (no concurrent writer
@@ -5027,7 +5211,19 @@ class VersionedTable:
         self._scrub_log_stats(keep_live=live_now, upto=v2)
         after = self.row_count(v2)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        residue = self.snapshot(v2).where(pred).limit(1).count()
+        resid_df = self.snapshot(v2)
+        if membership is not None:
+            m_col, m_vals, m_neg, m_fate, _mp = self._membership_plan(
+                membership, resid_df.schema
+            )
+            if m_fate == "never":
+                resid_df = resid_df.where(F.lit(False))
+            elif m_fate == "test":
+                resid_df, member = self._with_membership(
+                    resid_df, m_col, m_vals, m_neg
+                )
+                resid_df = resid_df.where(member)
+        residue = resid_df.where(pred).limit(1).count()
         if residue:
             raise RuntimeError("erase verification failed: matching rows remain")
         live = {e["path"] for e in self._live_entries(v2)}

@@ -725,9 +725,25 @@ def derive_prune(pred: str) -> dict:
 # --------------------------------------------------------------------------
 
 #: bounded-driver-collect cap for IN (SELECT ...) materialization —
-#: the same order as versioned.ISIN_LITERAL_CAP's philosophy (a larger
-#: revocation set should flow through MERGE, which joins distributed)
+#: the same order as versioned.ISIN_LITERAL_CAP's philosophy. Round 14:
+#: beyond the cap the statement no longer refuses — a conjunct-level
+#: ``col [NOT] IN (SELECT ...)`` runs as a DISTRIBUTED semi-join through
+#: the native ops' ``membership`` parameter instead (never collected).
 IN_SUBQUERY_CAP = 10_000
+
+
+class _OversizedInSubquery(Exception):
+    """Internal signal: an IN-subquery exceeded IN_SUBQUERY_CAP.
+    Carries what :func:`_resolve_in_subqueries` needs to decide whether
+    the term can run as a membership semi-join."""
+
+    def __init__(self, span: tuple[int, int], operand: str, sub: str,
+                 negated: bool):
+        super().__init__("oversized IN-subquery")
+        self.span = span          # [start, end) of operand..close-paren
+        self.operand = operand    # text of the left operand
+        self.sub = sub            # the subquery SQL
+        self.negated = negated
 
 
 def _materialize_in_subqueries(spark, pred: str) -> str:
@@ -770,9 +786,12 @@ def _materialize_in_subqueries(spark, pred: str) -> str:
         sub = pred[open_idx + 1 : close].strip()
         rows = spark.sql(sub).limit(IN_SUBQUERY_CAP + 1).collect()
         if len(rows) > IN_SUBQUERY_CAP:
-            raise SqlDmlError(
-                f"IN-subquery returns more than {IN_SUBQUERY_CAP} values; "
-                "use MERGE INTO (a distributed join) for large driver sets"
+            op_start = _operand_start(pred, mask, m.start())
+            raise _OversizedInSubquery(
+                (op_start, close + 1),
+                pred[op_start : m.start()].strip(),
+                sub,
+                negated,
             )
         if rows and len(rows[0]) != 1:
             raise SqlDmlError("IN-subquery must select exactly one column")
@@ -833,6 +852,101 @@ def _operand_start(pred: str, mask, end: int) -> int:
     while j >= 0 and (pred[j].isalnum() or pred[j] in "_$."):
         j -= 1
     return j + 1
+
+
+def _resolve_in_subqueries(spark, pred: str):
+    """Round 14 — the full ``[NOT] IN (SELECT ...)`` resolution policy:
+    returns ``(pred_without_membership_term, membership | None)`` where
+    ``membership`` is the ``(col, subjects_df, negated)`` spec the native
+    ops' semi-join path takes.
+
+    Below :data:`IN_SUBQUERY_CAP` the subquery materializes to literals
+    (unchanged round-13 behavior — exact 3VL, and the literal list feeds
+    ``derive_prune``'s IN-list file skipping). Above the cap, the term
+    runs as a DISTRIBUTED semi-join instead of refusing — provided it is
+
+    - an ENTIRE top-level conjunct of the WHERE (under an OR/NOT the
+      term's truth value can't be factored out of the row predicate, so
+      those shapes still refuse with guidance), and
+    - a plain column operand (an expression operand would need the whole
+      expression evaluated per row on both sides of the join key).
+
+    At most one oversized term per statement (two independent subject
+    sets would need two joins; refused with guidance to MERGE)."""
+    try:
+        return _materialize_in_subqueries(spark, pred), None
+    except _OversizedInSubquery as e:
+        term = pred[e.span[0] : e.span[1]].strip()
+        opm = re.fullmatch(r"(" + _IDENT + r")", e.operand)
+        if not opm:
+            raise SqlDmlError(
+                f"IN-subquery returns more than {IN_SUBQUERY_CAP} values "
+                f"and its operand {e.operand!r} is not a plain column — "
+                "only `col [NOT] IN (SELECT ...)` can run as a "
+                "distributed semi-join; use MERGE INTO for join-shaped "
+                "updates"
+            )
+        kept: list[str] = []
+        hit = False
+        for c in _split_top_and(pred):
+            cs = c.strip()
+            core = cs
+            if cs.startswith("(") and cs.endswith(")"):
+                cmask = _mask(cs)
+                close0 = next(
+                    (i for i, ch in enumerate(cs)
+                     if ch == ")" and cmask[i] == (0, True)),
+                    -1,
+                )
+                # strip the outer pair only if it closes at the very end
+                if close0 == len(cs) - 1:
+                    core = cs[1:-1].strip()
+            if not hit and (cs == term or core == term):
+                hit = True
+                continue
+            kept.append(cs)
+        if not hit:
+            raise SqlDmlError(
+                f"IN-subquery returns more than {IN_SUBQUERY_CAP} values "
+                "and is not a whole top-level conjunct of the WHERE — "
+                "its truth value cannot be factored into a semi-join "
+                "there; rewrite the predicate or use MERGE INTO"
+            )
+        remaining = " AND ".join(kept) if kept else None
+        if remaining is not None:
+            try:
+                remaining = _materialize_in_subqueries(spark, remaining)
+            except _OversizedInSubquery:
+                raise SqlDmlError(
+                    "at most one oversized IN (SELECT ...) membership "
+                    "test per statement; use MERGE INTO for multi-set "
+                    "join updates"
+                )
+        membership = (_unquote(e.operand), spark.sql(e.sub), e.negated)
+        return remaining, membership
+
+
+def _membership_filter(df, membership):
+    """Apply a membership spec to a DataFrame as the exact TRUE-rows
+    filter (dryrun counting twin of the natives' semi-join): IN → semi
+    join on the non-null distinct subjects; NOT IN → empty when any
+    subject is NULL, else non-null anti join; NOT IN (empty) → all."""
+    from pyspark.sql import functions as F
+
+    col, subjects, negated = membership
+    scol = subjects.columns[0]
+    vals = (
+        subjects.where(F.col(scol).isNotNull())
+        .select(F.col(scol).alias(col))
+        .distinct()
+    )
+    if negated:
+        if subjects.where(F.col(scol).isNull()).limit(1).count() > 0:
+            return df.where(F.lit(False))
+        if vals.limit(1).count() == 0:
+            return df
+        return df.where(F.col(col).isNotNull()).join(vals, [col], "left_anti")
+    return df.join(vals, [col], "left_semi")
 
 
 def classify_utility(stmt: str) -> str | None:
@@ -1063,8 +1177,12 @@ def execute_utility(
         pred = _requalify(
             m.group("p").strip(), {_unquote(m.group(1)): ""}
         )
-        pred = _materialize_in_subqueries(spark, pred)
-        result = t.erase(pred, prune=derive_prune(pred) or None)
+        pred, membership = _resolve_in_subqueries(spark, pred)
+        result = t.erase(
+            pred or "true",
+            prune=(derive_prune(pred) or None) if pred else None,
+            membership=membership,
+        )
         return {"mode": "sql_utility", "op": "erase",
                 "table": _unquote(m.group(1)), **result, "statement": stmt}
     # ALTER
@@ -1157,12 +1275,19 @@ def execute_dml(
         u = _parse_update(stmt)
         table_name = u.table
         vt = _target_table(u.table)
+        membership = None
         if u.predicate:
-            # [NOT] IN (SELECT ...) → literal list (GDPR revocation
-            # shape); also unlocks derive_prune's IN-list skipping
-            u.predicate = _materialize_in_subqueries(spark, u.predicate)
+            # [NOT] IN (SELECT ...) → literal list below the cap (also
+            # unlocks derive_prune's IN-list skipping); above it, a
+            # conjunct-level term becomes a distributed semi-join spec
+            u.predicate, membership = _resolve_in_subqueries(
+                spark, u.predicate
+            )
         if dryrun:
-            n = vt.snapshot().where(F.expr(u.predicate or "true")).count()
+            would = vt.snapshot().where(F.expr(u.predicate or "true"))
+            if membership is not None:
+                would = _membership_filter(would, membership)
+            n = would.count()
             # the assignment columns go through the same existence check
             # the real op would apply (a typo'd column must fail the
             # dry run too, not just the apply)
@@ -1183,15 +1308,22 @@ def execute_dml(
             # data skipping from the predicate; here the statement front
             # does): a scoped SQL UPDATE reads O(matching files)
             prune=(derive_prune(u.predicate) or None) if u.predicate else None,
+            membership=membership,
         )
     elif kind == "delete":
         d = _parse_delete(stmt)
         table_name = d.table
         vt = _target_table(d.table)
+        membership = None
         if d.predicate:
-            d.predicate = _materialize_in_subqueries(spark, d.predicate)
+            d.predicate, membership = _resolve_in_subqueries(
+                spark, d.predicate
+            )
         if dryrun:
-            n = vt.snapshot().where(F.expr(d.predicate or "true")).count()
+            would = vt.snapshot().where(F.expr(d.predicate or "true"))
+            if membership is not None:
+                would = _membership_filter(would, membership)
+            n = would.count()
             return {
                 "mode": "sql_dml_dryrun", "op": kind, "table": d.table,
                 "rows_would_change": int(n), "statement": stmt,
@@ -1199,6 +1331,7 @@ def execute_dml(
         new_v = vt.delete_where(
             d.predicate or "true",
             prune=(derive_prune(d.predicate) or None) if d.predicate else None,
+            membership=membership,
         )
     elif kind == "insert":
         ins = _parse_insert(stmt)

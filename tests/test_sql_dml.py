@@ -862,6 +862,167 @@ def test_in_subquery_materialization(spark, dml_env, tmp_path):
     assert t.snapshot().count() == 0
 
 
+def _mk_banded(spark, tmp_path, bands=(0, 100_000, 200_000, 300_000),
+               n=20_000):
+    """Versioned table with one data file per disjoint key band."""
+    root = tmp_path / "banded"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.range(bands[0], bands[0] + n)
+        .selectExpr("id AS k", "'x' AS v").coalesce(1),
+        key_col="k",
+    )
+    for b in bands[1:]:
+        t.append(
+            spark.range(b, b + n).selectExpr("id AS k", "'x' AS v")
+            .coalesce(1)
+        )
+    return t, root
+
+
+def test_oversized_in_subquery_semi_join(spark, tmp_path):
+    """Round 14 (verdict r13 #3): a >IN_SUBQUERY_CAP ``k IN (SELECT ..)``
+    no longer refuses — it runs as a DISTRIBUTED semi-join through the
+    natives' membership path, with the subject min/max implying file
+    skipping (reads stay bounded where the subject keys cluster)."""
+    from database_anonymiser_spark.sql_dml import execute_dml
+
+    t, root = _mk_banded(spark, tmp_path)
+    views = {"t": {"root": str(root), "pinned": False}}
+    # 12k subjects clustered inside band 2 (200_000..211_999)
+    spark.range(200_000, 212_000).selectExpr(
+        "id AS s"
+    ).createOrReplaceTempView("subj_clustered")
+
+    # dryrun counts via the same membership semantics, commits nothing
+    v0 = t.latest_version()
+    rep = execute_dml(
+        spark, "DELETE FROM t WHERE k IN (SELECT s FROM subj_clustered)",
+        views, dryrun=True,
+    )
+    assert rep["rows_would_change"] == 12_000
+    assert t.latest_version() == v0
+
+    rep = execute_dml(
+        spark, "DELETE FROM t WHERE k IN (SELECT s FROM subj_clustered)",
+        views,
+    )
+    m = rep["metrics"]
+    # the membership-implied [200000, 211999] range skips 3 of 4 files
+    assert m["files_touched"] == 1 and m["files_carried"] == 3
+    assert m["rows_deleted"] == 12_000
+    assert t.snapshot().count() == 80_000 - 12_000
+    assert t.snapshot().where("k >= 200000 AND k < 212000").count() == 0
+
+
+def test_oversized_in_subquery_3vl_and_update(spark, tmp_path):
+    """Exact three-valued logic on the semi-join path: NULL subjects
+    never make IN true; any NULL subject makes NOT IN never TRUE (the
+    statement is a committed no-op); NOT IN without NULLs anti-joins."""
+    from database_anonymiser_spark.sql_dml import execute_dml
+
+    t, root = _mk_banded(spark, tmp_path, bands=(0, 100_000), n=15_000)
+    views = {"t": {"root": str(root), "pinned": False}}
+
+    # IN with a NULL subject: the NULL contributes nothing
+    spark.sql(
+        "SELECT id AS s FROM range(0, 11000) "
+        "UNION ALL SELECT CAST(NULL AS BIGINT)"
+    ).createOrReplaceTempView("subj_in_null")
+    rep = execute_dml(
+        spark,
+        "UPDATE t SET v = 'hit' WHERE k IN (SELECT s FROM subj_in_null) "
+        "AND k >= 10",
+        views,
+    )
+    assert rep["metrics"]["files_touched"] == 1  # band 0 only
+    assert t.snapshot().where("v = 'hit'").count() == 11_000 - 10
+
+    # NOT IN with a NULL subject: never TRUE → auditable empty commit
+    v_before = t.latest_version()
+    rep = execute_dml(
+        spark,
+        "UPDATE t SET v = 'z' WHERE k NOT IN (SELECT s FROM subj_in_null)",
+        views,
+    )
+    assert rep["new_version"] == v_before + 1
+    assert rep["metrics"]["files_touched"] == 0
+    assert t.snapshot().where("v = 'z'").count() == 0
+
+    # NOT IN without NULLs: anti-join (no prune possible — both files)
+    spark.range(0, 11_000).selectExpr("id AS s").createOrReplaceTempView(
+        "subj_not_in"
+    )
+    rep = execute_dml(
+        spark,
+        "DELETE FROM t WHERE k NOT IN (SELECT s FROM subj_not_in)",
+        views,
+    )
+    assert rep["metrics"]["files_touched"] == 2
+    # survivors: exactly the subject keys present in the table
+    assert t.snapshot().count() == 11_000
+    assert t.snapshot().where("k >= 100000").count() == 0
+
+
+def test_oversized_in_subquery_refusals(spark, tmp_path):
+    """The semi-join rewrite only claims what it can honor exactly:
+    non-conjunct placement (under OR), expression operands, and a
+    second oversized set all still refuse with guidance."""
+    from database_anonymiser_spark.sql_dml import execute_dml
+
+    t, root = _mk_banded(spark, tmp_path, bands=(0,), n=200)
+    views = {"t": {"root": str(root), "pinned": False}}
+    spark.range(0, 11_000).selectExpr("id AS s").createOrReplaceTempView(
+        "subj_big"
+    )
+    with pytest.raises(SqlDmlError, match="top-level conjunct"):
+        execute_dml(
+            spark,
+            "DELETE FROM t WHERE v = 'q' OR k IN (SELECT s FROM subj_big)",
+            views,
+        )
+    with pytest.raises(SqlDmlError, match="plain column"):
+        execute_dml(
+            spark,
+            "DELETE FROM t WHERE (k + 1) IN (SELECT s FROM subj_big)",
+            views,
+        )
+    with pytest.raises(SqlDmlError, match="at most one oversized"):
+        execute_dml(
+            spark,
+            "DELETE FROM t WHERE k IN (SELECT s FROM subj_big) "
+            "AND k IN (SELECT s + 1 AS s2 FROM subj_big)",
+            views,
+        )
+    # parenthesized whole-conjunct form IS claimed
+    rep = execute_dml(
+        spark,
+        "DELETE FROM t WHERE (k IN (SELECT s FROM subj_big)) AND v = 'x'",
+        views, dryrun=True,
+    )
+    assert rep["rows_would_change"] == 200
+
+
+def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
+    """ERASE FROM ... WHERE k IN (<100k-subject SELECT>) — the GDPR
+    revocation shape end-to-end: semi-join delete, vacuum, log scrub,
+    membership-aware verification."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    spark.range(1).write.parquet(str(data_dir / "dummy.parquet"))
+    t, root = _mk_banded(spark, tmp_path, bands=(0, 100_000), n=15_000)
+    spark.range(1_000, 13_000).selectExpr("id AS s").createOrReplaceTempView(
+        "subj_erase"
+    )
+    rc = _run([
+        "--sql", "ERASE FROM t WHERE k IN (SELECT s FROM subj_erase)",
+        "--data", str(data_dir), "--versionedTable", f"t={root}",
+    ])
+    assert rc == 0
+    assert t.snapshot().where("k >= 1000 AND k < 13000").count() == 0
+    assert t.snapshot().count() == 30_000 - 12_000
+
+
 def test_e2e_sql_erase(spark, dml_env, tmp_path):
     """ERASE FROM ... WHERE — the GDPR Art. 17 verified hard delete as a
     SQL statement (engine extension): rows gone, pre-images reclaimed
