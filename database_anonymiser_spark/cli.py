@@ -336,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from database_anonymiser_spark.sql_dml import (
             claim_utility,
+            created_view_name,
             execute_utility,
             statement_target,
         )
@@ -347,6 +348,17 @@ def main(argv: list[str] | None = None) -> int:
 
         stmts = split_statements(stmt)
 
+        # routing runs BEFORE execution, but a script may target tables
+        # its own earlier CREATE/CONVERT statements register — the
+        # speculative set makes claim_utility see those names (round 14)
+        speculative_views = dict(versioned_views)
+        for s in stmts:
+            n = created_view_name(s)
+            if n:
+                speculative_views.setdefault(
+                    n.lower(), {"root": "", "pinned": False}
+                )
+
         def _routed(s: str) -> bool:
             # claim_utility, not classify_utility: DESCRIBE/ALTER/CREATE
             # are valid plain Spark SQL too — only the engine's own
@@ -354,7 +366,7 @@ def main(argv: list[str] | None = None) -> int:
             # advice fix: 'DESCRIBE customer' must keep working)
             return bool(
                 classify_dml(s)
-                or claim_utility(s, versioned_views)
+                or claim_utility(s, speculative_views)
                 or classify_txn(s)
             )
 

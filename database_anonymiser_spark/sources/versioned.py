@@ -2571,9 +2571,16 @@ class VersionedTable:
         return df, evolved_schema
 
     def append(
-        self, df: DataFrame, merge_schema: bool = False, max_retries: int = 5
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        meta: dict | None = None,
+        max_retries: int = 5,
     ) -> int:
-        """Blind append — new files, no reads, one commit.
+        """Blind append — new files, no reads, one commit. ``meta``
+        rides into the commit record (round 14 — same slot merge offers
+        its streaming-epoch witness through; COPY INTO records its
+        source files here for idempotent re-runs).
 
         ``merge_schema=True`` enables Delta-style ADDITIVE schema
         evolution: columns the table has but ``df`` lacks are
@@ -2630,7 +2637,10 @@ class VersionedTable:
                     self.root, v, adds, [], key_col, op="append",
                     schema=evolved_schema.jsonValue()
                     if evolved_schema is not None else None,
-                    meta=id_meta,
+                    meta=(
+                        {**(meta or {}), **(id_meta or {})}
+                        if (meta or id_meta) else None
+                    ),
                 )
                 return v
             except VersionConflict:

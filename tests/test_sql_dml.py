@@ -762,8 +762,10 @@ def test_e2e_sql_maintenance_statements(spark, dml_env, tmp_path):
         "--data", str(data_dir), "--versionedTable", f"cust_old={root}@0",
     ])
     assert rc == 2
+    # round 14: ADD COLUMN is now a supported DDL shape; a shape the
+    # utility face does NOT implement still refuses with the grammar
     rc = _run([
-        "--sql", "ALTER TABLE cust ADD COLUMN x INT",
+        "--sql", "ALTER TABLE cust SET TBLPROPERTIES ('a' = 'b')",
         "--data", str(data_dir), "--versionedTable", f"cust={root}",
     ])
     assert rc == 2
@@ -1001,6 +1003,164 @@ def test_oversized_in_subquery_refusals(spark, tmp_path):
         views, dryrun=True,
     )
     assert rep["rows_would_change"] == 200
+
+
+def test_e2e_sql_ddl_lifecycle(spark, tmp_path):
+    """Round 14 (verdict r13 #4): the SQL DDL quartet in one script —
+    CTAS into a versioned root, ADD COLUMN (NULL-fill evolution),
+    RENAME COLUMN (column mapping), ALTER COLUMN TYPE (lossless
+    widening), DROP COLUMN — each a metadata-only commit; DESCRIBE
+    HISTORY shows every op and time travel below each stays intact."""
+    import json
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k int, n int, v string"
+    ).coalesce(1).write.parquet(str(data_dir / "src.parquet"))
+    root = tmp_path / "ddl_t"
+    report = tmp_path / "rep.json"
+    script = tmp_path / "ddl.sql"
+    script.write_text(
+        f"CREATE TABLE t USING VERSIONED LOCATION '{root}' KEY (k) "
+        "AS SELECT k, n, v FROM src;\n"
+        "INSERT INTO t (k, n, v) VALUES (4, 40, 'd');\n"
+        "ALTER TABLE t ADD COLUMN note string;\n"
+        "UPDATE t SET note = concat(v, '!') WHERE k <= 2;\n"
+        "ALTER TABLE t RENAME COLUMN v TO label;\n"
+        "ALTER TABLE t ALTER COLUMN n TYPE bigint;\n"
+        "ALTER TABLE t DROP COLUMN note;\n"
+    )
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir),
+        "--report", str(report),
+    ])
+    assert rc == 0
+    t = VersionedTable(spark, root)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "n", "label"}
+    assert dict(snap.dtypes)["n"] == "bigint"
+    assert {r["k"]: r["label"] for r in snap.collect()} == {
+        1: "a", 2: "b", 3: "c", 4: "d",
+    }
+    # DESCRIBE HISTORY shows every op
+    ops = [h["op"] for h in t.history()]
+    assert ops == [
+        "create", "append", "add_column", "update_where", "rename_column",
+        "widen_column", "drop_column",
+    ]
+    # time travel below the DDL: version 1 still has the narrow pre-
+    # rename schema and no note column
+    old = t.snapshot(1)
+    assert set(old.columns) == {"k", "n", "v"}
+    assert dict(old.dtypes)["n"] == "int"
+    # the report carries one fragment per statement
+    rep = json.loads(report.read_text())
+    frags = rep["statements"]
+    assert [f["op"] for f in frags] == [
+        "create_table", "insert", "add_column", "update", "rename_column",
+        "widen_column", "drop_column",
+    ]
+
+
+def test_e2e_sql_ddl_refusals(spark, tmp_path):
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    root = tmp_path / "t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        key_col="k",
+    )
+    views = {"t": {"root": str(root), "pinned": False}}
+    # narrowing refused by the native matrix
+    with pytest.raises(ValueError):
+        execute_utility(
+            spark, "ALTER TABLE t ALTER COLUMN k TYPE smallint", views
+        )
+    # dropping the key refused
+    with pytest.raises(ValueError):
+        execute_utility(spark, "ALTER TABLE t DROP COLUMN k", views)
+    # CREATE refuses to shadow a registered view
+    with pytest.raises(SqlDmlError, match="shadow"):
+        execute_utility(
+            spark,
+            f"CREATE TABLE t (a int) USING VERSIONED LOCATION "
+            f"'{tmp_path / 'other'}'",
+            views,
+        )
+    # column list and AS-select are mutually exclusive
+    with pytest.raises(SqlDmlError, match="not both"):
+        execute_utility(
+            spark,
+            f"CREATE TABLE u (a int) USING VERSIONED LOCATION "
+            f"'{tmp_path / 'u'}' AS SELECT 1 AS a",
+            views,
+        )
+    assert t.latest_version() == 0  # nothing committed
+
+
+def test_e2e_sql_copy_into_idempotent(spark, tmp_path):
+    """COPY INTO is idempotent by file: a re-run loads nothing new; a
+    fresh file in the source loads exactly that file."""
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(
+        1
+    ).write.parquet(str(src_dir / "batch1.parquet"))
+    root = tmp_path / "t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.createDataFrame([(0, "z")], "k int, v string"),
+        key_col="k",
+    )
+    views = {"t": {"root": str(root), "pinned": False}}
+    stmt = f"COPY INTO t FROM '{src_dir}'"
+    frag = execute_utility(spark, stmt, views)
+    assert frag["files_loaded"] >= 1 and frag["files_skipped"] == 0
+    assert t.snapshot().count() == 3
+    # idempotent re-run: nothing loads, version unchanged
+    v = t.latest_version()
+    frag = execute_utility(spark, stmt, views)
+    assert frag["files_loaded"] == 0
+    assert t.latest_version() == v and t.snapshot().count() == 3
+    # a fresh file loads exactly the new rows
+    spark.createDataFrame([(3, "c")], "k int, v string").coalesce(
+        1
+    ).write.parquet(str(src_dir / "batch2.parquet"))
+    frag = execute_utility(spark, stmt, views)
+    assert frag["files_loaded"] >= 1 and frag["files_skipped"] >= 1
+    assert t.snapshot().count() == 4
+
+
+def test_e2e_sql_convert_to_versioned(spark, tmp_path):
+    """CONVERT TO VERSIONED adopts an existing parquet directory by
+    reference (zero rewrite) and registers the AS-view for the rest of
+    the session."""
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    plain = tmp_path / "plain"
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k int, v string"
+    ).coalesce(2).write.parquet(str(plain))
+    views: dict = {}
+    frag = execute_utility(
+        spark, f"CONVERT TO VERSIONED '{plain}' KEY (k) AS conv_t", views
+    )
+    assert frag["op"] == "convert" and frag["files_adopted"] >= 1
+    assert "conv_t" in views
+    t = VersionedTable(spark, plain)
+    assert t.snapshot().count() == 100
+    # the registered view reads through the DataSource face
+    assert spark.table("conv_t").count() == 100
+    # and the converted table takes DML like any other
+    from database_anonymiser_spark.sql_dml import execute_dml
+
+    execute_dml(spark, "DELETE FROM conv_t WHERE k >= 90", views)
+    assert t.snapshot().count() == 90
 
 
 def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
