@@ -364,7 +364,12 @@ def main():
     print(
         f"# datasource_read: native {datasource_meta['native_read_sec']:.2f}s "
         f"vs arrow-source {datasource_meta['datasource_read_sec']:.2f}s "
-        f"({_ds_rows} rows); cdf drain {datasource_meta['cdf_drain_sec']:.2f}s "
+        f"cold ({_ds_rows} rows); warm "
+        f"{datasource_meta['native_read_warm_sec']:.2f}s vs "
+        f"{datasource_meta['datasource_read_warm_sec']:.2f}s; scoped "
+        f"pushdown {datasource_meta['pushdown_read_sec']:.2f}s vs plain "
+        f"{datasource_meta['scoped_read_nopush_sec']:.2f}s; "
+        f"cdf drain {datasource_meta['cdf_drain_sec']:.2f}s "
         f"({datasource_meta['cdf_events']} events); replicate "
         f"{datasource_meta['replicate_sec']:.2f}s",
         file=sys.stderr,

@@ -189,12 +189,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="SQL mode: print at most this many result rows",
     )
     p.add_argument(
-        "--pushdown", action="store_true",
+        "--pushdown", action=argparse.BooleanOptionalAction, default=True,
         help="SQL mode: register --versionedTable views through the "
         "FILE-SKIPPING pushdown reader face (equality/range/IN filters "
         "prune files by stats + bloom before Spark re-evaluates rows; "
         "sets spark.sql.python.filterPushdown.enabled) — the scan-side "
-        "twin of the DML face's derive_prune (round 13)",
+        "twin of the DML face's derive_prune. Round 14: the DEFAULT "
+        "after the round-13 opt-in bake; --no-pushdown restores the "
+        "plain snapshot face",
     )
     args = p.parse_args(argv)
     if args.sql is not None and args.sql_file is not None:

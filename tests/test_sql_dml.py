@@ -1463,12 +1463,22 @@ def test_e2e_optimize_merge_runs_and_pushdown(spark, dml_env, tmp_path):
         "--data", str(data_dir), "--versionedTable", f"other={root2}",
     ])
     assert rc == 2
-    # --pushdown face: same answers through the pruning reader
+    # pushdown face is the DEFAULT since round 14 (parity baked in
+    # round 13 behind the flag): same answers through the pruning reader
     out = tmp_path / "pd"
     rc = _run([
         "--sql", "SELECT k, v FROM cust WHERE k >= 50",
         "--data", str(data_dir), "--versionedTable", f"cust={root}",
-        "--pushdown", "--out", str(out),
+        "--out", str(out),
     ])
     assert rc == 0
     assert sorted(r["k"] for r in spark.read.parquet(str(out)).collect()) == [50, 60]
+    # --no-pushdown restores the plain snapshot face, same answers
+    out2 = tmp_path / "pd2"
+    rc = _run([
+        "--sql", "SELECT k, v FROM cust WHERE k >= 50",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+        "--no-pushdown", "--out", str(out2),
+    ])
+    assert rc == 0
+    assert sorted(r["k"] for r in spark.read.parquet(str(out2)).collect()) == [50, 60]
