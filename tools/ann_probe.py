@@ -55,8 +55,26 @@ def ann_recall_headline(
         )
         return round(hits / len(qs), 3)
 
+    # round 14 (verdict r13 watch item: ivf 0.733 at sf0.01): the
+    # production sizing is the documented occupancy rule — lists hold
+    # ≥50 vectors (ivf_n_centroids) — which returns the unchanged 16 at
+    # sf0.1/sf1 and right-sizes the tiny sf0.01 corpus (500 rows → 10
+    # lists → 0.967 at the default 8-probe). The fixed-16 row is kept
+    # as ivf_nc16 so the over-partitioned number stays visible.
+    from database_anonymiser_spark.operators.similarity import (
+        ivf_n_centroids,
+    )
+
+    n_corpus = emb.count()
+    nc = ivf_n_centroids(n_corpus)
     out = {
-        "ivf": _recall(lambda q: ivf_topk(emb, "vec_id", "embedding", q, k, 16)),
+        "ivf": _recall(
+            lambda q: ivf_topk(emb, "vec_id", "embedding", q, k, nc)
+        ),
+        "ivf_n_centroids": nc,
+        "ivf_nc16": _recall(
+            lambda q: ivf_topk(emb, "vec_id", "embedding", q, k, 16)
+        ),
         "pq": _recall(
             lambda q: pq_topk(pidx, emb, "vec_id", "embedding", q, books, k)
         ),
