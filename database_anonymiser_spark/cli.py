@@ -530,17 +530,26 @@ def main(argv: list[str] | None = None) -> int:
                         "at COMMIT)"
                     )
                 elif frag["mode"] == "sql_utility":
+                    # not every utility frag carries the same keys
+                    # (CONVERT without AS has no view name; CLONE has
+    # rows, not a version) — summarize from what's there (round 14)
+                    subj = frag.get("table") or frag.get("root") or ""
                     if "rows" in frag:
                         for r in frag["rows"][: args.max_rows]:
                             print(r)
-                        print(f"sql {frag['op']}: {frag['table']}")
+                        print(f"sql {frag['op']}: {subj}")
                     else:
-                        tail_slot = (
-                            f"→ version {frag['new_version']}"
-                            if "new_version" in frag
-                            else f"reclaimed {frag['files_reclaimed']} file(s)"
-                        )
-                        print(f"sql {frag['op']}: {frag['table']} {tail_slot}")
+                        if "new_version" in frag:
+                            tail_slot = f"→ version {frag['new_version']}"
+                        elif "files_reclaimed" in frag:
+                            tail_slot = (
+                                f"reclaimed {frag['files_reclaimed']} file(s)"
+                            )
+                        elif "num_rows" in frag:
+                            tail_slot = f"({frag['num_rows']} rows)"
+                        else:
+                            tail_slot = ""
+                        print(f"sql {frag['op']}: {subj} {tail_slot}".rstrip())
                 elif args.sql_dryrun:
                     counts = {
                         k: v for k, v in frag.items()

@@ -5026,6 +5026,78 @@ class VersionedTable:
         )
         return v + 1
 
+    def truncate(self) -> int:
+        """``TRUNCATE TABLE`` as a PURE-METADATA commit (round 14):
+        every live file is dereferenced — adds=[], removes=all — so
+        truncating 100 TB costs one tiny JSON write, never a data read
+        or rewrite (a ``DELETE WHERE true`` would copy-on-write every
+        file just to drop its rows). History is intact: time travel
+        below the truncate still reads the old data, CDF classifies the
+        vanished rows as deletes, VACUUM reclaims them on the normal
+        retention schedule, RESTORE undoes it. Schema, key, constraints,
+        properties, identity high-water all survive (Delta's TRUNCATE
+        contract — the table is empty, not re-created)."""
+        v = self.latest_version()
+        removes = [e["path"] for e in self._live_entries(v)]
+        _commit(
+            self.root, v + 1, [], removes, self.key_col(), op="truncate",
+            meta={"metrics": {"files_removed": len(removes)}},
+        )
+        return v + 1
+
+    def overwrite(self, df: DataFrame, max_retries: int = 0) -> int:
+        """``INSERT OVERWRITE`` — atomically replace the table's
+        CONTENTS with ``df`` in ONE commit (round 14): new files are
+        written first (invisible until referenced), then a single commit
+        adds them and removes every previously-live file. Readers see
+        either the complete old state or the complete new state, never a
+        mix; time travel below the overwrite reads the old data. Schema
+        contract is append's (same :meth:`_align_schema` rules; identity
+        and generated columns allocated/recomputed), constraints are
+        validated on the incoming rows. No OCC auto-rebase by default
+        (``max_retries=0``): an overwrite's read-set is the WHOLE table,
+        so any concurrent winner is a true conflict — the caller must
+        re-read and re-decide (Delta's Serializable overwrite makes the
+        same call)."""
+        key_col = self.key_col()
+        ident = self.identity_column()
+        if ident is not None:
+            icol = ident[0]
+            if icol in df.columns:
+                raise ValueError(
+                    f"identity column {icol!r} is GENERATED ALWAYS; "
+                    "writes cannot supply it"
+                )
+            df = df.withColumn(
+                icol,
+                (
+                    F.lit(ident[2])
+                    + F.monotonically_increasing_id() * F.lit(ident[1])
+                ).cast("long"),
+            )
+        df = self._apply_generated(df)
+        cur = self._log_schema() or self.snapshot().schema
+        df, _evolved = self._align_schema(df, cur, False, op="append")
+        self._check_constraints(df)
+        adds = _write_data_files(
+            df, self.root, key_col, stats_cols=self._stats_cols,
+            colmap=self._colmap,
+        )
+        id_meta = self._allocate_identity(adds) if ident is not None else None
+        v = self.latest_version()
+        removes = [e["path"] for e in self._live_entries(v)]
+        _commit(
+            self.root, v + 1, adds, removes, key_col, op="overwrite",
+            meta={
+                "metrics": {
+                    "files_written": len(adds),
+                    "files_removed": len(removes),
+                },
+                **(id_meta or {}),
+            },
+        )
+        return v + 1
+
     def set_properties(self, props: dict[str, str]) -> int:
         """Delta's ``ALTER TABLE SET TBLPROPERTIES``: merge ``props``
         into the table's property map as a pure-metadata commit (no data

@@ -192,6 +192,7 @@ class _Insert:
     columns: "list[str] | None"          # None = positional full schema
     values: "list[list[str]] | None"     # VALUES rows of exprs, or
     query: "str | None"                  # ... a SELECT/WITH source
+    overwrite: bool = False              # INSERT OVERWRITE (round 14)
 
 
 @dataclass
@@ -226,6 +227,7 @@ _GRAMMAR = (
     "  UPDATE <view> SET col = expr [, ...] [WHERE <pred>]\n"
     "  DELETE FROM <view> [WHERE <pred>]\n"
     "  INSERT INTO <view> [(cols)] VALUES (exprs) [, ...] | <query>\n"
+    "  INSERT OVERWRITE [TABLE] <view> [(cols)] VALUES ... | <query>\n"
     "  MERGE INTO <view> [AS] t USING (<query>|<view>) [AS] s ON <key equality [AND residual]>\n"
     "    WHEN MATCHED [AND c] THEN UPDATE SET ...|SET *|DELETE\n"
     "    WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *\n"
@@ -310,10 +312,14 @@ def _parse_delete(stmt: str) -> _Delete:
 
 def _parse_insert(stmt: str) -> _Insert:
     stmt = _strip_stmt(stmt)
-    m = re.match(r"\s*INSERT\s+INTO\s+(" + _IDENT + r")\s*", stmt, re.I)
+    m = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+(" + _IDENT + r")\s*",
+        stmt, re.I,
+    )
     if not m:
         raise SqlDmlError(f"unsupported INSERT shape\n{_GRAMMAR}")
-    table = _unquote(m.group(1))
+    overwrite = m.group(1).upper() != "INTO"
+    table = _unquote(m.group(2))
     rest = stmt[m.end() :].lstrip()
     columns: list[str] | None = None
     if rest.startswith("("):
@@ -339,7 +345,7 @@ def _parse_insert(stmt: str) -> _Insert:
     if not vm:
         if not rest:
             raise SqlDmlError(f"INSERT needs VALUES or a query\n{_GRAMMAR}")
-        return _Insert(table, columns, None, rest)
+        return _Insert(table, columns, None, rest, overwrite)
     body = rest[vm.end() :]
     rows: list[list[str]] = []
     for grp in _split_top(body):
@@ -359,7 +365,7 @@ def _parse_insert(stmt: str) -> _Insert:
             f"INSERT arity mismatch: {len(columns)} columns, "
             f"{len(rows[0])} values per row"
         )
-    return _Insert(table, columns, rows, None)
+    return _Insert(table, columns, rows, None, overwrite)
 
 
 def _parse_name_alias(seg: str, what: str) -> tuple[str, str]:
@@ -959,7 +965,7 @@ def classify_utility(stmt: str) -> str | None:
     DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
         r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
-        r"CONVERT)\b",
+        r"CONVERT|TRUNCATE|SHOW)\b",
         stmt, re.I,
     )
     return head.group(1).lower() if head else None
@@ -986,7 +992,7 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
     kind = classify_utility(stmt)
     if kind is None:
         return None
-    if kind not in ("describe", "alter", "create"):
+    if kind not in ("describe", "alter", "create", "truncate", "show"):
         return kind
     s = _strip_stmt(stmt)
     if kind == "describe":
@@ -1005,9 +1011,39 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
             if m and _unquote(m.group(1)).lower() in versioned_views
             else None
         )
-    # CREATE: claimed only with the explicit USING VERSIONED marker
+    if kind == "truncate":
+        # TRUNCATE TABLE is valid Spark SQL on catalog tables — claim
+        # only a versioned-view target (round 14)
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$", s, re.I)
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    if kind == "show":
+        # only SHOW CREATE TABLE <versioned view>; every other SHOW is
+        # plain Spark SQL
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", s, re.I)
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    # CREATE: claimed with the explicit USING VERSIONED marker, or the
+    # clone form whose SOURCE is a versioned view (round 14)
     mask = _mask(s)
-    return kind if _find(s, mask, r"\bUSING\s+VERSIONED\b") else None
+    if _find(s, mask, r"\bUSING\s+VERSIONED\b"):
+        return kind
+    m = re.match(
+        rf"CREATE\s+TABLE\s+{_IDENT}\s+(?:SHALLOW|DEEP)\s+CLONE\s+"
+        rf"({_IDENT})\b",
+        s, re.I,
+    )
+    return (
+        kind
+        if m and _unquote(m.group(1)).lower() in versioned_views
+        else None
+    )
 
 
 def created_view_name(stmt: str) -> str | None:
@@ -1018,7 +1054,12 @@ def created_view_name(stmt: str) -> str | None:
     all-routed check must see the names before execution."""
     s = _strip_stmt(stmt)
     m = re.match(rf"CREATE\s+TABLE\s+({_IDENT})\b", s, re.I)
-    if m and _find(s, _mask(s), r"\bUSING\s+VERSIONED\b"):
+    if m and (
+        _find(s, _mask(s), r"\bUSING\s+VERSIONED\b")
+        or re.match(
+            r"\s*(?:SHALLOW|DEEP)\s+CLONE\b", s[m.end():], re.I
+        )
+    ):
         return _unquote(m.group(1))
     m = re.match(
         rf"CONVERT\s+TO\s+VERSIONED\s+'[^']+'\s+KEY\s*\([^)]*\)\s+"
@@ -1039,9 +1080,10 @@ def statement_target(stmt: str) -> str | None:
     view target (CONVERT — it creates the table it names)."""
     s = _strip_stmt(stmt)
     m = re.match(
-        rf"(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|INSERT\s+INTO|"
+        rf"(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|"
+        rf"INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE)?)|"
         rf"OPTIMIZE|VACUUM|RESTORE(?:\s+TABLE)?|ERASE\s+FROM|"
-        rf"ALTER\s+TABLE|COPY\s+INTO)\s+({_IDENT})",
+        rf"ALTER\s+TABLE|COPY\s+INTO|TRUNCATE\s+TABLE)\s+({_IDENT})",
         s, re.I,
     )
     return _unquote(m.group(1)) if m else None
@@ -1058,8 +1100,15 @@ _UTILITY_GRAMMAR = (
     "  ALTER TABLE <view> RENAME COLUMN <col> TO <col>\n"
     "  ALTER TABLE <view> DROP COLUMN <col>\n"
     "  ALTER TABLE <view> ALTER COLUMN <col> TYPE <type>   -- lossless widening\n"
+    "  ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<pred>)\n"
+    "  ALTER TABLE <view> DROP CONSTRAINT <name>\n"
+    "  ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v', ...)\n"
+    "  ALTER TABLE <view> UNSET TBLPROPERTIES ('k', ...)\n"
     "  CREATE TABLE <view> [(col type, ...)] USING VERSIONED LOCATION '<dir>'\n"
     "      [KEY (cols)] [CLUSTER BY (cols)] [AS <select>]\n"
+    "  CREATE TABLE <view> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>] LOCATION '<dir>'\n"
+    "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
+    "  SHOW CREATE TABLE <view>         -- executable round-trip DDL\n"
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
     "  CONVERT TO VERSIONED '<dir>' KEY (col) [AS <view>]\n"
     "  ERASE FROM <view> WHERE <pred>   -- engine extension: GDPR Art. 17\n"
@@ -1089,12 +1138,63 @@ def _register_versioned_view(spark, name: str, root: str,
     versioned_views[name.lower()] = {"root": str(root), "pinned": False}
 
 
+def show_create_table(t, name: str) -> str:
+    """Delta's ``SHOW CREATE TABLE``: render the table's CURRENT shape
+    as the engine's own executable SQL (the round-14 CREATE grammar),
+    followed by ALTER statements for constraints and user properties —
+    so the output, pointed at a fresh LOCATION, recreates the table
+    shape through the same face that prints it (round-trip pinned in
+    pytest). Pure metadata: logged schema + key + clustering +
+    constraint/property maps, zero data reads."""
+    sch = t._log_schema() or t.snapshot().schema
+    ident = t.identity_column()
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sch.fields
+    )
+    head = f"CREATE TABLE {name} ({cols}) USING VERSIONED LOCATION '{t.root}'"
+    key = tuple(t.key_cols() or ())
+    if key:
+        head += f" KEY ({', '.join(key)})"
+    clus = tuple(t.clustering_cols() or ())
+    if clus:
+        head += f" CLUSTER BY ({', '.join(clus)})"
+    parts = [head]
+    for cname, pred in sorted((t.constraints() or {}).items()):
+        parts.append(
+            f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({pred})"
+        )
+    props = {
+        k: v for k, v in (t._raw_properties() or {}).items()
+        # engine-managed slots are already rendered structurally
+        # (CLUSTER BY) or not re-creatable (protocol/identity/generated)
+        if not k.startswith(
+            ("protocol.", "identity.", "generated.", "clustering.")
+        )
+    }
+    if props:
+        kv = ", ".join(
+            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+        )
+        parts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+    out = ";\n".join(parts) + ";"
+    if ident is not None:
+        out = (
+            f"-- identity column {ident[0]!r} is GENERATED ALWAYS AS "
+            "IDENTITY (creation-time only; not expressible in the SQL "
+            "CREATE face)\n" + out
+        )
+    return out
+
+
 def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
     """``CREATE TABLE ... USING VERSIONED`` — empty-schema or CTAS form,
     into a fresh versioned root (``VersionedTable.create``); the new
     table registers into the session and ``versioned_views`` so the rest
     of the script can write to it. The column list and AS-select are
-    mutually exclusive (one schema authority)."""
+    mutually exclusive (one schema authority). Native filesystem
+    refusals (existing table at the location, missing clone source)
+    re-raise as :class:`SqlDmlError` so a script aborts the STATEMENT
+    cleanly instead of crashing the runner (round 14)."""
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     head = re.match(rf"CREATE\s+TABLE\s+({_IDENT})\s*", s, re.I)
@@ -1106,6 +1206,36 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
             f"CREATE TABLE {name!r}: the view is already registered; "
             "refusing to shadow it"
         )
+    # clone form (round 14): CREATE TABLE dst SHALLOW|DEEP CLONE src
+    #   [VERSION AS OF n] LOCATION '<dir>'
+    cm = re.match(
+        rf"(SHALLOW|DEEP)\s+CLONE\s+({_IDENT})"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
+        rf"\s+LOCATION\s+'(?P<loc>[^']+)'\s*$",
+        s[head.end():], re.I,
+    )
+    if cm:
+        src_meta = versioned_views.get(_unquote(cm.group(2)).lower())
+        if src_meta is None:
+            raise SqlDmlError(
+                f"CLONE source {cm.group(2)!r} is not a versioned view"
+            )
+        try:
+            t = VersionedTable.clone(
+                spark, src_meta["root"], cm.group("loc"),
+                version=int(cm.group("v")) if cm.group("v") else None,
+                deep=cm.group(1).upper() == "DEEP",
+            )
+        except OSError as e:
+            raise SqlDmlError(f"CLONE refused: {e}") from e
+        _register_versioned_view(spark, name, cm.group("loc"), versioned_views)
+        return {
+            "mode": "sql_utility", "op": "clone", "table": name,
+            "source": _unquote(cm.group(2)), "root": cm.group("loc"),
+            "deep": cm.group(1).upper() == "DEEP",
+            "num_rows": int(t.row_count(t.latest_version())),
+            "statement": stmt,
+        }
     i = head.end()
     mask = _mask(s)
     schema_ddl = None
@@ -1168,7 +1298,10 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
         None if not key_cols
         else (key_cols[0] if len(key_cols) == 1 else list(key_cols))
     )
-    t = VersionedTable.create(spark, root, df, key_col=key_arg)
+    try:
+        t = VersionedTable.create(spark, root, df, key_col=key_arg)
+    except OSError as e:
+        raise SqlDmlError(f"CREATE refused: {e}") from e
     if cluster:
         t.set_clustering(cluster)
     _register_versioned_view(spark, name, root, versioned_views)
@@ -1300,6 +1433,25 @@ def execute_utility(
         return {"mode": "sql_utility", "op": f"describe_{m.group(1).lower()}",
                 "table": _unquote(m.group(2)), "rows": rows,
                 "statement": stmt}
+    if kind == "truncate":
+        m = re.fullmatch(rf"TRUNCATE\s+TABLE\s+({_IDENT})", s, re.I)
+        if not m:
+            raise SqlDmlError(f"unsupported TRUNCATE shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1))
+        v = t.truncate()
+        return {"mode": "sql_utility", "op": "truncate",
+                "table": _unquote(m.group(1)), "new_version": int(v),
+                "metrics": (t.commit_meta(v) or {}).get("metrics", {}),
+                "statement": stmt}
+    if kind == "show":
+        m = re.fullmatch(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})", s, re.I)
+        if not m:
+            raise SqlDmlError(f"unsupported SHOW shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1), mutating=False)
+        ddl = show_create_table(t, _unquote(m.group(1)))
+        return {"mode": "sql_utility", "op": "show_create_table",
+                "table": _unquote(m.group(1)),
+                "rows": [{"createtab_stmt": ddl}], "statement": stmt}
     if kind == "create":
         return _execute_create(spark, s, stmt, versioned_views)
     if kind == "copy":
@@ -1370,7 +1522,10 @@ def execute_utility(
                 "CONVERT takes exactly one KEY column (the footer-stats "
                 "adoption harvests single-column bounds)"
             )
-        t = VersionedTable.convert(spark, m.group("p"), key_col=kcols[0])
+        try:
+            t = VersionedTable.convert(spark, m.group("p"), key_col=kcols[0])
+        except OSError as e:
+            raise SqlDmlError(f"CONVERT refused: {e}") from e
         frag = {
             "mode": "sql_utility", "op": "convert",
             "root": m.group("p"),
@@ -1460,6 +1615,71 @@ def execute_utility(
                 "table": _unquote(m.group(1)), "column": col,
                 "type": m.group("t").strip(), "new_version": int(v),
                 "statement": stmt}
+    m = re.fullmatch(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+"
+        rf"CHECK\s*\((?P<p>.+)\)",
+        s, re.I | re.S,
+    )
+    if m:
+        t = _table(m.group(1))
+        v = t.add_constraint(_unquote(m.group(2)), m.group("p").strip())
+        return {"mode": "sql_utility", "op": "add_constraint",
+                "table": _unquote(m.group(1)),
+                "constraint": _unquote(m.group(2)),
+                "new_version": int(v), "statement": stmt}
+    m = re.fullmatch(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+        s, re.I,
+    )
+    if m:
+        t = _table(m.group(1))
+        v = t.drop_constraint(_unquote(m.group(2)))
+        return {"mode": "sql_utility", "op": "drop_constraint",
+                "table": _unquote(m.group(1)),
+                "constraint": _unquote(m.group(2)),
+                "new_version": int(v), "statement": stmt}
+    m = re.fullmatch(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+        rf"\((?P<kv>.+)\)",
+        s, re.I | re.S,
+    )
+    if m:
+        t = _table(m.group(1))
+        props: dict[str, str] = {}
+        for item in _split_top(m.group("kv")):
+            pm = re.fullmatch(
+                r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item
+            )
+            if not pm:
+                raise SqlDmlError(
+                    f"malformed TBLPROPERTIES item {item.strip()!r}; "
+                    "expected 'key' = 'value'"
+                )
+            props[pm.group(1)] = pm.group(2)
+        v = t.set_properties(props)
+        return {"mode": "sql_utility", "op": "set_properties",
+                "table": _unquote(m.group(1)), "properties": props,
+                "new_version": int(v), "statement": stmt}
+    m = re.fullmatch(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+        rf"\((?P<k>.+)\)",
+        s, re.I | re.S,
+    )
+    if m:
+        t = _table(m.group(1))
+        keys = []
+        for item in _split_top(m.group("k")):
+            km = re.fullmatch(r"\s*'([^']+)'\s*", item)
+            if not km:
+                raise SqlDmlError(
+                    f"malformed UNSET TBLPROPERTIES item {item.strip()!r}; "
+                    "expected 'key'"
+                )
+            keys.append(km.group(1))
+        v = t.unset_properties(keys)
+        return {"mode": "sql_utility", "op": "unset_properties",
+                "table": _unquote(m.group(1)), "keys": keys,
+                "new_version": int(v), "statement": stmt}
     m = re.fullmatch(
         rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s*\((?P<c>[^)]*)\)",
         s, re.I,
@@ -1654,10 +1874,18 @@ def execute_dml(
         df = src.select(*[named[f.name] for f in sch.fields if f.name in named])
         if dryrun:
             return {
-                "mode": "sql_dml_dryrun", "op": kind, "table": ins.table,
+                "mode": "sql_dml_dryrun",
+                "op": "insert_overwrite" if ins.overwrite else kind,
+                "table": ins.table,
                 "rows_would_change": int(df.count()), "statement": stmt,
             }
-        new_v = vt.append(df)
+        if ins.overwrite:
+            # INSERT OVERWRITE (round 14): atomically replace contents —
+            # one commit adds the new files and removes every live one
+            new_v = vt.overwrite(df)
+            kind = "insert_overwrite"
+        else:
+            new_v = vt.append(df)
     else:
         mg = _parse_merge(stmt)
         table_name = mg.target

@@ -1163,6 +1163,166 @@ def test_e2e_sql_convert_to_versioned(spark, tmp_path):
     assert t.snapshot().count() == 90
 
 
+def test_e2e_sql_constraints_properties(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT and SET/UNSET TBLPROPERTIES —
+    each a metadata-only commit; a violating constraint refuses at ADD
+    and a constrained write refuses after."""
+    from database_anonymiser_spark.sql_dml import execute_dml, execute_utility
+
+    root = tmp_path / "t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.createDataFrame([(1, 5.0), (2, 9.0)], "k int, bal double"),
+        key_col="k",
+    )
+    views = {"t": {"root": str(root), "pinned": False}}
+    frag = execute_utility(
+        spark, "ALTER TABLE t ADD CONSTRAINT bal_pos CHECK (bal >= 0)",
+        views,
+    )
+    assert frag["op"] == "add_constraint"
+    assert dict(t.constraints()) == {"bal_pos": "bal >= 0"}
+    # the constraint now guards DML
+    with pytest.raises(Exception):
+        execute_dml(spark, "UPDATE t SET bal = -1 WHERE k = 1", views)
+    # a constraint existing rows violate refuses at ADD
+    from database_anonymiser_spark.sources.versioned import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        execute_utility(
+            spark, "ALTER TABLE t ADD CONSTRAINT bad CHECK (bal > 100)",
+            views,
+        )
+    execute_utility(spark, "ALTER TABLE t DROP CONSTRAINT bal_pos", views)
+    assert dict(t.constraints()) == {}
+    frag = execute_utility(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'data-eng', "
+        "'pipeline' = 'nightly')",
+        views,
+    )
+    assert frag["op"] == "set_properties"
+    det = t.detail()["properties"]
+    assert det["owner"] == "data-eng" and det["pipeline"] == "nightly"
+    execute_utility(
+        spark, "ALTER TABLE t UNSET TBLPROPERTIES ('pipeline')", views
+    )
+    assert "pipeline" not in t.detail()["properties"]
+    # protocol slots stay guarded through the SQL face too
+    with pytest.raises(ValueError):
+        execute_utility(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ('protocol.reader_features' "
+            "= '[]')",
+            views,
+        )
+
+
+def test_e2e_sql_truncate_and_insert_overwrite(spark, tmp_path):
+    """TRUNCATE TABLE is a metadata-only dereference (zero data reads,
+    history intact, RESTORE undoes it); INSERT OVERWRITE atomically
+    replaces contents in one commit."""
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sql_dml import execute_dml, execute_utility
+
+    root = tmp_path / "t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.range(1000).selectExpr("id AS k", "'x' AS v").repartition(4),
+        key_col="k",
+    )
+    views = {"t": {"root": str(root), "pinned": False}}
+    f0 = V.DATA_FILES_READ
+    frag = execute_utility(spark, "TRUNCATE TABLE t", views)
+    assert V.DATA_FILES_READ - f0 == 0  # pure metadata
+    assert frag["metrics"]["files_removed"] >= 1
+    assert t.snapshot().count() == 0
+    assert t.snapshot(0).count() == 1000  # time travel below intact
+    t.restore(0)
+    assert t.snapshot().count() == 1000
+
+    # INSERT OVERWRITE: one commit, full replacement, old state below
+    spark.range(5).selectExpr(
+        "id + 100 AS k", "'new' AS v"
+    ).createOrReplaceTempView("ow_src")
+    v_before = t.latest_version()
+    frag = execute_dml(
+        spark, "INSERT OVERWRITE t SELECT k, v FROM ow_src", views
+    )
+    assert frag["op"] == "insert_overwrite"
+    assert frag["new_version"] == v_before + 1
+    assert t.snapshot().count() == 5
+    assert {r["v"] for r in t.snapshot().collect()} == {"new"}
+    assert t.snapshot(v_before).count() == 1000
+    # dryrun counts without committing
+    frag = execute_dml(
+        spark, "INSERT OVERWRITE t SELECT k, v FROM ow_src", views,
+        dryrun=True,
+    )
+    assert frag["rows_would_change"] == 5
+    assert t.latest_version() == v_before + 1
+
+
+def test_e2e_sql_clone_and_show_create(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE from SQL (metadata-only fork,
+    independently writable) and SHOW CREATE TABLE's executable
+    round-trip."""
+    from database_anonymiser_spark.sql_dml import (
+        execute_dml,
+        execute_utility,
+        split_statements,
+    )
+
+    root = tmp_path / "src_t"
+    t = VersionedTable.create(
+        spark, str(root),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        key_col="k",
+    )
+    t.set_clustering(("k",))
+    t.add_constraint("v_nonempty", "length(v) > 0")
+    t.set_properties({"owner": "team-x"})
+    views = {"src": {"root": str(root), "pinned": False}}
+    frag = execute_utility(
+        spark,
+        f"CREATE TABLE dev SHALLOW CLONE src LOCATION '{tmp_path / 'dev'}'",
+        views,
+    )
+    assert frag["op"] == "clone" and not frag["deep"]
+    assert "dev" in views
+    # the clone diverges without touching the source
+    execute_dml(spark, "UPDATE dev SET v = 'DEV' WHERE k = 1", views)
+    dev = VersionedTable(spark, tmp_path / "dev")
+    assert {r["k"]: r["v"] for r in dev.snapshot().collect()} == {
+        1: "DEV", 2: "b",
+    }
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {
+        1: "a", 2: "b",
+    }
+
+    # SHOW CREATE TABLE emits executable DDL that recreates the shape
+    frag = execute_utility(spark, "SHOW CREATE TABLE src", views)
+    ddl = frag["rows"][0]["createtab_stmt"]
+    assert "USING VERSIONED" in ddl and "KEY (k)" in ddl
+    assert "CLUSTER BY (k)" in ddl and "v_nonempty" in ddl
+    # round-trip: retarget the LOCATION and the view name, run it back
+    ddl2 = ddl.replace(str(t.root), str(tmp_path / "rt")).replace(
+        "TABLE src", "TABLE rt"
+    )
+    for stmt in split_statements(ddl2):
+        execute_utility(spark, stmt, views)
+    rt = VersionedTable(spark, tmp_path / "rt")
+    assert rt.key_cols() == t.key_cols()
+    assert tuple(rt.clustering_cols()) == tuple(t.clustering_cols())
+    assert dict(rt.constraints()) == dict(t.constraints())
+    assert rt.detail()["properties"]["owner"] == "team-x"
+    assert [f.simpleString() for f in rt.snapshot().schema.fields] == [
+        f.simpleString() for f in t.snapshot().schema.fields
+    ]
+
+
 def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
     """ERASE FROM ... WHERE k IN (<100k-subject SELECT>) — the GDPR
     revocation shape end-to-end: semi-join delete, vacuum, log scrub,

@@ -198,6 +198,41 @@ def test_e2e_merge_and_insert_inside_txn(spark, txn_env):
     }
 
 
+def test_e2e_insert_overwrite_inside_txn(spark, txn_env):
+    """INSERT OVERWRITE inside BEGIN..COMMIT (round 14): the fork's
+    whole-set replacement publishes atomically — one commit whose diff
+    removes every pre-transaction file and adds the new contents; a
+    failure after the overwrite statement rolls the whole script back."""
+    data_dir, ra, _rb = txn_env
+    ta = VersionedTable(spark, ra)
+    spark.createDataFrame(
+        [(100, "ow")], "k int, v string"
+    ).createOrReplaceTempView("ow_txn_src")
+    # failing script: nothing visible despite the staged overwrite
+    rc = _run([
+        "--sql",
+        "BEGIN; INSERT OVERWRITE ta SELECT k, v FROM ow_txn_src; "
+        "UPDATE ta SET nope = 1; COMMIT;",
+        "--data", str(data_dir), "--versionedTable", f"ta={ra}",
+    ])
+    assert rc == 2
+    assert ta.latest_version() == 0
+    assert ta.snapshot().count() == 4
+    # committing script: one txn_publish, old state below it
+    rc = _run([
+        "--sql",
+        "BEGIN; INSERT OVERWRITE ta SELECT k, v FROM ow_txn_src; "
+        "INSERT INTO ta (k, v) VALUES (101, 'after'); COMMIT;",
+        "--data", str(data_dir), "--versionedTable", f"ta={ra}",
+    ])
+    assert rc == 0
+    assert ta.latest_version() == 1
+    assert ta.commit_op(1) == "txn_publish"
+    rows = {r["k"]: r["v"] for r in ta.snapshot().collect()}
+    assert rows == {100: "ow", 101: "after"}
+    assert ta.snapshot(0).count() == 4  # time travel below the publish
+
+
 def test_e2e_dryrun_counts_without_forking(spark, txn_env):
     data_dir, ra, _rb = txn_env
     rc = _run([
