@@ -1104,8 +1104,10 @@ _UTILITY_GRAMMAR = (
     "  ALTER TABLE <view> DROP CONSTRAINT <name>\n"
     "  ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v', ...)\n"
     "  ALTER TABLE <view> UNSET TBLPROPERTIES ('k', ...)\n"
-    "  CREATE TABLE <view> [(col type, ...)] USING VERSIONED LOCATION '<dir>'\n"
-    "      [KEY (cols)] [CLUSTER BY (cols)] [AS <select>]\n"
+    "  CREATE TABLE <view> [(col type [GENERATED ALWAYS AS IDENTITY\n"
+    "      [(START WITH n STEP m)] | GENERATED ALWAYS AS (<expr>)], ...)]\n"
+    "      USING VERSIONED LOCATION '<dir>' [KEY (cols)] [CLUSTER BY (cols)]\n"
+    "      [AS <select>]\n"
     "  CREATE TABLE <view> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>] LOCATION '<dir>'\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
     "  SHOW CREATE TABLE <view>         -- executable round-trip DDL\n"
@@ -1148,9 +1150,25 @@ def show_create_table(t, name: str) -> str:
     constraint/property maps, zero data reads."""
     sch = t._log_schema() or t.snapshot().schema
     ident = t.identity_column()
-    cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sch.fields
-    )
+    gens = {
+        k[len("generated."):]: v
+        for k, v in (t._raw_properties() or {}).items()
+        if k.startswith("generated.")
+    }
+    rendered = []
+    for f in sch.fields:
+        item = f"{f.name} {f.dataType.simpleString()}"
+        if ident is not None and f.name == ident[0]:
+            # START WITH the CURRENT high-water: a round-tripped shape
+            # allocates above every id the source ever issued
+            item += (
+                f" GENERATED ALWAYS AS IDENTITY "
+                f"(START WITH {ident[2]} STEP {ident[1]})"
+            )
+        elif f.name in gens:
+            item += f" GENERATED ALWAYS AS ({gens[f.name]})"
+        rendered.append(item)
+    cols = ", ".join(rendered)
     head = f"CREATE TABLE {name} ({cols}) USING VERSIONED LOCATION '{t.root}'"
     key = tuple(t.key_cols() or ())
     if key:
@@ -1176,14 +1194,7 @@ def show_create_table(t, name: str) -> str:
             f"'{k}' = '{v}'" for k, v in sorted(props.items())
         )
         parts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
-    out = ";\n".join(parts) + ";"
-    if ident is not None:
-        out = (
-            f"-- identity column {ident[0]!r} is GENERATED ALWAYS AS "
-            "IDENTITY (creation-time only; not expressible in the SQL "
-            "CREATE face)\n" + out
-        )
-    return out
+    return ";\n".join(parts) + ";"
 
 
 def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
@@ -1275,6 +1286,9 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
         )
         i += cm.end()
     rest = s[i:].strip()
+    gen_map: dict[str, str] = {}
+    ident_col: str | None = None
+    ident_start, ident_step = 1, 1
     if rest:
         am = re.match(r"AS\b(.*)$", rest, re.I | re.S)
         if not am or not am.group(1).strip():
@@ -1288,7 +1302,55 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
             )
         df = spark.sql(am.group(1).strip())
     elif schema_ddl is not None:
-        df = spark.createDataFrame([], schema_ddl)
+        # column items may carry GENERATED ALWAYS AS IDENTITY
+        # [(START WITH n STEP m)] or GENERATED ALWAYS AS (<expr>) —
+        # the natives' creation-time-only column classes (round 14)
+        plain_items: list[str] = []
+        for item in _split_top(schema_ddl):
+            im = re.match(
+                rf"\s*({_IDENT})\s+(?P<rest>.+)$", item, re.S
+            )
+            if not im:
+                raise SqlDmlError(
+                    f"malformed column item {item.strip()!r} in CREATE"
+                )
+            cname = _unquote(im.group(1))
+            body = im.group("rest").strip()
+            gm = re.search(
+                r"\bGENERATED\s+ALWAYS\s+AS\s+", body, re.I
+            )
+            if gm:
+                dtype = body[: gm.start()].strip()
+                tail = body[gm.end():].strip()
+                idm = re.match(
+                    r"IDENTITY(?:\s*\(\s*START\s+WITH\s+(?P<st>-?\d+)"
+                    r"\s+STEP\s+(?P<sp>-?\d+)\s*\))?\s*$",
+                    tail, re.I,
+                )
+                if idm:
+                    if ident_col is not None:
+                        raise SqlDmlError(
+                            "at most one IDENTITY column per table"
+                        )
+                    ident_col = cname
+                    if idm.group("st") is not None:
+                        ident_start = int(idm.group("st"))
+                        ident_step = int(idm.group("sp"))
+                    # the identity column is allocated by the engine —
+                    # it is not part of the created frame's schema
+                    continue
+                if not (tail.startswith("(") and tail.endswith(")")):
+                    raise SqlDmlError(
+                        f"GENERATED ALWAYS AS needs IDENTITY or "
+                        f"(<expr>), got {tail[:40]!r}"
+                    )
+                gen_map[cname] = tail[1:-1].strip()
+                plain_items.append(f"{cname} {dtype}")
+            else:
+                plain_items.append(f"{cname} {body}")
+        if not plain_items:
+            raise SqlDmlError("CREATE TABLE needs at least one column")
+        df = spark.createDataFrame([], ", ".join(plain_items))
     else:
         raise SqlDmlError(
             f"CREATE TABLE needs a column list or AS <select>\n"
@@ -1299,7 +1361,13 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
         else (key_cols[0] if len(key_cols) == 1 else list(key_cols))
     )
     try:
-        t = VersionedTable.create(spark, root, df, key_col=key_arg)
+        t = VersionedTable.create(
+            spark, root, df, key_col=key_arg,
+            generated=gen_map or None,
+            identity_col=ident_col,
+            identity_start=ident_start,
+            identity_step=ident_step,
+        )
     except OSError as e:
         raise SqlDmlError(f"CREATE refused: {e}") from e
     if cluster:

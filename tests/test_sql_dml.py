@@ -1323,6 +1323,64 @@ def test_e2e_sql_clone_and_show_create(spark, tmp_path):
     ]
 
 
+def test_e2e_sql_create_identity_generated(spark, tmp_path):
+    """CREATE TABLE with GENERATED ALWAYS AS IDENTITY (START WITH/STEP)
+    and GENERATED ALWAYS AS (<expr>) columns — the creation-time-only
+    native column classes now expressible in SQL; SHOW CREATE TABLE
+    round-trips both."""
+    from database_anonymiser_spark.sql_dml import execute_dml, execute_utility
+
+    root = tmp_path / "t"
+    views: dict = {}
+    execute_utility(
+        spark,
+        f"CREATE TABLE t ("
+        f"rid bigint GENERATED ALWAYS AS IDENTITY (START WITH 100 STEP 10), "
+        f"k int, amt double, "
+        f"amt2 double GENERATED ALWAYS AS (amt * 2)"
+        f") USING VERSIONED LOCATION '{root}' KEY (k)",
+        views,
+    )
+    assert "t" in views
+    t = VersionedTable(spark, root)
+    execute_dml(
+        spark, "INSERT INTO t (k, amt) VALUES (1, 2.5), (2, 4.0)", views
+    )
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[1]["amt2"] == 5.0 and rows[2]["amt2"] == 8.0
+    rids = sorted(r["rid"] for r in rows.values())
+    assert all(rid >= 100 and (rid - 100) % 10 == 0 for rid in rids)
+    assert len(set(rids)) == 2
+    # supplying GENERATED ALWAYS columns refuses
+    with pytest.raises((SqlDmlError, ValueError)):
+        execute_dml(
+            spark, "INSERT INTO t (rid, k, amt) VALUES (1, 3, 1.0)", views
+        )
+    # a generated-column value the expression contradicts refuses
+    with pytest.raises(Exception):
+        execute_dml(
+            spark,
+            "INSERT INTO t (k, amt, amt2) VALUES (3, 1.0, 99.0)", views,
+        )
+    # SHOW CREATE renders both column classes; the emitted DDL runs back
+    frag = execute_utility(spark, "SHOW CREATE TABLE t", views)
+    ddl = frag["rows"][0]["createtab_stmt"]
+    assert "GENERATED ALWAYS AS IDENTITY" in ddl
+    assert "GENERATED ALWAYS AS (amt * 2)" in ddl
+    from database_anonymiser_spark.sql_dml import split_statements
+
+    ddl2 = ddl.replace(str(root), str(tmp_path / "rt")).replace(
+        "TABLE t", "TABLE rt"
+    )
+    for stmt in split_statements(ddl2):
+        execute_utility(spark, stmt, views)
+    rt = VersionedTable(spark, tmp_path / "rt")
+    assert rt.identity_column() is not None
+    execute_dml(spark, "INSERT INTO rt (k, amt) VALUES (9, 3.0)", views)
+    r = rt.snapshot().collect()[0]
+    assert r["amt2"] == 6.0 and r["rid"] >= 100
+
+
 def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
     """ERASE FROM ... WHERE k IN (<100k-subject SELECT>) — the GDPR
     revocation shape end-to-end: semi-join delete, vacuum, log scrub,
