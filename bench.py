@@ -361,6 +361,20 @@ def main():
 
     datasource_meta: dict[str, float] = {}
     _ds_rows = _ds_probe(spark, sf_dir, datasource_meta)
+    # round 14: incremental-materialized-view lifecycle — refresh must
+    # cost O(source changes), the recompute O(table); counters gate
+    from tools.storage_probe import ivm_lifecycle as _ivm_probe
+
+    ivm_meta: dict[str, float] = {}
+    _ivm_rows = _ivm_probe(spark, sf_dir, ivm_meta)
+    print(
+        f"# ivm: build {ivm_meta['build_sec']:.2f}s; refresh "
+        f"{ivm_meta['refresh_sec']:.2f}s reading "
+        f"{ivm_meta['refresh_files_read']} file(s) vs recompute "
+        f"{ivm_meta['recompute_sec']:.2f}s reading "
+        f"{ivm_meta['recompute_files_read']} ({_ivm_rows} groups)",
+        file=sys.stderr,
+    )
     print(
         f"# datasource_read: native {datasource_meta['native_read_sec']:.2f}s "
         f"vs arrow-source {datasource_meta['datasource_read_sec']:.2f}s "
@@ -609,6 +623,7 @@ def main():
         "neardedup_meta": neardedup_meta,
         "txn_fanout_meta": txn_fanout_meta,
         "datasource_meta": datasource_meta,
+        "ivm_meta": ivm_meta,
         "export_meta": export_meta,
         "tokenizer_meta": tokenizer_meta,
         "ann_recall": ann_recall,

@@ -965,7 +965,7 @@ def classify_utility(stmt: str) -> str | None:
     DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
         r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
-        r"CONVERT|TRUNCATE|SHOW)\b",
+        r"CONVERT|TRUNCATE|SHOW|REFRESH)\b",
         stmt, re.I,
     )
     return head.group(1).lower() if head else None
@@ -992,7 +992,9 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
     kind = classify_utility(stmt)
     if kind is None:
         return None
-    if kind not in ("describe", "alter", "create", "truncate", "show"):
+    if kind not in (
+        "describe", "alter", "create", "truncate", "show", "refresh"
+    ):
         return kind
     s = _strip_stmt(stmt)
     if kind == "describe":
@@ -1029,6 +1031,17 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
             if m and _unquote(m.group(1)).lower() in versioned_views
             else None
         )
+    if kind == "refresh":
+        # REFRESH TABLE is plain Spark SQL; only the MATERIALIZED VIEW
+        # form on a registered versioned view is ours (round 14)
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$", s, re.I
+        )
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
     # CREATE: claimed with the explicit USING VERSIONED marker, or the
     # clone form whose SOURCE is a versioned view (round 14)
     mask = _mask(s)
@@ -1053,7 +1066,9 @@ def created_view_name(stmt: str) -> str | None:
     target tables that exist only once the earlier ones run, so the
     all-routed check must see the names before execution."""
     s = _strip_stmt(stmt)
-    m = re.match(rf"CREATE\s+TABLE\s+({_IDENT})\b", s, re.I)
+    m = re.match(
+        rf"CREATE\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+({_IDENT})\b", s, re.I
+    )
     if m and (
         _find(s, _mask(s), r"\bUSING\s+VERSIONED\b")
         or re.match(
@@ -1109,6 +1124,9 @@ _UTILITY_GRAMMAR = (
     "      USING VERSIONED LOCATION '<dir>' [KEY (cols)] [CLUSTER BY (cols)]\n"
     "      [AS <select>]\n"
     "  CREATE TABLE <view> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>] LOCATION '<dir>'\n"
+    "  CREATE MATERIALIZED VIEW <view> USING VERSIONED LOCATION '<dir>'\n"
+    "      AS SELECT <keys, count/sum/avg aggs> FROM <versioned view> GROUP BY <keys>\n"
+    "  REFRESH MATERIALIZED VIEW <view>   -- incremental: O(source changes)\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
     "  SHOW CREATE TABLE <view>         -- executable round-trip DDL\n"
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
@@ -1197,6 +1215,64 @@ def show_create_table(t, name: str) -> str:
     return ";\n".join(parts) + ";"
 
 
+def _execute_create_materialized(spark, m, stmt: str,
+                                 versioned_views: dict) -> dict:
+    """``CREATE MATERIALIZED VIEW mv USING VERSIONED LOCATION '<dir>'
+    AS SELECT <keys, count/sum/avg aggs> FROM <versioned view> GROUP BY
+    <keys>`` (round 14) — the incremental-view face: the full aggregate
+    materializes once, and ``REFRESH MATERIALIZED VIEW`` thereafter
+    advances it by the source's change feed at O(changes) cost
+    (sources/materialized.py). The source must be a versioned view (a
+    plain --data parquet view has no change feed to refresh from)."""
+    from database_anonymiser_spark.sources.materialized import (
+        create_materialized,
+        parse_mv_query,
+    )
+
+    name = _unquote(m.group(1))
+    if name.lower() in versioned_views:
+        raise SqlDmlError(
+            f"CREATE MATERIALIZED VIEW {name!r}: the view is already "
+            "registered; refusing to shadow it"
+        )
+    try:
+        src_view, keys, aggs = parse_mv_query(m.group("q").strip())
+    except ValueError as e:
+        raise SqlDmlError(str(e)) from e
+    src_meta = versioned_views.get(src_view.lower())
+    if src_meta is None:
+        raise SqlDmlError(
+            f"materialized-view source {src_view!r} is not a versioned "
+            "view — incremental refresh needs the source's change feed "
+            "(--versionedTable registers one)"
+        )
+    if src_meta["pinned"]:
+        raise SqlDmlError(
+            f"materialized-view source {src_view!r} is pinned; a frozen "
+            "source never changes — materialize a plain CTAS instead"
+        )
+    try:
+        mv = create_materialized(
+            spark, m.group("loc"), src_meta["root"], keys, aggs
+        )
+    except OSError as e:
+        raise SqlDmlError(f"CREATE refused: {e}") from e
+    _register_versioned_view(spark, name, m.group("loc"), versioned_views)
+    # re-register the temp view over the VISIBLE columns only (the
+    # hidden avg companions are maintenance state, not user surface)
+    (
+        spark.read.format("versioned").option("path", m.group("loc")).load()
+        .select(*keys, *aggs.keys())
+        .createOrReplaceTempView(name)
+    )
+    return {
+        "mode": "sql_utility", "op": "create_materialized_view",
+        "table": name, "root": m.group("loc"), "source": src_view,
+        "num_rows": int(mv.row_count(mv.latest_version())),
+        "statement": stmt,
+    }
+
+
 def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
     """``CREATE TABLE ... USING VERSIONED`` — empty-schema or CTAS form,
     into a fresh versioned root (``VersionedTable.create``); the new
@@ -1208,6 +1284,15 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
     cleanly instead of crashing the runner (round 14)."""
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
+    mvm = re.match(
+        rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+USING\s+VERSIONED\s+"
+        rf"LOCATION\s+'(?P<loc>[^']+)'\s+AS\s+(?P<q>.+)$",
+        s, re.I | re.S,
+    )
+    if mvm:
+        return _execute_create_materialized(
+            spark, mvm, stmt, versioned_views
+        )
     head = re.match(rf"CREATE\s+TABLE\s+({_IDENT})\s*", s, re.I)
     if not head:
         raise SqlDmlError(f"unsupported CREATE shape\n{_UTILITY_GRAMMAR}")
@@ -1520,6 +1605,22 @@ def execute_utility(
         return {"mode": "sql_utility", "op": "show_create_table",
                 "table": _unquote(m.group(1)),
                 "rows": [{"createtab_stmt": ddl}], "statement": stmt}
+    if kind == "refresh":
+        m = re.fullmatch(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.I
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported REFRESH shape\n{_UTILITY_GRAMMAR}")
+        t = _table(m.group(1))
+        from database_anonymiser_spark.sources.materialized import (
+            refresh_materialized,
+        )
+
+        r = refresh_materialized(spark, t.root)
+        return {"mode": "sql_utility", "op": "refresh_materialized_view",
+                "table": _unquote(m.group(1)),
+                "new_version": int(t.latest_version()), **r,
+                "statement": stmt}
     if kind == "create":
         return _execute_create(spark, s, stmt, versioned_views)
     if kind == "copy":

@@ -490,3 +490,63 @@ def clustering_churn(spark, sf_dir: str, meta: dict) -> int:
         return t.row_count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def ivm_lifecycle(spark, sf_dir: str, meta: dict) -> int:
+    """Round-14 incremental-materialized-view probe: build an MV over a
+    banded orders table, trickle-update ONE band of the source, and
+    record the refresh wall + file reads vs a from-scratch recompute —
+    the O(changes)-vs-O(table) evidence the IVM contract claims. The
+    counters (not the walls) are the per-round regression gate: refresh
+    file reads must stay O(changed band), recompute reads every file."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import database_anonymiser_spark.sources.versioned as V
+    from database_anonymiser_spark.sources.materialized import (
+        create_materialized,
+        refresh_materialized,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+    from database_anonymiser_spark.suite.base import load
+
+    base = tempfile.mkdtemp(prefix="bench_ivm_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = VersionedTable.create(
+            spark, os.path.join(base, "src"),
+            orders.repartitionByRange(8, "o_orderkey"),
+            key_col="o_orderkey",
+        )
+        t0 = _time.perf_counter()
+        mv = create_materialized(
+            spark, os.path.join(base, "mv"), t.root, ["o_orderstatus"],
+            {"n_orders": ("count", None), "total": ("sum", "o_totalprice")},
+        )
+        meta["build_sec"] = round(_time.perf_counter() - t0, 3)
+        lo = int(t.snapshot().agg({"o_orderkey": "min"}).first()[0])
+        t.update_where(
+            {"o_totalprice": "o_totalprice + 1"},
+            f"o_orderkey >= {lo} AND o_orderkey < {lo + 50}",
+            prune={"o_orderkey": (lo, lo + 49)},
+        )
+        f0 = V.DATA_FILES_READ
+        t0 = _time.perf_counter()
+        r = refresh_materialized(spark, mv.root)
+        meta["refresh_sec"] = round(_time.perf_counter() - t0, 3)
+        meta["refresh_files_read"] = V.DATA_FILES_READ - f0
+        meta["groups_changed"] = r["groups_changed"]
+        f0 = V.DATA_FILES_READ
+        t0 = _time.perf_counter()
+        t.snapshot().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        ).collect()
+        meta["recompute_sec"] = round(_time.perf_counter() - t0, 3)
+        meta["recompute_files_read"] = V.DATA_FILES_READ - f0
+        return int(mv.row_count(mv.latest_version()))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
