@@ -56,6 +56,14 @@ the view rewrite is O(view), which is aggregate-sized (one row per
 group); the extremum-loss recompute is O(affected groups' rows). The
 refresh never scans the base table. Metadata reads are O(1): the
 cursor/meta lookup probes the newest commit JSON, never the history.
+
+Round 14: ``sources/materialized.py`` is this family's BREADTH axis —
+arbitrarily many named count/sum/avg aggregates over a multi-column
+GROUP BY, the shape the SQL ``CREATE MATERIALIZED VIEW`` face exposes
+— restricted to the self-maintainable family. This module stays the
+DEPTH axis (min/max with bounded extremum recompute, mergeable KMV
+approx-distinct, null-safe group keys, compaction-segment skipping)
+for the aggregates that need per-group state beyond addition.
 """
 
 from __future__ import annotations

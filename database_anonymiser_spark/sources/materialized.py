@@ -46,6 +46,20 @@ drift any shuffle reorder produces); use DECIMAL columns where exact
 refresh parity matters. Pinned by the equivalence tests with a
 tolerance on doubles and exactly on integers.
 
+Relationship to ``operators/ivm.py`` (round 6): that module is the
+DEPTH axis of the same delta-propagation family — ONE (group, value)
+pair maintained with the aggregates that need per-group state beyond
+addition: MIN/MAX with the extremum-loss recompute bounded to exactly
+the affected groups, approx-distinct as a mergeable per-group KMV
+sketch, null-safe group keys, and compaction-segment skipping. This
+module is the BREADTH axis: arbitrarily many named count/sum/avg
+aggregates over a multi-column GROUP BY — the shape the SQL
+``CREATE MATERIALIZED VIEW`` face needs — restricted to the
+self-maintainable family precisely because each extra aggregate here
+is just another addition column in the same single merge. A view that
+needs maintained min/max/distinct uses ``IncrementalAggView``; the
+refusal message says so.
+
 Reference parity note: the reference has no materialized views (its
 surface is per-table UPDATE scripts, ``src/executor/executor.ts``);
 this module is part of the engine's storage north star, cited against
@@ -84,10 +98,11 @@ def _validate_aggs(aggs: dict) -> dict:
         kind = kind.lower()
         if kind in ("min", "max"):
             raise ValueError(
-                f"{kind}(...) is not incrementally maintainable under "
-                "deletes (the removed value may have been the extreme; "
-                "refreshing it exactly would re-scan the affected "
-                "groups) — materialize a full aggregate query instead"
+                f"{kind}(...) is not self-maintainable under deletes "
+                "(the removed value may have been the extreme) — use "
+                "operators/ivm.py::IncrementalAggView(minmax=True), "
+                "which maintains min/max with the extremum-loss "
+                "recompute bounded to exactly the affected groups"
             )
         if kind not in _AGG_SHAPES:
             raise ValueError(

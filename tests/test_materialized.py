@@ -199,7 +199,7 @@ def test_refresh_cost_is_o_changes(spark, tmp_path):
 
 def test_refusals(spark, src, tmp_path):
     # min/max are not self-maintainable
-    with pytest.raises(ValueError, match="not incrementally maintainable"):
+    with pytest.raises(ValueError, match="not self-maintainable"):
         create_materialized(
             spark, str(tmp_path / "mv1"), src.root, ["grp"],
             {"m": ("max", "amt")},
@@ -285,7 +285,7 @@ def test_parse_mv_query():
     assert aggs == {
         "n": ("count", None), "s": ("sum", "a * b"), "m": ("avg", "x"),
     }
-    with pytest.raises(ValueError, match="not incrementally"):
+    with pytest.raises(ValueError, match="not self-maintainable"):
         parse_mv_query("SELECT g, max(x) AS m FROM v GROUP BY g")
     with pytest.raises(ValueError, match="GROUP BY"):
         parse_mv_query("SELECT count(*) AS n FROM v")
