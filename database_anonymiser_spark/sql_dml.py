@@ -1494,7 +1494,21 @@ def execute_utility(
                 f"{kind.upper()} target {name!r} is pinned to a historical "
                 "version/timestamp; maintenance runs at the head only"
             )
-        return VersionedTable(spark, meta["root"])
+        t = VersionedTable(spark, meta["root"])
+        # content-rewriting maintenance on a MATERIALIZED VIEW would
+        # diverge it from its definition while the recorded watermark
+        # masks the divergence (round 14); layout ops (OPTIMIZE, VACUUM,
+        # CLUSTER BY) and reads stay allowed — they preserve the rows
+        if kind in ("restore", "truncate", "erase") and "ivm.source" in (
+            t._raw_properties() or {}
+        ):
+            raise SqlDmlError(
+                f"{kind.upper()} target {name!r} is a MATERIALIZED VIEW "
+                "— its contents are derived; mutate the source and "
+                "REFRESH MATERIALIZED VIEW (or drop and re-create the "
+                "view) instead"
+            )
+        return t
 
     def _cols(seg: str) -> tuple:
         return tuple(
@@ -1932,7 +1946,19 @@ def execute_dml(
                 "refused (register the view without @PIN to write at the "
                 "head)"
             )
-        return VersionedTable(spark, meta["root"])
+        t = VersionedTable(spark, meta["root"])
+        # round 14: a MATERIALIZED VIEW's contents are derived state —
+        # direct DML would silently diverge it from its definition and
+        # the recorded source watermark would mask the divergence on the
+        # next refresh (DBSQL refuses the same)
+        props = t._raw_properties() or {}
+        if "ivm.source" in props:
+            raise SqlDmlError(
+                f"{kind.upper()} target {name!r} is a MATERIALIZED VIEW "
+                f"— its contents are derived from {props['ivm.source']!r}; "
+                "write to the source and REFRESH MATERIALIZED VIEW instead"
+            )
+        return t
 
     if kind == "update":
         u = _parse_update(stmt)

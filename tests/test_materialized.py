@@ -218,6 +218,43 @@ def test_refusals(spark, src, tmp_path):
         refresh_materialized(spark, src.root)
 
 
+def test_mv_rejects_direct_mutation(spark, src, tmp_path):
+    """Direct DML and content-rewriting maintenance on a materialized
+    view refuse (derived state + a watermark that would mask the
+    divergence); layout maintenance stays allowed."""
+    from database_anonymiser_spark.sql_dml import (
+        SqlDmlError,
+        execute_dml,
+        execute_utility,
+    )
+
+    mv_root = tmp_path / "mv"
+    create_materialized(
+        spark, str(mv_root), src.root, ["grp"], {"n": ("count", None)}
+    )
+    views = {
+        "mv": {"root": str(mv_root), "pinned": False},
+        "src_t": {"root": str(src.root), "pinned": False},
+    }
+    for stmt in (
+        "UPDATE mv SET n = 0",
+        "DELETE FROM mv WHERE n > 0",
+        "INSERT INTO mv (grp, n) VALUES ('x', 1)",
+    ):
+        with pytest.raises(SqlDmlError, match="MATERIALIZED VIEW"):
+            execute_dml(spark, stmt, views)
+    for stmt in (
+        "TRUNCATE TABLE mv",
+        "RESTORE mv TO VERSION AS OF 0",
+        "ERASE FROM mv WHERE n > 0",
+    ):
+        with pytest.raises(SqlDmlError, match="MATERIALIZED VIEW"):
+            execute_utility(spark, stmt, views)
+    # layout maintenance is row-preserving: allowed
+    frag = execute_utility(spark, "OPTIMIZE mv", views)
+    assert frag["op"] in ("compact", "optimize_cluster")
+
+
 def test_e2e_sql_materialized_view(spark, tmp_path):
     """CREATE MATERIALIZED VIEW / REFRESH MATERIALIZED VIEW through the
     CLI: create against a versioned source, mutate the source with SQL
