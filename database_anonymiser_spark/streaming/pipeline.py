@@ -1284,3 +1284,71 @@ def versioned_change_feed(
     if latest <= since_version:
         return None, since_version
     return t.diff(since_version, latest), latest
+
+
+def run_stream_materialize(
+    spark: SparkSession,
+    src_root: str,
+    mv_root: str,
+    checkpoint: str,
+):
+    """CONTINUOUS MATERIALIZED-VIEW MAINTENANCE (round 14): tail the
+    source's change feed and keep a ``sources/materialized.py`` view
+    current — the streaming face of ``REFRESH MATERIALIZED VIEW``.
+
+    Design decision — the stream is the TICK, not the data: each
+    micro-batch triggers :func:`refresh_materialized`, which reads the
+    exact change interval from the LOG (``diff(last_watermark, head)``)
+    rather than trusting the streamed rows. Applying the streamed rows
+    directly would be cheaper by one metadata read but is wrong at the
+    margins Structured Streaming actually has: a commit's files can
+    split across micro-batches (maxFilesPerTrigger, admission control),
+    and any row-level watermark advanced at a batch boundary would then
+    silently drop the commit's remaining rows on the next batch — the
+    classic torn-commit race. The refresh path's watermark lives on
+    COMMIT boundaries and advances inside the delta-merge commit, so a
+    replayed batch (foreachBatch is at-least-once) no-ops by
+    construction: exactly-once without an epoch witness.
+
+    Cost per tick: O(changed files in the interval) + one group-delta
+    shuffle + one file-skipped merge — a trickle against a 100 TB
+    source maintains the view for the trickle's cost. An idle tick is
+    one tiny-JSON watermark comparison. availableNow = bounded drain;
+    production drops the trigger."""
+    from database_anonymiser_spark.sources.materialized import (
+        materialized_info,
+        refresh_materialized,
+    )
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    from database_anonymiser_spark.sources.spark_datasource import (
+        VersionedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedDataSource)
+    except Exception:
+        pass  # already registered
+    # start the feed just above the view's watermark: the first drain
+    # reads only what the view hasn't absorbed, not the whole history
+    mv = VersionedTable(spark, mv_root)
+    start = materialized_info(mv)["last_version"] + 1
+    feed = (
+        spark.readStream.format("versioned")
+        .option("path", src_root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(start))
+        .load()
+    )
+
+    results: list[dict] = []
+
+    def tick(batch_df, batch_id):
+        # the batch content is intentionally unused (docstring: torn-
+        # commit race); its arrival just means "the source moved"
+        r = refresh_materialized(spark, mv_root)
+        if r["refreshed"]:
+            results.append(r)
+
+    run_foreach_batch(feed, tick, checkpoint)
+    return results

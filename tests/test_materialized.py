@@ -313,6 +313,44 @@ def test_e2e_sql_materialized_view(spark, tmp_path):
     assert rc == 2
 
 
+def test_stream_materialize(spark, src, tmp_path):
+    """run_stream_materialize: the CDF stream drives refreshes; after a
+    drain the view equals the recompute; a second drain with no source
+    movement refreshes nothing; a fresh mutation + drain catches up."""
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_materialize,
+    )
+
+    mv_root = tmp_path / "mv"
+    mv = create_materialized(
+        spark, str(mv_root), src.root, ["grp"],
+        {"n": ("count", None), "total": ("sum", "amt")},
+    )
+    ck = str(tmp_path / "ck")
+    src.update_where({"amt": "amt * 2"}, "grp = 'a'")
+    src.delete_where("grp = 'c'")
+    rs = run_stream_materialize(spark, src.root, str(mv_root), ck)
+    assert rs and rs[-1]["to_version"] == src.latest_version()
+    _assert_equal(
+        _mv_visible(mv, ["grp"], {"n": 0, "total": 0}),
+        _recompute(src, ["grp"], {"n": ("count", None),
+                                  "total": ("sum", "amt")}),
+        ["grp"], float_cols=("total",),
+    )
+    # idle drain: no refresh recorded, no view commit
+    v = mv.latest_version()
+    rs = run_stream_materialize(spark, src.root, str(mv_root), ck)
+    assert rs == [] and mv.latest_version() == v
+    # catch-up after another mutation
+    src.append(spark.createDataFrame(
+        [(200, "z", 9.0, 1)], "k int, grp string, amt double, val int"
+    ))
+    rs = run_stream_materialize(spark, src.root, str(mv_root), ck)
+    assert rs and rs[-1]["to_version"] == src.latest_version()
+    row = mv.snapshot().where("grp = 'z'").collect()[0]
+    assert row["n"] == 1 and row["total"] == 9.0
+
+
 def test_parse_mv_query():
     srcv, keys, aggs = parse_mv_query(
         "SELECT grp, region, count(*) AS n, sum(a * b) AS s, "
