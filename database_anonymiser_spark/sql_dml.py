@@ -965,7 +965,7 @@ def classify_utility(stmt: str) -> str | None:
     DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
         r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
-        r"CONVERT|TRUNCATE|SHOW|REFRESH)\b",
+        r"CONVERT|TRUNCATE|SHOW|REFRESH|DROP)\b",
         stmt, re.I,
     )
     return head.group(1).lower() if head else None
@@ -993,7 +993,8 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
     if kind is None:
         return None
     if kind not in (
-        "describe", "alter", "create", "truncate", "show", "refresh"
+        "describe", "alter", "create", "truncate", "show", "refresh",
+        "drop",
     ):
         return kind
     s = _strip_stmt(stmt)
@@ -1036,6 +1037,19 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
         # form on a registered versioned view is ours (round 14)
         m = re.match(
             rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$", s, re.I
+        )
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    if kind == "drop":
+        # DROP TABLE/VIEW are plain Spark SQL on catalog objects; only
+        # a registered versioned view's drop is ours (round 14)
+        m = re.match(
+            rf"DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+(?:IF\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*$",
+            s, re.I,
         )
         return (
             kind
@@ -1128,6 +1142,8 @@ _UTILITY_GRAMMAR = (
     "      AS SELECT <keys, count/sum/avg aggs> FROM <versioned view> GROUP BY <keys>\n"
     "  REFRESH MATERIALIZED VIEW <view>   -- incremental: O(source changes)\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
+    "  DROP TABLE [IF EXISTS] <view> | DROP MATERIALIZED VIEW <view>\n"
+    "      -- deregister only (external-location semantics: data stays)\n"
     "  SHOW CREATE TABLE <view>         -- executable round-trip DDL\n"
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
     "  CONVERT TO VERSIONED '<dir>' KEY (col) [AS <view>]\n"
@@ -1619,6 +1635,26 @@ def execute_utility(
         return {"mode": "sql_utility", "op": "show_create_table",
                 "table": _unquote(m.group(1)),
                 "rows": [{"createtab_stmt": ddl}], "statement": stmt}
+    if kind == "drop":
+        m = re.fullmatch(
+            rf"DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+(?:IF\s+EXISTS\s+)?"
+            rf"({_IDENT})",
+            s, re.I,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported DROP shape\n{_UTILITY_GRAMMAR}")
+        name = _unquote(m.group(1))
+        meta = versioned_views.pop(name.lower())
+        # Delta's EXTERNAL-table DROP semantics: deregister only — the
+        # commit log and data stay on disk (every table here lives at a
+        # user-supplied LOCATION, exactly the class Delta never deletes
+        # on DROP); re-register with --versionedTable or CONVERT is the
+        # undo, VACUUM/filesystem removal is the explicit data-deletion
+        # path. A DROP that silently deleted 100 TB would be a landmine.
+        spark.catalog.dropTempView(name)
+        return {"mode": "sql_utility", "op": "drop_table", "table": name,
+                "root": meta["root"], "data_retained": True,
+                "statement": stmt}
     if kind == "refresh":
         m = re.fullmatch(
             rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.I

@@ -313,6 +313,35 @@ def test_e2e_sql_materialized_view(spark, tmp_path):
     assert rc == 2
 
 
+def test_e2e_sql_drop(spark, src, tmp_path):
+    """DROP TABLE / DROP MATERIALIZED VIEW deregister only — the data
+    stays on disk (external-location semantics) and re-registration is
+    the undo."""
+    from database_anonymiser_spark.sql_dml import (
+        claim_utility,
+        execute_utility,
+    )
+
+    mv_root = tmp_path / "mv"
+    create_materialized(
+        spark, str(mv_root), src.root, ["grp"], {"n": ("count", None)}
+    )
+    views = {
+        "mv": {"root": str(mv_root), "pinned": False},
+        "src_t": {"root": str(src.root), "pinned": False},
+    }
+    frag = execute_utility(spark, "DROP MATERIALIZED VIEW mv", views)
+    assert frag["op"] == "drop_table" and frag["data_retained"]
+    assert "mv" not in views
+    # the data survives: re-open directly
+    assert VersionedTable(spark, mv_root).snapshot().count() == 3
+    frag = execute_utility(spark, "DROP TABLE IF EXISTS src_t", views)
+    assert views == {}
+    assert src.snapshot().count() == 6
+    # an unregistered name is NOT claimed (falls through to Spark SQL)
+    assert claim_utility("DROP TABLE nope", views) is None
+
+
 def test_stream_materialize(spark, src, tmp_path):
     """run_stream_materialize: the CDF stream drives refreshes; after a
     drain the view equals the recompute; a second drain with no source
