@@ -338,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from database_anonymiser_spark.sql_dml import (
             claim_utility,
+            classify_utility,
             created_view_name,
             execute_utility,
             statement_target,
@@ -346,7 +347,25 @@ def main(argv: list[str] | None = None) -> int:
         from database_anonymiser_spark.sql_txn import (
             ScriptTransaction,
             classify_txn,
+            sweep_workspaces,
         )
+        from database_anonymiser_spark.sources.txn import (
+            TransactionAborted,
+            recover as txn_recover,
+        )
+
+        # crash repair BEFORE any statement runs (round-14 review): a
+        # prior run that died between the 2PC manifest rename and the
+        # last txn_publish commit left a DECIDED transaction
+        # half-applied — recover() rolls it forward; sweep reclaims
+        # stale UNdecided workspaces (age-guarded: a live transaction
+        # in another process keeps its workspace)
+        for _meta in {v["root"]: v for v in versioned_views.values()}.values():
+            try:
+                txn_recover(_meta["root"])
+                sweep_workspaces(_meta["root"])
+            except OSError:
+                pass  # unreadable foreign _txn dir: not ours to repair
 
         stmts = split_statements(stmt)
 
@@ -372,6 +391,22 @@ def main(argv: list[str] | None = None) -> int:
                 or classify_txn(s)
             )
 
+        if args.sql_rollback and any(
+            classify_utility(s) == "erase" for s in stmts
+        ):
+            # round-14 review finding: ERASE physically reclaims its
+            # pre-images (vacuum grace 0 + log-stat scrub), so a later
+            # restore-to-pre-script-version would commit REFERENCES TO
+            # DELETED FILES while claiming a successful rollback — and
+            # would also falsely "resurrect" GDPR-erased data
+            print(
+                "sql: ERASE cannot participate in --sqlRollbackOnError "
+                "(its pre-images are physically reclaimed; a rollback "
+                "across it would reference deleted files). Run the "
+                "erase in its own invocation.",
+                file=sys.stderr,
+            )
+            return 2
         if len(stmts) > 1 and not all(_routed(s) for s in stmts):
             print(
                 "sql: a multi-statement script must be ALL DML/maintenance/"
@@ -415,6 +450,30 @@ def main(argv: list[str] | None = None) -> int:
                     if t.latest_version() != v_start:
                         t.restore(v_start)
                         restored.append(key)
+                # round-14 review: a registered MATERIALIZED VIEW over a
+                # restored source would otherwise hold aggregates from
+                # the rolled-back changes until someone refreshes it —
+                # refresh now (the view's commit-boundary watermark makes
+                # this exact: the diff across the restore sees the NET
+                # state change, so the view lands back on the source's
+                # restored truth)
+                restored_roots = {
+                    str(VersionedTable(
+                        spark, versioned_views[k]["root"]
+                    ).root)
+                    for k in restored
+                }
+                if restored_roots:
+                    from database_anonymiser_spark.sources.materialized import (
+                        refresh_materialized,
+                    )
+
+                    for key, meta2 in versioned_views.items():
+                        t2 = VersionedTable(spark, meta2["root"])
+                        props = t2._raw_properties() or {}
+                        if props.get("ivm.source") in restored_roots:
+                            refresh_materialized(spark, meta2["root"])
+                            restored.append(f"{key} (refreshed)")
                 return restored
 
             txn = None  # the open BEGIN..COMMIT group, if any (round 14)
@@ -469,7 +528,10 @@ def main(argv: list[str] | None = None) -> int:
                         frag = execute_dml(
                             spark, s, versioned_views, dryrun=args.sql_dryrun
                         )
-                except (SqlDmlError, ValueError, _SparkAnalysisError) as e:
+                except (
+                    SqlDmlError, ValueError, _SparkAnalysisError,
+                    TransactionAborted,
+                ) as e:
                     if txn is not None:
                         # an open transaction never half-applies: discard
                         # the workspaces — NO table shows any effect

@@ -5045,7 +5045,7 @@ class VersionedTable:
         )
         return v + 1
 
-    def overwrite(self, df: DataFrame, max_retries: int = 0) -> int:
+    def overwrite(self, df: DataFrame) -> int:
         """``INSERT OVERWRITE`` — atomically replace the table's
         CONTENTS with ``df`` in ONE commit (round 14): new files are
         written first (invisible until referenced), then a single commit
@@ -5054,11 +5054,11 @@ class VersionedTable:
         mix; time travel below the overwrite reads the old data. Schema
         contract is append's (same :meth:`_align_schema` rules; identity
         and generated columns allocated/recomputed), constraints are
-        validated on the incoming rows. No OCC auto-rebase by default
-        (``max_retries=0``): an overwrite's read-set is the WHOLE table,
-        so any concurrent winner is a true conflict — the caller must
-        re-read and re-decide (Delta's Serializable overwrite makes the
-        same call)."""
+        validated on the incoming rows. NO OCC auto-rebase (one
+        attempt, ``VersionConflict`` propagates): an overwrite's
+        read-set is the WHOLE table, so any concurrent winner is a true
+        conflict — the caller must re-read and re-decide (Delta's
+        Serializable overwrite makes the same call)."""
         key_col = self.key_col()
         ident = self.identity_column()
         if ident is not None:

@@ -921,6 +921,11 @@ def _resolve_in_subqueries(spark, pred: str):
         remaining = " AND ".join(kept) if kept else None
         if remaining is not None:
             try:
+                # NOTE: small IN-subqueries that already materialized in
+                # the aborted first pass re-run here — bounded (only
+                # statements that ALSO carry an oversized term pay it,
+                # and each small list is ≤ the cap), and sources are
+                # static within a statement (temp views / snapshots)
                 remaining = _materialize_in_subqueries(spark, remaining)
             except _OversizedInSubquery:
                 raise SqlDmlError(
@@ -932,27 +937,26 @@ def _resolve_in_subqueries(spark, pred: str):
         return remaining, membership
 
 
-def _membership_filter(df, membership):
+def _membership_filter(vt, df, membership):
     """Apply a membership spec to a DataFrame as the exact TRUE-rows
-    filter (dryrun counting twin of the natives' semi-join): IN → semi
-    join on the non-null distinct subjects; NOT IN → empty when any
-    subject is NULL, else non-null anti join; NOT IN (empty) → all."""
+    filter — the dryrun counting path DELEGATES to the same
+    ``_membership_plan`` / ``_with_membership`` the real operation runs
+    (round-14 review: a hand-rolled twin here could drift from the
+    execution semantics, which is exactly what a dryrun must never
+    do)."""
     from pyspark.sql import functions as F
 
-    col, subjects, negated = membership
-    scol = subjects.columns[0]
-    vals = (
-        subjects.where(F.col(scol).isNotNull())
-        .select(F.col(scol).alias(col))
-        .distinct()
+    from database_anonymiser_spark.sources.versioned import _MEMBER_MARK
+
+    col, vals, negated, fate, _prune = vt._membership_plan(
+        membership, df.schema
     )
-    if negated:
-        if subjects.where(F.col(scol).isNull()).limit(1).count() > 0:
-            return df.where(F.lit(False))
-        if vals.limit(1).count() == 0:
-            return df
-        return df.where(F.col(col).isNotNull()).join(vals, [col], "left_anti")
-    return df.join(vals, [col], "left_semi")
+    if fate == "never":
+        return df.where(F.lit(False))
+    if fate == "always":
+        return df
+    joined, member = vt._with_membership(df, col, vals, negated)
+    return joined.where(member).drop(_MEMBER_MARK)
 
 
 def classify_utility(stmt: str) -> str | None:
@@ -1167,10 +1171,18 @@ def _register_versioned_view(spark, name: str, root: str,
         spark.dataSource.register(VersionedDataSource)
     except Exception:
         pass  # already registered
-    (
-        spark.read.format("versioned").option("path", str(root)).load()
-        .createOrReplaceTempView(name)
-    )
+    reader = spark.read.format("versioned").option("path", str(root))
+    # match the session's SELECT face (round-14 review): when the CLI
+    # enabled pushdown (the default) it set this conf — a mid-script
+    # CREATE must not register a slower, inconsistent plain-scan view
+    if (
+        str(
+            spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        ).lower()
+        == "true"
+    ):
+        reader = reader.option("pushdown", "true")
+    reader.load().createOrReplaceTempView(name)
     versioned_views[name.lower()] = {"root": str(root), "pinned": False}
 
 
@@ -1224,10 +1236,18 @@ def show_create_table(t, name: str) -> str:
         )
     }
     if props:
+        esc = lambda x: str(x).replace("'", "''")
         kv = ", ".join(
-            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            f"'{esc(k)}' = '{esc(v)}'" for k, v in sorted(props.items())
         )
         parts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+    if "'" in str(t.root):
+        # the CREATE grammar's LOCATION literal cannot express a quote
+        raise SqlDmlError(
+            f"SHOW CREATE TABLE cannot render location {str(t.root)!r}: "
+            "a single quote in the path is not expressible in the "
+            "LOCATION literal"
+        )
     return ";\n".join(parts) + ";"
 
 
@@ -1866,15 +1886,18 @@ def execute_utility(
         t = _table(m.group(1))
         props: dict[str, str] = {}
         for item in _split_top(m.group("kv")):
+            # SQL-standard quote escaping: '' inside a literal is one '
             pm = re.fullmatch(
-                r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item
+                r"\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*", item
             )
             if not pm:
                 raise SqlDmlError(
                     f"malformed TBLPROPERTIES item {item.strip()!r}; "
                     "expected 'key' = 'value'"
                 )
-            props[pm.group(1)] = pm.group(2)
+            props[pm.group(1).replace("''", "'")] = (
+                pm.group(2).replace("''", "'")
+            )
         v = t.set_properties(props)
         return {"mode": "sql_utility", "op": "set_properties",
                 "table": _unquote(m.group(1)), "properties": props,
@@ -1888,13 +1911,13 @@ def execute_utility(
         t = _table(m.group(1))
         keys = []
         for item in _split_top(m.group("k")):
-            km = re.fullmatch(r"\s*'([^']+)'\s*", item)
+            km = re.fullmatch(r"\s*'((?:[^']|'')+)'\s*", item)
             if not km:
                 raise SqlDmlError(
                     f"malformed UNSET TBLPROPERTIES item {item.strip()!r}; "
                     "expected 'key'"
                 )
-            keys.append(km.group(1))
+            keys.append(km.group(1).replace("''", "'"))
         v = t.unset_properties(keys)
         return {"mode": "sql_utility", "op": "unset_properties",
                 "table": _unquote(m.group(1)), "keys": keys,
@@ -2011,7 +2034,7 @@ def execute_dml(
         if dryrun:
             would = vt.snapshot().where(F.expr(u.predicate or "true"))
             if membership is not None:
-                would = _membership_filter(would, membership)
+                would = _membership_filter(vt, would, membership)
             n = would.count()
             # the assignment columns go through the same existence check
             # the real op would apply (a typo'd column must fail the
@@ -2047,7 +2070,7 @@ def execute_dml(
         if dryrun:
             would = vt.snapshot().where(F.expr(d.predicate or "true"))
             if membership is not None:
-                would = _membership_filter(would, membership)
+                would = _membership_filter(vt, would, membership)
             n = would.count()
             return {
                 "mode": "sql_dml_dryrun", "op": kind, "table": d.table,

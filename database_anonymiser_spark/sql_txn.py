@@ -434,22 +434,45 @@ class ScriptTransaction:
             raise
 
 
-def abandoned_workspaces(root: str | Path) -> list[Path]:
-    """Workspace directories under ``<root>/_txn`` with no surviving
-    manifest — crash leftovers of UNdecided transactions (decided ones
-    never reference workspace paths: files move out before the manifest
-    is written). Safe to delete; :func:`ScriptTransaction.sweep` does."""
+def abandoned_workspaces(
+    root: str | Path, grace_s: float = 6 * 3600.0
+) -> list[Path]:
+    """Workspace directories under ``<root>/_txn`` that are crash
+    leftovers: STALE (no write anywhere in the tree for ``grace_s``
+    seconds — round-14 review fix: an OPEN transaction in another
+    process keeps touching its workspace, and deleting it out from
+    under that process would fail its next statement; pass
+    ``grace_s=0`` only when no concurrent writer can exist, e.g.
+    tests). Decided transactions never reference workspace paths (files
+    move out before the manifest is written), so age is the only
+    liveness signal needed."""
+    import time as _time
+
     d = Path(root) / "_txn"
     if not d.is_dir():
         return []
-    return sorted(p for p in d.iterdir()
-                  if p.is_dir() and p.name.startswith(_WS_PREFIX))
+    now = _time.time()
+    out = []
+    for p in sorted(d.iterdir()):
+        if not (p.is_dir() and p.name.startswith(_WS_PREFIX)):
+            continue
+        try:
+            newest = max(
+                (q.stat().st_mtime for q in p.rglob("*")),
+                default=p.stat().st_mtime,
+            )
+        except OSError:
+            continue  # racing a concurrent cleanup: skip
+        if now - newest >= grace_s:
+            out.append(p)
+    return out
 
 
-def sweep_workspaces(root: str | Path) -> int:
+def sweep_workspaces(root: str | Path, grace_s: float = 6 * 3600.0) -> int:
     """Remove abandoned transaction workspaces (run alongside
-    ``txn.recover`` at pipeline start). Returns the count removed."""
-    ws = abandoned_workspaces(root)
+    ``txn.recover`` at pipeline start). Age-guarded — see
+    :func:`abandoned_workspaces`. Returns the count removed."""
+    ws = abandoned_workspaces(root, grace_s=grace_s)
     for p in ws:
         shutil.rmtree(p, ignore_errors=True)
     return len(ws)

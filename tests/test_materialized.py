@@ -342,6 +342,41 @@ def test_e2e_sql_drop(spark, src, tmp_path):
     assert claim_utility("DROP TABLE nope", views) is None
 
 
+def test_rollback_refreshes_dependent_mv(spark, src, tmp_path):
+    """Round-14 review fix: --sqlRollbackOnError restores the MV's
+    SOURCE; a registered materialized view over it is then re-refreshed
+    so it lands back on the restored truth instead of silently serving
+    aggregates from the rolled-back changes."""
+    from database_anonymiser_spark.cli import main as cli_main
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    spark.range(1).write.parquet(str(data_dir / "dummy.parquet"))
+    mv_root = tmp_path / "mv"
+    mv = create_materialized(
+        spark, str(mv_root), src.root, ["grp"], {"total": ("sum", "amt")}
+    )
+    want = {r["grp"]: r["total"]
+            for r in mv.snapshot().select("grp", "total").collect()}
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "UPDATE src_t SET amt = amt + 1000 WHERE grp = 'a';\n"
+        "REFRESH MATERIALIZED VIEW mv;\n"
+        "UPDATE src_t SET nope = 1;\n"  # fails: unknown column
+    )
+    rc = cli_main([
+        "--sqlFile", str(script), "--sqlRollbackOnError",
+        "--data", str(data_dir),
+        "--versionedTable", f"src_t={src.root}",
+        "--versionedTable", f"mv={mv_root}",
+    ])
+    assert rc == 2
+    # the source is restored AND the view re-reflects the restored state
+    got = {r["grp"]: r["total"]
+           for r in mv.snapshot().select("grp", "total").collect()}
+    assert got == want
+
+
 def test_stream_materialize(spark, src, tmp_path):
     """run_stream_materialize: the CDF stream drives refreshes; after a
     drain the view equals the recompute; a second drain with no source

@@ -762,10 +762,11 @@ def test_e2e_sql_maintenance_statements(spark, dml_env, tmp_path):
         "--data", str(data_dir), "--versionedTable", f"cust_old={root}@0",
     ])
     assert rc == 2
-    # round 14: ADD COLUMN is now a supported DDL shape; a shape the
-    # utility face does NOT implement still refuses with the grammar
+    # round 14: ADD COLUMN / SET TBLPROPERTIES are now supported DDL
+    # shapes; one the utility face does NOT implement still refuses
+    # with the grammar
     rc = _run([
-        "--sql", "ALTER TABLE cust SET TBLPROPERTIES ('a' = 'b')",
+        "--sql", "ALTER TABLE cust SET LOCATION '/elsewhere'",
         "--data", str(data_dir), "--versionedTable", f"cust={root}",
     ])
     assert rc == 2
@@ -1218,6 +1219,20 @@ def test_e2e_sql_constraints_properties(spark, tmp_path):
             "= '[]')",
             views,
         )
+    # round-14 review fix: SQL-standard '' escaping round-trips a value
+    # containing a quote through SET, SHOW CREATE, and UNSET
+    execute_utility(
+        spark, "ALTER TABLE t SET TBLPROPERTIES ('note' = 'it''s fine')",
+        views,
+    )
+    assert t.detail()["properties"]["note"] == "it's fine"
+    from database_anonymiser_spark.sql_dml import show_create_table
+
+    assert "'it''s fine'" in show_create_table(t, "t")
+    execute_utility(
+        spark, "ALTER TABLE t UNSET TBLPROPERTIES ('note')", views
+    )
+    assert "note" not in t.detail()["properties"]
 
 
 def test_e2e_sql_truncate_and_insert_overwrite(spark, tmp_path):
@@ -1399,6 +1414,32 @@ def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
     assert rc == 0
     assert t.snapshot().where("k >= 1000 AND k < 13000").count() == 0
     assert t.snapshot().count() == 30_000 - 12_000
+
+
+def test_e2e_erase_refused_under_rollback_flag(spark, dml_env, tmp_path):
+    """Round-14 review fix: ERASE physically reclaims pre-images, so a
+    script rollback across it would restore references to deleted
+    files — the combination refuses upfront, before anything runs."""
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    v0 = t.latest_version()
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "UPDATE cust SET v = upper(v) WHERE k = 1;\n"
+        "ERASE FROM cust WHERE k = 2;\n"
+    )
+    rc = _run([
+        "--sqlFile", str(script), "--sqlRollbackOnError",
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 2
+    assert t.latest_version() == v0  # nothing ran
+    # without the rollback flag the same script is fine
+    rc = _run([
+        "--sqlFile", str(script),
+        "--data", str(data_dir), "--versionedTable", f"cust={root}",
+    ])
+    assert rc == 0
 
 
 def test_e2e_sql_erase(spark, dml_env, tmp_path):

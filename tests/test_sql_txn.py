@@ -317,11 +317,16 @@ def test_abandoned_workspace_sweep(spark, txn_env):
     views = {"ta": {"root": str(ra), "pinned": False}}
     txn = ScriptTransaction(spark, views)
     txn.execute("UPDATE ta SET v = 'lost' WHERE k = 1")
-    # simulated crash: the object is simply dropped, no rollback call
-    ws = abandoned_workspaces(str(ra))
-    assert len(ws) == 1 and ws[0].name.startswith("ws-")
-    assert sweep_workspaces(str(ra)) == 1
+    # simulated crash: the object is simply dropped, no rollback call.
+    # round 14: the sweep is AGE-GUARDED — a fresh workspace (a live
+    # transaction in another process) is never a sweep candidate...
     assert abandoned_workspaces(str(ra)) == []
+    assert sweep_workspaces(str(ra)) == 0
+    # ... and only falls due once stale (grace 0 = test shortcut)
+    ws = abandoned_workspaces(str(ra), grace_s=0)
+    assert len(ws) == 1 and ws[0].name.startswith("ws-")
+    assert sweep_workspaces(str(ra), grace_s=0) == 1
+    assert abandoned_workspaces(str(ra), grace_s=0) == []
     assert VersionedTable(spark, ra).latest_version() == 0
 
 
