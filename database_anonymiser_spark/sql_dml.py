@@ -568,6 +568,22 @@ def _parse_on_keys(
     return pairs, residual
 
 
+#: SQL single-quoted literal with standard '' escaping — the
+#: TBLPROPERTIES key/value grammar (round 14)
+_SQ_LIT = r"'((?:[^']|'')*)'"
+
+
+def _sq_quote(s: str) -> str:
+    """Render a string as a SQL single-quoted literal ('' escaping)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _sq_unquote(body: str) -> str:
+    """Inverse of :func:`_sq_quote` for the regex GROUP (quotes already
+    stripped by the match)."""
+    return body.replace("''", "'")
+
+
 def _split_top_and(s: str) -> list[str]:
     mask = _mask(s)
     cuts = [m for m in re.compile(r"\bAND\b", re.I).finditer(s)
@@ -1236,9 +1252,9 @@ def show_create_table(t, name: str) -> str:
         )
     }
     if props:
-        esc = lambda x: str(x).replace("'", "''")
         kv = ", ".join(
-            f"'{esc(k)}' = '{esc(v)}'" for k, v in sorted(props.items())
+            f"{_sq_quote(k)} = {_sq_quote(v)}"
+            for k, v in sorted(props.items())
         )
         parts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
     if "'" in str(t.root):
@@ -1888,16 +1904,14 @@ def execute_utility(
         for item in _split_top(m.group("kv")):
             # SQL-standard quote escaping: '' inside a literal is one '
             pm = re.fullmatch(
-                r"\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*", item
+                rf"\s*{_SQ_LIT}\s*=\s*{_SQ_LIT}\s*", item
             )
-            if not pm:
+            if not pm or not pm.group(1):
                 raise SqlDmlError(
                     f"malformed TBLPROPERTIES item {item.strip()!r}; "
                     "expected 'key' = 'value'"
                 )
-            props[pm.group(1).replace("''", "'")] = (
-                pm.group(2).replace("''", "'")
-            )
+            props[_sq_unquote(pm.group(1))] = _sq_unquote(pm.group(2))
         v = t.set_properties(props)
         return {"mode": "sql_utility", "op": "set_properties",
                 "table": _unquote(m.group(1)), "properties": props,
@@ -1911,13 +1925,13 @@ def execute_utility(
         t = _table(m.group(1))
         keys = []
         for item in _split_top(m.group("k")):
-            km = re.fullmatch(r"\s*'((?:[^']|'')+)'\s*", item)
-            if not km:
+            km = re.fullmatch(rf"\s*{_SQ_LIT}\s*", item)
+            if not km or not km.group(1):
                 raise SqlDmlError(
                     f"malformed UNSET TBLPROPERTIES item {item.strip()!r}; "
                     "expected 'key'"
                 )
-            keys.append(km.group(1).replace("''", "'"))
+            keys.append(_sq_unquote(km.group(1)))
         v = t.unset_properties(keys)
         return {"mode": "sql_utility", "op": "unset_properties",
                 "table": _unquote(m.group(1)), "keys": keys,

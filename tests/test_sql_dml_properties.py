@@ -101,3 +101,124 @@ def test_derive_prune_equality_chain_is_intersection(vals):
     pred = " AND ".join(f"k = {v}" for v in vals)
     prune = derive_prune(pred)
     assert prune == {"k": (max(vals), min(vals))}
+
+
+# --------------------------------------------------------------------------
+# round 14: ON-split, conjunct splitter, literal escaping, MV parser
+# --------------------------------------------------------------------------
+
+from database_anonymiser_spark.sql_dml import (  # noqa: E402
+    _parse_on_keys,
+    _split_top_and,
+    _sq_quote,
+    _sq_unquote,
+    _SQ_LIT,
+    SqlDmlError,
+)
+from database_anonymiser_spark.sources.materialized import (  # noqa: E402
+    parse_mv_query,
+)
+
+_ident = st.sampled_from(["a", "b", "c", "amt", "region", "k2"])
+_residual = st.sampled_from([
+    "t.region = 'EU'",
+    "s.amt > 10",
+    "t.v BETWEEN 1 AND 5",
+    "coalesce(s.x, 0) <> t.y",
+    "(t.p = 1 OR s.q = 2)",
+    "s.name LIKE 'a%'",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    keys=st.lists(_ident, min_size=1, max_size=3, unique=True),
+    residuals=st.lists(_residual, max_size=3),
+    flip=st.booleans(),
+)
+def test_on_split_partitions_conjuncts(keys, residuals, flip):
+    """_parse_on_keys: the key-equality conjuncts land in the pair map,
+    EVERYTHING else lands verbatim (requalified) in the residual — a
+    partition, nothing dropped, order preserved within the residual."""
+    eqs = [
+        (f"s.{k} = t.{k}" if flip else f"t.{k} = s.{k}") for k in keys
+    ]
+    on = " AND ".join(eqs + residuals)
+    pairs, res = _parse_on_keys(on, "t", "s", tuple(keys))
+    assert pairs == {k: k for k in keys}
+    assert res == residuals
+    # dropping any key equality must refuse
+    if len(eqs) >= 1:
+        broken = " AND ".join(eqs[1:] + residuals)
+        try:
+            _parse_on_keys(broken, "t", "s", tuple(keys))
+            assert False, "missing key equality must refuse"
+        except SqlDmlError:
+            pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    conjs=st.lists(
+        st.sampled_from([
+            "k = 1",
+            "v BETWEEN 2 AND 9",
+            "name = 'x AND y'",
+            "(a = 1 AND b = 2)",
+            "ts BETWEEN '2020' AND '2021'",
+            "upper(v) IN ('AND', 'OR')",
+        ]),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_split_top_and_round_trips(conjs):
+    """Joining conjuncts with AND then splitting returns the SAME list
+    (modulo the surrounding whitespace callers strip): BETWEEN's own
+    AND, quoted ANDs, and parenthesized ANDs never split."""
+    got = [c.strip() for c in _split_top_and(" AND ".join(conjs))]
+    assert got == conjs
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab',= c()", max_size=20))
+def test_sq_literal_round_trip(s):
+    """The TBLPROPERTIES literal grammar round-trips ANY value: quote →
+    regex-parse → unquote is the identity."""
+    import re as _re
+
+    lit = _sq_quote(s)
+    m = _re.fullmatch(_SQ_LIT, lit)
+    assert m is not None, lit
+    assert _sq_unquote(m.group(1)) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    keys=st.lists(
+        st.sampled_from(["g1", "g2", "region"]), min_size=1, max_size=3,
+        unique=True,
+    ),
+    aggs=st.lists(
+        st.tuples(
+            st.sampled_from(["n1", "n2", "s1", "m1"]),
+            st.sampled_from(
+                ["count(*)", "count(x)", "sum(a * b)", "avg(x + 1)"]
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_mv_parser_round_trips(keys, aggs):
+    sel = ", ".join(keys + [f"{expr} AS {name}" for name, expr in aggs])
+    src, got_keys, got_aggs = parse_mv_query(
+        f"SELECT {sel} FROM my_view GROUP BY {', '.join(keys)}"
+    )
+    assert src == "my_view" and got_keys == keys
+    for name, expr in aggs:
+        kind = expr.split("(")[0]
+        arg = expr[expr.index("(") + 1 : -1]
+        want = (kind, None if arg == "*" else arg)
+        assert got_aggs[name] == want
