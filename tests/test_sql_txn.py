@@ -233,6 +233,37 @@ def test_e2e_insert_overwrite_inside_txn(spark, txn_env):
     assert ta.snapshot(0).count() == 4  # time travel below the publish
 
 
+def test_e2e_oversized_membership_inside_txn(spark, txn_env, tmp_path):
+    """The round-14 semi-join membership path composes with
+    BEGIN..COMMIT: a >10k-subject DELETE stages against the fork and
+    publishes atomically with the rest of the script."""
+    data_dir, ra, _rb = txn_env
+    ta = VersionedTable(spark, ra)
+    # grow the table so the membership delete has real work
+    ta.append(
+        spark.range(1_000, 16_000).selectExpr(
+            "CAST(id AS INT) AS k", "'bulk' AS v"
+        )
+    )
+    v0 = ta.latest_version()
+    spark.range(1_000, 13_000).selectExpr("id AS s").createOrReplaceTempView(
+        "txn_subjects"
+    )
+    rc = _run([
+        "--sql",
+        "BEGIN; "
+        "DELETE FROM ta WHERE k IN (SELECT s FROM txn_subjects); "
+        "UPDATE ta SET v = 'kept' WHERE k >= 13000; "
+        "COMMIT;",
+        "--data", str(data_dir), "--versionedTable", f"ta={ra}",
+    ])
+    assert rc == 0
+    assert ta.latest_version() == v0 + 1  # ONE publish commit
+    assert ta.commit_op(v0 + 1) == "txn_publish"
+    assert ta.snapshot().where("k >= 1000 AND k < 13000").count() == 0
+    assert ta.snapshot().where("v = 'kept'").count() == 3_000
+
+
 def test_e2e_dryrun_counts_without_forking(spark, txn_env):
     data_dir, ra, _rb = txn_env
     rc = _run([
