@@ -158,6 +158,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "emit {{HMAC_*_HEX}} placeholders, never key material (r13)",
     )
     p.add_argument(
+        "--emitSqlTxn", action="store_true", dest="emit_sql_txn",
+        help="with --emitSql: wrap the script in BEGIN; ... COMMIT; — "
+        "the reference's whole-apply transaction (main.ts:102-111), "
+        "executed atomically by the script face (one txn_publish per "
+        "table, nothing visible on failure) (r14)",
+    )
+    p.add_argument(
         "--sqlRollbackOnError", action="store_true", dest="sql_rollback",
         help="SQL mode, scripts: when a later statement fails, RESTORE "
         "every table the script already touched to its pre-script "
@@ -829,7 +836,11 @@ def main(argv: list[str] | None = None) -> int:
 
             from pathlib import Path as _Path
 
-            _Path(args.emit_sql).write_text(emit_sql_script(catalog, plan))
+            _Path(args.emit_sql).write_text(
+                emit_sql_script(
+                    catalog, plan, transactional=args.emit_sql_txn
+                )
+            )
             print(f"emitted SQL script → {args.emit_sql}")
         result = execute_plan(catalog, plan, dryrun=True)
     else:

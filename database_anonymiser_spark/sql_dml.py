@@ -1141,7 +1141,7 @@ def statement_target(stmt: str) -> str | None:
 _UTILITY_GRAMMAR = (
     "supported maintenance grammar (Delta's SQL surface on the native ops):\n"
     "  OPTIMIZE <view> [ZORDER BY (cols) | MERGE RUNS <k>]\n"
-    "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS]\n"
+    "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS] [DRY RUN]\n"
     "  RESTORE [TABLE] <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'\n"
     "  DESCRIBE HISTORY|DETAIL <view>\n"
     "  ALTER TABLE <view> CLUSTER BY (cols)\n"
@@ -1600,21 +1600,33 @@ def execute_utility(
     if kind == "vacuum":
         m = re.fullmatch(
             rf"VACUUM\s+({_IDENT})"
-            r"(?:\s+RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+(?P<unit>VERSIONS|HOURS))?",
+            r"(?:\s+RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+(?P<unit>VERSIONS|HOURS))?"
+            r"(?:\s+(?P<dry>DRY\s+RUN))?",
             s, re.I,
         )
         if not m:
             raise SqlDmlError(f"unsupported VACUUM shape\n{_UTILITY_GRAMMAR}")
-        t = _table(m.group(1))
+        # DRY RUN only lists candidates — pinned views may preflight too
+        dry = m.group("dry") is not None
+        t = _table(m.group(1), mutating=not dry)
         if m.group("unit") and m.group("unit").upper() == "VERSIONS":
-            reclaimed = t.vacuum(retain_versions=int(float(m.group("n"))))
+            reclaimed = t.vacuum(
+                retain_versions=int(float(m.group("n"))), dry_run=dry
+            )
         elif m.group("unit"):
-            reclaimed = t.vacuum(retain_hours=float(m.group("n")))
+            reclaimed = t.vacuum(retain_hours=float(m.group("n")), dry_run=dry)
         else:
-            reclaimed = t.vacuum()
-        return {"mode": "sql_utility", "op": "vacuum",
+            reclaimed = t.vacuum(dry_run=dry)
+        frag = {"mode": "sql_utility", "op": "vacuum",
                 "table": _unquote(m.group(1)),
                 "files_reclaimed": len(reclaimed), "statement": stmt}
+        if dry:
+            # Delta's VACUUM ... DRY RUN: the candidate list IS the
+            # result — nothing was unlinked ("reclaimed" would lie)
+            frag["op"] = "vacuum_dry_run"
+            frag["files_would_reclaim"] = frag.pop("files_reclaimed")
+            frag["candidates"] = sorted(reclaimed)[:100]
+        return frag
     if kind == "restore":
         m = re.fullmatch(
             rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
@@ -1953,15 +1965,35 @@ def execute_utility(
 
 def _strip_line_comments(s: str) -> str:
     """Remove ``-- ...`` line comments (outside string literals) — an
-    emitted/reviewed script carries them; the statement parsers don't."""
-    mask = _mask(s)
-    out, i, n = [], 0, len(s)
+    emitted/reviewed script carries them; the statement parsers don't.
+
+    Round-14 fix: this must be ONE linear scan tracking its own string
+    state, not a pass over :func:`_mask` — the mask knows nothing about
+    comments, so an odd number of quotes INSIDE a comment (``-- the
+    user's note``) poisoned its string state and every later comment
+    survived stripping, mis-splitting the rest of the script. Here a
+    comment's characters never touch the quote state."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    quote: str | None = None
     while i < n:
-        if s[i] == "-" and i + 1 < n and s[i + 1] == "-" and mask[i][1]:
+        c = s[i]
+        if quote is not None:
+            out.append(c)
+            if c == quote:
+                quote = None  # '' escapes read as close+reopen: harmless
+            i += 1
+            continue
+        if c in "'\"`":
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and s[i + 1] == "-":
             j = s.find("\n", i)
             i = n if j < 0 else j  # the newline survives
             continue
-        out.append(s[i])
+        out.append(c)
         i += 1
     return "".join(out)
 

@@ -88,12 +88,19 @@ def strategy_sql(
     return None  # KEEP / unknown: no SET clause
 
 
-def emit_sql_script(catalog, plan) -> str:
+def emit_sql_script(catalog, plan, transactional: bool = False) -> str:
     """Render the resolved plan as per-table UPDATE statements, applying
     the SAME live-schema type-safety normalization the executor applies
     (``executor.ts:45-85`` → ``strategies.normalize_columns_for_types``)
     so the script and the engine downgrade identically. Tables with zero
-    active rewrites emit nothing (query-builder.ts:54-56)."""
+    active rewrites emit nothing (query-builder.ts:54-56).
+
+    ``transactional=True`` (round 14, ``--emitSqlTxn``) wraps the
+    UPDATE block in ``BEGIN; ... COMMIT;`` — the reference's OWN apply
+    shape (``main.ts:102-111`` runs every per-table UPDATE in ONE
+    transaction), runnable as-is through the script face's atomic
+    BEGIN..COMMIT: one ``txn_publish`` commit per table, nothing
+    visible on failure."""
     lines = [
         "-- anonymisation script emitted by database_anonymiser_spark",
         "-- one UPDATE per table; run through:",
@@ -104,6 +111,13 @@ def emit_sql_script(catalog, plan) -> str:
         "-- time, never commit a substituted script.",
         "",
     ]
+    if transactional:
+        lines += [
+            "-- whole-apply transaction (the reference's main.ts shape):",
+            "-- all tables publish atomically, or none do",
+            "BEGIN;",
+            "",
+        ]
     emitted = 0
     for pt in plan.tables:
         try:
@@ -132,5 +146,8 @@ def emit_sql_script(catalog, plan) -> str:
         lines.append(",\n".join(f"  {s}" for s in sets) + ";")
         lines.append("")
         emitted += 1
+    if transactional:
+        lines.append("COMMIT;")
+        lines.append("")
     lines.append(f"-- {emitted} table(s) with active rewrites")
     return "\n".join(lines) + "\n"

@@ -1416,6 +1416,98 @@ def test_e2e_sql_erase_oversized_membership(spark, tmp_path):
     assert t.snapshot().count() == 30_000 - 12_000
 
 
+def test_e2e_vacuum_dry_run(spark, dml_env, tmp_path):
+    """VACUUM ... DRY RUN lists the reclaim candidates without
+    unlinking anything; the real VACUUM then reclaims exactly them."""
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    data_dir, root = dml_env
+    t = VersionedTable(spark, root)
+    # churn: two rewrites leave superseded files behind
+    t.update_where({"v": "upper(v)"}, "true")
+    t.update_where({"v": "lower(v)"}, "true")
+    views = {"cust": {"root": str(root), "pinned": False}}
+    frag = execute_utility(
+        spark, "VACUUM cust RETAIN 1 VERSIONS DRY RUN", views
+    )
+    assert frag["op"] == "vacuum_dry_run"
+    n = frag["files_would_reclaim"]
+    assert n >= 1 and len(frag["candidates"]) == min(n, 100)
+    # nothing unlinked: every candidate still exists
+    for rel in frag["candidates"]:
+        assert (root / rel).exists()
+    frag2 = execute_utility(spark, "VACUUM cust RETAIN 1 VERSIONS", views)
+    assert frag2["files_reclaimed"] == n
+    for rel in frag["candidates"]:
+        assert not (root / rel).exists()
+
+
+def test_emit_sql_txn_script_is_atomic(spark, tmp_path):
+    """--emitSqlTxn: the emitted script is the reference's whole-apply
+    transaction — run through the script face, BOTH tables publish as
+    one txn_publish each, value-identical to the engine's own apply."""
+    import json
+
+    from database_anonymiser_spark.catalog import ParquetCatalog
+    from database_anonymiser_spark.executor import mask_table
+    from database_anonymiser_spark.planner import (
+        Plan,
+        PlannedColumn,
+        PlannedTable,
+    )
+    from database_anonymiser_spark.sql_gen import emit_sql_script
+
+    sf_dir = "/root/testdata/sf0.001"
+    catalog = ParquetCatalog(spark, sf_dir)
+    plan = Plan(
+        created_at="t0",
+        tables=(
+            PlannedTable(
+                table="public.customer", schema="public", name="customer",
+                columns=(PlannedColumn("c_name", "HASH_SHA256"),),
+            ),
+            PlannedTable(
+                table="public.nation", schema="public", name="nation",
+                columns=(PlannedColumn("n_name", "REDACT"),),
+            ),
+        ),
+    )
+    script = emit_sql_script(catalog, plan, transactional=True)
+    assert script.index("BEGIN;") < script.index("UPDATE customer")
+    assert script.rindex("COMMIT;") > script.rindex("UPDATE nation")
+
+    roots = {}
+    for name, key in (("customer", "c_custkey"), ("nation", "n_nationkey")):
+        roots[name] = tmp_path / name
+        VersionedTable.create(
+            spark, str(roots[name]), catalog.read(name), key_col=key
+        )
+    sql_path = tmp_path / "apply.sql"
+    sql_path.write_text(script)
+    rc = _run([
+        "--sqlFile", str(sql_path),
+        "--data", sf_dir,
+        "--versionedTable", f"customer={roots['customer']}",
+        "--versionedTable", f"nation={roots['nation']}",
+    ])
+    assert rc == 0
+    for name, key in (("customer", "c_custkey"), ("nation", "n_nationkey")):
+        t = VersionedTable(spark, roots[name])
+        assert t.latest_version() == 1
+        assert t.commit_op(1) == "txn_publish"
+    # value-identical to the engine's own masked projection
+    pt = plan.tables[0]
+    engine = {
+        tuple(r) for r in mask_table(catalog, pt)[0].collect()
+    }
+    scripted = {
+        tuple(r)
+        for r in VersionedTable(spark, roots["customer"]).snapshot().collect()
+    }
+    assert scripted == engine
+    _ = json
+
+
 def test_e2e_erase_refused_under_rollback_flag(spark, dml_env, tmp_path):
     """Round-14 review fix: ERASE physically reclaims pre-images, so a
     script rollback across it would restore references to deleted

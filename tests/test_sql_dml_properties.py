@@ -222,3 +222,22 @@ def test_mv_parser_round_trips(keys, aggs):
         arg = expr[expr.index("(") + 1 : -1]
         want = (kind, None if arg == "*" else arg)
         assert got_aggs[name] == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    code=st.sampled_from(
+        ["UPDATE t SET v = 'x'", "DELETE FROM t", "BEGIN", "COMMIT"]
+    ),
+    comment=st.text(alphabet="ab c'\"`()-,x", max_size=25),
+)
+def test_comment_quotes_never_poison_the_split(code, comment):
+    """Round-14 fix pinned: quotes INSIDE a -- comment must not leak
+    into the splitter's string state — every statement still splits out
+    and every comment still strips, whatever the comment contains."""
+    from database_anonymiser_spark.sql_dml import split_statements
+
+    script = (
+        f"-- {comment}\n{code};\n-- {comment}\n{code};\n-- {comment}\n"
+    )
+    assert split_statements(script) == [code, code]
