@@ -418,8 +418,8 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 "sql: a multi-statement script must be ALL DML/maintenance/"
                 "transaction-control (UPDATE/DELETE/INSERT/MERGE/OPTIMIZE/"
-                "VACUUM/RESTORE/DESCRIBE/ALTER/BEGIN/COMMIT/ROLLBACK); run "
-                "SELECTs one at a time",
+                "VACUUM/RESTORE/DESCRIBE/ALTER/EXPLAIN/BEGIN/COMMIT/"
+                "ROLLBACK); run SELECTs one at a time",
                 file=sys.stderr,
             )
             return 2
@@ -597,6 +597,26 @@ def main(argv: list[str] | None = None) -> int:
                         f"sql txn {frag['op']}: {frag['table']} staged "
                         f"(workspace v{frag['workspace_version']}; visible "
                         "at COMMIT)"
+                    )
+                elif frag["mode"] == "sql_explain":
+                    bits = [
+                        f"class={frag.get('class')}",
+                        f"native={frag.get('native_op')}",
+                    ]
+                    if "files_would_read" in frag:
+                        bits.append(
+                            f"files {frag['files_would_read']}"
+                            f"/{frag['files_total']}"
+                        )
+                    if frag.get("prune"):
+                        bits.append(f"prune={frag['prune']}")
+                    if frag.get("membership"):
+                        bits.append(
+                            f"membership={frag['membership']['plan']}"
+                        )
+                    print(
+                        f"sql explain: {frag.get('table', '')} "
+                        + " ".join(bits)
                     )
                 elif frag["mode"] == "sql_utility":
                     # not every utility frag carries the same keys

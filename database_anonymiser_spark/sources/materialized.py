@@ -1,5 +1,5 @@
 """Incremental materialized aggregates (IVM) over versioned tables
-(round 14).
+(round 14; min/max + approx-distinct round 15).
 
 A materialized view here is an ordinary versioned table — keyed by the
 GROUP BY columns — whose contents equal ``SELECT keys, aggs FROM source
@@ -11,18 +11,39 @@ classic delta-propagation result for distributive aggregates (Gupta &
 Mumick, "Maintenance of Materialized Views", IEEE DE Bulletin 1995;
 Delta Lake/DBSQL materialized views ship the same contract).
 
-Supported aggregates — exactly the self-maintainable family:
+Supported aggregates:
 
 - ``count(*)``          — +1 per inserted row image, −1 per deleted
 - ``count(col)``        — signed count of NON-NULL ``col`` images
 - ``sum(expr)``         — signed sum of the expression over images
 - ``avg(expr)``         — maintained as (sum, non-null count) hidden
   companions; the visible column is recomputed exactly from them
+- ``min(expr)`` / ``max(expr)`` (round 15) — inserts merge closed-form
+  (``least``/``greatest``); a DELETION is only dangerous when the
+  removed band touches the stored extremum (Gupta-Mumick's
+  self-maintainability boundary), and exactly those groups re-derive
+  from a file-skipped, semi-joined read of their base rows — never a
+  base scan
+- ``approx_distinct(expr)`` (round 15; SQL spelling
+  ``APPROX_COUNT_DISTINCT``) — a per-group KMV sketch (the k=256
+  smallest distinct 60-bit md5-prefix hashes, Bar-Yossef et al. 2002;
+  the SAME hash space and estimator as
+  ``operators/sketch.py::kmv_distinct``, so the served estimate is
+  bit-identical to the batch sketch of the same rows; exact below k).
+  Inserts merge closed-form (bottom-k of a union of bottom-k sets is
+  the bottom-k of the union — KMV is a monoid under insertion); a
+  removed hash forces a group recompute only when it is IN the stored
+  sketch (a hash above the k-th minimum can never change the k
+  smallest). Exact ``COUNT(DISTINCT ...)`` is the textbook
+  non-incrementalizable aggregate — it refuses with this pointer.
 
-``min``/``max`` are deliberately refused: they are not incrementally
-maintainable under deletes without re-scanning the affected group (the
-deleted value may have BEEN the min) — a refusal with that explanation
-beats a silently O(table) refresh.
+The extremum/sketch recompute is SHARED: a group flagged by ANY loss
+test re-derives ALL of its min/max/sketch state in one pass over that
+group's rows, read at the refresh's pinned target version with the
+file prune of the leading group key's range plus an exact semi-join on
+the full key (no collect, no base scan). This is the breadth-axis port
+of ``operators/ivm.py``'s round-7 bounded extremum-loss recompute and
+round-8 KMV maintenance (the round-14 verdict's top_next).
 
 Delta propagation: every change-feed row carries a sign (+1 for
 ``insert``/``update_postimage``, −1 for ``delete``/
@@ -30,11 +51,13 @@ Delta propagation: every change-feed row carries a sign (+1 for
 ONE shuffle over the CHANGES, never the table — and the per-group
 deltas MERGE into the view through the native conditional multi-clause
 merge: a group whose row count reaches zero deletes, an existing group
-updates by addition, a fresh group inserts. The merge is file-skipped
-on the group-key ranges like any other merge, and the commit carries
-the new source watermark in the SAME atomic commit (the
-``meta.properties`` slot — a crash between "apply deltas" and "record
-watermark" could otherwise double-apply on the next refresh).
+updates (addition for the self-maintainable family, closed-form
+least/greatest/sketch-union or the bounded recompute for the rest), a
+fresh group inserts. The merge is file-skipped on the group-key ranges
+like any other merge, and the commit carries the new source watermark
+in the SAME atomic commit (the ``meta.properties`` slot — a crash
+between "apply deltas" and "record watermark" could otherwise
+double-apply on the next refresh).
 
 NULL group keys are refused at create/refresh (the versioned table's
 key equality — like any SQL join — never matches NULL; ``coalesce``
@@ -44,21 +67,17 @@ Float caveat: ``sum``/``avg`` over DOUBLE columns accumulate
 reassociation drift relative to a from-scratch recompute (the same
 drift any shuffle reorder produces); use DECIMAL columns where exact
 refresh parity matters. Pinned by the equivalence tests with a
-tolerance on doubles and exactly on integers.
+tolerance on doubles and exactly on integers. ``min``/``max`` carry
+actual data values (no accumulation) and are drift-free.
 
 Relationship to ``operators/ivm.py`` (round 6): that module is the
 DEPTH axis of the same delta-propagation family — ONE (group, value)
-pair maintained with the aggregates that need per-group state beyond
-addition: MIN/MAX with the extremum-loss recompute bounded to exactly
-the affected groups, approx-distinct as a mergeable per-group KMV
-sketch, null-safe group keys, and compaction-segment skipping. This
-module is the BREADTH axis: arbitrarily many named count/sum/avg
-aggregates over a multi-column GROUP BY — the shape the SQL
-``CREATE MATERIALIZED VIEW`` face needs — restricted to the
-self-maintainable family precisely because each extra aggregate here
-is just another addition column in the same single merge. A view that
-needs maintained min/max/distinct uses ``IncrementalAggView``; the
-refusal message says so.
+pair with compaction-segment skipping, null-safe group keys, and a
+full-rewrite refresh. This module is the BREADTH axis: arbitrarily
+many named aggregates over a multi-column GROUP BY — the shape the SQL
+``CREATE MATERIALIZED VIEW`` face needs — maintained through the
+native MERGE. Since round 15 both axes carry the full aggregate
+family; the loss-recompute rule is the same algorithm in both.
 
 Reference parity note: the reference has no materialized views (its
 surface is per-table UPDATE scripts, ``src/executor/executor.ts``);
@@ -74,6 +93,7 @@ import re
 from pyspark.sql import functions as F
 
 __all__ = [
+    "apply_changes_frame",
     "create_materialized",
     "refresh_materialized",
     "materialized_info",
@@ -83,35 +103,41 @@ __all__ = [
 #: hidden per-avg companion suffixes (sum / non-null count)
 _S = "__ivm_s"
 _N = "__ivm_n"
+#: hidden per-approx-distinct KMV sketch companion suffix
+_K = "__ivm_kmv"
 #: hidden group-liveness row count
 _CNT = "__ivm_cnt"
 
-_AGG_SHAPES = ("count", "sum", "avg")
+_AGG_SHAPES = ("count", "sum", "avg", "min", "max", "approx_distinct")
+#: kinds that are NOT self-maintainable under deletes (loss → bounded
+#: recompute of the affected groups)
+_LOSS_KINDS = ("min", "max", "approx_distinct")
+
+#: KMV sketch size — exact below this many distinct values; the same k
+#: as the batch sketch default so estimates are comparable
+_KMV_K = 256
+_EMPTY_ARR = "CAST(array() AS ARRAY<BIGINT>)"
+
+_INS_SQL = "_change_type IN ('insert', 'update_postimage')"
 
 
 def _validate_aggs(aggs: dict) -> dict:
-    """Normalize {out_col: (kind, expr|None)}; refuse unsupported kinds
-    with the maintainability explanation."""
+    """Normalize {out_col: (kind, expr|None)}; refuse unsupported kinds."""
     out = {}
     for col, spec in aggs.items():
         kind, expr = spec
         kind = kind.lower()
-        if kind in ("min", "max"):
-            raise ValueError(
-                f"{kind}(...) is not self-maintainable under deletes "
-                "(the removed value may have been the extreme) — use "
-                "operators/ivm.py::IncrementalAggView(minmax=True), "
-                "which maintains min/max with the extremum-loss "
-                "recompute bounded to exactly the affected groups"
-            )
         if kind not in _AGG_SHAPES:
             raise ValueError(
                 f"unsupported aggregate {kind!r}; supported: "
-                f"count(*) | count(expr) | sum(expr) | avg(expr)"
+                f"count(*) | count(expr) | sum(expr) | avg(expr) | "
+                f"min(expr) | max(expr) | approx_distinct(expr)"
             )
         if kind == "count" and expr is not None and expr.strip() == "*":
             expr = None
-        if kind in ("sum", "avg") and not (expr and expr.strip()):
+        if kind != "count" and not (
+            expr and expr.strip() and expr.strip() != "*"
+        ):
             raise ValueError(f"{kind}() needs an expression")
         out[col] = (kind, expr.strip() if expr else None)
     return out
@@ -119,58 +145,141 @@ def _validate_aggs(aggs: dict) -> dict:
 
 def _signed(expr: str) -> str:
     """Signed contribution of one change-feed row image."""
+    return f"CASE WHEN {_INS_SQL} THEN ({expr}) ELSE -({expr}) END"
+
+
+def _hv(expr: str):
+    """The KMV hash column: 60-bit md5 prefix of the stringified value —
+    the SAME construction as sketch.py::kmv_distinct and
+    operators/ivm.py, so estimates are bit-comparable engine-wide. NULL
+    values hash to NULL and fall out of collect_set (count-distinct
+    semantics for free)."""
+    return F.conv(
+        F.substring(F.md5(F.expr(expr).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _mark_kmv(df, keys: list, hv_col, out: str):
+    """Bound the per-group KMV candidate set BEFORE any collect_set sees
+    it: a row whose hash is not among its (group, hash%64) bucket's k
+    smallest DISTINCT values gets a NULL ``out`` and falls out of
+    collect_set, so no aggregation buffer ever holds more than 64·k
+    hashes per group regardless of group cardinality. dense_rank (not
+    row_number) so duplicate rows of a kept value never evict a distinct
+    candidate; bottom-k of the 64 bucket-wise bottom-k sets is the exact
+    global bottom-k because each global winner wins its own bucket
+    (operators/ivm.py::_mark_bottom_k, generalized to composite keys)."""
+    from pyspark.sql import Window
+
+    h = out + "_h"
+    df = df.withColumn(h, hv_col)
+    w = Window.partitionBy(
+        *[F.col(c) for c in keys], F.pmod(F.col(h), F.lit(64))
+    ).orderBy(F.col(h).asc_nulls_last())
+    return df.withColumn(
+        out, F.when(F.dense_rank().over(w) <= _KMV_K, F.col(h))
+    ).drop(h)
+
+
+def _est_col(sk):
+    """KMV estimate Column from a sketch-array Column: exact size below
+    k, else (k-1)·2⁶⁰ / h(k) — the estimator of sketch.py::kmv_distinct
+    (try_divide covers the p≈2⁻⁶⁰ all-zero-prefix degenerate)."""
+    sz = F.size(F.coalesce(sk, F.expr(_EMPTY_ARR)))
+    return F.when(sz < _KMV_K, sz.cast("double")).otherwise(
+        F.round(
+            F.try_divide(
+                F.lit(float((_KMV_K - 1) * 2**60)), F.element_at(sk, _KMV_K)
+            ),
+            6,
+        )
+    )
+
+
+def _est_sql(arr: str) -> str:
+    """The same estimator as :func:`_est_col`, rendered as a SQL string
+    for merge SET/INSERT expressions."""
+    a = f"coalesce({arr}, {_EMPTY_ARR})"
     return (
-        "CASE WHEN _change_type IN ('insert', 'update_postimage') "
-        f"THEN ({expr}) ELSE -({expr}) END"
+        f"CASE WHEN size({a}) < {_KMV_K} THEN CAST(size({a}) AS DOUBLE) "
+        f"ELSE round(try_divide(CAST({float((_KMV_K - 1) * 2**60)} AS "
+        f"DOUBLE), element_at({a}, {_KMV_K})), 6) END"
     )
 
 
 def _delta_frame(changes, keys: list, aggs: dict):
-    """Per-group signed deltas over a change feed slice — one shuffle
-    over the CHANGES only. Returns columns: keys + d_cnt + one delta
-    column per visible/hidden aggregate slot."""
-    sel = changes.select(
-        *keys,
-        F.expr(_signed("1")).cast("long").alias("d" + _CNT),
-        *[
-            c
-            for col, (kind, expr) in aggs.items()
-            for c in (
-                [
-                    F.expr(
-                        _signed(f"CASE WHEN ({expr}) IS NOT NULL THEN 1 ELSE 0 END")
-                        if expr is not None
-                        else _signed("1")
-                    ).cast("long").alias(f"d_{col}")
-                ]
-                if kind == "count"
-                else [
-                    F.expr(
-                        _signed(f"coalesce(CAST(({expr}) AS DOUBLE), 0.0)")
-                    ).alias(f"d_{col}")
-                ]
-                if kind == "sum"
-                else [
-                    F.expr(
-                        _signed(f"coalesce(CAST(({expr}) AS DOUBLE), 0.0)")
-                    ).alias(f"d_{col}{_S}"),
-                    F.expr(
-                        _signed(f"CASE WHEN ({expr}) IS NOT NULL THEN 1 ELSE 0 END")
-                    ).cast("long").alias(f"d_{col}{_N}"),
-                ]
+    """Per-group deltas over a change feed slice — one shuffle over the
+    CHANGES only. Returns columns: keys + d<cnt> + per-aggregate slots:
+    signed sums for the self-maintainable family; insert/removed
+    extremum bands ``d_<col>__i``/``d_<col>__r`` for min/max; bottom-k
+    insert/removed hash arrays for approx_distinct (the removed band is
+    the LOSS TEST input — downward-closed vs the stored sketch, so
+    bottom-k preserves arrays_overlap exactly)."""
+    df = changes
+    ins = F.expr(_INS_SQL)
+    aggcols = [
+        F.sum(F.expr(_signed("1")).cast("long")).alias("d" + _CNT)
+    ]
+    for col, (kind, expr) in aggs.items():
+        if kind == "count":
+            e = (
+                _signed(f"CASE WHEN ({expr}) IS NOT NULL THEN 1 ELSE 0 END")
+                if expr is not None
+                else _signed("1")
             )
-        ],
-    )
-    dcols = [c for c in sel.columns if c not in keys]
-    return sel.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in dcols]
-    )
+            aggcols.append(
+                F.sum(F.expr(e).cast("long")).alias(f"d_{col}")
+            )
+        elif kind == "sum":
+            aggcols.append(
+                F.sum(
+                    F.expr(_signed(f"coalesce(CAST(({expr}) AS DOUBLE), 0.0)"))
+                ).alias(f"d_{col}")
+            )
+        elif kind == "avg":
+            aggcols.append(
+                F.sum(
+                    F.expr(_signed(f"coalesce(CAST(({expr}) AS DOUBLE), 0.0)"))
+                ).alias(f"d_{col}{_S}")
+            )
+            aggcols.append(
+                F.sum(
+                    F.expr(
+                        _signed(
+                            f"CASE WHEN ({expr}) IS NOT NULL THEN 1 ELSE 0 END"
+                        )
+                    ).cast("long")
+                ).alias(f"d_{col}{_N}")
+            )
+        elif kind in ("min", "max"):
+            fn = F.min if kind == "min" else F.max
+            v = F.expr(expr)
+            aggcols.append(fn(F.when(ins, v)).alias(f"d_{col}__i"))
+            aggcols.append(fn(F.when(~ins, v)).alias(f"d_{col}__r"))
+        else:  # approx_distinct
+            df = _mark_kmv(df, keys, F.when(ins, _hv(expr)), f"_ci_{col}")
+            df = _mark_kmv(df, keys, F.when(~ins, _hv(expr)), f"_cr_{col}")
+            aggcols.append(
+                F.slice(
+                    F.array_sort(F.collect_set(f"_ci_{col}")), 1, _KMV_K
+                ).alias(f"d_{col}__i")
+            )
+            aggcols.append(
+                F.slice(
+                    F.array_sort(F.collect_set(f"_cr_{col}")), 1, _KMV_K
+                ).alias(f"d_{col}__r")
+            )
+    return df.groupBy(*keys).agg(*aggcols)
 
 
 def _full_frame(src_df, keys: list, aggs: dict):
     """The from-scratch aggregate with the MV's physical schema (used at
     create; also what every refresh must stay equal to — the tests'
     oracle)."""
+    df = src_df
+    for col, (kind, expr) in aggs.items():
+        if kind == "approx_distinct":
+            df = _mark_kmv(df, keys, _hv(expr), f"_c_{col}")
     cols = [F.count(F.lit(1)).alias(_CNT)]
     for col, (kind, expr) in aggs.items():
         if kind == "count":
@@ -183,13 +292,23 @@ def _full_frame(src_df, keys: list, aggs: dict):
             cols.append(
                 F.sum(F.expr(f"CAST(({expr}) AS DOUBLE)")).alias(col)
             )
-        else:  # avg: visible col + hidden (sum, n)
+        elif kind == "avg":  # visible col + hidden (sum, n)
             cols.append(F.avg(F.expr(f"CAST(({expr}) AS DOUBLE)")).alias(col))
             cols.append(
                 F.sum(F.expr(f"CAST(({expr}) AS DOUBLE)")).alias(f"{col}{_S}")
             )
             cols.append(F.count(F.expr(expr)).alias(f"{col}{_N}"))
-    out = src_df.groupBy(*keys).agg(*cols)
+        elif kind == "min":
+            cols.append(F.min(F.expr(expr)).alias(col))
+        elif kind == "max":
+            cols.append(F.max(F.expr(expr)).alias(col))
+        else:  # approx_distinct: hidden sketch; visible estimate below
+            cols.append(
+                F.slice(
+                    F.array_sort(F.collect_set(f"_c_{col}")), 1, _KMV_K
+                ).alias(f"{col}{_K}")
+            )
+    out = df.groupBy(*keys).agg(*cols)
     # sum over an all-NULL group is NULL; the merge arithmetic wants 0
     # with the visible NULL derived from n = 0
     fixes = {}
@@ -198,6 +317,8 @@ def _full_frame(src_df, keys: list, aggs: dict):
             fixes[col] = F.coalesce(F.col(col), F.lit(0.0))
         elif kind == "avg":
             fixes[f"{col}{_S}"] = F.coalesce(F.col(f"{col}{_S}"), F.lit(0.0))
+        elif kind == "approx_distinct":
+            fixes[col] = _est_col(F.col(f"{col}{_K}"))
     for c, e in fixes.items():
         out = out.withColumn(c, e)
     return out
@@ -220,18 +341,20 @@ def create_materialized(
     """Create the materialized view: ONE full aggregate scan of the
     source's current snapshot into a fresh versioned table keyed by the
     group columns, with the IVM contract (source root, keys, aggregate
-    specs, source watermark) recorded in the table's property map.
-    Returns the :class:`VersionedTable`.
+    specs, source watermark) folded INTO the create commit itself
+    (round 15: one atomic commit — a crash can never leave a table
+    that exists without its contract). Returns the
+    :class:`VersionedTable`.
 
     ``aggs``: ``{out_col: (kind, expr|None)}`` with kind ∈ count | sum
-    | avg (see module docstring for why min/max refuse).
+    | avg | min | max | approx_distinct.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
     keys = list(keys)
     aggs = _validate_aggs(dict(aggs))
     reserved = {_CNT} | {
-        f"{c}{suf}" for c in aggs for suf in (_S, _N)
+        f"{c}{suf}" for c in aggs for suf in (_S, _N, _K)
     }
     if set(keys) & set(aggs):
         raise ValueError("a column cannot be both a group key and an aggregate")
@@ -242,17 +365,16 @@ def create_materialized(
     snap = src.snapshot(src_v)
     _check_no_null_keys(snap.select(*keys), keys, "the source snapshot")
     mv_df = _full_frame(snap, keys, aggs)
-    mv = VersionedTable.create(
+    return VersionedTable.create(
         spark, mv_root, mv_df,
         key_col=keys[0] if len(keys) == 1 else keys,
+        properties={
+            "ivm.source": str(src.root),
+            "ivm.keys": json.dumps(keys),
+            "ivm.aggs": json.dumps({c: list(s) for c, s in aggs.items()}),
+            "ivm.last_version": str(src_v),
+        },
     )
-    mv.set_properties({
-        "ivm.source": str(src.root),
-        "ivm.keys": json.dumps(keys),
-        "ivm.aggs": json.dumps({c: list(s) for c, s in aggs.items()}),
-        "ivm.last_version": str(src_v),
-    })
-    return mv
 
 
 def materialized_info(mv) -> dict:
@@ -273,19 +395,147 @@ def materialized_info(mv) -> dict:
     }
 
 
-def refresh_materialized(spark, mv_root) -> dict:
-    """Advance the view to the source's head by delta propagation:
-    read the source change feed for (last_version, head], aggregate the
-    signed contributions per group (one shuffle over the CHANGES), and
-    MERGE the deltas in — groups reaching zero rows delete, existing
-    groups update by addition, fresh groups insert. The source
-    watermark advances IN the merge commit (atomic: a crash can never
-    double-apply). Returns ``{"refreshed": bool, "from_version",
-    "to_version", "groups_changed"}``.
+def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
+    """Join the delta against the view's stored loss state, flag the
+    groups whose removals can actually change non-self-maintainable
+    state, and — for exactly those groups — re-derive min/max/sketch
+    from a file-skipped, semi-joined read of the source at the PINNED
+    target version. Returns (delta2, recomputed_group_count) where
+    delta2 carries ``_ivm_rec`` + typed ``rc_<col>`` columns ready for
+    the merge's CASE expressions.
+
+    Loss tests (per aggregate, OR'd into one shared flag — a group
+    flagged by ANY re-derives ALL its loss state in the one read):
+
+    - min: a removed value ≤ the stored minimum (or the stored slot is
+      NULL — group unknown/all-NULL: recompute to be safe)
+    - max: a removed value ≥ the stored maximum (sym.)
+    - approx_distinct: a removed hash is IN the stored sketch — exact,
+      because the stored sketch is downward-closed over the group's
+      hashes ({h ≤ θ}) and every removed row existed at the interval
+      start, so the bottom-k removed band preserves arrays_overlap
+
+    Groups whose row count reaches zero delete in the merge and never
+    flag; fresh groups are insert-only and merge closed-form."""
+    stored = []
+    for col, (kind, expr) in aggs.items():
+        if kind in ("min", "max"):
+            stored.append(col)
+        elif kind == "approx_distinct":
+            stored.append(f"{col}{_K}")
+    cur = mv.snapshot().select(
+        *keys,
+        F.col(_CNT).alias(f"t_{_CNT}"),
+        *[F.col(c).alias(f"t_{c}") for c in stored],
+    )
+    j = delta.join(cur, on=list(keys), how="left")
+    survives = (
+        F.coalesce(F.col(f"t_{_CNT}"), F.lit(0)) + F.col("d" + _CNT)
+    ) > 0
+    terms = []
+    for col, (kind, expr) in aggs.items():
+        if kind == "min":
+            terms.append(
+                F.col(f"d_{col}__r").isNotNull()
+                & (
+                    F.col(f"t_{col}").isNull()
+                    | (F.col(f"d_{col}__r") <= F.col(f"t_{col}"))
+                )
+            )
+        elif kind == "max":
+            terms.append(
+                F.col(f"d_{col}__r").isNotNull()
+                & (
+                    F.col(f"t_{col}").isNull()
+                    | (F.col(f"d_{col}__r") >= F.col(f"t_{col}"))
+                )
+            )
+        elif kind == "approx_distinct":
+            sk = f"t_{col}{_K}"
+            terms.append(
+                (
+                    F.size(
+                        F.coalesce(F.col(f"d_{col}__r"), F.expr(_EMPTY_ARR))
+                    )
+                    > 0
+                )
+                & (
+                    F.col(sk).isNull()
+                    | F.arrays_overlap(F.col(f"d_{col}__r"), F.col(sk))
+                )
+            )
+    flag = terms[0]
+    for t in terms[1:]:
+        flag = flag | t
+    j = j.withColumn(
+        "_ivm_rec", F.coalesce(survives & flag, F.lit(False))
+    ).drop(f"t_{_CNT}", *[f"t_{c}" for c in stored])
+    # delta-sized (one row per changed group) — checkpoint bounds the
+    # double consumption (recompute branch + the merge's join)
+    j = j.localCheckpoint(eager=True)
+    rgroups = j.where("_ivm_rec").select(*keys)
+    n_rec = rgroups.count()
+    if n_rec == 0:
+        for col, (kind, expr) in aggs.items():
+            if kind in ("min", "max"):
+                j = j.withColumn(
+                    f"rc_{col}",
+                    F.lit(None).cast(j.schema[f"d_{col}__i"].dataType),
+                )
+            elif kind == "approx_distinct":
+                j = j.withColumn(
+                    f"rc_{col}", F.lit(None).cast("array<bigint>")
+                )
+        return j, 0
+    # file-skipped read of just the affected groups' rows at the PINNED
+    # refresh target: range-prune on the LEADING group key (one tiny
+    # bounds agg over the flagged groups), exact membership by semi-join
+    # on the full key — distributed, no collect of the group set. NULL
+    # keys are refused at create/refresh, so plain equality is exact.
+    lead = keys[0]
+    b = rgroups.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).first()
+    based = src.read_where({lead: (b["lo"], b["hi"])}, version=to_v)
+    rg = rgroups
+    for k_ in keys:
+        rg = rg.withColumnRenamed(k_, f"_rg_{k_}")
+    cond = None
+    for k_ in keys:
+        c = F.col(k_) == F.col(f"_rg_{k_}")
+        cond = c if cond is None else (cond & c)
+    affected = based.join(rg, cond, "left_semi")
+    rec_aggs = []
+    for col, (kind, expr) in aggs.items():
+        if kind == "min":
+            rec_aggs.append(F.min(F.expr(expr)).alias(f"rc_{col}"))
+        elif kind == "max":
+            rec_aggs.append(F.max(F.expr(expr)).alias(f"rc_{col}"))
+        elif kind == "approx_distinct":
+            affected = _mark_kmv(affected, keys, _hv(expr), f"_c_{col}")
+            rec_aggs.append(
+                F.slice(
+                    F.array_sort(F.collect_set(f"_c_{col}")), 1, _KMV_K
+                ).alias(f"rc_{col}")
+            )
+    rec = affected.groupBy(*keys).agg(*rec_aggs)
+    return j.join(rec, on=list(keys), how="left"), int(n_rec)
+
+
+def refresh_materialized(spark, mv_root, to_version: int | None = None) -> dict:
+    """Advance the view to the source's head (or a PINNED
+    ``to_version``) by delta propagation: read the source change feed
+    for (last_version, target], aggregate the signed contributions per
+    group (one shuffle over the CHANGES), and MERGE the deltas in —
+    groups reaching zero rows delete, existing groups update (addition
+    / closed-form least-greatest-sketch-union / bounded loss
+    recompute), fresh groups insert. The source watermark advances IN
+    the merge commit (atomic: a crash can never double-apply). Returns
+    ``{"refreshed": bool, "from_version", "to_version",
+    "groups_changed"[, "recomputed_groups"]}``.
 
     Scale shape: cost is O(changed rows) + a merge file-skipped on the
-    group-key range of the delta — a trickle of changes against a
-    100 TB source refreshes in seconds regardless of table size.
+    group-key range of the delta + (loss aggregates only) a read
+    bounded to the FLAGGED groups' files — a trickle of changes against
+    a 100 TB source refreshes in seconds regardless of table size.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
@@ -295,17 +545,67 @@ def refresh_materialized(spark, mv_root) -> dict:
     keys, aggs = info["keys"], _validate_aggs(info["aggs"])
     last = info["last_version"]
     head = src.latest_version()
-    if head == last:
+    if to_version is None:
+        to_version = head
+    elif not last <= to_version <= head:
+        raise ValueError(
+            f"refresh to_version {to_version} is outside "
+            f"[watermark {last}, source head {head}]"
+        )
+    if to_version == last:
         return {"refreshed": False, "from_version": last,
-                "to_version": head, "groups_changed": 0}
+                "to_version": to_version, "groups_changed": 0}
     if head < last:
         raise ValueError(
             f"source head {head} is BELOW the recorded watermark {last} "
             "(the source history was rewritten?); rebuild the view"
         )
-    changes = src.diff(last, head, images="both")
+    changes = src.diff(last, to_version, images="both")
+    return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
+
+
+def apply_changes_frame(spark, mv_root, changes, to_version: int) -> dict:
+    """Row-level refresh (round 15): apply an EXTERNALLY-SUPPLIED slice
+    of the source change feed covering exactly (watermark, to_version]
+    — the streaming fast path. Where :func:`refresh_materialized`
+    re-reads the interval from the log (``diff``), this trusts the rows
+    the caller already holds (a micro-batch of the engine's streaming
+    CDF, whose offsets are commit-granular — see
+    ``streaming/pipeline.py::run_stream_materialize``), so a tick costs
+    ZERO source-log data reads for the self-maintainable aggregate
+    family. The caller owns the contiguity argument: every
+    data-changing commit in (watermark, to_version] must be present in
+    ``changes`` with both update images (``_change_type`` ∈ insert /
+    delete / update_preimage / update_postimage). Rows at or below the
+    watermark must already be filtered out (at-least-once replay).
+    The watermark advances inside the delta-merge commit, atomically,
+    exactly as the log-based path."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    mv = VersionedTable(spark, mv_root)
+    info = materialized_info(mv)
+    src = VersionedTable(spark, info["source"])
+    keys, aggs = info["keys"], _validate_aggs(info["aggs"])
+    last = info["last_version"]
+    head = src.latest_version()
+    if to_version <= last:
+        return {"refreshed": False, "from_version": last,
+                "to_version": last, "groups_changed": 0}
+    if to_version > head:
+        raise ValueError(
+            f"apply_changes_frame to_version {to_version} is beyond the "
+            f"source head {head}"
+        )
+    return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
+
+
+def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version) -> dict:
+    """The shared delta→merge tail of both refresh faces: aggregate the
+    change rows to per-group deltas (one shuffle over the CHANGES),
+    bound-recompute the loss aggregates, and land ONE merge commit
+    carrying the new watermark."""
     _check_no_null_keys(
-        changes.select(*keys), keys, f"source changes {last}..{head}"
+        changes.select(*keys), keys, f"source changes {last}..{to_version}"
     )
     # persist: the delta is consumed twice (group count for the no-op
     # path/report, then the merge's join) — without it the change-feed
@@ -314,16 +614,28 @@ def refresh_materialized(spark, mv_root) -> dict:
     n_groups = delta.count()
     new_props = {
         **{k: v for k, v in mv._raw_properties().items()},
-        "ivm.last_version": str(head),
+        "ivm.last_version": str(to_version),
     }
     if n_groups == 0:
         # nothing to merge: advance the watermark as its own commit
-        mv.set_properties({"ivm.last_version": str(head)})
+        delta.unpersist()
+        mv.set_properties({"ivm.last_version": str(to_version)})
         return {"refreshed": True, "from_version": last,
-                "to_version": head, "groups_changed": 0}
+                "to_version": to_version, "groups_changed": 0}
 
-    # merge SET exprs: every slot updates by addition; visible avg
-    # recomputes exactly from its companions
+    loss = {c for c, (k, e) in aggs.items() if k in _LOSS_KINDS}
+    n_rec = 0
+    merge_src = delta
+    if loss:
+        merge_src, n_rec = _attach_recompute(
+            mv, src, delta, keys, aggs, to_version
+        )
+
+    # merge SET exprs: self-maintainable slots update by addition;
+    # visible avg recomputes exactly from its companions; min/max merge
+    # closed-form or take the bounded recompute; the sketch unions
+    # closed-form or takes the recompute, its visible estimate derived
+    # either way
     set_exprs = {_CNT: f"t.{_CNT} + s.d{_CNT}"}
     ins_exprs = {_CNT: f"s.d{_CNT}"}
     for k in keys:
@@ -333,7 +645,7 @@ def refresh_materialized(spark, mv_root) -> dict:
             z = "0L" if kind == "count" else "CAST(0.0 AS DOUBLE)"
             set_exprs[col] = f"coalesce(t.{col}, {z}) + s.d_{col}"
             ins_exprs[col] = f"s.d_{col}"
-        else:
+        elif kind == "avg":
             s_, n_ = f"{col}{_S}", f"{col}{_N}"
             set_exprs[s_] = f"t.{s_} + s.d_{s_}"
             set_exprs[n_] = f"t.{n_} + s.d_{n_}"
@@ -346,8 +658,31 @@ def refresh_materialized(spark, mv_root) -> dict:
             ins_exprs[col] = (
                 f"CASE WHEN s.d_{n_} > 0 THEN s.d_{s_} / s.d_{n_} END"
             )
+        elif kind in ("min", "max"):
+            fn = "least" if kind == "min" else "greatest"
+            set_exprs[col] = (
+                f"CASE WHEN s._ivm_rec THEN s.rc_{col} "
+                f"ELSE {fn}(t.{col}, s.d_{col}__i) END"
+            )
+            ins_exprs[col] = f"s.d_{col}__i"
+        else:  # approx_distinct
+            sk = f"{col}{_K}"
+            closed = (
+                f"slice(array_sort(array_distinct(concat("
+                f"coalesce(t.{sk}, {_EMPTY_ARR}), "
+                f"coalesce(s.d_{col}__i, {_EMPTY_ARR})))), 1, {_KMV_K})"
+            )
+            set_exprs[sk] = (
+                f"CASE WHEN s._ivm_rec THEN s.rc_{col} ELSE {closed} END"
+            )
+            set_exprs[col] = (
+                f"CASE WHEN s._ivm_rec THEN {_est_sql(f's.rc_{col}')} "
+                f"ELSE {_est_sql(closed)} END"
+            )
+            ins_exprs[sk] = f"coalesce(s.d_{col}__i, {_EMPTY_ARR})"
+            ins_exprs[col] = _est_sql(f"s.d_{col}__i")
     mv.merge(
-        delta,
+        merge_src,
         matched=[
             ("delete", f"t.{_CNT} + s.d{_CNT} <= 0"),
             ("update", None, set_exprs),
@@ -357,8 +692,11 @@ def refresh_materialized(spark, mv_root) -> dict:
         meta={"properties": new_props},
     )
     delta.unpersist()
-    return {"refreshed": True, "from_version": last, "to_version": head,
-            "groups_changed": int(n_groups)}
+    out = {"refreshed": True, "from_version": last,
+           "to_version": to_version, "groups_changed": int(n_groups)}
+    if loss:
+        out["recomputed_groups"] = n_rec
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -367,8 +705,8 @@ def refresh_materialized(spark, mv_root) -> dict:
 # --------------------------------------------------------------------------
 
 _AGG_RE = re.compile(
-    r"^\s*(count|sum|avg|min|max)\s*\((?P<arg>.+)\)\s+AS\s+"
-    r"(?P<name>[A-Za-z_][\w$]*)\s*$",
+    r"^\s*(count|sum|avg|min|max|approx_count_distinct)\s*"
+    r"\((?P<arg>.+)\)\s+AS\s+(?P<name>[A-Za-z_][\w$]*)\s*$",
     re.I | re.S,
 )
 
@@ -376,10 +714,11 @@ _AGG_RE = re.compile(
 def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
     """Parse the restricted MV SELECT shape into (source_view, keys,
     aggs). Every select item is either a bare group-key column or
-    ``count(*)|count(e)|sum(e)|avg(e) AS name``; FROM names one view;
-    GROUP BY lists the key columns. Anything else refuses with the
-    shape — a materialized view's refresh algebra only exists for this
-    family, so the parser only claims it."""
+    ``count(*)|count(e)|sum(e)|avg(e)|min(e)|max(e)|
+    approx_count_distinct(e) AS name``; FROM names one view; GROUP BY
+    lists the key columns. Anything else refuses with the shape — a
+    materialized view's refresh algebra only exists for this family, so
+    the parser only claims it."""
     m = re.match(
         r"\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>[A-Za-z_][\w$.]*)\s+"
         r"GROUP\s+BY\s+(?P<gb>.+?)\s*$",
@@ -388,7 +727,8 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
     if not m:
         raise ValueError(
             "materialized view query must be: SELECT <keys and "
-            "count/sum/avg aggregates> FROM <view> GROUP BY <keys>"
+            "count/sum/avg/min/max/approx_count_distinct aggregates> "
+            "FROM <view> GROUP BY <keys>"
         )
     keys = [c.strip() for c in m.group("gb").split(",") if c.strip()]
     if not all(re.fullmatch(r"[A-Za-z_][\w$]*", k) for k in keys):
@@ -416,9 +756,16 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
         am = _AGG_RE.match(it)
         if am:
             kind = am.group(1).lower()
-            if kind in ("min", "max"):
-                _validate_aggs({am.group("name"): (kind, am.group("arg"))})
             arg = am.group("arg").strip()
+            if kind == "count" and re.match(r"DISTINCT\b", arg, re.I):
+                raise ValueError(
+                    "COUNT(DISTINCT ...) is not incrementally "
+                    "maintainable with bounded per-group state — use "
+                    "APPROX_COUNT_DISTINCT(expr) AS name (maintained KMV "
+                    f"sketch, EXACT below {_KMV_K} distinct values)"
+                )
+            if kind == "approx_count_distinct":
+                kind = "approx_distinct"
             aggs[am.group("name")] = (
                 kind, None if (kind == "count" and arg == "*") else arg
             )
@@ -427,7 +774,8 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
         else:
             raise ValueError(
                 f"unsupported materialized-view select item {it!r}: "
-                "use a bare group key or count/sum/avg(...) AS name"
+                "use a bare group key or count/sum/avg/min/max/"
+                "approx_count_distinct(...) AS name"
             )
     if sorted(seen_keys) != sorted(keys):
         raise ValueError(

@@ -1947,6 +1947,7 @@ class VersionedTable:
         identity_start: int = 1,
         identity_step: int = 1,
         row_tracking: bool = False,
+        properties: "dict[str, str] | None" = None,
     ) -> "VersionedTable":
         """``generated`` (round 9 — Delta's ``GENERATED ALWAYS AS``,
         which Delta likewise allows only at table creation):
@@ -1976,6 +1977,14 @@ class VersionedTable:
         says so). A blind append that allocated ids refuses the OCC
         auto-retry (the winner may have used the same range; the caller
         re-reads and re-allocates).
+
+        ``properties`` (round 15): initial table properties folded into
+        the CREATE commit itself — the one-commit form of ``create`` +
+        ``set_properties``. A caller whose contract lives in the
+        property map (the materialized-view ``ivm.*`` slots) must use
+        this: a crash between a create and a follow-up property commit
+        would otherwise leave a table that exists but has lost its
+        contract. Same reserved-key guard as :meth:`set_properties`.
 
         ``row_tracking=True`` (round 11 — Delta's row tracking, the CDF
         story for KEYLESS tables): the engine allocates a hidden
@@ -2101,6 +2110,21 @@ class VersionedTable:
         # them on first use (DV delete, rename/drop, widen, constraint)
         meta = dict(meta or {})
         props = dict(meta.get("properties") or {})
+        if properties:
+            bad = sorted(
+                k for k in properties if str(k).startswith("protocol.")
+            )
+            if bad:
+                raise ValueError(
+                    f"properties {bad} are protocol-reserved; table "
+                    "features are adopted by the operations that first "
+                    "use them"
+                )
+            # engine-derived slots (generated./identity.) win on collision
+            props = {
+                **{str(k): str(v) for k, v in properties.items()},
+                **props,
+            }
         meta["properties"] = _adopt_features(
             props,
             reader=(["rowTracking"] if row_tracking else []),

@@ -985,7 +985,7 @@ def classify_utility(stmt: str) -> str | None:
     DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
         r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
-        r"CONVERT|TRUNCATE|SHOW|REFRESH|DROP)\b",
+        r"CONVERT|TRUNCATE|SHOW|REFRESH|DROP|EXPLAIN)\b",
         stmt, re.I,
     )
     return head.group(1).lower() if head else None
@@ -1012,6 +1012,28 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
     kind = classify_utility(stmt)
     if kind is None:
         return None
+    if kind == "explain":
+        # EXPLAIN is valid Spark SQL too — claim only when the INNER
+        # statement is ours (a claimed DML/utility shape, or a
+        # single-table SELECT on a registered versioned view, whose
+        # pushdown plan the engine can explain); every other EXPLAIN
+        # falls through to Spark's own (round 15)
+        inner = re.sub(r"^\s*EXPLAIN\s+", "", _strip_stmt(stmt), flags=re.I)
+        dk = classify_dml(inner)
+        if dk:
+            t = statement_target(inner)
+            return kind if t and t.lower() in versioned_views else None
+        if claim_utility(inner, versioned_views):
+            return kind
+        m = re.match(
+            rf"SELECT\s+.+?\s+FROM\s+({_IDENT})\s*(?:WHERE\b.+)?$",
+            inner, re.I | re.S,
+        )
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
     if kind not in (
         "describe", "alter", "create", "truncate", "show", "refresh",
         "drop",
@@ -1056,7 +1078,9 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
         # REFRESH TABLE is plain Spark SQL; only the MATERIALIZED VIEW
         # form on a registered versioned view is ours (round 14)
         m = re.match(
-            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$", s, re.I
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+            rf"(?:\s+TO\s+VERSION\s+\d+)?\s*$",
+            s, re.I,
         )
         return (
             kind
@@ -1140,7 +1164,8 @@ def statement_target(stmt: str) -> str | None:
 
 _UTILITY_GRAMMAR = (
     "supported maintenance grammar (Delta's SQL surface on the native ops):\n"
-    "  OPTIMIZE <view> [ZORDER BY (cols) | MERGE RUNS <k>]\n"
+    "  OPTIMIZE <view> [ZORDER BY (cols) [WHERE <pred>] | MERGE RUNS <k>]\n"
+    "      -- WHERE (scoped OPTIMIZE): recluster only stats-overlapping files\n"
     "  VACUUM <view> [RETAIN <n> VERSIONS | RETAIN <h> HOURS] [DRY RUN]\n"
     "  RESTORE [TABLE] <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'\n"
     "  DESCRIBE HISTORY|DETAIL <view>\n"
@@ -1159,8 +1184,9 @@ _UTILITY_GRAMMAR = (
     "      [AS <select>]\n"
     "  CREATE TABLE <view> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>] LOCATION '<dir>'\n"
     "  CREATE MATERIALIZED VIEW <view> USING VERSIONED LOCATION '<dir>'\n"
-    "      AS SELECT <keys, count/sum/avg aggs> FROM <versioned view> GROUP BY <keys>\n"
-    "  REFRESH MATERIALIZED VIEW <view>   -- incremental: O(source changes)\n"
+    "      AS SELECT <keys, count/sum/avg/min/max/approx_count_distinct aggs>\n"
+    "      FROM <versioned view> GROUP BY <keys>\n"
+    "  REFRESH MATERIALIZED VIEW <view> [TO VERSION <n>]   -- incremental: O(source changes)\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
     "  DROP TABLE [IF EXISTS] <view> | DROP MATERIALIZED VIEW <view>\n"
     "      -- deregister only (external-location semantics: data stays)\n"
@@ -1168,6 +1194,9 @@ _UTILITY_GRAMMAR = (
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
     "  CONVERT TO VERSIONED '<dir>' KEY (col) [AS <view>]\n"
     "  ERASE FROM <view> WHERE <pred>   -- engine extension: GDPR Art. 17\n"
+    "  EXPLAIN <statement>              -- plan only, zero execution:\n"
+    "      classification, target, derived prune ranges + file-count effect,\n"
+    "      membership plan (literal vs semi-join), the native op that would run\n"
     "      verified hard delete (delete + vacuum + log-stat scrub +\n"
     "      re-scan verification; time travel below the erase is GONE)"
 )
@@ -1517,6 +1546,179 @@ def _execute_create(spark, s: str, stmt: str, versioned_views: dict) -> dict:
     }
 
 
+def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
+    """``EXPLAIN <statement>`` (round 15): the statement front's OWN
+    plan with ZERO mutation — classification, target, the derived
+    file-skipping ranges (:func:`derive_prune`), their file-count
+    effect probed against the live commit-log stats (driver metadata
+    arithmetic, no data scan), the membership plan an ``IN (SELECT
+    ...)`` term resolves to (literal inline vs distributed semi-join —
+    the subquery runs read-only, the identical decision procedure the
+    real statement uses), and the native operation that would commit.
+    Reference parity: the closest reference surface is the BEGIN …
+    ROLLBACK dryrun (``executor.ts:98-136``), which counts rows;
+    EXPLAIN stays at the metadata level and never reads table data."""
+    from database_anonymiser_spark.sources.versioned import VersionedTable
+
+    inner = re.sub(r"^EXPLAIN\s+", "", s, flags=re.I)
+    out: dict = {"mode": "sql_explain", "op": "explain", "statement": stmt}
+
+    def _vt(name: str) -> "VersionedTable":
+        meta = versioned_views.get(_unquote(name).lower())
+        if meta is None:
+            raise SqlDmlError(
+                f"EXPLAIN target {name!r} is not a versioned view"
+            )
+        out["table"] = _unquote(name)
+        out["pinned"] = bool(meta["pinned"])
+        return VersionedTable(spark, meta["root"])
+
+    def _scan_effect(vt, prune: dict):
+        total = len(vt.files_matching({}))
+        out["prune"] = {
+            c: (list(b) if isinstance(b, tuple) else b)
+            for c, b in (prune or {}).items()
+        }
+        out["files_total"] = total
+        out["files_would_read"] = (
+            len(vt.files_matching(prune)) if prune else total
+        )
+
+    def _membership_report(pred):
+        """Resolve [NOT] IN (SELECT ...) exactly as execution would and
+        report which plan the term takes; returns the residual pred."""
+        if pred is None:
+            return None
+        new_pred, membership = _resolve_in_subqueries(spark, pred)
+        if membership is not None:
+            col, subjects, negated = membership
+            out["membership"] = {
+                "plan": "semi_join", "column": col, "negated": bool(negated),
+                "reason": f"subquery exceeds IN_SUBQUERY_CAP="
+                          f"{IN_SUBQUERY_CAP}: subjects join distributed, "
+                          "never collected",
+            }
+        elif new_pred != pred:
+            out["membership"] = {
+                "plan": "literal_inline",
+                "reason": f"subquery materialized to ≤{IN_SUBQUERY_CAP} "
+                          "literals (feeds IN-list file skipping)",
+            }
+        return new_pred
+
+    dk = classify_dml(inner)
+    if dk == "update":
+        u = _parse_update(inner)
+        vt = _vt(u.table)
+        out["class"] = "update"
+        out["native_op"] = "update_where"
+        pred = _membership_report(u.predicate)
+        _scan_effect(vt, derive_prune(pred) if pred else {})
+        out["set_columns"] = sorted(u.assignments)
+        return out
+    if dk == "delete":
+        d = _parse_delete(inner)
+        vt = _vt(d.table)
+        out["class"] = "delete"
+        out["native_op"] = "delete_where"
+        pred = _membership_report(d.predicate)
+        _scan_effect(vt, derive_prune(pred) if pred else {})
+        return out
+    if dk == "insert":
+        ins = _parse_insert(inner)
+        _vt(ins.table)
+        out["class"] = "insert"
+        out["native_op"] = "overwrite" if ins.overwrite else "append"
+        out["source"] = "values" if ins.values is not None else "query"
+        return out
+    if dk == "merge":
+        mg = _parse_merge(inner)
+        vt = _vt(mg.target)
+        out["class"] = "merge"
+        out["native_op"] = "merge"
+        key_cols = vt.key_cols()
+        pairs, residual = _parse_on_keys(
+            mg.on, mg.target_alias, mg.source_alias, key_cols
+        )
+        out["on_keys"] = dict(pairs)
+        out["residual_on"] = (
+            " AND ".join(f"({c})" for c in residual) if residual else None
+        )
+        out["clauses"] = {
+            "matched": len(mg.matched),
+            "not_matched": len(mg.not_matched),
+            "not_matched_by_source": len(mg.by_source),
+        }
+        out["skipping"] = (
+            "source key-bounds range prune (per-column conjunction)"
+        )
+        return out
+    uk = classify_utility(inner)
+    if uk == "erase":
+        m = re.fullmatch(
+            rf"ERASE\s+FROM\s+({_IDENT})\s+WHERE\s+(?P<p>.+)", inner,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported ERASE shape\n{_UTILITY_GRAMMAR}")
+        vt = _vt(m.group(1))
+        out["class"] = "erase"
+        out["native_op"] = "erase"
+        pred = _membership_report(m.group("p").strip())
+        _scan_effect(vt, derive_prune(pred) if pred else {})
+        return out
+    if uk == "optimize":
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\)"
+            r"|\s+MERGE\s+RUNS\s+(?P<mr>\d+))?"
+            r"(?:\s+WHERE\s+(?P<w>.+))?",
+            inner, re.I | re.S,
+        )
+        if not m:
+            raise SqlDmlError(f"unsupported OPTIMIZE shape\n{_UTILITY_GRAMMAR}")
+        vt = _vt(m.group(1))
+        out["class"] = "optimize"
+        if m.group("w") is not None and m.group("z"):
+            out["native_op"] = "optimize_zorder"
+            _scan_effect(vt, derive_prune(m.group("w").strip()))
+            out["scoped"] = True
+        elif m.group("z"):
+            out["native_op"] = "optimize_zorder"
+            _scan_effect(vt, {})
+        elif vt.clustering_cols():
+            out["native_op"] = "optimize_cluster"
+            out["clustering_cols"] = list(vt.clustering_cols())
+        else:
+            out["native_op"] = "compact"
+        return out
+    if uk:
+        # any other claimed maintenance statement: class + target only
+        out["class"] = uk
+        t = statement_target(inner)
+        if t and t.lower() in versioned_views:
+            _vt(t)
+        return out
+    m = re.match(
+        rf"SELECT\s+.+?\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(?P<w>.+))?$",
+        inner, re.I | re.S,
+    )
+    if m:
+        vt = _vt(m.group(1))
+        out["class"] = "select"
+        out["native_op"] = "pushdown_scan"
+        _scan_effect(
+            vt, derive_prune(m.group("w").strip()) if m.group("w") else {}
+        )
+        return out
+    raise SqlDmlError(
+        "EXPLAIN supports the engine's own statement shapes "
+        "(UPDATE/DELETE/INSERT/MERGE/ERASE/OPTIMIZE and single-table "
+        "SELECT on a versioned view); other statements take Spark's "
+        "own EXPLAIN"
+    )
+
+
 def execute_utility(
     spark, stmt: str, versioned_views: dict[str, dict]
 ) -> dict:
@@ -1533,6 +1735,8 @@ def execute_utility(
 
     kind = classify_utility(stmt)
     s = _strip_stmt(stmt)
+    if kind == "explain":
+        return _execute_explain(spark, s, stmt, versioned_views)
 
     def _table(name: str, mutating: bool = True) -> "VersionedTable":
         meta = versioned_views.get(_unquote(name).lower())
@@ -1571,12 +1775,46 @@ def execute_utility(
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_IDENT})"
             r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\)"
-            r"|\s+MERGE\s+RUNS\s+(?P<mr>\d+))?",
-            s, re.I,
+            r"|\s+MERGE\s+RUNS\s+(?P<mr>\d+))?"
+            r"(?:\s+WHERE\s+(?P<w>.+))?",
+            s, re.I | re.S,
         )
         if not m:
             raise SqlDmlError(f"unsupported OPTIMIZE shape\n{_UTILITY_GRAMMAR}")
         t = _table(m.group(1))
+        if m.group("w") is not None:
+            # OPTIMIZE ... WHERE (round 15 — Delta's scoped OPTIMIZE):
+            # recluster ONLY the files whose stats overlap the
+            # predicate's derived range, rewritten whole (the row set
+            # must not change), everything else untouched — the
+            # epoch-by-epoch maintenance loop a 100 TB table actually
+            # runs. Routes to optimize_zorder(where=) (round 9), the
+            # range dict coming from the same derive_prune that scopes
+            # SQL UPDATE/DELETE.
+            if not m.group("z"):
+                raise SqlDmlError(
+                    "OPTIMIZE ... WHERE needs ZORDER BY (<cols>): the "
+                    "scoped rewrite is a scoped z-order; incremental "
+                    "clustering (OPTIMIZE on a CLUSTER BY table) is "
+                    "already scoped to unclustered files"
+                )
+            rng = derive_prune(m.group("w").strip())
+            if not rng:
+                raise SqlDmlError(
+                    "OPTIMIZE ... WHERE derives no file-skipping range "
+                    "from the predicate (top-level AND of col-vs-literal "
+                    "conjuncts required) — an unscoped WHERE would "
+                    "silently rewrite the whole table; drop the WHERE "
+                    "to do that explicitly"
+                )
+            v = t.optimize_zorder(_cols(m.group("z")), where=rng)
+            return {
+                "mode": "sql_utility", "op": "optimize_zorder",
+                "table": _unquote(m.group(1)), "new_version": int(v),
+                "scope": {c: list(b) if isinstance(b, tuple) else b
+                          for c, b in rng.items()},
+                "statement": stmt,
+            }
         if m.group("z"):
             v = t.optimize_zorder(_cols(m.group("z")))
             op = "optimize_zorder"
@@ -1705,7 +1943,9 @@ def execute_utility(
                 "statement": stmt}
     if kind == "refresh":
         m = re.fullmatch(
-            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.I
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+            rf"(?:\s+TO\s+VERSION\s+(?P<v>\d+))?",
+            s, re.I,
         )
         if not m:
             raise SqlDmlError(f"unsupported REFRESH shape\n{_UTILITY_GRAMMAR}")
@@ -1714,7 +1954,13 @@ def execute_utility(
             refresh_materialized,
         )
 
-        r = refresh_materialized(spark, t.root)
+        try:
+            r = refresh_materialized(
+                spark, t.root,
+                to_version=int(m.group("v")) if m.group("v") else None,
+            )
+        except ValueError as e:
+            raise SqlDmlError(str(e)) from e
         return {"mode": "sql_utility", "op": "refresh_materialized_view",
                 "table": _unquote(m.group(1)),
                 "new_version": int(t.latest_version()), **r,

@@ -1286,36 +1286,71 @@ def versioned_change_feed(
     return t.diff(since_version, latest), latest
 
 
+def _has_feed_gap(src_t, wm: int, lo: int) -> bool:
+    """True when a DATA-CHANGING source commit sits strictly between the
+    view's watermark ``wm`` and the batch's first delivered commit
+    ``lo`` — i.e. the batch's rows alone cannot advance the view
+    soundly (out-of-band refresh raced the stream, or the feed was
+    started past the watermark). Row-preserving commits (OPTIMIZE,
+    clustering) emit no feed rows, so they are NOT gaps. O(lo - wm)
+    tiny-JSON commit_op probes, no data read."""
+    from database_anonymiser_spark.sources.versioned import ROW_PRESERVING_OPS
+
+    return any(
+        src_t.commit_op(v) not in ROW_PRESERVING_OPS
+        for v in range(wm + 1, lo)
+    )
+
+
 def run_stream_materialize(
     spark: SparkSession,
     src_root: str,
     mv_root: str,
     checkpoint: str,
+    row_level: bool = False,
 ):
-    """CONTINUOUS MATERIALIZED-VIEW MAINTENANCE (round 14): tail the
-    source's change feed and keep a ``sources/materialized.py`` view
-    current — the streaming face of ``REFRESH MATERIALIZED VIEW``.
+    """CONTINUOUS MATERIALIZED-VIEW MAINTENANCE (round 14; row-level
+    path round 15): tail the source's change feed and keep a
+    ``sources/materialized.py`` view current — the streaming face of
+    ``REFRESH MATERIALIZED VIEW``.
 
-    Design decision — the stream is the TICK, not the data: each
-    micro-batch triggers :func:`refresh_materialized`, which reads the
-    exact change interval from the LOG (``diff(last_watermark, head)``)
-    rather than trusting the streamed rows. Applying the streamed rows
-    directly would be cheaper by one metadata read but is wrong at the
-    margins Structured Streaming actually has: a commit's files can
-    split across micro-batches (maxFilesPerTrigger, admission control),
-    and any row-level watermark advanced at a batch boundary would then
-    silently drop the commit's remaining rows on the next batch — the
-    classic torn-commit race. The refresh path's watermark lives on
-    COMMIT boundaries and advances inside the delta-merge commit, so a
-    replayed batch (foreachBatch is at-least-once) no-ops by
-    construction: exactly-once without an epoch witness.
+    Two designs, selected by ``row_level``:
 
-    Cost per tick: O(changed files in the interval) + one group-delta
-    shuffle + one file-skipped merge — a trickle against a 100 TB
-    source maintains the view for the trickle's cost. An idle tick is
-    one tiny-JSON watermark comparison. availableNow = bounded drain;
-    production drops the trigger."""
+    ``row_level=False`` (r14) — the stream is the TICK, not the data:
+    each micro-batch triggers :func:`refresh_materialized`, which
+    re-reads the exact change interval from the LOG
+    (``diff(last_watermark, head)``). Robust against ANY feed framing,
+    at the cost of re-reading the interval's changed files per tick.
+
+    ``row_level=True`` (r15) — the batch's CDF rows feed the delta
+    DIRECTLY (:func:`~database_anonymiser_spark.sources.materialized.
+    apply_changes_frame`): zero source-log data reads per tick for the
+    self-maintainable aggregate family. Soundness rests on two guards:
+
+    - **Commit granularity.** The torn-commit race (a commit's files
+      split across micro-batches, a row-level watermark then dropping
+      the remainder) is impossible with the ENGINE's streaming CDF:
+      its offsets are commit versions — ``latestOffset`` admits whole
+      commits even under maxFilesPerTrigger/maxBytesPerTrigger
+      (``spark_datasource.py::_ChangesStreamReader``; pinned by
+      ``tests/test_streaming.py``'s admission tests and the torn-batch
+      unit test in tests/test_materialized_minmax.py). A FOREIGN feed
+      without that contract must use the tick design.
+    - **Contiguity + replay.** Rows at or below the view's watermark
+      are filtered out (foreachBatch is at-least-once; a replayed
+      batch no-ops), and if any DATA-CHANGING source commit sits
+      between the watermark and the batch's first commit (out-of-band
+      refresh, startingVersion misconfigured), the tick falls back to
+      the log-based refresh instead of applying a gapped delta —
+      O(gap) tiny-JSON ``commit_op`` probes, no data read.
+
+    Cost per row-level tick: one group-delta shuffle over the batch +
+    one file-skipped merge (+ the bounded loss-recompute read when a
+    min/max/sketch extremum leaves). An idle tick is one watermark
+    comparison. availableNow = bounded drain; production drops the
+    trigger."""
     from database_anonymiser_spark.sources.materialized import (
+        apply_changes_frame,
         materialized_info,
         refresh_materialized,
     )
@@ -1344,11 +1379,30 @@ def run_stream_materialize(
     results: list[dict] = []
 
     def tick(batch_df, batch_id):
-        # the batch content is intentionally unused (docstring: torn-
-        # commit race); its arrival just means "the source moved"
+        # the batch content is intentionally unused (docstring: feed-
+        # framing robustness); its arrival just means "the source moved"
         r = refresh_materialized(spark, mv_root)
         if r["refreshed"]:
             results.append(r)
 
-    run_foreach_batch(feed, tick, checkpoint)
+    def tick_rows(batch_df, batch_id):
+        wm = materialized_info(mv)["last_version"]
+        rows = batch_df.where(F.col("_commit_version") > wm)
+        b = rows.agg(
+            F.min("_commit_version").alias("lo"),
+            F.max("_commit_version").alias("hi"),
+        ).first()
+        if b["hi"] is None:
+            return  # pure replay or empty batch
+        src_t = VersionedTable(spark, src_root)
+        gap = _has_feed_gap(src_t, wm, int(b["lo"]))
+        r = (
+            refresh_materialized(spark, mv_root, to_version=int(b["hi"]))
+            if gap
+            else apply_changes_frame(spark, mv_root, rows, int(b["hi"]))
+        )
+        if r["refreshed"]:
+            results.append({**r, "row_level": not gap})
+
+    run_foreach_batch(feed, tick_rows if row_level else tick, checkpoint)
     return results

@@ -310,6 +310,33 @@ _INS_SHIFT = 10_000_000
            CAST(NULL AS BIGINT) AS commit_version,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
     FROM ({SQL_DML_FINAL}) sd_final_txn
+    UNION ALL
+    -- round 15: an incrementally-maintained MATERIALIZED VIEW over the
+    -- same lineage (created at v4, refreshed by delta through v5 and
+    -- v6 — including the bounded MIN/MAX extremum-loss recompute) must
+    -- equal the from-scratch aggregate of state6 (= src6). One row per
+    -- (group, aggregate), value in c_acctbal; sums rounded to cents on
+    -- BOTH sides (inputs are 2-decimal, so the exact sum is too — the
+    -- incremental double accumulation re-rounds to the same cents)
+    SELECT 'mv' AS variant, lbl AS change_type,
+           CAST(NULL AS BIGINT) AS commit_version,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS BIGINT) AS c_nationkey,
+           v AS c_acctbal, c_mktsegment
+    FROM (
+      SELECT c_mktsegment, 'mv_cnt' AS lbl, CAST(count(*) AS DOUBLE) AS v
+      FROM src6 GROUP BY c_mktsegment
+      UNION ALL
+      SELECT c_mktsegment, 'mv_sum', round(sum(c_acctbal), 2)
+      FROM src6 GROUP BY c_mktsegment
+      UNION ALL
+      SELECT c_mktsegment, 'mv_min', min(c_acctbal)
+      FROM src6 GROUP BY c_mktsegment
+      UNION ALL
+      SELECT c_mktsegment, 'mv_max', max(c_acctbal)
+      FROM src6 GROUP BY c_mktsegment
+    ) mv_u
     """,
     tags=("transaction", "merge", "cdf", "sql_dml"),
 )
@@ -424,6 +451,29 @@ def merge_upsert(spark, sf_dir):
     )
     t.delete_where(F.col("c_custkey") % 13 == 0)
 
+    # round 15: a MATERIALIZED VIEW over the lineage table, created at
+    # the v4 snapshot and advanced by DELTA REFRESH through v5 and v6 —
+    # count/sum merge by addition; min/max merge closed-form on inserts
+    # and take the bounded extremum-loss recompute when a delete removes
+    # a group's extremum (sources/materialized.py, the r14 verdict's
+    # top_next). Pinned refreshes (to_version=) because v7 introduces
+    # NULL segments — the refusal surface — and because the oracle
+    # aggregates state6. Emitted as 'mv' variant rows at the end.
+    from database_anonymiser_spark.sources.materialized import (
+        create_materialized,
+        refresh_materialized,
+    )
+
+    mvt = create_materialized(
+        spark, f"{root}/mv", t.root, ["c_mktsegment"],
+        {
+            "cnt": ("count", None),
+            "balsum": ("sum", "c_acctbal"),
+            "balmin": ("min", "c_acctbal"),
+            "balmax": ("max", "c_acctbal"),
+        },
+    )
+
     # v5 (round 9): APPLY CHANGES INTO — the multi-clause CDC merge in
     # ONE commit. Upserts derive from the PINNED v4 snapshot (pure
     # function of the lineage), inserts are fresh 2×-shifted clones,
@@ -468,6 +518,12 @@ def merge_upsert(spark, sf_dir):
         .withColumn("c_mktsegment", F.lit("SYNCNEW"))
     )
     t.merge(sync.unionByName(new6), not_matched_by_source="delete")
+
+    # round 15: two pinned delta refreshes — (4,5] then (5,6] — so the
+    # view walks the lineage the way a scheduler would, one interval at
+    # a time, and ends equal to the state6 aggregate the oracle computes
+    refresh_materialized(spark, f"{root}/mv", to_version=5)
+    refresh_materialized(spark, f"{root}/mv", to_version=6)
 
     # v7 (round 10): conditional multi-clause merge. The source is the
     # PARTIAL shape (key + a delta column only): every even v6 key plus
@@ -596,6 +652,31 @@ def merge_upsert(spark, sf_dir):
         F.lit(None).cast("long").alias("commit_version"),
         *cols,
     )
+    # round 15: the materialized view's content as 'mv' variant rows —
+    # one row per (group, aggregate), value in c_acctbal. The sum is
+    # re-rounded to cents on both sides (2-decimal inputs: the exact sum
+    # is a 2-decimal number, recoverable from either engine's double)
+    mvsnap = mvt.snapshot().select(
+        "c_mktsegment", "cnt", "balsum", "balmin", "balmax"
+    )
+    mv_rows = None
+    for lbl, vcol in (
+        ("mv_cnt", F.col("cnt").cast("double")),
+        ("mv_sum", F.round(F.col("balsum"), 2)),
+        ("mv_min", F.col("balmin")),
+        ("mv_max", F.col("balmax")),
+    ):
+        part = mvsnap.select(
+            F.lit("mv").alias("variant"),
+            F.lit(lbl).alias("change_type"),
+            F.lit(None).cast("long").alias("commit_version"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("long").alias("c_nationkey"),
+            vcol.alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+        mv_rows = part if mv_rows is None else mv_rows.unionByName(part)
     return (
         snap.unionByName(
             feed.select(
@@ -605,4 +686,5 @@ def merge_upsert(spark, sf_dir):
         )
         .unionByName(sqldml)
         .unionByName(sqltxn)
+        .unionByName(mv_rows)
     )

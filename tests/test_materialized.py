@@ -198,11 +198,17 @@ def test_refresh_cost_is_o_changes(spark, tmp_path):
 
 
 def test_refusals(spark, src, tmp_path):
-    # min/max are not self-maintainable
-    with pytest.raises(ValueError, match="not self-maintainable"):
+    # unknown aggregate kinds refuse with the supported list
+    with pytest.raises(ValueError, match="unsupported aggregate"):
         create_materialized(
             spark, str(tmp_path / "mv1"), src.root, ["grp"],
-            {"m": ("max", "amt")},
+            {"m": ("median", "amt")},
+        )
+    # exact COUNT(DISTINCT) refuses at the SQL parser with the
+    # APPROX_COUNT_DISTINCT pointer (bounded-state maintainability)
+    with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
+        parse_mv_query(
+            "SELECT grp, count(DISTINCT val) AS d FROM t GROUP BY grp"
         )
     # NULL group keys refuse with the coalesce guidance
     src.append(spark.createDataFrame(
@@ -424,8 +430,9 @@ def test_parse_mv_query():
     assert aggs == {
         "n": ("count", None), "s": ("sum", "a * b"), "m": ("avg", "x"),
     }
-    with pytest.raises(ValueError, match="not self-maintainable"):
-        parse_mv_query("SELECT g, max(x) AS m FROM v GROUP BY g")
+    # round 15: min/max parse as first-class aggregates now
+    _, _, mm = parse_mv_query("SELECT g, max(x) AS m FROM v GROUP BY g")
+    assert mm == {"m": ("max", "x")}
     with pytest.raises(ValueError, match="GROUP BY"):
         parse_mv_query("SELECT count(*) AS n FROM v")
     with pytest.raises(ValueError, match="must equal GROUP BY"):
