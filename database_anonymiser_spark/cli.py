@@ -165,6 +165,27 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "table, nothing visible on failure) (r14)",
     )
     p.add_argument(
+        "--emitErase", default=None, dest="emit_erase", metavar="PATH",
+        help="standalone mode: render a reviewable GDPR Art. 17 erasure "
+        "script (ERASE FROM <table> WHERE <key> IN (...)) from a "
+        "--subjects file, runnable through --sqlFile (preview with "
+        "--sqlDryrun); requires --eraseTable, --eraseKey, --subjects "
+        "(r15)",
+    )
+    p.add_argument(
+        "--eraseTable", default=None, dest="erase_table",
+        help="with --emitErase: the table the erasure targets",
+    )
+    p.add_argument(
+        "--eraseKey", default=None, dest="erase_key",
+        help="with --emitErase: the subject-key column",
+    )
+    p.add_argument(
+        "--subjects", default=None, dest="subjects", metavar="FILE",
+        help="with --emitErase: text file of subject-key values, one "
+        "per line (the DSAR list); blanks drop, duplicates collapse",
+    )
+    p.add_argument(
         "--sqlRollbackOnError", action="store_true", dest="sql_rollback",
         help="SQL mode, scripts: when a later statement fails, RESTORE "
         "every table the script already touched to its pre-script "
@@ -209,15 +230,23 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     if args.sql is not None and args.sql_file is not None:
         p.error("set --sql OR --sqlFile, not both")
     args.sqlMode = args.sql is not None or args.sql_file is not None
+    args.emitEraseMode = args.emit_erase is not None
     modes = [
-        m for m in ("configGen", "dryrun", "apply", "audit", "sqlMode")
+        m for m in (
+            "configGen", "dryrun", "apply", "audit", "sqlMode",
+            "emitEraseMode",
+        )
         if getattr(args, m)
     ]
     if len(modes) != 1:  # C1 (args.ts:7-29), extended with audit + sql
         p.error(
             "exactly one of --configGen | --dryrun | --apply | --audit "
-            "| --sql/--sqlFile is required"
+            "| --sql/--sqlFile | --emitErase is required"
         )
+    if args.emitEraseMode and not (
+        args.erase_table and args.erase_key and args.subjects
+    ):
+        p.error("--emitErase requires --eraseTable, --eraseKey, --subjects")
     if (args.versioned_tables or args.changes_tables) and not args.sqlMode:
         p.error("--versionedTable/--changesTable are --sql mode options")
     if args.dp_out is not None and not args.audit:
@@ -244,6 +273,28 @@ def main(argv: list[str] | None = None) -> int:
         from database_anonymiser_spark.strategies import set_hmac_key
 
         set_hmac_key(args.hmac_key)
+    if args.mode == "emitEraseMode":
+        # pure text rendering — no Spark session, no data read: the
+        # DSAR list goes in, a reviewable ERASE script comes out
+        from pathlib import Path as _P
+
+        from database_anonymiser_spark.sql_gen import emit_erase_script
+
+        try:
+            script = emit_erase_script(
+                args.erase_table, args.erase_key,
+                _P(args.subjects).read_text().splitlines(),
+            )
+        except (OSError, ValueError) as e:
+            print(f"emitErase: {e}", file=sys.stderr)
+            return 2
+        _P(args.emit_erase).write_text(script)
+        n = script.count("ERASE FROM")
+        print(
+            f"emitted erase script → {args.emit_erase} "
+            f"({n} statement(s) on {args.erase_table}.{args.erase_key})"
+        )
+        return 0
     spark = get_spark()
     catalog = ParquetCatalog(spark, args.data)
 
@@ -523,14 +574,20 @@ def main(argv: list[str] | None = None) -> int:
                         # the workspace fork; dryrun never opens one
                         frag = txn.execute(s)
                     elif claim_utility(s, versioned_views):
-                        if args.sql_dryrun:
+                        if args.sql_dryrun and classify_utility(s) not in (
+                            "erase",   # previewable by design (round 15):
+                            "explain",  # ... and EXPLAIN never executes
+                        ):
                             print(
                                 "--sqlDryrun covers DML statements only "
                                 f"(maintenance statement: {s[:60]!r})",
                                 file=sys.stderr,
                             )
                             return 2
-                        frag = execute_utility(spark, s, versioned_views)
+                        frag = execute_utility(
+                            spark, s, versioned_views,
+                            dryrun=args.sql_dryrun,
+                        )
                     else:
                         frag = execute_dml(
                             spark, s, versioned_views, dryrun=args.sql_dryrun

@@ -1194,11 +1194,11 @@ _UTILITY_GRAMMAR = (
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
     "  CONVERT TO VERSIONED '<dir>' KEY (col) [AS <view>]\n"
     "  ERASE FROM <view> WHERE <pred>   -- engine extension: GDPR Art. 17\n"
+    "      verified hard delete (delete + vacuum + log-stat scrub +\n"
+    "      re-scan verification; time travel below the erase is GONE)\n"
     "  EXPLAIN <statement>              -- plan only, zero execution:\n"
     "      classification, target, derived prune ranges + file-count effect,\n"
-    "      membership plan (literal vs semi-join), the native op that would run\n"
-    "      verified hard delete (delete + vacuum + log-stat scrub +\n"
-    "      re-scan verification; time travel below the erase is GONE)"
+    "      membership plan (literal vs semi-join), the native op that would run"
 )
 
 
@@ -1720,7 +1720,8 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
 
 
 def execute_utility(
-    spark, stmt: str, versioned_views: dict[str, dict]
+    spark, stmt: str, versioned_views: dict[str, dict],
+    dryrun: bool = False,
 ) -> dict:
     """Run one maintenance statement against its ``--versionedTable``
     target: OPTIMIZE → incremental clustering (or bin-pack compaction
@@ -2066,6 +2067,21 @@ def execute_utility(
             m.group("p").strip(), {_unquote(m.group(1)): ""}
         )
         pred, membership = _resolve_in_subqueries(spark, pred)
+        if dryrun:
+            # the one dryrun-able maintenance statement (round 15): a
+            # GDPR erasure script MUST be previewable before it runs —
+            # erase is deliberately not rollbackable, so the row count
+            # preview is the only safe rehearsal. Same count path as
+            # the DML dryruns (exact membership semantics included).
+            from pyspark.sql import functions as F
+
+            would = t.snapshot().where(F.expr(pred or "true"))
+            if membership is not None:
+                would = _membership_filter(t, would, membership)
+            return {"mode": "sql_dml_dryrun", "op": "erase",
+                    "table": _unquote(m.group(1)),
+                    "rows_would_change": int(would.count()),
+                    "statement": stmt}
         result = t.erase(
             pred or "true",
             prune=(derive_prune(pred) or None) if pred else None,

@@ -31,7 +31,7 @@ from database_anonymiser_spark.strategies import (
     normalize_columns_for_types,
 )
 
-__all__ = ["strategy_sql", "emit_sql_script"]
+__all__ = ["strategy_sql", "emit_sql_script", "emit_erase_script"]
 
 
 def _s(col: str) -> str:
@@ -151,3 +151,70 @@ def emit_sql_script(catalog, plan, transactional: bool = False) -> str:
         lines.append("")
     lines.append(f"-- {emitted} table(s) with active rewrites")
     return "\n".join(lines) + "\n"
+
+
+def emit_erase_script(
+    table: str, key_col: str, subjects, chunk: int = 1000
+) -> str:
+    """Render a reviewable GDPR Art. 17 erasure script (round 15,
+    ``--emitErase``): ``ERASE FROM <table> WHERE <key> IN (...)``
+    statements from a data-subject list — the DSAR workflow's artifact.
+    The script runs through the SQL face (``--sqlFile``), previewable
+    with ``--sqlDryrun``; each statement routes to the native verified
+    hard delete (delete + pre-image vacuum + log-stat scrub +
+    zero-residue verification, ``sources/versioned.py::erase``). The
+    IN-list literals feed ``derive_prune``'s min/max range, so each
+    statement reads only files whose key range overlaps its subjects.
+
+    ``subjects``: iterable of subject-key values (one per DSAR line);
+    blank lines drop, duplicates collapse (first occurrence wins), and
+    the values render as integer literals when ALL are integral, else
+    as single-quoted strings (embedded quotes doubled). ``chunk``
+    bounds the IN-list per statement — large subject sets stay
+    reviewable, and each chunk's range prune stays tight when the list
+    is sorted/clustered.
+
+    Reference parity: the reference has no erasure surface (its scripts
+    only UPDATE, ``src/executor/query-builder.ts:52-74``); this is the
+    engine extension the compliance pipeline needs, emitted in the same
+    reviewable-script shape as ``emit_sql_script``.
+    """
+    import re as _re
+
+    for ident, what in ((table, "table"), (key_col, "key column")):
+        if not _re.fullmatch(r"[A-Za-z_][\w$]*", str(ident or "")):
+            raise ValueError(
+                f"emit_erase_script {what} {ident!r} must be a plain "
+                "identifier"
+            )
+    subs = list(dict.fromkeys(
+        s.strip() for s in (str(x) for x in subjects) if s.strip()
+    ))
+    if not subs:
+        raise ValueError("no subjects to erase (empty subject list)")
+    if int(chunk) < 1:
+        raise ValueError("chunk must be >= 1")
+    numeric = all(_re.fullmatch(r"[+-]?\d+", s) for s in subs)
+    render = (
+        (lambda s: s)
+        if numeric
+        else (lambda s: "'" + s.replace("'", "''") + "'")
+    )
+    lines = [
+        "-- GDPR Art. 17 erasure script emitted by database_anonymiser_spark",
+        f"-- table: {table}  subject key: {key_col}  "
+        f"subjects: {len(subs)}",
+        "-- each statement is a VERIFIED hard delete (pre-image vacuum +",
+        "-- log-stat scrub + zero-residue check); preview with --sqlDryrun,",
+        "-- then run:",
+        "--   python -m database_anonymiser_spark.cli --sqlFile <this> \\",
+        f"--     --data <extract> --versionedTable {table}=<root>",
+        "-- NOTE: erasure is by design NOT rollbackable "
+        "(--sqlRollbackOnError refuses it)",
+        "",
+    ]
+    for i in range(0, len(subs), int(chunk)):
+        vals = ", ".join(render(s) for s in subs[i : i + int(chunk)])
+        lines.append(f"ERASE FROM {table} WHERE {key_col} IN ({vals});")
+    lines.append("")
+    return "\n".join(lines)

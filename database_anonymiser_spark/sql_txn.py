@@ -256,23 +256,59 @@ class ScriptTransaction:
         self.overlay[key] = {"root": str(ws_root), "pinned": False}
 
     def execute(self, stmt: str) -> dict:
-        """Run ONE statement inside the transaction — DML only
-        (maintenance statements reshape files/history, which has no
-        sound publish-as-one-commit rendering; the refusal tells the
-        user to run them outside BEGIN..COMMIT)."""
+        """Run ONE statement inside the transaction.
+
+        Transactionality matrix (round 15, the r14 stretch ask):
+
+        ========================  =========================================
+        statement                 inside BEGIN..COMMIT
+        ========================  =========================================
+        UPDATE / DELETE FROM      YES — stages against the fork, publishes
+        INSERT INTO / OVERWRITE   YES — same (OVERWRITE = removes+adds)
+        MERGE INTO                YES — same
+        TRUNCATE TABLE            YES (r15) — metadata-only dereference has
+                                  an exact one-commit rendering (the base's
+                                  live set lands in ``removes``)
+        OPTIMIZE / VACUUM         NO — physical file reshaping: a rewrite
+                                  that must stay invisible until COMMIT
+                                  doubles storage for zero semantic effect,
+                                  and VACUUM's reclaim of shared files
+                                  cannot be staged invisibly at all
+        RESTORE                   NO — history surgery has no meaning on a
+                                  fork whose history is one clone commit
+        ALTER / DDL               NO — schema evolution is non-transactional
+                                  by contract (COMMIT re-checks and refuses)
+        ERASE                     NO — physically reclaims pre-images; an
+                                  invisible-until-commit hard delete is a
+                                  contradiction (and the fork's files are
+                                  shared with the base)
+        CREATE/CLONE/COPY/MV      NO — registry-level operations
+        ========================  =========================================
+        """
         if self._done:
             raise SqlTxnError("transaction already committed/rolled back")
-        if classify_dml(stmt) is None:
+        is_truncate = (
+            re.match(r"\s*TRUNCATE\s+TABLE\b", stmt, re.I) is not None
+        )
+        if classify_dml(stmt) is None and not is_truncate:
             raise SqlTxnError(
-                "only DML (UPDATE/DELETE/INSERT/MERGE INTO) is "
-                "transactional inside BEGIN..COMMIT; run maintenance "
-                "statements (OPTIMIZE/VACUUM/RESTORE/ALTER/ERASE/...) "
-                "outside the transaction"
+                "transactional statements are UPDATE / DELETE FROM / "
+                "INSERT INTO / INSERT OVERWRITE / MERGE INTO / TRUNCATE "
+                "TABLE; run other maintenance (OPTIMIZE/VACUUM/RESTORE/"
+                "ALTER/ERASE/...) outside BEGIN..COMMIT — file "
+                "reshaping, history surgery and physical reclamation "
+                "have no sound publish-as-one-commit rendering "
+                "(ScriptTransaction.execute docstring has the matrix)"
             )
         tgt = statement_target(stmt)
         if tgt:
             self._ensure_fork(tgt)
-        frag = execute_dml(self.spark, stmt, self.overlay, dryrun=False)
+        if is_truncate:
+            from database_anonymiser_spark.sql_dml import execute_utility
+
+            frag = execute_utility(self.spark, stmt, self.overlay)
+        else:
+            frag = execute_dml(self.spark, stmt, self.overlay, dryrun=False)
         self.statements.append(stmt)
         key = str(frag.get("table", "")).lower()
         frag["mode"] = "sql_txn_stmt"

@@ -168,6 +168,57 @@ def test_e2e_maintenance_inside_txn_refused(spark, txn_env):
     assert VersionedTable(spark, ra).latest_version() == 0
 
 
+def test_e2e_truncate_inside_txn(spark, txn_env):
+    """TRUNCATE TABLE inside BEGIN..COMMIT (round 15): the metadata-only
+    dereference has an exact one-commit rendering — the publish's diff
+    removes every base live file — and composes with later DML in the
+    same transaction; ROLLBACK leaves the table untouched."""
+    data_dir, ra, _rb = txn_env
+    ta = VersionedTable(spark, ra)
+    # rollback first: nothing happens
+    rc = _run([
+        "--sql", "BEGIN; TRUNCATE TABLE ta; ROLLBACK;",
+        "--data", str(data_dir), "--versionedTable", f"ta={ra}",
+    ])
+    assert rc == 0
+    assert ta.latest_version() == 0 and ta.snapshot().count() == 4
+    # truncate-then-reload publishes as ONE commit
+    rc = _run([
+        "--sql",
+        "BEGIN; TRUNCATE TABLE ta; "
+        "INSERT INTO ta (k, v) VALUES (10, 'ten'); COMMIT;",
+        "--data", str(data_dir), "--versionedTable", f"ta={ra}",
+    ])
+    assert rc == 0
+    assert ta.latest_version() == 1
+    assert ta.commit_op(1) == "txn_publish"
+    assert {(r["k"], r["v"]) for r in ta.snapshot().collect()} == {
+        (10, "ten")
+    }
+    # time travel below the publish shows the pre-transaction rows
+    assert ta.snapshot(0).count() == 4
+
+
+def test_txn_refusal_names_the_allowed_set(spark, txn_env):
+    """The maintenance refusal message carries the transactionality
+    matrix's allowed set (round-15 docs ask)."""
+    from database_anonymiser_spark.sql_txn import ScriptTransaction
+
+    data_dir, ra, _rb = txn_env
+    txn = ScriptTransaction(spark, {"ta": {"root": str(ra), "pinned": False}})
+    with pytest.raises(SqlTxnError) as ei:
+        txn.execute("OPTIMIZE ta")
+    msg = str(ei.value)
+    for allowed in ("UPDATE", "DELETE FROM", "INSERT INTO",
+                    "INSERT OVERWRITE", "MERGE INTO", "TRUNCATE TABLE"):
+        assert allowed in msg
+    with pytest.raises(SqlTxnError):
+        txn.execute("ERASE FROM ta WHERE k = 1")
+    with pytest.raises(SqlTxnError):
+        txn.execute("VACUUM ta")
+    txn.rollback()
+
+
 def test_e2e_merge_and_insert_inside_txn(spark, txn_env):
     """MERGE INTO + INSERT inside a transaction: the merge source view
     reads the PRE-transaction snapshot (snapshot isolation for reads),
