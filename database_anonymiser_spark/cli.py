@@ -186,6 +186,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "per line (the DSAR list); blanks drop, duplicates collapse",
     )
     p.add_argument(
+        "--subjectType", default="auto", dest="subject_type",
+        choices=("auto", "int", "string"),
+        help="with --emitErase: how subject literals render — match the "
+        "KEY COLUMN's type ('auto' infers: integers only when every "
+        "subject is a canonical integer, else quoted strings; '007' "
+        "style values always quote so a string key never coerce-matches "
+        "more rows than the DSAR names)",
+    )
+    p.add_argument(
         "--sqlRollbackOnError", action="store_true", dest="sql_rollback",
         help="SQL mode, scripts: when a later statement fails, RESTORE "
         "every table the script already touched to its pre-script "
@@ -284,11 +293,12 @@ def main(argv: list[str] | None = None) -> int:
             script = emit_erase_script(
                 args.erase_table, args.erase_key,
                 _P(args.subjects).read_text().splitlines(),
+                key_type=args.subject_type,
             )
+            _P(args.emit_erase).write_text(script)
         except (OSError, ValueError) as e:
             print(f"emitErase: {e}", file=sys.stderr)
             return 2
-        _P(args.emit_erase).write_text(script)
         n = script.count("ERASE FROM")
         print(
             f"emitted erase script → {args.emit_erase} "
@@ -575,8 +585,11 @@ def main(argv: list[str] | None = None) -> int:
                         frag = txn.execute(s)
                     elif claim_utility(s, versioned_views):
                         if args.sql_dryrun and classify_utility(s) not in (
-                            "erase",   # previewable by design (round 15):
-                            "explain",  # ... and EXPLAIN never executes
+                            "erase",     # previewable by design (r15)
+                            "explain",   # never executes anyway
+                            "truncate",  # transactional since r15 — a
+                                         # BEGIN..TRUNCATE..COMMIT script
+                                         # must be previewable too
                         ):
                             print(
                                 "--sqlDryrun covers DML statements only "

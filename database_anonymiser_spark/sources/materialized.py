@@ -117,6 +117,12 @@ _LOSS_KINDS = ("min", "max", "approx_distinct")
 #: as the batch sketch default so estimates are comparable
 _KMV_K = 256
 _EMPTY_ARR = "CAST(array() AS ARRAY<BIGINT>)"
+#: the ONE sketch-array type everywhere (nullable elements — matching
+#: the SQL CAST renderings; element nullability can widen but never
+#: narrow through a cast, so every producer normalizes to this)
+from pyspark.sql import types as _T  # noqa: E402
+
+_SK_TYPE = _T.ArrayType(_T.LongType(), True)
 
 _INS_SQL = "_change_type IN ('insert', 'update_postimage')"
 
@@ -262,12 +268,12 @@ def _delta_frame(changes, keys: list, aggs: dict):
             aggcols.append(
                 F.slice(
                     F.array_sort(F.collect_set(f"_ci_{col}")), 1, _KMV_K
-                ).alias(f"d_{col}__i")
+                ).cast(_SK_TYPE).alias(f"d_{col}__i")
             )
             aggcols.append(
                 F.slice(
                     F.array_sort(F.collect_set(f"_cr_{col}")), 1, _KMV_K
-                ).alias(f"d_{col}__r")
+                ).cast(_SK_TYPE).alias(f"d_{col}__r")
             )
     return df.groupBy(*keys).agg(*aggcols)
 
@@ -319,6 +325,13 @@ def _full_frame(src_df, keys: list, aggs: dict):
             fixes[f"{col}{_S}"] = F.coalesce(F.col(f"{col}{_S}"), F.lit(0.0))
         elif kind == "approx_distinct":
             fixes[col] = _est_col(F.col(f"{col}{_K}"))
+            # normalize the LOGGED sketch type to nullable elements: the
+            # merge's CASE expressions mix collect_set output
+            # (containsNull=false) with CAST(array()...) SQL renderings
+            # (containsNull=true), and an array cast can never NARROW
+            # element nullability — one containment everywhere or the
+            # refresh's cast refuses (round-15 fix)
+            fixes[f"{col}{_K}"] = F.col(f"{col}{_K}").cast(_SK_TYPE)
     for c, e in fixes.items():
         out = out.withColumn(c, e)
     return out
@@ -395,6 +408,21 @@ def materialized_info(mv) -> dict:
     }
 
 
+def _null_rc(j, aggs: dict):
+    """Attach constant-NULL ``rc_<col>`` slots (typed to match the real
+    recompute columns) so the merge's CASE expressions bind either
+    way."""
+    for col, (kind, expr) in aggs.items():
+        if kind in ("min", "max"):
+            j = j.withColumn(
+                f"rc_{col}",
+                F.lit(None).cast(j.schema[f"d_{col}__i"].dataType),
+            )
+        elif kind == "approx_distinct":
+            j = j.withColumn(f"rc_{col}", F.lit(None).cast(_SK_TYPE))
+    return j
+
+
 def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
     """Join the delta against the view's stored loss state, flag the
     groups whose removals can actually change non-self-maintainable
@@ -416,7 +444,34 @@ def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
       start, so the bottom-k removed band preserves arrays_overlap
 
     Groups whose row count reaches zero delete in the merge and never
-    flag; fresh groups are insert-only and merge closed-form."""
+    flag; fresh groups are insert-only and merge closed-form.
+
+    Insert-only fast path (round-15 review fix): when NO group's delta
+    carries a removed band — the common append-only case — no loss
+    flag can ever be true, so the view-snapshot join, checkpoint and
+    count are all skipped; the delta just gains a constant-false flag
+    and typed-NULL recompute slots. One delta-sized existence probe
+    decides it; the advertised O(changes) refresh cost holds for
+    appends."""
+    rem_terms = []
+    for col, (kind, expr) in aggs.items():
+        if kind in ("min", "max"):
+            rem_terms.append(F.col(f"d_{col}__r").isNotNull())
+        elif kind == "approx_distinct":
+            rem_terms.append(
+                F.size(
+                    F.coalesce(F.col(f"d_{col}__r"), F.expr(_EMPTY_ARR))
+                )
+                > 0
+            )
+    any_rem = rem_terms[0]
+    for t in rem_terms[1:]:
+        any_rem = any_rem | t
+    if delta.where(any_rem).limit(1).count() == 0:
+        return (
+            _null_rc(delta.withColumn("_ivm_rec", F.lit(False)), aggs),
+            0,
+        )
     stored = []
     for col, (kind, expr) in aggs.items():
         if kind in ("min", "max"):
@@ -476,17 +531,7 @@ def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
     rgroups = j.where("_ivm_rec").select(*keys)
     n_rec = rgroups.count()
     if n_rec == 0:
-        for col, (kind, expr) in aggs.items():
-            if kind in ("min", "max"):
-                j = j.withColumn(
-                    f"rc_{col}",
-                    F.lit(None).cast(j.schema[f"d_{col}__i"].dataType),
-                )
-            elif kind == "approx_distinct":
-                j = j.withColumn(
-                    f"rc_{col}", F.lit(None).cast("array<bigint>")
-                )
-        return j, 0
+        return _null_rc(j, aggs), 0
     # file-skipped read of just the affected groups' rows at the PINNED
     # refresh target: range-prune on the LEADING group key (one tiny
     # bounds agg over the flagged groups), exact membership by semi-join
@@ -514,7 +559,7 @@ def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
             rec_aggs.append(
                 F.slice(
                     F.array_sort(F.collect_set(f"_c_{col}")), 1, _KMV_K
-                ).alias(f"rc_{col}")
+                ).cast(_SK_TYPE).alias(f"rc_{col}")
             )
     rec = affected.groupBy(*keys).agg(*rec_aggs)
     return j.join(rec, on=list(keys), how="left"), int(n_rec)
@@ -564,6 +609,55 @@ def refresh_materialized(spark, mv_root, to_version: int | None = None) -> dict:
     return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
 
 
+def _net_changes(changes, table_keys: list, data_cols: list):
+    """Collapse a multi-commit CDF slice to its NET endpoint change set
+    (round-15 review fix): ``VersionedTable.diff`` is an endpoint diff,
+    but a streaming batch carries PER-COMMIT events — a row inserted in
+    commit A and deleted in commit B of the same batch must contribute
+    NOTHING, an extremum inserted-then-deleted must never enter the
+    closed-form least/greatest or sketch union, and the loss test's
+    soundness argument ("every removed row existed at the interval
+    start") only holds for net sets. One shuffle over the BATCH, keyed
+    on the source table key: per key, the earliest event's image is the
+    pre-state (when the key existed at the interval start) and the
+    latest event's image is the post-state (when it exists at the end);
+    born-and-died keys vanish, everything else renders as delete /
+    insert / pre+post pairs — exactly the endpoint-diff vocabulary the
+    delta algebra is proven against."""
+    # within a commit a key emits at most (pre, post): order pre-images
+    # and deletes before inserts and post-images
+    ordv = (
+        F.col("_commit_version").cast("long") * 2
+        + F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(0)
+    )
+    img = F.struct(F.col("_change_type"), *[F.col(c) for c in data_cols])
+    g = changes.groupBy(*table_keys).agg(
+        F.min_by(img, ordv).alias("_first"),
+        F.max_by(img, ordv).alias("_last"),
+    )
+    pre = (
+        g.where(
+            F.col("_first._change_type").isin("update_preimage", "delete")
+        )
+        .select(
+            F.lit("delete").alias("_change_type"),
+            *[F.col(f"_first.{c}").alias(c) for c in data_cols],
+        )
+    )
+    post = (
+        g.where(
+            F.col("_last._change_type").isin("insert", "update_postimage")
+        )
+        .select(
+            F.lit("insert").alias("_change_type"),
+            *[F.col(f"_last.{c}").alias(c) for c in data_cols],
+        )
+    )
+    return pre.unionByName(post)
+
+
 def apply_changes_frame(spark, mv_root, changes, to_version: int) -> dict:
     """Row-level refresh (round 15): apply an EXTERNALLY-SUPPLIED slice
     of the source change feed covering exactly (watermark, to_version]
@@ -596,6 +690,18 @@ def apply_changes_frame(spark, mv_root, changes, to_version: int) -> dict:
             f"apply_changes_frame to_version {to_version} is beyond the "
             f"source head {head}"
         )
+    if any(k in _LOSS_KINDS for k, e in aggs.values()):
+        # loss aggregates are only sound against a NET change set (see
+        # _net_changes) — a batch spanning several commits carries
+        # intra-interval churn that the signed count/sum arithmetic
+        # cancels but least/greatest/sketch-union would absorb
+        table_keys = list(src.key_cols())
+        data_cols = [
+            c for c in changes.columns
+            if c not in ("_change_type", "_commit_version",
+                         "_commit_timestamp")
+        ]
+        changes = _net_changes(changes, table_keys, data_cols)
     return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
 
 
@@ -664,7 +770,14 @@ def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version) -> dict:
                 f"CASE WHEN s._ivm_rec THEN s.rc_{col} "
                 f"ELSE {fn}(t.{col}, s.d_{col}__i) END"
             )
-            ins_exprs[col] = f"s.d_{col}__i"
+            # a NET change set makes fresh groups insert-only (rem band
+            # empty, never flagged) — but honor a flag defensively: the
+            # recompute value is authoritative whenever it was computed
+            # (round-15 review fix: the insert path ignored rc_)
+            ins_exprs[col] = (
+                f"CASE WHEN s._ivm_rec THEN s.rc_{col} "
+                f"ELSE s.d_{col}__i END"
+            )
         else:  # approx_distinct
             sk = f"{col}{_K}"
             closed = (
@@ -679,8 +792,14 @@ def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version) -> dict:
                 f"CASE WHEN s._ivm_rec THEN {_est_sql(f's.rc_{col}')} "
                 f"ELSE {_est_sql(closed)} END"
             )
-            ins_exprs[sk] = f"coalesce(s.d_{col}__i, {_EMPTY_ARR})"
-            ins_exprs[col] = _est_sql(f"s.d_{col}__i")
+            ins_exprs[sk] = (
+                f"CASE WHEN s._ivm_rec THEN s.rc_{col} "
+                f"ELSE coalesce(s.d_{col}__i, {_EMPTY_ARR}) END"
+            )
+            ins_exprs[col] = (
+                f"CASE WHEN s._ivm_rec THEN {_est_sql(f's.rc_{col}')} "
+                f"ELSE {_est_sql(f's.d_{col}__i')} END"
+            )
     mv.merge(
         merge_src,
         matched=[

@@ -1679,9 +1679,29 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
             raise SqlDmlError(f"unsupported OPTIMIZE shape\n{_UTILITY_GRAMMAR}")
         vt = _vt(m.group(1))
         out["class"] = "optimize"
-        if m.group("w") is not None and m.group("z"):
+        # EXPLAIN is the rehearsal of what WILL run, so this branch must
+        # mirror execute_utility's dispatch EXACTLY — including its
+        # refusals: explaining a statement that would refuse must refuse
+        # with the same message (round-15 review fix)
+        if m.group("w") is not None:
+            if not m.group("z"):
+                raise SqlDmlError(
+                    "OPTIMIZE ... WHERE needs ZORDER BY (<cols>): the "
+                    "scoped rewrite is a scoped z-order; incremental "
+                    "clustering (OPTIMIZE on a CLUSTER BY table) is "
+                    "already scoped to unclustered files"
+                )
+            rng = derive_prune(m.group("w").strip())
+            if not rng:
+                raise SqlDmlError(
+                    "OPTIMIZE ... WHERE derives no file-skipping range "
+                    "from the predicate (top-level AND of col-vs-literal "
+                    "conjuncts required) — an unscoped WHERE would "
+                    "silently rewrite the whole table; drop the WHERE "
+                    "to do that explicitly"
+                )
             out["native_op"] = "optimize_zorder"
-            _scan_effect(vt, derive_prune(m.group("w").strip()))
+            _scan_effect(vt, rng)
             out["scoped"] = True
         elif m.group("z"):
             out["native_op"] = "optimize_zorder"
@@ -1689,6 +1709,13 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
         elif vt.clustering_cols():
             out["native_op"] = "optimize_cluster"
             out["clustering_cols"] = list(vt.clustering_cols())
+            if m.group("mr") is not None:
+                out["merge_runs"] = int(m.group("mr"))
+        elif m.group("mr") is not None:
+            raise SqlDmlError(
+                "OPTIMIZE ... MERGE RUNS needs a declared clustering key "
+                "(ALTER TABLE ... CLUSTER BY first)"
+            )
         else:
             out["native_op"] = "compact"
         return out
@@ -1908,6 +1935,14 @@ def execute_utility(
         if not m:
             raise SqlDmlError(f"unsupported TRUNCATE shape\n{_UTILITY_GRAMMAR}")
         t = _table(m.group(1))
+        if dryrun:
+            # transactional since round 15, so previewable like DML —
+            # the would-dereference count is the log's footer total
+            # (metadata only, no data read)
+            return {"mode": "sql_dml_dryrun", "op": "truncate",
+                    "table": _unquote(m.group(1)),
+                    "rows_would_change": int(t.row_count()),
+                    "statement": stmt}
         v = t.truncate()
         return {"mode": "sql_utility", "op": "truncate",
                 "table": _unquote(m.group(1)), "new_version": int(v),

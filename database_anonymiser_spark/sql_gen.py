@@ -154,7 +154,8 @@ def emit_sql_script(catalog, plan, transactional: bool = False) -> str:
 
 
 def emit_erase_script(
-    table: str, key_col: str, subjects, chunk: int = 1000
+    table: str, key_col: str, subjects, chunk: int = 1000,
+    key_type: str = "auto",
 ) -> str:
     """Render a reviewable GDPR Art. 17 erasure script (round 15,
     ``--emitErase``): ``ERASE FROM <table> WHERE <key> IN (...)``
@@ -167,12 +168,26 @@ def emit_erase_script(
     statement reads only files whose key range overlaps its subjects.
 
     ``subjects``: iterable of subject-key values (one per DSAR line);
-    blank lines drop, duplicates collapse (first occurrence wins), and
-    the values render as integer literals when ALL are integral, else
-    as single-quoted strings (embedded quotes doubled). ``chunk``
-    bounds the IN-list per statement — large subject sets stay
-    reviewable, and each chunk's range prune stays tight when the list
-    is sorted/clustered.
+    blank lines drop, duplicates collapse (first occurrence wins).
+    ``chunk`` bounds the IN-list per statement — large subject sets
+    stay reviewable, and each chunk's range prune stays tight when the
+    list is sorted/clustered.
+
+    ``key_type`` decides the literal rendering — an erase that deletes
+    MORE than the subject list names is a compliance incident, so the
+    rendering must match the key column's type, not the subjects'
+    lexical shape (round-15 review fix: ``'007'`` rendered as the
+    integer ``7`` against a STRING key would coerce-match ``'7'``,
+    ``'07'`` and ``'007'``):
+
+    - ``"int"`` — unquoted integer literals; refuses any non-integral
+      subject
+    - ``"string"`` — always single-quoted (embedded quotes doubled)
+    - ``"auto"`` — integers ONLY when every subject is a CANONICAL
+      integer (no leading zeros, no '+'); anything lexically
+      non-canonical forces quoted-string rendering, and the header
+      records the decision with a pointer to declare the type
+      explicitly
 
     Reference parity: the reference has no erasure surface (its scripts
     only UPDATE, ``src/executor/query-builder.ts:52-74``); this is the
@@ -194,7 +209,21 @@ def emit_erase_script(
         raise ValueError("no subjects to erase (empty subject list)")
     if int(chunk) < 1:
         raise ValueError("chunk must be >= 1")
-    numeric = all(_re.fullmatch(r"[+-]?\d+", s) for s in subs)
+    if key_type not in ("auto", "int", "string"):
+        raise ValueError("key_type must be auto | int | string")
+    canon_int = r"-?(?:0|[1-9]\d*)"
+    if key_type == "int":
+        bad = [s for s in subs if not _re.fullmatch(canon_int, s)]
+        if bad:
+            raise ValueError(
+                f"key_type='int' but subjects are not canonical "
+                f"integers: {bad[:5]}"
+            )
+        numeric = True
+    elif key_type == "string":
+        numeric = False
+    else:
+        numeric = all(_re.fullmatch(canon_int, s) for s in subs)
     render = (
         (lambda s: s)
         if numeric
@@ -204,6 +233,14 @@ def emit_erase_script(
         "-- GDPR Art. 17 erasure script emitted by database_anonymiser_spark",
         f"-- table: {table}  subject key: {key_col}  "
         f"subjects: {len(subs)}",
+        f"-- rendering: {'integer' if numeric else 'quoted-string'} "
+        f"literals (key_type={key_type}"
+        + (
+            "; pass --subjectType int|string to declare the key's type "
+            "explicitly)"
+            if key_type == "auto"
+            else ")"
+        ),
         "-- each statement is a VERIFIED hard delete (pre-image vacuum +",
         "-- log-stat scrub + zero-residue check); preview with --sqlDryrun,",
         "-- then run:",

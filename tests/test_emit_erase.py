@@ -44,6 +44,26 @@ def test_emit_erase_script_rendering():
         emit_erase_script("cust; DROP", "k", ["1"])
 
 
+def test_emit_erase_key_type_rendering():
+    """Round-15 review fix: rendering follows the KEY's type, never the
+    subjects' lexical shape — '007' as an integer 7 against a STRING
+    key would coerce-match '7'/'07'/'007' and over-delete."""
+    # auto: a non-canonical integer forces quoted-string rendering
+    s = emit_erase_script("cust", "k", ["007", "12"])
+    assert "ERASE FROM cust WHERE k IN ('007', '12');" in s
+    # auto: canonical integers (incl. negative) stay numeric
+    s = emit_erase_script("cust", "k", ["-3", "12"])
+    assert "ERASE FROM cust WHERE k IN (-3, 12);" in s
+    # explicit string quotes even canonical integers
+    s = emit_erase_script("cust", "k", ["12"], key_type="string")
+    assert "ERASE FROM cust WHERE k IN ('12');" in s
+    # explicit int refuses non-canonical subjects instead of guessing
+    with pytest.raises(ValueError, match="not canonical"):
+        emit_erase_script("cust", "k", ["007"], key_type="int")
+    with pytest.raises(ValueError, match="key_type"):
+        emit_erase_script("cust", "k", ["1"], key_type="float")
+
+
 def test_emitted_script_equals_native_erase(spark, tmp_path):
     t_sql = _mk(spark, tmp_path / "a")
     t_nat = _mk(spark, tmp_path / "b")

@@ -183,6 +183,39 @@ def test_recompute_read_is_bounded_to_affected_groups(spark, tmp_path):
     assert row["mn"] == 30001.0 and row["mx"] == 31999.0 and row["n"] == 1999
 
 
+def test_insert_only_delta_skips_loss_machinery(spark, tmp_path):
+    """Round-15 review fix (finding 6): an append-only refresh on a
+    loss-aggregate view must not pay the view-snapshot join — one
+    delta-sized probe decides no removal band exists, and the refresh
+    reads only the appended band + its own merge files."""
+    import database_anonymiser_spark.sources.versioned as V
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(0, 2_000).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS grp", "CAST(id AS DOUBLE) AS amt"
+        ).coalesce(1),
+        key_col="k", stats_cols=("grp",),
+    )
+    mv_root = str(tmp_path / "mv")
+    create_materialized(
+        spark, mv_root, t.root, ["grp"],
+        {"mn": ("min", "amt"), "mx": ("max", "amt"), "n": ("count", None)},
+    )
+    t.append(
+        spark.range(10_000, 10_500).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS grp", "CAST(id AS DOUBLE) AS amt"
+        ).coalesce(1)
+    )
+    f0 = V.DATA_FILES_READ
+    r = refresh_materialized(spark, mv_root)
+    reads = V.DATA_FILES_READ - f0
+    assert r["refreshed"] and r["recomputed_groups"] == 0
+    # appended band (1, one version only — pure adds) + the MV merge's
+    # own file(s); the loss machinery's snapshot read never happens
+    assert reads <= 3, reads
+
+
 def test_approx_distinct_exact_below_k(spark, tmp_path):
     """Below k=256 distinct values the KMV sketch is EXACT: estimates
     equal countDistinct through inserts, duplicate removals (estimate
@@ -342,6 +375,43 @@ def test_stream_materialize_row_level(spark, src, tmp_path):
     )
     assert rs and rs[-1]["row_level"]
     _check(spark, mv, s, mv_root)
+
+
+def test_row_level_intra_batch_churn_nets_out(spark, src, tmp_path):
+    """Round-15 review fix: a streaming batch spans MULTIPLE commits
+    (per-commit CDF events, not a net diff). A value inserted in one
+    commit and deleted in the next — same batch — must contribute
+    NOTHING: not to the closed-form least/greatest, not to the sketch
+    union (the born-and-died hash would otherwise inflate the exact
+    estimate with no loss flag to correct it), and a born-and-died row
+    in a FRESH group must not drag the group's inserted extremum
+    down."""
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_materialize,
+    )
+
+    mv_root = str(tmp_path / "mv")
+    mv = create_materialized(spark, mv_root, src.root, ["grp"], LOSS_AGGS)
+    # commit 1: a mid-range amt (no extremum flag) with a brand-new val
+    # → without netting, h(77) pollutes 'a's sketch flag-free; plus a
+    # fresh group 'n' whose eventual minimum is NOT its batch minimum
+    src.append(spark.createDataFrame(
+        [(50, "a", 15.0, 77), (60, "n", 5.0, 9), (61, "n", 9.0, 8)],
+        "k int, grp string, amt double, val int",
+    ))
+    # commit 2: the churn — k=50 and the fresh group's minimum die
+    src.delete_where("k = 50 OR k = 60")
+    rs = run_stream_materialize(
+        spark, src.root, mv_root, str(tmp_path / "ck"), row_level=True
+    )
+    assert rs and rs[-1]["row_level"]
+    # 'a' is untouched net: min/max stand, dv stays exact at 2
+    row = mv.snapshot().where("grp = 'a'").first()
+    assert row["mn"] == 10.0 and row["mx"] == 30.0 and row["dv"] == 2.0
+    # fresh group 'n' nets to the single surviving row
+    row = mv.snapshot().where("grp = 'n'").first()
+    assert row["mn"] == 9.0 and row["mx"] == 9.0 and row["n"] == 1
+    _check(spark, mv, src, mv_root)
 
 
 def test_multi_file_commit_never_splits_across_batches(spark, tmp_path):

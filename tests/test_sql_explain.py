@@ -127,6 +127,43 @@ def test_explain_optimize_and_select(spark, banded):
     assert frag["files_would_read"] == 1 and frag["files_total"] == 4
 
 
+def test_explain_mirrors_execution_refusals_and_merge_runs(spark, banded):
+    """Round-15 review fix: EXPLAIN is the rehearsal of what WILL run —
+    a statement execution would refuse must refuse identically under
+    EXPLAIN, and MERGE RUNS reports the run-merge path, not compact."""
+    views = _views(banded)
+    with pytest.raises(SqlDmlError, match="needs ZORDER BY"):
+        execute_utility(spark, "EXPLAIN OPTIMIZE cust WHERE k > 0", views)
+    with pytest.raises(SqlDmlError, match="MERGE RUNS needs"):
+        execute_utility(spark, "EXPLAIN OPTIMIZE cust MERGE RUNS 2", views)
+    banded.set_clustering(("k",))
+    frag = execute_utility(
+        spark, "EXPLAIN OPTIMIZE cust MERGE RUNS 2", views
+    )
+    assert frag["native_op"] == "optimize_cluster"
+    assert frag["merge_runs"] == 2 and frag["clustering_cols"] == ["k"]
+
+
+def test_truncate_dryrun_previews(spark, banded, tmp_path):
+    """Round-15 review fix: TRUNCATE became transactional, so a
+    BEGIN..TRUNCATE..COMMIT script must preview under --sqlDryrun."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    spark.range(1).write.parquet(str(data_dir / "dummy.parquet"))
+    v0 = banded.latest_version()
+    rc = cli_main([
+        "--sql", "TRUNCATE TABLE cust", "--sqlDryrun",
+        "--data", str(data_dir), "--versionedTable", f"cust={banded.root}",
+        "--report", str(tmp_path / "r.json"),
+    ])
+    assert rc == 0 and banded.latest_version() == v0
+    import json
+
+    frag = json.loads((tmp_path / "r.json").read_text())
+    assert frag["op"] == "truncate"
+    assert frag["rows_would_change"] == 4000
+
+
 def test_explain_claims_only_engine_shapes(spark, banded):
     views = _views(banded)
     assert claim_utility("EXPLAIN UPDATE cust SET amt = 1", views) == "explain"
