@@ -1719,6 +1719,37 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
         else:
             out["native_op"] = "compact"
         return out
+    if uk == "refresh":
+        m = re.fullmatch(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+            rf"(?:\s+TO\s+VERSION\s+(?P<v>\d+))?",
+            inner, re.I,
+        )
+        if m:
+            from database_anonymiser_spark.sources.materialized import (
+                _LOSS_KINDS,
+                materialized_info,
+            )
+
+            vt = _vt(m.group(1))
+            try:
+                info = materialized_info(vt)
+            except ValueError as e:
+                raise SqlDmlError(str(e)) from e
+            src = VersionedTable(spark, info["source"])
+            head = src.latest_version()
+            to = int(m.group("v")) if m.group("v") else head
+            out["class"] = "refresh_materialized_view"
+            out["native_op"] = "ivm_delta_merge"
+            out["source"] = info["source"]
+            out["watermark"] = info["last_version"]
+            out["source_head"] = head
+            out["to_version"] = to
+            out["would_noop"] = to <= info["last_version"]
+            out["loss_aggs"] = sorted(
+                c for c, (k, e) in info["aggs"].items() if k in _LOSS_KINDS
+            )
+            return out
     if uk:
         # any other claimed maintenance statement: class + target only
         out["class"] = uk

@@ -164,6 +164,46 @@ def test_truncate_dryrun_previews(spark, banded, tmp_path):
     assert frag["rows_would_change"] == 4000
 
 
+def test_explain_refresh_materialized_view(spark, tmp_path):
+    """EXPLAIN REFRESH MATERIALIZED VIEW: watermark, interval, loss-agg
+    presence, no-op detection — zero execution."""
+    from database_anonymiser_spark.sources.materialized import (
+        create_materialized,
+    )
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0)], "k int, grp string, amt double"
+        ),
+        key_col="k",
+    )
+    mv_root = str(tmp_path / "mv")
+    create_materialized(
+        spark, mv_root, src.root, ["grp"],
+        {"n": ("count", None), "mn": ("min", "amt")},
+    )
+    views = {
+        "m": {"root": mv_root, "pinned": False},
+        "s": {"root": str(src.root), "pinned": False},
+    }
+    frag = execute_utility(
+        spark, "EXPLAIN REFRESH MATERIALIZED VIEW m", views
+    )
+    assert frag["class"] == "refresh_materialized_view"
+    assert frag["native_op"] == "ivm_delta_merge"
+    assert frag["would_noop"] is True  # source unmoved
+    assert frag["loss_aggs"] == ["mn"]
+    src.delete_where("k = 1")
+    frag = execute_utility(
+        spark, "EXPLAIN REFRESH MATERIALIZED VIEW m", views
+    )
+    assert frag["would_noop"] is False
+    assert frag["watermark"] == 0 and frag["to_version"] == 1
+    # the MV is untouched (zero execution)
+    assert VersionedTable(spark, mv_root).latest_version() == 0
+
+
 def test_explain_claims_only_engine_shapes(spark, banded):
     views = _views(banded)
     assert claim_utility("EXPLAIN UPDATE cust SET amt = 1", views) == "explain"
