@@ -1333,9 +1333,10 @@ def run_stream_materialize(
       its offsets are commit versions — ``latestOffset`` admits whole
       commits even under maxFilesPerTrigger/maxBytesPerTrigger
       (``spark_datasource.py::_ChangesStreamReader``; pinned by
-      ``tests/test_streaming.py``'s admission tests and the torn-batch
-      unit test in tests/test_materialized_minmax.py). A FOREIGN feed
-      without that contract must use the tick design.
+      ``tests/test_datasource.py``'s admission tests and the
+      multi-file-commit-never-splits test in
+      tests/test_materialized_minmax.py). A FOREIGN feed without that
+      contract must use the tick design.
     - **Contiguity + replay.** Rows at or below the view's watermark
       are filtered out (foreachBatch is at-least-once; a replayed
       batch no-ops), and if any DATA-CHANGING source commit sits
