@@ -349,18 +349,31 @@ def _check_no_null_keys(df, keys: list, where: str):
 
 
 def create_materialized(
-    spark, mv_root, source_root, keys, aggs: dict
+    spark, mv_root, source_root, keys, aggs: dict,
+    filter_sql: "str | None" = None,
 ):
     """Create the materialized view: ONE full aggregate scan of the
     source's current snapshot into a fresh versioned table keyed by the
     group columns, with the IVM contract (source root, keys, aggregate
-    specs, source watermark) folded INTO the create commit itself
-    (round 15: one atomic commit — a crash can never leave a table
-    that exists without its contract). Returns the
+    specs, source watermark, optional filter) folded INTO the create
+    commit itself (round 15: one atomic commit — a crash can never
+    leave a table that exists without its contract). Returns the
     :class:`VersionedTable`.
 
     ``aggs``: ``{out_col: (kind, expr|None)}`` with kind ∈ count | sum
     | avg | min | max | approx_distinct.
+
+    ``filter_sql`` (round 15): a ROW-LOCAL source predicate — the view
+    equals ``SELECT keys, aggs FROM source WHERE filter GROUP BY keys``.
+    Delta propagation stays exact because the filter commutes with the
+    change feed: a change row's membership in the view's scope depends
+    only on its own image, so filtering each feed image BEFORE the
+    signed delta is precisely the algebra of the filtered view — a row
+    UPDATED across the predicate boundary renders as a bare insert
+    (entered scope) or bare delete (left scope), and the loss-aggregate
+    recompute applies the same filter to its bounded source read. NULLs
+    in the predicate drop the row (SQL WHERE semantics), on images and
+    recomputes alike.
     """
     from database_anonymiser_spark.sources.versioned import VersionedTable
 
@@ -376,6 +389,8 @@ def create_materialized(
     src = VersionedTable(spark, source_root)
     src_v = src.latest_version()
     snap = src.snapshot(src_v)
+    if filter_sql:
+        snap = snap.where(F.expr(filter_sql))
     _check_no_null_keys(snap.select(*keys), keys, "the source snapshot")
     mv_df = _full_frame(snap, keys, aggs)
     return VersionedTable.create(
@@ -386,6 +401,7 @@ def create_materialized(
             "ivm.keys": json.dumps(keys),
             "ivm.aggs": json.dumps({c: list(s) for c, s in aggs.items()}),
             "ivm.last_version": str(src_v),
+            **({"ivm.filter": filter_sql} if filter_sql else {}),
         },
     )
 
@@ -405,6 +421,7 @@ def materialized_info(mv) -> dict:
             c: tuple(s) for c, s in json.loads(props["ivm.aggs"]).items()
         },
         "last_version": int(props["ivm.last_version"]),
+        "filter": props.get("ivm.filter"),
     }
 
 
@@ -423,7 +440,8 @@ def _null_rc(j, aggs: dict):
     return j
 
 
-def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
+def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int,
+                      filter_sql=None):
     """Join the delta against the view's stored loss state, flag the
     groups whose removals can actually change non-self-maintainable
     state, and — for exactly those groups — re-derive min/max/sketch
@@ -540,6 +558,9 @@ def _attach_recompute(mv, src, delta, keys: list, aggs: dict, to_v: int):
     lead = keys[0]
     b = rgroups.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).first()
     based = src.read_where({lead: (b["lo"], b["hi"])}, version=to_v)
+    if filter_sql:
+        # the recompute must see exactly the FILTERED view's rows
+        based = based.where(F.expr(filter_sql))
     rg = rgroups
     for k_ in keys:
         rg = rg.withColumnRenamed(k_, f"_rg_{k_}")
@@ -606,7 +627,10 @@ def refresh_materialized(spark, mv_root, to_version: int | None = None) -> dict:
             "(the source history was rewritten?); rebuild the view"
         )
     changes = src.diff(last, to_version, images="both")
-    return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
+    return _apply_delta_merge(
+        mv, src, keys, aggs, changes, last, to_version,
+        filter_sql=info.get("filter"),
+    )
 
 
 def _net_changes(changes, table_keys: list, data_cols: list):
@@ -702,14 +726,24 @@ def apply_changes_frame(spark, mv_root, changes, to_version: int) -> dict:
                          "_commit_timestamp")
         ]
         changes = _net_changes(changes, table_keys, data_cols)
-    return _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version)
+    return _apply_delta_merge(
+        mv, src, keys, aggs, changes, last, to_version,
+        filter_sql=info.get("filter"),
+    )
 
 
-def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version) -> dict:
+def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version,
+                       filter_sql=None) -> dict:
     """The shared delta→merge tail of both refresh faces: aggregate the
     change rows to per-group deltas (one shuffle over the CHANGES),
     bound-recompute the loss aggregates, and land ONE merge commit
     carrying the new watermark."""
+    if filter_sql:
+        # a filtered view sees only in-scope images: WHERE commutes with
+        # the feed (row-local), so filtering each image IS the filtered
+        # view's delta algebra — boundary-crossing updates render as
+        # bare inserts/deletes (create_materialized docstring)
+        changes = changes.where(F.expr(filter_sql))
     _check_no_null_keys(
         changes.select(*keys), keys, f"source changes {last}..{to_version}"
     )
@@ -734,7 +768,7 @@ def _apply_delta_merge(mv, src, keys, aggs, changes, last, to_version) -> dict:
     merge_src = delta
     if loss:
         merge_src, n_rec = _attach_recompute(
-            mv, src, delta, keys, aggs, to_version
+            mv, src, delta, keys, aggs, to_version, filter_sql=filter_sql
         )
 
     # merge SET exprs: self-maintainable slots update by addition;
@@ -830,16 +864,18 @@ _AGG_RE = re.compile(
 )
 
 
-def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
+def parse_mv_query(select_sql: str) -> tuple[str, list, dict, "str | None"]:
     """Parse the restricted MV SELECT shape into (source_view, keys,
-    aggs). Every select item is either a bare group-key column or
-    ``count(*)|count(e)|sum(e)|avg(e)|min(e)|max(e)|
-    approx_count_distinct(e) AS name``; FROM names one view; GROUP BY
-    lists the key columns. Anything else refuses with the shape — a
-    materialized view's refresh algebra only exists for this family, so
-    the parser only claims it."""
+    aggs, filter_sql). Every select item is either a bare group-key
+    column or ``count(*)|count(e)|sum(e)|avg(e)|min(e)|max(e)|
+    approx_count_distinct(e) AS name``; FROM names one view, optionally
+    followed by a row-local ``WHERE <pred>`` (round 15 — the filtered-
+    view shape); GROUP BY lists the key columns. Anything else refuses
+    with the shape — a materialized view's refresh algebra only exists
+    for this family, so the parser only claims it."""
     m = re.match(
         r"\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>[A-Za-z_][\w$.]*)\s+"
+        r"(?:WHERE\s+(?P<w>.+?)\s+)?"
         r"GROUP\s+BY\s+(?P<gb>.+?)\s*$",
         select_sql, re.I | re.S,
     )
@@ -847,7 +883,7 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
         raise ValueError(
             "materialized view query must be: SELECT <keys and "
             "count/sum/avg/min/max/approx_count_distinct aggregates> "
-            "FROM <view> GROUP BY <keys>"
+            "FROM <view> [WHERE <row-local pred>] GROUP BY <keys>"
         )
     keys = [c.strip() for c in m.group("gb").split(",") if c.strip()]
     if not all(re.fullmatch(r"[A-Za-z_][\w$]*", k) for k in keys):
@@ -903,4 +939,5 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict]:
         )
     if not aggs:
         raise ValueError("materialized view needs at least one aggregate")
-    return m.group("src"), keys, aggs
+    w = m.group("w")
+    return m.group("src"), keys, aggs, (w.strip() if w else None)

@@ -1185,7 +1185,7 @@ _UTILITY_GRAMMAR = (
     "  CREATE TABLE <view> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>] LOCATION '<dir>'\n"
     "  CREATE MATERIALIZED VIEW <view> USING VERSIONED LOCATION '<dir>'\n"
     "      AS SELECT <keys, count/sum/avg/min/max/approx_count_distinct aggs>\n"
-    "      FROM <versioned view> GROUP BY <keys>\n"
+    "      FROM <versioned view> [WHERE <row-local pred>] GROUP BY <keys>\n"
     "  REFRESH MATERIALIZED VIEW <view> [TO VERSION <n>]   -- incremental: O(source changes)\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
     "  DROP TABLE [IF EXISTS] <view> | DROP MATERIALIZED VIEW <view>\n"
@@ -1317,7 +1317,7 @@ def _execute_create_materialized(spark, m, stmt: str,
             "registered; refusing to shadow it"
         )
     try:
-        src_view, keys, aggs = parse_mv_query(m.group("q").strip())
+        src_view, keys, aggs, filt = parse_mv_query(m.group("q").strip())
     except ValueError as e:
         raise SqlDmlError(str(e)) from e
     src_meta = versioned_views.get(src_view.lower())
@@ -1334,7 +1334,8 @@ def _execute_create_materialized(spark, m, stmt: str,
         )
     try:
         mv = create_materialized(
-            spark, m.group("loc"), src_meta["root"], keys, aggs
+            spark, m.group("loc"), src_meta["root"], keys, aggs,
+            filter_sql=filt,
         )
     except OSError as e:
         raise SqlDmlError(f"CREATE refused: {e}") from e

@@ -422,7 +422,7 @@ def test_stream_materialize(spark, src, tmp_path):
 
 
 def test_parse_mv_query():
-    srcv, keys, aggs = parse_mv_query(
+    srcv, keys, aggs, _f = parse_mv_query(
         "SELECT grp, region, count(*) AS n, sum(a * b) AS s, "
         "avg(x) AS m FROM orders_v GROUP BY grp, region"
     )
@@ -431,7 +431,7 @@ def test_parse_mv_query():
         "n": ("count", None), "s": ("sum", "a * b"), "m": ("avg", "x"),
     }
     # round 15: min/max parse as first-class aggregates now
-    _, _, mm = parse_mv_query("SELECT g, max(x) AS m FROM v GROUP BY g")
+    _, _, mm, _f2 = parse_mv_query("SELECT g, max(x) AS m FROM v GROUP BY g")
     assert mm == {"m": ("max", "x")}
     with pytest.raises(ValueError, match="GROUP BY"):
         parse_mv_query("SELECT count(*) AS n FROM v")

@@ -213,7 +213,7 @@ def test_sq_literal_round_trip(s):
 )
 def test_mv_parser_round_trips(keys, aggs):
     sel = ", ".join(keys + [f"{expr} AS {name}" for name, expr in aggs])
-    src, got_keys, got_aggs = parse_mv_query(
+    src, got_keys, got_aggs, _pf = parse_mv_query(
         f"SELECT {sel} FROM my_view GROUP BY {', '.join(keys)}"
     )
     assert src == "my_view" and got_keys == keys
