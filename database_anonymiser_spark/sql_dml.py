@@ -985,7 +985,7 @@ def classify_utility(stmt: str) -> str | None:
     DESCRIBE/ALTER and broke e.g. ``DESCRIBE customer``)."""
     head = re.match(
         r"\s*(OPTIMIZE|VACUUM|RESTORE|DESCRIBE|ALTER|ERASE|CREATE|COPY|"
-        r"CONVERT|TRUNCATE|SHOW|REFRESH|DROP|EXPLAIN)\b",
+        r"CONVERT|TRUNCATE|SHOW|REFRESH|DROP|EXPLAIN|ANALYZE)\b",
         stmt, re.I,
     )
     return head.group(1).lower() if head else None
@@ -1028,6 +1028,17 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
         m = re.match(
             rf"SELECT\s+.+?\s+FROM\s+({_IDENT})\s*(?:WHERE\b.+)?$",
             inner, re.I | re.S,
+        )
+        return (
+            kind
+            if m and _unquote(m.group(1)).lower() in versioned_views
+            else None
+        )
+    if kind == "analyze":
+        # ANALYZE TABLE is valid Spark SQL on catalog tables — claim
+        # only a registered versioned view's (round 15)
+        m = re.match(
+            rf"\s*ANALYZE\s+TABLE\s+({_IDENT})\b", stmt, re.I
         )
         return (
             kind
@@ -1156,7 +1167,8 @@ def statement_target(stmt: str) -> str | None:
         rf"(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|"
         rf"INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE)?)|"
         rf"OPTIMIZE|VACUUM|RESTORE(?:\s+TABLE)?|ERASE\s+FROM|"
-        rf"ALTER\s+TABLE|COPY\s+INTO|TRUNCATE\s+TABLE)\s+({_IDENT})",
+        rf"ALTER\s+TABLE|COPY\s+INTO|TRUNCATE\s+TABLE|"
+        rf"ANALYZE\s+TABLE)\s+({_IDENT})",
         s, re.I,
     )
     return _unquote(m.group(1)) if m else None
@@ -1187,6 +1199,9 @@ _UTILITY_GRAMMAR = (
     "      AS SELECT <keys, count/sum/avg/min/max/approx_count_distinct aggs>\n"
     "      FROM <versioned view> [WHERE <row-local pred>] GROUP BY <keys>\n"
     "  REFRESH MATERIALIZED VIEW <view> [TO VERSION <n>]   -- incremental: O(source changes)\n"
+    "  ANALYZE TABLE <view> COMPUTE STATISTICS FOR [COLUMNS a, b]\n"
+    "      [BLOOM COLUMNS c, d]         -- footer-only skipping-stats harvest;\n"
+    "      bloom sidecars for point lookups (tuple blooms: native analyze())\n"
     "  TRUNCATE TABLE <view>            -- metadata-only: dereference all live files\n"
     "  DROP TABLE [IF EXISTS] <view> | DROP MATERIALIZED VIEW <view>\n"
     "      -- deregister only (external-location semantics: data stays)\n"
@@ -1961,6 +1976,38 @@ def execute_utility(
             rows = [t.detail()]
         return {"mode": "sql_utility", "op": f"describe_{m.group(1).lower()}",
                 "table": _unquote(m.group(2)), "rows": rows,
+                "statement": stmt}
+    if kind == "analyze":
+        # ANALYZE TABLE (round 15 — Delta's dataSkippingStatsColumns
+        # reconfiguration + stats recompute as SQL): footer-only [min,
+        # max] harvest for new skipping columns and/or per-file BLOOM
+        # sidecars, routed to the r9 native — metadata commit, zero
+        # rewrite; tuple blooms (co-occurrence sidecars) stay native
+        # (analyze(bloom_cols=[(a, b)])), the SQL face takes single
+        # columns
+        clist = rf"{_IDENT}(?:\s*,\s*{_IDENT})*"
+        m = re.fullmatch(
+            rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS\s+FOR"
+            rf"(?:\s+COLUMNS\s+(?P<sc>{clist}))?"
+            rf"(?:\s+BLOOM\s+COLUMNS\s+(?P<bc>{clist}))?",
+            s, re.I,
+        )
+        if not m or (m.group("sc") is None and m.group("bc") is None):
+            raise SqlDmlError(
+                "ANALYZE needs: ANALYZE TABLE <view> COMPUTE STATISTICS "
+                "FOR [COLUMNS a, b] [BLOOM COLUMNS c, d]\n"
+                f"{_UTILITY_GRAMMAR}"
+            )
+        t = _table(m.group(1))
+        sc = _cols(m.group("sc")) if m.group("sc") else ()
+        bc = _cols(m.group("bc")) if m.group("bc") else ()
+        try:
+            v = t.analyze(stats_cols=sc, bloom_cols=bc)
+        except ValueError as e:
+            raise SqlDmlError(f"ANALYZE refused: {e}") from e
+        return {"mode": "sql_utility", "op": "analyze",
+                "table": _unquote(m.group(1)), "new_version": int(v),
+                "stats_cols": list(sc), "bloom_cols": list(bc),
                 "statement": stmt}
     if kind == "truncate":
         m = re.fullmatch(rf"TRUNCATE\s+TABLE\s+({_IDENT})", s, re.I)

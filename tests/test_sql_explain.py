@@ -204,6 +204,43 @@ def test_explain_refresh_materialized_view(spark, tmp_path):
     assert VersionedTable(spark, mv_root).latest_version() == 0
 
 
+def test_analyze_table_sql(spark, banded, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS / BLOOM COLUMNS
+    (round 15): footer-only stats harvest as SQL — after the ANALYZE a
+    range predicate on the new column prunes files (visible through
+    EXPLAIN's metadata probe), and the commit is metadata-only."""
+    views = _views(banded)
+    # before: amt has no per-file stats — EXPLAIN shows no pruning
+    frag = execute_utility(
+        spark,
+        "EXPLAIN SELECT k FROM cust WHERE amt >= 30000", views,
+    )
+    assert frag["files_would_read"] == 4
+    frag = execute_utility(
+        spark,
+        "ANALYZE TABLE cust COMPUTE STATISTICS FOR COLUMNS amt "
+        "BLOOM COLUMNS k",
+        views,
+    )
+    assert frag["op"] == "analyze" and frag["stats_cols"] == ["amt"]
+    assert frag["bloom_cols"] == ["k"]
+    # after: the same predicate prunes to the one overlapping band
+    frag = execute_utility(
+        spark,
+        "EXPLAIN SELECT k FROM cust WHERE amt >= 30000", views,
+    )
+    assert frag["files_would_read"] == 1
+    # refusals: no columns at all; unknown shape
+    with pytest.raises(SqlDmlError, match="ANALYZE needs"):
+        execute_utility(
+            spark, "ANALYZE TABLE cust COMPUTE STATISTICS FOR", views
+        )
+    # a plain Spark ANALYZE on an unregistered name is NOT claimed
+    from database_anonymiser_spark.sql_dml import claim_utility as cu
+
+    assert cu("ANALYZE TABLE other COMPUTE STATISTICS", views) is None
+
+
 def test_explain_claims_only_engine_shapes(spark, banded):
     views = _views(banded)
     assert claim_utility("EXPLAIN UPDATE cust SET amt = 1", views) == "explain"
