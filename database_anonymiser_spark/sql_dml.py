@@ -1077,9 +1077,12 @@ def claim_utility(stmt: str, versioned_views: dict[str, dict]) -> str | None:
             else None
         )
     if kind == "show":
-        # only SHOW CREATE TABLE <versioned view>; every other SHOW is
-        # plain Spark SQL
-        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", s, re.I)
+        # only SHOW CREATE TABLE / SHOW TBLPROPERTIES on a registered
+        # versioned view; every other SHOW is plain Spark SQL
+        m = re.match(
+            rf"SHOW\s+(?:CREATE\s+TABLE|TBLPROPERTIES)\s+({_IDENT})\s*$",
+            s, re.I,
+        )
         return (
             kind
             if m and _unquote(m.group(1)).lower() in versioned_views
@@ -1206,6 +1209,7 @@ _UTILITY_GRAMMAR = (
     "  DROP TABLE [IF EXISTS] <view> | DROP MATERIALIZED VIEW <view>\n"
     "      -- deregister only (external-location semantics: data stays)\n"
     "  SHOW CREATE TABLE <view>         -- executable round-trip DDL\n"
+    "  SHOW TBLPROPERTIES <view>        -- the versioned property map as rows\n"
     "  COPY INTO <view> FROM '<parquet dir or file>'   -- idempotent by file\n"
     "  CONVERT TO VERSIONED '<dir>' KEY (col) [AS <view>]\n"
     "  ERASE FROM <view> WHERE <pred>   -- engine extension: GDPR Art. 17\n"
@@ -2028,6 +2032,20 @@ def execute_utility(
                 "metrics": (t.commit_meta(v) or {}).get("metrics", {}),
                 "statement": stmt}
     if kind == "show":
+        m = re.fullmatch(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})", s, re.I)
+        if m:
+            # round 15 — Delta's SHOW TBLPROPERTIES: the versioned
+            # property map as (key, value) rows, engine-managed slots
+            # (ivm.*, identity.*, clustering.*, generated.*) included;
+            # readable on pinned registrations (log metadata, no
+            # snapshot)
+            t = _table(m.group(1), mutating=False)
+            props = t.table_properties()
+            return {"mode": "sql_utility", "op": "show_tblproperties",
+                    "table": _unquote(m.group(1)),
+                    "rows": [{"key": k, "value": v}
+                             for k, v in sorted(props.items())],
+                    "statement": stmt}
         m = re.fullmatch(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})", s, re.I)
         if not m:
             raise SqlDmlError(f"unsupported SHOW shape\n{_UTILITY_GRAMMAR}")

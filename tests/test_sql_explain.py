@@ -305,3 +305,20 @@ def test_optimize_where_rewrites_only_overlapping_files(spark, banded, tmp_path)
             spark,
             "OPTIMIZE cust ZORDER BY (k) WHERE k > 0 OR amt < 5", views,
         )
+
+
+def test_show_tblproperties(spark, banded, tmp_path):
+    """SHOW TBLPROPERTIES (round 15): the versioned property map as
+    (key, value) rows; unregistered names fall through to Spark."""
+    from database_anonymiser_spark.sql_dml import claim_utility as cu
+
+    views = _views(banded)
+    frag = execute_utility(
+        spark, "ALTER TABLE cust SET TBLPROPERTIES ('owner' = 'gdpr-team')",
+        views,
+    )
+    frag = execute_utility(spark, "SHOW TBLPROPERTIES cust", views)
+    assert frag["op"] == "show_tblproperties"
+    rows = {r["key"]: r["value"] for r in frag["rows"]}
+    assert rows["owner"] == "gdpr-team"
+    assert cu("SHOW TBLPROPERTIES other", views) is None
