@@ -1250,14 +1250,63 @@ def _register_versioned_view(spark, name: str, root: str,
     versioned_views[name.lower()] = {"root": str(root), "pinned": False}
 
 
-def show_create_table(t, name: str) -> str:
+def show_create_table(t, name: str, versioned_views: dict | None = None) -> str:
     """Delta's ``SHOW CREATE TABLE``: render the table's CURRENT shape
     as the engine's own executable SQL (the round-14 CREATE grammar),
     followed by ALTER statements for constraints and user properties —
     so the output, pointed at a fresh LOCATION, recreates the table
     shape through the same face that prints it (round-trip pinned in
     pytest). Pure metadata: logged schema + key + clustering +
-    constraint/property maps, zero data reads."""
+    constraint/property maps, zero data reads.
+
+    A MATERIALIZED VIEW renders as its ``CREATE MATERIALIZED VIEW ...
+    AS SELECT`` definition (round 15 — the plain-CREATE rendering would
+    have recreated a table that LOOKS like an MV, ivm.* properties and
+    all, without its content contract). The FROM name resolves by
+    reverse-looking the recorded source root up in the session's
+    registrations; an unregistered source renders a placeholder the
+    caller must substitute."""
+    props0 = t._raw_properties() or {}
+    if "ivm.source" in props0:
+        import json as _json
+
+        keys = _json.loads(props0["ivm.keys"])
+        aggs = _json.loads(props0["ivm.aggs"])
+        src_root = props0["ivm.source"]
+        src_name = next(
+            (n for n, m in (versioned_views or {}).items()
+             if str(m.get("root")) == src_root),
+            None,
+        )
+        items = list(keys)
+        for col, (kind, expr) in aggs.items():
+            fn = {
+                "approx_distinct": "approx_count_distinct",
+            }.get(kind, kind)
+            arg = "*" if (kind == "count" and expr is None) else expr
+            items.append(f"{fn}({arg}) AS {col}")
+        q = f"SELECT {', '.join(items)} FROM {src_name or '<source_view>'}"
+        if props0.get("ivm.filter"):
+            q += f" WHERE {props0['ivm.filter']}"
+        q += f" GROUP BY {', '.join(keys)}"
+        lines = []
+        if src_name is None:
+            lines.append(
+                f"-- source root: {src_root} — register it as a "
+                "--versionedTable view and substitute its name for "
+                "<source_view>"
+            )
+        if "'" in str(t.root):
+            raise SqlDmlError(
+                f"SHOW CREATE TABLE cannot render location "
+                f"{str(t.root)!r}: a single quote in the path is not "
+                "expressible in the LOCATION literal"
+            )
+        lines.append(
+            f"CREATE MATERIALIZED VIEW {name} USING VERSIONED "
+            f"LOCATION '{t.root}' AS {q};"
+        )
+        return "\n".join(lines)
     sch = t._log_schema() or t.snapshot().schema
     ident = t.identity_column()
     gens = {
@@ -2050,7 +2099,7 @@ def execute_utility(
         if not m:
             raise SqlDmlError(f"unsupported SHOW shape\n{_UTILITY_GRAMMAR}")
         t = _table(m.group(1), mutating=False)
-        ddl = show_create_table(t, _unquote(m.group(1)))
+        ddl = show_create_table(t, _unquote(m.group(1)), versioned_views)
         return {"mode": "sql_utility", "op": "show_create_table",
                 "table": _unquote(m.group(1)),
                 "rows": [{"createtab_stmt": ddl}], "statement": stmt}

@@ -605,3 +605,59 @@ def test_filtered_mv_sql_face_and_parse(spark, tmp_path):
         .select("grp", "n", "lo").collect()
     }
     assert got == {"x": (2, 10.0), "y": (1, 5.0)}
+
+
+def test_show_create_table_renders_mv_definition(spark, tmp_path):
+    """Round 15: SHOW CREATE TABLE on a materialized view renders the
+    executable CREATE MATERIALIZED VIEW definition (source resolved by
+    reverse registry lookup, filter included) — the plain-CREATE
+    rendering would have recreated a contract-less lookalike."""
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame(
+            [(1, "x", "open", 10.0), (2, "x", "closed", 20.0),
+             (3, "y", "open", 5.0)],
+            "k int, grp string, status string, amt double",
+        ),
+        key_col="k",
+    )
+    mv_root = str(tmp_path / "mv")
+    create_materialized(
+        spark, mv_root, src.root, ["grp"],
+        {"n": ("count", None), "lo": ("min", "amt"),
+         "d": ("approx_distinct", "amt")},
+        filter_sql="status = 'open'",
+    )
+    views = {
+        "s": {"root": str(src.root), "pinned": False},
+        "m": {"root": mv_root, "pinned": False},
+    }
+    ddl = execute_utility(spark, "SHOW CREATE TABLE m", views)["rows"][0][
+        "createtab_stmt"
+    ]
+    assert ddl.startswith("CREATE MATERIALIZED VIEW m USING VERSIONED")
+    assert "FROM s WHERE status = 'open' GROUP BY grp" in ddl
+    assert "count(*) AS n" in ddl and "min(amt) AS lo" in ddl
+    assert "approx_count_distinct(amt) AS d" in ddl
+    # executable round-trip at a fresh location and name
+    ddl2 = (
+        ddl.rstrip(";")
+        .replace(mv_root, str(tmp_path / "mv2"))
+        .replace("MATERIALIZED VIEW m ", "MATERIALIZED VIEW m2 ")
+    )
+    frag = execute_utility(spark, ddl2, views)
+    assert frag["op"] == "create_materialized_view"
+    a = {(r["grp"], r["n"], r["lo"], r["d"])
+         for r in VersionedTable(spark, mv_root).snapshot()
+         .select("grp", "n", "lo", "d").collect()}
+    b = {(r["grp"], r["n"], r["lo"], r["d"])
+         for r in VersionedTable(spark, str(tmp_path / "mv2")).snapshot()
+         .select("grp", "n", "lo", "d").collect()}
+    assert a == b and a
+    # an UNREGISTERED source renders the placeholder + guidance comment
+    ddl3 = execute_utility(
+        spark, "SHOW CREATE TABLE m", {"m": views["m"]}
+    )["rows"][0]["createtab_stmt"]
+    assert "<source_view>" in ddl3 and "-- source root:" in ddl3
