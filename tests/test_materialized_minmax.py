@@ -661,3 +661,40 @@ def test_show_create_table_renders_mv_definition(spark, tmp_path):
         spark, "SHOW CREATE TABLE m", {"m": views["m"]}
     )["rows"][0]["createtab_stmt"]
     assert "<source_view>" in ddl3 and "-- source root:" in ddl3
+
+
+def test_row_level_stream_with_filtered_mv(spark, tmp_path):
+    """Filtered MV maintained by the row-level streaming path: scope
+    boundary crossings arrive as per-commit CDF events, net, filter,
+    and land correctly — including an extremum leaving scope."""
+    from database_anonymiser_spark.streaming.pipeline import (
+        run_stream_materialize,
+    )
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(1, "a", "open", 10.0), (2, "a", "open", 20.0),
+             (3, "a", "closed", 5.0), (4, "b", "open", 7.0)],
+            "k int, grp string, status string, amt double",
+        ),
+        key_col="k",
+    )
+    mv_root = str(tmp_path / "mv")
+    mv = create_materialized(
+        spark, mv_root, src.root, ["grp"],
+        {"n": ("count", None), "mn": ("min", "amt")},
+        filter_sql="status = 'open'",
+    )
+    # commit 1: k=3 enters scope (its 5.0 becomes min('a'));
+    # commit 2: k=3 leaves again — net: invisible; plus k=1 (the real
+    # in-scope min) leaves scope in commit 2
+    src.update_where({"status": "'open'"}, "k = 3")
+    src.update_where({"status": "'closed'"}, "k = 3 OR k = 1")
+    rs = run_stream_materialize(
+        spark, src.root, mv_root, str(tmp_path / "ck"), row_level=True
+    )
+    assert rs and rs[-1]["row_level"]
+    row = mv.snapshot().where("grp = 'a'").first()
+    assert row["n"] == 1 and row["mn"] == 20.0
+    assert materialized_info(mv)["last_version"] == src.latest_version()
