@@ -337,6 +337,35 @@ def _full_frame(src_df, keys: list, aggs: dict):
     return out
 
 
+#: functions whose value depends on WHEN/WHERE a row is evaluated, not
+#: on the row itself — a filter using one silently diverges the view
+#: from its definition (create evaluates it once over the snapshot;
+#: refresh re-evaluates it only over CHANGED rows, so unchanged rows
+#: never age in or out). Blocklisted loudly instead (round-15 review).
+_NON_ROW_LOCAL = (
+    r"\b(?:current_date|current_timestamp|localtimestamp|now|"
+    r"current_timezone|today)\b"
+    r"|\b(?:rand|randn|random|uuid|shuffle|"
+    r"monotonically_increasing_id|input_file_name|"
+    r"spark_partition_id)\s*\("
+)
+
+
+def _check_filter_row_local(filter_sql: str):
+    m = re.search(_NON_ROW_LOCAL, filter_sql, re.I)
+    if m:
+        raise ValueError(
+            f"materialized-view filter uses {m.group(0).strip('(').strip()!r}"
+            " — a filter must be ROW-LOCAL and deterministic (its value "
+            "may depend only on the row): time- or randomness-dependent "
+            "predicates would silently diverge the view from its "
+            "definition, because refresh re-evaluates the filter only "
+            "over CHANGED rows (unchanged rows never age in or out). "
+            "Materialize the moving window downstream of the view, or "
+            "filter on a data column"
+        )
+
+
 def _check_no_null_keys(df, keys: list, where: str):
     null_pred = " OR ".join(f"{k} IS NULL" for k in keys)
     if df.where(null_pred).limit(1).count():
@@ -390,6 +419,7 @@ def create_materialized(
     src_v = src.latest_version()
     snap = src.snapshot(src_v)
     if filter_sql:
+        _check_filter_row_local(filter_sql)
         snap = snap.where(F.expr(filter_sql))
     _check_no_null_keys(snap.select(*keys), keys, "the source snapshot")
     mv_df = _full_frame(snap, keys, aggs)
@@ -873,19 +903,38 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict, "str | None"]:
     view shape); GROUP BY lists the key columns. Anything else refuses
     with the shape — a materialized view's refresh algebra only exists
     for this family, so the parser only claims it."""
+    shape_err = ValueError(
+        "materialized view query must be: SELECT <keys and "
+        "count/sum/avg/min/max/approx_count_distinct aggregates> "
+        "FROM <view> [WHERE <row-local pred>] GROUP BY <keys>"
+    )
     m = re.match(
         r"\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>[A-Za-z_][\w$.]*)\s+"
-        r"(?:WHERE\s+(?P<w>.+?)\s+)?"
-        r"GROUP\s+BY\s+(?P<gb>.+?)\s*$",
+        r"(?P<rest>.+)$",
         select_sql, re.I | re.S,
     )
     if not m:
-        raise ValueError(
-            "materialized view query must be: SELECT <keys and "
-            "count/sum/avg/min/max/approx_count_distinct aggregates> "
-            "FROM <view> [WHERE <row-local pred>] GROUP BY <keys>"
-        )
-    keys = [c.strip() for c in m.group("gb").split(",") if c.strip()]
+        raise shape_err
+    # quote-aware clause split (round-15 review fix: a filter literal
+    # containing the text "GROUP BY" must not end the WHERE early) —
+    # the LAST top-level GROUP BY is the clause boundary in this
+    # restricted grammar
+    from database_anonymiser_spark.sql_dml import _find_all, _mask
+
+    rest = m.group("rest")
+    gbs = _find_all(rest, _mask(rest), r"\bGROUP\s+BY\b")
+    if not gbs:
+        raise shape_err
+    gb = gbs[-1]
+    before = rest[: gb.start()].strip()
+    gb_list = rest[gb.end():].strip()
+    filt = None
+    if before:
+        wm_ = re.match(r"WHERE\s+(?P<w>.+)$", before, re.I | re.S)
+        if not wm_:
+            raise shape_err
+        filt = wm_.group("w").strip()
+    keys = [c.strip() for c in gb_list.split(",") if c.strip()]
     if not all(re.fullmatch(r"[A-Za-z_][\w$]*", k) for k in keys):
         raise ValueError(
             "GROUP BY items must be plain columns (coalesce/derive them "
@@ -939,5 +988,6 @@ def parse_mv_query(select_sql: str) -> tuple[str, list, dict, "str | None"]:
         )
     if not aggs:
         raise ValueError("materialized view needs at least one aggregate")
-    w = m.group("w")
-    return m.group("src"), keys, aggs, (w.strip() if w else None)
+    if filt:
+        _check_filter_row_local(filt)
+    return m.group("src"), keys, aggs, filt

@@ -2429,6 +2429,24 @@ class VersionedTable:
         :meth:`files_matching_any` prunes by membership from then on."""
         if not stats_cols and not bloom_cols:
             raise ValueError("analyze needs at least one stats/bloom column")
+        # unknown columns refuse LOUDLY (round-15 review fix): the
+        # footer harvest would otherwise commit all-None stats for a
+        # typo'd name and report success while nothing ever prunes.
+        # Tuple bloom_cols entries validate per component.
+        schema = self._log_schema()
+        if schema is not None:
+            known = set(schema.fieldNames())
+            flat = list(stats_cols) + [
+                c
+                for b in bloom_cols
+                for c in (b if isinstance(b, (tuple, list)) else (b,))
+            ]
+            missing = sorted({c for c in flat if c not in known})
+            if missing:
+                raise ValueError(
+                    f"analyze: no such column(s) {missing} "
+                    f"(table columns: {sorted(known)})"
+                )
         v = self.latest_version()
         entries = self._live_entries(v)
         key_col = self.key_col()

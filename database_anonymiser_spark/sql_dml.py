@@ -1267,7 +1267,42 @@ def show_create_table(t, name: str, versioned_views: dict | None = None) -> str:
     registrations; an unregistered source renders a placeholder the
     caller must substitute."""
     props0 = t._raw_properties() or {}
-    if "ivm.source" in props0:
+    if "'" in str(t.root):
+        # the CREATE grammar's LOCATION literal cannot express a quote
+        raise SqlDmlError(
+            f"SHOW CREATE TABLE cannot render location {str(t.root)!r}: "
+            "a single quote in the path is not expressible in the "
+            "LOCATION literal"
+        )
+
+    def _alter_tail(extra_skip: tuple = ()) -> list:
+        out = []
+        for cname, pred in sorted((t.constraints() or {}).items()):
+            out.append(
+                f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({pred})"
+            )
+        up = {
+            k: v for k, v in props0.items()
+            # engine-managed slots are rendered structurally (CLUSTER
+            # BY, the MV definition) or not re-creatable
+            # (protocol/identity/generated)
+            if not k.startswith(
+                ("protocol.", "identity.", "generated.", "clustering.")
+                + extra_skip
+            )
+        }
+        if up:
+            kv = ", ".join(
+                f"{_sq_quote(k)} = {_sq_quote(v)}"
+                for k, v in sorted(up.items())
+            )
+            out.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+        return out
+
+    if all(k in props0 for k in ("ivm.source", "ivm.keys", "ivm.aggs")):
+        # a COMPLETE ivm contract renders as the MV definition; a table
+        # merely carrying a hand-set ivm.source property falls through
+        # to the plain rendering (round-15 review fix: KeyError)
         import json as _json
 
         keys = _json.loads(props0["ivm.keys"])
@@ -1296,22 +1331,26 @@ def show_create_table(t, name: str, versioned_views: dict | None = None) -> str:
                 "--versionedTable view and substitute its name for "
                 "<source_view>"
             )
-        if "'" in str(t.root):
-            raise SqlDmlError(
-                f"SHOW CREATE TABLE cannot render location "
-                f"{str(t.root)!r}: a single quote in the path is not "
-                "expressible in the LOCATION literal"
-            )
-        lines.append(
+        head_mv = (
             f"CREATE MATERIALIZED VIEW {name} USING VERSIONED "
-            f"LOCATION '{t.root}' AS {q};"
+            f"LOCATION '{t.root}' AS {q}"
         )
-        return "\n".join(lines)
+        # user properties / constraints / clustering survive the
+        # round-trip on MVs too (round-15 review fix: they were
+        # silently dropped); the ivm.* contract itself is the CREATE
+        parts = [head_mv]
+        clus = tuple(t.clustering_cols() or ())
+        if clus:
+            parts.append(
+                f"ALTER TABLE {name} CLUSTER BY ({', '.join(clus)})"
+            )
+        parts.extend(_alter_tail(extra_skip=("ivm.",)))
+        return "\n".join(lines + [";\n".join(parts) + ";"])
     sch = t._log_schema() or t.snapshot().schema
     ident = t.identity_column()
     gens = {
         k[len("generated."):]: v
-        for k, v in (t._raw_properties() or {}).items()
+        for k, v in props0.items()
         if k.startswith("generated.")
     }
     rendered = []
@@ -1336,31 +1375,7 @@ def show_create_table(t, name: str, versioned_views: dict | None = None) -> str:
     if clus:
         head += f" CLUSTER BY ({', '.join(clus)})"
     parts = [head]
-    for cname, pred in sorted((t.constraints() or {}).items()):
-        parts.append(
-            f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({pred})"
-        )
-    props = {
-        k: v for k, v in (t._raw_properties() or {}).items()
-        # engine-managed slots are already rendered structurally
-        # (CLUSTER BY) or not re-creatable (protocol/identity/generated)
-        if not k.startswith(
-            ("protocol.", "identity.", "generated.", "clustering.")
-        )
-    }
-    if props:
-        kv = ", ".join(
-            f"{_sq_quote(k)} = {_sq_quote(v)}"
-            for k, v in sorted(props.items())
-        )
-        parts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
-    if "'" in str(t.root):
-        # the CREATE grammar's LOCATION literal cannot express a quote
-        raise SqlDmlError(
-            f"SHOW CREATE TABLE cannot render location {str(t.root)!r}: "
-            "a single quote in the path is not expressible in the "
-            "LOCATION literal"
-        )
+    parts.extend(_alter_tail())
     return ";\n".join(parts) + ";"
 
 
@@ -1801,6 +1816,14 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
             )
 
             vt = _vt(m.group(1))
+            if out.get("pinned"):
+                # mirror execution: the real REFRESH refuses pinned
+                # registrations (round-15 review fix)
+                raise SqlDmlError(
+                    f"REFRESH target {m.group(1)!r} is pinned to a "
+                    "historical version/timestamp; maintenance runs at "
+                    "the head only"
+                )
             try:
                 info = materialized_info(vt)
             except ValueError as e:
@@ -1808,6 +1831,14 @@ def _execute_explain(spark, s: str, stmt: str, versioned_views: dict) -> dict:
             src = VersionedTable(spark, info["source"])
             head = src.latest_version()
             to = int(m.group("v")) if m.group("v") else head
+            if m.group("v") and not info["last_version"] <= to <= head:
+                # the same range refusal refresh_materialized raises —
+                # EXPLAIN must not describe a statement that will refuse
+                raise SqlDmlError(
+                    f"refresh to_version {to} is outside "
+                    f"[watermark {info['last_version']}, source head "
+                    f"{head}]"
+                )
             out["class"] = "refresh_materialized_view"
             out["native_op"] = "ivm_delta_merge"
             out["source"] = info["source"]

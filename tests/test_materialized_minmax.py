@@ -698,3 +698,74 @@ def test_row_level_stream_with_filtered_mv(spark, tmp_path):
     row = mv.snapshot().where("grp = 'a'").first()
     assert row["n"] == 1 and row["mn"] == 20.0
     assert materialized_info(mv)["last_version"] == src.latest_version()
+
+
+def test_filter_parse_and_row_local_guards(spark, tmp_path):
+    """Round-15 second-review fixes: (a) a filter literal containing
+    'GROUP BY' parses (quote-aware clause split); (b) time/randomness-
+    dependent filters refuse loudly — refresh re-evaluates the filter
+    only over changed rows, so they would silently diverge."""
+    srcv, keys, aggs, filt = parse_mv_query(
+        "SELECT g, count(*) AS n FROM t "
+        "WHERE note = 'a GROUP BY b' GROUP BY g"
+    )
+    assert filt == "note = 'a GROUP BY b'" and keys == ["g"]
+    for bad in (
+        "ts > current_date",
+        "ts > date_sub(current_timestamp, 7)",
+        "rand() < 0.5",
+    ):
+        with pytest.raises(ValueError, match="ROW-LOCAL"):
+            parse_mv_query(
+                f"SELECT g, count(*) AS n FROM t WHERE {bad} GROUP BY g"
+            )
+    # the API face refuses too
+    src = VersionedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame([(1, "g", 1.0)], "k int, grp string, amt double"),
+        key_col="k",
+    )
+    with pytest.raises(ValueError, match="ROW-LOCAL"):
+        create_materialized(
+            spark, str(tmp_path / "mv"), src.root, ["grp"],
+            {"n": ("count", None)}, filter_sql="amt > rand()",
+        )
+
+
+def test_show_create_mv_second_review_fixes(spark, tmp_path):
+    """(a) A table merely carrying a hand-set ivm.source property falls
+    through to the plain rendering (no KeyError); (b) an MV's user
+    properties and constraints survive the SHOW CREATE round-trip."""
+    from database_anonymiser_spark.sql_dml import execute_utility
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "plain"),
+        spark.createDataFrame([(1, 2.0)], "k int, v double"), key_col="k",
+    )
+    t.set_properties({"ivm.source": "/tmp/fake"})
+    views = {"p": {"root": str(t.root), "pinned": False}}
+    ddl = execute_utility(spark, "SHOW CREATE TABLE p", views)["rows"][0][
+        "createtab_stmt"
+    ]
+    assert ddl.startswith("CREATE TABLE p (")  # plain path, no crash
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame([(1, "g", 1.0)], "k int, grp string, amt double"),
+        key_col="k",
+    )
+    mv_root = str(tmp_path / "mv")
+    mv = create_materialized(
+        spark, mv_root, src.root, ["grp"], {"n": ("count", None)}
+    )
+    mv.set_properties({"owner": "team-a"})
+    views = {
+        "s": {"root": str(src.root), "pinned": False},
+        "m": {"root": mv_root, "pinned": False},
+    }
+    ddl = execute_utility(spark, "SHOW CREATE TABLE m", views)["rows"][0][
+        "createtab_stmt"
+    ]
+    assert "CREATE MATERIALIZED VIEW m" in ddl
+    assert "SET TBLPROPERTIES ('owner' = 'team-a')" in ddl
+    assert "ivm." not in ddl.split("TBLPROPERTIES")[1]  # contract not re-set

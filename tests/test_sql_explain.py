@@ -322,3 +322,44 @@ def test_show_tblproperties(spark, banded, tmp_path):
     rows = {r["key"]: r["value"] for r in frag["rows"]}
     assert rows["owner"] == "gdpr-team"
     assert cu("SHOW TBLPROPERTIES other", views) is None
+
+
+def test_explain_refresh_and_analyze_mirror_refusals(spark, banded, tmp_path):
+    """Round-15 second-review fixes: EXPLAIN REFRESH refuses the same
+    out-of-range TO VERSION and pinned targets execution refuses;
+    ANALYZE refuses unknown columns instead of committing dead stats."""
+    from database_anonymiser_spark.sources.materialized import (
+        create_materialized,
+    )
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame([(1, "x", 1.0)], "k int, grp string, amt double"),
+        key_col="k",
+    )
+    mv_root = str(tmp_path / "mv")
+    create_materialized(
+        spark, mv_root, src.root, ["grp"], {"n": ("count", None)}
+    )
+    views = {
+        "m": {"root": mv_root, "pinned": False},
+        "mp": {"root": mv_root, "pinned": True},
+        "s": {"root": str(src.root), "pinned": False},
+    }
+    with pytest.raises(SqlDmlError, match="outside"):
+        execute_utility(
+            spark, "EXPLAIN REFRESH MATERIALIZED VIEW m TO VERSION 99",
+            views,
+        )
+    with pytest.raises(SqlDmlError, match="pinned"):
+        execute_utility(
+            spark, "EXPLAIN REFRESH MATERIALIZED VIEW mp", views
+        )
+    v0 = banded.latest_version()
+    with pytest.raises(SqlDmlError, match="no such column"):
+        execute_utility(
+            spark,
+            "ANALYZE TABLE cust COMPUTE STATISTICS FOR COLUMNS amtt",
+            _views(banded),
+        )
+    assert banded.latest_version() == v0  # nothing committed
