@@ -58,6 +58,100 @@ MAX_WORD_LEN = 64
 #: folds deep; a localCheckpoint every few rounds keeps analysis cost flat
 _CHECKPOINT_EVERY = 8
 
+#: vocabulary ceiling for the LOCAL merge loop (r15, guide §1.2/§5: the
+#: loop's cost is driver/job latency, not data volume). Below this many
+#: distinct words the (word, freq) table is MODEL-sized — the same
+#: bounded-driver-collect class as the IVF/PQ codebooks — while the
+#: distributed loop pays n_merges × (explode+groupBy+argmax-collect)
+#: rounds of pure job scheduling (measured 5.5s for 24 rounds over the
+#: sf0.1 fixture's ~10k-word vocab, ~0.23s/round of scheduling against
+#: microseconds of arithmetic). The local replay uses the identical pair
+#: counting, argmax tie-break (count desc, then lexicographic — Python's
+#: code-point order equals Spark's unsigned UTF-8 byte order, a standard
+#: UTF-8 property) and greedy left-to-right rewrite, so the merge table
+#: is bit-identical (pinned in tests/test_tokenizer.py against the
+#: distributed loop). Above the cap the distributed loop runs unchanged
+#: — the 100 TB path. 2^17 words × ≤64 chars ≈ ≤17 MB on the driver.
+LOCAL_TRAIN_VOCAB_CAP = 1 << 17
+
+#: Java-regex line terminators: the distributed char split uses the
+#: lookahead ``(?=.)`` where ``.`` excludes these, so a terminator glues
+#: onto the PRECEDING symbol; the local split must reproduce that.
+_JAVA_DOT_EXCLUDES = "\n\r\x85  "
+
+
+def _char_split(word: str) -> list[str]:
+    """Local twin of ``F.split(word, "(?!^)(?=.)")`` — one symbol per code
+    point, except Java-``.``-excluded line terminators, which attach to
+    the preceding symbol (and to each other at the start of the word)."""
+    syms: list[str] = []
+    for ch in word:
+        if syms and ch in _JAVA_DOT_EXCLUDES:
+            syms[-1] += ch
+        else:
+            syms.append(ch)
+    return syms
+
+
+def _merge_scan(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Greedy left-to-right scan-and-skip-two application of one merge —
+    the proven-equivalent local twin of :func:`_merge_fold` (the same
+    pass :func:`apply_bpe` runs per piece)."""
+    out: list[str] = []
+    j, n = 0, len(syms)
+    while j < n:
+        if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+            out.append(ab)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def _train_bpe_local(
+    spark,
+    head: list,
+    n_merges: int,
+    min_pair_count: int,
+    return_vocab: bool,
+):
+    """The merge loop of :func:`train_bpe` run locally over a collected
+    bounded (word, freq) table — semantics identical to the distributed
+    loop round for round: same pair counts (associative integer sums),
+    same argmax tie-break (count desc, then (a, b) ascending — Python
+    string order ≡ Spark's UTF-8 byte order), same greedy rewrite, same
+    ``min_pair_count`` early stop."""
+    vocab: list[list] = [
+        [r["word"], int(r["freq"]), _char_split(r["word"])] for r in head
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, syms in vocab:
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                counts[p] = counts.get(p, 0) + freq
+        best_p, best_c = None, None
+        for p, c in counts.items():
+            if best_c is None or c > best_c or (c == best_c and p < best_p):
+                best_p, best_c = p, c
+        if best_p is None or best_c < min_pair_count:
+            break
+        a, b = best_p
+        merges.append((a, b))
+        ab = a + b
+        for row in vocab:
+            if len(row[2]) >= 2:
+                row[2] = _merge_scan(row[2], a, b, ab)
+    if return_vocab:
+        vdf = spark.createDataFrame(
+            [(w, f, s) for w, f, s in vocab],
+            "word string, freq long, syms array<string>",
+        )
+        return merges, vdf
+    return merges
+
 
 def word_frequencies(
     docs: DataFrame,
@@ -126,6 +220,15 @@ def train_bpe(
     For a trillion-token corpus, train on a deterministic
     `hash_sample` of documents — the vocabulary converges long before
     the full corpus is needed (Sennrich trains on ~10M words).
+
+    r15 optimization (guide §1.2: fix the distributed algorithm's job
+    count before anything else): when the vocabulary holds at most
+    :data:`LOCAL_TRAIN_VOCAB_CAP` distinct words, the (word, freq)
+    table is collected ONCE (a ``limit(cap+1)`` bounded probe — the
+    safeguard row-cap pattern) and the merge loop runs locally with
+    bit-identical semantics; one corpus scan + one collect instead of
+    ~2·n_merges scheduled jobs. Above the cap the distributed loop
+    below runs unchanged.
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
@@ -138,6 +241,15 @@ def train_bpe(
         F.split(F.col("word"), "(?!^)(?=.)"),
     )
     words = words.localCheckpoint()
+
+    # bounded-vocab fast path: ≤ cap+1 (word, freq) rows ever reach the
+    # driver; reads the just-materialized checkpoint, so the corpus is
+    # still scanned exactly once
+    head = words.select("word", "freq").limit(LOCAL_TRAIN_VOCAB_CAP + 1).collect()
+    if len(head) <= LOCAL_TRAIN_VOCAB_CAP:
+        return _train_bpe_local(
+            docs.sparkSession, head, n_merges, min_pair_count, return_vocab
+        )
 
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):

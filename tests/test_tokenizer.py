@@ -246,3 +246,52 @@ def test_tokenizer_save_load_roundtrip_and_generations(spark, tmp_path):
 
     with _pt.raises(FileNotFoundError):
         load_tokenizer(spark, str(tmp_path / "nope"))
+
+
+def test_local_fast_path_equals_distributed_loop(spark, toy, monkeypatch):
+    """r15: the bounded-vocab LOCAL merge loop must be bit-identical to
+    the distributed loop — merges AND final vocab state — including on
+    tie-heavy and multi-byte input (UTF-8 byte order vs code points)."""
+    import database_anonymiser_spark.operators.tokenizer as tok
+
+    tricky = toy.unionByName(
+        spark.createDataFrame(
+            [
+                (5, "ärger ärger Ärger ääöö ääöö"),
+                (6, "aa ab aa ab ba"),  # pair-count ties everywhere
+                (7, "日本語 日本語 本語日"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    local_m, local_v = tok.train_bpe(tricky, "text", 12, return_vocab=True)
+    # force the distributed loop by shrinking the cap to zero
+    monkeypatch.setattr(tok, "LOCAL_TRAIN_VOCAB_CAP", 0)
+    dist_m, dist_v = tok.train_bpe(tricky, "text", 12, return_vocab=True)
+    assert local_m == dist_m
+    as_set = lambda df: {  # noqa: E731
+        (r["word"], r["freq"], tuple(r["syms"])) for r in df.collect()
+    }
+    assert as_set(local_v) == as_set(dist_v)
+    # same names and types (nullability legitimately differs: the
+    # distributed freq comes from count(), which is non-nullable)
+    assert [(f.name, f.dataType) for f in local_v.schema.fields] == [
+        (f.name, f.dataType) for f in dist_v.schema.fields
+    ]
+
+
+def test_local_char_split_matches_java_dot_semantics(spark):
+    """The local char split must reproduce F.split(word, '(?!^)(?=.)')
+    exactly, including Java-regex line-terminator gluing."""
+    from database_anonymiser_spark.operators.tokenizer import _char_split
+
+    words = ["abc", "a\nb", "\r\nab", "x y", "é日b", "a", "\n"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["s"])
+        for r in df.select(
+            "word", F.split(F.col("word"), "(?!^)(?=.)").alias("s")
+        ).collect()
+    }
+    for w in words:
+        assert _char_split(w) == got[w], repr(w)
