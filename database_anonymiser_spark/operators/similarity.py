@@ -1524,6 +1524,43 @@ def _micro_arr(vec_col: str) -> F.Column:
     )
 
 
+#: row / cell ceilings for the LOCAL Lloyd loop (r15, guide §1.2/§5: the
+#: trainer's cost at sample scale is n_iter sequential (mapInPandas +
+#: collect) rounds of pure job scheduling, not arithmetic). Below the cap
+#: the micro-int matrix is MODEL-sized — the same bounded-driver-collect
+#: class as the IVF/PQ codebooks — and the loop replays in-process with
+#: bit-identical semantics (integer sums are order-free, argmax ties
+#: break to the lowest centroid index in both). The effective row cap is
+#: min(ROW_CAP, CELL_CAP // dim): ≤ 2^22 int64 cells ≈ 32 MB on the
+#: driver regardless of embedding width. Above it the distributed loop
+#: runs unchanged — the 100 TB path (which trains on a hash_sample
+#: anyway; a sample above the cap still trains distributed).
+LOCAL_KMEANS_ROW_CAP = 1 << 16
+LOCAL_KMEANS_CELL_CAP = 1 << 22
+
+
+def _train_kmeans_local(A, cents: list[list[int]], n_iter: int):
+    """The Lloyd loop of :func:`train_spherical_kmeans` run locally over
+    the collected micro-int matrix ``A`` — semantics identical to the
+    distributed loop round for round: exact int64 dots, np.argmax ties →
+    first max == lowest cid, exact integer component sums (order-free),
+    empty/zero-sum clusters keep their previous centroid."""
+    import numpy as np
+
+    for _ in range(n_iter):
+        if len(A) == 0 or not cents:
+            break
+        C = np.array([list(c) for c in cents], dtype=np.int64)
+        cids = (A @ C.T).argmax(axis=1)
+        new = list(cents)
+        for cid in np.unique(cids):
+            s = A[cids == cid].sum(axis=0)
+            if s.any():
+                new[int(cid)] = _unit_micro([int(x) for x in s])
+        cents = new
+    return list(enumerate(cents))
+
+
 def train_spherical_kmeans(
     df: DataFrame,
     id_col: str,
@@ -1561,6 +1598,38 @@ def train_spherical_kmeans(
         _unit_micro([int(_dec6_py(float(x)) * 1_000_000) for x in r[0]])
         for r in init
     ]
+
+    # bounded-corpus fast path (r15): when the micro-int matrix fits the
+    # driver caps, ONE Arrow collect replaces the checkpoint + n_iter
+    # sequential (mapInPandas + collect) rounds. _micro_arr is the exact
+    # Column twin of the _dec6_py init quantization, so A holds the same
+    # integers the distributed batches would see; equality of the full
+    # codebook is pinned in tests/test_similarity_ops.py against the
+    # distributed loop. Ragged/null vectors fall through to the
+    # distributed loop untouched.
+    dim = len(cents[0]) if cents else 0
+    cap = min(LOCAL_KMEANS_ROW_CAP, LOCAL_KMEANS_CELL_CAP // max(dim, 1))
+    head = (
+        df.select(_micro_arr(vec_col).alias("_mi")).limit(cap + 1).toArrow()
+    )
+    if head.num_rows <= cap:
+        col = head.column("_mi").combine_chunks()
+        flat = col.flatten()
+        widths = np.diff(np.asarray(col.offsets))
+        if (
+            col.null_count == 0
+            and flat.null_count == 0
+            and (len(widths) == 0 or (widths == dim).all())
+        ):
+            A = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(head.num_rows, dim)
+                if head.num_rows
+                else np.empty((0, dim), dtype=np.int64)
+            )
+            return _train_kmeans_local(A, cents, n_iter)
+
     # pin the micro vectors once: every Lloyd iteration re-reads this
     # frame, and without the checkpoint each iteration re-executes the
     # caller's whole upstream (join/curation lineage) — n_iter× the scan

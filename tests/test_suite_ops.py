@@ -1993,6 +1993,36 @@ def test_spherical_kmeans_exact_integer_model(spark, emb):
     assert r0["cluster_id"] == min(c for c, d in dots.items() if d == best)
 
 
+def test_kmeans_local_fast_path_equals_distributed_loop(
+    spark, emb, monkeypatch
+):
+    """r15: the bounded-corpus LOCAL Lloyd loop must produce the
+    bit-identical codebook to the distributed loop — the declared
+    'assign' branch of sim_cosine_pairs value-hash checks this model, so
+    the fast path may not move a single micro-int. Duplicate vectors
+    make assignment ties; n_clusters > corpus hits the short-init edge."""
+    import database_anonymiser_spark.operators.similarity as S
+
+    tricky = emb.limit(40).unionByName(
+        emb.limit(7).withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    local = S.train_spherical_kmeans(
+        tricky, "vec_id", "embedding", n_clusters=5, n_iter=4
+    )
+    local_big_k = S.train_spherical_kmeans(
+        emb.limit(3), "vec_id", "embedding", n_clusters=8, n_iter=2
+    )
+    monkeypatch.setattr(S, "LOCAL_KMEANS_ROW_CAP", 0)
+    dist = S.train_spherical_kmeans(
+        tricky, "vec_id", "embedding", n_clusters=5, n_iter=4
+    )
+    dist_big_k = S.train_spherical_kmeans(
+        emb.limit(3), "vec_id", "embedding", n_clusters=8, n_iter=2
+    )
+    assert local == dist
+    assert local_big_k == dist_big_k
+
+
 def test_semantic_clusters_accepts_pretrained_codebook(spark, emb):
     """A codebook trained on a SAMPLE assigns the full corpus identically
     to passing it explicitly — the 100 TB path (train small, assign all)."""
