@@ -36,6 +36,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: edge ceiling for the LOCAL union-find fast path (r15, guide §1.2/§5:
+#: at sample scale the propagation loop's cost is per-round job
+#: scheduling — distinct + init groupBy + (join + groupBy + count) per
+#: round — not data volume). The OUTPUT of connected_components is a
+#: pure function of the edge set (id → min id of its component,
+#: algorithm-independent), so a bounded collect + local union-find is
+#: exactly equivalent: Python comparison of collected ids matches
+#: Spark's ordering for every orderable id type (ints exactly; strings
+#: because UTF-8 byte order preserves code-point order; bytes/decimal/
+#: date likewise). NaN floats, NULL endpoints, or unhashable ids fall
+#: through to the distributed loop untouched. 2^16 edges ≈ a few MB on
+#: the driver; above the cap the distributed loop runs unchanged — the
+#: 100 TB path.
+CC_LOCAL_EDGE_CAP = 1 << 16
+
+
+def _cc_local(head, out_schema, spark):
+    """Union-find over a collected bounded edge list — the local twin of
+    the min-label propagation loop. Returns None when the input needs the
+    distributed path (NULL/NaN endpoints, unhashable ids)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    try:
+        for row in head:
+            a, b = row[0], row[1]
+            if a is None or b is None:
+                return None
+            if isinstance(a, float) and a != a:
+                return None
+            if isinstance(b, float) and b != b:
+                return None
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    except TypeError:
+        return None
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    return spark.createDataFrame(rows, out_schema)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -55,6 +111,24 @@ def connected_components(
     ~2^25 — hitting this means the input is pathological, not big).
     """
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    # bounded-edge fast path (r15): one collect of the RAW pair list (no
+    # distinct, no symmetrization — the local union-find needs neither)
+    # replaces the whole propagation loop. Result equality with the
+    # distributed loop is pinned in tests/test_graph.py; the output
+    # schema is taken from the distributed plan unexecuted, so names,
+    # types and nullability match exactly.
+    head = e.limit(CC_LOCAL_EDGE_CAP + 1).collect()
+    if len(head) <= CC_LOCAL_EDGE_CAP:
+        proto = (
+            e.groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("_m"))
+            .select("id", F.least("id", "_m").alias("cluster_id"))
+        )
+        local = _cc_local(head, proto.schema, pairs.sparkSession)
+        if local is not None:
+            return local
+
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
     # label init folds the would-be first propagation round into the node

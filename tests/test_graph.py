@@ -45,7 +45,12 @@ def test_long_path_converges_logarithmically(spark):
     assert set(got.values()) == {0}
 
 
-def test_nonconvergence_raises(spark):
+def test_nonconvergence_raises(spark, monkeypatch):
+    import database_anonymiser_spark.operators.graph as G
+
+    # force the distributed loop: the local fast path (r15) always
+    # converges, so the max_iter guard is a distributed-path property
+    monkeypatch.setattr(G, "CC_LOCAL_EDGE_CAP", 0)
     with pytest.raises(RuntimeError, match="converge"):
         _cc(spark, [(i, i + 1) for i in range(64)], max_iter=1)
 
@@ -99,6 +104,40 @@ def test_matches_union_find(spark, edges):
     want_min = {n: min(ns) for r, ns in by_root.items() for n in ns}
     got = _cc(spark, edges)
     assert got == want_min
+
+
+def test_local_fast_path_equals_distributed_loop(spark, monkeypatch):
+    """r15: the bounded-edge LOCAL union-find must return the identical
+    frame — rows, names, types, nullability — as the distributed
+    min-label propagation loop, on chains, duplicate/reversed edges,
+    self-loops, and string ids (UTF-8 vs code-point order)."""
+    import database_anonymiser_spark.operators.graph as G
+
+    cases = [
+        ([(1, 2), (2, 3), (3, 4), (4, 1), (9, 9), (2, 1)], "id_a long, id_b long"),
+        ([(7, 3), (3, 7), (100, 7)], "id_a long, id_b long"),
+        ([("b", "a"), ("ä", "z"), ("A", "b")], "id_a string, id_b string"),
+    ]
+    for edges, schema in cases:
+        df = spark.createDataFrame(edges, schema)
+        local = connected_components(df)
+        monkeypatch.setattr(G, "CC_LOCAL_EDGE_CAP", 0)
+        dist = connected_components(df)
+        monkeypatch.setattr(G, "CC_LOCAL_EDGE_CAP", 1 << 16)
+        assert {tuple(r) for r in local.collect()} == {
+            tuple(r) for r in dist.collect()
+        }
+        assert [
+            (f.name, f.dataType, f.nullable) for f in local.schema.fields
+        ] == [(f.name, f.dataType, f.nullable) for f in dist.schema.fields]
+
+    # NULL endpoints must fall back to the distributed loop (which groups
+    # them like any other key) rather than diverge
+    dfn = spark.createDataFrame(
+        [(1, 2), (None, 2)], "id_a long, id_b long"
+    )
+    out = connected_components(dfn)
+    assert {r["id"] for r in out.collect()} >= {1, 2}
 
 
 def test_best_dedup_argmax_semantics(spark):
