@@ -245,8 +245,18 @@ def main():
     from database_anonymiser_spark.operators.bloom import bloom_semi_join
 
     def _bloom_xx():
+        # r15: same probe-side parallelism floor + shared narrow frame +
+        # distinct-free semi build side as the declared join_bloom entry
+        # (suite/relational_ext.py) — identical result, wide probe
+        from database_anonymiser_spark.operators.cachectl import scoped_cache
+
         orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
-        li = load(spark, sf_dir, "lineitem")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+        sc = spark.sparkContext
+        if li.rdd.getNumPartitions() < sc.defaultParallelism:
+            li = scoped_cache(
+                "join_bloom_xx.probe", li.repartition(sc.defaultParallelism)
+            )
         passed = bloom_semi_join(
             li, "l_orderkey", orders, "o_orderkey", family="xxhash64"
         )
@@ -255,7 +265,7 @@ def main():
         )
         exact_agg = (
             li.join(
-                orders.select("o_orderkey").distinct(),
+                orders.select("o_orderkey"),
                 li.l_orderkey == F.col("o_orderkey"),
                 "left_semi",
             )

@@ -547,16 +547,33 @@ def join_bloom(spark, sf_dir):
     checked — the oracle replays the identical md5 hash family over the
     position set, reproducing every false positive."""
     from database_anonymiser_spark.operators.bloom import bloom_semi_join
+    from database_anonymiser_spark.operators.cachectl import scoped_cache
 
     orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
-    li = load(spark, sf_dir, "lineitem")
+    # r15 (guide §2.5/§6 input-parallelism floor): the fixture is ONE
+    # parquet row group, so the md5 probe chain — the query's compute
+    # bulk — would evaluate on a single task regardless of core count
+    # (Catalyst pushes the probe Filter through any bare repartition;
+    # the cache is the pushdown barrier, exactly the curate.py
+    # treatment). Projected to the two live columns first so the barrier
+    # materializes 2 narrow columns, shared by BOTH branches (the exact
+    # twin previously re-scanned the table). Interleaved A/B at sf0.1:
+    # probe+agg 3.6s single-task → 1.3s wide. At 100 TB the scan has
+    # natural parallelism and the branch is a no-op.
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    sc = spark.sparkContext
+    if li.rdd.getNumPartitions() < sc.defaultParallelism:
+        li = scoped_cache("join_bloom.probe", li.repartition(sc.defaultParallelism))
     passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
     bloom_agg = passed.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("bloom_rows")
     )
+    # no .distinct() on the build side: left-semi join semantics already
+    # deduplicate — the distinct only added an Exchange + HashAggregate
+    # pair before the broadcast (guide §2.4, r15)
     exact_agg = (
         li.join(
-            orders.select("o_orderkey").distinct(),
+            orders.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
             "left_semi",
         )
