@@ -486,8 +486,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     majority vote over tokens (+1/−1 per bit), sign → signature bit.
 
     All relational: posexplode + one groupBy with 16 conditional sums.
+    The token explode + per-token md5 chain runs in the stage that scans
+    the input, so the shared parallelism floor widens few-file corpora
+    first (r15; no-op at scale, same as the shingle base).
     """
-    tok = df.select(
+    tok = _parallelism_floor(df, id_col).select(
         F.col(id_col).alias(id_col),
         F.explode(tokens(text_col)).alias("_w"),
     )
