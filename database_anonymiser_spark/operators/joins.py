@@ -133,6 +133,112 @@ def asof_join(
     )
 
 
+def asof_join_all(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tie_break: str | None = None,
+    prefix: str = "asof_",
+    direction_col: str = "direction",
+) -> DataFrame:
+    """All three as-of directions from ONE shuffle (r15, guide §2.4).
+
+    Calling :func:`asof_join` once per direction pays the union+exchange
+    of the SAME tagged frame three times (and a union of three such
+    subtrees does NOT dedup physically — per-branch column pruning makes
+    the exchanges non-canonical, so ReuseExchange never fires; verified
+    on the executed plan). The ``nearest`` path already computes the
+    backward AND forward carries over a single partitioning — so this
+    helper builds that carried frame once and emits the three directions
+    from ONE pipeline by exploding a direction tag: scan → union →
+    exchange → two stacked window sorts → 3-way explode + CASE. One
+    exchange and one pass of window carries total, no cache barrier.
+
+    Returns ``left.columns + [direction_col] + prefixed payload`` — per
+    direction value, row-identical to ``asof_join(direction=...)``
+    (pinned in tests/test_suite_ops.py; the windows are the same specs,
+    so the carried values are equal by construction).
+    """
+    payload = [c for c in right_payload if c not in on]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.col(right_ts).alias("_rts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    def carry_window(forward: bool) -> Window:
+        ts_order = F.col("_ts").desc() if forward else F.col("_ts").asc()
+        order = [ts_order, F.col("_side").asc()]
+        if tie_break and tie_break in payload:
+            tb = F.col(f"{prefix}{tie_break}")
+            order.append(tb.desc() if forward else tb.asc())
+        return (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    wb, wf = carry_window(forward=False), carry_window(forward=True)
+    carry_cols = []
+    for tag, w in (("_b_", wb), ("_f_", wf)):
+        for c in payload:
+            carry_cols.append(
+                F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{tag}{c}")
+            )
+        carry_cols.append(F.last("_rts", ignorenulls=True).over(w).alias(f"{tag}_rts"))
+    both = (
+        unioned.select(
+            *on,
+            "_ts",
+            "_side",
+            *[F.col(c) for c in left.columns if c not in on],
+            *carry_cols,
+        )
+        .where(F.col("_side") == 1)
+    )
+
+    b_dist = F.col("_ts") - F.col("_b__rts")
+    f_dist = F.col("_f__rts") - F.col("_ts")
+    use_backward = F.col("_f__rts").isNull() | (
+        F.col("_b__rts").isNotNull() & (b_dist <= f_dist)
+    )
+
+    def pick(c: str):
+        near = F.when(use_backward, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        return (
+            F.when(F.col(direction_col) == "backward", F.col(f"_b_{c}"))
+            .when(F.col(direction_col) == "forward", F.col(f"_f_{c}"))
+            .otherwise(near)
+            .alias(f"{prefix}{c}")
+        )
+
+    return both.select(
+        "*",
+        F.explode(
+            F.array(F.lit("backward"), F.lit("forward"), F.lit("nearest"))
+        ).alias(direction_col),
+    ).select(
+        *left.columns,
+        direction_col,
+        *[pick(c) for c in payload],
+    )
+
+
 def gap_fill(
     obs: DataFrame,
     on: list[str],

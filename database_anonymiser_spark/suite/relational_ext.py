@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from database_anonymiser_spark.operators.joins import asof_join, gap_fill
+from database_anonymiser_spark.operators.joins import asof_join_all, gap_fill
 from database_anonymiser_spark.suite.base import dsum, dsum_sql, load, register
 
 # ---------------------------------------------------------------- as-of join
@@ -90,8 +90,9 @@ def join_asof(spark, sf_dir):
     view at-or-after it (forward), and whichever is closer (nearest, ties
     backward).
 
-    Scale: union + ordered window = ONE shuffle on user_id per direction
-    (nearest shares one shuffle for both carries); no range-join candidate
+    Scale: union + ordered window = ONE shuffle on user_id for ALL THREE
+    directions (r15 — both carry windows stacked on a single exchange,
+    directions emitted by a 3-way tag explode); no range-join candidate
     explosion (the oracle's LEFT JOIN + row_number formulation is the
     quadratic plan we specifically avoid). State per key is one carried
     payload — safe at any per-user event volume.
@@ -103,27 +104,22 @@ def join_asof(spark, sf_dir):
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", "value"
     )
-    parts = []
-    for direction in ("backward", "forward", "nearest"):
-        out = asof_join(
-            purchases,
-            views,
-            on=["user_id"],
-            left_ts="ts",
-            right_ts="ts",
-            right_payload=["event_id", "value"],
-            tie_break="event_id",
-            direction=direction,
-        )
-        parts.append(
-            out.select(
-                F.lit(direction).alias("direction"),
-                "event_id",
-                "user_id",
-                "asof_event_id",
-                "asof_value",
-            )
-        )
+    # r15 (guide §2.4): the three directions previously paid three
+    # exchanges of the same tagged union (and the union of those
+    # subtrees does not dedup physically — per-branch pruning defeats
+    # ReuseExchange); asof_join_all emits all three from ONE pipeline —
+    # one exchange, both carry windows computed once, a 3-way direction
+    # explode + CASE instead of a union of clones. Values identical per
+    # direction (oracle-checked; pinned in tests/test_suite_ops.py).
+    tagged = asof_join_all(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "value"],
+        tie_break="event_id",
+    ).select("direction", "event_id", "user_id", "asof_event_id", "asof_value")
     # FOURTH branch (round 5) — gap filling: a per-user DAILY grid over
     # each user's view span, LOCF-filled by the as-of-backward join
     # (operators/joins.py::gap_fill — the resample().ffill() shape).
@@ -143,7 +139,7 @@ def join_asof(spark, sf_dir):
         "asof_event_id",
         "asof_value",
     )
-    return parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(gf)
+    return tagged.unionByName(gf)
 
 
 # ---------------------------------------------------------------- cross join

@@ -445,6 +445,30 @@ def test_asof_join_forward_and_nearest(spark):
     }
 
 
+def test_asof_join_all_matches_per_direction(spark):
+    """r15: asof_join_all (one shared shuffle) must emit row sets
+    identical to asof_join called per direction — including at-boundary
+    ties, right-tie resolution, and all-null directions."""
+    from database_anonymiser_spark.operators.joins import asof_join, asof_join_all
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d"), (1, 13, "e")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (2, 6, 102), (1, 10, 99)],
+        "k long, t long, rid long",
+    )
+    kw = dict(on=["k"], left_ts="t", right_ts="t", right_payload=["rid"], tie_break="rid")
+    shared = asof_join_all(left, right, **kw)
+    assert shared.columns == [*left.columns, "direction", "asof_rid"]
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    for direction in ("backward", "forward", "nearest"):
+        solo = asof_join(left, right, direction=direction, **kw)
+        part = shared.where(F.col("direction") == direction).select(*solo.columns)
+        assert as_set(solo) == as_set(part), direction
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     """1→N frame sampling: every doc yields exactly n_frames rows whose
     byte counts sum to ~the payload length (chunked evenly)."""
