@@ -98,8 +98,34 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     :func:`shingle_array`. Already distinct per doc with NO shuffle (the
     earlier ``.distinct()`` paid a full exchange for what ``array_distinct``
     does in the map stage)."""
-    return shingle_array(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("shingle_arr").alias("shingle")
+    return explode_nonempty(
+        shingle_array(df, id_col, text_col, n), "shingle_arr", "shingle", id_col
+    )
+
+
+def explode_nonempty(
+    df: DataFrame, arr_col: str, out_col: str, *keep_cols: str
+) -> DataFrame:
+    """``explode`` of a possibly-empty array WITHOUT the inferred-filter
+    trap (r15, guide §4.4's duplicated-evaluation class).
+
+    A plain ``explode(expensive_chain)`` drops empty-array rows, so
+    Catalyst's infer-filters-from-generate rule synthesizes
+    ``size(chain) > 0 AND isnotnull(chain)`` — and pushes that filter
+    through any repartition down into the SCAN stage, where the whole
+    chain (md5 HOFs, regex trees) re-evaluates per row, twice, on
+    however few tasks the file layout gives the scan (measured: the
+    n-gram contamination train explode spent ~8s of a 9s query there).
+    ``explode_outer`` emits a NULL element for empty arrays instead, so
+    no filter is inferable below the generate; the trailing
+    ``isNotNull`` on the GENERATOR OUTPUT removes those rows above it
+    (array elements are never NULL in these constructions, so the row
+    set is identical to plain explode) and cannot be pushed below the
+    generate. The chain then evaluates exactly once, in the stage the
+    caller placed it in."""
+    return (
+        df.select(*[F.col(c) for c in keep_cols], F.explode_outer(arr_col).alias(out_col))
+        .where(F.col(out_col).isNotNull())
     )
 
 
@@ -492,8 +518,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     tok = _parallelism_floor(df, id_col).select(
         F.col(id_col).alias(id_col),
-        F.explode(tokens(text_col)).alias("_w"),
-    )
+        F.explode_outer(tokens(text_col)).alias("_w"),
+    ).where(F.col("_w").isNotNull())  # r15: see explode_nonempty
     h = (
         F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
         % F.lit(MERSENNE_P)
@@ -536,10 +562,18 @@ def line_dedup(
     ANSI-SQL-reproducible; value-hash checked as the 'line' branch of the
     declared ``dedup_exact`` entry.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
-    ).withColumn("key", F.trim(F.regexp_replace(F.lower(F.col("ln")), r"\s+", " ")))
+    # r15: posexplode_outer + isNotNull — bare posexplode makes Catalyst
+    # infer size(split(...))>0 and evaluate the split in the scan stage
+    # twice per row (see explode_nonempty); split output is never empty
+    # or null-elemented, so the row set is identical
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+        )
+        .where(F.col("ln").isNotNull())
+        .withColumn("key", F.trim(F.regexp_replace(F.lower(F.col("ln")), r"\s+", " ")))
+    )
     hot = (
         lines.where(F.col("key").rlike(r"\S"))
         .groupBy("key")
@@ -618,9 +652,14 @@ def dup_spans(
         F.size("_t").cast("long").alias("_n_tokens"),
         win.alias("_w"),
     )
+    # r15: posexplode_outer + isNotNull, not bare posexplode — the
+    # inferred size(_w)>0 filter would push the whole window-hash md5
+    # chain into the scan stage (evaluated twice per row there); the
+    # outer form infers nothing and window hashes are never NULL, so
+    # the row set is identical (see explode_nonempty)
     exploded = base.select(
-        F.col(id_col), F.posexplode("_w").alias("pos", "whash")
-    )
+        F.col(id_col), F.posexplode_outer("_w").alias("pos", "whash")
+    ).where(F.col("whash").isNotNull())
     hot = (
         exploded.groupBy("whash")
         .agg(F.countDistinct(id_col).alias("_nd"))

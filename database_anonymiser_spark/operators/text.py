@@ -667,14 +667,26 @@ def ngram_contamination(
     ``broadcast_eval=False`` only for eval sets too big to broadcast
     (then it's a standard shuffle join on the shingle).
     """
-    from database_anonymiser_spark.operators.dedup import shingle_array
+    from database_anonymiser_spark.operators.dedup import (
+        explode_nonempty,
+        shingle_array,
+    )
 
-    tr = shingle_array(train, id_col, text_col, n).select(
-        F.col(id_col).alias("train_id"), F.explode("shingle_arr").alias("shingle")
+    # r15: explode_nonempty, not bare explode — a plain explode of the
+    # shingle chain makes Catalyst infer size(chain)>0 and push the whole
+    # chain into the scan stage, where it re-evaluated twice per row on
+    # the scan's task count (measured: ~8s of this operator's 9s at
+    # sf0.1 sat in that inferred filter)
+    tr = explode_nonempty(
+        shingle_array(train, id_col, text_col, n).select(
+            F.col(id_col).alias("train_id"), "shingle_arr"
+        ),
+        "shingle_arr", "shingle", "train_id",
     )
     ev_arr = shingle_array(eval_df, id_col, text_col, n)
-    ev = ev_arr.select(
-        F.col(id_col).alias("eval_id"), F.explode("shingle_arr").alias("shingle")
+    ev = explode_nonempty(
+        ev_arr.select(F.col(id_col).alias("eval_id"), "shingle_arr"),
+        "shingle_arr", "shingle", "eval_id",
     )
     ev_sz = ev_arr.select(
         F.col(id_col).alias("eval_id"), F.size("shingle_arr").alias("_n_eval")
@@ -901,13 +913,18 @@ def char_bigram_lm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     base = df.select(F.col(id_col), norm.alias("_n"))
     grams = base.select(
         id_col,
-        F.explode(
+        # r15: explode_outer + isNotNull — bare explode makes Catalyst
+        # infer size(...)>0 and push the normalization regex into the
+        # scan stage twice per row (see dedup.explode_nonempty)
+        F.explode_outer(
             F.when(
                 F.length("_n") >= 2, F.sequence(F.lit(1), F.length("_n") - 1)
             ).otherwise(F.array())
         ).alias("_i"),
         F.col("_n"),
-    ).select(id_col, F.expr("substring(_n, _i, 2)").alias("_bg"))
+    ).where(F.col("_i").isNotNull()).select(
+        id_col, F.expr("substring(_n, _i, 2)").alias("_bg")
+    )
     counts = grams.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cnt"))
     tots = counts.groupBy(F.substring("_bg", 1, 1).alias("_c1")).agg(
         F.sum("_cnt").alias("_tot")

@@ -254,3 +254,59 @@ def test_curate_full_pipeline_plan_is_clean(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-batched Python only
+
+
+def test_explode_chain_not_duplicated_into_scan_filter(spark, sf_dir):
+    """r15: a bare explode of an expensive array chain lets Catalyst infer
+    ``size(chain) > 0`` and push the WHOLE chain into the scan stage
+    (evaluated twice per row there, on the scan's task count). The
+    explode_outer + isNotNull pattern (dedup.explode_nonempty) must keep
+    the chain out of every Filter: here, the shingle construction
+    (array_join) may appear in the plan only as the generator's input
+    projection, never inside a Filter node."""
+    from database_anonymiser_spark.operators.dedup import shingles
+    from database_anonymiser_spark.suite.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=5)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line and "array_join" in line:
+            raise AssertionError(
+                "shingle chain leaked into a Filter (inferred-filter "
+                "pushdown regression):\n" + line
+            )
+
+
+def test_explode_nonempty_row_set_matches_bare_explode(spark):
+    """r15: the explode_outer + isNotNull rendering must emit exactly the
+    rows bare explode emits — including NULL text, empty text, and
+    below-n docs (empty shingle arrays)."""
+    from database_anonymiser_spark.operators.dedup import (
+        dup_spans,
+        line_dedup,
+        shingle_array,
+        shingles,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, None),
+            (3, ""),
+            (4, "one"),
+            (5, "x y z"),
+            (6, "l1\nl2\nl1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = shingles(docs, "doc_id", "text", n=3)
+    arr = shingle_array(docs, "doc_id", "text", n=3)
+    ref = arr.select(F.col("doc_id"), F.explode("shingle_arr").alias("shingle"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # the other rewritten operators still produce one row per input doc /
+    # the expected aggregates on the same edge cases
+    assert simhash(docs, "doc_id", "text").count() == 5  # NULL text drops
+    assert dup_spans(docs, "doc_id", "text", k=2).count() == 6
+    assert line_dedup(docs, "doc_id", "text").count() == 6
