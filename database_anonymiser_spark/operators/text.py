@@ -500,7 +500,9 @@ def heavy_hitters(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     tests/test_suite_ops.py).
     """
     return (
-        df.select(F.explode(tokens(text_col)).alias("term"))
+        # r15: explode_outer + isNotNull (see dedup.explode_nonempty)
+        df.select(F.explode_outer(tokens(text_col)).alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("term"))
@@ -518,7 +520,10 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregations, one broadcast of the per-term doc-frequency table — no
     driver-side collect, so the construction holds at any corpus size.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # r15: explode_outer + isNotNull (see dedup.explode_nonempty)
+    tok = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("term")
+    ).where(F.col("term").isNotNull())
     tf_raw = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_count"))
     doc_len = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
     doc_freq = tf_raw.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -866,9 +871,11 @@ def chunk_documents(
         f"transform(sequence(1, greatest(size(_t) - {overlap}, 1), {stride}), "
         f"s -> array_join(slice(_t, s, {chunk_tokens}), ' '))"
     )
+    # r15: posexplode_outer + isNotNull (see dedup.explode_nonempty) —
+    # keeps the tokenize+slice chain out of the inferred scan filter
     out = tok_df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
-    )
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_idx", "chunk_text")
+    ).where(F.col("chunk_text").isNotNull())
     return out.select(
         F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),

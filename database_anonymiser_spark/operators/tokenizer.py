@@ -166,10 +166,17 @@ def word_frequencies(
     if lowercase:
         t = F.lower(t)
     return (
+        # r15: explode_outer + isNotNull — a bare explode lets Catalyst
+        # infer size(regexp_extract_all(..)) > 0 and evaluate the regex
+        # extraction twice per row in the scan stage (see
+        # dedup.explode_nonempty); extracted pieces are never NULL, so
+        # the row set is identical
         docs.select(
-            F.explode(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), 0)).alias("word")
+            F.explode_outer(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), 0)).alias(
+                "word"
+            )
         )
-        .where(F.length("word") <= max_word_len)
+        .where(F.col("word").isNotNull() & (F.length("word") <= max_word_len))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
