@@ -395,10 +395,16 @@ def minhash_lsh_pairs(
     # bucket and the 0-shingle Jaccard verify divides 0/0 (an ANSI-mode
     # error since Spark 4). No shingles ⇒ no near-dup by construction —
     # and the exploded-index oracle never sees such docs either.
+    # r15: the filter tests size(shingle_arr) > 0, NOT mh_0 IS NOT NULL —
+    # filtering on the derived column let Catalyst inline the whole md5
+    # signature chain into the Filter, evaluating it twice per doc while
+    # the sig cache fills (guide §4.4's duplicated-evaluation class).
+    # Equivalent by construction: shingle_arr is never NULL (empty on
+    # short docs) and mh_0 is NULL exactly on empty arrays.
     sig = scoped_cache(
         "minhash_lsh_pairs.sig",
-        minhash_signatures_from_array(sh_arr, id_col).where(
-            F.col("mh_0").isNotNull()
+        minhash_signatures_from_array(
+            sh_arr.where(F.size("shingle_arr") > 0), id_col
         ),
     )
     if max_df is None:

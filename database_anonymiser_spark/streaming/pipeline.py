@@ -998,9 +998,14 @@ def apply_neardedup_batch(
     sh_arr = DD.shingle_array(batch, id_col, text_col, n).localCheckpoint(
         eager=False
     )
+    # r15: pre-filter on size(shingle_arr) — a post-hoc mh_0 IS NOT NULL
+    # filter lets Catalyst inline the md5 signature chain into the Filter
+    # and evaluate it twice during the checkpoint (equivalent by
+    # construction: mh_0 is NULL exactly on empty shingle arrays)
     sig = (
-        DD.minhash_signatures_from_array(sh_arr, id_col)
-        .where(F.col("mh_0").isNotNull())
+        DD.minhash_signatures_from_array(
+            sh_arr.where(F.size("shingle_arr") > 0), id_col
+        )
         .localCheckpoint(eager=True)
     )
     pairs = DD.lsh_pairs_from_signatures(
