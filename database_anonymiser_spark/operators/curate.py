@@ -171,10 +171,14 @@ def curate_corpus(
             F.col(id_col), text_expr.alias(text_col), F.col(source_col)
         )
     if dedup_lines_min_docs is not None:
-        deduped = D.line_dedup(docs, id_col, text_col, min_docs=dedup_lines_min_docs)
-        docs = deduped.join(docs.select(id_col, source_col), id_col).select(
-            F.col(id_col), F.col(text_col), F.col(source_col)
-        )
+        # source rides line_dedup's map-side total-lines projection (its
+        # ``keep`` passthrough, r15) instead of a corpus-keyed re-attach
+        # join afterwards — one exchange + sort fewer at scale, identical
+        # rows (guide §2.4)
+        docs = D.line_dedup(
+            docs, id_col, text_col,
+            min_docs=dedup_lines_min_docs, keep=(source_col,),
+        ).select(F.col(id_col), F.col(text_col), F.col(source_col))
     prof = TX.text_profile(docs, id_col, text_col, keep=(text_col, source_col))
     kept = prof.where(
         (F.col("n_tokens") >= min_tokens)

@@ -546,7 +546,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def line_dedup(
-    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-document LINE dedup — boilerplate removal (the
     RefinedWeb/CCNet scrub): a line whose normalized form appears in
@@ -564,9 +568,15 @@ def line_dedup(
     boilerplate come back with empty text and let the downstream length
     gate drop them — the row is never lost.
 
-    Returns (id, text — cleaned, n_removed). Deterministic and
+    Returns (id, *keep, text — cleaned, n_removed). Deterministic and
     ANSI-SQL-reproducible; value-hash checked as the 'line' branch of the
     declared ``dedup_exact`` entry.
+
+    ``keep`` (r15, guide §2.4): passthrough columns that ride the
+    MAP-SIDE total-lines projection — the side that is joined back to
+    the reassembly anyway — so callers needing them (curate re-attaches
+    ``source``) don't pay a SECOND corpus-keyed exchange + sort to join
+    them on afterwards. Identical row set either way.
     """
     # r15: posexplode_outer + isNotNull — bare posexplode makes Catalyst
     # infer size(split(...))>0 and evaluate the split in the scan stage
@@ -600,10 +610,12 @@ def line_dedup(
     )
     tot = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_n_lines"),
     )
     return tot.join(reasm, id_col, "left").select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.coalesce(F.col("_t"), F.lit("")).alias(text_col),
         (F.col("_n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
         .cast("long")

@@ -1133,6 +1133,28 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert got[4]["text"] == "" and got[4]["n_removed"] == 1
 
 
+def test_line_dedup_keep_passthrough_equals_reattach_join(spark):
+    """``keep`` columns riding line_dedup's map-side projection (r15)
+    return the exact rows the old re-attach join produced — same ids,
+    texts, n_removed, and keep values — without the second corpus-keyed
+    exchange."""
+    rows = [
+        (1, "Cookie Banner\nunique first sentence", "srcA"),
+        (2, "cookie banner\nanother unique line", "srcB"),
+        (3, "only here", None),  # NULL keep value must survive untouched
+        (4, "Cookie Banner", "srcA"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = D.line_dedup(df, "doc_id", "text", min_docs=2, keep=("source",))
+    assert kept.columns == ["doc_id", "source", "text", "n_removed"]
+    joined = (
+        D.line_dedup(df, "doc_id", "text", min_docs=2)
+        .join(df.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "text", "n_removed")
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, joined.collect()))
+
+
 def test_ivf_int8_index_and_query(spark, emb):
     """The IVF+SQ composition: the index stores int8 codes bit-identical
     to quantize_embeddings plus a coarse assignment; querying probes lists
