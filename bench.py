@@ -248,15 +248,11 @@ def main():
         # r15: same probe-side parallelism floor + shared narrow frame +
         # distinct-free semi build side as the declared join_bloom entry
         # (suite/relational_ext.py) — identical result, wide probe
-        from database_anonymiser_spark.operators.cachectl import scoped_cache
+        from database_anonymiser_spark.operators.parallel import scan_floor
 
         orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-        sc = spark.sparkContext
-        if li.rdd.getNumPartitions() < sc.defaultParallelism:
-            li = scoped_cache(
-                "join_bloom_xx.probe", li.repartition(sc.defaultParallelism)
-            )
+        li = scan_floor(li, barrier_slot="join_bloom_xx.probe")
         passed = bloom_semi_join(
             li, "l_orderkey", orders, "o_orderkey", family="xxhash64"
         )

@@ -142,25 +142,15 @@ def curate_corpus(
     _STAGES = (None, "gates", "exact", "near", "balance", "split", "decontam")
     if stop_after not in _STAGES:
         raise ValueError(f"stop_after must be one of {_STAGES}")
-    # Parallelism floor: the per-doc gate expressions (C4 scrub, profile
-    # regex trees, the repetition profile's O(n log n) sort/fold HOFs) are
-    # the pipeline's compute bulk, and Catalyst pushes every gate FILTER —
-    # expression trees and all — down into the scan stage, THROUGH any
-    # repartition (PushDownPredicates crosses RepartitionByExpression). A
-    # corpus read from a handful of parquet files therefore evaluates the
-    # whole gate chain on that many tasks regardless of cluster size
-    # (measured at sf0.1: 27s single-task vs ~2s wide). The repartition
-    # alone cannot fix it; caching the repartitioned raw docs is the
-    # pushdown barrier — filters stop at the InMemoryRelation, whose
-    # partitioning is already cluster-wide. At 100 TB the scan has natural
-    # parallelism and this whole branch is a no-op; when it does engage,
-    # the cache is MEMORY_AND_DISK (spills, never OOMs) and scoped to the
-    # call.
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = scoped_cache(
-            "curate.docs", docs.repartition(sc.defaultParallelism, F.col(id_col))
-        )
+    # Parallelism floor with a cache barrier: the per-doc gate expressions
+    # (C4 scrub, profile regex trees, repetition fold HOFs) are the
+    # pipeline's compute bulk, and the gate FILTERS over them would sink
+    # through a bare repartition back into the scan (measured at sf0.1:
+    # 27s single-task vs ~2s wide). scan_floor's barrier form caches the
+    # repartitioned raw docs as the pushdown barrier; no-op at scale.
+    from database_anonymiser_spark.operators.parallel import scan_floor
+
+    docs = scan_floor(docs, key_col=id_col, barrier_slot="curate.docs")
 
     if clean_lines or drop_boilerplate:
         c4 = TX.c4_clean(docs, id_col, text_col, keep=(text_col, source_col))

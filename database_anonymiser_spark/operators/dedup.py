@@ -54,21 +54,15 @@ def tokens(text_col) -> F.Column:
 
 
 def _parallelism_floor(df: DataFrame, key_col: str) -> DataFrame:
-    """Widen few-partition inputs before heavy per-row projections.
+    """Widen few-partition inputs before heavy per-row projections
+    (measured at sf0.1: jaccard 2.45s → 0.83s, minhash 1.94s → 0.97s).
+    Projections — unlike filters — do NOT get pushed below a repartition,
+    so the id-hash repartition form with no cache barrier applies; see
+    :func:`~database_anonymiser_spark.operators.parallel.scan_floor`
+    for the consolidated policy (r15)."""
+    from database_anonymiser_spark.operators.parallel import scan_floor
 
-    The shingle/minhash expression chains run in the stage that produces
-    their input; a corpus read from a handful of parquet files would
-    evaluate them on that many tasks regardless of cluster size (measured
-    at sf0.1: jaccard 2.45s → 0.83s, minhash 1.94s → 0.97s). Projections —
-    unlike filters — do NOT get pushed below a repartition, so a plain
-    id-hash repartition suffices (no cache barrier needed, cf.
-    curate.py's floor where gate FILTERS forced one). No-op whenever the
-    scan already has ≥ defaultParallelism partitions — i.e. always at
-    scale."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism, F.col(key_col))
-    return df
+    return scan_floor(df, key_col=key_col)
 
 
 def shingle_array(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

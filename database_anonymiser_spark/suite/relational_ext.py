@@ -543,23 +543,20 @@ def join_bloom(spark, sf_dir):
     checked — the oracle replays the identical md5 hash family over the
     position set, reproducing every false positive."""
     from database_anonymiser_spark.operators.bloom import bloom_semi_join
-    from database_anonymiser_spark.operators.cachectl import scoped_cache
+    from database_anonymiser_spark.operators.parallel import scan_floor
 
     orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
     # r15 (guide §2.5/§6 input-parallelism floor): the fixture is ONE
     # parquet row group, so the md5 probe chain — the query's compute
-    # bulk — would evaluate on a single task regardless of core count
-    # (Catalyst pushes the probe Filter through any bare repartition;
-    # the cache is the pushdown barrier, exactly the curate.py
-    # treatment). Projected to the two live columns first so the barrier
-    # materializes 2 narrow columns, shared by BOTH branches (the exact
-    # twin previously re-scanned the table). Interleaved A/B at sf0.1:
-    # probe+agg 3.6s single-task → 1.3s wide. At 100 TB the scan has
-    # natural parallelism and the branch is a no-op.
+    # bulk — would evaluate on a single task regardless of core count.
+    # The probe FILTER would sink through a bare repartition, so this is
+    # scan_floor's cache-barrier form. Projected to the two live columns
+    # first so the barrier materializes 2 narrow columns, shared by BOTH
+    # branches (the exact twin previously re-scanned the table).
+    # Interleaved A/B at sf0.1: probe+agg 3.6s single-task → 1.3s wide.
+    # At 100 TB the scan has natural parallelism and the floor is a no-op.
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-    sc = spark.sparkContext
-    if li.rdd.getNumPartitions() < sc.defaultParallelism:
-        li = scoped_cache("join_bloom.probe", li.repartition(sc.defaultParallelism))
+    li = scan_floor(li, barrier_slot="join_bloom.probe")
     passed = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
     bloom_agg = passed.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("bloom_rows")
