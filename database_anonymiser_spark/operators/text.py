@@ -297,14 +297,14 @@ def repetition_profile(
     arithmetic (:func:`_micro_half_up`), so the declared entry value-hash
     checks bit-for-bit against the DuckDB oracle.
 
-    Measured cost (round 4, sf0.1 = 5k docs, local[32]): EXECUTION of the
-    full packed text_profile entry is ~0.15s warm (~30µs/doc for profile +
-    split + all repetition signals — repetition alone adds ~14µs/doc), at
-    or below the entry's pre-repetition round-2 time; the larger bench
-    number is ~0.45s of per-invocation DRIVER plan construction (py4j
-    round trips building the fold expression tree), a constant independent
-    of data volume and irrelevant at corpus scale. Arrow-vectorizing the
-    fold (VERDICT r3 #5) is therefore NOT worth a second execution path.
+    Measured cost (r15 correction of the round-4 note, which timed the
+    count()-pruned plan and so saw none of the per-row work — guide
+    §1.4): full materialization of the signals at sf0.1 (5k docs, noop
+    sink, 32-way) was 7.3s in the flat one-Project form and is 0.6s in
+    the staged form below; the ~0.4s of per-invocation DRIVER expression
+    construction (py4j round trips building the fold trees) is memoized
+    per session as before. Arrow-vectorizing the fold (VERDICT r3 #5)
+    remains not worth a second execution path at this cost.
 
     Zero-real-token documents (empty, whitespace-only, or NULL text) emit
     ALL-ZERO signals and ``repetitive = false``: whitespace split of ''
@@ -312,10 +312,31 @@ def repetition_profile(
     top_token_frac = 1.0 and misattribute blank docs to the repetition
     gate in curation stats (they belong to the length gate). Mirrored in
     the DuckDB oracle's rep_toks CASE guard (suite/text.py).
+
+    Physical shape (r15, guide §4 duplicated-evaluation class): the token
+    and gram ARRAYS are materialized as real columns in chained selects
+    before any signal reads them. Higher-order functions are
+    CodegenFallback — no codegen subexpression elimination — so a signal
+    column referencing the gram EXPRESSION re-derives it per column, and
+    a lambda body referencing the token EXPRESSION (``slice(toks, i,
+    n)``) re-evaluates the whitespace split PER ELEMENT: O(tokens ×
+    doc_length) per gram array. With the arrays as attributes each is
+    built exactly once per row and the lambdas read the attribute.
+    CollapseProject cannot undo the factoring (non-cheap aliases
+    referenced more than once are never inlined). Measured at sf0.1
+    (noop sink, 32-way): 7.3s → 0.6s for the signals alone; identical
+    values — the declared entry stays value-hash checked.
     """
-    return df.select(
+    stage1, stage2, counts, signals = _staged_repetition_columns(text_col)
+    passthrough = [F.col(id_col), *[F.col(k) for k in keep]]
+    staged = (
+        df.select(*passthrough, *stage1)
+        .select("*", *stage2)
+        .select(*passthrough, *counts)
+    )
+    return staged.select(
         F.col(id_col),
-        *_repetition_signal_columns(text_col),
+        *signals,
         *[F.col(c) for c in keep],
     )
 
@@ -350,17 +371,66 @@ def _session_cache_key(text_col: str, cache: dict) -> tuple | None:
     return (app_id, text_col)
 
 
-def _repetition_signal_columns(text_col) -> tuple[Column, ...]:
-    if isinstance(text_col, str):
-        key = _session_cache_key(text_col, _REP_SIGNAL_CACHE)
-        if key is None:
-            return _build_repetition_signals(text_col)
-        hit = _REP_SIGNAL_CACHE.get(key)
-        if hit is None:
-            hit = _build_repetition_signals(text_col)
-            _REP_SIGNAL_CACHE[key] = hit
+def _staged_repetition_columns(text_col: str):
+    """The four Column groups of repetition_profile's staged plan —
+    memoized per (session, text column) like the old flat signals (the
+    two _top_count fold trees cost ~0.4s of py4j round trips to build):
+
+    - stage1: the raw text (carried for the symbol regex) + token array;
+    - stage2: bigram/trigram arrays built FROM the token attribute;
+    - counts: every non-cheap per-row quantity (folds, distinct sizes,
+      symbol count) evaluated exactly once each over the attributes;
+    - signals: the six output columns as cheap arithmetic over counts.
+    """
+    key = _session_cache_key(text_col, _REP_SIGNAL_CACHE)
+    hit = _REP_SIGNAL_CACHE.get(key) if key is not None else None
+    if hit is not None:
         return hit
-    return _build_repetition_signals(text_col)
+    c = F.col(text_col)
+    toks = F.when(c.rlike(r"\S"), tokens(text_col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    stage1 = (c.alias("_rp_text"), toks.alias("_rp_toks"))
+    stage2 = (
+        _word_grams(F.col("_rp_toks"), 2).alias("_rp_bi"),
+        _word_grams(F.col("_rp_toks"), 3).alias("_rp_tri"),
+    )
+    counts = (
+        _top_count(F.col("_rp_toks")).alias("_rp_top_tok"),
+        _top_count(F.col("_rp_bi")).alias("_rp_top_bi"),
+        F.size("_rp_toks").cast("long").alias("_rp_n_tok"),
+        F.size("_rp_bi").cast("long").alias("_rp_n_bi"),
+        F.size("_rp_tri").cast("long").alias("_rp_n_tri"),
+        F.size(F.array_distinct("_rp_bi")).cast("long").alias("_rp_d_bi"),
+        F.size(F.array_distinct("_rp_tri")).cast("long").alias("_rp_d_tri"),
+        F.regexp_count(F.col("_rp_text"), F.lit(r"#|\.\.\."))
+        .cast("long")
+        .alias("_rp_sym"),
+    )
+    g = REPETITION_THRESHOLDS
+    top_token_frac = _frac(F.col("_rp_top_tok"), F.col("_rp_n_tok"))
+    top_2gram_frac = _frac(F.col("_rp_top_bi"), F.col("_rp_n_bi"))
+    dup_2gram_frac = _frac(F.col("_rp_n_bi") - F.col("_rp_d_bi"), F.col("_rp_n_bi"))
+    dup_3gram_frac = _frac(F.col("_rp_n_tri") - F.col("_rp_d_tri"), F.col("_rp_n_tri"))
+    symbol_word_ratio = _frac(F.col("_rp_sym"), F.col("_rp_n_tok"))
+    repetitive = (
+        (top_token_frac > g["top_token_frac"])
+        | (top_2gram_frac > g["top_2gram_frac"])
+        | (dup_3gram_frac > g["dup_3gram_frac"])
+        | (symbol_word_ratio > g["symbol_word_ratio"])
+    )
+    signals = (
+        top_token_frac.alias("top_token_frac"),
+        top_2gram_frac.alias("top_2gram_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        dup_3gram_frac.alias("dup_3gram_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        repetitive.alias("repetitive"),
+    )
+    built = (stage1, stage2, counts, signals)
+    if key is not None:
+        _REP_SIGNAL_CACHE[key] = built
+    return built
 
 
 #: lambda-bound gate Column memoized per (applicationId, text col) — same
@@ -423,42 +493,6 @@ def repetitive_gate(text_col: str) -> Column:
     if key is not None:
         _REP_GATE_CACHE[key] = gate
     return gate
-
-
-def _build_repetition_signals(text_col) -> tuple[Column, ...]:
-    # "has a non-whitespace char" — NOT length(trim(...)): SQL trim strips
-    # only spaces, so a tab-only doc would slip past a trim-based guard
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.when(c.rlike(r"\S"), tokens(text_col)).otherwise(
-        F.array().cast("array<string>")
-    )
-    bi = _word_grams(toks, 2)
-    tri = _word_grams(toks, 3)
-    n_tok = F.size(toks).cast("long")
-    n_bi = F.size(bi).cast("long")
-    n_tri = F.size(tri).cast("long")
-    top_token_frac = _frac(_top_count(toks), n_tok)
-    top_2gram_frac = _frac(_top_count(bi), n_bi)
-    dup_2gram_frac = _frac(n_bi - F.size(F.array_distinct(bi)), n_bi)
-    dup_3gram_frac = _frac(n_tri - F.size(F.array_distinct(tri)), n_tri)
-    symbol_word_ratio = _frac(
-        F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("long"), n_tok
-    )
-    gates = REPETITION_THRESHOLDS
-    repetitive = (
-        (top_token_frac > gates["top_token_frac"])
-        | (top_2gram_frac > gates["top_2gram_frac"])
-        | (dup_3gram_frac > gates["dup_3gram_frac"])
-        | (symbol_word_ratio > gates["symbol_word_ratio"])
-    )
-    return (
-        top_token_frac.alias("top_token_frac"),
-        top_2gram_frac.alias("top_2gram_frac"),
-        dup_2gram_frac.alias("dup_2gram_frac"),
-        dup_3gram_frac.alias("dup_3gram_frac"),
-        symbol_word_ratio.alias("symbol_word_ratio"),
-        repetitive.alias("repetitive"),
-    )
 
 
 # PII patterns for free-text scrubbing: character classes + bounded
