@@ -276,13 +276,22 @@ def curate_corpus(
                 id_col, "_vec",
                 n_clusters=n_clusters, n_iter=kmeans_iter,
             )
-        clustered = semantic_clusters(
-            with_emb, id_col, "_vec",
-            n_clusters=n_clusters, n_iter=kmeans_iter, codebook=codebook,
+        # the assigned frame is consumed twice — the per-cluster count
+        # collect inside cluster_balanced_sample and the surviving-row
+        # pipeline below — and each uncached consumer would re-run the
+        # join + the Arrow assignment pass over the corpus (a full
+        # JVM→Python round trip, guide §4). Drop the dead _vec column
+        # FIRST so the cache holds only live columns, then cache.
+        clustered = scoped_cache(
+            "curate.clustered",
+            semantic_clusters(
+                with_emb, id_col, "_vec",
+                n_clusters=n_clusters, n_iter=kmeans_iter, codebook=codebook,
+            ).drop("_vec"),
         )
         balanced = cluster_balanced_sample(
             clustered, id_col, "cluster_id", cluster_balance
-        ).drop("copy_idx", "cluster_id", "_vec")
+        ).drop("copy_idx", "cluster_id")
         no_emb = kept.join(emb.select(id_col), id_col, "left_anti")
         kept = balanced.unionByName(no_emb)
     if stop_after == "balance":

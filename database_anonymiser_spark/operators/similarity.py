@@ -1593,6 +1593,57 @@ def train_spherical_kmeans(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # single-collect fast path (r16): for corpora within the probe cap,
+    # ONE bounded (id, micro-vector) collect serves BOTH the init (the
+    # ``n_clusters`` lowest-id vectors, ordered locally — the same
+    # byte-order-matches-code-point-order argument as graph._cc_local)
+    # and the whole local Lloyd loop. The r15 shape paid a separate
+    # ``orderBy(id).limit(k)`` collect first — a full execution of the
+    # caller's upstream (with AQE, every exchange below it) plus a
+    # TakeOrdered, immediately re-executed by the head collect. The
+    # probe cap stays below ROW_CAP so the collect is ≤ ~16k rows before
+    # dim is known; corpora between the probe cap and the dim-aware cap
+    # fall through to the r15 two-collect shape unchanged.
+    probe_cap = min(LOCAL_KMEANS_ROW_CAP, 1 << 14)
+    head = (
+        df.select(F.col(id_col).alias("_kid"), _micro_arr(vec_col).alias("_mi"))
+        .limit(probe_cap + 1)
+        .toArrow()
+    )
+    if head.num_rows <= probe_cap:
+        col = head.column("_mi").combine_chunks()
+        flat = col.flatten()
+        widths = np.diff(np.asarray(col.offsets))
+        dim0 = int(widths[0]) if len(widths) else 0
+        ids = head.column("_kid").to_pylist()
+        ids_ok = all(
+            v is not None and not (isinstance(v, float) and v != v) for v in ids
+        )
+        if (
+            col.null_count == 0
+            and flat.null_count == 0
+            and (len(widths) == 0 or (widths == dim0).all())
+            and head.num_rows * max(dim0, 1) <= LOCAL_KMEANS_CELL_CAP
+            and ids_ok
+        ):
+            A = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(head.num_rows, dim0)
+                if head.num_rows
+                else np.empty((0, dim0), dtype=np.int64)
+            )
+            try:
+                order = sorted(range(len(ids)), key=lambda i: ids[i])
+            except TypeError:
+                order = None  # unorderable ids: use the collected init below
+            if order is not None:
+                cents = [
+                    _unit_micro([int(x) for x in A[i]])
+                    for i in order[:n_clusters]
+                ]
+                return _train_kmeans_local(A, cents, n_iter)
+
     init = df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     cents = [
         _unit_micro([int(_dec6_py(float(x)) * 1_000_000) for x in r[0]])
