@@ -113,13 +113,46 @@ def explode_nonempty(
     ``explode_outer`` emits a NULL element for empty arrays instead, so
     no filter is inferable below the generate; the trailing
     ``isNotNull`` on the GENERATOR OUTPUT removes those rows above it
-    (array elements are never NULL in these constructions, so the row
-    set is identical to plain explode) and cannot be pushed below the
-    generate. The chain then evaluates exactly once, in the stage the
-    caller placed it in."""
-    return (
-        df.select(*[F.col(c) for c in keep_cols], F.explode_outer(arr_col).alias(out_col))
-        .where(F.col(out_col).isNotNull())
+    and cannot be pushed below the generate. The chain then evaluates
+    exactly once, in the stage the caller placed it in.
+
+    CONTRACT (equivalence with bare ``explode``): the array's ELEMENTS
+    must never be NULL — a NULL element would be indistinguishable from
+    the empty-array marker and get dropped where plain explode keeps it.
+    True for every in-repo call site (split/md5/transform outputs are
+    non-null by construction); run with ``SPARK_GRAFT_DEBUG=1`` to make
+    any violation fail the query instead of silently dropping the row.
+    """
+    import os
+
+    out = F.explode_outer(arr_col).alias(out_col)
+    if os.environ.get("SPARK_GRAFT_DEBUG") == "1":
+        # a NULL element from a NON-empty source array violates the
+        # contract (the empty/null-array marker row has size <= 0). The
+        # assertion is fused INTO the drop predicate (when/otherwise) so
+        # filter combining/reordering can neither prune it nor
+        # short-circuit past it: non-null elements keep the row, marker
+        # rows assert the source was empty and then drop.
+        return (
+            df.select(
+                *[F.col(c) for c in keep_cols],
+                F.coalesce(F.size(arr_col), F.lit(-1)).alias("_src_sz"),
+                out,
+            )
+            .where(
+                F.when(F.col(out_col).isNotNull(), F.lit(True)).otherwise(
+                    F.assert_true(
+                        F.col("_src_sz") <= 0,
+                        F.lit(
+                            f"explode_nonempty({arr_col}): NULL array element"
+                        ),
+                    ).isNotNull()
+                )
+            )
+            .drop("_src_sz")
+        )
+    return df.select(*[F.col(c) for c in keep_cols], out).where(
+        F.col(out_col).isNotNull()
     )
 
 
@@ -572,6 +605,12 @@ def line_dedup(
     ``source``) don't pay a SECOND corpus-keyed exchange + sort to join
     them on afterwards. Identical row set either way.
     """
+    clash = set(keep) & {id_col, text_col, "_t", "_kept", "_n_lines", "n_removed"}
+    if clash:
+        raise ValueError(
+            f"keep columns {sorted(clash)} collide with line_dedup's "
+            "key/text/output columns"
+        )
     # r15: posexplode_outer + isNotNull — bare posexplode makes Catalyst
     # infer size(split(...))>0 and evaluate the split in the scan stage
     # twice per row (see explode_nonempty); split output is never empty

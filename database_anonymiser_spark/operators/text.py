@@ -381,12 +381,20 @@ def _staged_repetition_columns(text_col: str):
     - counts: every non-cheap per-row quantity (folds, distinct sizes,
       symbol count) evaluated exactly once each over the attributes;
     - signals: the six output columns as cheap arithmetic over counts.
+
+    A Column-typed ``text_col`` builds UNCACHED (the r14 flat form's
+    tolerance, restored per the r15 advice — memoizing on a Column
+    object's identity would never hit anyway).
     """
-    key = _session_cache_key(text_col, _REP_SIGNAL_CACHE)
+    key = (
+        _session_cache_key(text_col, _REP_SIGNAL_CACHE)
+        if isinstance(text_col, str)
+        else None
+    )
     hit = _REP_SIGNAL_CACHE.get(key) if key is not None else None
     if hit is not None:
         return hit
-    c = F.col(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.when(c.rlike(r"\S"), tokens(text_col)).otherwise(
         F.array().cast("array<string>")
     )

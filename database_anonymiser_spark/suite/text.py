@@ -139,9 +139,13 @@ def text_profile(spark, sf_dir):
     Gopher-style repetition gates (round 3): the split is keyed on
     ``source`` (every doc of a source lands on one side — domain-level
     contamination control), and the repetition signals
-    (operators/text.py::repetition_profile) ride the SAME single projection
-    — Catalyst collapses the chained selects into one map-side pass over
-    one scan. The md5-bucket split arithmetic, the micro-half-up ratios,
+    (operators/text.py::repetition_profile) ride the same map-side pass
+    over one scan — the profile/C4 selects collapse into one projection,
+    while the repetition stages are DELIBERATELY factored so
+    CollapseProject cannot merge them (r15: merging re-evaluates the
+    CodegenFallback HOF trees once per signal column; the staged form
+    computes each count exactly once).
+    The md5-bucket split arithmetic, the micro-half-up ratios,
     the nested-lambda top-count construction, and (round 4) the C4-style
     line-cleaning signals (operators/text.py::c4_clean — kept-line counts,
     boilerplate flag, md5 of the cleaned text) are all reproduced in the

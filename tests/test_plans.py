@@ -310,3 +310,45 @@ def test_explode_nonempty_row_set_matches_bare_explode(spark):
     assert simhash(docs, "doc_id", "text").count() == 5  # NULL text drops
     assert dup_spans(docs, "doc_id", "text", k=2).count() == 6
     assert line_dedup(docs, "doc_id", "text").count() == 6
+
+
+def _heavy_filter_lines(plan: str) -> list[str]:
+    """Filter lines carrying a heavy derived chain — the r15
+    inferred-generate-filter class. 'array_join(' marks the shingle /
+    n-gram construction chains; 'md5(' together with 'transform(' marks
+    a derived-signature chain — EXCEPT the bloom membership probe, whose
+    forall(transform(...)) filter IS the declared map-side operator
+    (evaluated once, not a duplicated derivation). Cheap single-md5
+    bucket filters (train/eval split, hash sampling) are the declared
+    semantics and stay exempt."""
+    bad = []
+    for line in plan.splitlines():
+        if "Filter" not in line:
+            continue
+        if "array_join(" in line:
+            bad.append(line.strip())
+        elif "size(split(" in line:
+            # the token-split chain (tfidf / heavy_hitters / chunking
+            # explodes): an inferred size(split(text,..)) > 0 filter
+            # re-evaluates the tokenisation in the scan stage
+            bad.append(line.strip())
+        elif "md5(" in line and "transform(" in line and "forall(" not in line:
+            bad.append(line.strip())
+    return bad
+
+
+def test_no_heavy_chain_in_any_declared_filter(spark, sf_dir, queries):
+    """r16 sweep (generalizes the r15 single-query pin): NO declared
+    query's physical plan may carry a shingle/n-gram/signature chain
+    inside a Filter condition — Catalyst's InferFiltersFromGenerate +
+    PushDownPredicates would otherwise re-evaluate the pipeline's most
+    expensive per-row work in the scan stage, twice per row (guide
+    §4.4's duplicated-evaluation class; fixed operator-by-operator in
+    r15 via dedup.explode_nonempty)."""
+    flags = {}
+    for name, spec in queries.items():
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = _heavy_filter_lines(plan)
+        if bad:
+            flags[name] = bad[0][:200]
+    assert not flags, f"heavy chains inside Filter conditions: {flags}"
