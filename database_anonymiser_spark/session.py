@@ -38,7 +38,13 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (e.g. events.ts) is unreadable natively;
         # read as long and let ParquetCatalog convert ns → timestamp losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts ALL executor memory — 8g across
+        # 32 concurrent tasks (~250 MB/task + cached frames) produced
+        # measured multi-minute GC storms during pipeline cache fills
+        # (guide §5: size memory to the workload). 16g is the local
+        # default for this host class; env-overridable, and irrelevant on
+        # a real cluster where executor memory is provisioned explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -11,6 +11,10 @@ Usage:
     python tools/perf_probe.py --names join_bloom,dedup_minhash \
         [--sf /root/testdata/sf0.1] [--reps 3] [--tag r15] [--suffix before]
     python tools/perf_probe.py --names all          # every headline query
+    python tools/perf_probe.py --curate-stages      # bench-style cumulative
+        # prefix attribution of curate_corpus_full at the CURRENT
+        # $SPARK_GRAFT_CPUS (r16 VERDICT #1: run at both widths to read
+        # the per-stage c8/c32 shape)
 """
 
 from __future__ import annotations
@@ -23,22 +27,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def curate_stages(spark, sf_dir: str, reps: int) -> None:
+    """bench.py's cumulative-prefix stage attribution (min of ``reps``
+    per prefix, marginals from the minima), printed with the width so
+    c8/c32 tables line up."""
+    from database_anonymiser_spark.operators.curate import curate_corpus
+    from database_anonymiser_spark.suite.base import load
+
+    def prefix(stop):
+        return curate_corpus(
+            load(spark, sf_dir, "documents"),
+            min_tokens=3,
+            drop_boilerplate=True,
+            dedup_lines_min_docs=3,
+            drop_repetitive=True,
+            near_dedup=True,
+            cluster_balance=200,
+            embeddings=load(spark, sf_dir, "embeddings"),
+            decontam_n=8,
+            mixture_rates={"src0": 2.0, "src1": 0.5},
+            token_budgets={"src2": 2_000},
+            stop_after=stop,
+        ).count()
+
+    width = spark.sparkContext.defaultParallelism
+    prev, out = 0.0, {}
+    for stage in ("gates", "exact", "near", "balance", "split", "decontam", None):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            prefix(stage)
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[stage or "mix"] = round(max(best - prev, 0.0), 3)
+        prev = best
+    print(f"curate_stages c{width}: {out} total={round(sum(out.values()), 3)}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--names", required=True)
+    ap.add_argument("--names", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tag", default="r15")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--no-noop", action="store_true")
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--curate-stages", action="store_true")
     args = ap.parse_args()
+    if not args.curate_stages and not args.names:
+        ap.error("--names is required unless --curate-stages")
 
     from database_anonymiser_spark.session import get_spark
     from database_anonymiser_spark.suite import all_queries
 
     spark = get_spark(app_name="perf_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.curate_stages:
+        spark.range(1000).count()
+        curate_stages(spark, args.sf, args.reps)
+        return
     specs = all_queries()
 
     if args.names == "all":
