@@ -233,6 +233,9 @@ def curate_corpus(
         return kept
 
     if near_dedup:
+        # widen=False: `kept` already rides the pipeline-head barrier
+        # repartition (scan_floor at the top), so the shingle stage's own
+        # floor would only add a redundant exchange of the gated frame
         pairs = D.minhash_lsh_pairs(
             kept,
             id_col,
@@ -240,6 +243,7 @@ def curate_corpus(
             n=shingle_n,
             threshold=jaccard_threshold,
             max_df=max_df,
+            widen=False,
         )
         clusters = connected_components(pairs)
         kept = dedup_survivors(kept, id_col, clusters)

@@ -65,7 +65,9 @@ def _parallelism_floor(df: DataFrame, key_col: str) -> DataFrame:
     return scan_floor(df, key_col=key_col)
 
 
-def shingle_array(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, widen: bool = True
+) -> DataFrame:
     """Per-doc array of DISTINCT word n-gram shingles: (id, shingle_arr).
 
     A pure array expression — ``array_distinct(transform(sequence(...), i ->
@@ -73,8 +75,14 @@ def shingle_array(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     the parallelism floor, fully whole-stage-codegen'd; cost is linear in
     corpus tokens. Keeping the set-per-doc in an array makes downstream
     set ops (MinHash mins, shingle counts) map-side too.
+
+    ``widen=False`` (r16) skips the parallelism floor — for callers whose
+    input is ALREADY cluster-wide (curate's gated frame rides the
+    pipeline-head barrier repartition): the floor's size probe cannot see
+    partitioning without physically planning, so a pre-widened small
+    frame would pay a redundant exchange.
     """
-    tok_df = _parallelism_floor(df, id_col).select(
+    tok_df = (_parallelism_floor(df, id_col) if widen else df).select(
         F.col(id_col), tokens(text_col).alias("_t")
     )
     # sequence(1, k) is DESCENDING when k < 1, so guard short docs explicitly
@@ -393,6 +401,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_df: int | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -414,7 +423,8 @@ def minhash_lsh_pairs(
     shingle sets.
     """
     sh_arr = scoped_cache(
-        "minhash_lsh_pairs.sh_arr", shingle_array(df, id_col, text_col, n)
+        "minhash_lsh_pairs.sh_arr",
+        shingle_array(df, id_col, text_col, n, widen=widen),
     )
     sh = sh_arr.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # docs below the shingle window have EMPTY shingle sets → null
